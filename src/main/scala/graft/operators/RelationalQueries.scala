@@ -1,0 +1,406 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The classical relational operator surface (SURVEY.md §2.2).
+  *
+  * The reference (G-Research/PalletJack) delegates all of these to pyarrow
+  * after metadata injection (see `/root/reference/python/test/test_palletjack.py:84-88`);
+  * here they are first-class Spark DataFrame plans so Catalyst gets full
+  * freedom: filters/projections push into the parquet scan, small dimension
+  * tables are broadcast explicitly, and aggregations use partial (map-side)
+  * combine automatically.
+  *
+  * Scale notes (100 TB design point):
+  *  - Dimension tables (region/nation/supplier/customer at low SF) are
+  *    broadcast — no shuffle of the fact table for those joins.
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  *    handles skew/coalescing at runtime.
+  *  - Every aggregate is expressed on grouped columns only, so partial
+  *    aggregation happens before the exchange.
+  *  - Double-typed aggregates are rounded in BOTH the Spark plan and the
+  *    oracle SQL, so the DuckDB hash-compare is robust to summation order
+  *    (which differs across partition counts).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String): Column = to_timestamp_ntz(lit(s))
+
+  val queries: Map[String, Q] = Map(
+    // ---- Aggregation: TPC-H Q1 style pricing summary --------------------
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= ts("2000-01-01"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- Filter + projection (pushdown exercise) ------------------------
+    "q02_filter_project" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_discount" >= 0.05 && $"l_quantity" > 45.0)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // ---- Join + agg + top-N (TPC-H Q3 style) ----------------------------
+    "q03_shipping_priority" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(s, d).filter($"o_orderdate" < ts("1998-01-01"))
+      val li = Tables.lineitem(s, d).filter($"l_shipdate" > ts("1998-01-01"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // ---- Semi join (EXISTS) + agg (TPC-H Q4 style) ----------------------
+    "q04_order_priority" -> { (s, d) =>
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1997-01-01") && $"o_orderdate" < ts("1998-01-01"))
+      val late = Tables.lineitem(s, d).filter($"l_shipdate" > ts("1999-06-01"))
+      ord.join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ---- Multi-join star query (TPC-H Q5 style) -------------------------
+    "q05_local_revenue" -> { (s, d) =>
+      import s.implicits._
+      val region = broadcast(Tables.region(s, d).filter($"r_name" === "ASIA"))
+      val nation = broadcast(Tables.nation(s, d))
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d).filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1999-01-01"))
+      val li = Tables.lineitem(s, d)
+      val sup = broadcast(Tables.supplier(s, d))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(nation, $"s_nationkey" === $"n_nationkey")
+        .join(region, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // ---- Scalar aggregate over filtered scan (TPC-H Q6 style) -----------
+    "q06_forecast_revenue" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+    },
+
+    // ---- Window: rank within partition, top-3 per group -----------------
+    "q07_top_lineitems_per_supplier" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"l_suppkey", $"rk", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_suppkey", $"rk")
+    },
+
+    // ---- Window: running sum within order -------------------------------
+    "q08_running_order_total" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter($"l_orderkey" < 200L)
+        .withColumn("running_total", round(sum($"l_extendedprice").over(w), 2))
+        .select($"l_orderkey", $"l_linenumber", $"running_total")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // ---- Distinct + exact distinct count --------------------------------
+    "q09_distinct_parts_per_flag" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- Top-K with deterministic tie-break -----------------------------
+    "q10_topk_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .limit(25)
+    },
+
+    // ---- Set operations -------------------------------------------------
+    "q11_nations_cust_minus_supp" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_acctbal" > 9000.0)
+        .select($"c_nationkey".as("nationkey"))
+      val su = Tables.supplier(s, d).filter($"s_acctbal" > 9000.0)
+        .select($"s_nationkey".as("nationkey"))
+      c.except(su).orderBy($"nationkey")
+    },
+    "q12_nations_cust_and_supp" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      val su = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+      c.intersect(su).orderBy($"nationkey")
+    },
+
+    // ---- Anti join (NOT EXISTS) -----------------------------------------
+    "q13_customers_without_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // ---- Conditional aggregation (CASE WHEN) ----------------------------
+    "q14_return_share_by_status" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .agg(
+          round(sum(when($"l_returnflag" === "R", $"l_extendedprice").otherwise(lit(0.0))), 2).as("returned_value"),
+          round(sum($"l_extendedprice"), 2).as("total_value"),
+          count(when($"l_returnflag" === "R", lit(1))).as("n_returned"))
+        .orderBy($"l_linestatus")
+    },
+
+    // ---- GROUP BY ... HAVING --------------------------------------------
+    "q15_big_orders_having" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+        .filter($"total_qty" > 150.0)
+        .orderBy($"l_orderkey")
+    },
+
+    // ---- ROLLUP (grouping sets) -----------------------------------------
+    "q16_rollup_flag_status" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ---- String scalar functions ----------------------------------------
+    "q17_string_funcs" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .filter($"c_custkey" <= 100L)
+        .select(
+          $"c_custkey",
+          upper($"c_name").as("name_upper"),
+          length($"c_name").as("name_len"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          concat($"c_mktsegment", lit("#"), $"c_nationkey".cast("string")).as("seg_key"))
+        .orderBy($"c_custkey")
+    },
+
+    // ---- Date/time scalar functions -------------------------------------
+    "q18_orders_by_month" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("monthly_value"))
+        .orderBy($"o_year", $"o_month")
+    },
+
+    // ---- Full statistics suite ------------------------------------------
+    "q19_price_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(min($"l_extendedprice"), 2).as("min_price"),
+          round(max($"l_extendedprice"), 2).as("max_price"),
+          round(avg($"l_extendedprice"), 2).as("avg_price"),
+          round(stddev_samp($"l_extendedprice"), 2).as("sd_price"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- Join cardinality / cross-dimension counts ----------------------
+    "q20_customers_per_region" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg($"c_acctbal"), 2).as("avg_acctbal"))
+        .orderBy($"r_name")
+    },
+
+    // ---- Union ----------------------------------------------------------
+    "q21_union_all_keys" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      val su = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+      c.union(su).groupBy($"nationkey").agg(count(lit(1)).as("n"))
+        .orderBy($"nationkey")
+    },
+
+    // ---- Correlated-style aggregate subquery (avg comparison, Q17-ish) --
+    "q22_below_avg_quantity" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+        .agg((avg($"l_quantity") * 0.5).as("half_avg"))
+      li.join(avgQty, $"l_partkey" === $"ap_partkey")
+        .filter($"l_quantity" < $"half_avg")
+        .agg(round(sum($"l_extendedprice"), 2).as("small_lot_value"),
+          count(lit(1)).as("n_lines"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_discount >= 0.05 AND l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1999-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_local_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q07_top_lineitems_per_supplier" ->
+      """SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem) WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+    "q08_running_order_total" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q09_distinct_parts_per_flag" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q11_nations_cust_minus_supp" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000.0
+        |ORDER BY nationkey""".stripMargin,
+    "q12_nations_cust_and_supp" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q13_customers_without_orders" ->
+      """SELECT count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q14_return_share_by_status" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END),2) AS returned_value,
+        | round(sum(l_extendedprice),2) AS total_value,
+        | count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_big_orders_having" ->
+      """SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
+        |FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150.0
+        |ORDER BY l_orderkey""".stripMargin,
+    "q16_rollup_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q17_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
+        | substr(c_name, 1, 8) AS name_prefix,
+        | c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_key
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+    "q18_orders_by_month" ->
+      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS monthly_value
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q19_price_stats" ->
+      """SELECT l_returnflag,
+        | round(min(l_extendedprice),2) AS min_price,
+        | round(max(l_extendedprice),2) AS max_price,
+        | round(avg(l_extendedprice),2) AS avg_price,
+        | round(stddev_samp(l_extendedprice),2) AS sd_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_customers_per_region" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal),2) AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_union_all_keys" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_below_avg_quantity" ->
+      """SELECT round(sum(l_extendedprice),2) AS small_lot_value, count(*) AS n_lines
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS ap_partkey, avg(l_quantity)*0.5 AS half_avg
+        |  FROM lineitem GROUP BY 1) a ON l.l_partkey = a.ap_partkey
+        |WHERE l.l_quantity < a.half_avg""".stripMargin
+  )
+}
