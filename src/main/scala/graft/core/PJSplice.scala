@@ -1,0 +1,223 @@
+package graft.core
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** O3-O7: reassemble a pruned-but-valid `FileMetaData` Thrift message by
+  * byte-splicing the requested row groups × columns out of the verbatim
+  * footer bytes stored in a PJ_2 index — no full footer parse.
+  *
+  * Direct port of the reference splice (`/root/reference/python/palletjack/
+  * palletjack.cc:369-616`): schema-element splice with root `num_children`
+  * rewrite (`:474-477`), `num_rows` rewrite (`:492-508`), per-row-group
+  * `ColumnChunk` splice using offsets *relative* to each RowGroup start
+  * (`:549-566`), optional `column_orders` splice with the absent-section
+  * all-zero sentinel (`:581-602`). Error messages are kept verbatim
+  * (`:377-411,618-678`).
+  */
+object PJSplice {
+
+  /** Parsed view over an index byte array (header + section cursors). */
+  final class Index private[core] (val bytes: Array[Byte], bodyOff: Int, val header: PJIndex.Header) {
+    import header._
+    private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // Section starts, in u32 units from bodyOff.
+    private val numRowsOffsetsAt = 0
+    private val rowNumbersAt = numRowsOffsetsAt + numRowsOffsetsSize
+    private val schemaOffsetsAt = rowNumbersAt + rowNumbersSize
+    private val ncOffsetsAt = schemaOffsetsAt + schemaOffsetsSize
+    private val rowGroupsOffsetsAt = ncOffsetsAt + schemaNumChildrenOffsetsSize
+    private val columnOrdersOffsetsAt = rowGroupsOffsetsAt + rowGroupsOffsetsSize
+    private val columnChunksOffsetsAt = columnOrdersOffsetsAt + columnOrdersOffsetsSize
+    private val namesAt = bodyOff + 4 * (columnChunksOffsetsAt + columnChunksOffsetsSize)
+    private[core] val metadataAt = namesAt + columnNamesLength
+
+    private def u32(idx: Int): Int = bb.getInt(bodyOff + 4 * idx)
+
+    def numRowsOffset(i: Int): Int = u32(numRowsOffsetsAt + i)
+    /** Per-row-group row count (stored u32). */
+    def rowNumber(rg: Int): Long = u32(rowNumbersAt + rg) & 0xffffffffL
+    def schemaOffset(i: Int): Int = u32(schemaOffsetsAt + i)
+    def ncOffset(elem: Int, i: Int): Int = u32(ncOffsetsAt + 2 * elem + i)
+    def rowGroupsOffset(i: Int): Int = u32(rowGroupsOffsetsAt + i)
+    def columnOrdersOffset(i: Int): Int = u32(columnOrdersOffsetsAt + i)
+    def columnChunkOffset(rg: Int, i: Int): Int = u32(columnChunksOffsetsAt + (1 + columns + 1) * rg + i)
+
+    /** NUL-separated names in schema order (`palletjack.cc:432-444`). */
+    def columnNames: Array[String] = {
+      val out = new Array[String](columns)
+      var p = namesAt
+      var c = 0
+      while (c < columns) {
+        var e = p
+        while (bytes(e) != 0) e += 1
+        out(c) = new String(bytes, p, e - p, StandardCharsets.UTF_8)
+        p = e + 1
+        c += 1
+      }
+      if (p != metadataAt) throw new PJException("Internal error, when reading column names!")
+      out
+    }
+  }
+
+  object Index {
+    /** In-memory index (`palletjack.cc:656-678`). */
+    def fromBytes(indexData: Array[Byte]): Index = {
+      if (indexData.length < PJIndex.HeaderLength)
+        throw new PJException(s"Index data is too small, length=${indexData.length}")
+      if (!PJIndex.Header.magicOk(indexData, 0))
+        throw new PJException("Index file has unexpected format!")
+      val h = PJIndex.Header.parse(indexData, 0)
+      val expected = PJIndex.HeaderLength + h.bodySize
+      if (indexData.length.toLong != expected)
+        throw new PJException(s"Index data has unexpected length, length=${indexData.length}, expected=$expected")
+      new Index(indexData, PJIndex.HeaderLength, h)
+    }
+
+    /** Index sidecar file (`palletjack.cc:618-654`). */
+    def fromFile(indexFilePath: String): Index = {
+      val f = new java.io.File(indexFilePath)
+      if (!f.isFile)
+        throw new FileNotFoundException(s"Failed to open local file '$indexFilePath'")
+      val raf = new RandomAccessFile(f, "r")
+      try {
+        val len = raf.length()
+        if (len < PJIndex.HeaderLength)
+          throw new PJException(s"I/O error when reading '$indexFilePath'")
+        val head = new Array[Byte](PJIndex.HeaderLength)
+        raf.readFully(head)
+        if (!PJIndex.Header.magicOk(head, 0))
+          throw new PJException(s"File '$indexFilePath' has unexpected format!")
+        val h = PJIndex.Header.parse(head, 0)
+        if (len != PJIndex.HeaderLength + h.bodySize)
+          throw new PJException(s"I/O error when reading '$indexFilePath'")
+        val all = new Array[Byte](len.toInt)
+        System.arraycopy(head, 0, all, 0, PJIndex.HeaderLength)
+        raf.readFully(all, PJIndex.HeaderLength, len.toInt - PJIndex.HeaderLength)
+        new Index(all, PJIndex.HeaderLength, h)
+      } finally raf.close()
+    }
+  }
+
+  /** Core splice (`palletjack.cc:369-616`). Returns the pruned FileMetaData
+    * Thrift bytes. Empty `rowGroups` with `schemaOnly=false` keeps all row
+    * groups; empty column selection keeps all columns.
+    */
+  def splice(
+      index: Index,
+      rowGroups: Seq[Int],
+      columnIndices: Seq[Int],
+      columnNames: Seq[String],
+      schemaOnly: Boolean): Array[Byte] = {
+    val h = index.header
+    val src = index.bytes
+    val metaAt = index.metadataAt // start of verbatim footer bytes inside the index
+
+    // --- validation (`palletjack.cc:383-411`)
+    for (rg <- rowGroups)
+      if (rg < 0 || rg >= h.rowGroups)
+        throw new PJException(s"Requested row_group=$rg, but only 0-${h.rowGroups - 1} are available!")
+    if (columnIndices.nonEmpty && columnNames.nonEmpty)
+      throw new PJException("Cannot specify both column indices and column names at the same time!")
+    for (c <- columnIndices)
+      if (c < 0 || c >= h.columns)
+        throw new PJException(s"Requested column=$c, but only 0-${h.columns - 1} are available!")
+
+    // --- name resolution (`palletjack.cc:427-457`): last-wins, exact match
+    val columns: IndexedSeq[Int] =
+      if (columnNames.nonEmpty) {
+        val map = new java.util.HashMap[String, Int]()
+        val names = index.columnNames
+        var c = 0
+        while (c < names.length) { map.put(names(c), c); c += 1 }
+        columnNames.iterator.map { n =>
+          if (!map.containsKey(n))
+            throw new PJException(s"Couldn't find a column with a name '$n'!")
+          map.get(n): Int
+        }.toIndexedSeq
+      } else columnIndices.toIndexedSeq
+
+    val out = new ByteArrayOutputStream(h.metadataLength)
+    var srcIdx = 0 // cursor into the metadata bytes (reference's index_src)
+
+    def copyRange(from: Int, len: Int): Unit = {
+      if (len < 0 || from < 0 || from + len > h.metadataLength)
+        throw new PJException(s"Requested reading outside source range, src_idx=$from, to_copy=$len, size=${h.metadataLength}")
+      out.write(src, metaAt + from, len)
+    }
+
+    if (columns.nonEmpty) {
+      //> 2: required list<SchemaElement> schema
+      val schemaListAt = index.schemaOffset(0)
+      copyRange(srcIdx, schemaListAt - srcIdx)
+      ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, columns.size + 1) // + root
+      val rootAt = index.schemaOffset(1)
+      srcIdx = rootAt
+      // root element up to its num_children value, then the rewritten count
+      copyRange(srcIdx, rootAt + index.ncOffset(0, 0) - srcIdx)
+      ThriftCompact.Write.i32(out, columns.size) //> 5: optional i32 num_children
+      srcIdx = rootAt + index.ncOffset(0, 1)
+      copyRange(srcIdx, index.schemaOffset(2) - srcIdx)
+      for (c <- columns) {
+        val at = index.schemaOffset(2 + c)
+        copyRange(at, index.schemaOffset(2 + c + 1) - at)
+      }
+      srcIdx = index.schemaOffset(2 + h.columns)
+    }
+
+    val rowGroupFiltering = rowGroups.nonEmpty || schemaOnly
+    if (rowGroupFiltering) {
+      //> 3: required i64 num_rows
+      var numRows = 0L
+      for (rg <- rowGroups) numRows += index.rowNumber(rg)
+      copyRange(srcIdx, index.numRowsOffset(0) - srcIdx)
+      ThriftCompact.Write.i64(out, numRows)
+      srcIdx = index.numRowsOffset(1)
+    }
+
+    if (rowGroupFiltering) {
+      //> 4: required list<RowGroup> row_groups
+      copyRange(srcIdx, index.rowGroupsOffset(0) - srcIdx)
+      ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, rowGroups.size)
+      srcIdx = index.rowGroupsOffset(1)
+    } else {
+      copyRange(srcIdx, index.rowGroupsOffset(1) - srcIdx) // incl. list header
+      srcIdx = index.rowGroupsOffset(1)
+    }
+
+    val selectedRgs: Seq[Int] = if (rowGroupFiltering) rowGroups else 0 until h.rowGroups
+    for (rgIdx <- selectedRgs) {
+      val rgAt = index.rowGroupsOffset(1 + rgIdx)
+      srcIdx = rgAt
+      if (columns.nonEmpty) {
+        //> 1: required list<ColumnChunk> columns   (offsets relative to rgAt)
+        copyRange(srcIdx, rgAt + index.columnChunkOffset(rgIdx, 0) - srcIdx)
+        ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, columns.size)
+        for (c <- columns) {
+          val at = index.columnChunkOffset(rgIdx, 1 + c)
+          copyRange(rgAt + at, index.columnChunkOffset(rgIdx, 1 + c + 1) - at)
+        }
+        srcIdx = rgAt + index.columnChunkOffset(rgIdx, 1 + h.columns)
+        copyRange(srcIdx, index.rowGroupsOffset(1 + rgIdx + 1) - srcIdx)
+      } else {
+        copyRange(srcIdx, index.rowGroupsOffset(1 + rgIdx + 1) - srcIdx)
+      }
+    }
+    srcIdx = index.rowGroupsOffset(1 + h.rowGroups)
+
+    if (columns.nonEmpty && index.columnOrdersOffset(0) != 0) {
+      //> 7: optional list<ColumnOrder> column_orders
+      copyRange(srcIdx, index.columnOrdersOffset(0) - srcIdx)
+      ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, columns.size)
+      for (c <- columns) {
+        val at = index.columnOrdersOffset(1 + c)
+        copyRange(at, index.columnOrdersOffset(1 + c + 1) - at)
+      }
+      srcIdx = index.columnOrdersOffset(1 + h.columns)
+    }
+
+    copyRange(srcIdx, h.metadataLength - srcIdx) // leftovers
+    out.toByteArray
+  }
+}
