@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries that exercise the `pjparquet` DSv2 source — the
+  * product surface (SURVEY.md §2.1) — against the DuckDB oracle. The oracle
+  * reads the same parquet file via stock SQL, so a hash match proves the
+  * index-planned scan is byte-for-byte equivalent to a footer-planned one.
+  */
+object MetadataQueries {
+
+  private def pj(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.format("pjparquet").load(s"$dir/$table.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_pjparquet_agg" -> ((s, dir) => {
+      import s.implicits._
+      pj(s, dir, "lineitem")
+        .filter($"l_discount" > 0.05)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    }),
+    "q24_pjparquet_projection" -> ((s, dir) => {
+      import s.implicits._
+      // column pruning must reach the metadata splice: only 3 of 16 columns
+      pj(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .filter($"o_totalprice" > 100000.0)
+        .orderBy($"o_orderkey")
+    }),
+    "q25_pjparquet_join" -> ((s, dir) => {
+      import s.implicits._
+      // index-planned fact scan joined to a broadcast dimension
+      pj(s, dir, "lineitem")
+        .join(broadcast(pj(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"s_nationkey")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q23_pjparquet_agg" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt
+        |FROM lineitem WHERE l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_pjparquet_projection" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 100000.0 ORDER BY o_orderkey""".stripMargin,
+    "q25_pjparquet_join" ->
+      """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+}

@@ -1,0 +1,47 @@
+package graft.sources.pjparquet
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.PJIndex
+
+/** Fleet-scale index lifecycle (SURVEY.md §7 step 4): build `.index`
+  * sidecars for every parquet file under a directory, executor-parallel —
+  * the Spark analogue of running O2 per file, with the per-file work pushed
+  * off the driver (the reference's GIL-release parallelism,
+  * `palletjack_cython.pyx:18-23`, maps to executor tasks here).
+  */
+object PjIndexJob {
+
+  /** Returns the number of sidecars written. Skips files whose sidecar is
+    * already newer than the data file; `overwrite=true` forces regeneration.
+    */
+  def generateAll(spark: SparkSession, dir: String, overwrite: Boolean = false): Long = {
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.toString, s.getModificationTime))
+    if (files.isEmpty) return 0L
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, 1024))
+      .map { case (pathStr, dataMtime) =>
+        val path = new Path(pathStr)
+        val pfs = path.getFileSystem(conf.value)
+        val indexPath = new Path(pathStr + ".index")
+        val fresh = !overwrite && pfs.exists(indexPath) &&
+          pfs.getFileStatus(indexPath).getModificationTime >= dataMtime
+        if (fresh) 0L
+        else {
+          val status = pfs.getFileStatus(path)
+          val bytes = PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(pfs, status), pathStr)
+          val out = pfs.create(indexPath, true)
+          try out.write(bytes) finally out.close()
+          1L
+        }
+      }
+      .sum().toLong
+  }
+}

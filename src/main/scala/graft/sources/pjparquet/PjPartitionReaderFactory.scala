@@ -1,0 +1,83 @@
+package graft.sources.pjparquet
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.parquet.{PjSparkShims, VectorizedParquetRecordReader}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.PalletJack
+
+/** Executor-side reader: materializes the shipped pruned footer and drives
+  * Spark's own [[VectorizedParquetRecordReader]] with it — the stock
+  * whole-stage-codegen-friendly decode path, minus any footer I/O or parse
+  * (the Spark analogue of `pr.open(path, metadata=metadata)`,
+  * `python/README.md:68-74`).
+  */
+final case class PjPartitionReaderFactory(
+    conf: Broadcast[SerializableConfiguration],
+    requiredSchemaJson: String,
+    capacity: Int,
+    offHeap: Boolean,
+    datetimeRebaseModeConf: String,
+    int96RebaseModeConf: String)
+    extends PartitionReaderFactory {
+
+  @transient private lazy val requiredSchema =
+    DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType]
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  private def openReader(p: PjInputPartition, returningBatch: Boolean): VectorizedParquetRecordReader = {
+    val hadoopConf = conf.value.value
+    val footer = PalletJack.materialize(p.prunedFooter)
+    val datetimeSpec = PjSparkShims.datetimeRebaseSpec(footer, datetimeRebaseModeConf)
+    val int96Spec = PjSparkShims.int96RebaseSpec(footer, int96RebaseModeConf)
+    val reader = new VectorizedParquetRecordReader(
+      null,
+      PjSparkShims.specMode(datetimeSpec), PjSparkShims.specTz(datetimeSpec),
+      PjSparkShims.specMode(int96Spec), PjSparkShims.specTz(int96Spec),
+      offHeap, capacity)
+    val path = new Path(p.filePath)
+    val split = new FileSplit(path, 0, p.fileLen, Array.empty[String])
+    val context = new TaskAttemptContextImpl(hadoopConf, new TaskAttemptID())
+    var ok = false
+    try {
+      // All three options must be defined or Spark falls back to a real
+      // footer read — the exact parse the index exists to avoid.
+      val inputFile = HadoopInputFile.fromPath(path, hadoopConf)
+      reader.initialize(
+        split, context, Some(inputFile), Some(inputFile.newStream()), Some(footer))
+      reader.initBatch(new StructType(), InternalRow.empty)
+      if (returningBatch) reader.enableReturningBatches()
+      ok = true
+    } finally if (!ok) reader.close()
+    reader
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val reader = openReader(partition.asInstanceOf[PjInputPartition], returningBatch = false)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val reader = openReader(partition.asInstanceOf[PjInputPartition], returningBatch = true)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      override def close(): Unit = reader.close()
+    }
+  }
+}
