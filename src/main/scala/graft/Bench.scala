@@ -1,24 +1,141 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.core.{PJIndex, PJSplice, PalletJack}
+
+/** Per-round benchmark main. Emits ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *   "metadata":{...},"errors":{...}}`.
+  *
+  * - Every query runs with a result-consuming `noop` write so the full plan
+  *   (sorts, projections) executes — `.count()` lets Catalyst drop them.
+  * - Failures are loud: stderr trace + an `errors` entry + value -1; they
+  *   never masquerade as fast greens.
+  * - `metadata` mirrors the reference's headline microbenchmark
+  *   (`benchmarks/benchmark_palletjack_metadata.py:24-39,65-102`): footer
+  *   parse vs index splice on a 200-row-group x 400-column file, plus the
+  *   index/parquet size ratio.
+  */
 object Bench {
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          timings(name) = -1.0
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: $e")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val metaJson =
+      try metadataBench(spark)
+      catch { case e: Throwable => System.err.println(s"[bench] metadata bench FAILED: $e"); "{}" }
+
+    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val total = timings.values.filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},""" +
+        s""""metadata":$metaJson,"errors":$errJson}""")
     spark.stop()
+  }
+
+  /** 200 rg x 400 float columns; the fixture is built once and cached. */
+  private def metadataBench(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val rgs = 200
+    val cols = 400
+    val rowsPerRg = 1000
+    val dir = "/tmp/graft_bench_wide"
+    val file = new java.io.File(dir)
+    val parquet: String = {
+      val existing = Option(file.listFiles()).toSeq.flatten.find(_.getName.endsWith(".parquet"))
+      existing match {
+        case Some(f) if PJIndex.Header.parse(PJIndex.generate(f.getPath), 0).rowGroups == rgs =>
+          f.getPath
+        case _ =>
+          // ~1600 B/row => parquet.block.size of rowsPerRg*1600 gives ~1000-row groups
+          val df = spark.range(rgs.toLong * rowsPerRg)
+            .select((col("id") +: (0 until cols).map(i =>
+              (rand(seed = i) * 1000).cast("float").as(s"c$i"))): _*)
+            .drop("id")
+          df.coalesce(1).write.mode("overwrite")
+            .option("parquet.block.size", (rowsPerRg * cols * 4).toString)
+            .option("parquet.page.size", (64 * 1024).toString)
+            .parquet(dir)
+          Option(file.listFiles()).toSeq.flatten
+            .find(_.getName.endsWith(".parquet")).get.getPath
+      }
+    }
+
+    val indexBytes = PJIndex.generate(parquet)
+    val idx = PJSplice.Index.fromBytes(indexBytes)
+    val actualRgs = idx.header.rowGroups
+    val reps = 200
+
+    def timeMs(n: Int)(body: => Unit): Double = {
+      body // warm-up
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { body; i += 1 }
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+
+    // stock: full footer parse per open (what Spark planning does per file)
+    val footerMs = timeMs(reps) {
+      TestlessFooterRead.readFooter(parquet)
+    }
+    // pj: splice 1 row group + materialize, from the in-memory index (O7)
+    val spliceMemMs = timeMs(reps) {
+      PalletJack.materialize(PJSplice.splice(idx, Seq(0), Nil, Nil, schemaOnly = false))
+    }
+    // pj: schema only (what Table.schema() costs)
+    val schemaMs = timeMs(reps) {
+      PalletJack.materialize(PJSplice.splice(idx, Nil, Nil, Nil, schemaOnly = true))
+    }
+    val parquetSize = new java.io.File(parquet).length()
+    f"""{"rg":$actualRgs,"cols":$cols,"footer_parse_ms":$footerMs%.3f,""" +
+      f""""pj_read_1rg_ms":$spliceMemMs%.3f,"pj_schema_ms":$schemaMs%.3f,""" +
+      f""""speedup_1rg":${footerMs / spliceMemMs}%.1f,""" +
+      f""""index_size_ratio":${indexBytes.length.toDouble / parquetSize}%.5f}"""
+  }
+}
+
+/** Footer read helper kept out of the hot closure for JIT friendliness. */
+private object TestlessFooterRead {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.Path
+  import org.apache.parquet.format.converter.ParquetMetadataConverter
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  private val conf = new Configuration()
+  def readFooter(path: String): Unit = {
+    ParquetFileReader.readFooter(
+      HadoopInputFile.fromPath(new Path(path), conf), ParquetMetadataConverter.NO_FILTER)
+    ()
   }
 }

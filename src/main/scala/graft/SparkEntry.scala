@@ -11,18 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .filter($"l_shipdate" <= to_timestamp_ntz(lit("2000-01-01")))
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        count(lit(1)).as("count_order"))
-      .orderBy($"l_returnflag", $"l_linestatus")
-  }
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Delegates to the queries map — no divergent duplicate definition.
+    */
+  def entry(spark: SparkSession): DataFrame =
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
