@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.RelationalQueries.queries ++
-      graft.operators.MetadataQueries.queries
+      graft.operators.MetadataQueries.queries ++
+      graft.operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.RelationalQueries.oracles ++
-      graft.operators.MetadataQueries.oracles
+      graft.operators.MetadataQueries.oracles ++
+      graft.operators.PipelineQueries.oracles
 }

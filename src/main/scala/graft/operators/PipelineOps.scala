@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.3), built as reusable
+  * DataFrame transforms. Every operator is shuffle-conscious for the 100 TB
+  * design point:
+  *
+  *  - dedup keys are hashes (uniform partitioning, no skew on text length)
+  *  - near-dup never does all-pairs: candidates come from LSH buckets or
+  *    (lang, length-band) blocking before any pairwise work
+  *  - similarity search broadcasts the (small) probe side; the corpus side
+  *    streams partition-local
+  *  - everything is built-in `functions._` / higher-order functions — no
+  *    Scala UDFs in hot paths, so whole-stage codegen stays intact
+  */
+object PipelineOps {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: content-hash groupBy keeping the smallest id. At scale the
+    * shuffle key is the 256-bit hash — uniform, skew-free.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Keyed dedup (deterministic `dropDuplicates`): earliest id per key. */
+  def dedupByKey(docs: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(keys.map(col): _*).agg(min(col(idCol)).as("first_" + idCol))
+
+  // ------------------------------------------------------------- text prep
+
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Word bigram shingles ("n-gram" units for Jaccard). */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  // ------------------------------------------------- near-dup: exact Jaccard
+
+  /** Exact n-gram Jaccard near-dup within blocking buckets.
+    *
+    * Blocking: candidates must share `lang` and sit within `lengthBand` chars
+    * — pairwise work is O(bucket²), never O(corpus²). Threshold compare is
+    * integer-only (`2·|∩| ≥ |∪|` for 0.5) so engines can't disagree on float
+    * rounding.
+    */
+  def jaccardNearDupPairs(docs: DataFrame, lengthBand: Int = 30): DataFrame = {
+    val prepped = docs.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      array_distinct(bigrams(tokens(col("text")))).as("shingles"))
+    val a = prepped.as("a")
+    val b = prepped.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= lengthBand)
+      .select(
+        col("a.lang").as("lang"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.shingles"), col("b.shingles"))).as("inter"),
+        size(array_union(col("a.shingles"), col("b.shingles"))).as("uni"))
+      .filter(col("inter") * 2 >= col("uni")) // Jaccard >= 0.5, integer math
+  }
+
+  // ---------------------------------------------------- near-dup: MinHash LSH
+
+  /** MinHash+LSH near-dup candidate pairs (approx Jaccard), the scale path:
+    * shingle → binary feature vector → banded min-hashes → bucket join. The
+    * join is on LSH buckets (`approxSimilarityJoin`), never all-pairs.
+    */
+  def minhashNearDupPairs(docs: DataFrame, jaccardDistThreshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val prepped = docs.select(
+      col("doc_id"), col("lang"),
+      array_distinct(bigrams(tokens(col("text")))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(prepped)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, jaccardDistThreshold, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(
+        col("datasetA.lang").as("lang"),
+        col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        col("jaccard_dist"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over token sets — pure higher-order functions (codegen'd,
+    * no UDF): per-token xxhash64, ±1 bit votes, sign → bit.
+    */
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = array_distinct(tokens(col(textCol)))
+    // votes: for each of 64 bits, sum of +1/-1 across token hashes
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    // fold sign bits into one i64
+    val sim = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+    docs.withColumn("simhash", sim)
+  }
+
+  // ------------------------------------------ similarity search (embeddings)
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: the exactness baseline. The probe side is
+    * broadcast; the corpus side never shuffles — each partition scores its
+    * rows locally, then a per-probe window takes the top k.
+    */
+  def cosineTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb"))
+    val probe = probes.select(
+      col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p_emb"))
+    val scored = corpus.join(broadcast(probe), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("p_emb"), col("n_emb")).as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN (the 100 TB path): normalize → random-projection
+    * buckets → `approxSimilarityJoin` on Euclidean distance (d² = 2-2·cos on
+    * the unit sphere). Bucketed candidate generation, never a cartesian.
+    */
+  def lshAnnPairs(embeddings: DataFrame, probes: DataFrame, minCosine: Double): DataFrame = {
+    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+    import org.apache.spark.ml.functions.array_to_vector
+    def prep(df: DataFrame, idAs: String): DataFrame = {
+      val v = df.select(col("vec_id").as(idAs),
+        array_to_vector(asDouble(col("embedding"))).as("raw"))
+      new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0).transform(v)
+    }
+    val corpus = prep(embeddings, "neighbor_id")
+    val probe = prep(probes, "probe_id")
+    val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+    val model = lsh.fit(corpus)
+    model.approxSimilarityJoin(probe, corpus, distThreshold, "euclid_dist")
+      .filter(col("datasetA.probe_id") =!= col("datasetB.neighbor_id"))
+      .select(
+        col("datasetA.probe_id").as("probe_id"),
+        col("datasetB.neighbor_id").as("neighbor_id"),
+        (lit(1.0) - col("euclid_dist") * col("euclid_dist") / 2.0).as("cos_sim"))
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  private val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Rule-based language ID: stopword votes with a deterministic tie-break
+    * (first language in fixed order wins ties). A real deployment swaps the
+    * signal lists; the plumbing (score → argmax, fully codegen'd) stays.
+    */
+  def langIdScore(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val scores = stopwordsByLang.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight[Column](lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality scoring: length/punctuation/stopword signals → single score.
+    * Integer-and-double arithmetic in a fixed order so any engine agrees.
+    */
+  def withQualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val meanTokLen = (length(col(textCol)) - nTok + 1).cast("double") / nTok.cast("double")
+    val allStop = stopwordsByLang.flatMap(_._2)
+    val stopRatio = size(array_intersect(array_distinct(toks), array(allStop.map(lit): _*)))
+      .cast("double") / size(array_distinct(toks)).cast("double")
+    val punct = length(regexp_replace(col(textCol), "[\\w\\s]", "")).cast("double")
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len", meanTokLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("punct_count", punct)
+      .withColumn("quality_score",
+        least(nTok.cast("double") / 40.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - stopRatio) * 0.3 +
+          least(meanTokLen / 8.0, lit(1.0)) * 0.2)
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count. */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("bpe_tokens", regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")))
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token set —
+    * word-order-insensitive duplicate detection.
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
+}

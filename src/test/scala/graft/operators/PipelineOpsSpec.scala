@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Property tests for the operators whose semantics are approximate or
+  * Spark-hash-specific (no DuckDB oracle possible): SimHash locality,
+  * MinHash recall, LSH ANN recall vs the exact brute-force baseline, and the
+  * multimodal plumbing.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length($"text"))
+
+  test("simhash: identical texts collide, near texts are close, disjoint texts are far") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("other1", "other2")).mkString(" ")
+    val far = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val df = PipelineOps.withSimhash(docsDf(Seq((1L, base), (2L, base), (3L, near), (4L, far))))
+    val m = df.select($"doc_id", $"simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L), "identical text must produce identical simhash")
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)),
+      s"near text must be closer than disjoint text (${hamming(m(1L), m(3L))} vs ${hamming(m(1L), m(4L))})")
+    assert(hamming(m(1L), m(3L)) <= 16, "5% token change should flip few bits")
+  }
+
+  test("minhash near-dup finds planted near-duplicates") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 57).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val unrelated = (1 to 60).map(i => s"q$i").mkString(" ")
+    val corpus = docsDf(Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base)))
+    val pairs = PipelineOps.minhashNearDupPairs(corpus, jaccardDistThreshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact duplicate pair must be found")
+    assert(pairs.contains((1L, 2L)), "planted near-dup pair must be found")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc must not pair")
+  }
+
+  test("exact jaccard blocking finds the same planted pairs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 57).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val unrelated = (1 to 60).map(i => s"q$i").mkString(" ")
+    val pairs = PipelineOps.jaccardNearDupPairs(docsDf(Seq((1L, base), (2L, nearDup), (3L, unrelated))))
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lsh ANN recall >= 0.9 against exact brute-force top-k (clustered vectors)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val centroids = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 90).map { i =>
+      val c = centroids(i % 3)
+      val v = c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq, i % 3)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val probes = emb.filter($"vec_id" < 9)
+
+    val exact = PipelineOps.cosineTopK(emb, probes, k = 5)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = PipelineOps.lshAnnPairs(emb, probes, minCosine = 0.9)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall below 0.9 (exact=${exact.size}, ann=${ann.size})")
+  }
+
+  test("cosineTopK ranks an exact duplicate vector first") {
+    val a = Array.fill(16)(1.0f).toSeq
+    val b = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
+    val emb = Seq((0L, a, 0), (1L, a, 0), (2L, b, 1)).toDF("vec_id", "embedding", "label")
+    val top = PipelineOps.cosineTopK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rank").select($"neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("multimodal: schema, determinism, normalized features, frame sampling") {
+    val docs = docsDf(Seq((1L, "hello world"), (2L, "hello world"), (3L, "zz")))
+    val media = Multimodal.packAsMedia(docs)
+    assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(media.schema("meta").dataType == Multimodal.mediaMetaType)
+
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(feats(1L).size == Multimodal.FeatureBins)
+    assert(feats(1L) == feats(2L), "identical payloads must produce identical features")
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5, "histogram must be L1-normalized")
+    assert(feats(1L) != feats(3L))
+
+    val framed = Multimodal.sampleFrames(media, frameBytes = 4, stride = 1)
+      .select($"media_id", size($"frames").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(framed(1L) == 2) // 11 bytes / 4-byte frames -> blocks 0,1
+    assert(framed(3L) == 1) // short payload -> single (partial) frame
+
+    // partition preservation: extraction adds no shuffle
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
+  }
+}
