@@ -58,13 +58,16 @@ object RelationalQueries {
     },
 
     // ---- Join + agg + top-N (TPC-H Q3 style) ----------------------------
+    // Join order matters at 100 TB: the broadcast dimension filter
+    // (customer/BUILDING, ~1/5 selectivity) is applied to orders BEFORE the
+    // orders⋈lineitem fact-fact shuffle, so the shuffle moves ~5x less data.
     "q03_shipping_priority" -> { (s, d) =>
       import s.implicits._
       val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
       val ord = Tables.orders(s, d).filter($"o_orderdate" < ts("1998-01-01"))
       val li = Tables.lineitem(s, d).filter($"l_shipdate" > ts("1998-01-01"))
-      li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(li, $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
         .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -84,19 +87,25 @@ object RelationalQueries {
     },
 
     // ---- Multi-join star query (TPC-H Q5 style) -------------------------
+    // Scale plan: region(ASIA)→nation (5 of 25 nations) restricts supplier
+    // via broadcast BEFORE lineitem is touched, so the fact table is cut
+    // ~5x ahead of the lineitem⋈orders shuffle instead of after it.
     "q05_local_revenue" -> { (s, d) =>
       import s.implicits._
-      val region = broadcast(Tables.region(s, d).filter($"r_name" === "ASIA"))
-      val nation = broadcast(Tables.nation(s, d))
-      val cust = Tables.customer(s, d)
-      val ord = Tables.orders(s, d).filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1999-01-01"))
+      val asiaNation = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val asiaSup = Tables.supplier(s, d)
+        .join(broadcast(asiaNation), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_nationkey", $"n_name")
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1999-01-01"))
       val li = Tables.lineitem(s, d)
-      val sup = broadcast(Tables.supplier(s, d))
-      li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(cust, $"o_custkey" === $"c_custkey")
-        .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-        .join(nation, $"s_nationkey" === $"n_nationkey")
-        .join(region, $"n_regionkey" === $"r_regionkey")
+      li.join(broadcast(asiaSup), $"l_suppkey" === $"s_suppkey")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d),
+          $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
         .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
@@ -276,6 +285,86 @@ object RelationalQueries {
         .filter($"l_quantity" < $"half_avg")
         .agg(round(sum($"l_extendedprice"), 2).as("small_lot_value"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // ---- Full outer join ------------------------------------------------
+    "q26_full_outer_join" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_acctbal" > 9900.0)
+        .groupBy($"c_nationkey".as("nk_c")).agg(count(lit(1)).as("rich_customers"))
+      val su = Tables.supplier(s, d).filter($"s_acctbal" > 9000.0)
+        .groupBy($"s_nationkey".as("nk_s")).agg(count(lit(1)).as("rich_suppliers"))
+      c.join(su, $"nk_c" === $"nk_s", "full_outer")
+        .select(
+          coalesce($"nk_c", $"nk_s").as("nationkey"),
+          $"rich_customers", $"rich_suppliers")
+        .orderBy($"nationkey")
+    },
+
+    // ---- dropDuplicates / DISTINCT --------------------------------------
+    "q27_drop_duplicates" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_linestatus", $"l_shipdate".isNotNull.as("has_date"))
+        .dropDuplicates()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- approx_count_distinct (HLL++) ----------------------------------
+    // Output is the count of groups whose approx estimate lands within 5%
+    // of the exact distinct count — integer, oracle-predictable, and a real
+    // accuracy regression fails it.
+    "q28_approx_distinct" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", rsd = 0.005).as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(abs($"approx_parts" - $"exact_parts") <=
+            $"exact_parts" * 0.05, 1L).otherwise(0L)).as("groups_within_tol"))
+    },
+
+    // ---- JSON + map/array scalar functions over events ------------------
+    "q29_json_props" -> { (s, d) =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is timestamp[ns]
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          $"value")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"k").as("k_sum"),
+          round(avg($"value"), 3).as("avg_value"))
+        .orderBy($"event_type")
+    },
+
+    // ---- Sessionization (30-min inactivity gap) over events -------------
+    // Streaming counterpart (session_window + watermark) lives in
+    // graft.streaming; this batch form is the oracle-checkable one. Gap math
+    // runs on integer microseconds so any engine agrees exactly.
+    "q42_sessionize" -> { (s, d) =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      val sessions = Tables.events(s, d)
+        .select($"user_id", expr("ts div 1000").as("ts_us")) // integer us, no double rounding
+        .withColumn("prev_us", lag($"ts_us", 1).over(w))
+        .withColumn("new_session",
+          when($"prev_us".isNull || $"ts_us" - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      sessions
+        .groupBy(($"user_id" % 10).as("user_bucket"))
+        .agg(
+          sum($"n_sessions").as("sessions"),
+          sum($"n_events").as("events"),
+          count(lit(1)).as("users"))
+        .orderBy($"user_bucket")
     }
   )
 
@@ -401,6 +490,45 @@ object RelationalQueries {
         |FROM lineitem l JOIN (
         |  SELECT l_partkey AS ap_partkey, avg(l_quantity)*0.5 AS half_avg
         |  FROM lineitem GROUP BY 1) a ON l.l_partkey = a.ap_partkey
-        |WHERE l.l_quantity < a.half_avg""".stripMargin
+        |WHERE l.l_quantity < a.half_avg""".stripMargin,
+    "q26_full_outer_join" ->
+      """SELECT coalesce(nk_c, nk_s) AS nationkey, rich_customers, rich_suppliers
+        |FROM (SELECT c_nationkey AS nk_c, count(*) AS rich_customers
+        |      FROM customer WHERE c_acctbal > 9900.0 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk_s, count(*) AS rich_suppliers
+        |      FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1) s
+        |ON nk_c = nk_s ORDER BY nationkey""".stripMargin,
+    "q27_drop_duplicates" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate IS NOT NULL AS has_date
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q28_approx_distinct" ->
+      """SELECT count(*) AS n_groups, CAST(count(*) AS BIGINT) AS groups_within_tol
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)""".stripMargin,
+    "q29_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | round(avg(value), 3) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |lagged AS (
+        |  SELECT user_id, ts_us,
+        |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+        |  FROM e),
+        |flagged AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        |per_user AS (
+        |  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |         count(*) AS n_events
+        |  FROM flagged GROUP BY 1)
+        |SELECT user_id % 10 AS user_bucket,
+        |  CAST(sum(n_sessions) AS BIGINT) AS sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS events,
+        |  count(*) AS users
+        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the `events` stream (SURVEY.md §2.2
+  * streaming row). The same transforms run on batch or streaming inputs —
+  * callers pass `spark.read` or `spark.readStream` output.
+  *
+  * `events.ts` is parquet timestamp[ns]; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as LongType
+  * nanoseconds, converted here with integer math (`div`) to avoid double
+  * rounding at 1e18 magnitudes.
+  */
+object StreamingOps {
+
+  /** ns epoch → TIMESTAMP column. */
+  def eventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window event counts with a watermark: the canonical streaming
+    * aggregation (late data beyond 1 hour is dropped at scale).
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    eventTime(events)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Session windows (30-min inactivity gap) per user — the streaming twin
+    * of the batch `q42_sessionize` query.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    eventTime(events)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Structured Streaming over the events fixture: the streaming plan
+  * (file source → watermark → windowed/session aggregation → memory sink)
+  * must agree with the identical batch computation.
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
+  /** The file streaming source needs a directory; stage the fixture. */
+  private lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def batchEvents = spark.read.parquet(eventsPath)
+
+  private def runToCompletion(streamDf: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val q = streamDf.writeStream
+      .format("memory").queryName(table).outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream must have drained")
+  }
+
+  test("windowed counts: streaming == batch") {
+    val schema = batchEvents.schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    runToCompletion(StreamingOps.windowedCounts(stream), "win_counts")
+
+    val streaming = spark.table("win_counts")
+      .orderBy("w_start", "event_type").collect().map(_.toSeq).toSeq
+    val batch = StreamingOps.windowedCounts(batchEvents)
+      .orderBy("w_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streaming.nonEmpty)
+    assert(streaming == batch)
+  }
+
+  test("session windows: streaming == batch (30-min gap)") {
+    val schema = batchEvents.schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    runToCompletion(StreamingOps.sessionCounts(stream), "sess_counts")
+
+    val streaming = spark.table("sess_counts")
+      .groupBy("user_id").agg(sum("n_events").as("total"), count(lit(1)).as("sessions"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val batch = StreamingOps.sessionCounts(batchEvents)
+      .groupBy("user_id").agg(sum("n_events").as("total"), count(lit(1)).as("sessions"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(streaming.nonEmpty)
+    assert(streaming == batch)
+  }
+}
