@@ -44,21 +44,30 @@ object PipelineOps {
 
   /** Exact n-gram Jaccard near-dup within blocking buckets.
     *
-    * Blocking: candidates must share `lang` and sit within `lengthBand` chars
-    * — pairwise work is O(bucket²), never O(corpus²). Threshold compare is
-    * integer-only (`2·|∩| ≥ |∪|` for 0.5) so engines can't disagree on float
+    * Blocking: candidates share `lang` and sit in the same or an adjacent
+    * `lengthBand`-wide length bucket. One side explodes to its 3 candidate
+    * buckets, so the join is a pure EQUI join on (lang, bucket) — a shuffled
+    * hash join partitioned by block key, never a theta-join and never
+    * O(corpus²). A size prefilter (`2·min ≥ max`, necessary for J ≥ 0.5)
+    * drops pairs before the expensive intersection. The threshold compare is
+    * integer-only (`2·|∩| ≥ |∪|`) so engines can't disagree on float
     * rounding.
     */
   def jaccardNearDupPairs(docs: DataFrame, lengthBand: Int = 30): DataFrame = {
     val prepped = docs.select(
-      col("doc_id"), col("lang"), col("n_chars"),
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / lengthBand).as("bucket"),
       array_distinct(bigrams(tokens(col("text")))).as("shingles"))
-    val a = prepped.as("a")
+      .withColumn("n_shingles", size(col("shingles")))
+    val a = prepped.select(
+      col("doc_id"), col("lang"), col("shingles"), col("n_shingles"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+      .as("a")
     val b = prepped.as("b")
-    a.join(b,
-        col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= lengthBand)
+    a.join(b, col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n_shingles"), col("b.n_shingles")) * 2 >=
+        greatest(col("a.n_shingles"), col("b.n_shingles")))
       .select(
         col("a.lang").as("lang"),
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -85,7 +94,7 @@ object PipelineOps {
     val feat = tf.transform(prepped)
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(5).setSeed(42)
+      .setNumHashTables(3).setSeed(42)
     val model = lsh.fit(feat)
     model.approxSimilarityJoin(feat, feat, jaccardDistThreshold, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))

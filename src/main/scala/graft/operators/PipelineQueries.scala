@@ -112,14 +112,14 @@ object PipelineQueries {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH prepped AS (
-        |  SELECT doc_id, lang, n_chars,
+        |  SELECT doc_id, lang, CAST(floor(n_chars / 30) AS BIGINT) AS bucket,
         |         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
         |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS shingles
         |  FROM documents)
         |SELECT a.lang AS lang, count(*) AS near_dup_pairs,
         |       CAST(sum(a.doc_id + b.doc_id) AS BIGINT) AS pair_checksum
         |FROM prepped a JOIN prepped b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 30
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.bucket - b.bucket) <= 1
         |WHERE 2 * len(list_intersect(a.shingles, b.shingles))
         |      >= len(list_distinct(list_concat(a.shingles, b.shingles)))
         |GROUP BY a.lang ORDER BY lang""".stripMargin,

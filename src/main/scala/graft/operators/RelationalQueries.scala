@@ -319,7 +319,7 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey", rsd = 0.005).as("approx_parts"),
+          approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
         .agg(
           count(lit(1)).as("n_groups"),
