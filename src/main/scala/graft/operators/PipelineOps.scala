@@ -185,6 +185,55 @@ object PipelineOps {
         (lit(1.0) - col("euclid_dist") * col("euclid_dist") / 2.0).as("cos_sim"))
   }
 
+  /** IVF-style ANN: k-means coarse quantizer → inverted lists → probe the
+    * `nProbe` nearest lists only. The corpus is partitioned by list id (an
+    * equi-join key — at scale the lists would be bucketed on disk), probes
+    * are broadcast; scoring is brute-force cosine but only inside probed
+    * lists, so work is `corpus/nLists × nProbe` per probe, never a cartesian.
+    */
+  def ivfAnnTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val corpusVec = embeddings.select(
+      col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("n_emb"),
+      array_to_vector(asDouble(col("embedding"))).as("features"))
+    val km = new KMeans().setK(nLists).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+    val model = km.fit(corpusVec)
+    val corpus = model.transform(corpusVec).select(col("neighbor_id"), col("n_emb"), col("list_id"))
+
+    // centroids as a literal lookup: tiny (nLists × dim), evaluated per probe
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("list_id"), array(c.toArray.map(lit).toIndexedSeq: _*).as("c"))
+    }
+    val probePrepped = probes.select(
+      col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p_emb"))
+      .withColumn("cent", explode(array(centroids.toIndexedSeq: _*)))
+      .withColumn("cent_dist",
+        aggregate(zip_with(col("p_emb"), col("cent.c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x))
+    val wProbe = Window.partitionBy(col("probe_id")).orderBy(col("cent_dist"), col("cent.list_id"))
+    val probeLists = probePrepped
+      .withColumn("cent_rank", row_number().over(wProbe))
+      .filter(col("cent_rank") <= nProbe)
+      .select(col("probe_id"), col("p_emb"), col("cent.list_id").as("list_id"))
+
+    val scored = corpus.join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("p_emb"), col("n_emb")).as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ----------------------------------------------------------- text analysis
 
   private val stopwordsByLang: Seq[(String, Seq[String])] = Seq(

@@ -89,6 +89,14 @@ object PipelineQueries {
         .agg(countDistinct(col("fp")).as("distinct_fps"), min(col("fp")).as("min_fp"))
         .orderBy(col("lang"))
     }),
+    "q43_ivf_ann" -> ((s, dir) => {
+      // k-means quantizer (seeded) — rows-only; recall vs exact in specs
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      PipelineOps.ivfAnnTopK(emb, probes, k = 5)
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("results"))
+        .orderBy(col("probe_id"))
+    }),
     "q41_multimodal_features" -> ((s, dir) => {
       // binary payload + struct metadata + batch feature extraction
       // (decode stubbed — rows-only check; plumbing covered by specs)

@@ -14,9 +14,11 @@ import org.apache.spark.util.SerializableConfiguration
 import graft.core.PJSplice
 
 class PjScanBuilder(files: Seq[PjFile], fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var requiredSchema: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   /** Catalyst `ColumnPruning` lands here; the selected names drive the O4/O5
     * metadata splice at partition-planning time.
@@ -28,13 +30,26 @@ class PjScanBuilder(files: Seq[PjFile], fullSchema: StructType, options: CaseIns
     requiredSchema = required
   }
 
+  /** Filters ride to the executor as a parquet `FilterPredicate`, where the
+    * shipped pruned footer's min/max stats skip whole row groups (and column
+    * indexes skip pages) — zero extra driver cost, no footer parse. All
+    * filters are also returned as residual so Spark re-evaluates them.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters // conservative: everything is re-checked above the scan
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan = {
     val explicitRgs: Option[Seq[Int]] = Option(options.get("rowGroups"))
       .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
     if (explicitRgs.isDefined && files.size > 1)
       throw new IllegalArgumentException(
         s"pjparquet: option 'rowGroups' requires a single input file, got ${files.size}")
-    new PjScan(files, fullSchema, requiredSchema, explicitRgs)
+    new PjScan(files, fullSchema, requiredSchema, explicitRgs, pushed.toSeq)
   }
 }
 
@@ -51,7 +66,8 @@ class PjScan(
     files: Seq[PjFile],
     fullSchema: StructType,
     requiredSchema: StructType,
-    explicitRowGroups: Option[Seq[Int]])
+    explicitRowGroups: Option[Seq[Int]],
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
@@ -60,7 +76,8 @@ class PjScan(
 
   override def description(): String =
     s"pjparquet ${files.size} file(s), cols=${requiredSchema.fieldNames.mkString(",")}" +
-      explicitRowGroups.map(r => s", rowGroups=${r.mkString(",")}").getOrElse("")
+      explicitRowGroups.map(r => s", rowGroups=${r.mkString(",")}").getOrElse("") +
+      (if (pushedFilters.nonEmpty) s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
 
   // Column splice only when a strict subset of top-level fields is needed;
   // name-based selection follows reference O5 semantics (exact match).
@@ -97,6 +114,18 @@ class PjScan(
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConf()
     PjSparkShims.configureReadConf(hadoopConf, requiredSchema, sqlConf)
+    if (pushedFilters.nonEmpty && PjSparkShims.parquetFilterPushDownEnabled(sqlConf)) {
+      // Schema + rebase spec come from the index (schema-only splice), so
+      // building the predicate costs no footer parse.
+      val schemaFooter = graft.core.PalletJack.materialize(
+        graft.core.PJSplice.splice(
+          graft.core.PJSplice.Index.fromBytes(files.head.indexBytes), Nil, Nil, Nil, schemaOnly = true))
+      val fileSchema = schemaFooter.getFileMetaData.getSchema
+      val rebaseSpec = PjSparkShims.datetimeRebaseSpec(
+        schemaFooter, PjSparkShims.rebaseModeInReadConf(sqlConf))
+      PjSparkShims.buildFilterPredicate(fileSchema, pushedFilters, sqlConf, rebaseSpec)
+        .foreach(p => PjSparkShims.setFilterPredicate(hadoopConf, p))
+    }
     val broadcast: Broadcast[SerializableConfiguration] =
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     PjPartitionReaderFactory(

@@ -59,4 +59,32 @@ object PjSparkShims {
 
   def specMode(spec: RebaseSpec): String = spec.mode.toString
   def specTz(spec: RebaseSpec): String = spec.timeZone
+
+  /** Spark `sources.Filter`s → a parquet `FilterPredicate` against the
+    * file schema, exactly as stock ParquetScanBuilder would build it.
+    */
+  def buildFilterPredicate(
+      fileSchema: MessageType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      sqlConf: SQLConf,
+      rebaseSpec: RebaseSpec): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    val pf = new ParquetFilters(
+      fileSchema,
+      sqlConf.parquetFilterPushDownDate,
+      sqlConf.parquetFilterPushDownTimestamp,
+      sqlConf.parquetFilterPushDownDecimal,
+      sqlConf.parquetFilterPushDownStringPredicate,
+      sqlConf.parquetFilterPushDownInFilterThreshold,
+      sqlConf.caseSensitiveAnalysis,
+      rebaseSpec)
+    filters.flatMap(f => pf.createFilter(f))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+  }
+
+  def parquetFilterPushDownEnabled(sqlConf: SQLConf): Boolean = sqlConf.parquetFilterPushDown
+
+  def setFilterPredicate(
+      conf: Configuration,
+      predicate: org.apache.parquet.filter2.predicate.FilterPredicate): Unit =
+    org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, predicate)
 }

@@ -77,6 +77,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall $recall below 0.9 (exact=${exact.size}, ann=${ann.size})")
   }
 
+  test("ivf ANN recall >= 0.8 against exact top-k (clustered vectors)") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centroids = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centroids(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq, i % 4)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val probes = emb.filter($"vec_id" < 8)
+
+    val exact = PipelineOps.cosineTopK(emb, probes, k = 5)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = PipelineOps.ivfAnnTopK(emb, probes, k = 5, nLists = 8, nProbe = 2)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 (exact=${exact.size}, ivf=${ivf.size})")
+  }
+
   test("cosineTopK ranks an exact duplicate vector first") {
     val a = Array.fill(16)(1.0f).toSeq
     val b = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
