@@ -30,7 +30,8 @@ object PjIndexJob {
       .map { case (pathStr, dataMtime) =>
         val path = new Path(pathStr)
         val pfs = path.getFileSystem(conf.value)
-        val indexPath = new Path(pathStr + ".index")
+        // hidden dot-file: invisible to stock Spark directory listings
+        val indexPath = PjParquetTable.hiddenSidecar(path)
         val fresh = !overwrite && pfs.exists(indexPath) &&
           pfs.getFileStatus(indexPath).getModificationTime >= dataMtime
         if (fresh) 0L
