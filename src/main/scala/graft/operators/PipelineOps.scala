@@ -291,4 +291,37 @@ object PipelineOps {
     */
   def fingerprint(textCol: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
+
+  // ------------------------------------------------------------ as-of join
+
+  /** As-of join (latest right row with `right.time <= left.time` per key)
+    * via the union trick: tag both sides, union, one window pass with
+    * `last(ignoreNulls)` ordered by (time, tag) — right rows sort before
+    * left rows at equal times, so same-instant matches are included.
+    *
+    * One shuffle total (by key), no per-row subquery, no range explosion —
+    * the scalable formulation of the classic point-in-time lookup.
+    * `right` must carry exactly (keyCol, timeCol, valueCol); duplicate
+    * (key, time) pairs on the right should be pre-aggregated by the caller
+    * for deterministic results.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(
+      col(keyCol), col(timeCol), lit(1).as("_tag"),
+      lit(null).cast(right.schema(valueCol).dataType).as(valueCol))
+    val r = right.select(col(keyCol), col(timeCol), lit(0).as("_tag"), col(valueCol))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("asof_" + valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag", valueCol)
+  }
 }

@@ -343,6 +343,35 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
+    // ---- CUBE grouping sets ---------------------------------------------
+    "q44_cube_flag_status" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("value"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ---- As-of join (point-in-time lookup) over events ------------------
+    // For every click, the latest prior-or-same purchase value of the same
+    // user. Single shuffle by user via the union trick (PipelineOps.asofJoin).
+    "q45_asof_join" -> { (s, d) =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = Tables.events(s, d)
+        .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_type", $"value")
+      val clicks = e.filter($"event_type" === "click").select($"user_id", $"ts_us")
+      val purchases = e.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts_us").agg(max($"value").as("p_value"))
+      PipelineOps.asofJoin(clicks, purchases, "user_id", "ts_us", "p_value")
+        .groupBy(($"user_id" % 10).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count($"asof_p_value").as("n_matched"),
+          round(sum(coalesce($"asof_p_value", lit(0.0))), 2).as("matched_value"))
+        .orderBy($"bucket")
+    },
+
     // ---- Sessionization (30-min inactivity gap) over events -------------
     // Streaming counterpart (session_window + watermark) lives in
     // graft.streaming; this batch form is the oracle-checkable one. Gap math
@@ -510,6 +539,22 @@ object RelationalQueries {
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         | round(avg(value), 3) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_cube_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS value
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q45_asof_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |clicks AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts_us, max(value) AS p_value
+        |              FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id % 10 AS bucket, count(*) AS n_clicks,
+        |       count(p.p_value) AS n_matched,
+        |       round(sum(coalesce(p.p_value, 0)), 2) AS matched_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |lagged AS (

@@ -66,6 +66,29 @@ class PJIndexSpec extends AnyFunSuite {
     assert(names.toSeq == (0 until 7).map(i => s"column_$i"))
   }
 
+  test("nested schemas are rejected at index build (reference flat-schema restriction)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = Files.createTempDirectory("pjnested").toString
+    val path = s"$dir/nested.parquet"
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { required group g { required int32 a; required int32 b; } required int64 id; }")
+    val w = ExampleParquetWriter.builder(new Path(path))
+      .withConf(new Configuration()).withType(schema).build()
+    try {
+      val g = new SimpleGroup(schema)
+      g.addGroup("g").append("a", 1).append("b", 2)
+      g.add("id", 7L)
+      w.write(g)
+    } finally w.close()
+    val e = intercept[PJException](PJIndex.generate(path))
+    assert(e.getMessage.startsWith("Schema offsets information is invalid"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("in-memory index data equals the sidecar file (test_inmemory_index_data)") {
     val dir = Files.createTempDirectory("pj").toString
     val path = s"$dir/t.parquet"

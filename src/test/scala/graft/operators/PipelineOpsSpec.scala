@@ -108,6 +108,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L))
   }
 
+  test("asofJoin picks the latest right value at-or-before each left time") {
+    val left = Seq((1L, 10L), (1L, 25L), (1L, 5L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 60L, 300.0)).toDF("k", "t", "v")
+    val out = PipelineOps.asofJoin(left, right, "k", "t", "v")
+      .select($"k", $"t", $"asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (1L, 10L, Some(100.0)), // same-instant match included
+      (1L, 25L, Some(200.0)), // latest at-or-before 25
+      (1L, 5L, None), // nothing before 5
+      (2L, 50L, None))) // right row is later
+  }
+
   test("multimodal: schema, determinism, normalized features, frame sampling") {
     val docs = docsDf(Seq((1L, "hello world"), (2L, "hello world"), (3L, "zz")))
     val media = Multimodal.packAsMedia(docs)
