@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked-run stdout passes through unprefixed — sbt's default logger would
+// wrap Bench's single JSON line in "[info] ", breaking machine parsing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -40,6 +40,13 @@ object PipelineOps {
     transform(sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
 
+  /** Word trigram shingles — more distinctive than bigrams, so LSH buckets
+    * collide far less on homogeneous corpora.
+    */
+  def trigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
   // ------------------------------------------------- near-dup: exact Jaccard
 
   /** Exact n-gram Jaccard near-dup within blocking buckets.
@@ -84,9 +91,11 @@ object PipelineOps {
     */
   def minhashNearDupPairs(docs: DataFrame, jaccardDistThreshold: Double = 0.6): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // trigram shingles: distinctive enough that LSH buckets stay small even
+    // when the corpus shares most of its vocabulary
     val prepped = docs.select(
       col("doc_id"), col("lang"),
-      array_distinct(bigrams(tokens(col("text")))).as("shingles"))
+      array_distinct(trigrams(tokens(col("text")))).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val tf = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
