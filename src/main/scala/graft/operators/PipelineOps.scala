@@ -249,6 +249,18 @@ object PipelineOps {
         (lit(1.0) - col("euclid_dist") * col("euclid_dist") / 2.0).as("cos_sim"))
   }
 
+  /** Embedding-cosine near-dup: semantic-duplicate pairs with
+    * `cos(a,b) ≥ minCosine`, the embedding member of the dedup family.
+    * Candidates come from the same random-projection LSH buckets as
+    * [[lshAnnPairs]] (self-join form), then exact cosine verification —
+    * never an all-pairs cartesian. Emits each unordered pair once
+    * (`id_a < id_b`).
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.9): DataFrame =
+    lshAnnPairs(embeddings, embeddings, minCosine)
+      .filter(col("probe_id") < col("neighbor_id"))
+      .select(col("probe_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos_sim"))
+
   /** IVF-style ANN: k-means coarse quantizer → inverted lists → probe the
     * `nProbe` nearest lists only. The corpus is partitioned by list id (an
     * equi-join key — at scale the lists would be bucketed on disk), probes

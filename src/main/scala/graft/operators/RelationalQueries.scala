@@ -352,6 +352,50 @@ object RelationalQueries {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // ---- Cross join (tiny dims only — broadcast NL, never fact×fact) ----
+    "q46_cross_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select($"r_name".as("region_name"), $"n_name".as("nation_name"),
+          ($"n_regionkey" === $"r_regionkey").as("is_home"))
+        .orderBy($"region_name", $"nation_name")
+    },
+
+    // ---- Range join: equi key + date-window residual --------------------
+    // Shuffles on the equi key (orderkey) only; the 30-day window is a
+    // residual predicate evaluated inside the hash join — no banding or
+    // explosion needed when an equi key exists.
+    "q47_range_join" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d).select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      Tables.lineitem(s, d)
+        .join(o, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("lines_in_window"),
+          round(sum($"l_extendedprice"), 2).as("window_value"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ---- Band join: interval dimension broadcast ------------------------
+    // The pure-range case (no equi key): a tiny interval table joined with
+    // BETWEEN. Catalyst plans broadcast-nested-loop over the broadcast
+    // side — correct at any fact scale because the stream side never moves.
+    "q48_band_join" -> { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        ("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("medium", 20.0, 30.0),
+        ("large", 30.0, 40.0), ("jumbo", 40.0, 51.0))
+        .toDF("band", "lo", "hi")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_lines"),
+          round(avg($"l_discount"), 4).as("avg_discount"))
+        .orderBy($"band")
+    },
+
     // ---- As-of join (point-in-time lookup) over events ------------------
     // For every click, the latest prior-or-same purchase value of the same
     // user. Single shuffle by user via the union trick (PipelineOps.asofJoin).
@@ -574,6 +618,27 @@ object RelationalQueries {
         |  CAST(sum(n_sessions) AS BIGINT) AS sessions,
         |  CAST(sum(n_events) AS BIGINT) AS events,
         |  count(*) AS users
-        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_cross_join" ->
+      """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |       n.n_regionkey = r.r_regionkey AS is_home
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q47_range_join" ->
+      """SELECT o.o_orderpriority, count(*) AS lines_in_window,
+        |       round(sum(l.l_extendedprice), 2) AS window_value
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('tiny', 0.0, 10.0), ('small', 10.0, 20.0), ('medium', 20.0, 30.0),
+        |  ('large', 30.0, 40.0), ('jumbo', 40.0, 51.0))
+        |SELECT band, count(*) AS n_lines,
+        |       round(avg(l_discount), 4) AS avg_discount
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -99,6 +99,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 (exact=${exact.size}, ivf=${ivf.size})")
   }
 
+  test("embedding near-dup finds planted duplicate vectors, skips distinct ones") {
+    val rnd = new scala.util.Random(3)
+    val dim = 32
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val nearDup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val others = (0 until 40).map(_ => Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val emb = ((Seq(base, nearDup) ++ others).zipWithIndex.map {
+      case (v, i) => (i.toLong, v.toSeq, 0)
+    }).toDF("vec_id", "embedding", "label")
+    val pairs = PipelineOps.embeddingNearDupPairs(emb, minCosine = 0.98)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "planted duplicate embedding pair must be found")
+    assert(pairs.size == 1, s"random vectors must not pair: $pairs")
+  }
+
   test("cosineTopK ranks an exact duplicate vector first") {
     val a = Array.fill(16)(1.0f).toSeq
     val b = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
