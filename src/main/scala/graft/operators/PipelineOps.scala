@@ -223,30 +223,63 @@ object PipelineOps {
   }
 
   /** LSH-bucketed ANN (the 100 TB path): normalize → random-projection
-    * buckets → `approxSimilarityJoin` on Euclidean distance (d² = 2-2·cos on
-    * the unit sphere). Bucketed candidate generation, never a cartesian.
+    * buckets → bucket equi-join → exact-cosine verification. Hand-rolled in
+    * `functions._` (no MLlib): seeded hyperplanes are plan literals, shuffle
+    * keys are slim `(table, bucket)` ints, results are deterministic, and
+    * nothing drags a UDF chain into scan-level filters.
+    *
+    * Per table `t`, a vector lands in bucket `⌊⟨unit(v), r_t⟩ / bucketLength⌋`
+    * (`r_t` seeded gaussian). The probe side explodes to buckets ±1 (multi-
+    * probe), so near-boundary neighbors aren't lost; candidates = bucket
+    * matches in ANY table, verified with exact cosine before output. Never a
+    * cartesian — candidate volume is governed by `numTables × bucketLength`.
+    *
+    * Zero vectors produce NaN cosines and are dropped by the `≥ minCosine`
+    * verification, never an error.
     */
-  def lshAnnPairs(embeddings: DataFrame, probes: DataFrame, minCosine: Double): DataFrame = {
-    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
-    import org.apache.spark.ml.functions.array_to_vector
+  def lshAnnPairs(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      minCosine: Double,
+      numTables: Int = 4,
+      bucketLength: Double = 0.5): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] = Seq.fill(numTables)(Seq.fill(dim)(rnd.nextGaussian()))
+
+    // id, unit vector, per-table bucket — u materialized in its own
+    // projection so the bucket expressions reference it, not recompute it
     def prep(df: DataFrame, idAs: String): DataFrame = {
-      val v = df.select(col("vec_id").as(idAs),
-        array_to_vector(asDouble(col("embedding"))).as("raw"))
-      new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0).transform(v)
+      val normed = df
+        .select(col("vec_id").as(idAs), asDouble(col("embedding")).as("_v"))
+        .withColumn("_norm", sqrt(aggregate(col("_v"), lit(0.0), (s, x) => s + x * x)))
+        .select(col(idAs), transform(col("_v"), x => x / col("_norm")).as("u"))
+      planes.zipWithIndex.foldLeft(normed) { case (acc, (r, t)) =>
+        acc.withColumn(s"_p$t",
+          floor(aggregate(zip_with(col("u"), array(r.map(lit): _*), (x, y) => x * y),
+            lit(0.0), (s, x) => s + x) / bucketLength).cast("int"))
+      }
     }
+
+    def key(t: Int, bucket: Column): Column =
+      struct(lit(t).as("t"), bucket.as("b"))
+
     val corpus = prep(embeddings, "neighbor_id")
+      .withColumn("key", explode(array((0 until numTables).map(t => key(t, col(s"_p$t"))): _*)))
+      .select(col("neighbor_id"), col("u").as("nu"), col("key"))
     val probe = prep(probes, "probe_id")
-    val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
-    val model = lsh.fit(corpus)
-    model.approxSimilarityJoin(probe, corpus, distThreshold, "euclid_dist")
-      .filter(col("datasetA.probe_id") =!= col("datasetB.neighbor_id"))
-      .select(
-        col("datasetA.probe_id").as("probe_id"),
-        col("datasetB.neighbor_id").as("neighbor_id"),
-        (lit(1.0) - col("euclid_dist") * col("euclid_dist") / 2.0).as("cos_sim"))
+      .withColumn("key", explode(array((0 until numTables).flatMap(t =>
+        Seq(-1, 0, 1).map(d => key(t, col(s"_p$t") + d))): _*)))
+      .select(col("probe_id"), col("u").as("pu"), col("key"))
+
+    probe.join(corpus, probe("key") === corpus("key") &&
+        col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(first(col("pu")).as("pu"), first(col("nu")).as("nu"))
+      .select(col("probe_id"), col("neighbor_id"),
+        aggregate(zip_with(col("pu"), col("nu"), (x, y) => x * y),
+          lit(0.0), (s, x) => s + x).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
   }
 
   /** Embedding-cosine near-dup: semantic-duplicate pairs with

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Plan-shape regression guards for the 100 TB design point. These assert
+  * the properties that make the query set survive scale-up, independent of
+  * row counts:
+  *
+  *  - no accidental cartesian products anywhere;
+  *  - no higher-order-function expression ever lands inside a scan's
+  *    DataFilters (the predicate-pushdown inlining trap: a filter on a
+  *    derived array column gets substituted into the scan and re-evaluated
+  *    per input row — see PipelineOps.tokenHashes docs);
+  *  - bounded shuffle counts per query;
+  *  - dimension joins actually broadcast.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  test("no cartesian products") {
+    val offenders = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("no higher-order functions inside scan DataFilters") {
+    val offenders = plans.collect {
+      case (n, p) if p.linesIterator.exists(l =>
+        l.contains("FileScan") &&
+          (l.contains("DataFilters: [") && (l.contains("lambdafunction") || l.contains("transform(")))) => n
+    }
+    assert(offenders.isEmpty, s"HOF pushed into scan filters in: $offenders")
+  }
+
+  test("bounded shuffle count per query") {
+    val offenders = plans.collect {
+      case (n, p) if p.linesIterator.count(_.contains("Exchange hashpartitioning")) > 4 => n
+    }
+    assert(offenders.isEmpty, s"more than 4 shuffles in: $offenders")
+  }
+
+  test("dimension joins broadcast") {
+    for (q <- Seq("q03_shipping_priority", "q05_local_revenue",
+        "q20_customers_per_region", "q25_pjparquet_join", "q47_range_join")) {
+      assert(plans(q).contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+    }
+  }
+
+  test("interval-dimension band join stays broadcast-nested-loop") {
+    assert(plans("q48_band_join").contains("BroadcastNestedLoopJoin"))
+  }
+}
