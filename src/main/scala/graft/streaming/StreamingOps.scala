@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Running per-user aggregate emitted by [[StreamingOps.runningUserStats]]. */
+case class UserStat(userId: Long, nEvents: Long, valueSum: Double)
 
 /** Structured Streaming operators over the `events` stream (SURVEY.md §2.2
   * streaming row). The same transforms run on batch or streaming inputs —
@@ -39,4 +43,27 @@ object StreamingOps {
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
+    * (event count, value sum) that survives across micro-batches. The
+    * pattern for state Spark's built-in windows can't express; state is
+    * per-key and partitioned by the stream's groupBy hash — scales with
+    * distinct users, not events. Emits the updated running total for every
+    * key touched in a micro-batch (OutputMode.Update).
+    */
+  def runningUserStats(events: DataFrame): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        var (n, v) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { case (_, value) => n += 1; v += value }
+        state.update((n, v))
+        Iterator(UserStat(key, n, v))
+      }
+  }
 }

@@ -64,4 +64,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streaming.nonEmpty)
     assert(streaming == batch)
   }
+
+  test("flatMapGroupsWithState running stats: final state == batch aggregate") {
+    val schema = batchEvents.schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val q = StreamingOps.runningUserStats(stream).writeStream
+      .format("memory").queryName("user_stats").outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream must have drained")
+
+    // keep the LAST emitted running total per user = the final state
+    val streaming = spark.table("user_stats")
+      .groupBy("userId")
+      .agg(max("nEvents").as("n"), max(round(col("valueSum"), 2)).as("v"))
+      .orderBy("userId").collect().map(_.toSeq).toSeq
+    val batch = batchEvents
+      .groupBy(col("user_id").cast("long").as("userId"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("v"))
+      .orderBy("userId").collect().map(_.toSeq).toSeq
+    assert(streaming.nonEmpty)
+    assert(streaming == batch)
+  }
 }
