@@ -198,12 +198,16 @@ object PipelineOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
-    dot / (na * nb)
-  }
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(a, b)
+
+  /** Cosine similarity over `array<double>` columns. The three inner
+    * products are fused codegen'd loops ([[graft.functions.DoubleArrayDotProduct]]),
+    * not interpreted `aggregate(zip_with(...))` chains — this is the hot
+    * loop of every brute-force scoring stage.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force cosine top-k: the exactness baseline. The probe side is
     * broadcast; the corpus side never shuffles — each partition scores its
@@ -252,12 +256,11 @@ object PipelineOps {
     def prep(df: DataFrame, idAs: String): DataFrame = {
       val normed = df
         .select(col("vec_id").as(idAs), asDouble(col("embedding")).as("_v"))
-        .withColumn("_norm", sqrt(aggregate(col("_v"), lit(0.0), (s, x) => s + x * x)))
+        .withColumn("_norm", sqrt(dot(col("_v"), col("_v"))))
         .select(col(idAs), transform(col("_v"), x => x / col("_norm")).as("u"))
       planes.zipWithIndex.foldLeft(normed) { case (acc, (r, t)) =>
         acc.withColumn(s"_p$t",
-          floor(aggregate(zip_with(col("u"), array(r.map(lit): _*), (x, y) => x * y),
-            lit(0.0), (s, x) => s + x) / bucketLength).cast("int"))
+          floor(dot(col("u"), array(r.map(lit): _*)) / bucketLength).cast("int"))
       }
     }
 
@@ -277,8 +280,7 @@ object PipelineOps {
       .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(first(col("pu")).as("pu"), first(col("nu")).as("nu"))
       .select(col("probe_id"), col("neighbor_id"),
-        aggregate(zip_with(col("pu"), col("nu"), (x, y) => x * y),
-          lit(0.0), (s, x) => s + x).as("cos_sim"))
+        dot(col("pu"), col("nu")).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
 
@@ -316,7 +318,11 @@ object PipelineOps {
       array_to_vector(asDouble(col("embedding"))).as("features"))
     val km = new KMeans().setK(nLists).setSeed(42).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("list_id")
-    val model = km.fit(corpusVec)
+    // Train the coarse quantizer on a bounded sample, as any real IVF build
+    // does — k-means over the full corpus would be an O(corpus × iters)
+    // driver-coordinated job at 100 TB. 256 points per list is plenty for a
+    // stable coarse partitioning; assignment below still covers every row.
+    val model = km.fit(corpusVec.select(col("features")).limit(256 * nLists))
     val corpus = model.transform(corpusVec).select(col("neighbor_id"), col("n_emb"), col("list_id"))
 
     // centroids as a literal lookup: tiny (nLists × dim), evaluated per probe
@@ -326,9 +332,10 @@ object PipelineOps {
     val probePrepped = probes.select(
       col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p_emb"))
       .withColumn("cent", explode(array(centroids.toIndexedSeq: _*)))
+      // d²(p,c) = ⟨p,p⟩ − 2⟨p,c⟩ + ⟨c,c⟩, all fused codegen'd dots
       .withColumn("cent_dist",
-        aggregate(zip_with(col("p_emb"), col("cent.c"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (s, x) => s + x))
+        dot(col("p_emb"), col("p_emb")) - lit(2.0) * dot(col("p_emb"), col("cent.c")) +
+          dot(col("cent.c"), col("cent.c")))
     val wProbe = Window.partitionBy(col("probe_id")).orderBy(col("cent_dist"), col("cent.list_id"))
     val probeLists = probePrepped
       .withColumn("cent_rank", row_number().over(wProbe))
