@@ -36,11 +36,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM (codegen, shuffle, noop-sink paths) on synthetic data so
-    // the first timed query doesn't absorb one-time session startup cost.
-    // No benchmark table is touched.
+    // Warm the JVM (codegen, shuffle, noop-sink, MLlib classloading paths)
+    // on synthetic data so the first timed query doesn't absorb one-time
+    // session startup cost. No benchmark table is touched.
     spark.range(1L << 20).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    locally {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.sql.functions._
+      val toy = spark.range(64).select(
+        array_to_vector(array(rand(1), rand(2))).as("features"))
+      new KMeans().setK(2).setSeed(1).setMaxIter(2).setInitMode("random").fit(toy)
+    }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -316,7 +316,11 @@ object PipelineOps {
       col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("n_emb"),
       array_to_vector(asDouble(col("embedding"))).as("features"))
-    val km = new KMeans().setK(nLists).setSeed(42).setMaxIter(10)
+    // random init + few iterations: a coarse quantizer only partitions the
+    // space, it doesn't need converged centroids — kmeans|| init alone costs
+    // more scheduler rounds than the whole lloyd refinement
+    val km = new KMeans().setK(nLists).setSeed(42).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("list_id")
     // Train the coarse quantizer on a bounded sample, as any real IVF build
     // does — k-means over the full corpus would be an O(corpus × iters)
