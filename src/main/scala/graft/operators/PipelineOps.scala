@@ -412,6 +412,24 @@ object PipelineOps {
   def fingerprint(textCol: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
 
+  // ------------------------------------------------------------ skew salting
+
+  /** Salted equi-join for skewed keys. The big side gets a seeded random
+    * salt in `[0, salts)`; the small side replicates each row across all
+    * salts; the join key becomes `(key, salt)`, so a hot key's rows spread
+    * over `salts` reducers instead of melting one. AQE's skew-join split
+    * handles moderate skew automatically — salting is the explicit tool for
+    * the pathological case (one key ≫ everything, or non-AQE engines).
+    * Results are exactly those of the plain equi-join; the small side grows
+    * `salts`-fold, so keep `salts` ≪ small-side row count budget.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
+    val bigS = big.withColumn("_salt", (rand(42) * salts).cast("int"))
+    val smallS = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+  }
+
   // ------------------------------------------------------------ as-of join
 
   /** As-of join (latest right row with `right.time <= left.time` per key)

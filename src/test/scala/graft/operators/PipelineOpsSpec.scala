@@ -123,6 +123,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L))
   }
 
+  test("saltedJoin equals the plain equi-join on a pathologically skewed key") {
+    import org.apache.spark.sql.functions.broadcast
+    // 90% of the big side lands on key 7
+    val big = (0 until 20000).map(i => (if (i % 10 == 0) i.toLong % 5 else 7L, i.toLong))
+      .toDF("k", "v")
+    val small = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val salted = PipelineOps.saltedJoin(big, small, "k", salts = 8)
+      .groupBy($"k", $"name").count().orderBy($"k")
+      .collect().map(_.toSeq).toSeq
+    // compare against a broadcast join (no shuffle ambiguity, no salting)
+    val plain = big.join(broadcast(small), Seq("k"))
+      .groupBy($"k", $"name").count().orderBy($"k")
+      .collect().map(_.toSeq).toSeq
+    assert(salted.nonEmpty && salted == plain)
+  }
+
   test("asofJoin picks the latest right value at-or-before each left time") {
     val left = Seq((1L, 10L), (1L, 25L), (1L, 5L), (2L, 50L)).toDF("k", "t")
     val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 60L, 300.0)).toDF("k", "t", "v")
