@@ -25,6 +25,7 @@ import graft.core.PalletJack
 final case class PjPartitionReaderFactory(
     conf: Broadcast[SerializableConfiguration],
     requiredSchemaJson: String,
+    partSchemaJson: String,
     capacity: Int,
     offHeap: Boolean,
     datetimeRebaseModeConf: String,
@@ -33,6 +34,9 @@ final case class PjPartitionReaderFactory(
 
   @transient private lazy val requiredSchema =
     DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType]
+
+  @transient private lazy val partSchema =
+    DataType.fromJson(partSchemaJson).asInstanceOf[StructType]
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
@@ -56,7 +60,18 @@ final case class PjPartitionReaderFactory(
       val inputFile = HadoopInputFile.fromPath(path, hadoopConf)
       reader.initialize(
         split, context, Some(inputFile), Some(inputFile.newStream()), Some(footer))
-      reader.initBatch(new StructType(), InternalRow.empty)
+      // Hive partition columns are appended to every batch as constants —
+      // typed here from the split's raw path values
+      val partRow =
+        if (partSchema.isEmpty) InternalRow.empty
+        else InternalRow.fromSeq(partSchema.fields.zip(p.partitionValues).map {
+          case (_, PjParquetTable.HiveNullPartition) => null
+          case (f, raw) => f.dataType match {
+            case org.apache.spark.sql.types.LongType => raw.toLong
+            case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+          }
+        }.toIndexedSeq)
+      reader.initBatch(partSchema, partRow)
       if (returningBatch) reader.enableReturningBatches()
       ok = true
     } finally if (!ok) reader.close()

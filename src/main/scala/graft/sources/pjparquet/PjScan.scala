@@ -13,12 +13,15 @@ import org.apache.spark.util.SerializableConfiguration
 
 import graft.core.PJSplice
 
-class PjScanBuilder(files: Seq[PjFile], fullSchema: StructType, options: CaseInsensitiveStringMap)
+class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
+  import org.apache.spark.sql.sources._
+
+  private val fullSchema = StructType(fileSchema.fields ++ layout.partitionSchema.fields)
   private var requiredSchema: StructType = fullSchema
-  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushed: Array[Filter] = Array.empty
 
   /** Catalyst `ColumnPruning` lands here; the selected names drive the O4/O5
     * metadata splice at partition-planning time.
@@ -32,24 +35,83 @@ class PjScanBuilder(files: Seq[PjFile], fullSchema: StructType, options: CaseIns
 
   /** Filters ride to the executor as a parquet `FilterPredicate`, where the
     * shipped pruned footer's min/max stats skip whole row groups (and column
-    * indexes skip pages) — zero extra driver cost, no footer parse. All
-    * filters are also returned as residual so Spark re-evaluates them.
+    * indexes skip pages) — zero extra driver cost, no footer parse. Filters
+    * on Hive partition columns additionally prune whole FILES at planning
+    * time. All filters are also returned as residual so Spark re-evaluates
+    * them.
     */
-  override def pushFilters(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
     filters // conservative: everything is re-checked above the scan
   }
 
-  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushed
+
+  // ------------------------------------------ partition pruning (planning)
+
+  private lazy val partIndex: Map[String, Int] =
+    layout.partitionSchema.fieldNames.zipWithIndex
+      .map { case (n, i) => n.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+
+  /** Typed partition value for `col` in `f`, or None when `col` is not a
+    * partition column. A `Some(null)` is a genuine Hive null partition.
+    */
+  private def partValue(f: PjFile, col: String): Option[Any] =
+    partIndex.get(col.toLowerCase(java.util.Locale.ROOT)).map { i =>
+      val raw = f.partitionValues(i)
+      if (raw == PjParquetTable.HiveNullPartition) null
+      else layout.partitionSchema.fields(i).dataType match {
+        case org.apache.spark.sql.types.LongType => raw.toLong
+        case _ => raw
+      }
+    }
+
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (a: Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue()))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  /** Conservative evaluation: true = the file MIGHT match (keep it). Only
+    * provably-excluded files are dropped, so residual re-evaluation keeps
+    * results exact regardless of coverage here.
+    */
+  private def mightMatch(f: PjFile, filter: Filter): Boolean = filter match {
+    case EqualTo(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ == 0))
+    case EqualNullSafe(c, v) =>
+      partValue(f, c).forall(x =>
+        if (v == null) x == null else x != null && cmp(x, v).forall(_ == 0))
+    case In(c, vs) => partValue(f, c).forall(x => x != null && vs.exists(v => cmp(x, v).forall(_ == 0)))
+    case GreaterThan(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ > 0))
+    case GreaterThanOrEqual(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ >= 0))
+    case LessThan(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ < 0))
+    case LessThanOrEqual(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ <= 0))
+    case IsNull(c) => partValue(f, c).forall(_ == null)
+    case IsNotNull(c) => partValue(f, c).forall(_ != null)
+    case And(l, r) => mightMatch(f, l) && mightMatch(f, r)
+    case Or(l, r) => mightMatch(f, l) || mightMatch(f, r)
+    case Not(EqualTo(c, v)) => partValue(f, c).forall(x => x == null || cmp(x, v).forall(_ != 0))
+    case _ => true
+  }
 
   override def build(): Scan = {
     val explicitRgs: Option[Seq[Int]] = Option(options.get("rowGroups"))
       .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-    if (explicitRgs.isDefined && files.size > 1)
+    if (explicitRgs.isDefined && layout.files.size > 1)
       throw new IllegalArgumentException(
-        s"pjparquet: option 'rowGroups' requires a single input file, got ${files.size}")
-    new PjScan(files, fullSchema, requiredSchema, explicitRgs, pushed.toSeq)
+        s"pjparquet: option 'rowGroups' requires a single input file, got ${layout.files.size}")
+    val survivingFiles =
+      if (layout.partitionSchema.isEmpty) layout.files
+      else layout.files.filter(f => pushed.forall(mightMatch(f, _)))
+    // split the pruned schema into file-physical vs partition columns; the
+    // scan emits data columns first, partition columns last (Spark reorders
+    // above the scan as needed)
+    val partNames = layout.partitionSchema.fieldNames.toSet
+    val dataRequired = StructType(requiredSchema.fields.filterNot(f => partNames.contains(f.name)))
+    val partRequired = StructType(requiredSchema.fields.filter(f => partNames.contains(f.name)))
+    new PjScan(
+      survivingFiles, fileSchema, dataRequired,
+      layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq)
   }
 }
 
@@ -64,27 +126,39 @@ class PjScanBuilder(files: Seq[PjFile], fullSchema: StructType, options: CaseIns
   */
 class PjScan(
     files: Seq[PjFile],
-    fullSchema: StructType,
-    requiredSchema: StructType,
+    fileSchema: StructType,
+    dataRequired: StructType,
+    partitionSchema: StructType,
+    partRequired: StructType,
     explicitRowGroups: Option[Seq[Int]],
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = requiredSchema
+  /** Data columns first, requested partition columns last — the order the
+    * vectorized reader produces when partition values are appended via
+    * `initBatch`; Spark projects above the scan to the query's order.
+    */
+  override def readSchema(): StructType = StructType(dataRequired.fields ++ partRequired.fields)
 
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"pjparquet ${files.size} file(s), cols=${requiredSchema.fieldNames.mkString(",")}" +
+    s"pjparquet ${files.size} file(s), cols=${readSchema().fieldNames.mkString(",")}" +
       explicitRowGroups.map(r => s", rowGroups=${r.mkString(",")}").getOrElse("") +
       (if (pushedFilters.nonEmpty) s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
 
   // Column splice only when a strict subset of top-level fields is needed;
   // name-based selection follows reference O5 semantics (exact match).
   private def prunedColumnNames: Seq[String] = {
-    val full = fullSchema.fieldNames.toSeq
-    val req = requiredSchema.fieldNames.toSeq
+    val full = fileSchema.fieldNames.toSeq
+    val req = dataRequired.fieldNames.toSeq
     if (req == full || req.isEmpty) Nil else req
+  }
+
+  /** The requested partition values of `f`, aligned with `partRequired`. */
+  private def requiredPartValues(f: PjFile): Array[String] = {
+    val byName = partitionSchema.fieldNames.zip(f.partitionValues).toMap
+    partRequired.fieldNames.map(byName)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -101,9 +175,10 @@ class PjScan(
         // holds exact sizes but only inside chunk structs we never parse.
         val meanRgBytes = math.max(1L, f.fileLen / math.max(1, rgCount))
         val rgsPerPart = math.max(1, (maxPartitionBytes / meanRgBytes).toInt)
+        val partValues = requiredPartValues(f)
         selected.grouped(rgsPerPart).map { rgs =>
           val footer = PJSplice.splice(idx, rgs, Nil, colNames, schemaOnly = false)
-          PjInputPartition(f.path, f.fileLen, rgs.toArray, footer)
+          PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues)
         }
       }
     }.toArray
@@ -113,24 +188,26 @@ class PjScan(
     val spark = SparkSession.active
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConf()
-    PjSparkShims.configureReadConf(hadoopConf, requiredSchema, sqlConf)
+    PjSparkShims.configureReadConf(hadoopConf, dataRequired, sqlConf)
     if (pushedFilters.nonEmpty && PjSparkShims.parquetFilterPushDownEnabled(sqlConf)) {
       // Schema + rebase spec come from the index (schema-only splice), so
-      // building the predicate costs no footer parse.
+      // building the predicate costs no footer parse. Partition-column
+      // filters have no physical column and simply produce no predicate.
       val schemaFooter = graft.core.PalletJack.materialize(
         graft.core.PJSplice.splice(
           graft.core.PJSplice.Index.fromBytes(files.head.indexBytes), Nil, Nil, Nil, schemaOnly = true))
-      val fileSchema = schemaFooter.getFileMetaData.getSchema
+      val physSchema = schemaFooter.getFileMetaData.getSchema
       val rebaseSpec = PjSparkShims.datetimeRebaseSpec(
         schemaFooter, PjSparkShims.rebaseModeInReadConf(sqlConf))
-      PjSparkShims.buildFilterPredicate(fileSchema, pushedFilters, sqlConf, rebaseSpec)
+      PjSparkShims.buildFilterPredicate(physSchema, pushedFilters, sqlConf, rebaseSpec)
         .foreach(p => PjSparkShims.setFilterPredicate(hadoopConf, p))
     }
     val broadcast: Broadcast[SerializableConfiguration] =
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     PjPartitionReaderFactory(
       broadcast,
-      requiredSchema.json,
+      dataRequired.json,
+      partRequired.json,
       sqlConf.parquetVectorizedReaderBatchSize,
       sqlConf.offHeapColumnVectorEnabled,
       PjSparkShims.rebaseModeInReadConf(sqlConf),
@@ -142,8 +219,8 @@ class PjScan(
     var rows = 0L
     var bytes = 0L
     val colFraction =
-      if (fullSchema.isEmpty) 1.0
-      else math.max(1, requiredSchema.size).toDouble / fullSchema.size
+      if (fileSchema.isEmpty) 1.0
+      else math.max(1, dataRequired.size).toDouble / fileSchema.size
     for (f <- files) {
       val idx = PJSplice.Index.fromBytes(f.indexBytes)
       val rgCount = idx.header.rowGroups
@@ -158,10 +235,14 @@ class PjScan(
   }
 }
 
-/** Self-contained split: executors need nothing but these fields. */
+/** Self-contained split: executors need nothing but these fields.
+  * `partitionValues` align with the scan's required partition schema (raw
+  * path strings; typed at batch init).
+  */
 final case class PjInputPartition(
     filePath: String,
     fileLen: Long,
     rowGroups: Array[Int],
-    prunedFooter: Array[Byte])
+    prunedFooter: Array[Byte],
+    partitionValues: Array[String] = Array.empty)
     extends InputPartition

@@ -28,10 +28,10 @@ class PjAutoSubstituteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     try {
       val conf = spark.sessionState.newHadoopConf()
       // autogen=false: substitute only when sidecars actually exist
-      val files = graft.sources.pjparquet.PjParquetTable.resolveFiles(
+      val layout = graft.sources.pjparquet.PjParquetTable.resolveFiles(
         roots.head.toString, conf, autogen = false)
       val table = new graft.sources.pjparquet.PjParquetTable(
-        files, new CaseInsensitiveStringMap(java.util.Map.of("path", roots.head.toString)))
+        layout, new CaseInsensitiveStringMap(java.util.Map.of("path", roots.head.toString)))
       val tSchema = table.schema
       val rSchema = rel.schema
       val same = tSchema.length == rSchema.length &&
