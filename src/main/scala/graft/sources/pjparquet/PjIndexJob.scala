@@ -21,9 +21,16 @@ object PjIndexJob {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
-    val files = fs.listStatus(root).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
-      .map(s => (s.getPath.toString, s.getModificationTime))
+    // recursive: covers Hive-partitioned key=value layouts too
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        buf += ((s.getPath.toString, s.getModificationTime))
+    }
+    val files = buf.toSeq
     if (files.isEmpty) return 0L
     spark.sparkContext
       .parallelize(files, math.min(files.size, 1024))
