@@ -412,6 +412,35 @@ object PipelineOps {
   def fingerprint(textCol: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting): hash
+    * every `k`-gram, slide a `w`-wide window over the hash sequence, keep
+    * each window's minimum — the classic local fingerprinting scheme whose
+    * selected hashes overlap heavily for documents sharing long substrings,
+    * independent of where the shared run sits. Output column `fps` is the
+    * distinct selected hash set per doc; compare docs with
+    * [[graft.functions.SetFunctions.intersectCountSorted]].
+    *
+    * Fully `functions._`; the k-gram hash array is materialized in its own
+    * projection before the window pass (see [[tokenHashes]] note).
+    */
+  def withWinnowingFingerprints(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(col("_th")) - (k - 1), lit(0))),
+      i => xxhash64((0 until k).map(o => element_at(col("_th"), i + o)): _*))
+    val windows = transform(
+      sequence(lit(1), greatest(size(col("_gh")) - (w - 1), lit(0))),
+      i => array_min(slice(col("_gh"), i, lit(w))))
+    docs
+      .withColumn("_th", tokenHashes(col(textCol)))
+      .withColumn("_gh", grams)
+      .withColumn("fps", array_sort(array_distinct(windows)))
+      .drop("_th", "_gh")
+  }
+
   // ------------------------------------------------------------ skew salting
 
   /** Salted equi-join for skewed keys. The big side gets a seeded random

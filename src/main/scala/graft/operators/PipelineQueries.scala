@@ -97,6 +97,15 @@ object PipelineQueries {
         .groupBy(col("probe_id")).agg(count(lit(1)).as("results"))
         .orderBy(col("probe_id"))
     }),
+    "q49_winnowing" -> ((s, dir) => {
+      // xxhash64-based selection — rows-only check + property specs
+      PipelineOps.withWinnowingFingerprints(Tables.documents(s, dir))
+        .groupBy(col("lang"))
+        .agg(
+          sum(size(col("fps")).cast("long")).as("total_fps"),
+          countDistinct(col("doc_id")).as("docs"))
+        .orderBy(col("lang"))
+    }),
     "q41_multimodal_features" -> ((s, dir) => {
       // binary payload + struct metadata + batch feature extraction
       // (decode stubbed — rows-only check; plumbing covered by specs)

@@ -123,6 +123,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L))
   }
 
+  test("winnowing fingerprints overlap on shared substrings, disjoint otherwise") {
+    val shared = (1 to 30).map(i => s"c$i")
+    val a = ((1 to 10).map(i => s"a$i") ++ shared).mkString(" ")
+    val b = (shared ++ (1 to 10).map(i => s"b$i")).mkString(" ") // shared run moved
+    val c = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = PipelineOps.withWinnowingFingerprints(docsDf(Seq((1L, a), (2L, b), (3L, c))))
+    val m = df.select($"doc_id", $"fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlapAB = (m(1L) & m(2L)).size
+    assert(overlapAB >= 3, s"docs sharing a 30-token run must share fingerprints, got $overlapAB")
+    assert((m(1L) & m(3L)).isEmpty, "disjoint docs must not share fingerprints")
+    assert(m(1L).nonEmpty && m(3L).nonEmpty)
+  }
+
   test("saltedJoin equals the plain equi-join on a pathologically skewed key") {
     import org.apache.spark.sql.functions.broadcast
     // 90% of the big side lands on key 7
