@@ -210,8 +210,11 @@ object PipelineOps {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force cosine top-k: the exactness baseline. The probe side is
-    * broadcast; the corpus side never shuffles — each partition scores its
-    * rows locally, then a per-probe window takes the top k.
+    * broadcast; the corpus side never shuffles for scoring — each partition
+    * scores its rows locally, then the per-probe top-k is a map-side-partial
+    * [[graft.functions.TopKByScore]] aggregate: only k rows per task per
+    * probe reach the exchange, not the full corpus × probes score matrix
+    * (a `Window.partitionBy(probe)` would shuffle every scored pair).
     */
   def cosineTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val corpus = embeddings.select(
@@ -221,10 +224,19 @@ object PipelineOps {
     val scored = corpus.join(broadcast(probe), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosine(col("p_emb"), col("n_emb")).as("cos_sim"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
+
+  /** (probe_id, neighbor_id, cos_sim) → per-probe (rank ≤ k) via the
+    * map-side-partial top-k aggregate.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.topKByScore(k, col("cos_sim"), col("neighbor_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos_sim"))
 
   /** LSH-bucketed ANN (the 100 TB path): normalize → random-projection
     * buckets → bucket equi-join → exact-cosine verification. Hand-rolled in
@@ -350,8 +362,8 @@ object PipelineOps {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosine(col("p_emb"), col("n_emb")).as("cos_sim"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // map-side-partial top-k: k rows per task per probe reach the shuffle
+    rankTopK(scored, k)
   }
 
   // ----------------------------------------------------------- text analysis
