@@ -76,6 +76,39 @@ object Multimodal {
     bins
   }
 
+  /** Batch "resize": nearest-neighbor byte downsample of each payload to at
+    * most `targetBytes`, meta rewritten to the new size (the stand-in for an
+    * image resize — a real deployment swaps the sampler for the codec's
+    * scaler at the same `???` boundary as [[extractFeatures]]). Same batch
+    * shape as decode: one `mapPartitions` pass, no shuffle, schema
+    * preserved.
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", mediaMetaType, nullable = true)))
+    val enc = Encoders.row(schema)
+    media.select(col("media_id"), col("source"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val resized =
+            if (payload == null || payload.length <= targetBytes) payload
+            else Array.tabulate(targetBytes)(i =>
+              payload((i.toLong * payload.length / targetBytes).toInt))
+          val meta = r.getAs[Row]("meta")
+          val newMeta =
+            if (meta == null || resized == null) meta
+            else Row(meta.getAs[String]("mime"), meta.getAs[Integer]("width"),
+              meta.getAs[Integer]("height"), resized.length.toLong)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("source"), resized, newMeta)
+        }
+      }(enc)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size block
     * as its own binary frame — pure byte plumbing, runs wherever the row
     * lives (no shuffle).

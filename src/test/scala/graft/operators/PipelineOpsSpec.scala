@@ -188,5 +188,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     // partition preservation: extraction adds no shuffle
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
+
+    // resize: bounded payloads, meta rewritten, deterministic, shuffle-free
+    val resized = Multimodal.resize(media, targetBytes = 4)
+    val rs = resized.collect().map(r => r.getLong(0) ->
+      (r.getAs[Array[Byte]]("payload"), r.getAs[org.apache.spark.sql.Row]("meta"))).toMap
+    assert(rs(1L)._1.length == 4) // 11-byte payload downsampled
+    assert(rs(3L)._1.length == 2) // short payload untouched
+    assert(rs(1L)._2.getAs[Long]("n_bytes") == 4L)
+    assert(rs(1L)._1.toSeq == rs(2L)._1.toSeq, "identical payloads resize identically")
+    val rPlan = resized.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("Exchange"), s"resize must not shuffle:\n$rPlan")
   }
 }
