@@ -396,6 +396,20 @@ object RelationalQueries {
         .orderBy($"band")
     },
 
+    // ---- Math + array scalar functions ----------------------------------
+    "q50_math_array" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(avg(sqrt($"l_extendedprice")), 3).as("avg_sqrt_price"),
+          round(sum(pow($"l_discount", 2)), 3).as("sum_disc_sq"),
+          round(max(log($"l_extendedprice" + 1.0)), 3).as("max_ln_price"),
+          // deterministic despite collect_set's arbitrary order
+          array_join(array_sort(collect_set($"l_linestatus")), ",").as("statuses"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- As-of join (point-in-time lookup) over events ------------------
     // For every click, the latest prior-or-same purchase value of the same
     // user. Single shuffle by user via the union trick (PipelineOps.asofJoin).
@@ -632,6 +646,13 @@ object RelationalQueries {
         | AND l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_math_array" ->
+      """SELECT l_returnflag,
+        |  round(avg(sqrt(l_extendedprice)), 3) AS avg_sqrt_price,
+        |  round(sum(pow(l_discount, 2)), 3) AS sum_disc_sq,
+        |  round(max(ln(l_extendedprice + 1.0)), 3) AS max_ln_price,
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q48_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('tiny', 0.0, 10.0), ('small', 10.0, 20.0), ('medium', 20.0, 30.0),
