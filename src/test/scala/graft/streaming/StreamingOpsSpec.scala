@@ -65,6 +65,21 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("streaming dedup: distinct (user, type, time) count == batch distinct") {
+    val schema = batchEvents.schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    val q = StreamingOps.dedupedStream(stream, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val streaming = spark.table("dedup_stream").count()
+    val batch = StreamingOps.eventTime(batchEvents)
+      .dropDuplicates(Seq("user_id", "event_type", "event_time")).count()
+    assert(streaming > 0 && streaming == batch)
+  }
+
   test("flatMapGroupsWithState running stats: final state == batch aggregate") {
     val schema = batchEvents.schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)
