@@ -110,9 +110,13 @@ object PipelineOps {
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         graft.functions.SetFunctions.intersectCountSorted(col("a.h"), col("b.h")).as("inter"),
         (col("a.n") + col("b.n")).as("_nsum"))
+      // J ≥ 0.5 ⟺ 2|∩| ≥ |∪| = n_a+n_b−|∩| ⟺ 3|∩| ≥ n_a+n_b. The last form
+      // references the intersect ONCE, so when Catalyst substitutes it into
+      // the join condition, each candidate pair pays one merge, not two —
+      // and pairs failing it never materialize as join output rows.
+      .filter(col("inter") * 3 >= col("_nsum"))
       .select(col("lang"), col("id_a"), col("id_b"),
         col("inter"), (col("_nsum") - col("inter")).as("uni"))
-      .filter(col("inter") * 2 >= col("uni")) // Jaccard >= 0.5, integer math
   }
 
   // ---------------------------------------------------- near-dup: MinHash LSH
