@@ -9,13 +9,17 @@ import org.apache.spark.sql.DataFrame
   */
 object PjWriter {
 
-  /** `df.write.parquet(path)` + sidecar generation. Returns sidecars written. */
+  /** `df.write.parquet(path)` + sidecar generation (recursive, so Hive
+    * `partitionBy` layouts are fully indexed). Returns sidecars written.
+    */
   def writeWithIndex(
       df: DataFrame,
       path: String,
       mode: String = "overwrite",
-      options: Map[String, String] = Map.empty): Long = {
-    df.write.mode(mode).options(options).parquet(path)
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): Long = {
+    val w = df.write.mode(mode).options(options)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     PjIndexJob.generateAll(df.sparkSession, path)
   }
 }
