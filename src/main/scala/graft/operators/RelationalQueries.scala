@@ -396,6 +396,23 @@ object RelationalQueries {
         .orderBy($"band")
     },
 
+    // ---- Approximate percentiles (tolerance-checked like q28) -----------
+    // Output = how many groups have the approx median within 1% of the
+    // exact one: integer, engine-agnostic, and a sketch-accuracy regression
+    // flips it.
+    "q51_approx_percentile" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.01, 1L)
+            .otherwise(0L)).as("groups_within_tol"))
+    },
+
     // ---- Math + array scalar functions ----------------------------------
     "q50_math_array" -> { (s, d) =>
       import s.implicits._
@@ -646,6 +663,9 @@ object RelationalQueries {
         | AND l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_approx_percentile" ->
+      """SELECT count(*) AS n_groups, CAST(count(*) AS BIGINT) AS groups_within_tol
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)""".stripMargin,
     "q50_math_array" ->
       """SELECT l_returnflag,
         |  round(avg(sqrt(l_extendedprice)), 3) AS avg_sqrt_price,
