@@ -396,6 +396,38 @@ object RelationalQueries {
         .orderBy($"band")
     },
 
+    // ---- GROUPING SETS (the general form; cube/rollup are q44/q16) ------
+    "q52_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       round(sum(l_quantity), 2) AS qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ---- Pivot (explicit value list => stable output schema) ------------
+    "q53_pivot" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum($"l_extendedprice"), 2))
+        .withColumnRenamed("F", "val_f").withColumnRenamed("O", "val_o")
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- Generator / lateral view (explode) ------------------------------
+    "q54_explode_tokens" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"lang", explode(split($"text", " ")).as("tok"))
+        .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 100)
+        .orderBy($"lang", $"n".desc, $"tok")
+    },
+
     // ---- Approximate percentiles (tolerance-checked like q28) -----------
     // Output = how many groups have the approx median within 1% of the
     // exact one: integer, engine-agnostic, and a sketch-accuracy regression
@@ -666,6 +698,22 @@ object RelationalQueries {
     "q51_approx_percentile" ->
       """SELECT count(*) AS n_groups, CAST(count(*) AS BIGINT) AS groups_within_tol
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem)""".stripMargin,
+    "q52_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q53_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS val_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS val_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_explode_tokens" ->
+      """SELECT lang, tok, count(*) AS n
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY 1, 2 HAVING count(*) >= 100
+        |ORDER BY lang, n DESC, tok""".stripMargin,
     "q50_math_array" ->
       """SELECT l_returnflag,
         |  round(avg(sqrt(l_extendedprice)), 3) AS avg_sqrt_price,
