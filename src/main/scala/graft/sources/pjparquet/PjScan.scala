@@ -189,7 +189,10 @@ class PjScan(
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConf()
     PjSparkShims.configureReadConf(hadoopConf, dataRequired, sqlConf)
-    if (pushedFilters.nonEmpty && PjSparkShims.parquetFilterPushDownEnabled(sqlConf)) {
+    // files can be empty when partition pruning excluded every file — an
+    // empty scan needs no parquet predicate (and has no index to splice).
+    if (files.nonEmpty && pushedFilters.nonEmpty &&
+        PjSparkShims.parquetFilterPushDownEnabled(sqlConf)) {
       // Schema + rebase spec come from the index (schema-only splice), so
       // building the predicate costs no footer parse. Partition-column
       // filters have no physical column and simply produce no predicate.
