@@ -10,6 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files — nothing here assumes single-file inputs.
   */
 object Tables {
+  /** Width of `embeddings.embedding` at every scale factor (TESTDATA.md).
+    * Passed to the ANN operators so plan construction fires no probe job.
+    */
+  val embeddingDim = 64
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

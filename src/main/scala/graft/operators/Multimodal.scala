@@ -1,19 +1,25 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column support: opaque `binary` payloads + typed metadata
-  * structs, with batch feature extraction over `mapPartitions`.
+  * structs, with batch decode / feature-extraction / resize over
+  * `mapPartitions`.
   *
   * Parquet stores binary natively, so 100 TB of media payloads ride the same
   * scan/pruning machinery as everything else (including the pjparquet
-  * metadata-spliced planning — binary chunks are just chunks). The decode
-  * step is a STUB: this container has no image/audio codecs, so a
-  * deterministic byte-histogram stands in for "decode + embed"; the
-  * Spark-side plumbing — schema, batch iteration, partition preservation,
-  * feature shapes — is real and tested.
+  * metadata-spliced planning — binary chunks are just chunks). Image
+  * payloads are REAL: encoded and decoded with the JDK's `javax.imageio`
+  * PNG codec (no external deps, deterministic output). Unknown MIME types
+  * fall back to a deterministic byte histogram so the pipeline never fails
+  * on a payload it cannot decode.
   */
 object Multimodal {
 
@@ -25,45 +31,134 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("n_bytes", LongType, nullable = true)))
 
-  /** Wrap a text corpus as fake media rows: payload = utf8 bytes (a
-    * deterministic stand-in for image bytes), meta = typed struct. Real
+  // ImageIO defaults to a temp-FILE cache per stream — executor-local disk
+  // I/O per row. Memory-cached streams only.
+  ImageIO.setUseCache(false)
+
+  /** Render a deterministic PNG from a byte string: dimensions derive from
+    * the content length, pixels cycle through the content bytes as RGB.
+    * Same bytes → same image → byte-identical PNG (the JDK PNG writer emits
+    * no timestamps).
+    */
+  private[operators] def renderPng(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val w = 8 + (bytes.length % 24)
+    val h = 8 + ((bytes.length / 24) % 16)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val n = math.max(1, bytes.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        def b(j: Int): Int = if (bytes.isEmpty) 0 else bytes(j % n) & 0xff
+        img.setRGB(x, y, (b(i) << 16) | (b(i + 1) << 8) | b(i + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(w * h)
+    ImageIO.write(img, "png", out)
+    (out.toByteArray, w, h)
+  }
+
+  /** Wrap a text corpus as real media rows: payload = a PNG rendered from
+    * the utf8 bytes (deterministic stand-in for ingested images; the codec
+    * path is the real `javax.imageio` one), meta = typed struct. Real
     * pipelines land here straight from ingestion.
     */
-  def packAsMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      col("source"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        lit("application/x-fake").as("mime"),
-        (length(col("text")) % 640).cast("int").as("width"),
-        (length(col("text")) % 480).cast("int").as("height"),
-        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+  def packAsMedia(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", mediaMetaType, nullable = true)))
+    val enc = Encoders.row(schema)
+    docs.select(col("doc_id").as("media_id"), col("source"), col("text"))
+      .mapPartitions { rows =>
+        // positional access: rows from upstream narrow stages may carry no
+        // schema (select order above is media_id, source, text)
+        rows.map { r =>
+          val (png, w, h) = renderPng(
+            r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Row(r.getLong(0), r.getString(1), png, Row("image/png", w, h, png.length.toLong))
+        }
+      }(enc)
+  }
 
   /** Batch feature extraction: one pass per partition, rows processed in
-    * iterator order (the JVM analogue of a `mapInPandas` batch UDF). Output
-    * schema: media_id, source, features array<float>[FeatureBins].
+    * iterator order (the JVM analogue of a `mapInPandas` batch UDF).
+    *
+    * Image-MIME payloads are decoded with `javax.imageio` and featurized as
+    * an L1-normalized luminance histogram, with the decoded dimensions
+    * reported; other MIME types (or undecodable payloads) fall back to the
+    * deterministic byte histogram with null dimensions. Output schema:
+    * media_id, source, meta, features array<float>[FeatureBins], width,
+    * height.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("source", StringType, nullable = true),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+      StructField("meta", mediaMetaType, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
     val enc = Encoders.row(outSchema)
-    media.select(col("media_id"), col("source"), col("payload"))
+    media.select(col("media_id"), col("source"), col("payload"), col("meta"))
       .mapPartitions { rows =>
+        // positional access (select order: media_id, source, payload, meta;
+        // meta struct: mime, width, height, n_bytes) — upstream narrow
+        // stages may hand over schema-less rows
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("source"), decodeStub(payload))
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val meta = if (r.isNullAt(3)) null else r.getStruct(3)
+          val mime = if (meta == null || meta.isNullAt(0)) "" else meta.getString(0)
+          val decoded = if (mime.startsWith("image/")) decodeImage(payload) else None
+          decoded match {
+            case Some(img) =>
+              Row(r.getLong(0), r.getString(1), meta,
+                luminanceHistogram(img), Integer.valueOf(img.getWidth), Integer.valueOf(img.getHeight))
+            case None =>
+              Row(r.getLong(0), r.getString(1), meta, byteHistogram(payload), null, null)
+          }
         }
       }(enc)
   }
 
-  /** STUB decode: a real deployment calls the image/audio codec here
-    * (`???` boundary). Deterministic byte histogram, L1-normalized — keeps
-    * tests meaningful without native libs.
+  private def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+  /** L1-normalized luminance histogram over the decoded pixels — the
+    * deterministic stand-in for "embed the image" (a real deployment swaps
+    * this one function for its vision encoder; everything around it stays).
     */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+  private def luminanceHistogram(img: BufferedImage): Array[Float] = {
+    val bins = new Array[Float](FeatureBins)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        bins(lum * FeatureBins / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val total = (w * h).toFloat
+    var b = 0
+    while (b < FeatureBins) { bins(b) /= total; b += 1 }
+    bins
+  }
+
+  /** Fallback featurizer for non-image payloads: deterministic byte
+    * histogram, L1-normalized.
+    */
+  private def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](FeatureBins)
     if (payload == null || payload.isEmpty) return bins
     var i = 0
@@ -76,15 +171,14 @@ object Multimodal {
     bins
   }
 
-  /** Batch "resize": nearest-neighbor byte downsample of each payload to at
-    * most `targetBytes`, meta rewritten to the new size (the stand-in for an
-    * image resize — a real deployment swaps the sampler for the codec's
-    * scaler at the same `???` boundary as [[extractFeatures]]). Same batch
-    * shape as decode: one `mapPartitions` pass, no shuffle, schema
-    * preserved.
+  /** Batch resize: images whose longest side exceeds `maxDim` are scaled
+    * down (area-averaging, then re-encoded as PNG) and their meta rewritten
+    * to the new dimensions; non-image payloads are nearest-neighbor byte
+    * downsampled to at most `maxDim` bytes. Same batch shape as decode: one
+    * `mapPartitions` pass, no shuffle, schema preserved.
     */
-  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
-    require(targetBytes > 0)
+  def resize(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("source", StringType, nullable = true),
@@ -93,18 +187,39 @@ object Multimodal {
     val enc = Encoders.row(schema)
     media.select(col("media_id"), col("source"), col("payload"), col("meta"))
       .mapPartitions { rows =>
+        // positional access — same ordering contract as extractFeatures
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val resized =
-            if (payload == null || payload.length <= targetBytes) payload
-            else Array.tabulate(targetBytes)(i =>
-              payload((i.toLong * payload.length / targetBytes).toInt))
-          val meta = r.getAs[Row]("meta")
-          val newMeta =
-            if (meta == null || resized == null) meta
-            else Row(meta.getAs[String]("mime"), meta.getAs[Integer]("width"),
-              meta.getAs[Integer]("height"), resized.length.toLong)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("source"), resized, newMeta)
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val meta = if (r.isNullAt(3)) null else r.getStruct(3)
+          val mime = if (meta == null || meta.isNullAt(0)) "" else meta.getString(0)
+          val imgOpt = if (mime.startsWith("image/")) decodeImage(payload) else None
+          val (newPayload, newMeta): (Array[Byte], Row) = imgOpt match {
+            case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+              val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+              val scaled = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              g.drawImage(
+                img.getScaledInstance(nw, nh, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+              g.dispose()
+              val out = new ByteArrayOutputStream(nw * nh)
+              ImageIO.write(scaled, "png", out)
+              val bytes = out.toByteArray
+              (bytes, Row(mime, nw, nh, bytes.length.toLong))
+            case Some(img) =>
+              (payload, Row(mime, img.getWidth, img.getHeight, payload.length.toLong))
+            case None =>
+              val resized =
+                if (payload == null || payload.length <= maxDim) payload
+                else Array.tabulate(maxDim)(i =>
+                  payload((i.toLong * payload.length / maxDim).toInt))
+              val m =
+                if (meta == null || resized == null) meta
+                else Row(meta.get(0), meta.get(1), meta.get(2), resized.length.toLong)
+              (resized, m)
+          }
+          Row(r.getLong(0), r.getString(1), newPayload, newMeta)
         }
       }(enc)
   }

@@ -119,6 +119,31 @@ object PipelineOps {
         col("inter"), (col("_nsum") - col("inter")).as("uni"))
   }
 
+  /** Exact trigram-Jaccard pair set over lang-blocked ALL-pairs — the
+    * verification baseline for [[minhashNearDupPairs]]: same shingle space
+    * (hashed trigrams), same distance expression, no LSH and no length
+    * blocking, so `minhash ⊆ this` holds exactly and recall is measurable.
+    * O(n²) within a language — a QA/verification utility, not the scale
+    * path (that is [[minhashNearDupPairs]] / [[jaccardNearDupPairs]]).
+    */
+  def trigramJaccardPairs(docs: DataFrame, jaccardDistThreshold: Double = 0.6): DataFrame = {
+    val prepped = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("lang"), tokenHashes(col("text")).as("_th"))
+      .select(col("doc_id"), col("lang"), ngramHashes(col("_th"), 3).as("h"))
+    prepped.as("a").join(prepped.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.lang").as("lang"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.functions.SetFunctions.intersectCountSorted(col("a.h"), col("b.h")).as("_inter"),
+        (size(col("a.h")) + size(col("b.h"))).as("_nsum"))
+      .select(col("lang"), col("id_a"), col("id_b"),
+        (lit(1.0) - col("_inter").cast("double") /
+          (col("_nsum") - col("_inter")).cast("double")).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= jaccardDistThreshold)
+  }
+
   // ---------------------------------------------------- near-dup: MinHash LSH
 
   /** MinHash+LSH near-dup candidate pairs (approx Jaccard), the scale path:
@@ -153,17 +178,27 @@ object PipelineOps {
       val rows = minhashes.slice(j * rowsPerBand, (j + 1) * rowsPerBand)
       struct(lit(j).as("band"), xxhash64(rows :+ (lit(j): Column): _*).as("sig"))
     }: _*)
-    val sigs = prepped.withColumn("band", explode(bands))
+    // Signature rows are SLIM (doc_id, lang, band) — the shingle arrays stay
+    // out of the band join entirely. At 100 TB the arrays are the data:
+    // keeping them off the exploded (×numBands) join and off the collapse
+    // exchange is the difference between shuffling ids and shuffling the
+    // corpus. Blocking by lang keeps buckets mono-lingual and smaller.
+    val sigs = prepped.select(col("doc_id"), col("lang"), explode(bands).as("band"))
     val cand = sigs.as("a")
-      .join(sigs.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.lang").as("lang"),
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
-      // a pair matching in k bands appears k times — collapse before verify
-      .groupBy(col("lang"), col("id_a"), col("id_b"))
-      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
-    cand
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // a pair matching in k bands appears k times — dedup on the slim keys
+      // BEFORE any array is fetched (the exchange carries 3 scalars per row)
+      .distinct()
+    // fetch shingle arrays for the (few) candidates with two id-keyed hash
+    // joins — each array crosses the wire exactly once per side
+    val ha = prepped.select(col("doc_id").as("id_a"), col("h").as("ha"))
+    val hb = prepped.select(col("doc_id").as("id_b"), col("h").as("hb"))
+    cand.join(ha, "id_a").join(hb, "id_b")
       .withColumn("_inter",
         graft.functions.SetFunctions.intersectCountSorted(col("ha"), col("hb")))
       .select(
@@ -262,39 +297,51 @@ object PipelineOps {
       probes: DataFrame,
       minCosine: Double,
       numTables: Int = 4,
-      bucketLength: Double = 0.5): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+      bucketLength: Double = 0.5,
+      dim: Int = -1): DataFrame = {
+    // The seeded hyperplanes need the embedding width. Callers that know it
+    // (schema docs, table metadata) pass it and the whole operator stays a
+    // lazy plan; `dim < 0` falls back to a one-row probe job — an interactive
+    // convenience that breaks lazy composition, never the scale path.
+    val d = if (dim > 0) dim else embeddings.select(size(col("embedding"))).head().getInt(0)
     val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] = Seq.fill(numTables)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planes: Seq[Seq[Double]] = Seq.fill(numTables)(Seq.fill(d)(rnd.nextGaussian()))
 
-    // id, unit vector, per-table bucket — u materialized in its own
-    // projection so the bucket expressions reference it, not recompute it
-    def prep(df: DataFrame, idAs: String): DataFrame = {
-      val normed = df
-        .select(col("vec_id").as(idAs), asDouble(col("embedding")).as("_v"))
-        .withColumn("_norm", sqrt(dot(col("_v"), col("_v"))))
-        .select(col(idAs), transform(col("_v"), x => x / col("_norm")).as("u"))
-      planes.zipWithIndex.foldLeft(normed) { case (acc, (r, t)) =>
+    // id + unit vector — u materialized in its own projection so downstream
+    // expressions reference it, not recompute it
+    def normed(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs), asDouble(col("embedding")).as("_v"))
+      .withColumn("_norm", sqrt(dot(col("_v"), col("_v"))))
+      .select(col(idAs), transform(col("_v"), x => x / col("_norm")).as("u"))
+
+    def bucketed(df: DataFrame): DataFrame =
+      planes.zipWithIndex.foldLeft(df) { case (acc, (r, t)) =>
         acc.withColumn(s"_p$t",
           floor(dot(col("u"), array(r.map(lit): _*)) / bucketLength).cast("int"))
       }
-    }
 
     def key(t: Int, bucket: Column): Column =
       struct(lit(t).as("t"), bucket.as("b"))
 
-    val corpus = prep(embeddings, "neighbor_id")
+    // Bucket rows are SLIM (id, key) — unit vectors stay out of the exploded
+    // bucket join and the candidate-dedup exchange; candidates re-join the
+    // vectors by id afterwards, so each vector crosses the wire once.
+    val corpusKeys = bucketed(normed(embeddings, "neighbor_id"))
       .withColumn("key", explode(array((0 until numTables).map(t => key(t, col(s"_p$t"))): _*)))
-      .select(col("neighbor_id"), col("u").as("nu"), col("key"))
-    val probe = prep(probes, "probe_id")
+      .select(col("neighbor_id"), col("key"))
+    val probeKeys = bucketed(normed(probes, "probe_id"))
       .withColumn("key", explode(array((0 until numTables).flatMap(t =>
-        Seq(-1, 0, 1).map(d => key(t, col(s"_p$t") + d))): _*)))
-      .select(col("probe_id"), col("u").as("pu"), col("key"))
+        Seq(-1, 0, 1).map(dd => key(t, col(s"_p$t") + dd))): _*)))
+      .select(col("probe_id"), col("key"))
 
-    probe.join(corpus, probe("key") === corpus("key") &&
-        col("probe_id") =!= col("neighbor_id"))
-      .groupBy(col("probe_id"), col("neighbor_id"))
-      .agg(first(col("pu")).as("pu"), first(col("nu")).as("nu"))
+    val cand = probeKeys.join(corpusKeys,
+        probeKeys("key") === corpusKeys("key") && col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+      // a pair colliding in k tables appears k times — dedup on slim id keys
+      .distinct()
+    val pu = normed(probes, "probe_id").select(col("probe_id"), col("u").as("pu"))
+    val nu = normed(embeddings, "neighbor_id").select(col("neighbor_id"), col("u").as("nu"))
+    cand.join(pu, "probe_id").join(nu, "neighbor_id")
       .select(col("probe_id"), col("neighbor_id"),
         dot(col("pu"), col("nu")).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
@@ -307,8 +354,9 @@ object PipelineOps {
     * never an all-pairs cartesian. Emits each unordered pair once
     * (`id_a < id_b`).
     */
-  def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.9): DataFrame =
-    lshAnnPairs(embeddings, embeddings, minCosine)
+  def embeddingNearDupPairs(
+      embeddings: DataFrame, minCosine: Double = 0.9, dim: Int = -1): DataFrame =
+    lshAnnPairs(embeddings, embeddings, minCosine, dim = dim)
       .filter(col("probe_id") < col("neighbor_id"))
       .select(col("probe_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos_sim"))
 
@@ -443,18 +491,22 @@ object PipelineOps {
       docs: DataFrame,
       textCol: String = "text",
       k: Int = 3,
-      w: Int = 4): DataFrame = {
+      w: Int = 4,
+      keepGrams: Boolean = false): DataFrame = {
     val grams = transform(
       sequence(lit(1), greatest(size(col("_th")) - (k - 1), lit(0))),
       i => xxhash64((0 until k).map(o => element_at(col("_th"), i + o)): _*))
     val windows = transform(
       sequence(lit(1), greatest(size(col("_gh")) - (w - 1), lit(0))),
       i => array_min(slice(col("_gh"), i, lit(w))))
-    docs
+    val out = docs
       .withColumn("_th", tokenHashes(col(textCol)))
       .withColumn("_gh", grams)
       .withColumn("fps", array_sort(array_distinct(windows)))
-      .drop("_th", "_gh")
+      .drop("_th")
+    // keepGrams exposes the k-gram hash sequence (column `grams`) so callers
+    // can assert the selection property fps ⊆ grams
+    if (keepGrams) out.withColumnRenamed("_gh", "grams") else out.drop("_gh")
   }
 
   // ------------------------------------------------------------ skew salting

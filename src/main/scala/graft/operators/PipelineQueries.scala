@@ -1,14 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Driver-contract entries for the LLM-pipeline operators (SURVEY.md §2.3).
   * Oracles are provided wherever the semantics are exactly expressible in
-  * DuckDB SQL; approximate/seeded operators (MinHash, SimHash, LSH ANN) get
-  * rows-only entries plus property-based ScalaTests.
+  * DuckDB SQL; approximate/seeded operators (MinHash, SimHash, LSH/IVF ANN,
+  * winnowing, multimodal) are recast as deterministic invariants — Spark
+  * emits DuckDB-checkable counts plus booleans it verifies itself
+  * (exact-duplicate completeness, exact-verification precision, recall
+  * bounds vs Spark's own exact baseline) — so every entry has a full
+  * rows+schema+hash oracle. Property-based ScalaTests cover the seeded
+  * semantics in depth.
   */
 object PipelineQueries {
 
@@ -25,10 +30,27 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"))
     }),
     "q32_minhash_neardup" -> ((s, dir) => {
-      // approx (seeded) — rows-only check; exactness covered by q33 + specs
-      PipelineOps.minhashNearDupPairs(Tables.documents(s, dir))
-        .groupBy(col("lang")).agg(count(lit(1)).as("candidate_pairs"))
-        .orderBy(col("lang"))
+      // Invariant form (q51-style tolerance oracle): MinHash is seeded, so
+      // its pair set is not SQL-expressible — but it is exactly verifiable
+      // against [[PipelineOps.trigramJaccardPairs]], the exhaustive baseline
+      // in the SAME shingle space with the SAME distance expression. DuckDB
+      // recomputes exact_pairs independently (string trigrams) and asserts
+      // the booleans: precision 1.0 (minhash ⊆ exact — candidates are
+      // exact-verified) and recall above the S-curve bound.
+      val docs = Tables.documents(s, dir)
+      val mh = PipelineOps.minhashNearDupPairs(docs)
+        .select(col("id_a"), col("id_b"), lit(1).as("_m"))
+      val exact = PipelineOps.trigramJaccardPairs(docs)
+        .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+      exact.join(mh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("_e")), lit(0)).cast("long").as("exact_pairs"),
+          coalesce(sum(when(col("_e").isNotNull && col("_m").isNotNull, 1L)), lit(0L)).as("_both"),
+          coalesce(sum(when(col("_e").isNull, 1L)), lit(0L)).as("_mh_only"))
+        .select(
+          col("exact_pairs"),
+          (col("_mh_only") === 0L).cast("long").as("precision_ok"),
+          (col("_both") * 100L >= col("exact_pairs") * 50L).cast("long").as("recall_ge_50"))
     }),
     "q33_ngram_jaccard" -> ((s, dir) => {
       PipelineOps.jaccardNearDupPairs(Tables.documents(s, dir))
@@ -37,11 +59,29 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
     "q34_simhash" -> ((s, dir) => {
-      // Spark-hash-specific (xxhash64) — rows-only check + property specs
-      PipelineOps.withSimhash(Tables.documents(s, dir))
-        .groupBy(col("lang"))
-        .agg(countDistinct(col("simhash")).as("distinct_simhashes"), count(lit(1)).as("docs"))
-        .orderBy(col("lang"))
+      // Invariant form: SimHash values are xxhash64-specific, but SimHash is
+      // a function of the token SET, so (1) reversing token order leaves
+      // every doc's simhash unchanged (checked for ALL docs), (2) identical
+      // texts collide, and (3) a varied corpus yields > 1 distinct value.
+      // DuckDB computes docs and text_dup_pairs itself, asserts the booleans.
+      val docs = Tables.documents(s, dir)
+      val reversed = docs.withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+      val sh = PipelineOps.withSimhash(docs).select(col("doc_id"), col("text"), col("simhash"))
+      val shRev = PipelineOps.withSimhash(reversed)
+        .select(col("doc_id"), col("simhash").as("_simhash_rev"))
+      val base = sh.join(shRev, "doc_id").agg(
+        count(lit(1)).as("docs"),
+        min((col("simhash") === col("_simhash_rev")).cast("long")).as("order_invariant"),
+        (countDistinct(col("simhash")) >= 2L).cast("long").as("multiple_values"))
+      val dups = sh.as("x").join(sh.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select((col("x.simhash") === col("y.simhash")).cast("long").as("_same"))
+        .agg(
+          count(lit(1)).as("text_dup_pairs"),
+          coalesce(min(col("_same")), lit(1L)).as("dups_collide"))
+      base.crossJoin(dups).select(
+        col("docs"), col("order_invariant"), col("multiple_values"),
+        col("text_dup_pairs"), col("dups_collide"))
     }),
     "q35_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -51,12 +91,32 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
     "q36_lsh_ann" -> ((s, dir) => {
-      // bucketed ANN (seeded) — rows-only; recall vs exact covered in specs
+      // Invariant form: ANN buckets are seeded, but Spark computes the exact
+      // pair set itself (10 probes × corpus, broadcast) and emits booleans —
+      // every ANN pair is exact-verified (precision 1.0 by construction)
+      // and recall vs exact clears the bound. DuckDB checks n_probes and
+      // asserts the booleans.
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < 10)
-      PipelineOps.lshAnnPairs(emb, probes, minCosine = 0.3)
-        .groupBy(col("probe_id")).agg(count(lit(1)).as("candidates"))
-        .orderBy(col("probe_id"))
+      val ann = PipelineOps.lshAnnPairs(emb, probes, minCosine = 0.3, dim = Tables.embeddingDim)
+      val toD = (c: Column) => transform(c, x => x.cast("double"))
+      val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ne"))
+        .join(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("_pe"))),
+          col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          PipelineOps.cosine(toD(col("_pe")), toD(col("_ne"))).as("_cos"))
+        .filter(col("_cos") >= 0.3)
+      val stats = exact.select(col("probe_id"), col("neighbor_id"), lit(1).as("_e"))
+        .join(ann.select(col("probe_id"), col("neighbor_id"), lit(1).as("_a")),
+          Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg(
+          coalesce(sum(col("_e")), lit(0)).cast("long").as("_n_exact"),
+          coalesce(sum(when(col("_e").isNotNull && col("_a").isNotNull, 1L)), lit(0L)).as("_n_both"),
+          coalesce(sum(when(col("_e").isNull && col("_a").isNotNull, 1L)), lit(0L)).as("_n_ann_only"))
+      probes.agg(count(lit(1)).as("n_probes")).crossJoin(stats).select(
+        col("n_probes"),
+        (col("_n_ann_only") === 0L).cast("long").as("ann_subset_of_exact"),
+        (col("_n_both") * 100L >= col("_n_exact") * 60L).cast("long").as("recall_ge_60"))
     }),
     "q37_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -90,31 +150,84 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
     "q43_ivf_ann" -> ((s, dir) => {
-      // k-means quantizer (seeded) — rows-only; recall vs exact in specs
+      // Invariant form: the k-means quantizer is seeded, but the output
+      // shape (exactly k distinct neighbors per probe) and recall vs the
+      // exact top-k (computed by Spark's own brute-force baseline) are
+      // engine-checkable. DuckDB checks probes_returned and asserts the
+      // booleans.
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < 10)
-      PipelineOps.ivfAnnTopK(emb, probes, k = 5)
-        .groupBy(col("probe_id")).agg(count(lit(1)).as("results"))
-        .orderBy(col("probe_id"))
+      val k = 5
+      // nProbe=4 of 16 lists: the corpus embeddings are near-uniform (no
+      // cluster structure), so recall tracks the fraction of lists probed —
+      // measured 0.56/0.58/0.70 at sf0.001/0.01/0.1, deterministic (fixed
+      // corpus + seeds), so the 50% bound holds at every SF
+      val ivf = PipelineOps.ivfAnnTopK(emb, probes, k = k, nProbe = 4)
+      val exact = PipelineOps.cosineTopK(emb, probes, k = k)
+      val shape = ivf.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
+        .agg(
+          count(lit(1)).as("probes_returned"),
+          coalesce(min((col("_n") === k.toLong && col("_nd") === k.toLong).cast("long")),
+            lit(1L)).as("per_probe_shape_ok"))
+      val hits = ivf.select(col("probe_id"), col("neighbor_id"))
+        .join(exact.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_hits"))
+      val nExact = exact.agg(count(lit(1)).as("_n_exact"))
+      shape.crossJoin(hits).crossJoin(nExact).select(
+        col("probes_returned"), col("per_probe_shape_ok"),
+        (col("_hits") * 100L >= col("_n_exact") * 50L).cast("long").as("recall_ge_50"))
     }),
     "q49_winnowing" -> ((s, dir) => {
-      // xxhash64-based selection — rows-only check + property specs
-      PipelineOps.withWinnowingFingerprints(Tables.documents(s, dir))
-        .groupBy(col("lang"))
+      // Invariant form: selected hashes are xxhash64-specific, but the
+      // winnowing guarantees are engine-checkable — docs with at least one
+      // full window (≥ k+w−1 = 6 tokens) select ≥ 1 fingerprint, counts are
+      // bounded by the window count (tokens − 5), and identical texts select
+      // identical fingerprint sets. DuckDB computes docs_eligible and
+      // text_dup_pairs itself and asserts the booleans.
+      val perDoc = PipelineOps.withWinnowingFingerprints(Tables.documents(s, dir), keepGrams = true)
+        .select(col("doc_id"), col("text"), col("fps"),
+          forall(col("fps"), f => array_contains(col("grams"), f)).cast("long").as("_subset"),
+          size(split(col("text"), " ")).as("_t"))
+        .select(
+          col("doc_id"), col("text"), col("fps"), col("_subset"),
+          (col("_t") >= 6).cast("long").as("_eligible"),
+          (size(col("fps")) > 0).cast("long").as("_has"),
+          (size(col("fps")) <= greatest(col("_t") - 5, lit(0))).cast("long").as("_bounded"))
+      val bounds = perDoc.agg(
+        sum(col("_eligible")).as("docs_eligible"),
+        min(when(col("_eligible") === 1L, col("_has")).otherwise(1L)).as("eligible_have_fps"),
+        min(col("_bounded")).as("fp_counts_bounded"),
+        min(col("_subset")).as("fps_subset_of_grams"))
+      val dups = perDoc.as("x").join(perDoc.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select((col("x.fps") === col("y.fps")).cast("long").as("_same"))
         .agg(
-          sum(size(col("fps")).cast("long")).as("total_fps"),
-          countDistinct(col("doc_id")).as("docs"))
-        .orderBy(col("lang"))
+          count(lit(1)).as("text_dup_pairs"),
+          coalesce(min(col("_same")), lit(1L)).as("dups_same_fps"))
+      bounds.crossJoin(dups).select(
+        col("docs_eligible"), col("eligible_have_fps"), col("fp_counts_bounded"),
+        col("fps_subset_of_grams"), col("text_dup_pairs"), col("dups_same_fps"))
     }),
     "q41_multimodal_features" -> ((s, dir) => {
-      // binary payload + struct metadata + batch feature extraction
-      // (decode stubbed — rows-only check; plumbing covered by specs)
+      // Real PNG encode → javax.imageio decode → luminance histogram.
+      // Invariant form: per source, the row count is DuckDB-checkable, and
+      // the decode invariants — histogram mass 1.0 per item, decoded
+      // dimensions equal to the metadata dimensions — hold for every item.
       val media = Multimodal.packAsMedia(Tables.documents(s, dir))
       Multimodal.extractFeatures(media)
+        .select(
+          col("source"),
+          (abs(aggregate(col("features"), lit(0.0d), (a, x) => a + x) - 1.0d) < 1e-4)
+            .cast("long").as("_mass_ok"),
+          (col("width") === col("meta.width") && col("height") === col("meta.height"))
+            .cast("long").as("_dims_ok"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_media"),
-          round(avg(element_at(col("features"), 1)), 4).as("avg_bin0"))
+          min(col("_mass_ok")).as("histograms_ok"),
+          min(col("_dims_ok")).as("dims_ok"))
         .orderBy(col("source"))
     }))
 
@@ -204,5 +317,59 @@ object PipelineQueries {
         |         md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
         |  FROM documents)
         |SELECT lang, count(DISTINCT fp) AS distinct_fps, min(fp) AS min_fp
-        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin,
+    // Invariant oracles (q51 pattern): DuckDB computes the deterministic
+    // counts itself and asserts the engine-checked booleans as constants.
+    "q32_minhash_neardup" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, lang,
+        |             list_distinct(list_transform(range(1, len(t) - 1),
+        |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |      FROM d),
+        |p AS (SELECT count(*) AS c FROM s a JOIN s b
+        |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      WHERE 1.0 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            <= 0.6)
+        |SELECT CAST(c AS BIGINT) AS exact_pairs,
+        |       CAST(1 AS BIGINT) AS precision_ok,
+        |       CAST(1 AS BIGINT) AS recall_ge_50
+        |FROM p""".stripMargin,
+    "q34_simhash" ->
+      """WITH p AS (SELECT count(*) AS c FROM documents x JOIN documents y
+        |           ON x.text = y.text AND x.doc_id < y.doc_id)
+        |SELECT (SELECT count(*) FROM documents) AS docs,
+        |       CAST(1 AS BIGINT) AS order_invariant,
+        |       CAST(1 AS BIGINT) AS multiple_values,
+        |       CAST(c AS BIGINT) AS text_dup_pairs,
+        |       CAST(1 AS BIGINT) AS dups_collide
+        |FROM p""".stripMargin,
+    "q36_lsh_ann" ->
+      """SELECT count(*) AS n_probes,
+        |       CAST(1 AS BIGINT) AS ann_subset_of_exact,
+        |       CAST(1 AS BIGINT) AS recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q43_ivf_ann" ->
+      """SELECT count(*) AS probes_returned,
+        |       CAST(1 AS BIGINT) AS per_probe_shape_ok,
+        |       CAST(1 AS BIGINT) AS recall_ge_50
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q49_winnowing" ->
+      """WITH e AS (SELECT count(*) AS de FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 6),
+        |p AS (SELECT count(*) AS dp FROM documents x JOIN documents y
+        |      ON x.text = y.text AND x.doc_id < y.doc_id)
+        |SELECT CAST(de AS BIGINT) AS docs_eligible,
+        |       CAST(1 AS BIGINT) AS eligible_have_fps,
+        |       CAST(1 AS BIGINT) AS fp_counts_bounded,
+        |       CAST(1 AS BIGINT) AS fps_subset_of_grams,
+        |       CAST(dp AS BIGINT) AS text_dup_pairs,
+        |       CAST(1 AS BIGINT) AS dups_same_fps
+        |FROM e, p""".stripMargin,
+    "q41_multimodal_features" ->
+      """SELECT source, count(*) AS n_media,
+        |       CAST(1 AS BIGINT) AS histograms_ok,
+        |       CAST(1 AS BIGINT) AS dims_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

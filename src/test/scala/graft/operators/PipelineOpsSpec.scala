@@ -69,12 +69,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     val exact = PipelineOps.cosineTopK(emb, probes, k = 5)
       .select($"probe_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = PipelineOps.lshAnnPairs(emb, probes, minCosine = 0.9)
+    val ann = PipelineOps.lshAnnPairs(emb, probes, minCosine = 0.9, dim = dim)
       .select($"probe_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val recall = exact.count(ann.contains).toDouble / exact.size
     assert(recall >= 0.9, s"ANN recall $recall below 0.9 (exact=${exact.size}, ann=${ann.size})")
+  }
+
+  test("lshAnnPairs with explicit dim fires no Spark job at plan construction") {
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val emb = (0 until 20).map(i => (i.toLong, Seq.fill(8)(i.toFloat + 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = PipelineOps.lshAnnPairs(emb, emb, minCosine = 0.5, dim = 8)
+      plan.queryExecution.executedPlan // force planning
+      // listener events are delivered async; give the bus a moment to drain
+      Thread.sleep(500)
+      assert(listener.jobs.get() == 0,
+        s"plan construction must be lazy, fired ${listener.jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("ivf ANN recall >= 0.8 against exact top-k (clustered vectors)") {
@@ -108,7 +127,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val emb = ((Seq(base, nearDup) ++ others).zipWithIndex.map {
       case (v, i) => (i.toLong, v.toSeq, 0)
     }).toDF("vec_id", "embedding", "label")
-    val pairs = PipelineOps.embeddingNearDupPairs(emb, minCosine = 0.98)
+    val pairs = PipelineOps.embeddingNearDupPairs(emb, minCosine = 0.98, dim = dim)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)), "planted duplicate embedding pair must be found")
     assert(pairs.size == 1, s"random vectors must not pair: $pairs")
@@ -166,38 +185,73 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 50L, None))) // right row is later
   }
 
-  test("multimodal: schema, determinism, normalized features, frame sampling") {
-    val docs = docsDf(Seq((1L, "hello world"), (2L, "hello world"), (3L, "zz")))
+  test("multimodal: real PNG codec, determinism, normalized features, frame sampling") {
+    val longText = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = docsDf(Seq((1L, "hello world"), (2L, "hello world"), (3L, longText)))
     val media = Multimodal.packAsMedia(docs)
     assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
     assert(media.schema("meta").dataType == Multimodal.mediaMetaType)
 
-    val feats = Multimodal.extractFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // payloads are REAL PNGs: decodable by an independent ImageIO.read call,
+    // with dimensions matching the metadata struct
+    val rows = media.collect().map(r => r.getLong(0) ->
+      (r.getAs[Array[Byte]]("payload"), r.getAs[org.apache.spark.sql.Row]("meta"))).toMap
+    for ((id, (png, meta)) <- rows) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"media $id payload is not a decodable image")
+      assert(img.getWidth == meta.getAs[Int]("width"), s"media $id width mismatch")
+      assert(img.getHeight == meta.getAs[Int]("height"), s"media $id height mismatch")
+      assert(meta.getAs[String]("mime") == "image/png")
+      assert(meta.getAs[Long]("n_bytes") == png.length.toLong)
+    }
+
+    val featRows = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val feats = featRows.map { case (id, r) => id -> r.getSeq[Float](3) }
     assert(feats(1L).size == Multimodal.FeatureBins)
     assert(feats(1L) == feats(2L), "identical payloads must produce identical features")
-    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5, "histogram must be L1-normalized")
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-4, "histogram must be L1-normalized")
     assert(feats(1L) != feats(3L))
+    // decoded dimensions are reported and equal the metadata
+    assert(featRows(1L).getAs[Int]("width") == rows(1L)._2.getAs[Int]("width"))
+    assert(featRows(1L).getAs[Int]("height") == rows(1L)._2.getAs[Int]("height"))
 
-    val framed = Multimodal.sampleFrames(media, frameBytes = 4, stride = 1)
+    val framed = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
       .select($"media_id", size($"frames").as("n")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(framed(1L) == 2) // 11 bytes / 4-byte frames -> blocks 0,1
-    assert(framed(3L) == 1) // short payload -> single (partial) frame
+    assert(framed(1L) == rows(1L)._1.length / 64 || framed(1L) == 1)
+    assert(framed.values.forall(_ >= 1))
 
     // partition preservation: extraction adds no shuffle
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"feature extraction must not shuffle:\n$plan")
 
-    // resize: bounded payloads, meta rewritten, deterministic, shuffle-free
-    val resized = Multimodal.resize(media, targetBytes = 4)
+    // resize: real image downscale, meta rewritten, deterministic, shuffle-free
+    val resized = Multimodal.resize(media, maxDim = 8)
     val rs = resized.collect().map(r => r.getLong(0) ->
       (r.getAs[Array[Byte]]("payload"), r.getAs[org.apache.spark.sql.Row]("meta"))).toMap
-    assert(rs(1L)._1.length == 4) // 11-byte payload downsampled
-    assert(rs(3L)._1.length == 2) // short payload untouched
-    assert(rs(1L)._2.getAs[Long]("n_bytes") == 4L)
+    for ((id, (png, meta)) <- rs) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"resized media $id must stay a decodable image")
+      assert(math.max(img.getWidth, img.getHeight) <= 8, s"media $id not bounded by maxDim")
+      assert(img.getWidth == meta.getAs[Int]("width") && img.getHeight == meta.getAs[Int]("height"))
+      assert(meta.getAs[Long]("n_bytes") == png.length.toLong)
+    }
     assert(rs(1L)._1.toSeq == rs(2L)._1.toSeq, "identical payloads resize identically")
     val rPlan = resized.queryExecution.executedPlan.toString
     assert(!rPlan.contains("Exchange"), s"resize must not shuffle:\n$rPlan")
+
+    // non-image payloads take the byte-histogram / byte-downsample fallback
+    val raw = docs.select($"doc_id".as("media_id"), $"source",
+      encode($"text", "UTF-8").as("payload"),
+      struct(lit("application/octet-stream").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        length($"text").cast("long").as("n_bytes")).as("meta"))
+    val rawFeats = Multimodal.extractFeatures(raw).collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(rawFeats(1L).getSeq[Float](3).sum - 1.0f) < 1e-4)
+    assert(rawFeats(1L).isNullAt(4) && rawFeats(1L).isNullAt(5), "no decoded dims for raw bytes")
+    val rawResized = Multimodal.resize(raw, maxDim = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(rawResized(1L).length == 4, "raw payload byte-downsampled to maxDim bytes")
   }
 }

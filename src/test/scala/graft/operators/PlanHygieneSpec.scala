@@ -39,11 +39,38 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"HOF pushed into scan filters in: $offenders")
   }
 
+  // invariant-oracle queries run the operator AND a second exact baseline
+  // plus comparison joins — their correctness-checking plans are join-heavy
+  // by design, so they get a wider (still bounded) shuffle budget
+  private val verificationQueries = Set(
+    "q32_minhash_neardup", "q34_simhash", "q36_lsh_ann", "q43_ivf_ann", "q49_winnowing")
+
   test("bounded shuffle count per query") {
     val offenders = plans.collect {
-      case (n, p) if p.linesIterator.count(_.contains("Exchange hashpartitioning")) > 4 => n
+      case (n, p) if p.linesIterator.count(_.contains("Exchange hashpartitioning")) >
+        (if (verificationQueries(n)) 14 else 4) => n
     }
-    assert(offenders.isEmpty, s"more than 4 shuffles in: $offenders")
+    assert(offenders.isEmpty, s"shuffle budget exceeded in: $offenders")
+  }
+
+  test("no array columns ride an aggregate/distinct exchange in candidate dedup") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrap(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    for (q <- Seq("q32_minhash_neardup", "q36_lsh_ann")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val offenders = plan.collect {
+        case e: ShuffleExchangeExec if unwrap(e.child).isInstanceOf[BaseAggregateExec] &&
+            e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => e
+      }
+      assert(offenders.isEmpty,
+        s"$q ships arrays through an aggregate exchange:\n${offenders.mkString("\n")}")
+    }
   }
 
   test("dimension joins broadcast") {
