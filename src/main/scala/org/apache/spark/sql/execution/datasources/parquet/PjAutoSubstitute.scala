@@ -40,6 +40,13 @@ class PjAutoSubstituteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       if (same) Some(table) else None
     } catch {
+      // absence of sidecars is the normal negative case — stay silent; a
+      // corrupt or stale sidecar means the user EXPECTS index planning and
+      // is silently not getting it, so say so
+      case _: graft.sources.pjparquet.PjMissingSidecarException => None
+      case e: graft.core.PJException =>
+        logWarning(s"pjparquet auto-substitute disabled for '${roots.head}': ${e.getMessage}")
+        None
       case _: Exception => None
     }
   }
