@@ -40,6 +40,24 @@ object MetadataQueries {
         .groupBy($"s_nationkey")
         .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"s_nationkey")
+    }),
+    "q55_pjparquet_insert" -> ((s, dir) => {
+      import s.implicits._
+      // DSv2 write path: seed a pjparquet table with part of `nation`, then
+      // INSERT INTO the rest through SQL; the readback below runs off the
+      // sidecars the write path just produced (autogen stays enabled only
+      // for the driver's re-runs). Oracle = the same aggregate over the
+      // whole nation table, so the round-trip must be lossless.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q55_insert").toString
+      val nation = graft.Tables.nation(s, dir)
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        nation.filter($"n_regionkey" === 0).coalesce(1), tmp)
+      s.sql("DROP TABLE IF EXISTS pj_q55_t")
+      s.sql(s"CREATE TABLE pj_q55_t USING pjparquet OPTIONS (path '$tmp')")
+      nation.filter($"n_regionkey" =!= 0).createOrReplaceTempView("pj_q55_src")
+      s.sql("INSERT INTO pj_q55_t SELECT * FROM pj_q55_src")
+      s.sql("""SELECT n_regionkey, count(*) AS n_nations, sum(n_nationkey) AS key_sum
+              |FROM pj_q55_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -53,5 +71,9 @@ object MetadataQueries {
     "q25_pjparquet_join" ->
       """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q55_pjparquet_insert" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 }

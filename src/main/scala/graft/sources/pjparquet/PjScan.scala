@@ -105,10 +105,20 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
       else layout.files.filter(f => pushed.forall(mightMatch(f, _)))
     // split the pruned schema into file-physical vs partition columns; the
     // scan emits data columns first, partition columns last (Spark reorders
-    // above the scan as needed)
-    val partNames = layout.partitionSchema.fieldNames.toSet
-    val dataRequired = StructType(requiredSchema.fields.filterNot(f => partNames.contains(f.name)))
-    val partRequired = StructType(requiredSchema.fields.filter(f => partNames.contains(f.name)))
+    // above the scan as needed). Partition membership honors
+    // `spark.sql.caseSensitive`; requested-case names are PRESERVED here
+    // (Spark matches the scan's readSchema back to the relation's output by
+    // exact name) — the scan folds to file case internally for the splice
+    // and the parquet reader.
+    val caseSensitive = SQLConf.get.caseSensitiveAnalysis
+    val partNames =
+      if (caseSensitive) layout.partitionSchema.fieldNames.toSet
+      else layout.partitionSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def isPart(f: org.apache.spark.sql.types.StructField): Boolean =
+      partNames.contains(
+        if (caseSensitive) f.name else f.name.toLowerCase(java.util.Locale.ROOT))
+    val dataRequired = StructType(requiredSchema.fields.filterNot(isPart))
+    val partRequired = StructType(requiredSchema.fields.filter(isPart))
     new PjScan(
       survivingFiles, fileSchema, dataRequired,
       layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq)
@@ -137,6 +147,8 @@ class PjScan(
   /** Data columns first, requested partition columns last — the order the
     * vectorized reader produces when partition values are appended via
     * `initBatch`; Spark projects above the scan to the query's order.
+    * Names keep the REQUESTED case (Spark maps them back to the relation's
+    * output attributes by exact name).
     */
   override def readSchema(): StructType = StructType(dataRequired.fields ++ partRequired.fields)
 
@@ -147,18 +159,37 @@ class PjScan(
       explicitRowGroups.map(r => s", rowGroups=${r.mkString(",")}").getOrElse("") +
       (if (pushedFilters.nonEmpty) s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
 
+  /** `dataRequired` folded to the FILE schema's case (when the session is
+    * case-insensitive): the names handed to the O5 splice and the parquet
+    * reader, which both keep the reference's exact-match semantics. Batch
+    * columns are consumed positionally, so the requested-case `readSchema`
+    * and this physical schema only need to agree on ORDER.
+    */
+  private lazy val dataPhysical: StructType =
+    if (SQLConf.get.caseSensitiveAnalysis) dataRequired
+    else {
+      val byLower = fileSchema.fields
+        .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+      StructType(dataRequired.fields.map(f =>
+        byLower.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          .map(n => f.copy(name = n)).getOrElse(f)))
+    }
+
   // Column splice only when a strict subset of top-level fields is needed;
   // name-based selection follows reference O5 semantics (exact match).
   private def prunedColumnNames: Seq[String] = {
     val full = fileSchema.fieldNames.toSeq
-    val req = dataRequired.fieldNames.toSeq
+    val req = dataPhysical.fieldNames.toSeq
     if (req == full || req.isEmpty) Nil else req
   }
 
-  /** The requested partition values of `f`, aligned with `partRequired`. */
+  /** The requested partition values of `f`, aligned with `partRequired`
+    * (case-insensitive name match when the session is). */
   private def requiredPartValues(f: PjFile): Array[String] = {
-    val byName = partitionSchema.fieldNames.zip(f.partitionValues).toMap
-    partRequired.fieldNames.map(byName)
+    val cs = SQLConf.get.caseSensitiveAnalysis
+    def key(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
+    val byName = partitionSchema.fieldNames.map(key).zip(f.partitionValues).toMap
+    partRequired.fieldNames.map(n => byName(key(n)))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -188,7 +219,7 @@ class PjScan(
     val spark = SparkSession.active
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConf()
-    PjSparkShims.configureReadConf(hadoopConf, dataRequired, sqlConf)
+    PjSparkShims.configureReadConf(hadoopConf, dataPhysical, sqlConf)
     // files can be empty when partition pruning excluded every file — an
     // empty scan needs no parquet predicate (and has no index to splice).
     if (files.nonEmpty && pushedFilters.nonEmpty &&
@@ -209,7 +240,7 @@ class PjScan(
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     PjPartitionReaderFactory(
       broadcast,
-      dataRequired.json,
+      dataPhysical.json,
       partRequired.json,
       sqlConf.parquetVectorizedReaderBatchSize,
       sqlConf.offHeapColumnVectorEnabled,
