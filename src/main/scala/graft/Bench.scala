@@ -105,8 +105,10 @@ object Bench {
     walls.min / submissions
   }
 
-  /** 200 rg x 400 float columns; the fixture is built once and cached. */
-  private def metadataBench(spark: SparkSession): String = {
+  /** 200 rg x 400 float columns; the fixture is built once and cached.
+    * `reps`/`protocol` let the README drift test run a quick variant.
+    */
+  def metadataBench(spark: SparkSession, reps: Int = 200, protocol: Boolean = true): String = {
     import org.apache.spark.sql.functions._
     val rgs = 200
     val cols = 400
@@ -136,7 +138,6 @@ object Bench {
     val indexBytes = PJIndex.generate(parquet)
     val idx = PJSplice.Index.fromBytes(indexBytes)
     val actualRgs = idx.header.rowGroups
-    val reps = 200
 
     def timeMs(n: Int)(body: => Unit): Double = {
       body // warm-up
@@ -166,7 +167,7 @@ object Bench {
     val iterations = 5
     val pjSubs = 1000
     val footerSubs = 20
-    val poolJson = Seq(1, 2).map { n =>
+    val poolJson = if (!protocol) "{}" else Seq(1, 2).map { n =>
       val fMs = poolBench(n, footerSubs, iterations)(() => TestlessFooterRead.readFooter(parquet))
       val sMs = poolBench(n, pjSubs, iterations)(() =>
         PalletJack.materialize(PJSplice.splice(idx, Seq(0), Nil, Nil, schemaOnly = false)))

@@ -44,15 +44,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
 
-  /** Streaming exact dedup: first occurrence per key wins across
-    * micro-batches; state for keys older than the watermark is dropped, so
-    * memory is bounded by the dedup horizon, not the stream length — the
-    * continuous-ingestion form of the batch `exactDedup`.
+  /** Streaming exact dedup: first occurrence per KEY wins across
+    * micro-batches (`dropDuplicatesWithinWatermark` — the same key at a
+    * different event time is still a duplicate, unlike
+    * `dropDuplicates(keys :+ eventTime)`); state for keys older than the
+    * watermark horizon is dropped, so memory is bounded by the dedup
+    * horizon, not the stream length — the continuous-ingestion form of the
+    * batch `exactDedup`.
     */
   def dedupedStream(events: DataFrame, keys: Seq[String], horizon: String = "1 hour"): DataFrame =
     eventTime(events)
       .withWatermark("event_time", horizon)
-      .dropDuplicates(keys :+ "event_time")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * (event count, value sum) that survives across micro-batches. The

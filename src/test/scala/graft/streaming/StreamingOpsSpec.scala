@@ -65,19 +65,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
-  test("streaming dedup: distinct (user, type, time) count == batch distinct") {
+  test("streaming dedup: key-level first-wins == batch distinct keys") {
     val schema = batchEvents.schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)
-    val q = StreamingOps.dedupedStream(stream, Seq("user_id", "event_type"))
+    // horizon wider than the event-time span of the table, so every repeat
+    // of a key is within state lifetime → exactly one row per distinct key
+    val q = StreamingOps.dedupedStream(stream, Seq("user_id", "event_type"),
+        horizon = "3650 days")
       .writeStream.format("memory").queryName("dedup_stream").outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
     assert(!q.isActive)
     val streaming = spark.table("dedup_stream").count()
-    val batch = StreamingOps.eventTime(batchEvents)
-      .dropDuplicates(Seq("user_id", "event_type", "event_time")).count()
-    assert(streaming > 0 && streaming == batch)
+    val batch = batchEvents.dropDuplicates(Seq("user_id", "event_type")).count()
+    assert(streaming > 0 && streaming == batch,
+      s"streaming=$streaming batch=$batch — same key at different times must dedup")
   }
 
   test("flatMapGroupsWithState running stats: final state == batch aggregate") {
