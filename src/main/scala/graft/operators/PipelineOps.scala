@@ -119,6 +119,18 @@ object PipelineOps {
         col("inter"), (col("_nsum") - col("inter")).as("uni"))
   }
 
+  /** Shared trigram-shingle prep for [[minhashNearDupPairs]] /
+    * [[trigramJaccardPairs]]: `(doc_id, lang, h)` with `h` the sorted
+    * distinct hashed-trigram set. Callers running BOTH operators over the
+    * same corpus should `.persist()` this and pass it to the
+    * `...FromShingles` variants — the prep is the expensive scalar work and
+    * otherwise re-evaluates once per plan subtree.
+    */
+  def trigramShingles(docs: DataFrame): DataFrame = docs
+    .filter(size(split(col("text"), " ")) >= 3)
+    .select(col("doc_id"), col("lang"), tokenHashes(col("text")).as("_th"))
+    .select(col("doc_id"), col("lang"), ngramHashes(col("_th"), 3).as("h"))
+
   /** Exact trigram-Jaccard pair set over lang-blocked ALL-pairs — the
     * verification baseline for [[minhashNearDupPairs]]: same shingle space
     * (hashed trigrams), same distance expression, no LSH and no length
@@ -126,12 +138,12 @@ object PipelineOps {
     * O(n²) within a language — a QA/verification utility, not the scale
     * path (that is [[minhashNearDupPairs]] / [[jaccardNearDupPairs]]).
     */
-  def trigramJaccardPairs(docs: DataFrame, jaccardDistThreshold: Double = 0.6): DataFrame = {
-    val prepped = docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), col("lang"), tokenHashes(col("text")).as("_th"))
-      .select(col("doc_id"), col("lang"), ngramHashes(col("_th"), 3).as("h"))
-      .withColumn("n", size(col("h")))
+  def trigramJaccardPairs(docs: DataFrame, jaccardDistThreshold: Double = 0.6): DataFrame =
+    trigramJaccardPairsFromShingles(trigramShingles(docs), jaccardDistThreshold)
+
+  def trigramJaccardPairsFromShingles(
+      shingles: DataFrame, jaccardDistThreshold: Double = 0.6): DataFrame = {
+    val prepped = shingles.withColumn("n", size(col("h")))
     val maxJ = 1.0 - jaccardDistThreshold
     // necessary size condition: J ≤ min/max, so J ≥ maxJ needs
     // min ≥ maxJ·max — an integer prefilter that skips the array merge for
@@ -169,16 +181,21 @@ object PipelineOps {
       docs: DataFrame,
       jaccardDistThreshold: Double = 0.6,
       numBands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2): DataFrame =
     // trigram shingles: distinctive enough that LSH buckets stay small even
     // when the corpus shares most of its vocabulary
     // the no-shingle filter runs on the cheap token count BEFORE the prep:
     // filtering on size(h) would be predicate-pushed into the scan with the
     // whole (inlined, quadratic) shingle expression substituted in
-    val prepped = docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), col("lang"), tokenHashes(col("text")).as("_th"))
-      .select(col("doc_id"), col("lang"), ngramHashes(col("_th"), 3).as("h"))
+    minhashNearDupPairsFromShingles(
+      trigramShingles(docs), jaccardDistThreshold, numBands, rowsPerBand)
+
+  def minhashNearDupPairsFromShingles(
+      shingles: DataFrame,
+      jaccardDistThreshold: Double = 0.6,
+      numBands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
+    val prepped = shingles
     val minhashes: Seq[Column] = (0 until numBands * rowsPerBand).map(i =>
       array_min(transform(col("h"), x => xxhash64(x, lit(i)))))
     val bands = array((0 until numBands).map { j =>

@@ -38,9 +38,12 @@ object PipelineQueries {
       // the booleans: precision 1.0 (minhash ⊆ exact — candidates are
       // exact-verified) and recall above the S-curve bound.
       val docs = Tables.documents(s, dir)
-      val mh = PipelineOps.minhashNearDupPairs(docs)
+      // the shingle prep is the expensive scalar work and feeds BOTH the
+      // operator under test and its exact baseline — persist it once
+      val shingles = PipelineOps.trigramShingles(docs).persist()
+      val mh = PipelineOps.minhashNearDupPairsFromShingles(shingles)
         .select(col("id_a"), col("id_b"), lit(1).as("_m"))
-      val exact = PipelineOps.trigramJaccardPairs(docs)
+      val exact = PipelineOps.trigramJaccardPairsFromShingles(shingles)
         .select(col("id_a"), col("id_b"), lit(1).as("_e"))
       exact.join(mh, Seq("id_a", "id_b"), "full_outer")
         .agg(
@@ -66,7 +69,10 @@ object PipelineQueries {
       // DuckDB computes docs and text_dup_pairs itself, asserts the booleans.
       val docs = Tables.documents(s, dir)
       val reversed = docs.withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
-      val sh = PipelineOps.withSimhash(docs).select(col("doc_id"), col("text"), col("simhash"))
+      // slim join keys: the dup join shuffles 32-byte content hashes and
+      // 8-byte simhashes, never document text
+      val sh = PipelineOps.withSimhash(docs)
+        .select(col("doc_id"), sha2(col("text"), 256).as("_h"), col("simhash"))
       val shRev = PipelineOps.withSimhash(reversed)
         .select(col("doc_id"), col("simhash").as("_simhash_rev"))
       val base = sh.join(shRev, "doc_id").agg(
@@ -74,7 +80,7 @@ object PipelineQueries {
         min((col("simhash") === col("_simhash_rev")).cast("long")).as("order_invariant"),
         (countDistinct(col("simhash")) >= 2L).cast("long").as("multiple_values"))
       val dups = sh.as("x").join(sh.as("y"),
-          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+          col("x._h") === col("y._h") && col("x.doc_id") < col("y.doc_id"))
         .select((col("x.simhash") === col("y.simhash")).cast("long").as("_same"))
         .agg(
           count(lit(1)).as("text_dup_pairs"),
@@ -187,11 +193,11 @@ object PipelineQueries {
       // identical fingerprint sets. DuckDB computes docs_eligible and
       // text_dup_pairs itself and asserts the booleans.
       val perDoc = PipelineOps.withWinnowingFingerprints(Tables.documents(s, dir), keepGrams = true)
-        .select(col("doc_id"), col("text"), col("fps"),
+        .select(col("doc_id"), sha2(col("text"), 256).as("_h"), col("fps"),
           forall(col("fps"), f => array_contains(col("grams"), f)).cast("long").as("_subset"),
           size(split(col("text"), " ")).as("_t"))
         .select(
-          col("doc_id"), col("text"), col("fps"), col("_subset"),
+          col("doc_id"), col("_h"), col("fps"), col("_subset"),
           (col("_t") >= 6).cast("long").as("_eligible"),
           (size(col("fps")) > 0).cast("long").as("_has"),
           (size(col("fps")) <= greatest(col("_t") - 5, lit(0))).cast("long").as("_bounded"))
@@ -200,8 +206,9 @@ object PipelineQueries {
         min(when(col("_eligible") === 1L, col("_has")).otherwise(1L)).as("eligible_have_fps"),
         min(col("_bounded")).as("fp_counts_bounded"),
         min(col("_subset")).as("fps_subset_of_grams"))
+      // dup join keyed on the 32-byte content hash — text never shuffles
       val dups = perDoc.as("x").join(perDoc.as("y"),
-          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+          col("x._h") === col("y._h") && col("x.doc_id") < col("y.doc_id"))
         .select((col("x.fps") === col("y.fps")).cast("long").as("_same"))
         .agg(
           count(lit(1)).as("text_dup_pairs"),
