@@ -217,6 +217,44 @@ object PipelineQueries {
         col("docs_eligible"), col("eligible_have_fps"), col("fp_counts_bounded"),
         col("fps_subset_of_grams"), col("text_dup_pairs"), col("dups_same_fps"))
     }),
+    "q56_embedding_neardup" -> ((s, dir) => {
+      // Embedding-cosine near-dup at minCosine=0.5 (the corpus has real
+      // pairs there: 1 at sf0.01, 14 at sf0.1, none within 1e-3 of the
+      // threshold so engines cannot disagree on membership). DuckDB
+      // recomputes exact_pairs with its own cosine; the booleans assert the
+      // LSH path found exactly the exact set (measured recall 1.0,
+      // deterministic; bound at 80%).
+      val emb = Tables.embeddings(s, dir)
+      val nd = PipelineOps.embeddingNearDupPairs(emb, minCosine = 0.5, dim = Tables.embeddingDim)
+        .select(col("id_a"), col("id_b"), lit(1).as("_n"))
+      // exact baseline: double arrays and norms materialized per ROW before
+      // the pair join (an inlined transform would re-evaluate per dot
+      // reference — the HOF trap), so each pair pays exactly one fused dot.
+      // persist() doubles as the projection barrier: without it, constraint
+      // inference pushes IsNotNull(_nrm) — with the transform inlined —
+      // into the parquet scan's DataFilters (PlanHygieneSpec guards this)
+      val prepped = emb
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("_v"))
+        .withColumn("_nrm", sqrt(graft.functions.VectorFunctions.dotProduct(col("_v"), col("_v"))))
+        .persist()
+      val exact = prepped.select(col("vec_id").as("id_a"), col("_v").as("_va"), col("_nrm").as("_na"))
+        .join(prepped.select(col("vec_id").as("id_b"), col("_v").as("_vb"), col("_nrm").as("_nb")),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (graft.functions.VectorFunctions.dotProduct(col("_va"), col("_vb")) /
+            (col("_na") * col("_nb"))).as("_c"))
+        .filter(col("_c") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+      exact.join(nd, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("_e")), lit(0)).cast("long").as("exact_pairs"),
+          coalesce(sum(when(col("_e").isNotNull && col("_n").isNotNull, 1L)), lit(0L)).as("_both"),
+          coalesce(sum(when(col("_e").isNull, 1L)), lit(0L)).as("_nd_only"))
+        .select(
+          col("exact_pairs"),
+          (col("_nd_only") === 0L).cast("long").as("nd_subset_of_exact"),
+          (col("_both") * 100L >= col("exact_pairs") * 80L).cast("long").as("recall_ge_80"))
+    }),
     "q41_multimodal_features" -> ((s, dir) => {
       // Real PNG encode → javax.imageio decode → luminance histogram.
       // Invariant form: per source, the row count is DuckDB-checkable, and
@@ -378,5 +416,13 @@ object PipelineQueries {
       """SELECT source, count(*) AS n_media,
         |       CAST(1 AS BIGINT) AS histograms_ok,
         |       CAST(1 AS BIGINT) AS dims_ok
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q56_embedding_neardup" ->
+      """WITH p AS (SELECT count(*) AS c
+        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5)
+        |SELECT CAST(c AS BIGINT) AS exact_pairs,
+        |       CAST(1 AS BIGINT) AS nd_subset_of_exact,
+        |       CAST(1 AS BIGINT) AS recall_ge_80
+        |FROM p""".stripMargin)
 }
