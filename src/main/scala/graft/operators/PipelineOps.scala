@@ -149,8 +149,23 @@ object PipelineOps {
     // min ≥ maxJ·max — an integer prefilter that skips the array merge for
     // the vast majority of pairs (×5 on the homogeneous test corpus)
     val (num, den) = { val d = BigDecimal(maxJ); ((d * 1000).toInt, 1000) }
-    prepped.as("a").join(prepped.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    // `lang` alone has a handful of distinct values, so a lang-keyed
+    // self-join would run on that many reducers no matter the cluster. Grid
+    // salting restores parallelism: side b carries its hash bucket, side a
+    // replicates over all `buckets` targets, the join key becomes
+    // (lang, bucket) — every pair still matches exactly once, on
+    // |langs|·buckets reducers.
+    val buckets = 16
+    // repartition the replicated probe side: with a broadcast build the
+    // probe otherwise inherits the SOURCE's split count (a single-row-group
+    // file probes on one task no matter how many cores exist) — the O(n²)
+    // merge work must spread over the (lang, grid-bucket) cells
+    val a = prepped.withColumn("_gb", explode(array((0 until buckets).map(lit): _*)))
+      .repartition(col("lang"), col("_gb"))
+    val b = prepped.withColumn("_gb", pmod(hash(col("doc_id")), lit(buckets)))
+    a.as("a").join(b.as("b"),
+        col("a.lang") === col("b.lang") && col("a._gb") === col("b._gb") &&
+          col("a.doc_id") < col("b.doc_id"))
       .filter(least(col("a.n"), col("b.n")) * den >= greatest(col("a.n"), col("b.n")) * num)
       .select(
         col("a.lang").as("lang"),
