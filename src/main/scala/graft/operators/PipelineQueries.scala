@@ -17,6 +17,17 @@ import graft.Tables
   */
 object PipelineQueries {
 
+  /** Split-count insurance for compute-heavy per-row prep (shingling,
+    * SimHash votes, winnowing windows): a single-row-group parquet file
+    * scans as ONE task, serializing the prep no matter how many cores the
+    * cluster has. A cheap round-robin repartition of the raw rows caps
+    * nothing at scale (inputs there have thousands of splits and the
+    * shuffle is narrow relative to the prep cost) and restores
+    * parallelism on few-split inputs.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
@@ -39,8 +50,9 @@ object PipelineQueries {
       // exact-verified) and recall above the S-curve bound.
       val docs = Tables.documents(s, dir)
       // the shingle prep is the expensive scalar work and feeds BOTH the
-      // operator under test and its exact baseline — persist it once
-      val shingles = PipelineOps.trigramShingles(docs).persist()
+      // operator under test and its exact baseline — spread it over the
+      // cores and persist it once
+      val shingles = PipelineOps.trigramShingles(spread(docs)).persist()
       val mh = PipelineOps.minhashNearDupPairsFromShingles(shingles)
         .select(col("id_a"), col("id_b"), lit(1).as("_m"))
       val exact = PipelineOps.trigramJaccardPairsFromShingles(shingles)
@@ -56,7 +68,7 @@ object PipelineQueries {
           (col("_both") * 100L >= col("exact_pairs") * 50L).cast("long").as("recall_ge_50"))
     }),
     "q33_ngram_jaccard" -> ((s, dir) => {
-      PipelineOps.jaccardNearDupPairs(Tables.documents(s, dir))
+      PipelineOps.jaccardNearDupPairs(spread(Tables.documents(s, dir)))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("near_dup_pairs"), sum(col("id_a") + col("id_b")).as("pair_checksum"))
         .orderBy(col("lang"))
@@ -67,7 +79,7 @@ object PipelineQueries {
       // every doc's simhash unchanged (checked for ALL docs), (2) identical
       // texts collide, and (3) a varied corpus yields > 1 distinct value.
       // DuckDB computes docs and text_dup_pairs itself, asserts the booleans.
-      val docs = Tables.documents(s, dir)
+      val docs = spread(Tables.documents(s, dir))
       val reversed = docs.withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
       // slim join keys: the dup join shuffles 32-byte content hashes and
       // 8-byte simhashes, never document text
@@ -192,7 +204,7 @@ object PipelineQueries {
       // bounded by the window count (tokens − 5), and identical texts select
       // identical fingerprint sets. DuckDB computes docs_eligible and
       // text_dup_pairs itself and asserts the booleans.
-      val perDoc = PipelineOps.withWinnowingFingerprints(Tables.documents(s, dir), keepGrams = true)
+      val perDoc = PipelineOps.withWinnowingFingerprints(spread(Tables.documents(s, dir)), keepGrams = true)
         .select(col("doc_id"), sha2(col("text"), 256).as("_h"), col("fps"),
           forall(col("fps"), f => array_contains(col("grams"), f)).cast("long").as("_subset"),
           size(split(col("text"), " ")).as("_t"))
