@@ -83,4 +83,25 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("interval-dimension band join stays broadcast-nested-loop") {
     assert(plans("q48_band_join").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("filters and projections reach the scans") {
+    // stock parquet: q02 filters lineitem and projects a narrow column set —
+    // the scan must show pushed filters and a pruned ReadSchema
+    val q02 = plans("q02_filter_project")
+    val scanLine = q02.linesIterator.find(l => l.contains("FileScan parquet"))
+      .getOrElse(fail(s"no FileScan in q02 plan:\n$q02"))
+    assert(scanLine.contains("PushedFilters: [") && !scanLine.contains("PushedFilters: []"),
+      s"q02 lost filter pushdown: $scanLine")
+    // the scan's output attribute list (ReadSchema gets truncated with "...")
+    val scanCols = """FileScan parquet \[([^\]]*)\]""".r.findFirstMatchIn(scanLine)
+      .map(_.group(1).split(",").length).getOrElse(Int.MaxValue)
+    assert(scanCols <= 6, s"q02 reads $scanCols columns — projection not pruned: $scanLine")
+
+    // pjparquet: q24 projects 3 of 16 order columns through the metadata
+    // splice, with pushed filters in the scan description
+    val q24 = plans("q24_pjparquet_projection")
+    assert(q24.contains("cols=o_orderkey,o_custkey,o_totalprice"),
+      s"q24 column splice lost pruning:\n$q24")
+    assert(q24.contains("PushedFilters: ["), s"q24 lost filter pushdown:\n$q24")
+  }
 }

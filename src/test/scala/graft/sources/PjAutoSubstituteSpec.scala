@@ -54,6 +54,27 @@ class PjAutoSubstituteSpec extends AnyFunSuite {
     assert(stock.count() == 100)
   }
 
+  test("corrupt sidecar disables substitution gracefully (stock plan, right answer)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pjsub3").toString
+    PjWriter.writeWithIndex(
+      extSpark.range(0, 200).select(col("id")), s"$dir/t")
+    // corrupt every sidecar in place
+    for (sc <- new java.io.File(s"$dir/t").listFiles().filter(_.getName.endsWith(".index"))) {
+      java.nio.file.Files.write(sc.toPath, Array.fill[Byte](32)(0x11))
+      val crc = new java.io.File(sc.getParentFile, "." + sc.getName + ".crc")
+      if (crc.exists()) crc.delete()
+    }
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    SparkSession.setActiveSession(extSpark)
+    val df = extSpark.read.parquet(s"$dir/t")
+    val planStr = df.queryExecution.executedPlan.toString
+    // the rule resolves with autogen=false → corrupt sidecar is a loud WARN
+    // + fallback to the stock scan, never an exception or a wrong answer
+    assert(!planStr.contains("pjparquet"), s"corrupt sidecar must not substitute:\n$planStr")
+    assert(df.count() == 200)
+  }
+
   test("substituted plan preserves join/aggregate correctness vs stock session") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("pjsub2").toString
