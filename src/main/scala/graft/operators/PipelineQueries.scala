@@ -267,6 +267,59 @@ object PipelineQueries {
           (col("_nd_only") === 0L).cast("long").as("nd_subset_of_exact"),
           (col("_both") * 100L >= col("exact_pairs") * 80L).cast("long").as("recall_ge_80"))
     }),
+    "q57_stratified_sample" -> ((s, dir) => {
+      // Stratified sampling (per-lang Bernoulli via sampleBy) — a core
+      // training-data-mixing primitive. The draw is seeded; invariants:
+      // every stratum's size sits inside a 6-sigma binomial envelope of
+      // fraction*n, and the sample has no duplicate ids. DuckDB checks
+      // langs/docs and asserts the booleans.
+      val docs = Tables.documents(s, dir)
+      val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+      val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+      val perStratum = docs.groupBy(col("lang")).agg(count(lit(1)).as("_n"))
+        .join(sampled.groupBy(col("lang")).agg(
+          count(lit(1)).as("_k"), countDistinct(col("doc_id")).as("_kd")), Seq("lang"), "left_outer")
+        .select(col("lang"), col("_n"),
+          coalesce(col("_k"), lit(0L)).as("_k"), coalesce(col("_kd"), lit(0L)).as("_kd"),
+          element_at(typedLit(fractions), col("lang")).as("_f"))
+        .select(col("lang"), col("_k"), col("_kd"),
+          (abs(col("_k") - col("_f") * col("_n")) <=
+            lit(6.0) * sqrt(col("_f") * (lit(1.0) - col("_f")) * col("_n")) + lit(1.0))
+            .cast("long").as("_in_envelope"))
+      perStratum.agg(
+        count(lit(1)).as("langs"),
+        min(col("_in_envelope")).as("strata_within_bounds"),
+        min((col("_k") === col("_kd")).cast("long")).as("no_duplicates"))
+    }),
+    "q58_count_min_sketch" -> ((s, dir) => {
+      // Count-Min-Sketch heavy hitters over (lang, source) pairs — the
+      // streaming-friendly frequency sketch. CMS guarantees est >= true
+      // always, and est <= true + eps*N with the configured confidence;
+      // both are checked against the exact counts for every key. DuckDB
+      // checks keys/total and asserts the booleans.
+      import org.apache.spark.sql.Row
+      val docs = Tables.documents(s, dir).withColumn("_key",
+        concat_ws("|", col("lang"), col("source")))
+      val eps = 0.001
+      val skBytes = docs.agg(
+        count_min_sketch(col("_key"), lit(eps), lit(0.99), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val truth = docs.groupBy(col("_key")).agg(count(lit(1)).as("n")).collect()
+      val total = truth.map(_.getLong(1)).sum
+      val ests = truth.map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      val overOnly = ests.forall { case (_, n, e) => e >= n }
+      val withinEps = ests.forall { case (_, n, e) => e <= n + (eps * total).ceil.toLong }
+      s.createDataFrame(
+        java.util.List.of(Row(ests.length.toLong, total,
+          if (overOnly) 1L else 0L, if (withinEps) 1L else 0L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("keys", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total_docs", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("never_underestimates", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("within_eps", org.apache.spark.sql.types.LongType))))
+    }),
     "q41_multimodal_features" -> ((s, dir) => {
       // Real PNG encode → javax.imageio decode → luminance histogram.
       // Invariant form: per source, the row count is DuckDB-checkable, and
@@ -436,5 +489,16 @@ object PipelineQueries {
         |SELECT CAST(c AS BIGINT) AS exact_pairs,
         |       CAST(1 AS BIGINT) AS nd_subset_of_exact,
         |       CAST(1 AS BIGINT) AS recall_ge_80
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+    "q57_stratified_sample" ->
+      """SELECT count(DISTINCT lang) AS langs,
+        |       CAST(1 AS BIGINT) AS strata_within_bounds,
+        |       CAST(1 AS BIGINT) AS no_duplicates
+        |FROM documents""".stripMargin,
+    "q58_count_min_sketch" ->
+      """SELECT count(*) AS keys, CAST(sum(n) AS BIGINT) AS total_docs,
+        |       CAST(1 AS BIGINT) AS never_underestimates,
+        |       CAST(1 AS BIGINT) AS within_eps
+        |FROM (SELECT lang || '|' || source AS k, count(*) AS n
+        |      FROM documents GROUP BY 1)""".stripMargin)
 }
