@@ -119,6 +119,37 @@ object PipelineOps {
         col("inter"), (col("_nsum") - col("inter")).as("uni"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs — the character-level
+    * member of the dedup family, for short-to-medium fields where token
+    * shingles are too coarse. Blocking mirrors [[jaccardNearDupPairs]]:
+    * same `lang` and a character-length bucket within the sound reach
+    * (distance ≥ |len_a − len_b|) — a pure equi-join, never O(n²), with no
+    * within-threshold pair missed. The distance itself uses Spark's
+    * banded `levenshtein(l, r, threshold)` (O(len·k), −1 when exceeded),
+    * so non-matches quit early instead of filling the full matrix.
+    */
+  def editDistanceNearDupPairs(
+      docs: DataFrame,
+      maxDistance: Int = 30,
+      lengthBand: Int = 10): DataFrame = {
+    // distance ≥ |len_a − len_b|, so a within-threshold pair sits at most
+    // ⌈maxDistance/lengthBand⌉ length buckets apart — explode exactly that
+    // reach so the blocking is SOUND (no within-threshold pair is missed)
+    val reach = math.ceil(maxDistance.toDouble / lengthBand).toInt
+    val d = docs.select(
+      col("doc_id"), col("lang"), col("text"),
+      floor(length(col("text")) / lengthBand).as("_b"))
+    val a = d.select(
+      col("doc_id").as("id_a"), col("lang"), col("text").as("_ta"),
+      explode(array((-reach to reach).map(o => col("_b") + o): _*)).as("_b"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("text").as("_tb"), col("_b"))
+    a.join(b, Seq("lang", "_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDistance))
+      .filter(col("dist") >= 0)
+      .select(col("lang"), col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Shared trigram-shingle prep for [[minhashNearDupPairs]] /
     * [[trigramJaccardPairs]]: `(doc_id, lang, h)` with `h` the sorted
     * distinct hashed-trigram set. Callers running BOTH operators over the

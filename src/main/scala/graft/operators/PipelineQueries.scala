@@ -267,6 +267,17 @@ object PipelineQueries {
           (col("_nd_only") === 0L).cast("long").as("nd_subset_of_exact"),
           (col("_both") * 100L >= col("exact_pairs") * 80L).cast("long").as("recall_ge_80"))
     }),
+    "q59_edit_distance" -> ((s, dir) => {
+      // character-level near-dup: exact value oracle (Levenshtein is
+      // engine-independent), blocking replicated verbatim in the SQL
+      PipelineOps.editDistanceNearDupPairs(spread(Tables.documents(s, dir)))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("near_pairs"),
+          sum(col("dist")).cast("long").as("dist_sum"),
+          sum(col("id_a") + col("id_b")).as("pair_checksum"))
+        .orderBy(col("lang"))
+    }),
     "q57_stratified_sample" -> ((s, dir) => {
       // Stratified sampling (per-lang Bernoulli via sampleBy) — a core
       // training-data-mixing primitive. The draw is seeded; invariants:
@@ -490,6 +501,18 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS nd_subset_of_exact,
         |       CAST(1 AS BIGINT) AS recall_ge_80
         |FROM p""".stripMargin,
+    "q59_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |                  CAST(floor(length(text) / 10) AS BIGINT) AS b
+        |           FROM documents),
+        |p AS (SELECT a.lang AS lang, levenshtein(a.text, b.text) AS dist,
+        |             a.doc_id + b.doc_id AS ids
+        |      FROM d a JOIN d b
+        |      ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.b - b.b) <= 3
+        |      WHERE levenshtein(a.text, b.text) <= 30)
+        |SELECT lang, count(*) AS near_pairs, CAST(sum(dist) AS BIGINT) AS dist_sum,
+        |       CAST(sum(ids) AS BIGINT) AS pair_checksum
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
     "q57_stratified_sample" ->
       """SELECT count(DISTINCT lang) AS langs,
         |       CAST(1 AS BIGINT) AS strata_within_bounds,

@@ -45,6 +45,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc must not pair")
   }
 
+  test("edit-distance near-dup finds planted pairs across length buckets") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val closeEdit = base.replace("w7", "x7")              // few char edits
+    val lengthShift = base + " " + (1 to 5).map(i => s"pad$i").mkString(" ") // ~25 chars longer
+    val far = (1 to 50).map(i => s"zzz$i").mkString(" ")
+    val corpus = docsDf(Seq((1L, base), (2L, closeEdit), (3L, lengthShift), (4L, far)))
+    val pairs = PipelineOps.editDistanceNearDupPairs(corpus, maxDistance = 30)
+      .select($"id_a", $"id_b", $"dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"close edit must be found: $pairs")
+    assert(pairs((1L, 2L)) == 1, "single substitution distance")
+    assert(pairs.contains((1L, 3L)),
+      s"pair in a non-adjacent length bucket must still be found (sound reach): $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
   test("exact jaccard blocking finds the same planted pairs") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = ((1 to 57).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
