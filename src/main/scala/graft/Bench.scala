@@ -18,6 +18,13 @@ import graft.core.{PJIndex, PJSplice, PalletJack}
   *   index/parquet size ratio.
   */
 object Bench {
+  /** Locale-independent fixed-point formatting: the `f` interpolator uses
+    * the JVM default locale, which can emit comma decimal separators and
+    * break the JSON line.
+    */
+  private def fmt(v: Double, decimals: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -63,6 +70,9 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           System.err.println(s"[bench] $name FAILED: $e")
       }
+      // release any persist()ed intermediates so storage memory does not
+      // accumulate across queries (the clear itself is not timed)
+      spark.sqlContext.clearCache()
     }
 
     val metaJson =
@@ -72,11 +82,11 @@ object Bench {
     // 3-decimal timings keep the line compact; it is printed TWICE so a
     // bounded tail-capture window that starts mid-line still contains one
     // intact copy (BENCH_r03 was truncated to "parsed": null).
-    val qs = timings.map { case (k, v) => f"${q(k)}:$v%.3f" }.mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":${q(sfDir)},""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)},""" +
         s""""metadata":$metaJson,"errors":$errJson}"""
     println(line)
     println(line)
@@ -171,15 +181,15 @@ object Bench {
       val fMs = poolBench(n, footerSubs, iterations)(() => TestlessFooterRead.readFooter(parquet))
       val sMs = poolBench(n, pjSubs, iterations)(() =>
         PalletJack.materialize(PJSplice.splice(idx, Seq(0), Nil, Nil, schemaOnly = false)))
-      f""""$n":{"footer_parse_ms":$fMs%.3f,"pj_read_1rg_ms":$sMs%.3f,""" +
-        f""""speedup_1rg":${fMs / sMs}%.1f}"""
+      s""""$n":{"footer_parse_ms":${fmt(fMs)},"pj_read_1rg_ms":${fmt(sMs)},""" +
+        s""""speedup_1rg":${fmt(fMs / sMs, 1)}}"""
     }.mkString("{", ",", "}")
 
     val parquetSize = new java.io.File(parquet).length()
-    f"""{"rg":$actualRgs,"cols":$cols,"footer_parse_ms":$footerMs%.3f,""" +
-      f""""pj_read_1rg_ms":$spliceMemMs%.3f,"pj_schema_ms":$schemaMs%.3f,""" +
-      f""""speedup_1rg":${footerMs / spliceMemMs}%.1f,""" +
-      f""""index_size_ratio":${indexBytes.length.toDouble / parquetSize}%.5f,""" +
+    s"""{"rg":$actualRgs,"cols":$cols,"footer_parse_ms":${fmt(footerMs)},""" +
+      s""""pj_read_1rg_ms":${fmt(spliceMemMs)},"pj_schema_ms":${fmt(schemaMs)},""" +
+      s""""speedup_1rg":${fmt(footerMs / spliceMemMs, 1)},""" +
+      s""""index_size_ratio":${fmt(indexBytes.length.toDouble / parquetSize, 5)},""" +
       s""""protocol":{"iterations":$iterations,"submissions_pj":$pjSubs,""" +
       s""""submissions_footer":$footerSubs,"pools":$poolJson}}"""
   }

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // some verification queries persist() intermediates as a compute /
+      // pushdown barrier; release them so cached blocks don't accumulate
+      // across the 59-query run
+      finally spark.sqlContext.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -206,7 +206,8 @@ object Multimodal {
               val out = new ByteArrayOutputStream(nw * nh)
               ImageIO.write(scaled, "png", out)
               val bytes = out.toByteArray
-              (bytes, Row(mime, nw, nh, bytes.length.toLong))
+              // the payload was re-encoded as PNG regardless of input MIME
+              (bytes, Row("image/png", nw, nh, bytes.length.toLong))
             case Some(img) =>
               (payload, Row(mime, img.getWidth, img.getHeight, payload.length.toLong))
             case None =>

@@ -118,18 +118,26 @@ object PipelineQueries {
       val probes = emb.filter(col("vec_id") < 10)
       val ann = PipelineOps.lshAnnPairs(emb, probes, minCosine = 0.3, dim = Tables.embeddingDim)
       val toD = (c: Column) => transform(c, x => x.cast("double"))
+      // ε-margins: the ANN path scores dot(unit,unit) while the baseline
+      // scores dot/(|a||b|) — same value up to rounding, so membership is
+      // epsilon-relaxed for the subset check (cos ≥ 0.3−ε counts as exact)
+      // and epsilon-tightened for the recall denominator (cos ≥ 0.3+ε), so
+      // a pair within a few ULPs of the threshold can never flip a boolean
+      val eps = 1e-6
       val exact = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("_ne"))
         .join(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("_pe"))),
           col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"),
           PipelineOps.cosine(toD(col("_pe")), toD(col("_ne"))).as("_cos"))
-        .filter(col("_cos") >= 0.3)
-      val stats = exact.select(col("probe_id"), col("neighbor_id"), lit(1).as("_e"))
+        .filter(col("_cos") >= 0.3 - eps)
+      val stats = exact
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("_e"),
+          (col("_cos") >= 0.3 + eps).cast("long").as("_core"))
         .join(ann.select(col("probe_id"), col("neighbor_id"), lit(1).as("_a")),
           Seq("probe_id", "neighbor_id"), "full_outer")
         .agg(
-          coalesce(sum(col("_e")), lit(0)).cast("long").as("_n_exact"),
-          coalesce(sum(when(col("_e").isNotNull && col("_a").isNotNull, 1L)), lit(0L)).as("_n_both"),
+          coalesce(sum(col("_core")), lit(0L)).as("_n_exact"),
+          coalesce(sum(when(col("_core") === 1L && col("_a").isNotNull, 1L)), lit(0L)).as("_n_both"),
           coalesce(sum(when(col("_e").isNull && col("_a").isNotNull, 1L)), lit(0L)).as("_n_ann_only"))
       probes.agg(count(lit(1)).as("n_probes")).crossJoin(stats).select(
         col("n_probes"),
