@@ -41,6 +41,40 @@ object MetadataQueries {
         .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"s_nationkey")
     }),
+    "q60_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      // shuffle-free co-located join: both sides written bucketed on the
+      // join key, so the sort-merge join needs no exchange on either side
+      // (plan shape guarded by BucketedJoinSpec); the driver checks the
+      // VALUES against the plain-join oracle. Decimal sums keep both
+      // engines bit-identical regardless of accumulation order.
+      // a fresh session's in-memory catalog doesn't know tables a previous
+      // session created, so DROP alone can't clear a leftover managed
+      // location — remove the directories too
+      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      val whDir =
+        if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
+        else new java.io.File(wh)
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+        f.delete(); ()
+      }
+      for (t <- Seq("pj_q60_cust", "pj_q60_ord")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        deleteRec(new java.io.File(whDir, t))
+      }
+      graft.Tables.customer(s, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("pj_q60_cust")
+      graft.Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("pj_q60_ord")
+      s.table("pj_q60_ord")
+        .join(s.table("pj_q60_cust"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).as("price_sum"))
+        .orderBy($"c_mktsegment")
+    }),
     "q55_pjparquet_insert" -> ((s, dir) => {
       import s.implicits._
       // DSv2 write path: seed a pjparquet table with part of `nation`, then
@@ -72,6 +106,11 @@ object MetadataQueries {
       """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q60_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q55_pjparquet_insert" ->
       """SELECT n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
