@@ -144,6 +144,21 @@ object RelationalQueries {
         .orderBy($"l_orderkey", $"l_linenumber")
     },
 
+    // ---- Window: navigation functions (lag/lead/ntile/first_value) ------
+    "q61_window_navigation" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 200L)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          first_value($"o_orderkey").over(w).as("first_order"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // ---- Distinct + exact distinct count --------------------------------
     "q09_distinct_parts_per_flag" -> { (s, d) =>
       import s.implicits._
@@ -563,6 +578,15 @@ object RelationalQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
         |FROM lineitem WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q61_window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | ntile(4) OVER w AS quartile,
+        | first_value(o_orderkey) OVER w AS first_order
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q09_distinct_parts_per_flag" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps
