@@ -4,10 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 import graft.core.{PJIndex, PJSplice, PalletJack}
 
-/** Per-round benchmark main. Emits ONE JSON line:
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *   "metadata":{...},"errors":{...}}`.
+/** Per-round benchmark main.
   *
+  * Output contract (round 5 — the full line outgrew the driver's stdout
+  * capture window two rounds running, so the per-query map now lives in a
+  * FILE and stdout carries a compact summary):
+  *  - `BENCH.json` (repo root, or `SPARK_GRAFT_BENCH_FILE`): the complete
+  *    report — per-query min-of-N timings, all raw runs, full metadata
+  *    microbench, errors.
+  *  - stdout, LAST line: one compact JSON line (~300 B)
+  *    `{"metric":"total","value":N,"unit":"sec","sf":...,"runs_per_query":N,
+  *      "query_count":N,"error_count":N,"bench_file":...,"metadata":{headline
+  *      numbers only}}` — small enough that any tail-capture window holds it
+  *    whole.
+  *
+  * - Every query runs `runsPerQuery` times (default 2, min taken) so a
+  *   loaded-box artifact on one run cannot masquerade as a regression —
+  *   the same min-of-N protocol the reference uses for its metadata bench
+  *   (`benchmark_palletjack_metadata.py:30-32`).
   * - Every query runs with a result-consuming `noop` write so the full plan
   *   (sorts, projections) executes — `.count()` lets Catalyst drop them.
   * - Failures are loud: stderr trace + an `errors` entry + value -1; they
@@ -57,41 +71,83 @@ object Bench {
       new KMeans().setK(2).setSeed(1).setMaxIter(2).setInitMode("random").fit(toy)
     }
 
+    // min-of-N per query: one loaded-box scheduler hiccup cannot produce a
+    // phantom regression (BENCH_r04's 13.9 s q34 did not reproduce).
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          timings(name) = -1.0
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          System.err.println(s"[bench] $name FAILED: $e")
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      var r = 0
+      while (r < runsPerQuery && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          runs += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] $name FAILED: $e")
+        }
+        // release any persist()ed intermediates so storage memory does not
+        // accumulate across queries/runs (the clear itself is not timed)
+        spark.sqlContext.clearCache()
+        r += 1
       }
-      // release any persist()ed intermediates so storage memory does not
-      // accumulate across queries (the clear itself is not timed)
-      spark.sqlContext.clearCache()
+      timings(name) = if (failed) -1.0 else runs.min
+      rawRuns(name) = runs.toSeq
     }
 
     val metaJson =
       try metadataBench(spark)
       catch { case e: Throwable => System.err.println(s"[bench] metadata bench FAILED: $e"); "{}" }
 
-    // 3-decimal timings keep the line compact; it is printed TWICE so a
-    // bounded tail-capture window that starts mid-line still contains one
-    // intact copy (BENCH_r03 was truncated to "parsed": null).
     val qs = timings.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    val raw = rawRuns.map { case (k, vs) =>
+      s"${q(k)}:${vs.map(fmt(_)).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${q(sfDir)},""" +
+
+    // Full report → file (too large for the driver's stdout capture window).
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      if (new java.io.File("/root/repo/build.sbt").exists()) "/root/repo/BENCH.json"
+      else "BENCH.json")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
+        s""""runs_per_query":$runsPerQuery,"queries":$qs,"raw_runs":$raw,""" +
         s""""metadata":$metaJson,"errors":$errJson}"""
-    println(line)
-    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full report written to $benchFile")
+
+    // Compact summary → LAST stdout line (headline metadata numbers only, no
+    // per-query map: ~300 B fits any capture window whole).
+    val metaCompact = pickNumericKeys(metaJson,
+      Seq("footer_parse_ms", "pj_read_1rg_ms", "pj_schema_ms", "speedup_1rg",
+        "index_size_ratio"))
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
+        s""""runs_per_query":$runsPerQuery,"query_count":${timings.size},""" +
+        s""""error_count":${errors.size},"bench_file":${q(benchFile)},""" +
+        s""""metadata":$metaCompact}"""
+    println(compact)
     spark.stop()
   }
+
+  /** Extract top-level numeric fields from a flat-ish JSON string (the
+    * metadata bench emits only graft-generated JSON, so a key-anchored regex
+    * is safe — no user data passes through here).
+    */
+  private def pickNumericKeys(json: String, keys: Seq[String]): String =
+    keys.flatMap { k =>
+      ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.eE+-]+)").r
+        .findFirstMatchIn(json)
+        .map(m => s""""$k":${m.group(1)}""")
+    }.mkString("{", ",", "}")
 
   /** Reference thread-pool protocol (`benchmark_palletjack_metadata.py:30-32,
     * 159-180`): `iterations` wall-clock runs of `submissions` tasks on an
