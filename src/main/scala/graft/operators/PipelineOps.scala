@@ -280,28 +280,14 @@ object PipelineOps {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over token sets — pure higher-order functions (codegen'd,
-    * no UDF): per-token xxhash64, ±1 bit votes, sign → bit.
+  /** 64-bit SimHash over token sets: per-token xxhash64, ±1 bit votes,
+    * sign → bit — one fused codegen'd loop per row
+    * ([[graft.functions.SimHash64]]; the earlier `aggregate`/`zip_with`
+    * formulation paid O(tokens × 64) interpreted lambda calls per doc).
     */
-  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = array_distinct(tokens(col(textCol)))
-    // votes: for each of 64 bits, sum of +1/-1 across token hashes
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    // fold sign bits into one i64
-    val sim = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(b))
-    docs.withColumn("simhash", sim)
-  }
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("simhash",
+      graft.functions.SimHash.simhash64(array_distinct(tokens(col(textCol)))))
 
   // ------------------------------------------ similarity search (embeddings)
 
