@@ -370,6 +370,16 @@ object PipelineOps {
       .withColumn("_norm", sqrt(dot(col("_v"), col("_v"))))
       .select(col(idAs), transform(col("_v"), x => x / col("_norm")).as("u"))
 
+    // Normalize ONCE per input: the slim (id, u) projection is persisted and
+    // feeds both the bucket keys and the exact-cosine verification join —
+    // without the barrier each downstream branch re-scans the source and
+    // re-pays the sqrt/divide pass (two extra full corpus scans at 100 TB).
+    // Self-join callers (embedding near-dup) share a single cache.
+    val corpusU = normed(embeddings, "neighbor_id").persist()
+    val probeU =
+      if (probes eq embeddings) corpusU.select(col("neighbor_id").as("probe_id"), col("u"))
+      else normed(probes, "probe_id").persist()
+
     def bucketed(df: DataFrame): DataFrame =
       planes.zipWithIndex.foldLeft(df) { case (acc, (r, t)) =>
         acc.withColumn(s"_p$t",
@@ -382,10 +392,10 @@ object PipelineOps {
     // Bucket rows are SLIM (id, key) — unit vectors stay out of the exploded
     // bucket join and the candidate-dedup exchange; candidates re-join the
     // vectors by id afterwards, so each vector crosses the wire once.
-    val corpusKeys = bucketed(normed(embeddings, "neighbor_id"))
+    val corpusKeys = bucketed(corpusU)
       .withColumn("key", explode(array((0 until numTables).map(t => key(t, col(s"_p$t"))): _*)))
       .select(col("neighbor_id"), col("key"))
-    val probeKeys = bucketed(normed(probes, "probe_id"))
+    val probeKeys = bucketed(probeU)
       .withColumn("key", explode(array((0 until numTables).flatMap(t =>
         Seq(-1, 0, 1).map(dd => key(t, col(s"_p$t") + dd))): _*)))
       .select(col("probe_id"), col("key"))
@@ -395,8 +405,8 @@ object PipelineOps {
       .select(col("probe_id"), col("neighbor_id"))
       // a pair colliding in k tables appears k times — dedup on slim id keys
       .distinct()
-    val pu = normed(probes, "probe_id").select(col("probe_id"), col("u").as("pu"))
-    val nu = normed(embeddings, "neighbor_id").select(col("neighbor_id"), col("u").as("nu"))
+    val pu = probeU.select(col("probe_id"), col("u").as("pu"))
+    val nu = corpusU.select(col("neighbor_id"), col("u").as("nu"))
     cand.join(pu, "probe_id").join(nu, "neighbor_id")
       .select(col("probe_id"), col("neighbor_id"),
         dot(col("pu"), col("nu")).as("cos_sim"))

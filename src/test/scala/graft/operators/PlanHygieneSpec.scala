@@ -73,6 +73,38 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("lshAnnPairs normalizes each input exactly once (persisted slim projection)") {
+    import org.apache.spark.sql.catalyst.expressions.Sqrt
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import graft.functions.DoubleArrayDotProduct
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = emb.limit(10)
+    try {
+      for ((df, wantCaches) <- Seq(
+          // self-join (embedding near-dup): both sides share ONE cache
+          PipelineOps.embeddingNearDupPairs(emb, 0.5, dim = graft.Tables.embeddingDim) -> 1,
+          // distinct probe set: one cache per input
+          PipelineOps.lshAnnPairs(emb, probes, 0.5, dim = graft.Tables.embeddingDim) -> 2)) {
+        val optimized = df.queryExecution.optimizedPlan
+        // InMemoryRelation is a logical leaf, so this traversal sees only the
+        // plan OUTSIDE the caches: the sqrt(⟨v,v⟩) normalization must never
+        // appear there — each input is normalized once, inside its cache.
+        val normOutsideCache = optimized.collect { case n => n }
+          .filterNot(_.isInstanceOf[InMemoryRelation])
+          .flatMap(_.expressions)
+          .flatMap(_.collect {
+            case s @ Sqrt(DoubleArrayDotProduct(a, b)) if a.semanticEquals(b) => s
+          })
+        assert(normOutsideCache.isEmpty,
+          s"normalization recomputed outside the cache: $normOutsideCache")
+        val caches = optimized.collect { case r: InMemoryRelation => r.cacheBuilder }.distinct
+        assert(caches.size == wantCaches,
+          s"expected $wantCaches distinct normalized caches, got ${caches.size}")
+      }
+    } finally spark.sqlContext.clearCache()
+  }
+
   test("dimension joins broadcast") {
     for (q <- Seq("q03_shipping_priority", "q05_local_revenue",
         "q20_customers_per_region", "q25_pjparquet_join", "q47_range_join")) {
