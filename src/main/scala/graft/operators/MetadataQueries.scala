@@ -92,6 +92,28 @@ object MetadataQueries {
       s.sql("INSERT INTO pj_q55_t SELECT * FROM pj_q55_src")
       s.sql("""SELECT n_regionkey, count(*) AS n_nations, sum(n_nationkey) AS key_sum
               |FROM pj_q55_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+    "q62_pjparquet_partitioned_insert" -> ((s, dir) => {
+      import s.implicits._
+      // Partitioned DSv2 write path: seed a Hive-partitioned pjparquet
+      // layout with regions 0-1, INSERT the remaining regions through SQL
+      // (new files must land under their key=value dirs, fully indexed),
+      // then read the whole table back off the sidecars. Oracle = the same
+      // aggregate over all of nation, so the partitioned round-trip must be
+      // lossless. The partition column is directory-inferred as BIGINT;
+      // both sides cast so the comparison is type-exact.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q62_insert").toString
+      val nation = graft.Tables.nation(s, dir)
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        nation.filter($"n_regionkey" <= 1), tmp, partitionBy = Seq("n_regionkey"))
+      s.sql("DROP TABLE IF EXISTS pj_q62_t")
+      s.sql(s"CREATE TABLE pj_q62_t USING pjparquet OPTIONS (path '$tmp')")
+      nation.filter($"n_regionkey" > 1).createOrReplaceTempView("pj_q62_src")
+      s.sql("""INSERT INTO pj_q62_t
+              |SELECT n_nationkey, n_name, n_regionkey FROM pj_q62_src""".stripMargin)
+      s.sql("""SELECT n_regionkey, count(*) AS n_nations,
+              |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              |FROM pj_q62_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -113,6 +135,10 @@ object MetadataQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q55_pjparquet_insert" ->
       """SELECT n_regionkey, count(*) AS n_nations,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q62_pjparquet_partitioned_insert" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 }
