@@ -625,4 +625,62 @@ object PipelineOps {
       .filter(col("_tag") === 1)
       .drop("_tag", valueCol)
   }
+
+  // ------------------------------------------------- sampling & sketches
+
+  /** Stratified Bernoulli sample — the training-data-mixing primitive:
+    * draw each row independently with its stratum's fraction (seeded, so
+    * re-runs select the same rows). Strata absent from `fractions` are
+    * dropped (fraction 0). Per-row draw, no shuffle, no skew — a stratum's
+    * size is binomial(n, f), which the spec pins with a 6σ envelope.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Count–Min sketch of `keyCol`, aggregated distributed (partial
+    * sketches merge associatively map-side; only the ~`O(1/eps × ln(1/δ))`
+    * sketch crosses to the driver), returned as a point-query handle.
+    * Estimates never underestimate; they overestimate by at most
+    * `eps × totalCount` with probability `confidence`.
+    */
+  def frequencySketch(
+      df: DataFrame,
+      keyCol: Column,
+      eps: Double = 1e-3,
+      confidence: Double = 0.99,
+      seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = df
+      .agg(count_min_sketch(keyCol.cast("string"), lit(eps), lit(confidence), lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** CMS heavy hitters: `(key, estimate)` for every distinct key whose
+    * estimated share of the total is ≥ `minShare`. The sketch is broadcast
+    * and point-queried executor-side over the distinct-key set (far smaller
+    * than the rows — the only shuffle is the key distinct). Because CMS
+    * never underestimates, no truly-heavy key can be missed; false
+    * positives are bounded by the sketch's `eps` overestimate.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: Column,
+      minShare: Double,
+      eps: Double = 1e-3,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    val sk = frequencySketch(df, keyCol, eps, confidence, seed)
+    val threshold = math.ceil(minShare * sk.totalCount()).toLong
+    val bc = spark.sparkContext.broadcast(sk)
+    val estimate = udf((k: String) => bc.value.estimateCount(k))
+    df.select(keyCol.cast("string").as("key")).distinct()
+      .withColumn("estimate", estimate(col("key")))
+      .filter(col("estimate") >= threshold)
+  }
 }

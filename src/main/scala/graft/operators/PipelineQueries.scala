@@ -294,7 +294,7 @@ object PipelineQueries {
       // langs/docs and asserts the booleans.
       val docs = Tables.documents(s, dir)
       val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
-      val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+      val sampled = PipelineOps.stratifiedSample(docs, "lang", fractions, seed = 42L)
       val perStratum = docs.groupBy(col("lang")).agg(count(lit(1)).as("_n"))
         .join(sampled.groupBy(col("lang")).agg(
           count(lit(1)).as("_k"), countDistinct(col("doc_id")).as("_kd")), Seq("lang"), "left_outer")
@@ -320,11 +320,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir).withColumn("_key",
         concat_ws("|", col("lang"), col("source")))
       val eps = 0.001
-      val skBytes = docs.agg(
-        count_min_sketch(col("_key"), lit(eps), lit(0.99), lit(42)).as("sk"))
-        .head().getAs[Array[Byte]]("sk")
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(skBytes))
+      val cms = PipelineOps.frequencySketch(docs, col("_key"), eps, 0.99, 42)
       val truth = docs.groupBy(col("_key")).agg(count(lit(1)).as("n")).collect()
       val total = truth.map(_.getLong(1)).sum
       val ests = truth.map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))

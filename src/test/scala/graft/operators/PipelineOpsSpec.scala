@@ -270,4 +270,58 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
     assert(rawResized(1L).length == 4, "raw payload byte-downsampled to maxDim bytes")
   }
+
+  test("stratifiedSample: 6-sigma binomial envelope and no duplicates, two scale factors") {
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.Tables.documents(spark, s"/root/testdata/$sf")
+      val sampled = PipelineOps.stratifiedSample(docs, "lang", fractions, seed = 42L)
+      val perLang = docs.groupBy($"lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = sampled.groupBy($"lang")
+        .agg(count(lit(1)).as("k"), countDistinct($"doc_id").as("kd")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for ((lang, n) <- perLang) {
+        val f = fractions(lang)
+        val (k, kd) = got.getOrElse(lang, (0L, 0L))
+        assert(k == kd, s"$sf/$lang: sample contains duplicate ids")
+        val bound = 6.0 * math.sqrt(f * (1 - f) * n) + 1.0
+        assert(math.abs(k - f * n) <= bound,
+          s"$sf/$lang: got $k of $n at fraction $f (allowed ±$bound)")
+      }
+      // determinism: the draw is seeded
+      assert(PipelineOps.stratifiedSample(docs, "lang", fractions, seed = 42L)
+        .agg(sum($"doc_id")).head().getLong(0) == sampled.agg(sum($"doc_id")).head().getLong(0))
+    }
+  }
+
+  test("frequencySketch / heavyHitters: CMS guarantees at two scale factors") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.Tables.documents(spark, s"/root/testdata/$sf")
+        .withColumn("_key", concat_ws("|", $"lang", $"source"))
+      val eps = 0.001
+      val sk = PipelineOps.frequencySketch(docs, $"_key", eps, 0.99, 42)
+      val truth = docs.groupBy($"_key").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = truth.values.sum
+      assert(sk.totalCount() == total, s"$sf: sketch total drifted")
+      // never underestimates; over by at most eps*N (0.99 confidence over
+      // ~25 keys — a miss would be a seed-stable fluke, treat as failure)
+      for ((k, n) <- truth) {
+        val e = sk.estimateCount(k)
+        assert(e >= n, s"$sf/$k: estimate $e under true count $n")
+        assert(e <= n + math.ceil(eps * total).toLong, s"$sf/$k: estimate $e over eps bound")
+      }
+      // heavy hitters: every key with true share >= minShare is returned
+      // (CMS never underestimates => no false negatives), and every
+      // returned estimate covers its true count
+      val minShare = 0.02
+      val hh = PipelineOps.heavyHitters(docs, $"_key", minShare, eps, 0.99, 42)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val trulyHeavy = truth.filter { case (_, n) => n >= minShare * total }.keySet
+      assert(trulyHeavy.subsetOf(hh.keySet),
+        s"$sf: missed heavy keys ${trulyHeavy -- hh.keySet}")
+      for ((k, e) <- hh) assert(e >= truth(k), s"$sf/$k: heavy-hitter estimate underestimates")
+    }
+  }
 }
