@@ -59,6 +59,18 @@ object PJSplice {
       if (p != metadataAt) throw new PJException("Internal error, when reading column names!")
       out
     }
+
+    /** Byte-compare the index's embedded original footer against the data
+      * file's actual footer bytes. Identical bytes mean the index's spliced
+      * metadata is exactly what the file's own footer would produce —
+      * the sound freshness check for in-place rewrites that mtime and
+      * length can't distinguish.
+      */
+    private[graft] def footerMatches(fileFooter: Array[Byte]): Boolean =
+      fileFooter.length == header.metadataLength &&
+        java.util.Arrays.equals(
+          bytes, metadataAt, metadataAt + header.metadataLength,
+          fileFooter, 0, fileFooter.length)
   }
 
   object Index {

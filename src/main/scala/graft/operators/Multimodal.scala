@@ -171,13 +171,16 @@ object Multimodal {
     bins
   }
 
-  /** Batch resize: images whose longest side exceeds `maxDim` are scaled
-    * down (area-averaging, then re-encoded as PNG) and their meta rewritten
-    * to the new dimensions; non-image payloads are nearest-neighbor byte
-    * downsampled to at most `maxDim` bytes. Same batch shape as decode: one
-    * `mapPartitions` pass, no shuffle, schema preserved.
+  /** Batch resize: images whose longest side exceeds `maxDim` PIXELS are
+    * scaled down (area-averaging, then re-encoded as PNG) and their meta
+    * rewritten to the new dimensions. Non-image payloads are untouched
+    * unless an explicit `maxBytes` BYTE budget is given, in which case they
+    * are nearest-neighbor byte-downsampled — a separate parameter so the
+    * pixel and byte semantics can't be conflated on mixed-media input.
+    * Same batch shape as decode: one `mapPartitions` pass, no shuffle,
+    * schema preserved.
     */
-  def resize(media: DataFrame, maxDim: Int): DataFrame = {
+  def resize(media: DataFrame, maxDim: Int, maxBytes: Int = -1): DataFrame = {
     require(maxDim > 0)
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -212,9 +215,9 @@ object Multimodal {
               (payload, Row(mime, img.getWidth, img.getHeight, payload.length.toLong))
             case None =>
               val resized =
-                if (payload == null || payload.length <= maxDim) payload
-                else Array.tabulate(maxDim)(i =>
-                  payload((i.toLong * payload.length / maxDim).toInt))
+                if (maxBytes <= 0 || payload == null || payload.length <= maxBytes) payload
+                else Array.tabulate(maxBytes)(i =>
+                  payload((i.toLong * payload.length / maxBytes).toInt))
               val m =
                 if (meta == null || resized == null) meta
                 else Row(meta.get(0), meta.get(1), meta.get(2), resized.length.toLong)

@@ -266,9 +266,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rawFeats = Multimodal.extractFeatures(raw).collect().map(r => r.getLong(0) -> r).toMap
     assert(math.abs(rawFeats(1L).getSeq[Float](3).sum - 1.0f) < 1e-4)
     assert(rawFeats(1L).isNullAt(4) && rawFeats(1L).isNullAt(5), "no decoded dims for raw bytes")
-    val rawResized = Multimodal.resize(raw, maxDim = 4).collect()
+    // pixel budget alone must leave non-image payloads untouched...
+    val rawUntouched = Multimodal.resize(raw, maxDim = 4).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
-    assert(rawResized(1L).length == 4, "raw payload byte-downsampled to maxDim bytes")
+    assert(rawUntouched(1L).length > 4, "pixel maxDim must not truncate binary payloads")
+    // ...while an explicit byte budget downsamples them
+    val rawResized = Multimodal.resize(raw, maxDim = 4, maxBytes = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(rawResized(1L).length == 4, "raw payload byte-downsampled to maxBytes bytes")
   }
 
   test("stratifiedSample: 6-sigma binomial envelope and no duplicates, two scale factors") {
