@@ -60,6 +60,39 @@ object PJSplice {
       out
     }
 
+    /** Exact `ColumnMetaData.total_compressed_size` of chunk (rg, col):
+      * a bounded walk of the ONE chunk struct the index already points at
+      * (tens of bytes) — never a footer parse. Returns -1 when the field
+      * is absent (nonstandard footer); callers fall back to estimates.
+      * Powers truthful planning statistics for AQE.
+      */
+    private[graft] def chunkCompressedSize(rg: Int, col: Int): Long = {
+      val rgAt = metadataAt + rowGroupsOffset(1 + rg)
+      val r = new ThriftCompact.Reader(
+        bytes,
+        rgAt + columnChunkOffset(rg, 1 + col),
+        rgAt + columnChunkOffset(rg, 1 + col + 1))
+      // ColumnChunk struct: field 3 = meta_data (ColumnMetaData), whose
+      // field 7 = total_compressed_size (i64)
+      var fid = 0
+      while (true) {
+        val (tpe, f) = r.readFieldHeader(fid)
+        if (tpe == 0) return -1L
+        fid = f
+        if (f == 3 && tpe == ThriftCompact.TypeStruct) {
+          var mfid = 0
+          while (true) {
+            val (mt, mf) = r.readFieldHeader(mfid)
+            if (mt == 0) return -1L
+            mfid = mf
+            if (mf == 7 && mt == ThriftCompact.TypeI64) return r.readZigZag64()
+            r.skipValue(mt)
+          }
+        } else r.skipValue(tpe)
+      }
+      -1L // unreachable
+    }
+
     /** Byte-compare the index's embedded original footer against the data
       * file's actual footer bytes. Identical bytes mean the index's spliced
       * metadata is exactly what the file's own footer would produce —

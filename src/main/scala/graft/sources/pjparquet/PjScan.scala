@@ -248,19 +248,49 @@ class PjScan(
       PjSparkShims.int96RebaseModeInReadConf(sqlConf))
   }
 
-  /** Planning-time stats straight from the index — no footer parse. */
+  /** Planning-time stats straight from the index — no footer parse.
+    * `sizeInBytes` is the EXACT sum of `total_compressed_size` over the
+    * selected row groups × required columns (each read via a bounded walk
+    * of the one chunk struct the index points at), so AQE's broadcast and
+    * join-strategy decisions see what the scan will actually read — a
+    * `fileLen × colFraction` guess misprices wide tables with skewed
+    * column widths. Falls back to the proportional estimate per file if a
+    * footer lacks the field.
+    */
   override def estimateStatistics(): Statistics = {
     var rows = 0L
     var bytes = 0L
-    val colFraction =
-      if (fileSchema.isEmpty) 1.0
-      else math.max(1, dataRequired.size).toDouble / fileSchema.size
     for (f <- files) {
       val idx = PJSplice.Index.fromBytes(f.indexBytes)
       val rgCount = idx.header.rowGroups
       val selected = explicitRowGroups.getOrElse(0 until rgCount)
       selected.foreach(rg => rows += idx.rowNumber(rg))
-      bytes += (f.fileLen * colFraction * selected.size / math.max(1, rgCount)).toLong
+      val req = prunedColumnNames
+      val cols: Seq[Int] =
+        if (req.isEmpty) 0 until idx.header.columns
+        else {
+          val pos = idx.columnNames.zipWithIndex.toMap // last-wins, like splice
+          req.flatMap(pos.get)
+        }
+      var fileBytes = 0L
+      var exact = true
+      val it = selected.iterator
+      while (exact && it.hasNext) {
+        val rg = it.next()
+        for (c <- cols if exact) {
+          val sz = idx.chunkCompressedSize(rg, c)
+          if (sz < 0) exact = false else fileBytes += sz
+        }
+      }
+      bytes += {
+        if (exact) fileBytes
+        else {
+          val colFraction =
+            if (fileSchema.isEmpty) 1.0
+            else math.max(1, dataRequired.size).toDouble / fileSchema.size
+          (f.fileLen * colFraction * selected.size / math.max(1, rgCount)).toLong
+        }
+      }
     }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
