@@ -202,12 +202,41 @@ class PjScan(
       val selected = explicitRowGroups.getOrElse(0 until rgCount)
       if (selected.isEmpty) Iterator.empty
       else {
-        // Estimate per-row-group data size from the file length; metadata
-        // holds exact sizes but only inside chunk structs we never parse.
+        // Bin-pack toward maxPartitionBytes using the EXACT compressed
+        // bytes each row group contributes for the REQUIRED columns (from
+        // the chunk structs the index points at — no footer parse). A
+        // whole-file mean misprices splits twice over: skewed row-group
+        // sizes, and narrow projections that read a sliver of each group.
+        val reqCols: Seq[Int] =
+          if (colNames.isEmpty) 0 until idx.header.columns
+          else {
+            val pos = idx.columnNames.zipWithIndex.toMap // last-wins, like splice
+            colNames.flatMap(pos.get)
+          }
         val meanRgBytes = math.max(1L, f.fileLen / math.max(1, rgCount))
-        val rgsPerPart = math.max(1, (maxPartitionBytes / meanRgBytes).toInt)
+        def rgBytes(rg: Int): Long = {
+          var sum = 0L
+          for (c <- reqCols) {
+            val sz = idx.chunkCompressedSize(rg, c)
+            if (sz < 0) return meanRgBytes // nonstandard footer: fall back
+            sum += sz
+          }
+          math.max(1L, sum)
+        }
+        val groups = scala.collection.mutable.ArrayBuffer[Vector[Int]]()
+        var current = Vector.empty[Int]
+        var currentBytes = 0L
+        for (rg <- selected) {
+          val b = rgBytes(rg)
+          if (current.nonEmpty && currentBytes + b > maxPartitionBytes) {
+            groups += current; current = Vector.empty; currentBytes = 0L
+          }
+          current = current :+ rg
+          currentBytes += b
+        }
+        if (current.nonEmpty) groups += current
         val partValues = requiredPartValues(f)
-        selected.grouped(rgsPerPart).map { rgs =>
+        groups.iterator.map { rgs =>
           val footer = PJSplice.splice(idx, rgs, Nil, colNames, schemaOnly = false)
           PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues)
         }
