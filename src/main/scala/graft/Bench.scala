@@ -79,25 +79,25 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
-      var failed = false
       var r = 0
-      while (r < runsPerQuery && !failed) {
+      while (r < runsPerQuery) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           runs += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            failed = true
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            System.err.println(s"[bench] $name FAILED: $e")
+            System.err.println(s"[bench] $name FAILED (run ${r + 1}/$runsPerQuery): $e")
         }
         // release any persist()ed intermediates so storage memory does not
         // accumulate across queries/runs (the clear itself is not timed)
         spark.sqlContext.clearCache()
         r += 1
       }
-      timings(name) = if (failed) -1.0 else runs.min
+      // a query is red only if EVERY run failed — a transient failure must
+      // not discard a valid measurement (the errors map still records it)
+      timings(name) = if (runs.isEmpty) -1.0 else runs.min
       rawRuns(name) = runs.toSeq
     }
 
@@ -113,8 +113,12 @@ object Bench {
     val total = timings.values.filter(_ >= 0).sum
 
     // Full report → file (too large for the driver's stdout capture window).
+    // Prefer the CWD when it is the repo being benched (covers any
+    // checkout); the absolute fallback only catches harnesses that launch
+    // from outside a repo.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      if (new java.io.File("/root/repo/build.sbt").exists()) "/root/repo/BENCH.json"
+      if (new java.io.File("build.sbt").exists()) "BENCH.json"
+      else if (new java.io.File("/root/repo/build.sbt").exists()) "/root/repo/BENCH.json"
       else "BENCH.json")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +

@@ -347,6 +347,14 @@ object PipelineOps {
     *
     * Zero vectors produce NaN cosines and are dropped by the `≥ minCosine`
     * verification, never an error.
+    *
+    * Cache lifecycle: the slim normalized `(id, u)` projections are
+    * `persist()`ed (each feeds bucket keys AND verification — without the
+    * barrier both branches re-scan and re-normalize the source). Spark
+    * offers no completion hook a transform could free them on, so they
+    * stay cached until the caller's `spark.catalog.clearCache()` (what
+    * Verify/Bench do between queries) or session end — one slim projection
+    * per input per call.
     */
   def lshAnnPairs(
       embeddings: DataFrame,
@@ -679,7 +687,10 @@ object PipelineOps {
     val threshold = math.ceil(minShare * sk.totalCount()).toLong
     val bc = spark.sparkContext.broadcast(sk)
     val estimate = udf((k: String) => bc.value.estimateCount(k))
-    df.select(keyCol.cast("string").as("key")).distinct()
+    // null keys are skipped by count_min_sketch when building, so they can
+    // never be heavy — drop them before the point query (estimateCount(null)
+    // throws)
+    df.select(keyCol.cast("string").as("key")).filter(col("key").isNotNull).distinct()
       .withColumn("estimate", estimate(col("key")))
       .filter(col("estimate") >= threshold)
   }

@@ -192,37 +192,58 @@ class PjScan(
     partRequired.fieldNames.map(n => byName(key(n)))
   }
 
+  private lazy val fileIndexes: Seq[PJSplice.Index] =
+    files.map(f => PJSplice.Index.fromBytes(f.indexBytes))
+
+  /** Exact compressed bytes each row group contributes for the REQUIRED
+    * columns, per file — read once via bounded chunk-struct walks from the
+    * index (no footer parse) and shared by split packing AND statistics.
+    * -1 marks a file whose footer lacks the size field (callers fall back
+    * to a proportional estimate). An empty data projection (count(*),
+    * partition-only scans) reads no column data: 8 bytes/row stands in for
+    * the row-existence stream so estimates stay small but nonzero.
+    */
+  private lazy val rgByteSums: Seq[Array[Long]] = fileIndexes.map { idx =>
+    val rgCount = idx.header.rowGroups
+    if (dataPhysical.isEmpty)
+      Array.tabulate(rgCount)(rg => math.max(1L, idx.rowNumber(rg) * 8L))
+    else {
+      val req = prunedColumnNames
+      val cols: Seq[Int] =
+        if (req.isEmpty) 0 until idx.header.columns
+        else {
+          val pos = idx.columnNames.zipWithIndex.toMap // last-wins, like splice
+          req.flatMap(pos.get)
+        }
+      Array.tabulate(rgCount) { rg =>
+        var sum = 0L
+        var exact = true
+        for (c <- cols if exact) {
+          val sz = idx.chunkCompressedSize(rg, c)
+          if (sz < 0) exact = false else sum += sz
+        }
+        if (exact) math.max(1L, sum) else -1L
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val sqlConf = SQLConf.get
     val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
     val colNames = prunedColumnNames
-    files.iterator.flatMap { f =>
-      val idx = PJSplice.Index.fromBytes(f.indexBytes)
+    files.iterator.zipWithIndex.flatMap { case (f, fi) =>
+      val idx = fileIndexes(fi)
       val rgCount = idx.header.rowGroups
       val selected = explicitRowGroups.getOrElse(0 until rgCount)
       if (selected.isEmpty) Iterator.empty
       else {
         // Bin-pack toward maxPartitionBytes using the EXACT compressed
-        // bytes each row group contributes for the REQUIRED columns (from
-        // the chunk structs the index points at — no footer parse). A
+        // bytes each row group contributes for the REQUIRED columns. A
         // whole-file mean misprices splits twice over: skewed row-group
         // sizes, and narrow projections that read a sliver of each group.
-        val reqCols: Seq[Int] =
-          if (colNames.isEmpty) 0 until idx.header.columns
-          else {
-            val pos = idx.columnNames.zipWithIndex.toMap // last-wins, like splice
-            colNames.flatMap(pos.get)
-          }
         val meanRgBytes = math.max(1L, f.fileLen / math.max(1, rgCount))
-        def rgBytes(rg: Int): Long = {
-          var sum = 0L
-          for (c <- reqCols) {
-            val sz = idx.chunkCompressedSize(rg, c)
-            if (sz < 0) return meanRgBytes // nonstandard footer: fall back
-            sum += sz
-          }
-          math.max(1L, sum)
-        }
+        val sums = rgByteSums(fi)
+        def rgBytes(rg: Int): Long = if (sums(rg) < 0) meanRgBytes else sums(rg)
         val groups = scala.collection.mutable.ArrayBuffer[Vector[Int]]()
         var current = Vector.empty[Int]
         var currentBytes = 0L
@@ -289,30 +310,15 @@ class PjScan(
   override def estimateStatistics(): Statistics = {
     var rows = 0L
     var bytes = 0L
-    for (f <- files) {
-      val idx = PJSplice.Index.fromBytes(f.indexBytes)
+    for ((f, fi) <- files.zipWithIndex) {
+      val idx = fileIndexes(fi)
       val rgCount = idx.header.rowGroups
       val selected = explicitRowGroups.getOrElse(0 until rgCount)
       selected.foreach(rg => rows += idx.rowNumber(rg))
-      val req = prunedColumnNames
-      val cols: Seq[Int] =
-        if (req.isEmpty) 0 until idx.header.columns
-        else {
-          val pos = idx.columnNames.zipWithIndex.toMap // last-wins, like splice
-          req.flatMap(pos.get)
-        }
-      var fileBytes = 0L
-      var exact = true
-      val it = selected.iterator
-      while (exact && it.hasNext) {
-        val rg = it.next()
-        for (c <- cols if exact) {
-          val sz = idx.chunkCompressedSize(rg, c)
-          if (sz < 0) exact = false else fileBytes += sz
-        }
-      }
+      val sums = rgByteSums(fi)
+      val exact = selected.forall(rg => sums(rg) >= 0)
       bytes += {
-        if (exact) fileBytes
+        if (exact) selected.map(sums(_)).sum
         else {
           val colFraction =
             if (fileSchema.isEmpty) 1.0

@@ -77,6 +77,27 @@ class SimHashSpec extends AnyFunSuite {
     }
   }
 
+  test("fused expression outpaces the interpreted HOF formulation") {
+    // 20k docs x 50 tokens: the HOF pays O(tokens x 64) interpreted lambda
+    // calls per row, the fused loop doesn't — expect ~10x; assert only the
+    // direction so scheduler noise can't flake the suite
+    val docs = spark.range(20000).select(
+      transform(sequence(lit(0), lit(49)),
+        i => concat(lit("tok"), (col("id") * 53 + i) % 997)).as("toks")).persist()
+    docs.count()
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      docs.select(max(c)).head()
+      (System.nanoTime() - t0) / 1e6
+    }
+    time(SimHash.simhash64(col("toks"))); time(simhashHof(col("toks"))) // JIT warm-up
+    val fused = time(SimHash.simhash64(col("toks")))
+    val hof = time(simhashHof(col("toks")))
+    docs.unpersist()
+    info(f"fused: $fused%.0f ms, HOF: $hof%.0f ms, speedup ${hof / fused}%.1fx")
+    assert(fused < hof, f"fused SimHash64 ($fused%.0f ms) not faster than HOF ($hof%.0f ms)")
+  }
+
   test("null token leaves the hash at the seed, like xxhash64(null)") {
     // A null element must vote with h = 42 (the seed), matching how the HOF
     // version's xxhash64 treats a null input.
