@@ -335,6 +335,42 @@ object PipelineQueries {
           org.apache.spark.sql.types.StructField("never_underestimates", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("within_eps", org.apache.spark.sql.types.LongType))))
     }),
+    "q63_streaming_heavy_hitters" -> ((s, dir) => {
+      // Streaming heavy hitters (batch twin of
+      // StreamingOps.streamingHeavyHitters): per-hour CMS candidates over
+      // event types, state bounded by the sketch rather than key
+      // cardinality. Invariants mirror q58, per window: the candidate set
+      // has no false negatives (CMS never underestimates), every estimate
+      // covers its true count, and overestimates stay within eps x the
+      // window's volume. minCount uses integer division so DuckDB derives
+      // the identical threshold.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = Tables.events(s, dir)
+      val exact = graft.streaming.StreamingOps.eventTime(events)
+        .groupBy(
+          window(col("event_time"), "1 hour").getField("start").cast("long").as("w"),
+          col("event_type").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val tot = exact.agg(
+        sum(col("n")).cast("long").as("t"), count(lit(1)).cast("long").as("c")).head()
+      val minCount = 1L + tot.getLong(0) / tot.getLong(1)
+      val eps = 1e-3
+      val cand = graft.streaming.StreamingOps
+        .streamingHeavyHitters(events, minCount = minCount, eps = eps)
+        .toDF("w", "key", "est")
+      val wtot = exact.groupBy(col("w")).agg(sum(col("n")).as("wn"))
+      exact.join(cand, Seq("w", "key"), "left_outer").join(wtot, "w")
+        .agg(
+          sum(when(col("n") >= minCount, 1L).otherwise(0L)).cast("long").as("heavy_pairs"),
+          countDistinct(col("w")).as("windows"),
+          min(when(col("n") >= minCount && col("est").isNull, 0L).otherwise(1L))
+            .as("no_false_negatives"),
+          min(when(col("est").isNotNull && col("est") < col("n"), 0L).otherwise(1L))
+            .as("never_underestimates"),
+          min(when(col("est").isNotNull &&
+              col("est") > col("n") + ceil(lit(eps) * col("wn")).cast("long"), 0L)
+            .otherwise(1L)).as("within_eps"))
+    }),
     "q41_multimodal_features" -> ((s, dir) => {
       // Real PNG encode → javax.imageio decode → luminance histogram.
       // Invariant form: per source, the row count is DuckDB-checkable, and
@@ -527,5 +563,15 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS never_underestimates,
         |       CAST(1 AS BIGINT) AS within_eps
         |FROM (SELECT lang || '|' || source AS k, count(*) AS n
-        |      FROM documents GROUP BY 1)""".stripMargin)
+        |      FROM documents GROUP BY 1)""".stripMargin,
+    "q63_streaming_heavy_hitters" ->
+      """WITH ek AS (
+        |  SELECT date_trunc('hour', ts) AS w, event_type AS key, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mc AS (SELECT 1 + CAST(sum(n) AS BIGINT) // count(*) AS minc FROM ek)
+        |SELECT CAST((SELECT count(*) FROM ek, mc WHERE n >= minc) AS BIGINT) AS heavy_pairs,
+        |       CAST((SELECT count(DISTINCT w) FROM ek) AS BIGINT) AS windows,
+        |       CAST(1 AS BIGINT) AS no_false_negatives,
+        |       CAST(1 AS BIGINT) AS never_underestimates,
+        |       CAST(1 AS BIGINT) AS within_eps""".stripMargin)
 }

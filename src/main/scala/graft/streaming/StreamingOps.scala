@@ -7,6 +7,12 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 /** Running per-user aggregate emitted by [[StreamingOps.runningUserStats]]. */
 case class UserStat(userId: Long, nEvents: Long, valueSum: Double)
 
+/** A heavy key within one tumbling window, emitted by
+  * [[StreamingOps.streamingHeavyHitters]] (`wStart` = window start epoch
+  * seconds; `estimate` = CMS count, never below the true count).
+  */
+case class WindowHeavyHitter(wStart: Long, key: String, estimate: Long)
+
 /** Structured Streaming operators over the `events` stream (SURVEY.md §2.2
   * streaming row). The same transforms run on batch or streaming inputs —
   * callers pass `spark.read` or `spark.readStream` output.
@@ -56,6 +62,56 @@ object StreamingOps {
     eventTime(events)
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming heavy hitters: per tumbling window, keyed state holds ONE
+    * fixed-size Count–Min sketch plus the candidate map of keys whose
+    * estimate has reached `minCount` — state is bounded by the sketch size
+    * and `window volume / minCount`, NOT by distinct-key cardinality,
+    * which is what lets frequency tracking survive an unbounded key space
+    * on a continuous stream (the streaming twin of
+    * `PipelineOps.heavyHitters`). CMS never underestimates, so the emitted
+    * set is a superset of the true heavy set; overestimates are bounded by
+    * `eps ×` window volume at the configured confidence. Each micro-batch
+    * re-emits the window's current candidates with updated estimates
+    * (OutputMode.Update, like [[runningUserStats]]).
+    */
+  def streamingHeavyHitters(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      windowLength: String = "1 hour",
+      minCount: Long = 5L,
+      eps: Double = 1e-3,
+      confidence: Double = 0.99): Dataset[WindowHeavyHitter] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    eventTime(events)
+      .select(
+        window(col("event_time"), windowLength).getField("start").cast("long").as("w_start"),
+        col(keyCol).cast("string").as("k"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Byte], Map[String, Long]), WindowHeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (wStart, rows, state) =>
+        val (skBytes, cand0) =
+          state.getOption.getOrElse((null: Array[Byte], Map.empty[String, Long]))
+        val sk =
+          if (skBytes == null) CountMinSketch.create(eps, confidence, 42)
+          else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+        var cand = cand0
+        val touched = scala.collection.mutable.HashSet[String]()
+        rows.foreach { case (_, k) => if (k != null) { sk.add(k); touched += k } }
+        // only keys seen this batch can have changed estimates; the map
+        // stays bounded because an estimate must reach minCount to enter
+        for (k <- touched) {
+          val e = sk.estimateCount(k)
+          if (e >= minCount) cand += (k -> e)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        sk.writeTo(out)
+        state.update((out.toByteArray, cand))
+        cand.iterator.map { case (k, e) => WindowHeavyHitter(wStart, k, e) }
+      }
+  }
 
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * (event count, value sum) that survives across micro-batches. The

@@ -43,7 +43,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   // plus comparison joins — their correctness-checking plans are join-heavy
   // by design, so they get a wider (still bounded) shuffle budget
   private val verificationQueries = Set(
-    "q32_minhash_neardup", "q34_simhash", "q36_lsh_ann", "q43_ivf_ann", "q49_winnowing")
+    "q32_minhash_neardup", "q34_simhash", "q36_lsh_ann", "q43_ivf_ann", "q49_winnowing",
+    "q63_streaming_heavy_hitters")
 
   test("bounded shuffle count per query") {
     val offenders = plans.collect {

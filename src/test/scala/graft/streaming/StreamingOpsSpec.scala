@@ -106,4 +106,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streaming.nonEmpty)
     assert(streaming == batch)
   }
+
+  test("streaming heavy hitters: CMS guarantees vs exact windowed counts") {
+    val schema = batchEvents.schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    // exact per-window key counts (the truth the sketch may only OVER-count)
+    val exact = StreamingOps.eventTime(batchEvents)
+      .groupBy(window(col("event_time"), "1 hour").getField("start").cast("long").as("w_start"),
+        col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perWindowTotal = exact.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val minCount = exact.values.toSeq.sorted.apply(exact.size / 2) // median: both sides exercised
+    val eps = 1e-3
+
+    val q = StreamingOps.streamingHeavyHitters(stream, minCount = minCount, eps = eps)
+      .writeStream.format("memory").queryName("hh_stream").outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream must have drained")
+    // last emission per (window, key) = final estimate
+    val got = spark.table("hh_stream")
+      .groupBy("wStart", "key").agg(max("estimate").as("estimate"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+
+    // no false negatives: every truly-heavy (window, key) is reported
+    val trulyHeavy = exact.filter(_._2 >= minCount).keySet
+    assert(trulyHeavy.subsetOf(got.keySet), s"missed ${trulyHeavy -- got.keySet}")
+    // never underestimates; over by at most eps * window volume
+    for ((wk, e) <- got) {
+      val truth = exact(wk)
+      assert(e >= truth, s"$wk: estimate $e under true $truth")
+      assert(e <= truth + math.ceil(eps * perWindowTotal(wk._1)).toLong,
+        s"$wk: estimate $e above eps bound (true $truth)")
+    }
+
+    // batch twin: the same operator on the batch frame agrees on the
+    // candidate set (single pass == single micro-batch)
+    val batchGot = StreamingOps.streamingHeavyHitters(batchEvents, minCount = minCount, eps = eps)
+      .collect().map(h => (h.wStart, h.key) -> h.estimate).toMap
+    assert(batchGot == got)
+  }
 }
