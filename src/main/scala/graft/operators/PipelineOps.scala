@@ -90,7 +90,14 @@ object PipelineOps {
     * before any array work. The threshold compare is integer-only
     * (`2·|∩| ≥ |∪|`) so engines can't disagree on float rounding.
     */
-  def jaccardNearDupPairs(docs: DataFrame, lengthBand: Int = 30): DataFrame = {
+  def jaccardNearDupPairs(
+      docs: DataFrame,
+      lengthBand: Int = 30,
+      // J ≥ simNum/simDen, kept rational so every comparison is integer-
+      // exact in any engine (no double-boundary ambiguity in oracles)
+      simNum: Int = 1,
+      simDen: Int = 2): DataFrame = {
+    require(simNum > 0 && simDen >= simNum, "threshold must be a fraction in (0, 1]")
     val prepped = docs.select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / lengthBand).as("bucket"),
@@ -104,17 +111,20 @@ object PipelineOps {
     val b = prepped.as("b")
     a.join(b, col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .filter(least(col("a.n"), col("b.n")) * 2 >= greatest(col("a.n"), col("b.n")))
+      // J ≥ s ⟹ min(n)/max(n) ≥ s: a pure length prefilter, no pair lost
+      .filter(least(col("a.n"), col("b.n")) * simDen >=
+        greatest(col("a.n"), col("b.n")) * simNum)
       .select(
         col("a.lang").as("lang"),
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         graft.functions.SetFunctions.intersectCountSorted(col("a.h"), col("b.h")).as("inter"),
         (col("a.n") + col("b.n")).as("_nsum"))
-      // J ≥ 0.5 ⟺ 2|∩| ≥ |∪| = n_a+n_b−|∩| ⟺ 3|∩| ≥ n_a+n_b. The last form
-      // references the intersect ONCE, so when Catalyst substitutes it into
-      // the join condition, each candidate pair pays one merge, not two —
-      // and pairs failing it never materialize as join output rows.
-      .filter(col("inter") * 3 >= col("_nsum"))
+      // J ≥ num/den ⟺ den|∩| ≥ num·|∪| = num·(n_a+n_b−|∩|)
+      //            ⟺ (den+num)|∩| ≥ num·(n_a+n_b). The last form references
+      // the intersect ONCE, so when Catalyst substitutes it into the join
+      // condition, each candidate pair pays one merge, not two — and pairs
+      // failing it never materialize as join output rows.
+      .filter(col("inter") * (simDen + simNum) >= col("_nsum") * simNum)
       .select(col("lang"), col("id_a"), col("id_b"),
         col("inter"), (col("_nsum") - col("inter")).as("uni"))
   }
