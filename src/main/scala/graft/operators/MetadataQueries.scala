@@ -114,6 +114,36 @@ object MetadataQueries {
       s.sql("""SELECT n_regionkey, count(*) AS n_nations,
               |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
               |FROM pj_q62_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+    "q64_pjparquet_dynamic_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      // SQL dynamic partition overwrite through the DSv2 BatchWrite
+      // (OverwritePartitionsDynamicExec): seed a partitioned layout where
+      // regions 0-1 are correct and regions >1 hold deliberately-stale rows
+      // (keys shifted by +1000), then INSERT OVERWRITE only the >1 rows in
+      // dynamic mode. Untouched partitions must SURVIVE (a truncate would
+      // lose regions 0-1) and touched partitions must be REPLACED (an
+      // append would leave the stale keys inflating key_sum) — the
+      // whole-nation oracle catches either failure.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q64_dyn").toString
+      val nation = graft.Tables.nation(s, dir)
+      val stale = nation.filter($"n_regionkey" > 1)
+        .withColumn("n_nationkey", $"n_nationkey" + 1000)
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        nation.filter($"n_regionkey" <= 1).unionAll(stale), tmp,
+        partitionBy = Seq("n_regionkey"))
+      s.sql("DROP TABLE IF EXISTS pj_q64_t")
+      s.sql(s"CREATE TABLE pj_q64_t USING pjparquet OPTIONS (path '$tmp')")
+      nation.filter($"n_regionkey" > 1).createOrReplaceTempView("pj_q64_src")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sql("""INSERT OVERWRITE pj_q64_t
+                |SELECT n_nationkey, n_name, n_regionkey FROM pj_q64_src""".stripMargin)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.sql("""SELECT n_regionkey, count(*) AS n_nations,
+              |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              |FROM pj_q64_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -138,6 +168,10 @@ object MetadataQueries {
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q62_pjparquet_partitioned_insert" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q64_pjparquet_dynamic_overwrite" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)

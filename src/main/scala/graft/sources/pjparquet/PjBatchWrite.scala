@@ -1,0 +1,396 @@
+package graft.sources.pjparquet
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.PjSparkShims
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.PJException
+
+/** Real DataSource V2 write path for `pjparquet` (replaces the r5 V1
+  * fallback): executor tasks write parquet files straight to their final
+  * Hive-partition locations with job-unique names, a driver-side commit
+  * reconciles a manifest against the directory, and post-commit every new
+  * file gets its `.index` sidecar built executor-parallel — so SQL
+  * `INSERT INTO`, `INSERT OVERWRITE` (static AND dynamic partition modes,
+  * via `OverwritePartitionsDynamicExec`), and `DataFrame` saves all flow
+  * through one commit protocol. Mirrors the write-side lifecycle the
+  * reference delegates to its host (`python/README.md:49` sidecar
+  * convention); the bytes come from Spark's own `ParquetOutputWriter`, so
+  * every format feature (compression, rebase modes, page indexes) is
+  * inherited.
+  *
+  * Commit protocol (direct write + manifest, the object-store-friendly
+  * shape — no temp-dir renames, which are O(files) copies on S3-likes):
+  *  1. tasks write `part-<split>-<task>-<jobUUID>-c<n>.parquet` into final
+  *     partition dirs and report the files they wrote;
+  *  2. `commit()` walks the root once and classifies every data file:
+  *     job-tagged but not in the manifest → crashed/speculative attempt
+  *     leftovers, deleted; pre-existing → deleted iff the write mode says
+  *     so (truncate: all; static overwrite: partition values satisfy the
+  *     filters; dynamic: partition dir received new files); kept otherwise;
+  *  3. sidecar indexes are generated for the new files (`PjIndexJob`).
+  * Readers that race a commit can observe a mixed directory — the same
+  * read-uncommitted window Hadoop's direct output committers have; the
+  * layout cache's freshness signature re-resolves on the next query.
+  *
+  * Scale notes: partitioned writes declare a clustered distribution +
+  * in-task sort on the partition keys ([[RequiresDistributionAndOrdering]]),
+  * so each task streams partition runs one open parquet writer at a time —
+  * the same memory shape as stock `FileFormatWriter`'s dynamic-partition
+  * sort, with no per-task map of open writers to OOM on wide partition
+  * fan-out.
+  */
+private[pjparquet] sealed trait PjWriteMode extends Serializable
+private[pjparquet] object PjWriteMode {
+  case object Append extends PjWriteMode
+  /** SQL dynamic `INSERT OVERWRITE`: replace exactly the partitions that
+    * receive rows; untouched partitions survive byte-identical.
+    */
+  case object DynamicOverwrite extends PjWriteMode
+  /** Static overwrite: the conjunction of partition-column filters picks
+    * the partitions to clear (`AlwaysTrue` alone = whole-table truncate).
+    */
+  final case class OverwriteByFilter(filters: Seq[Filter]) extends PjWriteMode
+}
+
+final class PjWriteBuilder(
+    root: String,
+    partitionKeys: Seq[String],
+    info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  private var mode: PjWriteMode = PjWriteMode.Append
+
+  override def truncate(): WriteBuilder = {
+    mode = PjWriteMode.OverwriteByFilter(Seq(AlwaysTrue))
+    this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    // file-granularity deletion can only honor partition-column predicates;
+    // anything finer would silently drop rows the filter did not select
+    val bad = filters.flatMap(_.references).distinct
+      .filterNot(r => partitionKeys.exists(_.equalsIgnoreCase(r)))
+    if (bad.nonEmpty)
+      throw new PJException(
+        s"pjparquet: INSERT OVERWRITE filter references non-partition column(s) " +
+          s"${bad.mkString(", ")}; only partition filters (or a whole-table " +
+          "overwrite) can be applied at file granularity")
+    mode = PjWriteMode.OverwriteByFilter(filters.toSeq)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = PjWriteMode.DynamicOverwrite
+    this
+  }
+
+  override def build(): Write = new PjWrite(root, partitionKeys, info.schema(), mode)
+}
+
+final class PjWrite(
+    root: String,
+    partitionKeys: Seq[String],
+    writeSchema: StructType,
+    mode: PjWriteMode)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def description(): String = s"pjparquet write $mode -> $root"
+
+  /** Cluster + sort incoming rows by the partition keys so a task holds at
+    * most one open parquet writer at a time (writer row-group buffers are
+    * ~128 MB each — an unsorted multi-writer map is the classic dynamic
+    * partition OOM at fan-out). Unpartitioned writes impose nothing.
+    */
+  override def requiredDistribution(): Distribution =
+    if (partitionKeys.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionKeys.map(k => Expressions.column(k): V2Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    partitionKeys.map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+
+  override def toBatch: BatchWrite = new PjBatchWrite(root, partitionKeys, writeSchema, mode)
+}
+
+final case class PjWrittenFile(relDir: String, name: String) {
+  def relPath: String = if (relDir.isEmpty) name else s"$relDir/$name"
+}
+
+final case class PjCommitMessage(files: Seq[PjWrittenFile]) extends WriterCommitMessage
+
+final class PjBatchWrite(
+    root: String,
+    partitionKeys: Seq[String],
+    writeSchema: StructType,
+    mode: PjWriteMode)
+    extends BatchWrite {
+
+  private val jobUUID = UUID.randomUUID().toString
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dataSchema = StructType(
+      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name))))
+    PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
+    PjDataWriterFactory(
+      root, new SerializableConfiguration(hadoopConf), writeSchema.json,
+      partitionKeys, jobUUID)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest: Set[String] =
+      messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
+    val touchedDirs: Set[String] =
+      messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relDir).toSet
+
+    // one recursive walk classifies every data file under the root
+    for ((status, relDir, partValues) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
+      val name = status.getPath.getName
+      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+      val drop =
+        if (name.contains(jobUUID)) !manifest.contains(rel) // failed/speculative attempts
+        else mode match {
+          case PjWriteMode.Append => false
+          case PjWriteMode.DynamicOverwrite => touchedDirs.contains(relDir)
+          case PjWriteMode.OverwriteByFilter(filters) =>
+            filters.forall(f => PjBatchWrite.evalPartitionFilter(f, partValues))
+        }
+      if (drop) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+    }
+    PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
+    // new files become index-planned immediately; pre-existing fresh
+    // sidecars are skipped by the job's mtime check
+    PjIndexJob.generateAll(spark, root)
+    log.info("pjparquet commit {}: {} files, mode {}", jobUUID, manifest.size.toString, mode)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    // messages may be partial (tasks that died before reporting): sweep for
+    // the job tag instead of trusting the manifest
+    for ((status, _, _) <- PjBatchWrite.listDataFiles(fs, rootPath)
+         if status.getPath.getName.contains(jobUUID))
+      PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+    PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
+  }
+}
+
+private[pjparquet] object PjBatchWrite {
+
+  /** Recursive walk mirroring `PjParquetTable.resolveFiles`: yields each
+    * data file with its partition-relative dir ("" at the root) and decoded
+    * `key -> value` pairs (null-sentinel values surface as `None`).
+    */
+  def listDataFiles(
+      fs: FileSystem,
+      root: Path): Seq[(org.apache.hadoop.fs.FileStatus, String, Map[String, Option[String]])] = {
+    def walk(
+        dir: Path, rel: String,
+        parts: Map[String, Option[String]]): Seq[(org.apache.hadoop.fs.FileStatus, String, Map[String, Option[String]])] =
+      fs.listStatus(dir).toSeq.flatMap {
+        case s if s.isDirectory =>
+          s.getPath.getName.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty =>
+              val decoded =
+                if (v == PjParquetTable.HiveNullPartition) None
+                else Some(java.net.URLDecoder.decode(v, "UTF-8"))
+              val childRel = if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"
+              walk(s.getPath, childRel, parts + (k -> decoded))
+            case _ => Nil
+          }
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") =>
+          Seq((s, rel, parts))
+        case _ => Nil
+      }
+    if (!fs.exists(root)) Nil else walk(root, "", Map.empty)
+  }
+
+  def deleteWithSidecars(fs: FileSystem, dataFile: Path): Unit = {
+    fs.delete(dataFile, false)
+    PjParquetTable.sidecarCandidates(dataFile).foreach(c => fs.delete(c, false))
+  }
+
+  /** Remove `key=value` directories left empty by an overwrite, deepest
+    * first (stock dynamic partition overwrite drops the directory too).
+    */
+  def pruneEmptyPartitionDirs(fs: FileSystem, root: Path): Unit = {
+    def prune(dir: Path): Boolean = { // returns "dir is now empty"
+      val children = fs.listStatus(dir)
+      var remaining = children.length
+      children.foreach { c =>
+        if (c.isDirectory && c.getPath.getName.contains("=") && prune(c.getPath)) {
+          fs.delete(c.getPath, false)
+          remaining -= 1
+        }
+      }
+      remaining == 0
+    }
+    if (fs.exists(root)) prune(root) // the root itself is never deleted
+  }
+
+  /** Evaluate a static-overwrite filter against one file's partition
+    * values. Only the shapes Spark's static `INSERT OVERWRITE` analysis
+    * emits (plus the obvious boolean algebra) are supported; anything else
+    * fails loudly rather than guessing.
+    */
+  def evalPartitionFilter(f: Filter, parts: Map[String, Option[String]]): Boolean = {
+    def lookup(attr: String): Option[String] =
+      parts.collectFirst { case (k, v) if k.equalsIgnoreCase(attr) => v }.flatten
+    def eq(attr: String, value: Any): Boolean =
+      value != null && lookup(attr).contains(value.toString)
+    f match {
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
+      case EqualTo(a, v) => eq(a, v)
+      case EqualNullSafe(a, v) =>
+        if (v == null) lookup(a).isEmpty else eq(a, v)
+      case IsNull(a) => lookup(a).isEmpty
+      case IsNotNull(a) => lookup(a).nonEmpty
+      case In(a, vs) => vs.exists(v => eq(a, v))
+      case And(l, r) => evalPartitionFilter(l, parts) && evalPartitionFilter(r, parts)
+      case Or(l, r) => evalPartitionFilter(l, parts) || evalPartitionFilter(r, parts)
+      case Not(c) => !evalPartitionFilter(c, parts)
+      case other =>
+        throw new PJException(s"pjparquet: unsupported overwrite partition filter: $other")
+    }
+  }
+
+  /** Hive-style escaping for a partition path value: percent-encode every
+    * byte outside `[A-Za-z0-9_.-]` so `URLDecoder.decode` (the read side)
+    * round-trips exactly — including '+', '%', '/', '=' and multi-byte
+    * UTF-8.
+    */
+  def escapePathValue(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      val safe = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-'
+      if (safe) sb.append(c)
+      else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+    }
+    sb.result()
+  }
+}
+
+final case class PjDataWriterFactory(
+    root: String,
+    conf: SerializableConfiguration,
+    writeSchemaJson: String,
+    partitionKeys: Seq[String],
+    jobUUID: String)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(writeSchemaJson).asInstanceOf[StructType]
+    new PjDataWriter(root, conf.value, schema, partitionKeys, jobUUID, partitionId, taskId)
+  }
+}
+
+/** Task-side writer: streams rows into one open parquet file at a time.
+  * Input arrives clustered + sorted on the partition keys (declared by
+  * [[PjWrite]]), so each partition directory is a contiguous run; an
+  * interleaved (unsorted) plan still writes correctly — every key change
+  * just rolls a new, uniquely-named file.
+  */
+final class PjDataWriter(
+    root: String,
+    conf: Configuration,
+    schema: StructType,
+    partitionKeys: Seq[String],
+    jobUUID: String,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val partFields: Array[(Int, DataType)] = partitionKeys.toArray.map { k =>
+    val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(k))
+    require(i >= 0, s"pjparquet: partition column '$k' missing from write schema ${schema.simpleString}")
+    (i, schema.fields(i).dataType)
+  }
+  private val dataFields = schema.fields.zipWithIndex
+    .filterNot { case (f, _) => partitionKeys.exists(_.equalsIgnoreCase(f.name)) }
+  // strips partition columns from the stored rows (they live in dir names)
+  private val dataProjection = UnsafeProjection.create(
+    dataFields.map { case (f, i) => BoundReference(i, f.dataType, f.nullable) }.toIndexedSeq)
+
+  private var currentDir: String = null
+  private var currentWriter: org.apache.spark.sql.execution.datasources.OutputWriter = null
+  private var fileSeq = 0
+  private val written = mutable.ArrayBuffer.empty[PjWrittenFile]
+
+  private def partitionDir(row: InternalRow): String =
+    partitionKeys.zip(partFields).map { case (k, (i, dt)) =>
+      val v =
+        if (row.isNullAt(i)) PjParquetTable.HiveNullPartition
+        else dt match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case StringType => PjBatchWrite.escapePathValue(row.getUTF8String(i).toString)
+          case other => PjBatchWrite.escapePathValue(row.get(i, other).toString)
+        }
+      s"$k=$v"
+    }.mkString("/")
+
+  private def roll(relDir: String): Unit = {
+    closeCurrent()
+    val name = f"part-$partitionId%05d-$taskId-$jobUUID-c$fileSeq.parquet"
+    fileSeq += 1
+    val dir = if (relDir.isEmpty) new Path(root) else new Path(root, relDir)
+    currentWriter = PjSparkShims.newRowWriter(new Path(dir, name).toString, conf)
+    currentDir = relDir
+    written += PjWrittenFile(relDir, name)
+  }
+
+  private def closeCurrent(): Unit = {
+    if (currentWriter != null) {
+      currentWriter.close()
+      currentWriter = null
+      currentDir = null
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val relDir = if (partFields.isEmpty) "" else partitionDir(row)
+    if (currentWriter == null || currentDir != relDir) roll(relDir)
+    currentWriter.write(dataProjection(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    PjCommitMessage(written.toSeq)
+  }
+
+  override def abort(): Unit = {
+    closeCurrent()
+    val fs = new Path(root).getFileSystem(conf)
+    written.foreach { f =>
+      val dir = if (f.relDir.isEmpty) new Path(root) else new Path(root, f.relDir)
+      fs.delete(new Path(dir, f.name), false)
+    }
+  }
+
+  override def close(): Unit = closeCurrent()
+}

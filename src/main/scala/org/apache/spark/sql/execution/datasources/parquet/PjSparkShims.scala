@@ -87,4 +87,47 @@ object PjSparkShims {
       conf: Configuration,
       predicate: org.apache.parquet.filter2.predicate.FilterPredicate): Unit =
     org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, predicate)
+
+  /** The config keys Spark's parquet WRITE path consults, as stock
+    * `ParquetUtils.prepareWrite` sets them — so a [[ParquetOutputWriter]]
+    * driven by the pjparquet DSv2 `BatchWrite` produces byte-compatible
+    * files (same converters, rebase modes, compression) as
+    * `df.write.parquet`. Must be called driver-side: it snapshots session
+    * SQLConf values into the Configuration that ships to executors.
+    */
+  def configureWriteConf(conf: Configuration, dataSchema: StructType, sqlConf: SQLConf): Unit = {
+    conf.set(
+      org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(dataSchema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sqlConf.legacyParquetNanosAsLong.toString)
+    conf.set(
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    conf.set(
+      org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+      new ParquetOptions(Map.empty[String, String], sqlConf).compressionCodecClassName)
+  }
+
+  /** A parquet row writer at an exact path (no committer, no work files) —
+    * the building block of the pjparquet direct-write commit protocol.
+    * Requires [[configureWriteConf]]-prepared configuration.
+    */
+  def newRowWriter(
+      path: String,
+      conf: Configuration): org.apache.spark.sql.execution.datasources.OutputWriter = {
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    new ParquetOutputWriter(path, ctx)
+  }
 }
