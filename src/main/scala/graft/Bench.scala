@@ -18,10 +18,14 @@ import graft.core.{PJIndex, PJSplice, PalletJack}
   *      numbers only}}` — small enough that any tail-capture window holds it
   *    whole.
   *
-  * - Every query runs `runsPerQuery` times (default 2, min taken) so a
-  *   loaded-box artifact on one run cannot masquerade as a regression —
-  *   the same min-of-N protocol the reference uses for its metadata bench
-  *   (`benchmark_palletjack_metadata.py:30-32`).
+  * - Every query runs `runsPerQuery` times (default 3; min AND median
+  *   reported) so a loaded-box artifact on one run cannot masquerade as a
+  *   regression — the same min-of-N protocol the reference uses for its
+  *   metadata bench (`benchmark_palletjack_metadata.py:30-32`). On top of
+  *   that, any query whose fresh min regresses >2x against the previous
+  *   committed `BENCH.json` gets one self-adjudicating extra run (recorded
+  *   under `reruns`) — three of four rounds produced phantom x5-13 swings
+  *   on zero code change.
   * - Every query runs with a result-consuming `noop` write so the full plan
   *   (sorts, projections) executes — `.count()` lets Catalyst drop them.
   * - Failures are loud: stderr trace + an `errors` entry + value -1; they
@@ -72,32 +76,81 @@ object Bench {
     }
 
     // min-of-N per query: one loaded-box scheduler hiccup cannot produce a
-    // phantom regression (BENCH_r04's 13.9 s q34 did not reproduce).
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // phantom regression (BENCH_r04's 13.9 s q34 did not reproduce; BENCH_r06
+    // repeated the pattern across a dozen queries — hence default 3 runs and
+    // the self-adjudicating re-run pass below).
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+
+    // The previous committed report (read BEFORE this run overwrites it):
+    // any query whose fresh min regresses >2x against it gets one more run —
+    // adjudicating loaded-box noise at the source instead of in the verdict.
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      if (new java.io.File("build.sbt").exists()) "BENCH.json"
+      else if (new java.io.File("/root/repo/build.sbt").exists()) "/root/repo/BENCH.json"
+      else "BENCH.json")
+    val previousMins: Map[String, Double] = {
+      val f = new java.io.File(benchFile)
+      if (!f.exists()) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val obj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not parse previous $benchFile: $e"); Map.empty
+      }
+    }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val runs = scala.collection.mutable.ArrayBuffer[Double]()
-      var r = 0
-      while (r < runsPerQuery) {
-        val t0 = System.nanoTime()
+    val reruns = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        tag: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      val out =
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          runs += (System.nanoTime() - t0) / 1e9
+          Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            System.err.println(s"[bench] $name FAILED (run ${r + 1}/$runsPerQuery): $e")
+            System.err.println(s"[bench] $name FAILED ($tag): $e")
+            None
         }
-        // release any persist()ed intermediates so storage memory does not
-        // accumulate across queries/runs (the clear itself is not timed)
-        spark.sqlContext.clearCache()
-        r += 1
+      // release any persist()ed intermediates so storage memory does not
+      // accumulate across queries/runs (the clear itself is not timed)
+      spark.sqlContext.clearCache()
+      out
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
+      for (r <- 1 to runsPerQuery)
+        timeOne(name, fn, s"run $r/$runsPerQuery").foreach(runs += _)
+      // self-adjudication: a >2x regression vs the committed previous min is
+      // statistically far more likely to be box load than code (zero-diff
+      // rounds produced x5-13 swings) — spend one extra run before reporting
+      previousMins.get(name).filter(_ > 0).foreach { prev =>
+        if (runs.nonEmpty && runs.min > 2 * prev) {
+          val firstMin = runs.min
+          timeOne(name, fn, "regression re-run").foreach(runs += _)
+          reruns(name) =
+            s"""{"prev":${fmt(prev)},"first_min":${fmt(firstMin)},"final":${fmt(runs.min)}}"""
+        }
       }
       // a query is red only if EVERY run failed — a transient failure must
       // not discard a valid measurement (the errors map still records it)
       timings(name) = if (runs.isEmpty) -1.0 else runs.min
+      medians(name) = if (runs.isEmpty) -1.0 else median(runs.toSeq)
       rawRuns(name) = runs.toSeq
     }
 
@@ -106,23 +159,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] metadata bench FAILED: $e"); "{}" }
 
     val qs = timings.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    val med = medians.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val raw = rawRuns.map { case (k, vs) =>
       s"${q(k)}:${vs.map(fmt(_)).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    val rerunJson = reruns.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
 
     // Full report → file (too large for the driver's stdout capture window).
-    // Prefer the CWD when it is the repo being benched (covers any
-    // checkout); the absolute fallback only catches harnesses that launch
-    // from outside a repo.
-    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      if (new java.io.File("build.sbt").exists()) "BENCH.json"
-      else if (new java.io.File("/root/repo/build.sbt").exists()) "/root/repo/BENCH.json"
-      else "BENCH.json")
+    // `queries` stays min-of-N (the committed comparison basis); `medians`
+    // shows load sensitivity; `reruns` records self-adjudicated regressions.
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
-        s""""runs_per_query":$runsPerQuery,"queries":$qs,"raw_runs":$raw,""" +
+        s""""runs_per_query":$runsPerQuery,"queries":$qs,"medians":$med,""" +
+        s""""raw_runs":$raw,"reruns":$rerunJson,""" +
         s""""metadata":$metaJson,"errors":$errJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -136,8 +187,8 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
         s""""runs_per_query":$runsPerQuery,"query_count":${timings.size},""" +
-        s""""error_count":${errors.size},"bench_file":${q(benchFile)},""" +
-        s""""metadata":$metaCompact}"""
+        s""""error_count":${errors.size},"rerun_count":${reruns.size},""" +
+        s""""bench_file":${q(benchFile)},"metadata":$metaCompact}"""
     println(compact)
     spark.stop()
   }
