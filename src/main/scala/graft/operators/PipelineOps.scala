@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   *  - everything is built-in `functions._` / higher-order functions — no
   *    Scala UDFs in hot paths, so whole-stage codegen stays intact
   */
+/** Lifecycle handle over the slim persisted projections an ANN call pins
+  * (`lshAnnPairsWithHandle` / `embeddingNearDupPairsWithHandle`): `close()`
+  * unpersists exactly this call's caches, so long-lived sessions composing
+  * many ANN calls don't accumulate projections until a global
+  * `clearCache()`. Idempotent; safe under try-with-resources /
+  * `Using.resource`.
+  */
+final class AnnCacheHandle private[operators] (pinned: Seq[DataFrame]) extends AutoCloseable {
+  override def close(): Unit = pinned.foreach(_.unpersist())
+}
+
 object PipelineOps {
 
   // ---------------------------------------------------------------- dedup
@@ -30,6 +41,67 @@ object PipelineOps {
   /** Keyed dedup (deterministic `dropDuplicates`): earliest id per key. */
   def dedupByKey(docs: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame =
     docs.groupBy(keys.map(col): _*).agg(min(col(idCol)).as("first_" + idCol))
+
+  /** Canonical URL normalization for URL-level exact dedup (the standard
+    * pretraining crawl-dedup key): strip the `#fragment`, lowercase the
+    * `scheme://host` (path case is significant, so it survives), drop
+    * `utm_*` tracking params (fixing separators), drop a dangling `?`, and
+    * drop one trailing `/`. Pure codegen'd string expressions — row-local,
+    * no shuffle, no UDF. Non-URL strings pass through the same rules
+    * unharmed (no scheme → nothing to lowercase).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // scheme://host[:port] prefix; "" when the string has no scheme
+    val head = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*", 0)
+    val lowered = concat(lower(head), noFrag.substr(length(head) + 1, length(noFrag)))
+    // utm params followed by another param, then a trailing utm param
+    val noUtm = regexp_replace(
+      regexp_replace(lowered, "utm_[^&]*&", ""), "[?&]utm_[^&]*$", "")
+    regexp_replace(regexp_replace(noUtm, "\\?$", ""), "/$", "")
+  }
+
+  /** URL-level exact dedup: normalize, then one hash-partitioned groupBy on
+    * the canonical URL (uniform shuffle key) keeping the smallest id.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(normalizeUrl(col(urlCol)).as("norm_url"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Exact n-token-substring overlap: unordered doc pairs sharing at least
+    * one exact run of `n` consecutive tokens — the "50-token exact
+    * substring" dedup of pretraining pipelines, at a spec-able `n`.
+    *
+    * Scale shape: each doc emits its distinct gram HASHES (xxhash64 — slim
+    * 8-byte shuffle keys, never the gram strings), a document-frequency
+    * filter drops boilerplate grams (`df > maxDf` — a gram in `d` docs
+    * yields O(d²) candidate pairs, so ubiquitous boilerplate would
+    * otherwise quadratically dominate; standard practice drops it), and
+    * the pair join runs on the filtered slim keys. Never all-pairs.
+    */
+  def ngramOverlapPairs(
+      docs: DataFrame,
+      n: Int = 5,
+      maxDf: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val toks = split(col(textCol), " ")
+    val grams = docs
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))).as("gram"))
+    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("gram"))
+    val g = grams.join(rare, "gram")
+    g.select(col("gram"), col("_id").as("id_a"))
+      .join(g.select(col("gram"), col("_id").as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
 
   // ------------------------------------------------------------- text prep
 
@@ -364,7 +436,9 @@ object PipelineOps {
     * offers no completion hook a transform could free them on, so they
     * stay cached until the caller's `spark.catalog.clearCache()` (what
     * Verify/Bench do between queries) or session end — one slim projection
-    * per input per call.
+    * per input per call. Long-lived sessions composing many ANN calls
+    * should use [[lshAnnPairsWithHandle]] and `close()` the handle after
+    * consuming each result, freeing the caches per-call.
     */
   def lshAnnPairs(
       embeddings: DataFrame,
@@ -372,7 +446,22 @@ object PipelineOps {
       minCosine: Double,
       numTables: Int = 4,
       bucketLength: Double = 0.5,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1): DataFrame =
+    lshAnnPairsWithHandle(embeddings, probes, minCosine, numTables, bucketLength, dim)._1
+
+  /** [[lshAnnPairs]] plus the lifecycle handle over the slim `(id, u)`
+    * caches the call pins — `close()` it once the returned DataFrame's
+    * actions have completed (closing earlier forces downstream stages to
+    * recompute the normalization, costing correctness nothing but paying
+    * the extra scans back).
+    */
+  def lshAnnPairsWithHandle(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      minCosine: Double,
+      numTables: Int = 4,
+      bucketLength: Double = 0.5,
+      dim: Int = -1): (DataFrame, AnnCacheHandle) = {
     // The seeded hyperplanes need the embedding width. Callers that know it
     // (schema docs, table metadata) pass it and the whole operator stays a
     // lazy plan; `dim < 0` falls back to a one-row probe job — an interactive
@@ -393,9 +482,10 @@ object PipelineOps {
     // without the barrier each downstream branch re-scans the source and
     // re-pays the sqrt/divide pass (two extra full corpus scans at 100 TB).
     // Self-join callers (embedding near-dup) share a single cache.
+    val selfJoin = probes eq embeddings
     val corpusU = normed(embeddings, "neighbor_id").persist()
     val probeU =
-      if (probes eq embeddings) corpusU.select(col("neighbor_id").as("probe_id"), col("u"))
+      if (selfJoin) corpusU.select(col("neighbor_id").as("probe_id"), col("u"))
       else normed(probes, "probe_id").persist()
 
     def bucketed(df: DataFrame): DataFrame =
@@ -425,10 +515,12 @@ object PipelineOps {
       .distinct()
     val pu = probeU.select(col("probe_id"), col("u").as("pu"))
     val nu = corpusU.select(col("neighbor_id"), col("u").as("nu"))
-    cand.join(pu, "probe_id").join(nu, "neighbor_id")
+    val result = cand.join(pu, "probe_id").join(nu, "neighbor_id")
       .select(col("probe_id"), col("neighbor_id"),
         dot(col("pu"), col("nu")).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
+    val pinned = if (selfJoin) Seq(corpusU) else Seq(corpusU, probeU)
+    (result, new AnnCacheHandle(pinned))
   }
 
   /** Embedding-cosine near-dup: semantic-duplicate pairs with
@@ -440,9 +532,51 @@ object PipelineOps {
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame, minCosine: Double = 0.9, dim: Int = -1): DataFrame =
-    lshAnnPairs(embeddings, embeddings, minCosine, dim = dim)
+    embeddingNearDupPairsWithHandle(embeddings, minCosine, dim)._1
+
+  /** [[embeddingNearDupPairs]] plus the cache lifecycle handle (see
+    * [[lshAnnPairsWithHandle]]).
+    */
+  def embeddingNearDupPairsWithHandle(
+      embeddings: DataFrame,
+      minCosine: Double = 0.9,
+      dim: Int = -1): (DataFrame, AnnCacheHandle) = {
+    val (pairs, handle) = lshAnnPairsWithHandle(embeddings, embeddings, minCosine, dim = dim)
+    val result = pairs
       .filter(col("probe_id") < col("neighbor_id"))
       .select(col("probe_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos_sim"))
+    (result, handle)
+  }
+
+  /** Int8 (default) scalar quantization of an embedding column — the
+    * storage-budget member of the similarity family: a 100 TB float32
+    * corpus stores as ~25 TB of `array<tinyint>` plus one float scale per
+    * vector. Per-vector symmetric scheme: `scale = maxAbs / (2^(bits-1)-1)`,
+    * `q_i = round(v_i / scale)` — so every element reconstructs within
+    * `scale/2` and COSINE similarity is preserved up to quantization noise
+    * (the per-vector scale cancels in the cosine, so ANN can score the int
+    * arrays directly). All higher-order functions — codegen'd, no UDFs,
+    * no shuffle (embarrassingly row-parallel at any scale). Zero vectors
+    * quantize to all-zero with scale 0, never a NaN.
+    */
+  def quantizeEmbeddings(
+      emb: DataFrame, embCol: String = "embedding", bits: Int = 8): DataFrame = {
+    require(bits >= 2 && bits <= 16, s"bits must be in [2,16], got $bits")
+    val qmax = (1 << (bits - 1)) - 1
+    val storageType = if (bits <= 8) "tinyint" else "smallint"
+    val v = asDouble(col(embCol))
+    emb
+      .withColumn("q_scale",
+        aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / qmax)
+      .withColumn("q_embedding",
+        when(col("q_scale") === 0.0,
+          transform(v, _ => lit(0).cast(storageType)))
+          .otherwise(transform(v, x => round(x / col("q_scale")).cast(storageType))))
+  }
+
+  /** Reconstruct `array<double>` from a quantized embedding + its scale. */
+  def dequantizeEmbedding(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 
   /** IVF-style ANN: k-means coarse quantizer → inverted lists → probe the
     * `nProbe` nearest lists only. The corpus is partitioned by list id (an

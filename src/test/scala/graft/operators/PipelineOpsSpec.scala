@@ -112,6 +112,112 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("AnnCacheHandle frees exactly this call's pinned caches on close") {
+    spark.sqlContext.clearCache()
+    assume(spark.sparkContext.getPersistentRDDs.isEmpty, "leftover caches from another suite")
+    val emb = (0 until 30).map(i => (i.toLong, Seq.fill(8)(i.toFloat + 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val probes = emb.filter($"vec_id" < 5)
+
+    // two-input call pins two slim (id, u) projections
+    val (pairs, handle) = PipelineOps.lshAnnPairsWithHandle(emb, probes, minCosine = 0.5, dim = 8)
+    pairs.collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the normalized projections should be materialized while the handle is open")
+    handle.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "close() must unpersist every cache the call pinned")
+    handle.close() // idempotent
+
+    // self-join form (embedding near-dup) pins a single shared projection
+    val (dups, h2) = PipelineOps.embeddingNearDupPairsWithHandle(emb, minCosine = 0.99, dim = 8)
+    dups.collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    h2.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "self-join handle must free the shared projection")
+  }
+
+  test("normalizeUrl: canonical forms per rule") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // lowercase scheme+host, preserve path case, strip fragment
+      ("HTTP://WWW.Ex.COM/Path/To#frag", "http://www.ex.com/Path/To"),
+      // utm params: leading, all, trailing, mixed with surviving params
+      ("http://a.com/x?utm_source=1&utm_b=2", "http://a.com/x"),
+      ("http://a.com/x?utm_source=1&page=2", "http://a.com/x?page=2"),
+      ("http://a.com/x?page=2&utm_k=v", "http://a.com/x?page=2"),
+      // trailing slash, host-only, non-URL passthrough
+      ("https://A.com/", "https://a.com"),
+      ("http://a.com", "http://a.com"),
+      ("not a url", "not a url"))
+    val got = cases.toDF("url", "expected")
+      .select(PipelineOps.normalizeUrl(col("url")).as("n"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"normalizeUrl gave '${r.getString(0)}', expected '${r.getString(1)}'"))
+  }
+
+  test("ngramOverlapPairs: planted shared runs found, boilerplate df-filtered") {
+    val docs = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-run with 2
+      (2L, "x alpha beta gamma delta epsilon y"),
+      (3L, "one two three four five six"),         // identical to 4
+      (4L, "one two three four five six"),
+      (5L, "totally different tokens here now ok"),
+      (6L, "short")))                              // < n tokens: no grams
+    val pairs = PipelineOps.ngramOverlapPairs(docs, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    // boilerplate: a 5-gram shared by 3+ docs dies at maxDf=2
+    val boiler = docsDf(Seq(
+      (1L, "the same boiler plate line a"),
+      (2L, "the same boiler plate line b"),
+      (3L, "the same boiler plate line c")))
+    assert(PipelineOps.ngramOverlapPairs(boiler, n = 5, maxDf = 2).count() == 0L)
+    assert(PipelineOps.ngramOverlapPairs(boiler, n = 5).count() == 3L)
+  }
+
+  test("quantizeEmbeddings: half-step reconstruction, range bound, zero vectors, bit widths") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian() * (i + 1)).toFloat), 0)) :+
+      (50L, Seq.fill(16)(0f), 0) // zero vector must not NaN
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+
+    for (bits <- Seq(4, 8, 16)) {
+      val qmax = (1 << (bits - 1)) - 1
+      val q = PipelineOps.quantizeEmbeddings(emb, bits = bits)
+      val checked = q.select(
+        col("vec_id"),
+        // every element reconstructs within scale/2 (+ulp slack)
+        aggregate(
+          zip_with(transform(col("embedding"), x => x.cast("double")), col("q_embedding"),
+            (v, qq) => abs(v - qq.cast("double") * col("q_scale"))),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"),
+        col("q_scale"),
+        // quantized values stay in [-qmax, qmax]
+        aggregate(col("q_embedding"), lit(0),
+          (acc, x) => greatest(acc, abs(x.cast("int")))).as("max_q"))
+        .collect()
+      checked.foreach { r =>
+        val (maxErr, scale, maxQ) = (r.getDouble(1), r.getDouble(2), r.getInt(3))
+        assert(!maxErr.isNaN && maxErr <= scale * 0.5 * 1.000000001 + 1e-12,
+          s"bits=$bits vec=${r.getLong(0)}: max_err $maxErr vs scale $scale")
+        assert(maxQ <= qmax, s"bits=$bits: |q| $maxQ exceeds $qmax")
+      }
+      // zero vector: scale 0, all-zero codes
+      val z = q.filter(col("vec_id") === 50L)
+        .select(col("q_scale"), aggregate(col("q_embedding"),
+          lit(0), (acc, x) => acc + abs(x.cast("int")))).head()
+      assert(z.getDouble(0) == 0.0 && z.getInt(1) == 0)
+    }
+    // element type honors the storage budget: tinyint at 8 bits
+    val tpe = PipelineOps.quantizeEmbeddings(emb, bits = 8)
+      .schema("q_embedding").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(tpe.elementType == org.apache.spark.sql.types.ByteType)
+  }
+
   test("ivf ANN recall >= 0.8 against exact top-k (clustered vectors)") {
     val rnd = new scala.util.Random(11)
     val dim = 32

@@ -44,7 +44,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   // by design, so they get a wider (still bounded) shuffle budget
   private val verificationQueries = Set(
     "q32_minhash_neardup", "q34_simhash", "q36_lsh_ann", "q43_ivf_ann", "q49_winnowing",
-    "q63_streaming_heavy_hitters")
+    "q63_streaming_heavy_hitters", "q65_embedding_quantization")
 
   test("bounded shuffle count per query") {
     val offenders = plans.collect {
