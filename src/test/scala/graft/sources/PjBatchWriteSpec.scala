@@ -149,6 +149,60 @@ class PjBatchWriteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS pj_bw_null")
   }
 
+  test("pure-SQL lifecycle from an empty path: CREATE, INSERT, dynamic overwrite") {
+    import spark.implicits._
+    val dir = tempDir("fresh") + "/t" // does not exist yet
+    spark.sql("DROP TABLE IF EXISTS pj_bw_fresh")
+    spark.sql(
+      s"""CREATE TABLE pj_bw_fresh (id BIGINT, name STRING, k BIGINT)
+         |USING pjparquet OPTIONS (path '$dir', partitionedBy 'k')""".stripMargin)
+    // empty table: declared schema, zero rows, zero planned partitions
+    assert(spark.table("pj_bw_fresh").schema.fieldNames.toSeq == Seq("id", "name", "k"))
+    assert(spark.table("pj_bw_fresh").count() == 0L)
+
+    spark.sql("INSERT INTO pj_bw_fresh VALUES (1, 'a', 0), (2, 'b', 0), (3, 'c', 1)")
+    assert(listing(dir).exists(_.startsWith("k=0")), "partitioned dirs must materialize")
+    assert(readIndexed(dir).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
+
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE pj_bw_fresh VALUES (30, 'z', 1)")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert(spark.table("pj_bw_fresh").as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 0L), (2L, "b", 0L), (30L, "z", 1L)),
+      "k=0 must survive the dynamic overwrite of k=1")
+    spark.sql("DROP TABLE IF EXISTS pj_bw_fresh")
+  }
+
+  test("declared STRING partition type wins over numeric-looking directory values") {
+    import spark.implicits._
+    val dir = tempDir("strpart") + "/t"
+    spark.sql("DROP TABLE IF EXISTS pj_bw_str")
+    spark.sql(
+      s"""CREATE TABLE pj_bw_str (id BIGINT, k STRING)
+         |USING pjparquet OPTIONS (path '$dir', partitionedBy 'k')""".stripMargin)
+    spark.sql("INSERT INTO pj_bw_str VALUES (1, '007'), (2, 'x')")
+    // '007' must read back as the string it was written as, not as 7L —
+    // directory inference alone would type the all-numeric value as LONG
+    val got = spark.table("pj_bw_str").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "007"), (2L, "x")))
+    spark.sql("DROP TABLE IF EXISTS pj_bw_str")
+  }
+
+  test("partitionedBy option mismatching an existing layout fails loudly") {
+    import spark.implicits._
+    val dir = tempDir("mismatch")
+    seedPartitioned(dir, Seq((1L, "a", 0L)))
+    val e = intercept[Exception] {
+      spark.read.format("pjparquet").option("partitionedBy", "name")
+        .schema("id BIGINT, name STRING, k BIGINT")
+        .load(dir).collect()
+    }
+    assert(e.getMessage.contains("does not match"), s"got: ${e.getMessage}")
+  }
+
   test("a failed INSERT leaves the table exactly as it was") {
     import spark.implicits._
     val dir = tempDir("abort")
