@@ -99,14 +99,16 @@ final class PjWriteBuilder(
     this
   }
 
-  override def build(): Write = new PjWrite(root, partitionKeys, info.schema(), mode)
+  override def build(): Write =
+    new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId())
 }
 
 final class PjWrite(
     root: String,
     partitionKeys: Seq[String],
     writeSchema: StructType,
-    mode: PjWriteMode)
+    mode: PjWriteMode,
+    queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet write $mode -> $root"
@@ -125,6 +127,83 @@ final class PjWrite(
     partitionKeys.map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite = new PjBatchWrite(root, partitionKeys, writeSchema, mode)
+
+  /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
+    * file-sink contract — Complete/Update modes would need per-epoch
+    * truncation of shared files and are rejected loudly). Epoch commit =
+    * sweep non-manifest files carrying this epoch's tag + sidecar-index the
+    * new files. File names are DETERMINISTIC in (queryId, epochId,
+    * partitionId), so a replayed epoch — restart after a crash between sink
+    * commit and checkpoint — overwrites its own files instead of
+    * duplicating data (the usual direct-write idempotence argument; like
+    * other direct committers this assumes speculative execution is off,
+    * else two live attempts could race one final file).
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (mode != PjWriteMode.Append)
+      throw new PJException(
+        "pjparquet: streaming writes support the append output mode only")
+    new PjStreamingWrite(root, partitionKeys, writeSchema, queryId)
+  }
+}
+
+final class PjStreamingWrite(
+    root: String,
+    partitionKeys: Seq[String],
+    writeSchema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dataSchema = StructType(
+      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name))))
+    PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
+    PjStreamingDataWriterFactory(
+      root, new SerializableConfiguration(hadoopConf), writeSchema.json, partitionKeys, queryId)
+  }
+
+  private def sweep(epochId: Long, keep: Set[String]): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val tag = s"-e$epochId-$queryId-"
+    for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)
+         if status.getPath.getName.contains(tag)) {
+      val name = status.getPath.getName
+      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+      if (!keep.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val manifest: Set[String] =
+      messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
+    sweep(epochId, manifest) // failed-attempt leftovers from this epoch
+    PjIndexJob.generateAll(SparkSession.active, root)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    sweep(epochId, Set.empty) // the epoch will be replayed from the checkpoint
+}
+
+final case class PjStreamingDataWriterFactory(
+    root: String,
+    conf: SerializableConfiguration,
+    writeSchemaJson: String,
+    partitionKeys: Seq[String],
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(writeSchemaJson).asInstanceOf[StructType]
+    // deterministic in (query, epoch, partition): epoch replays OVERWRITE
+    new PjDataWriter(root, conf.value, schema, partitionKeys,
+      fileTag = f"$partitionId%05d-e$epochId-$queryId", overwriteExisting = true)
+  }
 }
 
 final case class PjWrittenFile(relDir: String, name: String) {
@@ -305,7 +384,10 @@ final case class PjDataWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(writeSchemaJson).asInstanceOf[StructType]
-    new PjDataWriter(root, conf.value, schema, partitionKeys, jobUUID, partitionId, taskId)
+    // attempt-unique names: a batch job's failed/speculative attempts are
+    // reconciled away by the manifest at commit
+    new PjDataWriter(root, conf.value, schema, partitionKeys,
+      fileTag = f"$partitionId%05d-$taskId-$jobUUID", overwriteExisting = false)
   }
 }
 
@@ -320,9 +402,8 @@ final class PjDataWriter(
     conf: Configuration,
     schema: StructType,
     partitionKeys: Seq[String],
-    jobUUID: String,
-    partitionId: Int,
-    taskId: Long)
+    fileTag: String,
+    overwriteExisting: Boolean)
     extends DataWriter[InternalRow] {
 
   private val partFields: Array[(Int, DataType)] = partitionKeys.toArray.map { k =>
@@ -356,10 +437,17 @@ final class PjDataWriter(
 
   private def roll(relDir: String): Unit = {
     closeCurrent()
-    val name = f"part-$partitionId%05d-$taskId-$jobUUID-c$fileSeq.parquet"
+    val name = s"part-$fileTag-c$fileSeq.parquet"
     fileSeq += 1
     val dir = if (relDir.isEmpty) new Path(root) else new Path(root, relDir)
-    currentWriter = PjSparkShims.newRowWriter(new Path(dir, name).toString, conf)
+    val target = new Path(dir, name)
+    // streaming epoch replay re-creates the SAME deterministic names —
+    // clear the previous attempt's file (and its now-stale sidecar)
+    if (overwriteExisting) {
+      val fs = target.getFileSystem(conf)
+      if (fs.exists(target)) PjBatchWrite.deleteWithSidecars(fs, target)
+    }
+    currentWriter = PjSparkShims.newRowWriter(target.toString, conf)
     currentDir = relDir
     written += PjWrittenFile(relDir, name)
   }
