@@ -103,6 +103,52 @@ object PipelineOps {
       .distinct()
   }
 
+  /** GPT-style sequence packing: concatenate documents in a deterministic
+    * order (`idCol` ascending) within each shard and slice the token stream
+    * into fixed `maxTokens` windows — documents crossing a boundary are
+    * split across packs, so every pack except a shard's last is exactly
+    * full (the standard pretraining packing; the actual token slicing
+    * happens downstream at tensor-build time, this emits the plan).
+    *
+    * Output: one row per (doc × pack it touches) with `pack_id` (0-based
+    * within shard) and `tokens_in_pack`. Pure integer window + explode
+    * arithmetic — exact, engine-independent.
+    *
+    * Scale shape: the cumulative sum runs per shard (`shardCols`), so at
+    * 100 TB you pack within natural shards (lang, source, date...) and
+    * never pay a global sort; an empty `shardCols` is a single global
+    * ordering — fine for tests, not the scale path. Token counts are
+    * whitespace tokens here; swap `tok` for a real tokenizer count column
+    * upstream if one exists.
+    */
+  def packTokenSpans(
+      docs: DataFrame,
+      maxTokens: Int,
+      shardCols: Seq[String] = Nil,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val tok = size(split(col(textCol), " ")).cast("long")
+    val w = (if (shardCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(shardCols.map(col): _*))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(shardCols.map(col) ++ Seq(col(idCol), tok.as("n_tokens")): _*)
+      .filter(col("n_tokens") > 0)
+      .withColumn("_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // the doc's token span [prev, prev + n) touches packs
+      // prev div N .. (prev + n - 1) div N (integer division, inclusive)
+      .withColumn("pack_id", explode(sequence(
+        expr(s"_prev div $maxTokens"),
+        expr(s"(_prev + n_tokens - 1) div $maxTokens"))))
+      .withColumn("tokens_in_pack",
+        least((col("pack_id") + 1) * maxTokens, col("_prev") + col("n_tokens")) -
+          greatest(col("pack_id") * maxTokens, col("_prev")))
+      .select(shardCols.map(col) ++
+        Seq(col(idCol), col("pack_id"), col("tokens_in_pack"), col("n_tokens")): _*)
+  }
+
   // ------------------------------------------------------------- text prep
 
   def tokens(textCol: Column): Column = split(textCol, " ")

@@ -68,6 +68,22 @@ object PipelineQueries {
           count(lit(1)).as("overlap_pairs"),
           coalesce(sum(col("id_a") + col("id_b")), lit(0L)).as("pair_checksum"))
     }),
+    "q68_sequence_packing" -> ((s, dir) => {
+      // GPT-style packing of each lang's token stream into 512-token
+      // windows: every pack but the shard's last must be exactly full, and
+      // every count is pure integer arithmetic — exact oracle, both engines.
+      val spans = PipelineOps.packTokenSpans(
+        Tables.documents(s, dir), maxTokens = 512, shardCols = Seq("lang"))
+      spans.groupBy(col("lang"), col("pack_id"))
+        .agg(sum(col("tokens_in_pack")).as("_fill"), count(lit(1)).as("_docs"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(when(col("_fill") === 512L, 1L).otherwise(0L)).as("full_packs"),
+          sum(col("_fill")).as("total_tokens"),
+          sum(col("_docs")).as("span_rows"))
+        .orderBy(col("lang"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -517,6 +533,28 @@ object PipelineQueries {
         |SELECT count(*) AS overlap_pairs,
         |       CAST(COALESCE(sum(id_a + id_b), 0) AS BIGINT) AS pair_checksum
         |FROM p""".stripMargin,
+    "q68_sequence_packing" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |      FROM d WHERE n_tokens > 0),
+        |s AS (SELECT lang, doc_id, n_tokens, prev,
+        |             UNNEST(generate_series(prev // 512,
+        |                                    (prev + n_tokens - 1) // 512)) AS pack_id
+        |      FROM c),
+        |f AS (SELECT lang, pack_id,
+        |             SUM(LEAST((pack_id + 1) * 512, prev + n_tokens)
+        |                 - GREATEST(pack_id * 512, prev)) AS fill,
+        |             count(*) AS docs
+        |      FROM s GROUP BY lang, pack_id)
+        |SELECT lang, count(*) AS n_packs,
+        |       CAST(SUM(CASE WHEN fill = 512 THEN 1 ELSE 0 END) AS BIGINT) AS full_packs,
+        |       CAST(SUM(fill) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(docs) AS BIGINT) AS span_rows
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH prepped AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 30) AS BIGINT) AS bucket,

@@ -138,6 +138,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       "self-join handle must free the shared projection")
   }
 
+  test("packTokenSpans: exact hand-computed spans, full packs, shard isolation") {
+    import org.apache.spark.sql.functions.col
+    // token counts 3, 4, 2 with maxTokens=5:
+    //   doc1 [0,3)  -> pack0: 3
+    //   doc2 [3,7)  -> pack0: 2, pack1: 2
+    //   doc3 [7,9)  -> pack1: 2
+    val docs = docsDf(Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"),
+      (3L, "h i")))
+    val spans = PipelineOps.packTokenSpans(docs, maxTokens = 5)
+      .select(col("doc_id"), col("pack_id"), col("tokens_in_pack"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 0L, 3L), (2L, 0L, 2L), (2L, 1L, 2L), (3L, 1L, 2L)))
+
+    // sharded: each lang packs independently from offset 0
+    val sharded = Seq(
+      (1L, "a b c", "en"), (2L, "d e f", "en"),
+      (3L, "x y", "fr")).toDF("doc_id", "text", "lang")
+    val byShard = PipelineOps.packTokenSpans(sharded, maxTokens = 3, shardCols = Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("pack_id"), col("tokens_in_pack"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(byShard == Set(
+      ("en", 1L, 0L, 3L), ("en", 2L, 1L, 3L), // en packs 0 and 1, both full
+      ("fr", 3L, 0L, 2L)))                    // fr restarts at pack 0
+
+    // invariant at scale: every pack except a shard's last is exactly full
+    val big = (0 until 200).map(i => (i.toLong, Seq.fill(i % 17 + 1)("t").mkString(" ")))
+    val fills = PipelineOps.packTokenSpans(docsDf(big), maxTokens = 64)
+      .groupBy(col("pack_id")).agg(org.apache.spark.sql.functions.sum(col("tokens_in_pack")).as("fill"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(fills.dropRight(1).forall(_._2 == 64L), "every non-final pack must be full")
+    assert(fills.map(_._2).sum == big.map(_._2.split(" ").length.toLong).sum)
+  }
+
   test("normalizeUrl: canonical forms per rule") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
