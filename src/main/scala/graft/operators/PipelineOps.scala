@@ -79,20 +79,30 @@ object PipelineOps {
     * otherwise quadratically dominate; standard practice drops it), and
     * the pair join runs on the filtered slim keys. Never all-pairs.
     */
+  /** `(_id, gram)` rows: the distinct xxhash64 of every n-token substring of
+    * each document (docs shorter than `n` tokens emit nothing). The slim
+    * 16-byte shuffle unit shared by substring-overlap dedup and
+    * decontamination.
+    */
+  private def explodedGramHashes(
+      docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))).as("gram"))
+  }
+
   def ngramOverlapPairs(
       docs: DataFrame,
       n: Int = 5,
       maxDf: Int = 1000,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(n >= 2, s"n must be >= 2, got $n")
-    val toks = split(col(textCol), " ")
-    val grams = docs
-      .filter(size(toks) >= n)
-      .select(col(idCol).as("_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))).as("gram"))
+    val grams = explodedGramHashes(docs, n, textCol, idCol)
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select(col("gram"))
     val g = grams.join(rare, "gram")
@@ -883,5 +893,151 @@ object PipelineOps {
     df.select(keyCol.cast("string").as("key")).filter(col("key").isNotNull).distinct()
       .withColumn("estimate", estimate(col("key")))
       .filter(col("estimate") >= threshold)
+  }
+
+  // ------------------------------------- dedup cluster resolution (CC)
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * LSH / overlap PAIRS into one keeper per duplicate *cluster*. Without
+    * it, transitive duplicates (A~B, B~C) survive pairwise dedup.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14) — O(log n)
+    * rounds of pure equi-shuffles on node ids. Plain label propagation
+    * needs O(diameter) rounds, and dup chains at corpus scale can be very
+    * long; star-contraction is the 100 TB shape. Each round the edge list
+    * is `localCheckpoint`ed to truncate lineage (swap for a reliable
+    * `checkpoint` dir on a real cluster) and convergence is detected by an
+    * order-invariant edge-set checksum — one cheap action per round.
+    *
+    * Input: `id_a`, `id_b` (any orientation, dups fine). Output: one row
+    * per distinct id with (`id`, `cluster_id`), `cluster_id` = the
+    * smallest id in the component — "keep the smallest id" then falls out
+    * as `id === cluster_id`.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical orientation u > v
+    val e0 = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    // large-star: every node attaches its LARGER neighbors to the minimum
+    // of its neighborhood (incl. itself) — output stays u > v oriented.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("_mn")).as("v"))
+        .distinct()
+    }
+
+    // small-star: every node attaches its SMALLER-or-equal neighbors (and
+    // itself) to the minimum of that neighborhood. Edges arrive u > v, so
+    // N(u) = all its v's; m = min(N(u)); emit (x, m) for x ∈ N(u) ∪ {u}.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("_mn").as("v"))
+        .union(mins.select(col("u"), col("_mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-invariant distinct-edge-set signature (xor never overflows,
+    // unlike sum under ANSI arithmetic)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = e0.localCheckpoint(true)
+    var s = sig(edges)
+    var converged = s._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val ns = sig(next)
+      converged = ns == s
+      edges = next
+      s = ns
+      it += 1
+    }
+    require(converged, s"dedupClusters did not converge in $maxIter rounds")
+
+    // fixpoint = min-rooted stars: edges are (member, componentMin) for
+    // every non-root member; roots label themselves.
+    val members = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    members.union(roots)
+  }
+
+  // ------------------------------------ within-document repetition filter
+
+  /** Gopher-style repetition stats: per document, the total and distinct
+    * n-gram counts (docs shorter than `n` tokens count 0/0). Downstream
+    * quality filters threshold the duplicate fraction
+    * `(total - distinct) / total`. Pure per-row codegen'd HOFs over 64-bit
+    * gram hashes — zero shuffle, embarrassingly parallel at any scale.
+    */
+  def withRepetitionStats(
+      docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs
+      .withColumn("total_ngrams", size(grams).cast("long"))
+      .withColumn("distinct_ngrams", size(array_distinct(grams)).cast("long"))
+  }
+
+  // ------------------------------------------------------- PII redaction
+
+  /** Redact emails, IPv4 addresses and phone numbers to typed placeholder
+    * tokens — the standard pretraining scrub pass. The patterns avoid
+    * lookarounds so the SAME regex runs identically under Java (Spark) and
+    * RE2 (DuckDB/Go scrubbers); email runs first so its digits can't be
+    * nibbled by the IP pass. Pure `regexp_replace` — codegen'd, no UDF.
+    */
+  def redactPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{1,2} \\d{3}-\\d{4}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: drop every corpus document sharing ANY
+    * n-token substring with the benchmark set (the standard eval-leakage
+    * guard). The benchmark gram set is tiny relative to the corpus —
+    * explicitly broadcast — so the only shuffle-free scan over 100 TB of
+    * corpus grams is a broadcast-hash semi-join; contaminated ids then
+    * anti-join back. Docs shorter than `n` tokens can never match and are
+    * kept.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = explodedGramHashes(benchmark, n, textCol, idCol)
+      .select(col("gram")).distinct()
+    val dirty = explodedGramHashes(corpus, n, textCol, idCol)
+      .join(broadcast(benchGrams), "gram")
+      .select(col("_id").as(idCol))
+      .distinct()
+    corpus.join(dirty, Seq(idCol), "left_anti")
   }
 }

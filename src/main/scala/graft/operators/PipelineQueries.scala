@@ -44,6 +44,23 @@ object PipelineQueries {
       |      WHEN 3 THEN '?page=2&utm_medium=m' ELSE '' END) ||
       |(CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)""".stripMargin
 
+  /** The corpus carries no PII, so q71 decorates each document with
+    * synthetic emails / IPv4s / phone numbers via the SAME SQL expression
+    * on both engines (q66's `syntheticUrlSql` pattern) — every redaction
+    * count is then exactly predictable and DuckDB-recomputable.
+    */
+  private val syntheticPiiSql: String =
+    """text ||
+      |(CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact u' || CAST(doc_id AS STRING) || '@ex' ||
+      |           CAST(doc_id % 7 AS STRING) || '.org' ELSE '' END) ||
+      |(CASE WHEN doc_id % 4 = 0
+      |      THEN ' host 10.' || CAST(doc_id % 256 AS STRING) || '.0.' ||
+      |           CAST(doc_id % 100 AS STRING) ELSE '' END) ||
+      |(CASE WHEN doc_id % 5 = 0
+      |      THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+      |      ELSE '' END)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_url_dedup" -> ((s, dir) => {
       // URL-level exact dedup (crawl-pipeline member of the dedup family):
@@ -83,6 +100,75 @@ object PipelineQueries {
           sum(col("_fill")).as("total_tokens"),
           sum(col("_docs")).as("span_rows"))
         .orderBy(col("lang"))
+    }),
+    "q69_dedup_clusters" -> ((s, dir) => {
+      // Transitive closure of the exact 5-gram overlap pairs (q67's edge
+      // set) into duplicate CLUSTERS via large-star/small-star connected
+      // components — one keeper per cluster, not per pair. The oracle
+      // recomputes the same edges on gram STRINGS and resolves components
+      // with a recursive CTE, so every count and checksum is exact.
+      val pairs = PipelineOps.ngramOverlapPairs(spread(Tables.documents(s, dir)), n = 5)
+      PipelineOps.dedupClusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("_sz"), sum(col("id")).as("_idsum"))
+        .agg(
+          coalesce(sum(col("_sz")), lit(0L)).as("n_nodes"),
+          count(lit(1)).as("n_clusters"),
+          coalesce(max(col("_sz")), lit(0L)).as("max_cluster_size"),
+          coalesce(sum(col("_idsum")), lit(0L)).as("member_checksum"),
+          coalesce(sum(col("cluster_id")), lit(0L)).as("rep_checksum"))
+    }),
+    "q70_repetition_filter" -> ((s, dir) => {
+      // Gopher-style within-document repetition quality filter: duplicate
+      // trigram fraction, thresholded at 0.01 (the corpus' dup fractions
+      // top out ~0.08) in pure integer arithmetic
+      // ((total-distinct)*100 > total) so both engines agree bit-for-bit.
+      val stats = PipelineOps.withRepetitionStats(Tables.documents(s, dir), n = 3)
+      val repetitive =
+        (col("total_ngrams") - col("distinct_ngrams")) * 100 > col("total_ngrams")
+      stats.agg(
+        sum(col("total_ngrams")).as("total_ngrams"),
+        sum(col("distinct_ngrams")).as("distinct_ngrams"),
+        sum(when(repetitive, 1L).otherwise(0L)).as("repetitive_docs"),
+        sum(when(repetitive, col("doc_id")).otherwise(0L)).as("repetitive_checksum"))
+    }),
+    "q71_pii_redaction" -> ((s, dir) => {
+      // PII scrub: the corpus carries no PII, so the SAME SQL expression
+      // decorates documents with synthetic emails/IPs/phones on both
+      // engines; the oracle replicates the redaction regexes verbatim
+      // (lookaround-free, so Java and RE2 agree). Counts are recovered
+      // from placeholder-token length arithmetic — all exact integers.
+      val decorated = Tables.documents(s, dir)
+        .selectExpr("doc_id", s"$syntheticPiiSql AS text")
+      // placeholder tokens are regex-metachar-free, so a literal
+      // regexp_replace recovers the occurrence count from length deltas
+      def occurrences(token: String): Column =
+        ((length(col("redacted")) -
+          length(regexp_replace(col("redacted"), token, ""))) / token.length).cast("long")
+      decorated
+        .withColumn("redacted", PipelineOps.redactPii(col("text")))
+        .agg(
+          sum(when(col("redacted") =!= col("text"), 1L).otherwise(0L)).as("docs_with_pii"),
+          sum(occurrences("<EMAIL>")).as("emails_redacted"),
+          sum(occurrences("<IP>")).as("ips_redacted"),
+          sum(occurrences("<PHONE>")).as("phones_redacted"),
+          sum(length(col("redacted"))).cast("long").as("redacted_len"))
+    }),
+    "q72_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: every 37th doc plays the benchmark set;
+      // corpus docs sharing any 5-token substring with it are dropped via
+      // a broadcast gram semi-join. Oracle replays it on gram strings.
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val kept = PipelineOps.decontaminate(spread(corpus), bench, n = 5)
+        .agg(count(lit(1)).as("kept_docs"), sum(col("doc_id")).as("kept_checksum"))
+      val total = corpus.agg(count(lit(1)).as("_corpus_docs"))
+      kept.crossJoin(total)
+        .select(
+          col("kept_docs"),
+          (col("_corpus_docs") - col("kept_docs")).as("removed_docs"),
+          col("kept_checksum"))
     }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
@@ -555,6 +641,78 @@ object PipelineQueries {
         |       CAST(SUM(fill) AS BIGINT) AS total_tokens,
         |       CAST(SUM(docs) AS BIGINT) AS span_rows
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "q69_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g0 AS (SELECT doc_id,
+        |              UNNEST(list_distinct(list_transform(range(1, len(toks) - 3),
+        |                i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |       FROM t),
+        |g AS (SELECT * FROM g0 QUALIFY count(*) OVER (PARTITION BY gram) <= 1000),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+        |r AS (SELECT u AS id, u AS lab FROM (SELECT DISTINCT u FROM e)
+        |      UNION
+        |      SELECT e.v AS id, r.lab AS lab FROM r JOIN e ON e.u = r.id),
+        |lab AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS sz, sum(id) AS idsum FROM lab GROUP BY cluster_id)
+        |SELECT CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_nodes,
+        |       count(*) AS n_clusters,
+        |       CAST(COALESCE(max(sz), 0) AS BIGINT) AS max_cluster_size,
+        |       CAST(COALESCE(sum(idsum), 0) AS BIGINT) AS member_checksum,
+        |       CAST(COALESCE(sum(cluster_id), 0) AS BIGINT) AS rep_checksum
+        |FROM sz""".stripMargin,
+    "q70_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(toks) >= 3 THEN CAST(len(toks) - 2 AS BIGINT)
+        |                  ELSE 0 END AS total,
+        |             CASE WHEN len(toks) >= 3
+        |                  THEN CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |                       i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT)
+        |                  ELSE 0 END AS dist
+        |      FROM t)
+        |SELECT CAST(sum(total) AS BIGINT) AS total_ngrams,
+        |       CAST(sum(dist) AS BIGINT) AS distinct_ngrams,
+        |       CAST(sum(CASE WHEN (total - dist) * 100 > total THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS repetitive_docs,
+        |       CAST(sum(CASE WHEN (total - dist) * 100 > total THEN doc_id ELSE 0 END) AS BIGINT)
+        |         AS repetitive_checksum
+        |FROM g""".stripMargin,
+    "q71_pii_redaction" -> {
+      s"""WITH d AS (SELECT doc_id, $syntheticPiiSql AS text FROM documents),
+        |r AS (SELECT doc_id, text,
+        |             regexp_replace(regexp_replace(regexp_replace(text,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |               '\\+\\d{1,2} \\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+        |      FROM d)
+        |SELECT CAST(sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |       CAST(sum((len(redacted) - len(replace(redacted, '<EMAIL>', ''))) // 7) AS BIGINT)
+        |         AS emails_redacted,
+        |       CAST(sum((len(redacted) - len(replace(redacted, '<IP>', ''))) // 4) AS BIGINT)
+        |         AS ips_redacted,
+        |       CAST(sum((len(redacted) - len(replace(redacted, '<PHONE>', ''))) // 7) AS BIGINT)
+        |         AS phones_redacted,
+        |       CAST(sum(len(redacted)) AS BIGINT) AS redacted_len
+        |FROM r""".stripMargin
+    },
+    "q72_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 3),
+        |              i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |       FROM t WHERE doc_id % 37 = 0 AND len(toks) >= 5),
+        |cg AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 3),
+        |              i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |       FROM t WHERE doc_id % 37 <> 0 AND len(toks) >= 5),
+        |dirty AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+        |corpus AS (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0),
+        |kept AS (SELECT corpus.doc_id FROM corpus ANTI JOIN dirty USING (doc_id))
+        |SELECT count(*) AS kept_docs,
+        |       (SELECT count(*) FROM corpus) - count(*) AS removed_docs,
+        |       CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS kept_checksum
+        |FROM kept""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH prepped AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 30) AS BIGINT) AS bucket,

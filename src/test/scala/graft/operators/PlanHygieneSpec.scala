@@ -117,6 +117,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plans("q48_band_join").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontamination benchmark gram set broadcasts; corpus side never shuffles grams") {
+    // the benchmark set is tiny relative to a 100 TB corpus — the gram
+    // semi-join must be a broadcast hash join, not a shuffled one
+    assert(plans("q72_decontaminate").contains("BroadcastHashJoin"),
+      "benchmark gram join lost its broadcast")
+  }
+
   test("filters and projections reach the scans") {
     // stock parquet: q02 filters lineitem and projects a narrow column set —
     // the scan must show pushed filters and a pruned ReadSchema
