@@ -1016,6 +1016,71 @@ object PipelineOps {
       phone, "<PHONE>")
   }
 
+  // ----------------------------------------------- chunking & resampling
+
+  /** Sliding-window document chunking for embedding / retrieval pipelines:
+    * token windows of `chunkTokens` advancing by `chunkTokens -
+    * overlapTokens`; the final window may be short, and every document
+    * emits at least one chunk. Output rows: (`idCol`, `chunk_id`,
+    * `start_tok`, `chunk_tokens`, `chunk_text`). Pure per-row integer
+    * window arithmetic + an explode — zero shuffle, embarrassingly
+    * parallel at any corpus size.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int = 96,
+      overlapTokens: Int = 32,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") > 0)
+      // ceil((n - overlap) / stride), clamped to >= 1 — engines' int-div
+      // rounding only differs for negative numerators, which clamp anyway
+      .withColumn("_n_chunks",
+        greatest(expr(s"(_n - $overlapTokens + ${stride - 1}) div $stride"), lit(1L)))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk_tokens", least(lit(chunkTokens.toLong), col("_n") - col("start_tok")))
+      .withColumn("chunk_text",
+        array_join(slice(col("_toks"), (col("start_tok") + 1).cast("int"),
+          col("chunk_tokens").cast("int")), " "))
+      .drop("_toks", "_n", "_n_chunks")
+  }
+
+  /** Deterministic weighted resampling for domain mixing (the "temperature
+    * sampling" step that rebalances sources before training): every row in
+    * stratum `k` appears `floor(w_k)` times, plus once more on a
+    * deterministic `id % 1000 < round(frac(w_k)*1000)` slice. No RNG — the
+    * mix is bit-reproducible across runs and engines — and no shuffle
+    * (just a per-row explode); strata absent from `weights` (or weighted
+    * 0) are dropped. Id-slice selection is unbiased when ids are dense or
+    * uniformly distributed mod 1000, which holds for sequence-assigned ids.
+    */
+  def resampleByWeight(
+      df: DataFrame,
+      weights: Map[String, Double],
+      stratumCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(stratumCol) === k, lit(w)).otherwise(acc)
+    }
+    val copies = floor(wCol).cast("long") +
+      when(pmod(col(idCol), lit(1000L)) <
+        round((wCol - floor(wCol)) * 1000).cast("long"), 1L).otherwise(0L)
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("copy_nr", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Benchmark decontamination: drop every corpus document sharing ANY

@@ -170,6 +170,34 @@ object PipelineQueries {
           (col("_corpus_docs") - col("kept_docs")).as("removed_docs"),
           col("kept_checksum"))
     }),
+    "q73_chunking" -> ((s, dir) => {
+      // Sliding-window chunking (96-token windows, 32-token overlap).
+      // Window arithmetic AND the sliced chunk text are both verified:
+      // the oracle recomputes text lengths from its own token slices.
+      PipelineOps.chunkDocuments(Tables.documents(s, dir),
+        chunkTokens = 96, overlapTokens = 32)
+        .agg(
+          count(lit(1)).as("total_chunks"),
+          sum(when(col("chunk_tokens") === 96L, 1L).otherwise(0L)).as("full_chunks"),
+          sum(col("chunk_tokens")).as("token_sum"),
+          sum(col("doc_id") * (col("chunk_id") + 1)).as("span_checksum"),
+          min(col("chunk_tokens")).as("min_chunk_tokens"),
+          sum(length(col("chunk_text"))).cast("long").as("text_len_sum"))
+    }),
+    "q74_weighted_resample" -> ((s, dir) => {
+      // Deterministic domain-mix resampling: en upsampled 2.25x, de 1.5x,
+      // fr kept, es downsampled to 0.4x, every other lang dropped. The
+      // fractional part selects a fixed id-slice (doc_id % 1000), so both
+      // engines reproduce the mix exactly.
+      PipelineOps.resampleByWeight(Tables.documents(s, dir),
+        Map("en" -> 2.25, "de" -> 1.5, "fr" -> 1.0, "es" -> 0.4))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("sampled_rows"),
+          countDistinct(col("doc_id")).as("distinct_docs"),
+          sum(col("doc_id")).as("row_checksum"))
+        .orderBy(col("lang"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -713,6 +741,40 @@ object PipelineQueries {
         |       (SELECT count(*) FROM corpus) - count(*) AS removed_docs,
         |       CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS kept_checksum
         |FROM kept""".stripMargin,
+    "q73_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |             GREATEST((n - 32 + 63) // 64, 1) AS n_chunks FROM t),
+        |e AS (SELECT doc_id, toks, n,
+        |             UNNEST(generate_series(0, n_chunks - 1)) AS chunk_id FROM c),
+        |s AS (SELECT doc_id, chunk_id, chunk_id * 64 AS start_tok,
+        |             LEAST(96, n - chunk_id * 64) AS chunk_tokens,
+        |             array_to_string(toks[chunk_id * 64 + 1:chunk_id * 64 + LEAST(96, n - chunk_id * 64)], ' ') AS chunk_text
+        |      FROM e)
+        |SELECT count(*) AS total_chunks,
+        |       CAST(sum(CASE WHEN chunk_tokens = 96 THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks,
+        |       CAST(sum(chunk_tokens) AS BIGINT) AS token_sum,
+        |       CAST(sum(doc_id * (chunk_id + 1)) AS BIGINT) AS span_checksum,
+        |       CAST(min(chunk_tokens) AS BIGINT) AS min_chunk_tokens,
+        |       CAST(sum(len(chunk_text)) AS BIGINT) AS text_len_sum
+        |FROM s""".stripMargin,
+    "q74_weighted_resample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |         CASE lang WHEN 'en' THEN 2.25 WHEN 'de' THEN 1.5
+        |                   WHEN 'fr' THEN 1.0 WHEN 'es' THEN 0.4 ELSE 0.0 END AS wt
+        |       FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |             CAST(FLOOR(wt) AS BIGINT) +
+        |             CASE WHEN doc_id % 1000 < CAST(ROUND((wt - FLOOR(wt)) * 1000) AS BIGINT)
+        |                  THEN 1 ELSE 0 END AS copies
+        |      FROM w),
+        |e AS (SELECT doc_id, lang, UNNEST(generate_series(1, copies)) AS copy_nr
+        |      FROM r WHERE copies > 0)
+        |SELECT lang, count(*) AS sampled_rows, count(DISTINCT doc_id) AS distinct_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS row_checksum
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH prepped AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 30) AS BIGINT) AS bucket,

@@ -96,6 +96,37 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got(4) == "mixed <EMAIL> then <IP> then <PHONE>")
   }
 
+  test("chunkDocuments: hand-computed windows, overlap, and short-doc clamp") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // n=10, chunk=4, ov=1 -> stride 3: [0,4) [3,7) [6,10)
+      (2L, "a b"),                                     // short: single 2-token chunk
+      (3L, "x y z w")                                  // exactly one full chunk
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.chunkDocuments(df, chunkTokens = 4, overlapTokens = 1)
+      .select($"doc_id", $"chunk_id", $"start_tok", $"chunk_tokens", $"chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 6L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 0L, 2L, "a b"),
+      (3L, 0L, 0L, 4L, "x y z w")), s"got $got")
+  }
+
+  test("resampleByWeight: floor copies plus deterministic fractional id-slice") {
+    val df = (0L until 10L).map(i => (i, if (i < 6) "en" else "de")).toDF("doc_id", "lang")
+    // en w=2.5: ids 0..5 -> 2 copies each + 1 extra where id%1000 < 500 (ids 0..5 all <500 -> 3 each)
+    // de w=0.3: ids 6..9 -> 1 copy where id%1000 < 300 (all of 6..9 < 300 -> 1 each)
+    val got = PipelineOps.resampleByWeight(df, Map("en" -> 2.5, "de" -> 0.3))
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en" -> 18L, "de" -> 4L), s"got $got")
+    // a stratum with no weight disappears
+    val none = PipelineOps.resampleByWeight(df, Map("en" -> 1.0))
+      .filter($"lang" === "de").count()
+    assert(none == 0L)
+  }
+
   test("decontaminate: drops exactly the docs sharing an n-gram; short docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
