@@ -783,6 +783,81 @@ object PipelineOps {
     if (keepGrams) out.withColumnRenamed("_gh", "grams") else out.drop("_gh")
   }
 
+  // ----------------------------------------------------------- text retrieval
+
+  /** Okapi BM25 top-k retrieval: score every document against a small set
+    * of keyword queries, return each query's `k` best documents.
+    *
+    * score(q, D) = Σ_{t ∈ q} idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    * with idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1) — the classic
+    * Robertson/Spärck-Jones formulation.
+    *
+    * 100 TB shape: the query vocabulary is a plan literal, so the tf
+    * explode ships ONLY tokens matching a query term into the (doc, term)
+    * aggregate — the corpus text itself never shuffles. df/idf is a tiny
+    * per-term table broadcast back, corpus-level stats (N, avgdl) are one
+    * scalar row, and per-query ranking is the map-side-partial
+    * [[graft.functions.TopK]] aggregate: k rows per task per query reach
+    * the exchange, never the full score matrix.
+    *
+    * Scores are ranked on `round(score, 9)` (doc_id tie-break): documents
+    * with identical term statistics score identically up to float
+    * summation order, and the rounding collapses that noise so the
+    * ranking is engine-independent. Output `score` is `round(_, 4)`.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(k > 0, s"k must be positive, got $k")
+    val qTerms: Seq[(Long, Seq[String])] =
+      queries.map { case (qid, q) => (qid, q.split(" ").toSeq.filter(_.nonEmpty).distinct) }
+    val allTerms = qTerms.flatMap(_._2).distinct.sorted
+    val termsLit = array(allTerms.map(lit): _*)
+
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("double"))
+    // corpus-level scalars: one row, broadcast into the scoring join
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    // term frequencies for QUERY terms only — the filter runs before the
+    // explode, so non-matching tokens never leave their scan partition
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("_toks"), t => array_contains(termsLit, t))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val queryExpl = qTerms.flatMap { case (qid, ts) => ts.map((qid, _)) }
+      .toDF("query_id", "term")
+
+    val scored = tf
+      .join(broadcast(dfTbl), "term")
+      .join(broadcast(queryExpl), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_contrib",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_contrib")).as("_score"))
+
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topKByScore(k, round(col("_score"), 9), col("doc_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("doc_id"), round(col("col.score"), 4).as("score"))
+  }
+
   // ------------------------------------------------------------ skew salting
 
   /** Salted equi-join for skewed keys. The big side gets a seeded random

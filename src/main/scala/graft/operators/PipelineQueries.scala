@@ -28,6 +28,14 @@ object PipelineQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** q75's retrieval workload: three keyword queries over the corpus
+    * vocabulary, mirrored verbatim in the oracle's VALUES list.
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash join merge",
+    1L -> "vector scan filter",
+    2L -> "stream window agg")
+
   /** The documents table carries no URL column, so q66 synthesizes one
     * deterministically from doc fields — the SAME SQL expression runs on
     * both engines, decorated to exercise every normalizer rule: mixed-case
@@ -197,6 +205,14 @@ object PipelineQueries {
           countDistinct(col("doc_id")).as("distinct_docs"),
           sum(col("doc_id")).as("row_checksum"))
         .orderBy(col("lang"))
+    }),
+    "q75_bm25_retrieval" -> ((s, dir) => {
+      // Okapi BM25 top-10 for three keyword queries, exact oracle: DuckDB
+      // recomputes tf/df/avgdl and the full scoring formula. Ranks use
+      // round(score, 9) with doc_id tie-break on both sides, so identical
+      // term statistics can never flip an engine's ordering.
+      PipelineOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
     }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
@@ -775,6 +791,34 @@ object PipelineQueries {
         |SELECT lang, count(*) AS sampled_rows, count(DISTINCT doc_id) AS distinct_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS row_checksum
         |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
+    "q75_bm25_retrieval" ->
+      """WITH queries(query_id, qtext) AS (VALUES
+        |  (0, 'hash join merge'), (1, 'vector scan filter'), (2, 'stream window agg')),
+        |qterm AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term
+        |          FROM queries),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |       WHERE term IN (SELECT DISTINCT term FROM qterm)
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+        |  FROM tf t
+        |  JOIN df USING (term) JOIN qterm q USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY q.query_id, t.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, round(round(score, 9), 4) AS score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY round(score, 9) DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH prepped AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 30) AS BIGINT) AS bucket,

@@ -127,6 +127,30 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("bm25TopK: tf monotonicity, absent terms, rank order, id tie-break") {
+    val df = Seq(
+      (1L, "apple apple banana"),   // tf(apple)=2
+      (2L, "apple banana banana"),  // tf(apple)=1, same length -> ranks below 1
+      (3L, "cherry cherry cherry"), // no query terms: absent from results
+      (4L, "apple banana banana"),  // identical to doc 2: same score, ties by id
+      (5L, "pear apple")            // shorter doc: length norm boosts tf=1
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.bm25TopK(df, Seq(0L -> "apple"), k = 10)
+      .orderBy($"rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.map(_._2).toSet == Set(1L, 2L, 4L, 5L), s"got ${got.toSeq}")
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // doc 1 (tf=2) beats docs 2/4 (tf=1, same dl); 2 beats 4 only by id
+    val pos = got.map(_._2).zipWithIndex.toMap
+    assert(pos(1L) == 0)
+    assert(pos(2L) < pos(4L))
+    // multi-term query: doc matching both terms outranks single-term docs
+    val multi = PipelineOps.bm25TopK(df, Seq(7L -> "apple pear"), k = 3)
+      .filter($"rank" === 1).select($"query_id", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.toSeq == Seq((7L, 5L)))
+  }
+
   test("decontaminate: drops exactly the docs sharing an n-gram; short docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
