@@ -214,6 +214,30 @@ object PipelineQueries {
       PipelineOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q76_zorder_value" -> ((s, dir) => {
+      // Morton (Z-order) clustering value over (l_orderkey, l_partkey):
+      // pure integer scaling + bit interleave, so DuckDB recomputes every
+      // value exactly (the oracle unrolls the same magic-mask steps in
+      // bigint arithmetic). Bounds come from a lazy broadcast agg — the
+      // same shape zorderBy uses when callers pass no ranges.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val rng = li.agg(
+        min("l_orderkey").cast("long").as("o_min"),
+        max("l_orderkey").cast("long").as("o_max"),
+        min("l_partkey").cast("long").as("p_min"),
+        max("l_partkey").cast("long").as("p_max"))
+      li.crossJoin(broadcast(rng))
+        .withColumn("_z", ZOrder.interleave2(
+          ZOrder.scaleToBits(col("l_orderkey"), col("o_min"), col("o_max"), 16),
+          ZOrder.scaleToBits(col("l_partkey"), col("p_min"), col("p_max"), 16)))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("_z")).as("z_sum"),
+          min(col("_z")).as("z_min"),
+          max(col("_z")).as("z_max"),
+          sum(pmod(col("_z"), lit(9973L)) * col("l_linenumber")).as("z_checksum"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -819,6 +843,36 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q76_zorder_value" ->
+      """WITH rng AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS o_min, CAST(max(l_orderkey) AS BIGINT) AS o_max,
+        |         CAST(min(l_partkey) AS BIGINT) AS p_min, CAST(max(l_partkey) AS BIGINT) AS p_max
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_linenumber,
+        |    CASE WHEN o_max = o_min THEN 0
+        |         ELSE ((CAST(l_orderkey AS BIGINT) - o_min) * 65535) // (o_max - o_min) END AS sa,
+        |    CASE WHEN p_max = p_min THEN 0
+        |         ELSE ((CAST(l_partkey AS BIGINT) - p_min) * 65535) // (p_max - p_min) END AS sb
+        |  FROM lineitem CROSS JOIN rng),
+        |-- magic-mask bit spread, identical steps to ZOrder.spreadBits
+        |-- (masks in decimal: 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+        |--  0x0F0F0F0F0F0F0F0F, 0x3333333333333333, 0x5555555555555555)
+        |p1 AS (SELECT l_linenumber,
+        |  (sa | (sa << 16)) & 281470681808895 AS a, (sb | (sb << 16)) & 281470681808895 AS b FROM s),
+        |p2 AS (SELECT l_linenumber,
+        |  (a | (a << 8)) & 71777214294589695 AS a, (b | (b << 8)) & 71777214294589695 AS b FROM p1),
+        |p3 AS (SELECT l_linenumber,
+        |  (a | (a << 4)) & 1085102592571150095 AS a, (b | (b << 4)) & 1085102592571150095 AS b FROM p2),
+        |p4 AS (SELECT l_linenumber,
+        |  (a | (a << 2)) & 3689348814741910323 AS a, (b | (b << 2)) & 3689348814741910323 AS b FROM p3),
+        |p5 AS (SELECT l_linenumber,
+        |  (a | (a << 1)) & 6148914691236517205 AS a, (b | (b << 1)) & 6148914691236517205 AS b FROM p4),
+        |z AS (SELECT l_linenumber, a | (b << 1) AS z FROM p5)
+        |SELECT count(*) AS n_rows, CAST(sum(z) AS BIGINT) AS z_sum,
+        |       min(z) AS z_min, max(z) AS z_max,
+        |       CAST(sum((z % 9973) * l_linenumber) AS BIGINT) AS z_checksum
+        |FROM z""".stripMargin,
     "q33_ngram_jaccard" ->
       """WITH prepped AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 30) AS BIGINT) AS bucket,
