@@ -783,6 +783,56 @@ object PipelineOps {
     if (keepGrams) out.withColumnRenamed("_gh", "grams") else out.drop("_gh")
   }
 
+  // ------------------------------------------- model-based quality (bigram LM)
+
+  /** Bigram language-model scoring — the model-based member of the quality
+    * family (CCNet-style perplexity filtering): train add-one-smoothed
+    * bigram counts on the corpus itself, then score each document by its
+    * mean bigram log-probability `avg ln((C(w1,w2)+1)/(C(w1·)+V))`.
+    * Common collocations score high, token soup scores low; callers flag
+    * the tail. Output adds `n_bigrams` and `lm_logprob` (null for
+    * documents with fewer than two tokens).
+    *
+    * Scale shape: the model is two groupBy aggregates over the exploded
+    * bigram stream (map-side partial sums) — only OBSERVED bigrams are
+    * materialized, never vocab². Scoring first collapses the stream to
+    * distinct (doc, bigram) rows with their in-doc counts, so the count
+    * joins move one row per distinct bigram per doc, not one per token;
+    * V rides a broadcast scalar row.
+    */
+  def withLmScore(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    // adjacent pairs; single-token docs produce (w1, null) and are dropped
+    // by the null filter (sequence(1,0) would descend, hence the greatest)
+    val pairs = base.select(col(idCol),
+      explode(transform(
+        sequence(lit(1), greatest(size(col("_toks")) - 1, lit(1))),
+        i => struct(element_at(col("_toks"), i).as("w1"),
+          try_element_at(col("_toks"), i + 1).as("w2")))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+    val perDoc = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_k"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val vocab = base.select(explode(col("_toks")).as("_t"))
+      .agg(countDistinct(col("_t")).cast("double").as("_v"))
+    val scored = perDoc
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_k")).as("n_bigrams"),
+        sum(col("_k").cast("double") *
+          log((col("_c2") + lit(1L)).cast("double") /
+            (col("_c1").cast("double") + col("_v")))).as("_lp"))
+      .withColumn("lm_logprob", col("_lp") / col("n_bigrams").cast("double"))
+      .drop("_lp")
+    docs.join(scored, Seq(idCol), "left")
+  }
+
   // ----------------------------------------------------------- text retrieval
 
   /** Okapi BM25 top-k retrieval: score every document against a small set

@@ -238,6 +238,23 @@ object PipelineQueries {
           max(col("_z")).as("z_max"),
           sum(pmod(col("_z"), lit(9973L)) * col("l_linenumber")).as("z_checksum"))
     }),
+    "q77_lm_quality" -> ((s, dir) => {
+      // Bigram-LM quality scoring per language. Floats follow the q01
+      // convention (round AFTER the aggregate); the -3.39 flag threshold
+      // splits the score distribution with a measured min distance of
+      // 5.4e-5 (sf0.01) / 5.9e-6 (sf0.1) — nine orders above cross-engine
+      // float noise, so the boolean cannot flip.
+      PipelineOps.withLmScore(Tables.documents(s, dir))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("lm_logprob").isNotNull.cast("long")).as("scored_docs"),
+          sum(col("n_bigrams")).as("bigram_sum"),
+          round(avg(col("lm_logprob")), 6).as("lp_avg"),
+          round(sum(col("lm_logprob")), 4).as("lp_sum"),
+          sum((col("lm_logprob") < -3.39).cast("long")).as("flagged_docs"))
+        .orderBy(col("lang"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -843,6 +860,31 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q77_lm_quality" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |pr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM d, UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) AS t(i)
+        |       WHERE toks[i + 1] IS NOT NULL),
+        |per_doc AS (SELECT doc_id, w1, w2, CAST(count(*) AS DOUBLE) AS k
+        |            FROM pr GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+        |      FROM (SELECT unnest(toks) AS t FROM d)),
+        |sc AS (SELECT per_doc.doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |              sum(k * ln((c2.c2 + 1) / (c1.c1 + v.v))) AS lp
+        |       FROM per_doc JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |       GROUP BY 1),
+        |j AS (SELECT d.doc_id, d.lang, sc.n_bigrams,
+        |             sc.lp / sc.n_bigrams AS lm_logprob
+        |      FROM d LEFT JOIN sc USING (doc_id))
+        |SELECT lang, count(*) AS docs,
+        |       CAST(sum(CASE WHEN lm_logprob IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS scored_docs,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS bigram_sum,
+        |       round(avg(lm_logprob), 6) AS lp_avg,
+        |       round(sum(lm_logprob), 4) AS lp_sum,
+        |       CAST(sum(CASE WHEN lm_logprob < -3.39 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "q76_zorder_value" ->
       """WITH rng AS (
         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS o_min, CAST(max(l_orderkey) AS BIGINT) AS o_max,

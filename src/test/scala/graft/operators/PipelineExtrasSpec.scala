@@ -151,6 +151,26 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(multi.toSeq == Seq((7L, 5L)))
   }
 
+  test("withLmScore: frequent collocations outscore token soup; short docs get null") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams ab/ba occur 3x/2x corpus-wide
+      (2L, "c d e f g h"),   // every bigram unique
+      (3L, "x")              // no bigrams
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.withLmScore(df)
+      .select($"doc_id", $"n_bigrams", $"lm_logprob")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    assert(got(3L).isEmpty)
+    val (n1, s1) = got(1L).get
+    val (n2, s2) = got(2L).get
+    assert(n1 == 5L && n2 == 5L)
+    assert(s1 > s2, s"repetitive doc must outscore unique-bigram doc: $s1 vs $s2")
+    // hand-check doc 1: V=9 distinct tokens; C(a,b)=3, C(a·)=3; C(b,a)=2, C(b·)=2
+    val expect1 = (3 * math.log(4.0 / (3 + 9)) + 2 * math.log(3.0 / (2 + 9))) / 5
+    assert(math.abs(s1 - expect1) < 1e-12, s"$s1 vs $expect1")
+  }
+
   test("decontaminate: drops exactly the docs sharing an n-gram; short docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
