@@ -608,6 +608,23 @@ object PipelineQueries {
           org.apache.spark.sql.types.StructField("never_underestimates", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("within_eps", org.apache.spark.sql.types.LongType))))
     }),
+    "q78_attribution_join" -> ((s, dir) => {
+      // Batch twin of StreamingOps.attributionJoin (stream-stream interval
+      // join): every click paired with the same user's views in the
+      // preceding 30 minutes. Timestamps compare in exact integer
+      // microseconds on both engines (Spark: ts div 1000; DuckDB: its
+      // ns->us parquet truncation + epoch_us).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamingOps.attributionJoin(ev, ev)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("users"),
+          sum(col("lag_us")).as("lag_us_sum"),
+          min(col("lag_us")).as("lag_us_min"),
+          max(col("lag_us")).as("lag_us_max"),
+          round(sum(col("click_value")), 2).as("click_value_sum"))
+    }),
     "q63_streaming_heavy_hitters" -> ((s, dir) => {
       // Streaming heavy hitters (batch twin of
       // StreamingOps.streamingHeavyHitters): per-hour CMS candidates over
@@ -860,6 +877,18 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q78_attribution_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT l.user_id, r.us - l.us AS lag_us, r.value AS click_value
+        |      FROM e l JOIN e r
+        |        ON l.user_id = r.user_id
+        |       AND l.event_type = 'view' AND r.event_type = 'click'
+        |       AND l.us <= r.us AND r.us <= l.us + 1800000000)
+        |SELECT count(*) AS n_pairs, count(DISTINCT user_id) AS users,
+        |       CAST(sum(lag_us) AS BIGINT) AS lag_us_sum,
+        |       min(lag_us) AS lag_us_min, max(lag_us) AS lag_us_max,
+        |       round(sum(click_value), 2) AS click_value_sum
+        |FROM p""".stripMargin,
     "q77_lm_quality" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |pr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2

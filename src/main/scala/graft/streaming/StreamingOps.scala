@@ -113,6 +113,41 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join (attribution): pair each `rightType`
+    * event with the same user's `leftType` events in the preceding
+    * `withinSeconds`. On streaming inputs both sides carry watermarks and
+    * the event-time range predicate lets Spark EXPIRE buffered rows once
+    * the opposite watermark passes `l_time + within` — join state is
+    * bounded by interval × arrival rate, never by stream length (the
+    * canonical two-stream join the micro-batch engine supports in append
+    * mode). The same plan runs on batch frames (watermarks skipped);
+    * `lag_us` is exact integer microsecond arithmetic on both engines.
+    */
+  def attributionJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftType: String = "view",
+      rightType: String = "click",
+      withinSeconds: Long = 1800L,
+      watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, t: String, p: String): DataFrame = {
+      val e = eventTime(df).filter(col("event_type") === t)
+        .select(col("user_id").as(p + "user"), col("event_time").as(p + "time"),
+          col("event_id").as(p + "event"), col("value").as(p + "value"))
+      if (df.isStreaming) e.withWatermark(p + "time", watermark) else e
+    }
+    val l = side(left, leftType, "l_")
+    val r = side(right, rightType, "r_")
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          col("l_time") <= col("r_time") &&
+          col("r_time") <= col("l_time") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("l_user").as("user_id"),
+        col("l_event").as("view_event"), col("r_event").as("click_event"),
+        (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("lag_us"),
+        col("r_value").as("click_value"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * (event count, value sum) that survives across micro-batches. The
     * pattern for state Spark's built-in windows can't express; state is

@@ -107,6 +107,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream-stream attribution join: streaming == batch") {
+    val schema = batchEvents.schema
+    // two INDEPENDENT stream sources — a genuine two-stream join, not a
+    // self-joined single source
+    val viewStream = spark.readStream.schema(schema).parquet(eventsPath)
+    val clickStream = spark.readStream.schema(schema).parquet(eventsPath)
+    val q = StreamingOps.attributionJoin(viewStream, clickStream)
+      .writeStream.format("memory").queryName("attr_join").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream must have drained")
+
+    val streaming = spark.table("attr_join")
+      .orderBy("user_id", "view_event", "click_event")
+      .collect().map(_.toSeq).toSeq
+    val batch = StreamingOps.attributionJoin(batchEvents, batchEvents)
+      .orderBy("user_id", "view_event", "click_event")
+      .collect().map(_.toSeq).toSeq
+    assert(streaming.nonEmpty, "fixture must produce view->click pairs")
+    assert(streaming == batch)
+    // sanity on the interval semantics: every lag within [0, 30 min]
+    val lags = spark.table("attr_join").select("lag_us")
+      .collect().map(_.getLong(0))
+    assert(lags.forall(l => l >= 0 && l <= 1800L * 1000000))
+  }
+
   test("streaming heavy hitters: CMS guarantees vs exact windowed counts") {
     val schema = batchEvents.schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)
