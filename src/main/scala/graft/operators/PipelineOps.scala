@@ -604,6 +604,84 @@ object PipelineOps {
     (result, handle)
   }
 
+  /** SemDeDup-style semantic dedup pairs: k-means-cluster the unit
+    * embeddings (bounded-sample fit, the same coarse-quantizer recipe as
+    * [[ivfAnnTopK]]), then compare pairs ONLY within a cluster with exact
+    * cosine. Where [[embeddingNearDupPairs]] buckets by seeded random
+    * projections, the clustered form is the published SemDeDup shape:
+    * per-cluster locality, work bounded by `Σ cluster_size²` instead of
+    * corpus², and recall traded only at cluster boundaries — recovered by
+    * assigning each vector to its `nAssign` nearest clusters (the IVF
+    * multi-probe idea). Candidates flow as slim `(id, cluster)` keys and
+    * vectors are fetched back by id, so each vector crosses the wire
+    * once. Emits each unordered pair once (`id_a < id_b`); zero vectors
+    * are dropped (no cosine). The slim unit-vector projection is
+    * persisted (fit sample + assignment + verification reuse it); free it
+    * via the [[semanticDedupPairsWithHandle]] handle or
+    * `spark.catalog.clearCache()`.
+    */
+  def semanticDedupPairs(
+      embeddings: DataFrame,
+      minCosine: Double = 0.9,
+      nClusters: Int = 16): DataFrame =
+    semanticDedupPairsWithHandle(embeddings, minCosine, nClusters)._1
+
+  /** [[semanticDedupPairs]] plus the cache lifecycle handle (see
+    * [[lshAnnPairsWithHandle]]).
+    */
+  def semanticDedupPairsWithHandle(
+      embeddings: DataFrame,
+      minCosine: Double = 0.9,
+      nClusters: Int = 16,
+      nAssign: Int = 2): (DataFrame, AnnCacheHandle) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nClusters >= 2, s"nClusters must be >= 2, got $nClusters")
+    require(nAssign >= 1 && nAssign <= nClusters,
+      s"nAssign must be in [1, $nClusters], got $nAssign")
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("_v"))
+      .withColumn("_norm", sqrt(dot(col("_v"), col("_v"))))
+      .filter(col("_norm") > 0.0)
+      .select(col("vec_id"), transform(col("_v"), x => x / col("_norm")).as("u"))
+      .persist()
+    // random init + few iterations, fit on a bounded sample: the clusters
+    // only need to partition the space (see ivfAnnTopK's rationale)
+    val km = new KMeans().setK(nClusters).setSeed(42).setMaxIter(5)
+      .setInitMode("random")
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+    val model = km.fit(
+      vecs.select(array_to_vector(col("u")).as("features")).limit(256 * nClusters))
+    // multi-assignment (each vector joins its nAssign nearest clusters, the
+    // IVF multi-probe idea): pairs straddling one boundary still meet in
+    // the neighbor cluster. Ranking is per-row array arithmetic over the
+    // literal centroid table — no window, no shuffle.
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), array(c.toArray.map(lit).toIndexedSeq: _*).as("c"))
+    }
+    // slim (vec_id, cluster_id) — vectors stay OUT of the candidate join
+    // and are fetched back by id, exactly lshAnnPairs' shuffle shape
+    val assigned = vecs
+      .withColumn("_ranked", array_sort(transform(array(centroids.toIndexedSeq: _*),
+        ct => struct((lit(0.0) - dot(col("u"), ct.getField("c"))).as("negdot"),
+          ct.getField("cid").as("cid")))))
+      .select(col("vec_id"),
+        explode(slice(col("_ranked"), 1, nAssign)).as("_best"))
+      .select(col("vec_id"), col("_best.cid").as("cluster_id"))
+    val cand = assigned.select(col("cluster_id"), col("vec_id").as("id_a"))
+      .join(assigned.select(col("cluster_id"), col("vec_id").as("id_b")), Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      // a pair sharing both probed clusters appears twice — dedup slim keys
+      .distinct()
+    val ua = vecs.select(col("vec_id").as("id_a"), col("u").as("_ua"))
+    val ub = vecs.select(col("vec_id").as("id_b"), col("u").as("_ub"))
+    val pairs = cand.join(ua, "id_a").join(ub, "id_b")
+      .select(col("id_a"), col("id_b"), dot(col("_ua"), col("_ub")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+    (pairs, new AnnCacheHandle(Seq(vecs)))
+  }
+
   /** Int8 (default) scalar quantization of an embedding column — the
     * storage-budget member of the similarity family: a 100 TB float32
     * corpus stores as ~25 TB of `array<tinyint>` plus one float scale per

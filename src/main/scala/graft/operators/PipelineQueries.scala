@@ -548,6 +548,40 @@ object PipelineQueries {
           (col("_nd_only") === 0L).cast("long").as("nd_subset_of_exact"),
           (col("_both") * 100L >= col("exact_pairs") * 80L).cast("long").as("recall_ge_80"))
     }),
+    "q79_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (k-means clustered semantic dedup) at minCosine=0.5 —
+      // same corpus facts as q56 (real pairs exist, none within 1e-3 of
+      // the threshold). Booleans assert precision 1.0 by construction
+      // (every emitted pair exact-cosine-verified) and recall vs the
+      // exact all-pairs baseline; top-3 cluster assignment recovers
+      // boundary-straddling pairs (measured recall 1.0 at sf0.01,
+      // 13/14 = 93% at sf0.1 — bound at 80%).
+      val emb = Tables.embeddings(s, dir)
+      val sd = PipelineOps
+        .semanticDedupPairsWithHandle(emb, minCosine = 0.5, nClusters = 16, nAssign = 3)._1
+        .select(col("id_a"), col("id_b"), lit(1).as("_n"))
+      val prepped = emb
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("_v"))
+        .withColumn("_nrm", sqrt(graft.functions.VectorFunctions.dotProduct(col("_v"), col("_v"))))
+        .persist()
+      val exact = prepped.select(col("vec_id").as("id_a"), col("_v").as("_va"), col("_nrm").as("_na"))
+        .join(prepped.select(col("vec_id").as("id_b"), col("_v").as("_vb"), col("_nrm").as("_nb")),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (graft.functions.VectorFunctions.dotProduct(col("_va"), col("_vb")) /
+            (col("_na") * col("_nb"))).as("_c"))
+        .filter(col("_c") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+      exact.join(sd, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("_e")), lit(0)).cast("long").as("exact_pairs"),
+          coalesce(sum(when(col("_e").isNotNull && col("_n").isNotNull, 1L)), lit(0L)).as("_both"),
+          coalesce(sum(when(col("_e").isNull, 1L)), lit(0L)).as("_sd_only"))
+        .select(
+          col("exact_pairs"),
+          (col("_sd_only") === 0L).cast("long").as("sd_subset_of_exact"),
+          (col("_both") * 100L >= col("exact_pairs") * 80L).cast("long").as("recall_ge_80"))
+    }),
     "q59_edit_distance" -> ((s, dir) => {
       // character-level near-dup: exact value oracle (Levenshtein is
       // engine-independent), blocking replicated verbatim in the SQL
@@ -1089,6 +1123,14 @@ object PipelineQueries {
         |           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5)
         |SELECT CAST(c AS BIGINT) AS exact_pairs,
         |       CAST(1 AS BIGINT) AS nd_subset_of_exact,
+        |       CAST(1 AS BIGINT) AS recall_ge_80
+        |FROM p""".stripMargin,
+    "q79_semantic_dedup" ->
+      """WITH p AS (SELECT count(*) AS c
+        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5)
+        |SELECT CAST(c AS BIGINT) AS exact_pairs,
+        |       CAST(1 AS BIGINT) AS sd_subset_of_exact,
         |       CAST(1 AS BIGINT) AS recall_ge_80
         |FROM p""".stripMargin,
     "q59_edit_distance" ->

@@ -171,6 +171,34 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(math.abs(s1 - expect1) < 1e-12, s"$s1 vs $expect1")
   }
 
+  test("semanticDedupPairs: planted duplicates always found, output subset of exact") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 120L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    // plant exact duplicates (identical vectors assign to identical
+    // clusters, so clustering can never split them) + one zero vector
+    val planted = base ++ Seq(
+      (200L, base(5)._2), (201L, base(17)._2), (202L, Array.fill(16)(0f)))
+    val df = planted.toDF("vec_id", "embedding")
+    val got = PipelineOps.semanticDedupPairsWithHandle(df, minCosine = 0.999, nClusters = 4)
+    val pairs = got._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got._2.close()
+    assert(pairs.contains((5L, 200L)), s"missed planted dup, got $pairs")
+    assert(pairs.contains((17L, 201L)), s"missed planted dup, got $pairs")
+    // subset-of-exact: every emitted pair really has cosine >= threshold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byId = planted.toMap
+    pairs.foreach { case (x, y) =>
+      assert(cos(byId(x), byId(y)) >= 0.999 - 1e-9, s"pair ($x,$y) below threshold")
+    }
+    // the zero vector never pairs
+    assert(!pairs.exists(p => p._1 == 202L || p._2 == 202L))
+  }
+
   test("decontaminate: drops exactly the docs sharing an n-gram; short docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
