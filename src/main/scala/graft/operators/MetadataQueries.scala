@@ -144,6 +144,35 @@ object MetadataQueries {
       s.sql("""SELECT n_regionkey, count(*) AS n_nations,
               |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
               |FROM pj_q64_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+    "q80_pjparquet_zordered_scan" -> ((s, dir) => {
+      import s.implicits._
+      // End-to-end form of ZOrderSpec's pruning proof on the product path:
+      // z-order the fact table on (l_orderkey, l_partkey), write through
+      // the pjparquet writer (sidecar-indexed), then run a two-dimensional
+      // range scan off the indexed layout. Bounds derive from the data
+      // (quarter spans in exact integer arithmetic) so the query is
+      // scale-factor-independent; oracle = the same filter over the
+      // original table — the re-layout must be lossless and the scan
+      // exact.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q80_zorder").toString
+      val li = graft.Tables.lineitem(s, dir)
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        graft.operators.ZOrder.zorderBy(
+          li, Seq("l_orderkey", "l_partkey"), numPartitions = 4), tmp)
+      val rng = li.agg(
+        min($"l_orderkey").cast("long").as("o_min"), max($"l_orderkey").cast("long").as("o_max"),
+        min($"l_partkey").cast("long").as("p_min"), max($"l_partkey").cast("long").as("p_max"))
+      s.read.format("pjparquet").load(tmp)
+        .crossJoin(broadcast(rng))
+        .filter(
+          $"l_orderkey" <= expr("o_min + (o_max - o_min) div 4") &&
+            $"l_partkey" >= expr("p_min + (p_max - p_min) div 4") &&
+            $"l_partkey" <= expr("p_min + (p_max - p_min) div 2"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum($"l_quantity"), 2).as("qty_sum"),
+          sum($"l_orderkey" * $"l_linenumber").as("key_checksum"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -174,5 +203,17 @@ object MetadataQueries {
     "q64_pjparquet_dynamic_overwrite" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q80_pjparquet_zordered_scan" ->
+      """WITH rng AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS o_min, CAST(max(l_orderkey) AS BIGINT) AS o_max,
+        |         CAST(min(l_partkey) AS BIGINT) AS p_min, CAST(max(l_partkey) AS BIGINT) AS p_max
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS qty_sum,
+        |       CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS key_checksum
+        |FROM lineitem CROSS JOIN rng
+        |WHERE l_orderkey <= o_min + (o_max - o_min) // 4
+        |  AND l_partkey >= p_min + (p_max - p_min) // 4
+        |  AND l_partkey <= p_min + (p_max - p_min) // 2""".stripMargin)
 }

@@ -46,10 +46,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q32_minhash_neardup", "q34_simhash", "q36_lsh_ann", "q43_ivf_ann", "q49_winnowing",
     "q63_streaming_heavy_hitters", "q65_embedding_quantization")
 
+  // queries that FIT a model over the corpus before scoring it (BM25's
+  // tf/df tables, the bigram LM's count model): each model aggregate is
+  // its own legitimate exchange, so they get a middle budget — still
+  // bounded, and far below the verification tier
+  private val modelFitQueries = Set("q75_bm25_retrieval", "q77_lm_quality")
+
   test("bounded shuffle count per query") {
     val offenders = plans.collect {
       case (n, p) if p.linesIterator.count(_.contains("Exchange hashpartitioning")) >
-        (if (verificationQueries(n)) 14 else 4) => n
+        (if (verificationQueries(n)) 14 else if (modelFitQueries(n)) 8 else 4) => n
     }
     assert(offenders.isEmpty, s"shuffle budget exceeded in: $offenders")
   }
