@@ -42,6 +42,27 @@ object PipelineOps {
   def dedupByKey(docs: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame =
     docs.groupBy(keys.map(col): _*).agg(min(col(idCol)).as("first_" + idCol))
 
+  /** Incremental dedup — the daily-ingest primitive: drop every new
+    * document whose content hash is already in `seenHashes` (column
+    * `content_hash`, the accumulated history), then dedup within the
+    * batch itself (earliest id wins). Returns `(content_hash, idCol,
+    * dup_count)` — union `content_hash` back into the history table for
+    * the next increment. The anti join is on the 256-bit hash: uniform,
+    * skew-free, and the only thing the history side ever ships — at
+    * 100 TB the corpus text stays in place and a 32-byte key per
+    * historical doc moves.
+    */
+  def incrementalDedup(
+      newDocs: DataFrame,
+      seenHashes: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    newDocs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .join(seenHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
   /** Canonical URL normalization for URL-level exact dedup (the standard
     * pretraining crawl-dedup key): strip the `#fragment`, lowercase the
     * `scheme://host` (path case is significant, so it survives), drop

@@ -255,6 +255,20 @@ object PipelineQueries {
           sum((col("lm_logprob") < -3.39).cast("long")).as("flagged_docs"))
         .orderBy(col("lang"))
     }),
+    "q81_incremental_dedup" -> ((s, dir) => {
+      // Incremental (new-batch vs history) dedup: even doc_ids play the
+      // accumulated history, odd ids the fresh crawl. Exact oracle —
+      // DuckDB replays the anti join + in-batch dedup with its own
+      // sha256.
+      val docs = Tables.documents(s, dir)
+      val seen = docs.filter(col("doc_id") % 2 === 0)
+        .select(sha2(col("text"), 256).as("content_hash"))
+      PipelineOps.incrementalDedup(docs.filter(col("doc_id") % 2 === 1), seen)
+        .agg(
+          count(lit(1)).as("kept_docs"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(col("dup_count")).as("batch_docs_kept_or_collapsed"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -725,6 +739,16 @@ object PipelineQueries {
     "q31_dedup_by_key" ->
       """SELECT lang, source, min(doc_id) AS first_doc_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q81_incremental_dedup" ->
+      """WITH seen AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |fresh AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1),
+        |kept AS (SELECT h, min(doc_id) AS doc_id, count(*) AS dup_count
+        |         FROM fresh WHERE h NOT IN (SELECT h FROM seen)
+        |         GROUP BY h)
+        |SELECT count(*) AS kept_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |       CAST(sum(dup_count) AS BIGINT) AS batch_docs_kept_or_collapsed
+        |FROM kept""".stripMargin,
     "q66_url_dedup" ->
       s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
         |n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u),

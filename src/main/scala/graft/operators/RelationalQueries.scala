@@ -159,6 +159,31 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // ---- RANGE-frame rolling window over event time ---------------------
+    "q82_rolling_range_window" -> { (s, d) =>
+      import s.implicits._
+      // Time-based (not row-based) rolling frame: for every event, count +
+      // value-sum of the SAME user's events in the preceding 10 minutes —
+      // RANGE BETWEEN on exact integer microseconds, so frame membership
+      // is engine-exact. Output aggregates per event_type (floats rounded
+      // after the aggregate, q01 convention).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", expr("ts div 1000"))
+        .select($"event_type",
+          count(lit(1)).over(w).as("n_win"),
+          sum($"value").over(w).as("v_win"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"n_win").as("window_rows_sum"),
+          max($"n_win").as("max_window_rows"),
+          round(sum($"v_win"), 2).as("window_value_sum"))
+        .orderBy($"event_type")
+    },
+
     // ---- Distinct + exact distinct count --------------------------------
     "q09_distinct_parts_per_flag" -> { (s, d) =>
       import s.implicits._
@@ -587,6 +612,20 @@ object RelationalQueries {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q82_rolling_range_window" ->
+      """WITH e AS (SELECT event_type, user_id, value, epoch_us(ts) AS us FROM events),
+        |win AS (
+        |  SELECT event_type,
+        |         count(*) OVER w AS n_win,
+        |         sum(value) OVER w AS v_win
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(n_win) AS BIGINT) AS window_rows_sum,
+        |       max(n_win) AS max_window_rows,
+        |       round(sum(v_win), 2) AS window_value_sum
+        |FROM win GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q09_distinct_parts_per_flag" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps

@@ -199,6 +199,22 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 202L || p._2 == 202L))
   }
 
+  test("incrementalDedup: history hashes block, in-batch dups collapse to earliest id") {
+    val seen = Seq((100L, "already ingested")).toDF("doc_id", "text")
+      .select(sha2($"text", 256).as("content_hash"))
+    val fresh = Seq(
+      (1L, "already ingested"),  // blocked by history
+      (2L, "brand new"),
+      (5L, "repeated in batch"),
+      (3L, "repeated in batch"), // collapses with 5 -> keeper id 3
+      (4L, "another new")
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.incrementalDedup(fresh, seen)
+      .select($"doc_id", $"dup_count")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $got")
+  }
+
   test("decontaminate: drops exactly the docs sharing an n-gram; short docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
