@@ -1007,6 +1007,48 @@ object PipelineOps {
         col("col.id").as("doc_id"), round(col("col.score"), 4).as("score"))
   }
 
+  // ------------------------------------------------- bloom semi-join prefilter
+
+  /** Bloom-filter semi-join pre-filter: build a BloomFilter over the small
+    * side's join keys (Spark's distributed sketch aggregate — partial
+    * filters merge tree-style, rows never collect), broadcast the
+    * few-MB filter, and drop big-side rows that cannot match BEFORE the
+    * join's shuffle. False positives only (rate `fpp`) — the join that
+    * follows re-verifies exactly, so results are identical to the plain
+    * join; what changes is shuffle volume: at 100 TB a selective dim
+    * filter turns the fact-side exchange from "everything" into
+    * "matches + fpp". This is the explicit, composable form of what AQE's
+    * runtime bloom join does for eligible plans — available to any
+    * operator chain, not just eligible joins.
+    *
+    * The point query is a broadcast-sketch UDF like `heavyHitters`'
+    * CMS lookup — no built-in expression exposes `mightContain`.
+    */
+  def bloomPreFilter(
+      big: DataFrame,
+      smallKeys: DataFrame,
+      key: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01,
+      smallKey: String = null): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
+    val bf = smallKeys.stat.bloomFilter(
+      Option(smallKey).getOrElse(key), expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val keyType = big.schema(key).dataType
+    // primitive-typed UDFs null-propagate, so NULL keys drop — exactly the
+    // semi-join semantics (NULL never equi-matches)
+    val might = keyType match {
+      case LongType | IntegerType => udf((k: Long) =>
+        bc.value.mightContainLong(k)).apply(col(key).cast("long"))
+      case StringType => udf((k: String) =>
+        k != null && bc.value.mightContainString(k)).apply(col(key))
+      case t => throw new IllegalArgumentException(
+        s"bloomPreFilter supports integral/string keys, got $t for '$key'")
+    }
+    big.filter(might)
+  }
+
   // ------------------------------------------------------------ skew salting
 
   /** Salted equi-join for skewed keys. The big side gets a seeded random

@@ -269,6 +269,22 @@ object PipelineQueries {
           sum(col("doc_id")).as("id_checksum"),
           sum(col("dup_count")).as("batch_docs_kept_or_collapsed"))
     }),
+    "q83_bloom_prefilter_join" -> ((s, dir) => {
+      // Bloom pre-filtered fact-dim join: BUILDING-segment customers form
+      // the filter, orders pre-filter on it before the exact join. The
+      // bloom is TRANSPARENT (false positives re-verified by the join),
+      // so the oracle is simply the plain join — any bloom false negative
+      // or dropped row breaks the hash match.
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val orders = PipelineOps.bloomPreFilter(
+        Tables.orders(s, dir), cust.select(col("c_custkey")), "o_custkey",
+        expectedItems = 100000L, smallKey = "c_custkey")
+      orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -739,6 +755,12 @@ object PipelineQueries {
     "q31_dedup_by_key" ->
       """SELECT lang, source, min(doc_id) AS first_doc_id
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q83_bloom_prefilter_join" ->
+      """SELECT count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q81_incremental_dedup" ->
       """WITH seen AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |fresh AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1),

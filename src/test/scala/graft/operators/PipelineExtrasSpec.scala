@@ -215,6 +215,26 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $got")
   }
 
+  test("bloomPreFilter: zero false negatives, real reduction, join-transparent") {
+    val big = (0L until 20000L).toDF("k")
+    val smallKeys = (0L until 20000L by 100).toDF("k") // 200 true matches
+    val filtered = PipelineOps.bloomPreFilter(big, smallKeys, "k",
+      expectedItems = 1000L, fpp = 0.01)
+    val keptKeys = filtered.collect().map(_.getLong(0)).toSet
+    // every true match survives (bloom filters cannot false-negative)
+    (0L until 20000L by 100).foreach(k => assert(keptKeys.contains(k), s"lost true key $k"))
+    // the filter actually filters: ~200 true + ~1% fp of 19800 << big
+    assert(keptKeys.size < 2000, s"no meaningful reduction: ${keptKeys.size} of 20000 kept")
+    // transparency: join after pre-filter == plain join
+    val joined = filtered.join(smallKeys.withColumnRenamed("k", "sk"), $"k" === $"sk").count()
+    assert(joined == 200L)
+    // string keys take the string path
+    val bigS = Seq("a", "b", "c", "d").toDF("s")
+    val gotS = PipelineOps.bloomPreFilter(bigS, Seq("b", "d").toDF("s"), "s",
+      expectedItems = 10L).collect().map(_.getString(0)).toSet
+    assert(Set("b", "d").subsetOf(gotS))
+  }
+
   test("decontaminate: drops exactly the docs sharing an n-gram; short docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
