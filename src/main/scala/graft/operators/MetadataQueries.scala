@@ -173,6 +173,21 @@ object MetadataQueries {
           count(lit(1)).as("n_rows"),
           round(sum($"l_quantity"), 2).as("qty_sum"),
           sum($"l_orderkey" * $"l_linenumber").as("key_checksum"))
+    }),
+    "q85_pjparquet_metadata_table" -> ((s, dir) => {
+      import s.implicits._
+      // Metadata-as-a-table (the library's parquet_metadata()): one row
+      // per row group served from the PJ index layer with zero query-time
+      // footer parses. DuckDB verifies the exactly-recomputable half
+      // (summed per-rg row counts == the table's count(*)); the per-rg
+      // structure is cross-validated against parquet-java's independent
+      // footer parse in PjMetadataSpec.
+      val md = graft.sources.pjparquet.PjMetadata.rowGroups(s, s"$dir/lineitem.parquet")
+      md.agg(
+          sum($"num_rows").as("total_rows"),
+          (count(lit(1)) >= 1L).cast("long").as("rgs_positive"),
+          (min($"compressed_bytes") > 0L).cast("long").as("bytes_ok"),
+          (countDistinct($"file") === 1L).cast("long").as("one_file"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -215,5 +230,11 @@ object MetadataQueries {
         |FROM lineitem CROSS JOIN rng
         |WHERE l_orderkey <= o_min + (o_max - o_min) // 4
         |  AND l_partkey >= p_min + (p_max - p_min) // 4
-        |  AND l_partkey <= p_min + (p_max - p_min) // 2""".stripMargin)
+        |  AND l_partkey <= p_min + (p_max - p_min) // 2""".stripMargin,
+    "q85_pjparquet_metadata_table" ->
+      """SELECT count(*) AS total_rows,
+        |       CAST(1 AS BIGINT) AS rgs_positive,
+        |       CAST(1 AS BIGINT) AS bytes_ok,
+        |       CAST(1 AS BIGINT) AS one_file
+        |FROM lineitem""".stripMargin)
 }

@@ -1115,6 +1115,26 @@ object PipelineOps {
       seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic fixed-size per-stratum sample: exactly `min(k, |group|)`
+    * rows per group, chosen by a content-independent pseudo-random order —
+    * `md5` of the id — so the selection is bit-reproducible across runs
+    * AND engines (no RNG, no partition-order dependence); the
+    * fixed-count complement of [[stratifiedSample]]'s per-row Bernoulli.
+    * One shuffle on the group key; ranking is per-group only.
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      k: Int,
+      groupCols: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Count–Min sketch of `keyCol`, aggregated distributed (partial
     * sketches merge associatively map-side; only the ~`O(1/eps × ln(1/δ))`
     * sketch crosses to the driver), returned as a point-query handle.

@@ -285,6 +285,18 @@ object PipelineQueries {
           countDistinct(col("o_custkey")).as("n_customers"),
           round(sum(col("o_totalprice")), 2).as("revenue"))
     }),
+    "q84_sample_k_per_group" -> ((s, dir) => {
+      // Deterministic fixed-k sampling: exactly 20 docs per language,
+      // selected by md5(doc_id) order — identical selection in DuckDB, so
+      // the exact id set (not just counts) hash-matches.
+      PipelineOps.sampleKPerGroup(Tables.documents(s, dir), k = 20, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("sampled"),
+          sum(col("doc_id")).as("id_checksum"),
+          max(col("sample_rank")).as("max_rank"))
+        .orderBy(col("lang"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -761,6 +773,17 @@ object PipelineQueries {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q84_sample_k_per_group" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, count(*) AS sampled,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |       max(sample_rank) AS max_rank
+        |FROM r WHERE sample_rank <= 20
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q81_incremental_dedup" ->
       """WITH seen AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |fresh AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1),
