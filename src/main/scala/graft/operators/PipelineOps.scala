@@ -837,6 +837,25 @@ object PipelineOps {
           least(meanTokLen / 8.0, lit(1.0)) * 0.2)
   }
 
+  /** Script/charset statistics — the writing-system member of the text
+    * family: per-document ASCII / digit / space / CJK codepoint counts via
+    * engine-identical character classes (explicit ranges only — Java and
+    * RE2 agree on `[\x00-\x7F]` and the CJK block `[一-鿿]` = U+4E00–
+    * U+9FFF, all BMP so code-unit and codepoint counts coincide). Pure
+    * codegen'd regexp arithmetic, zero shuffle; feeds corpus routing
+    * (script-specific tokenizers) and mostly-non-text filtering.
+    */
+  def withScriptStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def kept(cls: String): Column =
+      length(regexp_replace(col(textCol), s"[^$cls]", ""))
+    docs
+      .withColumn("n_chars_total", length(col(textCol)))
+      .withColumn("ascii_chars", kept("\\x00-\\x7F"))
+      .withColumn("digit_chars", kept("0-9"))
+      .withColumn("space_chars", kept(" "))
+      .withColumn("cjk_chars", kept("一-鿿"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count. */
   def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -297,6 +297,22 @@ object PipelineQueries {
           max(col("sample_rank")).as("max_rank"))
         .orderBy(col("lang"))
     }),
+    "q86_script_stats" -> ((s, dir) => {
+      // Script/charset statistics per language: exact integer codepoint
+      // counters (engine-identical character classes) + a mostly-CJK
+      // document flag.
+      PipelineOps.withScriptStats(Tables.documents(s, dir))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_chars_total")).as("chars_sum"),
+          sum(col("ascii_chars")).as("ascii_sum"),
+          sum(col("digit_chars")).as("digit_sum"),
+          sum(col("space_chars")).as("space_sum"),
+          sum(col("cjk_chars")).as("cjk_sum"),
+          sum((col("cjk_chars") * 2 > col("n_chars_total")).cast("long")).as("mostly_cjk_docs"))
+        .orderBy(col("lang"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -784,6 +800,22 @@ object PipelineQueries {
         |       max(sample_rank) AS max_rank
         |FROM r WHERE sample_rank <= 20
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q86_script_stats" ->
+      """WITH s AS (
+        |  SELECT lang, length(text) AS n_total,
+        |         length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_ascii,
+        |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+        |         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs,
+        |       CAST(sum(n_total) AS BIGINT) AS chars_sum,
+        |       CAST(sum(n_ascii) AS BIGINT) AS ascii_sum,
+        |       CAST(sum(n_digit) AS BIGINT) AS digit_sum,
+        |       CAST(sum(n_space) AS BIGINT) AS space_sum,
+        |       CAST(sum(n_cjk) AS BIGINT) AS cjk_sum,
+        |       CAST(sum(CASE WHEN n_cjk * 2 > n_total THEN 1 ELSE 0 END) AS BIGINT) AS mostly_cjk_docs
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q81_incremental_dedup" ->
       """WITH seen AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |fresh AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1),

@@ -235,6 +235,21 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(Set("b", "d").subsetOf(gotS))
   }
 
+  test("withScriptStats: hand-computed codepoint counters") {
+    val df = Seq(
+      (1L, "abc 12 的是"),  // 4 letters+digits... ascii: 'abc 12 ' = 7, digits 2, spaces 2, cjk 2, total 9
+      (2L, ""),
+      (3L, "只有中文没有空格")
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.withScriptStats(df)
+      .select($"doc_id", $"n_chars_total", $"ascii_chars", $"digit_chars", $"space_chars", $"cjk_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(got(1L) == ((9, 7, 2, 2, 2)), s"got ${got(1L)}")
+    assert(got(2L) == ((0, 0, 0, 0, 0)))
+    assert(got(3L) == ((8, 0, 0, 0, 8)))
+  }
+
   test("decontaminate: drops exactly the docs sharing an n-gram; short docs survive") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val corpus = Seq(
