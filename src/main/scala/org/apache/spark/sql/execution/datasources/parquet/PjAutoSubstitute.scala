@@ -72,8 +72,37 @@ class PjAutoSubstituteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=org.apache.spark.sql.execution.datasources.parquet.PjSparkExtensions`
   * (or `builder.withExtensions(new PjSparkExtensions)`).
+  *
+  * Besides the scan substitution rule, registers the library's codegen'd
+  * expressions as SQL functions so pure-SQL pipelines reach them:
+  * `pj_simhash64(array<string>)`, `pj_dot(array<double>, array<double>)`,
+  * `pj_sorted_intersect_count(sorted array<bigint> × 2)`.
   */
 class PjSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(
+      name: String,
+      clazz: Class[_],
+      arity: Int,
+      build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        if (args.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity arguments, got ${args.length}")
+        build(args)
+      })
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new PjAutoSubstituteRule(spark))
+    ext.injectFunction(fn("pj_simhash64", classOf[graft.functions.SimHash64], 1,
+      args => graft.functions.SimHash64(args.head)))
+    ext.injectFunction(fn("pj_dot", classOf[graft.functions.DoubleArrayDotProduct], 2,
+      args => graft.functions.DoubleArrayDotProduct(args(0), args(1))))
+    ext.injectFunction(fn("pj_sorted_intersect_count",
+      classOf[graft.functions.SortedLongArrayIntersectCount], 2,
+      args => graft.functions.SortedLongArrayIntersectCount(args(0), args(1))))
+  }
 }
