@@ -1287,19 +1287,27 @@ object PipelineOps {
   /** Gopher-style repetition stats: per document, the total and distinct
     * n-gram counts (docs shorter than `n` tokens count 0/0). Downstream
     * quality filters threshold the duplicate fraction
-    * `(total - distinct) / total`. Pure per-row codegen'd HOFs over 64-bit
-    * gram hashes — zero shuffle, embarrassingly parallel at any scale.
+    * `(total - distinct) / total`. Zero shuffle, embarrassingly parallel.
+    *
+    * Prep follows the [[ngramHashes]] recipe: token hashes materialize in
+    * their OWN projection, grams are integer hash-combines of `n`
+    * adjacent token hashes. The earlier string form inlined
+    * `split(text)` into the gram lambda — re-evaluated per `slice`
+    * access, O(tokens²) per doc (the trap documented on [[ngramHashes]])
+    * — and evaluated the gram array once per consumer column on top.
     */
   def withRepetitionStats(
       docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+    val grams = when(size(col("_th")) >= n,
+      transform(sequence(lit(1), size(col("_th")) - (n - 1)),
+        i => xxhash64((0 until n).map(o => element_at(col("_th"), i + o)): _*)))
       .otherwise(array().cast("array<bigint>"))
     docs
-      .withColumn("total_ngrams", size(grams).cast("long"))
-      .withColumn("distinct_ngrams", size(array_distinct(grams)).cast("long"))
+      .withColumn("_th", tokenHashes(col(textCol)))
+      .withColumn("_grams", grams)
+      .withColumn("total_ngrams", size(col("_grams")).cast("long"))
+      .withColumn("distinct_ngrams", size(array_distinct(col("_grams"))).cast("long"))
+      .drop("_th", "_grams")
   }
 
   // ------------------------------------------------------- PII redaction
