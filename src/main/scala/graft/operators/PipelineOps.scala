@@ -856,6 +856,29 @@ object PipelineOps {
       .withColumn("cjk_chars", kept("一-鿿"))
   }
 
+  /** Lexical-diversity statistics per group: total / distinct / hapax
+    * (frequency-1) token counts — type-token ratio and hapax share are
+    * the classic vocabulary-richness signals for corpus QA (a scrape of
+    * templated pages shows a collapsing TTR; OCR noise inflates hapax).
+    * Two map-side-combined aggregates over the exploded token stream; the
+    * only rows that shuffle are (group, token) partial counts.
+    */
+  def lexicalDiversity(
+      docs: DataFrame,
+      groupCols: Seq[String] = Seq("lang"),
+      textCol: String = "text"): DataFrame = {
+    val gcols = groupCols.map(col)
+    val counts = docs
+      .select(gcols :+ explode(tokens(col(textCol))).as("_t"): _*)
+      .groupBy(gcols :+ col("_t"): _*)
+      .agg(count(lit(1)).as("_n"))
+    counts.groupBy(gcols: _*)
+      .agg(
+        sum(col("_n")).as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum((col("_n") === 1L).cast("long")).as("hapax_tokens"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count. */
   def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -313,6 +313,11 @@ object PipelineQueries {
           sum((col("cjk_chars") * 2 > col("n_chars_total")).cast("long")).as("mostly_cjk_docs"))
         .orderBy(col("lang"))
     }),
+    "q87_lexical_diversity" -> ((s, dir) => {
+      // Vocabulary-richness stats per language: exact integer counters.
+      PipelineOps.lexicalDiversity(Tables.documents(s, dir))
+        .orderBy(col("lang"))
+    }),
     "q30_exact_dedup" -> ((s, dir) => {
       PipelineOps.exactDedup(Tables.documents(s, dir))
         .agg(
@@ -800,6 +805,14 @@ object PipelineQueries {
         |       max(sample_rank) AS max_rank
         |FROM r WHERE sample_rank <= 20
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q87_lexical_diversity" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t)
+        |SELECT lang,
+        |       CAST(sum(n) AS BIGINT) AS total_tokens,
+        |       count(*) AS distinct_tokens,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q86_script_stats" ->
       """WITH s AS (
         |  SELECT lang, length(text) AS n_total,
