@@ -974,6 +974,37 @@ object PipelineOps {
     docs.join(scored, Seq(idCol), "left")
   }
 
+  /** Top-k salient terms per document by TF-IDF — keyword extraction, the
+    * per-document complement of [[bm25TopK]]'s query-side retrieval.
+    * `tfidf = tf · ln(N / df)`; ties and float noise are neutralized by
+    * ranking on `round(tfidf, 9)` with the term string as tie-break, so
+    * the selected term set is engine-exact. Shuffle shape: (doc, term)
+    * partial counts, a small (term, df) table joined back, and a per-doc
+    * window — the doc's own terms only.
+    */
+  def topTfidfTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val nDocs = base.agg(count(lit(1)).cast("double").as("_n"))
+    val tf = base.select(col(idCol), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("_tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("_df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("_tfidf"), 9).desc, col("term"))
+    tf.join(dfTbl, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_tfidf", col("_tf") * log(col("_n") / col("_df")))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term_rank"), col("term"),
+        round(col("_tfidf"), 4).as("tfidf"))
+  }
+
   // ----------------------------------------------------------- text retrieval
 
   /** Okapi BM25 top-k retrieval: score every document against a small set

@@ -313,6 +313,26 @@ object PipelineQueries {
           sum((col("cjk_chars") * 2 > col("n_chars_total")).cast("long")).as("mostly_cjk_docs"))
         .orderBy(col("lang"))
     }),
+    "q88_tfidf_keywords" -> ((s, dir) => {
+      // TF-IDF keyword extraction: top-3 salient terms per doc, ranked on
+      // round(tfidf, 9) with term tie-break (engine-exact selection);
+      // aggregated per language with an md5 checksum over the chosen
+      // (doc, rank, term) triples so the exact term SET is verified.
+      PipelineOps.topTfidfTerms(Tables.documents(s, dir), k = 3)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_keywords"),
+          countDistinct(col("term")).as("distinct_terms"),
+          sum(col("doc_id") * col("term_rank")).as("rank_checksum"),
+          // 48-bit md5 prefix as an integer (conv hex->dec) — summable
+          // without overflow and identical in DuckDB's hex cast
+          sum(conv(substring(md5(concat_ws("|",
+            col("doc_id"), col("term_rank"), col("term"))), 1, 12), 16, 10)
+            .cast("long")).as("term_checksum"),
+          round(sum(col("tfidf")), 4).as("tfidf_sum"))
+        .orderBy(col("lang"))
+    }),
     "q87_lexical_diversity" -> ((s, dir) => {
       // Vocabulary-richness stats per language: exact integer counters.
       PipelineOps.lexicalDiversity(Tables.documents(s, dir))
@@ -805,6 +825,29 @@ object PipelineQueries {
         |       max(sample_rank) AS max_rank
         |FROM r WHERE sample_rank <= 20
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q88_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, round(tfidf, 4) AS tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY round(tfidf, 9) DESC, term) AS term_rank
+        |  FROM scored)
+        |SELECT d.lang, count(*) AS n_keywords,
+        |       count(DISTINCT r.term) AS distinct_terms,
+        |       CAST(sum(r.doc_id * r.term_rank) AS BIGINT) AS rank_checksum,
+        |       CAST(sum(('0x' || substr(md5(r.doc_id || '|' || r.term_rank || '|' || r.term), 1, 12))::BIGINT) AS BIGINT) AS term_checksum,
+        |       round(sum(r.tfidf), 4) AS tfidf_sum
+        |FROM ranked r JOIN d USING (doc_id)
+        |WHERE r.term_rank <= 3
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q87_lexical_diversity" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
         |c AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t)

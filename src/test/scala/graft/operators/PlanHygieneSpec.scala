@@ -50,7 +50,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   // tf/df tables, the bigram LM's count model): each model aggregate is
   // its own legitimate exchange, so they get a middle budget — still
   // bounded, and far below the verification tier
-  private val modelFitQueries = Set("q75_bm25_retrieval", "q77_lm_quality")
+  private val modelFitQueries =
+    Set("q75_bm25_retrieval", "q77_lm_quality", "q88_tfidf_keywords")
 
   test("bounded shuffle count per query") {
     val offenders = plans.collect {
