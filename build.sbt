@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the round-7 driver bench died with heartbeat-failure exit
+  // 56 — the classic signature of an 8g heap thrashing in full GC under
+  // local[32] at sf0.1. The box has 128 GiB; headroom is free.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
 // Forked-run stdout passes through unprefixed — sbt's default logger would
 // wrap Bench's single JSON line in "[info] ", breaking machine parsing.

@@ -30,6 +30,19 @@ import graft.core.{PJIndex, PJSplice, PalletJack}
   *   (sorts, projections) executes — `.count()` lets Catalyst drop them.
   * - Failures are loud: stderr trace + an `errors` entry + value -1; they
   *   never masquerade as fast greens.
+  *
+  * Crash robustness (round 8 — the driver's r7 run died at 40 min with
+  * exit 56 = `ExecutorExitCode.HEARTBEAT_FAILURE`, leaving ZERO parsed
+  * numbers for the round):
+  *  - heartbeat/network timeouts are raised so a loaded box's GC or
+  *    scheduler pause cannot make the in-JVM local-mode executor miss
+  *    enough heartbeats to kill the whole process;
+  *  - `BENCH.json` is flushed after EVERY query, so even a hard JVM death
+  *    leaves a parseable partial report (`"partial":true` until the final
+  *    write) instead of nothing;
+  *  - a soft deadline (`SPARK_GRAFT_BENCH_DEADLINE_S`, default 1200 s of
+  *    query time) degrades remaining queries to a single run — complete
+  *    coverage with fewer samples beats a 40-minute run that dies.
   * - `metadata` mirrors the reference's headline microbenchmark
   *   (`benchmarks/benchmark_palletjack_metadata.py:24-39,65-102`): footer
   *   parse vs index splice on a 200-row-group x 400-column file, plus the
@@ -58,6 +71,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Loaded-box survival: local-mode runs driver + executor in ONE JVM,
+      // and Executor self-exits with code 56 after
+      // spark.executor.heartbeat.maxFailures consecutive missed heartbeats
+      // (this killed the round-7 driver bench outright). Longer intervals +
+      // timeouts make a GC/scheduler stall a slow run, not a dead one.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.rpc.askTimeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -132,15 +153,53 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // Serialize-and-flush the report from whatever has been measured so far.
+    // Called after every query: a hard JVM death mid-run (heartbeat kill,
+    // OOM, kernel OOM-killer) still leaves a parseable BENCH.json rather
+    // than the round-7 outcome (40 min of work, zero numbers recorded).
+    def writeReport(metaJson: String, partial: Boolean): Unit = {
+      val qs = timings.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+      val med = medians.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+      val raw = rawRuns.map { case (k, vs) =>
+        s"${q(k)}:${vs.map(fmt(_)).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+      val rerunJson = reruns.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val total = timings.values.filter(_ >= 0).sum
+      val full =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
+          s""""runs_per_query":$runsPerQuery,"partial":$partial,"queries":$qs,""" +
+          s""""medians":$med,"raw_runs":$raw,"reruns":$rerunJson,""" +
+          s""""metadata":$metaJson,"errors":$errJson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    // Soft deadline on accumulated QUERY time: past it, remaining queries
+    // drop to one run each (full coverage, fewer samples). The driver's r7
+    // run hit 40 min wall on a loaded box; a degraded-but-complete report
+    // beats a dead process.
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1200").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    var degraded = false
+
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      if (!degraded && elapsedS > deadlineS) {
+        degraded = true
+        System.err.println(
+          s"[bench] soft deadline ${deadlineS}s passed at ${fmt(elapsedS, 1)}s — " +
+            "remaining queries run once each")
+      }
+      val effRuns = if (degraded) 1 else runsPerQuery
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
-      for (r <- 1 to runsPerQuery)
-        timeOne(name, fn, s"run $r/$runsPerQuery").foreach(runs += _)
+      for (r <- 1 to effRuns)
+        timeOne(name, fn, s"run $r/$effRuns").foreach(runs += _)
       // self-adjudication: a >2x regression vs the committed previous min is
       // statistically far more likely to be box load than code (zero-diff
       // rounds produced x5-13 swings) — spend one extra run before reporting
       previousMins.get(name).filter(_ > 0).foreach { prev =>
-        if (runs.nonEmpty && runs.min > 2 * prev) {
+        if (!degraded && runs.nonEmpty && runs.min > 2 * prev) {
           val firstMin = runs.min
           timeOne(name, fn, "regression re-run").foreach(runs += _)
           reruns(name) =
@@ -152,31 +211,18 @@ object Bench {
       timings(name) = if (runs.isEmpty) -1.0 else runs.min
       medians(name) = if (runs.isEmpty) -1.0 else median(runs.toSeq)
       rawRuns(name) = runs.toSeq
+      writeReport("{}", partial = true)
     }
 
     val metaJson =
       try metadataBench(spark)
       catch { case e: Throwable => System.err.println(s"[bench] metadata bench FAILED: $e"); "{}" }
 
-    val qs = timings.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
-    val med = medians.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
-    val raw = rawRuns.map { case (k, vs) =>
-      s"${q(k)}:${vs.map(fmt(_)).mkString("[", ",", "]")}"
-    }.mkString("{", ",", "}")
-    val rerunJson = reruns.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = timings.values.filter(_ >= 0).sum
-
-    // Full report → file (too large for the driver's stdout capture window).
+    // Final report → file (too large for the driver's stdout capture window).
     // `queries` stays min-of-N (the committed comparison basis); `medians`
     // shows load sensitivity; `reruns` records self-adjudicated regressions.
-    val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
-        s""""runs_per_query":$runsPerQuery,"queries":$qs,"medians":$med,""" +
-        s""""raw_runs":$raw,"reruns":$rerunJson,""" +
-        s""""metadata":$metaJson,"errors":$errJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeReport(metaJson, partial = false)
+    val total = timings.values.filter(_ >= 0).sum
     System.err.println(s"[bench] full report written to $benchFile")
 
     // Compact summary → LAST stdout line (headline metadata numbers only, no

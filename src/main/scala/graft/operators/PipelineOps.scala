@@ -671,8 +671,14 @@ object PipelineOps {
     val km = new KMeans().setK(nClusters).setSeed(42).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cluster_id")
+    // orderBy-before-limit makes the fit sample (and so the trained
+    // centroids and the emitted pair set) independent of partition layout:
+    // a bare limit() takes whichever partitions answer first, so the same
+    // data could cluster differently under different parallelism. The sort
+    // is a distributed top-k (TakeOrderedAndProject), not a global sort.
     val model = km.fit(
-      vecs.select(array_to_vector(col("u")).as("features")).limit(256 * nClusters))
+      vecs.orderBy(col("vec_id")).limit(256 * nClusters)
+        .select(array_to_vector(col("u")).as("features")))
     // multi-assignment (each vector joins its nAssign nearest clusters, the
     // IVF multi-probe idea): pairs straddling one boundary still meet in
     // the neighbor cluster. Ranking is per-row array arithmetic over the
@@ -763,7 +769,11 @@ object PipelineOps {
     // does — k-means over the full corpus would be an O(corpus × iters)
     // driver-coordinated job at 100 TB. 256 points per list is plenty for a
     // stable coarse partitioning; assignment below still covers every row.
-    val model = km.fit(corpusVec.select(col("features")).limit(256 * nLists))
+    // deterministic sample (see semanticDedupPairsWithHandle): top-k by id,
+    // not first-partitions-to-answer — recall oracles must not depend on
+    // partition layout
+    val model = km.fit(
+      corpusVec.orderBy(col("neighbor_id")).limit(256 * nLists).select(col("features")))
     val corpus = model.transform(corpusVec).select(col("neighbor_id"), col("n_emb"), col("list_id"))
 
     // centroids as a literal lookup: tiny (nLists × dim), evaluated per probe
@@ -1366,21 +1376,47 @@ object PipelineOps {
 
   // ------------------------------------------------------- PII redaction
 
-  /** Redact emails, IPv4 addresses and phone numbers to typed placeholder
-    * tokens — the standard pretraining scrub pass. The patterns avoid
-    * lookarounds so the SAME regex runs identically under Java (Spark) and
-    * RE2 (DuckDB/Go scrubbers); email runs first so its digits can't be
-    * nibbled by the IP pass. Pure `regexp_replace` — codegen'd, no UDF.
+  /** Redact emails, IPv4/IPv6 addresses and phone numbers to typed
+    * placeholder tokens — the standard pretraining scrub pass. The patterns
+    * avoid lookarounds so the SAME regex runs identically under Java
+    * (Spark) and RE2 (DuckDB/Go scrubbers); email runs first so its digits
+    * can't be nibbled by the IP passes, and IPv4 runs before phone so
+    * dotted octets aren't phone-nibbled. Pure `regexp_replace` —
+    * codegen'd, no UDF.
+    *
+    * Coverage (deliberate, to bound false positives on prose):
+    *  - phone: NANP-style 3-3-4 with space/dot/dash separators and an
+    *    optional `+CC` prefix and/or `(NNN)` area code, plus the compact
+    *    international `+CC NNN-NNNN` shape. Bare unseparated 10-digit
+    *    runs are NOT matched (they false-positive IDs/timestamps), and
+    *    non-NANP groupings (e.g. `+44 20 7946 0958`) are out of scope.
+    *  - IPv6: full 8-group form and `::`-compressed forms with hex on
+    *    both sides; ≥5 groups required for the uncompressed form so
+    *    `hh:mm:ss` times survive.
     */
   def redactPii(c: Column): Column = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phone = "\\+\\d{1,2} \\d{3}-\\d{4}"
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, email, "<EMAIL>"),
-        ip, "<IP>"),
-      phone, "<PHONE>")
+        regexp_replace(
+          regexp_replace(c, PiiPatterns.email, "<EMAIL>"),
+          PiiPatterns.ipv4, "<IP>"),
+        PiiPatterns.ipv6, "<IP6>"),
+      PiiPatterns.phone, "<PHONE>")
+  }
+
+  /** The redaction regexes, shared verbatim with the DuckDB oracle (q71
+    * splices these strings into SQL literals — single source of truth, no
+    * drift). Lookaround-free; Java and RE2 semantics agree.
+    */
+  object PiiPatterns {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    // full (>=5 groups, so hh:mm:ss never matches) | ::-compressed
+    val ipv6 = "\\b(([0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}|" +
+      "([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5})\\b"
+    // (+CC)? ((NNN) | NNN[sep]) NNN[sep]NNNN  |  +CC NNN[sep]?NNNN
+    val phone = "((\\+\\d{1,3}[ .-])?(\\(\\d{3}\\)[ .-]?|\\d{3}[ .-])" +
+      "\\d{3}[ .-]\\d{4}|\\+\\d{1,3}[ .-]\\d{3}[ .-]?\\d{4})\\b"
   }
 
   // ----------------------------------------------- chunking & resampling

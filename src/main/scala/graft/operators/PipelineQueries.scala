@@ -65,8 +65,15 @@ object PipelineQueries {
       |(CASE WHEN doc_id % 4 = 0
       |      THEN ' host 10.' || CAST(doc_id % 256 AS STRING) || '.0.' ||
       |           CAST(doc_id % 100 AS STRING) ELSE '' END) ||
+      |(CASE WHEN doc_id % 6 = 0
+      |      THEN ' via 2001:db8::' || CAST(doc_id % 9000 + 1000 AS STRING)
+      |      ELSE '' END) ||
       |(CASE WHEN doc_id % 5 = 0
-      |      THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+      |      THEN CASE doc_id % 3
+      |           WHEN 0 THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+      |           WHEN 1 THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+      |           ELSE ' call 555.123.' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+      |           END
       |      ELSE '' END)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -142,10 +149,12 @@ object PipelineQueries {
     }),
     "q71_pii_redaction" -> ((s, dir) => {
       // PII scrub: the corpus carries no PII, so the SAME SQL expression
-      // decorates documents with synthetic emails/IPs/phones on both
-      // engines; the oracle replicates the redaction regexes verbatim
-      // (lookaround-free, so Java and RE2 agree). Counts are recovered
-      // from placeholder-token length arithmetic — all exact integers.
+      // decorates documents with synthetic emails / IPv4s / IPv6s / phones
+      // (three formats: +CC compact, parenthesized area code, dotted) on
+      // both engines; the oracle splices the redaction regexes from
+      // PiiPatterns verbatim (lookaround-free, so Java and RE2 agree).
+      // Counts are recovered from placeholder-token length arithmetic —
+      // all exact integers.
       val decorated = Tables.documents(s, dir)
         .selectExpr("doc_id", s"$syntheticPiiSql AS text")
       // placeholder tokens are regex-metachar-free, so a literal
@@ -159,6 +168,7 @@ object PipelineQueries {
           sum(when(col("redacted") =!= col("text"), 1L).otherwise(0L)).as("docs_with_pii"),
           sum(occurrences("<EMAIL>")).as("emails_redacted"),
           sum(occurrences("<IP>")).as("ips_redacted"),
+          sum(occurrences("<IP6>")).as("ip6s_redacted"),
           sum(occurrences("<PHONE>")).as("phones_redacted"),
           sum(length(col("redacted"))).cast("long").as("redacted_len"))
     }),
@@ -640,6 +650,12 @@ object PipelineQueries {
       // boundary-straddling pairs (measured recall 1.0 at sf0.01,
       // 13/14 = 93% at sf0.1 — bound at 80%).
       val emb = Tables.embeddings(s, dir)
+      // The operator's slim (vec_id, u) cache and the oracle's `prepped`
+      // persist below both live until the harness's per-query
+      // spark.sqlContext.clearCache() (Verify and Bench each call it after
+      // every query) — this QA query can't free them sooner because its
+      // result is returned lazily. Long-lived sessions should hold the
+      // AnnCacheHandle and close() it once the pairs are materialized.
       val sd = PipelineOps
         .semanticDedupPairsWithHandle(emb, minCosine = 0.5, nClusters = 16, nAssign = 3)._1
         .select(col("id_a"), col("id_b"), lit(1).as("_n"))
@@ -974,18 +990,23 @@ object PipelineQueries {
         |         AS repetitive_checksum
         |FROM g""".stripMargin,
     "q71_pii_redaction" -> {
+      // the four regexes are spliced from PipelineOps.PiiPatterns — the
+      // exact strings Spark compiles — so the two engines cannot drift
       s"""WITH d AS (SELECT doc_id, $syntheticPiiSql AS text FROM documents),
         |r AS (SELECT doc_id, text,
-        |             regexp_replace(regexp_replace(regexp_replace(text,
-        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-        |               '\\+\\d{1,2} \\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+        |             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |               '${PipelineOps.PiiPatterns.email}', '<EMAIL>', 'g'),
+        |               '${PipelineOps.PiiPatterns.ipv4}', '<IP>', 'g'),
+        |               '${PipelineOps.PiiPatterns.ipv6}', '<IP6>', 'g'),
+        |               '${PipelineOps.PiiPatterns.phone}', '<PHONE>', 'g') AS redacted
         |      FROM d)
         |SELECT CAST(sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
         |       CAST(sum((len(redacted) - len(replace(redacted, '<EMAIL>', ''))) // 7) AS BIGINT)
         |         AS emails_redacted,
         |       CAST(sum((len(redacted) - len(replace(redacted, '<IP>', ''))) // 4) AS BIGINT)
         |         AS ips_redacted,
+        |       CAST(sum((len(redacted) - len(replace(redacted, '<IP6>', ''))) // 5) AS BIGINT)
+        |         AS ip6s_redacted,
         |       CAST(sum((len(redacted) - len(replace(redacted, '<PHONE>', ''))) // 7) AS BIGINT)
         |         AS phones_redacted,
         |       CAST(sum(len(redacted)) AS BIGINT) AS redacted_len

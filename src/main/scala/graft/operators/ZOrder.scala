@@ -99,6 +99,14 @@ object ZOrder {
           (max(col(cols.head)).cast("long") +:
             cols.tail.flatMap(c =>
               Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))): _*).head()
+        // min/max are null on an empty frame (all of them) or an all-null
+        // column (that pair): getLong would NPE with no hint of why.
+        val nullSlots = (0 until 2 * cols.size).filter(row.isNullAt)
+        if (nullSlots.size == 2 * cols.size) return df // empty: nothing to cluster
+        require(nullSlots.isEmpty,
+          s"zorderBy: no min/max bounds for all-null column(s) " +
+            s"${nullSlots.map(i => cols(i / 2)).distinct.mkString(", ")}; " +
+            "pass explicit `ranges` or filter the nulls first")
         cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
       }
     val scaled = cols.zip(bounds).map { case (c, (lo, hi)) =>
@@ -107,9 +115,13 @@ object ZOrder {
     val z =
       if (cols.size == 2) interleave2(scaled(0), scaled(1))
       else interleaveN(scaled, bits)
-    df.withColumn("_zorder", z)
-      .repartitionByRange(numPartitions, col("_zorder"))
-      .sortWithinPartitions("_zorder")
-      .drop("_zorder")
+    // collision-safe scratch name: a user column literally named "_zorder"
+    // must survive (the old fixed name silently overwrote then dropped it)
+    val zc = Iterator.from(0).map(i => s"__graft_zorder_$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, z)
+      .repartitionByRange(numPartitions, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 }

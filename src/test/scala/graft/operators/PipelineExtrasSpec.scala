@@ -96,6 +96,24 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got(4) == "mixed <EMAIL> then <IP> then <PHONE>")
   }
 
+  test("redactPii: widened phone formats, IPv6, and non-PII look-alikes survive") {
+    val df = Seq(
+      "call (555) 123-4567 now",                     // parenthesized area code
+      "or 555.123.4567 or 555-123-4567",             // dotted / dashed 3-3-4
+      "intl +1-555-123-4567 and +1 555-0100",        // +CC long and compact
+      "v6 2001:db8::1f34 and fe80::aaaa:1 up",       // ::-compressed IPv6
+      "full 2001:0db8:0000:0000:0000:ff00:0042:8329 ok", // full 8-group IPv6
+      "at 12:34:56 on 2026-08-13 build 1234567890"   // time/date/id: untouched
+    ).toDF("text").withColumn("red", PipelineOps.redactPii($"text"))
+    val got = df.select($"red").as[String].collect()
+    assert(got(0) == "call <PHONE> now")
+    assert(got(1) == "or <PHONE> or <PHONE>")
+    assert(got(2) == "intl <PHONE> and <PHONE>")
+    assert(got(3) == "v6 <IP6> and <IP6> up")
+    assert(got(4) == "full <IP6> ok")
+    assert(got(5) == "at 12:34:56 on 2026-08-13 build 1234567890")
+  }
+
   test("chunkDocuments: hand-computed windows, overlap, and short-doc clamp") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // n=10, chunk=4, ov=1 -> stride 3: [0,4) [3,7) [6,10)

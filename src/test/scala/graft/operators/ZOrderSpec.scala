@@ -125,4 +125,29 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zFrac <= 0.5, s"z-order pruned too little: $zFrac of $zRgs row groups match")
     assert(zFrac < linFrac / 2.0, s"z-order ($zFrac) must at least halve the scan vs linear ($linFrac)")
   }
+
+  test("zorderBy edge cases: empty input, all-null column, user _zorder column") {
+    import spark.implicits._
+    // empty frame: min/max aggregates are all null — return it unchanged
+    // instead of the old NullPointerException
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ZOrder.zorderBy(empty, Seq("a", "b"), numPartitions = 2).count() == 0L)
+
+    // all-null column on non-empty data: a descriptive error naming the
+    // column, not an NPE from row.getLong
+    val withNull = Seq((1L, 2L), (3L, 4L)).toDF("a", "x")
+      .withColumn("b", lit(null).cast("long"))
+    val err = intercept[IllegalArgumentException] {
+      ZOrder.zorderBy(withNull, Seq("a", "b"), numPartitions = 2)
+    }
+    assert(err.getMessage.contains("all-null column"))
+    assert(err.getMessage.contains("b"))
+
+    // a user column literally named "_zorder" survives the re-layout
+    // (the old fixed scratch name silently overwrote then dropped it)
+    val clash = Seq((1L, 10L, "keep1"), (2L, 20L, "keep2")).toDF("a", "b", "_zorder")
+    val out = ZOrder.zorderBy(clash, Seq("a", "b"), numPartitions = 2)
+    assert(out.columns.toSeq == Seq("a", "b", "_zorder"))
+    assert(out.select("_zorder").as[String].collect().toSet == Set("keep1", "keep2"))
+  }
 }
