@@ -188,6 +188,33 @@ object MetadataQueries {
           (count(lit(1)) >= 1L).cast("long").as("rgs_positive"),
           (min($"compressed_bytes") > 0L).cast("long").as("bytes_ok"),
           (countDistinct($"file") === 1L).cast("long").as("one_file"))
+    }),
+    "q89_compaction" -> ((s, dir) => {
+      import s.implicits._
+      // Small-file compaction (table maintenance at 100 TB): shatter the
+      // documents table into 6 tiny files per lang partition, compact with
+      // PjCompaction (one distributed rewrite job for all partitions),
+      // then re-read through pjparquet. The oracle recomputes the content
+      // half from the original table — compaction must be lossless — and
+      // the structural invariants (file counts fell to the per-partition
+      // bin counts, every partition survived, sidecars regenerated) ride
+      // as exact 0/1 columns.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q89_compact").toString
+      val docs = graft.Tables.documents(s, dir)
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        docs.repartition(6), tmp, partitionBy = Seq("lang"))
+      val nLangs = docs.select($"lang").distinct().count()
+      val report = graft.sources.pjparquet.PjCompaction.compact(
+        s, tmp, targetBytes = 256L * 1024 * 1024)
+      val after = s.read.format("pjparquet").load(tmp)
+      after.agg(
+        count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("doc_checksum"),
+        sum(length($"text")).cast("long").as("text_len"),
+        countDistinct($"lang").as("langs"),
+        lit(if (report.smallFiles == 6 * nLangs) 1L else 0L).as("consumed_all_small"),
+        lit(if (report.compactedInto == nLangs) 1L else 0L).as("one_file_per_partition"),
+        lit(if (report.filesAfter == nLangs) 1L else 0L).as("files_reduced"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -236,5 +263,14 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS rgs_positive,
         |       CAST(1 AS BIGINT) AS bytes_ok,
         |       CAST(1 AS BIGINT) AS one_file
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q89_compaction" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,
+        |       CAST(sum(len(text)) AS BIGINT) AS text_len,
+        |       count(DISTINCT lang) AS langs,
+        |       CAST(1 AS BIGINT) AS consumed_all_small,
+        |       CAST(1 AS BIGINT) AS one_file_per_partition,
+        |       CAST(1 AS BIGINT) AS files_reduced
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,171 @@
+package graft.sources.pjparquet
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for (optionally Hive-partitioned) parquet/pjparquet
+  * table directories — the standard table-maintenance pass that keeps a
+  * 100 TB table healthy: streaming/incremental writers accumulate files far
+  * below the row-group sweet spot, and scan planning, footer work, and
+  * shuffle-fetch all degrade with file count.
+  *
+  * The reference's sidecar convention makes this doubly relevant: every
+  * data file carries a `.index` sidecar (`python/README.md:49`), so halving
+  * the file count halves the sidecar fleet too. Compacted files get fresh
+  * sidecars via [[PjIndexJob]]; sidecars of consumed files are deleted with
+  * their data files.
+  *
+  * Scale design:
+  *  - ONE bounded recursive driver listing (same shape as
+  *    [[PjIndexJob.generateAll]]) — no per-file driver jobs;
+  *  - ONE distributed rewrite job for ALL partitions: rows are routed to
+  *    `(partition dir, output bin)` and each task writes whole bins, so
+  *    output files land at ~`targetBytes` regardless of how many
+  *    partitions are touched (a driver loop issuing one job per partition
+  *    would serialize at 10k partitions);
+  *  - files already >= `smallThreshold` are never read or rewritten — cost
+  *    is proportional to the small-file backlog, not table size.
+  *
+  * Concurrency contract: like Hive-style non-transactional compaction,
+  * run single-writer with no concurrent readers of the affected
+  * directories — there is a crash window between publishing compacted
+  * files and deleting their inputs in which both are visible.
+  */
+object PjCompaction {
+
+  /** What the pass did, for observability and assertions. */
+  final case class Report(
+      filesBefore: Long,
+      smallFiles: Long,
+      compactedInto: Long,
+      filesAfter: Long,
+      bytesSmall: Long,
+      dirsTouched: Long)
+
+  private final case class DataFile(path: String, dir: String, bytes: Long)
+
+  /** Compact every directory under `root` whose small files (< `smallThreshold`,
+    * default `targetBytes / 2`) number at least `minFilesPerDir`. Rows from
+    * consumed files are rewritten into ~`ceil(smallBytes / targetBytes)`
+    * files per directory; all other files are untouched byte-for-byte.
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallThreshold: Long = 0L,
+      minFilesPerDir: Int = 2): Report = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val threshold = if (smallThreshold > 0) smallThreshold else targetBytes / 2
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val rootUri = fs.makeQualified(rootPath).toString
+
+    val all = {
+      val it = fs.listFiles(rootPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
+      }
+      buf.toSeq
+    }
+
+    // scheme-insensitive key: Hadoop renders "file:/tmp/x" where
+    // input_file_name() may render "file:///tmp/x" — compare path-only
+    def normDir(s: String): String = s.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+
+    val smallByDir = all.filter(_.bytes < threshold).groupBy(f => normDir(f.dir))
+      .filter(_._2.size >= minFilesPerDir)
+    if (smallByDir.isEmpty)
+      return Report(all.size, 0, 0, all.size, 0, 0)
+
+    // per-directory output bin count (enough bins that each lands ~target),
+    // plus a GLOBAL bin index base per directory: routing on the global
+    // index with a range partitioner gives (nearly) one bin per task, so
+    // every output file is written whole at ~targetBytes. Hashing
+    // (dir, bin) instead would birthday-collide two bins of one directory
+    // into a single task, which partitionBy would merge into one 2x file.
+    val binsByDir: Map[String, Int] = smallByDir.map { case (d, fsz) =>
+      d -> math.max(1, math.ceil(fsz.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    }
+    val binBase: Map[String, Int] = {
+      var acc = 0
+      binsByDir.toSeq.sortBy(_._1).map { case (d, n) =>
+        val b = d -> acc; acc += n; b
+      }.toMap
+    }
+    val consumed = smallByDir.values.flatten.toSeq
+    val totalBins = binsByDir.values.sum
+
+    // basePath recovers Hive partition columns, so the rewrite reproduces
+    // the key=value layout; the files themselves (like the inputs) do not
+    // store the partition columns.
+    val df = spark.read.option("basePath", rootUri)
+      .parquet(consumed.map(_.path): _*)
+    val dataCols = spark.read.parquet(consumed.head.path).columns.toSeq
+    val partCols = df.columns.filterNot(dataCols.contains).toSeq
+
+    // Row routing, all codegen'd literal-map lookups (no UDF, no extra
+    // join): global_bin = base(dir) + mii % bins(dir), where
+    // monotonically_increasing_id spreads rows evenly within each split.
+    val dirCol = regexp_replace(
+      regexp_replace(input_file_name(), "/[^/]*$", ""),
+      "^[a-zA-Z0-9+.-]+:/+", "/")
+    val baseM = typedLit(binBase)
+    val nM = typedLit(binsByDir)
+    val routed = df
+      .withColumn("_dir", dirCol)
+      .withColumn("_pid",
+        coalesce(element_at(baseM, col("_dir")), lit(0)).cast("long") +
+          pmod(monotonically_increasing_id(),
+            coalesce(element_at(nM, col("_dir")), lit(1)).cast("long")))
+      .repartitionByRange(totalBins, col("_pid"))
+      .drop("_dir", "_pid")
+
+    val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val w = routed.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+
+      // publish: rename each compacted file into its real directory (names
+      // carry a fresh task UUID — collision-free), then drop the inputs
+      var newFiles = 0L
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+          val rel = s.getPath.getParent.toString.stripPrefix(
+            fs.makeQualified(tmp).toString).stripPrefix("/")
+          val destDir = if (rel.isEmpty) rootPath else new Path(rootPath, rel)
+          fs.mkdirs(destDir)
+          require(fs.rename(s.getPath, new Path(destDir, n)),
+            s"compaction publish failed: could not move ${s.getPath} to $destDir")
+          newFiles += 1
+        }
+      }
+      consumed.foreach { f =>
+        val p = new Path(f.path)
+        fs.delete(p, false)
+        val sidecar = PjParquetTable.hiddenSidecar(p)
+        if (fs.exists(sidecar)) fs.delete(sidecar, false)
+      }
+      PjIndexJob.generateAll(spark, root)
+
+      Report(
+        filesBefore = all.size,
+        smallFiles = consumed.size,
+        compactedInto = newFiles,
+        filesAfter = all.size - consumed.size + newFiles,
+        bytesSmall = consumed.map(_.bytes).sum,
+        dirsTouched = binsByDir.size)
+    } finally {
+      fs.delete(tmp, true)
+    }
+  }
+}
