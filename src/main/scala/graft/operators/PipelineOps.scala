@@ -1508,4 +1508,68 @@ object PipelineOps {
       .distinct()
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------- deterministic split & profile
+
+  /** 4-hex-digit md5-prefix threshold for a fraction: `frac` of the 65536
+    * equally-likely prefixes fall strictly below it. Shared with the q90
+    * oracle so both engines compare against the identical literal.
+    */
+  def hexThreshold(frac: Double): String = {
+    require(frac >= 0 && frac <= 1, s"fraction must be in [0,1], got $frac")
+    f"${math.round(frac * 65536).toInt.min(65535)}%04x"
+  }
+
+  /** Deterministic train/val/test assignment — the split every training
+    * pipeline needs to be REPRODUCIBLE and incremental-safe: membership
+    * depends only on the row's key (md5 prefix vs fixed hex thresholds),
+    * never on partition layout, row order, or corpus size, so re-running
+    * over a grown corpus never migrates an old row between splits.
+    * Pure per-row string ops — codegen'd, zero shuffle at any scale.
+    * Granularity is 1/65536; lowercase-hex md5 matches every engine.
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      valFrac: Double = 0.1,
+      testFrac: Double = 0.1,
+      splitCol: String = "split"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      s"fractions must be non-negative and sum <= 1, got val=$valFrac test=$testFrac")
+    val tVal = hexThreshold(valFrac)
+    val tValTest = hexThreshold(valFrac + testFrac)
+    val prefix = substring(md5(col(keyCol).cast("string")), 1, 4)
+    df.withColumn(splitCol,
+      when(prefix < tVal, "val")
+        .when(prefix < tValTest, "test")
+        .otherwise("train"))
+  }
+
+  /** One-pass column profiling — the QA report run before any corpus ships:
+    * per column, non-null/null counts, exact distinct count, and min/max
+    * rendered as strings (one uniform output schema for any column type).
+    * A single aggregate over one scan (the distinct counts expand via
+    * Spark's grouping-sets rewrite, still one pass over the data); the
+    * per-column rows come from exploding the 1-row aggregate, so nothing
+    * is driver-side. Exact distincts shuffle by value — that is the cost
+    * of an exact profile; pair with approxDistinct (q28) when an estimate
+    * is enough.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val stats = cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        count(col(c)).as("non_nulls"),
+        (count(lit(1)) - count(col(c))).as("nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+    }
+    df.agg(stats.head.as("_s0"), stats.tail.zipWithIndex.map {
+        case (s, i) => s.as(s"_s${i + 1}")
+      }: _*)
+      .select(explode(array(cols.indices.map(i => col(s"_s$i")): _*)).as("_p"))
+      .select(col("_p.*"))
+  }
 }

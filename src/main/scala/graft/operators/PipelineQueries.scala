@@ -147,6 +147,30 @@ object PipelineQueries {
         sum(when(repetitive, 1L).otherwise(0L)).as("repetitive_docs"),
         sum(when(repetitive, col("doc_id")).otherwise(0L)).as("repetitive_checksum"))
     }),
+    "q90_train_split" -> ((s, dir) => {
+      // Deterministic md5-prefix train/val/test split (80/10/10): both
+      // engines derive membership from the identical 4-hex-digit
+      // threshold literals, so the per-split counts and checksums are
+      // exact — and stay exact under any partitioning, ordering, or
+      // corpus growth (the reproducibility property the operator sells).
+      PipelineOps.hashSplit(Tables.documents(s, dir), "doc_id",
+          valFrac = 0.1, testFrac = 0.1)
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("doc_checksum"),
+          sum(length(col("text"))).cast("long").as("text_len"))
+        .orderBy(col("split"))
+    }),
+    "q91_profile" -> ((s, dir) => {
+      // One-pass column profiling over a frame with a genuinely-null
+      // column (nullif decorates on BOTH engines): per column the exact
+      // null/distinct/min/max facts a corpus QA report leads with.
+      val d = Tables.documents(s, dir).selectExpr(
+        "doc_id", "nullif(lang, 'de') AS lang_n", "source", "n_chars")
+      PipelineOps.profile(d, Seq("doc_id", "lang_n", "source", "n_chars"))
+        .orderBy(col("column_name"))
+    }),
     "q71_pii_redaction" -> ((s, dir) => {
       // PII scrub: the corpus carries no PII, so the SAME SQL expression
       // decorates documents with synthetic emails / IPv4s / IPv6s / phones
@@ -989,6 +1013,42 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN (total - dist) * 100 > total THEN doc_id ELSE 0 END) AS BIGINT)
         |         AS repetitive_checksum
         |FROM g""".stripMargin,
+    "q90_train_split" -> {
+      // threshold literals spliced from the same hexThreshold the
+      // operator compiles — no drift possible
+      val tVal = PipelineOps.hexThreshold(0.1)
+      val tVT = PipelineOps.hexThreshold(0.2)
+      s"""WITH s AS (SELECT doc_id, text,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$tVal' THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$tVT' THEN 'test'
+        |       ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,
+        |       CAST(sum(len(text)) AS BIGINT) AS text_len
+        |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
+    "q91_profile" ->
+      """WITH d AS (SELECT doc_id, nullif(lang, 'de') AS lang_n, source, n_chars
+        |           FROM documents)
+        |SELECT 'doc_id' AS column_name, count(doc_id) AS non_nulls,
+        |       count(*) - count(doc_id) AS nulls,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |       CAST(max(doc_id) AS VARCHAR) AS max_value FROM d
+        |UNION ALL
+        |SELECT 'lang_n', count(lang_n), count(*) - count(lang_n),
+        |       count(DISTINCT lang_n),
+        |       CAST(min(lang_n) AS VARCHAR), CAST(max(lang_n) AS VARCHAR) FROM d
+        |UNION ALL
+        |SELECT 'source', count(source), count(*) - count(source),
+        |       count(DISTINCT source),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM d
+        |UNION ALL
+        |SELECT 'n_chars', count(n_chars), count(*) - count(n_chars),
+        |       count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM d
+        |ORDER BY column_name""".stripMargin,
     "q71_pii_redaction" -> {
       // the four regexes are spliced from PipelineOps.PiiPatterns — the
       // exact strings Spark compiles — so the two engines cannot drift

@@ -114,6 +114,47 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(got(5) == "at 12:34:56 on 2026-08-13 build 1234567890")
   }
 
+  test("hashSplit: deterministic under re-layout, fractions respected, stable membership") {
+    val df = spark.range(20000).select($"id")
+    val a = PipelineOps.hashSplit(df, "id").groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // partition layout must not matter: same assignment after a reshuffle
+    val b = PipelineOps.hashSplit(df.repartition(17), "id").groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // ~10% each for val/test (md5 uniformity; generous 6-sigma-ish bounds)
+    assert(a("val") > 1600 && a("val") < 2400, s"val=${a("val")}")
+    assert(a("test") > 1600 && a("test") < 2400, s"test=${a("test")}")
+    assert(a.values.sum == 20000L)
+    // growing the corpus never migrates an existing row between splits
+    val before = PipelineOps.hashSplit(df.filter($"id" < 1000), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = PipelineOps.hashSplit(df, "id").filter($"id" < 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after)
+    // degenerate fractions
+    val none = PipelineOps.hashSplit(df, "id", valFrac = 0.0, testFrac = 0.0)
+      .select($"split").distinct().as[String].collect().toSeq
+    assert(none == Seq("train"))
+  }
+
+  test("profile: exact nulls/distinct/min/max on a hand-built frame") {
+    val df = Seq(
+      (1L, Some("b"), 10),
+      (2L, None, 30),
+      (3L, Some("a"), 10),
+      (4L, Some("a"), 20)
+    ).toDF("id", "s", "n")
+    val got = PipelineOps.profile(df, Seq("id", "s", "n"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((3L, 1L, 2L, "a", "b")))
+    assert(got("n") == ((4L, 0L, 3L, "10", "30")))
+  }
+
   test("chunkDocuments: hand-computed windows, overlap, and short-doc clamp") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // n=10, chunk=4, ov=1 -> stride 3: [0,4) [3,7) [6,10)
