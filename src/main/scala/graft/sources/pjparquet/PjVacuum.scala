@@ -1,0 +1,75 @@
+package graft.sources.pjparquet
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Directory hygiene for pjparquet tables — the janitor half of the
+  * sidecar lifecycle ([[PjIndexJob]] creates, [[PjCompaction]] consumes,
+  * this reclaims):
+  *
+  *  - orphan sidecars: a `.x.parquet.index` whose `x.parquet` is gone
+  *    (manual deletes, aborted rewrites) wastes listing time and bytes
+  *    forever — nothing else ever looks at it again;
+  *  - abandoned work dirs: `.compact_tmp_*` from a crashed
+  *    [[PjCompaction]] pass and `_temporary` from a dead Spark write
+  *    commit are invisible to readers but accumulate full-size data.
+  *
+  * Everything is driver-side listing + deletes (metadata-rate work, no
+  * data is read); the one recursive listing is the same bounded shape as
+  * [[PjIndexJob.generateAll]]. Never touches live data files, live
+  * sidecars, or directories it does not recognize.
+  */
+object PjVacuum {
+
+  final case class Report(orphanSidecars: Long, workDirs: Long)
+
+  def clean(spark: SparkSession, root: String): Report = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+
+    var orphans = 0L
+    var workDirs = 0L
+
+    // one pass for abandoned work dirs (they hide their contents from the
+    // recursive file listing below, so walk directories explicitly)
+    def walkDirs(p: Path): Unit = {
+      val statuses = fs.listStatus(p)
+      statuses.foreach { s =>
+        if (s.isDirectory) {
+          val n = s.getPath.getName
+          if (n.startsWith(".compact_tmp_") || n == "_temporary") {
+            fs.delete(s.getPath, true)
+            workDirs += 1
+          } else walkDirs(s.getPath)
+        }
+      }
+    }
+    walkDirs(rootPath)
+
+    // one pass for orphan sidecars: hidden `.x.parquet.index` files whose
+    // data file no longer exists in the same directory
+    val it = fs.listFiles(rootPath, true)
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val dataFiles = scala.collection.mutable.HashSet.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile) {
+        if (n.startsWith(".") && n.endsWith(".parquet.index")) sidecars += s.getPath
+        else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+          dataFiles += s.getPath.toString
+      }
+    }
+    sidecars.foreach { sc =>
+      // `.NAME.parquet.index` -> sibling `NAME.parquet`
+      val dataName = sc.getName.stripPrefix(".").stripSuffix(".index")
+      val data = new Path(sc.getParent, dataName)
+      if (!dataFiles.contains(data.toString)) {
+        fs.delete(sc, false)
+        orphans += 1
+      }
+    }
+    Report(orphans, workDirs)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjVacuum, PjWriter}
+
+/** Vacuum: deletes exactly the garbage (orphan sidecars, abandoned work
+  * dirs) and nothing live; the table stays fully readable afterwards.
+  */
+class PjVacuumSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("removes orphan sidecars and abandoned work dirs, keeps live pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_vacuum").toString
+    PjWriter.writeWithIndex(
+      spark.range(1000).select($"id", ($"id" % 3).cast("string").as("k")),
+      dir, partitionBy = Seq("k"))
+
+    val base = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val liveSidecars = walk(base).count(_.getName.endsWith(".parquet.index"))
+    assert(liveSidecars >= 3)
+
+    // plant garbage: an orphan sidecar, a dead compaction dir, a dead
+    // Spark commit dir (with content, so recursive delete is exercised)
+    val orphan = new java.io.File(s"$dir/k=0/.deadfile.parquet.index")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val tmpWork = new java.io.File(s"$dir/.compact_tmp_deadbeef/k=0")
+    assert(tmpWork.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(tmpWork, "part-zombie.parquet").toPath, Array[Byte](9))
+    val sparkTmp = new java.io.File(s"$dir/_temporary/0")
+    assert(sparkTmp.mkdirs())
+
+    val before = spark.read.parquet(dir).count()
+    val report = PjVacuum.clean(spark, dir)
+    assert(report.orphanSidecars == 1)
+    assert(report.workDirs == 2)
+    assert(!orphan.exists())
+    assert(!new java.io.File(s"$dir/.compact_tmp_deadbeef").exists())
+    assert(!new java.io.File(s"$dir/_temporary").exists())
+
+    // live sidecars and data intact; table still reads through pjparquet
+    assert(walk(base).count(_.getName.endsWith(".parquet.index")) == liveSidecars)
+    assert(spark.read.parquet(dir).count() == before)
+    assert(spark.read.format("pjparquet").load(dir).count() == before)
+
+    // idempotent
+    val again = PjVacuum.clean(spark, dir)
+    assert(again == PjVacuum.Report(0, 0))
+  }
+}
