@@ -238,6 +238,25 @@ object MetadataQueries {
         lit(if (report.compactedInto == nLangs) 1L else 0L).as("one_file_per_partition"),
         lit(if (report.filesAfter == nLangs) 1L else 0L).as("files_reduced"))
     }),
+    "q93_count_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      // Complete count(*) pushdown: the unfiltered global count over the
+      // fact table must come from the index's row_numbers section alone —
+      // the physical plan is a driver-local scan (LocalTableScan, zero
+      // tasks, zero data/footer reads). The filtered count on the same
+      // relation must FALL BACK to the batch scan. Both values are exact
+      // against the oracle; the plan-shape facts ride as 0/1 columns.
+      val rel = pj(s, dir, "lineitem")
+      val pushed = rel.agg(count(lit(1)).as("n_rows"))
+      val pushedPlan = pushed.queryExecution.executedPlan.toString
+      val fallback = rel.filter($"l_quantity" > 25.0).agg(count(lit(1)).as("n_big"))
+      val fallbackPlan = fallback.queryExecution.executedPlan.toString
+      pushed.crossJoin(fallback).select(
+        col("n_rows"), col("n_big"),
+        lit(if (pushedPlan.contains("LocalTableScan") &&
+          !pushedPlan.contains("BatchScan")) 1L else 0L).as("metadata_only"),
+        lit(if (fallbackPlan.contains("LocalTableScan")) 0L else 1L).as("filtered_scans_data"))
+    }),
     "q92_vacuum" -> ((s, dir) => {
       import s.implicits._
       // Directory hygiene: write an indexed table, plant the two garbage
@@ -314,6 +333,12 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS rgs_positive,
         |       CAST(1 AS BIGINT) AS bytes_ok,
         |       CAST(1 AS BIGINT) AS one_file
+        |FROM lineitem""".stripMargin,
+    "q93_count_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |       (SELECT count(*) FROM lineitem WHERE l_quantity > 25.0) AS n_big,
+        |       CAST(1 AS BIGINT) AS metadata_only,
+        |       CAST(1 AS BIGINT) AS filtered_scans_data
         |FROM lineitem""".stripMargin,
     "q92_vacuum" ->
       """SELECT count(*) AS n_docs,

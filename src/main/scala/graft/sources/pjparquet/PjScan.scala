@@ -4,6 +4,7 @@ import java.util.OptionalLong
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.parquet.PjSparkShims
 import org.apache.spark.sql.internal.SQLConf
@@ -15,9 +16,39 @@ import graft.core.PJSplice
 
 class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   import org.apache.spark.sql.sources._
+
+  // --------------------------------------- COUNT(*) at metadata rate (O3+)
+
+  /** An unfiltered global `count(*)` never needs data pages OR footers: the
+    * PJ_2 index already stores every row group's row count (the same
+    * `row_numbers` section the reference uses to rewrite `num_rows` after
+    * pruning, `palletjack.cc:42,495-506`). Complete aggregate pushdown
+    * turns the whole query into a driver-side [[LocalScan]] over the
+    * cached index bytes — zero tasks, zero I/O beyond the (cached) index.
+    * Any pushed filter disables this (row survival would depend on data);
+    * the explicit `rowGroups` option stays supported since it selects
+    * whole row groups whose counts the index knows exactly.
+    */
+  private var countStarPushed = false
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    canPushCountStar(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    countStarPushed = canPushCountStar(agg)
+    countStarPushed
+  }
+
+  private def canPushCountStar(agg: aggregate.Aggregation): Boolean =
+    Option(options.get("countStarPushdown")).forall(_.toBoolean) &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[aggregate.CountStar] &&
+      pushed.isEmpty
 
   private val fullSchema = StructType(fileSchema.fields ++ layout.partitionSchema.fields)
   private var requiredSchema: StructType = fullSchema
@@ -100,6 +131,23 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
     if (explicitRgs.isDefined && layout.files.size > 1)
       throw new IllegalArgumentException(
         s"pjparquet: option 'rowGroups' requires a single input file, got ${layout.files.size}")
+    if (countStarPushed) {
+      // pushed.isEmpty is part of canPushCountStar, so no file was pruned
+      // away and no residual filter exists: the index row counts ARE the
+      // answer. Validation mirrors the splice's row-group bounds error.
+      val total = layout.files.iterator.map { f =>
+        val idx = PJSplice.Index.fromBytes(f.indexBytes)
+        val rgCount = idx.header.rowGroups
+        val selected = explicitRgs.getOrElse(0 until rgCount)
+        selected.iterator.map { rg =>
+          if (rg < 0 || rg >= rgCount)
+            throw new graft.core.PJException(
+              s"Requested row_group=$rg, but only 0-${rgCount - 1} are available!")
+          idx.rowNumber(rg)
+        }.sum
+      }.sum
+      return new PjCountStarScan(total, layout.files.size)
+    }
     val survivingFiles =
       if (layout.partitionSchema.isEmpty) layout.files
       else layout.files.filter(f => pushed.forall(mightMatch(f, _)))
@@ -123,6 +171,20 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
       survivingFiles, fileSchema, dataRequired,
       layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq)
   }
+}
+
+/** Complete count(*) pushdown result: a driver-local one-row scan (Spark
+  * plans it as `LocalTableScanExec` — no tasks, no file I/O). The row count
+  * came from the PJ_2 index's `row_numbers` section alone.
+  */
+class PjCountStarScan(total: Long, fileCount: Int) extends LocalScan {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(org.apache.spark.sql.catalyst.InternalRow(total))
+  override def description(): String =
+    s"pjparquet count(*)=$total from $fileCount index(es), no data read"
 }
 
 /** Row-group-aligned batch scan planned purely from PJ_2 indexes.

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.PjWriter
+
+/** count(*) aggregate pushdown: an unfiltered global count over pjparquet
+  * must plan as a driver-local scan (LocalTableScanExec — zero tasks, zero
+  * data/footer I/O) with the value taken from the index's row_numbers
+  * section, and every condition that makes metadata insufficient (data
+  * filter, group-by, disabled option) must fall back to the batch scan
+  * with identical results.
+  */
+class PjAggPushdownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val flatDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("pj_aggpush").toString
+    PjWriter.writeWithIndex(
+      spark.range(60000).select($"id", ($"id" % 7).as("v")),
+      dir, options = Map("parquet.block.size" -> (64 * 1024).toString))
+    dir
+  }
+
+  private lazy val partDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("pj_aggpush_part").toString
+    PjWriter.writeWithIndex(
+      spark.range(3000).select($"id", ($"id" % 3).cast("string").as("k")),
+      dir, partitionBy = Seq("k"))
+    dir
+  }
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("unfiltered count(*) plans as LocalTableScan with the exact count") {
+    val df = spark.read.format("pjparquet").load(flatDir).agg(count(lit(1)).as("n"))
+    assert(df.head().getLong(0) == 60000L)
+    val p = plan(df)
+    assert(p.contains("LocalTableScan"), s"expected LocalTableScan, got:\n$p")
+    assert(!p.contains("BatchScan"), s"count(*) still scans data:\n$p")
+  }
+
+  test("partitioned layout: unfiltered count(*) is metadata-only too") {
+    val df = spark.read.format("pjparquet").load(partDir).agg(count(lit(1)).as("n"))
+    assert(df.head().getLong(0) == 3000L)
+    assert(plan(df).contains("LocalTableScan"))
+  }
+
+  test("rowGroups option composes: count of selected groups only") {
+    val md = graft.sources.pjparquet.PjMetadata.rowGroups(spark, {
+      // single data file inside flatDir
+      new java.io.File(flatDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .head.getPath
+    })
+    val rows01 = md.filter($"row_group".isin(0, 1)).agg(sum($"num_rows")).head().getLong(0)
+    val file = new java.io.File(flatDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .head.getPath
+    val df = spark.read.format("pjparquet").option("rowGroups", "0,1").load(file)
+      .agg(count(lit(1)).as("n"))
+    assert(df.head().getLong(0) == rows01)
+    assert(plan(df).contains("LocalTableScan"))
+  }
+
+  test("data filter, group-by, and disabled option all fall back, same answers") {
+    val base = spark.read.format("pjparquet").load(flatDir)
+    val filtered = base.filter($"v" === 3).agg(count(lit(1)).as("n"))
+    assert(!plan(filtered).contains("LocalTableScan"))
+    assert(filtered.head().getLong(0) ==
+      spark.read.parquet(flatDir).filter($"v" === 3).count())
+
+    val grouped = base.groupBy($"v").agg(count(lit(1)).as("n"))
+    assert(!plan(grouped).contains("LocalTableScan"))
+    assert(grouped.agg(sum($"n")).head().getLong(0) == 60000L)
+
+    val off = spark.read.format("pjparquet").option("countStarPushdown", "false")
+      .load(flatDir).agg(count(lit(1)).as("n"))
+    assert(!plan(off).contains("LocalTableScan"))
+    assert(off.head().getLong(0) == 60000L)
+
+    // partition filter prunes files — survival depends on the filter, so
+    // the conservative contract refuses metadata-only answers
+    val partFiltered = spark.read.format("pjparquet").load(partDir)
+      .filter($"k" === "1").agg(count(lit(1)).as("n"))
+    assert(!plan(partFiltered).contains("LocalTableScan"))
+    assert(partFiltered.head().getLong(0) == 1000L)
+  }
+}
