@@ -18,6 +18,13 @@ import java.nio.charset.StandardCharsets
   */
 object PJSplice {
 
+  /** Raw per-chunk facts lifted from the footer bytes; -1 / null = absent.
+    * `physType` is the parquet physical type enum (INT32=1, INT64=2, ...);
+    * min/max are the v2 `min_value`/`max_value` plain-encoded bytes.
+    */
+  private[graft] final case class ChunkStats(
+      physType: Int, nullCount: Long, min: Array[Byte], max: Array[Byte])
+
   /** Parsed view over an index byte array (header + section cursors). */
   final class Index private[core] (val bytes: Array[Byte], bodyOff: Int, val header: PJIndex.Header) {
     import header._
@@ -91,6 +98,63 @@ object PJSplice {
         } else r.skipValue(tpe)
       }
       -1L // unreachable
+    }
+
+    /** Per-chunk statistics from the verbatim footer bytes, via the same
+      * bounded one-chunk walk as [[chunkCompressedSize]] (tens of bytes,
+      * never a footer parse). Captures ColumnMetaData field 1 (physical
+      * type) and field 12 (Statistics: 3=null_count, 5=max_value,
+      * 6=min_value — the v2 fields with type-defined sort order; the
+      * legacy min/max pair is deliberately ignored). Absent pieces come
+      * back as -1 / null and callers must treat them as "unknown".
+      */
+    private[graft] def chunkStats(rg: Int, col: Int): ChunkStats = {
+      val rgAt = metadataAt + rowGroupsOffset(1 + rg)
+      val r = new ThriftCompact.Reader(
+        bytes,
+        rgAt + columnChunkOffset(rg, 1 + col),
+        rgAt + columnChunkOffset(rg, 1 + col + 1))
+      var physType = -1
+      var nullCount = -1L
+      var minV: Array[Byte] = null
+      var maxV: Array[Byte] = null
+      var fid = 0
+      var done = false
+      while (!done) {
+        val (tpe, f) = r.readFieldHeader(fid)
+        if (tpe == 0) done = true
+        else {
+          fid = f
+          if (f == 3 && tpe == ThriftCompact.TypeStruct) {
+            var mfid = 0
+            var mdone = false
+            while (!mdone) {
+              val (mt, mf) = r.readFieldHeader(mfid)
+              if (mt == 0) mdone = true
+              else {
+                mfid = mf
+                if (mf == 1 && mt == ThriftCompact.TypeI32) physType = r.readZigZag32()
+                else if (mf == 12 && mt == ThriftCompact.TypeStruct) {
+                  var sfid = 0
+                  var sdone = false
+                  while (!sdone) {
+                    val (st, sf) = r.readFieldHeader(sfid)
+                    if (st == 0) sdone = true
+                    else {
+                      sfid = sf
+                      if (sf == 3 && st == ThriftCompact.TypeI64) nullCount = r.readZigZag64()
+                      else if (sf == 5 && st == ThriftCompact.TypeBinary) maxV = r.readBinary()
+                      else if (sf == 6 && st == ThriftCompact.TypeBinary) minV = r.readBinary()
+                      else r.skipValue(st)
+                    }
+                  }
+                } else r.skipValue(mt)
+              }
+            }
+          } else r.skipValue(tpe)
+        }
+      }
+      ChunkStats(physType, nullCount, minV, maxV)
     }
 
     /** Byte-compare the index's embedded original footer against the data

@@ -67,6 +67,14 @@ object ThriftCompact {
       len.toInt
     }
 
+    /** Read a binary value (varint length + raw bytes). */
+    def readBinary(): Array[Byte] = {
+      val len = readBinaryLength()
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      skipBytes(len)
+      out
+    }
+
     /** Read a string value (varint length + utf8 bytes). */
     def readString(): String = {
       val len = readBinaryLength()

@@ -247,12 +247,17 @@ object MetadataQueries {
       // relation must FALL BACK to the batch scan. Both values are exact
       // against the oracle; the plan-shape facts ride as 0/1 columns.
       val rel = pj(s, dir, "lineitem")
-      val pushed = rel.agg(count(lit(1)).as("n_rows"))
+      val pushed = rel.agg(
+        count(lit(1)).as("n_rows"),
+        min($"l_orderkey").as("min_okey"), max($"l_orderkey").as("max_okey"),
+        min($"l_linenumber").as("min_line"), max($"l_linenumber").as("max_line"),
+        count($"l_returnflag").as("n_flags"))
       val pushedPlan = pushed.queryExecution.executedPlan.toString
       val fallback = rel.filter($"l_quantity" > 25.0).agg(count(lit(1)).as("n_big"))
       val fallbackPlan = fallback.queryExecution.executedPlan.toString
       pushed.crossJoin(fallback).select(
-        col("n_rows"), col("n_big"),
+        col("n_rows"), col("min_okey"), col("max_okey"),
+        col("min_line"), col("max_line"), col("n_flags"), col("n_big"),
         lit(if (pushedPlan.contains("LocalTableScan") &&
           !pushedPlan.contains("BatchScan")) 1L else 0L).as("metadata_only"),
         lit(if (fallbackPlan.contains("LocalTableScan")) 0L else 1L).as("filtered_scans_data"))
@@ -336,6 +341,10 @@ object MetadataQueries {
         |FROM lineitem""".stripMargin,
     "q93_count_pushdown" ->
       """SELECT count(*) AS n_rows,
+        |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |       CAST(min(l_linenumber) AS INTEGER) AS min_line,
+        |       CAST(max(l_linenumber) AS INTEGER) AS max_line,
+        |       count(l_returnflag) AS n_flags,
         |       (SELECT count(*) FROM lineitem WHERE l_quantity > 25.0) AS n_big,
         |       CAST(1 AS BIGINT) AS metadata_only,
         |       CAST(1 AS BIGINT) AS filtered_scans_data

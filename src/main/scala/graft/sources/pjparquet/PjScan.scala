@@ -21,34 +21,187 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
 
   import org.apache.spark.sql.sources._
 
-  // --------------------------------------- COUNT(*) at metadata rate (O3+)
+  // ----------------------------- aggregates at metadata rate (O3+ family)
 
-  /** An unfiltered global `count(*)` never needs data pages OR footers: the
-    * PJ_2 index already stores every row group's row count (the same
-    * `row_numbers` section the reference uses to rewrite `num_rows` after
-    * pruning, `palletjack.cc:42,495-506`). Complete aggregate pushdown
-    * turns the whole query into a driver-side [[LocalScan]] over the
-    * cached index bytes — zero tasks, zero I/O beyond the (cached) index.
-    * Any pushed filter disables this (row survival would depend on data);
-    * the explicit `rowGroups` option stays supported since it selects
-    * whole row groups whose counts the index knows exactly.
+  /** Complete pushdown of unfiltered, ungrouped COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col) — all answered from the PJ_2 index with zero data
+    * pages and zero footer parses:
+    *  - COUNT(*): the index's `row_numbers` section (the same one the
+    *    reference keeps for its num_rows rewrite, `palletjack.cc:42,495-506`);
+    *  - COUNT(col): row counts minus per-chunk `null_count` statistics;
+    *  - MIN/MAX(col): per-chunk v2 `min_value`/`max_value` statistics,
+    *    restricted to plain INT32/INT64 physical columns mapped to Spark
+    *    Integer/Long (type-defined signed order; logical re-mappings like
+    *    date/decimal/unsigned surface as other Spark types and refuse).
+    * Statistics ride inside the index's verbatim footer bytes and are
+    * lifted by bounded per-chunk struct walks. ANY missing piece (a chunk
+    * without stats, an all-null chunk, an unsupported type) or any pushed
+    * filter refuses pushdown and the batch scan answers instead — the
+    * fallback is always available, so this can only be exactly right.
+    * The whole query plans as a driver-side [[LocalScan]]: zero tasks.
     */
-  private var countStarPushed = false
+  private var pushedAgg: Option[(StructType, Array[Any], String)] = None
 
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    canPushCountStar(agg)
+    evalAggregation(agg).isDefined
 
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    countStarPushed = canPushCountStar(agg)
-    countStarPushed
+    pushedAgg = evalAggregation(agg)
+    pushedAgg.isDefined
   }
 
-  private def canPushCountStar(agg: aggregate.Aggregation): Boolean =
-    Option(options.get("countStarPushdown")).forall(_.toBoolean) &&
-      agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[aggregate.CountStar] &&
-      pushed.isEmpty
+  private def aggEnabled: Boolean =
+    Option(options.get("aggregatePushdown"))
+      .orElse(Option(options.get("countStarPushdown")))
+      .forall(_.toBoolean)
+
+  private def explicitRgOption: Option[Seq[Int]] = Option(options.get("rowGroups"))
+    .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+
+  /** Evaluate the whole aggregation from index metadata, or None if any
+    * part is unanswerable. Runs at planning time on the driver over the
+    * already-cached index bytes.
+    */
+  private def evalAggregation(
+      agg: aggregate.Aggregation): Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.types._
+    if (!aggEnabled || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) return None
+
+    val caseSensitive = SQLConf.get.caseSensitiveAnalysis
+    def resolveField(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[org.apache.spark.sql.types.StructField] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        val n = nr.fieldNames.head
+        fileSchema.fields.find(f =>
+          if (caseSensitive) f.name == n
+          else f.name.equalsIgnoreCase(n))
+      case _ => None
+    }
+
+    // per file: (index, selected row groups); bounds failures fall through
+    // to the batch scan, whose splice raises the reference's error message
+    val perFileOpt: Option[Seq[(PJSplice.Index, Seq[Int])]] =
+      try {
+        val built = layout.files.map { f =>
+          val idx = PJSplice.Index.fromBytes(f.indexBytes)
+          (idx, explicitRgOption.getOrElse(0 until idx.header.rowGroups: Seq[Int]))
+        }
+        if (built.exists { case (idx, sel) =>
+          sel.exists(rg => rg < 0 || rg >= idx.header.rowGroups)
+        }) None
+        else Some(built)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (perFileOpt.isEmpty) return None
+    val perFile = perFileOpt.get
+
+    lazy val totalRows: Long =
+      perFile.iterator.map { case (idx, sel) => sel.iterator.map(idx.rowNumber(_)).sum }.sum
+
+    /** Fold `read` over every selected chunk of `fieldName`. Some(None) =
+      * vacuously answerable (zero chunks, e.g. an empty table); None = some
+      * chunk could not answer -> refuse pushdown.
+      */
+    def foldStats[A](fieldName: String)(
+        read: PJSplice.ChunkStats => Option[A])(combine: (A, A) => A): Option[Option[A]] = {
+      var acc: Option[A] = None
+      var failed = false
+      val fit = perFile.iterator
+      while (fit.hasNext && !failed) {
+        val (idx, sel) = fit.next()
+        val ord = idx.columnNames.lastIndexOf(fieldName) // last-wins, like splice O5
+        if (ord < 0) failed = true
+        else {
+          val sit = sel.iterator
+          while (sit.hasNext && !failed) {
+            read(idx.chunkStats(sit.next(), ord)) match {
+              case None => failed = true
+              case Some(v) => acc = Some(acc.fold(v)(combine(_, v)))
+            }
+          }
+        }
+      }
+      if (failed) None else Some(acc)
+    }
+
+    def leInt(b: Array[Byte]): Option[Int] =
+      if (b != null && b.length == 4)
+        Some(java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+      else None
+    def leLong(b: Array[Byte]): Option[Long] =
+      if (b != null && b.length == 8)
+        Some(java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+      else None
+
+    val fields = Array.newBuilder[StructField]
+    val values = Array.newBuilder[Any]
+    val descs = Array.newBuilder[String]
+
+    def minMax(e: aggregate.AggregateFunc, col: org.apache.spark.sql.connector.expressions.Expression,
+        isMin: Boolean): Boolean = {
+      val fOpt = resolveField(col)
+      if (fOpt.isEmpty) return false
+      val f = fOpt.get
+      val expectPhys = f.dataType match {
+        case IntegerType => 1 // parquet INT32
+        case LongType => 2 // parquet INT64
+        case _ => -1
+      }
+      if (expectPhys < 0) return false
+      val folded: Option[Option[Any]] = f.dataType match {
+        case IntegerType =>
+          foldStats[Int](f.name) { st =>
+            if (st.physType != expectPhys) None
+            else leInt(if (isMin) st.min else st.max)
+          }((a, b) => if (isMin) math.min(a, b) else math.max(a, b))
+            .map(_.map(identity[Any]))
+        case _ =>
+          foldStats[Long](f.name) { st =>
+            if (st.physType != expectPhys) None
+            else leLong(if (isMin) st.min else st.max)
+          }((a, b) => if (isMin) math.min(a, b) else math.max(a, b))
+            .map(_.map(identity[Any]))
+      }
+      folded match {
+        case None => false
+        case Some(v) =>
+          val tag = if (isMin) "min" else "max"
+          fields += StructField(s"$tag(${f.name})", f.dataType, nullable = true)
+          values += v.orNull
+          descs += s"$tag(${f.name})=${v.getOrElse("null")}"
+          true
+      }
+    }
+
+    val ok = agg.aggregateExpressions.forall {
+      case _: aggregate.CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += totalRows
+        descs += s"count(*)=$totalRows"
+        true
+      case c: aggregate.Count if !c.isDistinct =>
+        resolveField(c.column) match {
+          case None => false
+          case Some(f) =>
+            foldStats[Long](f.name)(st =>
+              if (st.nullCount >= 0) Some(st.nullCount) else None)(_ + _) match {
+              case None => false
+              case Some(nulls) =>
+                val v = totalRows - nulls.getOrElse(0L)
+                fields += StructField(s"count(${f.name})", LongType, nullable = false)
+                values += v
+                descs += s"count(${f.name})=$v"
+                true
+            }
+        }
+      case m: aggregate.Min => minMax(m, m.column, isMin = true)
+      case m: aggregate.Max => minMax(m, m.column, isMin = false)
+      case _ => false
+    }
+    if (!ok) None
+    else Some((StructType(fields.result()), values.result(), descs.result().mkString(", ")))
+  }
 
   private val fullSchema = StructType(fileSchema.fields ++ layout.partitionSchema.fields)
   private var requiredSchema: StructType = fullSchema
@@ -131,22 +284,10 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
     if (explicitRgs.isDefined && layout.files.size > 1)
       throw new IllegalArgumentException(
         s"pjparquet: option 'rowGroups' requires a single input file, got ${layout.files.size}")
-    if (countStarPushed) {
-      // pushed.isEmpty is part of canPushCountStar, so no file was pruned
-      // away and no residual filter exists: the index row counts ARE the
-      // answer. Validation mirrors the splice's row-group bounds error.
-      val total = layout.files.iterator.map { f =>
-        val idx = PJSplice.Index.fromBytes(f.indexBytes)
-        val rgCount = idx.header.rowGroups
-        val selected = explicitRgs.getOrElse(0 until rgCount)
-        selected.iterator.map { rg =>
-          if (rg < 0 || rg >= rgCount)
-            throw new graft.core.PJException(
-              s"Requested row_group=$rg, but only 0-${rgCount - 1} are available!")
-          idx.rowNumber(rg)
-        }.sum
-      }.sum
-      return new PjCountStarScan(total, layout.files.size)
+    pushedAgg.foreach { case (schema, values, desc) =>
+      // pushed.isEmpty is part of evalAggregation, so no file was pruned
+      // away and no residual filter exists: the metadata answer is final.
+      return new PjAggScan(schema, values, s"$desc from ${layout.files.size} index(es)")
     }
     val survivingFiles =
       if (layout.partitionSchema.isEmpty) layout.files
@@ -173,18 +314,15 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
   }
 }
 
-/** Complete count(*) pushdown result: a driver-local one-row scan (Spark
-  * plans it as `LocalTableScanExec` — no tasks, no file I/O). The row count
-  * came from the PJ_2 index's `row_numbers` section alone.
+/** Complete aggregate pushdown result: a driver-local one-row scan (Spark
+  * plans it as `LocalTableScanExec` — no tasks, no file I/O). Every value
+  * came from the PJ_2 index (row counts + chunk statistics) alone.
   */
-class PjCountStarScan(total: Long, fileCount: Int) extends LocalScan {
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField(
-      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+class PjAggScan(schema: StructType, values: Array[Any], desc: String) extends LocalScan {
+  override def readSchema(): StructType = schema
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(org.apache.spark.sql.catalyst.InternalRow(total))
-  override def description(): String =
-    s"pjparquet count(*)=$total from $fileCount index(es), no data read"
+    Array(org.apache.spark.sql.catalyst.InternalRow(values.toIndexedSeq: _*))
+  override def description(): String = s"pjparquet metadata-only aggregate: $desc"
 }
 
 /** Row-group-aligned batch scan planned purely from PJ_2 indexes.

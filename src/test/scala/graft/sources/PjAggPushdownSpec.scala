@@ -67,6 +67,51 @@ class PjAggPushdownSpec extends AnyFunSuite {
     assert(plan(df).contains("LocalTableScan"))
   }
 
+  private lazy val statsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("pj_aggpush_stats").toString
+    // long key, int value, a column WITH nulls, a string, a double —
+    // several row groups so min/max/null_count genuinely fold across chunks
+    PjWriter.writeWithIndex(
+      spark.range(40000).select(
+        $"id",
+        ($"id" % 1000).cast("int").as("iv"),
+        when($"id" % 5 === 0, lit(null).cast("long")).otherwise($"id" * 2).as("nv"),
+        concat(lit("s"), $"id").as("sv"),
+        ($"id" * 1.5).as("dv")),
+      dir, options = Map("parquet.block.size" -> (64 * 1024).toString))
+    dir
+  }
+
+  test("min/max/count(col) answered from chunk statistics, metadata-only") {
+    val base = spark.read.format("pjparquet").load(statsDir)
+    val df = base.agg(
+      count(lit(1)).as("n"), min($"id").as("min_id"), max($"id").as("max_id"),
+      min($"iv").as("min_iv"), max($"iv").as("max_iv"), count($"nv").as("n_nv"))
+    val p = plan(df)
+    assert(p.contains("LocalTableScan"), s"expected LocalTableScan, got:\n$p")
+    assert(!p.contains("BatchScan"))
+    val r = df.head()
+    assert(r.getLong(0) == 40000L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 39999L)
+    assert(r.getInt(3) == 0 && r.getInt(4) == 999)
+    assert(r.getLong(5) == 32000L) // every 5th of 40000 is null
+  }
+
+  test("unsupported types and distinct counts fall back with equal answers") {
+    val base = spark.read.format("pjparquet").load(statsDir)
+    val stock = spark.read.parquet(statsDir)
+
+    for (aggCol <- Seq(min($"sv"), max($"dv"), countDistinct($"iv"), avg($"iv"))) {
+      val df = base.agg(aggCol.as("x"))
+      assert(!plan(df).contains("LocalTableScan"), s"should not push: $aggCol")
+      assert(df.head().get(0) == stock.agg(aggCol.as("x")).head().get(0))
+    }
+    // a mixed list with one unsupported member refuses the WHOLE pushdown
+    val mixed = base.agg(min($"id").as("a"), min($"dv").as("b"))
+    assert(!plan(mixed).contains("LocalTableScan"))
+    assert(mixed.head() == stock.agg(min($"id").as("a"), min($"dv").as("b")).head())
+  }
+
   test("data filter, group-by, and disabled option all fall back, same answers") {
     val base = spark.read.format("pjparquet").load(flatDir)
     val filtered = base.filter($"v" === 3).agg(count(lit(1)).as("n"))
