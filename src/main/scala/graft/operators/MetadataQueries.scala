@@ -262,6 +262,31 @@ object MetadataQueries {
           !pushedPlan.contains("BatchScan")) 1L else 0L).as("metadata_only"),
         lit(if (fallbackPlan.contains("LocalTableScan")) 0L else 1L).as("filtered_scans_data"))
     }),
+    "q94_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      // Additive schema evolution on the index-planned path: generation 1
+      // writes (key, name, region), generation 2 adds name_len. The
+      // mergeSchema read must union the schemas and null-fill the old
+      // files; the oracle recomputes every aggregate from the original
+      // table with the generation split replayed in SQL.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q94_evo").toString
+      val n = graft.Tables.nation(s, dir)
+      n.filter($"n_nationkey" < 12)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .coalesce(1).write.mode("append").parquet(tmp)
+      n.filter($"n_nationkey" >= 12)
+        .select($"n_nationkey", $"n_name", $"n_regionkey",
+          length($"n_name").cast("long").as("name_len"))
+        .coalesce(1).write.mode("append").parquet(tmp)
+      graft.sources.pjparquet.PjIndexJob.generateAll(s, tmp)
+      s.read.format("pjparquet").option("mergeSchema", "true").load(tmp)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"n_nationkey").as("key_sum"),
+          count($"name_len").as("evolved_rows"),
+          coalesce(sum($"name_len"), lit(0L)).as("evolved_sum"),
+          sum(when($"name_len".isNull, $"n_regionkey")).as("legacy_region_sum"))
+    }),
     "q92_vacuum" -> ((s, dir) => {
       import s.implicits._
       // Directory hygiene: write an indexed table, plant the two garbage
@@ -349,6 +374,15 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS metadata_only,
         |       CAST(1 AS BIGINT) AS filtered_scans_data
         |FROM lineitem""".stripMargin,
+    "q94_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |       count(CASE WHEN n_nationkey >= 12 THEN 1 END) AS evolved_rows,
+        |       CAST(sum(CASE WHEN n_nationkey >= 12 THEN length(n_name) ELSE 0 END) AS BIGINT)
+        |         AS evolved_sum,
+        |       CAST(sum(CASE WHEN n_nationkey < 12 THEN n_regionkey END) AS BIGINT)
+        |         AS legacy_region_sum
+        |FROM nation""".stripMargin,
     "q92_vacuum" ->
       """SELECT count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,

@@ -44,10 +44,18 @@ object PjIndexJob {
         if (fresh) 0L
         else {
           val status = pfs.getFileStatus(path)
-          val bytes = PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(pfs, status), pathStr)
-          val out = pfs.create(indexPath, true)
-          try out.write(bytes) finally out.close()
-          1L
+          try {
+            val bytes = PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(pfs, status), pathStr)
+            val out = pfs.create(indexPath, true)
+            try out.write(bytes) finally out.close()
+            1L
+          } catch {
+            // zero-row-group files are legal parquet (Spark writes one for
+            // an empty partition) but un-indexable by design
+            // (`palletjack.cc:241-246`): skip them, never fail the fleet
+            case e: graft.core.PJException
+                if e.getMessage == "Number of row groups is not set!" => 0L
+          }
         }
       }
       .sum().toLong

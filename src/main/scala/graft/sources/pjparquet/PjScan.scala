@@ -457,8 +457,19 @@ class PjScan(
         }
         if (current.nonEmpty) groups += current
         val partValues = requiredPartValues(f)
+        // mergeSchema evolution: a file may lack some requested columns —
+        // splice only what it has (the vectorized reader null-fills the
+        // rest from the requested schema). An empty intersection keeps the
+        // whole footer (Nil = no pruning); the reader then reads no column
+        // data at all, so the only cost is footer bytes.
+        val fileColNames =
+          if (colNames.isEmpty) Nil
+          else {
+            val avail = idx.columnNames.toSet
+            colNames.filter(avail.contains)
+          }
         groups.iterator.map { rgs =>
-          val footer = PJSplice.splice(idx, rgs, Nil, colNames, schemaOnly = false)
+          val footer = PJSplice.splice(idx, rgs, Nil, fileColNames, schemaOnly = false)
           PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues)
         }
       }
@@ -472,8 +483,23 @@ class PjScan(
     PjSparkShims.configureReadConf(hadoopConf, dataPhysical, sqlConf)
     // files can be empty when partition pruning excluded every file — an
     // empty scan needs no parquet predicate (and has no index to splice).
+    // Under mergeSchema evolution a filtered column may be missing from
+    // some files; a global FilterPredicate naming it would make parquet's
+    // schema-compatibility validation fail on those files. Filters are
+    // always re-evaluated above the scan, so skipping the row-group
+    // predicate is purely a (rare) perf concession, never a wrong answer.
+    lazy val allFilesHaveFilterCols: Boolean = {
+      val cs = SQLConf.get.caseSensitiveAnalysis
+      def fold(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
+      val partNames = partitionSchema.fieldNames.map(fold).toSet
+      val refs = pushedFilters.flatMap(_.references).map(fold).toSet -- partNames
+      fileIndexes.forall { idx =>
+        val names = idx.columnNames.map(fold).toSet
+        refs.forall(names.contains)
+      }
+    }
     if (files.nonEmpty && pushedFilters.nonEmpty &&
-        PjSparkShims.parquetFilterPushDownEnabled(sqlConf)) {
+        PjSparkShims.parquetFilterPushDownEnabled(sqlConf) && allFilesHaveFilterCols) {
       // Schema + rebase spec come from the index (schema-only splice), so
       // building the predicate costs no footer parse. Partition-column
       // filters have no physical column and simply produce no predicate.
