@@ -262,6 +262,29 @@ object MetadataQueries {
           !pushedPlan.contains("BatchScan")) 1L else 0L).as("metadata_only"),
         lit(if (fallbackPlan.contains("LocalTableScan")) 0L else 1L).as("filtered_scans_data"))
     }),
+    "q95_grouped_count_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      // Per-partition stats at metadata rate: GROUP BY the Hive partition
+      // column with count/min/max answered entirely from the per-directory
+      // indexes — the plan is a LocalTableScan (zero tasks), which is what
+      // "how big is each partition" costs on a 10k-partition 100 TB table.
+      // Fixture (documents partitioned by lang) is built once per JVM —
+      // this query measures the READ.
+      val tmp = fixtureDir("pj_q95_bylang", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.documents(s, dir), d, partitionBy = Seq("lang"))
+      }
+      val grouped = s.read.format("pjparquet").load(tmp)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+      val planStr = grouped.queryExecution.executedPlan.toString
+      grouped.withColumn("metadata_only",
+          lit(if (planStr.contains("LocalTableScan")) 1L else 0L))
+        .orderBy($"lang")
+    }),
     "q94_schema_evolution" -> ((s, dir) => {
       import s.implicits._
       // Additive schema evolution on the index-planned path: generation 1
@@ -374,6 +397,12 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS metadata_only,
         |       CAST(1 AS BIGINT) AS filtered_scans_data
         |FROM lineitem""".stripMargin,
+    "q95_grouped_count_pushdown" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS max_doc,
+        |       CAST(1 AS BIGINT) AS metadata_only
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q94_schema_evolution" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,

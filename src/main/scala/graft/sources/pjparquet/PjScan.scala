@@ -40,7 +40,7 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
     * fallback is always available, so this can only be exactly right.
     * The whole query plans as a driver-side [[LocalScan]]: zero tasks.
     */
-  private var pushedAgg: Option[(StructType, Array[Any], String)] = None
+  private var pushedAgg: Option[(StructType, Array[Array[Any]], String)] = None
 
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
     evalAggregation(agg).isDefined
@@ -63,12 +63,27 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
     * already-cached index bytes.
     */
   private def evalAggregation(
-      agg: aggregate.Aggregation): Option[(StructType, Array[Any], String)] = {
+      agg: aggregate.Aggregation): Option[(StructType, Array[Array[Any]], String)] = {
     import org.apache.spark.sql.types._
-    if (!aggEnabled || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-      agg.aggregateExpressions.isEmpty) return None
+    if (!aggEnabled || pushed.nonEmpty || agg.aggregateExpressions.isEmpty) return None
 
     val caseSensitive = SQLConf.get.caseSensitiveAnalysis
+
+    // GROUP BY is answerable from metadata exactly when every grouping
+    // expression is a bare partition column: each Hive directory IS a
+    // group, so per-group aggregation = the per-file aggregation below,
+    // restricted to that directory's files. (SELECT k, count(*) ...
+    // GROUP BY k over 10k partitions then costs zero tasks.)
+    val groupIdxs: Seq[Int] = agg.groupByExpressions.toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        val n = nr.fieldNames.head
+        layout.partitionSchema.fieldNames.indexWhere(pn =>
+          if (caseSensitive) pn == n else pn.equalsIgnoreCase(n))
+      case _ => -1
+    }
+    if (groupIdxs.exists(_ < 0) || groupIdxs.distinct.size != groupIdxs.size) return None
+
     def resolveField(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[org.apache.spark.sql.types.StructField] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -80,11 +95,84 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
       case _ => None
     }
 
+    evalGroups(agg, groupIdxs, resolveField)
+  }
+
+  /** Evaluate the (possibly grouped) aggregation: one result row per
+    * partition-value group (one total row when ungrouped). None anywhere
+    * refuses pushdown.
+    */
+  private def evalGroups(
+      agg: aggregate.Aggregation,
+      groupIdxs: Seq[Int],
+      resolveField: org.apache.spark.sql.connector.expressions.Expression =>
+        Option[org.apache.spark.sql.types.StructField])
+      : Option[(StructType, Array[Array[Any]], String)] = {
+    import org.apache.spark.sql.types._
+    val groups: Seq[(Seq[String], Seq[PjFile])] =
+      if (groupIdxs.isEmpty) Seq((Nil, layout.files))
+      else layout.files.groupBy(f => groupIdxs.map(f.partitionValues(_)))
+        .toSeq.sortBy(_._1.mkString("\u0000"))
+
+    val groupFields: Seq[StructField] = groupIdxs.map { i =>
+      layout.partitionSchema.fields(i).copy(nullable = true)
+    }
+    def typedKey(raw: String, f: StructField): Any =
+      if (raw == PjParquetTable.HiveNullPartition) null
+      else f.dataType match {
+        case LongType => raw.toLong
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      }
+
+    var aggSchema: StructType = null
+    var failed = false
+    val rows = Array.newBuilder[Array[Any]]
+    val descs = Array.newBuilder[String]
+    val git = groups.iterator
+    while (git.hasNext && !failed) {
+      val (key, groupFiles) = git.next()
+      evalAggForFiles(agg, groupFiles, resolveField) match {
+        case None => failed = true
+        case Some((schema, values, d)) =>
+          aggSchema = schema
+          val keyVals = key.zip(groupFields).map { case (raw, f) => typedKey(raw, f) }
+          rows += (keyVals ++ values).toArray
+          descs += (if (key.isEmpty) d
+            else key.mkString("[", "/", "] ") + d)
+      }
+    }
+    if (failed) return None
+    if (aggSchema == null) {
+      // grouped over an empty layout: zero groups, zero rows — still a
+      // complete answer, but we need the agg schema; derive via one probe
+      evalAggForFiles(agg, Nil, resolveField) match {
+        case None => return None
+        case Some((schema, _, _)) => aggSchema = schema
+      }
+      return Some((StructType(groupFields ++ aggSchema.fields), Array.empty, "empty"))
+    }
+    Some((
+      StructType(groupFields ++ aggSchema.fields),
+      rows.result(),
+      descs.result().mkString(", ")))
+  }
+
+  /** The single-group evaluation: every supported aggregate over the given
+    * files, from index row counts + chunk statistics only.
+    */
+  private def evalAggForFiles(
+      agg: aggregate.Aggregation,
+      aggFiles: Seq[PjFile],
+      resolveField: org.apache.spark.sql.connector.expressions.Expression =>
+        Option[org.apache.spark.sql.types.StructField])
+      : Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.types._
+
     // per file: (index, selected row groups); bounds failures fall through
     // to the batch scan, whose splice raises the reference's error message
     val perFileOpt: Option[Seq[(PJSplice.Index, Seq[Int])]] =
       try {
-        val built = layout.files.map { f =>
+        val built = aggFiles.map { f =>
           val idx = PJSplice.Index.fromBytes(f.indexBytes)
           (idx, explicitRgOption.getOrElse(0 until idx.header.rowGroups: Seq[Int]))
         }
@@ -284,10 +372,10 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
     if (explicitRgs.isDefined && layout.files.size > 1)
       throw new IllegalArgumentException(
         s"pjparquet: option 'rowGroups' requires a single input file, got ${layout.files.size}")
-    pushedAgg.foreach { case (schema, values, desc) =>
+    pushedAgg.foreach { case (schema, rows, desc) =>
       // pushed.isEmpty is part of evalAggregation, so no file was pruned
       // away and no residual filter exists: the metadata answer is final.
-      return new PjAggScan(schema, values, s"$desc from ${layout.files.size} index(es)")
+      return new PjAggScan(schema, rows, s"$desc from ${layout.files.size} index(es)")
     }
     val survivingFiles =
       if (layout.partitionSchema.isEmpty) layout.files
@@ -318,10 +406,11 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
   * plans it as `LocalTableScanExec` — no tasks, no file I/O). Every value
   * came from the PJ_2 index (row counts + chunk statistics) alone.
   */
-class PjAggScan(schema: StructType, values: Array[Any], desc: String) extends LocalScan {
+class PjAggScan(schema: StructType, rowValues: Array[Array[Any]], desc: String)
+    extends LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(org.apache.spark.sql.catalyst.InternalRow(values.toIndexedSeq: _*))
+    rowValues.map(vs => org.apache.spark.sql.catalyst.InternalRow(vs.toIndexedSeq: _*))
   override def description(): String = s"pjparquet metadata-only aggregate: $desc"
 }
 

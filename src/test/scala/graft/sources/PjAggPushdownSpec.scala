@@ -112,6 +112,29 @@ class PjAggPushdownSpec extends AnyFunSuite {
     assert(mixed.head() == stock.agg(min($"id").as("a"), min($"dv").as("b")).head())
   }
 
+  test("GROUP BY partition column: per-partition aggregates, metadata-only") {
+    val df = spark.read.format("pjparquet").load(partDir)
+      .groupBy($"k").agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"id").as("mx"))
+    val p = plan(df)
+    assert(p.contains("LocalTableScan"), s"expected LocalTableScan, got:\n$p")
+    // partition values "0"/"1"/"2" type as Long via pjparquet's inference
+    // and Integer via stock's — compare through Number
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = df.orderBy($"k").collect().map(tup)
+    val want = spark.read.parquet(partDir)
+      .groupBy($"k").agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"id").as("mx"))
+      .orderBy($"k").collect().map(tup)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("GROUP BY a data column still falls back") {
+    val df = spark.read.format("pjparquet").load(statsDir)
+      .groupBy($"iv").agg(count(lit(1)).as("n"))
+    assert(!plan(df).contains("LocalTableScan"))
+    assert(df.count() == 1000L)
+  }
+
   test("data filter, group-by, and disabled option all fall back, same answers") {
     val base = spark.read.format("pjparquet").load(flatDir)
     val filtered = base.filter($"v" === 3).agg(count(lit(1)).as("n"))
