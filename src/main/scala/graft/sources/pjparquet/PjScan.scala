@@ -398,7 +398,10 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
     val partRequired = StructType(requiredSchema.fields.filter(isPart))
     new PjScan(
       survivingFiles, fileSchema, dataRequired,
-      layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq)
+      layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq,
+      streamInfo = Option(options.get("path")).map(p =>
+        (p, options.getBoolean("index.autogen", true),
+          options.getBoolean("mergeSchema", false))))
   }
 }
 
@@ -430,8 +433,22 @@ class PjScan(
     partitionSchema: StructType,
     partRequired: StructType,
     explicitRowGroups: Option[Seq[Int]],
-    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    streamInfo: Option[(String, Boolean, Boolean)] = None)
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** `readStream.format("pjparquet")`: micro-batch ingestion of files
+    * appended to the directory, planned per batch from the sidecar indexes
+    * (see [[PjMicroBatchStream]]). `streamInfo` = (path, autogen,
+    * mergeSchema), threaded from the scan builder's options.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (path, autogen, mergeSchema) = streamInfo.getOrElse(
+      throw new IllegalStateException("pjparquet: streaming needs a directory path"))
+    new PjMicroBatchStream(path, autogen, mergeSchema,
+      fileSchema, dataRequired, partitionSchema, partRequired, pushedFilters)
+  }
 
   /** Data columns first, requested partition columns last — the order the
     * vectorized reader produces when partition values are appended via
