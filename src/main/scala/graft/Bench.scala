@@ -12,11 +12,13 @@ import graft.core.{PJIndex, PJSplice, PalletJack}
   *  - `BENCH.json` (repo root, or `SPARK_GRAFT_BENCH_FILE`): the complete
   *    report — per-query min-of-N timings, all raw runs, full metadata
   *    microbench, errors.
-  *  - stdout, LAST line: one compact JSON line (~300 B)
+  *  - stdout: one compact JSON line (~300 B)
   *    `{"metric":"total","value":N,"unit":"sec","sf":...,"runs_per_query":N,
-  *      "query_count":N,"error_count":N,"bench_file":...,"metadata":{headline
-  *      numbers only}}` — small enough that any tail-capture window holds it
-  *    whole.
+  *      "query_count":N,"error_count":N,"partial":bool,"bench_file":...,
+  *      "metadata":{headline numbers only}}` — re-emitted after EVERY query
+  *    (round 8: the r7 JVM died before its single end-of-run println and the
+  *    round recorded zero numbers). The LAST such line is authoritative;
+  *    only the final one has `"partial":false` + metadata.
   *
   * - Every query runs `runsPerQuery` times (default 3; min AND median
   *   reported) so a loaded-box artifact on one run cannot masquerade as a
@@ -79,6 +81,11 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
       .config("spark.rpc.askTimeout", "600s")
+      // r7's driver bench STILL died with exit 56 despite the longer
+      // interval. In local mode driver and executor share the JVM, so
+      // self-terminating over missed in-process heartbeats can never be
+      // right — disable the failure bound outright.
+      .config("spark.executor.heartbeat.maxFailures", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -173,6 +180,23 @@ object Bench {
           s""""metadata":$metaJson,"errors":$errJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Progressive compact line: the driver scrapes stdout for the LAST
+      // `{"metric":...}` line. r7's JVM died before the single end-of-run
+      // println, leaving the round with zero parsed numbers even though
+      // BENCH.json was complete on disk — so emit a fresh (cheap, ~300 B)
+      // compact line after every query; each supersedes the previous.
+      println(compactLine(metaJson, partial))
+      System.out.flush()
+    }
+    def compactLine(metaJson: String, partial: Boolean): String = {
+      val total = timings.values.filter(_ >= 0).sum
+      val metaCompact = pickNumericKeys(metaJson,
+        Seq("footer_parse_ms", "pj_read_1rg_ms", "pj_schema_ms", "speedup_1rg",
+          "index_size_ratio"))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
+        s""""runs_per_query":$runsPerQuery,"query_count":${timings.size},""" +
+        s""""error_count":${errors.size},"rerun_count":${reruns.size},"partial":$partial,""" +
+        s""""bench_file":${q(benchFile)},"metadata":$metaCompact}"""
     }
 
     // Soft deadline on accumulated QUERY time: past it, remaining queries
@@ -222,21 +246,13 @@ object Bench {
     // `queries` stays min-of-N (the committed comparison basis); `medians`
     // shows load sensitivity; `reruns` records self-adjudicated regressions.
     writeReport(metaJson, partial = false)
-    val total = timings.values.filter(_ >= 0).sum
     System.err.println(s"[bench] full report written to $benchFile")
 
     // Compact summary → LAST stdout line (headline metadata numbers only, no
-    // per-query map: ~300 B fits any capture window whole).
-    val metaCompact = pickNumericKeys(metaJson,
-      Seq("footer_parse_ms", "pj_read_1rg_ms", "pj_schema_ms", "speedup_1rg",
-        "index_size_ratio"))
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
-        s""""runs_per_query":$runsPerQuery,"query_count":${timings.size},""" +
-        s""""error_count":${errors.size},"rerun_count":${reruns.size},""" +
-        s""""bench_file":${q(benchFile)},"metadata":$metaCompact}"""
-    println(compact)
+    // per-query map: ~300 B fits any capture window whole). writeReport above
+    // already printed it; nothing further may write to stdout after this.
     spark.stop()
+    println(compactLine(metaJson, partial = false))
   }
 
   /** Extract top-level numeric fields from a flat-ish JSON string (the

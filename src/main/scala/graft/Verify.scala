@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same loaded-box survival settings as Bench: local mode runs driver
+      // and executor in one JVM, and a GC/scheduler stall that misses enough
+      // in-process heartbeats would otherwise kill the whole run (the
+      // round-7 driver bench died exactly this way, exit 56).
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.rpc.askTimeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -674,15 +674,9 @@ object PipelineQueries {
       // boundary-straddling pairs (measured recall 1.0 at sf0.01,
       // 13/14 = 93% at sf0.1 — bound at 80%).
       val emb = Tables.embeddings(s, dir)
-      // The operator's slim (vec_id, u) cache and the oracle's `prepped`
-      // persist below both live until the harness's per-query
-      // spark.sqlContext.clearCache() (Verify and Bench each call it after
-      // every query) — this QA query can't free them sooner because its
-      // result is returned lazily. Long-lived sessions should hold the
-      // AnnCacheHandle and close() it once the pairs are materialized.
-      val sd = PipelineOps
-        .semanticDedupPairsWithHandle(emb, minCosine = 0.5, nClusters = 16, nAssign = 3)._1
-        .select(col("id_a"), col("id_b"), lit(1).as("_n"))
+      val (sdPairs, handle) = PipelineOps
+        .semanticDedupPairsWithHandle(emb, minCosine = 0.5, nClusters = 16, nAssign = 3)
+      val sd = sdPairs.select(col("id_a"), col("id_b"), lit(1).as("_n"))
       val prepped = emb
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("_v"))
         .withColumn("_nrm", sqrt(graft.functions.VectorFunctions.dotProduct(col("_v"), col("_v"))))
@@ -695,7 +689,7 @@ object PipelineQueries {
             (col("_na") * col("_nb"))).as("_c"))
         .filter(col("_c") >= 0.5)
         .select(col("id_a"), col("id_b"), lit(1).as("_e"))
-      exact.join(sd, Seq("id_a", "id_b"), "full_outer")
+      val agg = exact.join(sd, Seq("id_a", "id_b"), "full_outer")
         .agg(
           coalesce(sum(col("_e")), lit(0)).cast("long").as("exact_pairs"),
           coalesce(sum(when(col("_e").isNotNull && col("_n").isNotNull, 1L)), lit(0L)).as("_both"),
@@ -704,6 +698,14 @@ object PipelineQueries {
           col("exact_pairs"),
           (col("_sd_only") === 0L).cast("long").as("sd_subset_of_exact"),
           (col("_both") * 100L >= col("exact_pairs") * 80L).cast("long").as("recall_ge_80"))
+      // The result is one aggregate row: materialize it eagerly so the
+      // operator's slim (vec_id, u) cache and the oracle's `prepped` persist
+      // can be freed HERE via the handle (the API contract) instead of
+      // leaking until the harness's end-of-query clearCache().
+      val rows = agg.collect().toSeq
+      handle.close()
+      prepped.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
     }),
     "q59_edit_distance" -> ((s, dir) => {
       // character-level near-dup: exact value oracle (Levenshtein is
