@@ -21,6 +21,7 @@ object MetadataQueries {
     * given source dir, so Verify sees identical results either way.
     */
   private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private def fixtureDir(key: String, dir: String)(build: String => Unit): String =
     fixtures.computeIfAbsent(s"$key:$dir", { _ =>
       val d = java.nio.file.Files.createTempDirectory(key).toString
@@ -310,6 +311,86 @@ object MetadataQueries {
           coalesce(sum($"name_len"), lit(0L)).as("evolved_sum"),
           sum(when($"name_len".isNull, $"n_regionkey")).as("legacy_region_sum"))
     }),
+    "q98_runtime_pruned_join" -> ((s, dir) => {
+      import s.implicits._
+      // Runtime (join-driven) file pruning — dynamic partition pruning on
+      // the pjparquet source: the dim side's surviving join keys prune the
+      // lang-partitioned fact's directories at RUNTIME (the scan offers its
+      // partition columns as runtime filter attributes and re-plans). The
+      // dim is file-backed with a selective filter on a NON-join column, so
+      // the values reaching the fact are only known after the dim scan —
+      // exactly the shape where static pruning can't help. Fixture shares
+      // q95's lang-partitioned documents layout.
+      val factTmp = fixtureDir("pj_q95_bylang", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.documents(s, dir), d, partitionBy = Seq("lang"))
+      }
+      val dimTmp = fixtureDir("pj_q98_dim", dir) { d =>
+        Seq(("en", "anglo"), ("de", "euro"), ("fr", "euro"), ("es", "latam"), ("zh", "cjk"))
+          .toDF("dlang", "family").coalesce(1).write.mode("overwrite").parquet(d)
+      }
+      val fact = s.read.format("pjparquet").load(factTmp)
+      val dim = s.read.parquet(dimTmp).filter($"family" === "euro")
+      val joined = fact.join(broadcast(dim), $"lang" === $"dlang")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("doc_sum"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      joined
+        .withColumn("runtime_pruned",
+          lit(if (planStr.contains("dynamicpruning")) 1L else 0L))
+        .orderBy($"lang")
+    }),
+    "q97_limit_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      // LIMIT at row-group granularity: the scan plans only the leading
+      // row groups whose index row counts cover the limit (PushedLimit in
+      // the scan description), Spark's own limit still applies on top, so
+      // count-over-limit is exact and engine-independent even though the
+      // row SET isn't. Fixture: orders as one multi-row-group file (~64 KiB
+      // groups), built once per JVM.
+      val tmp = fixtureDir("pj_q97_limit", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.orders(s, dir).coalesce(1).sortWithinPartitions("o_orderkey"),
+          d, options = Map("parquet.block.size" -> (64 * 1024).toString))
+      }
+      val limited = s.read.format("pjparquet").load(tmp).limit(500)
+      val agg = limited.agg(count(lit(1)).as("n_limited"))
+      val planStr = agg.queryExecution.executedPlan.toString
+      agg.select(
+        col("n_limited"),
+        lit(if (planStr.contains("PushedLimit: 500")) 1L else 0L).as("limit_pushed"))
+    }),
+    "q96_streaming_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // Micro-batch streaming READ of a pjparquet directory: the whole
+      // customer table must arrive through the offset-watermark source
+      // exactly once (AvailableNow drains everything in one run), with
+      // schema and planning from the sidecar indexes. Oracle = the same
+      // aggregate straight off the customer table, so any dropped or
+      // duplicated file changes the counts. Source layout is a per-JVM
+      // fixture (this query measures the streaming read, not the write);
+      // checkpoint + memory sink are fresh per call so re-runs re-ingest.
+      val src = fixtureDir("pj_q96_stream_src", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.customer(s, dir).repartition(4), d)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("pj_q96_ckpt").toString
+      val tbl = s"pj_q96_out_${streamRuns.incrementAndGet()}"
+      val q = s.readStream.format("pjparquet").load(src)
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(180000)
+      finally if (q.isActive) q.stop()
+      s.table(tbl)
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum($"c_custkey").as("key_sum"),
+          sum($"c_nationkey").as("nation_sum"))
+        .orderBy($"c_mktsegment")
+    }),
     "q92_vacuum" -> ((s, dir) => {
       import s.implicits._
       // Directory hygiene: write an indexed table, plant the two garbage
@@ -412,6 +493,19 @@ object MetadataQueries {
         |       CAST(sum(CASE WHEN n_nationkey < 12 THEN n_regionkey END) AS BIGINT)
         |         AS legacy_region_sum
         |FROM nation""".stripMargin,
+    "q97_limit_pushdown" ->
+      """SELECT count(*) AS n_limited, CAST(1 AS BIGINT) AS limit_pushed
+        |FROM (SELECT * FROM orders LIMIT 500)""".stripMargin,
+    "q98_runtime_pruned_join" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_sum,
+        |       CAST(1 AS BIGINT) AS runtime_pruned
+        |FROM documents WHERE lang IN ('de', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q96_streaming_ingest" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       CAST(sum(c_nationkey) AS BIGINT) AS nation_sum
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q92_vacuum" ->
       """SELECT count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,

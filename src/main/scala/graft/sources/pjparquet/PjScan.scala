@@ -17,7 +17,31 @@ import graft.core.PJSplice
 class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
+
+  // -------------------------------------- limit at row-group granularity
+
+  /** LIMIT n plans only the leading row groups whose index row counts cover
+    * n — a 100k-row-group table answers `LIMIT 10` with one task over one
+    * row group instead of a full scan. Always PARTIAL (Spark keeps its
+    * limit; the scan may over-deliver up to one row group), and refused
+    * whenever a data filter is pushed: filters are re-evaluated above the
+    * scan, so a pre-filter row-count truncation could under-deliver (the
+    * kept groups might filter down below n while dropped groups matched).
+    * Partition-value file pruning composes fine — it happens in build()
+    * BEFORE the truncation, on the surviving files only — but any pushed
+    * filter also rides to the parquet reader, so the conservative guard is
+    * simply `pushed.isEmpty`.
+    */
+  private var pushedLimit: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit >= 0 && pushed.isEmpty && explicitRgOption.isEmpty) {
+      pushedLimit = Some(limit); true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   import org.apache.spark.sql.sources._
 
@@ -321,50 +345,8 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
 
   // ------------------------------------------ partition pruning (planning)
 
-  private lazy val partIndex: Map[String, Int] =
-    layout.partitionSchema.fieldNames.zipWithIndex
-      .map { case (n, i) => n.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
-
-  /** Typed partition value for `col` in `f`, or None when `col` is not a
-    * partition column. A `Some(null)` is a genuine Hive null partition.
-    */
-  private def partValue(f: PjFile, col: String): Option[Any] =
-    partIndex.get(col.toLowerCase(java.util.Locale.ROOT)).map { i =>
-      val raw = f.partitionValues(i)
-      if (raw == PjParquetTable.HiveNullPartition) null
-      else layout.partitionSchema.fields(i).dataType match {
-        case org.apache.spark.sql.types.LongType => raw.toLong
-        case _ => raw
-      }
-    }
-
-  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
-    case (a: Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue()))
-    case (a: String, b: String) => Some(a.compareTo(b))
-    case _ => None
-  }
-
-  /** Conservative evaluation: true = the file MIGHT match (keep it). Only
-    * provably-excluded files are dropped, so residual re-evaluation keeps
-    * results exact regardless of coverage here.
-    */
-  private def mightMatch(f: PjFile, filter: Filter): Boolean = filter match {
-    case EqualTo(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ == 0))
-    case EqualNullSafe(c, v) =>
-      partValue(f, c).forall(x =>
-        if (v == null) x == null else x != null && cmp(x, v).forall(_ == 0))
-    case In(c, vs) => partValue(f, c).forall(x => x != null && vs.exists(v => cmp(x, v).forall(_ == 0)))
-    case GreaterThan(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ > 0))
-    case GreaterThanOrEqual(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ >= 0))
-    case LessThan(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ < 0))
-    case LessThanOrEqual(c, v) => partValue(f, c).forall(x => x != null && cmp(x, v).forall(_ <= 0))
-    case IsNull(c) => partValue(f, c).forall(_ == null)
-    case IsNotNull(c) => partValue(f, c).forall(_ != null)
-    case And(l, r) => mightMatch(f, l) && mightMatch(f, r)
-    case Or(l, r) => mightMatch(f, l) || mightMatch(f, r)
-    case Not(EqualTo(c, v)) => partValue(f, c).forall(x => x == null || cmp(x, v).forall(_ != 0))
-    case _ => true
-  }
+  private def mightMatch(f: PjFile, filter: Filter): Boolean =
+    PjPartitionFilter.mightMatch(layout.partitionSchema, f, filter)
 
   override def build(): Scan = {
     val explicitRgs: Option[Seq[Int]] = Option(options.get("rowGroups"))
@@ -401,7 +383,64 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
       layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq,
       streamInfo = Option(options.get("path")).map(p =>
         (p, options.getBoolean("index.autogen", true),
-          options.getBoolean("mergeSchema", false))))
+          options.getBoolean("mergeSchema", false))),
+      limitRows = pushedLimit)
+  }
+}
+
+/** Conservative partition-value predicate evaluation shared by planning-time
+  * file pruning (PjScanBuilder.build) and runtime join-driven pruning
+  * (PjScan's `SupportsRuntimeFiltering`). true = the file MIGHT match (keep
+  * it); only provably-excluded files drop, and every filter is re-evaluated
+  * above the scan, so results stay exact regardless of coverage here.
+  */
+private[pjparquet] object PjPartitionFilter {
+  import org.apache.spark.sql.sources._
+
+  private def partValue(
+      partitionSchema: StructType, f: PjFile, col: String): Option[Any] = {
+    val i = partitionSchema.fieldNames.indexWhere(
+      _.equalsIgnoreCase(col))
+    if (i < 0) None
+    else Some {
+      val raw = f.partitionValues(i)
+      if (raw == PjParquetTable.HiveNullPartition) null
+      else partitionSchema.fields(i).dataType match {
+        case org.apache.spark.sql.types.LongType => raw.toLong
+        case _ => raw
+      }
+    }
+  }
+
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (a: Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue()))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Long, b: org.apache.spark.unsafe.types.UTF8String) =>
+      scala.util.Try(java.lang.Long.compare(a, b.toString.toLong)).toOption
+    case (a: String, b: org.apache.spark.unsafe.types.UTF8String) =>
+      Some(a.compareTo(b.toString))
+    case _ => None
+  }
+
+  def mightMatch(partitionSchema: StructType, f: PjFile, filter: Filter): Boolean = {
+    def pv(c: String) = partValue(partitionSchema, f, c)
+    filter match {
+      case EqualTo(c, v) => pv(c).forall(x => x != null && cmp(x, v).forall(_ == 0))
+      case EqualNullSafe(c, v) =>
+        pv(c).forall(x =>
+          if (v == null) x == null else x != null && cmp(x, v).forall(_ == 0))
+      case In(c, vs) => pv(c).forall(x => x != null && vs.exists(v => cmp(x, v).forall(_ == 0)))
+      case GreaterThan(c, v) => pv(c).forall(x => x != null && cmp(x, v).forall(_ > 0))
+      case GreaterThanOrEqual(c, v) => pv(c).forall(x => x != null && cmp(x, v).forall(_ >= 0))
+      case LessThan(c, v) => pv(c).forall(x => x != null && cmp(x, v).forall(_ < 0))
+      case LessThanOrEqual(c, v) => pv(c).forall(x => x != null && cmp(x, v).forall(_ <= 0))
+      case IsNull(c) => pv(c).forall(_ == null)
+      case IsNotNull(c) => pv(c).forall(_ != null)
+      case And(l, r) => mightMatch(partitionSchema, f, l) && mightMatch(partitionSchema, f, r)
+      case Or(l, r) => mightMatch(partitionSchema, f, l) || mightMatch(partitionSchema, f, r)
+      case Not(EqualTo(c, v)) => pv(c).forall(x => x == null || cmp(x, v).forall(_ != 0))
+      case _ => true
+    }
   }
 }
 
@@ -434,8 +473,72 @@ class PjScan(
     partRequired: StructType,
     explicitRowGroups: Option[Seq[Int]],
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    streamInfo: Option[(String, Boolean, Boolean)] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    streamInfo: Option[(String, Boolean, Boolean)] = None,
+    limitRows: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // --------------------------- runtime (join-driven) file pruning — "DPP"
+
+  /** The file list after runtime filtering. Spark's `BatchScanExec` calls
+    * `filter(...)` with the values a dimension-side join actually produced
+    * (dynamic partition pruning), then re-plans input partitions — so a
+    * fact-table scan joined to `dim WHERE region='EU'` reads only the EU
+    * partition directories, decided at RUNTIME from the dim's rows.
+    */
+  @volatile private var activeFiles: Seq[PjFile] = files
+
+  /** Runtime filtering is offered on the Hive partition columns: their
+    * values prune whole FILES with zero I/O. (Data columns are deliberately
+    * not offered — pruning those would need per-chunk stat walks per
+    * runtime value and already happens at the parquet reader via row-group
+    * stats.)
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(runtime: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    activeFiles = activeFiles.filter(f =>
+      runtime.forall(PjPartitionFilter.mightMatch(partitionSchema, f, _)))
+
+  // ------------------------------------------------------ per-file caches
+
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PJSplice.Index]()
+  private def indexOf(f: PjFile): PJSplice.Index =
+    idxCache.computeIfAbsent(f.path, _ => PJSplice.Index.fromBytes(f.indexBytes))
+
+  /** Per-file row-group selection with the pushed LIMIT applied: walk files
+    * in layout order keeping row groups until the cumulative index row
+    * count covers the limit, then plan nothing further. Only set when no
+    * filter is pushed (see [[PjScanBuilder.pushLimit]]), so raw counts are
+    * exact and over-delivery is bounded by one row group. Computed over the
+    * CURRENT (runtime-filtered) file list on every call.
+    */
+  private def effectiveSelections(fs: Seq[PjFile]): Seq[Seq[Int]] = {
+    val base: Seq[Seq[Int]] = fs.map { f =>
+      explicitRowGroups.getOrElse(0 until indexOf(f).header.rowGroups)
+    }
+    limitRows match {
+      case None => base
+      case Some(lim) =>
+        var remaining = lim.toLong
+        fs.zip(base).map { case (f, sel) =>
+          if (remaining <= 0) Seq.empty[Int]
+          else {
+            val idx = indexOf(f)
+            val keep = Seq.newBuilder[Int]
+            val it = sel.iterator
+            while (remaining > 0 && it.hasNext) {
+              val rg = it.next()
+              keep += rg
+              remaining -= idx.rowNumber(rg)
+            }
+            keep.result()
+          }
+        }
+    }
+  }
 
   /** `readStream.format("pjparquet")`: micro-batch ingestion of files
     * appended to the directory, planned per batch from the sidecar indexes
@@ -463,6 +566,7 @@ class PjScan(
   override def description(): String =
     s"pjparquet ${files.size} file(s), cols=${readSchema().fieldNames.mkString(",")}" +
       explicitRowGroups.map(r => s", rowGroups=${r.mkString(",")}").getOrElse("") +
+      limitRows.map(n => s", PushedLimit: $n").getOrElse("") +
       (if (pushedFilters.nonEmpty) s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
 
   /** `dataRequired` folded to the FILE schema's case (when the session is
@@ -498,49 +602,51 @@ class PjScan(
     partRequired.fieldNames.map(n => byName(key(n)))
   }
 
-  private lazy val fileIndexes: Seq[PJSplice.Index] =
-    files.map(f => PJSplice.Index.fromBytes(f.indexBytes))
-
   /** Exact compressed bytes each row group contributes for the REQUIRED
     * columns, per file — read once via bounded chunk-struct walks from the
-    * index (no footer parse) and shared by split packing AND statistics.
-    * -1 marks a file whose footer lacks the size field (callers fall back
-    * to a proportional estimate). An empty data projection (count(*),
-    * partition-only scans) reads no column data: 8 bytes/row stands in for
-    * the row-existence stream so estimates stay small but nonzero.
+    * index (no footer parse), cached by path, and shared by split packing
+    * AND statistics. -1 marks a file whose footer lacks the size field
+    * (callers fall back to a proportional estimate). An empty data
+    * projection (count(*), partition-only scans) reads no column data:
+    * 8 bytes/row stands in for the row-existence stream so estimates stay
+    * small but nonzero.
     */
-  private lazy val rgByteSums: Seq[Array[Long]] = fileIndexes.map { idx =>
-    val rgCount = idx.header.rowGroups
-    if (dataPhysical.isEmpty)
-      Array.tabulate(rgCount)(rg => math.max(1L, idx.rowNumber(rg) * 8L))
-    else {
-      val req = prunedColumnNames
-      val cols: Seq[Int] =
-        if (req.isEmpty) 0 until idx.header.columns
-        else {
-          val pos = idx.columnNames.zipWithIndex.toMap // last-wins, like splice
-          req.flatMap(pos.get)
+  private val rgBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def rgByteSums(f: PjFile): Array[Long] =
+    rgBytesCache.computeIfAbsent(f.path, { _ =>
+      val idx = indexOf(f)
+      val rgCount = idx.header.rowGroups
+      if (dataPhysical.isEmpty)
+        Array.tabulate(rgCount)(rg => math.max(1L, idx.rowNumber(rg) * 8L))
+      else {
+        val req = prunedColumnNames
+        val cols: Seq[Int] =
+          if (req.isEmpty) 0 until idx.header.columns
+          else {
+            val pos = idx.columnNames.zipWithIndex.toMap // last-wins, like splice
+            req.flatMap(pos.get)
+          }
+        Array.tabulate(rgCount) { rg =>
+          var sum = 0L
+          var exact = true
+          for (c <- cols if exact) {
+            val sz = idx.chunkCompressedSize(rg, c)
+            if (sz < 0) exact = false else sum += sz
+          }
+          if (exact) math.max(1L, sum) else -1L
         }
-      Array.tabulate(rgCount) { rg =>
-        var sum = 0L
-        var exact = true
-        for (c <- cols if exact) {
-          val sz = idx.chunkCompressedSize(rg, c)
-          if (sz < 0) exact = false else sum += sz
-        }
-        if (exact) math.max(1L, sum) else -1L
       }
-    }
-  }
+    })
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sqlConf = SQLConf.get
     val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
     val colNames = prunedColumnNames
-    files.iterator.zipWithIndex.flatMap { case (f, fi) =>
-      val idx = fileIndexes(fi)
+    val current = activeFiles
+    current.iterator.zip(effectiveSelections(current).iterator).flatMap { case (f, selected) =>
+      val idx = indexOf(f)
       val rgCount = idx.header.rowGroups
-      val selected = explicitRowGroups.getOrElse(0 until rgCount)
       if (selected.isEmpty) Iterator.empty
       else {
         // Bin-pack toward maxPartitionBytes using the EXACT compressed
@@ -548,7 +654,7 @@ class PjScan(
         // whole-file mean misprices splits twice over: skewed row-group
         // sizes, and narrow projections that read a sliver of each group.
         val meanRgBytes = math.max(1L, f.fileLen / math.max(1, rgCount))
-        val sums = rgByteSums(fi)
+        val sums = rgByteSums(f)
         def rgBytes(rg: Int): Long = if (sums(rg) < 0) meanRgBytes else sums(rg)
         val groups = scala.collection.mutable.ArrayBuffer[Vector[Int]]()
         var current = Vector.empty[Int]
@@ -599,19 +705,18 @@ class PjScan(
       def fold(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
       val partNames = partitionSchema.fieldNames.map(fold).toSet
       val refs = pushedFilters.flatMap(_.references).map(fold).toSet -- partNames
-      fileIndexes.forall { idx =>
-        val names = idx.columnNames.map(fold).toSet
+      activeFiles.forall { f =>
+        val names = indexOf(f).columnNames.map(fold).toSet
         refs.forall(names.contains)
       }
     }
-    if (files.nonEmpty && pushedFilters.nonEmpty &&
+    if (activeFiles.nonEmpty && pushedFilters.nonEmpty &&
         PjSparkShims.parquetFilterPushDownEnabled(sqlConf) && allFilesHaveFilterCols) {
       // Schema + rebase spec come from the index (schema-only splice), so
       // building the predicate costs no footer parse. Partition-column
       // filters have no physical column and simply produce no predicate.
       val schemaFooter = graft.core.PalletJack.materialize(
-        graft.core.PJSplice.splice(
-          graft.core.PJSplice.Index.fromBytes(files.head.indexBytes), Nil, Nil, Nil, schemaOnly = true))
+        graft.core.PJSplice.splice(indexOf(activeFiles.head), Nil, Nil, Nil, schemaOnly = true))
       val physSchema = schemaFooter.getFileMetaData.getSchema
       val rebaseSpec = PjSparkShims.datetimeRebaseSpec(
         schemaFooter, PjSparkShims.rebaseModeInReadConf(sqlConf))
@@ -642,12 +747,12 @@ class PjScan(
   override def estimateStatistics(): Statistics = {
     var rows = 0L
     var bytes = 0L
-    for ((f, fi) <- files.zipWithIndex) {
-      val idx = fileIndexes(fi)
+    val current = activeFiles
+    for ((f, selected) <- current.zip(effectiveSelections(current))) {
+      val idx = indexOf(f)
       val rgCount = idx.header.rowGroups
-      val selected = explicitRowGroups.getOrElse(0 until rgCount)
       selected.foreach(rg => rows += idx.rowNumber(rg))
-      val sums = rgByteSums(fi)
+      val sums = rgByteSums(f)
       val exact = selected.forall(rg => sums(rg) >= 0)
       bytes += {
         if (exact) selected.map(sums(_)).sum
