@@ -311,6 +311,24 @@ object MetadataQueries {
           coalesce(sum($"name_len"), lit(0L)).as("evolved_sum"),
           sum(when($"name_len".isNull, $"n_regionkey")).as("legacy_region_sum"))
     }),
+    "q99_partition_delete" -> ((s, dir) => {
+      import s.implicits._
+      // SQL DELETE of whole partitions at metadata rate: seed a region-
+      // partitioned copy of nation, DELETE one region (files + sidecars
+      // drop, zero data I/O — SupportsDelete with the exact three-valued
+      // partition evaluator), then aggregate what survives. The oracle
+      // replays the delete as a WHERE clause over the original table.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q99_delete").toString
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        graft.Tables.nation(s, dir), tmp, partitionBy = Seq("n_regionkey"))
+      s.sql("DROP TABLE IF EXISTS pj_q99_t")
+      s.sql(s"CREATE TABLE pj_q99_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM pj_q99_t WHERE n_regionkey = 0")
+      s.sql("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+              |       count(*) AS n_nations,
+              |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+              |FROM pj_q99_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
     "q98_runtime_pruned_join" -> ((s, dir) => {
       import s.implicits._
       // Runtime (join-driven) file pruning — dynamic partition pruning on
@@ -496,6 +514,12 @@ object MetadataQueries {
     "q97_limit_pushdown" ->
       """SELECT count(*) AS n_limited, CAST(1 AS BIGINT) AS limit_pushed
         |FROM (SELECT * FROM orders LIMIT 500)""".stripMargin,
+    "q99_partition_delete" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       count(*) AS n_nations,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_regionkey <> 0
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q98_runtime_pruned_join" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_sum,
         |       CAST(1 AS BIGINT) AS runtime_pruned

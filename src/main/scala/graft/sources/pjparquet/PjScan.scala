@@ -422,6 +422,85 @@ private[pjparquet] object PjPartitionFilter {
     case _ => None
   }
 
+  /** SQL three-valued truth for the exact evaluator: a comparison against a
+    * NULL partition value is `Null`, not false — the distinction matters
+    * under `Not` (NOT(NULL = v) is NULL, so the row must NOT delete).
+    */
+  private sealed trait Tv
+  private case object TvTrue extends Tv
+  private case object TvFalse extends Tv
+  private case object TvNull extends Tv
+  private def tv(b: Boolean): Tv = if (b) TvTrue else TvFalse
+
+  /** EXACT evaluation for DELETE: `Some(result)` only when the predicate's
+    * SQL truth value over EVERY row of the file is decided by its partition
+    * values alone (each file holds exactly one partition-value tuple);
+    * `None` = undecidable — a data-column reference or an operator/type
+    * combination outside the supported set. DELETE may only drop a file
+    * when the result is `Some(TvTrue)` and may only claim `canDeleteWhere`
+    * when no file is `None`, so file-level deletion is always row-exact.
+    */
+  private def eval3(partitionSchema: StructType, f: PjFile, filter: Filter): Option[Tv] = {
+    def pv(c: String) = partValue(partitionSchema, f, c)
+    def rel(c: String, v: Any, p: Int => Boolean): Option[Tv] = pv(c) match {
+      case None => None
+      case Some(null) => Some(TvNull)
+      case Some(x) => if (v == null) Some(TvNull) else cmp(x, v).map(i => tv(p(i)))
+    }
+    filter match {
+      case AlwaysTrue() => Some(TvTrue)
+      case AlwaysFalse() => Some(TvFalse)
+      case EqualTo(c, v) => rel(c, v, _ == 0)
+      case EqualNullSafe(c, v) => pv(c) match {
+        case None => None
+        case Some(null) => Some(tv(v == null))
+        case Some(x) => if (v == null) Some(TvFalse) else cmp(x, v).map(i => tv(i == 0))
+      }
+      case In(c, vs) => pv(c) match {
+        case None => None
+        case Some(null) => Some(TvNull)
+        case Some(x) =>
+          val cs = vs.toSeq.map(v => if (v == null) None else cmp(x, v))
+          if (cs.exists(_.contains(0))) Some(TvTrue)
+          else if (cs.forall(_.isDefined)) Some(TvFalse)
+          else None // an incomparable (or NULL) member and no definite hit
+      }
+      case GreaterThan(c, v) => rel(c, v, _ > 0)
+      case GreaterThanOrEqual(c, v) => rel(c, v, _ >= 0)
+      case LessThan(c, v) => rel(c, v, _ < 0)
+      case LessThanOrEqual(c, v) => rel(c, v, _ <= 0)
+      case IsNull(c) => pv(c).map(x => tv(x == null))
+      case IsNotNull(c) => pv(c).map(x => tv(x != null))
+      case And(l, r) =>
+        (eval3(partitionSchema, f, l), eval3(partitionSchema, f, r)) match {
+          case (Some(TvFalse), _) | (_, Some(TvFalse)) => Some(TvFalse)
+          case (Some(TvTrue), Some(TvTrue)) => Some(TvTrue)
+          case (Some(_), Some(_)) => Some(TvNull) // True/Null or Null/Null
+          case _ => None
+        }
+      case Or(l, r) =>
+        (eval3(partitionSchema, f, l), eval3(partitionSchema, f, r)) match {
+          case (Some(TvTrue), _) | (_, Some(TvTrue)) => Some(TvTrue)
+          case (Some(TvFalse), Some(TvFalse)) => Some(TvFalse)
+          case (Some(_), Some(_)) => Some(TvNull)
+          case _ => None
+        }
+      case Not(inner) => eval3(partitionSchema, f, inner).map {
+        case TvTrue => TvFalse
+        case TvFalse => TvTrue
+        case TvNull => TvNull
+      }
+      case _ => None
+    }
+  }
+
+  /** `Some(true)` = the file's rows ALL satisfy the predicate (safe to
+    * delete the whole file); `Some(false)` = none do (keep, untouched);
+    * `None` = undecidable from partition values (refuse `canDeleteWhere`).
+    */
+  def exactMatch(partitionSchema: StructType, f: PjFile, filter: Filter): Option[Boolean] =
+    eval3(partitionSchema, f, filter).map(_ == TvTrue)
+
   def mightMatch(partitionSchema: StructType, f: PjFile, filter: Filter): Boolean = {
     def pv(c: String) = partValue(partitionSchema, f, c)
     filter match {

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.PjWriter
+
+/** `DELETE FROM t WHERE <partition predicate>`: whole files + sidecars drop
+  * at metadata rate; anything touching a data column refuses loudly (Spark's
+  * standard "cannot delete" failure) and leaves the table untouched.
+  */
+class PjDeleteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshTable(name: String): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"pj_del_$name").toString
+    PjWriter.writeWithIndex(
+      spark.range(300).select($"id", ($"id" % 3).cast("string").as("k")),
+      dir, partitionBy = Seq("k"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING pjparquet OPTIONS (path '$dir')")
+    (name, dir)
+  }
+
+  private def filesUnder(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+  }
+
+  test("partition-predicate DELETE drops files, sidecars, and empty dirs") {
+    val (t, dir) = freshTable("pj_del_part")
+    assert(spark.table(t).count() == 300)
+    spark.sql(s"DELETE FROM $t WHERE k = '1'")
+    val left = spark.table(t)
+    assert(left.count() == 200)
+    assert(left.filter($"k" === "1").count() == 0)
+    assert(left.agg(sum($"id")).head().getLong(0) ==
+      (0 until 300).filter(_ % 3 != 1).sum.toLong)
+    // the k=1 directory is fully reclaimed, sidecars included
+    assert(!filesUnder(dir).exists(_.getPath.contains("k=1")))
+    assert(filesUnder(dir).exists(_.getPath.contains("k=0")))
+    // remaining sidecar fleet intact: one per surviving data file
+    val data = filesUnder(dir).filter(_.getName.endsWith(".parquet"))
+    val sidecars = filesUnder(dir).filter(_.getName.endsWith(".parquet.index"))
+    assert(data.nonEmpty && sidecars.size == data.size)
+  }
+
+  test("IN / compound partition predicates delete exactly their partitions") {
+    val (t, _) = freshTable("pj_del_in")
+    spark.sql(s"DELETE FROM $t WHERE k IN ('0', '2')")
+    val left = spark.table(t)
+    assert(left.select($"k").distinct().as[String].collect().toSeq == Seq("1"))
+    assert(left.count() == 100)
+  }
+
+  test("a data-column predicate refuses and leaves the table untouched") {
+    val (t, _) = freshTable("pj_del_refuse")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE id < 100")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), s"got: ${e.getMessage}")
+    assert(spark.table(t).count() == 300)
+  }
+
+  test("a no-match partition predicate deletes nothing") {
+    val (t, _) = freshTable("pj_del_none")
+    spark.sql(s"DELETE FROM $t WHERE k = '99'")
+    assert(spark.table(t).count() == 300)
+  }
+
+  test("NOT over a partition predicate keeps SQL null semantics") {
+    val (t, _) = freshTable("pj_del_not")
+    spark.sql(s"DELETE FROM $t WHERE NOT (k = '0')")
+    val left = spark.table(t)
+    assert(left.select($"k").distinct().as[String].collect().toSeq == Seq("0"))
+    assert(left.count() == 100)
+  }
+}
