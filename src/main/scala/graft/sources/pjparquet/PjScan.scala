@@ -382,8 +382,9 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
       survivingFiles, fileSchema, dataRequired,
       layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq,
       streamInfo = Option(options.get("path")).map(p =>
-        (p, options.getBoolean("index.autogen", true),
-          options.getBoolean("mergeSchema", false))),
+        PjStreamInfo(p, options.getBoolean("index.autogen", true),
+          options.getBoolean("mergeSchema", false),
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))),
       limitRows = pushedLimit)
   }
 }
@@ -552,7 +553,7 @@ class PjScan(
     partRequired: StructType,
     explicitRowGroups: Option[Seq[Int]],
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    streamInfo: Option[(String, Boolean, Boolean)] = None,
+    streamInfo: Option[PjStreamInfo] = None,
     limitRows: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -621,14 +622,14 @@ class PjScan(
 
   /** `readStream.format("pjparquet")`: micro-batch ingestion of files
     * appended to the directory, planned per batch from the sidecar indexes
-    * (see [[PjMicroBatchStream]]). `streamInfo` = (path, autogen,
-    * mergeSchema), threaded from the scan builder's options.
+    * (see [[PjMicroBatchStream]]). `streamInfo` is threaded from the scan
+    * builder's options.
     */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    val (path, autogen, mergeSchema) = streamInfo.getOrElse(
+    val info = streamInfo.getOrElse(
       throw new IllegalStateException("pjparquet: streaming needs a directory path"))
-    new PjMicroBatchStream(path, autogen, mergeSchema,
+    new PjMicroBatchStream(info,
       fileSchema, dataRequired, partitionSchema, partRequired, pushedFilters)
   }
 

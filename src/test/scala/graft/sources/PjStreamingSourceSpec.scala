@@ -62,6 +62,35 @@ class PjStreamingSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 150L)
   }
 
+  test("maxFilesPerTrigger drains a backlog as bounded batches") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_stream_rate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pj_stream_rckpt").toString
+    // 6 data files (round-robin repartition: all non-empty); a cap of 2
+    // files per trigger must drain in ceil(6/2) = 3 batches
+    PjWriter.writeWithIndex(
+      spark.range(0, 600).select($"id", ($"id" % 6).as("b")).repartition(6), dir)
+    val nFiles = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(nFiles == 6, s"fixture should have 6 data files, got $nFiles")
+
+    val q = spark.readStream.format("pjparquet")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir)
+      .writeStream.format("memory").queryName("pj_stream_rate_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+
+    val out = spark.table("pj_stream_rate_out")
+    assert(out.count() == 600L)
+    assert(out.select($"id").distinct().count() == 600L)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"expected 3 bounded batches, got ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
   test("pruned streaming read: filters and projection still apply") {
     val dir = java.nio.file.Files.createTempDirectory("pj_stream_filter").toString
     val ckpt = java.nio.file.Files.createTempDirectory("pj_stream_fckpt").toString
