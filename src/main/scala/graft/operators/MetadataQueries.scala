@@ -329,6 +329,61 @@ object MetadataQueries {
               |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
               |FROM pj_q99_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
+    "q100_sql_update" -> ((s, dir) => {
+      // Row-level SQL UPDATE (copy-on-write ReplaceData, PjRowLevelOperation):
+      // rewrite exactly the files whose chunk stats admit o_orderstatus='F',
+      // flip their priority, and leave every other file byte-identical. The
+      // oracle replays the update as a CASE over the original table.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q100_update").toString
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        graft.Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority"), tmp)
+      s.sql("DROP TABLE IF EXISTS pj_q100_t")
+      s.sql(s"CREATE TABLE pj_q100_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("UPDATE pj_q100_t SET o_orderpriority = 'X-EXPEDITED' WHERE o_orderstatus = 'F'")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+              |FROM pj_q100_t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+    "q101_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      // SQL MERGE INTO (upsert): target = every 3rd customer, source = every
+      // 2nd with a 100k-cent bonus; matched rows update, unmatched insert.
+      // Balances are integer cents so the oracle compares exactly.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q101_merge").toString
+      val cust = graft.Tables.customer(s, dir)
+        .select($"c_custkey", ($"c_acctbal" * 100).cast("long").as("bal_cents"),
+          $"c_nationkey".cast("long").as("c_nationkey"))
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        cust.filter($"c_custkey" % 3 === 0), tmp)
+      s.sql("DROP TABLE IF EXISTS pj_q101_t")
+      s.sql(s"CREATE TABLE pj_q101_t USING pjparquet OPTIONS (path '$tmp')")
+      cust.filter($"c_custkey" % 2 === 0)
+        .withColumn("bal_cents", $"bal_cents" + 100000L)
+        .createOrReplaceTempView("pj_q101_src")
+      s.sql("""MERGE INTO pj_q101_t AS t USING pj_q101_src AS s ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED THEN UPDATE SET bal_cents = s.bal_cents
+              |WHEN NOT MATCHED THEN INSERT (c_custkey, bal_cents, c_nationkey)
+              |  VALUES (s.c_custkey, s.bal_cents, s.c_nationkey)""".stripMargin)
+      s.sql("""SELECT c_nationkey, count(*) AS n_cust,
+              |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+              |FROM pj_q101_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+    "q102_row_delete" -> ((s, dir) => {
+      // Row-level SQL DELETE with a data-column predicate (the case the
+      // metadata-rate path refuses): copy-on-write replaces only the files
+      // whose stats admit o_totalprice < 100000.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q102_delete").toString
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        graft.Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), tmp)
+      s.sql("DROP TABLE IF EXISTS pj_q102_t")
+      s.sql(s"CREATE TABLE pj_q102_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM pj_q102_t WHERE o_totalprice < 100000")
+      s.sql("""SELECT o_orderstatus, count(*) AS n_orders,
+              |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+              |FROM pj_q102_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
     "q98_runtime_pruned_join" -> ((s, dir) => {
       import s.implicits._
       // Runtime (join-driven) file pruning — dynamic partition pruning on
@@ -440,6 +495,25 @@ object MetadataQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q100_sql_update" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'X-EXPEDITED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_merge_upsert" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CASE WHEN c_custkey % 2 = 0
+        |                     THEN CAST(trunc(c_acctbal * 100) AS BIGINT) + 100000
+        |                     ELSE CAST(trunc(c_acctbal * 100) AS BIGINT) END) AS BIGINT)
+        |         AS bal_sum
+        |FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q102_row_delete" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_totalprice >= 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q23_pjparquet_agg" ->
       """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt
         |FROM lineitem WHERE l_discount > 0.05

@@ -65,15 +65,24 @@ private[pjparquet] object PjWriteMode {
     * the partitions to clear (`AlwaysTrue` alone = whole-table truncate).
     */
   final case class OverwriteByFilter(filters: Seq[Filter]) extends PjWriteMode
+  /** Copy-on-write row-level DML (DELETE/UPDATE/MERGE): commit replaces
+    * exactly the files the operation's scan read — `affected` is evaluated
+    * AT COMMIT TIME (driver-side), after runtime group filtering has
+    * settled the scan's file list. Untouched files survive byte-identical.
+    */
+  final class ReplaceFiles(val affected: () => Seq[String]) extends PjWriteMode {
+    override def toString: String = "ReplaceFiles"
+  }
 }
 
 final class PjWriteBuilder(
     root: String,
     partitionKeys: Seq[String],
-    info: LogicalWriteInfo)
+    info: LogicalWriteInfo,
+    initialMode: PjWriteMode = PjWriteMode.Append)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
-  private var mode: PjWriteMode = PjWriteMode.Append
+  private var mode: PjWriteMode = initialMode
 
   override def truncate(): WriteBuilder = {
     mode = PjWriteMode.OverwriteByFilter(Seq(AlwaysTrue))
@@ -241,6 +250,13 @@ final class PjBatchWrite(
       messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
     val touchedDirs: Set[String] =
       messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relDir).toSet
+    // row-level DML: the replacement set, scheme-normalized for comparison
+    // against this walk's listing paths
+    val replaced: Set[Path] = mode match {
+      case r: PjWriteMode.ReplaceFiles =>
+        r.affected().map(p => fs.makeQualified(new Path(p))).toSet
+      case _ => Set.empty
+    }
 
     // one recursive walk classifies every data file under the root
     for ((status, relDir, partValues) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
@@ -253,6 +269,8 @@ final class PjBatchWrite(
           case PjWriteMode.DynamicOverwrite => touchedDirs.contains(relDir)
           case PjWriteMode.OverwriteByFilter(filters) =>
             filters.forall(f => PjBatchWrite.evalPartitionFilter(f, partValues))
+          case _: PjWriteMode.ReplaceFiles =>
+            replaced.contains(fs.makeQualified(status.getPath))
         }
       if (drop) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
     }

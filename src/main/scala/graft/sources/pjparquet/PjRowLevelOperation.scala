@@ -1,0 +1,105 @@
+package graft.sources.pjparquet
+
+import java.util
+
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based (copy-on-write) row-level DML for pjparquet tables: SQL
+  * `DELETE` with arbitrary predicates, `UPDATE`, and `MERGE INTO`, via
+  * Spark's `SupportsRowLevelOperations` framework. The "group" — the
+  * replacement granularity — is the FILE:
+  *
+  *  1. Spark's rewrite rules (`RewriteDeleteFromTable` /
+  *     `RewriteUpdateTable` / `RewriteMergeIntoTable`) plan a `ReplaceData`
+  *     over this operation's scan of the affected groups;
+  *  2. the scan ([[PjScanBuilder]] in `rowLevel` mode) bounds the rewrite
+  *     set from METADATA alone — partition values and the sidecar index's
+  *     per-chunk min/max/null-count stats prune every file that provably
+  *     contains no matching row, with zero data I/O (a `DELETE WHERE id <
+  *     100` on an id-clustered 100 TB table rewrites a handful of files,
+  *     not the table) — and Spark's `RowLevelOperationRuntimeGroupFiltering`
+  *     may shrink it further at runtime through the scan's partition-column
+  *     runtime filtering;
+  *  3. the scan returns EVERY row of each kept file (no reader-side
+  *     predicate skipping — survivors must be rewritten), Spark's rewritten
+  *     query computes the post-DML rows, and the write
+  *     ([[PjWriteMode.ReplaceFiles]]) commits by deleting exactly the
+  *     scanned files (plus sidecars) and keeping the replacements, then
+  *     re-indexes.
+  *
+  * Partition-predicate-only DELETEs never reach this path: Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` converts them back to the
+  * metadata-rate `SupportsDelete.deleteWhere` (file + sidecar unlink, zero
+  * data I/O) whenever `canDeleteWhere` accepts.
+  *
+  * Like the rest of the write path this assumes one writer at a time per
+  * table root (the usual direct-committer contract); a reader racing the
+  * commit can observe the same read-uncommitted window as INSERT OVERWRITE.
+  */
+final class PjRowLevelOperationBuilder(
+    layout: PjLayout,
+    fileSchema: StructType,
+    tableOptions: CaseInsensitiveStringMap,
+    info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new PjRowLevelOperation(layout, fileSchema, tableOptions, info.command)
+}
+
+final class PjRowLevelOperation(
+    layout: PjLayout,
+    fileSchema: StructType,
+    tableOptions: CaseInsensitiveStringMap,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** The scan Spark configured for this operation — its post-runtime-filter
+    * file list IS the replacement set, read lazily at commit time.
+    */
+  @volatile private var configuredScan: Option[PjScan] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** The `_file` metadata column is the group id. Requiring it does double
+    * duty: Spark's rewrite threads it through the ReplaceData plan — which
+    * switches the write task to the data/metadata projection split, so this
+    * operation's writer receives clean table-schema rows — and runtime
+    * group filtering can narrow the rewrite to exact files via the scan's
+    * `_file` runtime filter.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      PjParquetTable.FileMetaName))
+
+  override def description(): String =
+    s"pjparquet copy-on-write $cmd (${layout.files.size} candidate file(s))"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PjScanBuilder(layout, fileSchema, merged(options),
+      rowLevel = true, onBuild = s => configuredScan = Some(s))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(tableOptions.get("path")).getOrElse(
+      throw new IllegalArgumentException("pjparquet: 'path' option is required"))
+    new PjWriteBuilder(path, layout.partitionSchema.fieldNames.toSeq, info,
+      initialMode = new PjWriteMode.ReplaceFiles(() =>
+        configuredScan match {
+          case Some(s) => s.currentFiles.map(_.path)
+          case None =>
+            // a commit with no configured scan would replace nothing while
+            // new files land — that would DUPLICATE surviving rows; refuse
+            throw new graft.core.PJException(
+              "pjparquet: row-level operation write committed without a configured scan")
+        }))
+  }
+
+  private def merged(scanOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
+    m.putAll(scanOptions.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(m)
+  }
+}

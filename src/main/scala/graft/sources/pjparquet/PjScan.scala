@@ -14,7 +14,20 @@ import org.apache.spark.util.SerializableConfiguration
 
 import graft.core.PJSplice
 
-class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsensitiveStringMap)
+class PjScanBuilder(
+    layout: PjLayout,
+    fileSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    /** Copy-on-write row-level DML scan (see [[PjRowLevelOperation]]):
+      * pushed filters select affected FILES (the replacement granularity) —
+      * partition values and chunk stats prune whole files, but the scan
+      * must return EVERY row of a kept file (survivors get rewritten), so
+      * the parquet `FilterPredicate` and limit/aggregate pushdown are
+      * disabled. `onBuild` hands the built scan to the operation so its
+      * write can replace exactly the scanned (runtime-filtered) files.
+      */
+    rowLevel: Boolean = false,
+    onBuild: PjScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -36,7 +49,7 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
   private var pushedLimit: Option[Int] = None
 
   override def pushLimit(limit: Int): Boolean = {
-    if (limit >= 0 && pushed.isEmpty && explicitRgOption.isEmpty) {
+    if (limit >= 0 && !rowLevel && pushed.isEmpty && explicitRgOption.isEmpty) {
       pushedLimit = Some(limit); true
     } else false
   }
@@ -75,7 +88,7 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
   }
 
   private def aggEnabled: Boolean =
-    Option(options.get("aggregatePushdown"))
+    !rowLevel && Option(options.get("aggregatePushdown"))
       .orElse(Option(options.get("countStarPushdown")))
       .forall(_.toBoolean)
 
@@ -359,9 +372,21 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
       // away and no residual filter exists: the metadata answer is final.
       return new PjAggScan(schema, rows, s"$desc from ${layout.files.size} index(es)")
     }
-    val survivingFiles =
-      if (layout.partitionSchema.isEmpty) layout.files
-      else layout.files.filter(f => pushed.forall(mightMatch(f, _)))
+    // Planning-time file pruning: partition values decide whole files
+    // exactly; chunk statistics from the index prune files whose row-group
+    // [min,max]/null-count envelopes cannot satisfy a pushed data filter
+    // (zero tasks for provably-empty files; for row-level DML this bounds
+    // the copy-on-write set). Both are conservative — kept files still
+    // re-evaluate every filter above the scan.
+    val caseSensitiveNow = SQLConf.get.caseSensitiveAnalysis
+    val partNameSet = layout.partitionSchema.fieldNames.toSet
+    val survivingFiles = layout.files.filter { f =>
+      lazy val idx = PJSplice.Index.fromBytes(f.indexBytes)
+      pushed.forall { p =>
+        (layout.partitionSchema.isEmpty || mightMatch(f, p)) &&
+          PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p)
+      }
+    }
     // split the pruned schema into file-physical vs partition columns; the
     // scan emits data columns first, partition columns last (Spark reorders
     // above the scan as needed). Partition membership honors
@@ -370,22 +395,30 @@ class PjScanBuilder(layout: PjLayout, fileSchema: StructType, options: CaseInsen
     // exact name) — the scan folds to file case internally for the splice
     // and the parquet reader.
     val caseSensitive = SQLConf.get.caseSensitiveAnalysis
-    val partNames =
-      if (caseSensitive) layout.partitionSchema.fieldNames.toSet
-      else layout.partitionSchema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def fold(n: String): String = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val partNames = layout.partitionSchema.fieldNames.map(fold).toSet
     def isPart(f: org.apache.spark.sql.types.StructField): Boolean =
-      partNames.contains(
-        if (caseSensitive) f.name else f.name.toLowerCase(java.util.Locale.ROOT))
-    val dataRequired = StructType(requiredSchema.fields.filterNot(isPart))
-    val partRequired = StructType(requiredSchema.fields.filter(isPart))
-    new PjScan(
+      partNames.contains(fold(f.name))
+    // `_file` metadata column: constant per split (the split's own file
+    // path), so it rides the same constant-column machinery as partition
+    // values. A REAL data/partition column named `_file` shadows it (Spark
+    // then never asks for the metadata column).
+    def isFileMeta(f: org.apache.spark.sql.types.StructField): Boolean =
+      fold(f.name) == PjParquetTable.FileMetaName && !isPart(f) &&
+        !fileSchema.fieldNames.exists(n => fold(n) == fold(f.name))
+    val dataRequired = StructType(requiredSchema.fields.filterNot(f => isPart(f) || isFileMeta(f)))
+    val partRequired = StructType(requiredSchema.fields.filter(f => isPart(f) || isFileMeta(f)))
+    val scan = new PjScan(
       survivingFiles, fileSchema, dataRequired,
       layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq,
       streamInfo = Option(options.get("path")).map(p =>
         PjStreamInfo(p, options.getBoolean("index.autogen", true),
           options.getBoolean("mergeSchema", false),
           Option(options.get("maxFilesPerTrigger")).map(_.toInt))),
-      limitRows = pushedLimit)
+      limitRows = pushedLimit,
+      rowLevel = rowLevel)
+    onBuild(scan)
+    scan
   }
 }
 
@@ -554,7 +587,12 @@ class PjScan(
     explicitRowGroups: Option[Seq[Int]],
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     streamInfo: Option[PjStreamInfo] = None,
-    limitRows: Option[Int] = None)
+    limitRows: Option[Int] = None,
+    /** Row-level DML scan: every row of every kept file must come back
+      * (the write rewrites whole files), so the reader-side
+      * `FilterPredicate` row/row-group skipping is suppressed.
+      */
+    rowLevel: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // --------------------------- runtime (join-driven) file pruning — "DPP"
@@ -567,19 +605,56 @@ class PjScan(
     */
   @volatile private var activeFiles: Seq[PjFile] = files
 
-  /** Runtime filtering is offered on the Hive partition columns: their
-    * values prune whole FILES with zero I/O. (Data columns are deliberately
-    * not offered — pruning those would need per-chunk stat walks per
-    * runtime value and already happens at the parquet reader via row-group
-    * stats.)
+  /** Runtime filtering is offered on the Hive partition columns (values
+    * prune whole FILES with zero I/O) and on the `_file` metadata column —
+    * the latter is how Spark's `RowLevelOperationRuntimeGroupFiltering`
+    * shrinks a DML rewrite to the EXACT files containing matches (its
+    * subquery computes the distinct `_file` of matching rows, and the
+    * resulting IN-filter lands here). (Data columns are deliberately not
+    * offered — pruning those already happens at planning via chunk stats.)
     */
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionSchema.fieldNames
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val parts = partitionSchema.fieldNames
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // `_file` may only be advertised when this scan actually produces it
+    // (Spark's PartitionPruning resolves EVERY advertised attribute against
+    // the scan output up front and fails the whole query otherwise); it is
+    // in `partRequired` exactly when the plan requested the metadata column
+    // — notably the row-level DML scans, where it enables file-exact
+    // runtime group filtering.
+    val hasFileMeta = partRequired.fieldNames.exists(n =>
+      n.equalsIgnoreCase(PjParquetTable.FileMetaName) &&
+        !partitionSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    if (!hasFileMeta) parts
+    else parts :+
+      org.apache.spark.sql.connector.expressions.Expressions.column(PjParquetTable.FileMetaName)
+  }
+
+  /** Exact `_file` evaluation for runtime filters (partition filters fall
+    * through to the conservative partition evaluator, which keeps anything
+    * it does not understand).
+    */
+  private def fileMetaMightMatch(f: PjFile, flt: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def isMeta(a: String) = a.equalsIgnoreCase(PjParquetTable.FileMetaName)
+    def str(v: Any): String = String.valueOf(v)
+    flt match {
+      case EqualTo(a, v) if isMeta(a) => str(v) == f.path
+      case In(a, vs) if isMeta(a) => vs != null && vs.exists(v => str(v) == f.path)
+      case IsNotNull(a) if isMeta(a) => true
+      case _ => true
+    }
+  }
 
   override def filter(runtime: Array[org.apache.spark.sql.sources.Filter]): Unit =
     activeFiles = activeFiles.filter(f =>
-      runtime.forall(PjPartitionFilter.mightMatch(partitionSchema, f, _)))
+      runtime.forall(r =>
+        fileMetaMightMatch(f, r) && PjPartitionFilter.mightMatch(partitionSchema, f, r)))
+
+  /** The files this scan will actually read (post runtime filtering) — the
+    * copy-on-write replacement set for a row-level DML commit.
+    */
+  private[pjparquet] def currentFiles: Seq[PjFile] = activeFiles
 
   // ------------------------------------------------------ per-file caches
 
@@ -673,13 +748,17 @@ class PjScan(
     if (req == full || req.isEmpty) Nil else req
   }
 
-  /** The requested partition values of `f`, aligned with `partRequired`
-    * (case-insensitive name match when the session is). */
+  /** The requested constant-column values of `f`, aligned with
+    * `partRequired` (case-insensitive name match when the session is): Hive
+    * partition values, plus the `_file` metadata column — the only
+    * non-partition constant the builder admits — which is the file path
+    * itself.
+    */
   private def requiredPartValues(f: PjFile): Array[String] = {
     val cs = SQLConf.get.caseSensitiveAnalysis
     def key(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
     val byName = partitionSchema.fieldNames.map(key).zip(f.partitionValues).toMap
-    partRequired.fieldNames.map(n => byName(key(n)))
+    partRequired.fieldNames.map(n => byName.getOrElse(key(n), f.path))
   }
 
   /** Exact compressed bytes each row group contributes for the REQUIRED
@@ -790,7 +869,7 @@ class PjScan(
         refs.forall(names.contains)
       }
     }
-    if (activeFiles.nonEmpty && pushedFilters.nonEmpty &&
+    if (activeFiles.nonEmpty && pushedFilters.nonEmpty && !rowLevel &&
         PjSparkShims.parquetFilterPushDownEnabled(sqlConf) && allFilesHaveFilterCols) {
       // Schema + rebase spec come from the index (schema-only splice), so
       // building the predicate costs no footer parse. Partition-column

@@ -114,7 +114,13 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("AnnCacheHandle frees exactly this call's pinned caches on close") {
     spark.sqlContext.clearCache()
-    assume(spark.sparkContext.getPersistentRDDs.isEmpty, "leftover caches from another suite")
+    // assert on the DELTA of persistent RDDs so a leftover cache from an
+    // earlier suite (shared session, suite order varies with the test set)
+    // cannot cancel or fail this test's real claim: close() unpersists
+    // exactly what the call pinned
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    def pinned: scala.collection.Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet -- preexisting
     val emb = (0 until 30).map(i => (i.toLong, Seq.fill(8)(i.toFloat + 1f), 0))
       .toDF("vec_id", "embedding", "label")
     val probes = emb.filter($"vec_id" < 5)
@@ -122,19 +128,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     // two-input call pins two slim (id, u) projections
     val (pairs, handle) = PipelineOps.lshAnnPairsWithHandle(emb, probes, minCosine = 0.5, dim = 8)
     pairs.collect()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert(pinned.nonEmpty,
       "the normalized projections should be materialized while the handle is open")
     handle.close()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(pinned.isEmpty,
       "close() must unpersist every cache the call pinned")
     handle.close() // idempotent
 
     // self-join form (embedding near-dup) pins a single shared projection
     val (dups, h2) = PipelineOps.embeddingNearDupPairsWithHandle(emb, minCosine = 0.99, dim = 8)
     dups.collect()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert(pinned.nonEmpty)
     h2.close()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(pinned.isEmpty,
       "self-join handle must free the shared projection")
   }
 

@@ -7,8 +7,8 @@ import graft.SparkTestSession
 import graft.sources.pjparquet.PjWriter
 
 /** `DELETE FROM t WHERE <partition predicate>`: whole files + sidecars drop
-  * at metadata rate; anything touching a data column refuses loudly (Spark's
-  * standard "cannot delete" failure) and leaves the table untouched.
+  * at metadata rate; predicates touching data columns fall through to the
+  * copy-on-write row-level path (see [[PjRowLevelDmlSpec]]).
   */
 class PjDeleteSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -56,13 +56,14 @@ class PjDeleteSpec extends AnyFunSuite {
     assert(left.count() == 100)
   }
 
-  test("a data-column predicate refuses and leaves the table untouched") {
+  test("a data-column predicate falls through to row-level copy-on-write") {
+    // pre-r8 this refused; with SupportsRowLevelOperations it succeeds via
+    // the group-based ReplaceData path (PjRowLevelDmlSpec covers it in depth)
     val (t, _) = freshTable("pj_del_refuse")
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $t WHERE id < 100")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), s"got: ${e.getMessage}")
-    assert(spark.table(t).count() == 300)
+    spark.sql(s"DELETE FROM $t WHERE id < 100")
+    val left = spark.table(t)
+    assert(left.count() == 200)
+    assert(left.agg(min($"id")).head().getLong(0) == 100L)
   }
 
   test("a no-match partition predicate deletes nothing") {
