@@ -25,7 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** `events.ts` normalized to epoch-nanosecond LongType regardless of the
+    * physical parquet type. Earlier driver testdata stored timestamp[ns]
+    * (surfaced as Long ns under `spark.sql.legacy.parquet.nanosAsLong`);
+    * current testdata stores timestamp[us] (surfaced as TIMESTAMP_NTZ).
+    * The query surface does exact integer-microsecond arithmetic on `ts`,
+    * so both shapes fold to the same Long-ns column here. Sessions run in
+    * UTC (Verify/Bench/specs all pin it), so the NTZ→timestamp cast is
+    * value-exact.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            df.col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -17,16 +17,25 @@ case class WindowHeavyHitter(wStart: Long, key: String, estimate: Long)
   * streaming row). The same transforms run on batch or streaming inputs —
   * callers pass `spark.read` or `spark.readStream` output.
   *
-  * `events.ts` is parquet timestamp[ns]; with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as LongType
-  * nanoseconds, converted here with integer math (`div`) to avoid double
-  * rounding at 1e18 magnitudes.
+  * `events.ts` arrives either as LongType epoch-nanoseconds (timestamp[ns]
+  * parquet under `spark.sql.legacy.parquet.nanosAsLong=true`) or as a
+  * native timestamp column (timestamp[us] parquet → TIMESTAMP_NTZ);
+  * [[eventTime]] folds both to one TIMESTAMP event-time column with
+  * integer math (no double rounding at 1e18 magnitudes).
   */
 object StreamingOps {
 
-  /** ns epoch → TIMESTAMP column. */
-  def eventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  /** `ts` (Long ns or timestamp) → TIMESTAMP `event_time` column. */
+  def eventTime(df: DataFrame): DataFrame = {
+    val ev = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ =>
+        // sessions pin UTC, so an NTZ→timestamp cast is value-exact
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    df.withColumn("event_time", ev)
+  }
 
   /** Tumbling-window event counts with a watermark: the canonical streaming
     * aggregation (late data beyond 1 hour is dropped at scale).
