@@ -168,6 +168,25 @@ object PJSplice {
         java.util.Arrays.equals(
           bytes, metadataAt, metadataAt + header.metadataLength,
           fileFooter, 0, fileFooter.length)
+
+    /** FNV-1a 64 fingerprint of the embedded original footer bytes. Other
+      * (optional) sidecars — e.g. the bloom sidecar — store this at build
+      * time and compare on load, inheriting the index's footer-level
+      * freshness proof without re-reading the data file: if the index is
+      * fresh (footerMatches) and a sidecar's fingerprint equals the
+      * index's, that sidecar was built against the same file content.
+      */
+    private[graft] def footerFnv64: Long = {
+      var h = 0xcbf29ce484222325L
+      var i = metadataAt
+      val end = metadataAt + header.metadataLength
+      while (i < end) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
   }
 
   object Index {

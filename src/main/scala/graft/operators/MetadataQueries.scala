@@ -384,6 +384,31 @@ object MetadataQueries {
               |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
               |FROM pj_q102_t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    "q103_bloom_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      // Bloom-sidecar file skipping (PjBloom): the table is striped by
+      // o_orderkey % 8, so every file spans ~the full key range and chunk
+      // min/max stats admit all of them — only the per-file blooms can
+      // prove files keyless. The point lookup must plan tasks for at most
+      // 1 + false-positive files out of 8 (the plan-shape fact rides as a
+      // 0/1 column); values are oracle-exact. Fixture built once per JVM.
+      val tmp = fixtureDir("pj_q103_bloom", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.orders(s, dir)
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+            .repartitionByRange(8, $"o_orderkey" % 8), d)
+        graft.sources.pjparquet.PjBloomJob.generate(s, d, Seq("o_orderkey"), fpp = 0.001)
+      }
+      val hit = s.read.format("pjparquet").load(tmp)
+        .filter($"o_orderkey" === 7L)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          round($"o_totalprice", 2).as("price"))
+      val tasks = hit.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+      hit.withColumn("bloom_pruned", lit(if (tasks <= 2) 1L else 0L))
+    }),
     "q98_runtime_pruned_join" -> ((s, dir) => {
       import s.implicits._
       // Runtime (join-driven) file pruning — dynamic partition pruning on
@@ -594,6 +619,11 @@ object MetadataQueries {
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation WHERE n_regionkey <> 0
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q103_bloom_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS price,
+        |       CAST(1 AS BIGINT) AS bloom_pruned
+        |FROM orders WHERE o_orderkey = 7""".stripMargin,
     "q98_runtime_pruned_join" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS doc_sum,
         |       CAST(1 AS BIGINT) AS runtime_pruned

@@ -327,6 +327,7 @@ private[pjparquet] object PjBatchWrite {
   def deleteWithSidecars(fs: FileSystem, dataFile: Path): Unit = {
     fs.delete(dataFile, false)
     PjParquetTable.sidecarCandidates(dataFile).foreach(c => fs.delete(c, false))
+    fs.delete(PjBloom.bloomSidecar(dataFile), false)
   }
 
   /** Remove `key=value` directories left empty by an overwrite, deepest

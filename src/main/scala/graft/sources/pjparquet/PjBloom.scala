@@ -1,0 +1,320 @@
+package graft.sources.pjparquet
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Type}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.core.{PJIndex, PJSplice}
+
+/** Optional per-file bloom-filter sidecars (`.name.parquet.bloom`) for
+  * planning-time file skipping on EQUALITY predicates.
+  *
+  * Chunk min/max statistics ([[PjStatsFilter]]) prune ranges; they are
+  * useless for a point lookup on a high-cardinality column that is NOT
+  * clustered — every file's [min,max] spans the whole key space, so
+  * `WHERE order_id = K` over a 100 TB table plans a task per file. A
+  * per-file bloom answers "is K definitely absent from this file?" in
+  * O(1) driver-side, so the same lookup plans tasks for only the files
+  * that might contain K (≈ 1 + fpp × files). The same pruning bounds the
+  * copy-on-write rewrite set of point `UPDATE`/`DELETE`/`MERGE`
+  * ([[PjRowLevelOperation]] shares this scan path).
+  *
+  * Soundness: a bloom has no false negatives, so "definitely absent" is
+  * exact; false positives only keep extra files. Freshness is inherited
+  * from the index's footer-level proof: the sidecar stores the FNV-1a64
+  * fingerprint of the footer embedded in the file's (validated) PJ_2
+  * index at build time, and a fingerprint mismatch on load disables the
+  * bloom for that file — a stale bloom can never prune a live key.
+  *
+  * Hash convention (both build and probe sides): INT32/INT64 values are
+  * widened to Long (`BloomFilter.putLong`/`mightContainLong`); BYTE_ARRAY
+  * values are raw UTF-8 bytes (`putBinary`/`mightContainBinary`). Only
+  * top-level required/optional primitives of those physical types carry
+  * blooms; everything else keeps the file (conservative).
+  */
+object PjBloom {
+
+  private val Magic: Int = 0x504a4231 // "PJB1"
+
+  /** Parsed sidecar: data-file length + index-footer fingerprint captured
+    * at build time, and one bloom per indexed column (file-schema case).
+    */
+  final case class FileBlooms(fileLen: Long, footerFnv: Long, cols: Map[String, BloomFilter])
+
+  def bloomSidecar(dataFile: Path): Path =
+    new Path(dataFile.getParent, "." + dataFile.getName + ".bloom")
+
+  // -------------------------------------------------------------- codec
+
+  private[sources] def serialize(b: FileBlooms): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(Magic)
+    out.writeLong(b.fileLen)
+    out.writeLong(b.footerFnv)
+    out.writeInt(b.cols.size)
+    b.cols.foreach { case (name, bf) =>
+      out.writeUTF(name)
+      val fb = new ByteArrayOutputStream()
+      bf.writeTo(fb)
+      val arr = fb.toByteArray
+      out.writeInt(arr.length)
+      out.write(arr)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[sources] def deserialize(bytes: Array[Byte]): FileBlooms = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "pjparquet: not a PJB1 bloom sidecar")
+    val fileLen = in.readLong()
+    val fnv = in.readLong()
+    val n = in.readInt()
+    require(n >= 0 && n <= 10000, s"pjparquet: implausible bloom column count $n")
+    val cols = (0 until n).map { _ =>
+      val name = in.readUTF()
+      val len = in.readInt()
+      require(len >= 0 && len <= bytes.length, "pjparquet: corrupt bloom entry")
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      name -> BloomFilter.readFrom(new ByteArrayInputStream(arr))
+    }.toMap
+    FileBlooms(fileLen, fnv, cols)
+  }
+
+  // ------------------------------------------------------------ loading
+
+  /** Successful loads cached by path, revalidated per lookup against the
+    * CURRENT index's footer fingerprint (no filesystem call on a hit: a
+    * changed data file changes the layout's index bytes, which changes
+    * `expectFnv` and forces a reload). Misses — no sidecar — are NOT
+    * cached, so a later [[PjBloomJob.generate]] is picked up by the next
+    * planning pass at the cost of one `exists()` probe per plan.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, FileBlooms]()
+
+  def load(conf: Configuration, f: PjFile, expectFnv: Long): Option[FileBlooms] = {
+    val cached = cache.get(f.path)
+    if (cached != null && cached.footerFnv == expectFnv && cached.fileLen == f.fileLen)
+      return Some(cached)
+    val dataPath = new Path(f.path)
+    val p = bloomSidecar(dataPath)
+    try {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val len = fs.getFileStatus(p).getLen
+      if (len > Int.MaxValue) return None
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val parsed = deserialize(buf)
+      if (parsed.footerFnv == expectFnv && parsed.fileLen == f.fileLen) {
+        if (cache.size > 8192) cache.clear() // crude bound; repopulates on demand
+        cache.put(f.path, parsed)
+        Some(parsed)
+      } else None // stale: data file changed since the bloom was built
+    } catch {
+      case scala.util.control.NonFatal(_) => None // corrupt sidecar = no pruning
+    }
+  }
+
+  // ----------------------------------------------------------- pruning
+
+  /** Does `filter` contain a leaf a bloom could ever decide? Gates the
+    * sidecar probe so range-only scans never pay filesystem calls.
+    */
+  def usableLeaf(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: EqualNullSafe => true
+    case And(l, r) => usableLeaf(l) || usableLeaf(r)
+    case Or(l, r) => usableLeaf(l) || usableLeaf(r)
+    case _ => false
+  }
+
+  /** Keep verdict for one file: `false` only when the blooms PROVE no row
+    * can satisfy `filter`. Mirrors [[PjStatsFilter.mightMatch]]'s
+    * conservative shape: unknown columns, types, or operators keep.
+    */
+  def mightMatch(
+      blooms: FileBlooms,
+      fileSchema: StructType,
+      partitionNames: Set[String],
+      caseSensitive: Boolean,
+      filter: Filter): Boolean = {
+    def fold(n: String): String = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val partFolded = partitionNames.map(fold)
+
+    def resolve(attr: String): Option[(BloomFilter, DataType)] = {
+      if (partFolded.contains(fold(attr)) || attr.contains(".")) return None
+      val field = fileSchema.fields.find(f => fold(f.name) == fold(attr)).getOrElse(return None)
+      blooms.cols.get(field.name).map(bf => (bf, field.dataType))
+    }
+
+    /** True when the bloom PROVES value `v` absent from column `attr`. */
+    def absent(attr: String, v: Any): Boolean = resolve(attr) match {
+      case Some((bf, dt)) if v != null =>
+        (dt, v) match {
+          case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+            !bf.mightContainLong(n.longValue())
+          case (StringType, s: String) =>
+            !bf.mightContainBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+            !bf.mightContainBinary(u.getBytes)
+          case _ => false
+        }
+      case _ => false
+    }
+
+    filter match {
+      case EqualTo(a, v) => !absent(a, v)
+      case EqualNullSafe(a, v) if v != null => !absent(a, v)
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        // null IN-list entries never match a row; keep iff some non-null
+        // candidate is not provably absent
+        vs.exists(v => v != null && !absent(a, v))
+      case And(l, r) =>
+        mightMatch(blooms, fileSchema, partitionNames, caseSensitive, l) &&
+          mightMatch(blooms, fileSchema, partitionNames, caseSensitive, r)
+      case Or(l, r) =>
+        mightMatch(blooms, fileSchema, partitionNames, caseSensitive, l) ||
+          mightMatch(blooms, fileSchema, partitionNames, caseSensitive, r)
+      case _ => true
+    }
+  }
+}
+
+/** Fleet-scale bloom-sidecar builds: one executor task per parquet file,
+  * same shape as [[PjIndexJob.generateAll]]. Unlike index generation this
+  * reads the DATA pages of the selected columns (a bloom summarizes
+  * values, not metadata) — still one sequential pass per file with
+  * column projection, no shuffle, no driver data movement.
+  */
+object PjBloomJob {
+
+  /** Build `.bloom` sidecars for every parquet file under `dir` (recursive,
+    * covers Hive-partitioned layouts) covering `columns` (file-schema
+    * names, case-insensitive). Skips files whose bloom is newer than the
+    * data file unless `overwrite`. Returns sidecars written.
+    */
+  def generate(
+      spark: SparkSession,
+      dir: String,
+      columns: Seq[String],
+      fpp: Double = 0.01,
+      overwrite: Boolean = false): Long = {
+    require(columns.nonEmpty, "pjparquet: bloom generation needs at least one column")
+    require(fpp > 0 && fpp < 1, s"pjparquet: fpp must be in (0,1), got $fpp")
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        buf += ((s.getPath.toString, s.getModificationTime))
+    }
+    val files = buf.toSeq
+    if (files.isEmpty) return 0L
+    val cols = columns.toList
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, 1024))
+      .map { case (pathStr, dataMtime) =>
+        val path = new Path(pathStr)
+        val pfs = path.getFileSystem(conf.value)
+        val bloomPath = PjBloom.bloomSidecar(path)
+        val fresh = !overwrite && pfs.exists(bloomPath) &&
+          pfs.getFileStatus(bloomPath).getModificationTime >= dataMtime
+        if (fresh) 0L
+        else if (buildOne(conf.value, pfs, pathStr, cols, fpp)) 1L else 0L
+      }
+      .sum().toLong
+  }
+
+  /** Build + write one file's bloom sidecar; false = skipped (zero row
+    * groups, or no eligible column).
+    */
+  private[pjparquet] def buildOne(
+      conf: Configuration,
+      fs: FileSystem,
+      pathStr: String,
+      columns: Seq[String],
+      fpp: Double): Boolean = {
+    val path = new Path(pathStr)
+    val status = fs.getFileStatus(path)
+    // fingerprint + row count from a CURRENT footer read (never a possibly
+    // stale index sidecar) — one metadata read before the data pass
+    val idx =
+      try PJSplice.Index.fromBytes(
+        PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(fs, status), pathStr))
+      catch {
+        case e: graft.core.PJException
+            if e.getMessage == "Number of row groups is not set!" => return false
+      }
+    var rows = 0L
+    var rg = 0
+    while (rg < idx.header.rowGroups) { rows += idx.rowNumber(rg); rg += 1 }
+
+    // file schema via parquet-java (footer parse is fine at build time)
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(status, conf)
+    val r0 = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+    val msgType: MessageType = try r0.getFooter.getFileMetaData.getSchema finally r0.close()
+
+    val wanted = columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def eligible(t: Type): Boolean = t.isPrimitive &&
+      !t.isRepetition(Type.Repetition.REPEATED) && {
+        val p = t.asPrimitiveType().getPrimitiveTypeName
+        p == PrimitiveTypeName.INT32 || p == PrimitiveTypeName.INT64 ||
+          p == PrimitiveTypeName.BINARY
+      }
+    val selected: Seq[Type] = msgType.getFields.toArray(Array.empty[Type])
+      .filter(t => wanted.contains(t.getName.toLowerCase(java.util.Locale.ROOT)))
+      .filter(eligible).toSeq
+    if (selected.isEmpty) return false
+
+    val projection = new MessageType(msgType.getName, selected: _*)
+    val blooms = selected.map(_ => BloomFilter.create(math.max(rows, 1L), fpp)).toArray
+    val kinds = selected.map(_.asPrimitiveType().getPrimitiveTypeName).toArray
+
+    val readConf = new Configuration(conf)
+    readConf.set(
+      org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+      ParquetReader.builder(new GroupReadSupport(), path).withConf(readConf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        var i = 0
+        while (i < blooms.length) {
+          if (g.getFieldRepetitionCount(i) > 0) {
+            kinds(i) match {
+              case PrimitiveTypeName.INT32 => blooms(i).putLong(g.getInteger(i, 0).toLong)
+              case PrimitiveTypeName.INT64 => blooms(i).putLong(g.getLong(i, 0))
+              case _ => blooms(i).putBinary(g.getBinary(i, 0).getBytes)
+            }
+          }
+          i += 1
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+
+    val payload = PjBloom.serialize(PjBloom.FileBlooms(
+      status.getLen, idx.footerFnv64,
+      selected.map(_.getName).zip(blooms).toMap))
+    val out = fs.create(PjBloom.bloomSidecar(path), true)
+    try out.write(payload) finally out.close()
+    true
+  }
+}

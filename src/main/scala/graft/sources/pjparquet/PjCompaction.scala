@@ -154,6 +154,7 @@ object PjCompaction {
         fs.delete(p, false)
         val sidecar = PjParquetTable.hiddenSidecar(p)
         if (fs.exists(sidecar)) fs.delete(sidecar, false)
+        fs.delete(PjBloom.bloomSidecar(p), false) // stale-by-fingerprint anyway
       }
       PjIndexJob.generateAll(spark, root)
 

@@ -376,15 +376,23 @@ class PjScanBuilder(
     // exactly; chunk statistics from the index prune files whose row-group
     // [min,max]/null-count envelopes cannot satisfy a pushed data filter
     // (zero tasks for provably-empty files; for row-level DML this bounds
-    // the copy-on-write set). Both are conservative — kept files still
-    // re-evaluate every filter above the scan.
+    // the copy-on-write set); optional bloom sidecars (PjBloom) prune
+    // files that provably lack an equality key the stats envelopes admit.
+    // All three are conservative — kept files still re-evaluate every
+    // filter above the scan.
     val caseSensitiveNow = SQLConf.get.caseSensitiveAnalysis
     val partNameSet = layout.partitionSchema.fieldNames.toSet
+    val bloomEligible = pushed.exists(PjBloom.usableLeaf)
+    lazy val bloomConf = SparkSession.active.sessionState.newHadoopConf()
     val survivingFiles = layout.files.filter { f =>
       lazy val idx = PJSplice.Index.fromBytes(f.indexBytes)
+      lazy val blooms: Option[PjBloom.FileBlooms] =
+        if (bloomEligible) PjBloom.load(bloomConf, f, idx.footerFnv64) else None
       pushed.forall { p =>
         (layout.partitionSchema.isEmpty || mightMatch(f, p)) &&
-          PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p)
+          PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p) &&
+          blooms.forall(b =>
+            PjBloom.mightMatch(b, fileSchema, partNameSet, caseSensitiveNow, p))
       }
     }
     // split the pruned schema into file-physical vs partition columns; the

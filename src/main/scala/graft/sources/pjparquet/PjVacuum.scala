@@ -47,23 +47,27 @@ object PjVacuum {
     }
     walkDirs(rootPath)
 
-    // one pass for orphan sidecars: hidden `.x.parquet.index` files whose
-    // data file no longer exists in the same directory
+    // one pass for orphan sidecars: hidden `.x.parquet.index` (and
+    // `.x.parquet.bloom`, PjBloom) files whose data file no longer exists
+    // in the same directory
     val it = fs.listFiles(rootPath, true)
-    val sidecars = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
     val dataFiles = scala.collection.mutable.HashSet.empty[String]
     while (it.hasNext) {
       val s = it.next()
       val n = s.getPath.getName
       if (s.isFile) {
-        if (n.startsWith(".") && n.endsWith(".parquet.index")) sidecars += s.getPath
+        if (n.startsWith(".") && n.endsWith(".parquet.index"))
+          sidecars += ((s.getPath, ".index"))
+        else if (n.startsWith(".") && n.endsWith(".parquet.bloom"))
+          sidecars += ((s.getPath, ".bloom"))
         else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
           dataFiles += s.getPath.toString
       }
     }
-    sidecars.foreach { sc =>
-      // `.NAME.parquet.index` -> sibling `NAME.parquet`
-      val dataName = sc.getName.stripPrefix(".").stripSuffix(".index")
+    sidecars.foreach { case (sc, suffix) =>
+      // `.NAME.parquet<suffix>` -> sibling `NAME.parquet`
+      val dataName = sc.getName.stripPrefix(".").stripSuffix(suffix)
       val data = new Path(sc.getParent, dataName)
       if (!dataFiles.contains(data.toString)) {
         fs.delete(sc, false)

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjBloom, PjBloomJob, PjWriter}
+
+/** Bloom-sidecar file skipping ([[graft.sources.pjparquet.PjBloom]]):
+  * equality lookups on a high-cardinality UNCLUSTERED column must plan
+  * tasks only for files whose bloom admits the key — the case chunk
+  * min/max stats cannot prune, because modulo-striped files all span the
+  * full key range. Pruning must never change results, and a stale or
+  * absent bloom must disable itself, never mis-prune.
+  */
+class PjBloomSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 4 files striped by id % 4: every file's [min,max] covers ~the whole
+    * id range, so stats-based pruning keeps all of them.
+    */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("pj_bloom").toString
+    PjWriter.writeWithIndex(
+      spark.range(1000).select(
+        $"id",
+        format_string("key-%04d", $"id").as("name"))
+        .repartitionByRange(4, $"id" % 4),
+      d)
+    PjBloomJob.generate(spark, d, Seq("id", "name"), fpp = 0.001)
+    d
+  }
+
+  private def plannedTasks(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputRDD.getNumPartitions
+    }.sum
+
+  test("equality lookup plans only the bloom-admitting file") {
+    val df = spark.read.format("pjparquet").load(dir)
+    assert(plannedTasks(df.filter($"id" >= 0)) >= 4, "fixture must span >=4 files")
+    // min/max can't prune (every file spans ~[0,999]); the bloom can
+    val eq = df.filter($"id" === 42)
+    assert(plannedTasks(eq) == 1, "bloom must prune the three residue-mismatched files")
+    assert(eq.count() == 1)
+    val none = df.filter($"id" === 424242)
+    assert(plannedTasks(none) == 0, "an absent key plans zero tasks")
+    assert(none.count() == 0)
+  }
+
+  test("string and IN-list lookups prune through blooms") {
+    val df = spark.read.format("pjparquet").load(dir)
+    val eq = df.filter($"name" === "key-0042")
+    assert(plannedTasks(eq) == 1)
+    assert(eq.count() == 1)
+    // ids 10 and 11 live in different residue files
+    val in = df.filter($"id".isin(10L, 11L))
+    assert(plannedTasks(in) == 2)
+    assert(in.count() == 2)
+  }
+
+  test("results match stock parquet for every pruned shape") {
+    val pj = spark.read.format("pjparquet").load(dir)
+    val stock = spark.read.parquet(dir)
+    for (pred <- Seq(
+        $"id" === 7L, $"id".isin(1L, 2L, 3L), $"name" === "key-0999",
+        $"id" === 5L || $"name" === "key-0006", $"id" === 8L && $"name" === "key-0008")) {
+      val a = pj.filter(pred).agg(count(lit(1)), coalesce(sum($"id"), lit(0L))).head()
+      val b = stock.filter(pred).agg(count(lit(1)), coalesce(sum($"id"), lit(0L))).head()
+      assert(a == b, s"mismatch for $pred")
+    }
+  }
+
+  test("a stale bloom (fingerprint mismatch) disables itself") {
+    val d = java.nio.file.Files.createTempDirectory("pj_bloom_stale").toString
+    PjWriter.writeWithIndex(
+      spark.range(100).select($"id").repartitionByRange(2, $"id" % 2), d)
+    PjBloomJob.generate(spark, d, Seq("id"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(d).getFileSystem(hconf)
+    // corrupt every sidecar's fingerprint: parse, flip fnv, rewrite
+    val it = fs.listFiles(new Path(d), true)
+    var rewritten = 0
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet.bloom")) {
+        val buf = new Array[Byte](s.getLen.toInt)
+        val in = fs.open(s.getPath)
+        try in.readFully(0, buf) finally in.close()
+        val parsed = PjBloom.deserialize(buf)
+        val out = fs.create(s.getPath, true)
+        try out.write(PjBloom.serialize(parsed.copy(footerFnv = parsed.footerFnv + 1L)))
+        finally out.close()
+        rewritten += 1
+      }
+    }
+    assert(rewritten == 2, "fixture must have written two bloom sidecars")
+    val df = spark.read.format("pjparquet").load(d)
+    val eq = df.filter($"id" === 13L)
+    assert(plannedTasks(eq) == 2, "stale blooms must be ignored — no pruning")
+    assert(eq.count() == 1)
+  }
+
+  test("sidecar codec round-trips") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(7L); bf.putBinary("abc".getBytes)
+    val rt = PjBloom.deserialize(PjBloom.serialize(
+      PjBloom.FileBlooms(123L, 456L, Map("c" -> bf))))
+    assert(rt.fileLen == 123L && rt.footerFnv == 456L)
+    assert(rt.cols("c").mightContainLong(7L))
+    assert(rt.cols("c").mightContainBinary("abc".getBytes))
+    assert(!rt.cols("c").mightContainLong(8L))
+  }
+}
