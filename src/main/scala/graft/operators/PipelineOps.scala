@@ -801,6 +801,171 @@ object PipelineOps {
     rankTopK(scored, k)
   }
 
+  // -------------------------------------------------- product quantization
+
+  /** Deterministic local Lloyd's k-means over a driver-side sample (the
+    * quantizer-training step of [[pqAnnTopK]]). PQ codebooks train on a
+    * BOUNDED sample in every real system (a few thousand vectors suffice
+    * for 8-dim subspaces); doing it in plain Scala avoids m MLlib fit
+    * jobs' scheduler overhead and is exactly reproducible: init picks
+    * evenly-spaced points of the (id-ordered) sample, ties in assignment
+    * break toward the lower centroid id, empty clusters keep their
+    * previous centroid.
+    */
+  private def lloydFit(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "pq: empty training sample")
+    val ds = points(0).length
+    val kk = math.min(k, n)
+    val stride = math.max(1, n / kk)
+    var centroids = Array.tabulate(kk)(i => points((i * stride) % n).clone())
+    // pad (degenerate n < k) by repeating the first point
+    if (centroids.length < k)
+      centroids = centroids ++ Array.fill(k - centroids.length)(points(0).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](ds))
+      val counts = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        val x = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          val cc = centroids(c)
+          while (j < ds) { val t = x(j) - cc(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < ds) { sums(best)(j) += x(j); j += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < ds) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train PQ codebooks: `m` subspaces × `codes` centroids × (dim/m) dims,
+    * fit on a deterministic id-ordered sample of `sampleN` vectors.
+    */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      dim: Int,
+      m: Int,
+      codes: Int,
+      sampleN: Int = 4096): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"pq: dim $dim must divide into $m subspaces")
+    val ds = dim / m
+    val sample = embeddings
+      .orderBy(col("vec_id"))
+      .limit(sampleN)
+      .select(asDouble(col("embedding")))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    Array.tabulate(m) { i =>
+      lloydFit(sample.map(v => java.util.Arrays.copyOfRange(v, i * ds, (i + 1) * ds)), codes, iters = 10)
+    }
+  }
+
+  /** Encode an `array<double>` embedding column into `pq_codes`
+    * (`array<int>`, one code per subspace — m bytes of storage per vector
+    * against 4·dim float32, e.g. 32× smaller at dim=64, m=8) plus
+    * `pq_norm` (the EXACT norm of the reconstruction, derivable from the
+    * codes alone because subspaces are disjoint). Everything is codegen'd
+    * array arithmetic over literal codebooks — no UDF, no shuffle.
+    */
+  def pqEncode(df: DataFrame, cb: Array[Array[Array[Double]]], embCol: String): DataFrame = {
+    val m = cb.length
+    val codes = cb(0).length
+    val ds = cb(0)(0).length
+    def cbArr(i: Int, c: Int): Column = array(cb(i)(c).map(lit).toIndexedSeq: _*)
+    def selfDot(i: Int, c: Int): Double = cb(i)(c).map(x => x * x).sum
+    val v = asDouble(col(embCol))
+    val codeCols = (0 until m).map { i =>
+      val s = slice(v, i * ds + 1, ds)
+      // argmin_c ||s − cb_ic||² = argmin_c (|cb_ic|² − 2⟨s, cb_ic⟩); the
+      // struct min is (dist, code)-lexicographic, so ties break low-code
+      val cands = array((0 until codes).map { c =>
+        struct((lit(selfDot(i, c)) - lit(2.0) * dot(s, cbArr(i, c))).as("d"),
+          lit(c).as("c"))
+      }: _*)
+      array_min(cands).getField("c")
+    }
+    // |x̂|² = Σ_i |cb_i(code_i)|² exactly (disjoint subspaces)
+    val selfLut = array((0 until m).flatMap(i => (0 until codes).map(c => lit(selfDot(i, c)))): _*)
+    df.withColumn("pq_codes", array(codeCols: _*))
+      .withColumn("pq_norm",
+        sqrt((0 until m).map(i =>
+          element_at(selfLut, lit(i * codes + 1) + element_at(col("pq_codes"), i + 1)))
+          .reduce(_ + _)))
+  }
+
+  /** PQ ANN with asymmetric distance computation (ADC) + exact re-rank:
+    * the third member of the similarity family ([[lshAnnPairs]] buckets,
+    * [[ivfAnnTopK]] partitions, this COMPRESSES). Corpus vectors live as
+    * m small codes; each probe precomputes one m×codes lookup table of
+    * partial dot products, so scoring a corpus row costs m table lookups
+    * instead of dim multiplications (8 vs 64 at the defaults) — the 100 TB
+    * path stores only `pq_codes` + id and never materializes float vectors
+    * for the scored set. The top `k·refineFactor` ADC candidates are then
+    * re-scored exactly (a slim id-join fetches just those vectors), the
+    * standard two-stage PQ retrieval that restores recall lost to
+    * quantization while bounding exact work to `probes × k·refineFactor`.
+    */
+  def pqAnnTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      codes: Int = 16,
+      sampleN: Int = 4096,
+      refineFactor: Int = 4): DataFrame = {
+    val ds = dim / m
+    val cb = pqCodebooks(embeddings, dim, m, codes, sampleN)
+    def cbArr(i: Int, c: Int): Column = array(cb(i)(c).map(lit).toIndexedSeq: _*)
+    val corpus = pqEncode(
+      embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb")),
+      cb, "n_emb")
+      .select(col("neighbor_id"), col("pq_codes"), col("pq_norm"))
+    val p = asDouble(col("embedding"))
+    val probe = probes.select(
+      col("vec_id").as("probe_id"),
+      p.as("p_emb"),
+      array((0 until m).flatMap(i =>
+        (0 until codes).map(c => dot(slice(p, i * ds + 1, ds), cbArr(i, c)))): _*).as("lut"),
+      sqrt(dot(p, p)).as("p_norm"))
+    val adcDot = (0 until m).map(i =>
+      element_at(col("lut"), lit(i * codes + 1) + element_at(col("pq_codes"), i + 1)))
+      .reduce(_ + _)
+    val adc = corpus.join(broadcast(probe), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        when(col("p_norm") * col("pq_norm") === 0.0, lit(0.0))
+          .otherwise(adcDot / (col("p_norm") * col("pq_norm"))).as("cos_sim"))
+    val shortlist = rankTopK(adc, k * refineFactor)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist only: slim id-joins fetch the float
+    // vectors for probes × k·refineFactor rows, never the whole corpus
+    val exact = shortlist
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(probe.select(col("probe_id"), col("p_emb"))), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("p_emb"), col("n_emb")).as("cos_sim"))
+    rankTopK(exact, k)
+  }
+
   // ----------------------------------------------------------- text analysis
 
   private val stopwordsByLang: Seq[(String, Seq[String])] = Seq(

@@ -565,6 +565,43 @@ object PipelineQueries {
         .agg(countDistinct(col("fp")).as("distinct_fps"), min(col("fp")).as("min_fp"))
         .orderBy(col("lang"))
     }),
+    "q104_pq_ann" -> ((s, dir) => {
+      // Product-quantization ANN (PipelineOps.pqAnnTopK): ADC scoring over
+      // m=8 one-byte codes per vector (32x smaller than float32 at dim 64)
+      // with an exact re-rank of the k*4 shortlist. Codebooks are fully
+      // deterministic (id-ordered sample, tie-broken local Lloyd), so the
+      // output shape, the structural compression fact, and recall vs the
+      // exact brute-force top-k are engine-checkable booleans.
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val pq = PipelineOps.pqAnnTopK(emb, probes, k = k, dim = Tables.embeddingDim,
+        codes = 64, refineFactor = 16)
+      val exact = PipelineOps.cosineTopK(emb, probes, k = k)
+      val shape = pq.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
+        .agg(
+          count(lit(1)).as("probes_returned"),
+          coalesce(min((col("_n") === k.toLong && col("_nd") === k.toLong).cast("long")),
+            lit(1L)).as("per_probe_shape_ok"))
+      val comp = PipelineOps.pqEncode(
+          probes.select(col("vec_id"), col("embedding")),
+          PipelineOps.pqCodebooks(emb, Tables.embeddingDim, m = 8, codes = 64),
+          "embedding")
+        .agg(coalesce(min((size(col("pq_codes")) === 8 &&
+          forall(col("pq_codes"), c => c >= 0 && c < 64)).cast("long")), lit(1L))
+          .as("codes_per_vector_ok"))
+      val hits = pq.select(col("probe_id"), col("neighbor_id"))
+        .join(exact.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_hits"))
+      val nExact = exact.agg(count(lit(1)).as("_n_exact"))
+      shape.crossJoin(comp).crossJoin(hits).crossJoin(nExact).select(
+        col("probes_returned"), col("per_probe_shape_ok"), col("codes_per_vector_ok"),
+        // measured 98/100/86 at sf0.001/0.01/0.1 — deterministic (fixed
+        // corpus + deterministic codebooks), so the 80% bound holds
+        (col("_hits") * 100L >= col("_n_exact") * 80L).cast("long").as("recall_ge_80"))
+    }),
     "q43_ivf_ann" -> ((s, dir) => {
       // Invariant form: the k-means quantizer is seeded, but the output
       // shape (exactly k distinct neighbors per probe) and recall vs the
@@ -1332,6 +1369,12 @@ object PipelineQueries {
       """SELECT count(*) AS probes_returned,
         |       CAST(1 AS BIGINT) AS per_probe_shape_ok,
         |       CAST(1 AS BIGINT) AS recall_ge_50
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q104_pq_ann" ->
+      """SELECT count(*) AS probes_returned,
+        |       CAST(1 AS BIGINT) AS per_probe_shape_ok,
+        |       CAST(1 AS BIGINT) AS codes_per_vector_ok,
+        |       CAST(1 AS BIGINT) AS recall_ge_80
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q65_embedding_quantization" ->
       """SELECT count(*) AS n_vectors,
