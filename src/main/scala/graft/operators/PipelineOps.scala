@@ -1710,6 +1710,38 @@ object PipelineOps {
         .otherwise("train"))
   }
 
+  /** Deterministic global training shuffle WITHOUT a global sort — the
+    * shard-and-shuffle step that turns a curated corpus into training
+    * input. Each row gets a `shard` (which output file group it belongs
+    * to) and a `shuffle_key` (its pseudo-random order inside the shard),
+    * both pure integer arithmetic on the row's key: a multiplicative hash
+    * `h = ((key mod 2³¹)·2654435761 + seed) mod 2³²` (Knuth), sharded by
+    * `h mod shards`, ordered by `h·48271 mod (2³¹−1)` (MINSTD step). No
+    * engine-specific hash, no RNG state: assignment and order depend only
+    * on (key, seed), so a re-run — or a DIFFERENT engine — reproduces the
+    * identical shuffle, and growing the corpus never reorders surviving
+    * rows relative to each other within a shard.
+    *
+    * Scale: the plan is one `repartition(shard)` + `sortWithinPartitions`
+    * — each shard sorts locally (100 TB never pays a total order), and
+    * writing with `partitionBy(shard)` streams each sorted shard straight
+    * to its files.
+    */
+  def trainingShuffle(
+      df: DataFrame,
+      keyCol: String,
+      shards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = pmod(
+      (pmod(col(keyCol).cast("long"), lit(2147483648L)) * 2654435761L + seed),
+      lit(4294967296L))
+    df.withColumn("shard", pmod(h, lit(shards.toLong)).cast("int"))
+      .withColumn("shuffle_key", pmod(h * 48271L, lit(2147483647L)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(keyCol))
+  }
+
   /** One-pass column profiling — the QA report run before any corpus ships:
     * per column, non-null/null counts, exact distinct count, and min/max
     * rendered as strings (one uniform output schema for any column type).

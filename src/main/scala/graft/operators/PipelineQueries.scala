@@ -162,6 +162,26 @@ object PipelineQueries {
           sum(length(col("text"))).cast("long").as("text_len"))
         .orderBy(col("split"))
     }),
+    "q105_training_shuffle" -> ((s, dir) => {
+      // Deterministic training shuffle (PipelineOps.trainingShuffle):
+      // shard membership, per-shard sizes, and the within-shard ORDER are
+      // all integer arithmetic on doc_id, so DuckDB recomputes the
+      // identical shuffle — the order checksum (sum of position x doc_id)
+      // pins the permutation itself, not just membership. The window here
+      // is the VERIFICATION device; production writes the sorted shards
+      // straight out with partitionBy(shard), no position column needed.
+      import org.apache.spark.sql.expressions.Window
+      val sh = PipelineOps.trainingShuffle(
+        Tables.documents(s, dir), "doc_id", shards = 8, seed = 42L)
+      val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+      sh.withColumn("pos", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"))
+        .orderBy(col("shard"))
+    }),
     "q91_profile" -> ((s, dir) => {
       // One-pass column profiling over a frame with a genuinely-null
       // column (nullif decorates on BOTH engines): per column the exact
@@ -1067,6 +1087,23 @@ object PipelineQueries {
         |       CAST(sum(len(text)) AS BIGINT) AS text_len
         |FROM s GROUP BY split ORDER BY split""".stripMargin
     },
+    "q105_training_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS hv
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+        |         (hv * 48271) % 2147483647 AS shuffle_key
+        |  FROM h),
+        |p AS (
+        |  SELECT shard, doc_id,
+        |         row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "q91_profile" ->
       """WITH d AS (SELECT doc_id, nullif(lang, 'de') AS lang_n, source, n_chars
         |           FROM documents)
