@@ -1,0 +1,139 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer (Sennrich-style merges over character
+  * symbols), pure JVM and fully deterministic — the real-tokenizer
+  * counterpart to the regex token ESTIMATE in
+  * `PipelineOps.withTokenCounts`.
+  *
+  * Determinism contract (what lets q106's oracle assert invariants and a
+  * re-run reproduce identical ids): training counts pairs over a caller
+  * -fixed sample, each round merges the most frequent pair with ties
+  * broken lexicographically; encoding greedily applies the LOWEST-rank
+  * mergeable pair, ties broken leftmost. No RNG, no hash iteration
+  * order anywhere (sorted maps at the decision points).
+  *
+  * Round-trip exactness for ANY text: the input is pre-tokenized into
+  * alternating whitespace / non-whitespace runs and each run is encoded
+  * independently, so concatenating the emitted tokens reproduces the
+  * original string byte-for-byte (merges are only learned over
+  * non-whitespace runs; a whitespace run is always a single token).
+  *
+  * Scale shape: training is a bounded-sample, single-node job (every
+  * production tokenizer trains on a sample); the MODEL — a rank map of a
+  * few thousand merges — broadcasts to executors, and encoding is a
+  * per-row pure function, embarrassingly parallel with no shuffle.
+  */
+object BpeTokenizer {
+
+  /** Learned model: merge list in creation order; `ranks` maps a mergeable
+    * symbol pair to its priority (lower = earlier-learned = applied first).
+    */
+  final case class Model(merges: Vector[(String, String)]) extends Serializable {
+    @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+  }
+
+  /** Split into alternating non-ws / ws runs; concatenation reproduces the
+    * input exactly.
+    */
+  private[graft] def runs(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val ws = Character.isWhitespace(text.charAt(i))
+      var j = i + 1
+      while (j < n && Character.isWhitespace(text.charAt(j)) == ws) j += 1
+      out += text.substring(i, j)
+      i = j
+    }
+    out.result()
+  }
+
+  /** Train `numMerges` merges from sample texts (word-frequency weighted,
+    * classic BPE). Deterministic: ties on pair count break lexicographic.
+    */
+  def train(sample: Iterable[String], numMerges: Int): Model = {
+    // word -> frequency, over non-whitespace runs only
+    val wordFreq = mutable.HashMap.empty[String, Long]
+    sample.foreach { t =>
+      runs(t).foreach { r =>
+        if (r.nonEmpty && !Character.isWhitespace(r.charAt(0)))
+          wordFreq.updateWith(r) { c => Some(c.getOrElse(0L) + 1L) }
+      }
+    }
+    // each distinct word as a mutable symbol sequence
+    var words: Array[(Array[String], Long)] = wordFreq.toArray.sortBy(_._1).map {
+      case (w, f) => (w.toCharArray.map(_.toString), f)
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    while (m < numMerges) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pairCounts.updateWith((syms(i), syms(i + 1))) { c => Some(c.getOrElse(0L) + f) }
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) m = numMerges
+      else {
+        // max count, ties lexicographic-smallest pair: deterministic
+        val best = pairCounts.toSeq.minBy { case (p, c) => (-c, p._1, p._2) }._1
+        merges += best
+        words = words.map { case (syms, f) =>
+          (mergePair(syms, best._1, best._2), f)
+        }
+        m += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  private def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode one non-whitespace run: repeatedly merge the lowest-rank
+    * adjacent pair (leftmost on rank ties) until no mergeable pair remains.
+    */
+  private def encodeRun(run: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = run.toCharArray.map(_.toString)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else syms = mergePair(syms, syms(bestAt), syms(bestAt + 1))
+    }
+    syms.toVector
+  }
+
+  /** Tokenize: whitespace runs pass through as single tokens, so
+    * `tokens.mkString == text` always holds (the q106 round-trip oracle).
+    */
+  def encode(text: String, model: Model): Vector[String] = {
+    val rk = model.ranks
+    runs(text).flatMap { r =>
+      if (r.isEmpty || Character.isWhitespace(r.charAt(0))) Vector(r)
+      else encodeRun(r, rk)
+    }
+  }
+
+  def decode(tokens: Seq[String]): String = tokens.mkString
+}

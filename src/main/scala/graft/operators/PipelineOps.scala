@@ -1054,6 +1054,33 @@ object PipelineOps {
         sum((col("_n") === 1L).cast("long")).as("hapax_tokens"))
   }
 
+  /** REAL byte-pair-encoding tokenization ([[graft.functions.BpeTokenizer]]):
+    * merges train once on a bounded id-ordered sample (driver-side local
+    * work, the way every production tokenizer trains on a sample), the
+    * few-KB model broadcasts, and encoding is a per-row pure function —
+    * embarrassingly parallel, no shuffle, corpus never moves. The scalar
+    * UDF is deliberate here (same rationale as the CMS point query): BPE's
+    * iterative lowest-rank merge has no built-in/codegen equivalent, and
+    * the per-row cost is bounded by the run length. Adds `bpe_tokens`
+    * (`array<string>`; `array_join(bpe_tokens, '') == text` ALWAYS — the
+    * round-trip invariant q106 asserts) and `n_bpe_tokens`.
+    */
+  def bpeTokenize(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numMerges: Int = 200,
+      sampleN: Int = 2048): DataFrame = {
+    val sample = docs.orderBy(col(idCol)).limit(sampleN)
+      .select(col(textCol)).collect().map(r => Option(r.getString(0)).getOrElse(""))
+    val model = graft.functions.BpeTokenizer.train(sample, numMerges)
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val enc = udf((t: String) =>
+      if (t == null) Vector.empty[String] else graft.functions.BpeTokenizer.encode(t, bc.value))
+    docs.withColumn("bpe_tokens", enc(col(textCol)))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count. */
   def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

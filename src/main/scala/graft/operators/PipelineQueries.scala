@@ -162,6 +162,29 @@ object PipelineQueries {
           sum(length(col("text"))).cast("long").as("text_len"))
         .orderBy(col("split"))
     }),
+    "q106_bpe_tokenize" -> ((s, dir) => {
+      // Real BPE tokenization (invariant recast, q49 convention): the
+      // learned merges are model-specific, but the tokenizer's guarantees
+      // are engine-checkable — every document round-trips exactly
+      // (array_join(tokens,'') == text), token count never exceeds
+      // character count, and compression strictly fires on the corpus as
+      // a whole (some merge applies somewhere). n_docs/n_chars are
+      // oracle-exact per language.
+      val tok = PipelineOps.bpeTokenize(Tables.documents(s, dir))
+      tok.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          min((array_join(col("bpe_tokens"), "") === col("text")).cast("long"))
+            .as("round_trip_ok"),
+          min((col("n_bpe_tokens") <= length(col("text"))).cast("long"))
+            .as("tokens_le_chars"),
+          sum(col("n_bpe_tokens")).as("_tok_sum"))
+        .withColumn("compressed",
+          (sum(col("_tok_sum")).over() < sum(col("n_chars")).over()).cast("long"))
+        .drop("_tok_sum")
+        .orderBy(col("lang"))
+    }),
     "q105_training_shuffle" -> ((s, dir) => {
       // Deterministic training shuffle (PipelineOps.trainingShuffle):
       // shard membership, per-shard sizes, and the within-shard ORDER are
@@ -1087,6 +1110,13 @@ object PipelineQueries {
         |       CAST(sum(len(text)) AS BIGINT) AS text_len
         |FROM s GROUP BY split ORDER BY split""".stripMargin
     },
+    "q106_bpe_tokenize" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |       CAST(1 AS BIGINT) AS round_trip_ok,
+        |       CAST(1 AS BIGINT) AS tokens_le_chars,
+        |       CAST(1 AS BIGINT) AS compressed
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q105_training_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

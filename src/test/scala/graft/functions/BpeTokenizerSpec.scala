@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[BpeTokenizer]]: exact round-trip for arbitrary text, deterministic
+  * training, and the merge semantics q106's invariants build on.
+  */
+class BpeTokenizerSpec extends AnyFunSuite {
+
+  private val corpus = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quicker the better, the lazier the worse",
+    "pack my box with five dozen liquor jugs")
+
+  test("round-trips ANY text exactly, including edge shapes") {
+    val model = BpeTokenizer.train(corpus, numMerges = 50)
+    val tricky = Seq(
+      "", " ", "   ", "a", "the the the",
+      "  leading and trailing  ", "tabs\tand\nnewlines\r\n",
+      "unicode: 中文 café 😀", // CJK, accents, emoji (surrogate pair)
+      "no-spaces-at-all-just-one-long-run")
+    tricky.foreach { t =>
+      assert(BpeTokenizer.decode(BpeTokenizer.encode(t, model)) == t,
+        s"round trip failed for ${t.take(30)}")
+    }
+    corpus.foreach(t => assert(BpeTokenizer.encode(t, model).mkString == t))
+  }
+
+  test("training is deterministic and merges reduce token counts") {
+    val a = BpeTokenizer.train(corpus, numMerges = 30)
+    val b = BpeTokenizer.train(corpus, numMerges = 30)
+    assert(a.merges == b.merges)
+    val none = BpeTokenizer.Model(Vector.empty)
+    corpus.foreach { t =>
+      val untrained = BpeTokenizer.encode(t, none).length
+      val trained = BpeTokenizer.encode(t, a).length
+      assert(trained < untrained, "50-merge model must compress the training corpus")
+      assert(trained <= t.length)
+    }
+    // "the" appears most — the model should learn to emit it as one token
+    assert(BpeTokenizer.encode("the", a) == Vector("the"))
+  }
+
+  test("whitespace runs are single tokens; merges never cross whitespace") {
+    val model = BpeTokenizer.train(corpus, numMerges = 50)
+    val toks = BpeTokenizer.encode("the   the", model)
+    assert(toks.contains("   "), "a whitespace run must stay one token")
+    assert(toks.forall(t =>
+      t.forall(Character.isWhitespace) || !t.exists(Character.isWhitespace)),
+      "no token mixes whitespace and non-whitespace")
+  }
+}
