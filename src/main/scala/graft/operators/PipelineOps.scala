@@ -931,9 +931,12 @@ object PipelineOps {
       m: Int = 8,
       codes: Int = 16,
       sampleN: Int = 4096,
-      refineFactor: Int = 4): DataFrame = {
+      refineFactor: Int = 4,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val ds = dim / m
-    val cb = pqCodebooks(embeddings, dim, m, codes, sampleN)
+    val cb = codebooks.getOrElse(pqCodebooks(embeddings, dim, m, codes, sampleN))
+    require(cb.length == m && cb.forall(_.length == codes),
+      "pq: supplied codebooks must be m x codes")
     def cbArr(i: Int, c: Int): Column = array(cb(i)(c).map(lit).toIndexedSeq: _*)
     val corpus = pqEncode(
       embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb")),

@@ -618,8 +618,9 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < 10)
       val k = 5
+      val cb = PipelineOps.pqCodebooks(emb, Tables.embeddingDim, m = 8, codes = 64)
       val pq = PipelineOps.pqAnnTopK(emb, probes, k = k, dim = Tables.embeddingDim,
-        codes = 64, refineFactor = 16)
+        codes = 64, refineFactor = 16, codebooks = Some(cb))
       val exact = PipelineOps.cosineTopK(emb, probes, k = k)
       val shape = pq.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
@@ -628,9 +629,7 @@ object PipelineQueries {
           coalesce(min((col("_n") === k.toLong && col("_nd") === k.toLong).cast("long")),
             lit(1L)).as("per_probe_shape_ok"))
       val comp = PipelineOps.pqEncode(
-          probes.select(col("vec_id"), col("embedding")),
-          PipelineOps.pqCodebooks(emb, Tables.embeddingDim, m = 8, codes = 64),
-          "embedding")
+          probes.select(col("vec_id"), col("embedding")), cb, "embedding")
         .agg(coalesce(min((size(col("pq_codes")) === 8 &&
           forall(col("pq_codes"), c => c >= 0 && c < 64)).cast("long")), lit(1L))
           .as("codes_per_vector_ok"))

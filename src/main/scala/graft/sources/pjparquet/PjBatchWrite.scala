@@ -79,7 +79,8 @@ final class PjWriteBuilder(
     root: String,
     partitionKeys: Seq[String],
     info: LogicalWriteInfo,
-    initialMode: PjWriteMode = PjWriteMode.Append)
+    initialMode: PjWriteMode = PjWriteMode.Append,
+    bloomColumns: Seq[String] = Nil)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -109,7 +110,7 @@ final class PjWriteBuilder(
   }
 
   override def build(): Write =
-    new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId())
+    new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(), bloomColumns)
 }
 
 final class PjWrite(
@@ -117,7 +118,8 @@ final class PjWrite(
     partitionKeys: Seq[String],
     writeSchema: StructType,
     mode: PjWriteMode,
-    queryId: String)
+    queryId: String,
+    bloomColumns: Seq[String] = Nil)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet write $mode -> $root"
@@ -135,7 +137,8 @@ final class PjWrite(
   override def requiredOrdering(): Array[SortOrder] =
     partitionKeys.map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
 
-  override def toBatch: BatchWrite = new PjBatchWrite(root, partitionKeys, writeSchema, mode)
+  override def toBatch: BatchWrite =
+    new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -225,7 +228,8 @@ final class PjBatchWrite(
     root: String,
     partitionKeys: Seq[String],
     writeSchema: StructType,
-    mode: PjWriteMode)
+    mode: PjWriteMode,
+    bloomColumns: Seq[String] = Nil)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -278,6 +282,11 @@ final class PjBatchWrite(
     // new files become index-planned immediately; pre-existing fresh
     // sidecars are skipped by the job's mtime check
     PjIndexJob.generateAll(spark, root)
+    // `bloom.columns` table option: keep point-lookup skipping live across
+    // INSERT/OVERWRITE/DML — only files without a fresh bloom are built
+    // (the job's mtime check), so commit cost is one data pass over the
+    // NEW files, not the table
+    if (bloomColumns.nonEmpty) PjBloomJob.generate(spark, root, bloomColumns)
     log.info("pjparquet commit {}: {} files, mode {}", jobUUID, manifest.size.toString, mode)
   }
 

@@ -86,6 +86,7 @@ final class PjRowLevelOperation(
     val path = Option(tableOptions.get("path")).getOrElse(
       throw new IllegalArgumentException("pjparquet: 'path' option is required"))
     new PjWriteBuilder(path, layout.partitionSchema.fieldNames.toSeq, info,
+      bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions),
       initialMode = new PjWriteMode.ReplaceFiles(() =>
         configuredScan match {
           case Some(s) => s.currentFiles.map(_.path)

@@ -104,6 +104,37 @@ class PjBloomSpec extends AnyFunSuite {
     assert(eq.count() == 1)
   }
 
+  test("bloom.columns table option keeps blooms fresh across INSERT and DML") {
+    val d = java.nio.file.Files.createTempDirectory("pj_bloom_opt").toString
+    spark.sql("DROP TABLE IF EXISTS pj_bloom_t")
+    spark.sql(
+      s"""CREATE TABLE pj_bloom_t (id BIGINT, name STRING) USING pjparquet
+         |OPTIONS (path '$d', `bloom.columns` 'id')""".stripMargin)
+    spark.sql("INSERT INTO pj_bloom_t SELECT id, concat('n-', id) FROM range(0, 400)")
+    spark.sql("INSERT INTO pj_bloom_t SELECT id, concat('n-', id) FROM range(400, 800)")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(d).getFileSystem(hconf)
+    def bloomCount: Int = {
+      val it = fs.listFiles(new Path(d), true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet.bloom")) n += 1
+      n
+    }
+    val afterInserts = bloomCount
+    assert(afterInserts >= 2, s"each INSERT's files must get blooms, saw $afterInserts")
+    val hit = spark.table("pj_bloom_t").filter($"id" === 42L)
+    assert(hit.count() == 1)
+    assert(plannedTasks(hit) < plannedTasks(spark.table("pj_bloom_t").filter($"id" >= 0L)),
+      "the point lookup must plan fewer files than the full scan")
+    // copy-on-write UPDATE rewrites files; commit must re-bloom them so the
+    // lookup stays pruned AND correct on the new content
+    spark.sql("UPDATE pj_bloom_t SET name = 'renamed' WHERE id = 42")
+    val updated = spark.table("pj_bloom_t").filter($"id" === 42L)
+    assert(updated.select("name").head().getString(0) == "renamed")
+    assert(bloomCount >= 2, "rewritten files must carry fresh blooms")
+    spark.sql("DROP TABLE pj_bloom_t")
+  }
+
   test("sidecar codec round-trips") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     bf.putLong(7L); bf.putBinary("abc".getBytes)
