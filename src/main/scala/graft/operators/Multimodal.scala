@@ -240,4 +240,143 @@ object Multimodal {
       i => col("payload").substr(i * frameBytes * stride + 1, lit(frameBytes)))
     media.withColumn("frames", frames)
   }
+
+  // ------------------------------------------------------------------ audio
+
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
+
+  /** Render a canonical 44-byte-header mono PCM16LE WAV of a sine tone.
+    * Fully deterministic; phase offset 0.123 rad keeps samples away from
+    * exact zeros so zero-crossing counts are well-defined.
+    */
+  private[operators] def renderWav(
+      freqHz: Int, sampleRate: Int, nSamples: Int, amplitude: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val v = amplitude * math.sin(2.0 * math.Pi * freqHz * i / sampleRate + 0.123)
+      bb.putShort(math.round(v).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Wrap the corpus as audio rows: a deterministic tone per document
+    * (frequency derives from the id), real RIFF/WAV bytes — the audio
+    * counterpart of [[packAsMedia]].
+    */
+  def packAsAudio(
+      docs: DataFrame,
+      sampleRate: Int = 8000,
+      nSamples: Int = 2000,
+      amplitude: Int = 12000): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", audioMetaType, nullable = true)))
+    val enc = Encoders.row(schema)
+    docs.select(col("doc_id").as("media_id"), col("source"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val freq = 100 + (id % 400).toInt
+          val wav = renderWav(freq, sampleRate, nSamples, amplitude)
+          Row(id, r.getString(1), wav,
+            Row("audio/wav", sampleRate, nSamples.toLong, wav.length.toLong))
+        }
+      }(enc)
+  }
+
+  /** Minimal RIFF/WAV walk: returns (sampleRate, PCM16 samples) for mono
+    * 16-bit PCM, None for anything else (the never-fail contract of
+    * [[extractFeatures]] applies to audio too).
+    */
+  private def decodeWav(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload == null || payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int): String = new String(payload, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var at = 12
+    var sampleRate = -1
+    var bits = -1
+    var channels = -1
+    var data: Array[Short] = null
+    while (at + 8 <= payload.length) {
+      val tag = tag4(at)
+      val len = bb.getInt(at + 4)
+      if (len < 0 || at + 8 + len > payload.length) return None
+      if (tag == "fmt " && len >= 16) {
+        channels = bb.getShort(at + 10).toInt
+        sampleRate = bb.getInt(at + 12)
+        bits = bb.getShort(at + 22).toInt
+      } else if (tag == "data") {
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort(at + 8 + i * 2); i += 1 }
+        data = out
+      }
+      at += 8 + len + (len & 1) // chunks are 2-byte aligned
+    }
+    if (sampleRate > 0 && bits == 16 && channels == 1 && data != null)
+      Some((sampleRate, data))
+    else None
+  }
+
+  /** Audio feature extraction: duration, RMS energy, zero-crossing count —
+    * the standard audio-QA triple — per row via one `mapPartitions` pass
+    * (decode happens executor-side; nothing but scalars leave the row).
+    * Undecodable payloads yield null features, never a failure.
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val in = media.select(col("media_id"), col("source"), col("payload"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r.getAs[Array[Byte]](2)) match {
+          case Some((sr, samples)) =>
+            var sumSq = 0.0
+            var zc = 0L
+            var i = 0
+            var prevSign = 0
+            while (i < samples.length) {
+              val s = samples(i).toDouble
+              sumSq += s * s
+              val sign = java.lang.Integer.signum(samples(i).toInt)
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) zc += 1
+                prevSign = sign
+              }
+              i += 1
+            }
+            val n = samples.length
+            Row(r.getLong(0), r.getString(1), sr, n.toLong,
+              n.toLong * 1000L / sr, if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+          case None =>
+            Row(r.getLong(0), r.getString(1), null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
 }

@@ -162,6 +162,32 @@ object PipelineQueries {
           sum(length(col("text"))).cast("long").as("text_len"))
         .orderBy(col("split"))
     }),
+    "q107_audio_features" -> ((s, dir) => {
+      // Audio modality (Multimodal.packAsAudio/extractAudioFeatures): real
+      // RIFF/WAV bytes — a deterministic sine tone per document, frequency
+      // derived from the id — parsed back executor-side into the standard
+      // audio-QA triple. Invariant form: duration is EXACT from the sample
+      // math (2000 samples @ 8 kHz = 250 ms), RMS sits within 1% of the
+      // analytic A/sqrt(2), and the zero-crossing count tracks 2*f*t within
+      // +-3 — all per-row booleans DuckDB asserts while recomputing the
+      // per-source row counts exactly.
+      val audio = Multimodal.packAsAudio(Tables.documents(s, dir))
+      val rmsExpect = 12000.0 / math.sqrt(2.0)
+      val f = Multimodal.extractAudioFeatures(audio)
+        .withColumn("_freq", lit(100L) + pmod(col("media_id"), lit(400L)))
+        .select(col("source"),
+          (col("duration_ms") === 250L).cast("long").as("_dur_ok"),
+          (abs(col("rms") - rmsExpect) < 0.01 * rmsExpect).cast("long").as("_rms_ok"),
+          (abs(col("zero_crossings").cast("double") - col("_freq") / 2.0) <= 3.0)
+            .cast("long").as("_zcr_ok"))
+      f.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_audio"),
+          min(col("_dur_ok")).as("duration_ok"),
+          min(col("_rms_ok")).as("rms_ok"),
+          min(col("_zcr_ok")).as("zcr_tracks_freq"))
+        .orderBy(col("source"))
+    }),
     "q106_bpe_tokenize" -> ((s, dir) => {
       // Real BPE tokenization (invariant recast, q49 convention): the
       // learned merges are model-specific, but the tokenizer's guarantees
@@ -1109,6 +1135,12 @@ object PipelineQueries {
         |       CAST(sum(len(text)) AS BIGINT) AS text_len
         |FROM s GROUP BY split ORDER BY split""".stripMargin
     },
+    "q107_audio_features" ->
+      """SELECT source, count(*) AS n_audio,
+        |       CAST(1 AS BIGINT) AS duration_ok,
+        |       CAST(1 AS BIGINT) AS rms_ok,
+        |       CAST(1 AS BIGINT) AS zcr_tracks_freq
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q106_bpe_tokenize" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(len(text)) AS BIGINT) AS n_chars,

@@ -348,6 +348,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 50L, None))) // right row is later
   }
 
+  test("multimodal audio: WAV round-trip, analytic RMS/ZCR, junk tolerance") {
+    val docs = docsDf(Seq((0L, "a"), (7L, "b"), (399L, "c"), (400L, "d")))
+    val audio = Multimodal.packAsAudio(docs) // 2000 samples @ 8 kHz, A=12000
+    val feats = Multimodal.extractAudioFeatures(audio).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.size == 4)
+    val rmsExpect = 12000.0 / math.sqrt(2.0)
+    feats.foreach { case (id, r) =>
+      assert(r.getLong(4) == 250L, s"duration for $id")
+      assert(math.abs(r.getDouble(5) - rmsExpect) < 0.01 * rmsExpect, s"rms for $id")
+      val freq = 100 + (id % 400)
+      assert(math.abs(r.getLong(6) - freq / 2.0) <= 3.0, s"zcr for $id (f=$freq)")
+    }
+    // ids 0 and 400 share a frequency: identical payloads, identical features
+    assert(feats(0L).getLong(6) == feats(400L).getLong(6))
+    assert(feats(0L).getDouble(5) == feats(400L).getDouble(5))
+    // junk payloads degrade to null features, never fail
+    val junk = audio.withColumn("payload",
+      when($"media_id" === 7L, lit("not a wav".getBytes)).otherwise($"payload"))
+    val j = Multimodal.extractAudioFeatures(junk).collect().map(r => r.getLong(0) -> r).toMap
+    assert(j(7L).isNullAt(4) && j(7L).isNullAt(5) && j(7L).isNullAt(6))
+    assert(j(0L).getLong(4) == 250L)
+  }
+
   test("multimodal: real PNG codec, determinism, normalized features, frame sampling") {
     val longText = (1 to 80).map(i => s"tok$i").mkString(" ")
     val docs = docsDf(Seq((1L, "hello world"), (2L, "hello world"), (3L, longText)))
