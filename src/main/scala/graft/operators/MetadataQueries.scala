@@ -409,6 +409,50 @@ object MetadataQueries {
       }.sum
       hit.withColumn("bloom_pruned", lit(if (tasks <= 2) 1L else 0L))
     }),
+    "q108_spj_join" -> ((s, dir) => {
+      import s.implicits._
+      // Storage-partitioned join (SPJ): both sides are Hive-partitioned on
+      // lang, the scans report KeyGroupedPartitioning, and with v2
+      // bucketing on the join + same-key aggregation plan ZERO hash
+      // exchanges — on a 100 TB co-partitioned fact-fact join this moves
+      // no bytes across the cluster. The plan-shape fact is computed
+      // UNDER the conf (then restored so the rest of the suite plans
+      // unchanged, q93 convention); values are oracle-exact either way.
+      val factDir = fixtureDir("pj_q95_bylang", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.documents(s, dir), d, partitionBy = Seq("lang"))
+      }
+      val statsDir = fixtureDir("pj_q108_stats", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.documents(s, dir).groupBy($"lang")
+            .agg(count(lit(1)).as("lang_total")),
+          d, partitionBy = Seq("lang"))
+      }
+      def joined = s.read.format("pjparquet").load(factDir)
+        .join(s.read.format("pjparquet").load(statsDir), Seq("lang"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("id_sum"),
+          max($"lang_total").as("lang_total"))
+        .orderBy($"lang")
+      val conf = s.conf
+      val oldB = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val oldT = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val noShuffle =
+        try {
+          conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val plan = joined.queryExecution.executedPlan.toString
+          !plan.contains("Exchange hashpartitioning")
+        } finally {
+          oldB.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          oldT.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        }
+      joined.withColumn("spj_no_shuffle", lit(if (noShuffle) 1L else 0L))
+    }),
     "q98_runtime_pruned_join" -> ((s, dir) => {
       import s.implicits._
       // Runtime (join-driven) file pruning — dynamic partition pruning on
@@ -619,6 +663,14 @@ object MetadataQueries {
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation WHERE n_regionkey <> 0
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q108_spj_join" ->
+      """WITH t AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang)
+        |SELECT d.lang, count(*) AS n_docs,
+        |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum,
+        |       CAST(max(t.lang_total) AS BIGINT) AS lang_total,
+        |       CAST(1 AS BIGINT) AS spj_no_shuffle
+        |FROM documents d JOIN t USING(lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q103_bloom_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       round(o_totalprice, 2) AS price,

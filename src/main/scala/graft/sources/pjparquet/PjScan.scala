@@ -601,7 +601,33 @@ class PjScan(
       * `FilterPredicate` row/row-group skipping is suppressed.
       */
     rowLevel: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+
+  /** Storage-partitioned joins (SPJ): a Hive-partitioned layout IS a
+    * key-grouped layout — every split carries exactly one partition-value
+    * tuple — so the scan reports `KeyGroupedPartitioning` over the
+    * partition columns and each split exposes its typed key
+    * ([[PjInputPartition.partitionKey]]). With
+    * `spark.sql.sources.v2.bucketing.enabled` two tables partitioned on
+    * the same keys join WITHOUT ANY EXCHANGE: at 100 TB a
+    * fact-fact join on a day/tenant key moves zero bytes across the
+    * cluster instead of shuffling both tables. The conf gates grouping
+    * (Spark ignores the report when disabled), so nothing changes for
+    * existing plans by default.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (partitionSchema.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else {
+      val keys: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        partitionSchema.fieldNames.map(n =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(n))
+      val n = activeFiles.map(_.partitionValues).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        keys, math.max(n, 1))
+    }
+  }
 
   // --------------------------- runtime (join-driven) file pruning — "DPP"
 
@@ -849,7 +875,9 @@ class PjScan(
           }
         groups.iterator.map { rgs =>
           val footer = PJSplice.splice(idx, rgs, Nil, fileColNames, schemaOnly = false)
-          PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues)
+          PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues,
+            keyValues = f.partitionValues.toArray,
+            keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json)
         }
       }
     }.toArray
@@ -947,5 +975,32 @@ final case class PjInputPartition(
     fileLen: Long,
     rowGroups: Array[Int],
     prunedFooter: Array[Byte],
-    partitionValues: Array[String] = Array.empty)
+    partitionValues: Array[String] = Array.empty,
+    /** FULL partition-schema values (not the projected subset) + schema,
+      * powering [[org.apache.spark.sql.connector.read.HasPartitionKey]]
+      * for storage-partitioned joins. Empty for flat layouts.
+      */
+    keyValues: Array[String] = Array.empty,
+    keySchemaJson: String = "")
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+
+  /** Typed key row; equal partition values yield equal rows (Spark groups
+    * splits via a comparable wrapper over the reported key expressions).
+    */
+  @transient override lazy val partitionKey: org.apache.spark.sql.catalyst.InternalRow = {
+    if (keySchemaJson.isEmpty) org.apache.spark.sql.catalyst.InternalRow.empty
+    else {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(keySchemaJson)
+        .asInstanceOf[StructType]
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        schema.fields.zip(keyValues).map {
+          case (_, PjParquetTable.HiveNullPartition) => null
+          case (f, raw) => f.dataType match {
+            case org.apache.spark.sql.types.LongType => raw.toLong
+            case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+          }
+        }.toIndexedSeq)
+    }
+  }
+}
