@@ -424,7 +424,8 @@ class PjScanBuilder(
           options.getBoolean("mergeSchema", false),
           Option(options.get("maxFilesPerTrigger")).map(_.toInt))),
       limitRows = pushedLimit,
-      rowLevel = rowLevel)
+      rowLevel = rowLevel,
+      totalFiles = layout.files.size)
     onBuild(scan)
     scan
   }
@@ -600,9 +601,39 @@ class PjScan(
       * (the write rewrites whole files), so the reader-side
       * `FilterPredicate` row/row-group skipping is suppressed.
       */
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false,
+    /** Layout size BEFORE planning-time pruning, for the pruning metrics;
+      * -1 = unknown (callers that pre-prune themselves).
+      */
+    totalFiles: Int = -1)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
+
+  // ------------------------------------------------------- custom metrics
+
+  /** Scan observability (shows in the SQL UI / metrics store per scan):
+    * how many files the index-side pruning stack (partition values, chunk
+    * stats, blooms, runtime filters) removed, and exactly how much work
+    * was planned. At 100 TB "did the pruning fire" must be a metric, not
+    * a log grep.
+    */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      new PjSumMetric("pjFilesPlanned", "pjparquet files planned"),
+      new PjSumMetric("pjFilesPruned", "pjparquet files pruned (partition/stats/bloom/runtime)"),
+      new PjSumMetric("pjRowGroupsPlanned", "pjparquet row groups planned"),
+      new PjSumMetric("pjPlannedBytes", "pjparquet exact planned bytes"))
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val current = activeFiles
+    val rgs = effectiveSelections(current).map(_.size.toLong).sum
+    val pruned = if (totalFiles < 0) 0L else (totalFiles - current.size).toLong
+    Array(
+      PjTaskMetric("pjFilesPlanned", current.size.toLong),
+      PjTaskMetric("pjFilesPruned", math.max(0L, pruned)),
+      PjTaskMetric("pjRowGroupsPlanned", rgs),
+      PjTaskMetric("pjPlannedBytes", estimateStatistics().sizeInBytes().orElse(0L)))
+  }
 
   /** Storage-partitioned joins (SPJ): a Hive-partitioned layout IS a
     * key-grouped layout — every split carries exactly one partition-value
@@ -970,6 +1001,19 @@ class PjScan(
   * `partitionValues` align with the scan's required partition schema (raw
   * path strings; typed at batch init).
   */
+/** Sum-aggregated scan metric (driver-reported, rendered by Spark's UI). */
+final class PjSumMetric(metricName: String, metricDescription: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = metricName
+  override def description(): String = metricDescription
+}
+
+final case class PjTaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
+}
+
 final case class PjInputPartition(
     filePath: String,
     fileLen: Long,

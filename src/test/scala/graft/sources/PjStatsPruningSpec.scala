@@ -66,6 +66,22 @@ class PjStatsPruningSpec extends AnyFunSuite {
     assert(df.filter($"maybe".isNotNull).count() == 500)
   }
 
+  test("driver metrics report pruning and planned work") {
+    val df = spark.read.format("pjparquet").load(dir).filter($"id" >= 900)
+    assert(df.count() == 100)
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    val m = scan.asInstanceOf[graft.sources.pjparquet.PjScan]
+      .reportDriverMetrics().map(t => t.name() -> t.value()).toMap
+    assert(m("pjFilesPlanned") == 1, s"metrics: $m")
+    assert(m("pjFilesPruned") == 3, s"metrics: $m")
+    assert(m("pjRowGroupsPlanned") >= 1)
+    assert(m("pjPlannedBytes") > 0)
+    val names = scan.supportedCustomMetrics().map(_.name()).toSet
+    assert(m.keySet.subsetOf(names), "every reported metric must be declared")
+  }
+
   test("results always match an unpruned stock parquet read") {
     val pj = spark.read.format("pjparquet").load(dir)
     val stock = spark.read.parquet(dir)
