@@ -889,6 +889,23 @@ object PipelineQueries {
           max(col("lag_us")).as("lag_us_max"),
           round(sum(col("click_value")), 2).as("click_value_sum"))
     }),
+    "q109_attribution_outer" -> ((s, dir) => {
+      // Batch twin of StreamingOps.attributionJoinOuter (LEFT OUTER
+      // stream-stream interval join): every view row survives — matched
+      // views pair with each in-window click, unmatched views surface with
+      // null click columns (the "view that never converted" rows an
+      // attribution pipeline bills on). Timestamps compare in exact
+      // integer microseconds on both engines, so all five aggregates are
+      // oracle-exact.
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamingOps.attributionJoinOuter(ev, ev)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("click_event")).as("matched_pairs"),
+          (count(lit(1)) - count(col("click_event"))).as("unmatched_views"),
+          coalesce(sum(col("lag_us")), lit(0L)).as("lag_us_sum"),
+          round(sum(coalesce(col("click_value"), lit(0.0))), 2).as("click_value_sum"))
+    }),
     "q63_streaming_heavy_hitters" -> ((s, dir) => {
       // Streaming heavy hitters (batch twin of
       // StreamingOps.streamingHeavyHitters): per-hour CMS candidates over
@@ -1286,6 +1303,20 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q109_attribution_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |j AS (SELECT c.event_id AS ce, c.us - v.us AS lag_us, c.value AS cv
+        |      FROM v LEFT JOIN c
+        |        ON v.user_id = c.user_id
+        |       AND v.us <= c.us AND c.us <= v.us + 1800000000)
+        |SELECT count(*) AS n_rows,
+        |       count(ce) AS matched_pairs,
+        |       CAST(count(*) - count(ce) AS BIGINT) AS unmatched_views,
+        |       CAST(coalesce(sum(lag_us), 0) AS BIGINT) AS lag_us_sum,
+        |       round(sum(coalesce(cv, 0)), 2) AS click_value_sum
+        |FROM j""".stripMargin,
     "q78_attribution_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
         |p AS (SELECT l.user_id, r.us - l.us AS lag_us, r.value AS click_value

@@ -157,6 +157,41 @@ object StreamingOps {
         col("r_value").as("click_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every `leftType` event
+    * emitted, paired with the same user's `rightType` events in the
+    * FOLLOWING `withinSeconds` — or with nulls once the right watermark
+    * proves no match can still arrive (the null rows are what an
+    * attribution pipeline bills as "view with no converting click"). On
+    * streaming inputs the outer side's emission is watermark-gated, so
+    * state stays bounded exactly like the inner form; on batch frames the
+    * same plan is a plain left-outer range join.
+    */
+  def attributionJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      leftType: String = "view",
+      rightType: String = "click",
+      withinSeconds: Long = 1800L,
+      watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame, t: String, p: String): DataFrame = {
+      val e = eventTime(df).filter(col("event_type") === t)
+        .select(col("user_id").as(p + "user"), col("event_time").as(p + "time"),
+          col("event_id").as(p + "event"), col("value").as(p + "value"))
+      if (df.isStreaming) e.withWatermark(p + "time", watermark) else e
+    }
+    val l = side(left, leftType, "l_")
+    val r = side(right, rightType, "r_")
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          col("l_time") <= col("r_time") &&
+          col("r_time") <= col("l_time") + expr(s"INTERVAL $withinSeconds SECONDS"),
+        "left_outer")
+      .select(col("l_user").as("user_id"),
+        col("l_event").as("view_event"), col("r_event").as("click_event"),
+        (unix_micros(col("r_time")) - unix_micros(col("l_time"))).as("lag_us"),
+        col("r_value").as("click_value"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * (event count, value sum) that survives across micro-batches. The
     * pattern for state Spark's built-in windows can't express; state is

@@ -107,6 +107,56 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("left-outer attribution join: matches == batch, nulls for expired views only") {
+    val schema = batchEvents.schema
+    val viewStream = spark.readStream.schema(schema).parquet(eventsPath)
+    val clickStream = spark.readStream.schema(schema).parquet(eventsPath)
+    // 0s watermark delay: the final watermark reaches max(event_time), so
+    // every view whose window closed strictly before it MUST have emitted
+    // (matched or null-padded) by drain time
+    val q = StreamingOps.attributionJoinOuter(
+        viewStream, clickStream, withinSeconds = 600L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("attr_outer").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream must have drained")
+
+    val batch = StreamingOps.attributionJoinOuter(
+      batchEvents, batchEvents, withinSeconds = 600L)
+    // the GLOBAL watermark is the min across both sides' watermark ops,
+    // each computed over its FILTERED stream (views resp. clicks)
+    def maxUsOf(t: String): Long = StreamingOps.eventTime(batchEvents)
+      .filter(col("event_type") === t)
+      .agg(max(unix_micros(col("event_time")))).head().getLong(0)
+    val maxUs = math.min(maxUsOf("view"), maxUsOf("click"))
+    // views whose join window provably closed before the final watermark,
+    // with a 1s guard: watermark arithmetic truncates to millis, so a view
+    // exactly at the boundary may legally still sit in state
+    val expiredViews = StreamingOps.eventTime(batchEvents)
+      .filter(col("event_type") === "view")
+      .filter(unix_micros(col("event_time")) + 601L * 1000000L < maxUs)
+      .select(col("event_id").as("view_event"))
+
+    val streaming = spark.table("attr_outer")
+    // inner matches emit immediately: exact equality with batch's matches
+    val sMatched = streaming.filter(col("click_event").isNotNull)
+      .orderBy("user_id", "view_event", "click_event").collect().map(_.toSeq).toSeq
+    val bMatched = batch.filter(col("click_event").isNotNull)
+      .orderBy("user_id", "view_event", "click_event").collect().map(_.toSeq).toSeq
+    assert(sMatched.nonEmpty && sMatched == bMatched)
+    // null-padded rows: exactly batch's unmatched views restricted to the
+    // expired set (unexpired ones may legally still sit in state at drain)
+    val sUnmatched = streaming.filter(col("click_event").isNull)
+      .join(expiredViews, Seq("view_event"), "left_semi")
+      .select("view_event").orderBy("view_event").collect().map(_.getLong(0)).toSeq
+    val bUnmatched = batch.filter(col("click_event").isNull)
+      .join(expiredViews, Seq("view_event"), "left_semi")
+      .select("view_event").orderBy("view_event").collect().map(_.getLong(0)).toSeq
+    assert(bUnmatched.nonEmpty, "fixture must contain expired unconverted views")
+    assert(sUnmatched == bUnmatched)
+  }
+
   test("stream-stream attribution join: streaming == batch") {
     val schema = batchEvents.schema
     // two INDEPENDENT stream sources — a genuine two-stream join, not a
