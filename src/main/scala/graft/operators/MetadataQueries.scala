@@ -409,6 +409,29 @@ object MetadataQueries {
       }.sum
       hit.withColumn("bloom_pruned", lit(if (tasks <= 2) 1L else 0L))
     }),
+    "q110_filtered_count_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      // Aggregate pushdown UNDER a partition predicate: the equality on
+      // the partition column is claimed as fully pushed (files either
+      // wholly match or drop — three-valued exact evaluation), so
+      // count/min/max over the selected partitions stay a zero-task
+      // LocalTableScan. `SELECT count(*) WHERE day = X` over a 10k-
+      // partition 100 TB table is THE metadata query operators run daily.
+      val tmp = fixtureDir("pj_q95_bylang", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.documents(s, dir), d, partitionBy = Seq("lang"))
+      }
+      val agg = s.read.format("pjparquet").load(tmp)
+        .filter($"lang".isin("en", "de"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_doc"),
+          max($"doc_id").as("max_doc"))
+      val planStr = agg.queryExecution.executedPlan.toString
+      agg.withColumn("metadata_only",
+        lit(if (planStr.contains("LocalTableScan") &&
+          !planStr.contains("BatchScan")) 1L else 0L))
+    }),
     "q108_spj_join" -> ((s, dir) => {
       import s.implicits._
       // Storage-partitioned join (SPJ): both sides are Hive-partitioned on
@@ -663,6 +686,12 @@ object MetadataQueries {
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation WHERE n_regionkey <> 0
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q110_filtered_count_pushdown" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(max(doc_id) AS BIGINT) AS max_doc,
+        |       CAST(1 AS BIGINT) AS metadata_only
+        |FROM documents WHERE lang IN ('en', 'de')""".stripMargin,
     "q108_spj_join" ->
       """WITH t AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang)
         |SELECT d.lang, count(*) AS n_docs,

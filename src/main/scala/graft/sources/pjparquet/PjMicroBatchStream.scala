@@ -42,7 +42,12 @@ class PjMicroBatchStream(
     dataRequired: StructType,
     partitionSchema: StructType,
     partRequired: StructType,
-    pushedFilters: Seq[org.apache.spark.sql.sources.Filter])
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter],
+    /** Partition-exact filters the batch builder claimed as fully pushed:
+      * Spark no longer re-applies them above the scan, so every per-batch
+      * file discovery must re-apply them here (definite-match keeps).
+      */
+    claimedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   final case class PjStreamOffset(maxMtime: Long, paths: Seq[String]) extends Offset {
@@ -161,7 +166,8 @@ class PjMicroBatchStream(
         case Some(m) => afterStart(start)(f.path, m) && atOrBeforeEnd(f.path, m)
         case None => false // deleted between listing and resolution
       }
-    }
+    }.filter(f => claimedFilters.forall(cf =>
+      PjPartitionFilter.exactMatch(partitionSchema, f, cf).contains(true)))
   }
 
   private def batchScan(files: Seq[PjFile]): PjScan =

@@ -146,9 +146,12 @@ class PjScanBuilder(
         Option[org.apache.spark.sql.types.StructField])
       : Option[(StructType, Array[Array[Any]], String)] = {
     import org.apache.spark.sql.types._
+    // claimed partition filters restrict the file set EXACTLY (that is
+    // what made them claimable), so the metadata answer stays final
+    val aggFiles = claimedFiles
     val groups: Seq[(Seq[String], Seq[PjFile])] =
-      if (groupIdxs.isEmpty) Seq((Nil, layout.files))
-      else layout.files.groupBy(f => groupIdxs.map(f.partitionValues(_)))
+      if (groupIdxs.isEmpty) Seq((Nil, aggFiles))
+      else aggFiles.groupBy(f => groupIdxs.map(f.partitionValues(_)))
         .toSeq.sortBy(_._1.mkString("\u0000"))
 
     val groupFields: Seq[StructField] = groupIdxs.map { i =>
@@ -331,6 +334,17 @@ class PjScanBuilder(
   private val fullSchema = StructType(fileSchema.fields ++ layout.partitionSchema.fields)
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var claimed: Array[Filter] = Array.empty
+
+  /** Files surviving the CLAIMED (partition-exact, fully-pushed) filters:
+    * every kept file matches on all of its rows — the partition value is
+    * constant per file and the three-valued evaluator returned a definite
+    * verdict for every file.
+    */
+  private def claimedFiles: Seq[PjFile] =
+    if (claimed.isEmpty) layout.files
+    else layout.files.filter(f => claimed.forall(cf =>
+      PjPartitionFilter.exactMatch(layout.partitionSchema, f, cf).contains(true)))
 
   /** Catalyst `ColumnPruning` lands here; the selected names drive the O4/O5
     * metadata splice at partition-planning time.
@@ -350,11 +364,30 @@ class PjScanBuilder(
     * them.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters
-    filters // conservative: everything is re-checked above the scan
+    // Partition-EXACT filters are CLAIMED — fully pushed, not returned as
+    // residual: the three-valued evaluator decides them per file with no
+    // unknowns, a kept file matches on every row (its partition value is
+    // constant), and non-matching files drop in build(). Removing them
+    // from the residual set is what unlocks aggregate + limit pushdown
+    // UNDER a partition predicate (`count(*) WHERE day = X` stays a
+    // zero-task metadata answer — Spark only offers those pushdowns when
+    // no post-scan filter remains). Everything else stays residual and is
+    // re-checked above the scan. Row-level DML scans claim nothing: their
+    // runtime group filtering replaces whole files.
+    if (rowLevel || layout.partitionSchema.isEmpty || layout.files.isEmpty) {
+      pushed = filters
+      return filters
+    }
+    val (c, r) = filters.partition { f =>
+      layout.files.forall(file =>
+        PjPartitionFilter.exactMatch(layout.partitionSchema, file, f).isDefined)
+    }
+    claimed = c
+    pushed = r
+    r
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = claimed ++ pushed
 
   // ------------------------------------------ partition pruning (planning)
 
@@ -384,7 +417,9 @@ class PjScanBuilder(
     val partNameSet = layout.partitionSchema.fieldNames.toSet
     val bloomEligible = pushed.exists(PjBloom.usableLeaf)
     lazy val bloomConf = SparkSession.active.sessionState.newHadoopConf()
-    val survivingFiles = layout.files.filter { f =>
+    // claimed (fully-pushed partition-exact) filters FIRST: files that do
+    // not definitely match are dropped, never re-filtered row-side
+    val survivingFiles = claimedFiles.filter { f =>
       lazy val idx = PJSplice.Index.fromBytes(f.indexBytes)
       lazy val blooms: Option[PjBloom.FileBlooms] =
         if (bloomEligible) PjBloom.load(bloomConf, f, idx.footerFnv64) else None
@@ -425,7 +460,8 @@ class PjScanBuilder(
           Option(options.get("maxFilesPerTrigger")).map(_.toInt))),
       limitRows = pushedLimit,
       rowLevel = rowLevel,
-      totalFiles = layout.files.size)
+      totalFiles = layout.files.size,
+      claimedFilters = claimed.toSeq)
     onBuild(scan)
     scan
   }
@@ -605,7 +641,12 @@ class PjScan(
     /** Layout size BEFORE planning-time pruning, for the pruning metrics;
       * -1 = unknown (callers that pre-prune themselves).
       */
-    totalFiles: Int = -1)
+    totalFiles: Int = -1,
+    /** Partition-exact filters CLAIMED as fully pushed by the builder (not
+      * in Spark's residual set). `files` already honors them; the
+      * streaming path re-applies them to files discovered per batch.
+      */
+    claimedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
@@ -770,7 +811,8 @@ class PjScan(
     val info = streamInfo.getOrElse(
       throw new IllegalStateException("pjparquet: streaming needs a directory path"))
     new PjMicroBatchStream(info,
-      fileSchema, dataRequired, partitionSchema, partRequired, pushedFilters)
+      fileSchema, dataRequired, partitionSchema, partRequired, pushedFilters,
+      claimedFilters)
   }
 
   /** Data columns first, requested partition columns last — the order the

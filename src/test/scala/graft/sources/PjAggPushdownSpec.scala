@@ -151,11 +151,41 @@ class PjAggPushdownSpec extends AnyFunSuite {
     assert(!plan(off).contains("LocalTableScan"))
     assert(off.head().getLong(0) == 60000L)
 
-    // partition filter prunes files — survival depends on the filter, so
-    // the conservative contract refuses metadata-only answers
-    val partFiltered = spark.read.format("pjparquet").load(partDir)
-      .filter($"k" === "1").agg(count(lit(1)).as("n"))
-    assert(!plan(partFiltered).contains("LocalTableScan"))
-    assert(partFiltered.head().getLong(0) == 1000L)
+    // a MIXED filter (partition AND data column) keeps a residual and so
+    // still falls back to the batch scan
+    val mixed = spark.read.format("pjparquet").load(partDir)
+      .filter($"k" === "1" && $"id" > 100L).agg(count(lit(1)).as("n"))
+    assert(!plan(mixed).contains("LocalTableScan"))
+    assert(mixed.head().getLong(0) ==
+      spark.read.parquet(partDir).filter($"k" === "1" && $"id" > 100L).count())
+  }
+
+  test("partition-EXACT filters stay metadata-only: count under WHERE k = …") {
+    val base = spark.read.format("pjparquet").load(partDir)
+    // equality on the partition column: files either fully match or drop,
+    // so the claimed filter leaves no residual and the count stays a
+    // zero-task LocalTableScan
+    val eq = base.filter($"k" === "1").agg(count(lit(1)).as("n"))
+    assert(plan(eq).contains("LocalTableScan"), s"expected metadata answer:\n${plan(eq)}")
+    assert(eq.head().getLong(0) == 1000L)
+    // IN-list and conjunctions of partition predicates too
+    val in = base.filter($"k".isin("0", "2")).agg(count(lit(1)).as("n"))
+    assert(plan(in).contains("LocalTableScan"))
+    assert(in.head().getLong(0) == 2000L)
+    // grouped + filtered: one metadata row per surviving partition
+    val grouped = base.filter($"k" =!= "1").groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(plan(grouped).contains("LocalTableScan"))
+    assert(grouped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 1000L, 2L -> 1000L))
+    // min/max from chunk stats compose with the partition filter
+    val mm = base.filter($"k" === "2").agg(min($"id").as("mn"), max($"id").as("mx"))
+    assert(plan(mm).contains("LocalTableScan"))
+    assert(mm.head().getLong(0) == 2L && mm.head().getLong(1) == 2999L)
+    // and a normal (non-aggregate) scan under a claimed filter still
+    // returns exactly the right rows even though Spark applies no residual
+    val rows = base.filter($"k" === "1")
+    assert(rows.count() == 1000L)
+    assert(rows.agg(sum($"id")).head().getLong(0) ==
+      spark.read.parquet(partDir).filter($"k" === "1").agg(sum($"id")).head().getLong(0))
   }
 }
