@@ -889,21 +889,31 @@ object PipelineOps {
     val m = cb.length
     val codes = cb(0).length
     val ds = cb(0)(0).length
-    def cbArr(i: Int, c: Int): Column = array(cb(i)(c).map(lit).toIndexedSeq: _*)
     def selfDot(i: Int, c: Int): Double = cb(i)(c).map(x => x * x).sum
     val v = asDouble(col(embCol))
+    // codebooks ride as LITERAL nested arrays (one plan node each), and
+    // the per-subspace argmin is a bounded HOF loop — NOT codes-many
+    // inlined expressions, which at codes=64 × m=8 made the generated
+    // code (and its compile time) the dominant cost of the whole query
     val codeCols = (0 until m).map { i =>
+      val cbL = typedlit(cb(i).map(_.toIndexedSeq).toIndexedSeq)
+      val selfL = typedlit(cb(i).map(c => c.map(x => x * x).sum).toIndexedSeq)
       val s = slice(v, i * ds + 1, ds)
-      // argmin_c ||s − cb_ic||² = argmin_c (|cb_ic|² − 2⟨s, cb_ic⟩); the
-      // struct min is (dist, code)-lexicographic, so ties break low-code
-      val cands = array((0 until codes).map { c =>
-        struct((lit(selfDot(i, c)) - lit(2.0) * dot(s, cbArr(i, c))).as("d"),
-          lit(c).as("c"))
-      }: _*)
-      array_min(cands).getField("c")
+      // argmin_c ||s − cb_ic||² = argmin_c (|cb_ic|² − 2⟨s, cb_ic⟩);
+      // strict < keeps the LOWEST code on ties (deterministic)
+      aggregate(
+        sequence(lit(0), lit(codes - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
+        (acc, c) => {
+          val cand = element_at(selfL, c + 1) - lit(2.0) * dot(s, element_at(cbL, c + 1))
+          when(cand < acc.getField("d"),
+            struct(cand.as("d"), c.cast("int").as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
     }
     // |x̂|² = Σ_i |cb_i(code_i)|² exactly (disjoint subspaces)
-    val selfLut = array((0 until m).flatMap(i => (0 until codes).map(c => lit(selfDot(i, c)))): _*)
+    val selfLut = typedlit(
+      (0 until m).flatMap(i => (0 until codes).map(c => selfDot(i, c))).toIndexedSeq)
     df.withColumn("pq_codes", array(codeCols: _*))
       .withColumn("pq_norm",
         sqrt((0 until m).map(i =>
@@ -937,17 +947,22 @@ object PipelineOps {
     val cb = codebooks.getOrElse(pqCodebooks(embeddings, dim, m, codes, sampleN))
     require(cb.length == m && cb.forall(_.length == codes),
       "pq: supplied codebooks must be m x codes")
-    def cbArr(i: Int, c: Int): Column = array(cb(i)(c).map(lit).toIndexedSeq: _*)
     val corpus = pqEncode(
       embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb")),
       cb, "n_emb")
       .select(col("neighbor_id"), col("pq_codes"), col("pq_norm"))
     val p = asDouble(col("embedding"))
+    // flat literal codebook + one HOF pass builds the m×codes LUT (same
+    // plan-size rationale as pqEncode)
+    val cbFlat = typedlit(
+      (0 until m).flatMap(i => (0 until codes).map(c => cb(i)(c).toIndexedSeq)).toIndexedSeq)
     val probe = probes.select(
       col("vec_id").as("probe_id"),
       p.as("p_emb"),
-      array((0 until m).flatMap(i =>
-        (0 until codes).map(c => dot(slice(p, i * ds + 1, ds), cbArr(i, c)))): _*).as("lut"),
+      transform(sequence(lit(0), lit(m * codes - 1)), j => {
+        val sub = floor(j.cast("double") / codes).cast("int")
+        dot(slice(p, sub * ds + 1, lit(ds)), element_at(cbFlat, j + 1))
+      }).as("lut"),
       sqrt(dot(p, p)).as("p_norm"))
     val adcDot = (0 until m).map(i =>
       element_at(col("lut"), lit(i * codes + 1) + element_at(col("pq_codes"), i + 1)))

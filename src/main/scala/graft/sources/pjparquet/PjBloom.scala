@@ -98,21 +98,33 @@ object PjBloom {
   /** Successful loads cached by path, revalidated per lookup against the
     * CURRENT index's footer fingerprint (no filesystem call on a hit: a
     * changed data file changes the layout's index bytes, which changes
-    * `expectFnv` and forces a reload). Misses — no sidecar — are NOT
-    * cached, so a later [[PjBloomJob.generate]] is picked up by the next
-    * planning pass at the cost of one `exists()` probe per plan.
+    * `expectFnv` and forces a reload). Misses — no sidecar — are
+    * negative-cached so an equality-filtered plan over a 10k-file layout
+    * WITHOUT blooms pays the per-file `exists()` probe once per driver,
+    * not once per query; [[PjBloomJob.generate]] clears the negative set
+    * on completion, so blooms built later in the same driver are picked
+    * up by the next plan (another process's builds surface after a
+    * restart — a stale negative only skips pruning, never mis-prunes).
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, FileBlooms]()
+  private val negative = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[pjparquet] def invalidateNegatives(): Unit = negative.clear()
 
   def load(conf: Configuration, f: PjFile, expectFnv: Long): Option[FileBlooms] = {
     val cached = cache.get(f.path)
     if (cached != null && cached.footerFnv == expectFnv && cached.fileLen == f.fileLen)
       return Some(cached)
+    if (negative.contains(f.path)) return None
     val dataPath = new Path(f.path)
     val p = bloomSidecar(dataPath)
     try {
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) return None
+      if (!fs.exists(p)) {
+        if (negative.size > 65536) negative.clear()
+        negative.add(f.path)
+        return None
+      }
       val len = fs.getFileStatus(p).getLen
       if (len > Int.MaxValue) return None
       val buf = new Array[Byte](len.toInt)
@@ -239,7 +251,12 @@ object PjBloomJob {
         if (fresh) 0L
         else if (buildOne(conf.value, pfs, pathStr, cols, fpp)) 1L else 0L
       }
-      .sum().toLong
+      .sum().toLong match {
+      case written =>
+        // new sidecars exist now: let this driver's next plan see them
+        PjBloom.invalidateNegatives()
+        written
+    }
   }
 
   /** Build + write one file's bloom sidecar; false = skipped (zero row
