@@ -155,7 +155,7 @@ final class PjWrite(
     if (mode != PjWriteMode.Append)
       throw new PJException(
         "pjparquet: streaming writes support the append output mode only")
-    new PjStreamingWrite(root, partitionKeys, writeSchema, queryId)
+    new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns)
   }
 }
 
@@ -163,7 +163,8 @@ final class PjStreamingWrite(
     root: String,
     partitionKeys: Seq[String],
     writeSchema: StructType,
-    queryId: String)
+    queryId: String,
+    bloomColumns: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -194,6 +195,9 @@ final class PjStreamingWrite(
       messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
     sweep(epochId, manifest) // failed-attempt leftovers from this epoch
     PjIndexJob.generateAll(SparkSession.active, root)
+    // same bloom.columns symmetry as the batch commit: only the epoch's
+    // new files are built (mtime freshness check)
+    if (bloomColumns.nonEmpty) PjBloomJob.generate(SparkSession.active, root, bloomColumns)
     ()
   }
 
