@@ -641,6 +641,11 @@ object PipelineQueries {
       // deterministic (id-ordered sample, tie-broken local Lloyd), so the
       // output shape, the structural compression fact, and recall vs the
       // exact brute-force top-k are engine-checkable booleans.
+      // Bench note: this query's wall time is verification overhead, not
+      // operator cost — it runs the FULL exact baseline, a second encode
+      // for the compression fact, and several small top-k jobs whose
+      // fixed scheduler cost dominates at QA scale; the operator side is
+      // one bounded fit + one linear encode + m-add scoring.
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < 10)
       val k = 5
