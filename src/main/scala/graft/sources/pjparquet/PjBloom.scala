@@ -110,6 +110,7 @@ object PjBloom {
   private val negative = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[pjparquet] def invalidateNegatives(): Unit = negative.clear()
+  private[sources] def negativeCount: Int = negative.size
 
   def load(conf: Configuration, f: PjFile, expectFnv: Long): Option[FileBlooms] = {
     val cached = cache.get(f.path)

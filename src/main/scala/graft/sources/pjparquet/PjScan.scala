@@ -660,10 +660,8 @@ class PjScan(
     */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(
-      new PjSumMetric("pjFilesPlanned", "pjparquet files planned"),
-      new PjSumMetric("pjFilesPruned", "pjparquet files pruned (partition/stats/bloom/runtime)"),
-      new PjSumMetric("pjRowGroupsPlanned", "pjparquet row groups planned"),
-      new PjSumMetric("pjPlannedBytes", "pjparquet exact planned bytes"))
+      new PjFilesPlannedMetric, new PjFilesPrunedMetric,
+      new PjRowGroupsPlannedMetric, new PjPlannedBytesMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     val current = activeFiles
@@ -1043,11 +1041,31 @@ class PjScan(
   * `partitionValues` align with the scan's required partition schema (raw
   * path strings; typed at batch init).
   */
-/** Sum-aggregated scan metric (driver-reported, rendered by Spark's UI). */
-final class PjSumMetric(metricName: String, metricDescription: String)
+/** Sum-aggregated scan metrics. Spark's status store re-instantiates
+  * CustomMetric classes REFLECTIVELY via a zero-argument constructor, so
+  * each metric must be its own top-level zero-arg class — a parameterized
+  * shared class fails with "did not have a zero-argument constructor" at
+  * metric-aggregation time.
+  */
+final class PjFilesPlannedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = metricName
-  override def description(): String = metricDescription
+  override def name(): String = "pjFilesPlanned"
+  override def description(): String = "pjparquet files planned"
+}
+final class PjFilesPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "pjFilesPruned"
+  override def description(): String = "pjparquet files pruned (partition/stats/bloom/runtime)"
+}
+final class PjRowGroupsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "pjRowGroupsPlanned"
+  override def description(): String = "pjparquet row groups planned"
+}
+final class PjPlannedBytesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "pjPlannedBytes"
+  override def description(): String = "pjparquet exact planned bytes"
 }
 
 final case class PjTaskMetric(metricName: String, metricValue: Long)

@@ -135,6 +135,27 @@ class PjBloomSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pj_bloom_t")
   }
 
+  test("missing sidecars negative-cache; generation resurfaces them") {
+    val d = java.nio.file.Files.createTempDirectory("pj_bloom_neg").toString
+    PjWriter.writeWithIndex(
+      spark.range(400).select($"id").repartitionByRange(4, $"id" % 4), d)
+    val before = PjBloom.negativeCount
+    val df = spark.read.format("pjparquet").load(d)
+    // first eq-filtered plan probes each file once and records the misses
+    assert(df.filter($"id" === 5L).count() == 1)
+    val afterFirst = PjBloom.negativeCount
+    assert(afterFirst >= before + 4, s"4 probed misses must be cached ($before -> $afterFirst)")
+    // a second plan must not re-probe (count unchanged) and stays correct
+    assert(spark.read.format("pjparquet").load(d).filter($"id" === 6L).count() == 1)
+    assert(PjBloom.negativeCount == afterFirst, "second plan must hit the negative cache")
+    // generation clears the negatives so the new blooms surface at once
+    PjBloomJob.generate(spark, d, Seq("id"))
+    assert(PjBloom.negativeCount == 0)
+    val eq = spark.read.format("pjparquet").load(d).filter($"id" === 7L)
+    assert(plannedTasks(eq) == 1, "freshly built blooms must prune immediately")
+    assert(eq.count() == 1)
+  }
+
   test("sidecar codec round-trips") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     bf.putLong(7L); bf.putBinary("abc".getBytes)
