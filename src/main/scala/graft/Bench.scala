@@ -208,7 +208,14 @@ object Bench {
     def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     var degraded = false
 
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q80,q32 runs only the
+    // named queries (prefix match on the qNN_ name). Never set by the driver.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
+    }
+    for ((name, fn) <- selected) {
       if (!degraded && elapsedS > deadlineS) {
         degraded = true
         System.err.println(

@@ -171,6 +171,18 @@ object PJIndex {
     out.array()
   }
 
+  /** Does this footer describe a NESTED schema — any group element below
+    * the root? The PJ_2 format indexes FLAT schemas only (the reference
+    * restricts pruning to top-level leaves, `palletjack.cc:266-279,483-487`
+    * — its schema-offset validation rejects nested footers), so callers use
+    * this to route nested files to a stock-footer fallback instead of
+    * surfacing the index-validation error to the user.
+    */
+  def footerHasNestedSchema(footer: Array[Byte]): Boolean =
+    try FooterWalker.walk(footer, 0, footer.length)
+      .elements.iterator.drop(1).exists(_.numChildren > 0)
+    catch { case _: PJException => false } // unwalkable != nested
+
   /** O1 from a local parquet path. */
   def generate(parquetPath: String): Array[Byte] =
     generateFromFooter(readLocalFooterBytes(parquetPath), parquetPath)

@@ -943,10 +943,16 @@ object PipelineOps {
       sampleN: Int = 4096,
       refineFactor: Int = 4,
       codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim must divide into $m subspaces")
     val ds = dim / m
     val cb = codebooks.getOrElse(pqCodebooks(embeddings, dim, m, codes, sampleN))
     require(cb.length == m && cb.forall(_.length == codes),
       "pq: supplied codebooks must be m x codes")
+    // sub-dimension must match the probe-side slice width, or the ADC LUT
+    // pairs misaligned sub-vectors and the shortlist silently degrades
+    // (the exact re-rank keeps returned scores right, hiding the bug)
+    require(cb(0)(0).length == ds,
+      s"pq: codebook sub-dimension ${cb(0)(0).length} != dim/m = $ds")
     val corpus = pqEncode(
       embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb")),
       cb, "n_emb")

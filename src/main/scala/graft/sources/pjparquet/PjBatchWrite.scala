@@ -194,10 +194,12 @@ final class PjStreamingWrite(
     val manifest: Set[String] =
       messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
     sweep(epochId, manifest) // failed-attempt leftovers from this epoch
-    PjIndexJob.generateAll(SparkSession.active, root)
-    // same bloom.columns symmetry as the batch commit: only the epoch's
-    // new files are built (mtime freshness check)
-    if (bloomColumns.nonEmpty) PjBloomJob.generate(SparkSession.active, root, bloomColumns)
+    // sidecar maintenance sized to the EPOCH, not the table: a long-lived
+    // stream into a 100k-file table must not re-walk the root per commit
+    val epochPaths = manifest.toSeq.sorted.map(rel => s"$root/$rel")
+    PjIndexJob.generateForPaths(SparkSession.active, epochPaths)
+    if (bloomColumns.nonEmpty)
+      PjBloomJob.generateForPaths(SparkSession.active, epochPaths, bloomColumns)
     ()
   }
 
@@ -283,14 +285,16 @@ final class PjBatchWrite(
       if (drop) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
     }
     PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
-    // new files become index-planned immediately; pre-existing fresh
-    // sidecars are skipped by the job's mtime check
-    PjIndexJob.generateAll(spark, root)
+    // new files become index-planned immediately. Sidecar maintenance is
+    // sized to the COMMIT (the manifest is the exact new-file list), not the
+    // table: pre-existing files kept their sidecars, dropped files lost
+    // theirs via deleteWithSidecars. A full-table repair pass stays
+    // available via PjIndexJob.generateAll / PjBloomJob.generate.
+    val newPaths = manifest.toSeq.sorted.map(rel => s"$root/$rel")
+    PjIndexJob.generateForPaths(spark, newPaths)
     // `bloom.columns` table option: keep point-lookup skipping live across
-    // INSERT/OVERWRITE/DML — only files without a fresh bloom are built
-    // (the job's mtime check), so commit cost is one data pass over the
-    // NEW files, not the table
-    if (bloomColumns.nonEmpty) PjBloomJob.generate(spark, root, bloomColumns)
+    // INSERT/OVERWRITE/DML — one data pass over the NEW files only
+    if (bloomColumns.nonEmpty) PjBloomJob.generateForPaths(spark, newPaths, bloomColumns)
     log.info("pjparquet commit {}: {} files, mode {}", jobUUID, manifest.size.toString, mode)
   }
 

@@ -41,23 +41,42 @@ object PjIndexJob {
         val indexPath = PjParquetTable.hiddenSidecar(path)
         val fresh = !overwrite && pfs.exists(indexPath) &&
           pfs.getFileStatus(indexPath).getModificationTime >= dataMtime
-        if (fresh) 0L
-        else {
-          val status = pfs.getFileStatus(path)
-          try {
-            val bytes = PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(pfs, status), pathStr)
-            val out = pfs.create(indexPath, true)
-            try out.write(bytes) finally out.close()
-            1L
-          } catch {
-            // zero-row-group files are legal parquet (Spark writes one for
-            // an empty partition) but un-indexable by design
-            // (`palletjack.cc:241-246`): skip them, never fail the fleet
-            case e: graft.core.PJException
-                if e.getMessage == "Number of row groups is not set!" => 0L
-          }
-        }
+        if (fresh) 0L else buildOne(conf.value, pathStr)
       }
       .sum().toLong
+  }
+
+  /** Build `.index` sidecars for an EXPLICIT file list — the write-commit
+    * path: the commit manifest is the exact new-file set, so index
+    * maintenance is sized to the commit instead of re-walking (and
+    * re-statting) the whole table root per commit/epoch. No freshness probe:
+    * new files never have one.
+    */
+  def generateForPaths(spark: SparkSession, paths: Seq[String]): Long = {
+    if (paths.isEmpty) return 0L
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    spark.sparkContext
+      .parallelize(paths, math.min(paths.size, 1024))
+      .map(pathStr => buildOne(conf.value, pathStr))
+      .sum().toLong
+  }
+
+  private def buildOne(conf: org.apache.hadoop.conf.Configuration, pathStr: String): Long = {
+    val path = new Path(pathStr)
+    val pfs = path.getFileSystem(conf)
+    val indexPath = PjParquetTable.hiddenSidecar(path)
+    val status = pfs.getFileStatus(path)
+    try {
+      val bytes = PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(pfs, status), pathStr)
+      val out = pfs.create(indexPath, true)
+      try out.write(bytes) finally out.close()
+      1L
+    } catch {
+      // zero-row-group files are legal parquet (Spark writes one for
+      // an empty partition) but un-indexable by design
+      // (`palletjack.cc:241-246`): skip them, never fail the fleet
+      case e: graft.core.PJException
+          if e.getMessage == "Number of row groups is not set!" => 0L
+    }
   }
 }

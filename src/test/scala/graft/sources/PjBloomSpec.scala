@@ -156,6 +156,112 @@ class PjBloomSpec extends AnyFunSuite {
     assert(eq.count() == 1)
   }
 
+  test("unsigned-int columns never get blooms (probe/build value mismatch)") {
+    // A parquet UINT32 column surfaces in Spark as LongType with the TRUE
+    // unsigned value, but a naive build pass hashes the sign-extended
+    // physical int32 — for values >= 2^31 that is a GUARANTEED bloom false
+    // negative, i.e. silent row loss. Such columns must be ineligible.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val d = java.nio.file.Files.createTempDirectory("pj_bloom_uint").toString
+    val schema = Types.buildMessage()
+      .addField(Types.required(PrimitiveTypeName.INT64).named("id"))
+      .addField(Types.required(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(32, false)).named("u"))
+      .named("t")
+    val file = new Path(d, "part-0.parquet")
+    val w = ExampleParquetWriter.builder(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        file, spark.sessionState.newHadoopConf()))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    // -1 as raw int32 bits = unsigned 4294967295
+    w.write(gf.newGroup().append("id", 1L).append("u", -1))
+    w.write(gf.newGroup().append("id", 2L).append("u", 5))
+    w.close()
+    graft.sources.pjparquet.PjIndexJob.generateAll(spark, d)
+    PjBloomJob.generate(spark, d, Seq("id", "u"))
+    val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecar = PjBloom.bloomSidecar(file)
+    assert(fs.exists(sidecar), "the signed id column must still produce a sidecar")
+    val buf = new Array[Byte](fs.getFileStatus(sidecar).getLen.toInt)
+    val in = fs.open(sidecar)
+    try in.readFully(0, buf) finally in.close()
+    val parsed = PjBloom.deserialize(buf)
+    assert(parsed.cols.contains("id"))
+    assert(!parsed.cols.contains("u"), "unsigned column must be bloom-ineligible")
+    // end-to-end: the >= 2^31 lookup keeps its row (no false pruning)
+    val df = spark.read.format("pjparquet").load(d)
+    val hit = df.filter($"u" === 4294967295L)
+    assert(hit.count() == 1, "unsigned lookup must not be pruned away")
+    assert(plannedTasks(hit) == 1)
+  }
+
+  test("freshness is fingerprint-proven: in-place rewrite under coarse mtime rebuilds") {
+    val d = java.nio.file.Files.createTempDirectory("pj_bloom_fresh").toString
+    PjWriter.writeWithIndex(spark.range(100).select($"id").coalesce(1), d)
+    assert(PjBloomJob.generate(spark, d, Seq("id")) == 1L)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(d).getFileSystem(hconf)
+    val dataFile = {
+      val it = fs.listFiles(new Path(d), true)
+      var p: Path = null
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("."))
+          p = s.getPath
+      }
+      p
+    }
+    // rewrite the data file IN PLACE with different content (different
+    // footer), then force the timestamps into the shape a coarse-mtime
+    // object store can produce: sidecar mtime >= data mtime. An
+    // mtime-based freshness check would skip forever; the fingerprint
+    // check must rebuild exactly this file.
+    val tmp = java.nio.file.Files.createTempDirectory("pj_bloom_fresh2").toString
+    spark.range(500, 600).select($"id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val newPart = new Path(tmp).getFileSystem(hconf).listStatus(new Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val bytes = {
+      val st = fs.getFileStatus(newPart)
+      val b = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(newPart)
+      try in.readFully(0, b) finally in.close()
+      b
+    }
+    val out = fs.create(dataFile, true)
+    try out.write(bytes) finally out.close()
+    graft.sources.pjparquet.PjIndexJob.generateAll(spark, d, overwrite = true)
+    val sidecar = PjBloom.bloomSidecar(dataFile)
+    val t = System.currentTimeMillis()
+    fs.setTimes(dataFile, t - 60000, -1)
+    fs.setTimes(sidecar, t, -1)
+    assert(PjBloomJob.generate(spark, d, Seq("id")) == 1L,
+      "content change must trigger a rebuild even when the sidecar mtime looks fresh")
+    // and the rebuilt bloom prunes correctly on the NEW content
+    val df = spark.read.format("pjparquet").load(d)
+    assert(df.filter($"id" === 550L).count() == 1)
+    assert(plannedTasks(df.filter($"id" === 42L)) == 0, "old keys must now prune to zero files")
+    // second pass: nothing to do — fingerprint match short-circuits
+    assert(PjBloomJob.generate(spark, d, Seq("id")) == 0L)
+  }
+
+  test("bloom cache is LRU: hot entries survive the bound") {
+    val hot = "lru-test://hot"
+    val fb = PjBloom.FileBlooms(1L, 1L,
+      Map("c" -> org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)))
+    PjBloom.cachePutForTest(hot, fb)
+    for (i <- 0 until 9000) {
+      PjBloom.cachePutForTest(s"lru-test://cold-$i", fb)
+      if (i % 100 == 0) PjBloom.cacheGetForTest(hot) // keep it hot
+    }
+    assert(PjBloom.cachedCount <= 8192, "cache must stay bounded")
+    assert(PjBloom.cacheGetForTest(hot).isDefined,
+      "a recently-touched entry must survive eviction of colds")
+  }
+
   test("sidecar codec round-trips") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     bf.putLong(7L); bf.putBinary("abc".getBytes)
