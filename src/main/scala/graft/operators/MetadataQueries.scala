@@ -432,6 +432,48 @@ object MetadataQueries {
         lit(if (planStr.contains("LocalTableScan") &&
           !planStr.contains("BatchScan")) 1L else 0L))
     }),
+    "q111_nested_pjparquet" -> ((s, dir) => {
+      import s.implicits._
+      // Nested-schema graceful path (reference restriction: PJ_2 indexes
+      // flat schemas only, `palletjack.cc:266-279,483-487`): documents
+      // re-shaped with a STRUCT column are written through the pjparquet
+      // SINK (the commit must tolerate un-indexable nested files), read
+      // back via the explicit pjparquet FORMAT (raw-footer delegation with
+      // a WARN instead of the index-validation throw), struct fields
+      // projected and aggregated. Plan bits — computed on an ISOLATED
+      // session so no shared conf mutates — prove the nested scan really
+      // planned raw-footer splits AND a flat scan in the same session kept
+      // spliced index planning.
+      val tmp = fixtureDir("pj_q111_nested", dir) { d =>
+        graft.Tables.documents(s, dir)
+          .select($"doc_id",
+            struct($"lang".as("lang"), $"n_chars".as("n_chars")).as("meta"))
+          .write.format("pjparquet").mode("overwrite").save(d)
+      }
+      def partsOf(df: DataFrame): Seq[graft.sources.pjparquet.PjInputPartition] =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.flatMap(_.partitions.flatten).collect {
+          case p: graft.sources.pjparquet.PjInputPartition => p
+        }
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.adaptive.enabled", "false")
+      val nestedParts = partsOf(iso.read.format("pjparquet").load(tmp).select(col("doc_id")))
+      val flatParts = partsOf(
+        iso.read.format("pjparquet").load(s"$dir/documents.parquet").select(col("doc_id")))
+      val nestedRaw = nestedParts.nonEmpty && nestedParts.forall(_.rawFooter)
+      val flatSpliced = flatParts.nonEmpty && flatParts.forall(!_.rawFooter)
+      s.read.format("pjparquet").load(tmp)
+        .select($"meta.lang".as("lang"), $"meta.n_chars".as("n_chars"), $"doc_id")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum($"doc_id").as("id_sum"))
+        .withColumn("nested_raw_planned", lit(if (nestedRaw) 1L else 0L))
+        .withColumn("flat_index_planned", lit(if (flatSpliced) 1L else 0L))
+        .orderBy($"lang")
+    }),
     "q108_spj_join" -> ((s, dir) => {
       import s.implicits._
       // Storage-partitioned join (SPJ): both sides are Hive-partitioned on
@@ -692,6 +734,13 @@ object MetadataQueries {
         |       CAST(max(doc_id) AS BIGINT) AS max_doc,
         |       CAST(1 AS BIGINT) AS metadata_only
         |FROM documents WHERE lang IN ('en', 'de')""".stripMargin,
+    "q111_nested_pjparquet" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(1 AS BIGINT) AS nested_raw_planned,
+        |       CAST(1 AS BIGINT) AS flat_index_planned
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q108_spj_join" ->
       """WITH t AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang)
         |SELECT d.lang, count(*) AS n_docs,

@@ -358,12 +358,16 @@ object PjBloomJob {
     val status = fs.getFileStatus(path)
     // fingerprint + row count from a CURRENT footer read (never a possibly
     // stale index sidecar) — one metadata read before the data pass
+    val footerBytes = HadoopFooter.readFooterBytes(fs, status)
     val idx =
-      try PJSplice.Index.fromBytes(
-        PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(fs, status), pathStr))
+      try PJSplice.Index.fromBytes(PJIndex.generateFromFooter(footerBytes, pathStr))
       catch {
         case e: graft.core.PJException
             if e.getMessage == "Number of row groups is not set!" => return false
+        // nested schemas carry no PJ_2 index (reference restriction) and
+        // therefore no footer-fingerprint freshness proof — no bloom either
+        case _: graft.core.PJException
+            if PJIndex.footerHasNestedSchema(footerBytes) => return false
       }
     var rows = 0L
     var rg = 0

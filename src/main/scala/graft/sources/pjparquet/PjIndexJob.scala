@@ -66,8 +66,9 @@ object PjIndexJob {
     val pfs = path.getFileSystem(conf)
     val indexPath = PjParquetTable.hiddenSidecar(path)
     val status = pfs.getFileStatus(path)
+    val footerBytes = HadoopFooter.readFooterBytes(pfs, status)
     try {
-      val bytes = PJIndex.generateFromFooter(HadoopFooter.readFooterBytes(pfs, status), pathStr)
+      val bytes = PJIndex.generateFromFooter(footerBytes, pathStr)
       val out = pfs.create(indexPath, true)
       try out.write(bytes) finally out.close()
       1L
@@ -77,6 +78,10 @@ object PjIndexJob {
       // (`palletjack.cc:241-246`): skip them, never fail the fleet
       case e: graft.core.PJException
           if e.getMessage == "Number of row groups is not set!" => 0L
+      // nested schemas are un-indexable by design too (reference
+      // restriction); reads plan them from their own footer
+      case _: graft.core.PJException
+          if PJIndex.footerHasNestedSchema(footerBytes) => 0L
     }
   }
 }

@@ -42,7 +42,18 @@ final case class PjPartitionReaderFactory(
 
   private def openReader(p: PjInputPartition, returningBatch: Boolean): VectorizedParquetRecordReader = {
     val hadoopConf = conf.value.value
-    val footer = PalletJack.materialize(p.prunedFooter)
+    val materialized = PalletJack.materialize(p.prunedFooter)
+    // nested-fallback split: the shipped bytes are the file's RAW footer —
+    // keep only this split's row groups so row-group parallelism matches
+    // the spliced (flat) path
+    val footer =
+      if (!p.rawFooter) materialized
+      else {
+        val blocks = new java.util.ArrayList[org.apache.parquet.hadoop.metadata.BlockMetaData]()
+        p.rowGroups.foreach(rg => blocks.add(materialized.getBlocks.get(rg)))
+        new org.apache.parquet.hadoop.metadata.ParquetMetadata(
+          materialized.getFileMetaData, blocks)
+      }
     val datetimeSpec = PjSparkShims.datetimeRebaseSpec(footer, datetimeRebaseModeConf)
     val int96Spec = PjSparkShims.int96RebaseSpec(footer, int96RebaseModeConf)
     val reader = new VectorizedParquetRecordReader(

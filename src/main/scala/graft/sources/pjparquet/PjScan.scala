@@ -420,14 +420,20 @@ class PjScanBuilder(
     // claimed (fully-pushed partition-exact) filters FIRST: files that do
     // not definitely match are dropped, never re-filtered row-side
     val survivingFiles = claimedFiles.filter { f =>
-      lazy val idx = PJSplice.Index.fromBytes(f.indexBytes)
-      lazy val blooms: Option[PjBloom.FileBlooms] =
-        if (bloomEligible) PjBloom.load(bloomConf, f, idx.footerFnv64) else None
-      pushed.forall { p =>
-        (layout.partitionSchema.isEmpty || mightMatch(f, p)) &&
-          PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p) &&
-          blooms.forall(b =>
-            PjBloom.mightMatch(b, fileSchema, partNameSet, caseSensitiveNow, p))
+      if (f.rawFooter)
+        // nested-fallback file: no index, so no chunk-stat/bloom pruning —
+        // partition values still prune whole files
+        pushed.forall(p => layout.partitionSchema.isEmpty || mightMatch(f, p))
+      else {
+        lazy val idx = PJSplice.Index.fromBytes(f.indexBytes)
+        lazy val blooms: Option[PjBloom.FileBlooms] =
+          if (bloomEligible) PjBloom.load(bloomConf, f, idx.footerFnv64) else None
+        pushed.forall { p =>
+          (layout.partitionSchema.isEmpty || mightMatch(f, p)) &&
+            PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p) &&
+            blooms.forall(b =>
+              PjBloom.mightMatch(b, fileSchema, partNameSet, caseSensitiveNow, p))
+        }
       }
     }
     // split the pruned schema into file-physical vs partition columns; the
@@ -767,6 +773,20 @@ class PjScan(
   private def indexOf(f: PjFile): PJSplice.Index =
     idxCache.computeIfAbsent(f.path, _ => PJSplice.Index.fromBytes(f.indexBytes))
 
+  /** Nested-fallback files carry raw footer bytes: parse once per scan,
+    * driver-side (the stock planning cost for exactly the files PJ_2 cannot
+    * index; flat files never pay it).
+    */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+  private def rawFooterOf(f: PjFile): org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    footerCache.computeIfAbsent(f.path, _ => graft.core.PalletJack.materialize(f.indexBytes))
+
+  private def rgCountOf(f: PjFile): Int =
+    if (f.rawFooter) rawFooterOf(f).getBlocks.size else indexOf(f).header.rowGroups
+  private def rowCountOf(f: PjFile, rg: Int): Long =
+    if (f.rawFooter) rawFooterOf(f).getBlocks.get(rg).getRowCount else indexOf(f).rowNumber(rg)
+
   /** Per-file row-group selection with the pushed LIMIT applied: walk files
     * in layout order keeping row groups until the cumulative index row
     * count covers the limit, then plan nothing further. Only set when no
@@ -776,7 +796,7 @@ class PjScan(
     */
   private def effectiveSelections(fs: Seq[PjFile]): Seq[Seq[Int]] = {
     val base: Seq[Seq[Int]] = fs.map { f =>
-      explicitRowGroups.getOrElse(0 until indexOf(f).header.rowGroups)
+      explicitRowGroups.getOrElse(0 until rgCountOf(f))
     }
     limitRows match {
       case None => base
@@ -785,13 +805,12 @@ class PjScan(
         fs.zip(base).map { case (f, sel) =>
           if (remaining <= 0) Seq.empty[Int]
           else {
-            val idx = indexOf(f)
             val keep = Seq.newBuilder[Int]
             val it = sel.iterator
             while (remaining > 0 && it.hasNext) {
               val rg = it.next()
               keep += rg
-              remaining -= idx.rowNumber(rg)
+              remaining -= rowCountOf(f, rg)
             }
             keep.result()
           }
@@ -879,6 +898,32 @@ class PjScan(
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   private def rgByteSums(f: PjFile): Array[Long] =
     rgBytesCache.computeIfAbsent(f.path, { _ =>
+      if (f.rawFooter) rgByteSumsNested(f)
+      else rgByteSumsFlat(f)
+    })
+
+  /** Exact per-row-group bytes for a nested-fallback file, from its parsed
+    * footer: compressed size of the required TOP-LEVEL columns (a pruned
+    * struct still reads all its leaves' chunks).
+    */
+  private def rgByteSumsNested(f: PjFile): Array[Long] = {
+    import scala.jdk.CollectionConverters._
+    val pm = rawFooterOf(f)
+    val blocks = pm.getBlocks.asScala
+    if (dataPhysical.isEmpty)
+      blocks.map(b => math.max(1L, b.getRowCount * 8L)).toArray
+    else {
+      val req = prunedColumnNames.toSet
+      blocks.map { b =>
+        val cols = b.getColumns.asScala
+        val kept = if (req.isEmpty) cols
+          else cols.filter(c => req.contains(c.getPath.toArray.apply(0)))
+        math.max(1L, kept.map(_.getTotalSize).sum)
+      }.toArray
+    }
+  }
+
+  private def rgByteSumsFlat(f: PjFile): Array[Long] = {
       val idx = indexOf(f)
       val rgCount = idx.header.rowGroups
       if (dataPhysical.isEmpty)
@@ -901,7 +946,7 @@ class PjScan(
           if (exact) math.max(1L, sum) else -1L
         }
       }
-    })
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sqlConf = SQLConf.get
@@ -909,10 +954,13 @@ class PjScan(
     val colNames = prunedColumnNames
     val current = activeFiles
     current.iterator.zip(effectiveSelections(current).iterator).flatMap { case (f, selected) =>
-      val idx = indexOf(f)
-      val rgCount = idx.header.rowGroups
+      val rgCount = rgCountOf(f)
       if (selected.isEmpty) Iterator.empty
       else {
+        if (f.rawFooter && selected.exists(rg => rg < 0 || rg >= rgCount))
+          throw new graft.core.PJException(
+            s"pjparquet: row group selection ${selected.mkString(",")} out of range " +
+              s"for '${f.path}' ($rgCount row groups)")
         // Bin-pack toward maxPartitionBytes using the EXACT compressed
         // bytes each row group contributes for the REQUIRED columns. A
         // whole-file mean misprices splits twice over: skewed row-group
@@ -933,22 +981,36 @@ class PjScan(
         }
         if (current.nonEmpty) groups += current
         val partValues = requiredPartValues(f)
-        // mergeSchema evolution: a file may lack some requested columns —
-        // splice only what it has (the vectorized reader null-fills the
-        // rest from the requested schema). An empty intersection keeps the
-        // whole footer (Nil = no pruning); the reader then reads no column
-        // data at all, so the only cost is footer bytes.
-        val fileColNames =
-          if (colNames.isEmpty) Nil
-          else {
-            val avail = idx.columnNames.toSet
-            colNames.filter(avail.contains)
+        if (f.rawFooter) {
+          // nested fallback: ship the RAW footer bytes; the reader filters
+          // its blocks to this split's row groups after materializing, so
+          // row-group parallelism and bin-packing are preserved — only the
+          // footer-size pruning of the splice is lost, for these files only
+          groups.iterator.map { rgs =>
+            PjInputPartition(f.path, f.fileLen, rgs.toArray, f.indexBytes, partValues,
+              keyValues = f.partitionValues.toArray,
+              keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json,
+              rawFooter = true)
           }
-        groups.iterator.map { rgs =>
-          val footer = PJSplice.splice(idx, rgs, Nil, fileColNames, schemaOnly = false)
-          PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues,
-            keyValues = f.partitionValues.toArray,
-            keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json)
+        } else {
+          val idx = indexOf(f)
+          // mergeSchema evolution: a file may lack some requested columns —
+          // splice only what it has (the vectorized reader null-fills the
+          // rest from the requested schema). An empty intersection keeps the
+          // whole footer (Nil = no pruning); the reader then reads no column
+          // data at all, so the only cost is footer bytes.
+          val fileColNames =
+            if (colNames.isEmpty) Nil
+            else {
+              val avail = idx.columnNames.toSet
+              colNames.filter(avail.contains)
+            }
+          groups.iterator.map { rgs =>
+            val footer = PJSplice.splice(idx, rgs, Nil, fileColNames, schemaOnly = false)
+            PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues,
+              keyValues = f.partitionValues.toArray,
+              keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json)
+          }
         }
       }
     }.toArray
@@ -976,7 +1038,12 @@ class PjScan(
         refs.forall(names.contains)
       }
     }
-    if (activeFiles.nonEmpty && pushedFilters.nonEmpty && !rowLevel &&
+    // nested-fallback files skip the reader FilterPredicate (their physical
+    // schema has group nodes the flat predicate builder does not cover);
+    // filters are always re-evaluated above the scan, so this is a perf
+    // concession for exactly those files, never a wrong answer
+    if (activeFiles.nonEmpty && !activeFiles.exists(_.rawFooter) &&
+        pushedFilters.nonEmpty && !rowLevel &&
         PjSparkShims.parquetFilterPushDownEnabled(sqlConf) && allFilesHaveFilterCols) {
       // Schema + rebase spec come from the index (schema-only splice), so
       // building the predicate costs no footer parse. Partition-column
@@ -1015,9 +1082,8 @@ class PjScan(
     var bytes = 0L
     val current = activeFiles
     for ((f, selected) <- current.zip(effectiveSelections(current))) {
-      val idx = indexOf(f)
-      val rgCount = idx.header.rowGroups
-      selected.foreach(rg => rows += idx.rowNumber(rg))
+      val rgCount = rgCountOf(f)
+      selected.foreach(rg => rows += rowCountOf(f, rg))
       val sums = rgByteSums(f)
       val exact = selected.forall(rg => sums(rg) >= 0)
       bytes += {
@@ -1085,7 +1151,11 @@ final case class PjInputPartition(
       * for storage-partitioned joins. Empty for flat layouts.
       */
     keyValues: Array[String] = Array.empty,
-    keySchemaJson: String = "")
+    keySchemaJson: String = "",
+    /** Nested-fallback split: `prunedFooter` holds the file's RAW footer;
+      * the reader keeps only `rowGroups` of its blocks after materializing.
+      */
+    rawFooter: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
 
