@@ -23,7 +23,14 @@ object PJSplice {
     * min/max are the v2 `min_value`/`max_value` plain-encoded bytes.
     */
   private[graft] final case class ChunkStats(
-      physType: Int, nullCount: Long, min: Array[Byte], max: Array[Byte])
+      physType: Int, nullCount: Long, min: Array[Byte], max: Array[Byte],
+      /** `is_min_value_exact`/`is_max_value_exact` (Statistics fields 8/7):
+        * 1 = true, 0 = false (value is a TRUNCATED bound, not a real value),
+        * -1 = absent (pre-2.10 writers; parquet-java and arrow leave it out
+        * exactly when they did NOT truncate, and both either set it false or
+        * drop the stat entirely when they do).
+        */
+      minExact: Int = -1, maxExact: Int = -1)
 
   /** Parsed view over an index byte array (header + section cursors). */
   final class Index private[core] (val bytes: Array[Byte], bodyOff: Int, val header: PJIndex.Header) {
@@ -118,6 +125,8 @@ object PJSplice {
       var nullCount = -1L
       var minV: Array[Byte] = null
       var maxV: Array[Byte] = null
+      var minExact = -1
+      var maxExact = -1
       var fid = 0
       var done = false
       while (!done) {
@@ -145,6 +154,12 @@ object PJSplice {
                       if (sf == 3 && st == ThriftCompact.TypeI64) nullCount = r.readZigZag64()
                       else if (sf == 5 && st == ThriftCompact.TypeBinary) maxV = r.readBinary()
                       else if (sf == 6 && st == ThriftCompact.TypeBinary) minV = r.readBinary()
+                      else if (sf == 7 && (st == ThriftCompact.TypeBoolTrue ||
+                        st == ThriftCompact.TypeBoolFalse))
+                        maxExact = if (st == ThriftCompact.TypeBoolTrue) 1 else 0
+                      else if (sf == 8 && (st == ThriftCompact.TypeBoolTrue ||
+                        st == ThriftCompact.TypeBoolFalse))
+                        minExact = if (st == ThriftCompact.TypeBoolTrue) 1 else 0
                       else r.skipValue(st)
                     }
                   }
@@ -154,7 +169,7 @@ object PJSplice {
           } else r.skipValue(tpe)
         }
       }
-      ChunkStats(physType, nullCount, minV, maxV)
+      ChunkStats(physType, nullCount, minV, maxV, minExact, maxExact)
     }
 
     /** Byte-compare the index's embedded original footer against the data

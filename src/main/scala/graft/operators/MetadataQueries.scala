@@ -432,6 +432,37 @@ object MetadataQueries {
         lit(if (planStr.contains("LocalTableScan") &&
           !planStr.contains("BatchScan")) 1L else 0L))
     }),
+    "q112_typed_minmax_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      // Typed min/max at metadata rate: timestamp (NTZ micros), string
+      // (arrow-written bounds are witnessed values), and double aggregates
+      // answered entirely from v2 chunk statistics in the index — a
+      // zero-task LocalTableScan, the 100 TB answer to "what date range /
+      // key range does this table span". The second aggregation proves the
+      // refusal side: l_discount's minimum bound is the writer's
+      // conventional -0.0 (not a witnessed value), so MIN(l_discount)
+      // must fall back to a real scan — and still agree with the oracle.
+      val rel = pj(s, dir, "lineitem")
+      val pushed = rel.agg(
+        count(lit(1)).as("n_rows"),
+        min($"l_shipdate").cast("string").as("min_ship"),
+        max($"l_shipdate").cast("string").as("max_ship"),
+        min($"l_returnflag").as("min_flag"),
+        max($"l_linestatus").as("max_status"),
+        round(min($"l_quantity"), 2).as("min_qty"),
+        round(max($"l_quantity"), 2).as("max_qty"))
+      val pushedPlan = pushed.queryExecution.executedPlan.toString
+      val fallback = rel.agg(min($"l_discount").as("min_disc"))
+      val fallbackPlan = fallback.queryExecution.executedPlan.toString
+      pushed.crossJoin(fallback).select(
+        col("n_rows"), col("min_ship"), col("max_ship"),
+        col("min_flag"), col("max_status"), col("min_qty"), col("max_qty"),
+        col("min_disc"),
+        lit(if (pushedPlan.contains("LocalTableScan") &&
+          !pushedPlan.contains("BatchScan")) 1L else 0L).as("metadata_only"),
+        lit(if (fallbackPlan.contains("LocalTableScan")) 0L else 1L)
+          .as("zero_bound_scans_data"))
+    }),
     "q111_nested_pjparquet" -> ((s, dir) => {
       import s.implicits._
       // Nested-schema graceful path (reference restriction: PJ_2 indexes
@@ -734,6 +765,18 @@ object MetadataQueries {
         |       CAST(max(doc_id) AS BIGINT) AS max_doc,
         |       CAST(1 AS BIGINT) AS metadata_only
         |FROM documents WHERE lang IN ('en', 'de')""".stripMargin,
+    "q112_typed_minmax_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(min(l_shipdate) AS VARCHAR) AS min_ship,
+        |       CAST(max(l_shipdate) AS VARCHAR) AS max_ship,
+        |       min(l_returnflag) AS min_flag,
+        |       max(l_linestatus) AS max_status,
+        |       round(min(l_quantity), 2) AS min_qty,
+        |       round(max(l_quantity), 2) AS max_qty,
+        |       min(l_discount) AS min_disc,
+        |       CAST(1 AS BIGINT) AS metadata_only,
+        |       CAST(1 AS BIGINT) AS zero_bound_scans_data
+        |FROM lineitem""".stripMargin,
     "q111_nested_pjparquet" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -197,6 +197,74 @@ class PjScanBuilder(
       descs.result().mkString(", ")))
   }
 
+  /** (parquet schema, file carries Spark legacy-rebase metadata) from the
+    * index's schema-only splice — key-value metadata and logical types ride
+    * the verbatim footer bytes, so this costs a bounded materialization,
+    * never a row-group thrift parse. None = unanswerable (refuse pushdown).
+    */
+  private[pjparquet] final case class FileFooterMeta(
+      schema: org.apache.parquet.schema.MessageType,
+      legacyRebase: Boolean,
+      /** created_by is parquet-cpp-arrow: that writer DROPS oversized
+        * binary chunk statistics instead of truncating them, so a present
+        * string bound is always a witnessed value. parquet-java truncates
+        * silently when `parquet.statistics.truncate.length` is configured
+        * (no exactness flags as of 1.16 — verified on its own output), so
+        * its string bounds cannot be proven exact from the footer.
+        */
+      arrowWriter: Boolean)
+
+  private val fileMetaCache = scala.collection.mutable.HashMap
+    .empty[String, Option[FileFooterMeta]]
+  private def fileMeta(f: PjFile): Option[FileFooterMeta] =
+    fileMetaCache.getOrElseUpdate(f.path,
+      try {
+        val footer = graft.core.PalletJack.materialize(
+          PJSplice.splice(PJSplice.Index.fromBytes(f.indexBytes), Nil, Nil, Nil, schemaOnly = true))
+        val legacy = PjSparkShims.datetimeRebaseSpec(footer,
+          PjSparkShims.rebaseModeInReadConf(SQLConf.get)).mode.toString
+          .equalsIgnoreCase("LEGACY")
+        val createdBy = Option(footer.getFileMetaData.getCreatedBy).getOrElse("")
+        Some(FileFooterMeta(
+          footer.getFileMetaData.getSchema, legacy,
+          createdBy.startsWith("parquet-cpp-arrow")))
+      } catch { case scala.util.control.NonFatal(_) => None })
+
+  /** `stats.trustStringBounds=true`: user vouches their writer does not
+    * truncate chunk statistics (e.g. parquet-java at default settings), so
+    * string min/max may push down even when exactness is unprovable.
+    */
+  private def trustStringStats: Boolean =
+    Option(options.get("stats.trustStringBounds")).exists(_.toBoolean)
+
+  /** Last top-level primitive named `name` — mirrors the splice's O5
+    * last-wins name resolution and foldStats' `lastIndexOf`.
+    */
+  private def lastPrimitive(
+      mt: org.apache.parquet.schema.MessageType,
+      name: String): Option[org.apache.parquet.schema.PrimitiveType] = {
+    import scala.jdk.CollectionConverters._
+    mt.getFields.asScala.filter(_.getName == name).lastOption
+      .filter(_.isPrimitive).map(_.asPrimitiveType())
+  }
+
+  /** parquet-java physical type -> thrift Type enum code (what ChunkStats
+    * carries).
+    */
+  private def physCode(pt: org.apache.parquet.schema.PrimitiveType): Int = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    pt.getPrimitiveTypeName match {
+      case BOOLEAN => 0
+      case INT32 => 1
+      case INT64 => 2
+      case INT96 => 3
+      case FLOAT => 4
+      case DOUBLE => 5
+      case BINARY => 6
+      case FIXED_LEN_BYTE_ARRAY => 7
+    }
+  }
+
   /** The single-group evaluation: every supported aggregate over the given
     * files, from index row counts + chunk statistics only.
     */
@@ -208,15 +276,16 @@ class PjScanBuilder(
       : Option[(StructType, Array[Any], String)] = {
     import org.apache.spark.sql.types._
 
-    // per file: (index, selected row groups); bounds failures fall through
-    // to the batch scan, whose splice raises the reference's error message
-    val perFileOpt: Option[Seq[(PJSplice.Index, Seq[Int])]] =
+    // per file: (file, index, selected row groups); bounds failures fall
+    // through to the batch scan, whose splice raises the reference's error
+    // message
+    val perFileOpt: Option[Seq[(PjFile, PJSplice.Index, Seq[Int])]] =
       try {
         val built = aggFiles.map { f =>
           val idx = PJSplice.Index.fromBytes(f.indexBytes)
-          (idx, explicitRgOption.getOrElse(0 until idx.header.rowGroups: Seq[Int]))
+          (f, idx, explicitRgOption.getOrElse(0 until idx.header.rowGroups: Seq[Int]))
         }
-        if (built.exists { case (idx, sel) =>
+        if (built.exists { case (_, idx, sel) =>
           sel.exists(rg => rg < 0 || rg >= idx.header.rowGroups)
         }) None
         else Some(built)
@@ -225,25 +294,28 @@ class PjScanBuilder(
     val perFile = perFileOpt.get
 
     lazy val totalRows: Long =
-      perFile.iterator.map { case (idx, sel) => sel.iterator.map(idx.rowNumber(_)).sum }.sum
+      perFile.iterator.map { case (_, idx, sel) => sel.iterator.map(idx.rowNumber(_)).sum }.sum
 
-    /** Fold `read` over every selected chunk of `fieldName`. Some(None) =
-      * vacuously answerable (zero chunks, e.g. an empty table); None = some
-      * chunk could not answer -> refuse pushdown.
+    /** Fold `read` over every selected chunk of `fieldName`, with an
+      * optional per-FILE guard (logical-type / rebase checks that chunk
+      * stats alone cannot decide). Some(None) = vacuously answerable (zero
+      * chunks, e.g. an empty table); None = some file or chunk could not
+      * answer -> refuse pushdown.
       */
-    def foldStats[A](fieldName: String)(
-        read: PJSplice.ChunkStats => Option[A])(combine: (A, A) => A): Option[Option[A]] = {
+    def foldStats[A](fieldName: String, fileOk: PjFile => Boolean = _ => true)(
+        read: (PjFile, PJSplice.ChunkStats) => Option[A])(
+        combine: (A, A) => A): Option[Option[A]] = {
       var acc: Option[A] = None
       var failed = false
       val fit = perFile.iterator
       while (fit.hasNext && !failed) {
-        val (idx, sel) = fit.next()
+        val (file, idx, sel) = fit.next()
         val ord = idx.columnNames.lastIndexOf(fieldName) // last-wins, like splice O5
-        if (ord < 0) failed = true
+        if (ord < 0 || !fileOk(file)) failed = true
         else {
           val sit = sel.iterator
           while (sit.hasNext && !failed) {
-            read(idx.chunkStats(sit.next(), ord)) match {
+            read(file, idx.chunkStats(sit.next(), ord)) match {
               case None => failed = true
               case Some(v) => acc = Some(acc.fold(v)(combine(_, v)))
             }
@@ -261,36 +333,146 @@ class PjScanBuilder(
       if (b != null && b.length == 8)
         Some(java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
       else None
+    def leFloat(b: Array[Byte]): Option[Float] =
+      if (b != null && b.length == 4)
+        Some(java.lang.Float.intBitsToFloat(
+          java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt))
+      else None
+    def leDouble(b: Array[Byte]): Option[Double] =
+      if (b != null && b.length == 8)
+        Some(java.lang.Double.longBitsToDouble(
+          java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong))
+      else None
 
     val fields = Array.newBuilder[StructField]
     val values = Array.newBuilder[Any]
     val descs = Array.newBuilder[String]
 
+    /** MIN/MAX from v2 chunk statistics, typed: int/long/date/timestamp-
+      * micros/float/double/string/short-decimal. Every admission is gated
+      * twice — per CHUNK on the physical type the stats bytes encode, and
+      * per FILE on the logical-type annotation + rebase metadata (from the
+      * schema-only splice, still no footer THRIFT parse of row groups) —
+      * because a pushed value the scan would not have produced is a wrong
+      * answer, not a slow one. Refusals (→ batch scan):
+      *  - float/double NaN or ±0.0 bounds (the parquet writer convention
+      *    writes min=-0.0/max=+0.0 whenever any zero appears, so a zero
+      *    bound is not a witnessed value — the driver data really hits
+      *    this: l_discount min is -0.0);
+      *  - string bounds marked inexact (`is_*_value_exact=false` =
+      *    truncated bound, not a real value; absent flags mean untruncated
+      *    for parquet-java and arrow, which drop the stat instead);
+      *  - date/timestamp columns in files carrying Spark legacy-rebase
+      *    metadata (raw days/micros differ from the rebased values the
+      *    scan yields);
+      *  - timestamp units other than MICROS (the only unit whose raw
+      *    stats equal Spark's internal representation);
+      *  - unsigned/oversized int annotations, INT96, non-UTF8 binary.
+      */
     def minMax(e: aggregate.AggregateFunc, col: org.apache.spark.sql.connector.expressions.Expression,
         isMin: Boolean): Boolean = {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation._
       val fOpt = resolveField(col)
       if (fOpt.isEmpty) return false
       val f = fOpt.get
-      val expectPhys = f.dataType match {
-        case IntegerType => 1 // parquet INT32
-        case LongType => 2 // parquet INT64
-        case _ => -1
+      def pick(st: PJSplice.ChunkStats): Array[Byte] = if (isMin) st.min else st.max
+
+      /** (expected physical codes, file-level annotation+rebase guard,
+        * chunk decode, strict less-than on decoded values)
+        */
+      case class K(
+          phys: Set[Int],
+          annOk: (org.apache.parquet.schema.PrimitiveType, Boolean) => Boolean,
+          decode: (PjFile, PJSplice.ChunkStats) => Option[Any],
+          lt: (Any, Any) => Boolean)
+
+      def tsMicros(ann: LogicalTypeAnnotation): Boolean = ann match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
       }
-      if (expectPhys < 0) return false
-      val folded: Option[Option[Any]] = f.dataType match {
-        case IntegerType =>
-          foldStats[Int](f.name) { st =>
-            if (st.physType != expectPhys) None
-            else leInt(if (isMin) st.min else st.max)
-          }((a, b) => if (isMin) math.min(a, b) else math.max(a, b))
-            .map(_.map(identity[Any]))
-        case _ =>
-          foldStats[Long](f.name) { st =>
-            if (st.physType != expectPhys) None
-            else leLong(if (isMin) st.min else st.max)
-          }((a, b) => if (isMin) math.min(a, b) else math.max(a, b))
-            .map(_.map(identity[Any]))
+
+      val spec: Option[K] = f.dataType match {
+        case IntegerType => Some(K(Set(1),
+          (pt, _) => pt.getLogicalTypeAnnotation match {
+            case null => true
+            case i: IntLogicalTypeAnnotation =>
+              (i.isSigned && i.getBitWidth <= 32) || (!i.isSigned && i.getBitWidth <= 16)
+            case _ => false
+          },
+          (_, st) => leInt(pick(st)),
+          (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]))
+        case LongType => Some(K(Set(2),
+          (pt, _) => pt.getLogicalTypeAnnotation match {
+            case null => true
+            case i: IntLogicalTypeAnnotation => i.isSigned && i.getBitWidth == 64
+            case _ => false
+          },
+          (_, st) => leLong(pick(st)),
+          (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]))
+        case DateType => Some(K(Set(1),
+          (pt, legacyRebase) => !legacyRebase &&
+            pt.getLogicalTypeAnnotation.isInstanceOf[DateLogicalTypeAnnotation],
+          (_, st) => leInt(pick(st)),
+          (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]))
+        case TimestampType | TimestampNTZType => Some(K(Set(2),
+          (pt, legacyRebase) => !legacyRebase && tsMicros(pt.getLogicalTypeAnnotation),
+          (_, st) => leLong(pick(st)),
+          (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]))
+        case FloatType => Some(K(Set(4),
+          (pt, _) => pt.getLogicalTypeAnnotation == null,
+          (_, st) => leFloat(pick(st)).filter(v => !v.isNaN && v != 0.0f),
+          (a, b) => a.asInstanceOf[Float] < b.asInstanceOf[Float]))
+        case DoubleType => Some(K(Set(5),
+          (pt, _) => pt.getLogicalTypeAnnotation == null,
+          (_, st) => leDouble(pick(st)).filter(v => !v.isNaN && v != 0.0d),
+          (a, b) => a.asInstanceOf[Double] < b.asInstanceOf[Double]))
+        case StringType => Some(K(Set(6),
+          (pt, _) => pt.getLogicalTypeAnnotation match {
+            case _: StringLogicalTypeAnnotation | _: EnumLogicalTypeAnnotation => true
+            case _ => false
+          },
+          (file, st) => {
+            val b = pick(st)
+            // A string bound must be a WITNESSED value, not a truncated
+            // prefix: exactness flag when present; otherwise only writers
+            // that provably never truncate chunk stats (arrow drops them
+            // instead) or an explicit user vouch. parquet's UTF8 order and
+            // Spark's UTF8String order are both unsigned byte-lexicographic.
+            val exact = (if (isMin) st.minExact else st.maxExact) match {
+              case 1 => true
+              case 0 => false
+              case _ => trustStringStats || fileMeta(file).exists(_.arrowWriter)
+            }
+            if (b == null || !exact) None
+            else Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+          },
+          (a, b) => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0))
+        case d: DecimalType if d.precision <= 18 => Some(K(Set(1, 2),
+          (pt, _) => pt.getLogicalTypeAnnotation match {
+            case dec: DecimalLogicalTypeAnnotation =>
+              dec.getPrecision == d.precision && dec.getScale == d.scale
+            case _ => false
+          },
+          (_, st) => (st.physType match {
+            case 1 => leInt(pick(st)).map(_.toLong)
+            case _ => leLong(pick(st))
+          }).map(unscaled => org.apache.spark.sql.types.Decimal(unscaled, d.precision, d.scale)),
+          (a, b) => a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal]) < 0))
+        case _ => None
       }
+      if (spec.isEmpty) return false
+      val k = spec.get
+
+      val folded: Option[Option[Any]] =
+        foldStats[Any](f.name, file => fileMeta(file).exists { m =>
+          lastPrimitive(m.schema, f.name).exists(pt =>
+            k.phys.contains(physCode(pt)) && k.annOk(pt, m.legacyRebase))
+        }) { (file, st) =>
+          if (!k.phys.contains(st.physType)) None else k.decode(file, st)
+        }((a, b) => if (k.lt(a, b) == isMin) a else b)
       folded match {
         case None => false
         case Some(v) =>
@@ -312,7 +494,7 @@ class PjScanBuilder(
         resolveField(c.column) match {
           case None => false
           case Some(f) =>
-            foldStats[Long](f.name)(st =>
+            foldStats[Long](f.name)((_, st) =>
               if (st.nullCount >= 0) Some(st.nullCount) else None)(_ + _) match {
               case None => false
               case Some(nulls) =>

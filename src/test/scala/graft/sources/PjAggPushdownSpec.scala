@@ -97,19 +97,125 @@ class PjAggPushdownSpec extends AnyFunSuite {
     assert(r.getLong(5) == 32000L) // every 5th of 40000 is null
   }
 
-  test("unsupported types and distinct counts fall back with equal answers") {
+  test("unsupported aggregates fall back with equal answers") {
     val base = spark.read.format("pjparquet").load(statsDir)
     val stock = spark.read.parquet(statsDir)
 
-    for (aggCol <- Seq(min($"sv"), max($"dv"), countDistinct($"iv"), avg($"iv"))) {
+    for (aggCol <- Seq(countDistinct($"iv"), avg($"iv"), sum($"iv"))) {
       val df = base.agg(aggCol.as("x"))
       assert(!plan(df).contains("LocalTableScan"), s"should not push: $aggCol")
       assert(df.head().get(0) == stock.agg(aggCol.as("x")).head().get(0))
     }
-    // a mixed list with one unsupported member refuses the WHOLE pushdown
+    // a mixed list with one unanswerable member refuses the WHOLE pushdown
+    // (min(dv) has a ±0.0 bound — see the zero-refusal test below)
     val mixed = base.agg(min($"id").as("a"), min($"dv").as("b"))
     assert(!plan(mixed).contains("LocalTableScan"))
     assert(mixed.head() == stock.agg(min($"id").as("a"), min($"dv").as("b")).head())
+  }
+
+  private lazy val typedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("pj_aggpush_typed").toString
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      PjWriter.writeWithIndex(
+        spark.range(1, 20000).select( // start at 1: keeps dv2/fv zero-free
+          $"id",
+          concat(lit("s"), format_string("%05d", $"id")).as("sv"),
+          ($"id" * 1.5).as("dv2"),
+          ($"id" % 50 + 1).cast("float").as("fv"),
+          date_add(lit("2020-01-01").cast("date"), ($"id" % 300).cast("int")).as("dt"),
+          timestamp_micros($"id" * 1000000L).as("tv"),
+          ($"id" % 1000).cast("decimal(10,2)").as("dec")),
+        dir, options = Map("parquet.block.size" -> (64 * 1024).toString))
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    dir
+  }
+
+  test("typed min/max push down: double/float/date/timestamp/decimal") {
+    val base = spark.read.format("pjparquet").load(typedDir)
+    val stock = spark.read.parquet(typedDir)
+    val aggs = Seq(
+      min($"dv2").as("min_dv"), max($"dv2").as("max_dv"),
+      min($"fv").as("min_fv"), max($"fv").as("max_fv"),
+      min($"dt").as("min_dt"), max($"dt").as("max_dt"),
+      min($"tv").as("min_tv"), max($"tv").as("max_tv"),
+      min($"dec").as("min_dec"), max($"dec").as("max_dec"))
+    val df = base.agg(aggs.head, aggs.tail: _*)
+    val p = plan(df)
+    assert(p.contains("LocalTableScan"), s"expected metadata-only answer, got:\n$p")
+    assert(!p.contains("BatchScan"))
+    assert(df.head() == stock.agg(aggs.head, aggs.tail: _*).head(),
+      "metadata answer must equal the scan answer, field for field")
+  }
+
+  test("string bounds: arrow-written files push, parquet-mr needs the trust option") {
+    // arrow (pyarrow) DROPS oversized binary stats instead of truncating,
+    // so its present bounds are witnessed values -> pushes by default
+    val arrow = spark.read.format("pjparquet")
+      .load("/root/testdata/sf0.001/documents.parquet")
+      .agg(min($"lang").as("mn"), max($"lang").as("mx"))
+    assert(plan(arrow).contains("LocalTableScan"),
+      s"arrow-written string bounds must push:\n${plan(arrow)}")
+    assert(arrow.head() == spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .agg(min($"lang").as("mn"), max($"lang").as("mx")).head())
+    // parquet-mr can be CONFIGURED to truncate silently (no exactness
+    // flags as of 1.16), so exactness is unprovable -> refuse by default…
+    val mr = spark.read.format("pjparquet").load(typedDir).agg(max($"sv").as("x"))
+    assert(!plan(mr).contains("LocalTableScan"),
+      "parquet-mr string bounds must refuse by default")
+    assert(mr.head().getString(0) == "s19999")
+    // …and push when the user vouches for their writer settings
+    val trusted = spark.read.format("pjparquet")
+      .option("stats.trustStringBounds", "true").load(typedDir)
+      .agg(min($"sv").as("mn"), max($"sv").as("mx"))
+    assert(plan(trusted).contains("LocalTableScan"),
+      s"trusted string bounds must push:\n${plan(trusted)}")
+    assert(trusted.head().getString(0) == "s00001" && trusted.head().getString(1) == "s19999")
+  }
+
+  test("float/double ±0.0 bounds refuse (writer zero convention), max still pushes") {
+    // dv contains 0.0 (id starts at 0): the chunk minimum bound is a
+    // conventional -0.0/0.0, not a witnessed value — MIN must refuse
+    val base = spark.read.format("pjparquet").load(statsDir)
+    val mn = base.agg(min($"dv").as("x"))
+    assert(!plan(mn).contains("LocalTableScan"), "zero bound must refuse min pushdown")
+    assert(mn.head().getDouble(0) == 0.0)
+    // the maximum of the same column is nonzero and pushes fine
+    val mx = base.agg(max($"dv").as("x"))
+    assert(plan(mx).contains("LocalTableScan"), s"nonzero max must push:\n${plan(mx)}")
+    assert(mx.head().getDouble(0) == spark.read.parquet(statsDir).agg(max($"dv")).head().getDouble(0))
+  }
+
+  test("truncated string statistics refuse pushdown (exactness flags)") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_aggpush_trunc").toString
+    PjWriter.writeWithIndex(
+      spark.range(1000).select(
+        $"id", concat(lit("prefix-"), format_string("%07d", $"id"), lit("-suffix")).as("sv")),
+      dir, options = Map("parquet.statistics.truncate.length" -> "4"))
+    val df = spark.read.format("pjparquet").load(dir).agg(max($"sv").as("x"))
+    assert(!plan(df).contains("LocalTableScan"),
+      "a truncated bound is not a real value — pushdown must refuse")
+    assert(df.head().getString(0) == "prefix-0000999-suffix")
+  }
+
+  test("legacy-rebase date files refuse date/timestamp pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_aggpush_legacy").toString
+    val prev = spark.conf.get("spark.sql.parquet.datetimeRebaseModeInWrite")
+    try {
+      spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
+      PjWriter.writeWithIndex(
+        spark.range(100).select(
+          $"id",
+          date_add(lit("1500-01-01").cast("date"), $"id".cast("int")).as("dt")),
+        dir)
+    } finally spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", prev)
+    val df = spark.read.format("pjparquet").load(dir).agg(min($"dt").as("x"))
+    assert(!plan(df).contains("LocalTableScan"),
+      "legacy-rebase files must refuse date pushdown (raw days != rebased days)")
+    // and the fallback scan agrees with stock
+    assert(df.head().getDate(0) ==
+      spark.read.parquet(dir).agg(min($"dt")).head().getDate(0))
   }
 
   test("GROUP BY partition column: per-partition aggregates, metadata-only") {
