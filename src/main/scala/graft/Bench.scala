@@ -72,6 +72,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // legacy-testdata shim (timestamp[ns] events), same as Verify
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // Loaded-box survival: local-mode runs driver + executor in ONE JVM,
       // and Executor self-exits with code 56 after

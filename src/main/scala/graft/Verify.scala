@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Legacy-testdata shim: older driver testdata stored events.ts as
+      // timestamp[ns], which Spark only reads as Long under this flag.
+      // Static for the whole run (Tables.events normalizes both shapes),
+      // so no query builder ever mutates session conf.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // Same loaded-box survival settings as Bench: local mode runs driver
       // and executor in one JVM, and a GC/scheduler stall that misses enough

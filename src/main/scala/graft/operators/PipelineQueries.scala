@@ -883,7 +883,6 @@ object PipelineQueries {
       // preceding 30 minutes. Timestamps compare in exact integer
       // microseconds on both engines (Spark: ts div 1000; DuckDB: its
       // ns->us parquet truncation + epoch_us).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.events(s, dir)
       graft.streaming.StreamingOps.attributionJoin(ev, ev)
         .agg(
@@ -920,7 +919,6 @@ object PipelineQueries {
       // covers its true count, and overestimates stay within eps x the
       // window's volume. minCount uses integer division so DuckDB derives
       // the identical threshold.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = Tables.events(s, dir)
       val exact = graft.streaming.StreamingOps.eventTime(events)
         .groupBy(

@@ -167,7 +167,6 @@ object RelationalQueries {
       // RANGE BETWEEN on exact integer microseconds, so frame membership
       // is engine-exact. Output aggregates per event_type (floats rounded
       // after the aggregate, q01 convention).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val w = Window.partitionBy($"user_id").orderBy($"us")
         .rangeBetween(-600000000L, Window.currentRow)
       Tables.events(s, d)
@@ -370,7 +369,6 @@ object RelationalQueries {
     // ---- JSON + map/array scalar functions over events ------------------
     "q29_json_props" -> { (s, d) =>
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is timestamp[ns]
       Tables.events(s, d)
         .select($"event_type",
           get_json_object($"props", "$.k").cast("long").as("k"),
@@ -504,7 +502,6 @@ object RelationalQueries {
     // user. Single shuffle by user via the union trick (PipelineOps.asofJoin).
     "q45_asof_join" -> { (s, d) =>
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val e = Tables.events(s, d)
         .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_type", $"value")
       val clicks = e.filter($"event_type" === "click").select($"user_id", $"ts_us")
@@ -525,7 +522,6 @@ object RelationalQueries {
     // runs on integer microseconds so any engine agrees exactly.
     "q42_sessionize" -> { (s, d) =>
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val w = Window.partitionBy($"user_id").orderBy($"ts_us")
       val sessions = Tables.events(s, d)
         .select($"user_id", expr("ts div 1000").as("ts_us")) // integer us, no double rounding

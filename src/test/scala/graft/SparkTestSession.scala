@@ -9,6 +9,8 @@ object SparkTestSession {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // same legacy-testdata shim as Verify/Bench (timestamp[ns] events)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
