@@ -1,5 +1,7 @@
 package graft.sources.pjparquet
 
+import scala.collection.mutable
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -24,17 +26,32 @@ final case class PjStreamInfo(
   * sidecars (executors never parse footers), partition columns, column
   * pruning and filter pushdown.
   *
-  * Offsets are an (mtime, paths-at-that-mtime) watermark over the listing
-  * sorted by (mtime, path): a file belongs to batch `(start, end]` when its
-  * mtime is beyond `start`'s watermark (or equal with an unseen path) and
-  * within `end`'s snapshot. The contract is the usual file-stream one:
-  * files are appended (never rewritten in place or backdated); each lands
-  * in exactly one batch, replayable from the offset pair alone.
+  * Offsets are a CONSTANT-SIZE batch cursor: `{"batchId":N}`. The file
+  * list of each batch lives in a per-source metadata log under the
+  * stream's checkpoint location (`<checkpoint>/pjfilelog/<batchId>`,
+  * written atomically via temp+rename before the offset is returned), so
+  * a checkpointed offset never carries file paths — an object store that
+  * stamps 10k files in one coarse mtime tick still yields a ~20-byte
+  * offset. Batch membership is decided by a seen-paths set replayed from
+  * the log at restart (the same design as Spark's own FileStreamSource),
+  * which also makes the source robust to files landing *within* an
+  * already-partially-consumed mtime tick in any path order. Each file
+  * lands in exactly one logged batch; replay of a planned-but-uncommitted
+  * batch reads the identical file list back from the log.
   *
-  * With `maxFilesPerTrigger` ([[SupportsAdmissionControl]]) each batch
-  * advances the watermark by at most n files in (mtime, path) order;
-  * `Trigger.AvailableNow` then drains the backlog as a SEQUENCE of bounded
-  * batches via Spark's wrapper.
+  * Driver memory holds one path per ingested file (like FileStreamSource);
+  * log entries are one small file per batch, bounded by the batch's file
+  * count, and every [[CompactInterval]] batches the log compacts to one
+  * seen-set snapshot + a bounded numeric tail, so neither entry count nor
+  * restart replay grows with stream lifetime. Offsets written by the
+  * pre-log scheme (`{"maxMtime":…,"paths":[…]}`) still deserialize; the
+  * first trigger after an upgrade seeds the seen-set from the legacy
+  * watermark so nothing replays.
+  *
+  * With `maxFilesPerTrigger` each batch takes at most n pending files in
+  * (mtime, path) order; `Trigger.AvailableNow` snapshots the listing at
+  * prepare time and drains exactly that set as a sequence of bounded
+  * batches.
   */
 class PjMicroBatchStream(
     info: PjStreamInfo,
@@ -47,28 +64,180 @@ class PjMicroBatchStream(
       * Spark no longer re-applies them above the scan, so every per-batch
       * file discovery must re-apply them here (definite-match keeps).
       */
-    claimedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    claimedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    /** Stream checkpoint dir for this source (from `toMicroBatchStream`);
+      * hosts the per-batch file-list log.
+      */
+    checkpointLocation: String = "")
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  final case class PjStreamOffset(maxMtime: Long, paths: Seq[String]) extends Offset {
-    override def json(): String = {
-      def q(s: String) = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      s"""{"maxMtime":$maxMtime,"paths":[${paths.sorted.map(q).mkString(",")}]}"""
+  // ---------------------------------------------------------------- offsets
+
+  /** Constant-size committed offset: the id of the last logged batch. */
+  final case class PjStreamOffset(batchId: Long) extends Offset {
+    override def json(): String = s"""{"batchId":$batchId}"""
+  }
+
+  /** Pre-log offset format, kept for checkpoint back-compat only. */
+  final case class PjLegacyOffset(maxMtime: Long, paths: Seq[String]) extends Offset {
+    override def json(): String =
+      s"""{"maxMtime":$maxMtime,"paths":[${paths.sorted.map(jq).mkString(",")}]}"""
+  }
+
+  private def jq(s: String) = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private val Earliest = PjStreamOffset(-1L)
+
+  override def initialOffset(): Offset = Earliest
+
+  override def deserializeOffset(json: String): Offset =
+    """"batchId":(-?\d+)""".r.findFirstMatchIn(json) match {
+      case Some(m) => PjStreamOffset(m.group(1).toLong)
+      case None =>
+        val maxM = """"maxMtime":(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        val paths = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(
+          json.dropWhile(_ != '[')).map(_.group(1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+        PjLegacyOffset(maxM, paths.filterNot(_ == "maxMtime"))
+    }
+
+  // ----------------------------------------------------------- metadata log
+
+  private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+
+  private def logDir = new Path(checkpointLocation, "pjfilelog")
+
+  /** Atomic (temp + rename) write of one batch's file list, one path per
+    * line with the JSON string escape (paths may contain anything but are
+    * newline-escaped, so line-split parsing is exact).
+    */
+  private def writeLog(name: String, paths: Seq[String]): Unit = {
+    val fs = logDir.getFileSystem(hadoopConf)
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".$name.tmp")
+    val dst = new Path(logDir, name)
+    val out = fs.create(tmp, true)
+    try out.write(paths.map(jq).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dst) && !fs.exists(dst))
+      throw new java.io.IOException(s"pjparquet stream log: cannot publish $dst")
+  }
+
+  private def readLog(name: String): Seq[String] = {
+    val fs = logDir.getFileSystem(hadoopConf)
+    val in = fs.open(new Path(logDir, name))
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    val s = new String(bytes, "UTF-8")
+    if (s.isEmpty) Nil
+    else s.split('\n').toSeq.map(l =>
+      l.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+
+  /** Driver-side ingestion state, replayed from the log once per stream
+    * instance (restart safety). Guarded by `this` — the micro-batch thread
+    * is single, but prepare/latestOffset interleavings stay safe.
+    */
+  private val seen = mutable.HashSet.empty[String]
+  private var maxLoggedBatch = -1L
+  private var replayed = false
+  private var legacySeeded = false
+
+  /** Non-numeric log entry holding paths consumed by a pre-log watermark
+    * checkpoint; replayed into `seen` but never part of any batch union.
+    */
+  private val LegacySeedEntry = "legacyseed"
+
+  /** Every `CompactInterval` batches the whole seen-set is snapshotted as
+    * one `seen-<id>` entry and numeric entries more than two intervals old
+    * are pruned (the engine only ever replans the last in-flight batch),
+    * so restart replay reads one snapshot + a bounded tail instead of one
+    * file per batch of the stream's lifetime — the same amortization as
+    * FileStreamSource's compact log.
+    */
+  private val CompactInterval = 10L
+
+  private def ensureReplayed(): Unit = synchronized {
+    if (replayed) return
+    if (checkpointLocation.nonEmpty) {
+      val fs = logDir.getFileSystem(hadoopConf)
+      if (fs.exists(logDir)) {
+        val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        val snapId = names.filter(_.startsWith("seen-"))
+          .map(_.stripPrefix("seen-")).filter(_.forall(_.isDigit)).map(_.toLong)
+          .sorted.lastOption
+        snapId.foreach { id =>
+          seen ++= readLog(s"seen-$id")
+          maxLoggedBatch = id
+          legacySeeded = true // any legacy seed is folded into the snapshot
+        }
+        names.filter(_.forall(_.isDigit)).map(_.toLong).sorted
+          .filter(id => snapId.forall(id > _)).foreach { id =>
+            seen ++= readLog(id.toString); maxLoggedBatch = math.max(maxLoggedBatch, id)
+          }
+        if (snapId.isEmpty && names.contains(LegacySeedEntry)) {
+          seen ++= readLog(LegacySeedEntry)
+          legacySeeded = true
+        }
+      }
+    }
+    replayed = true
+  }
+
+  /** Snapshot + prune (see [[CompactInterval]]); called with `seen` already
+    * including batch `id`.
+    */
+  private def maybeCompact(id: Long): Unit = {
+    if ((id + 1) % CompactInterval != 0) return
+    writeLog(s"seen-$id", seen.toSeq.sorted)
+    val fs = logDir.getFileSystem(hadoopConf)
+    val keepFrom = id - 2 * CompactInterval
+    fs.listStatus(logDir).foreach { s =>
+      val n = s.getPath.getName
+      val dropNumeric = n.forall(_.isDigit) && n.toLong <= keepFrom
+      val dropSnap = n.startsWith("seen-") &&
+        n.stripPrefix("seen-").forall(_.isDigit) && n.stripPrefix("seen-").toLong < id
+      if (dropNumeric || dropSnap || n == LegacySeedEntry) fs.delete(s.getPath, false)
     }
   }
 
-  private val Earliest = PjStreamOffset(-1L, Nil)
+  /** Upgrade path: a restart from a pre-log checkpoint hands a legacy
+    * watermark as `start`. Everything the watermark already consumed is
+    * marked seen (from the current listing) so it never enters a logged
+    * batch, and the seeded set is PERSISTED as a non-numeric log entry so
+    * restarts after the offset has moved to the new format still know it.
+    * The legacy contract's "no backdated files" assumption applies to
+    * exactly this one seeding.
+    */
+  private def seedFromLegacy(start: PjLegacyOffset): Unit = synchronized {
+    if (legacySeeded) return
+    val consumedAt = start.paths.toSet
+    val consumed = listMtimes().toSeq.collect {
+      case (p, m) if m < start.maxMtime || (m == start.maxMtime && consumedAt.contains(p)) => p
+    }
+    writeLog(LegacySeedEntry, consumed)
+    seen ++= consumed
+    legacySeeded = true
+  }
+
+  // ------------------------------------------------------------- discovery
 
   /** (path -> mtime) of every data file under the directory right now. */
   private def listMtimes(): Map[String, Long] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new Path(info.path)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(hadoopConf)
     val it = fs.listFiles(root, true)
     val m = Map.newBuilder[String, Long]
     while (it.hasNext) {
@@ -80,94 +249,92 @@ class PjMicroBatchStream(
     m.result()
   }
 
-  private def afterStart(start: PjStreamOffset)(p: String, m: Long): Boolean =
-    m > start.maxMtime || (m == start.maxMtime && !start.paths.contains(p))
-
-  override def initialOffset(): Offset = Earliest
-
   override def getDefaultReadLimit: ReadLimit =
     info.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  /** `Trigger.AvailableNow` snapshot: files that appear AFTER this point
-    * belong to the next run, and the bounded-batch loop below terminates
-    * exactly at this watermark. Implementing the interface natively (rather
-    * than taking Spark's wrapper) is what lets AvailableNow compose with
-    * `maxFilesPerTrigger` as a sequence of bounded batches.
+  /** `Trigger.AvailableNow` snapshot: the path set present at prepare time.
+    * Files that appear after this point belong to the next run, and the
+    * bounded-batch loop terminates when the snapshot is drained. Native
+    * implementation (rather than Spark's wrapper) is what lets AvailableNow
+    * compose with `maxFilesPerTrigger` as a sequence of bounded batches.
     */
-  @volatile private var availableNowTarget: Option[PjStreamOffset] = None
+  @volatile private var availableNowSnapshot: Option[Set[String]] = None
 
-  override def prepareForTriggerAvailableNow(): Unit = {
-    val mtimes = listMtimes()
-    availableNowTarget = Some(
-      if (mtimes.isEmpty) Earliest
-      else {
-        val maxM = mtimes.valuesIterator.max
-        PjStreamOffset(maxM, mtimes.collect { case (p, m) if m == maxM => p }.toSeq)
-      })
-  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(listMtimes().keySet)
 
-  /** Advance the watermark past at most `limit` pending files in
-    * (mtime, path) order. The boundary offset's path set contains every
-    * prefix path at the boundary mtime (already-consumed ones included —
-    * the start side excludes them on read), so the NEXT batch resumes
-    * exactly after the cut even when many files share one mtime tick.
+  /** Log (atomically) and return the next batch boundary: at most `limit`
+    * unseen files in (mtime, path) order. If our log is already ahead of
+    * `start` (crash between our log write and Spark's offset-log write),
+    * the logged boundary is returned as-is so replay reads the identical
+    * file list.
     */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startO = start.asInstanceOf[PjStreamOffset]
-    val mtimes = listMtimes()
-    val inSnapshot: (String, Long) => Boolean = availableNowTarget match {
-      case Some(t) => (p, m) => m < t.maxMtime || (m == t.maxMtime && t.paths.contains(p))
-      case None => (_, _) => true
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    ensureReplayed()
+    val startId = start match {
+      case o: PjStreamOffset => o.batchId
+      case o: PjLegacyOffset => seedFromLegacy(o); -1L
     }
-    val pending = mtimes.toSeq
-      .filter { case (p, m) => afterStart(startO)(p, m) && inSnapshot(p, m) }
+    if (maxLoggedBatch > startId) return PjStreamOffset(maxLoggedBatch)
+    val inSnapshot: String => Boolean =
+      availableNowSnapshot.map(s => s.contains(_)).getOrElse(_ => true)
+    val pending = listMtimes().toSeq
+      .filter { case (p, _) => !seen.contains(p) && inSnapshot(p) }
       .sortBy { case (p, m) => (m, p) }
-    if (pending.isEmpty) return startO
+    if (pending.isEmpty) return start
     val cap = limit match {
       case f: ReadMaxFiles => f.maxFiles()
       case _: ReadAllAvailable => Int.MaxValue
       case _ => Int.MaxValue
     }
-    val taken = pending.take(cap)
-    val boundaryM = taken.last._2
-    val carried =
-      if (startO.maxMtime == boundaryM) startO.paths else Nil
-    PjStreamOffset(boundaryM,
-      (carried ++ taken.collect { case (p, m) if m == boundaryM => p }).distinct)
+    val taken = pending.take(cap).map(_._1)
+    val newId = maxLoggedBatch + 1
+    writeLog(newId.toString, taken)
+    seen ++= taken
+    maxLoggedBatch = newId
+    maybeCompact(newId)
+    PjStreamOffset(newId)
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
-  override def deserializeOffset(json: String): Offset = {
-    val maxM = """"maxMtime":(-?\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(-1L)
-    val paths = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(
-      json.dropWhile(_ != '[')).map(_.group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-    PjStreamOffset(maxM, paths.filterNot(_ == "maxMtime"))
-  }
+  // ---------------------------------------------------------------- planning
 
-  /** Files in `(start, end]` under the watermark scheme, as validated
-    * PjFiles (index bytes + partition values) from the batch resolver.
+  /** Files in `(start, end]`: the union of the logged batch lists, as
+    * validated PjFiles (index bytes + partition values) from the batch
+    * resolver. A legacy `end` (replay of a pre-upgrade batch) falls back to
+    * the watermark-window scheme over the live listing.
     */
-  private def filesInWindow(start: PjStreamOffset, end: PjStreamOffset): Seq[PjFile] = {
-    if (end.maxMtime < 0) return Nil
-    val mtimes = listMtimes()
-    val endPaths = end.paths.toSet
-    def atOrBeforeEnd(p: String, m: Long): Boolean =
-      m < end.maxMtime || (m == end.maxMtime && endPaths.contains(p))
+  private def filesInWindow(start: Offset, end: Offset): Seq[PjFile] = {
+    val wanted: String => Boolean = end match {
+      case e: PjStreamOffset =>
+        if (e.batchId < 0) return Nil
+        ensureReplayed()
+        val startId = start match {
+          case o: PjStreamOffset => o.batchId
+          case _: PjLegacyOffset => -1L // legacy-consumed files were never logged
+        }
+        val ps = ((startId + 1) to e.batchId).flatMap(id => readLog(id.toString)).toSet
+        ps.contains(_)
+      case e: PjLegacyOffset =>
+        val s = start.asInstanceOf[PjLegacyOffset]
+        if (e.maxMtime < 0) return Nil
+        val mtimes = listMtimes()
+        val endPaths = e.paths.toSet
+        val startPaths = s.paths.toSet
+        p => mtimes.get(p).exists { m =>
+          val afterStart = m > s.maxMtime || (m == s.maxMtime && !startPaths.contains(p))
+          val atOrBeforeEnd = m < e.maxMtime || (m == e.maxMtime && endPaths.contains(p))
+          afterStart && atOrBeforeEnd
+        }
+    }
     val layout = PjParquetTable.resolveFiles(
-      info.path, SparkSession.active.sessionState.newHadoopConf(),
-      info.autogen, info.mergeSchema)
-    layout.files.filter { f =>
-      mtimes.get(f.path) match {
-        case Some(m) => afterStart(start)(f.path, m) && atOrBeforeEnd(f.path, m)
-        case None => false // deleted between listing and resolution
-      }
-    }.filter(f => claimedFilters.forall(cf =>
-      PjPartitionFilter.exactMatch(partitionSchema, f, cf).contains(true)))
+      info.path, hadoopConf, info.autogen, info.mergeSchema)
+    layout.files.filter(f => wanted(f.path))
+      .filter(f => claimedFilters.forall(cf =>
+        PjPartitionFilter.exactMatch(partitionSchema, f, cf).contains(true)))
   }
 
   private def batchScan(files: Seq[PjFile]): PjScan =
@@ -175,9 +342,7 @@ class PjMicroBatchStream(
       None, pushedFilters)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    batchScan(filesInWindow(
-      start.asInstanceOf[PjStreamOffset], end.asInstanceOf[PjStreamOffset]))
-      .planInputPartitions()
+    batchScan(filesInWindow(start, end)).planInputPartitions()
 
   override def createReaderFactory(): PartitionReaderFactory =
     batchScan(Nil).createReaderFactory()
