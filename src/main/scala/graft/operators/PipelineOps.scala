@@ -450,9 +450,9 @@ object PipelineOps {
 
   // ------------------------------------------ similarity search (embeddings)
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[operators] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotProduct(a, b)
 
   /** Cosine similarity over `array<double>` columns. The three inner
@@ -484,7 +484,7 @@ object PipelineOps {
   /** (probe_id, neighbor_id, cos_sim) → per-probe (rank ≤ k) via the
     * map-side-partial top-k aggregate.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopK.topKByScore(k, col("cos_sim"), col("neighbor_id")).as("top"))
@@ -812,7 +812,7 @@ object PipelineOps {
     * break toward the lower centroid id, empty clusters keep their
     * previous centroid.
     */
-  private def lloydFit(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[operators] def lloydFit(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val n = points.length
     require(n > 0, "pq: empty training sample")
     val ds = points(0).length
@@ -957,6 +957,24 @@ object PipelineOps {
       embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb")),
       cb, "n_emb")
       .select(col("neighbor_id"), col("pq_codes"), col("pq_norm"))
+    pqAdcRerank(corpus, embeddings, probes, cb, k, refineFactor)
+  }
+
+  /** ADC scoring + exact re-rank over an ALREADY-ENCODED corpus
+    * (`neighbor_id`, `pq_codes`, `pq_norm`) — the shared back half of
+    * [[pqAnnTopK]] (inline encode) and [[PqIndex.topK]] (codes read back
+    * from the persisted index table, no encode in the plan).
+    */
+  private[operators] def pqAdcRerank(
+      corpus: DataFrame,
+      embeddings: DataFrame,
+      probes: DataFrame,
+      cb: Array[Array[Array[Double]]],
+      k: Int,
+      refineFactor: Int): DataFrame = {
+    val m = cb.length
+    val codes = cb(0).length
+    val ds = cb(0)(0).length
     val p = asDouble(col("embedding"))
     // flat literal codebook + one HOF pass builds the m×codes LUT (same
     // plan-size rationale as pqEncode)
@@ -977,8 +995,11 @@ object PipelineOps {
       .select(col("probe_id"), col("neighbor_id"),
         when(col("p_norm") * col("pq_norm") === 0.0, lit(0.0))
           .otherwise(adcDot / (col("p_norm") * col("pq_norm"))).as("cos_sim"))
+    // distinct: a persisted-index corpus can briefly hold duplicate rows
+    // per id (e.g. between a compaction and its index refresh) — the
+    // shortlist is tiny (probes × k·refineFactor), so dedup is free
     val shortlist = rankTopK(adc, k * refineFactor)
-      .select(col("probe_id"), col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id")).distinct()
     // exact re-rank of the shortlist only: slim id-joins fetch the float
     // vectors for probes × k·refineFactor rows, never the whole corpus
     val exact = shortlist

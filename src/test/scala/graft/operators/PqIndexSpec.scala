@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Persisted PQ ANN index: build once, query without re-encoding the
+  * corpus, reconcile incrementally at write commits.
+  */
+class PqIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** Deterministic synthetic corpus: id + unit-ish embedding. */
+  private def corpus(n: Int, idOffset: Long = 0L): DataFrame =
+    spark.range(0, n).select(
+      ($"id" + idOffset).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => sin(($"id" + idOffset + 1) * (j + 1) * 0.7)).as("embedding"))
+
+  private def srcDirs(root: String): Set[String] =
+    Option(new java.io.File(s"$root/_pq_index/codes").listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("src=")).toSet
+
+  test("indexed topK == inline pqAnnTopK, and the plan scans codes instead of encoding") {
+    val root = Files.createTempDirectory("pq_idx").toString
+    graft.sources.pjparquet.PjWriter.writeWithIndex(corpus(300), root)
+    PqIndex.build(spark, root, "vec_id", "embedding", dim, m = 4, codes = 8)
+    assert(Files.exists(Paths.get(root, "_pq_index", "_meta.parquet")))
+    assert(srcDirs(root).nonEmpty, "codes table must be partitioned by source key")
+
+    val probes = corpus(5)
+    val indexed = PqIndex.topK(spark, root, probes, k = 3, refineFactor = 4)
+
+    // plan-shape proof: the codes come from a stored relation (pq_codes in
+    // a scan's output), not from encode expressions over the corpus
+    val codeRelations = indexed.queryExecution.analyzed.collect {
+      case r: DataSourceV2Relation if r.output.exists(_.name == "pq_codes") => r
+    }
+    assert(codeRelations.nonEmpty,
+      s"indexed path must SCAN pq_codes:\n${indexed.queryExecution.analyzed}")
+
+    // value-identical to the inline operator under the same codebooks
+    val meta = spark.read.parquet(s"$root/_pq_index/_meta.parquet").head()
+    val cb = meta.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](5)
+      .map(_.map(_.toArray).toArray).toArray
+    val inline = PipelineOps.pqAnnTopK(
+      corpus(300), probes, k = 3, dim = dim, m = 4, codes = 8,
+      refineFactor = 4, codebooks = Some(cb))
+    def canon(df: DataFrame) = df.select($"probe_id", $"neighbor_id",
+      round($"cos_sim", 9).as("s")).collect().map(_.toString).sorted.toSeq
+    assert(canon(indexed) == canon(inline))
+  }
+
+  test("write commit reconciles the index: appends encode, deletes drop, results track") {
+    val root = Files.createTempDirectory("pq_idx_commit").toString
+    corpus(100).write.format("pjparquet").mode("overwrite").save(root)
+    PqIndex.build(spark, root, "vec_id", "embedding", dim, m = 4, codes = 8)
+    val before = srcDirs(root)
+
+    // DSv2 append commits -> maintainIfPresent encodes ONLY the new files
+    corpus(50, idOffset = 1000L).write.format("pjparquet").mode("append").save(root)
+    val after = srcDirs(root)
+    assert(before.subsetOf(after), "existing partitions must survive an append untouched")
+    assert(after.size > before.size, "the appended files must gain code partitions")
+
+    // the persisted index now covers the appended ids without any rebuild
+    val probe = corpus(1, idOffset = 1000L) // = appended vector 1000
+    val top = PqIndex.topK(spark, root, probe, k = 5).collect()
+    assert(top.length == 5)
+
+    // truncate to a smaller corpus: stale keys must drop at commit
+    corpus(30).write.format("pjparquet").mode("overwrite").save(root)
+    val truncated = srcDirs(root)
+    assert(truncated.intersect(before).isEmpty && truncated.intersect(after).isEmpty,
+      "overwrite must drop every pre-existing code partition")
+    val ids = spark.read.format("pjparquet").load(s"$root/_pq_index/codes")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ids == (0L until 30L).toSet, s"codes must track the truncated corpus, got $ids")
+  }
+
+  test("a fresh index reconciles with zero jobs and an unindexed root is untouched") {
+    val root = Files.createTempDirectory("pq_idx_noop").toString
+    corpus(50).write.format("pjparquet").mode("overwrite").save(root)
+    // no index built: the commit hook must leave the root alone
+    corpus(10, 500L).write.format("pjparquet").mode("append").save(root)
+    assert(!Files.exists(Paths.get(root, "_pq_index")))
+
+    PqIndex.build(spark, root, "vec_id", "embedding", dim, m = 4, codes = 8)
+    val dirs = srcDirs(root)
+    PqIndex.maintain(spark, root) // fresh: pure listing, no change
+    assert(srcDirs(root) == dirs)
+  }
+}
