@@ -156,13 +156,16 @@ object MetadataQueries {
         partitionBy = Seq("n_regionkey"))
       s.sql("DROP TABLE IF EXISTS pj_q64_t")
       s.sql(s"CREATE TABLE pj_q64_t USING pjparquet OPTIONS (path '$tmp')")
-      nation.filter($"n_regionkey" > 1).createOrReplaceTempView("pj_q64_src")
-      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-      try {
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        s.sql("""INSERT OVERWRITE pj_q64_t
+      // The INSERT OVERWRITE must run in dynamic partition-overwrite mode;
+      // run it on an isolated child session (shared catalog, private conf)
+      // so the harness session's planning conf is never touched. The temp
+      // view is session-scoped, so it is registered on the child.
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      graft.Tables.nation(iso, dir).filter(col("n_regionkey") > 1)
+        .createOrReplaceTempView("pj_q64_src")
+      iso.sql("""INSERT OVERWRITE pj_q64_t
                 |SELECT n_nationkey, n_name, n_regionkey FROM pj_q64_src""".stripMargin)
-      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       s.sql("""SELECT n_regionkey, count(*) AS n_nations,
               |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
               |FROM pj_q64_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
@@ -463,6 +466,107 @@ object MetadataQueries {
         lit(if (fallbackPlan.contains("LocalTableScan")) 0L else 1L)
           .as("zero_bound_scans_data"))
     }),
+    "q113_sorted_layout" -> ((s, dir) => {
+      import s.implicits._
+      // Sorted-layout declaration end-to-end: the write declares
+      // `sort.columns=l_orderkey` (an in-task sort via
+      // RequiresDistributionAndOrdering), the commit publishes the
+      // `_pj_sort` marker, and the scan reports the ordering
+      // (SupportsReportOrdering) — so a per-partition sort on the same key
+      // above the scan is ELIDED from the physical plan. At 100 TB this is
+      // what makes a key-sorted layout pay off: downstream sort-merge
+      // consumers read pre-sorted splits instead of re-sorting the table.
+      val tmp = fixtureDir("pj_q113_sorted", dir) { d =>
+        graft.Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_partkey", $"l_quantity")
+          .write.format("pjparquet").option("sort.columns", "l_orderkey")
+          .mode("overwrite").save(d)
+      }
+      val t = s.read.format("pjparquet").load(tmp)
+      val probe = t.sortWithinPartitions($"l_orderkey")
+      val sortElided = probe.queryExecution.executedPlan
+        .collect { case e: org.apache.spark.sql.execution.SortExec => e }.isEmpty
+      t.groupBy(($"l_orderkey" % 10).cast("long").as("okey_mod"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          sum($"l_partkey").cast("long").as("part_sum"))
+        .withColumn("sort_elided", lit(if (sortElided) 1L else 0L))
+        .orderBy($"okey_mod")
+    }),
+    "q115_topn_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      // ORDER BY + LIMIT over a sorted layout (SupportsPushDownTopN): the
+      // scan plans only the row groups covering n rows per file — top-10
+      // of a 100k-row-group key-sorted table reads one row group per file
+      // instead of the table. Order on (l_orderkey, l_linenumber) is a
+      // UNIQUE tuple, so the top-100 row set is engine-deterministic and
+      // the aggregate below is oracle-exact. Plan bit = the scan claims
+      // "PushedTopN" in its description.
+      val tmp = fixtureDir("pj_q115_sorted2", dir) { d =>
+        graft.Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .write.format("pjparquet")
+          .option("sort.columns", "l_orderkey,l_linenumber")
+          .mode("overwrite").save(d)
+      }
+      val top = s.read.format("pjparquet").load(tmp)
+        .orderBy($"l_orderkey", $"l_linenumber").limit(100)
+      val claimed = top.queryExecution.executedPlan
+        .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+        .exists(_.scan.description().contains("PushedTopN: 100 ASC"))
+      top.agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_orderkey").cast("long").as("okey_sum"),
+          sum($"l_linenumber").cast("long").as("line_sum"),
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          max($"l_orderkey").cast("long").as("max_okey"))
+        .withColumn("topn_pushed", lit(if (claimed) 1L else 0L))
+    }),
+    "q114_pq_persisted_index" -> ((s, dir) => {
+      // Persisted PQ ANN artifacts (PqIndex): codebooks + codes live as a
+      // commit-maintained table under the corpus root, so similarity
+      // search SCANS stored codes instead of re-encoding the corpus per
+      // query — at 100 TB that's the difference between an index and a
+      // scan. Plan-shape bits prove it: the analyzed plan contains a
+      // pjparquet relation with pq_codes in its output (codes READ, not
+      // computed) and the artifact directory exists on disk. Recall vs
+      // the exact brute-force top-k stays oracle-checked (same m/codes/
+      // refine as q104, measured 98/100/86 at sf0.001/0.01/0.1).
+      val k = 5
+      val root = fixtureDir("pj_q114_pqindex", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), d)
+        PqIndex.build(s, d, "vec_id", "embedding",
+          graft.Tables.embeddingDim, m = 8, codes = 64)
+      }
+      val probes = graft.Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      val indexed = PqIndex.topK(s, root, probes, k = k, refineFactor = 16)
+      val codesScanned = indexed.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.output.exists(_.name == "pq_codes") => r
+      }.nonEmpty
+      val artifactPersisted =
+        new java.io.File(s"$root/_pq_index/codes").isDirectory &&
+          new java.io.File(s"$root/_pq_index/_meta.parquet").isDirectory
+      val exact = PipelineOps.cosineTopK(graft.Tables.embeddings(s, dir), probes, k = k)
+      val shape = indexed.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
+        .agg(
+          count(lit(1)).as("probes_returned"),
+          coalesce(min((col("_n") === k.toLong && col("_nd") === k.toLong).cast("long")),
+            lit(1L)).as("per_probe_shape_ok"))
+      val hits = indexed.select(col("probe_id"), col("neighbor_id"))
+        .join(exact.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_hits"))
+      val nExact = exact.agg(count(lit(1)).as("_n_exact"))
+      shape.crossJoin(hits).crossJoin(nExact).select(
+        col("probes_returned"), col("per_probe_shape_ok"),
+        lit(if (codesScanned) 1L else 0L).as("codes_scanned_not_encoded"),
+        lit(if (artifactPersisted) 1L else 0L).as("artifact_persisted"),
+        (col("_hits") * 100L >= col("_n_exact") * 80L).cast("long").as("recall_ge_80"))
+    }),
     "q111_nested_pjparquet" -> ((s, dir) => {
       import s.implicits._
       // Nested-schema graceful path (reference restriction: PJ_2 indexes
@@ -511,9 +615,9 @@ object MetadataQueries {
       // lang, the scans report KeyGroupedPartitioning, and with v2
       // bucketing on the join + same-key aggregation plan ZERO hash
       // exchanges — on a 100 TB co-partitioned fact-fact join this moves
-      // no bytes across the cluster. The plan-shape fact is computed
-      // UNDER the conf (then restored so the rest of the suite plans
-      // unchanged, q93 convention); values are oracle-exact either way.
+      // no bytes across the cluster. The plan-shape fact is computed on an
+      // isolated child session carrying the SPJ confs (q111 convention);
+      // values are oracle-exact either way.
       val factDir = fixtureDir("pj_q95_bylang", dir) { d =>
         graft.sources.pjparquet.PjWriter.writeWithIndex(
           graft.Tables.documents(s, dir), d, partitionBy = Seq("lang"))
@@ -524,30 +628,25 @@ object MetadataQueries {
             .agg(count(lit(1)).as("lang_total")),
           d, partitionBy = Seq("lang"))
       }
-      def joined = s.read.format("pjparquet").load(factDir)
-        .join(s.read.format("pjparquet").load(statsDir), Seq("lang"))
-        .groupBy($"lang")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum($"doc_id").as("id_sum"),
-          max($"lang_total").as("lang_total"))
-        .orderBy($"lang")
-      val conf = s.conf
-      val oldB = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val oldT = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      val noShuffle =
-        try {
-          conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-          conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          val plan = joined.queryExecution.executedPlan.toString
-          !plan.contains("Exchange hashpartitioning")
-        } finally {
-          oldB.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
-            conf.set("spark.sql.sources.v2.bucketing.enabled", _))
-          oldT.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-            conf.set("spark.sql.autoBroadcastJoinThreshold", _))
-        }
-      joined.withColumn("spj_no_shuffle", lit(if (noShuffle) 1L else 0L))
+      def joined(sess: org.apache.spark.sql.SparkSession) =
+        sess.read.format("pjparquet").load(factDir)
+          .join(sess.read.format("pjparquet").load(statsDir), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            max(col("lang_total")).as("lang_total"))
+          .orderBy(col("lang"))
+      // Plan-shape fact is computed on an isolated child session with SPJ
+      // confs set there (shared catalog + context, private SQLConf) — the
+      // harness session's planning conf is never mutated, so concurrently
+      // built queries can't observe the SPJ settings.
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noShuffle = !joined(iso).queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning")
+      joined(s).withColumn("spj_no_shuffle", lit(if (noShuffle) 1L else 0L))
     }),
     "q98_runtime_pruned_join" -> ((s, dir) => {
       import s.implicits._
@@ -777,6 +876,28 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS metadata_only,
         |       CAST(1 AS BIGINT) AS zero_bound_scans_data
         |FROM lineitem""".stripMargin,
+    "q115_topn_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS okey_sum,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS line_sum,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(max(l_orderkey) AS BIGINT) AS max_okey,
+        |       CAST(1 AS BIGINT) AS topn_pushed
+        |FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100)""".stripMargin,
+    "q114_pq_persisted_index" ->
+      """SELECT count(*) AS probes_returned,
+        |       CAST(1 AS BIGINT) AS per_probe_shape_ok,
+        |       CAST(1 AS BIGINT) AS codes_scanned_not_encoded,
+        |       CAST(1 AS BIGINT) AS artifact_persisted,
+        |       CAST(1 AS BIGINT) AS recall_ge_80
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q113_sorted_layout" ->
+      """SELECT CAST(l_orderkey % 10 AS BIGINT) AS okey_mod,
+        |       count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(sum(l_partkey) AS BIGINT) AS part_sum,
+        |       CAST(1 AS BIGINT) AS sort_elided
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q111_nested_pjparquet" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

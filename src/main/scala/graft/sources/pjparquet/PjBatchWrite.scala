@@ -80,7 +80,8 @@ final class PjWriteBuilder(
     partitionKeys: Seq[String],
     info: LogicalWriteInfo,
     initialMode: PjWriteMode = PjWriteMode.Append,
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    sortColumns: Seq[String] = Nil)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -110,7 +111,8 @@ final class PjWriteBuilder(
   }
 
   override def build(): Write =
-    new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(), bloomColumns)
+    new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
+      bloomColumns, sortColumns)
 }
 
 final class PjWrite(
@@ -119,7 +121,8 @@ final class PjWrite(
     writeSchema: StructType,
     mode: PjWriteMode,
     queryId: String,
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    sortColumns: Seq[String] = Nil)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet write $mode -> $root"
@@ -134,11 +137,16 @@ final class PjWrite(
     else Distributions.clustered(
       partitionKeys.map(k => Expressions.column(k): V2Expression).toArray)
 
+  /** Partition keys first (one open writer per task), then the declared
+    * `sort.columns` — so every written FILE is internally sorted by the
+    * data sort columns and the commit can maintain [[PjSortMarker]].
+    */
   override def requiredOrdering(): Array[SortOrder] =
-    partitionKeys.map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+    (partitionKeys ++ sortColumns)
+      .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =
-    new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns)
+    new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -155,7 +163,7 @@ final class PjWrite(
     if (mode != PjWriteMode.Append)
       throw new PJException(
         "pjparquet: streaming writes support the append output mode only")
-    new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns)
+    new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns, sortColumns)
   }
 }
 
@@ -164,7 +172,8 @@ final class PjStreamingWrite(
     partitionKeys: Seq[String],
     writeSchema: StructType,
     queryId: String,
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    sortColumns: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -178,29 +187,39 @@ final class PjStreamingWrite(
       root, new SerializableConfiguration(hadoopConf), writeSchema.json, partitionKeys, queryId)
   }
 
-  private def sweep(epochId: Long, keep: Set[String]): Unit = {
+  /** Deletes this epoch's non-kept (failed-attempt) files; returns how many
+    * data files from OTHER epochs/jobs exist (sort-marker survivors).
+    */
+  private def sweep(epochId: Long, keep: Set[String]): Int = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     val tag = s"-e$epochId-$queryId-"
-    for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)
-         if status.getPath.getName.contains(tag)) {
+    var others = 0
+    for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
       val name = status.getPath.getName
-      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-      if (!keep.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+      if (name.contains(tag)) {
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        if (!keep.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+      } else others += 1
     }
+    others
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val manifest: Set[String] =
       messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
-    sweep(epochId, manifest) // failed-attempt leftovers from this epoch
+    val survivors = sweep(epochId, manifest) // failed-attempt leftovers from this epoch
     // sidecar maintenance sized to the EPOCH, not the table: a long-lived
     // stream into a 100k-file table must not re-walk the root per commit
     val epochPaths = manifest.toSeq.sorted.map(rel => s"$root/$rel")
     PjIndexJob.generateForPaths(SparkSession.active, epochPaths)
     if (bloomColumns.nonEmpty)
       PjBloomJob.generateForPaths(SparkSession.active, epochPaths, bloomColumns)
-    ()
+    val rootPath = new Path(root)
+    PjBatchWrite.maintainSortMarker(
+      rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf()),
+      rootPath, sortColumns, survivors)
+    graft.operators.PqIndex.maintainIfPresent(SparkSession.active, root)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -235,7 +254,8 @@ final class PjBatchWrite(
     partitionKeys: Seq[String],
     writeSchema: StructType,
     mode: PjWriteMode,
-    bloomColumns: Seq[String] = Nil)
+    bloomColumns: Seq[String] = Nil,
+    sortColumns: Seq[String] = Nil)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -268,7 +288,10 @@ final class PjBatchWrite(
       case _ => Set.empty
     }
 
-    // one recursive walk classifies every data file under the root
+    // one recursive walk classifies every data file under the root;
+    // `survivors` = pre-existing files that remain after this commit (the
+    // sort-marker invariant must hold for them too)
+    var survivors = 0
     for ((status, relDir, partValues) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
       val name = status.getPath.getName
       val rel = if (relDir.isEmpty) name else s"$relDir/$name"
@@ -283,8 +306,10 @@ final class PjBatchWrite(
             replaced.contains(fs.makeQualified(status.getPath))
         }
       if (drop) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+      else if (!manifest.contains(rel)) survivors += 1
     }
     PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
+    PjBatchWrite.maintainSortMarker(fs, rootPath, sortColumns, survivors)
     // new files become index-planned immediately. Sidecar maintenance is
     // sized to the COMMIT (the manifest is the exact new-file list), not the
     // table: pre-existing files kept their sidecars, dropped files lost
@@ -295,6 +320,9 @@ final class PjBatchWrite(
     // `bloom.columns` table option: keep point-lookup skipping live across
     // INSERT/OVERWRITE/DML — one data pass over the NEW files only
     if (bloomColumns.nonEmpty) PjBloomJob.generateForPaths(spark, newPaths, bloomColumns)
+    // persisted ANN index (if built): reconcile codes with this commit's
+    // file changes — encode new files, drop vanished ones
+    graft.operators.PqIndex.maintainIfPresent(spark, root)
     log.info("pjparquet commit {}: {} files, mode {}", jobUUID, manifest.size.toString, mode)
   }
 
@@ -311,6 +339,26 @@ final class PjBatchWrite(
 }
 
 private[pjparquet] object PjBatchWrite {
+
+  /** Commit-time [[PjSortMarker]] maintenance. The marker may claim a sort
+    * only while EVERY data file satisfies it: keep/write it when this
+    * commit declared the same `sort.columns` (the write's required ordering
+    * made the new files sorted) AND either no pre-existing files survive
+    * (truncate, first write, full replacement) or the surviving files were
+    * already covered by an identical marker. Any other commit — append
+    * without the option, changed columns — deletes the marker: readers then
+    * simply stop reporting an ordering (never a wrong answer).
+    */
+  def maintainSortMarker(
+      fs: FileSystem, root: Path, declared: Seq[String], survivors: Int): Unit = {
+    def norm(cols: Seq[String]) = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+    val existing = PjSortMarker.read(fs, root)
+    val valid = declared.nonEmpty &&
+      (survivors == 0 || existing.exists(e => norm(e) == norm(declared)))
+    if (valid) {
+      if (!existing.contains(declared)) PjSortMarker.write(fs, root, declared)
+    } else if (existing.isDefined) PjSortMarker.delete(fs, root)
+  }
 
   /** Recursive walk mirroring `PjParquetTable.resolveFiles`: yields each
     * data file with its partition-relative dir ("" at the root) and decoded

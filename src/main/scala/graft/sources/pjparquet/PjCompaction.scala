@@ -127,9 +127,18 @@ object PjCompaction {
       .repartitionByRange(totalBins, col("_pid"))
       .drop("_dir", "_pid")
 
+    // A sorted-layout claim (`_pj_sort`) must survive compaction: the bin
+    // routing interleaves input files, so re-sort each task's rows by
+    // (partition cols, sort cols) — partition-col prefix also lets the
+    // stock writer skip its own dynamic-partition sort.
+    val sortClaim = PjSortMarker.read(fs, rootPath).getOrElse(Nil)
+    val writeDf =
+      if (sortClaim.isEmpty) routed
+      else routed.sortWithinPartitions((partCols ++ sortClaim).map(col): _*)
+
     val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val w = routed.write.mode("overwrite")
+      val w = writeDf.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
 
       // publish: rename each compacted file into its real directory (names
@@ -157,6 +166,9 @@ object PjCompaction {
         fs.delete(PjBloom.bloomSidecar(p), false) // stale-by-fingerprint anyway
       }
       PjIndexJob.generateAll(spark, root)
+      // compaction rewrote source files: reconcile a persisted ANN index
+      // (stale-by-content keys drop, compacted files encode)
+      graft.operators.PqIndex.maintainIfPresent(spark, root)
 
       Report(
         filesBefore = all.size,

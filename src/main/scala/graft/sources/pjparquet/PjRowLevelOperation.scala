@@ -87,6 +87,9 @@ final class PjRowLevelOperation(
       throw new IllegalArgumentException("pjparquet: 'path' option is required"))
     new PjWriteBuilder(path, layout.partitionSchema.fieldNames.toSeq, info,
       bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions),
+      // with `sort.columns` declared the copy-on-write rewrite re-sorts the
+      // replacement files, so DML keeps the layout's ordering claim alive
+      sortColumns = PjParquetTable.sortColumnsOf(tableOptions),
       initialMode = new PjWriteMode.ReplaceFiles(() =>
         configuredScan match {
           case Some(s) => s.currentFiles.map(_.path)

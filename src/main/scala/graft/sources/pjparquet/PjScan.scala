@@ -30,7 +30,8 @@ class PjScanBuilder(
     onBuild: PjScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   // -------------------------------------- limit at row-group granularity
 
@@ -55,6 +56,50 @@ class PjScanBuilder(
   }
 
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY … LIMIT n over a SORTED layout ([[PjSortMarker]]): every file
+    * is internally sorted by `sortedBy`, so each file's top-n lives in its
+    * leading (ascending) or trailing (descending) n rows — the scan plans
+    * only the row groups covering n rows PER FILE instead of the whole
+    * table. `SELECT * FROM t ORDER BY k LIMIT 10` over a 100k-row-group
+    * sorted table reads one row group per file, and the reported ordering
+    * ([[PjScan.outputOrdering]]) makes Spark's own top-n above it cheap.
+    * Valid whenever the order's DATA columns form a prefix of the sort (in
+    * order, uniform direction, matching null ordering — the writer sorts
+    * asc nulls-first, whose reverse is desc nulls-last); partition columns
+    * are constant per file, so their position and direction never affect
+    * which rows a file contributes. Always PARTIAL (Spark keeps its sort +
+    * limit); refused under pushed data filters for the same
+    * under-delivery reason as plain LIMIT.
+    */
+  private var pushedTopN: Option[(Int, Boolean)] = None // (n, ascending)
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (limit < 0 || rowLevel || pushed.nonEmpty || explicitRgOption.isDefined ||
+        layout.sortedBy.isEmpty || orders.isEmpty) return false
+    def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val partNames = layout.partitionSchema.fieldNames.map(fold).toSet
+    val cols: Seq[(String, SortDirection, NullOrdering)] = orders.toSeq.map { o =>
+      o.expression() match {
+        case f: NamedReference if f.fieldNames().length == 1 =>
+          (fold(f.fieldNames()(0)), o.direction(), o.nullOrdering())
+        case _ => return false
+      }
+    }
+    // partition columns are constant per file — drop them; the rest must be
+    // a prefix of the layout sort with one direction + the matching nulls
+    val dataCols = cols.filterNot(c => partNames.contains(c._1))
+    val asc = dataCols.headOption.forall(_._2 == SortDirection.ASCENDING)
+    val nullsOk = dataCols.forall { case (_, d, n) =>
+      if (asc) d == SortDirection.ASCENDING && n == NullOrdering.NULLS_FIRST
+      else d == SortDirection.DESCENDING && n == NullOrdering.NULLS_LAST
+    }
+    val prefixOk = dataCols.map(_._1) == layout.sortedBy.take(dataCols.size).map(fold)
+    if (nullsOk && prefixOk) { pushedTopN = Some((limit, asc)); true } else false
+  }
 
   import org.apache.spark.sql.sources._
 
@@ -649,7 +694,9 @@ class PjScanBuilder(
       limitRows = pushedLimit,
       rowLevel = rowLevel,
       totalFiles = layout.files.size,
-      claimedFilters = claimed.toSeq)
+      claimedFilters = claimed.toSeq,
+      sortedBy = layout.sortedBy,
+      topNRows = pushedTopN)
     onBuild(scan)
     scan
   }
@@ -834,9 +881,19 @@ class PjScan(
       * in Spark's residual set). `files` already honors them; the
       * streaming path re-applies them to files discovered per batch.
       */
-    claimedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    claimedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    /** Columns every data file is internally sorted by (commit-maintained
+      * [[PjSortMarker]]); empty = no ordering claim.
+      */
+    sortedBy: Seq[String] = Nil,
+    /** ORDER BY+LIMIT pushed over the sorted layout: (n, ascending) —
+      * each file keeps only the leading (asc) / trailing (desc) row
+      * groups covering n rows (see [[PjScanBuilder.pushTopN]]).
+      */
+    topNRows: Option[(Int, Boolean)] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // ------------------------------------------------------- custom metrics
 
@@ -885,6 +942,43 @@ class PjScan(
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         keys, math.max(n, 1))
     }
+  }
+
+  /** Per-split row ordering ([[SupportsReportOrdering]]), letting Spark's
+    * `RemoveRedundantSorts` / `EnsureRequirements` elide Sort nodes above
+    * the scan. Two sources of truth compose:
+    *
+    *  - Hive PARTITION columns are constant within a split (one
+    *    partition-value tuple per split, and per key group under SPJ), so
+    *    any ordering position on them holds trivially — reported first.
+    *    On a 100 TB co-partitioned sort-merge join this removes the
+    *    per-partition sorts, not just the exchanges.
+    *  - The layout's commit-maintained `_pj_sort` claim: every file is
+    *    internally sorted by `sortedBy`, and each split is a contiguous
+    *    ascending row-group run of ONE file, so the split inherits the
+    *    file's order. Reported as the longest prefix present in the output
+    *    schema. Suppressed when SPJ grouping is on and the table is
+    *    partitioned — Spark may then CONCATENATE same-key splits from
+    *    different files into one partition, which preserves constant
+    *    (partition) columns but not data-column order.
+    *
+    * Explicit user row-group selections may be arbitrary-order — no claim.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (explicitRowGroups.isDefined) return Array.empty
+    val out = readSchema().fieldNames
+    def inOut(n: String): Option[String] = out.find(_.equalsIgnoreCase(n))
+    val partCols = partitionSchema.fieldNames.toSeq.flatMap(inOut(_))
+    val grouped = partitionSchema.nonEmpty && SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    val dataCols =
+      if (grouped) Nil
+      else sortedBy.iterator.map(inOut).takeWhile(_.isDefined).flatten
+        .filterNot(partCols.contains).toSeq
+    (partCols ++ dataCols)
+      .map(n => Expressions.sort(Expressions.column(n), SortDirection.ASCENDING))
+      .toArray
   }
 
   // --------------------------- runtime (join-driven) file pruning — "DPP"
@@ -980,9 +1074,8 @@ class PjScan(
     val base: Seq[Seq[Int]] = fs.map { f =>
       explicitRowGroups.getOrElse(0 until rgCountOf(f))
     }
-    limitRows match {
-      case None => base
-      case Some(lim) =>
+    (limitRows, topNRows) match {
+      case (Some(lim), _) =>
         var remaining = lim.toLong
         fs.zip(base).map { case (f, sel) =>
           if (remaining <= 0) Seq.empty[Int]
@@ -997,6 +1090,22 @@ class PjScan(
             keep.result()
           }
         }
+      case (None, Some((n, asc))) =>
+        // per-FILE truncation (unlike LIMIT's global one): each sorted
+        // file's top-n lives in its leading (asc) / trailing (desc) rows
+        fs.zip(base).map { case (f, sel) =>
+          val ordered = if (asc) sel else sel.reverse
+          var remaining = n.toLong
+          val keep = Seq.newBuilder[Int]
+          val it = ordered.iterator
+          while (remaining > 0 && it.hasNext) {
+            val rg = it.next()
+            keep += rg
+            remaining -= rowCountOf(f, rg)
+          }
+          keep.result().sorted
+        }
+      case (None, None) => base
     }
   }
 
@@ -1011,7 +1120,7 @@ class PjScan(
       throw new IllegalStateException("pjparquet: streaming needs a directory path"))
     new PjMicroBatchStream(info,
       fileSchema, dataRequired, partitionSchema, partRequired, pushedFilters,
-      claimedFilters)
+      claimedFilters, checkpointLocation)
   }
 
   /** Data columns first, requested partition columns last — the order the
@@ -1028,6 +1137,8 @@ class PjScan(
     s"pjparquet ${files.size} file(s), cols=${readSchema().fieldNames.mkString(",")}" +
       explicitRowGroups.map(r => s", rowGroups=${r.mkString(",")}").getOrElse("") +
       limitRows.map(n => s", PushedLimit: $n").getOrElse("") +
+      topNRows.map { case (n, asc) =>
+        s", PushedTopN: $n ${if (asc) "ASC" else "DESC"}" }.getOrElse("") +
       (if (pushedFilters.nonEmpty) s", PushedFilters: [${pushedFilters.mkString(", ")}]" else "")
 
   /** `dataRequired` folded to the FILE schema's case (when the session is

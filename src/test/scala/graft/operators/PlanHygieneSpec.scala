@@ -44,7 +44,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   // by design, so they get a wider (still bounded) shuffle budget
   private val verificationQueries = Set(
     "q32_minhash_neardup", "q34_simhash", "q36_lsh_ann", "q43_ivf_ann", "q49_winnowing",
-    "q63_streaming_heavy_hitters", "q65_embedding_quantization", "q104_pq_ann")
+    "q63_streaming_heavy_hitters", "q65_embedding_quantization", "q104_pq_ann",
+    "q114_pq_persisted_index")
 
   // queries that FIT a model over the corpus before scoring it (BM25's
   // tf/df tables, the bigram LM's count model): each model aggregate is
