@@ -186,19 +186,36 @@ object MetadataQueries {
           graft.operators.ZOrder.zorderBy(
             li, Seq("l_orderkey", "l_partkey"), numPartitions = 4), d)
       }
-      val rng = li.agg(
-        min($"l_orderkey").cast("long").as("o_min"), max($"l_orderkey").cast("long").as("o_max"),
-        min($"l_partkey").cast("long").as("p_min"), max($"l_partkey").cast("long").as("p_max"))
-      s.read.format("pjparquet").load(tmp)
-        .crossJoin(broadcast(rng))
-        .filter(
-          $"l_orderkey" <= expr("o_min + (o_max - o_min) div 4") &&
-            $"l_partkey" >= expr("p_min + (p_max - p_min) div 4") &&
-            $"l_partkey" <= expr("p_min + (p_max - p_min) div 2"))
-        .agg(
+      // Bounds at METADATA RATE: typed min/max pushdown (q93/q112 path)
+      // answers from the index's chunk statistics as a zero-task
+      // LocalTableScan, and the resulting LITERAL range predicates then
+      // push into the z-ordered scan — where chunk stats prune
+      // z-localized files and the reader's FilterPredicate drops row
+      // groups. (The earlier broadcast-crossJoin formulation kept the
+      // bounds non-literal, so nothing could push down and every run also
+      // re-scanned lineitem for the range — the r8 q80 regression was
+      // mostly that un-pushable shape.) All keys are positive, so Scala
+      // Long division == SQL div == DuckDB // here.
+      val b = pj(s, dir, "lineitem").agg(
+        min($"l_orderkey").cast("long"), max($"l_orderkey").cast("long"),
+        min($"l_partkey").cast("long"), max($"l_partkey").cast("long")).head()
+      val (oMin, oMax, pMin, pMax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val oHi = oMin + (oMax - oMin) / 4
+      val pLo = pMin + (pMax - pMin) / 4
+      val pHi = pMin + (pMax - pMin) / 2
+      val scan = s.read.format("pjparquet").load(tmp)
+        .filter($"l_orderkey" <= oHi && $"l_partkey" >= pLo && $"l_partkey" <= pHi)
+      val boundsPushed = scan.queryExecution.executedPlan.collect {
+        case bx: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bx
+      }.exists { bx =>
+        val d = bx.scan.description()
+        d.contains("PushedFilters: [") && d.contains("l_orderkey") && d.contains("l_partkey")
+      }
+      scan.agg(
           count(lit(1)).as("n_rows"),
           round(sum($"l_quantity"), 2).as("qty_sum"),
           sum($"l_orderkey" * $"l_linenumber").as("key_checksum"))
+        .withColumn("bounds_pushed", lit(if (boundsPushed) 1L else 0L))
     }),
     "q85_pjparquet_metadata_table" -> ((s, dir) => {
       import s.implicits._
@@ -813,7 +830,8 @@ object MetadataQueries {
         |  FROM lineitem)
         |SELECT count(*) AS n_rows,
         |       round(sum(l_quantity), 2) AS qty_sum,
-        |       CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS key_checksum
+        |       CAST(sum(l_orderkey * l_linenumber) AS BIGINT) AS key_checksum,
+        |       CAST(1 AS BIGINT) AS bounds_pushed
         |FROM lineitem CROSS JOIN rng
         |WHERE l_orderkey <= o_min + (o_max - o_min) // 4
         |  AND l_partkey >= p_min + (p_max - p_min) // 4
