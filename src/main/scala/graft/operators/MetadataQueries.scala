@@ -584,6 +584,66 @@ object MetadataQueries {
         lit(if (artifactPersisted) 1L else 0L).as("artifact_persisted"),
         (col("_hits") * 100L >= col("_n_exact") * 80L).cast("long").as("recall_ge_80"))
     }),
+    "q116_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ (FAISS `IVFx,PQy`) over the PERSISTED index: the build fans
+      // codes across `list=` partition directories (nearest coarse
+      // centroid), and a query with nprobe scans only its probed lists —
+      // because `list` is a Hive partition column, that is PLANNING-TIME
+      // partition pruning: at 100 TB the ADC stage reads nprobe/nlist of
+      // codes that are already ~32x smaller than the float corpus. Plan
+      // fact computed on an isolated AQE-off session (q111 convention)
+      // with a SINGLE probe — the per-probe pruning mechanism — since a
+      // 10-probe batch legitimately unions to all lists: its codes scan
+      // plans files only under <= nprobe of the nlist list dirs. Recall
+      // vs exact brute force stays oracle-checked across the 10-probe
+      // batch (nprobe=6 of nlist=16 keeps >=60 on all SFs).
+      val k = 5
+      val nprobe = 6
+      val root = fixtureDir("pj_q116_ivfpq", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), d)
+        PqIndex.build(s, d, "vec_id", "embedding",
+          graft.Tables.embeddingDim, m = 8, codes = 64, nlist = 16)
+      }
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.adaptive.enabled", "false")
+      val routedIso = PqIndex.topK(iso, root,
+        graft.Tables.embeddings(iso, dir).filter(col("vec_id") < 1),
+        k = k, refineFactor = 16, nprobe = nprobe)
+      val codeFiles = routedIso.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.partitions.flatten).collect {
+        case p: graft.sources.pjparquet.PjInputPartition => p.filePath
+      }.filter(_.contains("_pq_index/codes"))
+      val plannedLists = codeFiles
+        .flatMap("list=([0-9]+)".r.findFirstMatchIn(_)).map(_.group(1)).toSet
+      val allLists = Option(new java.io.File(s"$root/_pq_index/codes").listFiles())
+        .toSeq.flatten.filter(_.isDirectory)
+        .flatMap(src => Option(src.listFiles()).toSeq.flatten)
+        .filter(d => d.isDirectory && d.getName.startsWith("list="))
+        .map(_.getName).toSet
+      val listsPruned = codeFiles.nonEmpty &&
+        plannedLists.size < allLists.size && plannedLists.size <= nprobe
+      val probes = graft.Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      val routed = PqIndex.topK(s, root, probes, k = k, refineFactor = 16,
+        nprobe = nprobe)
+      val exact = PipelineOps.cosineTopK(graft.Tables.embeddings(s, dir), probes, k = k)
+      val shape = routed.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
+        .agg(
+          count(lit(1)).as("probes_returned"),
+          coalesce(min((col("_n") === k.toLong && col("_nd") === k.toLong).cast("long")),
+            lit(1L)).as("per_probe_shape_ok"))
+      val hits = routed.select(col("probe_id"), col("neighbor_id"))
+        .join(exact.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_hits"))
+      val nExact = exact.agg(count(lit(1)).as("_n_exact"))
+      shape.crossJoin(hits).crossJoin(nExact).select(
+        col("probes_returned"), col("per_probe_shape_ok"),
+        lit(if (listsPruned) 1L else 0L).as("lists_pruned_at_planning"),
+        (col("_hits") * 100L >= col("_n_exact") * 60L).cast("long").as("recall_ge_60"))
+    }),
     "q111_nested_pjparquet" -> ((s, dir) => {
       import s.implicits._
       // Nested-schema graceful path (reference restriction: PJ_2 indexes
@@ -908,6 +968,12 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS codes_scanned_not_encoded,
         |       CAST(1 AS BIGINT) AS artifact_persisted,
         |       CAST(1 AS BIGINT) AS recall_ge_80
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q116_ivfpq_ann" ->
+      """SELECT count(*) AS probes_returned,
+        |       CAST(1 AS BIGINT) AS per_probe_shape_ok,
+        |       CAST(1 AS BIGINT) AS lists_pruned_at_planning,
+        |       CAST(1 AS BIGINT) AS recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q113_sorted_layout" ->
       """SELECT CAST(l_orderkey % 10 AS BIGINT) AS okey_mod,

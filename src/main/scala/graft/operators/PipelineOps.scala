@@ -134,6 +134,75 @@ object PipelineOps {
       .distinct()
   }
 
+  /** Cross-document repeated-substring EXCISION — span-level exact dedup
+    * (the within-document counterpart of dropping whole duplicate docs,
+    * after Lee et al. 2022's substring dedup): any n-token substring that
+    * appears in at least `minDf` distinct documents is cut out of every
+    * document it covers, and the residual text survives. Whole-doc dedup
+    * misses boilerplate (headers, license blocks, navigation chrome)
+    * pasted into otherwise-unique pages; this removes exactly those spans.
+    *
+    * Shape, 100 TB lens: the only corpus-wide shuffle moves slim
+    * (64-bit gram hash, doc id) pairs — token-hash n-grams per the
+    * [[ngramHashes]] recipe, the gram STRING never materializes — and the
+    * per-document repair is one slim (id, sorted start positions) join
+    * back to the docs followed by pure per-row HOF arithmetic (merge the
+    * covering intervals, keep uncovered tokens). Nothing is O(corpus²):
+    * frequency decides, not pairwise comparison.
+    *
+    * Output: the input columns plus `clean_text` (repeated spans removed,
+    * single-space rejoin of surviving whitespace tokens),
+    * `n_repeated_starts` (repeated n-gram start positions), and
+    * `tokens_removed`. A doc shorter than n tokens passes through intact.
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minDf: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // (doc, start position, gram hash) for every n-token window; token
+    // hashes materialized once (interpreted-lambda rule: see ngramHashes)
+    val pos = docs
+      .select(col(idCol).as("_id"), tokenHashes(col(textCol)).as("_th"))
+      .filter(size(col("_th")) >= n)
+      .select(col("_id"), explode(transform(
+        sequence(lit(1), size(col("_th")) - (n - 1)),
+        i => struct(i.as("pos"),
+          xxhash64((0 until n).map(o => element_at(col("_th"), i + o)): _*).as("gram"))))
+        .as("_pg"))
+      .select(col("_id"), col("_pg.pos").as("pos"), col("_pg.gram").as("gram"))
+    // corpus-repeated grams: distinct-document frequency >= minDf
+    val repeated = pos.select(col("gram"), col("_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("gram"))
+    // per-doc sorted repeated start positions (a repeat at p covers
+    // tokens [p, p+n)); collect_set because several windows of one doc
+    // can share a gram hash
+    val starts = pos.join(repeated, "gram")
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("_starts"))
+    val joined = docs.join(starts, docs(idCol) === starts("_id"), "left")
+      .drop("_id")
+      .withColumn("_starts", coalesce(col("_starts"),
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))))
+      .withColumn("_toks", tokens(col(textCol)))
+    joined
+      .withColumn("_keep", filter(
+        sequence(lit(1), size(col("_toks"))),
+        i => not(exists(col("_starts"), p => p <= i && i < p + n))))
+      .withColumn("clean_text",
+        concat_ws(" ", transform(col("_keep"), i => element_at(col("_toks"), i))))
+      .withColumn("n_repeated_starts", size(col("_starts")).cast("long"))
+      .withColumn("tokens_removed",
+        (size(col("_toks")) - size(col("_keep"))).cast("long"))
+      .drop("_starts", "_toks", "_keep")
+  }
+
   /** GPT-style sequence packing: concatenate documents in a deterministic
     * order (`idCol` ascending) within each shard and slice the token stream
     * into fixed `maxTokens` windows — documents crossing a boundary are
@@ -991,7 +1060,15 @@ object PipelineOps {
     val adcDot = (0 until m).map(i =>
       element_at(col("lut"), lit(i * codes + 1) + element_at(col("pq_codes"), i + 1)))
       .reduce(_ + _)
-    val adc = corpus.join(broadcast(probe), col("probe_id") =!= col("neighbor_id"))
+    // an IVF-routed corpus arrives pre-paired (probe_id already attached
+    // by the probed-list join), so each row scores against ITS probe only;
+    // a flat corpus crosses every probe with every code row
+    val paired =
+      if (corpus.columns.contains("probe_id"))
+        corpus.join(broadcast(probe), Seq("probe_id"))
+          .filter(col("probe_id") =!= col("neighbor_id"))
+      else corpus.join(broadcast(probe), col("probe_id") =!= col("neighbor_id"))
+    val adc = paired
       .select(col("probe_id"), col("neighbor_id"),
         when(col("p_norm") * col("pq_norm") === 0.0, lit(0.0))
           .otherwise(adcDot / (col("p_norm") * col("pq_norm"))).as("cos_sim"))

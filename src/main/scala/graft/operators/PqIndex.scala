@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted product-quantization ANN index for a parquet/pjparquet corpus
@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * <root>/_pq_index/_meta.parquet      one row: id/emb column names, dim,
-  *                                     m, codes, the fitted codebooks
-  * <root>/_pq_index/codes/src=<key>/   pjparquet table (vec_id, pq_codes,
+  *                                     m, codes, the fitted codebooks,
+  *                                     nlist + coarse centroids (IVF)
+  * <root>/_pq_index/codes/src=<key>/list=<n>/
+  *                                     pjparquet table (vec_id, pq_codes,
   *                                     pq_norm), partitioned by a content
-  *                                     key of the SOURCE data file
+  *                                     key of the SOURCE data file and the
+  *                                     row's coarse (IVF) list assignment
   * }}}
   *
   * `src` is an MD5 of the source file's (relative path, length, mtime), so
@@ -25,10 +28,16 @@ import org.apache.spark.sql.functions._
   * same lifecycle as the bloom sidecars, and [[topK]] re-reconciles before
   * querying, so the index is never silently stale.
   *
-  * At 100 TB the codes table is ~32× smaller than the float corpus
-  * (m bytes per vector vs 4·dim), scoring reads ONLY codes (m table
-  * lookups per row), and the exact re-rank fetches float vectors for just
-  * `probes × k·refineFactor` ids by slim id-join.
+  * `list` is the row's nearest coarse centroid (classic IVF routing, built
+  * with `nlist > 0`): a probe ranks the nlist centroids (driver-side — the
+  * centroid table is tiny and already in the meta) and scans ONLY its
+  * `nprobe` nearest lists. Because `list` is a Hive partition column of
+  * the codes table, that restriction is planning-time partition pruning:
+  * at 100 TB the ADC stage reads `nprobe / nlist` of the codes — on top of
+  * the codes already being ~32× smaller than the float corpus (m bytes per
+  * vector vs 4·dim) — and the exact re-rank fetches float vectors for just
+  * `probes × k·refineFactor` ids by slim id-join. This is the IVF-PQ
+  * composition every large-scale vector store runs (FAISS `IVFx,PQy`).
   *
   * The stock reader never sees any of it: `_pq_index` starts with `_`, so
   * both Spark's file index and the pjparquet resolver skip it.
@@ -42,9 +51,10 @@ object PqIndex {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** One-time build: fit deterministic codebooks on a bounded id-ordered
-    * sample, persist the metadata, then [[maintain]] encodes every file.
-    * Rebuilding replaces the whole index (codebooks define the codes).
+  /** One-time build: fit deterministic codebooks (and, with `nlist > 0`,
+    * the IVF coarse quantizer) on a bounded id-ordered sample, persist the
+    * metadata, then [[maintain]] encodes every file. Rebuilding replaces
+    * the whole index (codebooks define the codes).
     */
   def build(
       spark: SparkSession,
@@ -54,32 +64,88 @@ object PqIndex {
       dim: Int,
       m: Int = 8,
       codes: Int = 16,
-      sampleN: Int = 4096): Unit = {
+      sampleN: Int = 4096,
+      nlist: Int = 0): Unit = {
+    require(nlist >= 0, s"pq: nlist must be >= 0, got $nlist")
     val corpus = spark.read.format("pjparquet").load(root)
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val cb = PipelineOps.pqCodebooks(corpus, dim, m, codes, sampleN)
+    // the coarse quantizer trains on the SAME deterministic sample recipe
+    // as the codebooks: id-ordered limit, local Lloyd, full-dim vectors
+    val coarse: Array[Array[Double]] =
+      if (nlist == 0) Array.empty
+      else {
+        val sample = corpus.orderBy(col("vec_id")).limit(sampleN)
+          .select(PipelineOps.asDouble(col("embedding")))
+          .collect().map(_.getSeq[Double](0).toArray)
+        PipelineOps.lloydFit(sample, nlist, iters = 10)
+      }
     val f = fs(spark, indexDir(root))
     f.delete(indexDir(root), true)
     import spark.implicits._
     // codebooks ride a one-row parquet file: no hand-rolled JSON parsing,
     // exact double round-trip
-    Seq((idCol, embCol, dim, m, codes, cb.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("id_col", "emb_col", "dim", "m", "codes", "codebooks")
+    Seq((idCol, embCol, dim, m, codes,
+        cb.map(_.map(_.toSeq).toSeq).toSeq,
+        nlist, coarse.map(_.toSeq).toSeq))
+      .toDF("id_col", "emb_col", "dim", "m", "codes", "codebooks",
+        "nlist", "coarse")
       .coalesce(1).write.mode("overwrite").parquet(metaDir(root).toString)
     maintain(spark, root)
   }
 
   private final case class Meta(
       idCol: String, embCol: String, dim: Int, m: Int, codes: Int,
-      cb: Array[Array[Array[Double]]])
+      cb: Array[Array[Array[Double]]],
+      nlist: Int, coarse: Array[Array[Double]])
 
   private def readMeta(spark: SparkSession, root: String): Meta = {
-    val r = spark.read.parquet(metaDir(root).toString).head()
+    val df = spark.read.parquet(metaDir(root).toString)
+    val r = df.head()
+    def idx(n: String) = df.schema.fieldIndex(n)
     // nested Row seqs materialize as mutable.ArraySeq — use collection.Seq
-    val cb = r.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](5)
+    val cb = r.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](idx("codebooks"))
       .map(_.map(_.toArray).toArray).toArray
-    Meta(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), cb)
+    // pre-IVF indexes have no nlist/coarse columns: flat (one list)
+    val hasIvf = df.schema.fieldNames.contains("nlist")
+    val nlist = if (hasIvf) r.getInt(idx("nlist")) else 0
+    val coarse =
+      if (hasIvf) r.getSeq[scala.collection.Seq[Double]](idx("coarse")).map(_.toArray).toArray
+      else Array.empty[Array[Double]]
+    Meta(r.getString(idx("id_col")), r.getString(idx("emb_col")),
+      r.getInt(idx("dim")), r.getInt(idx("m")), r.getInt(idx("codes")),
+      cb, nlist, coarse)
   }
+
+  /** Nearest-coarse-centroid assignment as a codegen'd HOF over literal
+    * centroids — same bounded-argmin shape as `pqEncode`'s per-subspace
+    * code pick; strict < keeps the lowest list id on ties.
+    */
+  private def coarseAssign(vec: Column, coarse: Array[Array[Double]]): Column = {
+    val nlist = coarse.length
+    val cbL = typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    val selfL = typedlit(coarse.map(c => c.map(x => x * x).sum).toIndexedSeq)
+    aggregate(
+      sequence(lit(0), lit(nlist - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
+      (acc, c) => {
+        val cand = element_at(selfL, c + 1) -
+          lit(2.0) * PipelineOps.dot(vec, element_at(cbL, c + 1))
+        when(cand < acc.getField("d"),
+          struct(cand.as("d"), c.cast("int").as("c"))).otherwise(acc)
+      },
+      acc => acc.getField("c"))
+  }
+
+  /** A probe vector's `nprobe` nearest coarse lists, driver-side (exact
+    * argmin over the tiny centroid table; ties break to the lower id).
+    */
+  private def nearestLists(v: Array[Double], coarse: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    coarse.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
 
   /** (relPath -> content key) of every data file under the corpus root. */
   private def corpusKeys(f: FileSystem, root: Path): Map[String, String] = {
@@ -134,10 +200,14 @@ object PqIndex {
           col(meta.embCol).as("embedding"),
           element_at(typedlit(keyByPath),
             regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")).as("src"))
+      val listCol =
+        if (meta.nlist > 0) coarseAssign(PipelineOps.asDouble(col("embedding")), meta.coarse)
+        else lit(0)
       val encoded = PipelineOps.pqEncode(df, meta.cb, "embedding")
-        .select(col("vec_id"), col("pq_codes"), col("pq_norm"), col("src"))
+        .withColumn("list", listCol)
+        .select(col("vec_id"), col("pq_codes"), col("pq_norm"), col("src"), col("list"))
       graft.sources.pjparquet.PjWriter.writeWithIndex(
-        encoded, cd.toString, mode = "append", partitionBy = Seq("src"))
+        encoded, cd.toString, mode = "append", partitionBy = Seq("src", "list"))
     }
   }
 
@@ -160,19 +230,62 @@ object PqIndex {
     * codes table (the plan contains a relation with `pq_codes` in its
     * schema and no encode expressions). Reconciles first, so results
     * always reflect the current corpus.
+    *
+    * With `nprobe > 0` on an IVF index (`build(nlist > 0)`), each probe
+    * scans only its `nprobe` nearest lists: the probes (a bounded query
+    * set by definition — they are broadcast whole either way) are ranked
+    * against the centroid table driver-side, the union of probed lists
+    * becomes a LITERAL partition filter on the codes scan (planning-time
+    * pruning: unprobed `list=` directories are never listed into the
+    * plan), and a broadcast (probe_id, list) pair join restricts each
+    * code row to the probes that actually probed its list.
     */
   def topK(
       spark: SparkSession,
       root: String,
       probes: DataFrame,
       k: Int,
-      refineFactor: Int = 4): DataFrame = {
+      refineFactor: Int = 4,
+      nprobe: Int = 0): DataFrame = {
     maintain(spark, root)
     val meta = readMeta(spark, root)
     val corpus = spark.read.format("pjparquet").load(root)
       .select(col(meta.idCol).as("vec_id"), col(meta.embCol).as("embedding"))
     val codes = spark.read.format("pjparquet").load(codesDir(root).toString)
-      .select(col("vec_id").as("neighbor_id"), col("pq_codes"), col("pq_norm"))
-    PipelineOps.pqAdcRerank(codes, corpus, probes, meta.cb, k, refineFactor)
+      .select(col("vec_id").as("neighbor_id"), col("pq_codes"), col("pq_norm"),
+        col("list"))
+    if (nprobe <= 0 || meta.nlist == 0) {
+      PipelineOps.pqAdcRerank(codes.drop("list"), corpus, probes, meta.cb, k, refineFactor)
+    } else {
+      val probeVecs = probes
+        .select(col("vec_id").as("probe_id"), PipelineOps.asDouble(col("embedding")))
+        .collect()
+        .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+      val pairs: Seq[(Any, Int)] = probeVecs.toSeq.flatMap { case (pid, v) =>
+        nearestLists(v, meta.coarse, math.min(nprobe, meta.nlist)).map(l => (pid, l))
+      }
+      // the directory-inferred partition column is LONG — keep every side
+      // of the filter and join long so no cast lands between the literal
+      // IN and the partition pruner
+      val probed = pairs.map(_._2.toLong).distinct.sorted
+      val pairRows = pairs.map { case (pid, l) =>
+        org.apache.spark.sql.Row(pid, l.toLong)
+      }
+      val probeIdType = probes.select(col("vec_id")).schema.head.dataType
+      val pairDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(pairRows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("probe_id", probeIdType),
+          org.apache.spark.sql.types.StructField("list",
+            org.apache.spark.sql.types.LongType))))
+      // literal IN over the union of probed lists -> partition pruning on
+      // the codes scan; the pair join then scopes candidates per probe
+      val routed = codes
+        .filter(col("list").isin(probed.map(_.asInstanceOf[Any]): _*))
+        .join(broadcast(pairDf), Seq("list"))
+        .select(col("probe_id"), col("neighbor_id"), col("pq_codes"), col("pq_norm"))
+      PipelineOps.pqAdcRerank(routed, corpus, probes, meta.cb, k, refineFactor)
+    }
   }
 }

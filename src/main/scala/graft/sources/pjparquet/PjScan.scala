@@ -1000,7 +1000,13 @@ class PjScan(
     * offered — pruning those already happens at planning via chunk stats.)
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // same resolve-up-front constraint as `_file` below: a partition
+    // column the projection dropped (e.g. an index-internal routing key
+    // like the PQ codes table's `src`) is NOT in the scan output, and
+    // advertising it fails analysis of the whole query — prune to the
+    // partition columns this scan actually produces
     val parts = partitionSchema.fieldNames
+      .filter(n => partRequired.fieldNames.exists(_.equalsIgnoreCase(n)))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
     // `_file` may only be advertised when this scan actually produces it
     // (Spark's PartitionPruning resolves EVERY advertised attribute against

@@ -86,6 +86,58 @@ class PqIndexSpec extends AnyFunSuite {
     assert(ids == (0L until 30L).toSet, s"codes must track the truncated corpus, got $ids")
   }
 
+  test("IVF routing: nprobe prunes codes partitions at planning time, recall holds") {
+    val root = Files.createTempDirectory("pq_idx_ivf").toString
+    graft.sources.pjparquet.PjWriter.writeWithIndex(corpus(400), root)
+    PqIndex.build(spark, root, "vec_id", "embedding", dim, m = 4, codes = 8,
+      nlist = 8)
+    // every codes file lives under a list= subdirectory
+    val listDirs = Option(new java.io.File(s"$root/_pq_index/codes").listFiles())
+      .toSeq.flatten.filter(_.isDirectory)
+      .flatMap(src => Option(src.listFiles()).toSeq.flatten)
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list=")).toSet
+    assert(listDirs.size > 2, s"IVF build must fan codes across lists, got $listDirs")
+
+    val probes = corpus(3)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val nprobe = 2
+      val routed = PqIndex.topK(spark, root, probes, k = 3, refineFactor = 4,
+        nprobe = nprobe)
+      val rows = routed.collect()
+      assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3),
+        "each probe must still get k neighbors")
+
+      // planning-time proof: the codes scan planned ONLY probed list dirs
+      val codeFiles = routed.queryExecution.executedPlan
+        .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+        .flatMap(_.inputRDD.partitions)
+        .collect {
+          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            p.inputPartitions
+        }.flatten
+        .collect { case p: graft.sources.pjparquet.PjInputPartition => p.filePath }
+        .filter(_.contains("_pq_index/codes"))
+      assert(codeFiles.nonEmpty, "the routed plan must scan the codes table")
+      val planned = codeFiles.flatMap("list=([0-9]+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toLong).toSet
+      assert(planned.size <= nprobe * 3,
+        s"planned lists $planned must be bounded by nprobe x probes")
+      assert(planned.size < listDirs.size,
+        s"routing must prune some of ${listDirs.size} lists, planned $planned")
+
+      // recall vs the flat (all-lists) index path under identical codebooks
+      val flat = PqIndex.topK(spark, root, probes, k = 3, refineFactor = 4)
+      def pairsOf(df: DataFrame) =
+        df.select($"probe_id", $"neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val overlap = pairsOf(routed).intersect(pairsOf(flat)).size
+      assert(overlap * 100 >= flat.count() * 50,
+        s"IVF recall vs flat index too low: $overlap of ${flat.count()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("a fresh index reconciles with zero jobs and an unindexed root is untouched") {
     val root = Files.createTempDirectory("pq_idx_noop").toString
     corpus(50).write.format("pjparquet").mode("overwrite").save(root)
