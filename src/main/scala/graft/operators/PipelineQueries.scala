@@ -162,6 +162,23 @@ object PipelineQueries {
           sum(length(col("text"))).cast("long").as("text_len"))
         .orderBy(col("split"))
     }),
+    "q117_span_dedup" -> ((s, dir) => {
+      // Cross-document repeated-substring EXCISION (Lee et al. 2022 style
+      // substring dedup): every 5-token substring appearing in >= 2
+      // distinct documents is cut from each document that carries it; the
+      // residual text survives. Whole-doc dedup misses pasted boilerplate
+      // — this removes exactly those spans. The oracle recomputes the
+      // EXACT surviving text per document (md5-compared) with DuckDB list
+      // lambdas over the same whitespace tokens, plus the repeated-start
+      // and removed-token counts.
+      PipelineOps.removeRepeatedSpans(Tables.documents(s, dir), n = 5, minDf = 2)
+        .select(
+          col("doc_id"),
+          col("n_repeated_starts"),
+          col("tokens_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q107_audio_features" -> ((s, dir) => {
       // Audio modality (Multimodal.packAsAudio/extractAudioFeatures): real
       // RIFF/WAV bytes — a deterministic sine tone per document, frequency
@@ -1155,6 +1172,32 @@ object PipelineQueries {
         |       CAST(sum(len(text)) AS BIGINT) AS text_len
         |FROM s GROUP BY split ORDER BY split""".stripMargin
     },
+    "q117_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, UNNEST(range(1, len(toks) - 3)) AS pos,
+        |             UNNEST(list_transform(range(1, len(toks) - 3),
+        |                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 5),
+        |rep AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 5)) AS i FROM st),
+        |idx AS (SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS i FROM t),
+        |kept AS (SELECT idx.doc_id, idx.i FROM idx ANTI JOIN cov USING (doc_id, i)),
+        |ct AS (SELECT kept.doc_id, count(*) AS n_kept,
+        |              string_agg(t.toks[CAST(kept.i AS INTEGER)], ' ' ORDER BY kept.i)
+        |                AS clean_text
+        |       FROM kept JOIN t USING (doc_id) GROUP BY kept.doc_id),
+        |ns AS (SELECT doc_id, count(*) AS n_starts FROM st GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(ns.n_starts, 0) AS BIGINT) AS n_repeated_starts,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(ct.n_kept, 0) AS BIGINT)
+        |         AS tokens_removed,
+        |       md5(coalesce(ct.clean_text, '')) AS clean_md5
+        |FROM documents d
+        |LEFT JOIN ns USING (doc_id)
+        |LEFT JOIN ct USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q107_audio_features" ->
       """SELECT source, count(*) AS n_audio,
         |       CAST(1 AS BIGINT) AS duration_ok,

@@ -320,4 +320,40 @@ class PipelineExtrasSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L), s"got $kept")
   }
+
+  test("removeRepeatedSpans excises exactly the cross-doc repeated windows") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique1 words here"),
+      (2L, "intro alpha beta gamma delta more text"),
+      (3L, "tiny"), // shorter than n: untouched
+      (4L, "same same2 same3"), // fully duplicated with 5: fully excised
+      (5L, "same same2 same3"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.removeRepeatedSpans(docs, n = 3, minDf = 2)
+      .select($"doc_id", $"clean_text", $"n_repeated_starts", $"tokens_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // d1: starts 1,2 cover tokens 1..4 ("alpha beta gamma delta")
+    assert(out(1L) == (("unique1 words here", 2L, 4L)), s"got ${out(1L)}")
+    // d2: starts 2,3 cover tokens 2..5
+    assert(out(2L) == (("intro more text", 2L, 4L)), s"got ${out(2L)}")
+    assert(out(3L) == (("tiny", 0L, 0L)))
+    assert(out(4L) == (("", 1L, 3L)))
+    assert(out(5L) == (("", 1L, 3L)))
+  }
+
+  test("removeRepeatedSpans respects minDf: a 2-doc repeat survives minDf=3") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x y"),
+      (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.removeRepeatedSpans(docs, n = 3, minDf = 3)
+    assert(out.filter($"tokens_removed" > 0).count() == 0L)
+    // and at minDf=2 the shared "a b c" window goes from both carriers
+    val out2 = PipelineOps.removeRepeatedSpans(docs, n = 3, minDf = 2)
+      .select($"doc_id", $"clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(1L) == "d e" && out2(2L) == "x y" && out2(3L) == "p q r s t")
+  }
 }
