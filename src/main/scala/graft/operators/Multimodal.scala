@@ -241,6 +241,118 @@ object Multimodal {
     media.withColumn("frames", frames)
   }
 
+  // ------------------------------------------------------------------ video
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("fps", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
+
+  /** Render a deterministic video container: magic "GVID", big-endian
+    * frame count, then length-prefixed REAL PNG frames (the [[renderPng]]
+    * codec; frame f renders the content bytes rotated by f, so frames
+    * differ deterministically). The container plays the role any MJPEG/
+    * fragmented-MP4 file would — an opaque byte string whose frames are
+    * individually decodable — while staying reproducible byte-for-byte.
+    */
+  private[operators] def renderVideo(bytes: Array[Byte], nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val rot =
+        if (bytes.isEmpty) bytes
+        else {
+          val o = f % bytes.length
+          bytes.drop(o) ++ bytes.take(o)
+        }
+      renderPng(rot)._1
+    }
+    val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(nFrames)
+    frames.foreach { fr => bb.putInt(fr.length).put(fr) }
+    bb.array()
+  }
+
+  /** Wrap the corpus as video rows: `3 + id % 5` PNG frames per document
+    * rendered from the text bytes — the video counterpart of
+    * [[packAsMedia]]/[[packAsAudio]].
+    */
+  def packAsVideo(docs: DataFrame, fps: Int = 10): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", videoMetaType, nullable = true)))
+    val enc = Encoders.row(schema)
+    docs.select(col("doc_id").as("media_id"), col("source"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nFrames = 3 + (id % 5).toInt
+          val vid = renderVideo(
+            r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8), nFrames)
+          Row(id, r.getString(1), vid,
+            Row("video/x-graft", nFrames, fps, vid.length.toLong))
+        }
+      }(enc)
+  }
+
+  /** Walk a GVID container into its frame payloads; None on anything
+    * malformed (never-fail contract, as with [[decodeWav]]).
+    */
+  private def decodeVideo(payload: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    if (payload == null || payload.length < 8) return None
+    if (new String(payload, 0, 4, "US-ASCII") != "GVID") return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val n = bb.getInt(4)
+    if (n < 0) return None
+    var at = 8
+    val out = IndexedSeq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      if (at + 4 > payload.length) return None
+      val len = bb.getInt(at)
+      if (len < 0 || at + 4 + len > payload.length) return None
+      out += java.util.Arrays.copyOfRange(payload, at + 4, at + 4 + len)
+      at += 4 + len
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  /** Sample every `stride`-th frame (0, stride, 2·stride, …) out of video
+    * payloads into one IMAGE row per sampled frame — output schema is
+    * [[packAsMedia]]'s plus `frame_idx`, so the sampled stream feeds
+    * [[extractFeatures]]/[[resize]] unchanged. Container walk and PNG
+    * re-wrap run in one `mapPartitions` pass on whichever executor holds
+    * the row: frames never cross the wire un-sampled, which is the whole
+    * point at 100 TB — a 30 fps corpus subsampled to 1 frame/s ships 3 %
+    * of the bytes downstream. Undecodable containers emit zero rows.
+    */
+  def sampleVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", mediaMetaType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("source"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          decodeVideo(payload).toSeq.flatMap { frames =>
+            frames.indices.collect {
+              case i if i % stride == 0 =>
+                val png = frames(i)
+                Row(r.getLong(0), r.getString(1), i, png,
+                  Row("image/png", null, null, png.length.toLong))
+            }
+          }
+        }
+      }(enc)
+  }
+
   // ------------------------------------------------------------------ audio
 
   val audioMetaType: StructType = StructType(Seq(

@@ -179,6 +179,33 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q118_video_frames" -> ((s, dir) => {
+      // Video modality (Multimodal.packAsVideo/sampleVideoFrames): GVID
+      // containers of REAL PNG frames (3 + id % 5 per doc), frame-sampled
+      // at stride 2 executor-side — un-sampled frames never leave the row,
+      // which at a 30 fps corpus subsampled to 1 fps is 3% of the bytes —
+      // then fed through the UNCHANGED image featurizer. DuckDB recomputes
+      // the sampled-frame arithmetic exactly (ceil(n_frames/2) per doc);
+      // the decode bits assert every sampled frame decodes with bounded
+      // renderPng dims and unit histogram mass.
+      val video = Multimodal.packAsVideo(Tables.documents(s, dir))
+      val frames = Multimodal.sampleVideoFrames(video, stride = 2)
+      Multimodal.extractFeatures(frames)
+        .select(col("source"), col("media_id"),
+          (col("width").isNotNull && col("height").isNotNull &&
+            col("width").between(8, 31) && col("height").between(8, 23))
+            .cast("long").as("_dims_ok"),
+          (abs(aggregate(col("features"), lit(0.0),
+            (a, x) => a + x.cast("double")) - 1.0) < 1e-3)
+            .cast("long").as("_mass_ok"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_sampled_frames"),
+          countDistinct(col("media_id")).as("n_videos"),
+          min(col("_dims_ok")).as("dims_ok"),
+          min(col("_mass_ok")).as("mass_ok"))
+        .orderBy(col("source"))
+    }),
     "q107_audio_features" -> ((s, dir) => {
       // Audio modality (Multimodal.packAsAudio/extractAudioFeatures): real
       // RIFF/WAV bytes — a deterministic sine tone per document, frequency
@@ -1198,6 +1225,13 @@ object PipelineQueries {
         |LEFT JOIN ns USING (doc_id)
         |LEFT JOIN ct USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q118_video_frames" ->
+      """SELECT source,
+        |       CAST(sum((4 + doc_id % 5) // 2) AS BIGINT) AS n_sampled_frames,
+        |       count(*) AS n_videos,
+        |       CAST(1 AS BIGINT) AS dims_ok,
+        |       CAST(1 AS BIGINT) AS mass_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q107_audio_features" ->
       """SELECT source, count(*) AS n_audio,
         |       CAST(1 AS BIGINT) AS duration_ok,

@@ -348,6 +348,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 50L, None))) // right row is later
   }
 
+  test("multimodal video: container round-trip, stride sampling, junk tolerance") {
+    val docs = docsDf(Seq((0L, "alpha doc"), (3L, "bravo document text"), (7L, "c")))
+    val video = Multimodal.packAsVideo(docs)
+    // meta carries the frame count: 3 + id % 5
+    val metas = video.collect().map(r => r.getLong(0) -> r.getStruct(3)).toMap
+    assert(metas(0L).getInt(1) == 3 && metas(3L).getInt(1) == 6 && metas(7L).getInt(1) == 5)
+
+    // stride 1 = every frame; stride 2 = ceil(n/2); each sampled frame is a
+    // REAL decodable PNG that flows through the image featurizer unchanged
+    val all = Multimodal.sampleVideoFrames(video, stride = 1)
+    assert(all.count() == 3 + 6 + 5)
+    val sampled = Multimodal.sampleVideoFrames(video, stride = 2)
+    val perDoc = sampled.groupBy($"media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == Map(0L -> 2L, 3L -> 3L, 7L -> 3L), s"got $perDoc")
+    val feats = Multimodal.extractFeatures(sampled).collect()
+    assert(feats.length == 8)
+    feats.foreach { r =>
+      assert(!r.isNullAt(4) && !r.isNullAt(5), "every sampled frame must decode")
+      val mass = r.getSeq[Float](3).sum
+      assert(math.abs(mass - 1.0f) < 1e-3, s"histogram mass $mass")
+    }
+
+    // a malformed container emits zero rows, never a failure
+    val junk = video.withColumn("payload",
+      when($"media_id" === 3L, lit("not a video".getBytes)).otherwise($"payload"))
+    val kept = Multimodal.sampleVideoFrames(junk, stride = 1)
+      .select($"media_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 7L), s"got $kept")
+  }
+
   test("multimodal audio: WAV round-trip, analytic RMS/ZCR, junk tolerance") {
     val docs = docsDf(Seq((0L, "a"), (7L, "b"), (399L, "c"), (400L, "d")))
     val audio = Multimodal.packAsAudio(docs) // 2000 samples @ 8 kHz, A=12000
