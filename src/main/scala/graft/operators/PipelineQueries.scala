@@ -179,6 +179,45 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q119_text_classifier" -> ((s, dir) => {
+      // Heuristic-label bootstrap, the CCNet-style quality-filter recipe:
+      // label every doc with the rule-based quality heuristic (q38's
+      // formula, theta=0.87 -- verified score margin >= 1.3e-4 at every SF
+      // so engines cannot disagree on a boundary doc), train the
+      // hashed-BoW + engineered-signal softmax on the md5 'train' split
+      // (distributed full-batch GD, fixed-point gradient cells ->
+      // bit-identical model on any partitioning; see TextClassifier), and
+      // check the model REPLICATES the heuristic on the held-out 'test'
+      // split it never saw. DuckDB recomputes split/label/majority
+      // arithmetic exactly; the learning facts ride as asserted bits.
+      val docs = PipelineOps.withQualityScore(Tables.documents(s, dir))
+        .withColumn("q_label",
+          when(col("quality_score") >= 0.87, "high").otherwise("low"))
+      val extras = Seq(
+        least(col("n_tokens").cast("double") / 40.0, lit(1.0)),
+        col("stopword_ratio"),
+        least(col("mean_token_len") / 8.0, lit(1.0)))
+      val split = PipelineOps.hashSplit(docs, "doc_id", valFrac = 0.0, testFrac = 0.2)
+      val train = split.filter(col("split") === "train")
+      val test = split.filter(col("split") === "test")
+      val model = TextClassifier.train(train, labelCol = "q_label",
+        dims = 64, iters = 30, lr = 2.0, extraFeatures = extras)
+      val lossDecreased = model.lossHistory.head > model.lossHistory.last
+      val agg = TextClassifier.classify(test, model, extraFeatures = extras)
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum((col("pred_label") === col("q_label")).cast("long")).as("_correct"))
+      val majority = test.groupBy(col("q_label")).agg(count(lit(1)).as("_n"))
+        .agg(coalesce(max(col("_n")), lit(0L)).as("_maj"))
+      val nTrain = train.agg(count(lit(1)).as("n_train"))
+      val nCls = docs.agg(countDistinct(col("q_label")).as("n_classes"))
+      agg.crossJoin(majority).crossJoin(nTrain).crossJoin(nCls).select(
+        col("n_train"), col("n_test"), col("n_classes"),
+        (col("_correct") * 100L >= col("n_test") * 90L).cast("long")
+          .as("holdout_acc_ge_90"),
+        (col("_correct") > col("_maj")).cast("long").as("beats_majority"),
+        lit(if (lossDecreased) 1L else 0L).as("loss_decreased"))
+    }),
     "q118_video_frames" -> ((s, dir) => {
       // Video modality (Multimodal.packAsVideo/sampleVideoFrames): GVID
       // containers of REAL PNG frames (3 + id % 5 per doc), frame-sampled
@@ -1225,6 +1264,31 @@ object PipelineQueries {
         |LEFT JOIN ns USING (doc_id)
         |LEFT JOIN ct USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q119_text_classifier" -> {
+      val t = PipelineOps.hexThreshold(0.2)
+      // the label formula is q38's quality score verbatim; theta=0.87 has
+      // a verified >=1.3e-4 margin to the nearest score at every SF
+      s"""WITH q AS (SELECT doc_id,
+        |  CASE WHEN least(CAST(len(string_split(text,' ')) AS DOUBLE)/40.0, 1.0) * 0.5
+        |    + (1.0 - CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+        |         ['the','a','of','der','die','und','le','la','et','el','los','y','的','是','了'])) AS DOUBLE)
+        |      / len(list_distinct(string_split(text,' ')))) * 0.3
+        |    + least((CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |      / len(string_split(text,' ')))/8.0, 1.0) * 0.2 >= 0.87
+        |    THEN 'high' ELSE 'low' END AS q_label,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$t'
+        |       THEN 'test' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_train,
+        |       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_test,
+        |       count(DISTINCT q_label) AS n_classes,
+        |       CAST(1 AS BIGINT) AS holdout_acc_ge_90,
+        |       CAST(1 AS BIGINT) AS beats_majority,
+        |       CAST(1 AS BIGINT) AS loss_decreased
+        |FROM q""".stripMargin
+    },
     "q118_video_frames" ->
       """SELECT source,
         |       CAST(sum((4 + doc_id % 5) // 2) AS BIGINT) AS n_sampled_frames,

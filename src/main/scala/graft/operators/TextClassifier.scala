@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A trained hashed-feature softmax text classifier (weights live on the
+  * driver, broadcast into plans as literals). `width = dims + extraCount
+  * + 1`: hashed token features first, engineered dense features next, the
+  * intercept as the last feature (constant 1.0 — one code path for every
+  * gradient cell).
+  */
+final case class TextClassifierModel(
+    classes: IndexedSeq[String],
+    dims: Int,
+    extraCount: Int,
+    weights: Array[Array[Double]], // [class][feature], width = dims + extraCount + 1
+    lossHistory: IndexedSeq[Double])
+
+/** fastText-style text classification, Spark-first — the classifier stage
+  * every large-scale corpus pipeline runs (CCNet-style language ID /
+  * quality filtering train exactly this shape: hashed bag-of-tokens plus
+  * a few engineered signals into a linear softmax). The standard
+  * bootstrap applies: label a corpus with a cheap heuristic, train this
+  * model on the labels, and the model generalizes/replaces the heuristic
+  * at scoring time.
+  *
+  * Training is full-batch gradient descent (heavy-ball momentum) where
+  * the DATA never leaves the executors: each iteration broadcasts the
+  * current weights as literal arrays, scores every document with
+  * codegen'd HOF arithmetic, and ships back ONE job's worth of slim
+  * (feature, class, long) cells — gradients, intercept included, plus a
+  * single loss sentinel — bounded by `width × classes` after map-side
+  * combine. Gradient and loss contributions are rounded to fixed-point
+  * longs BEFORE the sum, so the aggregation is bit-exact under any
+  * partitioning or ordering — a re-run on 1 or 1000 executors trains the
+  * identical model (the same determinism-by-integer-arithmetic contract
+  * as `trainingShuffle`). The momentum update happens driver-side on the
+  * exact integer sums, so it inherits the determinism.
+  *
+  * Scale shape: per iteration exactly one Spark job, zero `collect()` of
+  * row data. The featurized corpus is persisted once and reused across
+  * iterations.
+  */
+object TextClassifier {
+
+  private val GradScale = 1e9 // fixed-point gradient cells
+  private val LossScale = 1e6 // fixed-point per-row log-loss
+
+  /** Sparse feature pairs array<struct<i:int, v:double>>: distinct hashed
+    * token indices in [0, dims) with weight 1/count (L1-normalized BoW),
+    * each engineered feature at its reserved index, and the intercept
+    * (dims + extraCount, constant 1.0) last. Engineered values are
+    * NaN/null-scrubbed to 0 so one degenerate row can never poison the
+    * gradient.
+    */
+  private def featPairs(textCol: Column, dims: Int, extras: Seq[Column]): Column = {
+    val toks = array_distinct(transform(split(textCol, " "),
+      t => pmod(xxhash64(t), lit(dims)).cast("int")))
+    val tokPairs = transform(toks,
+      i => struct(i.as("i"), (lit(1.0) / size(toks)).as("v")))
+    val tail = extras.zipWithIndex.map { case (e, j) =>
+      struct(lit(dims + j).cast("int").as("i"),
+        coalesce(nanvl(e.cast("double"), lit(0.0)), lit(0.0)).as("v"))
+    } :+ struct(lit(dims + extras.size).cast("int").as("i"), lit(1.0).as("v"))
+    concat(tokPairs, array(tail: _*))
+  }
+
+  /** Per-row class margins Σ w_c[i]·v as one array column (the intercept
+    * rides as feature width-1).
+    */
+  private def marginCols(pairs: Column, weights: Array[Array[Double]]): Column =
+    array(weights.indices.map { c =>
+      val wL = typedlit(weights(c).toIndexedSeq)
+      aggregate(pairs, lit(0.0), (acc, s) =>
+        acc + element_at(wL, s.getField("i") + 1) * s.getField("v"))
+    }: _*)
+
+  /** Numerically-stable softmax over a margins array column. */
+  private def softmaxCol(margins: Column): Column = {
+    val mx = array_max(margins)
+    val exps = transform(margins, m => exp(m - mx))
+    val z = aggregate(exps, lit(0.0), (a, e) => a + e)
+    transform(exps, e => e / z)
+  }
+
+  def train(
+      docs: DataFrame,
+      labelCol: String,
+      dims: Int = 64,
+      iters: Int = 30,
+      lr: Double = 16.0,
+      momentum: Double = 0.9,
+      textCol: String = "text",
+      extraFeatures: Seq[Column] = Nil): TextClassifierModel = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(momentum >= 0 && momentum < 1, s"momentum must be in [0,1), got $momentum")
+    val width = dims + extraFeatures.size + 1
+    // the class vocabulary is bounded by definition (it IS the model's
+    // output space); sorted for a deterministic class order
+    val classes = docs.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    require(classes.size >= 2, s"need >= 2 classes, got $classes")
+    val k = classes.size
+    val clsIdx: Map[String, Int] = classes.zipWithIndex.toMap
+    val prepped = docs
+      .select(
+        element_at(typedlit(clsIdx), col(labelCol).cast("string")).as("_yi"),
+        featPairs(col(textCol), dims, extraFeatures).as("_fp"))
+      .persist()
+    try {
+      val n = prepped.count()
+      require(n > 0, "train: empty corpus")
+      val weights = Array.fill(k)(new Array[Double](width))
+      val velocity = Array.fill(k)(new Array[Double](width))
+      val losses = IndexedSeq.newBuilder[Double]
+      for (_ <- 0 until iters) {
+        val scored = prepped
+          .withColumn("_probs", softmaxCol(marginCols(col("_fp"), weights)))
+          .withColumn("_err", transform(col("_probs"),
+            (p, i) => p - when(i === col("_yi"), lit(1.0)).otherwise(lit(0.0))))
+        // ONE job: gradient cells for every (feature incl. intercept,
+        // class) plus the (-1, 0) loss sentinel, all fixed-point longs
+        val cells = scored
+          .select(explode(col("_fp")).as("_s"), col("_err"))
+          .select(col("_s.i").as("_i"), col("_s.v").as("_v"), posexplode(col("_err")))
+          .select(col("_i"), col("pos").as("_c"),
+            round(col("col") * col("_v") * GradScale).cast("long").as("_g"))
+          .union(scored.select(lit(-1).as("_i"), lit(0).as("_c"),
+            round(-log(greatest(element_at(col("_probs"), col("_yi") + 1),
+              lit(1e-12))) * LossScale).cast("long").as("_g")))
+          .groupBy(col("_i"), col("_c")).agg(sum(col("_g")).as("_g"))
+          .collect()
+        cells.foreach { r =>
+          val (i, c, g) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          if (i < 0) losses += g / LossScale / n
+          else {
+            velocity(c)(i) = momentum * velocity(c)(i) + (g / GradScale) / n
+            weights(c)(i) -= lr * velocity(c)(i)
+          }
+        }
+      }
+      TextClassifierModel(classes, dims, extraFeatures.size, weights,
+        losses.result())
+    } finally { prepped.unpersist(); () }
+  }
+
+  /** Score rows with a trained model: appends `pred_label` (argmax class,
+    * ties break to the lower class index) and `confidence` (its softmax
+    * probability). `extraFeatures` must be the SAME expressions training
+    * used, in the same order. Pure per-row HOF arithmetic over literal
+    * weights — no shuffle, no join, codegen-friendly at any scale.
+    */
+  def classify(
+      docs: DataFrame,
+      model: TextClassifierModel,
+      textCol: String = "text",
+      extraFeatures: Seq[Column] = Nil): DataFrame = {
+    require(extraFeatures.size == model.extraCount,
+      s"model was trained with ${model.extraCount} extra features, got ${extraFeatures.size}")
+    val k = model.classes.size
+    val pairs = featPairs(col(textCol), model.dims, extraFeatures)
+    val probs = softmaxCol(marginCols(pairs, model.weights))
+    val best = aggregate(
+      sequence(lit(0), lit(k - 1)),
+      struct(lit(-1.0).as("p"), lit(0).as("c")),
+      (acc, c) => {
+        val cand = element_at(probs, c + 1)
+        when(cand > acc.getField("p"),
+          struct(cand.as("p"), c.cast("int").as("c"))).otherwise(acc)
+      })
+    docs
+      .withColumn("pred_label",
+        element_at(typedlit(model.classes), best.getField("c") + 1))
+      .withColumn("confidence", best.getField("p"))
+  }
+}
