@@ -1404,6 +1404,37 @@ object PipelineOps {
         col("col.id").as("doc_id"), round(col("col.score"), 4).as("score"))
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner (one
+    * lexical list, one semantic list, fused without score calibration).
+    * Each input ranking is (query_id, item_id, rank); an item's fused
+    * score is Σ_lists 1_000_000 / (k0 + rank) computed with INTEGER
+    * division, so the fusion is bit-exact in any engine (the classic
+    * 1/(k0+r) scaled to integers — order preserved, float ties
+    * impossible). Output: per query the top `k` by (fused score desc,
+    * item_id asc), with `fused_rank`.
+    *
+    * Scale shape: a union of slim (query, item, rank) triples, one
+    * equi-shuffle groupBy, and a per-query window over ≤ lists·k rows —
+    * the candidate lists are already top-k'd, so nothing here touches
+    * corpus-sized data.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("item_id"), col("rank")))
+      .reduce(_ unionAll _)
+    val scored = unioned
+      .groupBy(col("query_id"), col("item_id"))
+      .agg(sum(floor(lit(1000000) / (lit(k0) + col("rank"))).cast("long"))
+        .as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("item_id"))
+    scored.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+  }
+
   // ------------------------------------------------- bloom semi-join prefilter
 
   /** Bloom-filter semi-join pre-filter: build a BloomFilter over the small

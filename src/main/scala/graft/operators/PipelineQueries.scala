@@ -179,6 +179,31 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q120_hybrid_retrieval" -> ((s, dir) => {
+      // Hybrid retrieval: BM25 lexical ranking (q75 machinery) fused with
+      // exact cosine semantic ranking (q35 machinery) by reciprocal-rank
+      // fusion — the standard hybrid-search recipe. Queries are docs 0-2
+      // (their text lexically, their aligned embedding semantically; the
+      // corpus ships vec_id == doc_id). Fusion scores are INTEGER
+      // 1e6/(60+rank) sums, so DuckDB reproduces the fused ranking
+      // bit-for-bit on top of its own BM25 + cosine recomputation.
+      val k = 10
+      val docs = Tables.documents(s, dir)
+      val embs = Tables.embeddings(s, dir)
+      // query texts are a bounded driver-side pull by definition (they ARE
+      // the query set); sorted for deterministic order
+      val qTexts = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val lex = PipelineOps.bm25TopK(docs, qTexts, k = k)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val sem = PipelineOps.cosineTopK(embs, embs.filter(col("vec_id") < 3), k = k)
+        .select(col("probe_id").as("query_id"),
+          col("neighbor_id").as("item_id"), col("rank"))
+      PipelineOps.rrfFuse(Seq(lex, sem), k = k)
+        .select(col("query_id"), col("fused_rank"), col("item_id"), col("rrf_score"))
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
     "q119_text_classifier" -> ((s, dir) => {
       // Heuristic-label bootstrap, the CCNet-style quality-filter recipe:
       // label every doc with the rule-based quality heuristic (q38's
@@ -1264,6 +1289,52 @@ object PipelineQueries {
         |LEFT JOIN ns USING (doc_id)
         |LEFT JOIN ct USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q120_hybrid_retrieval" ->
+      """WITH queries AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 3),
+        |qterm AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term
+        |          FROM queries),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        |       WHERE term IN (SELECT DISTINCT term FROM qterm)
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |lexscore AS (
+        |  SELECT q.query_id, t.doc_id,
+        |         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+        |  FROM tf t
+        |  JOIN df USING (term) JOIN qterm q USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY q.query_id, t.doc_id),
+        |lexr AS (
+        |  SELECT query_id, doc_id AS item_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY round(score, 9) DESC, doc_id) AS rank
+        |  FROM lexscore),
+        |probes AS (SELECT vec_id AS query_id, embedding AS p FROM embeddings WHERE vec_id < 3),
+        |semscore AS (
+        |  SELECT query_id, e.vec_id AS item_id,
+        |         list_cosine_similarity(p, e.embedding) AS cos_sim
+        |  FROM probes CROSS JOIN embeddings e
+        |  WHERE e.vec_id <> query_id),
+        |semr AS (
+        |  SELECT query_id, item_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, item_id) AS rank
+        |  FROM semscore),
+        |u AS (SELECT query_id, item_id, rank FROM lexr WHERE rank <= 10
+        |      UNION ALL SELECT query_id, item_id, rank FROM semr WHERE rank <= 10),
+        |f AS (SELECT query_id, item_id,
+        |             CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score
+        |      FROM u GROUP BY query_id, item_id),
+        |r AS (SELECT query_id, item_id, rrf_score,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY rrf_score DESC, item_id) AS fused_rank
+        |      FROM f)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, fused_rank, item_id, rrf_score
+        |FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin,
     "q119_text_classifier" -> {
       val t = PipelineOps.hexThreshold(0.2)
       // the label formula is q38's quality score verbatim; theta=0.87 has

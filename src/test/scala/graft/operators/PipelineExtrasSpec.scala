@@ -321,6 +321,21 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  test("rrfFuse: integer 1e6/(k0+rank) fusion with deterministic tie-break") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "item_id", "rank")
+    val sem = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3))
+      .toDF("query_id", "item_id", "rank")
+    val fused = PipelineOps.rrfFuse(Seq(lex, sem), k = 3)
+      .orderBy($"fused_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // item 11: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522
+    // item 10: 1e6/61 + 1e6/63 = 16393 + 15873 = 32266
+    // item 12: 1e6/63 = 15873; item 13: 1e6/62 = 16129 -> 13 beats 12
+    assert(fused.toSeq == Seq((11L, 32522L, 1), (10L, 32266L, 2), (13L, 16129L, 3)),
+      s"got ${fused.toSeq}")
+  }
+
   test("removeRepeatedSpans excises exactly the cross-doc repeated windows") {
     val docs = Seq(
       (1L, "alpha beta gamma delta unique1 words here"),
