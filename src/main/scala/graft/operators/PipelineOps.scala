@@ -166,8 +166,11 @@ object PipelineOps {
     // (doc, start position, gram hash) for every n-token window; token
     // hashes materialized once (interpreted-lambda rule: see ngramHashes)
     val pos = docs
+      // length-gate on the plain split (same count as _th) so the pushed
+      // scan filter stays lambda-free — a filter on the HOF column would
+      // be substituted into the scan and re-run the hash per input row
+      .filter(size(tokens(col(textCol))) >= n)
       .select(col(idCol).as("_id"), tokenHashes(col(textCol)).as("_th"))
-      .filter(size(col("_th")) >= n)
       .select(col("_id"), explode(transform(
         sequence(lit(1), size(col("_th")) - (n - 1)),
         i => struct(i.as("pos"),

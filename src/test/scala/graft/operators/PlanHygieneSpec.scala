@@ -45,14 +45,17 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val verificationQueries = Set(
     "q32_minhash_neardup", "q34_simhash", "q36_lsh_ann", "q43_ivf_ann", "q49_winnowing",
     "q63_streaming_heavy_hitters", "q65_embedding_quantization", "q104_pq_ann",
-    "q114_pq_persisted_index")
+    "q114_pq_persisted_index", "q116_ivfpq_ann")
 
   // queries that FIT a model over the corpus before scoring it (BM25's
   // tf/df tables, the bigram LM's count model): each model aggregate is
   // its own legitimate exchange, so they get a middle budget — still
   // bounded, and far below the verification tier
+  // q120 fuses TWO retrieval models (BM25's tf/df fit + the cosine
+  // ranking) before the fusion shuffle, so it sits in this tier too
   private val modelFitQueries =
-    Set("q75_bm25_retrieval", "q77_lm_quality", "q88_tfidf_keywords")
+    Set("q75_bm25_retrieval", "q77_lm_quality", "q88_tfidf_keywords",
+      "q120_hybrid_retrieval")
 
   test("bounded shuffle count per query") {
     val offenders = plans.collect {
