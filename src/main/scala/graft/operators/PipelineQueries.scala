@@ -179,6 +179,24 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q121_stream_enrich" -> ((s, dir) => {
+      // Stream-static enrichment (batch twin of
+      // StreamingOps.enrichWithDimension; streaming == batch proven in
+      // StreamingOpsSpec): every event picks up its customer's market
+      // segment from a broadcast dimension — no join state, no watermark,
+      // the per-micro-batch dimension lookup every event pipeline runs.
+      // Fully oracle-exact: DuckDB replays the same left join + rollup.
+      val events = Tables.events(s, dir)
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.StreamingOps.enrichWithDimension(events, cust)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "q120_hybrid_retrieval" -> ((s, dir) => {
       // Hybrid retrieval: BM25 lexical ranking (q75 machinery) fused with
       // exact cosine semantic ranking (q35 machinery) by reciprocal-rank
@@ -1289,6 +1307,12 @@ object PipelineQueries {
         |LEFT JOIN ns USING (doc_id)
         |LEFT JOIN ct USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q121_stream_enrich" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |       count(DISTINCT e.user_id) AS n_users,
+        |       round(sum(e.value), 2) AS value_sum
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q120_hybrid_retrieval" ->
       """WITH queries AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 3),
         |qterm AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term

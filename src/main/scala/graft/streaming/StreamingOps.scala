@@ -122,6 +122,25 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static enrichment join — the dimension lookup every event
+    * pipeline runs before anything else: each micro-batch joins against
+    * the CURRENT static dimension frame (the static side is re-planned
+    * per batch, so a slowly-changing dimension is picked up batch to
+    * batch), the dimension is broadcast, and NO join state accumulates —
+    * unlike stream-stream joins nothing buffers and nothing needs a
+    * watermark. LEFT join: events with no dimension row survive with
+    * nulls instead of silently dropping. The identical plan runs on a
+    * batch frame (the batch twin the oracle checks).
+    */
+  def enrichWithDimension(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String = "user_id",
+      dimKey: String = "c_custkey"): DataFrame =
+    eventTime(events).join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey), "left")
+
   /** Stream-stream interval join (attribution): pair each `rightType`
     * event with the same user's `leftType` events in the preceding
     * `withinSeconds`. On streaming inputs both sides carry watermarks and

@@ -37,6 +37,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(!q.isActive, "stream must have drained")
   }
 
+  test("stream-static enrichment join: streaming == batch, no state") {
+    import spark.implicits._
+    val dim = Seq((0L, "SEG_A"), (1L, "SEG_B"), (2L, "SEG_C"))
+      .toDF("c_custkey", "c_mktsegment")
+    val schema = batchEvents.schema
+    val stream = spark.readStream.schema(schema).parquet(eventsPath)
+    // append mode: a stream-static join needs no aggregation or watermark
+    val q = StreamingOps.enrichWithDimension(stream, dim)
+      .select($"event_id", $"user_id", $"c_mktsegment")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val streaming = spark.table("enriched")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = StreamingOps.enrichWithDimension(batchEvents, dim)
+      .select($"event_id", $"user_id", $"c_mktsegment")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streaming.nonEmpty && streaming == batch)
+    // left semantics: users outside the dim survive with null segment
+    assert(spark.table("enriched")
+      .filter($"user_id" > 2 && $"c_mktsegment".isNull).count() > 0)
+  }
+
   test("windowed counts: streaming == batch") {
     val schema = batchEvents.schema
     val stream = spark.readStream.schema(schema).parquet(eventsPath)
