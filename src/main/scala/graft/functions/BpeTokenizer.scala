@@ -34,6 +34,22 @@ object BpeTokenizer {
     @transient lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
   }
 
+  /** Persist a trained model as a one-row parquet file (merge list in
+    * creation order — the whole model). Train once on a bounded sample,
+    * tokenize any number of later corpora with the identical vocabulary.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(model.merges.map { case (a, b) => Seq(a, b) }))
+      .toDF("merges")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path).head()
+      .getSeq[scala.collection.Seq[String]](0)
+      .map(p => (p(0), p(1))).toVector)
+
   /** Split into alternating non-ws / ws runs; concatenation reproduces the
     * input exactly.
     */

@@ -145,6 +145,30 @@ object TextClassifier {
     } finally { prepped.unpersist(); () }
   }
 
+  /** Persist a trained model as a one-row parquet file (exact double
+    * round-trip, no hand-rolled serialization — the PqIndex `_meta`
+    * convention). Train once, score any number of later corpora.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: TextClassifierModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.classes, model.dims, model.extraCount,
+        model.weights.map(_.toSeq).toSeq, model.lossHistory))
+      .toDF("classes", "dims", "extra_count", "weights", "loss_history")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): TextClassifierModel = {
+    val df = spark.read.parquet(path)
+    val r = df.head()
+    def idx(n: String) = df.schema.fieldIndex(n)
+    TextClassifierModel(
+      r.getSeq[String](idx("classes")).toIndexedSeq,
+      r.getInt(idx("dims")),
+      r.getInt(idx("extra_count")),
+      r.getSeq[scala.collection.Seq[Double]](idx("weights")).map(_.toArray).toArray,
+      r.getSeq[Double](idx("loss_history")).toIndexedSeq)
+  }
+
   /** Score rows with a trained model: appends `pred_label` (argmax class,
     * ties break to the lower class index) and `confidence` (its softmax
     * probability). `extraFeatures` must be the SAME expressions training

@@ -49,4 +49,15 @@ class BpeTokenizerSpec extends AnyFunSuite {
       t.forall(Character.isWhitespace) || !t.exists(Character.isWhitespace)),
       "no token mixes whitespace and non-whitespace")
   }
+
+  test("save/load round-trips the model and its encodings exactly") {
+    val spark = graft.SparkTestSession.spark
+    val model = BpeTokenizer.train(corpus, numMerges = 40)
+    val path = java.nio.file.Files.createTempDirectory("bpe_model").toString + "/m.parquet"
+    BpeTokenizer.save(spark, model, path)
+    val loaded = BpeTokenizer.load(spark, path)
+    assert(loaded.merges == model.merges)
+    corpus.foreach(t =>
+      assert(BpeTokenizer.encode(t, loaded) == BpeTokenizer.encode(t, model)))
+  }
 }

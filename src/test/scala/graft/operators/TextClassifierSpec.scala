@@ -53,6 +53,22 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(m1.weights.map(_.toSeq).toSeq == m2.weights.map(_.toSeq).toSeq)
   }
 
+  test("save/load round-trips the model bit-exactly") {
+    val m = TextClassifier.train(corpus(20), labelCol = "label", dims = 32, iters = 4)
+    val path = java.nio.file.Files.createTempDirectory("clf_model").toString + "/m.parquet"
+    TextClassifier.save(spark, m, path)
+    val l = TextClassifier.load(spark, path)
+    assert(l.classes == m.classes && l.dims == m.dims && l.extraCount == m.extraCount)
+    assert(l.weights.map(_.toSeq).toSeq == m.weights.map(_.toSeq).toSeq)
+    assert(l.lossHistory == m.lossHistory)
+    val docs = corpus(5)
+    val a = TextClassifier.classify(docs, m).select($"doc_id", $"pred_label")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val b = TextClassifier.classify(docs, l).select($"doc_id", $"pred_label")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(a == b)
+  }
+
   test("rejects degenerate inputs") {
     val one = Seq(("a", "only", "some text")).toDF("doc_id", "label", "text")
     intercept[IllegalArgumentException] {
