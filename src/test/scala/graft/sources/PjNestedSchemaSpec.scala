@@ -114,4 +114,20 @@ class PjNestedSchemaSpec extends AnyFunSuite {
     assert(pruned.select(sum($"s.v")).head().getLong(0) ==
       (0L until 100L).filter(_ % 4 == 2).sum)
   }
+
+  test("nested-FIELD pruning reaches the fallback reader's requested schema") {
+    // selecting one subfield must clip the struct below the top level in
+    // the scan's read schema (Catalyst nested-schema pruning flows through
+    // pruneColumns; the reader conf clips parquet leaves against it), so a
+    // wide struct at 100 TB reads one leaf column, not the whole struct
+    val df = spark.read.format("pjparquet").load(nestedDir).select($"meta.a")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val read = scans.head.scan.readSchema()
+    val meta = read("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("a"),
+      s"struct must be clipped to the requested subfield, got $meta")
+    assert(!read.fieldNames.contains("pair"), s"untouched columns must drop, got $read")
+    assert(df.as[Long].collect().sorted.toSeq == (0L until 2000L).map(_ % 7).sorted)
+  }
 }
