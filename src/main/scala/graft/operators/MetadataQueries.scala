@@ -21,6 +21,10 @@ object MetadataQueries {
     * given source dir, so Verify sees identical results either way.
     */
   private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** q122: planned row groups of the pre-OPTIMIZE layout, captured during
+    * the fixture build (optimize rewrites the directory in place).
+    */
+  private val q122BeforeRgs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private def fixtureDir(key: String, dir: String)(build: String => Unit): String =
     fixtures.computeIfAbsent(s"$key:$dir", { _ =>
@@ -258,6 +262,83 @@ object MetadataQueries {
         lit(if (report.smallFiles == 6 * nLangs) 1L else 0L).as("consumed_all_small"),
         lit(if (report.compactedInto == nLangs) 1L else 0L).as("one_file_per_partition"),
         lit(if (report.filesAfter == nLangs) 1L else 0L).as("files_reduced"))
+    }),
+    "q122_optimize_zorder" -> ((s, dir) => {
+      import s.implicits._
+      // OPTIMIZE ... ZORDER BY lifecycle (PjCompaction.optimize, the
+      // Delta-style table-maintenance pass): an INGESTION-ordered layout
+      // (sorted by l_orderkey only, many small row groups) cannot prune a
+      // band scan on the second dimension; one optimize re-clusters every
+      // file on the (l_orderkey, l_partkey) Morton curve, drops consumed
+      // files + sidecars + the stale natural-sort marker, and re-indexes.
+      // The oracle recomputes the band content from the original table
+      // (losslessness); the structural facts — the optimized layout
+      // prunes the band at planning time, improves on the ingestion
+      // order, the marker is gone, sidecars track files — ride as bits.
+      // Band bounds use q80's integer arithmetic so every engine agrees.
+      val b = pj(s, dir, "lineitem").agg(
+        min($"l_partkey").cast("long"), max($"l_partkey").cast("long")).head()
+      val (pMin, pMax) = (b.getLong(0), b.getLong(1))
+      val pLo = pMin + (pMax - pMin) / 4
+      val pHi = pMin + (pMax - pMin) / 2
+      def plannedRgs(path: String, filtered: Boolean): Int = {
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
+        val base = iso.read.format("pjparquet").load(path)
+        val df = (if (filtered) base.filter(col("l_partkey") >= pLo && col("l_partkey") <= pHi)
+                  else base).select(col("l_quantity"))
+        df.queryExecution.executedPlan.collect {
+          case bx: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bx
+        }.flatMap(_.partitions.flatten).collect {
+          case p: graft.sources.pjparquet.PjInputPartition => p.rowGroups.length
+        }.sum
+      }
+      val tmp = fixtureDir("pj_q122_optimize", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(
+          graft.Tables.lineitem(s, dir)
+            .select($"l_orderkey", $"l_partkey", $"l_quantity")
+            .repartitionByRange(8, $"l_orderkey").sortWithinPartitions("l_orderkey"),
+          d, options = Map("parquet.block.size" -> (64 * 1024).toString))
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sessionState.newHadoopConf())
+        graft.sources.pjparquet.PjSortMarker.write(
+          fs, new org.apache.hadoop.fs.Path(d), Seq("l_orderkey"))
+        q122BeforeRgs.put(d, Int.box(plannedRgs(d, filtered = true)))
+        // scale-independent fixture: ~8 optimized files at ANY sf, so the
+        // band scan always has file granularity to prune (a fixed byte
+        // target collapses sf0.001 into one unprunable file)
+        val totalBytes = Option(new java.io.File(d).listFiles()).toSeq.flatten
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .map(_.length).sum
+        graft.sources.pjparquet.PjCompaction.optimize(
+          s, d, Seq("l_orderkey", "l_partkey"),
+          targetBytes = math.max(8L * 1024, totalBytes / 8), bits = 10)
+        ()
+      }
+      val beforeFiltered = q122BeforeRgs.get(tmp).intValue()
+      val afterFiltered = plannedRgs(tmp, filtered = true)
+      val afterTotal = plannedRgs(tmp, filtered = false)
+      val prunes = afterFiltered > 0 && afterFiltered < afterTotal
+      val improved = afterFiltered * 2 <= beforeFiltered
+      val markerGone = !new java.io.File(tmp, "_pj_sort").exists()
+      def walkFiles(suffix: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else if (f.getName.endsWith(suffix) &&
+            (suffix != ".parquet" || (!f.getName.startsWith("_") && !f.getName.startsWith(".")))) 1
+          else 0
+        walk(new java.io.File(tmp))
+      }
+      val sidecarsTrack = walkFiles(".parquet.index") == walkFiles(".parquet")
+      s.read.format("pjparquet").load(tmp)
+        .filter($"l_partkey" >= pLo && $"l_partkey" <= pHi)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum($"l_quantity"), 2).as("qty_sum"),
+          sum($"l_orderkey" * $"l_partkey").as("key_checksum"))
+        .withColumn("optimized_prunes", lit(if (prunes) 1L else 0L))
+        .withColumn("improved_vs_ingest_order", lit(if (improved) 1L else 0L))
+        .withColumn("sort_marker_dropped", lit(if (markerGone) 1L else 0L))
+        .withColumn("sidecars_track_files", lit(if (sidecarsTrack) 1L else 0L))
     }),
     "q93_count_pushdown" -> ((s, dir) => {
       import s.implicits._
@@ -1019,6 +1100,19 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS workdir_collected,
         |       CAST(1 AS BIGINT) AS live_sidecars_intact
         |FROM documents""".stripMargin,
+    "q122_optimize_zorder" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax FROM lineitem),
+        |band AS (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem, b
+        |         WHERE l_partkey >= pmin + (pmax - pmin) // 4
+        |           AND l_partkey <= pmin + (pmax - pmin) // 2)
+        |SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS qty_sum,
+        |       CAST(sum(l_orderkey * l_partkey) AS BIGINT) AS key_checksum,
+        |       CAST(1 AS BIGINT) AS optimized_prunes,
+        |       CAST(1 AS BIGINT) AS improved_vs_ingest_order,
+        |       CAST(1 AS BIGINT) AS sort_marker_dropped,
+        |       CAST(1 AS BIGINT) AS sidecars_track_files
+        |FROM band""".stripMargin,
     "q89_compaction" ->
       """SELECT count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS doc_checksum,

@@ -89,6 +89,21 @@ object ZOrder {
       cols: Seq[String],
       numPartitions: Int,
       bits: Int = 16,
+      ranges: Map[String, (Long, Long)] = Map.empty): DataFrame =
+    zorderByWithPrefix(df, Nil, cols, numPartitions, bits, ranges)
+
+  /** [[zorderBy]] with leading grouping columns in the range key (e.g.
+    * Hive partition columns during an OPTIMIZE rewrite): rows cluster by
+    * `prefixCols` first, then by Morton value WITHIN each prefix group,
+    * so each group's output is a run of contiguous Morton intervals and
+    * at most one boundary task spans two groups.
+    */
+  def zorderByWithPrefix(
+      df: DataFrame,
+      prefixCols: Seq[String],
+      cols: Seq[String],
+      numPartitions: Int,
+      bits: Int = 16,
       ranges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     require(cols.size >= 2, s"z-ordering needs >= 2 columns, got $cols")
     val bounds: Seq[(Long, Long)] =
@@ -119,9 +134,10 @@ object ZOrder {
     // must survive (the old fixed name silently overwrote then dropped it)
     val zc = Iterator.from(0).map(i => s"__graft_zorder_$i")
       .find(n => !df.columns.contains(n)).get
+    val keyCols = prefixCols.map(col) :+ col(zc)
     df.withColumn(zc, z)
-      .repartitionByRange(numPartitions, col(zc))
-      .sortWithinPartitions(zc)
+      .repartitionByRange(numPartitions, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
       .drop(zc)
   }
 }

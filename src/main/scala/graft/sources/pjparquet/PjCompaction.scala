@@ -181,4 +181,103 @@ object PjCompaction {
       fs.delete(tmp, true)
     }
   }
+
+  /** OPTIMIZE-style re-clustering (Delta's `OPTIMIZE ... ZORDER BY`):
+    * rewrite EVERY data file of the table into ~`targetBytes` files
+    * z-order-clustered on `zorderCols`, so scans filtered on ANY
+    * participating dimension skip most row groups afterwards — the
+    * standard maintenance pass that keeps a 100 TB table prunable as
+    * ingestion order diverges from query order.
+    *
+    * Hive partition layout is preserved: rows range-partition on
+    * (partition dirs, Morton value), so each directory's output is a run
+    * of contiguous Morton intervals (at most one boundary task spans two
+    * directories). Publishing reuses [[compact]]'s temp-dir + rename
+    * protocol; consumed files, their `.index` and `.bloom` sidecars drop;
+    * fresh sidecars cover the new files; a persisted ANN index
+    * reconciles; and any `_pj_sort` natural-order claim is DELETED (the
+    * Morton order provably breaks it).
+    *
+    * Same single-writer concurrency contract as [[compact]].
+    */
+  def optimize(
+      spark: SparkSession,
+      root: String,
+      zorderCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 12): Report = {
+    require(zorderCols.size >= 2, s"optimize needs >= 2 zorder columns, got $zorderCols")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    val rootUri = fs.makeQualified(rootPath).toString
+
+    val all = {
+      val it = fs.listFiles(rootPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
+      }
+      buf.toSeq
+    }
+    if (all.isEmpty) return Report(0, 0, 0, 0, 0, 0)
+
+    val df = spark.read.option("basePath", rootUri).parquet(all.map(_.path): _*)
+    val dataCols = spark.read.parquet(all.head.path).columns.toSeq
+    val partCols = df.columns.filterNot(dataCols.contains).toSeq
+    require(zorderCols.forall(dataCols.contains),
+      s"zorder columns $zorderCols must be data columns of $dataCols")
+
+    val totalBytes = all.map(_.bytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // ZOrder.zorderBy handles the Morton math; partition dirs prefix the
+    // range key so the clustered runs stay within their directories
+    val clustered = graft.operators.ZOrder.zorderByWithPrefix(
+      df, partCols, zorderCols, nOut, bits)
+
+    val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val w = clustered.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+      var newFiles = 0L
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+          val rel = s.getPath.getParent.toString.stripPrefix(
+            fs.makeQualified(tmp).toString).stripPrefix("/")
+          val destDir = if (rel.isEmpty) rootPath else new Path(rootPath, rel)
+          fs.mkdirs(destDir)
+          require(fs.rename(s.getPath, new Path(destDir, n)),
+            s"optimize publish failed: could not move ${s.getPath} to $destDir")
+          newFiles += 1
+        }
+      }
+      all.foreach { f =>
+        val p = new Path(f.path)
+        fs.delete(p, false)
+        val sidecar = PjParquetTable.hiddenSidecar(p)
+        if (fs.exists(sidecar)) fs.delete(sidecar, false)
+        fs.delete(PjBloom.bloomSidecar(p), false)
+      }
+      // a natural-column sort claim cannot survive a Morton reorder
+      PjSortMarker.delete(fs, rootPath)
+      PjIndexJob.generateAll(spark, root)
+      graft.operators.PqIndex.maintainIfPresent(spark, root)
+      Report(
+        filesBefore = all.size,
+        smallFiles = all.size,
+        compactedInto = newFiles,
+        filesAfter = newFiles,
+        bytesSmall = totalBytes,
+        dirsTouched = all.map(f => f.dir).distinct.size.toLong)
+    } finally {
+      fs.delete(tmp, true)
+    }
+  }
 }

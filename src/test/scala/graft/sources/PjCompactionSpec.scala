@@ -106,4 +106,69 @@ class PjCompactionSpec extends AnyFunSuite {
     val r = PjCompaction.compact(spark, dir, targetBytes = 1024)
     assert(r.smallFiles == 0 && r.filesAfter == r.filesBefore && r.dirsTouched == 0)
   }
+
+  /** Per-row-group [min,max] of `column` via independent footer parses. */
+  private def rowGroupStats(dir: String, column: String): Seq[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    parquetFiles(dir).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.getPath), conf))
+      try reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+        val cc = block.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(fail(s"no column $column in ${f.getName}"))
+        val st = cc.getStatistics
+        (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+      } finally reader.close()
+    }
+  }
+
+  test("optimize: z-order re-cluster is lossless, prunable, resets sort claims") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_optimize").toString
+    // ingestion-ordered table: sorted by a only, so b spans its full range
+    // in every row group (the layout OPTIMIZE exists to fix)
+    val n = 1 << 16
+    val raw = spark.range(n).select(
+      ($"id" % 256).as("a"), (shiftright($"id", 8) % 256).as("b"), $"id".as("payload"))
+    PjWriter.writeWithIndex(
+      raw.repartitionByRange(8, $"a").sortWithinPartitions("a"), dir,
+      options = Map("parquet.block.size" -> (16 * 1024).toString,
+        "parquet.page.size" -> (4 * 1024).toString))
+    graft.sources.pjparquet.PjSortMarker.write(
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dir), Seq("a"))
+    def check(d: String): Long = spark.read.parquet(d)
+      .agg(sum($"payload" * ($"a" + 1) * ($"b" + 3))).head().getLong(0)
+    val before = check(dir)
+    val beforeStats = rowGroupStats(dir, "b")
+    val beforeHit = beforeStats.count { case (lo, hi) => hi >= 96L && lo < 128L }
+
+    val r = PjCompaction.optimize(spark, dir, Seq("a", "b"),
+      targetBytes = 256 * 1024, bits = 8)
+    assert(r.filesAfter == r.compactedInto && r.compactedInto > 1,
+      s"optimize must rewrite into several files, got $r")
+    assert(check(dir) == before, "content must survive byte-for-byte")
+    // small row groups came from the write OPTIONS, which optimize does not
+    // carry — pruning is still measurable at FILE granularity
+    val afterStats = rowGroupStats(dir, "b")
+    val afterHit = afterStats.count { case (lo, hi) => hi >= 96L && lo < 128L }
+    // (file-tail row groups can align with a b-cycle boundary — ZOrderSpec
+    // notes the same — so "mostly unprunable" rather than exactly none)
+    assert(beforeHit * 4 >= beforeStats.size * 3,
+      s"the a-sorted layout should not prune b, got $beforeHit of ${beforeStats.size}")
+    assert(afterHit * 2 <= afterStats.size,
+      s"optimize must make b prunable: $afterHit of ${afterStats.size} row groups match")
+    assert(afterHit.toDouble / afterStats.size < beforeHit.toDouble / beforeStats.size / 1.5,
+      s"optimize must materially improve pruning: $afterHit/${afterStats.size} vs $beforeHit/${beforeStats.size}")
+    // sort claim on a natural column cannot survive a Morton reorder
+    assert(!new java.io.File(dir, "_pj_sort").exists(), "_pj_sort must be deleted")
+    // the sidecar fleet tracks the new files exactly
+    assert(sidecars(dir).size == parquetFiles(dir).size)
+    // and the pjparquet scan still reads the table (fresh index planning)
+    assert(spark.read.format("pjparquet").load(dir).count() == n.toLong)
+  }
 }
