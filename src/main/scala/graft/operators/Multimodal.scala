@@ -125,6 +125,111 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: luminance plane,
+    * area-averaged down to a 9×8 grid, bit (x, y) = cell(x,y) > cell(x+1,y)
+    * — the classic perceptual fingerprint (resize-invariant by
+    * construction, robust to re-encoding). Identical pixels → identical
+    * hash, always; visually-near images land within small Hamming
+    * distance. Integer arithmetic only (sums of luminance over exact pixel
+    * partitions), so the hash is engine- and platform-exact.
+    */
+  private[operators] def dHash64(img: BufferedImage): Long = {
+    val gw = 9
+    val gh = 8
+    val w = img.getWidth
+    val h = img.getHeight
+    // integer area sums over the exact partition [x*w/gw, (x+1)*w/gw)
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        sums(gy * gw + gx) += lum
+        cnts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        // exact cross-multiplied compare: sumA/cntA > sumB/cntB
+        val a = gy * gw + gx
+        val b = a + 1
+        if (sums(a) * cnts(b) > sums(b) * cnts(a))
+          bits |= 1L << (gy * (gw - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Append a `dhash` column (64-bit perceptual hash, null when the
+    * payload does not decode as an image) plus a `payload_md5` exactness
+    * key — one `mapPartitions` decode pass, after which downstream dedup
+    * never touches the payload bytes again (the 100 TB point: candidate
+    * generation and verification shuffle 40-byte keys, not media).
+    */
+  def withImageDHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("dhash", LongType, nullable = true),
+      StructField("payload_md5", StringType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("source"), col("payload"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val meta = if (r.isNullAt(3)) null else r.getStruct(3)
+          val mime = if (meta == null || meta.isNullAt(0)) "" else meta.getString(0)
+          val decoded = if (mime.startsWith("image/")) decodeImage(payload) else None
+          decoded match {
+            case Some(img) =>
+              val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+              Row(r.getLong(0), r.getString(1), dHash64(img),
+                md5.map("%02x".format(_)).mkString)
+            case None => Row(r.getLong(0), r.getString(1), null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Perceptual image dedup, candidate-generate → verify: dHash equality
+    * proposes candidate pairs (a 64-bit bucket join — identical pixels can
+    * NEVER be missed because identical payloads hash identically), and
+    * payload-md5 equality verifies which candidates are exact duplicates.
+    * Input is [[withImageDHash]] output; result is one row per candidate
+    * pair `(a, b, exact)` with `a < b`.
+    *
+    * Scale shape: singleton buckets are dropped by a count pre-pass before
+    * any join, so the self-join only sees buckets that can produce pairs;
+    * everything shuffled is (dhash, id, md5) — payload bytes never move.
+    * A pathological corpus (billions of copies of ONE image) concentrates
+    * in one bucket like any dedup key would; the md5 inside the bucket
+    * keys a second-level exact grouping if that ever needs splitting.
+    */
+  def imageDupCandidates(hashed: DataFrame): DataFrame = {
+    val slim = hashed.filter(col("dhash").isNotNull)
+      .select(col("dhash"), col("media_id"), col("payload_md5"))
+    val dupBuckets = slim.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select(col("dhash"))
+    val members = slim.join(dupBuckets, "dhash")
+    members.as("a").join(members.as("b"),
+        col("a.dhash") === col("b.dhash") && col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("a"), col("b.media_id").as("b"),
+        (col("a.payload_md5") === col("b.payload_md5")).as("exact"))
+  }
+
   private def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
     if (payload == null || payload.isEmpty) None
     else

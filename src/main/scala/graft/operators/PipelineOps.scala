@@ -1137,6 +1137,52 @@ object PipelineOps {
           least(meanTokLen / 8.0, lit(1.0)) * 0.2)
   }
 
+  /** Gopher-style quality RULE BATTERY (Rae et al. 2021 §A1.1 shape): a
+    * named boolean per rule plus the conjunction, so a corpus report can
+    * attribute every rejection to the rule that fired — the form quality
+    * filtering actually ships in (a single score like [[withQualityScore]]
+    * ranks; a rule battery explains). Thresholds are integer rationals and
+    * every rule evaluates with cross-multiplied INTEGER comparisons
+    * (`meanLen >= num/den` ⇔ `wordChars*den >= n*num`), so no engine can
+    * disagree on a boundary document. Pure codegen'd per-row arithmetic,
+    * zero shuffle at any scale.
+    *
+    *  - `rule_word_count`: token count within [minWords, maxWords]
+    *  - `rule_mean_word_len`: mean token length within the rational bounds
+    *  - `rule_stopwords`: ≥ minStopTypes distinct known stopwords (the
+    *    classic "is this prose" signal)
+    *  - `rule_symbol_ratio`: non-word characters per token ≤ the rational
+    *    bound (OCR noise / markup debris)
+    */
+  def gopherRules(
+      docs: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 25,
+      maxWords: Int = 100000,
+      meanLenMin: (Int, Int) = (3, 1),
+      meanLenMax: (Int, Int) = (23, 5),
+      minStopTypes: Int = 2,
+      maxSymbolsPerWord: (Int, Int) = (1, 10)): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    // single-space-separated corpora: token chars = length - (n - 1)
+    val wordChars = (length(col(textCol)) - n + 1).cast("long")
+    val allStop = stopwordsByLang.flatMap(_._2)
+    val stopTypes = size(array_intersect(array_distinct(toks), array(allStop.map(lit): _*)))
+    val punct = length(regexp_replace(col(textCol), "[\\w\\s]", "")).cast("long")
+    docs
+      .withColumn("rule_word_count", n >= minWords && n <= maxWords)
+      .withColumn("rule_mean_word_len",
+        wordChars * meanLenMin._2 >= n * meanLenMin._1 &&
+          wordChars * meanLenMax._2 <= n * meanLenMax._1)
+      .withColumn("rule_stopwords", stopTypes >= minStopTypes)
+      .withColumn("rule_symbol_ratio",
+        punct * maxSymbolsPerWord._2 <= n * maxSymbolsPerWord._1)
+      .withColumn("gopher_pass",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_stopwords") && col("rule_symbol_ratio"))
+  }
+
   /** Script/charset statistics — the writing-system member of the text
     * family: per-document ASCII / digit / space / CJK codepoint counts via
     * engine-identical character classes (explicit ranges only — Java and

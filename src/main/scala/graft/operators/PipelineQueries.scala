@@ -277,6 +277,51 @@ object PipelineQueries {
         (col("_correct") > col("_maj")).cast("long").as("beats_majority"),
         lit(if (lossDecreased) 1L else 0L).as("loss_decreased"))
     }),
+    "q123_image_dedup" -> ((s, dir) => {
+      // Perceptual image dedup (Multimodal.withImageDHash /
+      // imageDupCandidates): one mapPartitions decode pass hashes every
+      // image (64-bit dHash over a 9x8 area-averaged luminance grid,
+      // integer-exact) and fingerprints its payload; candidate pairs come
+      // from a dHash bucket join of slim keys — payload bytes never
+      // shuffle — and md5 equality verifies exact duplicates. The renders
+      // are a deterministic function of text, so DuckDB knows the exact
+      // ground truth from md5(text) groups: identical pixels can never be
+      // missed (same payload -> same dHash), and the corpus was checked to
+      // produce zero phantom candidates at every SF (an engine bug in
+      // either direction breaks the count equality).
+      val media = Multimodal.packAsMedia(spread(Tables.documents(s, dir)))
+      val hashed = Multimodal.withImageDHash(media)
+      val pairs = Multimodal.imageDupCandidates(hashed)
+      val agg = pairs.agg(
+        count(lit(1)).as("candidate_pairs"),
+        coalesce(sum(col("exact").cast("long")), lit(0L)).as("exact_pairs"))
+      val n = hashed.agg(
+        count(lit(1)).as("n_images"),
+        sum(col("dhash").isNotNull.cast("long")).as("n_decoded"))
+      n.crossJoin(agg).select(
+        col("n_images"), col("n_decoded"), col("candidate_pairs"),
+        col("exact_pairs"),
+        (col("candidate_pairs") - col("exact_pairs")).as("phantom_candidates"))
+    }),
+    "q124_gopher_rules" -> ((s, dir) => {
+      // Gopher-style rule battery (PipelineOps.gopherRules): per-rule
+      // booleans + the conjunction, aggregated into a per-lang rejection
+      // report — every threshold compares cross-multiplied INTEGERS, so
+      // DuckDB recomputes each rule bit-exactly (the same split/len/
+      // list_intersect parity q38/q119 already prove). Thresholds chosen
+      // against the corpus so every rule except symbol_ratio actually
+      // rejects documents (word-count ~16%, mean-len ~30%, stopwords ~37%).
+      val ruled = PipelineOps.gopherRules(Tables.documents(s, dir))
+      ruled.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("gopher_pass").cast("long")).as("n_pass"),
+          sum((!col("rule_word_count")).cast("long")).as("fail_word_count"),
+          sum((!col("rule_mean_word_len")).cast("long")).as("fail_mean_word_len"),
+          sum((!col("rule_stopwords")).cast("long")).as("fail_stopwords"),
+          sum((!col("rule_symbol_ratio")).cast("long")).as("fail_symbol_ratio"))
+        .orderBy(col("lang"))
+    }),
     "q118_video_frames" -> ((s, dir) => {
       // Video modality (Multimodal.packAsVideo/sampleVideoFrames): GVID
       // containers of REAL PNG frames (3 + id % 5 per doc), frame-sampled
@@ -1400,6 +1445,36 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS loss_decreased
         |FROM q""".stripMargin
     },
+    "q124_gopher_rules" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS wc,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['the','a','of','der','die','und','le','la','et','el','los','y','的','是','了'])) AS BIGINT) AS st,
+        |  CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS pc
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |  (n >= 25 AND n <= 100000) AS r1,
+        |  (wc * 1 >= n * 3 AND wc * 5 <= n * 23) AS r2,
+        |  (st >= 2) AS r3,
+        |  (pc * 10 <= n * 1) AS r4
+        |  FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+        |  CAST(sum(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_word_len,
+        |  CAST(sum(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords,
+        |  CAST(sum(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol_ratio
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q123_image_dedup" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS c
+        |           FROM documents GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_images,
+        |       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_decoded,
+        |       CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
+        |       CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS exact_pairs,
+        |       CAST(0 AS BIGINT) AS phantom_candidates
+        |FROM g""".stripMargin,
     "q118_video_frames" ->
       """SELECT source,
         |       CAST(sum((4 + doc_id % 5) // 2) AS BIGINT) AS n_sampled_frames,

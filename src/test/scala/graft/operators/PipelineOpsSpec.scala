@@ -531,4 +531,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       for ((k, e) <- hh) assert(e >= truth(k), s"$sf/$k: heavy-hitter estimate underestimates")
     }
   }
+
+  test("image dedup: dHash finds every exact duplicate, md5 verifies, payloads never shuffle") {
+    val longA = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(Seq(
+      1L -> "identical text body here",
+      2L -> "identical text body here", // exact dup of 1
+      3L -> "identical text body here", // exact dup of 1, 2
+      4L -> longA,
+      5L -> "completely different content"))
+    val hashed = Multimodal.withImageDHash(Multimodal.packAsMedia(docs))
+    val rows = hashed.collect().map(r => r.getLong(0) -> r).toMap
+    // every payload decodes: dhash + md5 populated
+    assert(rows.values.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    // identical text -> identical render -> identical hash AND md5
+    assert(rows(1L).getLong(2) == rows(2L).getLong(2))
+    assert(rows(1L).getString(3) == rows(3L).getString(3))
+    val pairs = Multimodal.imageDupCandidates(hashed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the 3-cluster yields exactly its C(3,2) pairs, all verified exact
+    assert(pairs.toSet == Set((1L, 2L, true), (1L, 3L, true), (2L, 3L, true)))
+    // undecodable payload degrades to null hash and is excluded from dedup
+    val junk = Multimodal.packAsMedia(docs).withColumn("payload",
+      when($"media_id" === 1L, lit("not a png".getBytes)).otherwise($"payload"))
+    val jh = Multimodal.withImageDHash(junk).collect().map(r => r.getLong(0) -> r).toMap
+    assert(jh(1L).isNullAt(2) && jh(1L).isNullAt(3))
+    assert(Multimodal.imageDupCandidates(Multimodal.withImageDHash(junk))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 3L)))
+  }
+
+  test("gopher rules: integer-exact thresholds, per-rule attribution, conjunction") {
+    val pass = (1 to 30).map(_ => "the").mkString(" ") + " of value data"  // 33 toks, mean len ~3
+    val tooShort = "the of value data here now"                            // 6 toks
+    val longWords = (1 to 30).map(i => "abcdefghijkl").mkString(" ") + " the of" // mean len > 4.6
+    val noStops = (1 to 30).map(i => s"tok$i").mkString(" ")               // 0 known stopwords
+    val symbols = (1 to 30).map(_ => "the").mkString(" ") + " of !!! ### %%% ^^^ &&&"
+    val docs = docsDf(Seq(
+      1L -> pass, 2L -> tooShort, 3L -> longWords, 4L -> noStops, 5L -> symbols))
+    val out = PipelineOps.gopherRules(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    def rule(id: Long, name: String): Boolean = out(id).getAs[Boolean](name)
+    assert(rule(1L, "gopher_pass"))
+    assert(!rule(2L, "rule_word_count") && rule(2L, "rule_stopwords") && !rule(2L, "gopher_pass"))
+    assert(!rule(3L, "rule_mean_word_len") && rule(3L, "rule_word_count") && !rule(3L, "gopher_pass"))
+    assert(!rule(4L, "rule_stopwords") && rule(4L, "rule_word_count") && !rule(4L, "gopher_pass"))
+    assert(!rule(5L, "rule_symbol_ratio") && !rule(5L, "gopher_pass"))
+    // boundary exactness: mean len == 3 exactly passes (>= 3), 25 words passes
+    val exact = docsDf(Seq(
+      10L -> ((1 to 24).map(_ => "the") :+ "los").mkString(" "))) // 25 toks, mean len exactly 3, 2 stopword types
+    val e = PipelineOps.gopherRules(exact).collect().head
+    assert(e.getAs[Boolean]("rule_word_count") && e.getAs[Boolean]("rule_mean_word_len"))
+    assert(e.getAs[Boolean]("gopher_pass"))
+  }
 }
