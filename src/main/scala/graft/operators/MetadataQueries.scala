@@ -174,6 +174,37 @@ object MetadataQueries {
               |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
               |FROM pj_q64_t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
+    "q125_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      // Commit-log snapshots + time travel (PjCommitLog): v1 = the whole
+      // nation table written with log.enabled, v2 = a truncate-overwrite
+      // keeping only regions < 2 with keys shifted +100. HEAD must see
+      // exactly v2, while versionAsOf=1 must reproduce v1 EXACTLY even
+      // though the overwrite replaced the table contents — the logged
+      // commit RETIRED v1's files into the snapshot history instead of
+      // deleting them (reclamation is PjVacuum.expireVersions's job).
+      // DuckDB recomputes both states from the source table.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q125_tt").toString
+      val nation = graft.Tables.nation(s, dir)
+      nation.write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(tmp) // v1
+      nation.filter($"n_regionkey" < 2)
+        .withColumn("n_nationkey", ($"n_nationkey" + 100).cast("int"))
+        .write.format("pjparquet").mode("overwrite").save(tmp) // v2 (log sticky)
+      val head = s.read.format("pjparquet").load(tmp)
+        .agg(count(lit(1)).as("head_rows"),
+          sum(col("n_nationkey")).cast("long").as("head_key_sum"))
+      val v1 = s.read.format("pjparquet").option("versionAsOf", "1").load(tmp)
+        .agg(count(lit(1)).as("v1_rows"),
+          sum(col("n_nationkey")).cast("long").as("v1_key_sum"))
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val nVersions = graft.sources.pjparquet.PjCommitLog
+        .versions(fs, new org.apache.hadoop.fs.Path(tmp)).size.toLong
+      v1.crossJoin(head).select(
+        col("v1_rows"), col("v1_key_sum"), col("head_rows"),
+        col("head_key_sum"), lit(nVersions).as("n_versions"))
+    }),
     "q80_pjparquet_zordered_scan" -> ((s, dir) => {
       import s.implicits._
       // End-to-end form of ZOrderSpec's pruning proof on the product path:
@@ -964,6 +995,13 @@ object MetadataQueries {
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q125_time_travel" ->
+      """WITH h AS (SELECT n_nationkey + 100 AS k FROM nation WHERE n_regionkey < 2)
+        |SELECT (SELECT count(*) FROM nation) AS v1_rows,
+        |       (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS v1_key_sum,
+        |       (SELECT count(*) FROM h) AS head_rows,
+        |       (SELECT CAST(sum(k) AS BIGINT) FROM h) AS head_key_sum,
+        |       CAST(2 AS BIGINT) AS n_versions""".stripMargin,
     "q80_pjparquet_zordered_scan" ->
       """WITH rng AS (
         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS o_min, CAST(max(l_orderkey) AS BIGINT) AS o_max,

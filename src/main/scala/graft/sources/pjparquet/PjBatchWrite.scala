@@ -81,7 +81,8 @@ final class PjWriteBuilder(
     info: LogicalWriteInfo,
     initialMode: PjWriteMode = PjWriteMode.Append,
     bloomColumns: Seq[String] = Nil,
-    sortColumns: Seq[String] = Nil)
+    sortColumns: Seq[String] = Nil,
+    logRequested: Boolean = false)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -112,7 +113,7 @@ final class PjWriteBuilder(
 
   override def build(): Write =
     new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
-      bloomColumns, sortColumns)
+      bloomColumns, sortColumns, logRequested)
 }
 
 final class PjWrite(
@@ -122,7 +123,8 @@ final class PjWrite(
     mode: PjWriteMode,
     queryId: String,
     bloomColumns: Seq[String] = Nil,
-    sortColumns: Seq[String] = Nil)
+    sortColumns: Seq[String] = Nil,
+    logRequested: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet write $mode -> $root"
@@ -146,7 +148,8 @@ final class PjWrite(
       .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =
-    new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns)
+    new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
+      logRequested)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -163,7 +166,8 @@ final class PjWrite(
     if (mode != PjWriteMode.Append)
       throw new PJException(
         "pjparquet: streaming writes support the append output mode only")
-    new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns, sortColumns)
+    new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns,
+      sortColumns, logRequested)
   }
 }
 
@@ -173,7 +177,8 @@ final class PjStreamingWrite(
     writeSchema: StructType,
     queryId: String,
     bloomColumns: Seq[String] = Nil,
-    sortColumns: Seq[String] = Nil)
+    sortColumns: Seq[String] = Nil,
+    logRequested: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -187,28 +192,30 @@ final class PjStreamingWrite(
       root, new SerializableConfiguration(hadoopConf), writeSchema.json, partitionKeys, queryId)
   }
 
-  /** Deletes this epoch's non-kept (failed-attempt) files; returns how many
-    * data files from OTHER epochs/jobs exist (sort-marker survivors).
+  /** Deletes this epoch's non-kept (failed-attempt) files; returns the rel
+    * paths of data files from OTHER epochs/jobs (sort-marker survivors,
+    * and the adopted base set of a first logged commit).
     */
-  private def sweep(epochId: Long, keep: Set[String]): Int = {
+  private def sweep(epochId: Long, keep: Set[String]): Seq[String] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     val tag = s"-e$epochId-$queryId-"
-    var others = 0
+    val others = mutable.ArrayBuffer.empty[String]
     for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
       val name = status.getPath.getName
+      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
       if (name.contains(tag)) {
-        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         if (!keep.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
-      } else others += 1
+      } else others += rel
     }
-    others
+    others.toSeq
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val manifest: Set[String] =
       messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
-    val survivors = sweep(epochId, manifest) // failed-attempt leftovers from this epoch
+    val others = sweep(epochId, manifest) // failed-attempt leftovers from this epoch
+    var survivors = others.size
     // sidecar maintenance sized to the EPOCH, not the table: a long-lived
     // stream into a 100k-file table must not re-walk the root per commit
     val epochPaths = manifest.toSeq.sorted.map(rel => s"$root/$rel")
@@ -216,9 +223,21 @@ final class PjStreamingWrite(
     if (bloomColumns.nonEmpty)
       PjBloomJob.generateForPaths(SparkSession.active, epochPaths, bloomColumns)
     val rootPath = new Path(root)
-    PjBatchWrite.maintainSortMarker(
-      rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf()),
-      rootPath, sortColumns, survivors)
+    val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    if (logRequested || PjCommitLog.isEnabled(fs, rootPath)) {
+      // the sink is append-only, so snapshot' = snapshot ∪ epoch manifest.
+      // Epoch REPLAYS re-commit the same deterministic file names: the set
+      // union keeps the snapshot idempotent across the replay. The sweep's
+      // physical count would double-count retired files of logged
+      // overwrites — trust the log instead.
+      // first logged commit adopts the live directory (minus this epoch's
+      // own files, which ride in via the manifest union below)
+      val base = PjCommitLog.latest(fs, rootPath).map(_.files.toSet)
+        .getOrElse(others.toSet)
+      survivors = base.size
+      PjCommitLog.append(fs, rootPath, s"stream-epoch-$epochId", (base ++ manifest).toSeq)
+    }
+    PjBatchWrite.maintainSortMarker(fs, rootPath, sortColumns, survivors)
     graft.operators.PqIndex.maintainIfPresent(SparkSession.active, root)
   }
 
@@ -255,7 +274,8 @@ final class PjBatchWrite(
     writeSchema: StructType,
     mode: PjWriteMode,
     bloomColumns: Seq[String] = Nil,
-    sortColumns: Seq[String] = Nil)
+    sortColumns: Seq[String] = Nil,
+    logRequested: Boolean = false)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -288,27 +308,64 @@ final class PjBatchWrite(
       case _ => Set.empty
     }
 
+    val logging = logRequested || PjCommitLog.isEnabled(fs, rootPath)
+
     // one recursive walk classifies every data file under the root;
     // `survivors` = pre-existing files that remain after this commit (the
     // sort-marker invariant must hold for them too)
     var survivors = 0
-    for ((status, relDir, partValues) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
-      val name = status.getPath.getName
-      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-      val drop =
-        if (name.contains(jobUUID)) !manifest.contains(rel) // failed/speculative attempts
-        else mode match {
-          case PjWriteMode.Append => false
-          case PjWriteMode.DynamicOverwrite => touchedDirs.contains(relDir)
-          case PjWriteMode.OverwriteByFilter(filters) =>
-            filters.forall(f => PjBatchWrite.evalPartitionFilter(f, partValues))
-          case _: PjWriteMode.ReplaceFiles =>
-            replaced.contains(fs.makeQualified(status.getPath))
-        }
-      if (drop) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
-      else if (!manifest.contains(rel)) survivors += 1
+    if (!logging) {
+      for ((status, relDir, partValues) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
+        val name = status.getPath.getName
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val drop =
+          if (name.contains(jobUUID)) !manifest.contains(rel) // failed/speculative attempts
+          else mode match {
+            case PjWriteMode.Append => false
+            case PjWriteMode.DynamicOverwrite => touchedDirs.contains(relDir)
+            case PjWriteMode.OverwriteByFilter(filters) =>
+              filters.forall(f => PjBatchWrite.evalPartitionFilter(f, partValues))
+            case _: PjWriteMode.ReplaceFiles =>
+              replaced.contains(fs.makeQualified(status.getPath))
+          }
+        if (drop) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+        else if (!manifest.contains(rel)) survivors += 1
+      }
+      PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
+    } else {
+      // COMMIT-LOG mode: the latest snapshot (not the directory) is the
+      // pre-commit truth — retired files of earlier versions still sit on
+      // disk for time travel and must neither count nor be re-deleted.
+      // This commit's failed-attempt files still die (they were never
+      // live); everything this commit REPLACES is retired from the new
+      // snapshot and left for PjVacuum.expireVersions.
+      val preExisting = mutable.ArrayBuffer.empty[String]
+      for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
+        val name = status.getPath.getName
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        if (name.contains(jobUUID)) {
+          if (!manifest.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+        } else preExisting += rel
+      }
+      // first logged commit adopts the live directory as version-0 state
+      val base: Set[String] = PjCommitLog.latest(fs, rootPath)
+        .map(_.files.toSet).getOrElse(preExisting.toSet)
+      val retired: Set[String] = mode match {
+        case PjWriteMode.Append => Set.empty
+        case PjWriteMode.DynamicOverwrite =>
+          base.filter(rel => touchedDirs.contains(PjBatchWrite.relDirOf(rel)))
+        case PjWriteMode.OverwriteByFilter(filters) =>
+          base.filter(rel => filters.forall(f =>
+            PjBatchWrite.evalPartitionFilter(f, PjBatchWrite.partsOfRel(rel))))
+        case _: PjWriteMode.ReplaceFiles =>
+          val replRel = replaced.map(p => PjCommitLog.relativize(fs, rootPath, p))
+          base.intersect(replRel)
+      }
+      val kept = base -- retired
+      survivors = kept.size
+      PjCommitLog.append(fs, rootPath, PjBatchWrite.actionName(mode),
+        (kept ++ manifest).toSeq)
     }
-    PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
     PjBatchWrite.maintainSortMarker(fs, rootPath, sortColumns, survivors)
     // new files become index-planned immediately. Sidecar maintenance is
     // sized to the COMMIT (the manifest is the exact new-file list), not the
@@ -339,6 +396,36 @@ final class PjBatchWrite(
 }
 
 private[pjparquet] object PjBatchWrite {
+
+  /** Commit-log action label for a write mode. */
+  def actionName(mode: PjWriteMode): String = mode match {
+    case PjWriteMode.Append => "append"
+    case PjWriteMode.DynamicOverwrite => "overwrite-dynamic"
+    case PjWriteMode.OverwriteByFilter(Seq(AlwaysTrue)) => "truncate"
+    case _: PjWriteMode.OverwriteByFilter => "overwrite-static"
+    case _: PjWriteMode.ReplaceFiles => "replace-files"
+  }
+
+  /** Partition-relative directory of a snapshot rel path ("" at the root). */
+  def relDirOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Decoded partition values of a snapshot rel path — the same decode the
+    * directory walk applies, so filter evaluation agrees byte-for-byte.
+    */
+  def partsOfRel(rel: String): Map[String, Option[String]] =
+    relDirOf(rel).split("/").iterator.filter(_.nonEmpty).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          val decoded =
+            if (v == PjParquetTable.HiveNullPartition) None
+            else Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          Some(k -> decoded)
+        case _ => None
+      }
+    }.toMap
 
   /** Commit-time [[PjSortMarker]] maintenance. The marker may claim a sort
     * only while EVERY data file satisfies it: keep/write it when this

@@ -63,13 +63,21 @@ object PjCompaction {
     val fs = rootPath.getFileSystem(hconf)
     val rootUri = fs.makeQualified(rootPath).toString
 
+    // commit-log tables: compaction operates on the LIVE snapshot only —
+    // files retired by earlier logged overwrites still sit on disk for
+    // time travel and must not be merged back in
+    val logging = PjCommitLog.isEnabled(fs, rootPath)
+    val baseSnapshot: Set[String] =
+      if (logging) PjCommitLog.latest(fs, rootPath).map(_.files.toSet).getOrElse(Set.empty)
+      else Set.empty
     val all = {
       val it = fs.listFiles(rootPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
       while (it.hasNext) {
         val s = it.next()
         val n = s.getPath.getName
-        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+            (!logging || baseSnapshot.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
           buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
       }
       buf.toSeq
@@ -144,6 +152,7 @@ object PjCompaction {
       // publish: rename each compacted file into its real directory (names
       // carry a fresh task UUID — collision-free), then drop the inputs
       var newFiles = 0L
+      val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val s = it.next()
@@ -155,10 +164,18 @@ object PjCompaction {
           fs.mkdirs(destDir)
           require(fs.rename(s.getPath, new Path(destDir, n)),
             s"compaction publish failed: could not move ${s.getPath} to $destDir")
+          newRels += (if (rel.isEmpty) n else s"$rel/$n")
           newFiles += 1
         }
       }
-      consumed.foreach { f =>
+      if (logging) {
+        // logged table: consumed files retire via the snapshot, bytes stay
+        // for time travel until PjVacuum.expireVersions reclaims them
+        val consumedRel = consumed.map(f =>
+          PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
+        PjCommitLog.append(fs, rootPath, "compact",
+          ((baseSnapshot -- consumedRel) ++ newRels).toSeq)
+      } else consumed.foreach { f =>
         val p = new Path(f.path)
         fs.delete(p, false)
         val sidecar = PjParquetTable.hiddenSidecar(p)
@@ -213,13 +230,18 @@ object PjCompaction {
     val fs = rootPath.getFileSystem(hconf)
     val rootUri = fs.makeQualified(rootPath).toString
 
+    val logging = PjCommitLog.isEnabled(fs, rootPath)
+    val baseSnapshot: Set[String] =
+      if (logging) PjCommitLog.latest(fs, rootPath).map(_.files.toSet).getOrElse(Set.empty)
+      else Set.empty
     val all = {
       val it = fs.listFiles(rootPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
       while (it.hasNext) {
         val s = it.next()
         val n = s.getPath.getName
-        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+            (!logging || baseSnapshot.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
           buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
       }
       buf.toSeq
@@ -244,6 +266,7 @@ object PjCompaction {
       val w = clustered.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
       var newFiles = 0L
+      val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val s = it.next()
@@ -255,10 +278,16 @@ object PjCompaction {
           fs.mkdirs(destDir)
           require(fs.rename(s.getPath, new Path(destDir, n)),
             s"optimize publish failed: could not move ${s.getPath} to $destDir")
+          newRels += (if (rel.isEmpty) n else s"$rel/$n")
           newFiles += 1
         }
       }
-      all.foreach { f =>
+      if (logging) {
+        val consumedRel = all.map(f =>
+          PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
+        PjCommitLog.append(fs, rootPath, "optimize-zorder",
+          ((baseSnapshot -- consumedRel) ++ newRels).toSeq)
+      } else all.foreach { f =>
         val p = new Path(f.path)
         fs.delete(p, false)
         val sidecar = PjParquetTable.hiddenSidecar(p)

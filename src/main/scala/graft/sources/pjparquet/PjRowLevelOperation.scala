@@ -90,6 +90,7 @@ final class PjRowLevelOperation(
       // with `sort.columns` declared the copy-on-write rewrite re-sorts the
       // replacement files, so DML keeps the layout's ordering claim alive
       sortColumns = PjParquetTable.sortColumnsOf(tableOptions),
+      logRequested = tableOptions.getBoolean("log.enabled", false),
       initialMode = new PjWriteMode.ReplaceFiles(() =>
         configuredScan match {
           case Some(s) => s.currentFiles.map(_.path)

@@ -76,4 +76,49 @@ object PjVacuum {
     }
     Report(orphans, workDirs)
   }
+
+  final case class ExpireReport(
+      versionsDropped: Long, versionsKept: Long, filesReclaimed: Long)
+
+  /** Close the time-travel window of a [[PjCommitLog]] table: keep the
+    * newest `keepVersions` snapshots, drop the older log entries, and
+    * delete every data file (plus its `.index`/`.bloom` sidecars) that no
+    * SURVIVING snapshot references — the Delta `VACUUM` contract, where
+    * retention is the only thing that ever physically deletes a logged
+    * table's retired bytes. Metadata-rate driver work: one log read per
+    * kept version + one recursive listing; no data I/O.
+    */
+  def expireVersions(spark: SparkSession, root: String, keepVersions: Int): ExpireReport = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    if (!PjCommitLog.isEnabled(fs, rootPath))
+      throw new graft.core.PJException(
+        s"pjparquet: '$root' has no commit log; expireVersions applies to logged tables")
+    val versions = PjCommitLog.versions(fs, rootPath)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced: Set[String] =
+      keep.flatMap(v => PjCommitLog.read(fs, rootPath, v).files).toSet
+
+    var reclaimed = 0L
+    val it = fs.listFiles(rootPath, true)
+    val victims = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          !referenced.contains(PjCommitLog.relativize(fs, rootPath, s.getPath)))
+        victims += s.getPath
+    }
+    victims.foreach { p =>
+      PjBatchWrite.deleteWithSidecars(fs, p)
+      reclaimed += 1
+    }
+    drop.foreach(v => fs.delete(new Path(PjCommitLog.logDir(rootPath), f"$v%020d.json"), false))
+    PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
+    // stale cached layouts of expired versions would serve missing files
+    PjParquetTable.clearLayoutCache()
+    ExpireReport(drop.size.toLong, keep.size.toLong, reclaimed)
+  }
 }

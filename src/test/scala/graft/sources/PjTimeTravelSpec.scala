@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjCommitLog, PjVacuum}
+
+/** Commit-log snapshots + time travel ([[graft.sources.pjparquet.PjCommitLog]]):
+  * every logged commit appends a full live-file snapshot, reads plan
+  * exactly the chosen snapshot's files, overwrites RETIRE files instead of
+  * deleting them, and [[PjVacuum.expireVersions]] is the only thing that
+  * reclaims a logged table's bytes.
+  */
+class PjTimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"pj_tt_$tag").toString
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def write(df: org.apache.spark.sql.DataFrame, dir: String,
+      mode: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format("pjparquet").mode(mode).option("log.enabled", "true")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).save(dir)
+  }
+
+  private def readVersion(dir: String, v: Long): org.apache.spark.sql.DataFrame =
+    spark.read.format("pjparquet").option("versionAsOf", v.toString).load(dir)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append -> overwrite -> append: every version stays readable with exact contents") {
+    import spark.implicits._
+    val dir = tempDir("basic")
+    write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir, "append")      // v1
+    write(Seq((10L, "x"), (11L, "y")).toDF("id", "name"), dir, "overwrite") // v2 (truncate)
+    write(Seq((12L, "z")).toDF("id", "name"), dir, "append")                // v3
+
+    val fs = fsOf(dir)
+    assert(PjCommitLog.versions(fs, new Path(dir)) == Seq(1L, 2L, 3L))
+    // HEAD = v3
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(10L, 11L, 12L))
+    assert(ids(readVersion(dir, 1)) == Set(1L, 2L))
+    assert(ids(readVersion(dir, 2)) == Set(10L, 11L))
+    assert(ids(readVersion(dir, 3)) == Set(10L, 11L, 12L))
+    // the overwrite retired v1's files but did NOT delete them
+    val v1Files = PjCommitLog.read(fs, new Path(dir), 1L).files
+    assert(v1Files.nonEmpty &&
+      v1Files.forall(rel => fs.exists(new Path(dir, rel))),
+      "retired files must stay on disk for time travel")
+    // a missing version fails with the available range
+    val e = intercept[graft.core.PJException](readVersion(dir, 9).collect())
+    assert(e.getMessage.contains("version 9") && e.getMessage.contains("1..3"))
+  }
+
+  test("dynamic partition overwrite retires only the touched partition's files") {
+    import spark.implicits._
+    val dir = tempDir("dyn")
+    write(Seq((1L, 0L), (2L, 1L)).toDF("id", "k"), dir, "append", Seq("k"))   // v1
+    spark.sql("DROP TABLE IF EXISTS pj_tt_dyn")
+    spark.sql(s"CREATE TABLE pj_tt_dyn USING pjparquet OPTIONS (path '$dir')")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((20L, 1L)).toDF("id", "k").createOrReplaceTempView("pj_tt_dyn_src")
+      spark.sql("INSERT OVERWRITE pj_tt_dyn SELECT id, k FROM pj_tt_dyn_src") // v2
+    } finally {
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      spark.sql("DROP TABLE IF EXISTS pj_tt_dyn")
+    }
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(1L, 20L))
+    assert(ids(readVersion(dir, 1)) == Set(1L, 2L))
+    // partition k=0 files are SHARED between v1 and v2 (not rewritten)
+    val fs = fsOf(dir)
+    val v1 = PjCommitLog.read(fs, new Path(dir), 1L).files.toSet
+    val v2 = PjCommitLog.read(fs, new Path(dir), 2L).files.toSet
+    assert((v1 & v2).nonEmpty && (v1 & v2).forall(_.startsWith("k=0/")))
+  }
+
+  test("logged metadata DELETE retires files without touching bytes; time travel sees them") {
+    import spark.implicits._
+    val dir = tempDir("del")
+    write(Seq((1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "k"), dir, "append", Seq("k")) // v1
+    spark.sql("DROP TABLE IF EXISTS pj_tt_del")
+    spark.sql(s"CREATE TABLE pj_tt_del USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_tt_del WHERE k = 1")                                    // v2
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(1L))
+    assert(ids(readVersion(dir, 1)) == Set(1L, 2L, 3L))
+    val fs = fsOf(dir)
+    assert(PjCommitLog.versions(fs, new Path(dir)) == Seq(1L, 2L))
+    spark.sql("DROP TABLE IF EXISTS pj_tt_del")
+  }
+
+  test("expireVersions closes the travel window and reclaims exactly the unreferenced bytes") {
+    import spark.implicits._
+    val dir = tempDir("expire")
+    write(Seq((1L, "a")).toDF("id", "name"), dir, "append")      // v1
+    write(Seq((2L, "b")).toDF("id", "name"), dir, "overwrite")   // v2
+    write(Seq((3L, "c")).toDF("id", "name"), dir, "append")      // v3
+    val r = PjVacuum.expireVersions(spark, dir, keepVersions = 2)
+    assert(r.versionsDropped == 1 && r.versionsKept == 2)
+    assert(r.filesReclaimed >= 1, "v1's retired file must be reclaimed")
+    // HEAD and v2 survive intact
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(2L, 3L))
+    assert(ids(readVersion(dir, 2)) == Set(2L))
+    // v1 is gone — either the log entry is dropped or its files are missing
+    val e = intercept[graft.core.PJException](readVersion(dir, 1).collect())
+    assert(e.getMessage.contains("version 1"))
+  }
+
+  test("snapshot isolation: files on disk but outside the snapshot are invisible") {
+    import spark.implicits._
+    val dir = tempDir("iso")
+    write(Seq((1L, "a")).toDF("id", "name"), dir, "append") // v1
+    // simulate a racing writer's uncommitted file: a valid parquet data
+    // file dropped into the directory without a log commit
+    val tmp = tempDir("ghost")
+    Seq((99L, "ghost")).toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, "part-uncommitted-ghost.parquet")
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    // the logged read ignores it; an unlogged directory read would see it
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(1L))
+  }
+
+  test("unlogged tables are untouched: no _pj_log appears, overwrite still deletes") {
+    import spark.implicits._
+    val dir = tempDir("unlogged")
+    Seq((1L, "a")).toDF("id", "name").write.format("pjparquet").mode("append").save(dir)
+    Seq((2L, "b")).toDF("id", "name").write.format("pjparquet").mode("overwrite").save(dir)
+    val fs = fsOf(dir)
+    assert(!PjCommitLog.isEnabled(fs, new Path(dir)))
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(2L))
+    // versionAsOf on an unlogged table fails with a clear message
+    val e = intercept[graft.core.PJException](readVersion(dir, 1).collect())
+    assert(e.getMessage.contains("no commit log"))
+  }
+
+  test("writes and DML against a versionAsOf snapshot are refused") {
+    import spark.implicits._
+    val dir = tempDir("romode")
+    write(Seq((1L, "a")).toDF("id", "name"), dir, "append")
+    write(Seq((2L, "b")).toDF("id", "name"), dir, "append")
+    val e = intercept[Exception] {
+      Seq((3L, "c")).toDF("id", "name").write.format("pjparquet")
+        .mode("append").option("versionAsOf", "1").save(dir)
+    }
+    assert(e.getMessage.contains("read-only"))
+  }
+}
