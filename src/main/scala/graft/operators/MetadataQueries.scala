@@ -205,6 +205,38 @@ object MetadataQueries {
         col("v1_rows"), col("v1_key_sum"), col("head_rows"),
         col("head_key_sum"), lit(nVersions).as("n_versions"))
     }),
+    "q126_table_history" -> ((s, dir) => {
+      import s.implicits._
+      // DESCRIBE HISTORY over the commit log (PjCommitLog.history): three
+      // deterministic commits — partitioned single-file append (k=0),
+      // second append (k=1), metadata-rate DELETE of k=0 — must surface as
+      // exactly three versions with the right actions and live-file
+      // counts, with non-decreasing commit timestamps (wall-clock, so the
+      // ts itself rides as an asserted monotonicity bit, not a value).
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q126_hist").toString
+      val r = graft.Tables.region(s, dir)
+      def slice(k: Int) = r.filter($"r_regionkey" === k)
+        .withColumn("k", lit(k.toLong)).coalesce(1)
+      slice(0).write.format("pjparquet").partitionBy("k")
+        .option("log.enabled", "true").mode("append").save(tmp) // v1: 1 file
+      slice(1).write.format("pjparquet").partitionBy("k")
+        .mode("append").save(tmp)                               // v2: 2 files
+      s.sql("DROP TABLE IF EXISTS pj_q126_t")
+      s.sql(s"CREATE TABLE pj_q126_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM pj_q126_t WHERE k = 0")                // v3: 1 file
+      s.sql("DROP TABLE IF EXISTS pj_q126_t")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val hist = graft.sources.pjparquet.PjCommitLog
+        .history(p.getFileSystem(s.sessionState.newHadoopConf()), p)
+      val tsMonotone = hist.sliding(2).forall {
+        case Seq(a, b) => a.ts <= b.ts
+        case _ => true
+      }
+      hist.map(h => (h.version, h.action, h.files.size.toLong))
+        .toDF("version", "action", "n_files")
+        .withColumn("ts_nondecreasing", lit(if (tsMonotone) 1L else 0L))
+        .orderBy(col("version"))
+    }),
     "q80_pjparquet_zordered_scan" -> ((s, dir) => {
       import s.implicits._
       // End-to-end form of ZOrderSpec's pruning proof on the product path:
@@ -995,6 +1027,13 @@ object MetadataQueries {
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q126_table_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'append', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'delete-where', CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+        |  AS t(version, action, n_files, ts_nondecreasing)
+        |ORDER BY version""".stripMargin,
     "q125_time_travel" ->
       """WITH h AS (SELECT n_nationkey + 100 AS k FROM nation WHERE n_regionkey < 2)
         |SELECT (SELECT count(*) FROM nation) AS v1_rows,

@@ -39,7 +39,8 @@ import graft.core.PJException
 object PjCommitLog {
   val DirName = "_pj_log"
 
-  final case class Snapshot(version: Long, action: String, files: Seq[String])
+  final case class Snapshot(version: Long, action: String, files: Seq[String],
+      ts: Long = 0L)
 
   def logDir(root: Path): Path = new Path(root, DirName)
 
@@ -96,7 +97,7 @@ object PjCommitLog {
     val v = versions(fs, root).lastOption.getOrElse(0L) + 1
     val target = versionFile(root, v)
     val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val body = render(Snapshot(v, action, files.sorted))
+    val body = render(Snapshot(v, action, files.sorted, System.currentTimeMillis()))
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
     if (fs.exists(target) || !fs.rename(tmp, target)) {
@@ -107,6 +108,25 @@ object PjCommitLog {
     }
     v
   }
+
+  /** Latest version committed at or before `tsMillis` — the
+    * `timestampAsOf` resolution rule (Delta semantics: the state a reader
+    * at that wall-clock instant would have seen).
+    */
+  def versionAtTimestamp(fs: FileSystem, root: Path, tsMillis: Long): Long = {
+    val vs = versions(fs, root)
+    val at = vs.reverseIterator.find(v => read(fs, root, v).ts <= tsMillis)
+    at.getOrElse(throw new PJException(
+      s"pjparquet: no commit at or before timestamp $tsMillis" +
+        (if (vs.isEmpty) " (table has no commit log)"
+        else s" (earliest commit ts=${read(fs, root, vs.head).ts})")))
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version — (version, ts,
+    * action, n_files). Metadata-rate driver work.
+    */
+  def history(fs: FileSystem, root: Path): Seq[Snapshot] =
+    versions(fs, root).map(v => read(fs, root, v))
 
   /** Table-root-relative path of a data file (for snapshot membership). */
   def relativize(fs: FileSystem, root: Path, p: Path): String = {
@@ -146,10 +166,11 @@ object PjCommitLog {
   }
 
   private def render(s: Snapshot): String =
-    s"""{"version":${s.version},"action":${esc(s.action)},"files":[""" +
+    s"""{"version":${s.version},"ts":${s.ts},"action":${esc(s.action)},"files":[""" +
       s.files.map(esc).mkString(",") + "]}\n"
 
   private val VersionRe = """"version"\s*:\s*(\d+)""".r
+  private val TsRe = """"ts"\s*:\s*(\d+)""".r
   private val ActionRe = """"action"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private val FilesRe = """(?s)"files"\s*:\s*\[(.*)\]""".r
   private val StringRe = """"((?:[^"\\]|\\.)*)"""".r
@@ -164,6 +185,7 @@ object PjCommitLog {
     val filesBody = FilesRe.findFirstMatchIn(txt).map(_.group(1)).getOrElse(
       throw new PJException(s"pjparquet: corrupt commit-log entry (no files): ${txt.take(80)}"))
     val files = StringRe.findAllMatchIn(filesBody).map(m => unesc(m.group(1))).toSeq
-    Snapshot(v, action, files)
+    val ts = TsRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    Snapshot(v, action, files, ts)
   }
 }

@@ -140,6 +140,39 @@ class PjTimeTravelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no commit log"))
   }
 
+  test("timestampAsOf resolves to the latest commit at or before the instant; history reports all versions") {
+    import spark.implicits._
+    val dir = tempDir("ts")
+    write(Seq((1L, "a")).toDF("id", "name"), dir, "append")      // v1
+    write(Seq((2L, "b")).toDF("id", "name"), dir, "overwrite")   // v2
+    val fs = fsOf(dir)
+    val hist = PjCommitLog.history(fs, new Path(dir))
+    assert(hist.map(_.version) == Seq(1L, 2L))
+    assert(hist.map(_.action) == Seq("append", "truncate"))
+    assert(hist.forall(_.ts > 0) && hist(0).ts <= hist(1).ts)
+    // just before v2's commit instant -> v1 (commits are >1 ms apart: each
+    // involves a full parquet write)
+    val atV1 = spark.read.format("pjparquet")
+      .option("timestampAsOf", (hist(1).ts - 1).toString).load(dir)
+    assert(ids(atV1) == Set(1L))
+    // far future -> HEAD
+    val atHead = spark.read.format("pjparquet")
+      .option("timestampAsOf", (hist(1).ts + 60000).toString).load(dir)
+    assert(ids(atHead) == Set(2L))
+    // before the first commit -> clear error
+    val e = intercept[graft.core.PJException] {
+      spark.read.format("pjparquet")
+        .option("timestampAsOf", (hist(0).ts - 60000).toString).load(dir).collect()
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+    // both options together are refused
+    val e2 = intercept[graft.core.PJException] {
+      spark.read.format("pjparquet").option("versionAsOf", "1")
+        .option("timestampAsOf", hist(0).ts.toString).load(dir).collect()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("writes and DML against a versionAsOf snapshot are refused") {
     import spark.implicits._
     val dir = tempDir("romode")
