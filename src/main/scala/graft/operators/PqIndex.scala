@@ -147,8 +147,18 @@ object PqIndex {
       (d, i)
     }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
 
-  /** (relPath -> content key) of every data file under the corpus root. */
+  /** (relPath -> content key) of every LIVE data file under the corpus
+    * root. On a commit-log table ([[graft.sources.pjparquet.PjCommitLog]])
+    * "live" means the HEAD snapshot: files retired for time travel are
+    * still on disk but must not be encoded into the ANN index — the reads
+    * the index serves are HEAD reads.
+    */
   private def corpusKeys(f: FileSystem, root: Path): Map[String, String] = {
+    val live: Option[Set[String]] =
+      if (graft.sources.pjparquet.PjCommitLog.isEnabled(f, root))
+        Some(graft.sources.pjparquet.PjCommitLog.latest(f, root)
+          .map(_.files.toSet).getOrElse(Set.empty))
+      else None
     val rootQ = f.makeQualified(root).toString
     val out = Map.newBuilder[String, String]
     def walk(dir: Path): Unit = f.listStatus(dir).foreach {
@@ -159,9 +169,11 @@ object PqIndex {
         val n = s.getPath.getName
         if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
           val rel = f.makeQualified(s.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$rel|${s.getLen}|${s.getModificationTime}".getBytes("UTF-8"))
-          out += (rel -> digest.map(b => f"$b%02x").mkString)
+          if (live.forall(_.contains(rel))) {
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$rel|${s.getLen}|${s.getModificationTime}".getBytes("UTF-8"))
+            out += (rel -> digest.map(b => f"$b%02x").mkString)
+          }
         }
       case _ =>
     }
