@@ -1137,6 +1137,22 @@ object PipelineOps {
           least(meanTokLen / 8.0, lit(1.0)) * 0.2)
   }
 
+  /** Text canonicalization — the normalize-before-dedup stage every corpus
+    * pipeline runs first (different casings/punctuation of the same
+    * sentence must dedup together): lowercase, map every character outside
+    * `[a-z0-9 一-鿿]` (ASCII letters/digits, space, the CJK unified block —
+    * explicit ranges so Java and RE2 regex classes agree byte-for-byte) to
+    * a space, collapse space runs, trim. Adds `norm_text`; pure codegen'd
+    * per-row string work, zero shuffle. The output is single-space
+    * separated by construction, which downstream token arithmetic
+    * (`tokens`, [[gopherRules]], chunk counts) relies on.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 一-鿿]", " "),
+        " +", " ")))
+
   /** Gopher-style quality RULE BATTERY (Rae et al. 2021 §A1.1 shape): a
     * named boolean per rule plus the conjunction, so a corpus report can
     * attribute every rejection to the rule that fired — the form quality

@@ -322,6 +322,53 @@ object PipelineQueries {
           sum((!col("rule_symbol_ratio")).cast("long")).as("fail_symbol_ratio"))
         .orderBy(col("lang"))
     }),
+    "q127_normalize_text" -> ((s, dir) => {
+      // Canonicalization (PipelineOps.normalizeText): the corpus is
+      // deliberately dirtied first — uppercased copy, symbol runs, a
+      // bracketed lang tag, double spaces — with deterministic string
+      // arithmetic DuckDB replicates, then normalized back. The md5
+      // checksum pins the EXACT normalized string per document (an
+      // engine diverging on case folding, character classes, or space
+      // collapsing breaks the sum); every doc must register as changed.
+      val dirty = Tables.documents(s, dir).withColumn("text",
+        concat(upper(col("text")), lit(" *** "), col("text"),
+          lit("  ["), col("lang"), lit("]")))
+      PipelineOps.normalizeText(dirty)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("norm_text"))).as("norm_chars"),
+          sum(conv(substring(md5(col("norm_text")), 1, 12), 16, 10)
+            .cast("long")).as("norm_checksum"),
+          sum((col("norm_text") =!= col("text")).cast("long")).as("n_changed"))
+        .orderBy(col("lang"))
+    }),
+    "q128_corpus_pipeline" -> ((s, dir) => {
+      // End-to-end corpus pipeline COMPOSITION — the shape a real
+      // training-data run has: normalize -> Gopher-rule quality filter ->
+      // exact dedup on the canonical text -> fixed-context chunk
+      // accounting. Every stage here is SQL-expressible, so DuckDB
+      // recomputes the entire pipeline exactly (counts, token totals,
+      // chunk counts at ctx=64, and an md5 checksum over the surviving
+      // canonical texts) — stage composition, not just stages, is what
+      // this pins.
+      val norm = PipelineOps.normalizeText(Tables.documents(s, dir))
+      val kept = PipelineOps.gopherRules(norm, textCol = "norm_text")
+        .filter(col("gopher_pass"))
+        .select(col("lang"), col("norm_text"),
+          size(PipelineOps.tokens(col("norm_text"))).cast("long").as("_nt"))
+      val uniq = kept.groupBy(col("lang"), col("norm_text"))
+        .agg(count(lit(1)).as("_dups"), max(col("_nt")).as("_nt"))
+      uniq.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_unique_docs"),
+          sum(col("_dups")).as("n_pass_docs"),
+          sum(col("_nt")).as("total_tokens"),
+          sum(ceil(col("_nt").cast("double") / 64.0).cast("long")).as("n_chunks"),
+          sum(conv(substring(md5(col("norm_text")), 1, 12), 16, 10)
+            .cast("long")).as("text_checksum"))
+        .orderBy(col("lang"))
+    }),
     "q118_video_frames" -> ((s, dir) => {
       // Video modality (Multimodal.packAsVideo/sampleVideoFrames): GVID
       // containers of REAL PNG frames (3 + id % 5 per doc), frame-sampled
@@ -1445,6 +1492,46 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS loss_decreased
         |FROM q""".stripMargin
     },
+    "q127_normalize_text" ->
+      """WITH d AS (SELECT lang,
+        |  upper(text) || ' *** ' || text || '  [' || lang || ']' AS text
+        |  FROM documents),
+        |n AS (SELECT lang, text,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 一-鿿]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(norm)) AS BIGINT) AS norm_chars,
+        |       CAST(sum(('0x' || substr(md5(norm), 1, 12))::BIGINT) AS BIGINT)
+        |         AS norm_checksum,
+        |       CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_changed
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    "q128_corpus_pipeline" ->
+      """WITH n AS (SELECT lang,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 一-鿿]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |t AS (SELECT lang, norm,
+        |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS nt,
+        |  CAST(length(norm) - len(string_split(norm, ' ')) + 1 AS BIGINT) AS wc,
+        |  CAST(len(list_intersect(list_distinct(string_split(norm, ' ')),
+        |    ['the','a','of','der','die','und','le','la','et','el','los','y','的','是','了'])) AS BIGINT) AS st,
+        |  CAST(length(regexp_replace(norm, '[\w\s]', '', 'g')) AS BIGINT) AS pc
+        |  FROM n),
+        |k AS (SELECT lang, norm, nt FROM t
+        |  WHERE nt >= 25 AND nt <= 100000
+        |    AND wc * 1 >= nt * 3 AND wc * 5 <= nt * 23
+        |    AND st >= 2 AND pc * 10 <= nt * 1),
+        |u AS (SELECT lang, norm, count(*) AS dups, max(nt) AS nt
+        |      FROM k GROUP BY lang, norm)
+        |SELECT lang, count(*) AS n_unique_docs,
+        |       CAST(sum(dups) AS BIGINT) AS n_pass_docs,
+        |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |       CAST(sum(CAST(ceil(nt / 64.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+        |       CAST(sum(('0x' || substr(md5(norm), 1, 12))::BIGINT) AS BIGINT)
+        |         AS text_checksum
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
     "q124_gopher_rules" ->
       """WITH t AS (SELECT lang,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,

@@ -560,6 +560,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 3L)))
   }
 
+  test("normalizeText: case folds, strips to the kept classes, collapses runs, trims") {
+    val docs = docsDf(Seq(
+      1L -> "Hello,   WORLD!! 42",
+      2L -> "tabs\tand\nnewlines",
+      3L -> "中文 mixed 的 text",   // CJK block survives
+      4L -> "!!!",                  // nothing survives -> empty
+      5L -> "already clean text"))
+    val out = PipelineOps.normalizeText(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("norm_text")).toMap
+    assert(out(1L) == "hello world 42")
+    assert(out(2L) == "tabs and newlines")
+    assert(out(3L) == "中文 mixed 的 text")
+    assert(out(4L) == "")
+    assert(out(5L) == "already clean text")
+    // canonical property: normalizing twice is a fixpoint
+    val twice = PipelineOps.normalizeText(
+      PipelineOps.normalizeText(docs).drop("text").withColumnRenamed("norm_text", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("norm_text")).toMap
+    assert(twice == out)
+  }
+
   test("gopher rules: integer-exact thresholds, per-rule attribution, conjunction") {
     val pass = (1 to 30).map(_ => "the").mkString(" ") + " of value data"  // 33 toks, mean len ~3
     val tooShort = "the of value data here now"                            // 6 toks
