@@ -33,4 +33,21 @@ object PjMetadata {
       }
     }.toDF("file", "row_group", "num_rows", "compressed_bytes")
   }
+
+  /** DESCRIBE HISTORY as a DataFrame — one row per retained commit-log
+    * version of a logged table: (version, ts, action, n_files). Metadata
+    * rate (one log read per version, no data I/O); errors on unlogged
+    * tables, matching [[PjVacuum.expireVersions]].
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!PjCommitLog.isEnabled(fs, root))
+      throw new graft.core.PJException(
+        s"pjparquet: '$path' has no commit log; history applies to logged tables")
+    PjCommitLog.history(fs, root)
+      .map(s => (s.version, new java.sql.Timestamp(s.ts), s.action, s.files.size.toLong))
+      .toDF("version", "ts", "action", "n_files")
+  }
 }

@@ -147,9 +147,14 @@ class PjCompactionSpec extends AnyFunSuite {
     val beforeStats = rowGroupStats(dir, "b")
     val beforeHit = beforeStats.count { case (lo, hi) => hi >= 96L && lo < 128L }
 
+    // targetBytes small enough that the rewrite yields MANY output files
+    // (~8 at this corpus size): with only 2-3, each file spans most of the
+    // Morton curve and the pruning assertions below flip on range-sampler
+    // jitter (repartitionByRange boundaries sample with an rdd.id-seeded
+    // RNG, so suite composition moves them)
     val r = PjCompaction.optimize(spark, dir, Seq("a", "b"),
-      targetBytes = 256 * 1024, bits = 8)
-    assert(r.filesAfter == r.compactedInto && r.compactedInto > 1,
+      targetBytes = 64 * 1024, bits = 8)
+    assert(r.filesAfter == r.compactedInto && r.compactedInto >= 4,
       s"optimize must rewrite into several files, got $r")
     assert(check(dir) == before, "content must survive byte-for-byte")
     // small row groups came from the write OPTIONS, which optimize does not
