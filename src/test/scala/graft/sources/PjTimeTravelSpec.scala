@@ -184,4 +184,93 @@ class PjTimeTravelSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("read-only"))
   }
+
+  test("logged static partition overwrite retires exactly the filtered partition") {
+    import spark.implicits._
+    val dir = tempDir("static")
+    write(Seq((1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "k"), dir, "append", Seq("k")) // v1
+    spark.sql("DROP TABLE IF EXISTS pj_tt_static")
+    spark.sql(s"CREATE TABLE pj_tt_static USING pjparquet OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT OVERWRITE pj_tt_static PARTITION (k = 1) VALUES (30)") // v2
+      assert(ids(spark.read.format("pjparquet").load(dir)) == Set(1L, 30L))
+      assert(ids(readVersion(dir, 1)) == Set(1L, 2L, 3L))
+      val fs = fsOf(dir)
+      val v2 = PjCommitLog.read(fs, new Path(dir), 2L)
+      assert(v2.action == "overwrite-static")
+      // k=0's file is shared; k=1's v1 files are retired but on disk
+      val v1 = PjCommitLog.read(fs, new Path(dir), 1L)
+      assert(v1.files.forall(rel => fs.exists(new Path(dir, rel))))
+      assert((v1.files.toSet & v2.files.toSet).forall(_.startsWith("k=0/")))
+    } finally spark.sql("DROP TABLE IF EXISTS pj_tt_static")
+  }
+
+  test("logged row-level UPDATE (copy-on-write) versions the rewrite; untouched files shared") {
+    import spark.implicits._
+    val dir = tempDir("dml")
+    write(Seq((1L, 0L), (2L, 1L)).toDF("id", "k"), dir, "append", Seq("k")) // v1
+    spark.sql("DROP TABLE IF EXISTS pj_tt_dml")
+    spark.sql(s"CREATE TABLE pj_tt_dml USING pjparquet OPTIONS (path '$dir')")
+    try {
+      spark.sql("UPDATE pj_tt_dml SET id = id + 100 WHERE k = 1") // v2 (replace-files)
+      assert(ids(spark.read.format("pjparquet").load(dir)) == Set(1L, 102L))
+      assert(ids(readVersion(dir, 1)) == Set(1L, 2L))
+      val fs = fsOf(dir)
+      val v1 = PjCommitLog.read(fs, new Path(dir), 1L)
+      val v2 = PjCommitLog.read(fs, new Path(dir), 2L)
+      assert(v2.action == "replace-files")
+      // the k=0 file was not scanned by the DML and is SHARED, not rewritten
+      assert((v1.files.toSet & v2.files.toSet).exists(_.startsWith("k=0/")))
+      assert(v1.files.forall(rel => fs.exists(new Path(dir, rel))))
+    } finally spark.sql("DROP TABLE IF EXISTS pj_tt_dml")
+  }
+
+  test("logged compaction: merges only the LIVE snapshot, retired rows never come back") {
+    import spark.implicits._
+    val dir = tempDir("compact")
+    // v1: two small files that will later be RETIRED by an overwrite
+    write(Seq((1L, "dead")).toDF("id", "name").coalesce(1), dir, "append")
+    write(Seq((2L, "dead2")).toDF("id", "name").coalesce(1), dir, "append") // v2
+    // v3: truncate-overwrite with several small LIVE files
+    val live = Seq((10L, "x"), (11L, "y"), (12L, "z"))
+      .toDF("id", "name").repartition(3)
+    write(live, dir, "overwrite")
+    val r = graft.sources.pjparquet.PjCompaction.compact(
+      spark, dir, targetBytes = 1L << 20, minFilesPerDir = 2) // v4
+    assert(r.smallFiles >= 2, s"live small files must compact, got $r")
+    // HEAD holds exactly the live rows — the retired v1/v2 rows must NOT
+    // have been merged back in by the compaction read
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(10L, 11L, 12L))
+    // all earlier versions still travel
+    assert(ids(readVersion(dir, 1)) == Set(1L))
+    assert(ids(readVersion(dir, 2)) == Set(1L, 2L))
+    assert(ids(readVersion(dir, 3)) == Set(10L, 11L, 12L))
+    val fs = fsOf(dir)
+    val v4 = PjCommitLog.read(fs, new Path(dir), 4L)
+    assert(v4.action == "compact")
+    assert(ids(readVersion(dir, 4)) == Set(10L, 11L, 12L))
+    // retention pass reclaims everything the kept snapshots do not reference
+    val e = PjVacuum.expireVersions(spark, dir, keepVersions = 1)
+    assert(e.filesReclaimed >= 2, s"retired + consumed files must go, got $e")
+    assert(ids(spark.read.format("pjparquet").load(dir)) == Set(10L, 11L, 12L))
+  }
+
+  test("log layer at planning scale: a 50k-file snapshot round-trips fast and bounded") {
+    val dir = tempDir("scale")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    // escapePathValue-hostile names included: round-trip must be exact
+    val files = (0 until 50000).map(i =>
+      f"k=${i % 37}%d/part-$i%05d-weird %%2F name-$i.parquet")
+    val t0 = System.nanoTime()
+    val v = PjCommitLog.append(fs, root, "append", files)
+    val snap = PjCommitLog.read(fs, root, v)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(snap.files.sorted == files.sorted)
+    assert(dt < 5.0, f"50k-path snapshot append+read took $dt%.2f s")
+    // O(live files) on disk: ~60 B/path here, far under any listing cost
+    val bytes = fs.getFileStatus(
+      new Path(PjCommitLog.logDir(root), f"$v%020d.json")).getLen
+    assert(bytes < 10L * 1024 * 1024, s"snapshot file unexpectedly large: $bytes B")
+  }
 }
