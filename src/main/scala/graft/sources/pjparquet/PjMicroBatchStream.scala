@@ -234,16 +234,30 @@ class PjMicroBatchStream(
 
   // ------------------------------------------------------------- discovery
 
-  /** (path -> mtime) of every data file under the directory right now. */
+  /** (path -> mtime) of every INGESTIBLE data file under the directory
+    * right now. On a commit-log table ([[PjCommitLog]]) that means the
+    * HEAD snapshot's files: a racing writer's uncommitted files and failed
+    * attempts never enter a batch (the streaming analogue of the batch
+    * path's snapshot isolation). Files RETIRED by later commits were
+    * already ingested while live — the source is append-only, so
+    * retirement never re-delivers or un-delivers them; run maintenance
+    * passes (compaction/OPTIMIZE) only when no batch is in flight, as
+    * with any direct-committer source.
+    */
   private def listMtimes(): Map[String, Long] = {
     val root = new Path(info.path)
     val fs = root.getFileSystem(hadoopConf)
+    val snapshot: Option[Set[String]] =
+      if (PjCommitLog.isEnabled(fs, root))
+        Some(PjCommitLog.latest(fs, root).map(_.files.toSet).getOrElse(Set.empty))
+      else None
     val it = fs.listFiles(root, true)
     val m = Map.newBuilder[String, Long]
     while (it.hasNext) {
       val s = it.next()
       val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          snapshot.forall(_.contains(PjCommitLog.relativize(fs, root, s.getPath))))
         m += (s.getPath.toString -> s.getModificationTime)
     }
     m.result()

@@ -255,6 +255,29 @@ class PjTimeTravelSpec extends AnyFunSuite {
     assert(ids(spark.read.format("pjparquet").load(dir)) == Set(10L, 11L, 12L))
   }
 
+  test("streaming read of a logged table ingests committed files only") {
+    import spark.implicits._
+    val dir = tempDir("stream")
+    write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir, "append") // v1
+    // ghost: a valid parquet data file with NO commit — must never stream
+    val tmp = tempDir("stream_ghost")
+    Seq((99L, "ghost")).toDF("id", "name").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "part-uncommitted-ghost.parquet").toPath)
+
+    val q = spark.readStream.format("pjparquet").load(dir)
+      .writeStream.format("memory").queryName("pj_tt_stream_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    val got = spark.table("pj_tt_stream_out").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"only committed files may stream, got $got")
+  }
+
   test("log layer at planning scale: a 50k-file snapshot round-trips fast and bounded") {
     val dir = tempDir("scale")
     val root = new Path(dir)
