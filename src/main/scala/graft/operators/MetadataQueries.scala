@@ -237,6 +237,31 @@ object MetadataQueries {
         .withColumn("ts_nondecreasing", lit(if (tsMonotone) 1L else 0L))
         .orderBy(col("version"))
     }),
+    "q129_sql_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      // SQL-native time travel via the path catalog (PjCatalog): Spark's
+      // own `VERSION AS OF` / `TIMESTAMP AS OF` clauses route to the
+      // catalog's versioned loadTable overloads and onto the commit-log
+      // snapshots. Same two-version lifecycle as q125, driven purely
+      // through SQL on an isolated child session (q64 convention: the
+      // harness session's catalog config is never touched).
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q129_sqltt").toString
+      val nation = graft.Tables.nation(s, dir)
+      nation.write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(tmp) // v1
+      nation.filter($"n_regionkey" >= 3)
+        .write.format("pjparquet").mode("overwrite").save(tmp) // v2
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.catalog.pj", "graft.sources.pjparquet.PjCatalog")
+      iso.sql(
+        s"""SELECT
+           |  (SELECT count(*) FROM pj.`$tmp` VERSION AS OF 1) AS v1_rows,
+           |  (SELECT CAST(sum(n_nationkey) AS BIGINT)
+           |     FROM pj.`$tmp` VERSION AS OF 1) AS v1_key_sum,
+           |  (SELECT count(*) FROM pj.`$tmp`) AS head_rows,
+           |  (SELECT CAST(sum(n_nationkey) AS BIGINT)
+           |     FROM pj.`$tmp`) AS head_key_sum""".stripMargin)
+    }),
     "q80_pjparquet_zordered_scan" -> ((s, dir) => {
       import s.implicits._
       // End-to-end form of ZOrderSpec's pruning proof on the product path:
@@ -1027,6 +1052,12 @@ object MetadataQueries {
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q129_sql_time_travel" ->
+      """SELECT (SELECT count(*) FROM nation) AS v1_rows,
+        |       (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS v1_key_sum,
+        |       (SELECT count(*) FROM nation WHERE n_regionkey >= 3) AS head_rows,
+        |       (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+        |        WHERE n_regionkey >= 3) AS head_key_sum""".stripMargin,
     "q126_table_history" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 'append', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),

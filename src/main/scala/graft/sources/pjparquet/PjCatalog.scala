@@ -1,0 +1,96 @@
+package graft.sources.pjparquet
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.PJException
+
+/** Path-based catalog exposing pjparquet tables to SQL — the Delta-style
+  * `` SELECT * FROM pj.`/path/to/table` `` form, registered via
+  * `spark.sql.catalog.pj=graft.sources.pjparquet.PjCatalog`. Its reason to
+  * exist is the SQL time-travel syntax: Spark routes `VERSION AS OF` /
+  * `TIMESTAMP AS OF` clauses to the catalog's versioned `loadTable`
+  * overloads, which map straight onto the source's `versionAsOf` /
+  * `timestampAsOf` options (commit-log tables, [[PjCommitLog]]):
+  *
+  * {{{
+  *   SELECT * FROM pj.`/data/events` VERSION AS OF 3
+  *   SELECT * FROM pj.`/data/events` TIMESTAMP AS OF '2026-08-14 10:00:00'
+  * }}}
+  *
+  * The identifier IS the table root path (single-part, no namespaces);
+  * everything else — schema, partitioning, writes, DML — is the ordinary
+  * [[PjParquetTable]]. DDL is intentionally unsupported: pjparquet tables
+  * are defined by their directories, created by writes, and dropped by
+  * deleting the directory.
+  */
+class PjCatalog extends CatalogPlugin with TableCatalog {
+
+  private var catalogName: String = "pj"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    if (ident.namespace().nonEmpty)
+      throw new PJException(
+        s"$catalogName: identifiers are table root paths with no namespace, " +
+          s"got ${ident.namespace().mkString(".")}.${ident.name()}")
+    ident.name()
+  }
+
+  private def resolve(ident: Identifier, extra: (String, String)*): Table = {
+    val m = new util.HashMap[String, String]()
+    m.put("path", pathOf(ident))
+    extra.foreach { case (k, v) => m.put(k, v) }
+    try PjParquetTable.resolve(new CaseInsensitiveStringMap(m))
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = resolve(ident)
+
+  /** `VERSION AS OF <v>` — Spark hands the raw version string. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    resolve(ident, "versionAsOf" -> version)
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    resolve(ident, "timestampAsOf" -> (timestampMicros / 1000L).toString)
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true }
+    catch { case _: Exception => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-based: there is no namespace to enumerate
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: pjparquet tables are created by writing to their path " +
+        "(df.write.format(\"pjparquet\").save(path)), not by DDL")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER TABLE is not supported for path-based pjparquet tables")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName: drop a pjparquet table by deleting its directory")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: rename a pjparquet table by moving its directory")
+}

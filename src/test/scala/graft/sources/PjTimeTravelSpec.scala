@@ -278,6 +278,33 @@ class PjTimeTravelSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L), s"only committed files may stream, got $got")
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF through the path catalog") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.pj", "graft.sources.pjparquet.PjCatalog")
+    try {
+      val dir = tempDir("sql")
+      write(Seq((1L, "a")).toDF("id", "name"), dir, "append")                 // v1
+      write(Seq((2L, "b"), (3L, "c")).toDF("id", "name"), dir, "overwrite")   // v2
+      def sql(q: String): Set[Long] =
+        spark.sql(q).collect().map(_.getLong(0)).toSet
+      assert(sql(s"SELECT id FROM pj.`$dir`") == Set(2L, 3L))
+      assert(sql(s"SELECT id FROM pj.`$dir` VERSION AS OF 1") == Set(1L))
+      assert(sql(s"SELECT id FROM pj.`$dir` VERSION AS OF 2") == Set(2L, 3L))
+      val hist = PjCommitLog.history(fsOf(dir), new Path(dir))
+      // timestamp as an expression (timezone-proof: epoch millis in, the
+      // catalog receives micros)
+      assert(sql(s"SELECT id FROM pj.`$dir` " +
+        s"TIMESTAMP AS OF timestamp_millis(${hist(1).ts})") == Set(2L, 3L))
+      assert(sql(s"SELECT id FROM pj.`$dir` " +
+        s"TIMESTAMP AS OF timestamp_millis(${hist(1).ts - 1})") == Set(1L))
+      // DML through the catalog still works on HEAD (read-only applies to
+      // snapshot reads only); the rewrite is a new version
+      spark.sql(s"DELETE FROM pj.`$dir` WHERE id = 2")
+      assert(sql(s"SELECT id FROM pj.`$dir`") == Set(3L))
+      assert(sql(s"SELECT id FROM pj.`$dir` VERSION AS OF 2") == Set(2L, 3L))
+    } finally spark.conf.unset("spark.sql.catalog.pj")
+  }
+
   test("log layer at planning scale: a 50k-file snapshot round-trips fast and bounded") {
     val dir = tempDir("scale")
     val root = new Path(dir)
