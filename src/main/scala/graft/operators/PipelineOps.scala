@@ -958,39 +958,16 @@ object PipelineOps {
     * array arithmetic over literal codebooks — no UDF, no shuffle.
     */
   def pqEncode(df: DataFrame, cb: Array[Array[Array[Double]]], embCol: String): DataFrame = {
-    val m = cb.length
-    val codes = cb(0).length
-    val ds = cb(0)(0).length
-    def selfDot(i: Int, c: Int): Double = cb(i)(c).map(x => x * x).sum
-    val v = asDouble(col(embCol))
-    // codebooks ride as LITERAL nested arrays (one plan node each), and
-    // the per-subspace argmin is a bounded HOF loop — NOT codes-many
-    // inlined expressions, which at codes=64 × m=8 made the generated
-    // code (and its compile time) the dominant cost of the whole query
-    val codeCols = (0 until m).map { i =>
-      val cbL = typedlit(cb(i).map(_.toIndexedSeq).toIndexedSeq)
-      val selfL = typedlit(cb(i).map(c => c.map(x => x * x).sum).toIndexedSeq)
-      val s = slice(v, i * ds + 1, ds)
-      // argmin_c ||s − cb_ic||² = argmin_c (|cb_ic|² − 2⟨s, cb_ic⟩);
-      // strict < keeps the LOWEST code on ties (deterministic)
-      aggregate(
-        sequence(lit(0), lit(codes - 1)),
-        struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
-        (acc, c) => {
-          val cand = element_at(selfL, c + 1) - lit(2.0) * dot(s, element_at(cbL, c + 1))
-          when(cand < acc.getField("d"),
-            struct(cand.as("d"), c.cast("int").as("c"))).otherwise(acc)
-        },
-        acc => acc.getField("c"))
-    }
-    // |x̂|² = Σ_i |cb_i(code_i)|² exactly (disjoint subspaces)
-    val selfLut = typedlit(
-      (0 until m).flatMap(i => (0 until codes).map(c => selfDot(i, c))).toIndexedSeq)
-    df.withColumn("pq_codes", array(codeCols: _*))
-      .withColumn("pq_norm",
-        sqrt((0 until m).map(i =>
-          element_at(selfLut, lit(i * codes + 1) + element_at(col("pq_codes"), i + 1)))
-          .reduce(_ + _)))
+    // one fused codegen'd pass per row (graft.functions.PqEncodeVector) —
+    // argmin_c ||s − cb_ic||² = argmin_c (|cb_ic|² − 2⟨s, cb_ic⟩), strict <
+    // keeps the LOWEST code on ties; |x̂|² = Σ_i |cb_i(code_i)|² exactly
+    // (disjoint subspaces). Bit-identical to the bounded-HOF formulation
+    // it replaced (spec-pinned), minus the interpreted argmin folds that
+    // Catalyst re-inlined into the dependent pq_norm column — the encode
+    // stage was the dominant per-row CPU of every PQ query.
+    val enc = graft.functions.PqEncodeVector.pqEncodeStruct(asDouble(col(embCol)), cb)
+    df.withColumn("pq_codes", enc.getField("codes"))
+      .withColumn("pq_norm", enc.getField("norm"))
   }
 
   /** PQ ANN with asymmetric distance computation (ADC) + exact re-rank:

@@ -884,9 +884,12 @@ object PipelineQueries {
       val probes = emb.filter(col("vec_id") < 10)
       val k = 5
       val cb = PipelineOps.pqCodebooks(emb, Tables.embeddingDim, m = 8, codes = 64)
+      // both result frames are <= probes*k rows but feed TWO aggregate
+      // subtrees each — persist so the ANN pipeline and the exact baseline
+      // run once, not twice (QA-scale cache, cleared by the harness)
       val pq = PipelineOps.pqAnnTopK(emb, probes, k = k, dim = Tables.embeddingDim,
-        codes = 64, refineFactor = 16, codebooks = Some(cb))
-      val exact = PipelineOps.cosineTopK(emb, probes, k = k)
+        codes = 64, refineFactor = 16, codebooks = Some(cb)).persist()
+      val exact = PipelineOps.cosineTopK(emb, probes, k = k).persist()
       val shape = pq.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
         .agg(
@@ -922,8 +925,9 @@ object PipelineQueries {
       // cluster structure), so recall tracks the fraction of lists probed —
       // measured 0.56/0.58/0.70 at sf0.001/0.01/0.1, deterministic (fixed
       // corpus + seeds), so the 50% bound holds at every SF
-      val ivf = PipelineOps.ivfAnnTopK(emb, probes, k = k, nProbe = 4)
-      val exact = PipelineOps.cosineTopK(emb, probes, k = k)
+      // persist: each tiny frame feeds two aggregate subtrees (q104 note)
+      val ivf = PipelineOps.ivfAnnTopK(emb, probes, k = k, nProbe = 4).persist()
+      val exact = PipelineOps.cosineTopK(emb, probes, k = k).persist()
       val shape = ivf.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
         .agg(
