@@ -1114,6 +1114,37 @@ object PipelineOps {
           least(meanTokLen / 8.0, lit(1.0)) * 0.2)
   }
 
+  /** Corpus mixture report — the "what do we train on" accounting every
+    * multi-source pipeline runs before fixing sampling weights: per-group
+    * document/token tallies, the EXACT integer token share (parts per
+    * million, integer division so any engine agrees bit-for-bit), and a
+    * temperature-smoothed target weight `sqrt(share)/Σ sqrt(share)` (the
+    * T=2 member of the `share^(1/T)` family every mixture paper uses —
+    * sqrt because it is correctly-rounded IEEE in every engine, unlike
+    * pow). Feeds [[weightedResample]] quotas. One aggregate plus one
+    * #groups-row window — the window runs on the already-aggregated tiny
+    * frame, so the single-partition step is O(groups), never O(rows).
+    */
+  def mixtureReport(
+      docs: DataFrame,
+      groupCols: Seq[String] = Seq("lang"),
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+      .withColumn("_total", sum(col("n_tokens")).over(w))
+      // SQL `div`: INTEGRAL division (bit-exact in any engine; `/` on
+      // longs is double division with boundary-rounding hazards)
+      .withColumn("token_share_ppm", expr("(n_tokens * 1000000L) div _total"))
+      .withColumn("target_weight",
+        round(sqrt(col("n_tokens").cast("double")) /
+          sum(sqrt(col("n_tokens").cast("double"))).over(w), 4))
+      .drop("_total")
+  }
+
   /** Text canonicalization — the normalize-before-dedup stage every corpus
     * pipeline runs first (different casings/punctuation of the same
     * sentence must dedup together): lowercase, map every character outside

@@ -322,6 +322,21 @@ object PipelineQueries {
           sum((!col("rule_symbol_ratio")).cast("long")).as("fail_symbol_ratio"))
         .orderBy(col("lang"))
     }),
+    "q130_mixture_report" -> ((s, dir) => {
+      // Corpus mixture accounting (PipelineOps.mixtureReport): per-(lang,
+      // source-class) doc/token tallies, EXACT integer token shares in
+      // ppm, and the T=2 temperature-smoothed target weight
+      // sqrt(share)/Σ sqrt(share) — the DoReMi-style smoothing that lifts
+      // low-resource groups. Group by lang × (source bucketed to two
+      // classes by its numeric suffix parity) so the report has real
+      // re-balancing to do. ppm rides integer division; the weight rides
+      // round(·, 4) with IEEE-exact sqrt — both engine-stable.
+      val docs = Tables.documents(s, dir).withColumn("src_class",
+        when(pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("long"), lit(2L)) === 0L,
+          lit("even")).otherwise(lit("odd")))
+      PipelineOps.mixtureReport(docs, groupCols = Seq("lang", "src_class"))
+        .orderBy(col("lang"), col("src_class"))
+    }),
     "q127_normalize_text" -> ((s, dir) => {
       // Canonicalization (PipelineOps.normalizeText): the corpus is
       // deliberately dirtied first — uppercased copy, symbol runs, a
@@ -1496,6 +1511,22 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS loss_decreased
         |FROM q""".stripMargin
     },
+    "q130_mixture_report" ->
+      """WITH d AS (SELECT lang,
+        |  CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
+        |       THEN 'even' ELSE 'odd' END AS src_class,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT lang, src_class, count(*) AS n_docs,
+        |             CAST(sum(nt) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY lang, src_class)
+        |SELECT lang, src_class, n_docs, n_tokens,
+        |       CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM g) AS BIGINT)
+        |         AS token_share_ppm,
+        |       round(sqrt(CAST(n_tokens AS DOUBLE))
+        |         / (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) FROM g), 4)
+        |         AS target_weight
+        |FROM g ORDER BY lang, src_class""".stripMargin,
     "q127_normalize_text" ->
       """WITH d AS (SELECT lang,
         |  upper(text) || ' *** ' || text || '  [' || lang || ']' AS text
