@@ -191,17 +191,25 @@ object PJSplice {
       * fresh (footerMatches) and a sidecar's fingerprint equals the
       * index's, that sidecar was built against the same file content.
       */
-    private[graft] def footerFnv64: Long = {
-      var h = 0xcbf29ce484222325L
-      var i = metadataAt
-      val end = metadataAt + header.metadataLength
-      while (i < end) {
-        h ^= (bytes(i) & 0xffL)
-        h *= 0x100000001b3L
-        i += 1
-      }
-      h
+    private[graft] def footerFnv64: Long =
+      PJSplice.fnv64(bytes, metadataAt, header.metadataLength)
+  }
+
+  /** FNV-1a 64 over a byte range — the footer-fingerprint primitive shared
+    * by [[Index.footerFnv64]], the bloom sidecars, and the commit log's
+    * per-file entries (which record it at write time so logged-table
+    * planning can trust a sidecar without re-reading the data file).
+    */
+  private[graft] def fnv64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
     }
+    h
   }
 
   object Index {

@@ -232,7 +232,7 @@ object MetadataQueries {
         case Seq(a, b) => a.ts <= b.ts
         case _ => true
       }
-      hist.map(h => (h.version, h.action, h.files.size.toLong))
+      hist.map(h => (h.version, h.action, h.nFiles))
         .toDF("version", "action", "n_files")
         .withColumn("ts_nondecreasing", lit(if (tsMonotone) 1L else 0L))
         .orderBy(col("version"))

@@ -154,10 +154,11 @@ object PqIndex {
     * the index serves are HEAD reads.
     */
   private def corpusKeys(f: FileSystem, root: Path): Map[String, String] = {
+    // log enabled but zero commits = "not yet logged" -> the directory
+    // listing is live (same semantics as batch/streaming/compaction)
     val live: Option[Set[String]] =
       if (graft.sources.pjparquet.PjCommitLog.isEnabled(f, root))
-        Some(graft.sources.pjparquet.PjCommitLog.latest(f, root)
-          .map(_.files.toSet).getOrElse(Set.empty))
+        graft.sources.pjparquet.PjCommitLog.latest(f, root).map(_.files.toSet)
       else None
     val rootQ = f.makeQualified(root).toString
     val out = Map.newBuilder[String, String]

@@ -69,8 +69,12 @@ private[pjparquet] object PjWriteMode {
     * exactly the files the operation's scan read — `affected` is evaluated
     * AT COMMIT TIME (driver-side), after runtime group filtering has
     * settled the scan's file list. Untouched files survive byte-identical.
+    * `command` is the originating SQL command ("delete"/"update"/"merge"),
+    * recorded in the commit log so [[PjChangeFeed]] can label change rows.
     */
-  final class ReplaceFiles(val affected: () => Seq[String]) extends PjWriteMode {
+  final class ReplaceFiles(
+      val affected: () => Seq[String],
+      val command: String = "dml") extends PjWriteMode {
     override def toString: String = "ReplaceFiles"
   }
 }
@@ -193,20 +197,20 @@ final class PjStreamingWrite(
   }
 
   /** Deletes this epoch's non-kept (failed-attempt) files; returns the rel
-    * paths of data files from OTHER epochs/jobs (sort-marker survivors,
-    * and the adopted base set of a first logged commit).
+    * paths (with sizes) of data files from OTHER epochs/jobs (sort-marker
+    * survivors, and the adopted base set of a first logged commit).
     */
-  private def sweep(epochId: Long, keep: Set[String]): Seq[String] = {
+  private def sweep(epochId: Long, keep: Set[String]): Seq[(String, Long)] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     val tag = s"-e$epochId-$queryId-"
-    val others = mutable.ArrayBuffer.empty[String]
+    val others = mutable.ArrayBuffer.empty[(String, Long)]
     for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
       val name = status.getPath.getName
       val rel = if (relDir.isEmpty) name else s"$relDir/$name"
       if (name.contains(tag)) {
         if (!keep.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
-      } else others += rel
+      } else others += ((rel, status.getLen))
     }
     others.toSeq
   }
@@ -217,25 +221,37 @@ final class PjStreamingWrite(
     val others = sweep(epochId, manifest) // failed-attempt leftovers from this epoch
     var survivors = others.size
     // sidecar maintenance sized to the EPOCH, not the table: a long-lived
-    // stream into a 100k-file table must not re-walk the root per commit
-    val epochPaths = manifest.toSeq.sorted.map(rel => s"$root/$rel")
-    PjIndexJob.generateForPaths(SparkSession.active, epochPaths)
+    // stream into a 100k-file table must not re-walk the root per commit.
+    // The facts (rows, fingerprint, stats) ride back for the log commit.
+    val epochRels = manifest.toSeq.sorted
+    val epochPaths = epochRels.map(rel => s"$root/$rel")
+    val facts = PjIndexJob.generateForPaths(SparkSession.active, epochPaths)
+      .map(f => f.path -> f).toMap
     if (bloomColumns.nonEmpty)
       PjBloomJob.generateForPaths(SparkSession.active, epochPaths, bloomColumns)
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     if (logRequested || PjCommitLog.isEnabled(fs, rootPath)) {
-      // the sink is append-only, so snapshot' = snapshot ∪ epoch manifest.
-      // Epoch REPLAYS re-commit the same deterministic file names: the set
-      // union keeps the snapshot idempotent across the replay. The sweep's
-      // physical count would double-count retired files of logged
-      // overwrites — trust the log instead.
-      // first logged commit adopts the live directory (minus this epoch's
-      // own files, which ride in via the manifest union below)
-      val base = PjCommitLog.latest(fs, rootPath).map(_.files.toSet)
-        .getOrElse(others.toSet)
-      survivors = base.size
-      PjCommitLog.append(fs, rootPath, s"stream-epoch-$epochId", (base ++ manifest).toSeq)
+      // the sink is append-only, so the commit is a pure-ADD delta — the
+      // shape the log's optimistic concurrency can rebase, so two streams
+      // into one table both land. Epoch REPLAYS re-commit the same
+      // deterministic file names: replay's path-keyed map keeps the
+      // snapshot idempotent.
+      val addEntries = epochRels.map(rel => facts(s"$root/$rel").toEntry(rel))
+      val schemaJson = epochRels.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+      PjCommitLog.latest(fs, rootPath) match {
+        case Some(prev) =>
+          survivors = prev.files.size
+          PjCommitLog.commit(fs, rootPath, s"stream-epoch-$epochId",
+            addEntries, Set.empty, schemaJson)
+        case None =>
+          // first logged commit adopts the live directory (path+size only;
+          // adopted files keep planning eagerly until rewritten)
+          survivors = others.size
+          val adopted = others.map { case (rel, len) => PjCommitLog.FileEntry(rel, len) }
+          PjCommitLog.commit(fs, rootPath, s"stream-epoch-$epochId",
+            adopted ++ addEntries, Set.empty, schemaJson)
+      }
     }
     PjBatchWrite.maintainSortMarker(fs, rootPath, sortColumns, survivors)
     graft.operators.PqIndex.maintainIfPresent(SparkSession.active, root)
@@ -310,6 +326,15 @@ final class PjBatchWrite(
 
     val logging = logRequested || PjCommitLog.isEnabled(fs, rootPath)
 
+    // sidecar indexes for the new files FIRST (executor-parallel, sized to
+    // the commit): the facts they return — rows, footer fingerprint,
+    // column names, stats envelopes — become the log entries, so a logged
+    // commit is written once with everything planning needs
+    val newRels = manifest.toSeq.sorted
+    val newPaths = newRels.map(rel => s"$root/$rel")
+    val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
+    if (bloomColumns.nonEmpty) PjBloomJob.generateForPaths(spark, newPaths, bloomColumns)
+
     // one recursive walk classifies every data file under the root;
     // `survivors` = pre-existing files that remain after this commit (the
     // sort-marker invariant must hold for them too)
@@ -339,17 +364,17 @@ final class PjBatchWrite(
       // This commit's failed-attempt files still die (they were never
       // live); everything this commit REPLACES is retired from the new
       // snapshot and left for PjVacuum.expireVersions.
-      val preExisting = mutable.ArrayBuffer.empty[String]
+      val preExisting = mutable.ArrayBuffer.empty[(String, Long)]
       for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
         val name = status.getPath.getName
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         if (name.contains(jobUUID)) {
           if (!manifest.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
-        } else preExisting += rel
+        } else preExisting += ((rel, status.getLen))
       }
-      // first logged commit adopts the live directory as version-0 state
-      val base: Set[String] = PjCommitLog.latest(fs, rootPath)
-        .map(_.files.toSet).getOrElse(preExisting.toSet)
+      val prev = PjCommitLog.latest(fs, rootPath)
+      // first logged commit adopts the live directory as pre-commit state
+      val base: Set[String] = prev.map(_.files.toSet).getOrElse(preExisting.map(_._1).toSet)
       val retired: Set[String] = mode match {
         case PjWriteMode.Append => Set.empty
         case PjWriteMode.DynamicOverwrite =>
@@ -361,22 +386,26 @@ final class PjBatchWrite(
           val replRel = replaced.map(p => PjCommitLog.relativize(fs, rootPath, p))
           base.intersect(replRel)
       }
-      val kept = base -- retired
-      survivors = kept.size
-      PjCommitLog.append(fs, rootPath, PjBatchWrite.actionName(mode),
-        (kept ++ manifest).toSeq)
+      survivors = (base -- retired).size
+      val addEntries = newRels.map(rel => facts(s"$root/$rel").toEntry(rel))
+      val schemaJson = newRels.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+      val operation = mode match {
+        case r: PjWriteMode.ReplaceFiles => Some(r.command)
+        case _ => None
+      }
+      prev match {
+        case Some(_) =>
+          PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
+            addEntries, retired, schemaJson, operation)
+        case None =>
+          // adoption commit: pre-existing survivors enter path+size only
+          val adopted = preExisting.filterNot { case (rel, _) => retired.contains(rel) }
+            .map { case (rel, len) => PjCommitLog.FileEntry(rel, len) }
+          PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
+            (adopted ++ addEntries).toSeq, Set.empty, schemaJson, operation)
+      }
     }
     PjBatchWrite.maintainSortMarker(fs, rootPath, sortColumns, survivors)
-    // new files become index-planned immediately. Sidecar maintenance is
-    // sized to the COMMIT (the manifest is the exact new-file list), not the
-    // table: pre-existing files kept their sidecars, dropped files lost
-    // theirs via deleteWithSidecars. A full-table repair pass stays
-    // available via PjIndexJob.generateAll / PjBloomJob.generate.
-    val newPaths = manifest.toSeq.sorted.map(rel => s"$root/$rel")
-    PjIndexJob.generateForPaths(spark, newPaths)
-    // `bloom.columns` table option: keep point-lookup skipping live across
-    // INSERT/OVERWRITE/DML — one data pass over the NEW files only
-    if (bloomColumns.nonEmpty) PjBloomJob.generateForPaths(spark, newPaths, bloomColumns)
     // persisted ANN index (if built): reconcile codes with this commit's
     // file changes — encode new files, drop vanished ones
     graft.operators.PqIndex.maintainIfPresent(spark, root)

@@ -66,9 +66,16 @@ class PjCatalog extends CatalogPlugin with TableCatalog {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     resolve(ident, "timestampAsOf" -> (timestampMicros / 1000L).toString)
 
+  /** Only "table is not there" maps to false — a corrupt commit log, a
+    * vacuum-expired snapshot, or an FS permission error propagates
+    * instead of masquerading as a missing table.
+    */
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true }
-    catch { case _: Exception => false }
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => false
+      case _: java.io.FileNotFoundException => false
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-based: there is no namespace to enumerate

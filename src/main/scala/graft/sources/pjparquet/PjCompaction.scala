@@ -65,11 +65,12 @@ object PjCompaction {
 
     // commit-log tables: compaction operates on the LIVE snapshot only —
     // files retired by earlier logged overwrites still sit on disk for
-    // time travel and must not be merged back in
+    // time travel and must not be merged back in. A log directory with no
+    // commits yet means "not yet logged": the directory listing is live
+    // (same semantics as batch resolution and the write commits).
     val logging = PjCommitLog.isEnabled(fs, rootPath)
-    val baseSnapshot: Set[String] =
-      if (logging) PjCommitLog.latest(fs, rootPath).map(_.files.toSet).getOrElse(Set.empty)
-      else Set.empty
+    val prevSnap = if (logging) PjCommitLog.latest(fs, rootPath) else None
+    val baseSnapshot: Option[Set[String]] = prevSnap.map(_.files.toSet)
     val all = {
       val it = fs.listFiles(rootPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
@@ -77,7 +78,7 @@ object PjCompaction {
         val s = it.next()
         val n = s.getPath.getName
         if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-            (!logging || baseSnapshot.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
+            baseSnapshot.forall(_.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
           buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
       }
       buf.toSeq
@@ -168,13 +169,26 @@ object PjCompaction {
           newFiles += 1
         }
       }
+      // fresh sidecars for the compacted outputs, commit-scoped (never a
+      // whole-table rewalk); the facts feed the logged commit's entries
+      val newPaths = newRels.toSeq.sorted.map(rel => s"$root/$rel")
+      val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
       if (logging) {
         // logged table: consumed files retire via the snapshot, bytes stay
         // for time travel until PjVacuum.expireVersions reclaims them
         val consumedRel = consumed.map(f =>
           PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
-        PjCommitLog.append(fs, rootPath, "compact",
-          ((baseSnapshot -- consumedRel) ++ newRels).toSeq)
+        val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
+        prevSnap match {
+          case Some(_) =>
+            PjCommitLog.commit(fs, rootPath, "compact", addEntries, consumedRel)
+          case None =>
+            // first logged commit: adopt the untouched survivors
+            val adopted = all.filterNot(f => consumed.contains(f))
+              .map(f => PjCommitLog.FileEntry(
+                PjCommitLog.relativize(fs, rootPath, new Path(f.path)), f.bytes))
+            PjCommitLog.commit(fs, rootPath, "compact", adopted ++ addEntries, Set.empty)
+        }
       } else consumed.foreach { f =>
         val p = new Path(f.path)
         fs.delete(p, false)
@@ -182,7 +196,6 @@ object PjCompaction {
         if (fs.exists(sidecar)) fs.delete(sidecar, false)
         fs.delete(PjBloom.bloomSidecar(p), false) // stale-by-fingerprint anyway
       }
-      PjIndexJob.generateAll(spark, root)
       // compaction rewrote source files: reconcile a persisted ANN index
       // (stale-by-content keys drop, compacted files encode)
       graft.operators.PqIndex.maintainIfPresent(spark, root)
@@ -231,9 +244,8 @@ object PjCompaction {
     val rootUri = fs.makeQualified(rootPath).toString
 
     val logging = PjCommitLog.isEnabled(fs, rootPath)
-    val baseSnapshot: Set[String] =
-      if (logging) PjCommitLog.latest(fs, rootPath).map(_.files.toSet).getOrElse(Set.empty)
-      else Set.empty
+    val prevSnap = if (logging) PjCommitLog.latest(fs, rootPath) else None
+    val baseSnapshot: Option[Set[String]] = prevSnap.map(_.files.toSet)
     val all = {
       val it = fs.listFiles(rootPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
@@ -241,7 +253,7 @@ object PjCompaction {
         val s = it.next()
         val n = s.getPath.getName
         if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-            (!logging || baseSnapshot.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
+            baseSnapshot.forall(_.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
           buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
       }
       buf.toSeq
@@ -282,11 +294,16 @@ object PjCompaction {
           newFiles += 1
         }
       }
+      val newPaths = newRels.toSeq.sorted.map(rel => s"$root/$rel")
+      val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
       if (logging) {
         val consumedRel = all.map(f =>
           PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
-        PjCommitLog.append(fs, rootPath, "optimize-zorder",
-          ((baseSnapshot -- consumedRel) ++ newRels).toSeq)
+        val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
+        if (prevSnap.isDefined)
+          PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, consumedRel)
+        else // every live file was consumed: the rewrite IS the first snapshot
+          PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, Set.empty)
       } else all.foreach { f =>
         val p = new Path(f.path)
         fs.delete(p, false)
@@ -296,7 +313,6 @@ object PjCompaction {
       }
       // a natural-column sort claim cannot survive a Morton reorder
       PjSortMarker.delete(fs, rootPath)
-      PjIndexJob.generateAll(spark, root)
       graft.operators.PqIndex.maintainIfPresent(spark, root)
       Report(
         filesBefore = all.size,

@@ -2,9 +2,39 @@ package graft.sources.pjparquet
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.parquet.PjSparkShims
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.core.PJIndex
+import graft.core.{PJIndex, PJSplice, PalletJack}
+
+/** Everything a write commit wants to know about one file it just wrote,
+  * computed executor-side from the footer it already parsed to build the
+  * sidecar: the commit-log [[PjCommitLog.FileEntry]] facts (rows, row
+  * groups, fingerprint, column names, stats envelope) plus the file's
+  * Spark-visible data schema — so the log can plan the table with zero
+  * per-file opens later.
+  */
+final case class PjFileFacts(
+    path: String,
+    size: Long,
+    rows: Long,
+    rowGroups: Int,
+    fingerprint: Long,
+    nested: Boolean,
+    zeroRowGroups: Boolean,
+    cols: Seq[String],
+    dataSchemaJson: String,
+    stats: Map[String, PjCommitLog.ColStat],
+    sidecarWritten: Boolean) {
+
+  def toEntry(relPath: String): PjCommitLog.FileEntry =
+    if (zeroRowGroups)
+      PjCommitLog.FileEntry(relPath, size, 0L, 0, Some(fingerprint), nested = false,
+        Some(cols), Map.empty)
+    else
+      PjCommitLog.FileEntry(relPath, size, rows, rowGroups, Some(fingerprint),
+        nested = nested, cols = Some(cols), stats = stats)
+}
 
 /** Fleet-scale index lifecycle (SURVEY.md §7 step 4): build `.index`
   * sidecars for every parquet file under a directory, executor-parallel —
@@ -41,7 +71,7 @@ object PjIndexJob {
         val indexPath = PjParquetTable.hiddenSidecar(path)
         val fresh = !overwrite && pfs.exists(indexPath) &&
           pfs.getFileStatus(indexPath).getModificationTime >= dataMtime
-        if (fresh) 0L else buildOne(conf.value, pathStr)
+        if (fresh) 0L else { if (buildOne(conf.value, pathStr).sidecarWritten) 1L else 0L }
       }
       .sum().toLong
   }
@@ -50,38 +80,62 @@ object PjIndexJob {
     * path: the commit manifest is the exact new-file set, so index
     * maintenance is sized to the commit instead of re-walking (and
     * re-statting) the whole table root per commit/epoch. No freshness probe:
-    * new files never have one.
+    * new files never have one. Returns the per-file facts (keyed by the
+    * input path string) so a logged commit records them with zero extra
+    * reads.
     */
-  def generateForPaths(spark: SparkSession, paths: Seq[String]): Long = {
-    if (paths.isEmpty) return 0L
+  def generateForPaths(spark: SparkSession, paths: Seq[String]): Seq[PjFileFacts] = {
+    if (paths.isEmpty) return Nil
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     spark.sparkContext
       .parallelize(paths, math.min(paths.size, 1024))
       .map(pathStr => buildOne(conf.value, pathStr))
-      .sum().toLong
+      .collect().toSeq
   }
 
-  private def buildOne(conf: org.apache.hadoop.conf.Configuration, pathStr: String): Long = {
+  private def buildOne(conf: org.apache.hadoop.conf.Configuration, pathStr: String): PjFileFacts = {
     val path = new Path(pathStr)
     val pfs = path.getFileSystem(conf)
     val indexPath = PjParquetTable.hiddenSidecar(path)
     val status = pfs.getFileStatus(path)
     val footerBytes = HadoopFooter.readFooterBytes(pfs, status)
+    val fp = PJSplice.fnv64(footerBytes, 0, footerBytes.length)
     try {
       val bytes = PJIndex.generateFromFooter(footerBytes, pathStr)
       val out = pfs.create(indexPath, true)
       try out.write(bytes) finally out.close()
-      1L
+      val entry = PjCommitLog.entryFromIndex("", status.getLen, bytes)
+      val schemaJson =
+        PjSparkShims.toSparkSchema(PalletJack.readSchemaFromIndexData(bytes)).json
+      PjFileFacts(pathStr, status.getLen, entry.rows, entry.rowGroups, fp,
+        nested = false, zeroRowGroups = false, entry.cols.getOrElse(Nil), schemaJson,
+        entry.stats, sidecarWritten = true)
     } catch {
       // zero-row-group files are legal parquet (Spark writes one for
       // an empty partition) but un-indexable by design
       // (`palletjack.cc:241-246`): skip them, never fail the fleet
       case e: graft.core.PJException
-          if e.getMessage == "Number of row groups is not set!" => 0L
+          if e.getMessage == "Number of row groups is not set!" =>
+        val pm = PalletJack.materialize(footerBytes)
+        val mt = pm.getFileMetaData.getSchema
+        PjFileFacts(pathStr, status.getLen, 0L, 0, fp, nested = false,
+          zeroRowGroups = true,
+          (0 until mt.getFieldCount).map(i => mt.getFields.get(i).getName),
+          PjSparkShims.toSparkSchema(mt).json, Map.empty, sidecarWritten = false)
       // nested schemas are un-indexable by design too (reference
       // restriction); reads plan them from their own footer
       case _: graft.core.PJException
-          if PJIndex.footerHasNestedSchema(footerBytes) => 0L
+          if PJIndex.footerHasNestedSchema(footerBytes) =>
+        val pm = PalletJack.materialize(footerBytes)
+        val mt = pm.getFileMetaData.getSchema
+        var rows = 0L
+        val blocks = pm.getBlocks
+        var i = 0
+        while (i < blocks.size) { rows += blocks.get(i).getRowCount; i += 1 }
+        PjFileFacts(pathStr, status.getLen, rows, blocks.size, fp, nested = true,
+          zeroRowGroups = false,
+          (0 until mt.getFieldCount).map(i => mt.getFields.get(i).getName),
+          PjSparkShims.toSparkSchema(mt).json, Map.empty, sidecarWritten = false)
     }
   }
 }

@@ -47,7 +47,7 @@ object PjMetadata {
       throw new graft.core.PJException(
         s"pjparquet: '$path' has no commit log; history applies to logged tables")
     PjCommitLog.history(fs, root)
-      .map(s => (s.version, new java.sql.Timestamp(s.ts), s.action, s.files.size.toLong))
+      .map(s => (s.version, new java.sql.Timestamp(s.ts), s.action, s.nFiles))
       .toDF("version", "ts", "action", "n_files")
   }
 }

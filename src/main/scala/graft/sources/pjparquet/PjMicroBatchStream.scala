@@ -247,9 +247,12 @@ class PjMicroBatchStream(
   private def listMtimes(): Map[String, Long] = {
     val root = new Path(info.path)
     val fs = root.getFileSystem(hadoopConf)
+    // log enabled but ZERO commits = "not yet logged": the directory
+    // listing is live, matching batch resolution (a mkdir-enabled table
+    // must not stream nothing until its first logged commit)
     val snapshot: Option[Set[String]] =
       if (PjCommitLog.isEnabled(fs, root))
-        Some(PjCommitLog.latest(fs, root).map(_.files.toSet).getOrElse(Set.empty))
+        PjCommitLog.latest(fs, root).map(_.files.toSet)
       else None
     val it = fs.listFiles(root, true)
     val m = Map.newBuilder[String, Long]

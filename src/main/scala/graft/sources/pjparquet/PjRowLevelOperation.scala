@@ -99,7 +99,10 @@ final class PjRowLevelOperation(
             // new files land — that would DUPLICATE surviving rows; refuse
             throw new graft.core.PJException(
               "pjparquet: row-level operation write committed without a configured scan")
-        }))
+        },
+        // recorded as the commit's `operation` so the change feed can
+        // label delete vs update_pre/postimage rows
+        command = cmd.toString.toLowerCase(java.util.Locale.ROOT)))
   }
 
   private def merged(scanOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {

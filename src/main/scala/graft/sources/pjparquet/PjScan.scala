@@ -651,13 +651,21 @@ class PjScanBuilder(
         // nested-fallback file: no index, so no chunk-stat/bloom pruning —
         // partition values still prune whole files
         pushed.forall(p => layout.partitionSchema.isEmpty || mightMatch(f, p))
+      else if (pushed.exists(p =>
+          !(layout.partitionSchema.isEmpty || mightMatch(f, p)) ||
+            f.entry.exists(e => !PjStatsFilter.mightMatchEntry(
+              e, fileSchema, partNameSet, caseSensitiveNow, p))))
+        // pruned by partition values or by the commit-log entry's stats
+        // envelope — the file's index is NEVER loaded (the logged-table
+        // zero-I/O prune; the envelope bounds every row group, so this
+        // can only drop files the per-rg pass below would drop too)
+        false
       else {
         lazy val idx = PJSplice.Index.fromBytes(f.indexBytes)
         lazy val blooms: Option[PjBloom.FileBlooms] =
           if (bloomEligible) PjBloom.load(bloomConf, f, idx.footerFnv64) else None
         pushed.forall { p =>
-          (layout.partitionSchema.isEmpty || mightMatch(f, p)) &&
-            PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p) &&
+          PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p) &&
             blooms.forall(b =>
               PjBloom.mightMatch(b, fileSchema, partNameSet, caseSensitiveNow, p))
         }

@@ -21,6 +21,17 @@ import graft.core.PJSplice
   * row-level DML (DELETE/UPDATE/MERGE) it bounds the rewrite set to the
   * files whose stats admit a match.
   *
+  * Two stat sources share one evaluator:
+  *  - the INDEX view — one interval per row group (the exact historical
+  *    behavior), and
+  *  - a commit-log [[PjCommitLog.FileEntry]]'s whole-file envelope
+  *    ([[mightMatchEntry]]) — evaluated BEFORE the index is ever loaded,
+  *    so a logged scan prunes most files with zero sidecar reads. The
+  *    envelope (min of mins / max of maxes) can only be wider than any
+  *    row group's interval, so an envelope "no match" implies the per-rg
+  *    verdict — log pruning is sound and never keeps less than the index
+  *    would.
+  *
   * Supported: Spark Integer/Long over parquet INT32/INT64 (signed order is
   * type-defined — logical re-mappings like date/decimal surface as other
   * Spark types and fall through to "keep"), and String over BYTE_ARRAY
@@ -29,13 +40,66 @@ import graft.core.PJSplice
   */
 private[pjparquet] object PjStatsFilter {
 
-  /** File-level verdict: keep `f` iff `filter` might match some row of some
-    * selected row group. `fileSchema` resolves attribute case; partition
-    * columns are not data columns and always keep (they are handled by
-    * [[PjPartitionFilter]]).
+  /** Abstracts "intervals to test": row groups of an index, or the single
+    * whole-file envelope of a log entry.
+    */
+  private trait StatsSource {
+    def rangeCount: Int
+    /** Stats for `column` in range `r`; None = unknown (keep). */
+    def statsFor(r: Int, column: String): Option[PJSplice.ChunkStats]
+    /** Row count of range `r`; -1 = unknown. */
+    def rowsIn(r: Int): Long
+  }
+
+  private final class IndexSource(idx: PJSplice.Index) extends StatsSource {
+    private val names = idx.columnNames
+    def rangeCount: Int = idx.header.rowGroups
+    def statsFor(r: Int, column: String): Option[PJSplice.ChunkStats] = {
+      val ord = names.lastIndexOf(column) // last-wins, like splice O5
+      if (ord < 0) None
+      else
+        try Some(idx.chunkStats(r, ord))
+        catch { case scala.util.control.NonFatal(_) => None }
+    }
+    def rowsIn(r: Int): Long = idx.rowNumber(r)
+  }
+
+  private final class EntrySource(e: PjCommitLog.FileEntry) extends StatsSource {
+    def rangeCount: Int = 1
+    def statsFor(r: Int, column: String): Option[PJSplice.ChunkStats] =
+      e.stats.get(column).map(cs =>
+        PJSplice.ChunkStats(cs.physType, cs.nullCount,
+          cs.min.orNull, cs.max.orNull))
+    def rowsIn(r: Int): Long = e.rows
+  }
+
+  /** File-level verdict from the index: keep `f` iff `filter` might match
+    * some row of some row group.
     */
   def mightMatch(
       idx: PJSplice.Index,
+      fileSchema: StructType,
+      partitionNames: Set[String],
+      caseSensitive: Boolean,
+      filter: Filter): Boolean =
+    evaluate(new IndexSource(idx), fileSchema, partitionNames, caseSensitive, filter)
+
+  /** File-level verdict from a commit-log entry's stats envelope — zero
+    * file I/O. A `false` here is final (the envelope bounds every row
+    * group); a `true` still gets the index-level pass once the index is
+    * loaded for other reasons.
+    */
+  def mightMatchEntry(
+      entry: PjCommitLog.FileEntry,
+      fileSchema: StructType,
+      partitionNames: Set[String],
+      caseSensitive: Boolean,
+      filter: Filter): Boolean =
+    entry.stats.isEmpty ||
+      evaluate(new EntrySource(entry), fileSchema, partitionNames, caseSensitive, filter)
+
+  private def evaluate(
+      src: StatsSource,
       fileSchema: StructType,
       partitionNames: Set[String],
       caseSensitive: Boolean,
@@ -43,13 +107,11 @@ private[pjparquet] object PjStatsFilter {
     def fold(n: String): String = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val partFolded = partitionNames.map(fold)
 
-    // resolve a filter attribute to (index column ordinal, Spark type);
+    // resolve a filter attribute to the file column name + Spark type;
     // None = not a prunable data column (partition col, missing, nested)
-    def resolve(attr: String): Option[(Int, org.apache.spark.sql.types.DataType)] = {
+    def resolve(attr: String): Option[(String, org.apache.spark.sql.types.DataType)] = {
       if (partFolded.contains(fold(attr)) || attr.contains(".")) return None
-      val field = fileSchema.fields.find(f => fold(f.name) == fold(attr)).getOrElse(return None)
-      val ord = idx.columnNames.lastIndexOf(field.name) // last-wins, like splice O5
-      if (ord < 0) None else Some((ord, field.dataType))
+      fileSchema.fields.find(f => fold(f.name) == fold(attr)).map(f => (f.name, f.dataType))
     }
 
     def leLong(b: Array[Byte], width: Int): Option[Long] =
@@ -81,18 +143,16 @@ private[pjparquet] object PjStatsFilter {
       case _ => None
     }
 
-    /** Per-row-group verdict for one (attr, op) leaf; None = unknown → the
-      * row group might match. `rel` receives (cmp(min, v), cmp(max, v)).
+    /** Per-range verdict for one (attr, op) leaf; None = unknown → the
+      * range might match.
       */
     def rgLeaf(rg: Int, attr: String)(
         rel: (PJSplice.ChunkStats, Long) => Option[Boolean],
         relBytes: (Array[Byte], Array[Byte], Array[Byte]) => Option[Boolean],
         v: Any): Option[Boolean] = {
-      val (ord, dt) = resolve(attr).getOrElse(return None)
+      val (name, dt) = resolve(attr).getOrElse(return None)
       if (v == null) return Some(false) // comparison to NULL matches no row
-      val st =
-        try idx.chunkStats(rg, ord)
-        catch { case scala.util.control.NonFatal(_) => return None }
+      val st = src.statsFor(rg, name).getOrElse(return None)
       dt match {
         case IntegerType if st.physType == 1 =>
           numValue(v).flatMap(rel(st, _)) // rel widens via leLong(width=4)
@@ -104,7 +164,7 @@ private[pjparquet] object PjStatsFilter {
       }
     }
 
-    /** Might any row of row group `rg` satisfy `filter`? None = unknown. */
+    /** Might any row of range `rg` satisfy `filter`? None = unknown. */
     def rgMight(rg: Int, fl: Filter): Option[Boolean] = fl match {
       case AlwaysTrue() => Some(true)
       case AlwaysFalse() => Some(false)
@@ -147,18 +207,19 @@ private[pjparquet] object PjStatsFilter {
           else None
         }
       case IsNull(a) =>
-        resolve(a).flatMap { case (ord, _) =>
-          try {
-            val st = idx.chunkStats(rg, ord)
-            Some(st.nullCount != 0) // unknown (-1) keeps; 0 = provably no nulls
-          } catch { case scala.util.control.NonFatal(_) => None }
+        resolve(a).flatMap { case (name, _) =>
+          src.statsFor(rg, name).map(st =>
+            st.nullCount != 0) // unknown (-1) keeps; 0 = provably no nulls
         }
       case IsNotNull(a) =>
-        resolve(a).flatMap { case (ord, _) =>
-          try {
-            val st = idx.chunkStats(rg, ord)
-            Some(st.nullCount < 0 || st.nullCount < idx.rowNumber(rg))
-          } catch { case scala.util.control.NonFatal(_) => None }
+        resolve(a).flatMap { case (name, _) =>
+          src.statsFor(rg, name).flatMap { st =>
+            if (st.nullCount < 0) Some(true)
+            else {
+              val rows = src.rowsIn(rg)
+              if (rows < 0) None else Some(st.nullCount < rows)
+            }
+          }
         }
       case StringStartsWith(a, prefix) if prefix != null =>
         // rows with prefix p live in [p, p+∞): max >= p and min < p·(0xff…)
@@ -186,12 +247,12 @@ private[pjparquet] object PjStatsFilter {
       case _ => None // Not, EqualNullSafe, unsupported shapes: unknown
     }
 
-    val rgCount = idx.header.rowGroups
+    val n = src.rangeCount
     var rg = 0
-    while (rg < rgCount) {
+    while (rg < n) {
       if (rgMight(rg, filter).getOrElse(true)) return true
       rg += 1
     }
-    rgCount == 0 // zero-row-group files keep (nothing to prune anyway)
+    n == 0 // zero-row-group files keep (nothing to prune anyway)
   }
 }

@@ -81,26 +81,75 @@ object PjVacuum {
       versionsDropped: Long, versionsKept: Long, filesReclaimed: Long)
 
   /** Close the time-travel window of a [[PjCommitLog]] table: keep the
-    * newest `keepVersions` snapshots, drop the older log entries, and
-    * delete every data file (plus its `.index`/`.bloom` sidecars) that no
-    * SURVIVING snapshot references — the Delta `VACUUM` contract, where
-    * retention is the only thing that ever physically deletes a logged
-    * table's retired bytes. Metadata-rate driver work: one log read per
-    * kept version + one recursive listing; no data I/O.
+    * newest `keepVersions` snapshots, drop the older log entries (after
+    * materializing a checkpoint at the oldest kept version, so the
+    * delta-encoded log stays replayable), and delete every data file
+    * (plus its `.index`/`.bloom` sidecars) that no SURVIVING snapshot
+    * references — the Delta `VACUUM` contract, where retention is the
+    * only thing that ever physically deletes a logged table's retired
+    * bytes. Metadata-rate driver work: one checkpoint + bounded replay
+    * per kept version + one recursive listing; no data I/O.
+    *
+    * `minFileAgeMillis` guards racing writers: an unreferenced file
+    * younger than it (an in-flight commit's staged task files, a
+    * concurrent appender between its data write and its log commit) is
+    * NOT deleted. The default 0 keeps the historical behavior — set it
+    * (Delta defaults to 7 days) whenever expiry can run concurrently
+    * with writes or streams.
     */
-  def expireVersions(spark: SparkSession, root: String, keepVersions: Int): ExpireReport = {
+  def expireVersions(
+      spark: SparkSession, root: String, keepVersions: Int,
+      minFileAgeMillis: Long = 0L): ExpireReport = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
-    val hconf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(hconf)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireLogged(fs, rootPath, root)
+    val versions = PjCommitLog.versions(fs, rootPath)
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    expire(fs, rootPath, drop, keep, minFileAgeMillis)
+  }
+
+  /** Time-based retention — the operational contract users actually
+    * configure (Delta's `VACUUM ... RETAIN n HOURS`): keep every version
+    * committed within the last `retentionMillis` (by snapshot timestamp),
+    * and always HEAD; expire the rest. Kept versions form a contiguous
+    * suffix (replay requires it): one old-enough version inside the
+    * window keeps everything after it.
+    */
+  def expireOlderThan(
+      spark: SparkSession, root: String, retentionMillis: Long,
+      minFileAgeMillis: Long = 0L): ExpireReport = {
+    require(retentionMillis >= 0, s"retentionMillis must be >= 0, got $retentionMillis")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireLogged(fs, rootPath, root)
+    val versions = PjCommitLog.versions(fs, rootPath)
+    if (versions.isEmpty) return ExpireReport(0, 0, 0)
+    val cut = System.currentTimeMillis() - retentionMillis
+    val oldestKept = PjCommitLog.history(fs, rootPath)
+      .find(_.ts >= cut).map(_.version).getOrElse(versions.last)
+    val (drop, keep) = versions.partition(_ < oldestKept)
+    expire(fs, rootPath, drop, keep, minFileAgeMillis)
+  }
+
+  private def requireLogged(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path, root: String): Unit =
     if (!PjCommitLog.isEnabled(fs, rootPath))
       throw new graft.core.PJException(
         s"pjparquet: '$root' has no commit log; expireVersions applies to logged tables")
-    val versions = PjCommitLog.versions(fs, rootPath)
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+
+  private def expire(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      drop: Seq[Long], keep: Seq[Long], minFileAgeMillis: Long): ExpireReport = {
+    if (keep.isEmpty) return ExpireReport(0, 0, 0)
+    // the oldest kept version must stay replayable after its delta prefix
+    // drops: materialize its full checkpoint first (no-op if one exists).
+    // Reclamation itself runs even with nothing to drop — files orphaned
+    // by an earlier expiry (or an aborted writer) still get swept.
+    if (drop.nonEmpty) PjCommitLog.writeCheckpoint(fs, rootPath, keep.head)
     val referenced: Set[String] =
       keep.flatMap(v => PjCommitLog.read(fs, rootPath, v).files).toSet
 
+    val cutoff = System.currentTimeMillis() - minFileAgeMillis
     var reclaimed = 0L
     val it = fs.listFiles(rootPath, true)
     val victims = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -108,6 +157,7 @@ object PjVacuum {
       val s = it.next()
       val n = s.getPath.getName
       if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          (minFileAgeMillis <= 0 || s.getModificationTime <= cutoff) &&
           !referenced.contains(PjCommitLog.relativize(fs, rootPath, s.getPath)))
         victims += s.getPath
     }
@@ -115,7 +165,8 @@ object PjVacuum {
       PjBatchWrite.deleteWithSidecars(fs, p)
       reclaimed += 1
     }
-    drop.foreach(v => fs.delete(new Path(PjCommitLog.logDir(rootPath), f"$v%020d.json"), false))
+    drop.foreach(v =>
+      PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, false)))
     PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
     // stale cached layouts of expired versions would serve missing files
     PjParquetTable.clearLayoutCache()

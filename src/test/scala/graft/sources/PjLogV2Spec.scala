@@ -1,0 +1,322 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjChangeFeed, PjCommitLog, PjParquetTable, PjVacuum}
+
+/** Round-10 commit-log v2: per-file stats in log entries (Delta
+  * `add.stats` parity), delta-encoded commits + periodic checkpoints,
+  * ONE-read lazy resolution with zero sidecar opens, optimistic
+  * concurrency for disjoint appends, change data feed, and time-based
+  * vacuum retention.
+  */
+class PjLogV2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"pj_logv2_$tag").toString
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeLogged(df: org.apache.spark.sql.DataFrame, dir: String,
+      mode: String = "append"): Unit =
+    df.write.format("pjparquet").mode(mode).option("log.enabled", "true").save(dir)
+
+  private def leLong(b: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (b.length == 4) bb.getInt.toLong else bb.getLong
+  }
+
+  test("stats-carrying commit: entries record size, rows, fingerprint, cols, min/max") {
+    import spark.implicits._
+    val dir = tempDir("stats")
+    writeLogged(Seq((5L, "ee"), (9L, "ii"), (2L, "bb")).toDF("id", "name").coalesce(1), dir)
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.entries.size == 1)
+    val e = snap.entries.head
+    assert(e.planned, s"entry must carry full planning facts: $e")
+    assert(e.rows == 3 && e.rowGroups == 1 && e.size > 0)
+    assert(e.cols.contains(Seq("id", "name")))
+    val idStats = e.stats("id")
+    assert(idStats.physType == 2) // INT64
+    assert(leLong(idStats.min.get) == 2L && leLong(idStats.max.get) == 9L)
+    assert(idStats.nullCount == 0)
+    val nameStats = e.stats("name")
+    assert(nameStats.physType == 6) // BYTE_ARRAY
+    assert(new String(nameStats.min.get, "UTF-8") == "bb")
+    assert(new String(nameStats.max.get, "UTF-8") == "ii")
+    // data schema recorded: resolution never opens a file for schema
+    assert(snap.dataSchemaJson.isDefined)
+  }
+
+  test("logged resolution is lazy: planning touches no sidecar until a scan needs one") {
+    import spark.implicits._
+    val dir = tempDir("lazy")
+    writeLogged(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    PjParquetTable.clearLayoutCache()
+    val layout = PjParquetTable.resolveFiles(
+      dir, spark.sessionState.newHadoopConf(), autogen = true)
+    assert(layout.files.nonEmpty)
+    assert(layout.files.forall(f => !f.index.isLoaded),
+      "resolution must not load any index — planning facts come from the log")
+    assert(layout.dataSchema.isDefined, "schema must come from the log, not a file")
+    // forcing one file loads exactly that file
+    layout.files.head.indexBytes
+    assert(layout.files.head.index.isLoaded)
+    assert(layout.files.tail.forall(f => !f.index.isLoaded))
+  }
+
+  test("stats pruning from the log: a pruned file's sidecar is NEVER opened") {
+    import spark.implicits._
+    val dir = tempDir("prune")
+    // two files with disjoint id ranges, two commits
+    writeLogged((0L until 100L).toDF("id").coalesce(1), dir)          // v1: ids 0..99
+    writeLogged((1000L until 1100L).toDF("id").coalesce(1), dir)      // v2: ids 1000..1099
+    PjParquetTable.clearLayoutCache()
+    val got = spark.read.format("pjparquet").load(dir)
+      .where($"id" === 1042L).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1042L))
+    // the layout cache returns the very objects the query planned with
+    val layout = PjParquetTable.resolveFiles(
+      dir, spark.sessionState.newHadoopConf(), autogen = true)
+    val loaded = layout.files.filter(_.index.isLoaded).map(_.path)
+    val notLoaded = layout.files.filterNot(_.index.isLoaded).map(_.path)
+    assert(loaded.size == 1 && notLoaded.size == 1,
+      s"exactly the matching file may load its index; loaded=$loaded notLoaded=$notLoaded")
+    // and the pruned-away file is the low-range one (committed first)
+    val lowEntry = layout.files.find(f => !f.index.isLoaded).get.entry.get
+    assert(leLong(lowEntry.stats("id").max.get) == 99L)
+  }
+
+  test("planning scale: a 50k-entry snapshot resolves from ONE log read, zero file I/O") {
+    import spark.implicits._
+    // harvest one real rich entry as the template
+    val seed = tempDir("scale_seed")
+    writeLogged(Seq((1L, "a")).toDF("id", "name").coalesce(1), seed)
+    val template = PjCommitLog.latest(fsOf(seed), new Path(seed)).get
+    val tEntry = template.entries.head
+
+    val dir = tempDir("scale")
+    val fs = fsOf(dir)
+    fs.mkdirs(PjCommitLog.logDir(new Path(dir)))
+    val entries = (0 until 50000).map { i =>
+      tEntry.copy(path = f"k=${i % 37}%d/part-$i%05d-synthetic-$i.parquet")
+    }
+    val t0 = System.nanoTime()
+    val v = PjCommitLog.commit(fs, new Path(dir), "append", entries, Set.empty,
+      template.dataSchemaJson)
+    val tCommit = (System.nanoTime() - t0) / 1e9
+    PjParquetTable.clearLayoutCache()
+    val t1 = System.nanoTime()
+    val layout = PjParquetTable.resolveFiles(
+      dir, spark.sessionState.newHadoopConf(), autogen = true)
+    val tResolve = (System.nanoTime() - t1) / 1e9
+    assert(v == 1L && layout.files.size == 50000)
+    // the data files DO NOT EXIST on disk — resolution completing at all
+    // proves zero per-file I/O; the lazy refs prove no sidecar opens
+    assert(layout.files.forall(f => !f.index.isLoaded))
+    assert(layout.partitionSchema.fieldNames.toSeq == Seq("k"))
+    assert(layout.dataSchema.get.fieldNames.toSeq == Seq("id", "name"))
+    assert(tCommit < 10.0, f"50k-entry commit took $tCommit%.2f s")
+    assert(tResolve < 10.0, f"50k-entry resolution took $tResolve%.2f s")
+  }
+
+  test("delta log growth: 300 epoch-style commits stay O(changes + periodic checkpoints)") {
+    val dir = tempDir("growth")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(PjCommitLog.logDir(root))
+    // 10k-file base, then 300 single-file commits
+    val base = (0 until 10000).map(i => PjCommitLog.FileEntry(f"part-base-$i%05d.parquet", 100L))
+    PjCommitLog.commit(fs, root, "append", base, Set.empty)
+    for (i <- 0 until 300)
+      PjCommitLog.commit(fs, root, s"stream-epoch-$i",
+        Seq(PjCommitLog.FileEntry(f"part-epoch-$i%05d.parquet", 100L)), Set.empty)
+    val logBytes = fs.listStatus(PjCommitLog.logDir(root)).map(_.getLen).sum
+    // full-snapshot-per-commit would be ~301 × 10k entries; delta +
+    // every-10th checkpoint is ~(301 deltas + 30 checkpoints × 10k)
+    val fullSnapshotCost = 301L * 10000L * 30L // ≈ 90 MB at ~30 B/path
+    assert(logBytes < fullSnapshotCost / 5,
+      s"log must be delta-sized: $logBytes B vs full-snapshot ~$fullSnapshotCost B")
+    // replay correctness: HEAD holds base + every epoch file
+    val head = PjCommitLog.latest(fs, root).get
+    assert(head.version == 301L && head.entries.size == 10300)
+    // time travel into the middle of the delta chain is exact
+    val mid = PjCommitLog.read(fs, root, 151L)
+    assert(mid.entries.size == 10150)
+    // history reads per-version headers without replay
+    val hist = PjCommitLog.history(fs, root)
+    assert(hist.size == 301 && hist.last.nFiles == 10300)
+  }
+
+  test("optimistic concurrency: racing pure appends all land; every file visible at HEAD") {
+    val dir = tempDir("race")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(PjCommitLog.logDir(root))
+    val nThreads = 4
+    val perThread = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(nThreads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val futures = (0 until nThreads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          barrier.await()
+          for (i <- 0 until perThread)
+            PjCommitLog.commit(fs, root, "append",
+              Seq(PjCommitLog.FileEntry(s"part-t$t-c$i.parquet", 10L)), Set.empty)
+        }
+      })
+    }
+    try futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    finally pool.shutdown()
+    val head = PjCommitLog.latest(fs, root).get
+    assert(head.version == (nThreads * perThread).toLong,
+      s"every append must claim its own version, head=${head.version}")
+    assert(head.entries.size == nThreads * perThread,
+      "no append may be lost to a clobbered commit file")
+  }
+
+  test("conflicting remove-bearing commits fail loudly instead of rebasing") {
+    val dir = tempDir("conflict")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(PjCommitLog.logDir(root))
+    PjCommitLog.commit(fs, root, "append",
+      Seq(PjCommitLog.FileEntry("a.parquet", 1L), PjCommitLog.FileEntry("b.parquet", 1L)),
+      Set.empty)
+    // two racing writers, both retiring a file: at most one may win
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results = (0 until 2).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+        def call(): Either[String, Long] = {
+          barrier.await()
+          try Right(PjCommitLog.commit(fs, root, "overwrite-static",
+            Seq(PjCommitLog.FileEntry(s"rewrite-$t.parquet", 1L)),
+            Set("a.parquet")))
+          catch { case e: graft.core.PJException => Left(e.getMessage) }
+        }
+      })
+    }
+    val outcomes = try results.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    finally pool.shutdown()
+    val wins = outcomes.count(_.isRight)
+    assert(wins >= 1, s"one writer must win: $outcomes")
+    outcomes.filter(_.isLeft).foreach { l =>
+      assert(l.swap.exists(_.contains("version conflict")), s"loser must fail loudly: $l")
+    }
+    // the log is never corrupted: HEAD replays cleanly either way
+    val head = PjCommitLog.latest(fs, root).get
+    assert(head.files.contains("b.parquet"))
+  }
+
+  test("change data feed: UPDATE emits exact pre/postimages, append emits inserts") {
+    import spark.implicits._
+    val dir = tempDir("cdf")
+    writeLogged(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1), dir) // v1
+    spark.sql("DROP TABLE IF EXISTS pj_logv2_cdf")
+    spark.sql(s"CREATE TABLE pj_logv2_cdf USING pjparquet OPTIONS (path '$dir')")
+    try {
+      spark.sql("UPDATE pj_logv2_cdf SET v = v + 1 WHERE id >= 2") // v2
+      val v2 = PjChangeFeed.changesAt(spark, dir, 2L)
+        .select("id", "v", "_change_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(v2 == Set(
+        (2L, 20L, "update_preimage"), (3L, 30L, "update_preimage"),
+        (2L, 21L, "update_postimage"), (3L, 31L, "update_postimage")),
+        s"got $v2")
+      // row 1 was rewritten byte-identically (file-granular copy-on-write)
+      // and must NOT surface as a change
+      assert(!v2.exists(_._1 == 1L))
+      // v1 was a pure append: every row an insert
+      val v1 = PjChangeFeed.changesAt(spark, dir, 1L)
+        .select("_change_type").distinct().collect().map(_.getString(0)).toSeq
+      assert(v1 == Seq("insert"))
+      // the ranged read unions both versions
+      assert(PjChangeFeed.changes(spark, dir, 1L, 2L).count() == 3 + 4)
+    } finally spark.sql("DROP TABLE IF EXISTS pj_logv2_cdf")
+  }
+
+  test("change data feed: DELETE labels removed rows delete; compaction diffs to empty") {
+    import spark.implicits._
+    val dir = tempDir("cdfdel")
+    writeLogged((0L until 50L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1), dir) // v1
+    writeLogged((50L until 60L).map(i => (i, s"r$i")).toDF("id", "name").coalesce(1), dir) // v2
+    spark.sql("DROP TABLE IF EXISTS pj_logv2_cdfdel")
+    spark.sql(s"CREATE TABLE pj_logv2_cdfdel USING pjparquet OPTIONS (path '$dir')")
+    try {
+      spark.sql("DELETE FROM pj_logv2_cdfdel WHERE id IN (55, 57)") // v3: rewrite of file 2
+      val v3 = PjChangeFeed.changesAt(spark, dir, 3L)
+        .select("id", "_change_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(v3 == Set((55L, "delete"), (57L, "delete")), s"got $v3")
+    } finally spark.sql("DROP TABLE IF EXISTS pj_logv2_cdfdel")
+    // layout-only rewrite: compaction's CDF is EMPTY (data unchanged)
+    val r = graft.sources.pjparquet.PjCompaction.compact(
+      spark, dir, targetBytes = 1L << 20, minFilesPerDir = 2) // v4
+    assert(r.compactedInto >= 1)
+    assert(PjChangeFeed.changesAt(spark, dir, 4L).count() == 0,
+      "a compaction changes no data and must diff to an empty feed")
+  }
+
+  test("expireOlderThan: time-based retention keeps a contiguous suffix; expired reads error with the range") {
+    import spark.implicits._
+    val dir = tempDir("retention")
+    writeLogged(Seq((1L, "a")).toDF("id", "name"), dir)            // v1
+    writeLogged(Seq((2L, "b")).toDF("id", "name"), dir)            // v2
+    writeLogged(Seq((3L, "c")).toDF("id", "name"), dir)            // v3
+    // retention 0 ms: nothing is young enough -> keep HEAD only
+    val r = PjVacuum.expireOlderThan(spark, dir, retentionMillis = 0L)
+    assert(r.versionsDropped == 2 && r.versionsKept == 1)
+    val head = spark.read.format("pjparquet").load(dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(head == Set(1L, 2L, 3L)) // appends: HEAD content unchanged
+    val e = intercept[graft.core.PJException] {
+      spark.read.format("pjparquet").option("versionAsOf", "1").load(dir).collect()
+    }
+    assert(e.getMessage.contains("version 1 does not exist") &&
+      e.getMessage.contains("available: 3..3"), e.getMessage)
+  }
+
+  test("expire with minFileAgeMillis spares young unreferenced files (in-flight writer guard)") {
+    import spark.implicits._
+    val dir = tempDir("ageguard")
+    writeLogged(Seq((1L, "a")).toDF("id", "name"), dir)            // v1
+    writeLogged(Seq((2L, "b")).toDF("id", "name"), dir, "overwrite") // v2 retires v1's file
+    // an uncommitted in-flight file (racing writer mid-commit)
+    val inflight = new java.io.File(dir, "part-inflight-racer.parquet")
+    java.nio.file.Files.write(inflight.toPath, Array[Byte](1, 2, 3))
+    val r = PjVacuum.expireVersions(spark, dir, keepVersions = 1,
+      minFileAgeMillis = 60 * 60 * 1000L)
+    // v1's retired file is young too (written seconds ago) -> also spared;
+    // with a zero guard both would die. The guard protects BOTH classes.
+    assert(r.filesReclaimed == 0 && inflight.exists(),
+      s"young files must survive an age-guarded expiry: $r")
+    val r2 = PjVacuum.expireVersions(spark, dir, keepVersions = 1)
+    assert(r2.filesReclaimed >= 1, "ungated expiry reclaims the retired bytes")
+  }
+
+  test("checkpoint cadence: every 10th commit writes a checkpoint and replay uses it") {
+    val dir = tempDir("ckpt")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(PjCommitLog.logDir(root))
+    for (i <- 0 until 23)
+      PjCommitLog.commit(fs, root, "append",
+        Seq(PjCommitLog.FileEntry(f"part-$i%03d.parquet", 1L)), Set.empty)
+    val names = fs.listStatus(PjCommitLog.logDir(root)).map(_.getPath.getName).toSet
+    assert(names.contains(f"${10L}%020d.checkpoint.json"))
+    assert(names.contains(f"${20L}%020d.checkpoint.json"))
+    // deleting every pre-checkpoint delta must leave v20+ readable
+    for (v <- 1 to 9) fs.delete(new Path(PjCommitLog.logDir(root), f"$v%020d.json"), false)
+    val v20 = PjCommitLog.read(fs, root, 20L)
+    assert(v20.entries.size == 20)
+    val head = PjCommitLog.latest(fs, root).get
+    assert(head.version == 23L && head.entries.size == 23)
+  }
+}
