@@ -79,6 +79,44 @@ object BpeTokenizer {
           wordFreq.updateWith(r) { c => Some(c.getOrElse(0L) + 1L) }
       }
     }
+    trainFromCounts(wordFreq.toSeq, numMerges)
+  }
+
+  /** CORPUS-SCALE training: word frequencies come from ONE distributed
+    * aggregation over the whole corpus (map-side-combined `groupBy` of
+    * slim (word, count) pairs — the only thing that shuffles), capped to
+    * the `maxVocab` most frequent distinct words (count-desc, word-asc —
+    * deterministic), and the classic Sennrich merge loop then runs
+    * driver-side over that bounded distinct-word table. This is the
+    * count-then-merge-locally recipe production tokenizers use: the
+    * corpus is touched exactly once regardless of merge count, the
+    * driver holds O(maxVocab) state, and the resulting few-KB model
+    * broadcasts for per-row encoding. Identical tie-breaks to [[train]],
+    * so a local sample run and a distributed run agree whenever their
+    * counts do.
+    */
+  def trainDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 100000): Model = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val freq = docs.select(col(textCol).as("t")).na.drop().as[String]
+      .flatMap(t => runs(t).iterator
+        .filter(r => r.nonEmpty && !Character.isWhitespace(r.charAt(0))))
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(freq, numMerges)
+  }
+
+  /** Sennrich merge loop over an aggregated (distinct word, frequency)
+    * table — O(numMerges × vocab symbols), independent of corpus size.
+    */
+  def trainFromCounts(wordFreq: Seq[(String, Long)], numMerges: Int): Model = {
     // each distinct word as a mutable symbol sequence
     var words: Array[(Array[String], Long)] = wordFreq.toArray.sortBy(_._1).map {
       case (w, f) => (w.toCharArray.map(_.toString), f)

@@ -262,6 +262,68 @@ object MetadataQueries {
            |  (SELECT CAST(sum(n_nationkey) AS BIGINT)
            |     FROM pj.`$tmp`) AS head_key_sum""".stripMargin)
     }),
+    "q131_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      // Change data feed (PjChangeFeed) over a logged copy-on-write
+      // UPDATE: v1 writes nation (one file), v2 updates region-2 keys
+      // (+100). The feed for v2 must surface EXACTLY the changed rows as
+      // update_preimage/update_postimage pairs — rows the file-granular
+      // rewrite carried over byte-identically cancel in the multiset
+      // diff and must not appear. Zero write amplification: the feed is
+      // computed from the retained versions' files at read time; DuckDB
+      // recomputes the expected pre/postimages from the source table.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q131_cdf").toString
+      graft.Tables.nation(s, dir).coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      s.sql("DROP TABLE IF EXISTS pj_q131_t")
+      s.sql(s"CREATE TABLE pj_q131_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("UPDATE pj_q131_t SET n_nationkey = n_nationkey + 100 WHERE n_regionkey = 2") // v2
+      s.sql("DROP TABLE IF EXISTS pj_q131_t")
+      graft.sources.pjparquet.PjChangeFeed.changesAt(s, tmp, 2L)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"),
+          col("_change_type"), col("_commit_version").cast("long").as("_commit_version"))
+        .orderBy(col("_change_type"), col("n_nationkey"))
+    }),
+    "q132_vacuum_retention" -> ((s, dir) => {
+      import s.implicits._
+      // Time-based retention (PjVacuum.expireOlderThan — the Delta
+      // `VACUUM ... RETAIN n HOURS` contract): three logged commits
+      // (append, truncate-overwrite with keys +10, append of the <2
+      // slice), then retention 0 ms keeps only HEAD. The overwrite's
+      // retired v1 file is the ONLY unreferenced byte and must be the
+      // one reclaimed; HEAD stays exact; and reading the expired v1
+      // fails with the verbatim available-range error.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q132_ret").toString
+      val region = graft.Tables.region(s, dir)
+      region.coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      region.withColumn("r_regionkey", (col("r_regionkey") + 10).cast("int"))
+        .coalesce(1).write.format("pjparquet").mode("overwrite").save(tmp) // v2
+      region.filter($"r_regionkey" < 2).coalesce(1)
+        .write.format("pjparquet").mode("append").save(tmp) // v3
+      val rep = graft.sources.pjparquet.PjVacuum.expireOlderThan(
+        s, tmp, retentionMillis = 0L)
+      val errBit =
+        try {
+          s.read.format("pjparquet").option("versionAsOf", "1").load(tmp).count()
+          0L
+        } catch {
+          case e: graft.core.PJException
+              if e.getMessage.contains("version 1 does not exist") &&
+                e.getMessage.contains("available: 3..3") => 1L
+          case _: Exception => 0L
+        }
+      s.read.format("pjparquet").load(tmp)
+        .agg(count(lit(1)).as("head_rows"),
+          sum(col("r_regionkey")).cast("long").as("head_key_sum"))
+        .select(
+          lit(rep.versionsDropped).as("versions_dropped"),
+          lit(rep.versionsKept).as("versions_kept"),
+          lit(rep.filesReclaimed).as("files_reclaimed"),
+          col("head_rows"), col("head_key_sum"),
+          lit(errBit).as("expired_read_errors_with_range"))
+    }),
     "q80_pjparquet_zordered_scan" -> ((s, dir) => {
       import s.implicits._
       // End-to-end form of ZOrderSpec's pruning proof on the product path:
@@ -1072,6 +1134,27 @@ object MetadataQueries {
         |       (SELECT count(*) FROM h) AS head_rows,
         |       (SELECT CAST(sum(k) AS BIGINT) FROM h) AS head_key_sum,
         |       CAST(2 AS BIGINT) AS n_versions""".stripMargin,
+    "q131_change_feed" ->
+      """SELECT n_nationkey, n_name, n_regionkey, _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'update_preimage' AS _change_type
+        |  FROM nation WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, n_regionkey,
+        |         'update_postimage'
+        |  FROM nation WHERE n_regionkey = 2)
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
+    "q132_vacuum_retention" ->
+      """SELECT CAST(2 AS BIGINT) AS versions_dropped,
+        |       CAST(1 AS BIGINT) AS versions_kept,
+        |       CAST(1 AS BIGINT) AS files_reclaimed,
+        |       (SELECT count(*) + 2 FROM region) AS head_rows,
+        |       (SELECT CAST(sum(r_regionkey) + 50 AS BIGINT) FROM region) +
+        |         (SELECT CAST(sum(r_regionkey) AS BIGINT)
+        |          FROM region WHERE r_regionkey < 2) AS head_key_sum,
+        |       CAST(1 AS BIGINT) AS expired_read_errors_with_range""".stripMargin,
     "q80_pjparquet_zordered_scan" ->
       """WITH rng AS (
         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS o_min, CAST(max(l_orderkey) AS BIGINT) AS o_max,

@@ -437,6 +437,53 @@ object PipelineQueries {
           min(col("_zcr_ok")).as("zcr_tracks_freq"))
         .orderBy(col("source"))
     }),
+    "q133_distributed_bpe" -> ((s, dir) => {
+      // CORPUS-SCALE BPE (BpeTokenizer.trainDistributed): 1,200 merges
+      // learned from ONE distributed word-count aggregation — the corpus
+      // is touched once, only slim (word, count) pairs shuffle, and the
+      // Sennrich merge loop runs over the bounded distinct-word table —
+      // vs q106's 2,048-doc 200-merge sample model. Training text is
+      // documents.text UNION customer names (the name column supplies a
+      // large distinct vocabulary; documents alone holds ~31 words).
+      // Invariant recast (q49/q106 convention): merges are model-specific
+      // but the guarantees are engine-checkable — the merge count hits
+      // the request exactly (vocabulary is provably deep enough), EVERY
+      // document and EVERY name round-trips exactly, every name strictly
+      // compresses, and the 1,200-merge model never tokenizes the corpus
+      // worse than the 200-merge sample model.
+      val docs = Tables.documents(s, dir)
+      val names = Tables.customer(s, dir).select(col("c_name").as("text"))
+      val corpus = docs.select(col("text")).unionByName(names)
+      val model = graft.functions.BpeTokenizer.trainDistributed(
+        s, corpus, "text", numMerges = 1200, maxVocab = 4000)
+      val bc = s.sparkContext.broadcast(model)
+      val enc = udf((t: String) =>
+        if (t == null) Vector.empty[String]
+        else graft.functions.BpeTokenizer.encode(t, bc.value))
+      val small = PipelineOps.bpeTokenize(docs)
+      val big = docs.withColumn("bpe_tokens", enc(col("text")))
+        .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+      val nameTrip = names.withColumn("_toks", enc(col("text")))
+        .agg(
+          min((array_join(col("_toks"), "") === col("text")).cast("long"))
+            .as("name_round_trip_ok"),
+          min((size(col("_toks")) < length(col("text"))).cast("long"))
+            .as("names_compressed"))
+      val docAgg = big.agg(
+        count(lit(1)).as("n_docs"),
+        min((array_join(col("bpe_tokens"), "") === col("text")).cast("long"))
+          .as("round_trip_ok"),
+        sum(col("n_bpe_tokens")).as("_big_sum"))
+      val smallAgg = small.agg(sum(col("n_bpe_tokens")).as("_small_sum"))
+      docAgg.crossJoin(smallAgg).crossJoin(nameTrip)
+        .select(col("n_docs"),
+          lit(model.merges.size.toLong).as("n_merges"),
+          col("round_trip_ok"),
+          col("name_round_trip_ok"),
+          col("names_compressed"),
+          (col("_big_sum") <= col("_small_sum")).cast("long")
+            .as("deeper_model_no_worse"))
+    }),
     "q106_bpe_tokenize" -> ((s, dir) => {
       // Real BPE tokenization (invariant recast, q49 convention): the
       // learned merges are model-specific, but the tokenizer's guarantees
@@ -1610,6 +1657,14 @@ object PipelineQueries {
         |       CAST(1 AS BIGINT) AS rms_ok,
         |       CAST(1 AS BIGINT) AS zcr_tracks_freq
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q133_distributed_bpe" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(1200 AS BIGINT) AS n_merges,
+        |       CAST(1 AS BIGINT) AS round_trip_ok,
+        |       CAST(1 AS BIGINT) AS name_round_trip_ok,
+        |       CAST(1 AS BIGINT) AS names_compressed,
+        |       CAST(1 AS BIGINT) AS deeper_model_no_worse
+        |FROM documents""".stripMargin,
     "q106_bpe_tokenize" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(len(text)) AS BIGINT) AS n_chars,

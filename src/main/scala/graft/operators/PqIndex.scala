@@ -137,15 +137,25 @@ object PqIndex {
       acc => acc.getField("c"))
   }
 
-  /** A probe vector's `nprobe` nearest coarse lists, driver-side (exact
-    * argmin over the tiny centroid table; ties break to the lower id).
+  /** A probe row's `nprobe` nearest coarse lists as a COLUMN over the
+    * broadcast (literal) centroid table — executor-side routing, so a
+    * bulk probe batch (corpus-vs-corpus join) never collects a single
+    * vector to the driver. The arithmetic is the exact sequential
+    * Σ(vⱼ−cⱼ)² a driver loop would produce (zip_with + aggregate fold
+    * left), and `array_sort` over (distance, list) structs breaks ties
+    * to the lower list id — so routing is bit-identical wherever it runs.
     */
-  private def nearestLists(v: Array[Double], coarse: Array[Array[Double]], nprobe: Int): Seq[Int] =
-    coarse.zipWithIndex.map { case (c, i) =>
-      var d = 0.0; var j = 0
-      while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-      (d, i)
-    }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
+  private def nearestListsCol(vec: Column, coarse: Array[Array[Double]], nprobe: Int): Column = {
+    val nlist = coarse.length
+    val cbL = typedlit(coarse.map(_.toIndexedSeq).toIndexedSeq)
+    val dists = transform(sequence(lit(0), lit(nlist - 1)), c =>
+      struct(
+        aggregate(
+          zip_with(vec, element_at(cbL, c + 1), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        c.cast("int").as("c")))
+    transform(slice(array_sort(dists), 1, nprobe), s => s.getField("c"))
+  }
 
   /** (relPath -> content key) of every LIVE data file under the corpus
     * root. On a commit-log table ([[graft.sources.pjparquet.PjCommitLog]])
@@ -270,32 +280,28 @@ object PqIndex {
     if (nprobe <= 0 || meta.nlist == 0) {
       PipelineOps.pqAdcRerank(codes.drop("list"), corpus, probes, meta.cb, k, refineFactor)
     } else {
-      val probeVecs = probes
-        .select(col("vec_id").as("probe_id"), PipelineOps.asDouble(col("embedding")))
-        .collect()
-        .map(r => (r.get(0), r.getSeq[Double](1).toArray))
-      val pairs: Seq[(Any, Int)] = probeVecs.toSeq.flatMap { case (pid, v) =>
-        nearestLists(v, meta.coarse, math.min(nprobe, meta.nlist)).map(l => (pid, l))
-      }
-      // the directory-inferred partition column is LONG — keep every side
+      // EXECUTOR-SIDE routing: each probe ranks the broadcast centroid
+      // literal in its own task — probe vectors never reach the driver,
+      // so a 100k-probe bulk batch routes exactly like a 1-probe lookup.
+      // The directory-inferred partition column is LONG — keep every side
       // of the filter and join long so no cast lands between the literal
-      // IN and the partition pruner
-      val probed = pairs.map(_._2.toLong).distinct.sorted
-      val pairRows = pairs.map { case (pid, l) =>
-        org.apache.spark.sql.Row(pid, l.toLong)
-      }
-      val probeIdType = probes.select(col("vec_id")).schema.head.dataType
-      val pairDf = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(pairRows).asJava),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("probe_id", probeIdType),
-          org.apache.spark.sql.types.StructField("list",
-            org.apache.spark.sql.types.LongType))))
-      // literal IN over the union of probed lists -> partition pruning on
-      // the codes scan; the pair join then scopes candidates per probe
-      val routed = codes
-        .filter(col("list").isin(probed.map(_.asInstanceOf[Any]): _*))
+      // IN and the partition pruner.
+      val pairDf = probes
+        .select(col("vec_id").as("probe_id"),
+          explode(nearestListsCol(PipelineOps.asDouble(col("embedding")),
+            meta.coarse, math.min(nprobe, meta.nlist))).as("_list"))
+        .select(col("probe_id"), col("_list").cast("long").as("list"))
+      // the probed-list literal comes from a distinct-aggregate whose
+      // result is bounded by nlist (slim ints, never vectors): planning-
+      // time partition pruning on the codes scan survives bulk probes
+      val probed = pairDf.select(col("list")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val pruned =
+        if (probed.size >= meta.nlist) codes // probing everything: no filter
+        else codes.filter(col("list").isin(probed.map(_.asInstanceOf[Any]): _*))
+      // the pair join scopes candidates per probe; pairs are slim
+      // (id, list) keys — broadcast-sized even at 100k probes × nprobe
+      val routed = pruned
         .join(broadcast(pairDf), Seq("list"))
         .select(col("probe_id"), col("neighbor_id"), col("pq_codes"), col("pq_norm"))
       PipelineOps.pqAdcRerank(routed, corpus, probes, meta.cb, k, refineFactor)

@@ -138,6 +138,38 @@ class PqIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bulk probes route executor-side: no probe vector ever collects to the driver") {
+    val root = Files.createTempDirectory("pq_idx_bulk").toString
+    graft.sources.pjparquet.PjWriter.writeWithIndex(corpus(1000), root)
+    PqIndex.build(spark, root, "vec_id", "embedding", dim, m = 4, codes = 8, nlist = 8)
+
+    // a bulk probe batch — large enough that driver-side vector routing
+    // would be the bottleneck, routed entirely executor-side instead
+    val probes = corpus(1000)
+    val routed = PqIndex.topK(spark, root, probes, k = 3, refineFactor = 4, nprobe = 2)
+
+    // structural proof: the old driver-side router materialized the pair
+    // table from collected vectors as a LocalTableScan; the executor-side
+    // path derives pairs FROM the probe relation, so no local relation of
+    // collected rows appears anywhere in the plan
+    val localScans = routed.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(localScans.isEmpty,
+      s"bulk routing must not materialize driver-collected relations: $localScans")
+
+    // and the routing is still correct: k neighbors per probe (self is
+    // excluded by the ANN contract), and the periodic sin corpus gives
+    // every probe near-duplicates at cos >= 0.99 — the top-1 must find one
+    val rows = routed.select($"probe_id", $"rank", $"cos_sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.length == 1000)
+    assert(rows.groupBy(_._1).forall(_._2.length == 3))
+    val goodTop1 = rows.count(r => r._2 == 1 && r._3 >= 0.99)
+    assert(goodTop1 * 100 >= 1000 * 90,
+      s"IVF bulk routing recall collapsed: $goodTop1/1000 strong top-1 hits")
+  }
+
   test("a fresh index reconciles with zero jobs and an unindexed root is untouched") {
     val root = Files.createTempDirectory("pq_idx_noop").toString
     corpus(50).write.format("pjparquet").mode("overwrite").save(root)
