@@ -44,8 +44,16 @@ object PJSplice {
     private val rowGroupsOffsetsAt = ncOffsetsAt + schemaNumChildrenOffsetsSize
     private val columnOrdersOffsetsAt = rowGroupsOffsetsAt + rowGroupsOffsetsSize
     private val columnChunksOffsetsAt = columnOrdersOffsetsAt + columnOrdersOffsetsSize
-    private val namesAt = bodyOff + 4 * (columnChunksOffsetsAt + columnChunksOffsetsSize)
+    private val subtreeMetaAt = columnChunksOffsetsAt + columnChunksOffsetsSize
+    private val namesAt = bodyOff + 4 * (subtreeMetaAt + subtreeMetaSize)
     private[core] val metadataAt = namesAt + columnNamesLength
+
+    /** PJ_3: schema elements in top-level field c's subtree (1 for PJ_2). */
+    private[graft] def elemsOf(c: Int): Int =
+      if (!header.nested) 1 else u32(subtreeMetaAt + c)
+    /** PJ_3: leaf columns under top-level field c (1 for PJ_2). */
+    private[graft] def leavesOf(c: Int): Int =
+      if (!header.nested) 1 else u32(subtreeMetaAt + columns + c)
 
     private def u32(idx: Int): Int = bb.getInt(bodyOff + 4 * idx)
 
@@ -81,6 +89,10 @@ object PJSplice {
       * Powers truthful planning statistics for AQE.
       */
     private[graft] def chunkCompressedSize(rg: Int, col: Int): Long = {
+      // PJ_3 multi-leaf field: the offset range spans several chunk
+      // structs; the single-struct walk below would report only the first
+      // leaf — callers fall back to estimates instead of a wrong number
+      if (header.nested && leavesOf(col) != 1) return -1L
       val rgAt = metadataAt + rowGroupsOffset(1 + rg)
       val r = new ThriftCompact.Reader(
         bytes,
@@ -116,6 +128,13 @@ object PJSplice {
       * back as -1 / null and callers must treat them as "unknown".
       */
     private[graft] def chunkStats(rg: Int, col: Int): ChunkStats = {
+      // PJ_3: stats are meaningful only for a top-level field that IS a
+      // plain leaf (one schema element). A group's first-leaf stats must
+      // not stand in for the whole field — e.g. "every leaf value null"
+      // does not imply "every struct null", so IsNotNull pruning on them
+      // would be unsound. Unknown keeps the file; soundness first.
+      if (header.nested && elemsOf(col) != 1)
+        return ChunkStats(-1, -1L, null, null)
       val rgAt = metadataAt + rowGroupsOffset(1 + rg)
       val r = new ThriftCompact.Reader(
         bytes,
@@ -298,11 +317,18 @@ object PJSplice {
       out.write(src, metaAt + from, len)
     }
 
+    // PJ_3 nested extension: a "column" is a top-level SUBTREE — the
+    // schema list count is 1 (root) + selected subtree element counts,
+    // and chunk/column-order list counts are the selected LEAF totals.
+    // For PJ_2 both are the selection size (every field is one leaf).
+    val selElems = columns.iterator.map(index.elemsOf).sum
+    val selLeaves = columns.iterator.map(index.leavesOf).sum
+
     if (columns.nonEmpty) {
       //> 2: required list<SchemaElement> schema
       val schemaListAt = index.schemaOffset(0)
       copyRange(srcIdx, schemaListAt - srcIdx)
-      ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, columns.size + 1) // + root
+      ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, selElems + 1) // + root
       val rootAt = index.schemaOffset(1)
       srcIdx = rootAt
       // root element up to its num_children value, then the rewritten count
@@ -344,7 +370,7 @@ object PJSplice {
       if (columns.nonEmpty) {
         //> 1: required list<ColumnChunk> columns   (offsets relative to rgAt)
         copyRange(srcIdx, rgAt + index.columnChunkOffset(rgIdx, 0) - srcIdx)
-        ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, columns.size)
+        ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, selLeaves)
         for (c <- columns) {
           val at = index.columnChunkOffset(rgIdx, 1 + c)
           copyRange(rgAt + at, index.columnChunkOffset(rgIdx, 1 + c + 1) - at)
@@ -360,7 +386,7 @@ object PJSplice {
     if (columns.nonEmpty && index.columnOrdersOffset(0) != 0) {
       //> 7: optional list<ColumnOrder> column_orders
       copyRange(srcIdx, index.columnOrdersOffset(0) - srcIdx)
-      ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, columns.size)
+      ThriftCompact.Write.listBegin(out, ThriftCompact.TypeStruct, selLeaves)
       for (c <- columns) {
         val at = index.columnOrdersOffset(1 + c)
         copyRange(at, index.columnOrdersOffset(1 + c + 1) - at)

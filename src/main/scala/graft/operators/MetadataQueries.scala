@@ -877,16 +877,17 @@ object MetadataQueries {
     }),
     "q111_nested_pjparquet" -> ((s, dir) => {
       import s.implicits._
-      // Nested-schema graceful path (reference restriction: PJ_2 indexes
-      // flat schemas only, `palletjack.cc:266-279,483-487`): documents
-      // re-shaped with a STRUCT column are written through the pjparquet
-      // SINK (the commit must tolerate un-indexable nested files), read
-      // back via the explicit pjparquet FORMAT (raw-footer delegation with
-      // a WARN instead of the index-validation throw), struct fields
-      // projected and aggregated. Plan bits — computed on an ISOLATED
-      // session so no shared conf mutates — prove the nested scan really
-      // planned raw-footer splits AND a flat scan in the same session kept
-      // spliced index planning.
+      // Nested-schema INDEXED planning (PJ_3 subtree-offset extension —
+      // the PJ_2 compat format is flat-only per the reference restriction,
+      // `palletjack.cc:266-279,483-487`): documents re-shaped with a
+      // STRUCT column are written through the pjparquet SINK (the commit
+      // builds a PJ_3 sidecar for the nested file), read back via the
+      // explicit pjparquet FORMAT, struct fields projected and
+      // aggregated. Plan bits — computed on an ISOLATED session so no
+      // shared conf mutates — prove the nested scan planned SPLICED
+      // splits (zero full footer parses) whose pruned footers carry ONLY
+      // the requested top-level subtree, and that a flat scan in the same
+      // session kept PJ_2 spliced planning.
       val tmp = fixtureDir("pj_q111_nested", dir) { d =>
         graft.Tables.documents(s, dir)
           .select($"doc_id",
@@ -904,7 +905,14 @@ object MetadataQueries {
       val nestedParts = partsOf(iso.read.format("pjparquet").load(tmp).select(col("doc_id")))
       val flatParts = partsOf(
         iso.read.format("pjparquet").load(s"$dir/documents.parquet").select(col("doc_id")))
-      val nestedRaw = nestedParts.nonEmpty && nestedParts.forall(_.rawFooter)
+      val nestedSpliced = nestedParts.nonEmpty && nestedParts.forall(!_.rawFooter)
+      // the doc_id-only projection's spliced footer must have dropped the
+      // meta subtree entirely — metadata-level column pruning for nested
+      val subtreePruned = nestedParts.nonEmpty && nestedParts.forall { p =>
+        val mt = graft.core.PalletJack.materialize(p.prunedFooter)
+          .getFileMetaData.getSchema
+        mt.getFieldCount == 1 && mt.getFields.get(0).getName == "doc_id"
+      }
       val flatSpliced = flatParts.nonEmpty && flatParts.forall(!_.rawFooter)
       s.read.format("pjparquet").load(tmp)
         .select($"meta.lang".as("lang"), $"meta.n_chars".as("n_chars"), $"doc_id")
@@ -913,7 +921,8 @@ object MetadataQueries {
           count(lit(1)).as("n_docs"),
           sum($"n_chars").as("sum_chars"),
           sum($"doc_id").as("id_sum"))
-        .withColumn("nested_raw_planned", lit(if (nestedRaw) 1L else 0L))
+        .withColumn("nested_spliced_planned", lit(if (nestedSpliced) 1L else 0L))
+        .withColumn("nested_subtree_pruned", lit(if (subtreePruned) 1L else 0L))
         .withColumn("flat_index_planned", lit(if (flatSpliced) 1L else 0L))
         .orderBy($"lang")
     }),
@@ -1258,7 +1267,8 @@ object MetadataQueries {
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
-        |       CAST(1 AS BIGINT) AS nested_raw_planned,
+        |       CAST(1 AS BIGINT) AS nested_spliced_planned,
+        |       CAST(1 AS BIGINT) AS nested_subtree_pruned,
         |       CAST(1 AS BIGINT) AS flat_index_planned
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q108_spj_join" ->

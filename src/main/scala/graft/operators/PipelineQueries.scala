@@ -453,7 +453,12 @@ object PipelineQueries {
       // worse than the 200-merge sample model.
       val docs = Tables.documents(s, dir)
       val names = Tables.customer(s, dir).select(col("c_name").as("text"))
-      val corpus = docs.select(col("text")).unionByName(names)
+      // order-derived text rows widen the digit/identifier vocabulary so
+      // the 1,200-merge request is satisfiable at every scale factor
+      val orderText = Tables.orders(s, dir).select(
+        concat(lit("order_"), col("o_orderkey"), lit(" price_"),
+          col("o_totalprice"), lit(" date_"), col("o_orderdate")).as("text"))
+      val corpus = docs.select(col("text")).unionByName(names).unionByName(orderText)
       val model = graft.functions.BpeTokenizer.trainDistributed(
         s, corpus, "text", numMerges = 1200, maxVocab = 4000)
       val bc = s.sparkContext.broadcast(model)

@@ -122,20 +122,21 @@ object PjIndexJob {
           zeroRowGroups = true,
           (0 until mt.getFieldCount).map(i => mt.getFields.get(i).getName),
           PjSparkShims.toSparkSchema(mt).json, Map.empty, sidecarWritten = false)
-      // nested schemas are un-indexable by design too (reference
-      // restriction); reads plan them from their own footer
+      // nested schema: the PJ_2 compat format can't index it (reference
+      // restriction) — write the PJ_3 subtree-offset extension sidecar
+      // instead, so nested files get the same spliced planning, lazy
+      // loading, and (single-leaf-field) stats as flat ones
       case _: graft.core.PJException
           if PJIndex.footerHasNestedSchema(footerBytes) =>
-        val pm = PalletJack.materialize(footerBytes)
-        val mt = pm.getFileMetaData.getSchema
-        var rows = 0L
-        val blocks = pm.getBlocks
-        var i = 0
-        while (i < blocks.size) { rows += blocks.get(i).getRowCount; i += 1 }
-        PjFileFacts(pathStr, status.getLen, rows, blocks.size, fp, nested = true,
-          zeroRowGroups = false,
-          (0 until mt.getFieldCount).map(i => mt.getFields.get(i).getName),
-          PjSparkShims.toSparkSchema(mt).json, Map.empty, sidecarWritten = false)
+        val bytes = PJIndex.generateNestedFromFooter(footerBytes, pathStr)
+        val out = pfs.create(indexPath, true)
+        try out.write(bytes) finally out.close()
+        val entry = PjCommitLog.entryFromIndex("", status.getLen, bytes)
+        val schemaJson =
+          PjSparkShims.toSparkSchema(PalletJack.readSchemaFromIndexData(bytes)).json
+        PjFileFacts(pathStr, status.getLen, entry.rows, entry.rowGroups, fp,
+          nested = false, zeroRowGroups = false, entry.cols.getOrElse(Nil), schemaJson,
+          entry.stats, sidecarWritten = true)
     }
   }
 }

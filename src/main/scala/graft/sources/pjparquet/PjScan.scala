@@ -1358,10 +1358,19 @@ class PjScan(
       val schemaFooter = graft.core.PalletJack.materialize(
         graft.core.PJSplice.splice(indexOf(activeFiles.head), Nil, Nil, Nil, schemaOnly = true))
       val physSchema = schemaFooter.getFileMetaData.getSchema
-      val rebaseSpec = PjSparkShims.datetimeRebaseSpec(
-        schemaFooter, PjSparkShims.rebaseModeInReadConf(sqlConf))
-      PjSparkShims.buildFilterPredicate(physSchema, pushedFilters, sqlConf, rebaseSpec)
-        .foreach(p => PjSparkShims.setFilterPredicate(hadoopConf, p))
+      // PJ_3-planned nested schemas skip the reader FilterPredicate (the
+      // flat predicate builder does not cover group nodes); filters are
+      // always re-evaluated above the scan, so only pushdown is forgone
+      val allPrimitive = {
+        import scala.jdk.CollectionConverters._
+        physSchema.getFields.asScala.forall(_.isPrimitive)
+      }
+      if (allPrimitive) {
+        val rebaseSpec = PjSparkShims.datetimeRebaseSpec(
+          schemaFooter, PjSparkShims.rebaseModeInReadConf(sqlConf))
+        PjSparkShims.buildFilterPredicate(physSchema, pushedFilters, sqlConf, rebaseSpec)
+          .foreach(p => PjSparkShims.setFilterPredicate(hadoopConf, p))
+      }
     }
     val broadcast: Broadcast[SerializableConfiguration] =
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))

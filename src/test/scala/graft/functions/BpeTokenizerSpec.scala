@@ -50,6 +50,33 @@ class BpeTokenizerSpec extends AnyFunSuite {
       "no token mixes whitespace and non-whitespace")
   }
 
+  test("distributed training equals local training on the same corpus; deep models round-trip") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // a vocabulary deep enough for >=1k merges: varied identifier words
+    val texts = (0 until 3000).map(i =>
+      s"row_$i value_${i * 37 % 9973} tag_${(i * i) % 4099} plus some shared words")
+    val local = BpeTokenizer.train(texts, numMerges = 1000)
+    val distributed = BpeTokenizer.trainDistributed(
+      spark, texts.toDF("text").repartition(7), "text", numMerges = 1000)
+    // identical counts -> identical tie-breaks -> identical merge list
+    assert(distributed.merges == local.merges,
+      "distributed counts must reproduce the local model exactly")
+    assert(distributed.merges.size == 1000)
+    // round-trip exactness survives a deep model
+    texts.take(50).foreach { t =>
+      assert(BpeTokenizer.encode(t, distributed).mkString == t)
+    }
+    // the maxVocab cap is deterministic: capping to the most frequent
+    // words still trains, still round-trips (unseen words just split finer)
+    val capped = BpeTokenizer.trainDistributed(
+      spark, texts.toDF("text"), "text", numMerges = 150, maxVocab = 200)
+    assert(capped.merges.size == 150)
+    texts.take(20).foreach { t =>
+      assert(BpeTokenizer.encode(t, capped).mkString == t)
+    }
+  }
+
   test("save/load round-trips the model and its encodings exactly") {
     val spark = graft.SparkTestSession.spark
     val model = BpeTokenizer.train(corpus, numMerges = 40)

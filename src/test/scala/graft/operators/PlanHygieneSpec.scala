@@ -52,10 +52,12 @@ class PlanHygieneSpec extends AnyFunSuite {
   // its own legitimate exchange, so they get a middle budget — still
   // bounded, and far below the verification tier
   // q120 fuses TWO retrieval models (BM25's tf/df fit + the cosine
-  // ranking) before the fusion shuffle, so it sits in this tier too
+  // ranking) before the fusion shuffle, so it sits in this tier too.
+  // q131's change feed is a bidirectional multiset diff — two count
+  // aggregations plus a null-safe full-outer join is its minimal shape.
   private val modelFitQueries =
     Set("q75_bm25_retrieval", "q77_lm_quality", "q88_tfidf_keywords",
-      "q120_hybrid_retrieval")
+      "q120_hybrid_retrieval", "q131_change_feed")
 
   test("bounded shuffle count per query") {
     val offenders = plans.collect {

@@ -8,12 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 import graft.sources.pjparquet.{PjInputPartition, PjWriter}
 
-/** Nested-schema graceful handling: the PJ_2 format indexes FLAT schemas
-  * only (reference restriction, `palletjack.cc:266-279,483-487`), so an
-  * explicit `format("pjparquet")` read of a nested file must DELEGATE that
-  * file to raw-footer planning (with a WARN) instead of throwing the
-  * index-validation error — while flat files in the same session keep full
-  * index planning (spliced footers, never raw).
+/** Nested-schema planning via the PJ_3 subtree-offset extension: the PJ_2
+  * compat format indexes FLAT schemas only (reference restriction,
+  * `palletjack.cc:266-279,483-487`), so nested files get a PJ_3 index —
+  * same section layout, "column" = top-level subtree — and plan with
+  * SPLICED footers like flat files: schema from the index, row-group
+  * pruning, and top-level-subtree column pruning, with zero full footer
+  * parses at read time.
   */
 class PjNestedSchemaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -52,7 +53,7 @@ class PjNestedSchemaSpec extends AnyFunSuite {
   test("nested file reads via pjparquet and matches stock parquet") {
     val pj = spark.read.format("pjparquet").load(nestedDir)
     val stock = spark.read.parquet(nestedDir)
-    assert(pj.schema == stock.schema, "schema must come from the raw footer")
+    assert(pj.schema == stock.schema, "schema must come from the PJ_3 index")
     val a = pj.select($"id", $"meta.a", $"meta.b", element_at($"pair", 2).as("p2"))
       .filter($"meta.a" === 3)
     val b = stock.select($"id", $"meta.a", $"meta.b", element_at($"pair", 2).as("p2"))
@@ -61,13 +62,41 @@ class PjNestedSchemaSpec extends AnyFunSuite {
     assert(pj.count() == 2000)
   }
 
-  test("nested splits ship the raw footer; flat files in the same session stay spliced") {
+  test("nested splits are SPLICED (no raw footers), with top-level subtree pruning") {
     val nested = scanPartitions(spark.read.format("pjparquet").load(nestedDir).select($"id"))
-    assert(nested.nonEmpty && nested.forall(_.rawFooter),
-      "nested files must plan as raw-footer splits")
+    assert(nested.nonEmpty && nested.forall(!_.rawFooter),
+      "nested files must plan as spliced PJ_3 splits, never raw footers")
+    // the spliced footer of an id-only projection carries ONLY the id
+    // subtree — the wide struct and the array are gone from the metadata
+    val pruned = graft.core.PalletJack.materialize(nested.head.prunedFooter)
+    val names = {
+      import scala.jdk.CollectionConverters._
+      pruned.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    }
+    assert(names == Seq("id"), s"spliced schema must keep only the id subtree, got $names")
+    // and every block's chunk list shrank to id's single leaf
+    assert(pruned.getBlocks.get(0).getColumns.size == 1)
+    // a full projection keeps all three subtrees (4 leaves: id, meta.a,
+    // meta.b, pair.list.element)
+    val full = scanPartitions(spark.read.format("pjparquet").load(nestedDir))
+    val fullMeta = graft.core.PalletJack.materialize(full.head.prunedFooter)
+    assert(fullMeta.getBlocks.get(0).getColumns.size == 4,
+      "id + meta.a + meta.b + pair.element = 4 leaf chunks")
+    // flat files in the same session keep PJ_2 spliced planning
     val flat = scanPartitions(spark.read.format("pjparquet").load(flatDir).select($"id"))
-    assert(flat.nonEmpty && flat.forall(!_.rawFooter),
-      "flat files must keep spliced index planning")
+    assert(flat.nonEmpty && flat.forall(!_.rawFooter))
+  }
+
+  test("struct-only projection splices away the other subtrees and reads exactly") {
+    val df = spark.read.format("pjparquet").load(nestedDir).select($"meta")
+    val parts = scanPartitions(df)
+    val pruned = graft.core.PalletJack.materialize(parts.head.prunedFooter)
+    import scala.jdk.CollectionConverters._
+    val names = pruned.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    assert(names == Seq("meta"), s"only the meta subtree may survive, got $names")
+    assert(pruned.getBlocks.get(0).getColumns.size == 2, "meta has two leaves")
+    val got = df.select(sum($"meta.a")).head().getLong(0)
+    assert(got == (0L until 2000L).map(_ % 7).sum)
   }
 
   test("nested files keep row-group parallelism under maxPartitionBytes") {
@@ -84,20 +113,27 @@ class PjNestedSchemaSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
-  test("writing nested data through the pjparquet sink commits and reads back") {
+  test("writing nested data through the pjparquet sink commits with a PJ_3 sidecar") {
     val d = java.nio.file.Files.createTempDirectory("pj_nested_write").toString
     spark.range(50).select(
       $"id", struct(($"id" * 3).as("x")).as("s"))
       .write.format("pjparquet").mode("overwrite").save(d)
     val back = spark.read.format("pjparquet").load(d)
     assert(back.select(sum($"s.x")).head().getLong(0) == (0L until 50L).map(_ * 3).sum)
-    // no index sidecar can exist for nested files (un-indexable by design)
+    // nested files now carry PJ_3 index sidecars — planned without footer parses
     val fs = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(d), true)
-    var indexes = 0
-    while (it.hasNext) if (it.next().getPath.getName.endsWith(".index")) indexes += 1
-    assert(indexes == 0, "nested files must not get (unusable) index sidecars")
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".index")) sidecars += p
+    }
+    assert(sidecars.nonEmpty, "nested files must get PJ_3 index sidecars")
+    val in = fs.open(sidecars.head)
+    val magic = new Array[Byte](4)
+    try in.readFully(0, magic) finally in.close()
+    assert(new String(magic, "UTF-8") == "PJ_3", "nested sidecar must carry the PJ_3 magic")
   }
 
   test("partition-value pruning still applies to nested files") {
@@ -115,7 +151,21 @@ class PjNestedSchemaSpec extends AnyFunSuite {
       (0L until 100L).filter(_ % 4 == 2).sum)
   }
 
-  test("nested-FIELD pruning reaches the fallback reader's requested schema") {
+  test("chunk-stats pruning applies to a nested file's scalar top-level columns") {
+    // id is a plain leaf at the top level even though siblings are nested:
+    // its PJ_3 chunk stats are exactly the PJ_2 ones, so a provably-empty
+    // range predicate must plan ZERO splits
+    val none = spark.read.format("pjparquet").load(nestedDir).filter($"id" > 1000000L)
+    assert(scanPartitions(none).isEmpty,
+      "stats on a top-level leaf must prune all row groups of a nested file")
+    assert(none.count() == 0)
+    // and a GROUP column never lends its first leaf's stats: filters on
+    // subfields keep files (re-evaluated above the scan, never pruned wrong)
+    val sub = spark.read.format("pjparquet").load(nestedDir).filter($"meta.a" === 3)
+    assert(sub.count() == 2000 / 7 + (if (2000 % 7 > 3) 1 else 0))
+  }
+
+  test("nested-FIELD pruning reaches the reader's requested schema") {
     // selecting one subfield must clip the struct below the top level in
     // the scan's read schema (Catalyst nested-schema pruning flows through
     // pruneColumns; the reader conf clips parquet leaves against it), so a
