@@ -131,13 +131,18 @@ object PjCommitLog {
   private[pjparquet] def versionFiles(root: Path, v: Long): Seq[Path] =
     Seq(commitFile(root, v), checkpointFile(root, v))
 
-  private final case class Listing(commits: Seq[Long], checkpoints: Seq[Long]) {
+  private final case class Listing(commits: Seq[Long], checkpoints: Seq[Long],
+      sizes: Map[String, Long]) {
     def versions: Seq[Long] = (commits ++ checkpoints).distinct.sorted
+    /** Content token of a version's on-disk file (commit, else checkpoint). */
+    def token(v: Long): Long =
+      sizes.getOrElse(f"$v%020d.json", sizes.getOrElse(f"$v%020d.checkpoint.json", -1L))
   }
 
   private def listing(fs: FileSystem, root: Path): Listing =
     try {
-      val names = fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
+      val statuses = fs.listStatus(logDir(root)).toSeq
+      val names = statuses.map(_.getPath.getName)
       def vOf(n: String, suffix: String): Option[Long] = {
         val body = n.stripSuffix(suffix)
         if (n.endsWith(suffix) && body.nonEmpty && body.forall(_.isDigit)) Some(body.toLong)
@@ -145,8 +150,9 @@ object PjCommitLog {
       }
       Listing(
         names.flatMap(n => if (n.endsWith(".checkpoint.json")) None else vOf(n, ".json")).sorted,
-        names.flatMap(vOf(_, ".checkpoint.json")).sorted)
-    } catch { case _: java.io.FileNotFoundException => Listing(Nil, Nil) }
+        names.flatMap(vOf(_, ".checkpoint.json")).sorted,
+        statuses.map(s => s.getPath.getName -> s.getLen).toMap)
+    } catch { case _: java.io.FileNotFoundException => Listing(Nil, Nil, Map.empty) }
 
   /** All committed versions, ascending. */
   def versions(fs: FileSystem, root: Path): Seq[Long] = listing(fs, root).versions
@@ -159,7 +165,31 @@ object PjCommitLog {
   def read(fs: FileSystem, root: Path, version: Long): Snapshot =
     readAt(fs, root, version, listing(fs, root))
 
+  /** Materialized snapshots are IMMUTABLE once committed (version files
+    * never change content; checkpoints only add redundant replay bases),
+    * so replay results cache safely by (root, version). Every analyzer
+    * pass re-resolves the table; with the cache that costs one log-dir
+    * listing instead of re-parsing a large checkpoint. Bounded LRU.
+    */
+  private val snapshotCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), Snapshot](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean = size() > 64
+      })
+
   private def readAt(fs: FileSystem, root: Path, version: Long, l: Listing): Snapshot = {
+    // the version file's size is the validity token: it catches a table
+    // deleted and recreated at the same path (new v1, different bytes)
+    val key = (fs.makeQualified(root).toString, version, l.token(version))
+    val cached = snapshotCache.get(key)
+    if (cached != null && l.versions.contains(version)) return cached
+    val snap = readAtUncached(fs, root, version, l)
+    snapshotCache.put(key, snap)
+    snap
+  }
+
+  private def readAtUncached(fs: FileSystem, root: Path, version: Long, l: Listing): Snapshot = {
     if (!l.versions.contains(version)) {
       val vs = l.versions
       throw new PJException(
@@ -187,8 +217,11 @@ object PjCommitLog {
     for (v <- tail) {
       val node = parseFile(fs, commitFile(root, v), v)
       if (node.has("files")) {
-        // legacy full snapshot: replaces the whole state
+        // legacy full snapshot: replaces the whole state — including any
+        // recorded schema, which described files this commit may have
+        // replaced (the path-only entries re-resolve eagerly anyway)
         entries.clear()
+        schema = None
         node.get("files").elements().asScala.foreach { f =>
           val e = FileEntry(f.asText); entries.put(e.path, e)
         }
