@@ -114,34 +114,85 @@ object BpeTokenizer {
   }
 
   /** Sennrich merge loop over an aggregated (distinct word, frequency)
-    * table — O(numMerges × vocab symbols), independent of corpus size.
+    * table, with INCREMENTAL pair maintenance (the classic optimization
+    * from the original subword-nmt implementation): each round updates
+    * counts only for the words that actually contain the merged pair,
+    * instead of recounting the whole vocabulary — O(argmin scan +
+    * affected words) per merge rather than O(vocab symbols). Counts after
+    * every round are identical to a full recount (pure add/subtract of
+    * the same occurrence×frequency terms), and the argmin's total order
+    * (-count, pair) is iteration-order-independent, so the learned model
+    * is bit-identical to the naive loop's.
     */
   def trainFromCounts(wordFreq: Seq[(String, Long)], numMerges: Int): Model = {
     // each distinct word as a mutable symbol sequence
-    var words: Array[(Array[String], Long)] = wordFreq.toArray.sortBy(_._1).map {
-      case (w, f) => (w.toCharArray.map(_.toString), f)
-    }
-    val merges = Vector.newBuilder[(String, String)]
-    var m = 0
-    while (m < numMerges) {
-      val pairCounts = mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, f) =>
-        var i = 0
+    val sorted = wordFreq.toArray.sortBy(_._1)
+    val words: Array[Array[String]] = sorted.map(_._1.toCharArray.map(_.toString))
+    val freqs: Array[Long] = sorted.map(_._2)
+
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+
+    def tally(wi: Int, sign: Long): Unit = {
+      val syms = words(wi)
+      val f = freqs(wi) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = pairCounts.getOrElse(p, 0L) + f
+        if (c == 0L) {
+          pairCounts.remove(p)
+          pairWords.remove(p)
+        } else {
+          pairCounts(p) = c
+          if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        }
+        i += 1
+      }
+      if (sign < 0) {
+        // drop this word's membership from every pair it used to carry
+        // (surviving pairs keep other members exact)
+        i = 0
         while (i < syms.length - 1) {
-          pairCounts.updateWith((syms(i), syms(i + 1))) { c => Some(c.getOrElse(0L) + f) }
+          pairWords.get((syms(i), syms(i + 1))).foreach { s =>
+            s -= wi
+            if (s.isEmpty) { pairWords.remove((syms(i), syms(i + 1))) }
+          }
           i += 1
         }
       }
-      if (pairCounts.isEmpty) m = numMerges
-      else {
-        // max count, ties lexicographic-smallest pair: deterministic
-        val best = pairCounts.toSeq.minBy { case (p, c) => (-c, p._1, p._2) }._1
-        merges += best
-        words = words.map { case (syms, f) =>
-          (mergePair(syms, best._1, best._2), f)
+    }
+
+    var wi = 0
+    while (wi < words.length) { tally(wi, 1L); wi += 1 }
+
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    while (m < numMerges && pairCounts.nonEmpty) {
+      // max count, ties lexicographic-smallest pair: deterministic under
+      // any map iteration order (strict total order on (-count, pair))
+      var best: (String, String) = null
+      var bestCount = Long.MinValue
+      pairCounts.foreach { case (p, c) =>
+        if (c > bestCount || (c == bestCount &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestCount = c
         }
-        m += 1
       }
+      merges += best
+      val affected = pairWords.get(best).map(_.toArray).getOrElse(Array.empty)
+      var k = 0
+      while (k < affected.length) {
+        val w = affected(k)
+        tally(w, -1L)
+        words(w) = mergePair(words(w), best._1, best._2)
+        tally(w, 1L)
+        k += 1
+      }
+      // defensive: the merged pair must be gone (every carrier rewrote)
+      pairCounts.remove(best)
+      pairWords.remove(best)
+      m += 1
     }
     Model(merges.result())
   }

@@ -285,6 +285,44 @@ object MetadataQueries {
           col("_change_type"), col("_commit_version").cast("long").as("_commit_version"))
         .orderBy(col("_change_type"), col("n_nationkey"))
     }),
+    "q134_streaming_cdf" -> ((s, dir) => {
+      import s.implicits._
+      // STREAMING change data feed (cdc.enabled — Delta's
+      // enableChangeDataFeed contract): the copy-on-write UPDATE persists
+      // its diff as `_pj_cdc/v=2/` change files at commit time, which
+      // makes the whole feed streamable from plain file scans — this
+      // query actually STREAMS the persisted feed (AvailableNow → memory
+      // sink) and emits the streamed rows, with a bit asserting the
+      // change files really were persisted by the commit (not recomputed
+      // here). DuckDB recomputes the expected pre/postimages from nation.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q134_cdc").toString
+      graft.Tables.nation(s, dir).coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      s.sql("DROP TABLE IF EXISTS pj_q134_t")
+      s.sql("CREATE TABLE pj_q134_t USING pjparquet " +
+        s"OPTIONS (path '$tmp', `log.enabled` 'true', `cdc.enabled` 'true')")
+      s.sql("UPDATE pj_q134_t SET n_nationkey = n_nationkey + 100 WHERE n_regionkey = 1") // v2
+      s.sql("DROP TABLE IF EXISTS pj_q134_t")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val persisted = fs.exists(
+        new org.apache.hadoop.fs.Path(tmp, "_pj_cdc/v=2"))
+      val cdcRoot = s"$tmp/_pj_cdc"
+      val schema = s.read.parquet(cdcRoot).schema
+      val tbl = s"pj_q134_out_${streamRuns.incrementAndGet()}"
+      val q = s.readStream.schema(schema).parquet(cdcRoot)
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      s.table(tbl).select(
+          col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"), col("_change_type"),
+          col("v").cast("long").as("_commit_version"))
+        .withColumn("cdc_persisted", lit(if (persisted) 1L else 0L))
+        .orderBy(col("_change_type"), col("n_nationkey"))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1154,6 +1192,19 @@ object MetadataQueries {
         |  SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, n_regionkey,
         |         'update_postimage'
         |  FROM nation WHERE n_regionkey = 2)
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
+    "q134_streaming_cdf" ->
+      """SELECT n_nationkey, n_name, n_regionkey, _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version,
+        |       CAST(1 AS BIGINT) AS cdc_persisted
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'update_preimage' AS _change_type
+        |  FROM nation WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, n_regionkey,
+        |         'update_postimage'
+        |  FROM nation WHERE n_regionkey = 1)
         |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q132_vacuum_retention" ->
       """SELECT CAST(2 AS BIGINT) AS versions_dropped,

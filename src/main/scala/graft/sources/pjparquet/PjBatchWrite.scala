@@ -86,7 +86,8 @@ final class PjWriteBuilder(
     initialMode: PjWriteMode = PjWriteMode.Append,
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
-    logRequested: Boolean = false)
+    logRequested: Boolean = false,
+    cdcEnabled: Boolean = false)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -117,7 +118,7 @@ final class PjWriteBuilder(
 
   override def build(): Write =
     new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
-      bloomColumns, sortColumns, logRequested)
+      bloomColumns, sortColumns, logRequested, cdcEnabled)
 }
 
 final class PjWrite(
@@ -128,7 +129,8 @@ final class PjWrite(
     queryId: String,
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
-    logRequested: Boolean = false)
+    logRequested: Boolean = false,
+    cdcEnabled: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet write $mode -> $root"
@@ -153,7 +155,7 @@ final class PjWrite(
 
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
-      logRequested)
+      logRequested, cdcEnabled)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -291,7 +293,8 @@ final class PjBatchWrite(
     mode: PjWriteMode,
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
-    logRequested: Boolean = false)
+    logRequested: Boolean = false,
+    cdcEnabled: Boolean = false)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -393,7 +396,7 @@ final class PjBatchWrite(
         case r: PjWriteMode.ReplaceFiles => Some(r.command)
         case _ => None
       }
-      prev match {
+      val committedVersion = prev match {
         case Some(_) =>
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
             addEntries, retired, schemaJson, operation)
@@ -404,6 +407,18 @@ final class PjBatchWrite(
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
             (adopted ++ addEntries).toSeq, Set.empty, schemaJson, operation)
       }
+      // `cdc.enabled` tables persist the DML diff post-commit
+      // (Delta's enableChangeDataFeed contract): the copy-on-write commit
+      // is the only class whose change rows need a diff, so persisting
+      // exactly those makes the whole feed streamable from file scans.
+      // Failure is non-fatal — PjChangeFeed recomputes at read time.
+      if (cdcEnabled && mode.isInstanceOf[PjWriteMode.ReplaceFiles])
+        try PjChangeFeed.persistCommitDiff(spark, root, committedVersion)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn("pjparquet: could not persist change files for version {}: {}",
+              committedVersion.toString, e.toString)
+        }
     }
     PjBatchWrite.maintainSortMarker(fs, rootPath, sortColumns, survivors)
     // persisted ANN index (if built): reconcile codes with this commit's
@@ -440,6 +455,16 @@ private[pjparquet] object PjBatchWrite {
     val i = rel.lastIndexOf('/')
     if (i < 0) "" else rel.substring(0, i)
   }
+
+  /** True when a table-relative path lives under a hidden/internal
+    * directory (`_pj_log`, `_pj_cdc`, `_pq_index`, `.compact_tmp_*`, …) —
+    * such files are NOT table data and every recursive maintenance pass
+    * (vacuum, expiry, compaction, fleet indexing, streaming discovery)
+    * must skip them. The non-recursive resolution walk already skips
+    * these directories structurally.
+    */
+  def isInternalRel(rel: String): Boolean =
+    rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
 
   /** Decoded partition values of a snapshot rel path — the same decode the
     * directory walk applies, so filter evaluation agrees byte-for-byte.

@@ -33,10 +33,49 @@ import org.apache.spark.sql.functions._
   */
 object PjChangeFeed {
 
-  /** The changes commit `version` introduced (relative to `version - 1`). */
+  /** Per-version persisted change files: `<root>/_pj_cdc/v=<version>/`.
+    * Written at commit time by DML commits of tables with
+    * `cdc.enabled=true` (Delta's `delta.enableChangeDataFeed` contract):
+    * the copy-on-write rewrite is the only commit class whose change
+    * rows need a diff, so persisting exactly those makes the WHOLE feed
+    * streamable from plain file scans — appends stream from the table
+    * itself, persisted DML changes stream from this directory
+    * (`readStream.parquet(root + "/_pj_cdc")`, the `v` partition column
+    * carrying the commit version). Pure-add/pure-remove commits never
+    * write change files (their rows ARE the committed data files — zero
+    * amplification), and a missing cdc dir (crash between commit and
+    * cdc write, cdc disabled) degrades to the read-time diff — the feed
+    * is self-healing, never wrong.
+    */
+  private[pjparquet] def cdcDir(root: Path, version: Long): Path =
+    new Path(new Path(root, "_pj_cdc"), s"v=$version")
+
+  /** Compute and persist the change rows of a copy-on-write commit
+    * (called post-commit from [[PjBatchWrite]] when `cdc.enabled`).
+    * Failure is non-fatal by contract — readers recompute.
+    */
+  private[pjparquet] def persistCommitDiff(
+      spark: SparkSession,
+      root: String,
+      version: Long): Unit = {
+    val out = cdcDir(new Path(root), version)
+    changesAt(spark, root, version)
+      .drop("_commit_version") // the v= partition dir carries it
+      .write.mode("overwrite").parquet(out.toString)
+  }
+
+  /** The changes commit `version` introduced (relative to `version - 1`).
+    * Served from the persisted `_pj_cdc/v=<version>/` files when the
+    * commit wrote them, else computed by read-time diff.
+    */
   def changesAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val cdc = cdcDir(rootPath, version)
+    if (fs.exists(cdc)) {
+      return spark.read.parquet(cdc.toString)
+        .withColumn("_commit_version", lit(version))
+    }
     val vs = PjCommitLog.versions(fs, rootPath)
     require(vs.contains(version),
       s"pjparquet: version $version not in the commit log (available: " +

@@ -77,8 +77,10 @@ object PjCompaction {
       while (it.hasNext) {
         val s = it.next()
         val n = s.getPath.getName
-        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-            baseSnapshot.forall(_.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && {
+            val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+            !PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel))
+          })
           buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
       }
       buf.toSeq
@@ -252,8 +254,10 @@ object PjCompaction {
       while (it.hasNext) {
         val s = it.next()
         val n = s.getPath.getName
-        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-            baseSnapshot.forall(_.contains(PjCommitLog.relativize(fs, rootPath, s.getPath))))
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && {
+            val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+            !PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel))
+          })
           buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
       }
       buf.toSeq

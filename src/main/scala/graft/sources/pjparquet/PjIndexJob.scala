@@ -57,7 +57,8 @@ object PjIndexJob {
     while (it.hasNext) {
       val s = it.next()
       val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          !PjBatchWrite.isInternalRel(PjCommitLog.relativize(fs, root, s.getPath)))
         buf += ((s.getPath.toString, s.getModificationTime))
     }
     val files = buf.toSeq

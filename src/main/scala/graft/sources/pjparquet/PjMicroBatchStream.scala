@@ -259,8 +259,10 @@ class PjMicroBatchStream(
     while (it.hasNext) {
       val s = it.next()
       val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          snapshot.forall(_.contains(PjCommitLog.relativize(fs, root, s.getPath))))
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && {
+          val rel = PjCommitLog.relativize(fs, root, s.getPath)
+          !PjBatchWrite.isInternalRel(rel) && snapshot.forall(_.contains(rel))
+        })
         m += (s.getPath.toString -> s.getModificationTime)
     }
     m.result()

@@ -91,6 +91,7 @@ final class PjRowLevelOperation(
       // replacement files, so DML keeps the layout's ordering claim alive
       sortColumns = PjParquetTable.sortColumnsOf(tableOptions),
       logRequested = tableOptions.getBoolean("log.enabled", false),
+      cdcEnabled = tableOptions.getBoolean("cdc.enabled", false),
       initialMode = new PjWriteMode.ReplaceFiles(() =>
         configuredScan match {
           case Some(s) => s.currentFiles.map(_.path)

@@ -157,16 +157,23 @@ object PjVacuum {
       val s = it.next()
       val n = s.getPath.getName
       if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          (minFileAgeMillis <= 0 || s.getModificationTime <= cutoff) &&
-          !referenced.contains(PjCommitLog.relativize(fs, rootPath, s.getPath)))
-        victims += s.getPath
+          (minFileAgeMillis <= 0 || s.getModificationTime <= cutoff)) {
+        val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+        // internal dirs (_pq_index codes, _pj_cdc change files) are not
+        // table data and are never snapshot-referenced — skip, not delete
+        if (!PjBatchWrite.isInternalRel(rel) && !referenced.contains(rel))
+          victims += s.getPath
+      }
     }
     victims.foreach { p =>
       PjBatchWrite.deleteWithSidecars(fs, p)
       reclaimed += 1
     }
-    drop.foreach(v =>
-      PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, false)))
+    drop.foreach { v =>
+      PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, false))
+      // expired versions take their persisted change files with them
+      fs.delete(PjChangeFeed.cdcDir(rootPath, v), true)
+    }
     PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
     // stale cached layouts of expired versions would serve missing files
     PjParquetTable.clearLayoutCache()

@@ -301,6 +301,49 @@ class PjLogV2Spec extends AnyFunSuite {
     assert(r2.filesReclaimed >= 1, "ungated expiry reclaims the retired bytes")
   }
 
+  test("cdc.enabled persists DML change files; the feed streams; vacuum expires them") {
+    import spark.implicits._
+    val dir = tempDir("cdcfiles")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir) // v1
+    spark.sql("DROP TABLE IF EXISTS pj_logv2_cdcf")
+    spark.sql("CREATE TABLE pj_logv2_cdcf USING pjparquet " +
+      s"OPTIONS (path '$dir', `log.enabled` 'true', `cdc.enabled` 'true')")
+    try {
+      spark.sql("UPDATE pj_logv2_cdcf SET v = v + 1 WHERE id >= 2") // v2: persists cdc
+      val fs = fsOf(dir)
+      val cdcV2 = new Path(dir, "_pj_cdc/v=2")
+      assert(fs.exists(cdcV2), "cdc.enabled DML must persist change files")
+      // the persisted feed serves changesAt (and matches the diff exactly)
+      val rows = PjChangeFeed.changesAt(spark, dir, 2L)
+        .select("id", "v", "_change_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows == Set(
+        (2L, 20L, "update_preimage"), (3L, 30L, "update_preimage"),
+        (2L, 21L, "update_postimage"), (3L, 31L, "update_postimage")), s"got $rows")
+      // STREAMING read of the persisted feed: plain file streaming over
+      // _pj_cdc, the v partition column carrying the commit version
+      val schema = spark.read.parquet(new Path(dir, "_pj_cdc").toString).schema
+      val q = spark.readStream.schema(schema).parquet(new Path(dir, "_pj_cdc").toString)
+        .writeStream.format("memory").queryName("pj_cdc_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("pj_cdc_stream")
+        .select(col("id"), col("_change_type"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed.size == 4 && streamed.forall(_._3 == 2L), s"got $streamed")
+      // maintenance must not eat the feed: compaction ignores _pj_cdc
+      graft.sources.pjparquet.PjCompaction.compact(
+        spark, dir, targetBytes = 1L << 20, minFilesPerDir = 1) // v3 (or no-op)
+      assert(fs.exists(cdcV2), "compaction must never consume change files")
+      // expiry takes the expired versions' change files with it
+      PjVacuum.expireVersions(spark, dir, keepVersions = 1)
+      assert(!fs.exists(cdcV2), "expired versions drop their change files")
+    } finally spark.sql("DROP TABLE IF EXISTS pj_logv2_cdcf")
+  }
+
   test("legacy (round-9) full-snapshot log files upgrade in place: replay, reads, and v2 commits on top") {
     import spark.implicits._
     val dir = tempDir("legacy")
