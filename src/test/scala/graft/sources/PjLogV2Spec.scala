@@ -53,6 +53,42 @@ class PjLogV2Spec extends AnyFunSuite {
     assert(snap.dataSchemaJson.isDefined)
   }
 
+  test("stats envelope over MANY row groups is the true min-of-mins / max-of-maxes") {
+    import spark.implicits._
+    val dir = tempDir("envelope")
+    // one file, several row groups, values deliberately NOT ordered so
+    // the global min/max live in different row groups; the entry is built
+    // by the same entryFromIndex the commit path records, then committed
+    val df = (0L until 4000L).map(i =>
+      ((i * 2654435761L) % 100000L, s"s$i-" + ("x" * 64))).toDF("k", "s").coalesce(1)
+    graft.sources.pjparquet.PjWriter.writeWithIndex(
+      df, dir, options = Map("parquet.block.size" -> "4096"))
+    val fs = fsOf(dir)
+    val file = fs.listStatus(new Path(dir)).find(s =>
+      s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith(".")).get
+    val e = PjCommitLog.entryFromIndex(
+      file.getPath.getName, file.getLen,
+      graft.core.PJIndex.generate(file.getPath.toUri.getPath))
+    fs.mkdirs(PjCommitLog.logDir(new Path(dir)))
+    PjCommitLog.commit(fs, new Path(dir), "append", Seq(e), Set.empty)
+    assert(e.rowGroups > 1, s"fixture needs several row groups, got ${e.rowGroups}")
+    val expectMin = (0L until 4000L).map(i => (i * 2654435761L) % 100000L).min
+    val expectMax = (0L until 4000L).map(i => (i * 2654435761L) % 100000L).max
+    val ks = e.stats("k")
+    assert(leLong(ks.min.get) == expectMin && leLong(ks.max.get) == expectMax,
+      s"envelope [${leLong(ks.min.get)}, ${leLong(ks.max.get)}] " +
+        s"must equal the file-global [$expectMin, $expectMax]")
+    assert(ks.nullCount == 0)
+    // and pruning on the envelope agrees with the data: a value outside
+    // the envelope plans nothing, a value inside returns exactly its rows
+    assert(spark.read.format("pjparquet").load(dir)
+      .where($"k" === (expectMax + 1)).count() == 0)
+    val probe = (1234L * 2654435761L) % 100000L
+    assert(spark.read.format("pjparquet").load(dir)
+      .where($"k" === probe).count() ==
+      (0L until 4000L).count(i => (i * 2654435761L) % 100000L == probe))
+  }
+
   test("logged resolution is lazy: planning touches no sidecar until a scan needs one") {
     import spark.implicits._
     val dir = tempDir("lazy")
