@@ -368,12 +368,62 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val parquetSize = new java.io.File(parquet).length()
+    val logPlanning =
+      try logPlanningBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] log-planning bench FAILED: $e"); "{}" }
     s"""{"rg":$actualRgs,"cols":$cols,"footer_parse_ms":${fmt(footerMs)},""" +
       s""""pj_read_1rg_ms":${fmt(spliceMemMs)},"pj_schema_ms":${fmt(schemaMs)},""" +
       s""""speedup_1rg":${fmt(footerMs / spliceMemMs, 1)},""" +
       s""""index_size_ratio":${fmt(indexBytes.length.toDouble / parquetSize, 5)},""" +
+      s""""log_planning":$logPlanning,""" +
       s""""protocol":{"iterations":$iterations,"submissions_pj":$pjSubs,""" +
       s""""submissions_footer":$footerSubs,"pools":$poolJson}}"""
+  }
+
+  /** Logged-table planning at metadata scale: a 50,000-entry commit-log
+    * snapshot (stats-carrying entries synthesized from one real file's
+    * index — the data files deliberately do NOT exist, proving zero
+    * per-file I/O) resolved cold (log read + replay + layout build) and
+    * warm (layout cache hit against the snapshot version signature).
+    * This is the round-10 headline: Delta-`add.stats`-parity planning
+    * from ONE log read instead of O(files) sidecar opens.
+    */
+  private def logPlanningBench(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.pjparquet.{PjCommitLog, PjParquetTable}
+    val entries = 50000
+    // seed: one real logged file supplies a template entry + data schema
+    val seedDir = java.nio.file.Files.createTempDirectory("graft_bench_log_seed").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.format("pjparquet").mode("overwrite")
+      .option("log.enabled", "true").save(seedDir)
+    val seedPath = new org.apache.hadoop.fs.Path(seedDir)
+    val fs = seedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val seed = PjCommitLog.latest(fs, seedPath).get
+    val template = seed.entries.head
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_log50k").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(PjCommitLog.logDir(root))
+    val synth = (0 until entries).map(i =>
+      template.copy(path = f"k=${i % 37}%d/part-$i%05d-synthetic.parquet"))
+    val tCommit0 = System.nanoTime()
+    PjCommitLog.commit(fs, root, "append", synth, Set.empty, seed.dataSchemaJson)
+    val commitMs = (System.nanoTime() - tCommit0) / 1e6
+    val conf = spark.sessionState.newHadoopConf()
+    PjParquetTable.clearLayoutCache()
+    val tCold = System.nanoTime()
+    val layout = PjParquetTable.resolveFiles(dir, conf, autogen = true)
+    val coldMs = (System.nanoTime() - tCold) / 1e6
+    require(layout.files.size == entries && layout.files.forall(f => !f.index.isLoaded),
+      "log planning bench: resolution must be lazy and complete")
+    val tWarm = System.nanoTime()
+    PjParquetTable.resolveFiles(dir, conf, autogen = true)
+    val warmMs = (System.nanoTime() - tWarm) / 1e6
+    s"""{"entries":$entries,"commit_ms":${fmt(commitMs)},""" +
+      s""""resolve_cold_ms":${fmt(coldMs)},"resolve_warm_ms":${fmt(warmMs)}}"""
   }
 }
 
