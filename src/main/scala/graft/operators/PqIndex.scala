@@ -286,24 +286,47 @@ object PqIndex {
       // The directory-inferred partition column is LONG — keep every side
       // of the filter and join long so no cast lands between the literal
       // IN and the partition pruner.
+      val np = math.min(nprobe, meta.nlist)
       val pairDf = probes
         .select(col("vec_id").as("probe_id"),
           explode(nearestListsCol(PipelineOps.asDouble(col("embedding")),
-            meta.coarse, math.min(nprobe, meta.nlist))).as("_list"))
+            meta.coarse, np)).as("_list"))
         .select(col("probe_id"), col("_list").cast("long").as("list"))
-      // the probed-list literal comes from a distinct-aggregate whose
-      // result is bounded by nlist (slim ints, never vectors): planning-
-      // time partition pruning on the codes scan survives bulk probes
-      val probed = pairDf.select(col("list")).distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq
-      val pruned =
-        if (probed.size >= meta.nlist) codes // probing everything: no filter
-        else codes.filter(col("list").isin(probed.map(_.asInstanceOf[Any]): _*))
-      // the pair join scopes candidates per probe; pairs are slim
-      // (id, list) keys — broadcast-sized even at 100k probes × nprobe
-      val routed = pruned
-        .join(broadcast(pairDf), Seq("list"))
-        .select(col("probe_id"), col("neighbor_id"), col("pq_codes"), col("pq_norm"))
+      // ONE bounded job probes the pair relation: a query-serving probe
+      // set (the common case) collects whole — slim (id, list) keys, no
+      // vectors — and pays no second job; hitting the bound means a BULK
+      // batch, which stays fully distributed
+      val maxSmallProbes = 256
+      val head = pairDf.limit(maxSmallProbes * np + 1).collect()
+      val routed = if (head.length <= maxSmallProbes * np) {
+        val probed = head.map(_.getLong(1)).distinct.sorted.toSeq
+        val probeIdType = probes.select(col("vec_id")).schema.head.dataType
+        val pairLocal = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              head.toSeq.map(r => org.apache.spark.sql.Row(r.get(0), r.getLong(1)))).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("probe_id", probeIdType),
+            org.apache.spark.sql.types.StructField("list",
+              org.apache.spark.sql.types.LongType))))
+        codes.filter(col("list").isin(probed.map(_.asInstanceOf[Any]): _*))
+          .join(broadcast(pairLocal), Seq("list"))
+          .select(col("probe_id"), col("neighbor_id"), col("pq_codes"), col("pq_norm"))
+      } else {
+        // the probed-list literal comes from a distinct-aggregate whose
+        // result is bounded by nlist (slim ints, never vectors): planning-
+        // time partition pruning on the codes scan survives bulk probes
+        val probed = pairDf.select(col("list")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val pruned =
+          if (probed.size >= meta.nlist) codes // probing everything: no filter
+          else codes.filter(col("list").isin(probed.map(_.asInstanceOf[Any]): _*))
+        // the pair join scopes candidates per probe; pairs are slim
+        // (id, list) keys — broadcast-sized even at 100k probes × nprobe
+        pruned
+          .join(broadcast(pairDf), Seq("list"))
+          .select(col("probe_id"), col("neighbor_id"), col("pq_codes"), col("pq_norm"))
+      }
       PipelineOps.pqAdcRerank(routed, corpus, probes, meta.cb, k, refineFactor)
     }
   }
