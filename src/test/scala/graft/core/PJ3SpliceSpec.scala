@@ -116,6 +116,79 @@ class PJ3SpliceSpec extends AnyFunSuite {
     assert(idx.chunkCompressedSize(0, 1) == -1L, "2-leaf struct must report unknown")
   }
 
+  test("random nested shapes: splice equals ground truth for every generated schema") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(42) // deterministic shapes
+    val base = spark.range(300)
+    val id = col("id")
+
+    def leafCol(tag: String): Column = rnd.nextInt(3) match {
+      case 0 => (id * (rnd.nextInt(7) + 1)).as(tag)
+      case 1 => concat(lit(tag + "-"), id).as(tag)
+      case _ => (id % (rnd.nextInt(9) + 2)).cast("int").as(tag)
+    }
+    def fieldCol(tag: String, depth: Int): Column = rnd.nextInt(4) match {
+      case 0 => leafCol(tag)
+      case 1 => array(id, id * 2).as(tag)
+      case 2 if depth < 2 =>
+        struct((0 until rnd.nextInt(3) + 1).map(j => fieldCol(s"${tag}_s$j", depth + 1)): _*).as(tag)
+      case _ => struct(leafCol(s"${tag}_x"), leafCol(s"${tag}_y")).as(tag)
+    }
+
+    for (shape <- 0 until 6) {
+      val nFields = rnd.nextInt(4) + 2
+      val cols = (0 until nFields).map(f => fieldCol(s"f$f", 0))
+      val dir = java.nio.file.Files.createTempDirectory(s"pj3_rand_$shape").toString
+      base.select(cols: _*).coalesce(1)
+        .write.mode("overwrite").option("parquet.block.size", "4096").parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val fb = PJIndex.readLocalFooterBytes(file.toString)
+      val og = PalletJack.materialize(fb)
+      val nestedShape = PJIndex.footerHasNestedSchema(fb)
+      val ix = PJSplice.Index.fromBytes(
+        if (nestedShape) PJIndex.generateNestedFromFooter(fb, file.toString)
+        else PJIndex.generateFromFooter(fb, file.toString))
+      val fields = og.getFileMetaData.getSchema.getFields.asScala.toSeq
+      assert(ix.columnNames.toSeq == fields.map(_.getName), s"shape $shape names")
+      // ground-truth leaf ranges from chunk path heads (depth-first order
+      // groups leaves by top-level field)
+      val heads = og.getBlocks.get(0).getColumns.asScala.map(_.getPath.toArray.apply(0)).toSeq
+      val ranges = fields.map(_.getName).map { n =>
+        (heads.indexOf(n), heads.lastIndexOf(n) + 1)
+      }
+      for (f <- fields.indices)
+        assert(ix.leavesOf(f) == ranges(f)._2 - ranges(f)._1, s"shape $shape leaves f$f")
+      // random selections vs ground truth
+      val nRgs = og.getBlocks.size
+      for (_ <- 0 until 8) {
+        val rp = (0 until nRgs).filter(_ => rnd.nextBoolean())
+        val cp = fields.indices.filter(_ => rnd.nextBoolean())
+        val md = PalletJack.materialize(
+          PJSplice.splice(ix, rp, cp, Nil, schemaOnly = false))
+        val expF = if (cp.nonEmpty) cp else fields.indices
+        assert(md.getFileMetaData.getSchema.getFields.asScala.toSeq ==
+          expF.map(fields), s"shape $shape rg=$rp f=$cp schema")
+        val expRgs = if (rp.nonEmpty) rp else 0 until nRgs
+        assert(md.getBlocks.size == expRgs.size)
+        for ((b, src) <- md.getBlocks.asScala.zip(expRgs)) {
+          val ob = og.getBlocks.get(src)
+          val expChunks = expF.flatMap { f =>
+            (ranges(f)._1 until ranges(f)._2).map(ob.getColumns.get(_))
+          }
+          val chunks = b.getColumns.asScala.toSeq
+          assert(chunks.size == expChunks.size, s"shape $shape rg=$rp f=$cp chunks")
+          for ((cc, oc) <- chunks.zip(expChunks)) {
+            assert(cc.getPath == oc.getPath && cc.getStartingPos == oc.getStartingPos &&
+              cc.getTotalSize == oc.getTotalSize, s"shape $shape rg=$rp f=$cp chunk")
+          }
+        }
+      }
+    }
+  }
+
   test("PJ_2 rejects what PJ_3 accepts: the compat format stays flat-only") {
     val e = intercept[PJException](PJIndex.generateFromFooter(footer, "nested.parquet"))
     assert(e.getMessage.contains("Schema offsets information is invalid"))

@@ -189,6 +189,93 @@ class PjLogV2Spec extends AnyFunSuite {
     assert(hist.size == 301 && hist.last.nFiles == 10300)
   }
 
+  test("logged NESTED table: PJ_3 entries carry stats, plan lazily, time travel exact") {
+    import spark.implicits._
+    val dir = tempDir("nestedlog")
+    spark.range(100).select($"id",
+      struct(($"id" % 3).as("a"), concat(lit("v"), $"id").as("b")).as("meta"))
+      .coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir) // v1
+    spark.range(100, 150).select($"id",
+      struct(($"id" % 3).as("a"), concat(lit("v"), $"id").as("b")).as("meta"))
+      .coalesce(1)
+      .write.format("pjparquet").mode("append").save(dir) // v2
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.entries.size == 2 && snap.entries.forall(_.planned),
+      "nested files must commit stats-carrying PJ_3 entries")
+    // the scalar top-level leaf keeps its envelope; the struct records none
+    val e = snap.entries.head
+    assert(e.stats.contains("id") && !e.stats.contains("meta"),
+      s"only plain top-level leaves may carry stats, got ${e.stats.keySet}")
+    assert(e.cols.contains(Seq("id", "meta")))
+    assert(snap.dataSchemaJson.isDefined)
+    // lazy resolution, schema from the log
+    PjParquetTable.clearLayoutCache()
+    val layout = PjParquetTable.resolveFiles(
+      dir, spark.sessionState.newHadoopConf(), autogen = true)
+    assert(layout.files.forall(f => !f.index.isLoaded))
+    assert(layout.dataSchema.get.fieldNames.toSeq == Seq("id", "meta"))
+    // stats pruning on the scalar leaf never loads the out-of-range file
+    val hit = spark.read.format("pjparquet").load(dir)
+      .where($"id" === 120L).select($"meta.b").collect().map(_.getString(0)).toSeq
+    assert(hit == Seq("v120"))
+    val l2 = PjParquetTable.resolveFiles(dir, spark.sessionState.newHadoopConf(), autogen = true)
+    assert(l2.files.count(_.index.isLoaded) == 1,
+      "only the id-range-matching nested file may load its PJ_3 index")
+    // time travel reads v1 exactly, struct fields intact
+    val v1 = spark.read.format("pjparquet").option("versionAsOf", "1").load(dir)
+    assert(v1.count() == 100 && v1.agg(sum($"meta.a")).head().getLong(0) ==
+      (0L until 100L).map(_ % 3).sum)
+  }
+
+  test("logged table with mergeSchema: adopted evolved files union; the cols guard stays loud") {
+    import spark.implicits._
+    // schema evolution reaches a log via ADOPTION (the write path itself
+    // validates against the table schema, q94 convention): two stock
+    // parquet generations, then the first logged commit adopts both
+    val dir = tempDir("mergelog")
+    Seq((1L, "a")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 7L)).toDF("id", "name", "extra").coalesce(1)
+      .write.mode("append").parquet(dir)
+    graft.sources.pjparquet.PjIndexJob.generateAll(spark, dir)
+    val fs = fsOf(dir)
+    val root = new Path(dir)
+    val rels = fs.listStatus(root).filter(s =>
+      s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("."))
+      .map(s => PjCommitLog.FileEntry(s.getPath.getName, s.getLen)).toSeq
+    fs.mkdirs(PjCommitLog.logDir(root))
+    PjCommitLog.commit(fs, root, "append", rels, Set.empty)
+    val merged = spark.read.format("pjparquet").option("mergeSchema", "true").load(dir)
+    assert(merged.columns.toSeq.sorted == Seq("extra", "id", "name"))
+    val rows = merged.orderBy($"id").select($"id", $"name", $"extra")
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", -1L), (2L, "b", 7L)),
+      "old files null-fill the evolved column")
+    // without mergeSchema the guard fails loudly (legacy entries force names)
+    val e = intercept[graft.core.PJException] {
+      spark.read.format("pjparquet").load(dir).collect()
+    }
+    assert(e.getMessage.contains("schema mismatch across files"), e.getMessage)
+
+    // RICH entries disagree on recorded column names -> the guard fires
+    // from the LOG alone, before any file would even need to exist
+    val dir2 = tempDir("mergelog_rich")
+    val fs2 = fsOf(dir2)
+    val root2 = new Path(dir2)
+    fs2.mkdirs(PjCommitLog.logDir(root2))
+    val seed = tempDir("mergelog_seed")
+    writeLogged(Seq((1L, "x")).toDF("id", "name").coalesce(1), seed)
+    val template = PjCommitLog.latest(fsOf(seed), new Path(seed)).get.entries.head
+    PjCommitLog.commit(fs2, root2, "append", Seq(
+      template.copy(path = "p1.parquet"),
+      template.copy(path = "p2.parquet", cols = Some(Seq("id", "other")))), Set.empty)
+    val e2 = intercept[graft.core.PJException] {
+      PjParquetTable.resolveFiles(dir2, spark.sessionState.newHadoopConf(), autogen = true)
+    }
+    assert(e2.getMessage.contains("schema mismatch across files"), e2.getMessage)
+  }
+
   test("optimistic concurrency: racing pure appends all land; every file visible at HEAD") {
     val dir = tempDir("race")
     val root = new Path(dir)
