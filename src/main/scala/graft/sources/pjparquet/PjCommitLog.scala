@@ -58,7 +58,13 @@ object PjCommitLog {
   /** A full snapshot is written every this-many commits. */
   val CheckpointInterval = 10
 
-  private val ConflictRetries = 10
+  /** Pure-add rebase attempts before giving up. Every claim round has a
+    * winner (the claim is atomic), so system-wide progress is guaranteed
+    * and a generous budget is safe — Delta's equivalent knob defaults to
+    * ten million; this is bounded mostly to keep a misconfigured fleet's
+    * failure loud rather than eternal.
+    */
+  private val ConflictRetries = 100
 
   /** Aggregated (whole-file) column statistics: envelope of the parquet
     * chunk stats over every row group — min of mins, max of maxes (raw
@@ -311,10 +317,10 @@ object PjCommitLog {
         throw new PJException(
           s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
             s"persisted after $ConflictRetries rebase attempts (concurrent writers)")
-      // jittered backoff breaks the thundering herd when several pure
-      // appenders race the same version counter
+      // jittered backoff (capped) breaks the thundering herd when several
+      // pure appenders race the same version counter
       Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-        .nextLong(1L, 10L * attempt))
+        .nextLong(1L, math.min(200L, 10L * attempt)))
     }
     -1L // unreachable
   }
@@ -349,22 +355,30 @@ object PjCommitLog {
   /** Write (or keep) the full-snapshot checkpoint for `v` — called on the
     * cadence commits and by [[PjVacuum.expireVersions]] before it drops
     * the delta prefix the version would otherwise need for replay.
+    * The JSON is STREAMED to the file: a million-entry checkpoint never
+    * materializes as one giant in-memory string.
     */
   def writeCheckpoint(fs: FileSystem, root: Path, v: Long): Unit = {
     val target = checkpointFile(root, v)
     if (fs.exists(target)) return
     val snap = read(fs, root, v)
     val mapper = new ObjectMapper()
-    val node = mapper.createObjectNode()
-    node.put("version", snap.version)
-    node.put("ts", snap.ts)
-    node.put("action", snap.action)
-    node.put("nFiles", snap.entries.size.toLong)
-    node.put("checkpoint", true)
-    snap.dataSchemaJson.foreach(s => node.put("dataSchema", s))
-    val arr = node.putArray("entries")
-    snap.entries.foreach(e => arr.add(entryNode(mapper, e)))
-    publish(fs, target, mapper.writeValueAsString(node) + "\n")
+    publishStream(fs, target) { out =>
+      val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+      g.writeStartObject()
+      g.writeNumberField("version", snap.version)
+      g.writeNumberField("ts", snap.ts)
+      g.writeStringField("action", snap.action)
+      g.writeNumberField("nFiles", snap.entries.size.toLong)
+      g.writeBooleanField("checkpoint", true)
+      snap.dataSchemaJson.foreach(s => g.writeStringField("dataSchema", s))
+      g.writeArrayFieldStart("entries")
+      snap.entries.foreach(e => mapper.writeTree(g, entryNode(mapper, e)))
+      g.writeEndArray()
+      g.writeEndObject()
+      g.flush()
+    }
+    ()
   }
 
   /** Latest version committed at or before `tsMillis` (Delta semantics).
@@ -506,11 +520,20 @@ object PjCommitLog {
     */
   private def publish(fs: FileSystem, target: Path, body: String): Boolean = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    publishStream(fs, target)(out => out.write(bytes))
+  }
+
+  /** Streaming form of the atomic claim: `write` receives the output
+    * stream directly, so large bodies (checkpoints) never materialize as
+    * one in-memory string.
+    */
+  private def publishStream(
+      fs: FileSystem, target: Path)(write: java.io.OutputStream => Unit): Boolean = {
     if (fs.getScheme == "file") {
       val dir = target.getParent
       val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
-      try out.write(bytes) finally out.close()
+      try write(out) finally out.close()
       val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
       val tgtNio = java.nio.file.Paths.get(fs.makeQualified(target).toUri)
       try {
@@ -525,7 +548,7 @@ object PjCommitLog {
       if (fs.exists(target)) return false
       try {
         val out = fs.create(target, false)
-        try out.write(bytes) finally out.close()
+        try write(out) finally out.close()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -609,16 +632,13 @@ object PjCommitLog {
     Option(node.get(field)).map(_.asText)
 
   private def parseFile(fs: FileSystem, p: Path, version: Long): JsonNode = {
-    val txt =
+    // stream-parse straight off the file: a large checkpoint is one node
+    // tree in memory, never also an intermediate string
+    val node =
       try {
         val in = fs.open(p)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
+        try new ObjectMapper().readTree(in: java.io.InputStream)
+        finally in.close()
       } catch {
         case _: java.io.FileNotFoundException =>
           val vs = versions(fs, p.getParent.getParent)
@@ -626,10 +646,6 @@ object PjCommitLog {
             s"pjparquet: version $version does not exist under ${p.getParent}" +
               (if (vs.isEmpty) " (table has no commit log)"
               else s" (available: ${vs.head}..${vs.last})"))
-      }
-    val node =
-      try new ObjectMapper().readTree(txt)
-      catch {
         case e: com.fasterxml.jackson.core.JacksonException =>
           throw new PJException(
             s"pjparquet: corrupt commit-log entry $p (${e.getMessage.take(80)})")
