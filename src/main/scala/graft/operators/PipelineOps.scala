@@ -524,6 +524,13 @@ object PipelineOps {
 
   private[operators] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Sort key for deterministic quantizer-fit samples: hash first (an
+    * unbiased draw from the whole corpus — `orderBy(id).limit(n)` would
+    * take the oldest shard / one domain of a 100 TB table), id second (a
+    * total order, so the sample is bit-reproducible run to run).
+    */
+  private[graft] def fitSampleOrder(id: Column): Seq[Column] = Seq(xxhash64(id), id)
+
   private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dotProduct(a, b)
 
@@ -929,7 +936,10 @@ object PipelineOps {
   }
 
   /** Train PQ codebooks: `m` subspaces × `codes` centroids × (dim/m) dims,
-    * fit on a deterministic id-ordered sample of `sampleN` vectors.
+    * fit on a deterministic HASH-ordered sample of `sampleN` vectors
+    * ([[fitSampleOrder]]) — bit-reproducible like an id-ordered limit, but
+    * not biased toward the oldest ids (on a 100 TB corpus the first ids
+    * are one shard / one domain; a hash order is an unbiased draw).
     */
   def pqCodebooks(
       embeddings: DataFrame,
@@ -940,7 +950,7 @@ object PipelineOps {
     require(dim % m == 0, s"pq: dim $dim must divide into $m subspaces")
     val ds = dim / m
     val sample = embeddings
-      .orderBy(col("vec_id"))
+      .orderBy(fitSampleOrder(col("vec_id")): _*)
       .limit(sampleN)
       .select(asDouble(col("embedding")))
       .collect()

@@ -71,11 +71,12 @@ object PqIndex {
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val cb = PipelineOps.pqCodebooks(corpus, dim, m, codes, sampleN)
     // the coarse quantizer trains on the SAME deterministic sample recipe
-    // as the codebooks: id-ordered limit, local Lloyd, full-dim vectors
+    // as the codebooks: hash-ordered limit (unbiased, bit-reproducible —
+    // PipelineOps.fitSampleOrder), local Lloyd, full-dim vectors
     val coarse: Array[Array[Double]] =
       if (nlist == 0) Array.empty
       else {
-        val sample = corpus.orderBy(col("vec_id")).limit(sampleN)
+        val sample = corpus.orderBy(PipelineOps.fitSampleOrder(col("vec_id")): _*).limit(sampleN)
           .select(PipelineOps.asDouble(col("embedding")))
           .collect().map(_.getSeq[Double](0).toArray)
         PipelineOps.lloydFit(sample, nlist, iters = 10)

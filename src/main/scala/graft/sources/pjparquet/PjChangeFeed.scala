@@ -80,8 +80,19 @@ object PjChangeFeed {
     require(vs.contains(version),
       s"pjparquet: version $version not in the commit log (available: " +
         s"${if (vs.isEmpty) "none" else s"${vs.head}..${vs.last}"})")
+    // empty-predecessor treatment applies ONLY to the table's true first
+    // commit: when `version - 1` was expired by vacuum the diff base is
+    // unknowable, and silently treating it as empty would re-emit every
+    // carried-over row as an insert — fail loudly instead (the scaladoc
+    // contract)
     val prevFiles: Set[String] =
-      if (version == vs.min) Set.empty
+      if (version == 1L) Set.empty
+      else if (!vs.contains(version - 1))
+        throw new graft.core.PJException(
+          s"pjparquet: cannot compute changes at version $version: its " +
+            s"predecessor version ${version - 1} was expired by vacuum " +
+            s"(oldest retained: ${vs.min}); no persisted change files exist " +
+            "for this version either")
       else PjCommitLog.read(fs, rootPath, version - 1).files.toSet
     val d = PjCommitLog.delta(fs, rootPath, version)
     // idempotent replays may re-add an already-live path: not a change.
@@ -168,8 +179,13 @@ object PjChangeFeed {
     val ins = flat.filter(col("_n_post") > col("_n_pre"))
       .withColumn("_change_type", lit(postLabel))
       .withColumn("_mult", col("_n_post") - col("_n_pre"))
+    // a single row repeated > Int.MaxValue times in ONE commit is absurd,
+    // but the Int cast must fail loudly rather than silently truncate
+    val mult = when(col("_mult") <= lit(Int.MaxValue.toLong), col("_mult").cast("int"))
+      .otherwise(raise_error(concat(
+        lit("pjparquet: change-feed row multiplicity overflows Int: "), col("_mult"))))
     del.unionByName(ins)
-      .withColumn("_rep", explode(array_repeat(lit(1), col("_mult").cast("int"))))
+      .withColumn("_rep", explode(array_repeat(lit(1), mult)))
       .drop("_n_pre", "_n_post", "_mult", "_rep")
   }
 }

@@ -99,14 +99,21 @@ object PjCommitLog {
     def isEmptyFile: Boolean = rows == 0 && rowGroups == 0
   }
 
-  /** Materialized state at a version (replayed checkpoint + delta tail). */
+  /** Materialized state at a version (replayed checkpoint + delta tail).
+    * `contentToken` is the on-disk size of the version's own log file —
+    * the same validity token the snapshot cache keys on, surfaced so
+    * downstream caches (the layout cache) can distinguish a table deleted
+    * and recreated at the same path whose new log reaches the same head
+    * version (same version number, different bytes).
+    */
   final case class Snapshot(
       version: Long,
       action: String,
       entries: Seq[FileEntry],
       ts: Long = 0L,
       dataSchemaJson: Option[String] = None,
-      operation: Option[String] = None) {
+      operation: Option[String] = None,
+      contentToken: Long = -1L) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -132,15 +139,31 @@ object PjCommitLog {
     new Path(logDir(root), f"$v%020d.json")
   private def checkpointFile(root: Path, v: Long): Path =
     new Path(logDir(root), f"$v%020d.checkpoint.json")
+  private def checkpointParquetDir(root: Path, v: Long): Path =
+    new Path(logDir(root), f"$v%020d.checkpoint.parquet")
 
-  /** Both on-disk files a version may own (for expiry deletion). */
+  /** Checkpoints at/above this many entries store their entry table as a
+    * PARQUET directory next to the JSON header ([[writeCheckpoint]]) —
+    * read through the engine itself, in parallel, instead of one
+    * driver-parsed JSON document. Below it, entries inline in the JSON:
+    * one tiny file beats a directory of parquet parts for small tables.
+    */
+  val ParquetCheckpointMinEntries = 512
+
+  /** On-disk paths a version may own (for expiry deletion; the parquet
+    * entry directory needs a recursive delete).
+    */
   private[pjparquet] def versionFiles(root: Path, v: Long): Seq[Path] =
-    Seq(commitFile(root, v), checkpointFile(root, v))
+    Seq(commitFile(root, v), checkpointFile(root, v), checkpointParquetDir(root, v))
 
   private final case class Listing(commits: Seq[Long], checkpoints: Seq[Long],
       sizes: Map[String, Long]) {
     def versions: Seq[Long] = (commits ++ checkpoints).distinct.sorted
-    /** Content token of a version's on-disk file (commit, else checkpoint). */
+    /** Content token of a version's on-disk file (commit, else checkpoint):
+      * size mixed with mtime, so a table deleted and recreated at the same
+      * path invalidates caches even when the new file's size coincides
+      * (parquet-format checkpoint headers are near-constant-size).
+      */
     def token(v: Long): Long =
       sizes.getOrElse(f"$v%020d.json", sizes.getOrElse(f"$v%020d.checkpoint.json", -1L))
   }
@@ -157,7 +180,8 @@ object PjCommitLog {
       Listing(
         names.flatMap(n => if (n.endsWith(".checkpoint.json")) None else vOf(n, ".json")).sorted,
         names.flatMap(vOf(_, ".checkpoint.json")).sorted,
-        statuses.map(s => s.getPath.getName -> s.getLen).toMap)
+        statuses.map(s => s.getPath.getName ->
+          (s.getLen * 1000003L + s.getModificationTime)).toMap)
     } catch { case _: java.io.FileNotFoundException => Listing(Nil, Nil, Map.empty) }
 
   /** All committed versions, ascending. */
@@ -190,7 +214,7 @@ object PjCommitLog {
     val key = (fs.makeQualified(root).toString, version, l.token(version))
     val cached = snapshotCache.get(key)
     if (cached != null && l.versions.contains(version)) return cached
-    val snap = readAtUncached(fs, root, version, l)
+    val snap = readAtUncached(fs, root, version, l).copy(contentToken = l.token(version))
     snapshotCache.put(key, snap)
     snap
   }
@@ -212,7 +236,11 @@ object PjCommitLog {
     var operation: Option[String] = None
     cpv.foreach { c =>
       val node = parseFile(fs, checkpointFile(root, c), c)
-      nodeEntries(node, "entries").foreach(e => entries.put(e.path, e))
+      val base = optText(node, "entriesParquet") match {
+        case Some(dirName) => readParquetEntries(root, dirName)
+        case None => nodeEntries(node, "entries")
+      }
+      base.foreach(e => entries.put(e.path, e))
       schema = optText(node, "dataSchema")
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
@@ -355,13 +383,37 @@ object PjCommitLog {
   /** Write (or keep) the full-snapshot checkpoint for `v` — called on the
     * cadence commits and by [[PjVacuum.expireVersions]] before it drops
     * the delta prefix the version would otherwise need for replay.
-    * The JSON is STREAMED to the file: a million-entry checkpoint never
-    * materializes as one giant in-memory string.
+    *
+    * FORMAT: the JSON file always carries the header scalars (version /
+    * ts / action / nFiles / dataSchema) and is always the atomic commit
+    * point. The entry table rides either inline (`entries` array, small
+    * tables) or as a PARQUET directory next to it (`entriesParquet`
+    * pointer, [[ParquetCheckpointMinEntries]]+ entries with a Spark
+    * session available) — Delta's parquet-checkpoint move: a million-entry
+    * checkpoint is then read through the engine itself, split across
+    * executors by row group, instead of one driver thread walking one JSON
+    * document. The parquet directory is fully written and renamed into
+    * place BEFORE the header publishes, so a visible header always points
+    * at complete entries; a crash in between leaves an orphan directory
+    * that the next checkpoint attempt (same deterministic name) reuses or
+    * vacuum sweeps. Legacy inline-JSON checkpoints keep parsing forever.
+    *
+    * `entryFormat` overrides the size-based format choice (tests): `
+    * Some(true)` forces parquet entries, `Some(false)` forces inline JSON.
     */
-  def writeCheckpoint(fs: FileSystem, root: Path, v: Long): Unit = {
+  def writeCheckpoint(fs: FileSystem, root: Path, v: Long,
+      entryFormat: Option[Boolean] = None): Unit = {
     val target = checkpointFile(root, v)
     if (fs.exists(target)) return
     val snap = read(fs, root, v)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val asParquet = entryFormat.getOrElse(
+      snap.entries.size >= ParquetCheckpointMinEntries && session.isDefined)
+    if (asParquet && session.isEmpty)
+      throw new PJException(
+        "pjparquet: parquet checkpoint entries require an active SparkSession")
+    if (asParquet) writeParquetEntries(session.get, fs, root, v, snap)
     val mapper = new ObjectMapper()
     publishStream(fs, target) { out =>
       val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
@@ -372,13 +424,94 @@ object PjCommitLog {
       g.writeNumberField("nFiles", snap.entries.size.toLong)
       g.writeBooleanField("checkpoint", true)
       snap.dataSchemaJson.foreach(s => g.writeStringField("dataSchema", s))
-      g.writeArrayFieldStart("entries")
-      snap.entries.foreach(e => mapper.writeTree(g, entryNode(mapper, e)))
-      g.writeEndArray()
+      if (asParquet)
+        g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
+      else {
+        g.writeArrayFieldStart("entries")
+        snap.entries.foreach(e => mapper.writeTree(g, entryNode(mapper, e)))
+        g.writeEndArray()
+      }
       g.writeEndObject()
       g.flush()
     }
     ()
+  }
+
+  /** One parquet row per [[FileEntry]] — stats as an array of per-column
+    * structs (name / phys type / null count / raw min / raw max bytes).
+    * ~100k entries per output file so a 1M-entry checkpoint is multi-part
+    * and its read parallelizes across files as well as row groups.
+    */
+  private val CkptEntrySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("s", LongType, nullable = false),
+      StructField("r", LongType, nullable = false),
+      StructField("g", IntegerType, nullable = false),
+      StructField("f", LongType, nullable = true),
+      StructField("n", BooleanType, nullable = false),
+      StructField("c", ArrayType(StringType, containsNull = false), nullable = true),
+      StructField("st", ArrayType(StructType(Seq(
+        StructField("k", StringType, nullable = false),
+        StructField("t", IntegerType, nullable = false),
+        StructField("nc", LongType, nullable = false),
+        StructField("mn", BinaryType, nullable = true),
+        StructField("mx", BinaryType, nullable = true))), containsNull = false),
+        nullable = true)))
+  }
+
+  private def writeParquetEntries(
+      spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      root: Path, v: Long, snap: Snapshot): Unit = {
+    import org.apache.spark.sql.Row
+    val dir = checkpointParquetDir(root, v)
+    if (fs.exists(dir)) return // an earlier (crashed or racing) attempt finished it
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row](snap.entries.size)
+    snap.entries.foreach { e =>
+      rows.add(Row(
+        e.path, e.size, e.rows, e.rowGroups,
+        e.fingerprint.map(java.lang.Long.valueOf).orNull,
+        e.nested, e.cols.orNull,
+        if (e.stats.isEmpty) null
+        else e.stats.toSeq.sortBy(_._1).map { case (name, cs) =>
+          Row(name, cs.physType, cs.nullCount, cs.min.orNull, cs.max.orNull)
+        }))
+    }
+    val parts = math.max(1, math.min(64, snap.entries.size / 100000 + 1))
+    val tmp = new Path(logDir(root), s".${dir.getName}.${java.util.UUID.randomUUID()}.tmp")
+    spark.createDataFrame(rows, CkptEntrySchema)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, dir)) {
+      fs.delete(tmp, true)
+      if (!fs.exists(dir)) // lost neither to a racer nor to a crash: real failure
+        throw new PJException(s"pjparquet: cannot publish checkpoint entries at $dir")
+    }
+  }
+
+  /** Entries of a parquet-backed checkpoint, read through the engine. */
+  private def readParquetEntries(root: Path, dirName: String): Seq[FileEntry] = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(throw new PJException(
+        "pjparquet: reading a parquet-checkpoint commit log requires an active SparkSession"))
+    val dir = new Path(logDir(root), dirName)
+    session.read.schema(CkptEntrySchema).parquet(dir.toString)
+      .collect().iterator.map { row =>
+        val stats: Map[String, ColStat] =
+          if (row.isNullAt(7)) Map.empty
+          else row.getSeq[org.apache.spark.sql.Row](7).iterator.map { s =>
+            s.getString(0) -> ColStat(s.getInt(1), s.getLong(2),
+              Option(s.getAs[Array[Byte]](3)), Option(s.getAs[Array[Byte]](4)))
+          }.toMap
+        FileEntry(
+          row.getString(0), row.getLong(1), row.getLong(2), row.getInt(3),
+          if (row.isNullAt(4)) None else Some(row.getLong(4)),
+          row.getBoolean(5),
+          if (row.isNullAt(6)) None else Some(row.getSeq[String](6).toList),
+          stats)
+      }.toSeq
   }
 
   /** Latest version committed at or before `tsMillis` (Delta semantics).
@@ -401,16 +534,63 @@ object PjCommitLog {
 
   private def headerOf(fs: FileSystem, root: Path, v: Long): HistoryEntry = {
     val p = commitFile(root, v)
-    val node =
-      if (fs.exists(p)) parseFile(fs, p, v)
-      else parseFile(fs, checkpointFile(root, v), v)
-    val nFiles =
-      if (node.has("nFiles")) node.get("nFiles").asLong
-      else if (node.has("files")) node.get("files").size.toLong
-      else if (node.has("entries")) node.get("entries").size.toLong
-      else -1L
-    HistoryEntry(v, node.path("ts").asLong(0L),
-      Option(node.get("action")).map(_.asText).getOrElse("unknown"), nFiles)
+    if (fs.exists(p)) parseHeader(fs, p, v)
+    else parseHeader(fs, checkpointFile(root, v), v)
+  }
+
+  /** STREAMING header read: only the leading scalar fields (version / ts /
+    * action / nFiles — [[writeCheckpoint]] and [[renderCommit]] both emit
+    * them before any entry array) are parsed, then the stream is dropped.
+    * A version served by its checkpoint (post-expiry base) therefore costs
+    * O(1) memory for DESCRIBE HISTORY / versionAtTimestamp instead of
+    * materializing an O(live files) node tree on the driver. Legacy
+    * full-snapshot commits without an `nFiles` field fall through to a
+    * streamed COUNT of their `files` array — still no tree.
+    */
+  private def parseHeader(fs: FileSystem, p: Path, version: Long): HistoryEntry = {
+    import com.fasterxml.jackson.core.JsonToken
+    try {
+      val in = fs.open(p)
+      try {
+        val jp = new com.fasterxml.jackson.core.JsonFactory()
+          .createParser(in: java.io.InputStream)
+        if (jp.nextToken() != JsonToken.START_OBJECT)
+          throw new PJException(s"pjparquet: corrupt commit-log entry $p (not a JSON object)")
+        var ver = -1L; var ts = 0L; var action = "unknown"; var nFiles = -1L
+        var sawVer = false; var sawTs = false; var sawAction = false; var sawN = false
+        var done = false
+        while (!done && jp.nextToken() == JsonToken.FIELD_NAME) {
+          val name = jp.currentName()
+          jp.nextToken()
+          name match {
+            case "version" => ver = jp.getLongValue; sawVer = true
+            case "ts" => ts = jp.getLongValue; sawTs = true
+            case "action" => action = jp.getText; sawAction = true
+            case "nFiles" => nFiles = jp.getLongValue; sawN = true
+            case "files" | "entries" if !sawN =>
+              var n = 0L
+              while (jp.nextToken() != JsonToken.END_ARRAY) { jp.skipChildren(); n += 1 }
+              nFiles = n; sawN = true
+            case _ => jp.skipChildren()
+          }
+          done = sawVer && sawTs && sawAction && sawN
+        }
+        if (ver != version)
+          throw new PJException(
+            s"pjparquet: commit-log entry claims version $ver but is filed as $version")
+        HistoryEntry(version, ts, action, nFiles)
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        val vs = versions(fs, p.getParent.getParent)
+        throw new PJException(
+          s"pjparquet: version $version does not exist under ${p.getParent}" +
+            (if (vs.isEmpty) " (table has no commit log)"
+            else s" (available: ${vs.head}..${vs.last})"))
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new PJException(
+          s"pjparquet: corrupt commit-log entry $p (${e.getMessage.take(80)})")
+    }
   }
 
   /** Table-root-relative path of a data file (for snapshot membership). */
@@ -471,9 +651,13 @@ object PjCommitLog {
           else {
             if (nullCount >= 0)
               nullCount = if (st.nullCount < 0) -1L else nullCount + st.nullCount
-            if (st.min == null) minOk = false
+            // a bound whose byte width does not match the physical type
+            // (unexpected stats encoding) degrades to "unknown" for the
+            // file — the same defensive posture as PjStatsFilter's
+            // width-checked leLong — instead of throwing from the commit
+            if (st.min == null || !statWidthOk(physType, st.min)) minOk = false
             else if (minOk && (min == null || cmpStat(physType, st.min, min) < 0)) min = st.min
-            if (st.max == null) maxOk = false
+            if (st.max == null || !statWidthOk(physType, st.max)) maxOk = false
             else if (maxOk && (max == null || cmpStat(physType, st.max, max) > 0)) max = st.max
           }
         }
@@ -502,6 +686,15 @@ object PjCommitLog {
         i += 1
       }
       a.length - b.length
+  }
+
+  /** Plain-encoded INT32 is exactly 4 bytes, INT64 exactly 8; BYTE_ARRAY
+    * bounds are any length. Anything else is an unexpected encoding.
+    */
+  private def statWidthOk(physType: Int, b: Array[Byte]): Boolean = physType match {
+    case 1 => b.length == 4
+    case 2 => b.length == 8
+    case _ => true
   }
 
   private def leLong(b: Array[Byte]): Long = {
@@ -545,14 +738,24 @@ object PjCommitLog {
           fs.delete(tmp, false); false
       }
     } else {
+      // non-local stores: write the FULL body to a temp file first, then
+      // rename into place — rename is atomic on HDFS's namenode and fails
+      // when the destination exists, so the claim stays atomic AND a
+      // concurrent reader can never open a claimed-but-incomplete (e.g.
+      // zero-length) version file. Object stores without atomic rename
+      // keep the documented single-writer-per-version contract.
       if (fs.exists(target)) return false
-      try {
-        val out = fs.create(target, false)
-        try write(out) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      }
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try write(out) finally out.close()
+      val claimed =
+        try fs.rename(tmp, target)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      if (!claimed) fs.delete(tmp, false)
+      claimed
     }
   }
 

@@ -176,14 +176,14 @@ class PjMicroBatchStream(
       if (fs.exists(logDir)) {
         val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
         val snapId = names.filter(_.startsWith("seen-"))
-          .map(_.stripPrefix("seen-")).filter(_.forall(_.isDigit)).map(_.toLong)
-          .sorted.lastOption
+          .map(_.stripPrefix("seen-")).filter(s => s.nonEmpty && s.forall(_.isDigit))
+          .map(_.toLong).sorted.lastOption
         snapId.foreach { id =>
           seen ++= readLog(s"seen-$id")
           maxLoggedBatch = id
           legacySeeded = true // any legacy seed is folded into the snapshot
         }
-        names.filter(_.forall(_.isDigit)).map(_.toLong).sorted
+        names.filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
           .filter(id => snapId.forall(id > _)).foreach { id =>
             seen ++= readLog(id.toString); maxLoggedBatch = math.max(maxLoggedBatch, id)
           }
@@ -206,9 +206,10 @@ class PjMicroBatchStream(
     val keepFrom = id - 2 * CompactInterval
     fs.listStatus(logDir).foreach { s =>
       val n = s.getPath.getName
-      val dropNumeric = n.forall(_.isDigit) && n.toLong <= keepFrom
+      val dropNumeric = n.nonEmpty && n.forall(_.isDigit) && n.toLong <= keepFrom
+      val snapBody = n.stripPrefix("seen-")
       val dropSnap = n.startsWith("seen-") &&
-        n.stripPrefix("seen-").forall(_.isDigit) && n.stripPrefix("seen-").toLong < id
+        snapBody.nonEmpty && snapBody.forall(_.isDigit) && snapBody.toLong < id
       if (dropNumeric || dropSnap || n == LegacySeedEntry) fs.delete(s.getPath, false)
     }
   }

@@ -170,7 +170,7 @@ object PjVacuum {
       reclaimed += 1
     }
     drop.foreach { v =>
-      PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, false))
+      PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, true))
       // expired versions take their persisted change files with them
       fs.delete(PjChangeFeed.cdcDir(rootPath, v), true)
     }

@@ -31,6 +31,24 @@ class PqSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(a(i)(c), b(i)(c)), s"codebook ($i,$c) differs")
   }
 
+  test("fit sample is the hash-ordered prefix (unbiased, pinned recipe)") {
+    // the sample recipe is orderBy(xxhash64(vec_id), vec_id).limit(n):
+    // bit-reproducible but NOT the oldest-id prefix. Pin it by (a) proving
+    // the sampled set differs from the id-ordered prefix and (b) proving
+    // codebooks trained on the full corpus equal codebooks trained on
+    // exactly the expected hash-prefix subset — i.e. only those rows fed
+    // the fit.
+    val expected = emb.orderBy(xxhash64($"vec_id"), $"vec_id").limit(128)
+    val expectedIds = expected.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val oldestIds = (0L until 128L).toSet
+    assert(expectedIds != oldestIds, "hash-ordered sample degenerated to the id prefix")
+    val cbFull = PipelineOps.pqCodebooks(emb, dim = 8, m = 4, codes = 8, sampleN = 128)
+    val cbSub = PipelineOps.pqCodebooks(expected, dim = 8, m = 4, codes = 8, sampleN = 128)
+    for (i <- cbFull.indices; c <- cbFull(i).indices)
+      assert(java.util.Arrays.equals(cbFull(i)(c), cbSub(i)(c)),
+        s"codebook ($i,$c) differs: fit did not use the pinned hash-prefix sample")
+  }
+
   test("codes are in range and pq_norm is the exact reconstruction norm") {
     val cb = PipelineOps.pqCodebooks(emb, dim = 8, m = 4, codes = 8, sampleN = 128)
     val enc = PipelineOps.pqEncode(emb, cb, "embedding")

@@ -528,4 +528,67 @@ class PjLogV2Spec extends AnyFunSuite {
     val head = PjCommitLog.latest(fs, root).get
     assert(head.version == 23L && head.entries.size == 23)
   }
+
+  test("parquet checkpoint round-trips bit-identically to JSON replay") {
+    import spark.implicits._
+    val dir = tempDir("pqckpt")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    // real commits so entries carry the full stats envelope (the part a
+    // format change is most likely to mangle: raw binary min/max bytes)
+    writeLogged(Seq((5L, "ee"), (9L, "ii")).toDF("id", "name").coalesce(1), dir)
+    writeLogged(Seq((1L, "aa"), (7L, "gg")).toDF("id", "name").coalesce(1), dir)
+    writeLogged(Seq((3L, "cc"), (4L, "dd")).toDF("id", "name").coalesce(1), dir)
+    val head = PjCommitLog.latest(fs, root).get
+    def normStats(e: PjCommitLog.FileEntry): Seq[(String, Int, Long, Seq[Byte], Seq[Byte])] =
+      e.stats.toSeq.sortBy(_._1).map { case (k, cs) =>
+        (k, cs.physType, cs.nullCount,
+          cs.min.map(_.toSeq).getOrElse(Nil), cs.max.map(_.toSeq).getOrElse(Nil))
+      }
+    // write the SAME version's checkpoint in both formats and replay each
+    val jsonCkptDir = tempDir("pqckpt_json")
+    fs.mkdirs(PjCommitLog.logDir(new Path(jsonCkptDir)))
+    // parquet-forced checkpoint at head on the real table
+    PjCommitLog.writeCheckpoint(fs, root, head.version, entryFormat = Some(true))
+    assert(fs.exists(new Path(PjCommitLog.logDir(root),
+      f"${head.version}%020d.checkpoint.parquet")), "parquet entry dir must exist")
+    // drop the delta files so replay MUST come from the parquet checkpoint
+    for (v <- 1L to head.version)
+      fs.delete(new Path(PjCommitLog.logDir(root), f"$v%020d.json"), false)
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    val viaParquet = PjCommitLog.read(fs, root, head.version)
+    assert((viaParquet.version, viaParquet.ts, viaParquet.action) ==
+      (head.version, head.ts, head.action), "snapshot header differs")
+    assert(viaParquet.entries.map(_.path) == head.entries.map(_.path))
+    assert(viaParquet.entries.map(normStats) == head.entries.map(normStats),
+      "stats envelopes must survive the parquet round-trip byte-for-byte")
+    assert(viaParquet.entries.map(e => (e.size, e.rows, e.rowGroups, e.fingerprint,
+      e.nested, e.cols)) == head.entries.map(e => (e.size, e.rows, e.rowGroups,
+      e.fingerprint, e.nested, e.cols)))
+    assert(viaParquet.dataSchemaJson == head.dataSchemaJson)
+    // and the table still reads correctly through the parquet checkpoint
+    val got = spark.read.format("pjparquet").load(dir)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L, 4L, 5L, 7L, 9L))
+  }
+
+  test("parquet checkpoint cleans up on expiry and json-forced checkpoints still work") {
+    val dir = tempDir("pqckpt_exp")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(PjCommitLog.logDir(root))
+    for (i <- 0 until 12)
+      PjCommitLog.commit(fs, root, "append",
+        Seq(PjCommitLog.FileEntry(f"part-$i%03d.parquet", 1L)), Set.empty)
+    // force a parquet checkpoint at v5 (below the auto threshold) and a
+    // json one at v7; both must replay
+    PjCommitLog.writeCheckpoint(fs, root, 5L, entryFormat = Some(true))
+    PjCommitLog.writeCheckpoint(fs, root, 7L, entryFormat = Some(false))
+    assert(PjCommitLog.read(fs, root, 5L).entries.size == 5)
+    assert(PjCommitLog.read(fs, root, 7L).entries.size == 7)
+    assert(PjCommitLog.read(fs, root, 12L).entries.size == 12)
+    // history streams headers without materializing parquet entries
+    val hist = PjCommitLog.history(fs, root)
+    assert(hist.size == 12 && hist.forall(_.nFiles > 0))
+  }
 }
