@@ -323,6 +323,36 @@ object MetadataQueries {
         .withColumn("cdc_persisted", lit(if (persisted) 1L else 0L))
         .orderBy(col("_change_type"), col("n_nationkey"))
     }),
+    "q135_cdf_option_read" -> ((s, dir) => {
+      import s.implicits._
+      // FIRST-CLASS change-feed read surface (round 11): the whole
+      // version range reads through the data source itself —
+      // option("readChangeFeed", true).option("startingVersion", 1) —
+      // exactly Delta's contract, with the union built server-side in ONE
+      // bounded plan (one scan over all pure-add files + one diff subplan
+      // for the copy-on-write DELETE; see PjChangeFeed.changes). v1
+      // appends nation, v2 row-level-DELETEs region 4 (copy-on-write:
+      // carried-over rows cancel in the diff), v3 appends the region-0
+      // slice again. DuckDB recomputes all three versions' change rows
+      // from the source table.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q135_cdf").toString
+      graft.Tables.nation(s, dir).coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      s.sql("DROP TABLE IF EXISTS pj_q135_t")
+      s.sql(s"CREATE TABLE pj_q135_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM pj_q135_t WHERE n_regionkey = 4") // v2 (copy-on-write)
+      s.sql("DROP TABLE IF EXISTS pj_q135_t")
+      graft.Tables.nation(s, dir).filter(col("n_regionkey") === 0).coalesce(1)
+        .write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v3
+      s.read.format("pjparquet")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(tmp)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"), col("n_nationkey"))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1181,6 +1211,21 @@ object MetadataQueries {
         |       (SELECT count(*) FROM h) AS head_rows,
         |       (SELECT CAST(sum(k) AS BIGINT) FROM h) AS head_key_sum,
         |       CAST(2 AS BIGINT) AS n_versions""".stripMargin,
+    "q135_cdf_option_read" ->
+      """SELECT n_nationkey, n_name, n_regionkey, _change_type, _commit_version
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'delete', CAST(2 AS BIGINT)
+        |  FROM nation WHERE n_regionkey = 4
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         'insert', CAST(3 AS BIGINT)
+        |  FROM nation WHERE n_regionkey = 0)
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
     "q131_change_feed" ->
       """SELECT n_nationkey, n_name, n_regionkey, _change_type,
         |       CAST(2 AS BIGINT) AS _commit_version

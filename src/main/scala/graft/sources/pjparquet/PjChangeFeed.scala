@@ -144,18 +144,201 @@ object PjChangeFeed {
     out.withColumn("_commit_version", lit(version))
   }
 
-  /** Union of [[changesAt]] over `[fromVersion, toVersion]` — the batch
-    * CDF read (`startingVersion`/`endingVersion` semantics).
+  /** What one commit contributes to the feed — the planning unit shared by
+    * the batch range read ([[changes]]) and the streaming source
+    * ([[PjCdfMicroBatchStream]]). Classification is metadata-rate (log
+    * deltas only, no data I/O).
+    */
+  private[pjparquet] sealed trait VersionClass { def version: Long }
+  /** Change rows persisted at commit time under `_pj_cdc/v=<version>/`. */
+  private[pjparquet] final case class Persisted(version: Long) extends VersionClass
+  /** Every row of `rels` enters the feed labeled `label` (pure add). */
+  private[pjparquet] final case class PureAdd(
+      version: Long, rels: Seq[String], label: String) extends VersionClass
+  /** Every row of `rels` enters the feed labeled `label` (pure remove). */
+  private[pjparquet] final case class PureRemove(
+      version: Long, rels: Seq[String], label: String) extends VersionClass
+  /** Copy-on-write rewrite without persisted change files: needs the
+    * read-time multiset diff ([[changesAt]]).
+    */
+  private[pjparquet] final case class Rewrite(version: Long) extends VersionClass
+  /** No row-level change (schema-only / idempotent replay / layout no-op
+    * whose add==remove — NOT compaction, which classifies as Rewrite and
+    * diffs to empty).
+    */
+  private[pjparquet] final case class MetadataOnly(version: Long) extends VersionClass
+
+  /** Classify every version of an ascending range in ONE incremental pass:
+    * the predecessor file set threads through the deltas (O(files +
+    * changes) total driver work), instead of replaying one snapshot per
+    * version. The expired-predecessor guard matches [[changesAt]]: a
+    * version whose diff base was vacuumed classifies only if its change
+    * rows were persisted; otherwise it fails loudly.
+    */
+  private[pjparquet] def classifyRange(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      range: Seq[Long],
+      allVersions: Seq[Long]): Seq[VersionClass] = {
+    require(range.nonEmpty && range == range.sorted, "classifyRange needs an ascending range")
+    // live file set BEFORE the first version of the range; null = unknowable
+    // (predecessor expired) — resolvable lazily from the first version's own
+    // snapshot once that version proves persisted
+    var live: Set[String] =
+      if (range.head == 1L) Set.empty
+      else if (allVersions.contains(range.head - 1))
+        PjCommitLog.read(fs, rootPath, range.head - 1).files.toSet
+      else null
+    range.map { v =>
+      val persisted = fs.exists(cdcDir(rootPath, v))
+      val cls: VersionClass =
+        if (persisted) Persisted(v)
+        else if (live == null)
+          throw new graft.core.PJException(
+            s"pjparquet: cannot compute changes at version $v: its " +
+              s"predecessor version ${v - 1} was expired by vacuum " +
+              s"(oldest retained: ${allVersions.min}); no persisted change " +
+              "files exist for this version either")
+        else {
+          val d = PjCommitLog.delta(fs, rootPath, v)
+          // for a legacy full-state commit d.add IS the post state, so the
+          // same filterNot(live) yields exactly the truly-new files
+          val added = d.add.map(_.path).filterNot(live.contains)
+          val removed =
+            if (d.legacyFull) (live -- d.add.map(_.path).toSet).toSeq.sorted
+            else d.remove.filter(live.contains)
+          val (preL, postL) = labelsOf(d.operation)
+          if (added.isEmpty && removed.isEmpty) MetadataOnly(v)
+          else if (removed.isEmpty) PureAdd(v, added, postL)
+          else if (added.isEmpty) PureRemove(v, removed, preL)
+          else Rewrite(v)
+        }
+      // advance the live set THROUGH this version for the next one
+      live =
+        if (live == null) PjCommitLog.read(fs, rootPath, v).files.toSet
+        else {
+          val d = PjCommitLog.delta(fs, rootPath, v)
+          if (d.legacyFull) d.add.map(_.path).toSet
+          else live -- d.remove ++ d.add.map(_.path)
+        }
+      cls
+    }
+  }
+
+  private def labelsOf(operation: Option[String]): (String, String) = operation match {
+    case Some("update") | Some("merge") => ("update_preimage", "update_postimage")
+    case _ => ("delete", "insert")
+  }
+
+  /** The feed over `[fromVersion, toVersion]` — the batch CDF read
+    * (`startingVersion`/`endingVersion` semantics) — as ONE bounded plan:
+    *
+    *  - all PERSISTED versions read as one partition-pruned scan over
+    *    `_pj_cdc/v=*` (the `v` directory key carries `_commit_version`);
+    *  - all PURE-ADD versions read as one scan over every added file, the
+    *    per-file label/version attached from a broadcast path lookup;
+    *  - all PURE-REMOVE versions likewise;
+    *  - only REWRITE versions without persisted change files union an
+    *    individual multiset-diff subplan each (the one class whose rows
+    *    genuinely need the engine to diff).
+    *
+    * A year of streaming epochs (thousands of append versions) therefore
+    * plans as ~one scan, not one union branch per version.
     */
   def changes(spark: SparkSession, root: String, fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"pjparquet: fromVersion $fromVersion > toVersion $toVersion")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val vs = PjCommitLog.versions(fs, rootPath)
-      .filter(v => v >= fromVersion && v <= toVersion)
+    val all = PjCommitLog.versions(fs, rootPath)
+    val vs = all.filter(v => v >= fromVersion && v <= toVersion)
     require(vs.nonEmpty, s"pjparquet: no versions in [$fromVersion, $toVersion]")
-    vs.map(v => changesAt(spark, root, v)).reduce(_ unionByName _)
+    val classes = classifyRange(fs, rootPath, vs, all)
+
+    val persisted = classes.collect { case Persisted(v) => v }
+    val adds = classes.collect { case a: PureAdd => a }
+    val removes = classes.collect { case r: PureRemove => r }
+    val rewrites = classes.collect { case Rewrite(v) => v }
+
+    val rootQ = fs.makeQualified(rootPath).toString
+    val parts = Seq.newBuilder[DataFrame]
+
+    if (persisted.nonEmpty) {
+      // one scan, `v=` partition-pruned to the range — UNLESS the data
+      // itself has a column named `v`, which would collide with the
+      // directory key: fall back to per-version leaf-dir scans there
+      val tableHasV = spark.read.format("pjparquet")
+        .option("versionAsOf", persisted.head.toString).load(root)
+        .columns.exists(_.equalsIgnoreCase("v"))
+      if (tableHasV)
+        persisted.foreach(v => parts += changesAt(spark, root, v))
+      else {
+        val base = new Path(rootPath, "_pj_cdc")
+        val baseQ = fs.makeQualified(base).toString
+        parts += spark.read.option("basePath", baseQ)
+          .parquet(persisted.map(v => s"$baseQ/v=$v"): _*)
+          .withColumn("_commit_version", col("v").cast("long"))
+          .drop("v")
+      }
+    }
+    if (adds.nonEmpty)
+      parts += labeledScan(spark, rootQ,
+        adds.flatMap(a => a.rels.map(r => (r, a.version, a.label))))
+    if (removes.nonEmpty)
+      parts += labeledScan(spark, rootQ,
+        removes.flatMap(r => r.rels.map(rel => (rel, r.version, r.label))))
+    rewrites.foreach(v => parts += changesAt(spark, root, v))
+
+    val built = parts.result()
+    if (built.isEmpty) changesAt(spark, root, vs.head) // all metadata-only: typed empty feed
+    else built.reduce(_ unionByName _)
+  }
+
+  /** Scheme-independent canonical form of a file path/URI for the
+    * broadcast lookup: authority + decoded path (`file:/x`, `file:///x`
+    * and plain `/x` all canonicalize identically).
+    */
+  private def canonPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse(s)
+    } catch { case _: java.net.URISyntaxException => s }
+
+  /** One scan over many versions' files, each row labeled with its file's
+    * commit version and change type from a broadcast (path → (version,
+    * label)) map — constant per file, resolved at read time from the
+    * scan's own input file name. An unmapped file fails the task loudly
+    * (it would mean the scan read a file planning never labeled).
+    */
+  private def labeledScan(
+      spark: SparkSession, rootQ: String,
+      fileMeta: Seq[(String, Long, String)]): DataFrame = {
+    val rels = fileMeta.map(_._1)
+    val byPath: Map[String, (Long, String)] =
+      fileMeta.map { case (rel, v, l) => canonPath(s"$rootQ/$rel") -> ((v, l)) }.toMap
+    val bc = spark.sparkContext.broadcast(byPath)
+    val metaU = udf((p: String) => bc.value.getOrElse(canonPath(p),
+      throw new graft.core.PJException(
+        s"pjparquet: change feed read an input file planning never labeled: $p")))
+    val df = spark.read.option("basePath", rootQ)
+      .parquet(rels.map(rel => s"$rootQ/$rel"): _*)
+    // the same partition-column type alignment as the single-version path
+    val partVals: Map[String, Seq[String]] = rels
+      .flatMap(rel => PjBatchWrite.partsOfRel(rel).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
+    val aligned = partVals.foldLeft(df) { case (acc, (k, vals)) =>
+      if (!acc.columns.exists(_.equalsIgnoreCase(k))) acc
+      else {
+        val allLong = vals.nonEmpty &&
+          vals.forall(v => scala.util.Try(v.toLong).isSuccess)
+        acc.withColumn(k, col(k).cast(if (allLong) "long" else "string"))
+      }
+    }
+    aligned
+      .withColumn("_pj_m", metaU(input_file_name()))
+      .withColumn("_change_type", col("_pj_m._2"))
+      .withColumn("_commit_version", col("_pj_m._1"))
+      .drop("_pj_m")
   }
 
   /** EXCEPT ALL in both directions, labeled: rows with more occurrences in

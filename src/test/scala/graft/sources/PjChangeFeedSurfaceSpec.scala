@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjChangeFeed, PjCommitLog}
+
+/** First-class change-data-feed read surface (round 11):
+  * `option("readChangeFeed", true)` batch reads routed through the data
+  * source, the one-plan long-range feed, and the streaming variant whose
+  * offsets are commit versions (exactly-once per version across
+  * restarts).
+  */
+class PjChangeFeedSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"pj_cdfsurf_$tag").toString
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** v1: append ids 1..4; v2: UPDATE id>=3 (+10); v3: append ids 5..6. */
+  private def threeVersionTable(cdc: Boolean): String = {
+    import spark.implicits._
+    val dir = tempDir(if (cdc) "cdc3" else "plain3")
+    Seq(1L, 2L, 3L, 4L).toDF("id").coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v1
+    val t = s"pj_cdfsurf_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING pjparquet OPTIONS (path '$dir'" +
+      (if (cdc) ", `log.enabled` 'true', `cdc.enabled` 'true'" else "") + ")")
+    spark.sql(s"UPDATE $t SET id = id + 10 WHERE id >= 3") // v2
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq(5L, 6L).toDF("id").coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v3
+    dir
+  }
+
+  private def feedSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private val expectedAll = Set(
+    (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L), (4L, "insert", 1L),
+    (3L, "update_preimage", 2L), (4L, "update_preimage", 2L),
+    (13L, "update_postimage", 2L), (14L, "update_postimage", 2L),
+    (5L, "insert", 3L), (6L, "insert", 3L))
+
+  test("batch readChangeFeed option reads the full range through the source") {
+    val dir = threeVersionTable(cdc = false)
+    val df = spark.read.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+    assert(df.columns.toSeq == Seq("id", "_change_type", "_commit_version"))
+    assert(feedSet(df) == expectedAll)
+    // endingVersion bounds the range
+    val sub = spark.read.format("pjparquet")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load(dir)
+    assert(feedSet(sub) == expectedAll.filter(_._3 == 2L))
+    // startingTimestamp resolves through the same per-version headers
+    val viaTs = spark.read.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingTimestamp", "0").load(dir)
+    assert(feedSet(viaTs) == expectedAll)
+  }
+
+  test("batch readChangeFeed requires startingVersion; rejects time travel combo") {
+    val dir = threeVersionTable(cdc = false)
+    val noStart = intercept[Exception] {
+      spark.read.format("pjparquet").option("readChangeFeed", "true")
+        .load(dir).collect()
+    }
+    assert(noStart.getMessage != null &&
+      noStart.getMessage.contains("startingVersion"),
+      s"got: ${noStart.getMessage}")
+    val combo = intercept[Exception] {
+      spark.read.format("pjparquet").option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("versionAsOf", "1").load(dir)
+    }
+    assert(combo.getMessage.contains("mutually exclusive"))
+  }
+
+  test("long range plans as ONE labeled scan, not one union branch per version") {
+    import spark.implicits._
+    val dir = tempDir("long")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    Seq(100L).toDF("id").coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v1
+    // 100 more pure-add versions, each a byte-copy of v1's file under a
+    // new name (cheap, no jobs) committed with full stats entries
+    val head = PjCommitLog.latest(fs, root).get
+    val template = head.entries.head
+    val srcData = new Path(root, template.path)
+    val srcIdx = new Path(root, s".${template.path}.index")
+    for (v <- 2 to 101) {
+      val dataName = f"part-copy-$v%04d.parquet"
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcData, fs, new Path(root, dataName),
+        false, spark.sessionState.newHadoopConf())
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcIdx, fs, new Path(root, s".$dataName.index"),
+        false, spark.sessionState.newHadoopConf())
+      PjCommitLog.commit(fs, root, "append",
+        Seq(template.copy(path = dataName)), Set.empty)
+    }
+    val df = PjChangeFeed.changes(spark, dir, 1L, 101L)
+    val rows = df.select(col("_commit_version")).collect().map(_.getLong(0))
+    assert(rows.length == 101 && rows.toSet == (1L to 101L).toSet,
+      s"expected one insert row per version, got ${rows.length}")
+    // the whole 101-version feed must be a bounded plan: one file-source
+    // scan (all 101 files together), not 101 union branches
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size <= 2, s"expected a bounded scan count, got ${scans.size}")
+    val nodes = df.queryExecution.optimizedPlan.collect { case n => n }
+    assert(nodes.size < 40, s"plan has ${nodes.size} nodes — grows with versions?")
+  }
+
+  test("streaming CDF delivers each version exactly once across restarts") {
+    import spark.implicits._
+    val dir = threeVersionTable(cdc = true)
+    val ckpt = tempDir("ckpt")
+    val sink = tempDir("sink")
+    // file sink: the one sink class that supports checkpoint RECOVERY, so
+    // the restart below genuinely resumes from the committed version cursor
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("pjparquet")
+        .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(feedSet(spark.read.parquet(sink)) == expectedAll,
+      "first run must deliver versions 1..3 exactly")
+    // v4 lands between runs; the restarted stream (same checkpoint) must
+    // deliver ONLY v4 — versions 1..3 were committed to the offset log
+    Seq(7L).toDF("id").coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v4
+    runOnce()
+    assert(feedSet(spark.read.parquet(sink)) == expectedAll + ((7L, "insert", 4L)),
+      "restart must deliver exactly the one new version on top (no replays)")
+  }
+
+  test("streaming CDF materializes un-persisted rewrite diffs once, then reuses them") {
+    val dir = threeVersionTable(cdc = false) // UPDATE at v2 did NOT persist
+    val fs = fsOf(dir)
+    assert(!fs.exists(new Path(dir, "_pj_cdc/v=2")), "fixture: v2 unpersisted")
+    val ckpt = tempDir("ckpt_mat")
+    val out = s"pj_cdf_stream_m_${System.nanoTime()}"
+    val q = spark.readStream.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+      .writeStream.format("memory").queryName(out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(feedSet(spark.table(out)) == expectedAll)
+    assert(fs.exists(new Path(dir, "_pj_cdc/v=2")),
+      "planning must have materialized the rewrite diff for streaming")
+  }
+
+  test("batch option API agrees with the persisted-vs-computed classification") {
+    val dir = threeVersionTable(cdc = true) // v2 persisted at commit time
+    val fs = fsOf(dir)
+    assert(fs.exists(new Path(dir, "_pj_cdc/v=2")))
+    val df = spark.read.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+    assert(feedSet(df) == expectedAll)
+  }
+}
