@@ -74,7 +74,18 @@ private[pjparquet] object PjWriteMode {
     */
   final class ReplaceFiles(
       val affected: () => Seq[String],
-      val command: String = "dml") extends PjWriteMode {
+      val command: String = "dml",
+      /** Commit-log version the operation's scan was planned against —
+        * its declared READ BASE for disjoint-DML conflict resolution.
+        */
+      val readVersion: Option[Long] = None,
+      /** Partition tuples the operation's predicate admitted over that
+        * base (BEFORE stats pruning) — a concurrent winner whose added
+        * files all fall outside these partitions provably contributed no
+        * row this operation could have read.
+        */
+      val readPartitions: () => Option[Set[Seq[String]]] = () => None)
+      extends PjWriteMode {
     override def toString: String = "ReplaceFiles"
   }
 }
@@ -398,8 +409,14 @@ final class PjBatchWrite(
       }
       val committedVersion = prev match {
         case Some(_) =>
+          // row-level DML declares its read base + partition read set so
+          // the log can rebase it over provably-disjoint winners
+          val (readV, readParts) = mode match {
+            case r: PjWriteMode.ReplaceFiles => (r.readVersion, r.readPartitions())
+            case _ => (None, None)
+          }
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
-            addEntries, retired, schemaJson, operation)
+            addEntries, retired, schemaJson, operation, readV, readParts)
         case None =>
           // adoption commit: pre-existing survivors enter path+size only
           val adopted = preExisting.filterNot { case (rel, _) => retired.contains(rel) }

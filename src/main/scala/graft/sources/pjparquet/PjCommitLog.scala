@@ -303,10 +303,22 @@ object PjCommitLog {
   }
 
   /** Commit a delta as `latest+1`: `add` entries become live, `remove`
-    * paths retire. The version-file claim is atomic; on losing a race, a
-    * PURE APPEND (empty `remove`) rebases on the winner's state and
-    * retries — disjoint concurrent appends both land — while any commit
-    * that retires files fails loudly (the files it read may be gone).
+    * paths retire. The version-file claim is atomic; on losing a race:
+    *
+    *  - a PURE APPEND (empty `remove`) rebases on the winner's state and
+    *    retries — disjoint concurrent appends both land;
+    *  - a REMOVE-BEARING commit that declared its read base
+    *    (`readVersion`) and partition-level read set (`readPartitions`)
+    *    rebases when it provably did not race the winners: no winner
+    *    retired or replaced a file this commit also retires, no winner
+    *    was a legacy full-state commit, and every winner-added file falls
+    *    OUTSIDE the partitions this commit's predicate admitted — so two
+    *    UPDATEs on different partitions (or an update racing an append
+    *    into a fresh partition) both land, Delta's disjoint-DML rule at
+    *    partition granularity;
+    *  - anything else fails loudly (the files or rows it read may have
+    *    changed).
+    *
     * Returns the committed version.
     */
   def commit(
@@ -316,7 +328,9 @@ object PjCommitLog {
       add: Seq[FileEntry],
       remove: Set[String],
       dataSchemaJson: Option[String] = None,
-      operation: Option[String] = None): Long = {
+      operation: Option[String] = None,
+      readVersion: Option[Long] = None,
+      readPartitions: Option[Set[Seq[String]]] = None): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -324,6 +338,18 @@ object PjCommitLog {
       val l = listing(fs, root)
       val prev = l.versions.lastOption.map(v => readAt(fs, root, v, l))
       val v = prev.map(_.version).getOrElse(0L) + 1
+      // a remove-bearing commit with a declared read base validates
+      // against EVERY winner since that base before claiming — including
+      // winners that landed before this attempt even started (the full
+      // optimistic-concurrency check, not just the same-version race)
+      if (remove.nonEmpty && readVersion.exists(prev.map(_.version).getOrElse(0L) > _) &&
+          !disjointWinners(fs, root, remove, readVersion, readPartitions))
+        throw new PJException(
+          s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
+            "(concurrent writer); this commit retires files and overlaps a " +
+            "winner's changes (same files retired, or rows added to a " +
+            "partition this operation read) — retry the operation against " +
+            "the new table state")
       val prevPaths = prev.map(_.files.toSet).getOrElse(Set.empty)
       val effectiveRemove = remove.intersect(prevPaths)
       val nLive = ((prevPaths -- effectiveRemove) ++ add.map(_.path)).size
@@ -336,11 +362,15 @@ object PjCommitLog {
         return v
       }
       attempt += 1
-      if (remove.nonEmpty)
+      // a remove-bearing loser WITHOUT a read base has nothing to validate
+      // a rebase against — conflict loudly (the historical behavior);
+      // with one, the loop re-validates at the top before retrying
+      if (remove.nonEmpty && (readVersion.isEmpty || readPartitions.isEmpty))
         throw new PJException(
           s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
             "(concurrent writer); commits that replace or retire files cannot " +
-            "be rebased — retry the operation against the new table state")
+            "be rebased without a declared read base — retry the operation " +
+            "against the new table state")
       if (attempt >= ConflictRetries)
         throw new PJException(
           s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
@@ -351,6 +381,56 @@ object PjCommitLog {
         .nextLong(1L, math.min(200L, 10L * attempt)))
     }
     -1L // unreachable
+  }
+
+  /** Can a remove-bearing loser rebase over everything committed since its
+    * declared read base? True iff every winner since `readVersion`:
+    *
+    *  - is a delta commit (a legacy full-state winner rewrote the world);
+    *  - retired no file the loser also retires (disjoint rewrite sets);
+    *  - added no file inside a partition the loser's predicate admitted
+    *    (winner rows the loser's scan could have matched). The partition
+    *    tuple of an added file decodes from its path with the same
+    *    key=value rules the resolver applies, so both sides compare the
+    *    identical representation.
+    *
+    * Stats pruning cannot weaken this: it only drops files that provably
+    * hold no matching rows, and the read set is computed BEFORE it.
+    */
+  private def disjointWinners(
+      fs: FileSystem,
+      root: Path,
+      remove: Set[String],
+      readVersion: Option[Long],
+      readPartitions: Option[Set[Seq[String]]]): Boolean = {
+    (readVersion, readPartitions) match {
+      case (Some(base), Some(readSet)) =>
+        versions(fs, root).filter(_ > base).forall { w =>
+          val d =
+            try delta(fs, root, w)
+            catch { case _: PJException => return false }
+          !d.legacyFull &&
+            d.remove.forall(!remove.contains(_)) &&
+            d.add.forall(e => !readSet.contains(partValuesOfRel(e.path)))
+        }
+      case _ => false
+    }
+  }
+
+  /** Raw partition values of a table-relative path, in path order — the
+    * same decode [[PjParquetDataSource]]'s resolver applies to snapshot
+    * entries, so tuples compare identically with a scan's
+    * `partitionValues`.
+    */
+  private def partValuesOfRel(rel: String): Seq[String] = {
+    val segs = rel.split('/')
+    segs.iterator.take(math.max(0, segs.length - 1)).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          Some(java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toSeq
   }
 
   /** Legacy API: commit the FULL post-state file list (paths only). The

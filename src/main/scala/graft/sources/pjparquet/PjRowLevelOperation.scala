@@ -103,7 +103,12 @@ final class PjRowLevelOperation(
         },
         // recorded as the commit's `operation` so the change feed can
         // label delete vs update_pre/postimage rows
-        command = cmd.toString.toLowerCase(java.util.Locale.ROOT)))
+        command = cmd.toString.toLowerCase(java.util.Locale.ROOT),
+        // read base + partition-level read set: what the commit log needs
+        // to rebase this commit over concurrent writers it provably did
+        // not race with (disjoint partitions)
+        readVersion = layout.logVersion,
+        readPartitions = () => configuredScan.flatMap(_.readPartitionTuples)))
   }
 
   private def merged(scanOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {

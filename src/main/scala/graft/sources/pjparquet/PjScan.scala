@@ -705,6 +705,17 @@ class PjScanBuilder(
       claimedFilters = claimed.toSeq,
       sortedBy = layout.sortedBy,
       topNRows = pushedTopN)
+    if (rowLevel) {
+      // the DML conflict check needs the PARTITION-level read set: every
+      // partition tuple the predicate admits over the base snapshot —
+      // BEFORE stats/bloom pruning, which only removes individual files
+      // that provably hold no matching rows (a concurrent writer could
+      // still add matching rows to those partitions)
+      scan.readPartitionTuples = Some(
+        claimedFiles.filter(f => pushed.forall(p =>
+          layout.partitionSchema.isEmpty || mightMatch(f, p)))
+          .map(_.partitionValues).toSet)
+    }
     onBuild(scan)
     scan
   }
@@ -1055,6 +1066,12 @@ class PjScan(
     * copy-on-write replacement set for a row-level DML commit.
     */
   private[pjparquet] def currentFiles: Seq[PjFile] = activeFiles
+
+  /** Row-level DML only: partition tuples the operation's predicate
+    * admitted over its base snapshot (set by the builder) — the read set
+    * the commit declares for disjoint-DML conflict resolution.
+    */
+  @volatile private[pjparquet] var readPartitionTuples: Option[Set[Seq[String]]] = None
 
   // ------------------------------------------------------ per-file caches
 

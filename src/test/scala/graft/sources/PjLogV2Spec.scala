@@ -529,6 +529,66 @@ class PjLogV2Spec extends AnyFunSuite {
     assert(head.version == 23L && head.entries.size == 23)
   }
 
+  test("disjoint-DML concurrency: partition-disjoint rewrites both land, overlaps conflict") {
+    val dir = tempDir("dmlconc")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(PjCommitLog.logDir(root))
+    def e(p: String) = PjCommitLog.FileEntry(p, 1L)
+    // v1: two partitions
+    PjCommitLog.commit(fs, root, "append",
+      Seq(e("k=1/a.parquet"), e("k=2/b.parquet")), Set.empty)
+    // UPDATE-A on k=1 lands first (planned against v1)
+    PjCommitLog.commit(fs, root, "replace-files",
+      Seq(e("k=1/a2.parquet")), Set("k=1/a.parquet"),
+      operation = Some("update"),
+      readVersion = Some(1L), readPartitions = Some(Set(Seq("1"))))
+    // UPDATE-B on k=2, ALSO planned against v1 (a true race: its base
+    // moved underneath it) — disjoint partitions, must rebase and land
+    val vB = PjCommitLog.commit(fs, root, "replace-files",
+      Seq(e("k=2/b2.parquet")), Set("k=2/b.parquet"),
+      operation = Some("update"),
+      readVersion = Some(1L), readPartitions = Some(Set(Seq("2"))))
+    assert(vB == 3L)
+    val head = PjCommitLog.latest(fs, root).get
+    assert(head.files.toSet == Set("k=1/a2.parquet", "k=2/b2.parquet"),
+      s"both updates must be live, got ${head.files}")
+    // UPDATE-C also against v1 retiring the SAME file UPDATE-A retired:
+    // overlap — must conflict loudly even though no version-claim race
+    // happened (full validation since the read base)
+    val overlap = intercept[graft.core.PJException] {
+      PjCommitLog.commit(fs, root, "replace-files",
+        Seq(e("k=1/a3.parquet")), Set("k=1/a.parquet"),
+        operation = Some("update"),
+        readVersion = Some(1L), readPartitions = Some(Set(Seq("1"))))
+    }
+    assert(overlap.getMessage.contains("conflict"))
+    // UPDATE-D against v3 on k=2 while a winner APPENDS into k=2: the
+    // appended rows could match D's predicate — conflict
+    PjCommitLog.commit(fs, root, "append", Seq(e("k=2/c.parquet")), Set.empty) // v4
+    val addedInRead = intercept[graft.core.PJException] {
+      PjCommitLog.commit(fs, root, "replace-files",
+        Seq(e("k=2/b3.parquet")), Set("k=2/b2.parquet"),
+        operation = Some("update"),
+        readVersion = Some(3L), readPartitions = Some(Set(Seq("2"))))
+    }
+    assert(addedInRead.getMessage.contains("conflict"))
+    // same rewrite racing an append into a DIFFERENT partition: lands
+    PjCommitLog.commit(fs, root, "append", Seq(e("k=9/z.parquet")), Set.empty) // v5
+    val vD = PjCommitLog.commit(fs, root, "replace-files",
+      Seq(e("k=2/b3.parquet")), Set("k=2/b2.parquet"),
+      operation = Some("update"),
+      readVersion = Some(5L), readPartitions = Some(Set(Seq("2"))))
+    assert(vD == 6L)
+    // a remove-bearing commit WITHOUT a declared read base keeps the
+    // historical loud-conflict behavior on a claim race — and never
+    // silently drops: here it simply wins (no race), proving the default
+    // path is untouched
+    val vE = PjCommitLog.commit(fs, root, "replace-files",
+      Seq(e("k=9/z2.parquet")), Set("k=9/z.parquet"))
+    assert(vE == 7L)
+  }
+
   test("parquet checkpoint round-trips bit-identically to JSON replay") {
     import spark.implicits._
     val dir = tempDir("pqckpt")
