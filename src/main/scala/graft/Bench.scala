@@ -422,8 +422,42 @@ object Bench {
     val tWarm = System.nanoTime()
     PjParquetTable.resolveFiles(dir, conf, autogen = true)
     val warmMs = (System.nanoTime() - tWarm) / 1e6
+
+    // --- 500k entries through a PARQUET checkpoint (round 11): ten 50k
+    // commits; the 10th hits the checkpoint cadence and (≥512 entries +
+    // live session) writes the entry table as parquet, so the cold
+    // resolution below replays ONE engine-read checkpoint — the scale
+    // path for 1M-file tables — instead of a driver-parsed JSON document.
+    val dir5 = java.nio.file.Files.createTempDirectory("graft_bench_log500k").toString
+    val root5 = new org.apache.hadoop.fs.Path(dir5)
+    fs.mkdirs(PjCommitLog.logDir(root5))
+    val per = 50000
+    val tC5 = System.nanoTime()
+    for (c <- 0 until 10) {
+      val chunk = (0 until per).map(i =>
+        template.copy(path = f"k=${(c * per + i) % 37}%d/part-c$c%02d-$i%05d-synthetic.parquet"))
+      PjCommitLog.commit(fs, root5, "append", chunk, Set.empty, seed.dataSchemaJson)
+    }
+    val commit5Ms = (System.nanoTime() - tC5) / 1e6
+    val ckptName = fs.listStatus(PjCommitLog.logDir(root5))
+      .map(_.getPath.getName).find(_.endsWith(".checkpoint.parquet"))
+    require(ckptName.isDefined, "500k bench: the cadence checkpoint must be parquet")
+    PjParquetTable.clearLayoutCache()
+    PjCommitLog.clearSnapshotCache()
+    val tCold5 = System.nanoTime()
+    val layout5 = PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+    val cold5Ms = (System.nanoTime() - tCold5) / 1e6
+    require(layout5.files.size == 10 * per && layout5.files.forall(f => !f.index.isLoaded),
+      "500k log planning bench: resolution must be lazy and complete")
+    val tWarm5 = System.nanoTime()
+    PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+    val warm5Ms = (System.nanoTime() - tWarm5) / 1e6
+
     s"""{"entries":$entries,"commit_ms":${fmt(commitMs)},""" +
-      s""""resolve_cold_ms":${fmt(coldMs)},"resolve_warm_ms":${fmt(warmMs)}}"""
+      s""""resolve_cold_ms":${fmt(coldMs)},"resolve_warm_ms":${fmt(warmMs)},""" +
+      s""""parquet_checkpoint":{"entries":${10 * per},""" +
+      s""""commit_total_ms":${fmt(commit5Ms)},"resolve_cold_ms":${fmt(cold5Ms)},""" +
+      s""""resolve_warm_ms":${fmt(warm5Ms)}}}"""
   }
 }
 

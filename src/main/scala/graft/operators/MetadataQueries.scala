@@ -353,6 +353,38 @@ object MetadataQueries {
           col("_change_type"), col("_commit_version"))
         .orderBy(col("_commit_version"), col("_change_type"), col("n_nationkey"))
     }),
+    "q136_type_widening" -> ((s, dir) => {
+      import s.implicits._
+      // TYPE-WIDENING schema evolution (round 11): v1 writes an INT32
+      // key column, `ALTER TABLE ... ALTER COLUMN k TYPE BIGINT` records
+      // the widened schema as a METADATA-ONLY commit (zero files
+      // rewritten), and v3 appends genuinely-64-bit values. The read
+      // plans from the widened recorded schema; old INT32 files upcast
+      // in the vectorized reader, and the commit path refuses lossy
+      // changes. DuckDB recomputes the expected union with explicit
+      // casts.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q136_widen").toString
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1: INT32
+      s.conf.set("spark.sql.catalog.pj_q136", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"ALTER TABLE pj_q136.`$tmp` ALTER COLUMN k TYPE BIGINT") // v2
+      graft.Tables.nation(s, dir).filter(col("n_regionkey") === 2)
+        .select((col("n_nationkey").cast("long") + 4000000000L).as("k"), col("n_name"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v3: INT64
+      val t = s.read.format("pjparquet").load(tmp)
+      val schemaIsLong = t.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType
+      t.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(when(col("k") > 2000000000L, 1)).as("n_wide"))
+        .withColumn("schema_widened", lit(if (schemaIsLong) 1L else 0L))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1211,6 +1243,19 @@ object MetadataQueries {
         |       (SELECT count(*) FROM h) AS head_rows,
         |       (SELECT CAST(sum(k) AS BIGINT) FROM h) AS head_key_sum,
         |       CAST(2 AS BIGINT) AS n_versions""".stripMargin,
+    "q136_type_widening" ->
+      """WITH widened AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) + 4000000000 FROM nation
+        |  WHERE n_regionkey = 2)
+        |SELECT count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       min(k) AS k_min,
+        |       max(k) AS k_max,
+        |       count(CASE WHEN k > 2000000000 THEN 1 END) AS n_wide,
+        |       CAST(1 AS BIGINT) AS schema_widened
+        |FROM widened""".stripMargin,
     "q135_cdf_option_read" ->
       """SELECT n_nationkey, n_name, n_regionkey, _change_type, _commit_version
         |FROM (

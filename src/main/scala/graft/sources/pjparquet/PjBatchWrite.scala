@@ -255,8 +255,12 @@ final class PjStreamingWrite(
       PjCommitLog.latest(fs, rootPath) match {
         case Some(prev) =>
           survivors = prev.files.size
+          val widened = (prev.dataSchemaJson, schemaJson) match {
+            case (Some(p), Some(n)) => Some(PjBatchWrite.widenRecordedSchema(p, n))
+            case (_, n) => n
+          }
           PjCommitLog.commit(fs, rootPath, s"stream-epoch-$epochId",
-            addEntries, Set.empty, schemaJson)
+            addEntries, Set.empty, widened)
         case None =>
           // first logged commit adopts the live directory (path+size only;
           // adopted files keep planning eagerly until rewritten)
@@ -402,7 +406,16 @@ final class PjBatchWrite(
       }
       survivors = (base -- retired).size
       val addEntries = newRels.map(rel => facts(s"$root/$rel").toEntry(rel))
-      val schemaJson = newRels.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+      val newSchemaJson = newRels.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+      // a commit that keeps previous files live must stay readable over
+      // them: the recorded schema WIDENS (int→long, float→double) or the
+      // commit refuses; a full replacement takes the new schema outright
+      val fullReplace = (base -- retired).isEmpty
+      val schemaJson = (prev.flatMap(_.dataSchemaJson), newSchemaJson) match {
+        case (Some(p), Some(n)) if !fullReplace =>
+          Some(PjBatchWrite.widenRecordedSchema(p, n))
+        case (_, n) => n
+      }
       val operation = mode match {
         case r: PjWriteMode.ReplaceFiles => Some(r.command)
         case _ => None
@@ -456,9 +469,43 @@ final class PjBatchWrite(
   }
 }
 
-private[pjparquet] object PjBatchWrite {
+private[sources] object PjBatchWrite {
 
   /** Commit-log action label for a write mode. */
+  /** Recorded-schema evolution for a commit that keeps previous files
+    * live: same column names in the same order → types may WIDEN
+    * (int→long, float→double — the promotions the vectorized parquet
+    * reader performs losslessly at scan time, so old INT32/FLOAT files
+    * keep reading under the widened schema with zero rewrites); an
+    * identical schema passes through; appending NARROWER files to an
+    * already-widened table keeps the wide type. Any other type change is
+    * LOSSY or unrelated and fails loudly BEFORE the commit lands. A
+    * different column-name set records the new schema as-is and defers to
+    * the resolver's existing uniform-schema / mergeSchema guards.
+    */
+  def widenRecordedSchema(prevJson: String, nextJson: String): String = {
+    import org.apache.spark.sql.types._
+    val prev = DataType.fromJson(prevJson).asInstanceOf[StructType]
+    val next = DataType.fromJson(nextJson).asInstanceOf[StructType]
+    def names(s: StructType) =
+      s.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
+    if (names(prev) != names(next)) return nextJson
+    val fields = prev.fields.zip(next.fields).map { case (p, n) =>
+      val dt = (p.dataType, n.dataType) match {
+        case (a, b) if a == b => a
+        case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+        case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+        case (a, b) => throw new graft.core.PJException(
+          s"pjparquet: type change on column '${p.name}' " +
+            s"(${a.simpleString} -> ${b.simpleString}) is not supported; only " +
+            "int->long and float->double widening evolve a logged table's schema " +
+            "(rewrite the table to change types otherwise)")
+      }
+      StructField(n.name, dt, p.nullable || n.nullable, n.metadata)
+    }
+    StructType(fields).json
+  }
+
   def actionName(mode: PjWriteMode): String = mode match {
     case PjWriteMode.Append => "append"
     case PjWriteMode.DynamicOverwrite => "overwrite-dynamic"

@@ -89,9 +89,69 @@ class PjCatalog extends CatalogPlugin with TableCatalog {
       s"$catalogName: pjparquet tables are created by writing to their path " +
         "(df.write.format(\"pjparquet\").save(path)), not by DDL")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE is not supported for path-based pjparquet tables")
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the ONE supported DDL:
+    * lossless type widening (int→long, float→double) on commit-log
+    * tables. The change is a METADATA-ONLY commit recording the widened
+    * `dataSchema`; no file is rewritten — existing INT32/FLOAT files keep
+    * reading under the widened schema through the vectorized reader's own
+    * upcast, and subsequent appends may carry either width
+    * ([[PjBatchWrite.widenRecordedSchema]] keeps the wide type). Lossy
+    * changes, renames, drops, and non-logged tables refuse loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types._
+    val path = pathOf(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!PjCommitLog.isEnabled(fs, rootPath))
+      throw new PJException(
+        s"$catalogName: ALTER TABLE type widening requires a commit-log table " +
+          s"('$path' has no ${PjCommitLog.DirName})")
+    val snap = PjCommitLog.latest(fs, rootPath).getOrElse(
+      throw new PJException(s"$catalogName: '$path' has an empty commit log"))
+    val cur = snap.dataSchemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+      throw new PJException(
+        s"$catalogName: '$path' has no recorded data schema (legacy log); " +
+          "rewrite or re-append once to record one before widening"))
+    val next = changes.foldLeft(cur) { (acc, ch) =>
+      ch match {
+        case u: TableChange.UpdateColumnType =>
+          if (u.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: only top-level columns can be widened, " +
+                s"got ${u.fieldNames.mkString(".")}")
+          val name = u.fieldNames.head
+          val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0)
+            throw new PJException(
+              s"$catalogName: no data column '$name' in '$path' " +
+                "(partition columns cannot be widened)")
+          val from = acc.fields(i).dataType
+          val to = u.newDataType()
+          val ok = (from, to) match {
+            case (a, b) if a == b => true
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          if (!ok)
+            throw new PJException(
+              s"$catalogName: type change on column '$name' " +
+                s"(${from.simpleString} -> ${to.simpleString}) is not supported; " +
+                "only int->long and float->double widening")
+          StructType(acc.fields.updated(i, acc.fields(i).copy(dataType = to)))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"$catalogName: unsupported ALTER TABLE change $other " +
+              "(only ALTER COLUMN ... TYPE widening)")
+      }
+    }
+    PjCommitLog.commit(fs, rootPath, "alter-schema", Nil, Set.empty,
+      Some(next.json), Some("alter"))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -208,6 +208,11 @@ object PjCommitLog {
             e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean = size() > 64
       })
 
+  /** Test/bench hook: drop all cached snapshot replays (so a measured
+    * "cold" resolution really replays the log).
+    */
+  def clearSnapshotCache(): Unit = snapshotCache.clear()
+
   private def readAt(fs: FileSystem, root: Path, version: Long, l: Listing): Snapshot = {
     // the version file's size is the validity token: it catches a table
     // deleted and recreated at the same path (new v1, different bytes)
@@ -427,7 +432,10 @@ object PjCommitLog {
     segs.iterator.take(math.max(0, segs.length - 1)).flatMap { seg =>
       seg.split("=", 2) match {
         case Array(k, v) if k.nonEmpty =>
-          Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          val decoded =
+            if (v.indexOf('%') < 0 && v.indexOf('+') < 0) v
+            else java.net.URLDecoder.decode(v, "UTF-8")
+          Some(decoded)
         case _ => None
       }
     }.toSeq

@@ -1357,10 +1357,26 @@ class PjScan(
       def fold(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
       val partNames = partitionSchema.fieldNames.map(fold).toSet
       val refs = pushedFilters.flatMap(_.references).map(fold).toSet -- partNames
-      activeFiles.forall { f =>
-        val names = indexOf(f).columnNames.map(fold).toSet
-        refs.forall(names.contains)
-      }
+      // every file must have every filtered column AND at the same
+      // PHYSICAL type: the one global FilterPredicate is built from the
+      // head file's schema, and parquet's schema-compatibility validator
+      // rejects it on a file storing the column at another width (e.g. a
+      // type-WIDENED table mixing INT32 and INT64 files)
+      def sig(f: PjFile): Option[Seq[(String, Int)]] =
+        try {
+          val idx = indexOf(f)
+          val folded = idx.columnNames.map(fold)
+          Some(refs.toSeq.sorted.map { r =>
+            val ord = folded.lastIndexOf(r)
+            if (ord < 0) return None
+            val t =
+              if (idx.header.rowGroups == 0) 0
+              else idx.chunkStats(0, ord).physType
+            r -> t
+          })
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val sigs = activeFiles.map(sig)
+      sigs.forall(_.isDefined) && sigs.distinct.size <= 1
     }
     // nested-fallback files skip the reader FilterPredicate (their physical
     // schema has group nodes the flat predicate builder does not cover);

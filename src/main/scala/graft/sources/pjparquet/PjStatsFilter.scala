@@ -158,6 +158,11 @@ private[pjparquet] object PjStatsFilter {
           numValue(v).flatMap(rel(st, _)) // rel widens via leLong(width=4)
         case LongType if st.physType == 2 =>
           numValue(v).flatMap(rel(st, _))
+        // NOTE: LongType over physType==1 stays "unknown" (keep) — it can
+        // be a type-WIDENED signed int32 (where a signed width-4 compare
+        // would be sound) but also a UINT32 logical column (where it would
+        // wrongly prune: raw bits 0xFFFFFFFF is unsigned 2^32-1, not -1),
+        // and the stats carry no logical-type bit to tell them apart
         case StringType if st.physType == 6 =>
           utf8(v).flatMap(relBytes(st.min, st.max, _))
         case _ => None

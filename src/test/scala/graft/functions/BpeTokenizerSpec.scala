@@ -77,6 +77,50 @@ class BpeTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("32k-merge production vocab: one corpus pass, bounded wall time, exact round-trip") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists ||
+      new java.io.File(sfDir).isDirectory)
+    // the q133 corpus recipe: documents + customer names + order-derived
+    // identifier text (the digit/identifier vocabulary that makes a
+    // 32k-merge request satisfiable)
+    val docs = graft.Tables.documents(spark, sfDir).select(col("text"))
+    val names = graft.Tables.customer(spark, sfDir).select(col("c_name").as("text"))
+    val orderText = graft.Tables.orders(spark, sfDir).select(
+      concat(lit("order_"), col("o_orderkey"), lit(" price_"),
+        col("o_totalprice"), lit(" date_"), col("o_orderdate")).as("text"))
+    val corpus = docs.unionByName(names).unionByName(orderText)
+    val t0 = System.nanoTime()
+    val model = BpeTokenizer.trainDistributed(
+      spark, corpus, "text", numMerges = 32768, maxVocab = 60000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(model.merges.size == 32768,
+      s"sf0.01 corpus must support a 32k-merge vocabulary, got ${model.merges.size}")
+    // production recipe bound: the corpus is aggregated ONCE and the
+    // incremental merge loop is O(affected words) per merge — 32k merges
+    // must be minutes, not hours (typical local run is well under 2 min)
+    assert(secs < 600.0,
+      f"32k merges took $secs%.1f s — incremental pair maintenance regressed?")
+    // exact round-trip at production depth, over real documents and names
+    val sample = docs.limit(40).collect().map(_.getString(0)) ++
+      names.limit(40).collect().map(_.getString(0))
+    sample.foreach { t =>
+      assert(BpeTokenizer.encode(t, model).mkString == t,
+        s"round-trip failed at 32k merges for: ${t.take(60)}")
+    }
+    // greedy-merge prefix property: truncating the SAME model to its
+    // first 200 merges can only tokenize worse-or-equal (each extra merge
+    // only ever joins adjacent tokens)
+    val shallow = BpeTokenizer.Model(model.merges.take(200))
+    sample.foreach { t =>
+      assert(BpeTokenizer.encode(t, model).size <=
+        BpeTokenizer.encode(t, shallow).size,
+        "the full model must never tokenize worse than its own 200-merge prefix")
+    }
+  }
+
   test("save/load round-trips the model and its encodings exactly") {
     val spark = graft.SparkTestSession.spark
     val model = BpeTokenizer.train(corpus, numMerges = 40)

@@ -113,4 +113,109 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(r.smallFiles >= 2)
     assert(spark.read.format("pjparquet").load(dir).count() == 4L)
   }
+
+  // ------------------------------------------------- type widening (r11)
+
+  test("ALTER COLUMN int->long: metadata-only commit, old INT32 files upcast, longs append") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dir = java.nio.file.Files.createTempDirectory("pj_widen").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "s").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v1: k is INT32
+    assert(spark.read.format("pjparquet").load(dir).schema("k").dataType == IntegerType)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN k TYPE BIGINT") // v2: metadata-only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = graft.sources.pjparquet.PjCommitLog.latest(
+      fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(head.version == 2L && head.action == "alter-schema")
+    assert(head.entries.size == 1, "widening must rewrite no file")
+    // old INT32 file reads under the widened schema (vectorized upcast)
+    val widened = spark.read.format("pjparquet").load(dir)
+    assert(widened.schema("k").dataType == LongType)
+    assert(widened.orderBy($"k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // genuinely-long values now append (analysis accepts long into long)
+    Seq((3000000000L, "c")).toDF("k", "s").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v3
+    val all = spark.read.format("pjparquet").load(dir).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(all.toSeq == Seq((1L, "a"), (2L, "b"), (3000000000L, "c")))
+    // narrower (int) files appended AFTER widening keep the wide type
+    Seq((7, "d")).toDF("k", "s").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v4: INT32 file
+    val again = spark.read.format("pjparquet").load(dir)
+    assert(again.schema("k").dataType == LongType)
+    assert(again.agg(sum($"k")).head().getLong(0) == 1L + 2L + 3000000000L + 7L)
+    // predicates over the widened column stay CORRECT across both widths
+    // (old INT32 files' stats read as "unknown" under the long type —
+    // conservative keep, never a wrong prune; see PjStatsFilter note)
+    assert(spark.read.format("pjparquet").load(dir)
+      .filter($"k" >= 3000000000L).count() == 1L)
+    assert(spark.read.format("pjparquet").load(dir)
+      .filter($"k" === 2L).count() == 1L)
+  }
+
+  test("float->double widening reads old FLOAT files exactly") {
+    import org.apache.spark.sql.types.DoubleType
+    val dir = java.nio.file.Files.createTempDirectory("pj_widen_f").toString
+    Seq((1, 1.5f), (2, 2.25f)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN x TYPE DOUBLE")
+    Seq((3, 3.125)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    val got = spark.read.format("pjparquet").load(dir).orderBy($"id")
+      .collect().map(_.getDouble(1))
+    // 1.5f and 2.25f are exact in both widths — bit-exact upcast
+    assert(got.toSeq == Seq(1.5d, 2.25d, 3.125d))
+    assert(spark.read.format("pjparquet").load(dir).schema("x").dataType == DoubleType)
+  }
+
+  test("lossy changes refuse loudly at every layer") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_widen_refuse").toString
+    Seq((1L, "a")).toDF("k", "s").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    // long -> int narrows: Spark's own analysis rejects it before the
+    // catalog ever sees it
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN k TYPE INT")
+    }
+    // the catalog's own guard backstops callers that bypass SQL analysis
+    val cat = new graft.sources.pjparquet.PjCatalog
+    cat.initialize("pjw", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    val narrow = intercept[graft.core.PJException] {
+      cat.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, dir),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("k"), org.apache.spark.sql.types.IntegerType))
+    }
+    assert(narrow.getMessage.contains("not supported"))
+    // the commit-time recorded-schema guard refuses an incompatible append
+    import org.apache.spark.sql.types._
+    val prevJson = StructType(Seq(StructField("k", LongType))).json
+    val nextJson = StructType(Seq(StructField("k", StringType))).json
+    val e = intercept[graft.core.PJException] {
+      graft.sources.pjparquet.PjBatchWrite.widenRecordedSchema(prevJson, nextJson)
+    }
+    assert(e.getMessage.contains("only int->long and float->double"))
+    // and an unlogged table cannot widen at all
+    val flat = java.nio.file.Files.createTempDirectory("pj_widen_unlogged").toString
+    Seq((1, "a")).toDF("k", "s").coalesce(1)
+      .write.format("pjparquet").mode("append").save(flat)
+    val unlogged = intercept[graft.core.PJException] {
+      cat.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, flat),
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("k"), org.apache.spark.sql.types.LongType))
+    }
+    assert(unlogged.getMessage.contains("commit-log"))
+  }
 }
