@@ -91,8 +91,18 @@ object PjChangeFeedTable {
           s"pjparquet: endingVersion must be a commit-log version number, got '$v'")
       }
     }
+    val maxVersions: Option[Long] =
+      Option(options.get("maxVersionsPerTrigger")).map { v =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException => throw new PJException(
+            s"pjparquet: maxVersionsPerTrigger must be a positive number, got '$v'")
+        }
+        if (n <= 0) throw new PJException(
+          s"pjparquet: maxVersionsPerTrigger must be a positive number, got '$v'")
+        n
+      }
     new PjChangeFeedTable(path, starting, ending, base.schema,
-      StructType(base.schema.fields ++ cdfFields))
+      StructType(base.schema.fields ++ cdfFields), maxVersions)
   }
 }
 
@@ -101,7 +111,8 @@ class PjChangeFeedTable(
     startingVersion: Option[Long],
     endingVersion: Option[Long],
     baseSchema: StructType,
-    cdfSchema: StructType)
+    cdfSchema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
 
   override def name(): String = s"pjparquet_cdf($path)"
@@ -116,7 +127,8 @@ class PjChangeFeedTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
-        new PjChangeFeedScan(path, startingVersion, endingVersion, baseSchema, cdfSchema)
+        new PjChangeFeedScan(path, startingVersion, endingVersion, baseSchema,
+          cdfSchema, maxVersionsPerTrigger)
     }
 }
 
@@ -131,7 +143,8 @@ private[pjparquet] class PjChangeFeedScan(
     startingVersion: Option[Long],
     endingVersion: Option[Long],
     baseSchema: StructType,
-    cdfSchema: StructType)
+    cdfSchema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends V1Scan {
 
   override def readSchema(): StructType = cdfSchema
@@ -166,7 +179,7 @@ private[pjparquet] class PjChangeFeedScan(
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PjCdfMicroBatchStream(path, startingVersion, baseSchema)
+    new PjCdfMicroBatchStream(path, startingVersion, baseSchema, maxVersionsPerTrigger)
 }
 
 /** Streaming change feed: offsets are COMMIT VERSIONS (`{"version":N}`) —
@@ -192,7 +205,13 @@ private[pjparquet] class PjChangeFeedScan(
 private[pjparquet] class PjCdfMicroBatchStream(
     path: String,
     startingVersion: Option[Long],
-    baseSchema: StructType)
+    baseSchema: StructType,
+    /** Admission control: at most this many commit versions per
+      * micro-batch — a year-long backlog drains as bounded batches
+      * instead of one giant first batch (composes with AvailableNow,
+      * which keeps triggering until the prepared target is reached).
+      */
+    maxVersionsPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -222,8 +241,11 @@ private[pjparquet] class PjCdfMicroBatchStream(
 
   override def latestOffset(
       start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    PjCdfOffset(availableNowTarget.getOrElse(headVersion))
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(headVersion)
+    val s = start.asInstanceOf[PjCdfOffset].version
+    PjCdfOffset(maxVersionsPerTrigger.map(n => math.min(target, s + n)).getOrElse(target))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -585,21 +585,26 @@ object PjCommitLog {
       .getOrElse(throw new PJException(
         "pjparquet: reading a parquet-checkpoint commit log requires an active SparkSession"))
     val dir = new Path(logDir(root), dirName)
-    session.read.schema(CkptEntrySchema).parquet(dir.toString)
-      .collect().iterator.map { row =>
-        val stats: Map[String, ColStat] =
-          if (row.isNullAt(7)) Map.empty
-          else row.getSeq[org.apache.spark.sql.Row](7).iterator.map { s =>
-            s.getString(0) -> ColStat(s.getInt(1), s.getLong(2),
-              Option(s.getAs[Array[Byte]](3)), Option(s.getAs[Array[Byte]](4)))
-          }.toMap
-        FileEntry(
-          row.getString(0), row.getLong(1), row.getLong(2), row.getInt(3),
-          if (row.isNullAt(4)) None else Some(row.getLong(4)),
-          row.getBoolean(5),
-          if (row.isNullAt(6)) None else Some(row.getSeq[String](6).toList),
-          stats)
-      }.toSeq
+    val rows = session.read.schema(CkptEntrySchema).parquet(dir.toString).collect()
+    // row decoding is pure — fan it across cores (a 500k-entry checkpoint
+    // would otherwise convert on one driver thread)
+    val out = new Array[FileEntry](rows.length)
+    java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+      val row = rows(i)
+      val stats: Map[String, ColStat] =
+        if (row.isNullAt(7)) Map.empty
+        else row.getSeq[org.apache.spark.sql.Row](7).iterator.map { s =>
+          s.getString(0) -> ColStat(s.getInt(1), s.getLong(2),
+            Option(s.getAs[Array[Byte]](3)), Option(s.getAs[Array[Byte]](4)))
+        }.toMap
+      out(i) = FileEntry(
+        row.getString(0), row.getLong(1), row.getLong(2), row.getInt(3),
+        if (row.isNullAt(4)) None else Some(row.getLong(4)),
+        row.getBoolean(5),
+        if (row.isNullAt(6)) None else Some(row.getSeq[String](6).toList),
+        stats)
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Latest version committed at or before `tsMillis` (Delta semantics).

@@ -166,6 +166,23 @@ class PjChangeFeedSurfaceSpec extends AnyFunSuite {
       "planning must have materialized the rewrite diff for streaming")
   }
 
+  test("maxVersionsPerTrigger drains a backlog as bounded per-version batches") {
+    val dir = threeVersionTable(cdc = true)
+    val out = s"pj_cdf_stream_cap_${System.nanoTime()}"
+    val q = spark.readStream.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName(out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(feedSet(spark.table(out)) == expectedAll,
+      "the capped stream must still drain the whole backlog under AvailableNow")
+    // three versions, one per trigger: at least 3 micro-batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >=3 data batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+  }
+
   test("batch option API agrees with the persisted-vs-computed classification") {
     val dir = threeVersionTable(cdc = true) // v2 persisted at commit time
     val fs = fsOf(dir)
