@@ -294,11 +294,13 @@ object PjChangeFeed {
     else built.reduce(_ unionByName _)
   }
 
-  /** Scheme-independent canonical form of a file path/URI for the
-    * broadcast lookup: authority + decoded path (`file:/x`, `file:///x`
-    * and plain `/x` all canonicalize identically).
+  /** Canonical form of the scan's `input_file_name` for the broadcast
+    * lookup: ONE URI decode yields the raw on-disk path (`file:///x`,
+    * `file:/x` and plain `/x` all canonicalize identically; a dir named
+    * `p=a%20b` — the writer's URL-encoded partition value — arrives as
+    * `p=a%2520b` and decodes back to the literal dir name).
     */
-  private def canonPath(s: String): String =
+  private def canonScanPath(s: String): String =
     try {
       val u = new java.net.URI(s)
       Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse(s)
@@ -307,17 +309,27 @@ object PjChangeFeed {
   /** One scan over many versions' files, each row labeled with its file's
     * commit version and change type from a broadcast (path → (version,
     * label)) map — constant per file, resolved at read time from the
-    * scan's own input file name. An unmapped file fails the task loudly
-    * (it would mean the scan read a file planning never labeled).
+    * scan's own input file name. Both sides canonicalize to the RAW
+    * on-disk path: snapshot rels already ARE raw directory/file names, so
+    * the map key is authority + root path + rel verbatim (no decode — a
+    * `%20` in a rel is a literal three-character dir-name substring), and
+    * the scan side decodes its URI-encoded file name exactly once. An
+    * unmapped file fails the task loudly (it would mean the scan read a
+    * file planning never labeled).
     */
   private def labeledScan(
       spark: SparkSession, rootQ: String,
       fileMeta: Seq[(String, Long, String)]): DataFrame = {
     val rels = fileMeta.map(_._1)
+    val rootKey =
+      try {
+        val u = new java.net.URI(rootQ)
+        Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse(rootQ)
+      } catch { case _: java.net.URISyntaxException => rootQ }
     val byPath: Map[String, (Long, String)] =
-      fileMeta.map { case (rel, v, l) => canonPath(s"$rootQ/$rel") -> ((v, l)) }.toMap
+      fileMeta.map { case (rel, v, l) => s"$rootKey/$rel" -> ((v, l)) }.toMap
     val bc = spark.sparkContext.broadcast(byPath)
-    val metaU = udf((p: String) => bc.value.getOrElse(canonPath(p),
+    val metaU = udf((p: String) => bc.value.getOrElse(canonScanPath(p),
       throw new graft.core.PJException(
         s"pjparquet: change feed read an input file planning never labeled: $p")))
     val df = spark.read.option("basePath", rootQ)

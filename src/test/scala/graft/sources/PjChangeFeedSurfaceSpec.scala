@@ -166,6 +166,50 @@ class PjChangeFeedSurfaceSpec extends AnyFunSuite {
       "planning must have materialized the rewrite diff for streaming")
   }
 
+  test("partitioned table: one-plan feed aligns partition types and survives hostile values") {
+    import spark.implicits._
+    val dir = tempDir("part")
+    // long-typed partition column (the inference convention) PLUS a
+    // second table with URL-hostile string partition values
+    Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "k").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").partitionBy("k").save(dir) // v1
+    Seq((4L, 20L)).toDF("id", "k").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").partitionBy("k").save(dir) // v2
+    val t = s"pj_cdfsurf_part_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING pjparquet OPTIONS (path '$dir')")
+    spark.sql(s"UPDATE $t SET id = id + 100 WHERE id = 3") // v3 rewrite in k=20
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val df = spark.read.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+    // partition column typed LONG in the feed, exactly like table reads
+    assert(df.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val got = df.select($"id", $"k", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 10L, "insert", 1L), (2L, 10L, "insert", 1L), (3L, 20L, "insert", 1L),
+      (4L, 20L, "insert", 2L),
+      (3L, 20L, "update_preimage", 3L), (103L, 20L, "update_postimage", 3L)))
+    // URL-hostile string partition values round-trip through the
+    // broadcast canonical-path map (encoded dirs, spaces, '#')
+    val dir2 = tempDir("hostile")
+    Seq((1L, "a b#c"), (2L, "plain")).toDF("id", "p").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").partitionBy("p").save(dir2)
+    Seq((3L, "a b#c")).toDF("id", "p").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").partitionBy("p").save(dir2)
+    val feed2 = spark.read.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir2)
+      .select($"id", $"p", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(feed2 == Set(
+      (1L, "a b#c", "insert", 1L), (2L, "plain", "insert", 1L),
+      (3L, "a b#c", "insert", 2L)))
+  }
+
   test("maxVersionsPerTrigger drains a backlog as bounded per-version batches") {
     val dir = threeVersionTable(cdc = true)
     val out = s"pj_cdf_stream_cap_${System.nanoTime()}"
