@@ -385,6 +385,38 @@ object MetadataQueries {
         count(when(col("k") > 2000000000L, 1)).as("n_wide"))
         .withColumn("schema_widened", lit(if (schemaIsLong) 1L else 0L))
     }),
+    "q137_sql_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      // SQL `CALL` maintenance procedures (round 11 — Spark 4
+      // ProcedureCatalog, the Iceberg-style surface): the whole
+      // lifecycle scripted from pure SQL. Three logged single-file
+      // appends; CALL compact merges them (a logged commit), CALL
+      // history reads the per-version headers, CALL expire_versions
+      // closes the time-travel window and reclaims the retired bytes,
+      // CALL vacuum finds nothing left to sweep, and the table's rows
+      // survive bit-exactly (DuckDB recomputes the row facts; the
+      // procedure reports are engine-checked literals).
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q137_call").toString
+      for (r <- 0 to 2)
+        graft.Tables.nation(s, dir).filter(col("n_regionkey") === r)
+          .coalesce(1).write.format("pjparquet")
+          .mode("append").option("log.enabled", "true").save(tmp) // v1..v3
+      s.conf.set("spark.sql.catalog.pj_q137", "graft.sources.pjparquet.PjCatalog")
+      val comp = s.sql(s"CALL pj_q137.system.compact('$tmp')").collect().head
+      val nHist = s.sql(s"CALL pj_q137.system.history('$tmp')").count()
+      val exp = s.sql(s"CALL pj_q137.system.expire_versions('$tmp', 1)").collect().head
+      val vac = s.sql(s"CALL pj_q137.system.vacuum('$tmp')").collect().head
+      s.read.format("pjparquet").load(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"))
+        .withColumn("small_files", lit(comp.getLong(1)))
+        .withColumn("compacted_into", lit(comp.getLong(2)))
+        .withColumn("versions_after_compact", lit(nHist))
+        .withColumn("versions_dropped", lit(exp.getLong(0)))
+        .withColumn("versions_kept", lit(exp.getLong(1)))
+        .withColumn("reclaimed_ge_3", lit(if (exp.getLong(2) >= 3L) 1L else 0L))
+        .withColumn("vacuum_clean", lit(if (vac.getLong(0) == 0L && vac.getLong(1) == 0L) 1L else 0L))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1243,6 +1275,17 @@ object MetadataQueries {
         |       (SELECT count(*) FROM h) AS head_rows,
         |       (SELECT CAST(sum(k) AS BIGINT) FROM h) AS head_key_sum,
         |       CAST(2 AS BIGINT) AS n_versions""".stripMargin,
+    "q137_sql_maintenance" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |       CAST(3 AS BIGINT) AS small_files,
+        |       CAST(1 AS BIGINT) AS compacted_into,
+        |       CAST(4 AS BIGINT) AS versions_after_compact,
+        |       CAST(3 AS BIGINT) AS versions_dropped,
+        |       CAST(1 AS BIGINT) AS versions_kept,
+        |       CAST(1 AS BIGINT) AS reclaimed_ge_3,
+        |       CAST(1 AS BIGINT) AS vacuum_clean
+        |FROM nation WHERE n_regionkey IN (0, 1, 2)""".stripMargin,
     "q136_type_widening" ->
       """WITH widened AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation

@@ -28,7 +28,8 @@ import graft.core.PJException
   * are defined by their directories, created by writes, and dropped by
   * deleting the directory.
   */
-class PjCatalog extends CatalogPlugin with TableCatalog {
+class PjCatalog extends CatalogPlugin with TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "pj"
 
@@ -152,6 +153,20 @@ class PjCatalog extends CatalogPlugin with TableCatalog {
       Some(next.json), Some("alter"))
     loadTable(ident)
   }
+
+  /** `CALL pj.system.<proc>(...)` — SQL-scriptable table maintenance
+    * (vacuum / retention / compaction / OPTIMIZE ZORDER / index + bloom
+    * fleet builds / checkpoint / DESCRIBE-HISTORY rows); see
+    * [[PjProcedures]].
+    */
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    PjProcedures.load(catalogName, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      PjProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -1,0 +1,210 @@
+package graft.sources.pjparquet
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.PJException
+
+/** SQL stored procedures for table maintenance — the `CALL` surface
+  * (Spark 4's `ProcedureCatalog` protocol, the same shape Iceberg ships):
+  *
+  * {{{
+  *   CALL pj.system.vacuum(table => '/data/events')
+  *   CALL pj.system.expire_versions('/data/events', 10)
+  *   CALL pj.system.expire_older_than('/data/events', 604800000)
+  *   CALL pj.system.compact('/data/events')
+  *   CALL pj.system.optimize_zorder('/data/events', 'x,y')
+  *   CALL pj.system.build_index('/data/events')
+  *   CALL pj.system.build_blooms('/data/events', 'user_id')
+  *   CALL pj.system.checkpoint('/data/events')
+  *   CALL pj.system.history('/data/events')
+  * }}}
+  *
+  * Each procedure wraps the corresponding driver API ([[PjVacuum]],
+  * [[PjCompaction]], [[PjIndexJob]], [[PjBloomJob]], [[PjCommitLog]]) and
+  * returns its report as rows, so maintenance is scriptable from pure SQL
+  * — no Scala entry point needed on a production cluster. The identifier
+  * is the table ROOT PATH, exactly like the catalog's tables.
+  */
+object PjProcedures {
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def result(schema: StructType, out: Seq[InternalRow]): JIterator[Scan] = {
+    val outArr = out.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = outArr
+      override def readSchema(): StructType = schema
+      override def description(): String = "pjparquet procedure result"
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inD(name: String, dt: DataType, dflt: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  /** A procedure both unbound and bound (no overloading to resolve). */
+  private final class Proc(
+      procName: String,
+      ps: Array[ProcedureParameter],
+      outSchema: StructType,
+      body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"pjparquet maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): JIterator[Scan] =
+      result(outSchema, body(input))
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tableArg(input: InternalRow): String = {
+    val s = input.getUTF8String(0)
+    if (s == null) throw new PJException("pjparquet: procedure 'table' argument is null")
+    s.toString
+  }
+
+  val Names: Seq[String] = Seq(
+    "vacuum", "expire_versions", "expire_older_than", "compact",
+    "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history")
+
+  def load(catalogName: String, ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
+    if (!ok)
+      throw new PJException(
+        s"$catalogName: unknown procedure namespace " +
+          s"${ident.namespace().mkString(".")} (use $catalogName.system.<proc>)")
+    ident.name() match {
+      case "vacuum" =>
+        new Proc("vacuum", Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("orphan_sidecars", LongType, nullable = false),
+            StructField("work_dirs", LongType, nullable = false))),
+          { input =>
+            val r = PjVacuum.clean(spark, tableArg(input))
+            Seq(new GenericInternalRow(Array[Any](r.orphanSidecars, r.workDirs)))
+          })
+      case "expire_versions" =>
+        new Proc("expire_versions",
+          Array(in("table", StringType), in("keep_versions", IntegerType),
+            inD("min_file_age_ms", LongType, "0")),
+          expireSchema,
+          { input =>
+            val r = PjVacuum.expireVersions(spark, tableArg(input),
+              input.getInt(1), input.getLong(2))
+            Seq(expireRow(r))
+          })
+      case "expire_older_than" =>
+        new Proc("expire_older_than",
+          Array(in("table", StringType), in("retention_ms", LongType),
+            inD("min_file_age_ms", LongType, "0")),
+          expireSchema,
+          { input =>
+            val r = PjVacuum.expireOlderThan(spark, tableArg(input),
+              input.getLong(1), input.getLong(2))
+            Seq(expireRow(r))
+          })
+      case "compact" =>
+        new Proc("compact",
+          Array(in("table", StringType),
+            inD("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+          compactSchema,
+          { input =>
+            val r = PjCompaction.compact(spark, tableArg(input), input.getLong(1))
+            Seq(compactRow(r))
+          })
+      case "optimize_zorder" =>
+        new Proc("optimize_zorder",
+          Array(in("table", StringType), in("columns", StringType),
+            inD("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+          compactSchema,
+          { input =>
+            val cols = input.getUTF8String(1).toString
+              .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+            val r = PjCompaction.optimize(spark, tableArg(input), cols, input.getLong(2))
+            Seq(compactRow(r))
+          })
+      case "build_index" =>
+        new Proc("build_index",
+          Array(in("table", StringType), inD("overwrite", BooleanType, "false")),
+          StructType(Seq(StructField("indexes_written", LongType, nullable = false))),
+          { input =>
+            val n = PjIndexJob.generateAll(spark, tableArg(input), input.getBoolean(1))
+            Seq(new GenericInternalRow(Array[Any](n)))
+          })
+      case "build_blooms" =>
+        new Proc("build_blooms",
+          Array(in("table", StringType), in("columns", StringType),
+            inD("fpp", DoubleType, "0.01")),
+          StructType(Seq(StructField("blooms_written", LongType, nullable = false))),
+          { input =>
+            val cols = input.getUTF8String(1).toString
+              .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+            val n = PjBloomJob.generate(spark, tableArg(input), cols, input.getDouble(2))
+            Seq(new GenericInternalRow(Array[Any](n)))
+          })
+      case "checkpoint" =>
+        new Proc("checkpoint", Array(in("table", StringType)),
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val head = PjCommitLog.latest(fs, root).getOrElse(
+              throw new PJException(
+                s"pjparquet: '$root' has no commit log to checkpoint"))
+            PjCommitLog.writeCheckpoint(fs, root, head.version)
+            Seq(new GenericInternalRow(Array[Any](head.version)))
+          })
+      case "history" =>
+        new Proc("history", Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("ts", TimestampType, nullable = false),
+            StructField("action", StringType, nullable = false),
+            StructField("n_files", LongType, nullable = false))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            PjCommitLog.history(fs, root).map(h =>
+              new GenericInternalRow(Array[Any](
+                h.version, h.ts * 1000L, utf8(h.action), h.nFiles)))
+          })
+      case other =>
+        throw new PJException(
+          s"$catalogName: unknown procedure '$other' " +
+            s"(available: ${Names.mkString(", ")})")
+    }
+  }
+
+  private val expireSchema = StructType(Seq(
+    StructField("versions_dropped", LongType, nullable = false),
+    StructField("versions_kept", LongType, nullable = false),
+    StructField("files_reclaimed", LongType, nullable = false)))
+  private def expireRow(r: PjVacuum.ExpireReport): InternalRow =
+    new GenericInternalRow(Array[Any](r.versionsDropped, r.versionsKept, r.filesReclaimed))
+
+  private val compactSchema = StructType(Seq(
+    StructField("files_before", LongType, nullable = false),
+    StructField("small_files", LongType, nullable = false),
+    StructField("compacted_into", LongType, nullable = false),
+    StructField("files_after", LongType, nullable = false),
+    StructField("bytes_small", LongType, nullable = false),
+    StructField("dirs_touched", LongType, nullable = false)))
+  private def compactRow(r: PjCompaction.Report): InternalRow =
+    new GenericInternalRow(Array[Any](
+      r.filesBefore, r.smallFiles, r.compactedInto, r.filesAfter,
+      r.bytesSmall, r.dirsTouched))
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SQL `CALL` maintenance procedures (Spark 4 ProcedureCatalog): the
+  * whole janitor/maintenance surface scriptable from pure SQL.
+  */
+class PjProceduresSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.pjproc", "graft.sources.pjparquet.PjCatalog")
+    s
+  }
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"pj_proc_$tag").toString
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("history, checkpoint, compact, expire, vacuum round-trip through CALL") {
+    import spark.implicits._
+    val dir = tempDir("life")
+    for (i <- 0 until 3)
+      Seq((i.toLong, s"v$i")).toDF("id", "s").coalesce(1)
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(dir) // v1..v3, three small files
+    // history: one row per version, versioned ascending, real timestamps
+    val hist = spark.sql(s"CALL pjproc.system.history('$dir')").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.forall(_.getTimestamp(1).getTime > 0L))
+    assert(hist.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L)) // live file counts
+    // checkpoint at HEAD (named-argument syntax)
+    val ck = spark.sql(s"CALL pjproc.system.checkpoint(table => '$dir')").collect()
+    assert(ck.head.getLong(0) == 3L)
+    assert(fsOf(dir).exists(
+      new Path(dir, f"_pj_log/${3L}%020d.checkpoint.json")))
+    // compact the three small files into one (logged commit v4)
+    val comp = spark.sql(s"CALL pjproc.system.compact('$dir')").collect().head
+    assert(comp.getLong(1) == 3L && comp.getLong(2) == 1L,
+      s"expected 3 small files -> 1, got $comp")
+    assert(spark.read.format("pjparquet").load(dir).count() == 3L)
+    // expire to the newest version only; retired bytes reclaimed
+    val exp = spark.sql(
+      s"CALL pjproc.system.expire_versions('$dir', 1)").collect().head
+    assert(exp.getLong(0) == 3L && exp.getLong(1) == 1L && exp.getLong(2) >= 3L,
+      s"expected 3 dropped / 1 kept / >=3 files reclaimed, got $exp")
+    assert(spark.read.format("pjparquet").load(dir).count() == 3L)
+    // vacuum: nothing left to sweep
+    val vac = spark.sql(s"CALL pjproc.system.vacuum('$dir')").collect().head
+    assert(vac.getLong(0) == 0L && vac.getLong(1) == 0L)
+  }
+
+  test("build_index and build_blooms fleet builds over a plain directory") {
+    import spark.implicits._
+    val dir = tempDir("fleet")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.mode("append").parquet(dir) // stock parquet, no sidecars
+    val idx = spark.sql(s"CALL pjproc.system.build_index('$dir')").collect().head
+    assert(idx.getLong(0) == 1L)
+    val blooms = spark.sql(
+      s"CALL pjproc.system.build_blooms('$dir', 'id')").collect().head
+    assert(blooms.getLong(0) == 1L)
+    assert(spark.read.format("pjparquet").load(dir).count() == 2L)
+  }
+
+  test("unknown procedures and namespaces fail loudly; SHOW PROCEDURES lists them") {
+    val e = intercept[Exception] {
+      spark.sql("CALL pjproc.system.nope('x')").collect()
+    }
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.toLowerCase.contains("nope"), s"got: ${e.getMessage}")
+    val listed = spark.sql("SHOW PROCEDURES IN pjproc.system").collect()
+      .map(_.toString).mkString(",")
+    assert(listed.contains("vacuum") && listed.contains("optimize_zorder"),
+      s"got: $listed")
+  }
+}
