@@ -46,14 +46,19 @@ import graft.core.PJException
 object PjChangeFeedTable {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
 
   def isCdf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("readChangeFeed", false)
 
-  /** The extra feed columns appended to the table schema. */
+  /** The extra feed columns appended to the table schema (Delta's CDF
+    * triple: change type, commit version, commit timestamp).
+    */
   def cdfFields: Seq[StructField] = Seq(
     StructField(ChangeTypeCol, StringType, nullable = false),
-    StructField(CommitVersionCol, LongType, nullable = false))
+    StructField(CommitVersionCol, LongType, nullable = false),
+    StructField(CommitTimestampCol, org.apache.spark.sql.types.TimestampType,
+      nullable = false))
 
   def resolve(options: CaseInsensitiveStringMap): PjChangeFeedTable = {
     val path = Option(options.get("path")).getOrElse(
@@ -169,7 +174,18 @@ private[pjparquet] class PjChangeFeedScan(
           throw new PJException(
             "pjparquet: batch readChangeFeed requires startingVersion or startingTimestamp"))
         val to = endingVersion.getOrElse(versions.last)
+        // `_commit_timestamp` attaches via ONE broadcast join against the
+        // tiny (version, ts) header table — constant plan size however
+        // long the range is
+        val tsRows = versions.filter(v => v >= from && v <= to)
+          .map(v => (v, PjCommitLog.header(fs, rootPath, v).ts))
+        val tsDf = spark.createDataFrame(tsRows)
+          .toDF(PjChangeFeedTable.CommitVersionCol, "_pj_ts_ms")
         PjChangeFeed.changes(spark, path, from, to)
+          .join(org.apache.spark.sql.functions.broadcast(tsDf),
+            PjChangeFeedTable.CommitVersionCol)
+          .withColumn(PjChangeFeedTable.CommitTimestampCol,
+            org.apache.spark.sql.functions.timestamp_millis(col("_pj_ts_ms")))
           .select(cdfSchema.fields.toIndexedSeq.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*)
           .rdd
@@ -282,7 +298,19 @@ private[pjparquet] class PjCdfMicroBatchStream(
     StructType(dataSchema.fields ++ tablePartSchema.fields :+
       StructField(PjChangeFeedTable.ChangeTypeCol, StringType, nullable = false))
   private lazy val cdcPartSchema: StructType =
-    StructType(Seq(StructField(PjChangeFeedTable.CommitVersionCol, LongType, nullable = false)))
+    StructType(Seq(
+      StructField(PjChangeFeedTable.CommitVersionCol, LongType, nullable = false),
+      StructField(PjChangeFeedTable.CommitTimestampCol,
+        org.apache.spark.sql.types.TimestampType, nullable = false)))
+
+  /** Per-split constants for a version's rows: the commit version and its
+    * timestamp (epoch MICROS — the typed-constant machinery's timestamp
+    * representation).
+    */
+  private def versionConsts(v: Long): Seq[String] = {
+    val tsMicros = PjCommitLog.header(fs, rootPath, v).ts * 1000L
+    Seq(v.toString, tsMicros.toString)
+  }
 
   private def dataScan(files: Seq[PjFile]): PjScan =
     new PjScan(files, dataSchema, dataSchema, dataPartSchema, dataPartSchema, None)
@@ -320,17 +348,19 @@ private[pjparquet] class PjCdfMicroBatchStream(
     resolved.foreach {
       case PjChangeFeed.PureAdd(v, rels, label) =>
         dataFiles ++= filesOfVersion(v, rels, conf)
-          .map(f => f.copy(partitionValues = f.partitionValues ++ Seq(label, v.toString)))
+          .map(f => f.copy(partitionValues =
+            f.partitionValues ++ (label +: versionConsts(v))))
       case PjChangeFeed.PureRemove(v, rels, label) =>
         // removed files belong to the PREDECESSOR's layout (still on disk
         // until vacuum; vacuum past an un-consumed stream cursor is the
         // operator error the age guard exists for)
         dataFiles ++= filesOfVersion(v - 1, rels, conf)
-          .map(f => f.copy(partitionValues = f.partitionValues ++ Seq(label, v.toString)))
+          .map(f => f.copy(partitionValues =
+            f.partitionValues ++ (label +: versionConsts(v))))
       case PjChangeFeed.Persisted(v) =>
         val dir = PjChangeFeed.cdcDir(rootPath, v)
         val layout = PjParquetTable.resolveFiles(dir.toString, conf, autogen = true)
-        cdcFiles ++= layout.files.map(f => f.copy(partitionValues = Seq(v.toString)))
+        cdcFiles ++= layout.files.map(f => f.copy(partitionValues = versionConsts(v)))
       case _: PjChangeFeed.MetadataOnly => ()
       case r: PjChangeFeed.Rewrite =>
         throw new IllegalStateException(s"unresolved rewrite ${r.version}")

@@ -625,6 +625,12 @@ object PjCommitLog {
   def history(fs: FileSystem, root: Path): Seq[HistoryEntry] =
     versions(fs, root).map(v => headerOf(fs, root, v))
 
+  /** One version's header (ts / action / live-file count) — a single
+    * streamed header read, no replay.
+    */
+  private[pjparquet] def header(fs: FileSystem, root: Path, v: Long): HistoryEntry =
+    headerOf(fs, root, v)
+
   private def headerOf(fs: FileSystem, root: Path, v: Long): HistoryEntry = {
     val p = commitFile(root, v)
     if (fs.exists(p)) parseHeader(fs, p, v)

@@ -79,6 +79,10 @@ final case class PjPartitionReaderFactory(
           case (_, PjParquetTable.HiveNullPartition) => null
           case (f, raw) => f.dataType match {
             case org.apache.spark.sql.types.LongType => raw.toLong
+            // change-feed streams ride `_commit_timestamp` as a typed
+            // constant: the raw value is epoch MICROS (InternalRow's
+            // timestamp representation)
+            case org.apache.spark.sql.types.TimestampType => raw.toLong
             case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
           }
         }.toIndexedSeq)

@@ -1521,6 +1521,7 @@ final case class PjInputPartition(
           case (_, PjParquetTable.HiveNullPartition) => null
           case (f, raw) => f.dataType match {
             case org.apache.spark.sql.types.LongType => raw.toLong
+            case org.apache.spark.sql.types.TimestampType => raw.toLong // micros
             case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
           }
         }.toIndexedSeq)

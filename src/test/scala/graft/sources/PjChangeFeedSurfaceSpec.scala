@@ -53,8 +53,21 @@ class PjChangeFeedSurfaceSpec extends AnyFunSuite {
     val dir = threeVersionTable(cdc = false)
     val df = spark.read.format("pjparquet")
       .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
-    assert(df.columns.toSeq == Seq("id", "_change_type", "_commit_version"))
+    assert(df.columns.toSeq ==
+      Seq("id", "_change_type", "_commit_version", "_commit_timestamp"))
     assert(feedSet(df) == expectedAll)
+    // _commit_timestamp: one real, non-decreasing instant per version,
+    // exactly the log header's commit ts
+    val fs = fsOf(dir)
+    val headerTs = graft.sources.pjparquet.PjCommitLog
+      .history(fs, new Path(dir)).map(h => h.version -> h.ts).toMap
+    val tsByVersion = df.select(col("_commit_version"), col("_commit_timestamp"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(tsByVersion.keySet == Set(1L, 2L, 3L))
+    tsByVersion.foreach { case (v, ms) =>
+      assert(ms == headerTs(v), s"version $v: feed ts $ms != header ts ${headerTs(v)}")
+    }
     // endingVersion bounds the range
     val sub = spark.read.format("pjparquet")
       .option("readChangeFeed", "true")
@@ -139,6 +152,16 @@ class PjChangeFeedSurfaceSpec extends AnyFunSuite {
     runOnce()
     assert(feedSet(spark.read.parquet(sink)) == expectedAll,
       "first run must deliver versions 1..3 exactly")
+    // the streamed feed carries the same per-version commit timestamps as
+    // the batch surface (typed per-split constants)
+    val streamTs = spark.read.parquet(sink)
+      .select(col("_commit_version"), col("_commit_timestamp")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val headerTs = graft.sources.pjparquet.PjCommitLog
+      .history(fsOf(dir), new Path(dir)).map(h => h.version -> h.ts).toMap
+    streamTs.foreach { case (v, ms) =>
+      assert(ms == headerTs(v), s"streamed ts for v$v ($ms) != header ts (${headerTs(v)})")
+    }
     // v4 lands between runs; the restarted stream (same checkpoint) must
     // deliver ONLY v4 — versions 1..3 were committed to the offset log
     Seq(7L).toDF("id").coalesce(1).write.format("pjparquet")
