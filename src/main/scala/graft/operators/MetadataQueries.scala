@@ -417,6 +417,38 @@ object MetadataQueries {
         .withColumn("reclaimed_ge_3", lit(if (exp.getLong(2) >= 3L) 1L else 0L))
         .withColumn("vacuum_clean", lit(if (vac.getLong(0) == 0L && vac.getLong(1) == 0L) 1L else 0L))
     }),
+    "q138_drop_column" -> ((s, dir) => {
+      import s.implicits._
+      // DROP COLUMN as a metadata-only commit (round 11): the recorded
+      // schema is authoritative for logged reads, so dropping a column
+      // rewrites nothing — pre-drop files keep the bytes (time travel
+      // before the drop still serves them), the head read simply never
+      // requests the column, and post-drop appends carry the narrowed
+      // schema. DuckDB recomputes the row facts and the pre-drop
+      // distinct-name count.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q138_drop").toString
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name"),
+          col("n_regionkey").cast("long").as("r"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      s.conf.set("spark.sql.catalog.pj_q138", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"ALTER TABLE pj_q138.`$tmp` DROP COLUMN n_name") // v2: metadata-only
+      graft.Tables.nation(s, dir).filter(col("n_regionkey") === 1)
+        .select((col("n_nationkey").cast("long") + 100L).as("k"),
+          col("n_regionkey").cast("long").as("r"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v3
+      val head = s.read.format("pjparquet").load(tmp)
+      val v1Names = s.read.format("pjparquet")
+        .option("versionAsOf", "1").load(tmp)
+        .agg(countDistinct(col("n_name"))).head().getLong(0)
+      head.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("k_sum"))
+        .withColumn("n_cols_after_drop", lit(head.columns.length.toLong))
+        .withColumn("v1_distinct_names", lit(v1Names))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1275,6 +1307,16 @@ object MetadataQueries {
         |       (SELECT count(*) FROM h) AS head_rows,
         |       (SELECT CAST(sum(k) AS BIGINT) FROM h) AS head_key_sum,
         |       CAST(2 AS BIGINT) AS n_versions""".stripMargin,
+    "q138_drop_column" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       CAST(2 AS BIGINT) AS n_cols_after_drop,
+        |       CAST((SELECT count(DISTINCT n_name) FROM nation) AS BIGINT)
+        |         AS v1_distinct_names
+        |FROM (
+        |  SELECT n_nationkey AS k FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
     "q137_sql_maintenance" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,

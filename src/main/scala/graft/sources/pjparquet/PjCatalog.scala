@@ -143,10 +143,30 @@ class PjCatalog extends CatalogPlugin with TableCatalog
                 s"(${from.simpleString} -> ${to.simpleString}) is not supported; " +
                 "only int->long and float->double widening")
           StructType(acc.fields.updated(i, acc.fields(i).copy(dataType = to)))
+        case d: TableChange.DeleteColumn =>
+          // DROP COLUMN is metadata-only too: the recorded schema is
+          // authoritative for logged reads, so the column simply stops
+          // being requested — pre-drop files keep their physical bytes
+          // (and pre-drop snapshots keep serving them via time travel)
+          if (d.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: only top-level columns can be dropped, " +
+                s"got ${d.fieldNames.mkString(".")}")
+          val name = d.fieldNames.head
+          val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0) {
+            if (d.ifExists()) acc
+            else throw new PJException(
+              s"$catalogName: no data column '$name' in '$path' " +
+                "(partition columns cannot be dropped)")
+          } else if (acc.fields.length == 1)
+            throw new PJException(
+              s"$catalogName: cannot drop '$name' — it is the table's only data column")
+          else StructType(acc.fields.patch(i, Nil, 1))
         case other =>
           throw new UnsupportedOperationException(
             s"$catalogName: unsupported ALTER TABLE change $other " +
-              "(only ALTER COLUMN ... TYPE widening)")
+              "(only ALTER COLUMN ... TYPE widening and DROP COLUMN)")
       }
     }
     PjCommitLog.commit(fs, rootPath, "alter-schema", Nil, Set.empty,

@@ -176,6 +176,50 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(spark.read.format("pjparquet").load(dir).schema("x").dataType == DoubleType)
   }
 
+  test("DROP COLUMN: metadata-only, pre-drop files keep bytes, time travel preserves") {
+    import org.apache.spark.sql.types.LongType
+    val dir = java.nio.file.Files.createTempDirectory("pj_drop").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v1
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` DROP COLUMN s") // v2: metadata-only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = graft.sources.pjparquet.PjCommitLog.latest(
+      fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(head.version == 2L && head.entries.size == 1, "drop must rewrite no file")
+    val t = spark.read.format("pjparquet").load(dir)
+    assert(t.columns.toSeq == Seq("id", "x"))
+    assert(t.orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // appends post-drop carry the narrowed schema
+    Seq((3L, 30L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v3
+    assert(spark.read.format("pjparquet").load(dir).count() == 3L)
+    assert(spark.read.format("pjparquet").load(dir).schema("x").dataType == LongType)
+    // time travel BEFORE the drop still serves the dropped column's bytes
+    val v1 = spark.read.format("pjparquet")
+      .option("versionAsOf", "1").load(dir)
+    assert(v1.columns.toSeq == Seq("id", "s", "x"))
+    assert(v1.orderBy($"id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // a pre-drop writer still naming the dropped column refuses loudly
+    val stale = intercept[Exception] {
+      Seq((4L, "d", 40L)).toDF("id", "s", "x").coalesce(1)
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(dir)
+    }
+    assert(stale.getMessage.contains("s") || stale.getMessage.contains("column"),
+      s"got: ${stale.getMessage}")
+    // cannot drop the final data column
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` DROP COLUMN x") // v-next: [id] remains
+    val last = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` DROP COLUMN id")
+    }
+    assert(last.getMessage.contains("only data column"), s"got: ${last.getMessage}")
+  }
+
   test("lossy changes refuse loudly at every layer") {
     val dir = java.nio.file.Files.createTempDirectory("pj_widen_refuse").toString
     Seq((1L, "a")).toDF("k", "s").coalesce(1)
