@@ -449,6 +449,40 @@ object MetadataQueries {
         .withColumn("n_cols_after_drop", lit(head.columns.length.toLong))
         .withColumn("v1_distinct_names", lit(v1Names))
     }),
+    "q139_add_column" -> ((s, dir) => {
+      import s.implicits._
+      // ADD COLUMN as a metadata-only commit (round 11): pre-add files
+      // null-fill the new column at read, post-add appends may carry OR
+      // omit it (omitting writers' files null-fill too — Delta append
+      // semantics), and the recorded schema keeps the added column
+      // either way. DuckDB recomputes the union with explicit NULLs.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q139_add").toString
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("long").as("r"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      s.conf.set("spark.sql.catalog.pj_q139", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"ALTER TABLE pj_q139.`$tmp` ADD COLUMN tag STRING") // v2: metadata-only
+      graft.Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+        .select((col("n_nationkey").cast("long") + 100L).as("k"),
+          col("n_regionkey").cast("long").as("r"),
+          col("n_name").as("tag"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v3: carries tag
+      graft.Tables.nation(s, dir).filter(col("n_regionkey") === 2)
+        .select((col("n_nationkey").cast("long") + 200L).as("k"),
+          col("n_regionkey").cast("long").as("r"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v4: omits tag
+      val head = s.read.format("pjparquet").load(tmp)
+      head.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("k_sum"),
+          count(col("tag")).as("tag_non_null"),
+          countDistinct(col("tag")).as("tag_distinct"))
+        .withColumn("n_cols", lit(head.columns.length.toLong))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1317,6 +1351,19 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q139_add_column" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       count(tag) AS tag_non_null,
+        |       count(DISTINCT tag) AS tag_distinct,
+        |       CAST(3 AS BIGINT) AS n_cols
+        |FROM (
+        |  SELECT n_nationkey AS k, CAST(NULL AS VARCHAR) AS tag FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name FROM nation WHERE n_regionkey = 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 200, CAST(NULL AS VARCHAR) FROM nation
+        |  WHERE n_regionkey = 2)""".stripMargin,
     "q137_sql_maintenance" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,

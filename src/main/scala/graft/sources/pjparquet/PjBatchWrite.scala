@@ -487,11 +487,10 @@ private[sources] object PjBatchWrite {
     import org.apache.spark.sql.types._
     val prev = DataType.fromJson(prevJson).asInstanceOf[StructType]
     val next = DataType.fromJson(nextJson).asInstanceOf[StructType]
-    def names(s: StructType) =
-      s.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
-    if (names(prev) != names(next)) return nextJson
-    val fields = prev.fields.zip(next.fields).map { case (p, n) =>
-      val dt = (p.dataType, n.dataType) match {
+    def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    def names(s: StructType) = s.fieldNames.map(fold).toSeq
+    def widenPair(p: StructField, n: StructField): DataType =
+      (p.dataType, n.dataType) match {
         case (a, b) if a == b => a
         case (IntegerType, LongType) | (LongType, IntegerType) => LongType
         case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
@@ -501,7 +500,27 @@ private[sources] object PjBatchWrite {
             "int->long and float->double widening evolve a logged table's schema " +
             "(rewrite the table to change types otherwise)")
       }
-      StructField(n.name, dt, p.nullable || n.nullable, n.metadata)
+    if (names(prev) != names(next)) {
+      // an append may OMIT nullable columns the table gained after the
+      // writer's schema was captured (ADD COLUMN; Delta semantics: the
+      // missing columns null-fill at read) — keep the recorded schema,
+      // still widening the columns the append does carry. Any other
+      // name-set change records the new schema as-is and defers to the
+      // resolver's guards.
+      val nextByName = next.fields.map(f => fold(f.name) -> f).toMap
+      val subset = names(next).toSet.subsetOf(names(prev).toSet) &&
+        prev.fields.forall(p => nextByName.contains(fold(p.name)) || p.nullable)
+      if (!subset) return nextJson
+      val fields = prev.fields.map { p =>
+        nextByName.get(fold(p.name)) match {
+          case Some(n) => StructField(p.name, widenPair(p, n), p.nullable || n.nullable, p.metadata)
+          case None => p
+        }
+      }
+      return StructType(fields).json
+    }
+    val fields = prev.fields.zip(next.fields).map { case (p, n) =>
+      StructField(n.name, widenPair(p, n), p.nullable || n.nullable, n.metadata)
     }
     StructType(fields).json
   }

@@ -162,11 +162,75 @@ class PjCatalog extends CatalogPlugin with TableCatalog
           } else if (acc.fields.length == 1)
             throw new PJException(
               s"$catalogName: cannot drop '$name' — it is the table's only data column")
-          else StructType(acc.fields.patch(i, Nil, 1))
+          else {
+            // a sorted-layout claim naming the dropped column can no
+            // longer be honored — retract it (readers simply stop
+            // reporting an ordering; never a wrong answer)
+            if (PjSortMarker.read(fs, rootPath)
+                .exists(_.exists(_.equalsIgnoreCase(name))))
+              PjSortMarker.delete(fs, rootPath)
+            StructType(acc.fields.patch(i, Nil, 1))
+          }
+        case a: TableChange.AddColumn =>
+          // ADD COLUMN is metadata-only: the new column is recorded in
+          // the schema, pre-add files simply lack it and the vectorized
+          // reader null-fills — so it must be nullable and default-free
+          if (a.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: only top-level columns can be added, " +
+                s"got ${a.fieldNames.mkString(".")}")
+          val name = a.fieldNames.head
+          val partNames = snap.entries.headOption.toSeq
+            .flatMap(e => PjBatchWrite.partsOfRel(e.path).keys)
+          if (acc.fieldNames.exists(_.equalsIgnoreCase(name)) ||
+              partNames.exists(_.equalsIgnoreCase(name)))
+            throw new PJException(
+              s"$catalogName: column '$name' already exists in '$path'")
+          if (!a.isNullable)
+            throw new PJException(
+              s"$catalogName: ADD COLUMN '$name' must be nullable — " +
+                "existing rows have no value for it")
+          if (a.defaultValue() != null)
+            throw new UnsupportedOperationException(
+              s"$catalogName: ADD COLUMN with DEFAULT is not supported " +
+                "(existing rows read the new column as null)")
+          // resurrection guard: a live file may still physically carry a
+          // previously-DROPped column of this name — re-adding would read
+          // its stale bytes instead of null. Refuse until those files are
+          // rewritten (compaction) or a different name is chosen.
+          val carriers = snap.entries.filter(_.cols match {
+            case Some(cs) => cs.exists(_.equalsIgnoreCase(name))
+            case None => true // legacy entry: cannot prove absence
+          })
+          if (carriers.nonEmpty)
+            throw new PJException(
+              s"$catalogName: cannot add column '$name' — ${carriers.size} live " +
+                s"file(s) still physically carry a column of that name (e.g. " +
+                s"'${carriers.head.path}'); a read would resurrect its stale " +
+                "bytes instead of null. Rewrite those files first " +
+                "(CALL pj.system.compact) or choose a different name")
+          val field = {
+            val f = org.apache.spark.sql.types.StructField(name, a.dataType, nullable = true)
+            if (a.comment != null) f.withComment(a.comment) else f
+          }
+          a.position() match {
+            case null => StructType(acc.fields :+ field)
+            case _: TableChange.First => StructType(field +: acc.fields)
+            case after: TableChange.After =>
+              val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(after.column()))
+              if (i < 0)
+                throw new PJException(
+                  s"$catalogName: ADD COLUMN ... AFTER ${after.column()}: " +
+                    s"no such column in '$path'")
+              StructType(acc.fields.patch(i + 1, Seq(field), 0))
+            case other =>
+              throw new UnsupportedOperationException(
+                s"$catalogName: unsupported column position $other")
+          }
         case other =>
           throw new UnsupportedOperationException(
             s"$catalogName: unsupported ALTER TABLE change $other " +
-              "(only ALTER COLUMN ... TYPE widening and DROP COLUMN)")
+              "(only ALTER COLUMN ... TYPE widening, ADD COLUMN, and DROP COLUMN)")
       }
     }
     PjCommitLog.commit(fs, rootPath, "alter-schema", Nil, Set.empty,

@@ -115,11 +115,38 @@ object PjCompaction {
 
     // basePath recovers Hive partition columns, so the rewrite reproduces
     // the key=value layout; the files themselves (like the inputs) do not
-    // store the partition columns.
-    val df = spark.read.option("basePath", rootUri)
+    // store the partition columns. Partition column NAMES come from the
+    // directory layout itself (in path order).
+    val partCols: Seq[String] = {
+      val rel = PjCommitLog.relativize(fs, rootPath, new Path(consumed.head.path))
+      PjBatchWrite.relDirOf(rel).split("/").iterator.filter(_.nonEmpty)
+        .flatMap(_.split("=", 2) match {
+          case Array(k, _) if k.nonEmpty => Some(k)
+          case _ => None
+        }).toSeq
+    }
+    val raw = spark.read.option("basePath", rootUri)
+      .option("mergeSchema", "true")
       .parquet(consumed.map(_.path): _*)
-    val dataCols = spark.read.parquet(consumed.head.path).columns.toSeq
-    val partCols = df.columns.filterNot(dataCols.contains).toSeq
+    // logged tables rewrite through the RECORDED schema: a compacted file
+    // sheds dropped columns' bytes (Delta REORG PURGE semantics — re-ADD
+    // of the name becomes legal again), upcasts type-widened columns to
+    // the recorded width, and null-fills late-ADDed ones; unlogged
+    // directories rewrite verbatim
+    val recorded = prevSnap.flatMap(_.dataSchemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val df = recorded match {
+      case Some(ds) =>
+        val have = raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val dataSel = ds.fields.toSeq.map { f =>
+          if (have(f.name.toLowerCase(java.util.Locale.ROOT)))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        raw.select(dataSel ++ partCols.map(col): _*)
+      case None => raw
+    }
 
     // Row routing, all codegen'd literal-map lookups (no UDF, no extra
     // join): global_bin = base(dir) + mii % bins(dir), where

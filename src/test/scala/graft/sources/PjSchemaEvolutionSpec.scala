@@ -220,6 +220,78 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(last.getMessage.contains("only data column"), s"got: ${last.getMessage}")
   }
 
+  test("ADD COLUMN: metadata-only, pre-add files null-fill, appends may omit it") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_add").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v1
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN tag STRING") // v2: metadata-only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = graft.sources.pjparquet.PjCommitLog.latest(
+      fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(head.version == 2L && head.entries.size == 1, "add must rewrite no file")
+    val t = spark.read.format("pjparquet").load(dir)
+    assert(t.columns.toSeq == Seq("id", "x", "tag"))
+    assert(t.filter($"tag".isNull).count() == 2L)
+    // post-add append WITH the column
+    Seq((3L, 30L, "c")).toDF("id", "x", "tag").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v3
+    // a pre-add writer may still OMIT the column — its file null-fills,
+    // and the recorded schema keeps the added column
+    Seq((4L, 40L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v4
+    val full = spark.read.format("pjparquet").load(dir)
+    assert(full.columns.toSeq == Seq("id", "x", "tag"))
+    assert(full.orderBy($"id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq ==
+      Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some("c")), (4L, 40L, None)))
+    // filters over the mixed file set stay exact
+    assert(full.filter($"tag" === "c").select($"id").as[Long].collect().toSeq == Seq(3L))
+    assert(full.filter($"tag".isNull).count() == 3L)
+    // time travel BEFORE the add: narrow schema
+    val v1 = spark.read.format("pjparquet").option("versionAsOf", "1").load(dir)
+    assert(v1.columns.toSeq == Seq("id", "x"))
+    // position support: FIRST
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN flag LONG FIRST")
+    assert(spark.read.format("pjparquet").load(dir).columns.toSeq ==
+      Seq("flag", "id", "x", "tag"))
+    // refusals: duplicate, NOT NULL, nested
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN tag STRING")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists"), s"got: ${dup.getMessage}")
+    val nn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN req LONG NOT NULL")
+    }
+    assert(nn.getMessage.contains("nullable"), s"got: ${nn.getMessage}")
+  }
+
+  test("re-ADDing a DROPped column name refuses while live files carry its bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_readd").toString
+    Seq((1L, "a", 10L)).toDF("id", "s", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` DROP COLUMN s")
+    // the v1 file still physically carries `s` — re-adding would read its
+    // stale bytes instead of null, so the catalog refuses
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN s STRING")
+    }
+    assert(e.getMessage.contains("resurrect") || e.getMessage.contains("carry"),
+      s"got: ${e.getMessage}")
+    // after a compaction rewrite (files no longer carry `s`) the add lands
+    graft.sources.pjparquet.PjCompaction.compact(spark, dir, minFilesPerDir = 1)
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN s STRING")
+    val t = spark.read.format("pjparquet").load(dir)
+    assert(t.columns.toSeq == Seq("id", "x", "s"))
+    assert(t.filter($"s".isNull).count() == 1L, "re-added column must read null, not old bytes")
+  }
+
   test("lossy changes refuse loudly at every layer") {
     val dir = java.nio.file.Files.createTempDirectory("pj_widen_refuse").toString
     Seq((1L, "a")).toDF("k", "s").coalesce(1)
