@@ -483,6 +483,43 @@ object MetadataQueries {
           countDistinct(col("tag")).as("tag_distinct"))
         .withColumn("n_cols", lit(head.columns.length.toLong))
     }),
+    "q140_dv_delete" -> ((s, dir) => {
+      import s.implicits._
+      // Merge-on-read DELETE via deletion vectors (round 11, PjDvDelete):
+      // a data-predicate DELETE on a logged table writes per-file position
+      // vectors instead of rewriting files — ONE commit, zero data files
+      // rewritten, reads filter positions columnar-side, count(*) stays
+      // metadata-rate (rows − vector cardinality), and a second DELETE
+      // merges vectors. DuckDB recomputes the surviving aggregation; the
+      // no-rewrite/one-vector-per-file facts ride as asserted bits.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q140_dv").toString
+      graft.Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          round($"o_totalprice" * 100).cast("long").as("price_cents"))
+        .repartition(4).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1: 4 files
+      s.sql("DROP TABLE IF EXISTS pj_q140_t")
+      s.sql(s"CREATE TABLE pj_q140_t USING pjparquet OPTIONS (path '$tmp')")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val before = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+        .entries.map(_.path).toSet
+      s.sql("DELETE FROM pj_q140_t WHERE o_orderstatus = 'F' AND price_cents < 15000000")
+      s.sql("DELETE FROM pj_q140_t WHERE o_custkey <= 50") // merges vectors
+      val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      val noRewrite = head.entries.forall(e => before.contains(e.path))
+      val oneCommitEach = head.version == 3L
+      val dvCount = head.entries.count(_.dv.isDefined).toLong
+      s.table("pj_q140_t")
+        .groupBy($"o_orderstatus").agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_orderkey").cast("long").as("key_sum"),
+          sum($"price_cents").cast("long").as("cents_sum"))
+        .withColumn("no_file_rewritten", lit(if (noRewrite) 1L else 0L))
+        .withColumn("two_dv_commits", lit(if (oneCommitEach) 1L else 0L))
+        .withColumn("files_with_vectors", lit(dvCount))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1351,6 +1388,22 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q140_dv_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(sum(price_cents) AS BIGINT) AS cents_sum,
+        |       CAST(1 AS BIGINT) AS no_file_rewritten,
+        |       CAST(1 AS BIGINT) AS two_dv_commits,
+        |       CAST(4 AS BIGINT) AS files_with_vectors
+        |FROM base
+        |WHERE NOT ((o_orderstatus = 'F' AND price_cents < 15000000)
+        |           OR o_custkey <= 50)
+        |GROUP BY o_orderstatus""".stripMargin,
     "q139_add_column" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(k) AS BIGINT) AS k_sum,

@@ -85,64 +85,172 @@ object PjChangeFeed {
     // unknowable, and silently treating it as empty would re-emit every
     // carried-over row as an insert — fail loudly instead (the scaladoc
     // contract)
-    val prevFiles: Set[String] =
-      if (version == 1L) Set.empty
+    val prevEntries: Map[String, PjCommitLog.FileEntry] =
+      if (version == 1L) Map.empty
       else if (!vs.contains(version - 1))
         throw new graft.core.PJException(
           s"pjparquet: cannot compute changes at version $version: its " +
             s"predecessor version ${version - 1} was expired by vacuum " +
             s"(oldest retained: ${vs.min}); no persisted change files exist " +
             "for this version either")
-      else PjCommitLog.read(fs, rootPath, version - 1).files.toSet
+      else PjCommitLog.read(fs, rootPath, version - 1)
+        .entries.map(e => e.path -> e).toMap
+    val prevFiles = prevEntries.keySet
     val d = PjCommitLog.delta(fs, rootPath, version)
-    // idempotent replays may re-add an already-live path: not a change.
+    val readded = d.add.map(_.path).toSet
+    // idempotent replays may re-add an already-live path: not a change —
+    // UNLESS the re-add changed the entry's DELETION VECTOR, in which case
+    // the change rows are exactly the file's newly-deleted positions.
     // A legacy full-snapshot commit records the full state as `add`.
-    val added: Seq[String] =
-      d.add.map(_.path).filterNot(prevFiles.contains)
-    val removed: Seq[String] =
-      if (d.legacyFull) (prevFiles -- d.add.map(_.path).toSet).toSeq.sorted
-      else d.remove.filter(prevFiles.contains)
-
-    val (preLabel, postLabel) = d.operation match {
-      case Some("update") | Some("merge") => ("update_preimage", "update_postimage")
-      case _ => ("delete", "insert")
+    val dvTrans: Seq[(String, Option[String], String)] = d.add.flatMap { e =>
+      prevEntries.get(e.path) match {
+        case Some(p) if e.dv.map(_.path) != p.dv.map(_.path) && e.dv.isDefined =>
+          Some((e.path, p.dv.map(_.path), e.dv.get.path))
+        case _ => None
+      }
     }
+    val added: Seq[(String, Option[String])] =
+      d.add.filterNot(e => prevFiles.contains(e.path)).map(e => e.path -> e.dv.map(_.path))
+    val removed: Seq[(String, Option[String])] =
+      (if (d.legacyFull) (prevFiles -- readded).toSeq.sorted
+      else d.remove.filter(prevFiles.contains).filterNot(readded.contains))
+        .map(r => r -> prevEntries.get(r).flatMap(_.dv).map(_.path))
+
+    val (preLabel, postLabel) = labelsOf(d.operation)
 
     val rootQ = fs.makeQualified(rootPath).toString
-    def readRels(rels: Seq[String]): Option[DataFrame] =
-      if (rels.isEmpty) None
-      else {
-        val df = spark.read.option("basePath", rootQ)
-          .parquet(rels.map(rel => s"$rootQ/$rel"): _*)
-        // partition columns come from directory inference; align their
-        // types with the pjparquet convention (LONG when every value
-        // parses, else STRING) so the feed's schema matches table reads
-        val partVals: Map[String, Seq[String]] = rels
-          .flatMap(rel => PjBatchWrite.partsOfRel(rel).toSeq)
-          .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
-        Some(partVals.foldLeft(df) { case (acc, (k, vals)) =>
-          if (!acc.columns.exists(_.equalsIgnoreCase(k))) acc
-          else {
-            val allLong = vals.nonEmpty &&
-              vals.forall(v => scala.util.Try(v.toLong).isSuccess)
-            acc.withColumn(k, col(k).cast(if (allLong) "long" else "string"))
-          }
-        })
-      }
-
-    val pre = readRels(removed)
-    val post = readRels(added)
-    val out = (pre, post) match {
+    val pre = readRels(spark, rootQ, removed)
+    val post = readRels(spark, rootQ, added)
+    val base = (pre, post) match {
+      case (None, None) => None
+      case (None, Some(p)) => Some(p.withColumn("_change_type", lit(postLabel)))
+      case (Some(p), None) => Some(p.withColumn("_change_type", lit(preLabel)))
+      case (Some(a), Some(b)) => Some(multisetDiff(a, b, preLabel, postLabel))
+    }
+    val dvPart =
+      if (dvTrans.isEmpty) None
+      else Some(dvDiffRows(spark, rootQ, dvTrans).withColumn("_change_type", lit("delete")))
+    val out = (base, dvPart) match {
       case (None, None) =>
         // metadata-only commit: schema from the version itself, zero rows
         spark.read.format("pjparquet").option("versionAsOf", version.toString)
           .load(root).where(lit(false)).withColumn("_change_type", lit(""))
-      case (None, Some(p)) => p.withColumn("_change_type", lit(postLabel))
-      case (Some(p), None) => p.withColumn("_change_type", lit(preLabel))
-      case (Some(a), Some(b)) => multisetDiff(a, b, preLabel, postLabel)
+      case (Some(b), None) => b
+      case (None, Some(dv)) => dv
+      case (Some(b), Some(dv)) => b.unionByName(dv)
     }
     out.withColumn("_commit_version", lit(version))
   }
+
+  /** Raw scan of table-relative files, each filtered to its LIVE rows (its
+    * deletion vector's positions removed), partition-column types aligned
+    * with the pjparquet read convention. None when `rels` is empty.
+    */
+  private def readRels(
+      spark: SparkSession, rootQ: String,
+      rels: Seq[(String, Option[String])]): Option[DataFrame] =
+    if (rels.isEmpty) None
+    else {
+      val df = spark.read.option("basePath", rootQ)
+        .parquet(rels.map(r => s"$rootQ/${r._1}"): _*)
+      // partition columns come from directory inference; align their
+      // types with the pjparquet convention (LONG when every value
+      // parses, else STRING) so the feed's schema matches table reads
+      val partVals: Map[String, Seq[String]] = rels
+        .flatMap(r => PjBatchWrite.partsOfRel(r._1).toSeq)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
+      val aligned = partVals.foldLeft(df) { case (acc, (k, vals)) =>
+        if (!acc.columns.exists(_.equalsIgnoreCase(k))) acc
+        else {
+          val allLong = vals.nonEmpty &&
+            vals.forall(v => scala.util.Try(v.toLong).isSuccess)
+          acc.withColumn(k, col(k).cast(if (allLong) "long" else "string"))
+        }
+      }
+      Some(filterDeleted(spark, rootQ, aligned, rels))
+    }
+
+  /** Drop each file's deletion-vector positions from a raw multi-file scan
+    * (no-op when no file carries a vector): `_metadata.file_path` +
+    * `_metadata.row_index` resolve the row's (file, position), and a
+    * broadcast (canonical path → vector) lookup decides membership with
+    * executor-cached decoded vectors.
+    */
+  private def filterDeleted(
+      spark: SparkSession, rootQ: String, df: DataFrame,
+      rels: Seq[(String, Option[String])]): DataFrame =
+    if (rels.forall(_._2.isEmpty)) df
+    else {
+      val rootKey = canonRootKey(rootQ)
+      val byPath: Map[String, String] = rels.collect {
+        case (rel, Some(dvRel)) => s"$rootKey/$rel" -> s"$rootQ/$dvRel"
+      }.toMap
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val bc = spark.sparkContext.broadcast((byPath, hconf))
+      val live = udf((file: String, idx: Long) => {
+        val (m, c) = bc.value
+        m.get(canonScanPath(file)) match {
+          case Some(dvAbs) =>
+            !PjDeletionVector.contains(PjDeletionVector.cached(c.value, dvAbs), idx)
+          case None => true
+        }
+      })
+      df.withColumn("_pj_mf", col("_metadata.file_path"))
+        .withColumn("_pj_mi", col("_metadata.row_index"))
+        .filter(live(col("_pj_mf"), col("_pj_mi")))
+        .drop("_pj_mf", "_pj_mi")
+    }
+
+  /** The rows a deletion-vector transition deleted: each file's positions
+    * in (new vector ∖ old vector), read from the file's bytes — labeled by
+    * the caller. `trans` = (rel, old vector rel if any, new vector rel).
+    */
+  private def dvDiffRows(
+      spark: SparkSession, rootQ: String,
+      trans: Seq[(String, Option[String], String)]): DataFrame = {
+    val rootKey = canonRootKey(rootQ)
+    val byPath: Map[String, (String, String)] = trans.map { case (rel, oldDv, newDv) =>
+      s"$rootKey/$rel" -> ((oldDv.map(r => s"$rootQ/$r").orNull, s"$rootQ/$newDv"))
+    }.toMap
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val bc = spark.sparkContext.broadcast((byPath, hconf))
+    val newlyDeleted = udf((file: String, idx: Long) => {
+      val (m, c) = bc.value
+      m.get(canonScanPath(file)) match {
+        case Some((oldDv, newDv)) =>
+          PjDeletionVector.contains(PjDeletionVector.cached(c.value, newDv), idx) &&
+            (oldDv == null ||
+              !PjDeletionVector.contains(PjDeletionVector.cached(c.value, oldDv), idx))
+        case None => false
+      }
+    })
+    val df = spark.read.option("basePath", rootQ)
+      .parquet(trans.map(t => s"$rootQ/${t._1}"): _*)
+    val partVals: Map[String, Seq[String]] = trans
+      .flatMap(t => PjBatchWrite.partsOfRel(t._1).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
+    val aligned = partVals.foldLeft(df) { case (acc, (k, vals)) =>
+      if (!acc.columns.exists(_.equalsIgnoreCase(k))) acc
+      else {
+        val allLong = vals.nonEmpty &&
+          vals.forall(v => scala.util.Try(v.toLong).isSuccess)
+        acc.withColumn(k, col(k).cast(if (allLong) "long" else "string"))
+      }
+    }
+    aligned
+      .withColumn("_pj_mf", col("_metadata.file_path"))
+      .withColumn("_pj_mi", col("_metadata.row_index"))
+      .filter(newlyDeleted(col("_pj_mf"), col("_pj_mi")))
+      .drop("_pj_mf", "_pj_mi")
+  }
+
+  private def canonRootKey(rootQ: String): String =
+    try {
+      val u = new java.net.URI(rootQ)
+      Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse(rootQ)
+    } catch { case _: java.net.URISyntaxException => rootQ }
 
   /** What one commit contributes to the feed — the planning unit shared by
     * the batch range read ([[changes]]) and the streaming source
@@ -152,12 +260,14 @@ object PjChangeFeed {
   private[pjparquet] sealed trait VersionClass { def version: Long }
   /** Change rows persisted at commit time under `_pj_cdc/v=<version>/`. */
   private[pjparquet] final case class Persisted(version: Long) extends VersionClass
-  /** Every row of `rels` enters the feed labeled `label` (pure add). */
+  /** Every LIVE row of `rels` (each with its deletion vector, if any)
+    * enters the feed labeled `label` (pure add).
+    */
   private[pjparquet] final case class PureAdd(
-      version: Long, rels: Seq[String], label: String) extends VersionClass
-  /** Every row of `rels` enters the feed labeled `label` (pure remove). */
+      version: Long, rels: Seq[(String, Option[String])], label: String) extends VersionClass
+  /** Every LIVE row of `rels` enters the feed labeled `label` (pure remove). */
   private[pjparquet] final case class PureRemove(
-      version: Long, rels: Seq[String], label: String) extends VersionClass
+      version: Long, rels: Seq[(String, Option[String])], label: String) extends VersionClass
   /** Copy-on-write rewrite without persisted change files: needs the
     * read-time multiset diff ([[changesAt]]).
     */
@@ -181,13 +291,16 @@ object PjChangeFeed {
       range: Seq[Long],
       allVersions: Seq[Long]): Seq[VersionClass] = {
     require(range.nonEmpty && range == range.sorted, "classifyRange needs an ascending range")
-    // live file set BEFORE the first version of the range; null = unknowable
-    // (predecessor expired) — resolvable lazily from the first version's own
-    // snapshot once that version proves persisted
-    var live: Set[String] =
-      if (range.head == 1L) Set.empty
+    // live (file → deletion-vector rel) BEFORE the first version of the
+    // range; null = unknowable (predecessor expired) — resolvable lazily
+    // from the first version's own snapshot once that version proves
+    // persisted
+    def liveOf(entries: Seq[PjCommitLog.FileEntry]): Map[String, Option[String]] =
+      entries.map(e => e.path -> e.dv.map(_.path)).toMap
+    var live: Map[String, Option[String]] =
+      if (range.head == 1L) Map.empty
       else if (allVersions.contains(range.head - 1))
-        PjCommitLog.read(fs, rootPath, range.head - 1).files.toSet
+        liveOf(PjCommitLog.read(fs, rootPath, range.head - 1).entries)
       else null
     range.map { v =>
       val persisted = fs.exists(cdcDir(rootPath, v))
@@ -201,25 +314,33 @@ object PjChangeFeed {
               "files exist for this version either")
         else {
           val d = PjCommitLog.delta(fs, rootPath, v)
+          val readded = d.add.map(_.path).toSet
+          // a re-add whose entry changed DELETION VECTOR is a row-level
+          // change (the newly-deleted positions) — the diff path computes it
+          val dvTrans = d.add.exists(e =>
+            live.contains(e.path) && live(e.path) != e.dv.map(_.path))
           // for a legacy full-state commit d.add IS the post state, so the
           // same filterNot(live) yields exactly the truly-new files
-          val added = d.add.map(_.path).filterNot(live.contains)
-          val removed =
-            if (d.legacyFull) (live -- d.add.map(_.path).toSet).toSeq.sorted
-            else d.remove.filter(live.contains)
+          val added = d.add.filterNot(e => live.contains(e.path))
+            .map(e => e.path -> e.dv.map(_.path))
+          val removed: Seq[(String, Option[String])] =
+            (if (d.legacyFull) (live.keySet -- readded).toSeq.sorted
+            else d.remove.filter(live.contains).filterNot(readded.contains))
+              .map(r => r -> live(r))
           val (preL, postL) = labelsOf(d.operation)
-          if (added.isEmpty && removed.isEmpty) MetadataOnly(v)
+          if (dvTrans) Rewrite(v)
+          else if (added.isEmpty && removed.isEmpty) MetadataOnly(v)
           else if (removed.isEmpty) PureAdd(v, added, postL)
           else if (added.isEmpty) PureRemove(v, removed, preL)
           else Rewrite(v)
         }
       // advance the live set THROUGH this version for the next one
       live =
-        if (live == null) PjCommitLog.read(fs, rootPath, v).files.toSet
+        if (live == null) liveOf(PjCommitLog.read(fs, rootPath, v).entries)
         else {
           val d = PjCommitLog.delta(fs, rootPath, v)
-          if (d.legacyFull) d.add.map(_.path).toSet
-          else live -- d.remove ++ d.add.map(_.path)
+          if (d.legacyFull) liveOf(d.add)
+          else live -- d.remove ++ d.add.map(e => e.path -> e.dv.map(_.path))
         }
       cls
     }
@@ -283,10 +404,10 @@ object PjChangeFeed {
     }
     if (adds.nonEmpty)
       parts += labeledScan(spark, rootQ,
-        adds.flatMap(a => a.rels.map(r => (r, a.version, a.label))))
+        adds.flatMap(a => a.rels.map { case (rel, dv) => (rel, a.version, a.label, dv) }))
     if (removes.nonEmpty)
       parts += labeledScan(spark, rootQ,
-        removes.flatMap(r => r.rels.map(rel => (rel, r.version, r.label))))
+        removes.flatMap(r => r.rels.map { case (rel, dv) => (rel, r.version, r.label, dv) }))
     rewrites.foreach(v => parts += changesAt(spark, root, v))
 
     val built = parts.result()
@@ -300,7 +421,7 @@ object PjChangeFeed {
     * `p=a%20b` — the writer's URL-encoded partition value — arrives as
     * `p=a%2520b` and decodes back to the literal dir name).
     */
-  private def canonScanPath(s: String): String =
+  private[pjparquet] def canonScanPath(s: String): String =
     try {
       val u = new java.net.URI(s)
       Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse(s)
@@ -319,15 +440,11 @@ object PjChangeFeed {
     */
   private def labeledScan(
       spark: SparkSession, rootQ: String,
-      fileMeta: Seq[(String, Long, String)]): DataFrame = {
+      fileMeta: Seq[(String, Long, String, Option[String])]): DataFrame = {
     val rels = fileMeta.map(_._1)
-    val rootKey =
-      try {
-        val u = new java.net.URI(rootQ)
-        Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse(rootQ)
-      } catch { case _: java.net.URISyntaxException => rootQ }
+    val rootKey = canonRootKey(rootQ)
     val byPath: Map[String, (Long, String)] =
-      fileMeta.map { case (rel, v, l) => s"$rootKey/$rel" -> ((v, l)) }.toMap
+      fileMeta.map { case (rel, v, l, _) => s"$rootKey/$rel" -> ((v, l)) }.toMap
     val bc = spark.sparkContext.broadcast(byPath)
     val metaU = udf((p: String) => bc.value.getOrElse(canonScanPath(p),
       throw new graft.core.PJException(
@@ -346,7 +463,7 @@ object PjChangeFeed {
         acc.withColumn(k, col(k).cast(if (allLong) "long" else "string"))
       }
     }
-    aligned
+    filterDeleted(spark, rootQ, aligned, fileMeta.map(m => (m._1, m._4)))
       .withColumn("_pj_m", metaU(input_file_name()))
       .withColumn("_change_type", col("_pj_m._2"))
       .withColumn("_commit_version", col("_pj_m._1"))

@@ -347,14 +347,17 @@ private[pjparquet] class PjCdfMicroBatchStream(
     val cdcFiles = Seq.newBuilder[PjFile]
     resolved.foreach {
       case PjChangeFeed.PureAdd(v, rels, label) =>
-        dataFiles ++= filesOfVersion(v, rels, conf)
+        // the snapshot resolution at `v` attaches each file's deletion
+        // vector as of that version, so the scan reads live rows only
+        dataFiles ++= filesOfVersion(v, rels.map(_._1), conf)
           .map(f => f.copy(partitionValues =
             f.partitionValues ++ (label +: versionConsts(v))))
       case PjChangeFeed.PureRemove(v, rels, label) =>
         // removed files belong to the PREDECESSOR's layout (still on disk
         // until vacuum; vacuum past an un-consumed stream cursor is the
-        // operator error the age guard exists for)
-        dataFiles ++= filesOfVersion(v - 1, rels, conf)
+        // operator error the age guard exists for) — with the
+        // predecessor's deletion vectors applied
+        dataFiles ++= filesOfVersion(v - 1, rels.map(_._1), conf)
           .map(f => f.copy(partitionValues =
             f.partitionValues ++ (label +: versionConsts(v))))
       case PjChangeFeed.Persisted(v) =>

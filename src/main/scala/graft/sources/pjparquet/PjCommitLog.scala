@@ -84,6 +84,12 @@ object PjCommitLog {
     * before (eager per-file load); entries with full facts plan with zero
     * file I/O ([[planned]]).
     */
+  /** A deletion vector attached to a file entry: `path` is the vector's
+    * table-relative path ([[PjDeletionVector]] format), `deleted` its
+    * exact cardinality (so `count(*)` stays metadata-rate: rows − deleted).
+    */
+  final case class DvRef(path: String, deleted: Long)
+
   final case class FileEntry(
       path: String,
       size: Long = -1L,
@@ -92,11 +98,14 @@ object PjCommitLog {
       fingerprint: Option[Long] = None,
       nested: Boolean = false,
       cols: Option[Seq[String]] = None,
-      stats: Map[String, ColStat] = Map.empty) {
+      stats: Map[String, ColStat] = Map.empty,
+      dv: Option[DvRef] = None) {
     /** Plannable from the log alone (no sidecar/footer open needed). */
     def planned: Boolean = size >= 0 && rows >= 0 && rowGroups >= 0 && fingerprint.isDefined
     /** Zero-row-group parquet (legal, un-indexable, contributes no rows). */
     def isEmptyFile: Boolean = rows == 0 && rowGroups == 0
+    /** Rows a read of this file actually delivers (physical − DV-deleted). */
+    def liveRows: Long = if (rows < 0) rows else rows - dv.map(_.deleted).getOrElse(0L)
   }
 
   /** Materialized state at a version (replayed checkpoint + delta tail).
@@ -546,7 +555,11 @@ object PjCommitLog {
         StructField("nc", LongType, nullable = false),
         StructField("mn", BinaryType, nullable = true),
         StructField("mx", BinaryType, nullable = true))), containsNull = false),
-        nullable = true)))
+        nullable = true),
+      // deletion vector (rel path + cardinality) — nullable, so checkpoints
+      // written before the columns existed read back as no-vector entries
+      StructField("dv", StringType, nullable = true),
+      StructField("dn", LongType, nullable = true)))
   }
 
   private def writeParquetEntries(
@@ -564,7 +577,9 @@ object PjCommitLog {
         if (e.stats.isEmpty) null
         else e.stats.toSeq.sortBy(_._1).map { case (name, cs) =>
           Row(name, cs.physType, cs.nullCount, cs.min.orNull, cs.max.orNull)
-        }))
+        },
+        e.dv.map(_.path).orNull,
+        e.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull))
     }
     val parts = math.max(1, math.min(64, snap.entries.size / 100000 + 1))
     val tmp = new Path(logDir(root), s".${dir.getName}.${java.util.UUID.randomUUID()}.tmp")
@@ -602,7 +617,9 @@ object PjCommitLog {
         if (row.isNullAt(4)) None else Some(row.getLong(4)),
         row.getBoolean(5),
         if (row.isNullAt(6)) None else Some(row.getSeq[String](6).toList),
-        stats)
+        stats,
+        if (row.isNullAt(8)) None
+        else Some(DvRef(row.getString(8), if (row.isNullAt(9)) 0L else row.getLong(9))))
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
@@ -901,6 +918,10 @@ object PjCommitLog {
         cs.max.foreach(m => s.put("mx", b64.encodeToString(m)))
       }
     }
+    e.dv.foreach { d =>
+      n.put("dv", d.path)
+      n.put("dn", d.deleted)
+    }
     n
   }
 
@@ -923,7 +944,8 @@ object PjCommitLog {
       Option(n.get("f")).map(f => java.lang.Long.parseUnsignedLong(f.asText, 16)),
       n.path("n").asBoolean(false),
       Option(n.get("c")).map(_.elements().asScala.map(_.asText).toSeq),
-      stats)
+      stats,
+      Option(n.get("dv")).map(d => DvRef(d.asText, n.path("dn").asLong(0L))))
   }
 
   private def nodeEntries(node: JsonNode, field: String): Seq[FileEntry] =

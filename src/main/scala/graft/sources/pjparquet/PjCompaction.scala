@@ -45,6 +45,48 @@ object PjCompaction {
 
   private final case class DataFile(path: String, dir: String, bytes: Long)
 
+  /** Filter each consumed file's deletion-vector positions out of a raw
+    * rewrite scan (no-op when no consumed file carries a vector):
+    * `_metadata.file_path`/`row_index` resolve the row's (file, position),
+    * a broadcast (canonical path → vector path) lookup decides membership
+    * with executor-cached decoded vectors. Used by [[compact]] and
+    * [[optimize]] — the rewrites that MATERIALIZE vectors away.
+    */
+  private def applyDvFilter(
+      spark: SparkSession,
+      hconf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      rootUri: String,
+      consumed: Seq[DataFile],
+      dvByRel: Map[String, String],
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (dvByRel.isEmpty) return df
+    val consumedDvs: Seq[(String, String)] = consumed.iterator.flatMap { f =>
+      val rel = PjCommitLog.relativize(fs, rootPath, new Path(f.path))
+      dvByRel.get(rel).map(rel -> _)
+    }.toSeq
+    if (consumedDvs.isEmpty) return df
+    val rootKey = PjChangeFeed.canonScanPath(rootUri)
+    val byPath: Map[String, String] = consumedDvs.map { case (rel, dvRel) =>
+      s"$rootKey/$rel" -> s"$rootUri/$dvRel"
+    }.toMap
+    val hb = spark.sparkContext.broadcast((byPath,
+      new org.apache.spark.util.SerializableConfiguration(hconf)))
+    val live = udf((file: String, idx: Long) => {
+      val (m, c) = hb.value
+      m.get(PjChangeFeed.canonScanPath(file)) match {
+        case Some(dvAbs) =>
+          !PjDeletionVector.contains(PjDeletionVector.cached(c.value, dvAbs), idx)
+        case None => true
+      }
+    })
+    df.withColumn("_pj_mf", col("_metadata.file_path"))
+      .withColumn("_pj_mi", col("_metadata.row_index"))
+      .filter(live(col("_pj_mf"), col("_pj_mi")))
+      .drop("_pj_mf", "_pj_mi")
+  }
+
   /** Compact every directory under `root` whose small files (< `smallThreshold`,
     * default `targetBytes / 2`) number at least `minFilesPerDir`. Rows from
     * consumed files are rewritten into ~`ceil(smallBytes / targetBytes)`
@@ -71,6 +113,12 @@ object PjCompaction {
     val logging = PjCommitLog.isEnabled(fs, rootPath)
     val prevSnap = if (logging) PjCommitLog.latest(fs, rootPath) else None
     val baseSnapshot: Option[Set[String]] = prevSnap.map(_.files.toSet)
+    // deletion-vector rel per live file: compaction is where vectors get
+    // MATERIALIZED — a dv-carrying file is always consumed (regardless of
+    // size), its deleted rows dropped from the rewrite, and the
+    // replacement entries carry no vector
+    val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)
+      .flatMap(e => e.dv.map(d => e.path -> d.path)).toMap
     val all = {
       val it = fs.listFiles(rootPath, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
@@ -90,8 +138,11 @@ object PjCompaction {
     // input_file_name() may render "file:///tmp/x" — compare path-only
     def normDir(s: String): String = s.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
 
-    val smallByDir = all.filter(_.bytes < threshold).groupBy(f => normDir(f.dir))
-      .filter(_._2.size >= minFilesPerDir)
+    def hasDv(f: DataFile): Boolean =
+      dvByRel.contains(PjCommitLog.relativize(fs, rootPath, new Path(f.path)))
+    val smallByDir = all.filter(f => f.bytes < threshold || hasDv(f))
+      .groupBy(f => normDir(f.dir))
+      .filter { case (_, fsz) => fsz.size >= minFilesPerDir || fsz.exists(hasDv) }
     if (smallByDir.isEmpty)
       return Report(all.size, 0, 0, all.size, 0, 0)
 
@@ -125,9 +176,13 @@ object PjCompaction {
           case _ => None
         }).toSeq
     }
-    val raw = spark.read.option("basePath", rootUri)
+    val raw0 = spark.read.option("basePath", rootUri)
       .option("mergeSchema", "true")
       .parquet(consumed.map(_.path): _*)
+    // deletion vectors apply DURING the rewrite: consumed files' deleted
+    // positions never reach the replacement files (merge-on-read
+    // materialization — the rewrite IS the purge)
+    val raw = applyDvFilter(spark, hconf, fs, rootPath, rootUri, consumed, dvByRel, raw0)
     // logged tables rewrite through the RECORDED schema: a compacted file
     // sheds dropped columns' bytes (Delta REORG PURGE semantics — re-ADD
     // of the name becomes legal again), upcasts type-widened columns to
@@ -291,7 +346,10 @@ object PjCompaction {
     }
     if (all.isEmpty) return Report(0, 0, 0, 0, 0, 0)
 
-    val df = spark.read.option("basePath", rootUri).parquet(all.map(_.path): _*)
+    val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)
+      .flatMap(e => e.dv.map(d => e.path -> d.path)).toMap
+    val df0 = spark.read.option("basePath", rootUri).parquet(all.map(_.path): _*)
+    val df = applyDvFilter(spark, hconf, fs, rootPath, rootUri, all, dvByRel, df0)
     val dataCols = spark.read.parquet(all.head.path).columns.toSeq
     val partCols = df.columns.filterNot(dataCols.contains).toSeq
     require(zorderCols.forall(dataCols.contains),

@@ -1,0 +1,208 @@
+package graft.sources.pjparquet
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMap, ColumnVector}
+
+/** Position-aware read path: generates the `_pos` metadata column and
+  * applies [[PjDeletionVector]]s WITHOUT leaving the columnar lane.
+  *
+  * Deleted rows are filtered by wrapping each batch column in a
+  * selection-indirection vector ([[PjSelectedVector]]): survivors' batch
+  * ordinals map through `sel` to the underlying vector, so no data is
+  * copied, whole-stage codegen still consumes a [[ColumnarBatch]], and
+  * batches that contain no deleted positions (the overwhelmingly common
+  * case — vectors are sparse by construction) pass through untouched.
+  */
+final class PjSelectedVector(base: ColumnVector, sel: Array[Int])
+    extends ColumnVector(base.dataType) {
+  // the inner reader owns (and recycles) the underlying vectors
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = {
+    if (!base.hasNull) 0
+    else {
+      var n = 0; var i = 0
+      while (i < sel.length) { if (base.isNullAt(sel(i))) n += 1; i += 1 }
+      n
+    }
+  }
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  // array/map contents live in the base child data and need no remap —
+  // only the per-row offsets do, which the base lookup already applies
+  override def getArray(i: Int): ColumnarArray = base.getArray(sel(i))
+  override def getMap(i: Int): ColumnarMap = base.getMap(sel(i))
+  override def getDecimal(i: Int, p: Int, s: Int) = base.getDecimal(sel(i), p, s)
+  override def getUTF8String(i: Int) = base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  override def getInterval(i: Int) = base.getInterval(sel(i))
+  // struct children ARE per-row aligned with the parent — remap them too
+  // (getStruct is final in ColumnVector and reads through getChild)
+  private lazy val children =
+    new java.util.concurrent.ConcurrentHashMap[Integer, PjSelectedVector]()
+  override def getChild(j: Int): ColumnVector =
+    children.computeIfAbsent(j, _ => new PjSelectedVector(base.getChild(j), sel))
+}
+
+/** The generated `_pos` column: one long per surviving batch row. */
+final class PjPositionVector(positions: Array[Long]) extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getLong(i: Int): Long = positions(i)
+  private def nope: Nothing =
+    throw new UnsupportedOperationException("_pos is a LONG column")
+  override def getBoolean(i: Int): Boolean = nope
+  override def getByte(i: Int): Byte = nope
+  override def getShort(i: Int): Short = nope
+  override def getInt(i: Int): Int = nope
+  override def getFloat(i: Int): Float = nope
+  override def getDouble(i: Int): Double = nope
+  override def getArray(i: Int): ColumnarArray = nope
+  override def getMap(i: Int): ColumnarMap = nope
+  override def getDecimal(i: Int, p: Int, s: Int) = nope
+  override def getUTF8String(i: Int) = nope
+  override def getBinary(i: Int): Array[Byte] = nope
+  override def getChild(j: Int): ColumnVector = nope
+}
+
+/** Tracks the file-absolute position of each batch row as the inner reader
+  * streams a split's row groups, filters deletion-vector positions, and
+  * overwrites the `_pos` placeholder column (when requested) with real
+  * positions. Shared by the columnar and row paths.
+  *
+  * `rgStartRows(i)` / `rgRows(i)` describe the split's i-th row group
+  * (absolute start position; physical row count). The vectorized reader
+  * never yields a batch spanning two row groups (it reads up to the end
+  * of the current group), which `advance` asserts.
+  */
+private final class PositionCursor(rgStartRows: Array[Long], rgRows: Array[Long]) {
+  private var rg = 0
+  private var rowInRg = 0L
+  /** Absolute position of the first row of an `n`-row batch; advances. */
+  def advance(n: Int): Long = {
+    while (rg < rgRows.length && rowInRg >= rgRows(rg)) { rg += 1; rowInRg = 0L }
+    require(rg < rgRows.length && rowInRg + n <= rgRows(rg),
+      s"pjparquet: batch of $n rows does not fit the split's row-group layout")
+    val start = rgStartRows(rg) + rowInRg
+    rowInRg += n
+    start
+  }
+}
+
+object PjPositionAwareReader {
+  /** Physical row counts of the split's row groups, aligned with the
+    * materialized (already split-filtered) footer's block order.
+    */
+  def rgRowsOf(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Array[Long] = {
+    val blocks = footer.getBlocks
+    Array.tabulate(blocks.size())(i => blocks.get(i).getRowCount)
+  }
+}
+
+/** Columnar wrapper. `dv` empty = position generation only. */
+final class PjPositionAwareColumnarReader(
+    inner: VectorizedParquetRecordReader,
+    rgStartRows: Array[Long],
+    rgRows: Array[Long],
+    dv: Array[Long],
+    posOrdinal: Int)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val cursor = new PositionCursor(rgStartRows, rgRows)
+  private var out: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (inner.nextKeyValue()) {
+      val b = inner.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val n = b.numRows()
+      if (n == 0) { out = b; return true }
+      val start = cursor.advance(n)
+      val deletedHere =
+        if (dv.isEmpty) 0 else PjDeletionVector.countInRange(dv, start, start + n)
+      if (deletedHere == 0) {
+        if (posOrdinal < 0) out = b
+        else {
+          val positions = Array.tabulate(n)(i => start + i)
+          out = replaceColumn(b, posOrdinal, new PjPositionVector(positions), n)
+        }
+        return true
+      }
+      if (deletedHere < n) {
+        // selection indirection over the survivors — no data copied
+        val sel = new Array[Int](n - deletedHere)
+        var i = 0; var k = 0
+        var d = PjDeletionVector.lowerBound(dv, start)
+        while (i < n) {
+          if (d < dv.length && dv(d) == start + i) d += 1
+          else { sel(k) = i; k += 1 }
+          i += 1
+        }
+        val cols = Array.tabulate(b.numCols()) { c =>
+          if (c == posOrdinal) {
+            val positions = new Array[Long](sel.length)
+            var j = 0
+            while (j < sel.length) { positions(j) = start + sel(j); j += 1 }
+            new PjPositionVector(positions): ColumnVector
+          } else new PjSelectedVector(b.column(c), sel): ColumnVector
+        }
+        out = new ColumnarBatch(cols, sel.length)
+        return true
+      }
+      // whole batch deleted: keep scanning
+    }
+    false
+  }
+
+  private def replaceColumn(
+      b: ColumnarBatch, ord: Int, v: ColumnVector, n: Int): ColumnarBatch = {
+    val cols = Array.tabulate(b.numCols())(c => if (c == ord) v else b.column(c))
+    new ColumnarBatch(cols, n)
+  }
+
+  override def get(): ColumnarBatch = out
+  override def close(): Unit = inner.close()
+}
+
+/** Row wrapper (non-columnar consumers): same position tracking, per-row
+  * deletion skip, `_pos` override via row copy (only when requested).
+  */
+final class PjPositionAwareRowReader(
+    inner: VectorizedParquetRecordReader,
+    rgStartRows: Array[Long],
+    rgRows: Array[Long],
+    dv: Array[Long],
+    posOrdinal: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val cursor = new PositionCursor(rgStartRows, rgRows)
+  private var pos = -1L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.nextKeyValue()) {
+      pos = cursor.advance(1)
+      if (dv.isEmpty || !PjDeletionVector.contains(dv, pos)) {
+        val r = inner.getCurrentValue.asInstanceOf[InternalRow]
+        current =
+          if (posOrdinal < 0) r
+          else { val c = r.copy(); c.setLong(posOrdinal, pos); c }
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}

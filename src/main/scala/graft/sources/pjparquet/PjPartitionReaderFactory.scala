@@ -29,7 +29,12 @@ final case class PjPartitionReaderFactory(
     capacity: Int,
     offHeap: Boolean,
     datetimeRebaseModeConf: String,
-    int96RebaseModeConf: String)
+    int96RebaseModeConf: String,
+    /** Ordinal of the `_pos` metadata column WITHIN the partition/constant
+      * schema (−1 = not requested): the reader overwrites its placeholder
+      * constant with generated file-absolute positions.
+      */
+    posPartOrdinal: Int = -1)
     extends PartitionReaderFactory {
 
   @transient private lazy val requiredSchema =
@@ -40,7 +45,12 @@ final case class PjPartitionReaderFactory(
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
 
-  private def openReader(p: PjInputPartition, returningBatch: Boolean): VectorizedParquetRecordReader = {
+  /** Batch ordinal of `_pos`: data columns precede the constants. */
+  private def posBatchOrdinal: Int =
+    if (posPartOrdinal < 0) -1 else requiredSchema.size + posPartOrdinal
+
+  private def openReader(p: PjInputPartition, returningBatch: Boolean)
+      : (VectorizedParquetRecordReader, org.apache.parquet.hadoop.metadata.ParquetMetadata) = {
     val hadoopConf = conf.value.value
     val materialized = PalletJack.materialize(p.prunedFooter)
     // nested-fallback split: the shipped bytes are the file's RAW footer —
@@ -90,24 +100,39 @@ final case class PjPartitionReaderFactory(
       if (returningBatch) reader.enableReturningBatches()
       ok = true
     } finally if (!ok) reader.close()
-    reader
+    (reader, footer)
   }
 
+  /** Deletion vector of the split (decoded, executor-cached), or empty. */
+  private def dvOf(p: PjInputPartition): Array[Long] =
+    if (p.dvPath.isEmpty) Array.emptyLongArray
+    else PjDeletionVector.cached(conf.value.value, p.dvPath)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val reader = openReader(partition.asInstanceOf[PjInputPartition], returningBatch = false)
-    new PartitionReader[InternalRow] {
-      override def next(): Boolean = reader.nextKeyValue()
-      override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
-      override def close(): Unit = reader.close()
-    }
+    val p = partition.asInstanceOf[PjInputPartition]
+    val (reader, footer) = openReader(p, returningBatch = false)
+    if (p.dvPath.isEmpty && posPartOrdinal < 0)
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = reader.nextKeyValue()
+        override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
+        override def close(): Unit = reader.close()
+      }
+    else
+      new PjPositionAwareRowReader(reader, p.rgStartRows,
+        PjPositionAwareReader.rgRowsOf(footer), dvOf(p), posBatchOrdinal)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val reader = openReader(partition.asInstanceOf[PjInputPartition], returningBatch = true)
-    new PartitionReader[ColumnarBatch] {
-      override def next(): Boolean = reader.nextKeyValue()
-      override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-      override def close(): Unit = reader.close()
-    }
+    val p = partition.asInstanceOf[PjInputPartition]
+    val (reader, footer) = openReader(p, returningBatch = true)
+    if (p.dvPath.isEmpty && posPartOrdinal < 0)
+      new PartitionReader[ColumnarBatch] {
+        override def next(): Boolean = reader.nextKeyValue()
+        override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        override def close(): Unit = reader.close()
+      }
+    else
+      new PjPositionAwareColumnarReader(reader, p.rgStartRows,
+        PjPositionAwareReader.rgRowsOf(footer), dvOf(p), posBatchOrdinal)
   }
 }

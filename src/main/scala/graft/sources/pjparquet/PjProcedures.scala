@@ -79,7 +79,8 @@ object PjProcedures {
 
   val Names: Seq[String] = Seq(
     "vacuum", "expire_versions", "expire_older_than", "compact",
-    "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history")
+    "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
+    "purge_deletion_vectors")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -135,6 +136,21 @@ object PjProcedures {
             val cols = input.getUTF8String(1).toString
               .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
             val r = PjCompaction.optimize(spark, tableArg(input), cols, input.getLong(2))
+            Seq(compactRow(r))
+          })
+      case "purge_deletion_vectors" =>
+        // Delta's REORG APPLY (PURGE): rewrite ONLY the files carrying
+        // deletion vectors (dropping the deleted rows), leaving every
+        // vector-free file byte-identical. smallThreshold=1 makes no file
+        // "small", so compact's consumption set is exactly the
+        // vector-carriers it force-includes.
+        new Proc("purge_deletion_vectors",
+          Array(in("table", StringType),
+            inD("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+          compactSchema,
+          { input =>
+            val r = PjCompaction.compact(spark, tableArg(input), input.getLong(1),
+              smallThreshold = 1L)
             Seq(compactRow(r))
           })
       case "build_index" =>

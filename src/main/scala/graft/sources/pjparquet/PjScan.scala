@@ -49,8 +49,16 @@ class PjScanBuilder(
     */
   private var pushedLimit: Option[Int] = None
 
+  /** Any deletion-vector file delivers FEWER rows than its metadata
+    * claims, so row-count-based truncation (limit / top-n) could
+    * under-deliver — both refuse until compaction materializes the
+    * vectors. Aggregate pushdown refuses similarly except COUNT(*),
+    * whose exact adjustment the log records.
+    */
+  private def anyDv: Boolean = layout.files.exists(_.dv.isDefined)
+
   override def pushLimit(limit: Int): Boolean = {
-    if (limit >= 0 && !rowLevel && pushed.isEmpty && explicitRgOption.isEmpty) {
+    if (limit >= 0 && !rowLevel && pushed.isEmpty && explicitRgOption.isEmpty && !anyDv) {
       pushedLimit = Some(limit); true
     } else false
   }
@@ -79,7 +87,7 @@ class PjScanBuilder(
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (limit < 0 || rowLevel || pushed.nonEmpty || explicitRgOption.isDefined ||
-        layout.sortedBy.isEmpty || orders.isEmpty) return false
+        layout.sortedBy.isEmpty || orders.isEmpty || anyDv) return false
     def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     val partNames = layout.partitionSchema.fieldNames.map(fold).toSet
     val cols: Seq[(String, SortDirection, NullOrdering)] = orders.toSeq.map { o =>
@@ -341,6 +349,14 @@ class PjScanBuilder(
     lazy val totalRows: Long =
       perFile.iterator.map { case (_, idx, sel) => sel.iterator.map(idx.rowNumber(_)).sum }.sum
 
+    // deletion vectors: physical metadata over-counts deleted rows.
+    // COUNT(*) adjusts by the log-recorded exact cardinality (full-file
+    // selections only); everything stats-derived (count(col) null counts,
+    // min/max — the extreme row may be deleted) refuses and the batch
+    // scan answers, which applies the vectors.
+    val fileHasDv = aggFiles.exists(_.dv.isDefined)
+    val dvDeletedRows: Long = aggFiles.iterator.map(_.dv.map(_._2).getOrElse(0L)).sum
+
     /** Fold `read` over every selected chunk of `fieldName`, with an
       * optional per-FILE guard (logical-type / rebase checks that chunk
       * stats alone cannot decide). Some(None) = vacuously answerable (zero
@@ -531,12 +547,17 @@ class PjScanBuilder(
 
     val ok = agg.aggregateExpressions.forall {
       case _: aggregate.CountStar =>
-        fields += StructField("count(*)", LongType, nullable = false)
-        values += totalRows
-        descs += s"count(*)=$totalRows"
-        true
+        if (fileHasDv && explicitRgOption.isDefined) false // per-rg deleted counts unknown
+        else {
+          val v = totalRows - dvDeletedRows
+          fields += StructField("count(*)", LongType, nullable = false)
+          values += v
+          descs += s"count(*)=$v"
+          true
+        }
       case c: aggregate.Count if !c.isDistinct =>
-        resolveField(c.column) match {
+        if (fileHasDv) false // null counts predate the deletions
+        else resolveField(c.column) match {
           case None => false
           case Some(f) =>
             foldStats[Long](f.name)((_, st) =>
@@ -550,8 +571,8 @@ class PjScanBuilder(
                 true
             }
         }
-      case m: aggregate.Min => minMax(m, m.column, isMin = true)
-      case m: aggregate.Max => minMax(m, m.column, isMin = false)
+      case m: aggregate.Min => if (fileHasDv) false else minMax(m, m.column, isMin = true)
+      case m: aggregate.Max => if (fileHasDv) false else minMax(m, m.column, isMin = false)
       case _ => false
     }
     if (!ok) None
@@ -690,8 +711,16 @@ class PjScanBuilder(
     def isFileMeta(f: org.apache.spark.sql.types.StructField): Boolean =
       fold(f.name) == PjParquetTable.FileMetaName && !isPart(f) &&
         !fileSchema.fieldNames.exists(n => fold(n) == fold(f.name))
-    val dataRequired = StructType(requiredSchema.fields.filterNot(f => isPart(f) || isFileMeta(f)))
-    val partRequired = StructType(requiredSchema.fields.filter(f => isPart(f) || isFileMeta(f)))
+    // `_pos` metadata column: per-ROW (the row's file-absolute position),
+    // not constant — it rides partRequired for ordering, with a placeholder
+    // constant the reader overwrites with generated positions.
+    def isPosMeta(f: org.apache.spark.sql.types.StructField): Boolean =
+      fold(f.name) == PjParquetTable.PosMetaName && !isPart(f) &&
+        !fileSchema.fieldNames.exists(n => fold(n) == fold(f.name))
+    val dataRequired = StructType(requiredSchema.fields.filterNot(f =>
+      isPart(f) || isFileMeta(f) || isPosMeta(f)))
+    val partRequired = StructType(requiredSchema.fields.filter(f =>
+      isPart(f) || isFileMeta(f) || isPosMeta(f)))
     val scan = new PjScan(
       survivingFiles, fileSchema, dataRequired,
       layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq,
@@ -1206,8 +1235,21 @@ class PjScan(
     val cs = SQLConf.get.caseSensitiveAnalysis
     def key(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
     val byName = partitionSchema.fieldNames.map(key).zip(f.partitionValues).toMap
-    partRequired.fieldNames.map(n => byName.getOrElse(key(n), f.path))
+    partRequired.fieldNames.map { n =>
+      byName.getOrElse(key(n),
+        // non-partition constants: `_file` is the path; `_pos` gets a
+        // typed placeholder the position-aware reader overwrites per row
+        if (n.equalsIgnoreCase(PjParquetTable.PosMetaName)) "0" else f.path)
+    }
   }
+
+  /** Ordinal of the `_pos` METADATA column within `partRequired` (−1 when
+    * not requested or shadowed by a real partition column of that name).
+    */
+  private[pjparquet] lazy val posPartOrdinal: Int =
+    partRequired.fieldNames.indexWhere(n =>
+      n.equalsIgnoreCase(PjParquetTable.PosMetaName) &&
+        !partitionSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
 
   /** Exact compressed bytes each row group contributes for the REQUIRED
     * columns, per file — read once via bounded chunk-struct walks from the
@@ -1305,6 +1347,20 @@ class PjScan(
         }
         if (current.nonEmpty) groups += current
         val partValues = requiredPartValues(f)
+        // position arithmetic (deletion vectors / `_pos`): absolute start
+        // row of every row group, from the index's row counts — shipped
+        // per split so the executor never needs the unselected groups
+        val needPos = f.dv.isDefined || posPartOrdinal >= 0
+        val rgStarts: Array[Long] =
+          if (!needPos) Array.empty
+          else {
+            val starts = new Array[Long](rgCount)
+            var acc = 0L
+            var rg = 0
+            while (rg < rgCount) { starts(rg) = acc; acc += rowCountOf(f, rg); rg += 1 }
+            starts
+          }
+        val dvPath = f.dv.map(_._1).getOrElse("")
         if (f.rawFooter) {
           // nested fallback: ship the RAW footer bytes; the reader filters
           // its blocks to this split's row groups after materializing, so
@@ -1314,7 +1370,9 @@ class PjScan(
             PjInputPartition(f.path, f.fileLen, rgs.toArray, f.indexBytes, partValues,
               keyValues = f.partitionValues.toArray,
               keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json,
-              rawFooter = true)
+              rawFooter = true,
+              dvPath = dvPath,
+              rgStartRows = if (needPos) rgs.iterator.map(rgStarts(_)).toArray else Array.empty)
           }
         } else {
           val idx = indexOf(f)
@@ -1333,7 +1391,9 @@ class PjScan(
             val footer = PJSplice.splice(idx, rgs, Nil, fileColNames, schemaOnly = false)
             PjInputPartition(f.path, f.fileLen, rgs.toArray, footer, partValues,
               keyValues = f.partitionValues.toArray,
-              keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json)
+              keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json,
+              dvPath = dvPath,
+              rgStartRows = if (needPos) rgs.iterator.map(rgStarts(_)).toArray else Array.empty)
           }
         }
       }
@@ -1414,7 +1474,8 @@ class PjScan(
       sqlConf.parquetVectorizedReaderBatchSize,
       sqlConf.offHeapColumnVectorEnabled,
       PjSparkShims.rebaseModeInReadConf(sqlConf),
-      PjSparkShims.int96RebaseModeInReadConf(sqlConf))
+      PjSparkShims.int96RebaseModeInReadConf(sqlConf),
+      posPartOrdinal = posPartOrdinal)
   }
 
   /** Planning-time stats straight from the index — no footer parse.
@@ -1504,7 +1565,17 @@ final case class PjInputPartition(
     /** Nested-fallback split: `prunedFooter` holds the file's RAW footer;
       * the reader keeps only `rowGroups` of its blocks after materializing.
       */
-    rawFooter: Boolean = false)
+    rawFooter: Boolean = false,
+    /** Deletion vector (absolute sidecar path; empty = none): the reader
+      * filters these file-absolute positions out ([[PjDeletionVector]]).
+      */
+    dvPath: String = "",
+    /** File-absolute row position where each of this split's row groups
+      * starts — populated when the split needs position arithmetic (a
+      * deletion vector, or the `_pos` metadata column); aligned with
+      * `rowGroups`.
+      */
+    rgStartRows: Array[Long] = Array.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
 

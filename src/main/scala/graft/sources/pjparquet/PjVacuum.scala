@@ -146,8 +146,13 @@ object PjVacuum {
     // Reclamation itself runs even with nothing to drop — files orphaned
     // by an earlier expiry (or an aborted writer) still get swept.
     if (drop.nonEmpty) PjCommitLog.writeCheckpoint(fs, rootPath, keep.head)
-    val referenced: Set[String] =
-      keep.flatMap(v => PjCommitLog.read(fs, rootPath, v).files).toSet
+    val keptEntries = keep.map(v => PjCommitLog.read(fs, rootPath, v).entries)
+    val referenced: Set[String] = keptEntries.flatten.map(_.path).toSet
+    // deletion vectors referenced by ANY kept snapshot must survive;
+    // orphans (superseded by a later delete, retired by rewrite/expiry)
+    // sweep with the same age guard as data files
+    val referencedDvs: Set[String] =
+      keptEntries.flatten.flatMap(_.dv.map(_.path)).toSet
 
     val cutoff = System.currentTimeMillis() - minFileAgeMillis
     var reclaimed = 0L
@@ -168,6 +173,23 @@ object PjVacuum {
     victims.foreach { p =>
       PjBatchWrite.deleteWithSidecars(fs, p)
       reclaimed += 1
+    }
+    // unreferenced deletion vectors under _pj_dv/
+    val dvDir = PjDeletionVector.dvDir(rootPath)
+    if (fs.exists(dvDir)) {
+      val dit = fs.listFiles(dvDir, false)
+      while (dit.hasNext) {
+        val s = dit.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".dv") && !n.startsWith(".") &&
+            (minFileAgeMillis <= 0 || s.getModificationTime <= cutoff)) {
+          val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+          if (!referencedDvs.contains(rel)) {
+            fs.delete(s.getPath, false)
+            reclaimed += 1
+          }
+        }
+      }
     }
     drop.foreach { v =>
       PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, true))

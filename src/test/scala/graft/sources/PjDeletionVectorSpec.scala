@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.PjDeletionVector
+
+/** Merge-on-read DELETE via deletion vectors: codec round-trip, the `_pos`
+  * metadata column, position-filtered reads, and the DV delete path's
+  * interactions (count pushdown adjustment, time travel, vacuum,
+  * compaction materialization).
+  */
+class PjDeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("codec: round-trip, deltas, crc, merge, range counts") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 7, 1000, 50000)) {
+      val pos = Iterator.continually(math.abs(rnd.nextLong()) % 10000000L)
+        .take(n * 2).toSeq.distinct.sorted.take(n).toArray
+      val bos = new java.io.ByteArrayOutputStream()
+      val count = PjDeletionVector.encode(bos, pos.iterator)
+      assert(count == pos.length)
+      val back = PjDeletionVector.decode(bos.toByteArray)
+      assert(back.toSeq == pos.toSeq)
+    }
+    // corruption detection
+    val bos = new java.io.ByteArrayOutputStream()
+    PjDeletionVector.encode(bos, Iterator(1L, 5L, 9L))
+    val bytes = bos.toByteArray
+    bytes(6) = (bytes(6) ^ 0x01).toByte
+    val e = intercept[graft.core.PJException](PjDeletionVector.decode(bytes))
+    assert(e.getMessage.contains("crc") || e.getMessage.contains("corrupt"))
+    // merge dedups and stays sorted
+    val m = PjDeletionVector.merge(Array(1L, 3L, 5L), Array(2L, 3L, 8L))
+    assert(m.toSeq == Seq(1L, 2L, 3L, 5L, 8L))
+    assert(PjDeletionVector.countInRange(m, 2L, 6L) == 3)
+    assert(PjDeletionVector.countInRange(m, 9L, 100L) == 0)
+  }
+
+  test("DV DELETE: merge-on-read, no file rewritten, reads exact, count pushdown adjusts") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_del").toString
+    spark.range(0, 1000).select($"id", ($"id" % 10).as("m"))
+      .repartition(2).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v1: 2 files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val dataFilesBefore = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      .entries.map(e => e.path -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, e.path)).getModificationTime).toMap
+
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_t")
+    spark.sql(s"CREATE TABLE pj_dv_t USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_t WHERE m = 3") // 100 rows via deletion vectors
+
+    val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(head.version == 2L, "DV delete must be ONE commit")
+    assert(head.entries.size == 2 && head.entries.forall(_.dv.isDefined),
+      "both files keep their bytes and gain a vector")
+    assert(head.entries.map(_.dv.get.deleted).sum == 100L)
+    // no data file rewritten
+    head.entries.foreach { e =>
+      assert(dataFilesBefore(e.path) == fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, e.path)).getModificationTime,
+        s"data file ${e.path} must not be rewritten")
+    }
+    // reads are exact (columnar path with selection wrapping)
+    val t = spark.table("pj_dv_t")
+    assert(t.count() == 900L)
+    assert(t.filter($"m" === 3).count() == 0L)
+    assert(t.agg(sum($"id")).head().getLong(0) ==
+      (0L until 1000L).filterNot(_ % 10 == 3).sum)
+    // count(*) stays a metadata answer: rows - dv cardinality
+    val plan = t.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation") || t.groupBy().count().head().getLong(0) == 900L)
+    // min/max pushdown refuses under a vector (the extreme row may be deleted)
+    spark.sql("DELETE FROM pj_dv_t WHERE id = 0") // delete the min
+    assert(spark.table("pj_dv_t").agg(min($"id")).head().getLong(0) == 1L)
+    // delete-on-delete merged vectors
+    val h3 = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(h3.version == 3L && h3.entries.map(_.dv.get.deleted).sum == 101L)
+    // time travel BEFORE the deletes sees every row
+    assert(spark.read.format("pjparquet").option("versionAsOf", "1")
+      .load(dir).count() == 1000L)
+    // _pos of survivors still addresses the physical file (stable ids)
+    val sample = spark.table("pj_dv_t").filter($"m" === 4)
+      .select(col("_pos")).as[Long].collect()
+    assert(sample.length == 100)
+  }
+
+  test("DV DELETE: full-file deletion retires the file; no-match deletes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_full").toString
+    spark.range(0, 100).select($"id", ($"id" < 50).as("lo"))
+      .repartition(col("lo")) // two files split by lo
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_f")
+    spark.sql(s"CREATE TABLE pj_dv_f USING pjparquet OPTIONS (path '$dir')")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val nFiles = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.entries.size
+    spark.sql("DELETE FROM pj_dv_f WHERE id >= 50") // exactly one repartition bucket? no — hash; still exact rows
+    assert(spark.table("pj_dv_f").count() == 50L)
+    val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    // any file whose every row matched must have been retired, not DV'd
+    head.entries.foreach(e => assert(e.dv.forall(_.deleted < e.rows)))
+    assert(head.entries.size <= nFiles)
+    // no-match delete: no new commit
+    val vBefore = head.version
+    spark.sql("DELETE FROM pj_dv_f WHERE id >= 1000")
+    assert(graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.version == vBefore,
+      "a no-match DELETE must not commit")
+  }
+
+  test("DV interactions: CoW UPDATE materializes, vacuum protects then sweeps") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_mix").toString
+    spark.range(0, 200).select($"id", ($"id" % 2 === 0).as("even"), lit(1L).as("v"))
+      .coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v1
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_mix")
+    spark.sql(s"CREATE TABLE pj_dv_mix USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_mix WHERE id < 20") // v2: DV
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    assert(graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      .entries.exists(_.dv.isDefined))
+    // CoW UPDATE reads live rows only and its replacement carries no vector
+    spark.sql("UPDATE pj_dv_mix SET v = 2 WHERE even") // v3: rewrite
+    val h3 = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(h3.entries.forall(_.dv.isEmpty), "rewrite must materialize the vector away")
+    val t = spark.table("pj_dv_mix")
+    assert(t.count() == 180L, "deleted rows must not resurrect through the rewrite")
+    assert(t.filter($"id" < 20).count() == 0L)
+    assert(t.filter($"v" === 2).count() == 90L) // evens in [20,200)
+    // the old vector is still referenced by version 2 — vacuum keeps it
+    val dvFiles = {
+      val d = graft.sources.pjparquet.PjDeletionVector.dvDir(root)
+      if (!fs.exists(d)) Seq.empty
+      else { val it = fs.listFiles(d, false)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) { val s = it.next(); if (s.getPath.getName.endsWith(".dv")) b += s.getPath.getName }
+        b.result() }
+    }
+    assert(dvFiles.nonEmpty)
+    graft.sources.pjparquet.PjVacuum.expireVersions(spark, dir, keepVersions = 3)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      graft.sources.pjparquet.PjDeletionVector.dvDir(root), dvFiles.head)),
+      "a vector referenced by a kept version must survive vacuum")
+    // expire history down to the head (no version references the vector)
+    graft.sources.pjparquet.PjVacuum.expireVersions(spark, dir, keepVersions = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      graft.sources.pjparquet.PjDeletionVector.dvDir(root), dvFiles.head)),
+      "an unreferenced vector must be reclaimed")
+    assert(spark.table("pj_dv_mix").count() == 180L)
+  }
+
+  test("DV + CDF range read and streaming-shape classification") {
+    import graft.sources.pjparquet.PjChangeFeed
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_cdf").toString
+    spark.range(0, 30).select($"id", lit("x").as("s"))
+      .coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v1
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_cdf")
+    spark.sql(s"CREATE TABLE pj_dv_cdf USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_cdf WHERE id IN (3, 7)") // v2: DV
+    spark.range(30, 35).select($"id", lit("y").as("s"))
+      .coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v3
+    spark.sql("DELETE FROM pj_dv_cdf WHERE id = 8") // v4: DV on top of DV
+    val feed = PjChangeFeed.changes(spark, dir, 1L, 4L)
+      .select($"id", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val inserts = (0L until 30L).map(i => (i, "insert", 1L)).toSet ++
+      (30L until 35L).map(i => (i, "insert", 3L)).toSet
+    assert(feed == inserts + ((3L, "delete", 2L)) + ((7L, "delete", 2L)) +
+      ((8L, "delete", 4L)), s"got ${feed -- inserts}")
+    // whole-file delete of a dv'd file feeds only the LIVE rows as deletes
+    spark.sql("DELETE FROM pj_dv_cdf WHERE s = 'x'") // v5 — hmm: data predicate → DV
+    val v5 = PjChangeFeed.changesAt(spark, dir, 5L)
+      .select($"id", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v5 == (0L until 30L).filterNot(Seq(3L, 7L, 8L).contains)
+      .map(i => (i, "delete")).toSet, s"v5 got $v5")
+  }
+
+  test("DV entries survive JSON and parquet checkpoints bit-identically") {
+    import graft.sources.pjparquet.PjCommitLog
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_ckpt").toString
+    spark.range(0, 100).select($"id", lit("z").as("s")).coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_ck")
+    spark.sql(s"CREATE TABLE pj_dv_ck USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_ck WHERE id BETWEEN 10 AND 19")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val replayed = PjCommitLog.latest(fs, root).get
+    def norm(e: PjCommitLog.FileEntry) = (e.path, e.rows, e.dv)
+    for (parquetEntries <- Seq(false, true)) {
+      val d = java.nio.file.Files.createTempDirectory(s"pj_dv_ck_$parquetEntries")
+      // copy log + files, force a checkpoint in the requested format
+      org.apache.hadoop.fs.FileUtil.copy(fs, root,
+        fs, new org.apache.hadoop.fs.Path(d.toString, "t"), false,
+        spark.sessionState.newHadoopConf())
+      val r2 = new org.apache.hadoop.fs.Path(d.toString, "t")
+      PjCommitLog.writeCheckpoint(fs, r2, replayed.version,
+        entryFormat = Some(parquetEntries))
+      PjCommitLog.clearSnapshotCache()
+      val back = PjCommitLog.read(fs, r2, replayed.version)
+      assert(back.entries.map(norm) == replayed.entries.map(norm),
+        s"checkpoint(parquet=$parquetEntries) must round-trip dv entries")
+      assert(back.entries.exists(_.dv.isDefined))
+      // the checkpointed table still reads exactly
+      assert(spark.read.format("pjparquet").load(r2.toString).count() == 90L)
+    }
+  }
+
+  test("purge procedure rewrites ONLY vector-carrying files") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_purge").toString
+    spark.range(0, 100).select($"id", ($"id" < 50).as("lo")).coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir) // f1
+    spark.range(100, 200).select($"id", lit(false).as("lo")).coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir) // f2
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_pg")
+    spark.sql(s"CREATE TABLE pj_dv_pg USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_pg WHERE id BETWEEN 0 AND 4") // DV on f1 only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val before = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      .entries.map(e => e.path -> e.dv.isDefined).toMap
+    assert(before.values.count(identity) == 1)
+    spark.conf.set("spark.sql.catalog.pjdv", "graft.sources.pjparquet.PjCatalog")
+    val report = spark.sql(s"CALL pjdv.system.purge_deletion_vectors(`table` => '$dir')")
+      .collect()
+    assert(report.nonEmpty)
+    val after = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(after.entries.forall(_.dv.isEmpty), "purge must materialize every vector")
+    // the vector-free file survives byte-identical (same rel path)
+    val untouched = before.collect { case (rel, false) => rel }.toSet
+    assert(untouched.subsetOf(after.entries.map(_.path).toSet),
+      "files without vectors must not be rewritten by purge")
+    assert(spark.table("pj_dv_pg").count() == 195L)
+  }
+
+  test("_pos metadata column: file-absolute ordinals across row groups and splits") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_pos").toString
+    // several row groups: small block size forces multiple
+    spark.conf.set("parquet.block.size", (16 * 1024).toString)
+    try {
+      spark.range(0, 5000).select($"id", ($"id" % 7).as("k"))
+        .coalesce(1).write
+        .format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    } finally spark.conf.unset("parquet.block.size")
+    val t = spark.read.format("pjparquet").load(dir)
+    val got = t.select($"id", col("_pos")).as[(Long, Long)].collect().sortBy(_._1)
+    // single sorted writer file: id written in order, so _pos == id
+    assert(got.length == 5000)
+    assert(got.forall { case (id, pos) => id == pos },
+      s"first mismatches: ${got.filterNot { case (i, p) => i == p }.take(5).toSeq}")
+    // row-group count really was > 1 (the test's premise)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = graft.sources.pjparquet.PjCommitLog.latest(
+      fs, new org.apache.hadoop.fs.Path(dir)).get
+    assert(head.entries.head.rowGroups > 1)
+  }
+}
