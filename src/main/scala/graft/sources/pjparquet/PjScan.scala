@@ -1442,8 +1442,18 @@ class PjScan(
     // schema has group nodes the flat predicate builder does not cover);
     // filters are always re-evaluated above the scan, so this is a perf
     // concession for exactly those files, never a wrong answer
+    // position arithmetic (deletion vectors / `_pos`) requires the reader
+    // to deliver EVERY physical row of each planned row group: a reader
+    // FilterPredicate would drop row groups (and page-index row ranges)
+    // INSIDE the reader and silently desynchronize the position cursor —
+    // so it is suppressed for exactly those scans (planning-level
+    // row-group pruning is fine: the split's absolute start positions are
+    // computed per selected group). Filters still re-evaluate above the
+    // scan, so this is a perf concession on vector-carrying tables only.
+    val needExactPositions =
+      posPartOrdinal >= 0 || activeFiles.exists(_.dv.isDefined)
     if (activeFiles.nonEmpty && !activeFiles.exists(_.rawFooter) &&
-        pushedFilters.nonEmpty && !rowLevel &&
+        pushedFilters.nonEmpty && !rowLevel && !needExactPositions &&
         PjSparkShims.parquetFilterPushDownEnabled(sqlConf) && allFilesHaveFilterCols) {
       // Schema + rebase spec come from the index (schema-only splice), so
       // building the predicate costs no footer parse. Partition-column

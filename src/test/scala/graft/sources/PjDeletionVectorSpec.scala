@@ -247,6 +247,41 @@ class PjDeletionVectorSpec extends AnyFunSuite {
     assert(spark.table("pj_dv_pg").count() == 195L)
   }
 
+  test("positions stay exact under pushed filters that drop row groups") {
+    // a sorted multi-row-group file + a selective range filter: with a
+    // reader FilterPredicate the parquet reader would skip leading row
+    // groups INSIDE the reader and desynchronize the position cursor —
+    // the scan must suppress it on vector-carrying reads
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_rgskip").toString
+    spark.conf.set("parquet.block.size", (16 * 1024).toString)
+    try {
+      spark.range(0, 20000).select($"id", ($"id" % 100).as("m"))
+        .orderBy($"id").coalesce(1)
+        .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    } finally spark.conf.unset("parquet.block.size")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    assert(graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      .entries.head.rowGroups > 3, "premise: several row groups")
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_rg")
+    spark.sql(s"CREATE TABLE pj_dv_rg USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_rg WHERE id BETWEEN 15000 AND 15099")
+    // range filter in the file's TAIL: row-group stats would let a reader
+    // predicate drop every leading group
+    val got = spark.table("pj_dv_rg")
+      .filter($"id" >= 14990 && $"id" <= 15110)
+      .select($"id").as[Long].collect().sorted
+    val want = (14990L to 15110L).filterNot(i => i >= 15000 && i <= 15099)
+    assert(got.toSeq == want, s"got ${got.length} rows, want ${want.length}")
+    // _pos under the same selective filter: position == id (sorted single writer)
+    val pos = spark.table("pj_dv_rg")
+      .filter($"id" >= 19990)
+      .select($"id", col("_pos")).as[(Long, Long)].collect()
+    assert(pos.nonEmpty && pos.forall { case (id, p) => id == p },
+      s"mismatches: ${pos.filterNot { case (i, p) => i == p }.take(3).toSeq}")
+  }
+
   test("_pos metadata column: file-absolute ordinals across row groups and splits") {
     val dir = java.nio.file.Files.createTempDirectory("pj_pos").toString
     // several row groups: small block size forces multiple
