@@ -520,6 +520,52 @@ object MetadataQueries {
         .withColumn("two_dv_commits", lit(if (oneCommitEach) 1L else 0L))
         .withColumn("files_with_vectors", lit(dvCount))
     }),
+    "q141_mor_update" -> ((s, dir) => {
+      import s.implicits._
+      // Merge-on-read UPDATE via SupportsDelta (round 11, PjDeltaWrite):
+      // matched rows retire by POSITION (deletion vectors, merged across
+      // tasks and with prior vectors) while updated rows append as new
+      // files — base files keep their bytes. A follow-up MERGE upserts
+      // through the same delta write. DuckDB recomputes the final state;
+      // the no-rewrite/vector facts ride as asserted bits.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q141_mor").toString
+      graft.Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey",
+          round($"c_acctbal" * 100).cast("long").as("bal_cents"))
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      s.sql("DROP TABLE IF EXISTS pj_q141_t")
+      s.sql(s"CREATE TABLE pj_q141_t USING pjparquet OPTIONS (path '$tmp')")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val baseFiles = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+        .entries.map(_.path).toSet
+      // UPDATE negative balances to zero (merge-on-read)
+      s.sql("UPDATE pj_q141_t SET bal_cents = 0 WHERE bal_cents < 0")
+      // MERGE: every 7th customer re-doubles its ORIGINAL (floored)
+      // balance — every source key matches, exercising the matched-update
+      // delta path on both the base file and the v2 update files
+      graft.Tables.customer(s, dir)
+        .filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey", $"c_nationkey",
+          round($"c_acctbal" * 100).cast("long").as("bal_cents"))
+        .createOrReplaceTempView("pj_q141_src")
+      s.sql(
+        """MERGE INTO pj_q141_t AS t USING pj_q141_src AS s ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET bal_cents = 2 * GREATEST(s.bal_cents, 0)
+          |WHEN NOT MATCHED THEN INSERT * """.stripMargin)
+      val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      val baseKept = baseFiles.subsetOf(head.entries.map(_.path).toSet)
+      val baseHasDv = head.entries.exists(e => baseFiles.contains(e.path) && e.dv.isDefined)
+      s.table("pj_q141_t")
+        .groupBy($"c_nationkey").agg(
+          count(lit(1)).as("n_cust"),
+          sum($"bal_cents").cast("long").as("cents_sum"),
+          sum(when($"bal_cents" === 0, 1L).otherwise(0L)).as("n_zeroed"))
+        .withColumn("base_files_kept", lit(if (baseKept) 1L else 0L))
+        .withColumn("base_has_vectors", lit(if (baseHasDv) 1L else 0L))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1388,6 +1434,25 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q141_mor_update" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |fin AS (
+        |  SELECT c_nationkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN 2 * GREATEST(cents, 0)
+        |              WHEN cents < 0 THEN 0
+        |              ELSE cents END AS cents
+        |  FROM base)
+        |SELECT c_nationkey,
+        |       count(*) AS n_cust,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       CAST(sum(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroed,
+        |       CAST(1 AS BIGINT) AS base_files_kept,
+        |       CAST(1 AS BIGINT) AS base_has_vectors
+        |FROM fin
+        |GROUP BY c_nationkey""".stripMargin,
     "q140_dv_delete" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -127,9 +127,12 @@ object PjChangeFeed {
       case (Some(p), None) => Some(p.withColumn("_change_type", lit(preLabel)))
       case (Some(a), Some(b)) => Some(multisetDiff(a, b, preLabel, postLabel))
     }
+    // newly-deleted positions label with the PRE label: "delete" for a
+    // deletion-vector DELETE, "update_preimage" when a merge-on-read
+    // UPDATE/MERGE retired the positions (its new rows carry the post label)
     val dvPart =
       if (dvTrans.isEmpty) None
-      else Some(dvDiffRows(spark, rootQ, dvTrans).withColumn("_change_type", lit("delete")))
+      else Some(dvDiffRows(spark, rootQ, dvTrans).withColumn("_change_type", lit(preLabel)))
     val out = (base, dvPart) match {
       case (None, None) =>
         // metadata-only commit: schema from the version itself, zero rows

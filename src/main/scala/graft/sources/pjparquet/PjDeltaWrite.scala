@@ -1,0 +1,353 @@
+package graft.sources.pjparquet
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.PjSparkShims
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.PJException
+
+/** Delta-based (merge-on-read) row-level DML — Spark's `SupportsDelta`
+  * protocol carried onto deletion vectors: `UPDATE` and `MERGE INTO` (and
+  * non-pushable `DELETE`s) on a commit-log table no longer copy-on-write
+  * whole files. The rewrite plan feeds each matched row's identity
+  * (`_file`, `_pos`) to [[PjDeltaWriter.delete]] and every new/updated row
+  * to [[PjDeltaWriter.insert]]:
+  *
+  *  - task side: inserts stream through the ordinary [[PjDataWriter]]
+  *    (same files, same partition routing, same sort-friendly single open
+  *    writer); deleted positions buffer per file (8 bytes/row) and flush
+  *    at task commit as per-task PARTIAL vectors under `_pj_dv/`;
+  *  - driver commit: partials merge per file (plus the file's existing
+  *    vector) into one final [[PjDeletionVector]], and ONE log delta
+  *    re-adds each touched entry with its new `DvRef` (fully-deleted
+  *    files retire), adds the new data files with full planning facts,
+  *    and declares the scan's read base + partition read set so disjoint
+  *    concurrent DML rebases exactly like the other commit classes.
+  *
+  * An UPDATE touching 0.1 % of a 100 TB table therefore writes the new
+  * rows plus kilobytes of vectors — never the untouched 99.9 % of the hit
+  * files. Copy-on-write remains for unlogged tables and
+  * `deletionVectors.enabled=false`.
+  */
+final class PjDeltaRowLevelOperation(
+    layout: PjLayout,
+    fileSchema: StructType,
+    tableOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+
+  @volatile private var configuredScan: Option[PjScan] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      Expressions.column(PjParquetTable.FileMetaName),
+      Expressions.column(PjParquetTable.PosMetaName))
+
+  /** UPDATE splits into DELETE (position) + INSERT (new row): exactly the
+    * two primitives the vector + append machinery implements.
+    */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(PjParquetTable.FileMetaName))
+
+  override def description(): String =
+    s"pjparquet merge-on-read $cmd (${layout.files.size} candidate file(s))"
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val m = new java.util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
+    m.putAll(options.asCaseSensitiveMap())
+    new PjScanBuilder(layout, fileSchema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(m),
+      rowLevel = true, onBuild = s => configuredScan = Some(s))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val path = Option(tableOptions.get("path")).getOrElse(
+      throw new IllegalArgumentException("pjparquet: 'path' option is required"))
+    val baseVersion = layout.logVersion.getOrElse(
+      throw new PJException(
+        "pjparquet: merge-on-read DML requires a commit-log table"))
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new PjDeltaWrite(
+        path, layout.partitionSchema.fieldNames.toSeq, info.schema(),
+        command = cmd.toString.toLowerCase(java.util.Locale.ROOT),
+        readVersion = baseVersion,
+        readPartitions = () => configuredScan.flatMap(_.readPartitionTuples),
+        cdcEnabled = tableOptions.getBoolean("cdc.enabled", false),
+        bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions))
+    }
+  }
+}
+
+final class PjDeltaWrite(
+    root: String,
+    partitionKeys: Seq[String],
+    writeSchema: StructType,
+    command: String,
+    readVersion: Long,
+    readPartitions: () => Option[Set[Seq[String]]],
+    cdcEnabled: Boolean,
+    bloomColumns: Seq[String])
+    extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  override def description(): String = s"pjparquet merge-on-read $command -> $root"
+
+  /** Same shape as [[PjWrite]]: cluster + sort inserts on the partition
+    * keys so a task holds one open parquet writer (delete-only rows carry
+    * null partition values and simply co-locate).
+    */
+  override def requiredDistribution(): Distribution =
+    if (partitionKeys.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionKeys.map(k => Expressions.column(k): V2Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    partitionKeys
+      .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+
+  override def toBatch: DeltaBatchWrite = new PjDeltaBatchWrite(
+    root, partitionKeys, writeSchema, command, readVersion, readPartitions,
+    cdcEnabled, bloomColumns)
+}
+
+final case class PjDeltaCommitMessage(
+    files: Seq[PjWrittenFile],
+    /** (absolute data-file path, partial-vector rel path, positions). */
+    partials: Seq[(String, String, Long)])
+    extends WriterCommitMessage
+
+final class PjDeltaBatchWrite(
+    root: String,
+    partitionKeys: Seq[String],
+    writeSchema: StructType,
+    command: String,
+    readVersion: Long,
+    readPartitions: () => Option[Set[Seq[String]]],
+    cdcEnabled: Boolean,
+    bloomColumns: Seq[String])
+    extends DeltaBatchWrite {
+
+  private val jobUUID = UUID.randomUUID().toString
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dataSchema = StructType(
+      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name))))
+    PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
+    PjDeltaWriterFactory(
+      root, new SerializableConfiguration(hadoopConf), writeSchema.json,
+      partitionKeys, jobUUID)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val msgs = messages.iterator.map(_.asInstanceOf[PjDeltaCommitMessage]).toSeq
+    val manifest: Seq[String] = msgs.flatMap(_.files).map(_.relPath).distinct.sorted
+    val partialsByFile: Map[String, Seq[(String, Long)]] =
+      msgs.flatMap(_.partials).groupBy(_._1)
+        .map { case (f, ps) => f -> ps.map(p => (p._2, p._3)) }
+
+    // failed/speculative attempt files die before anything commits
+    for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
+      val name = status.getPath.getName
+      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+      if (name.contains(jobUUID) && !manifest.contains(rel))
+        PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+    }
+
+    val prev = PjCommitLog.latest(fs, rootPath).getOrElse(
+      throw new PJException(
+        s"pjparquet: merge-on-read $command requires a commit-log table ('$root')"))
+    val entryByRel: Map[String, PjCommitLog.FileEntry] =
+      prev.entries.map(e => e.path -> e).toMap
+
+    // merge each touched file's per-task partial vectors + existing vector
+    // into one final vector; fully-deleted files retire outright
+    val adds = Seq.newBuilder[PjCommitLog.FileEntry]
+    val removes = Set.newBuilder[String]
+    partialsByFile.foreach { case (fileAbs, parts) =>
+      val rel = PjCommitLog.relativize(fs, rootPath, new Path(fileAbs))
+      val e = entryByRel.getOrElse(rel,
+        throw new PJException(
+          s"pjparquet: merge-on-read $command touched '$rel', which has no log entry"))
+      val merged0: Array[Long] = {
+        val loaded = parts.map { case (pRel, _) =>
+          PjDeletionVector.load(fs, new Path(rootPath, pRel))
+        }
+        val cat = Array.concat(loaded: _*)
+        java.util.Arrays.sort(cat)
+        // positions are unique across tasks (each row deleted once), but
+        // stay defensive
+        var k = 0
+        for (i <- cat.indices) {
+          if (k == 0 || cat(k - 1) != cat(i)) { cat(k) = cat(i); k += 1 }
+        }
+        if (k == cat.length) cat else java.util.Arrays.copyOf(cat, k)
+      }
+      val merged = e.dv match {
+        case Some(old) =>
+          PjDeletionVector.merge(
+            PjDeletionVector.load(fs, new Path(rootPath, old.path)), merged0)
+        case None => merged0
+      }
+      removes += rel
+      if (e.rows >= 0 && merged.length >= e.rows) () // every row deleted
+      else {
+        val dvRel = PjDeletionVector.newRelPath()
+        PjDeletionVector.write(fs, rootPath, dvRel, merged.iterator)
+        adds += e.copy(dv = Some(PjCommitLog.DvRef(dvRel, merged.length)))
+      }
+      parts.foreach { case (pRel, _) => fs.delete(new Path(rootPath, pRel), false) }
+    }
+
+    // new data files enter with full planning facts, like any append
+    val newPaths = manifest.map(rel => s"$root/$rel")
+    val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
+    if (bloomColumns.nonEmpty) PjBloomJob.generateForPaths(spark, newPaths, bloomColumns)
+    val addEntries = manifest.map(rel => facts(s"$root/$rel").toEntry(rel))
+    val newSchemaJson = manifest.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+    val schemaJson = (prev.dataSchemaJson, newSchemaJson) match {
+      case (Some(p), Some(n)) => Some(PjBatchWrite.widenRecordedSchema(p, n))
+      case (p, n) => n.orElse(p)
+    }
+
+    val v = PjCommitLog.commit(fs, rootPath, "write-delta",
+      (adds.result() ++ addEntries).toSeq, removes.result(), schemaJson,
+      operation = Some(command),
+      readVersion = Some(readVersion),
+      readPartitions = readPartitions())
+
+    // new (unsorted) data files break a sorted-layout claim; a pure-delete
+    // delta preserves every surviving file's internal order
+    if (manifest.nonEmpty) PjSortMarker.delete(fs, rootPath)
+    if (cdcEnabled)
+      try PjChangeFeed.persistCommitDiff(spark, root, v)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn("pjparquet: could not persist change files for version {}: {}",
+            v.toString, e.toString)
+      }
+    graft.operators.PqIndex.maintainIfPresent(spark, root)
+    log.info("pjparquet delta commit {}: {} new file(s), {} vector(s)",
+      jobUUID, manifest.size.toString, partialsByFile.size.toString)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    for ((status, _, _) <- PjBatchWrite.listDataFiles(fs, rootPath)
+         if status.getPath.getName.contains(jobUUID))
+      PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+    // partial vectors carry the job tag in their names
+    val dvDir = PjDeletionVector.dvDir(rootPath)
+    if (fs.exists(dvDir)) {
+      val it = fs.listFiles(dvDir, false)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.contains(jobUUID)) fs.delete(s.getPath, false)
+      }
+    }
+    PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
+  }
+}
+
+final case class PjDeltaWriterFactory(
+    root: String,
+    conf: SerializableConfiguration,
+    writeSchemaJson: String,
+    partitionKeys: Seq[String],
+    jobUUID: String)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val schema = DataType.fromJson(writeSchemaJson).asInstanceOf[StructType]
+    new PjDeltaWriter(root, conf.value, schema, partitionKeys,
+      fileTag = f"$partitionId%05d-$taskId-$jobUUID")
+  }
+}
+
+/** Task-side delta writer: inserts ride the ordinary [[PjDataWriter]];
+  * deleted (file, position) identities buffer per file and flush at task
+  * commit as per-task partial vectors (`_pj_dv/partial-<tag>-<n>.dv`) —
+  * the driver merges them per file. The rowId projection arrives in the
+  * declared order: (`_file` string, `_pos` long).
+  */
+final class PjDeltaWriter(
+    root: String,
+    conf: org.apache.hadoop.conf.Configuration,
+    schema: StructType,
+    partitionKeys: Seq[String],
+    fileTag: String)
+    extends DeltaWriter[InternalRow] {
+
+  private val inserts =
+    new PjDataWriter(root, conf, schema, partitionKeys, fileTag, overwriteExisting = false)
+  private val deletesByFile = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    deletesByFile.getOrElseUpdate(file, mutable.ArrayBuffer.empty[Long]) += pos
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // representUpdateAsDeleteAndInsert=true means Spark splits updates —
+    // kept for completeness if a future plan calls it directly
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = inserts.commit().asInstanceOf[PjCommitMessage]
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    var seq = 0
+    val partials = deletesByFile.iterator.map { case (file, buf) =>
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      val rel = s"${PjDeletionVector.DirName}/partial-$fileTag-$seq.dv"
+      seq += 1
+      val n = PjDeletionVector.write(fs, rootPath, rel,
+        arr.iterator.distinct)
+      (file, rel, n)
+    }.toSeq
+    PjDeltaCommitMessage(dataMsg.files, partials)
+  }
+
+  override def abort(): Unit = {
+    inserts.abort()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    (0 until deletesByFile.size).foreach { i =>
+      fs.delete(new Path(rootPath,
+        s"${PjDeletionVector.DirName}/partial-$fileTag-$i.dv"), false)
+    }
+  }
+
+  override def close(): Unit = inserts.close()
+}

@@ -46,7 +46,14 @@ final class PjRowLevelOperationBuilder(
     info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new PjRowLevelOperation(layout, fileSchema, tableOptions, info.command)
+    // commit-log tables run row-level DML MERGE-ON-READ by default
+    // (deletion vectors + appends, [[PjDeltaRowLevelOperation]]);
+    // `deletionVectors.enabled=false` and unlogged tables copy-on-write
+    if (layout.logVersion.isDefined &&
+        tableOptions.getBoolean("deletionVectors.enabled", true))
+      new PjDeltaRowLevelOperation(layout, fileSchema, tableOptions, info.command)
+    else
+      new PjRowLevelOperation(layout, fileSchema, tableOptions, info.command)
 }
 
 final class PjRowLevelOperation(

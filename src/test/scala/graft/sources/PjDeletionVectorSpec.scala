@@ -115,14 +115,21 @@ class PjDeletionVectorSpec extends AnyFunSuite {
       "a no-match DELETE must not commit")
   }
 
-  test("DV interactions: CoW UPDATE materializes, vacuum protects then sweeps") {
+  test("DV interactions: opt-out CoW UPDATE materializes, vacuum protects then sweeps") {
     val dir = java.nio.file.Files.createTempDirectory("pj_dv_mix").toString
     spark.range(0, 200).select($"id", ($"id" % 2 === 0).as("even"), lit(1L).as("v"))
       .coalesce(1).write.format("pjparquet")
       .mode("append").option("log.enabled", "true").save(dir) // v1
     spark.sql(s"DROP TABLE IF EXISTS pj_dv_mix")
-    spark.sql(s"CREATE TABLE pj_dv_mix USING pjparquet OPTIONS (path '$dir')")
-    spark.sql("DELETE FROM pj_dv_mix WHERE id < 20") // v2: DV
+    // deletionVectors.enabled=false opts row-level DML back into
+    // copy-on-write, which must still APPLY the existing vectors
+    spark.sql(s"CREATE TABLE pj_dv_mix USING pjparquet OPTIONS " +
+      s"(path '$dir', `deletionVectors.enabled` 'false')")
+    // opt-out also reroutes pushable DELETEs to copy-on-write — write the
+    // vector through a dv-enabled view of the same path instead
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_mix_on")
+    spark.sql(s"CREATE TABLE pj_dv_mix_on USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_mix_on WHERE id < 20") // v2: DV
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -156,6 +163,80 @@ class PjDeletionVectorSpec extends AnyFunSuite {
       graft.sources.pjparquet.PjDeletionVector.dvDir(root), dvFiles.head)),
       "an unreferenced vector must be reclaimed")
     assert(spark.table("pj_dv_mix").count() == 180L)
+  }
+
+  test("merge-on-read UPDATE: vectors + appended rows, no file rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_mor_upd").toString
+    spark.range(0, 1000).select($"id", ($"id" % 10).as("m"), lit(1L).as("v"))
+      .repartition(2).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v1: 2 files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val beforeFiles = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      .entries.map(e => e.path -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, e.path)).getModificationTime).toMap
+    spark.sql(s"DROP TABLE IF EXISTS pj_mor_u")
+    spark.sql(s"CREATE TABLE pj_mor_u USING pjparquet OPTIONS (path '$dir')")
+
+    spark.sql("UPDATE pj_mor_u SET v = 2 WHERE m = 3") // merge-on-read
+    val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(head.version == 2L, "one commit")
+    // old files keep their bytes and gain vectors; new file(s) hold updates
+    val oldEntries = head.entries.filter(e => beforeFiles.contains(e.path))
+    val newEntries = head.entries.filterNot(e => beforeFiles.contains(e.path))
+    assert(oldEntries.size == 2 && oldEntries.forall(_.dv.isDefined))
+    assert(oldEntries.map(_.dv.get.deleted).sum == 100L)
+    assert(newEntries.nonEmpty && newEntries.forall(_.dv.isEmpty))
+    oldEntries.foreach(e => assert(beforeFiles(e.path) == fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(root, e.path)).getModificationTime,
+      s"${e.path} must not be rewritten"))
+    val t = spark.table("pj_mor_u")
+    assert(t.count() == 1000L)
+    assert(t.filter($"m" === 3 && $"v" === 2).count() == 100L)
+    assert(t.filter($"v" === 1).count() == 900L)
+    assert(t.agg(sum($"id")).head().getLong(0) == (0L until 1000L).sum)
+    // CDF labels: preimages from the vector diff, postimages from new files
+    val v2 = graft.sources.pjparquet.PjChangeFeed.changesAt(spark, dir, 2L)
+      .select($"id", $"v", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val wantPre = (0L until 1000L).filter(_ % 10 == 3).map(i => (i, 1L, "update_preimage")).toSet
+    val wantPost = (0L until 1000L).filter(_ % 10 == 3).map(i => (i, 2L, "update_postimage")).toSet
+    assert(v2 == wantPre ++ wantPost, s"diff: ${(v2 -- wantPre -- wantPost).take(5)}")
+    // time travel to v1 sees the original values
+    assert(spark.read.format("pjparquet").option("versionAsOf", "1").load(dir)
+      .filter($"v" === 2).count() == 0L)
+  }
+
+  test("merge-on-read MERGE INTO: matched update + delete, not-matched insert") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_mor_mrg").toString
+    spark.range(0, 100).select($"id", lit(10L).as("v"))
+      .coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir)
+    spark.sql(s"DROP TABLE IF EXISTS pj_mor_m")
+    spark.sql(s"CREATE TABLE pj_mor_m USING pjparquet OPTIONS (path '$dir')")
+    // source: ids 50..149; matched evens update, matched odds delete,
+    // unmatched (>= 100) insert
+    spark.range(50, 150).select($"id", lit(99L).as("v"))
+      .createOrReplaceTempView("pj_mor_src")
+    spark.sql(
+      """MERGE INTO pj_mor_m AS t USING pj_mor_src AS s ON t.id = s.id
+        |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET v = s.v
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(head.version == 2L)
+    assert(head.entries.exists(_.dv.exists(_.deleted == 50L)),
+      "50 matched rows (25 updated + 25 deleted) retire positions in the base file")
+    val got = spark.table("pj_mor_m").select($"id", $"v").as[(Long, Long)]
+      .collect().toSet
+    val want = (0L until 50L).map(i => (i, 10L)).toSet ++           // untouched
+      (50L until 100L).filter(_ % 2 == 0).map(i => (i, 99L)).toSet ++ // updated
+      (100L until 150L).map(i => (i, 99L)).toSet                     // inserted
+    assert(got == want, s"diff: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
   }
 
   test("DV + CDF range read and streaming-shape classification") {

@@ -205,22 +205,29 @@ class PjTimeTravelSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS pj_tt_static")
   }
 
-  test("logged row-level UPDATE (copy-on-write) versions the rewrite; untouched files shared") {
+  test("logged row-level UPDATE (merge-on-read) versions the delta; untouched files shared") {
     import spark.implicits._
     val dir = tempDir("dml")
     write(Seq((1L, 0L), (2L, 1L)).toDF("id", "k"), dir, "append", Seq("k")) // v1
     spark.sql("DROP TABLE IF EXISTS pj_tt_dml")
     spark.sql(s"CREATE TABLE pj_tt_dml USING pjparquet OPTIONS (path '$dir')")
     try {
-      spark.sql("UPDATE pj_tt_dml SET id = id + 100 WHERE k = 1") // v2 (replace-files)
+      spark.sql("UPDATE pj_tt_dml SET id = id + 100 WHERE k = 1") // v2 (write-delta)
       assert(ids(spark.read.format("pjparquet").load(dir)) == Set(1L, 102L))
       assert(ids(readVersion(dir, 1)) == Set(1L, 2L))
       val fs = fsOf(dir)
       val v1 = PjCommitLog.read(fs, new Path(dir), 1L)
       val v2 = PjCommitLog.read(fs, new Path(dir), 2L)
-      assert(v2.action == "replace-files")
-      // the k=0 file was not scanned by the DML and is SHARED, not rewritten
+      assert(v2.action == "write-delta")
+      // the k=0 file was not touched and is SHARED; the single-row k=1
+      // file had EVERY row updated, so it retires outright (a partially
+      // hit file would gain a deletion vector instead) and the new row
+      // appends
       assert((v1.files.toSet & v2.files.toSet).exists(_.startsWith("k=0/")))
+      val v1k1 = v1.files.filter(_.startsWith("k=1/")).toSet
+      assert(v1k1.nonEmpty && (v1k1 & v2.files.toSet).isEmpty,
+        "a fully-updated file retires from the head")
+      assert(v2.entries.forall(_.dv.isEmpty))
       assert(v1.files.forall(rel => fs.exists(new Path(dir, rel))))
     } finally spark.sql("DROP TABLE IF EXISTS pj_tt_dml")
   }
