@@ -372,13 +372,75 @@ object Bench {
       try logPlanningBench(spark)
       catch { case e: Throwable =>
         System.err.println(s"[bench] log-planning bench FAILED: $e"); "{}" }
+    val dvDelete =
+      try dvDeleteBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dv-delete bench FAILED: $e"); "{}" }
     s"""{"rg":$actualRgs,"cols":$cols,"footer_parse_ms":${fmt(footerMs)},""" +
       s""""pj_read_1rg_ms":${fmt(spliceMemMs)},"pj_schema_ms":${fmt(schemaMs)},""" +
       s""""speedup_1rg":${fmt(footerMs / spliceMemMs, 1)},""" +
       s""""index_size_ratio":${fmt(indexBytes.length.toDouble / parquetSize, 5)},""" +
       s""""log_planning":$logPlanning,""" +
+      s""""dv_delete":$dvDelete,""" +
       s""""protocol":{"iterations":$iterations,"submissions_pj":$pjSubs,""" +
       s""""submissions_footer":$footerSubs,"pools":$poolJson}}"""
+  }
+
+  /** Merge-on-read vs copy-on-write DELETE, same data, same spread
+    * predicate (~1 % of rows hit EVERY file — copy-on-write's worst
+    * shape): wall time and bytes written. The deletion-vector side writes
+    * kilobytes of position bitmaps; the copy-on-write side rewrites every
+    * hit file. The byte ratio is the quantity that scales to 100 TB.
+    */
+  private def dvDeleteBench(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val maxCust = base.agg(max(col("o_custkey").cast("long"))).head().getLong(0)
+    val cutoff = math.max(1L, maxCust / 100) // ~1 % of rows, spread per file
+    def sizeUnder(dir: String, sub: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else f.length()
+      val d = new java.io.File(dir, sub)
+      if (d.exists()) walk(d) else 0L
+    }
+    def dataBytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith(".")
+          && !f.getName.startsWith("_")) f.length()
+        else 0L
+      walk(new java.io.File(dir))
+    }
+    def run(dvEnabled: Boolean): (Double, Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft_bench_dv_$dvEnabled").toString
+      base.repartition(8).write.format("pjparquet")
+        .mode("overwrite").option("log.enabled", "true").save(dir)
+      val table = s"graft_bench_dv_${if (dvEnabled) "on" else "off"}"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"CREATE TABLE $table USING pjparquet OPTIONS (path '$dir'" +
+        (if (dvEnabled) ")" else ", `deletionVectors.enabled` 'false')"))
+      val before = dataBytes(dir)
+      val t0 = System.nanoTime()
+      spark.sql(s"DELETE FROM $table WHERE o_custkey <= $cutoff")
+      val ms = (System.nanoTime() - t0) / 1e6
+      val written =
+        if (dvEnabled) sizeUnder(dir, "_pj_dv")
+        else math.max(0L, dataBytes(dir) - before) // log keeps retired files
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      (ms, written, before)
+    }
+    val (dvMs, dvBytes, tableBytes) = run(dvEnabled = true)
+    val (cowMs, cowBytes, _) = run(dvEnabled = false)
+    s"""{"table_bytes":$tableBytes,"dv_ms":${fmt(dvMs)},"dv_bytes":$dvBytes,""" +
+      s""""cow_ms":${fmt(cowMs)},"cow_bytes":$cowBytes,""" +
+      s""""bytes_ratio":${fmt(if (dvBytes > 0) cowBytes.toDouble / dvBytes else 0.0, 1)},""" +
+      s""""speedup":${fmt(if (dvMs > 0) cowMs / dvMs else 0.0, 2)}}"""
   }
 
   /** Logged-table planning at metadata scale: a 50,000-entry commit-log

@@ -268,6 +268,46 @@ class PjDeletionVectorSpec extends AnyFunSuite {
       .map(i => (i, "delete")).toSet, s"v5 got $v5")
   }
 
+  test("stale-base DV delete rebases over a disjoint concurrent delete") {
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_conc").toString
+    spark.range(0, 200).select($"id", ($"id" % 2).as("k"))
+      .repartition(col("k")).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true")
+      .option("partitionedBy", "k").partitionBy("k").save(dir) // v1
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    // both writers plan against v1
+    val staleLayout = graft.sources.pjparquet.PjParquetTable.resolveFiles(
+      dir, conf, autogen = true)
+    assert(staleLayout.logVersion.contains(1L))
+    // writer A lands first: DV delete in k=0
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_race")
+    spark.sql(s"CREATE TABLE pj_dv_race USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_race WHERE k = 0 AND id < 20") // v2
+    // writer B, still holding the v1 layout, deletes in k=1 ONLY — its
+    // partition read set is disjoint from A's touched files, so the
+    // commit must REBASE onto v2 and land as v3
+    val committed = graft.sources.pjparquet.PjDvDelete.run(
+      spark, fs, root, staleLayout,
+      Array(EqualTo("k", 1L), LessThan("id", 20L)))
+    assert(committed.contains(3L), s"got $committed")
+    val t = spark.table("pj_dv_race")
+    assert(t.count() == 180L, "both deletes must be live")
+    assert(t.filter($"id" < 20).count() == 0L)
+    // an OVERLAPPING stale delete (same partition A touched) conflicts
+    val stale2 = graft.sources.pjparquet.PjParquetTable.resolveFiles(
+      dir, conf, autogen = true)
+    spark.sql("DELETE FROM pj_dv_race WHERE k = 0 AND id >= 190") // v4 via head
+    val e = intercept[graft.core.PJException] {
+      graft.sources.pjparquet.PjDvDelete.run(
+        spark, fs, root, stale2, // base v3; v4 touched k=0 too
+        Array(EqualTo("k", 0L), LessThan("id", 40L)))
+    }
+    assert(e.getMessage.contains("conflict"), s"got: ${e.getMessage}")
+  }
+
   test("DV entries survive JSON and parquet checkpoints bit-identically") {
     import graft.sources.pjparquet.PjCommitLog
     val dir = java.nio.file.Files.createTempDirectory("pj_dv_ckpt").toString
