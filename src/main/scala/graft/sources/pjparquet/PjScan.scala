@@ -1319,8 +1319,28 @@ class PjScan(
     val maxPartitionBytes = sqlConf.filesMaxPartitionBytes
     val colNames = prunedColumnNames
     val current = activeFiles
-    current.iterator.zip(effectiveSelections(current).iterator).flatMap { case (f, selected) =>
+    lazy val planConf = SparkSession.active.sessionState.newHadoopConf()
+    current.iterator.zip(effectiveSelections(current).iterator).flatMap { case (f, selected0) =>
       val rgCount = rgCountOf(f)
+      // fully-deleted row groups never plan: when the file's deletion
+      // vector is large enough to cover at least one selected group, one
+      // (cached) vector decode + a binary search per group drops the
+      // groups with zero live rows — "delete a day" on a sorted layout
+      // reads nothing of that day
+      val selected = f.dv match {
+        case Some((dvPath, deleted))
+            if selected0.nonEmpty && explicitRowGroups.isEmpty &&
+              deleted >= selected0.iterator.map(rowCountOf(f, _)).min =>
+          val dv = PjDeletionVector.cached(planConf, dvPath)
+          var start = 0L
+          val startOf = new Array[Long](rgCount)
+          for (rg <- 0 until rgCount) { startOf(rg) = start; start += rowCountOf(f, rg) }
+          selected0.filter { rg =>
+            val rows = rowCountOf(f, rg)
+            PjDeletionVector.countInRange(dv, startOf(rg), startOf(rg) + rows) < rows
+          }
+        case _ => selected0
+      }
       if (selected.isEmpty) Iterator.empty
       else {
         if (f.rawFooter && selected.exists(rg => rg < 0 || rg >= rgCount))

@@ -268,6 +268,57 @@ class PjDeletionVectorSpec extends AnyFunSuite {
       .map(i => (i, "delete")).toSet, s"v5 got $v5")
   }
 
+  test("fully-deleted row groups never plan (contiguous delete on a sorted layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_rgdrop").toString
+    spark.conf.set("parquet.block.size", (16 * 1024).toString)
+    try {
+      spark.range(0, 20000).select($"id", ($"id" % 4).as("m"))
+        .orderBy($"id").coalesce(1)
+        .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    } finally spark.conf.unset("parquet.block.size")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val nRg = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      .entries.head.rowGroups
+    assert(nRg >= 4, s"premise: several row groups, got $nRg")
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_rgd")
+    spark.sql(s"CREATE TABLE pj_dv_rgd USING pjparquet OPTIONS (path '$dir')")
+    // contiguous range covering the file's MIDDLE — several whole groups
+    spark.sql("DELETE FROM pj_dv_rgd WHERE id >= 5000 AND id < 15000")
+    val df = spark.table("pj_dv_rgd")
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.size
+    }.sum
+    // exactness first
+    assert(df.count() == 10000L)
+    assert(df.agg(sum($"id")).head().getLong(0) ==
+      (0L until 5000L).sum + (15000L until 20000L).sum)
+    // the full-table scan of the same data WITHOUT the delete plans more
+    // row groups than the post-delete scan (middle groups dropped)
+    val fullSplits = spark.read.format("pjparquet")
+      .option("versionAsOf", "1").load(dir)
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.partitions.size
+      }.sum
+    assert(planned < fullSplits || {
+      // splits bin-pack row groups, so compare planned row-group counts
+      // when the split counts tie
+      val rgsOf = (v: Option[String]) => {
+        val r = v.map(x => spark.read.format("pjparquet").option("versionAsOf", x))
+          .getOrElse(spark.read.format("pjparquet")).load(dir)
+        r.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.flatten.map(_.asInstanceOf[graft.sources.pjparquet.PjInputPartition]
+              .rowGroups.length).sum
+        }.sum
+      }
+      rgsOf(None) < rgsOf(Some("1"))
+    }, s"post-delete scan must plan fewer row groups ($planned vs $fullSplits splits)")
+  }
+
   test("stale-base DV delete rebases over a disjoint concurrent delete") {
     import org.apache.spark.sql.sources.{EqualTo, LessThan}
     val dir = java.nio.file.Files.createTempDirectory("pj_dv_conc").toString
