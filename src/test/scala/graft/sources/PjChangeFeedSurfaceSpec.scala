@@ -189,6 +189,33 @@ class PjChangeFeedSurfaceSpec extends AnyFunSuite {
       "planning must have materialized the rewrite diff for streaming")
   }
 
+  test("streaming CDF over deletion-vector commits: exactly the deleted positions") {
+    import spark.implicits._
+    val dir = tempDir("dvstream")
+    spark.range(0, 40).select($"id", lit("a").as("s")).coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir) // v1
+    spark.sql(s"DROP TABLE IF EXISTS pj_cdf_dv")
+    spark.sql(s"CREATE TABLE pj_cdf_dv USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_cdf_dv WHERE id IN (5, 9)")       // v2: vector
+    spark.sql("UPDATE pj_cdf_dv SET s = 'b' WHERE id = 11")      // v3: merge-on-read
+    val ckpt = tempDir("ckpt_dv")
+    val out = s"pj_cdf_stream_dv_${System.nanoTime()}"
+    val q = spark.readStream.format("pjparquet")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+      .writeStream.format("memory").queryName(out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(out)
+      .select(col("id"), col("s"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val want = (0L until 40L).map(i => (i, "a", "insert", 1L)).toSet ++
+      Set((5L, "a", "delete", 2L), (9L, "a", "delete", 2L),
+        (11L, "a", "update_preimage", 3L), (11L, "b", "update_postimage", 3L))
+    assert(got == want, s"diff: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
+  }
+
   test("partitioned table: one-plan feed aligns partition types and survives hostile values") {
     import spark.implicits._
     val dir = tempDir("part")
