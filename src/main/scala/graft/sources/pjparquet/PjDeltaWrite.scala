@@ -109,17 +109,23 @@ final class PjDeltaWrite(
 
   override def description(): String = s"pjparquet merge-on-read $command -> $root"
 
-  /** Same shape as [[PjWrite]]: cluster + sort inserts on the partition
-    * keys so a task holds one open parquet writer (delete-only rows carry
-    * null partition values and simply co-locate).
+  /** Same shape as [[PjWrite]] plus the delete stream's needs (Iceberg's
+    * position-delta layout): cluster on (partition keys, `_file`) so
+    * inserts co-locate per partition (one open parquet writer) AND one
+    * file's deletes land in one task; sort by (partition keys, `_file`,
+    * `_pos`) so the writer streams each file's positions as ONE ascending
+    * run — task memory is one file's delete positions, never the task's
+    * whole delete set. Insert rows carry null rowId columns and sort as a
+    * contiguous prefix ordered by their partition keys.
     */
   override def requiredDistribution(): Distribution =
     if (partitionKeys.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      partitionKeys.map(k => Expressions.column(k): V2Expression).toArray)
+      (partitionKeys :+ PjParquetTable.FileMetaName)
+        .map(k => Expressions.column(k): V2Expression).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
-    partitionKeys
+    (partitionKeys ++ Seq(PjParquetTable.FileMetaName, PjParquetTable.PosMetaName))
       .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
 
   override def toBatch: DeltaBatchWrite = new PjDeltaBatchWrite(
@@ -303,12 +309,38 @@ final class PjDeltaWriter(
 
   private val inserts =
     new PjDataWriter(root, conf, schema, partitionKeys, fileTag, overwriteExisting = false)
-  private val deletesByFile = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+  // deletes arrive sorted by (_file, _pos) (the write's required ordering),
+  // so ONE file's run buffers at a time and flushes as a partial vector on
+  // file change — task memory is bounded by a single file's delete count.
+  // Out-of-order arrival (no ordering guarantee honored) stays correct: a
+  // revisited file just flushes a second partial; the driver merges all.
+  private var currentFile: String = null
+  private var currentRun = mutable.ArrayBuffer.empty[Long]
+  private val partials = mutable.ArrayBuffer.empty[(String, String, Long)]
+  private var partialSeq = 0
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
-    val pos = id.getLong(1)
-    deletesByFile.getOrElseUpdate(file, mutable.ArrayBuffer.empty[Long]) += pos
+    if (currentFile == null || currentFile != file) {
+      flushRun()
+      currentFile = file
+    }
+    currentRun += id.getLong(1)
+  }
+
+  private def flushRun(): Unit = {
+    if (currentFile != null && currentRun.nonEmpty) {
+      val arr = currentRun.toArray
+      java.util.Arrays.sort(arr)
+      val rel = s"${PjDeletionVector.DirName}/partial-$fileTag-$partialSeq.dv"
+      partialSeq += 1
+      val rootPath = new Path(root)
+      val n = PjDeletionVector.write(rootPath.getFileSystem(conf), rootPath, rel,
+        arr.iterator.distinct)
+      partials += ((currentFile, rel, n))
+    }
+    currentRun = mutable.ArrayBuffer.empty[Long]
+    currentFile = null
   }
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
@@ -324,26 +356,15 @@ final class PjDeltaWriter(
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = inserts.commit().asInstanceOf[PjCommitMessage]
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    var seq = 0
-    val partials = deletesByFile.iterator.map { case (file, buf) =>
-      val arr = buf.toArray
-      java.util.Arrays.sort(arr)
-      val rel = s"${PjDeletionVector.DirName}/partial-$fileTag-$seq.dv"
-      seq += 1
-      val n = PjDeletionVector.write(fs, rootPath, rel,
-        arr.iterator.distinct)
-      (file, rel, n)
-    }.toSeq
-    PjDeltaCommitMessage(dataMsg.files, partials)
+    flushRun()
+    PjDeltaCommitMessage(dataMsg.files, partials.toSeq)
   }
 
   override def abort(): Unit = {
     inserts.abort()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
-    (0 until deletesByFile.size).foreach { i =>
+    (0 until partialSeq).foreach { i =>
       fs.delete(new Path(rootPath,
         s"${PjDeletionVector.DirName}/partial-$fileTag-$i.dv"), false)
     }
