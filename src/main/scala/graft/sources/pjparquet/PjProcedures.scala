@@ -80,7 +80,7 @@ object PjProcedures {
   val Names: Seq[String] = Seq(
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
-    "purge_deletion_vectors")
+    "purge_deletion_vectors", "detail")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -183,6 +183,36 @@ object PjProcedures {
                 s"pjparquet: '$root' has no commit log to checkpoint"))
             PjCommitLog.writeCheckpoint(fs, root, head.version)
             Seq(new GenericInternalRow(Array[Any](head.version)))
+          })
+      case "detail" =>
+        // Delta's DESCRIBE DETAIL shape: one row of head-snapshot facts,
+        // entirely from the commit log (zero file opens)
+        new Proc("detail", Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("ts", TimestampType, nullable = false),
+            StructField("n_files", LongType, nullable = false),
+            StructField("total_bytes", LongType, nullable = false),
+            StructField("total_rows", LongType, nullable = false),
+            StructField("live_rows", LongType, nullable = false),
+            StructField("files_with_deletion_vectors", LongType, nullable = false),
+            StructField("deleted_rows", LongType, nullable = false),
+            StructField("schema_json", StringType, nullable = true))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val s = PjCommitLog.latest(fs, root).getOrElse(
+              throw new PJException(
+                s"pjparquet: '$root' has no commit log (detail applies to logged tables)"))
+            val rows = s.entries.iterator.map(e => math.max(0L, e.rows)).sum
+            val live = s.entries.iterator.map(e => math.max(0L, e.liveRows)).sum
+            Seq(new GenericInternalRow(Array[Any](
+              s.version, s.ts * 1000L, s.entries.size.toLong,
+              s.entries.iterator.map(e => math.max(0L, e.size)).sum,
+              rows, live,
+              s.entries.count(_.dv.isDefined).toLong,
+              rows - live,
+              s.dataSchemaJson.map(utf8).orNull)))
           })
       case "history" =>
         new Proc("history", Array(in("table", StringType)),

@@ -54,6 +54,24 @@ class PjProceduresSpec extends AnyFunSuite {
     assert(vac.getLong(0) == 0L && vac.getLong(1) == 0L)
   }
 
+  test("detail: one head-snapshot row incl. deletion-vector facts, zero file opens") {
+    import spark.implicits._
+    val dir = tempDir("detail")
+    spark.range(0, 100)
+      .select($"id", org.apache.spark.sql.functions.lit("d").as("s")).coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v1
+    spark.sql(s"DROP TABLE IF EXISTS pj_proc_detail")
+    spark.sql(s"CREATE TABLE pj_proc_detail USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_proc_detail WHERE id < 10") // v2: vector
+    val d = spark.sql(s"CALL pjproc.system.detail('$dir')").collect().head
+    assert(d.getLong(0) == 2L) // version
+    assert(d.getLong(2) == 1L) // n_files
+    assert(d.getLong(4) == 100L && d.getLong(5) == 90L) // total vs live rows
+    assert(d.getLong(6) == 1L && d.getLong(7) == 10L) // dv files, deleted rows
+    assert(d.getString(8).contains("\"id\"")) // recorded schema rides along
+  }
+
   test("build_index and build_blooms fleet builds over a plain directory") {
     import spark.implicits._
     val dir = tempDir("fleet")
