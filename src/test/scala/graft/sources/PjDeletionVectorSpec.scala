@@ -359,6 +359,38 @@ class PjDeletionVectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conflict"), s"got: ${e.getMessage}")
   }
 
+  test("DV reads through NESTED schemas: struct and array columns remap per selection") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_nested").toString
+    spark.range(0, 300)
+      .select($"id",
+        struct(($"id" * 2).as("a"), concat(lit("s"), $"id").as("b")).as("st"),
+        array($"id", $"id" + 1, $"id" + 2).as("arr"))
+      .coalesce(1).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir)
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_nested")
+    spark.sql(s"CREATE TABLE pj_dv_nested USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_nested WHERE id % 3 = 1") // non-pushable → delta write
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(head.entries.exists(_.dv.isDefined), "nested file must gain a vector")
+    val t = spark.table("pj_dv_nested")
+    assert(t.count() == 200L)
+    // struct fields read through the selection wrapper's child remap
+    val got = t.select($"id", $"st.a", $"st.b", $"arr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getSeq[Long](3))).sortBy(_._1)
+    val want = (0L until 300L).filterNot(_ % 3 == 1)
+      .map(i => (i, i * 2, s"s$i", Seq(i, i + 1, i + 2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"row mismatch: $g vs $w") }
+    // whole-struct + aggregate over array elements stay exact
+    assert(t.select(explode($"arr")).count() == 600L)
+    assert(t.agg(sum($"st.a")).head().getLong(0) ==
+      (0L until 300L).filterNot(_ % 3 == 1).map(_ * 2).sum)
+  }
+
   test("DV entries survive JSON and parquet checkpoints bit-identically") {
     import graft.sources.pjparquet.PjCommitLog
     val dir = java.nio.file.Files.createTempDirectory("pj_dv_ckpt").toString
