@@ -152,13 +152,15 @@ object PjDeletionVector {
 
   /** Decoded vectors are immutable — cache by absolute path, bounded LRU
     * (a task re-reading its file's vector per split would otherwise pay
-    * the decode once per split).
+    * the decode once per split). Bounded by retained POSITIONS, not entry
+    * count: one heavily-deleted file's vector can be orders of magnitude
+    * larger than another's, and a count bound alone could retain
+    * gigabytes on a wide executor.
     */
+  private val MaxCachedPositions = 32L << 20 // ≤ 256 MB of retained longs
   private val cache =
-    new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[Long]]): Boolean = size() > 256
-    }
+    new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true)
+  private var cachedPositions = 0L
 
   def cached(conf: org.apache.hadoop.conf.Configuration, absPath: String): Array[Long] = {
     cache.synchronized {
@@ -167,7 +169,17 @@ object PjDeletionVector {
     }
     val p = new Path(absPath)
     val v = load(p.getFileSystem(conf), p)
-    cache.synchronized(cache.put(absPath, v))
+    cache.synchronized {
+      if (cache.put(absPath, v) == null) cachedPositions += v.length
+      val it = cache.entrySet().iterator()
+      while ((cachedPositions > MaxCachedPositions || cache.size() > 4096) && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != absPath) { // never evict the entry being served
+          cachedPositions -= eldest.getValue.length
+          it.remove()
+        }
+      }
+    }
     v
   }
 
