@@ -566,6 +566,43 @@ object MetadataQueries {
         .withColumn("base_files_kept", lit(if (baseKept) 1L else 0L))
         .withColumn("base_has_vectors", lit(if (baseHasDv) 1L else 0L))
     }),
+    "q142_dedup_in_place" -> ((s, dir) => {
+      import s.implicits._
+      // In-place corpus dedup via deletion vectors (round 11,
+      // PipelineOps.dedupInPlace): documents duplicated 3 ways into a
+      // logged table, then deduped BY CONTENT with one window + one
+      // vector commit — zero files rewritten, exactly one representative
+      // per distinct text survives. DuckDB recomputes the distinct facts.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q142_dedup").toString
+      val docs = graft.Tables.documents(s, dir)
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+      docs.unionAll(docs.limit(40)).unionAll(docs.limit(15))
+        .repartition(3).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1: with dups
+      val files = {
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        graft.sources.pjparquet.PjCommitLog.latest(
+          fs, new org.apache.hadoop.fs.Path(tmp)).get.entries.map(_.path).toSet
+      }
+      val (v, removed) = PipelineOps.dedupInPlace(s, tmp, Seq("text"))
+      val fs2 = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val head = graft.sources.pjparquet.PjCommitLog.latest(
+        fs2, new org.apache.hadoop.fs.Path(tmp)).get
+      val noRewrite = head.entries.forall(e => files.contains(e.path))
+      // exact expected removal count: (base + 55 planted dups) minus one
+      // representative per distinct text
+      val expectRemoved =
+        docs.count() + 55L - docs.select($"text").distinct().count()
+      val t = s.read.format("pjparquet").load(tmp)
+      t.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"text").as("n_distinct_text"))
+        .withColumn("dedup_exact", lit(if (v.isDefined) 1L else 0L))
+        .withColumn("no_file_rewritten", lit(if (noRewrite) 1L else 0L))
+        .withColumn("removed_matches", lit(if (removed == expectRemoved) 1L else 0L))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1434,6 +1471,13 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q142_dedup_in_place" ->
+      """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+        |       CAST(1 AS BIGINT) AS dedup_exact,
+        |       CAST(1 AS BIGINT) AS no_file_rewritten,
+        |       CAST(1 AS BIGINT) AS removed_matches
+        |FROM documents""".stripMargin,
     "q141_mor_update" ->
       """WITH base AS (
         |  SELECT c_custkey, c_nationkey,

@@ -42,6 +42,56 @@ object PipelineOps {
   def dedupByKey(docs: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame =
     docs.groupBy(keys.map(col): _*).agg(min(col(idCol)).as("first_" + idCol))
 
+  /** IN-PLACE dedup of a logged pjparquet table — the 100 TB corpus
+    * primitive that marries the dedup family to merge-on-read DML: rows
+    * sharing `keys` keep exactly ONE representative (the smallest
+    * (`_file`, `_pos`) identity — deterministic, rerun-stable) and every
+    * other copy retires by POSITION into deletion vectors
+    * ([[graft.sources.pjparquet.PjDvDelete.deletePositions]]). One
+    * hash-partitioned window over (keys) finds the losers, one commit
+    * lands them; NOTHING is rewritten — deduping a 100 TB corpus writes
+    * kilobytes of vectors per file instead of re-materializing the
+    * surviving 95 %. Returns (committed version, duplicates removed).
+    */
+  def dedupInPlace(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      keys: Seq[String]): (Option[Long], Long) = {
+    import graft.sources.pjparquet.{PjCommitLog, PjDvDelete, PjParquetTable}
+    import spark.implicits._
+    require(keys.nonEmpty, "dedupInPlace needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val layout = PjParquetTable.resolveFiles(root, conf, autogen = true)
+    val base = layout.logVersion.getOrElse(
+      throw new graft.core.PJException(
+        s"pjparquet: dedupInPlace requires a commit-log table ('$root')"))
+    val t = spark.read.format("pjparquet")
+      .option("versionAsOf", base.toString).load(root)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_file").asc, col("_pos").asc)
+    val losers = t
+      .select((keys.map(col) :+ col("_file") :+ col("_pos")): _*)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("_file").as("f"), col("_pos").as("p"))
+      .as[(String, Long)]
+    // dedup reads every partition — declare the full partition read set
+    val readPartitions = layout.files.map(_.partitionValues).toSet
+    val v = PjDvDelete.deletePositions(
+      spark, fs, rootPath, layout, losers,
+      operation = "delete", readPartitions = readPartitions)
+    val removed = v.map { committed =>
+      val head = PjCommitLog.read(fs, rootPath, committed)
+      val prev = PjCommitLog.read(fs, rootPath, base)
+      prev.entries.iterator.map(e => math.max(0L, e.liveRows)).sum -
+        head.entries.iterator.map(e => math.max(0L, e.liveRows)).sum
+    }.getOrElse(0L)
+    (v, removed)
+  }
+
   /** Incremental dedup — the daily-ingest primitive: drop every new
     * document whose content hash is already in `seenHashes` (column
     * `content_hash`, the accumulated history), then dedup within the

@@ -93,6 +93,38 @@ object PjDvDelete {
       .select(col(PjParquetTable.FileMetaName).as("f"), col(PjParquetTable.PosMetaName).as("p"))
       .as[(String, Long)]
 
+    // partition-level read set (pre-stats-pruning, like the CoW scans):
+    // every partition tuple the predicate might admit
+    val readPartitions: Set[Seq[String]] =
+      layout.files.filter(f => filters.forall(p =>
+        layout.partitionSchema.isEmpty ||
+          PjPartitionFilter.mightMatch(layout.partitionSchema, f, p)))
+        .map(_.partitionValues).toSet
+    deletePositions(spark, fs, rootPath, layout, matches,
+      operation = "delete", readPartitions = readPartitions)
+  }
+
+  /** Delete EXPLICIT (file, position) identities — the general merge-on-
+    * read primitive behind [[run]] and position-driven operators like
+    * in-place dedup ([[graft.operators.PipelineOps.dedupInPlace]]):
+    * `matches` is any Dataset of (absolute file path as the scan's
+    * `_file` renders it, file-absolute `_pos`). Vectors build
+    * distributedly exactly as for a predicate DELETE; returns the
+    * committed version (None when `matches` is empty).
+    */
+  def deletePositions(
+      spark: SparkSession,
+      fs: FileSystem,
+      rootPath: Path,
+      layout: PjLayout,
+      matches: org.apache.spark.sql.Dataset[(String, Long)],
+      operation: String,
+      readPartitions: Set[Seq[String]]): Option[Long] = {
+    import spark.implicits._
+    val baseVersion = layout.logVersion.getOrElse(
+      throw new PJException("pjparquet: deletion-vector DML requires a commit-log table"))
+    val rootQ = fs.makeQualified(rootPath).toString
+
     // existing vectors (absolute paths), keyed by absolute file path
     val oldDvByFile: Map[String, String] =
       layout.files.flatMap(f => f.dv.map(d => f.path -> d._1)).toMap
@@ -164,16 +196,9 @@ object PjDvDelete {
       if (e.rows >= 0 && total >= e.rows) () // every row deleted: retire the file
       else adds += e.copy(dv = Some(PjCommitLog.DvRef(dvRel, total)))
     }
-    // partition-level read set (pre-stats-pruning, like the CoW scans):
-    // every partition tuple the predicate might admit
-    val readPartitions: Set[Seq[String]] =
-      layout.files.filter(f => filters.forall(p =>
-        layout.partitionSchema.isEmpty ||
-          PjPartitionFilter.mightMatch(layout.partitionSchema, f, p)))
-        .map(_.partitionValues).toSet
     val v = PjCommitLog.commit(fs, rootPath, "delete-dv",
       adds.result(), removes.result(),
-      operation = Some("delete"),
+      operation = Some(operation),
       readVersion = Some(baseVersion),
       readPartitions = Some(readPartitions))
     Some(v)
