@@ -391,6 +391,33 @@ class PjDeletionVectorSpec extends AnyFunSuite {
       (0L until 300L).filterNot(_ % 3 == 1).map(_ * 2).sum)
   }
 
+  test("dedupInPlace: one rep per key, vectors only, idempotent rerun") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_dedup").toString
+    val base = spark.range(0, 90).select(($"id" % 30).as("k"), $"id".as("payload"))
+    base.repartition(2).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // 30 keys × 3 copies
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val files = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      .entries.map(_.path).toSet
+    val (v1, removed1) = graft.operators.PipelineOps.dedupInPlace(spark, dir, Seq("k"))
+    assert(v1.contains(2L) && removed1 == 60L, s"got $v1 / $removed1")
+    val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    assert(head.entries.forall(e => files.contains(e.path)), "no file rewritten")
+    val t = spark.read.format("pjparquet").load(dir)
+    assert(t.count() == 30L)
+    assert(t.select($"k").distinct().count() == 30L)
+    // the kept representative is deterministic: smallest (_file, _pos)
+    val kept1 = t.select($"k", $"payload").as[(Long, Long)].collect().toSet
+    // rerun: nothing left to remove, NO new commit
+    val (v2, removed2) = graft.operators.PipelineOps.dedupInPlace(spark, dir, Seq("k"))
+    assert(v2.isEmpty && removed2 == 0L, s"got $v2 / $removed2")
+    assert(graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.version == 2L)
+    assert(spark.read.format("pjparquet").load(dir)
+      .select($"k", $"payload").as[(Long, Long)].collect().toSet == kept1)
+  }
+
   test("DV entries survive JSON and parquet checkpoints bit-identically") {
     import graft.sources.pjparquet.PjCommitLog
     val dir = java.nio.file.Files.createTempDirectory("pj_dv_ckpt").toString
