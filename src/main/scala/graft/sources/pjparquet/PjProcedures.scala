@@ -80,7 +80,7 @@ object PjProcedures {
   val Names: Seq[String] = Seq(
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
-    "purge_deletion_vectors", "detail")
+    "purge_deletion_vectors", "detail", "dedup")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -183,6 +183,23 @@ object PjProcedures {
                 s"pjparquet: '$root' has no commit log to checkpoint"))
             PjCommitLog.writeCheckpoint(fs, root, head.version)
             Seq(new GenericInternalRow(Array[Any](head.version)))
+          })
+      case "dedup" =>
+        // in-place key-level dedup via deletion vectors (one rep per key,
+        // smallest (_file,_pos) wins, zero rewrites) — the SQL face of
+        // PipelineOps.dedupInPlace
+        new Proc("dedup",
+          Array(in("table", StringType), in("keys", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = true),
+            StructField("duplicates_removed", LongType, nullable = false))),
+          { input =>
+            val keys = input.getUTF8String(1).toString
+              .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+            val (v, removed) =
+              graft.operators.PipelineOps.dedupInPlace(spark, tableArg(input), keys)
+            Seq(new GenericInternalRow(Array[Any](
+              v.map(java.lang.Long.valueOf).orNull, removed)))
           })
       case "detail" =>
         // Delta's DESCRIBE DETAIL shape: one row of head-snapshot facts,

@@ -72,6 +72,21 @@ class PjProceduresSpec extends AnyFunSuite {
     assert(d.getString(8).contains("\"id\"")) // recorded schema rides along
   }
 
+  test("dedup procedure: in-place key dedup via vectors, SQL-scriptable") {
+    import spark.implicits._
+    val dir = tempDir("dedup")
+    spark.range(0, 60).select(($"id" % 20).as("k"), $"id".as("p")).coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    val r = spark.sql(
+      s"CALL pjproc.system.dedup(table => '$dir', keys => 'k')").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 40L, s"got $r")
+    assert(spark.read.format("pjparquet").load(dir).count() == 20L)
+    // rerun: nothing removed, null version (no commit)
+    val r2 = spark.sql(s"CALL pjproc.system.dedup('$dir', 'k')").collect().head
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+  }
+
   test("build_index and build_blooms fleet builds over a plain directory") {
     import spark.implicits._
     val dir = tempDir("fleet")
