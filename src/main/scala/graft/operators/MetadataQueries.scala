@@ -603,6 +603,50 @@ object MetadataQueries {
         .withColumn("no_file_rewritten", lit(if (noRewrite) 1L else 0L))
         .withColumn("removed_matches", lit(if (removed == expectRemoved) 1L else 0L))
     }),
+    "q143_restore" -> ((s, dir) => {
+      import s.implicits._
+      // RESTORE TABLE TO VERSION AS OF (round 12, PjRestore): v1 appends
+      // nation, v2 appends a +100-key copy, v3 DV-DELETEs keys < 5, v4
+      // appends a +200-key copy; CALL restore(2) turns HEAD back into v2
+      // with ONE metadata commit — the DV reference rolls back (deleted
+      // rows resurrect with zero data I/O), v4's file retires, history
+      // gains a "restore" version, and time travel to v3/v4 still works.
+      // DuckDB recomputes the v2 row facts; the protocol facts ride as
+      // asserted bits.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q143_restore").toString
+      val nation = graft.Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("k"), $"n_name", $"n_regionkey")
+      nation.coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      nation.withColumn("k", $"k" + 100L).coalesce(1)
+        .write.format("pjparquet").mode("append").save(tmp) // v2
+      s.sql("DROP TABLE IF EXISTS pj_q143_t")
+      s.sql(s"CREATE TABLE pj_q143_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM pj_q143_t WHERE k < 5") // v3: deletion vectors
+      nation.withColumn("k", $"k" + 200L).coalesce(1)
+        .write.format("pjparquet").mode("append").save(tmp) // v4
+      s.conf.set("spark.sql.catalog.pj_q143", "graft.sources.pjparquet.PjCatalog")
+      val rep = s.sql(s"CALL pj_q143.system.restore('$tmp', 2)").collect().head
+      val v2 = s.read.format("pjparquet").option("versionAsOf", "2").load(tmp)
+        .select($"k").as[Long].collect().sorted.toSeq
+      val headKeys = s.read.format("pjparquet").load(tmp)
+        .select($"k").as[Long].collect().sorted.toSeq
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val hist = graft.sources.pjparquet.PjCommitLog.history(
+        fs, new org.apache.hadoop.fs.Path(tmp))
+      val v3Rows = s.read.format("pjparquet").option("versionAsOf", "3").load(tmp).count()
+      val v4Rows = s.read.format("pjparquet").option("versionAsOf", "4").load(tmp).count()
+      s.read.format("pjparquet").load(tmp)
+        .agg(count(lit(1)).as("n_rows"), sum($"k").cast("long").as("key_sum"))
+        .withColumn("head_equals_v2", lit(if (headKeys == v2) 1L else 0L))
+        .withColumn("restore_committed_v5",
+          lit(if (rep.getLong(1) == 5L && rep.getLong(0) == 2L) 1L else 0L))
+        .withColumn("history_has_restore",
+          lit(if (hist.exists(h => h.version == 5L && h.action == "restore")) 1L else 0L))
+        .withColumn("time_travel_intact",
+          lit(if (v3Rows == v2.size - 5L && v4Rows == v2.size + 20L) 1L else 0L))
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1471,6 +1515,14 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q143_restore" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |       CAST(2 * sum(n_nationkey) + 100 * count(*) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS head_equals_v2,
+        |       CAST(1 AS BIGINT) AS restore_committed_v5,
+        |       CAST(1 AS BIGINT) AS history_has_restore,
+        |       CAST(1 AS BIGINT) AS time_travel_intact
+        |FROM nation""".stripMargin,
     "q142_dedup_in_place" ->
       """SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,

@@ -69,15 +69,7 @@ object PipelineOps {
         s"pjparquet: dedupInPlace requires a commit-log table ('$root')"))
     val t = spark.read.format("pjparquet")
       .option("versionAsOf", base.toString).load(root)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("_file").asc, col("_pos").asc)
-    val losers = t
-      .select((keys.map(col) :+ col("_file") :+ col("_pos")): _*)
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") > 1)
-      .select(col("_file").as("f"), col("_pos").as("p"))
-      .as[(String, Long)]
+    val losers = dedupLosers(t, keys).as[(String, Long)]
     // dedup reads every partition — declare the full partition read set
     val readPartitions = layout.files.map(_.partitionValues).toSet
     val v = PjDvDelete.deletePositions(
@@ -90,6 +82,31 @@ object PipelineOps {
         head.entries.iterator.map(e => math.max(0L, e.liveRows)).sum
     }.getOrElse(0L)
     (v, removed)
+  }
+
+  /** Loser-selection plan for [[dedupInPlace]] — exposed for plan-shape
+    * tests. Slim-key shuffle: the key columns hash down to a 32-byte
+    * digest BEFORE the window (the same sha256 recipe
+    * [[incrementalDedup]] ships its history on), so the exchange carries
+    * (digest, `_file`, `_pos`) — ~3 % of a text-keyed corpus — instead
+    * of the raw key payload. Per-column fixed-width sha256 hex then a
+    * digest-of-digests keeps multi-key grouping unambiguous (no
+    * separator-injection or null-coalescing collisions); a sha256
+    * collision is far below hardware error rates, so the dedup stays
+    * exact in practice. Returns `(f = _file, p = _pos)` of every
+    * non-representative row.
+    */
+  private[graft] def dedupLosers(t: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyDigest = sha2(
+      concat_ws("", keys.map(k =>
+        coalesce(sha2(col(k).cast("string"), 256), lit("-"))): _*), 256)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_kd"))
+      .orderBy(col("_file").asc, col("_pos").asc)
+    t.select(keyDigest.as("_kd"), col("_file"), col("_pos"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("_file").as("f"), col("_pos").as("p"))
   }
 
   /** Incremental dedup — the daily-ingest primitive: drop every new
@@ -1310,7 +1327,7 @@ object PipelineOps {
   }
 
   /** REAL byte-pair-encoding tokenization ([[graft.functions.BpeTokenizer]]):
-    * merges train once on a bounded id-ordered sample (driver-side local
+    * merges train once on a bounded hash-ordered sample (driver-side local
     * work, the way every production tokenizer trains on a sample), the
     * few-KB model broadcasts, and encoding is a per-row pure function —
     * embarrassingly parallel, no shuffle, corpus never moves. The scalar
@@ -1326,7 +1343,9 @@ object PipelineOps {
       idCol: String = "doc_id",
       numMerges: Int = 200,
       sampleN: Int = 2048): DataFrame = {
-    val sample = docs.orderBy(col(idCol)).limit(sampleN)
+    // hash-ordered sample (fitSampleOrder): unbiased across shards yet
+    // bit-reproducible — the same fix r10/r11 landed for the ANN fits
+    val sample = docs.orderBy(fitSampleOrder(col(idCol)): _*).limit(sampleN)
       .select(col(textCol)).collect().map(r => Option(r.getString(0)).getOrElse(""))
     val model = graft.functions.BpeTokenizer.train(sample, numMerges)
     val bc = docs.sparkSession.sparkContext.broadcast(model)

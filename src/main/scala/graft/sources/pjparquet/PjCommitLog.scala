@@ -225,12 +225,60 @@ object PjCommitLog {
   private def readAt(fs: FileSystem, root: Path, version: Long, l: Listing): Snapshot = {
     // the version file's size is the validity token: it catches a table
     // deleted and recreated at the same path (new v1, different bytes)
-    val key = (fs.makeQualified(root).toString, version, l.token(version))
+    val rootStr = fs.makeQualified(root).toString
+    val key = (rootStr, version, l.token(version))
     val cached = snapshotCache.get(key)
     if (cached != null && l.versions.contains(version)) return cached
-    val snap = readAtUncached(fs, root, version, l).copy(contentToken = l.token(version))
+    val snap = incrementalFromCache(fs, root, rootStr, version, l)
+      .getOrElse(readAtUncached(fs, root, version, l))
+      .copy(contentToken = l.token(version))
     snapshotCache.put(key, snap)
     snap
+  }
+
+  /** O(delta) replay: when a VALIDATED predecessor snapshot is cached
+    * (same root, token still matches its on-disk version file) and every
+    * version between it and the target is a delta commit, apply just the
+    * tail to the cached state instead of re-reading the checkpoint — the
+    * steady-state cost of a committer appending to a million-file table
+    * becomes the delta, not the snapshot.
+    */
+  private def incrementalFromCache(fs: FileSystem, root: Path, rootStr: String,
+      version: Long, l: Listing): Option[Snapshot] = {
+    if (!l.versions.contains(version)) return None // let the full path throw
+    val pred: Option[Snapshot] = {
+      val best = new java.util.ArrayList[Snapshot](1)
+      snapshotCache.synchronized {
+        val it = snapshotCache.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (r, v, tok) = e.getKey
+          if (r == rootStr && v < version && l.versions.contains(v) && l.token(v) == tok &&
+              (best.isEmpty || best.get(0).version < v)) {
+            if (!best.isEmpty) best.clear()
+            best.add(e.getValue)
+          }
+        }
+      }
+      if (best.isEmpty) None else Some(best.get(0))
+    }
+    pred.flatMap { base =>
+      val between = l.versions.filter(x => x > base.version && x <= version)
+      // every intermediate version must be a delta commit file — a
+      // checkpoint-only version in the range (post-expiry base) or a gap
+      // means the tail alone cannot reproduce the state
+      if (between.isEmpty || !between.forall(l.commits.contains)) None
+      else {
+        val st = new ReplayState
+        base.entries.foreach(e => st.entries.put(e.path, e))
+        st.schema = base.dataSchemaJson
+        st.ts = base.ts
+        st.action = base.action
+        st.operation = base.operation
+        between.foreach(v => st.apply(parseFile(fs, commitFile(root, v), v)))
+        Some(st.snapshot(version))
+      }
+    }
   }
 
   private def readAtUncached(fs: FileSystem, root: Path, version: Long, l: Listing): Snapshot = {
@@ -243,27 +291,41 @@ object PjCommitLog {
     }
     // base: the newest checkpoint at or before the target, else empty
     val cpv = l.checkpoints.filter(_ <= version).lastOption
-    val entries = new java.util.LinkedHashMap[String, FileEntry]()
-    var schema: Option[String] = None
-    var ts = 0L
-    var action = "unknown"
-    var operation: Option[String] = None
+    val st = new ReplayState
     cpv.foreach { c =>
       val node = parseFile(fs, checkpointFile(root, c), c)
       val base = optText(node, "entriesParquet") match {
         case Some(dirName) => readParquetEntries(root, dirName)
         case None => nodeEntries(node, "entries")
       }
-      base.foreach(e => entries.put(e.path, e))
-      schema = optText(node, "dataSchema")
-      ts = node.path("ts").asLong(0L)
-      action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
+      base.foreach(e => st.entries.put(e.path, e))
+      st.schema = optText(node, "dataSchema")
+      st.ts = node.path("ts").asLong(0L)
+      st.action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
     // delta tail above the checkpoint base (ascending); versions below the
     // base need no files at all — that is exactly what expiry exploits
     val tail = l.commits.filter(v => v > cpv.getOrElse(0L) && v <= version)
-    for (v <- tail) {
-      val node = parseFile(fs, commitFile(root, v), v)
+    for (v <- tail) st.apply(parseFile(fs, commitFile(root, v), v))
+    if (tail.isEmpty && cpv.contains(version)) {
+      // version materialized purely from its checkpoint (post-expiry base):
+      // its operation rode the original commit file, which may be gone
+      st.operation = None
+    }
+    st.snapshot(version)
+  }
+
+  /** Mutable replay accumulator shared by checkpoint-based and
+    * cached-predecessor ([[incrementalFromCache]]) replays — one
+    * definition of how a commit node mutates table state.
+    */
+  private final class ReplayState {
+    val entries = new java.util.LinkedHashMap[String, FileEntry]()
+    var schema: Option[String] = None
+    var ts = 0L
+    var action = "unknown"
+    var operation: Option[String] = None
+    def apply(node: JsonNode): Unit = {
       if (node.has("files")) {
         // legacy full snapshot: replaces the whole state — including any
         // recorded schema, which described files this commit may have
@@ -282,13 +344,9 @@ object PjCommitLog {
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
       operation = optText(node, "operation")
     }
-    if (tail.isEmpty && cpv.contains(version)) {
-      // version materialized purely from its checkpoint (post-expiry base):
-      // its operation rode the original commit file, which may be gone
-      operation = None
-    }
-    Snapshot(version, action,
-      entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation)
+    def snapshot(version: Long): Snapshot =
+      Snapshot(version, action,
+        entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -502,9 +560,34 @@ object PjCommitLog {
       entryFormat: Option[Boolean] = None): Unit = {
     val target = checkpointFile(root, v)
     if (fs.exists(target)) return
-    val snap = read(fs, root, v)
     val session = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    // Incremental engine path: when the previous checkpoint is already
+    // parquet-backed and the tail is pure deltas, the new entry dir is
+    // built by READING the old one through the engine and applying the
+    // O(delta) tail — the driver never materializes the live-file set
+    // (no ArrayList[Row] of 500k entries, no multi-MB task broadcast).
+    if (!entryFormat.contains(false) && session.isDefined) {
+      incrementalParquetCheckpoint(session.get, fs, root, v) match {
+        case Some((nFiles, ts, action, schema)) =>
+          publishStream(fs, target) { out =>
+            val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+            g.writeStartObject()
+            g.writeNumberField("version", v)
+            g.writeNumberField("ts", ts)
+            g.writeStringField("action", action)
+            g.writeNumberField("nFiles", nFiles)
+            g.writeBooleanField("checkpoint", true)
+            schema.foreach(s => g.writeStringField("dataSchema", s))
+            g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
+            g.writeEndObject()
+            g.flush()
+          }
+          return
+        case None => // no parquet predecessor / legacy tail — full rebuild below
+      }
+    }
+    val snap = read(fs, root, v)
     val asParquet = entryFormat.getOrElse(
       snap.entries.size >= ParquetCheckpointMinEntries && session.isDefined)
     if (asParquet && session.isEmpty)
@@ -562,35 +645,115 @@ object PjCommitLog {
       StructField("dn", LongType, nullable = true)))
   }
 
+  private def entryRow(e: FileEntry): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(
+      e.path, e.size, e.rows, e.rowGroups,
+      e.fingerprint.map(java.lang.Long.valueOf).orNull,
+      e.nested, e.cols.orNull,
+      if (e.stats.isEmpty) null
+      else e.stats.toSeq.sortBy(_._1).map { case (name, cs) =>
+        org.apache.spark.sql.Row(name, cs.physType, cs.nullCount, cs.min.orNull, cs.max.orNull)
+      },
+      e.dv.map(_.path).orNull,
+      e.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull)
+
+  /** Publish `df` as the checkpoint-entry dir for `v` (write-temp-then-
+    * rename; losing the rename to a racer or a finished crash is fine).
+    */
+  private def publishEntryDir(fs: FileSystem, root: Path, dir: Path,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = new Path(logDir(root), s".${dir.getName}.${java.util.UUID.randomUUID()}.tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, dir)) {
+      fs.delete(tmp, true)
+      if (!fs.exists(dir)) // lost neither to a racer nor to a crash: real failure
+        throw new PJException(s"pjparquet: cannot publish checkpoint entries at $dir")
+    }
+  }
+
   private def writeParquetEntries(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
       root: Path, v: Long, snap: Snapshot): Unit = {
     import org.apache.spark.sql.Row
     val dir = checkpointParquetDir(root, v)
     if (fs.exists(dir)) return // an earlier (crashed or racing) attempt finished it
-    val rows: java.util.List[Row] = new java.util.ArrayList[Row](snap.entries.size)
-    snap.entries.foreach { e =>
-      rows.add(Row(
-        e.path, e.size, e.rows, e.rowGroups,
-        e.fingerprint.map(java.lang.Long.valueOf).orNull,
-        e.nested, e.cols.orNull,
-        if (e.stats.isEmpty) null
-        else e.stats.toSeq.sortBy(_._1).map { case (name, cs) =>
-          Row(name, cs.physType, cs.nullCount, cs.min.orNull, cs.max.orNull)
-        },
-        e.dv.map(_.path).orNull,
-        e.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull))
-    }
+    // first materialization of a JSON-delta log: the entries exist on the
+    // driver (the replay built them) — ship them in ~2,500-row slices so
+    // no task carries a multi-MB payload, then shuffle down to the target
+    // file count (the shuffle is engine-side and trivial at metadata scale)
     val parts = math.max(1, math.min(64, snap.entries.size / 100000 + 1))
-    val tmp = new Path(logDir(root), s".${dir.getName}.${java.util.UUID.randomUUID()}.tmp")
-    spark.createDataFrame(rows, CkptEntrySchema)
-      .repartition(parts)
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, dir)) {
-      fs.delete(tmp, true)
-      if (!fs.exists(dir)) // lost neither to a racer nor to a crash: real failure
-        throw new PJException(s"pjparquet: cannot publish checkpoint entries at $dir")
+    val slices = math.max(1, math.min(1024, snap.entries.size / 2500 + 1))
+    publishEntryDir(fs, root, dir,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(snap.entries.map(entryRow), slices),
+        CkptEntrySchema).repartition(parts))
+  }
+
+  /** Incremental parquet checkpoint: the new entry dir = (previous
+    * parquet checkpoint read THROUGH THE ENGINE) minus every path the
+    * delta tail touched, plus the tail's surviving adds — a broadcast
+    * anti-join over O(delta) paths, so driver memory and task payloads
+    * stay O(delta) no matter how many files are live. Returns the header
+    * facts `(nFiles, ts, action, dataSchema)` on success; `None` when
+    * there is no parquet-backed predecessor or the tail contains a legacy
+    * full-snapshot commit (the full rebuild path handles those).
+    */
+  private def incrementalParquetCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      root: Path, v: Long): Option[(Long, Long, String, Option[String])] = {
+    val l = listing(fs, root)
+    if (!l.commits.contains(v)) return None
+    val cpv = l.checkpoints.filter(_ < v).lastOption.getOrElse(return None)
+    val prevNode = parseFile(fs, checkpointFile(root, cpv), cpv)
+    val prevDir = optText(prevNode, "entriesParquet").getOrElse(return None)
+    val tail = l.commits.filter(x => x > cpv && x <= v)
+    if (tail.isEmpty) return None
+    var schema = optText(prevNode, "dataSchema")
+    var ts = 0L
+    var action = "unknown"
+    val touched = new java.util.LinkedHashSet[String]()
+    val tailEntries = new java.util.LinkedHashMap[String, FileEntry]()
+    for (tv <- tail) {
+      val node = parseFile(fs, commitFile(root, tv), tv)
+      if (node.has("files")) return None // legacy full snapshot resets state
+      node.path("remove").elements().asScala.foreach { r =>
+        touched.add(r.asText); tailEntries.remove(r.asText)
+      }
+      nodeEntries(node, "add").foreach { e =>
+        touched.add(e.path); tailEntries.put(e.path, e)
+      }
+      optText(node, "dataSchema").foreach(s => schema = Some(s))
+      ts = node.path("ts").asLong(0L)
+      action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
+    val dir = checkpointParquetDir(root, v)
+    if (!fs.exists(dir)) {
+      val base = spark.read.schema(CkptEntrySchema)
+        .parquet(new Path(logDir(root), prevDir).toString)
+      val touchedRows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList(touched.size())
+      touched.asScala.foreach(p => touchedRows.add(org.apache.spark.sql.Row(p)))
+      val touchedDf = spark.createDataFrame(touchedRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "p", org.apache.spark.sql.types.StringType, nullable = false))))
+      val addRows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList(tailEntries.size())
+      tailEntries.values().asScala.foreach(e => addRows.add(entryRow(e)))
+      val adds = spark.createDataFrame(addRows, CkptEntrySchema)
+      // part sizing from the (upper-bound) approximate count — the exact
+      // count comes metadata-rate from the published dir below
+      val approxN = prevNode.path("nFiles").asLong(0L) + tailEntries.size()
+      val parts = math.max(1L, math.min(64L, approxN / 100000 + 1)).toInt
+      val slim = base.join(
+        org.apache.spark.sql.functions.broadcast(touchedDf), Seq("p"), "left_anti")
+        .unionByName(adds)
+        .coalesce(parts)
+      publishEntryDir(fs, root, dir, slim)
+    }
+    // exact live-file count, metadata-rate (parquet footer row counts)
+    val nFiles = spark.read.schema(CkptEntrySchema).parquet(dir.toString).count()
+    Some((nFiles, ts, action, schema))
   }
 
   /** Entries of a parquet-backed checkpoint, read through the engine. */

@@ -80,7 +80,7 @@ object PjProcedures {
   val Names: Seq[String] = Seq(
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
-    "purge_deletion_vectors", "detail", "dedup")
+    "purge_deletion_vectors", "detail", "dedup", "restore")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -200,6 +200,23 @@ object PjProcedures {
               graft.operators.PipelineOps.dedupInPlace(spark, tableArg(input), keys)
             Seq(new GenericInternalRow(Array[Any](
               v.map(java.lang.Long.valueOf).orNull, removed)))
+          })
+      case "restore" =>
+        // RESTORE TABLE TO VERSION AS OF: one metadata commit turns HEAD
+        // into the target snapshot (DVs and schema included); history and
+        // time travel to intermediate versions stay intact — PjRestore
+        new Proc("restore",
+          Array(in("table", StringType), in("version", LongType)),
+          StructType(Seq(
+            StructField("restored_to", LongType, nullable = false),
+            StructField("committed_version", LongType, nullable = true),
+            StructField("files_added", LongType, nullable = false),
+            StructField("files_removed", LongType, nullable = false))),
+          { input =>
+            val r = PjRestore.restore(spark, tableArg(input), input.getLong(1))
+            Seq(new GenericInternalRow(Array[Any](
+              r.restoredTo, r.committed.map(java.lang.Long.valueOf).orNull,
+              r.filesAdded, r.filesRemoved)))
           })
       case "detail" =>
         // Delta's DESCRIBE DETAIL shape: one row of head-snapshot facts,

@@ -121,6 +121,33 @@ class BpeTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenize fit sample is hash-ordered (unbiased across shards), still deterministic") {
+    // The operator's local fit sample must use fitSampleOrder (xxhash64 of
+    // the id, id tiebreak) — the same unbiased-sampling recipe the ANN fits
+    // use — NOT a raw id order that over-weights the oldest shard.
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 500)
+      .select($"id".as("doc_id"),
+        concat(lit("doc text body "), ($"id" % 37).cast("string")).as("text"))
+    val out1 = graft.operators.PipelineOps
+      .bpeTokenize(docs, numMerges = 40, sampleN = 64)
+    // round-trip invariant holds regardless of which docs trained the model
+    assert(out1.filter(array_join($"bpe_tokens", "") =!= $"text").count() == 0L)
+    // deterministic: re-running yields identical tokenizations
+    val sig = out1.agg(sum($"n_bpe_tokens")).head().getLong(0)
+    val sig2 = graft.operators.PipelineOps
+      .bpeTokenize(docs, numMerges = 40, sampleN = 64)
+      .agg(sum($"n_bpe_tokens")).head().getLong(0)
+    assert(sig == sig2)
+    // the sample genuinely follows fitSampleOrder: the first 64 doc_ids by
+    // (xxhash64(id), id) are NOT simply ids 0..63
+    val hashFirst = docs.orderBy(graft.operators.PipelineOps.fitSampleOrder($"doc_id"): _*)
+      .limit(64).select($"doc_id").as[Long].collect().toSet
+    assert(hashFirst != (0L until 64L).toSet, "hash order degenerated to id order")
+  }
+
   test("save/load round-trips the model and its encodings exactly") {
     val spark = graft.SparkTestSession.spark
     val model = BpeTokenizer.train(corpus, numMerges = 40)

@@ -418,6 +418,44 @@ class PjDeletionVectorSpec extends AnyFunSuite {
       .select($"k", $"payload").as[(Long, Long)].collect().toSet == kept1)
   }
 
+  test("dedupInPlace loser shuffle carries 32-byte digests, not the raw key payload") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_dedup_slim").toString
+    spark.range(0, 60)
+      .select(concat(lit("shared document text payload "), ($"id" % 20).cast("string")).as("text"),
+        $"id".as("payload"))
+      .repartition(2).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir)
+    val t = spark.read.format("pjparquet").load(dir)
+    val losers = graft.operators.PipelineOps.dedupLosers(t, Seq("text"))
+    losers.collect() // materialize so AQE's final plan is available
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => exchanges(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => exchanges(r.child)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(losers.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected the window's hash exchange")
+    // the exchange ships (digest, _file, _pos) — never the raw key column
+    ex.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"raw key column shuffled: ${e.output.map(_.name)}")
+      assert(e.output.exists(_.name == "_kd"), s"digest missing: ${e.output.map(_.name)}")
+    }
+    // and the slim plan selects the same losers the raw-key window would
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text").orderBy($"_file".asc, $"_pos".asc)
+    val raw = t.select($"text", $"_file", $"_pos")
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"_rk" > 1).select($"_file".as("f"), $"_pos".as("p"))
+      .as[(String, Long)].collect().toSet
+    assert(losers.as[(String, Long)].collect().toSet == raw)
+  }
+
   test("DV entries survive JSON and parquet checkpoints bit-identically") {
     import graft.sources.pjparquet.PjCommitLog
     val dir = java.nio.file.Files.createTempDirectory("pj_dv_ckpt").toString

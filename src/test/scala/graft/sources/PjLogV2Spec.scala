@@ -632,6 +632,54 @@ class PjLogV2Spec extends AnyFunSuite {
     assert(got == Seq(1L, 3L, 4L, 5L, 7L, 9L))
   }
 
+  test("incremental parquet checkpoint (engine-built delta apply) equals a full replay") {
+    import spark.implicits._
+    val dir = tempDir("pqckpt_inc")
+    val root = new Path(dir)
+    val fs = fsOf(dir)
+    writeLogged(Seq((1L, "aa"), (2L, "bb")).toDF("id", "name").coalesce(1), dir)
+    writeLogged(Seq((3L, "cc"), (4L, "dd")).toDF("id", "name").coalesce(1), dir)
+    writeLogged(Seq((5L, "ee"), (6L, "ff")).toDF("id", "name").coalesce(1), dir)
+    // parquet-backed base checkpoint at v3 (forced: below the auto threshold)
+    PjCommitLog.writeCheckpoint(fs, root, 3L, entryFormat = Some(true))
+    // delta tail: a plain add (v4), a DV re-add of an existing path (v5),
+    // and another add (v6) — every entry-mutation shape the apply handles
+    writeLogged(Seq((7L, "gg"), (8L, "hh")).toDF("id", "name").coalesce(1), dir)
+    spark.sql("DROP TABLE IF EXISTS pj_inc_ck")
+    spark.sql(s"CREATE TABLE pj_inc_ck USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_inc_ck WHERE id = 3")
+    writeLogged(Seq((9L, "ii")).toDF("id", "name").coalesce(1), dir)
+    PjCommitLog.clearSnapshotCache()
+    val before = PjCommitLog.read(fs, root, 6L) // parquet base + json tail replay
+    assert(before.entries.exists(_.dv.isDefined), "tail must carry a DV re-add")
+    // default-format checkpoint at v6: the engine-built incremental path
+    PjCommitLog.writeCheckpoint(fs, root, 6L)
+    assert(fs.exists(new Path(PjCommitLog.logDir(root), f"${6L}%020d.checkpoint.parquet")),
+      "incremental checkpoint must stay parquet-backed")
+    // replay MUST now come from the v6 checkpoint alone
+    for (v <- 1L to 6L)
+      fs.delete(new Path(PjCommitLog.logDir(root), f"$v%020d.json"), false)
+    PjCommitLog.clearSnapshotCache()
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    val after = PjCommitLog.read(fs, root, 6L)
+    def normStats(e: PjCommitLog.FileEntry): Seq[(String, Int, Long, Seq[Byte], Seq[Byte])] =
+      e.stats.toSeq.sortBy(_._1).map { case (k, cs) =>
+        (k, cs.physType, cs.nullCount,
+          cs.min.map(_.toSeq).getOrElse(Nil), cs.max.map(_.toSeq).getOrElse(Nil))
+      }
+    assert((after.version, after.ts, after.action) == (before.version, before.ts, before.action))
+    assert(after.entries.map(_.path) == before.entries.map(_.path))
+    assert(after.entries.map(normStats) == before.entries.map(normStats))
+    assert(after.entries.map(e => (e.size, e.rows, e.rowGroups, e.fingerprint,
+      e.nested, e.cols, e.dv)) == before.entries.map(e => (e.size, e.rows, e.rowGroups,
+      e.fingerprint, e.nested, e.cols, e.dv)))
+    assert(after.dataSchemaJson == before.dataSchemaJson)
+    // the table still reads correctly (DV applied) through the checkpoint
+    assert(spark.read.format("pjparquet").load(dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    spark.sql("DROP TABLE IF EXISTS pj_inc_ck")
+  }
+
   test("parquet checkpoint cleans up on expiry and json-forced checkpoints still work") {
     val dir = tempDir("pqckpt_exp")
     val root = new Path(dir)
