@@ -647,6 +647,108 @@ object MetadataQueries {
         .withColumn("time_travel_intact",
           lit(if (v3Rows == v2.size - 5L && v4Rows == v2.size + 20L) 1L else 0L))
     }),
+    "q144_merge_evolution" -> ((s, dir) => {
+      import s.implicits._
+      // MERGE WITH SCHEMA EVOLUTION (round 12): the source carries a
+      // column the target lacks; Spark's ResolveMergeIntoSchemaEvolution
+      // sees the table's AUTOMATIC_SCHEMA_EVOLUTION capability and calls
+      // PjCatalog.alterTable (metadata-only ADD COLUMN commit), then the
+      // merge-on-read delta lands on the evolved schema in the same
+      // statement — matched rows update, unmatched insert WITH the new
+      // column, pre-existing rows null-fill. Without the clause the same
+      // merge refuses at analysis. DuckDB recomputes the full-outer-merge
+      // facts per segment.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q144_mse").toString
+      val cust = graft.Tables.customer(s, dir)
+      cust.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey", round($"c_acctbal" * 100).cast("long").as("cents"))
+        .coalesce(2).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      cust.filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey",
+          (round($"c_acctbal" * 100).cast("long") * 2).as("cents"),
+          $"c_mktsegment".as("segment"))
+        .createOrReplaceTempView("pj_q144_src")
+      s.conf.set("spark.sql.catalog.pj_q144", "graft.sources.pjparquet.PjCatalog")
+      // without the clause, naming the source-only column refuses at
+      // analysis (star actions without it silently DROP extra source
+      // columns — Spark's star expands to the target's columns)
+      val refused =
+        try {
+          s.sql(
+            s"""MERGE INTO pj_q144.`$tmp` AS t USING pj_q144_src AS s
+               |ON t.c_custkey = s.c_custkey
+               |WHEN MATCHED THEN UPDATE SET t.segment = s.segment
+               |""".stripMargin)
+          0L
+        } catch { case _: org.apache.spark.sql.AnalysisException => 1L }
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO pj_q144.`$tmp` AS t
+           |USING pj_q144_src AS s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val hist = graft.sources.pjparquet.PjCommitLog.history(
+        fs, new org.apache.hadoop.fs.Path(tmp))
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum($"cents").cast("long").as("cents_sum"),
+          sum($"c_custkey").cast("long").as("key_sum"))
+        .withColumn("refused_without_clause", lit(refused))
+        .withColumn("evolution_commit_recorded",
+          lit(if (hist.exists(_.action == "alter-schema")) 1L else 0L))
+        .orderBy($"segment")
+    }),
+    "q145_check_constraints" -> ((s, dir) => {
+      import s.implicits._
+      // Write-side CHECK constraints (round 12, PjConstraints): recorded
+      // in the log by ALTER TABLE ADD CONSTRAINT, enforced task-side by
+      // Spark's CheckInvariant inside every v2 write — a violating append
+      // FAILS THE JOB and commits nothing, a clean append lands, and
+      // adding a constraint existing rows violate refuses with the
+      // violation count. DuckDB recomputes the surviving row facts.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q145_chk").toString
+      val orders = graft.Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus",
+          round($"o_totalprice" * 100).cast("long").as("price_cents"))
+      orders.filter($"o_orderkey" % 2 === 0).coalesce(2)
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(tmp) // v1
+      s.conf.set("spark.sql.catalog.pj_q145", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"ALTER TABLE pj_q145.`$tmp` ADD CONSTRAINT price_nonneg " +
+        "CHECK (price_cents >= 0)") // v2: metadata-only
+      val violatingRefused =
+        try {
+          Seq((-1L, "X", -500L)).toDF("o_orderkey", "o_orderstatus", "price_cents")
+            .coalesce(1).write.format("pjparquet").mode("append").save(tmp)
+          0L
+        } catch { case _: Exception => 1L }
+      val preexistingRefused =
+        try {
+          s.sql(s"ALTER TABLE pj_q145.`$tmp` ADD CONSTRAINT impossible " +
+            "CHECK (price_cents > 1000000000000)")
+          0L
+        } catch { case _: Exception => 1L }
+      orders.filter($"o_orderkey" % 2 === 1).coalesce(2)
+        .write.format("pjparquet").mode("append").save(tmp) // clean append lands
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val head = graft.sources.pjparquet.PjCommitLog.latest(
+        fs, new org.apache.hadoop.fs.Path(tmp)).get
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"price_cents").cast("long").as("cents_sum"))
+        .withColumn("violating_write_refused", lit(violatingRefused))
+        .withColumn("preexisting_violation_refused", lit(preexistingRefused))
+        .withColumn("constraint_recorded",
+          lit(if (graft.sources.pjparquet.PjConstraints.parse(head.constraintsJson)
+            .exists(_.name == "price_nonneg")) 1L else 0L))
+        .orderBy($"o_orderstatus")
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1515,6 +1617,31 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q145_check_constraints" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents_sum,
+        |       CAST(1 AS BIGINT) AS violating_write_refused,
+        |       CAST(1 AS BIGINT) AS preexisting_violation_refused,
+        |       CAST(1 AS BIGINT) AS constraint_recorded
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q144_merge_evolution" ->
+      """WITH t AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |s AS (
+        |  SELECT c_custkey, 2 * CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |         c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |m AS (
+        |  SELECT COALESCE(s.c_custkey, t.c_custkey) AS k,
+        |         COALESCE(s.cents, t.cents) AS cents, s.segment
+        |  FROM t FULL JOIN s ON t.c_custkey = s.c_custkey)
+        |SELECT segment, count(*) AS n_cust,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS refused_without_clause,
+        |       CAST(1 AS BIGINT) AS evolution_commit_recorded
+        |FROM m GROUP BY segment ORDER BY segment""".stripMargin,
     "q143_restore" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
         |       CAST(2 * sum(n_nationkey) + 100 * count(*) AS BIGINT) AS key_sum,

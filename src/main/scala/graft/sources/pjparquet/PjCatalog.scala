@@ -38,6 +38,14 @@ class PjCatalog extends CatalogPlugin with TableCatalog
 
   override def name(): String = catalogName
 
+  /** SQL `ALTER TABLE ... ADD/DROP CONSTRAINT` routes through this
+    * catalog only when it advertises the capability.
+    */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def pathOf(ident: Identifier): String = {
     if (ident.namespace().nonEmpty)
       throw new PJException(
@@ -111,6 +119,17 @@ class PjCatalog extends CatalogPlugin with TableCatalog
           s"('$path' has no ${PjCommitLog.DirName})")
     val snap = PjCommitLog.latest(fs, rootPath).getOrElse(
       throw new PJException(s"$catalogName: '$path' has an empty commit log"))
+    // constraint changes travel a separate metadata lane (they touch the
+    // recorded constraints, not the recorded schema); SQL never mixes them
+    // with column changes in one statement
+    if (changes.exists(c => c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])) {
+      if (!changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
+          c.isInstanceOf[TableChange.DropConstraint]))
+        throw new UnsupportedOperationException(
+          s"$catalogName: cannot mix constraint and column changes in one ALTER TABLE")
+      return alterConstraints(ident, path, spark, fs, rootPath, snap, changes)
+    }
     val cur = snap.dataSchemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
       throw new PJException(
@@ -235,6 +254,73 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     }
     PjCommitLog.commit(fs, rootPath, "alter-schema", Nil, Set.empty,
       Some(next.json), Some("alter"))
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... ADD/DROP CONSTRAINT` — a metadata-only commit to the
+    * recorded constraint list. Only ENFORCED CHECK constraints are
+    * accepted ([[PjConstraints]] documents why); the predicate must
+    * resolve against the table's schema NOW (a typo fails the DDL, not
+    * the next write), and ADD validates the EXISTING rows in one
+    * distributed scan (Delta `ADD CONSTRAINT` semantics: a constraint
+    * that current data already violates refuses with the violation
+    * count).
+    */
+  private def alterConstraints(
+      ident: Identifier, path: String, spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: org.apache.hadoop.fs.Path,
+      snap: PjCommitLog.Snapshot, changes: Seq[TableChange]): Table = {
+    var specs = PjConstraints.parse(snap.constraintsJson)
+    changes.foreach {
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            if (!chk.enforced)
+              throw new PJException(
+                s"$catalogName: NOT ENFORCED constraints are not supported — " +
+                  "an unenforced CHECK would be a recorded lie")
+            val name = chk.name()
+            if (specs.exists(_.name.equalsIgnoreCase(name)))
+              throw new PJException(
+                s"$catalogName: constraint '$name' already exists on '$path'")
+            val sql = Option(chk.predicateSql()).filter(_.nonEmpty).getOrElse(
+              throw new PJException(
+                s"$catalogName: CHECK constraint '$name' has no predicate SQL"))
+            // resolve the predicate against the CURRENT schema (typo →
+            // loud DDL failure) and validate existing rows distributed
+            val t = spark.read.format("pjparquet").load(path)
+            val violations =
+              try t.filter(s"NOT (($sql) <=> TRUE)").count()
+              catch {
+                case e: org.apache.spark.sql.AnalysisException =>
+                  throw new PJException(
+                    s"$catalogName: CHECK constraint '$name' does not resolve " +
+                      s"against '$path': ${e.getMessage}")
+              }
+            if (violations > 0)
+              throw new PJException(
+                s"$catalogName: cannot add CHECK constraint '$name' — $violations " +
+                  s"existing row(s) violate ($sql)")
+            specs = specs :+ PjConstraints.Spec(name, sql)
+          case other =>
+            throw new PJException(
+              s"$catalogName: only CHECK constraints are supported " +
+                s"(got ${other.getClass.getSimpleName}); PRIMARY KEY/UNIQUE/" +
+                "FOREIGN KEY cannot be enforced on write at scale")
+        }
+      case d: TableChange.DropConstraint =>
+        val i = specs.indexWhere(_.name.equalsIgnoreCase(d.name()))
+        if (i < 0) {
+          if (!d.ifExists())
+            throw new PJException(
+              s"$catalogName: no constraint '${d.name()}' on '$path'")
+        } else specs = specs.patch(i, Nil, 1)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: unsupported constraint change $other")
+    }
+    PjCommitLog.commit(fs, rootPath, "alter-constraint", Nil, Set.empty,
+      None, Some("alter"), constraintsJson = Some(PjConstraints.render(specs)))
     loadTable(ident)
   }
 

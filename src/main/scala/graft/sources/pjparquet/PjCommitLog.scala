@@ -122,7 +122,12 @@ object PjCommitLog {
       ts: Long = 0L,
       dataSchemaJson: Option[String] = None,
       operation: Option[String] = None,
-      contentToken: Long = -1L) {
+      contentToken: Long = -1L,
+      /** Write-side constraints (JSON array of {name, sql} CHECK
+        * predicates) — like `dataSchemaJson`, the latest commit that
+        * recorded the field wins; `"[]"` records "no constraints".
+        */
+      constraintsJson: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -272,6 +277,7 @@ object PjCommitLog {
         val st = new ReplayState
         base.entries.foreach(e => st.entries.put(e.path, e))
         st.schema = base.dataSchemaJson
+        st.constraints = base.constraintsJson
         st.ts = base.ts
         st.action = base.action
         st.operation = base.operation
@@ -300,6 +306,7 @@ object PjCommitLog {
       }
       base.foreach(e => st.entries.put(e.path, e))
       st.schema = optText(node, "dataSchema")
+      st.constraints = optText(node, "constraints")
       st.ts = node.path("ts").asLong(0L)
       st.action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -322,6 +329,7 @@ object PjCommitLog {
   private final class ReplayState {
     val entries = new java.util.LinkedHashMap[String, FileEntry]()
     var schema: Option[String] = None
+    var constraints: Option[String] = None
     var ts = 0L
     var action = "unknown"
     var operation: Option[String] = None
@@ -332,6 +340,7 @@ object PjCommitLog {
         // replaced (the path-only entries re-resolve eagerly anyway)
         entries.clear()
         schema = None
+        constraints = None
         node.get("files").elements().asScala.foreach { f =>
           val e = FileEntry(f.asText); entries.put(e.path, e)
         }
@@ -340,13 +349,15 @@ object PjCommitLog {
         nodeEntries(node, "add").foreach(e => entries.put(e.path, e))
       }
       optText(node, "dataSchema").foreach(s => schema = Some(s))
+      optText(node, "constraints").foreach(c => constraints = Some(c))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
       operation = optText(node, "operation")
     }
     def snapshot(version: Long): Snapshot =
       Snapshot(version, action,
-        entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation)
+        entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation,
+        constraintsJson = constraints)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -402,7 +413,8 @@ object PjCommitLog {
       dataSchemaJson: Option[String] = None,
       operation: Option[String] = None,
       readVersion: Option[Long] = None,
-      readPartitions: Option[Set[Seq[String]]] = None): Long = {
+      readPartitions: Option[Set[Seq[String]]] = None,
+      constraintsJson: Option[String] = None): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -426,7 +438,7 @@ object PjCommitLog {
       val effectiveRemove = remove.intersect(prevPaths)
       val nLive = ((prevPaths -- effectiveRemove) ++ add.map(_.path)).size
       val body = renderCommit(v, System.currentTimeMillis(), action, add,
-        effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation)
+        effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson)
       if (publish(fs, commitFile(root, v), body)) {
         if (v % CheckpointInterval == 0)
           try writeCheckpoint(fs, root, v)
@@ -569,7 +581,7 @@ object PjCommitLog {
     // (no ArrayList[Row] of 500k entries, no multi-MB task broadcast).
     if (!entryFormat.contains(false) && session.isDefined) {
       incrementalParquetCheckpoint(session.get, fs, root, v) match {
-        case Some((nFiles, ts, action, schema)) =>
+        case Some((nFiles, ts, action, schema, constraints)) =>
           publishStream(fs, target) { out =>
             val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
             g.writeStartObject()
@@ -579,6 +591,7 @@ object PjCommitLog {
             g.writeNumberField("nFiles", nFiles)
             g.writeBooleanField("checkpoint", true)
             schema.foreach(s => g.writeStringField("dataSchema", s))
+            constraints.foreach(c => g.writeStringField("constraints", c))
             g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
             g.writeEndObject()
             g.flush()
@@ -604,6 +617,7 @@ object PjCommitLog {
       g.writeNumberField("nFiles", snap.entries.size.toLong)
       g.writeBooleanField("checkpoint", true)
       snap.dataSchemaJson.foreach(s => g.writeStringField("dataSchema", s))
+      snap.constraintsJson.foreach(c => g.writeStringField("constraints", c))
       if (asParquet)
         g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
       else {
@@ -700,7 +714,7 @@ object PjCommitLog {
     */
   private def incrementalParquetCheckpoint(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
-      root: Path, v: Long): Option[(Long, Long, String, Option[String])] = {
+      root: Path, v: Long): Option[(Long, Long, String, Option[String], Option[String])] = {
     val l = listing(fs, root)
     if (!l.commits.contains(v)) return None
     val cpv = l.checkpoints.filter(_ < v).lastOption.getOrElse(return None)
@@ -709,6 +723,7 @@ object PjCommitLog {
     val tail = l.commits.filter(x => x > cpv && x <= v)
     if (tail.isEmpty) return None
     var schema = optText(prevNode, "dataSchema")
+    var constraints = optText(prevNode, "constraints")
     var ts = 0L
     var action = "unknown"
     val touched = new java.util.LinkedHashSet[String]()
@@ -723,6 +738,7 @@ object PjCommitLog {
         touched.add(e.path); tailEntries.put(e.path, e)
       }
       optText(node, "dataSchema").foreach(s => schema = Some(s))
+      optText(node, "constraints").foreach(c => constraints = Some(c))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -753,7 +769,7 @@ object PjCommitLog {
     }
     // exact live-file count, metadata-rate (parquet footer row counts)
     val nFiles = spark.read.schema(CkptEntrySchema).parquet(dir.toString).count()
-    Some((nFiles, ts, action, schema))
+    Some((nFiles, ts, action, schema, constraints))
   }
 
   /** Entries of a parquet-backed checkpoint, read through the engine. */
@@ -1042,7 +1058,8 @@ object PjCommitLog {
 
   private def renderCommit(
       v: Long, ts: Long, action: String, add: Seq[FileEntry], remove: Seq[String],
-      nFiles: Long, dataSchemaJson: Option[String], operation: Option[String]): String = {
+      nFiles: Long, dataSchemaJson: Option[String], operation: Option[String],
+      constraintsJson: Option[String] = None): String = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1051,6 +1068,7 @@ object PjCommitLog {
     node.put("nFiles", nFiles)
     operation.foreach(o => node.put("operation", o))
     dataSchemaJson.foreach(s => node.put("dataSchema", s))
+    constraintsJson.foreach(c => node.put("constraints", c))
     val addArr = node.putArray("add")
     add.foreach(e => addArr.add(entryNode(mapper, e)))
     val rmArr = node.putArray("remove")

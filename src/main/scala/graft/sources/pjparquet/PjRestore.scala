@@ -61,12 +61,17 @@ object PjRestore {
     val removed = head.entries.iterator.map(_.path).filterNot(targetPaths).toSet
     val added = target.entries.filter(e => !headByPath.get(e.path).exists(sameEntry(e, _)))
     val schemaChanged = target.dataSchemaJson != head.dataSchemaJson
-    if (removed.isEmpty && added.isEmpty && !schemaChanged)
+    val constraintsChanged = target.constraintsJson != head.constraintsJson
+    if (removed.isEmpty && added.isEmpty && !schemaChanged && !constraintsChanged)
       return RestoreReport(version, None, 0L, 0L)
     val v = PjCommitLog.commit(
       fs, rootPath, "restore", added, removed,
       dataSchemaJson = target.dataSchemaJson,
-      operation = Some(s"RESTORE VERSION AS OF $version"))
+      operation = Some(s"RESTORE VERSION AS OF $version"),
+      // constraints roll back too; "[]" records an explicit clear when
+      // the target predates every constraint
+      constraintsJson =
+        if (constraintsChanged) Some(target.constraintsJson.getOrElse("[]")) else None)
     // restored state changes what readers see — drop stale layout plans
     PjParquetTable.clearLayoutCache()
     RestoreReport(version, Some(v), added.size.toLong, removed.size.toLong)

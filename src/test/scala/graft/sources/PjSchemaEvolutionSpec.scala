@@ -270,6 +270,45 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(nn.getMessage.contains("nullable"), s"got: ${nn.getMessage}")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns; plain MERGE refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_mse").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v1
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    Seq((2L, 25L, "b"), (3L, 30L, "c")).toDF("id", "x", "tag")
+      .createOrReplaceTempView("pj_mse_src")
+    // WITHOUT the clause, the source-only column must refuse at analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        s"""MERGE INTO pjwiden.`$dir` AS t USING pj_mse_src AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET t.x = s.x, t.tag = s.tag
+           |WHEN NOT MATCHED THEN INSERT (id, x, tag) VALUES (s.id, s.x, s.tag)
+           |""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("tag"))
+    // WITH SCHEMA EVOLUTION the target gains `tag` in the SAME statement:
+    // Spark's ResolveMergeIntoSchemaEvolution calls our alterTable
+    // (metadata-only commit), then the merge-on-read delta lands on top
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO pjwiden.`$dir` AS t
+         |USING pj_mse_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val t = spark.read.format("pjparquet").load(dir)
+    assert(t.columns.toSeq == Seq("id", "x", "tag"))
+    val got = t.orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, 10L, None), (2L, 25L, Some("b")), (3L, 30L, Some("c"))))
+    // the evolution rode its own metadata commit + the DML commit
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hist = graft.sources.pjparquet.PjCommitLog.history(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    assert(hist.exists(_.action == "alter-schema"), "schema evolution commit recorded")
+  }
+
   test("re-ADDing a DROPped column name refuses while live files carry its bytes") {
     val dir = java.nio.file.Files.createTempDirectory("pj_readd").toString
     Seq((1L, "a", 10L)).toDF("id", "s", "x").coalesce(1)
