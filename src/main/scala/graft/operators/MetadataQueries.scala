@@ -749,6 +749,49 @@ object MetadataQueries {
             .exists(_.name == "price_nonneg")) 1L else 0L))
         .orderBy($"o_orderstatus")
     }),
+    "q146_rename_column" -> ((s, dir) => {
+      import s.implicits._
+      // RENAME COLUMN via column mapping (round 12, PjColumnMapping —
+      // Delta `name` mode): the rename is a metadata-only commit pinning
+      // the frozen physical name; pre-rename files keep serving, the
+      // post-rename append physically stores the OLD name (generations
+      // stay uniform), filters/aggregates on the new logical name answer
+      // exactly, and a stale writer naming the old column refuses.
+      // DuckDB recomputes the merged-generation facts.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q146_rename").toString
+      val part = graft.Tables.part(s, dir)
+        .select($"p_partkey", $"p_type",
+          round($"p_retailprice" * 100).cast("long").as("price_cents"))
+      part.filter($"p_partkey" % 2 === 0).coalesce(1)
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(tmp) // v1: even keys, old name
+      s.conf.set("spark.sql.catalog.pj_q146", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"ALTER TABLE pj_q146.`$tmp` RENAME COLUMN price_cents TO cents") // v2
+      part.filter($"p_partkey" % 2 === 1)
+        .withColumnRenamed("price_cents", "cents").coalesce(1)
+        .write.format("pjparquet").mode("append").save(tmp) // v3: odd keys, new name
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val head = graft.sources.pjparquet.PjCommitLog.latest(
+        fs, new org.apache.hadoop.fs.Path(tmp)).get
+      // the post-rename file physically stores the FROZEN old name
+      val newFileUniform = head.entries.forall(e =>
+        s.read.parquet(s"$tmp/${e.path}").columns.contains("price_cents"))
+      val staleRefused =
+        try {
+          part.filter($"p_partkey" === 1).coalesce(1)
+            .write.format("pjparquet").mode("append").save(tmp)
+          0L
+        } catch { case _: Exception => 1L }
+      s.read.format("pjparquet").load(tmp)
+        .groupBy(substring($"p_type", 1, 6).as("type_prefix"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"cents").cast("long").as("cents_sum"),
+          sum($"p_partkey").cast("long").as("key_sum"))
+        .withColumn("physically_uniform", lit(if (newFileUniform) 1L else 0L))
+        .withColumn("stale_writer_refused", lit(staleRefused))
+        .orderBy($"type_prefix")
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1617,6 +1660,13 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q146_rename_column" ->
+      """SELECT substr(p_type, 1, 6) AS type_prefix, count(*) AS n_parts,
+        |       CAST(sum(round(p_retailprice * 100)) AS BIGINT) AS cents_sum,
+        |       CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS physically_uniform,
+        |       CAST(1 AS BIGINT) AS stale_writer_refused
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_check_constraints" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents_sum,

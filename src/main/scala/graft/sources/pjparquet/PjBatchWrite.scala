@@ -98,7 +98,8 @@ final class PjWriteBuilder(
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
-    cdcEnabled: Boolean = false)
+    cdcEnabled: Boolean = false,
+    nameMap: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -129,7 +130,7 @@ final class PjWriteBuilder(
 
   override def build(): Write =
     new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
-      bloomColumns, sortColumns, logRequested, cdcEnabled)
+      bloomColumns, sortColumns, logRequested, cdcEnabled, nameMap)
 }
 
 final class PjWrite(
@@ -141,7 +142,8 @@ final class PjWrite(
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
-    cdcEnabled: Boolean = false)
+    cdcEnabled: Boolean = false,
+    nameMap: Map[String, String] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet write $mode -> $root"
@@ -166,7 +168,7 @@ final class PjWrite(
 
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
-      logRequested, cdcEnabled)
+      logRequested, cdcEnabled, nameMap)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -184,7 +186,7 @@ final class PjWrite(
       throw new PJException(
         "pjparquet: streaming writes support the append output mode only")
     new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns,
-      sortColumns, logRequested)
+      sortColumns, logRequested, nameMap)
   }
 }
 
@@ -195,7 +197,8 @@ final class PjStreamingWrite(
     queryId: String,
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
-    logRequested: Boolean = false)
+    logRequested: Boolean = false,
+    nameMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -203,7 +206,8 @@ final class PjStreamingWrite(
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name))))
+      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjStreamingDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), writeSchema.json, partitionKeys, queryId)
@@ -256,7 +260,12 @@ final class PjStreamingWrite(
         case Some(prev) =>
           survivors = prev.files.size
           val widened = (prev.dataSchemaJson, schemaJson) match {
-            case (Some(p), Some(n)) => Some(PjBatchWrite.widenRecordedSchema(p, n))
+            case (Some(p), Some(n)) =>
+              // physical (file-derived) → logical before widening
+              Some(PjBatchWrite.widenRecordedSchema(p,
+                PjColumnMapping.fileSchemaToLogical(
+                  org.apache.spark.sql.types.DataType.fromJson(p)
+                    .asInstanceOf[StructType], n)))
             case (_, n) => n
           }
           PjCommitLog.commit(fs, rootPath, s"stream-epoch-$epochId",
@@ -309,7 +318,8 @@ final class PjBatchWrite(
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
-    cdcEnabled: Boolean = false)
+    cdcEnabled: Boolean = false,
+    nameMap: Map[String, String] = Map.empty)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -318,8 +328,12 @@ final class PjBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
+    // column mapping: files store PHYSICAL names (logical renames never
+    // touch bytes) — values are positional, only the write-conf schema
+    // names change
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name))))
+      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), writeSchema.json,
@@ -351,7 +365,9 @@ final class PjBatchWrite(
     val newRels = manifest.toSeq.sorted
     val newPaths = newRels.map(rel => s"$root/$rel")
     val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
-    if (bloomColumns.nonEmpty) PjBloomJob.generateForPaths(spark, newPaths, bloomColumns)
+    if (bloomColumns.nonEmpty)
+      PjBloomJob.generateForPaths(spark, newPaths,
+        bloomColumns.map(PjColumnMapping.toPhysical(nameMap, _)))
 
     // one recursive walk classifies every data file under the root;
     // `survivors` = pre-existing files that remain after this commit (the
@@ -406,7 +422,17 @@ final class PjBatchWrite(
       }
       survivors = (base -- retired).size
       val addEntries = newRels.map(rel => facts(s"$root/$rel").toEntry(rel))
-      val newSchemaJson = newRels.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+      // file-derived schemas carry PHYSICAL names; translate back to the
+      // recorded LOGICAL names (column mapping) before widening/recording
+      val newSchemaJson = newRels.headOption.map { rel =>
+        val phys = facts(s"$root/$rel").dataSchemaJson
+        prev.flatMap(_.dataSchemaJson) match {
+          case Some(p) => PjColumnMapping.fileSchemaToLogical(
+            org.apache.spark.sql.types.DataType.fromJson(p)
+              .asInstanceOf[StructType], phys)
+          case None => phys
+        }
+      }
       // a commit that keeps previous files live must stay readable over
       // them: the recorded schema WIDENS (int→long, float→double) or the
       // commit refuses; a full replacement takes the new schema outright

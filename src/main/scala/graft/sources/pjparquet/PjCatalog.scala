@@ -205,6 +205,18 @@ class PjCatalog extends CatalogPlugin with TableCatalog
               partNames.exists(_.equalsIgnoreCase(name)))
             throw new PJException(
               s"$catalogName: column '$name' already exists in '$path'")
+          // column mapping: a renamed-away name is still the PHYSICAL
+          // storage name of the renamed column — a new logical column of
+          // that name would read its bytes. Refuse (same hazard class as
+          // the DROP/re-ADD resurrection guard below).
+          acc.fields.find(f =>
+            PjColumnMapping.physicalName(f).equalsIgnoreCase(name) &&
+              !f.name.equalsIgnoreCase(name)).foreach { f =>
+            throw new PJException(
+              s"$catalogName: cannot add column '$name' — it is the physical " +
+                s"storage name of renamed column '${f.name}'; choose a " +
+                "different name")
+          }
           if (!a.isNullable)
             throw new PJException(
               s"$catalogName: ADD COLUMN '$name' must be nullable — " +
@@ -246,10 +258,56 @@ class PjCatalog extends CatalogPlugin with TableCatalog
               throw new UnsupportedOperationException(
                 s"$catalogName: unsupported column position $other")
           }
+        case r: TableChange.RenameColumn =>
+          // RENAME COLUMN via column mapping ([[PjColumnMapping]]): a
+          // metadata-only commit that changes the LOGICAL name and pins
+          // the frozen PHYSICAL name in the field's metadata — no file is
+          // rewritten, pre-rename files keep serving (their bytes are
+          // keyed by the physical name), post-rename writes physically
+          // store the old name, and a stale writer naming the old logical
+          // column refuses loudly at the resolver's schema guard.
+          if (r.fieldNames.length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: only top-level columns can be renamed, " +
+                s"got ${r.fieldNames.mkString(".")}")
+          val name = r.fieldNames.head
+          val newName = r.newName()
+          val partNames = snap.entries.headOption.toSeq
+            .flatMap(e => PjBatchWrite.partsOfRel(e.path).keys)
+          if (partNames.exists(_.equalsIgnoreCase(name)))
+            throw new PJException(
+              s"$catalogName: partition column '$name' cannot be renamed " +
+                "(partition names are directory structure)")
+          val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0)
+            throw new PJException(
+              s"$catalogName: no data column '$name' in '$path'")
+          if (acc.fieldNames.exists(_.equalsIgnoreCase(newName)) ||
+              partNames.exists(_.equalsIgnoreCase(newName)))
+            throw new PJException(
+              s"$catalogName: cannot rename '$name' to '$newName' — a column " +
+                s"of that name already exists in '$path'")
+          if (Seq(PjParquetTable.FileMetaName, PjParquetTable.PosMetaName)
+              .exists(_.equalsIgnoreCase(newName)))
+            throw new PJException(
+              s"$catalogName: cannot rename '$name' to '$newName' — the name " +
+                "is reserved for a metadata column")
+          val old = acc.fields(i)
+          // a sorted-layout claim naming the old name can no longer be
+          // honored under the new name — retract it (readers simply stop
+          // reporting an ordering; never a wrong answer)
+          if (PjSortMarker.read(fs, rootPath)
+              .exists(_.exists(_.equalsIgnoreCase(name))))
+            PjSortMarker.delete(fs, rootPath)
+          StructType(acc.fields.updated(i, old.copy(
+            name = newName,
+            metadata = PjColumnMapping.withPhysical(
+              old.metadata, PjColumnMapping.physicalName(old)))))
         case other =>
           throw new UnsupportedOperationException(
             s"$catalogName: unsupported ALTER TABLE change $other " +
-              "(only ALTER COLUMN ... TYPE widening, ADD COLUMN, and DROP COLUMN)")
+              "(only ALTER COLUMN ... TYPE widening, RENAME COLUMN, ADD COLUMN, " +
+              "and DROP COLUMN)")
       }
     }
     PjCommitLog.commit(fs, rootPath, "alter-schema", Nil, Set.empty,

@@ -194,10 +194,14 @@ object PjCompaction {
     val df = recorded match {
       case Some(ds) =>
         val have = raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        // column mapping: files store PHYSICAL names — select by the
+        // field's physical name and KEEP it, so compacted files stay
+        // physically uniform with the rest of the table
         val dataSel = ds.fields.toSeq.map { f =>
-          if (have(f.name.toLowerCase(java.util.Locale.ROOT)))
-            col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          val phys = PjColumnMapping.physicalName(f)
+          if (have(phys.toLowerCase(java.util.Locale.ROOT)))
+            col(phys).cast(f.dataType).as(phys)
+          else lit(null).cast(f.dataType).as(phys)
         }
         raw.select(dataSel ++ partCols.map(col): _*)
       case None => raw
@@ -224,7 +228,11 @@ object PjCompaction {
     // routing interleaves input files, so re-sort each task's rows by
     // (partition cols, sort cols) — partition-col prefix also lets the
     // stock writer skip its own dynamic-partition sort.
-    val sortClaim = PjSortMarker.read(fs, rootPath).getOrElse(Nil)
+    val sortClaim = {
+      val logical = PjSortMarker.read(fs, rootPath).getOrElse(Nil)
+      val m = PjColumnMapping.nameMap(recorded)
+      logical.map(PjColumnMapping.toPhysical(m, _))
+    }
     val writeDf =
       if (sortClaim.isEmpty) routed
       else routed.sortWithinPartitions((partCols ++ sortClaim).map(col): _*)
@@ -352,7 +360,15 @@ object PjCompaction {
     val df = applyDvFilter(spark, hconf, fs, rootPath, rootUri, all, dvByRel, df0)
     val dataCols = spark.read.parquet(all.head.path).columns.toSeq
     val partCols = df.columns.filterNot(dataCols.contains).toSeq
-    require(zorderCols.forall(dataCols.contains),
+    // column mapping: user-facing zorder columns are LOGICAL; the raw
+    // file read carries PHYSICAL names
+    val zorderPhys = {
+      val m = PjColumnMapping.nameMap(prevSnap.flatMap(_.dataSchemaJson).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      zorderCols.map(PjColumnMapping.toPhysical(m, _))
+    }
+    require(zorderPhys.forall(dataCols.contains),
       s"zorder columns $zorderCols must be data columns of $dataCols")
 
     val totalBytes = all.map(_.bytes).sum
@@ -360,7 +376,7 @@ object PjCompaction {
     // ZOrder.zorderBy handles the Morton math; partition dirs prefix the
     // range key so the clustered runs stay within their directories
     val clustered = graft.operators.ZOrder.zorderByWithPrefix(
-      df, partCols, zorderCols, nOut, bits)
+      df, partCols, zorderPhys, nOut, bits)
 
     val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     try {

@@ -44,7 +44,8 @@ final class PjDeltaRowLevelOperation(
     layout: PjLayout,
     fileSchema: StructType,
     tableOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    nameMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.SupportsDelta {
 
   @volatile private var configuredScan: Option[PjScan] = None
@@ -75,7 +76,7 @@ final class PjDeltaRowLevelOperation(
     m.putAll(options.asCaseSensitiveMap())
     new PjScanBuilder(layout, fileSchema,
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(m),
-      rowLevel = true, onBuild = s => configuredScan = Some(s))
+      rowLevel = true, onBuild = s => configuredScan = Some(s), nameMap = nameMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
@@ -91,7 +92,8 @@ final class PjDeltaRowLevelOperation(
         readVersion = baseVersion,
         readPartitions = () => configuredScan.flatMap(_.readPartitionTuples),
         cdcEnabled = tableOptions.getBoolean("cdc.enabled", false),
-        bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions))
+        bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions),
+        nameMap = nameMap)
     }
   }
 }
@@ -104,7 +106,8 @@ final class PjDeltaWrite(
     readVersion: Long,
     readPartitions: () => Option[Set[Seq[String]]],
     cdcEnabled: Boolean,
-    bloomColumns: Seq[String])
+    bloomColumns: Seq[String],
+    nameMap: Map[String, String] = Map.empty)
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet merge-on-read $command -> $root"
@@ -130,7 +133,7 @@ final class PjDeltaWrite(
 
   override def toBatch: DeltaBatchWrite = new PjDeltaBatchWrite(
     root, partitionKeys, writeSchema, command, readVersion, readPartitions,
-    cdcEnabled, bloomColumns)
+    cdcEnabled, bloomColumns, nameMap)
 }
 
 final case class PjDeltaCommitMessage(
@@ -147,7 +150,8 @@ final class PjDeltaBatchWrite(
     readVersion: Long,
     readPartitions: () => Option[Set[Seq[String]]],
     cdcEnabled: Boolean,
-    bloomColumns: Seq[String])
+    bloomColumns: Seq[String],
+    nameMap: Map[String, String] = Map.empty)
     extends DeltaBatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -157,7 +161,8 @@ final class PjDeltaBatchWrite(
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name))))
+      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDeltaWriterFactory(
       root, new SerializableConfiguration(hadoopConf), writeSchema.json,
@@ -230,9 +235,21 @@ final class PjDeltaBatchWrite(
     // new data files enter with full planning facts, like any append
     val newPaths = manifest.map(rel => s"$root/$rel")
     val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
-    if (bloomColumns.nonEmpty) PjBloomJob.generateForPaths(spark, newPaths, bloomColumns)
+    if (bloomColumns.nonEmpty)
+      PjBloomJob.generateForPaths(spark, newPaths,
+        bloomColumns.map(PjColumnMapping.toPhysical(nameMap, _)))
     val addEntries = manifest.map(rel => facts(s"$root/$rel").toEntry(rel))
-    val newSchemaJson = manifest.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+    // file-derived schemas carry PHYSICAL names; translate back to the
+    // recorded LOGICAL names (column mapping) before widening
+    val newSchemaJson = manifest.headOption.map { rel =>
+      val phys = facts(s"$root/$rel").dataSchemaJson
+      prev.dataSchemaJson match {
+        case Some(p) => PjColumnMapping.fileSchemaToLogical(
+          org.apache.spark.sql.types.DataType.fromJson(p)
+            .asInstanceOf[StructType], phys)
+        case None => phys
+      }
+    }
     val schemaJson = (prev.dataSchemaJson, newSchemaJson) match {
       case (Some(p), Some(n)) => Some(PjBatchWrite.widenRecordedSchema(p, n))
       case (p, n) => n.orElse(p)

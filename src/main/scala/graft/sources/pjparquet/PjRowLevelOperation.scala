@@ -43,7 +43,8 @@ final class PjRowLevelOperationBuilder(
     layout: PjLayout,
     fileSchema: StructType,
     tableOptions: CaseInsensitiveStringMap,
-    info: RowLevelOperationInfo)
+    info: RowLevelOperationInfo,
+    nameMap: Map[String, String] = Map.empty)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
     // commit-log tables run row-level DML MERGE-ON-READ by default
@@ -51,16 +52,17 @@ final class PjRowLevelOperationBuilder(
     // `deletionVectors.enabled=false` and unlogged tables copy-on-write
     if (layout.logVersion.isDefined &&
         tableOptions.getBoolean("deletionVectors.enabled", true))
-      new PjDeltaRowLevelOperation(layout, fileSchema, tableOptions, info.command)
+      new PjDeltaRowLevelOperation(layout, fileSchema, tableOptions, info.command, nameMap)
     else
-      new PjRowLevelOperation(layout, fileSchema, tableOptions, info.command)
+      new PjRowLevelOperation(layout, fileSchema, tableOptions, info.command, nameMap)
 }
 
 final class PjRowLevelOperation(
     layout: PjLayout,
     fileSchema: StructType,
     tableOptions: CaseInsensitiveStringMap,
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command,
+    nameMap: Map[String, String] = Map.empty)
     extends RowLevelOperation {
 
   /** The scan Spark configured for this operation — its post-runtime-filter
@@ -87,7 +89,7 @@ final class PjRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PjScanBuilder(layout, fileSchema, merged(options),
-      rowLevel = true, onBuild = s => configuredScan = Some(s))
+      rowLevel = true, onBuild = s => configuredScan = Some(s), nameMap = nameMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = Option(tableOptions.get("path")).getOrElse(
@@ -115,7 +117,8 @@ final class PjRowLevelOperation(
         // to rebase this commit over concurrent writers it provably did
         // not race with (disjoint partitions)
         readVersion = layout.logVersion,
-        readPartitions = () => configuredScan.flatMap(_.readPartitionTuples)))
+        readPartitions = () => configuredScan.flatMap(_.readPartitionTuples)),
+      nameMap = nameMap)
   }
 
   private def merged(scanOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {

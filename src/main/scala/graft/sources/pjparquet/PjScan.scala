@@ -27,7 +27,12 @@ class PjScanBuilder(
       * write can replace exactly the scanned (runtime-filtered) files.
       */
     rowLevel: Boolean = false,
-    onBuild: PjScan => Unit = _ => ())
+    onBuild: PjScan => Unit = _ => (),
+    /** Column mapping ([[PjColumnMapping]]): folded logical → physical.
+      * Requested columns, pushed filters, and aggregate references are
+      * translated ONCE here; everything per-file is already physical.
+      */
+    nameMap: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -178,7 +183,7 @@ class PjScanBuilder(
         : Option[org.apache.spark.sql.types.StructField] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
           if nr.fieldNames.length == 1 =>
-        val n = nr.fieldNames.head
+        val n = PjColumnMapping.toPhysical(nameMap, nr.fieldNames.head)
         fileSchema.fields.find(f =>
           if (caseSensitive) f.name == n
           else f.name.equalsIgnoreCase(n))
@@ -663,6 +668,11 @@ class PjScanBuilder(
     // filter above the scan.
     val caseSensitiveNow = SQLConf.get.caseSensitiveAnalysis
     val partNameSet = layout.partitionSchema.fieldNames.toSet
+    // physical-name filters for every per-file structure (entry stats,
+    // index chunk stats, blooms) — partition pruning keeps the logical
+    // originals (partition columns are never mapped)
+    val physPushed: Seq[(Filter, Filter)] =
+      pushed.toSeq.map(p => p -> PjColumnMapping.toPhysicalFilter(nameMap, p))
     val bloomEligible = pushed.exists(PjBloom.usableLeaf)
     lazy val bloomConf = SparkSession.active.sessionState.newHadoopConf()
     // claimed (fully-pushed partition-exact) filters FIRST: files that do
@@ -672,10 +682,10 @@ class PjScanBuilder(
         // nested-fallback file: no index, so no chunk-stat/bloom pruning —
         // partition values still prune whole files
         pushed.forall(p => layout.partitionSchema.isEmpty || mightMatch(f, p))
-      else if (pushed.exists(p =>
+      else if (physPushed.exists { case (p, pp) =>
           !(layout.partitionSchema.isEmpty || mightMatch(f, p)) ||
             f.entry.exists(e => !PjStatsFilter.mightMatchEntry(
-              e, fileSchema, partNameSet, caseSensitiveNow, p))))
+              e, fileSchema, partNameSet, caseSensitiveNow, pp)) })
         // pruned by partition values or by the commit-log entry's stats
         // envelope — the file's index is NEVER loaded (the logged-table
         // zero-I/O prune; the envelope bounds every row group, so this
@@ -685,10 +695,10 @@ class PjScanBuilder(
         lazy val idx = PJSplice.Index.fromBytes(f.indexBytes)
         lazy val blooms: Option[PjBloom.FileBlooms] =
           if (bloomEligible) PjBloom.load(bloomConf, f, idx.footerFnv64) else None
-        pushed.forall { p =>
-          PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, p) &&
+        physPushed.forall { case (_, pp) =>
+          PjStatsFilter.mightMatch(idx, fileSchema, partNameSet, caseSensitiveNow, pp) &&
             blooms.forall(b =>
-              PjBloom.mightMatch(b, fileSchema, partNameSet, caseSensitiveNow, p))
+              PjBloom.mightMatch(b, fileSchema, partNameSet, caseSensitiveNow, pp))
         }
       }
     }
@@ -723,7 +733,8 @@ class PjScanBuilder(
       isPart(f) || isFileMeta(f) || isPosMeta(f)))
     val scan = new PjScan(
       survivingFiles, fileSchema, dataRequired,
-      layout.partitionSchema, partRequired, explicitRgs, pushed.toSeq,
+      layout.partitionSchema, partRequired, explicitRgs,
+      physPushed.map(_._2),
       streamInfo = Option(options.get("path")).map(p =>
         PjStreamInfo(p, options.getBoolean("index.autogen", true),
           options.getBoolean("mergeSchema", false),
@@ -733,7 +744,8 @@ class PjScanBuilder(
       totalFiles = layout.files.size,
       claimedFilters = claimed.toSeq,
       sortedBy = layout.sortedBy,
-      topNRows = pushedTopN)
+      topNRows = pushedTopN,
+      nameMap = nameMap)
     if (rowLevel) {
       // the DML conflict check needs the PARTITION-level read set: every
       // partition tuple the predicate admits over the base snapshot —
@@ -938,7 +950,11 @@ class PjScan(
       * each file keeps only the leading (asc) / trailing (desc) row
       * groups covering n rows (see [[PjScanBuilder.pushTopN]]).
       */
-    topNRows: Option[(Int, Boolean)] = None)
+    topNRows: Option[(Int, Boolean)] = None,
+    /** Column mapping: folded logical → physical (see [[PjScanBuilder]]);
+      * `pushedFilters` and `fileSchema` here are already PHYSICAL.
+      */
+    nameMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1207,15 +1223,22 @@ class PjScan(
     * columns are consumed positionally, so the requested-case `readSchema`
     * and this physical schema only need to agree on ORDER.
     */
-  private lazy val dataPhysical: StructType =
-    if (SQLConf.get.caseSensitiveAnalysis) dataRequired
+  private lazy val dataPhysical: StructType = {
+    // column mapping first (logical → frozen physical), THEN file-case
+    // folding (batch columns bind positionally, so only ORDER must agree)
+    val mapped =
+      if (nameMap.isEmpty) dataRequired
+      else StructType(dataRequired.fields.map(f =>
+        f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
+    if (SQLConf.get.caseSensitiveAnalysis) mapped
     else {
       val byLower = fileSchema.fields
         .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
-      StructType(dataRequired.fields.map(f =>
+      StructType(mapped.fields.map(f =>
         byLower.get(f.name.toLowerCase(java.util.Locale.ROOT))
           .map(n => f.copy(name = n)).getOrElse(f)))
     }
+  }
 
   // Column splice only when a strict subset of top-level fields is needed;
   // name-based selection follows reference O5 semantics (exact match).
