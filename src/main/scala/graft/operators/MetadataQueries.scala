@@ -792,6 +792,62 @@ object MetadataQueries {
         .withColumn("stale_writer_refused", lit(staleRefused))
         .orderBy($"type_prefix")
     }),
+    "q147_table_properties" -> ((s, dir) => {
+      import s.implicits._
+      // PERSISTED TABLE PROPERTIES (round 12, PjTableProperties — Delta
+      // TBLPROPERTIES parity): SET TBLPROPERTIES is a metadata-only
+      // commit in the log; the recorded `pj.changeFeed.enabled` contract
+      // makes a later DELETE persist its change rows with NO per-write
+      // option (the table, not each caller, owns the behavior); the
+      // recorded `pj.checkpoint.interval` drives the checkpoint cadence;
+      // a reserved-namespace typo refuses at DDL time; SHOW
+      // TBLPROPERTIES reads the map back. DuckDB recomputes the
+      // surviving-row facts and the delete-change-row count.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q147_props").toString
+      val cust = graft.Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+      cust.coalesce(2).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(tmp) // v1
+      s.conf.set("spark.sql.catalog.pj_q147", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"ALTER TABLE pj_q147.`$tmp` SET TBLPROPERTIES(" +
+        "'pj.changeFeed.enabled'='true', 'pj.checkpoint.interval'='3', " +
+        "'team'='data-eng')") // v2: metadata-only
+      s.sql(s"DELETE FROM pj_q147.`$tmp` WHERE c_custkey % 5 = 0") // v3: DV delete
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val v1 = graft.sources.pjparquet.PjCommitLog.read(fs, root, 1L)
+      val v2 = graft.sources.pjparquet.PjCommitLog.read(fs, root, 2L)
+      val metadataOnly = v2.entries.map(_.path) == v1.entries.map(_.path) &&
+        v2.action == "alter-properties"
+      val cdcPersisted = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_pj_cdc"))
+      val ckptAtInterval = fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(tmp, "_pj_log"), f"${3L}%020d.checkpoint.json"))
+      val typoRefused =
+        try {
+          s.sql(s"ALTER TABLE pj_q147.`$tmp` SET TBLPROPERTIES(" +
+            "'pj.changeFeed.enabld'='true')")
+          0L
+        } catch { case _: Exception => 1L }
+      val shown = s.sql(s"SHOW TBLPROPERTIES pj_q147.`$tmp`")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val showOk = shown.get("team").contains("data-eng") &&
+        shown.get("pj.changeFeed.enabled").contains("true")
+      val nDeleteChanges = s.read.format("pjparquet")
+        .option("readChangeFeed", "true").option("startingVersion", "3").load(tmp)
+        .filter($"_change_type" === "delete").count()
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum($"cents").cast("long").as("cents_sum"))
+        .withColumn("properties_commit_metadata_only", lit(if (metadataOnly) 1L else 0L))
+        .withColumn("cdc_persisted_by_property", lit(if (cdcPersisted) 1L else 0L))
+        .withColumn("n_delete_change_rows", lit(nDeleteChanges))
+        .withColumn("checkpoint_at_interval", lit(if (ckptAtInterval) 1L else 0L))
+        .withColumn("typo_refused", lit(typoRefused))
+        .withColumn("show_reads_back", lit(if (showOk) 1L else 0L))
+        .orderBy($"c_mktsegment")
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1660,6 +1716,18 @@ object MetadataQueries {
         |  SELECT n_nationkey AS k FROM nation
         |  UNION ALL
         |  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 1)""".stripMargin,
+    "q147_table_properties" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents_sum,
+        |       CAST(1 AS BIGINT) AS properties_commit_metadata_only,
+        |       CAST(1 AS BIGINT) AS cdc_persisted_by_property,
+        |       CAST((SELECT count(*) FROM customer WHERE c_custkey % 5 = 0) AS BIGINT)
+        |         AS n_delete_change_rows,
+        |       CAST(1 AS BIGINT) AS checkpoint_at_interval,
+        |       CAST(1 AS BIGINT) AS typo_refused,
+        |       CAST(1 AS BIGINT) AS show_reads_back
+        |FROM customer WHERE c_custkey % 5 <> 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q146_rename_column" ->
       """SELECT substr(p_type, 1, 6) AS type_prefix, count(*) AS n_parts,
         |       CAST(sum(round(p_retailprice * 100)) AS BIGINT) AS cents_sum,

@@ -130,6 +130,16 @@ class PjCatalog extends CatalogPlugin with TableCatalog
           s"$catalogName: cannot mix constraint and column changes in one ALTER TABLE")
       return alterConstraints(ident, path, spark, fs, rootPath, snap, changes)
     }
+    // SET/UNSET TBLPROPERTIES travel their own metadata lane too
+    // ([[PjTableProperties]]) — SQL never mixes them with column changes
+    if (changes.exists(c => c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])) {
+      if (!changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
+          c.isInstanceOf[TableChange.RemoveProperty]))
+        throw new UnsupportedOperationException(
+          s"$catalogName: cannot mix property and column changes in one ALTER TABLE")
+      return alterProperties(ident, path, fs, rootPath, snap, changes)
+    }
     val cur = snap.dataSchemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
       throw new PJException(
@@ -379,6 +389,34 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     }
     PjCommitLog.commit(fs, rootPath, "alter-constraint", Nil, Set.empty,
       None, Some("alter"), constraintsJson = Some(PjConstraints.render(specs)))
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — a metadata-only commit
+    * to the recorded property map ([[PjTableProperties]]): reserved
+    * `pj.*` keys are validated NOW (typo or bad value fails the DDL, not
+    * the next write), user-namespace keys round-trip untouched, and
+    * UNSET of an absent key is a no-op (Delta semantics — SQL has no
+    * IF EXISTS form here).
+    */
+  private def alterProperties(
+      ident: Identifier, path: String,
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: org.apache.hadoop.fs.Path,
+      snap: PjCommitLog.Snapshot, changes: Seq[TableChange]): Table = {
+    var props = PjTableProperties.parse(snap.propertiesJson)
+    changes.foreach {
+      case s: TableChange.SetProperty =>
+        PjTableProperties.validate(s.property(), s.value())
+        val key = PjTableProperties.canonicalKey(s.property())
+        props = props - key + (key -> s.value())
+      case r: TableChange.RemoveProperty =>
+        props = props - PjTableProperties.canonicalKey(r.property())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName: unsupported property change $other")
+    }
+    PjCommitLog.commit(fs, rootPath, "alter-properties", Nil, Set.empty,
+      None, Some("alter"), propertiesJson = Some(PjTableProperties.render(props)))
     loadTable(ident)
   }
 

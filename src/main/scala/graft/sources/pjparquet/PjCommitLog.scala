@@ -127,7 +127,12 @@ object PjCommitLog {
         * predicates) — like `dataSchemaJson`, the latest commit that
         * recorded the field wins; `"[]"` records "no constraints".
         */
-      constraintsJson: Option[String] = None) {
+      constraintsJson: Option[String] = None,
+      /** Persisted table properties (flat string→string JSON object,
+        * [[PjTableProperties]]) — same latest-recording-commit-wins lane;
+        * `"{}"` records "no properties".
+        */
+      propertiesJson: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -278,6 +283,7 @@ object PjCommitLog {
         base.entries.foreach(e => st.entries.put(e.path, e))
         st.schema = base.dataSchemaJson
         st.constraints = base.constraintsJson
+        st.properties = base.propertiesJson
         st.ts = base.ts
         st.action = base.action
         st.operation = base.operation
@@ -307,6 +313,7 @@ object PjCommitLog {
       base.foreach(e => st.entries.put(e.path, e))
       st.schema = optText(node, "dataSchema")
       st.constraints = optText(node, "constraints")
+      st.properties = optText(node, "properties")
       st.ts = node.path("ts").asLong(0L)
       st.action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -330,6 +337,7 @@ object PjCommitLog {
     val entries = new java.util.LinkedHashMap[String, FileEntry]()
     var schema: Option[String] = None
     var constraints: Option[String] = None
+    var properties: Option[String] = None
     var ts = 0L
     var action = "unknown"
     var operation: Option[String] = None
@@ -341,6 +349,7 @@ object PjCommitLog {
         entries.clear()
         schema = None
         constraints = None
+        properties = None
         node.get("files").elements().asScala.foreach { f =>
           val e = FileEntry(f.asText); entries.put(e.path, e)
         }
@@ -350,6 +359,7 @@ object PjCommitLog {
       }
       optText(node, "dataSchema").foreach(s => schema = Some(s))
       optText(node, "constraints").foreach(c => constraints = Some(c))
+      optText(node, "properties").foreach(p => properties = Some(p))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
       operation = optText(node, "operation")
@@ -357,7 +367,7 @@ object PjCommitLog {
     def snapshot(version: Long): Snapshot =
       Snapshot(version, action,
         entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation,
-        constraintsJson = constraints)
+        constraintsJson = constraints, propertiesJson = properties)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -414,7 +424,8 @@ object PjCommitLog {
       operation: Option[String] = None,
       readVersion: Option[Long] = None,
       readPartitions: Option[Set[Seq[String]]] = None,
-      constraintsJson: Option[String] = None): Long = {
+      constraintsJson: Option[String] = None,
+      propertiesJson: Option[String] = None): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -438,9 +449,15 @@ object PjCommitLog {
       val effectiveRemove = remove.intersect(prevPaths)
       val nLive = ((prevPaths -- effectiveRemove) ++ add.map(_.path)).size
       val body = renderCommit(v, System.currentTimeMillis(), action, add,
-        effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson)
+        effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
+        propertiesJson)
       if (publish(fs, commitFile(root, v), body)) {
-        if (v % CheckpointInterval == 0)
+        // cadence honors the table's recorded pj.checkpoint.interval —
+        // this commit's own properties (when it sets them) win, else the
+        // predecessor's recorded ones, else the engine default
+        val interval = PjTableProperties.checkpointInterval(
+          propertiesJson.orElse(prev.flatMap(_.propertiesJson)))
+        if (v % interval == 0)
           try writeCheckpoint(fs, root, v)
           catch { case scala.util.control.NonFatal(_) => /* replay covers it */ }
         return v
@@ -541,7 +558,7 @@ object PjCommitLog {
       throw new PJException(
         s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
           "(concurrent writer)")
-    if (v % CheckpointInterval == 0)
+    if (v % PjTableProperties.checkpointInterval(prev.flatMap(_.propertiesJson)) == 0)
       try writeCheckpoint(fs, root, v)
       catch { case scala.util.control.NonFatal(_) => }
     v
@@ -581,7 +598,7 @@ object PjCommitLog {
     // (no ArrayList[Row] of 500k entries, no multi-MB task broadcast).
     if (!entryFormat.contains(false) && session.isDefined) {
       incrementalParquetCheckpoint(session.get, fs, root, v) match {
-        case Some((nFiles, ts, action, schema, constraints)) =>
+        case Some((nFiles, ts, action, schema, constraints, properties)) =>
           publishStream(fs, target) { out =>
             val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
             g.writeStartObject()
@@ -592,6 +609,7 @@ object PjCommitLog {
             g.writeBooleanField("checkpoint", true)
             schema.foreach(s => g.writeStringField("dataSchema", s))
             constraints.foreach(c => g.writeStringField("constraints", c))
+            properties.foreach(p => g.writeStringField("properties", p))
             g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
             g.writeEndObject()
             g.flush()
@@ -618,6 +636,7 @@ object PjCommitLog {
       g.writeBooleanField("checkpoint", true)
       snap.dataSchemaJson.foreach(s => g.writeStringField("dataSchema", s))
       snap.constraintsJson.foreach(c => g.writeStringField("constraints", c))
+      snap.propertiesJson.foreach(p => g.writeStringField("properties", p))
       if (asParquet)
         g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
       else {
@@ -714,7 +733,8 @@ object PjCommitLog {
     */
   private def incrementalParquetCheckpoint(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
-      root: Path, v: Long): Option[(Long, Long, String, Option[String], Option[String])] = {
+      root: Path, v: Long): Option[(Long, Long, String, Option[String], Option[String],
+      Option[String])] = {
     val l = listing(fs, root)
     if (!l.commits.contains(v)) return None
     val cpv = l.checkpoints.filter(_ < v).lastOption.getOrElse(return None)
@@ -724,6 +744,7 @@ object PjCommitLog {
     if (tail.isEmpty) return None
     var schema = optText(prevNode, "dataSchema")
     var constraints = optText(prevNode, "constraints")
+    var properties = optText(prevNode, "properties")
     var ts = 0L
     var action = "unknown"
     val touched = new java.util.LinkedHashSet[String]()
@@ -739,6 +760,7 @@ object PjCommitLog {
       }
       optText(node, "dataSchema").foreach(s => schema = Some(s))
       optText(node, "constraints").foreach(c => constraints = Some(c))
+      optText(node, "properties").foreach(p => properties = Some(p))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -769,7 +791,7 @@ object PjCommitLog {
     }
     // exact live-file count, metadata-rate (parquet footer row counts)
     val nFiles = spark.read.schema(CkptEntrySchema).parquet(dir.toString).count()
-    Some((nFiles, ts, action, schema, constraints))
+    Some((nFiles, ts, action, schema, constraints, properties))
   }
 
   /** Entries of a parquet-backed checkpoint, read through the engine. */
@@ -1059,7 +1081,8 @@ object PjCommitLog {
   private def renderCommit(
       v: Long, ts: Long, action: String, add: Seq[FileEntry], remove: Seq[String],
       nFiles: Long, dataSchemaJson: Option[String], operation: Option[String],
-      constraintsJson: Option[String] = None): String = {
+      constraintsJson: Option[String] = None,
+      propertiesJson: Option[String] = None): String = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1069,6 +1092,7 @@ object PjCommitLog {
     operation.foreach(o => node.put("operation", o))
     dataSchemaJson.foreach(s => node.put("dataSchema", s))
     constraintsJson.foreach(c => node.put("constraints", c))
+    propertiesJson.foreach(p => node.put("properties", p))
     val addArr = node.putArray("add")
     add.foreach(e => addArr.add(entryNode(mapper, e)))
     val rmArr = node.putArray("remove")

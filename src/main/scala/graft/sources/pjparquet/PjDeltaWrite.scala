@@ -91,8 +91,9 @@ final class PjDeltaRowLevelOperation(
         command = cmd.toString.toLowerCase(java.util.Locale.ROOT),
         readVersion = baseVersion,
         readPartitions = () => configuredScan.flatMap(_.readPartitionTuples),
-        cdcEnabled = tableOptions.getBoolean("cdc.enabled", false),
-        bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions),
+        cdcEnabled = PjTableProperties.effectiveBool(tableOptions, layout.propertiesJson,
+          "cdc.enabled", PjTableProperties.ChangeFeedEnabled, default = false),
+        bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions, layout.propertiesJson),
         nameMap = nameMap)
     }
   }

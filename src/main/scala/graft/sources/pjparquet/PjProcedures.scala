@@ -99,23 +99,39 @@ object PjProcedures {
             Seq(new GenericInternalRow(Array[Any](r.orphanSidecars, r.workDirs)))
           })
       case "expire_versions" =>
+        // keep_versions omitted (-1) falls back to the table's recorded
+        // pj.expire.keepVersions property — retention as a TABLE contract
         new Proc("expire_versions",
-          Array(in("table", StringType), in("keep_versions", IntegerType),
+          Array(in("table", StringType), inD("keep_versions", IntegerType, "-1"),
             inD("min_file_age_ms", LongType, "0")),
           expireSchema,
           { input =>
-            val r = PjVacuum.expireVersions(spark, tableArg(input),
-              input.getInt(1), input.getLong(2))
+            val table = tableArg(input)
+            val keep =
+              if (input.getInt(1) > 0) input.getInt(1)
+              else recordedProp(table, PjTableProperties.ExpireKeepVersions)
+                .map(_.toInt).getOrElse(throw new PJException(
+                  "pjparquet: expire_versions needs keep_versions (no recorded " +
+                    s"${PjTableProperties.ExpireKeepVersions} property on '$table')"))
+            val r = PjVacuum.expireVersions(spark, table, keep, input.getLong(2))
             Seq(expireRow(r))
           })
       case "expire_older_than" =>
+        // retention_ms omitted (-1) falls back to the table's recorded
+        // pj.vacuum.retentionHours property
         new Proc("expire_older_than",
-          Array(in("table", StringType), in("retention_ms", LongType),
+          Array(in("table", StringType), inD("retention_ms", LongType, "-1"),
             inD("min_file_age_ms", LongType, "0")),
           expireSchema,
           { input =>
-            val r = PjVacuum.expireOlderThan(spark, tableArg(input),
-              input.getLong(1), input.getLong(2))
+            val table = tableArg(input)
+            val retention =
+              if (input.getLong(1) >= 0) input.getLong(1)
+              else recordedProp(table, PjTableProperties.VacuumRetentionHours)
+                .map(_.toLong * 3600L * 1000L).getOrElse(throw new PJException(
+                  "pjparquet: expire_older_than needs retention_ms (no recorded " +
+                    s"${PjTableProperties.VacuumRetentionHours} property on '$table')"))
+            val r = PjVacuum.expireOlderThan(spark, table, retention, input.getLong(2))
             Seq(expireRow(r))
           })
       case "compact" =>
@@ -267,6 +283,14 @@ object PjProcedures {
           s"$catalogName: unknown procedure '$other' " +
             s"(available: ${Names.mkString(", ")})")
     }
+  }
+
+  /** Recorded table property of a logged table (procedure-arg fallback). */
+  private def recordedProp(table: String, key: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    PjCommitLog.latest(fs, root).flatMap(s =>
+      PjTableProperties.recorded(s.propertiesJson, key))
   }
 
   private val expireSchema = StructType(Seq(

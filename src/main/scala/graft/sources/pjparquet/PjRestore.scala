@@ -62,16 +62,20 @@ object PjRestore {
     val added = target.entries.filter(e => !headByPath.get(e.path).exists(sameEntry(e, _)))
     val schemaChanged = target.dataSchemaJson != head.dataSchemaJson
     val constraintsChanged = target.constraintsJson != head.constraintsJson
-    if (removed.isEmpty && added.isEmpty && !schemaChanged && !constraintsChanged)
+    val propertiesChanged = target.propertiesJson != head.propertiesJson
+    if (removed.isEmpty && added.isEmpty && !schemaChanged && !constraintsChanged &&
+        !propertiesChanged)
       return RestoreReport(version, None, 0L, 0L)
     val v = PjCommitLog.commit(
       fs, rootPath, "restore", added, removed,
       dataSchemaJson = target.dataSchemaJson,
       operation = Some(s"RESTORE VERSION AS OF $version"),
-      // constraints roll back too; "[]" records an explicit clear when
-      // the target predates every constraint
+      // constraints and properties roll back too; "[]"/"{}" record an
+      // explicit clear when the target predates them
       constraintsJson =
-        if (constraintsChanged) Some(target.constraintsJson.getOrElse("[]")) else None)
+        if (constraintsChanged) Some(target.constraintsJson.getOrElse("[]")) else None,
+      propertiesJson =
+        if (propertiesChanged) Some(target.propertiesJson.getOrElse("{}")) else None)
     // restored state changes what readers see — drop stale layout plans
     PjParquetTable.clearLayoutCache()
     RestoreReport(version, Some(v), added.size.toLong, removed.size.toLong)

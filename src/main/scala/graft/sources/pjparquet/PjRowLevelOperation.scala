@@ -51,7 +51,9 @@ final class PjRowLevelOperationBuilder(
     // (deletion vectors + appends, [[PjDeltaRowLevelOperation]]);
     // `deletionVectors.enabled=false` and unlogged tables copy-on-write
     if (layout.logVersion.isDefined &&
-        tableOptions.getBoolean("deletionVectors.enabled", true))
+        PjTableProperties.effectiveBool(tableOptions, layout.propertiesJson,
+          "deletionVectors.enabled", PjTableProperties.DeletionVectorsEnabled,
+          default = true))
       new PjDeltaRowLevelOperation(layout, fileSchema, tableOptions, info.command, nameMap)
     else
       new PjRowLevelOperation(layout, fileSchema, tableOptions, info.command, nameMap)
@@ -95,12 +97,13 @@ final class PjRowLevelOperation(
     val path = Option(tableOptions.get("path")).getOrElse(
       throw new IllegalArgumentException("pjparquet: 'path' option is required"))
     new PjWriteBuilder(path, layout.partitionSchema.fieldNames.toSeq, info,
-      bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions),
+      bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions, layout.propertiesJson),
       // with `sort.columns` declared the copy-on-write rewrite re-sorts the
       // replacement files, so DML keeps the layout's ordering claim alive
       sortColumns = PjParquetTable.sortColumnsOf(tableOptions),
       logRequested = tableOptions.getBoolean("log.enabled", false),
-      cdcEnabled = tableOptions.getBoolean("cdc.enabled", false),
+      cdcEnabled = PjTableProperties.effectiveBool(tableOptions, layout.propertiesJson,
+        "cdc.enabled", PjTableProperties.ChangeFeedEnabled, default = false),
       initialMode = new PjWriteMode.ReplaceFiles(() =>
         configuredScan match {
           case Some(s) => s.currentFiles.map(_.path)

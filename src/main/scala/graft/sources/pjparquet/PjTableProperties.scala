@@ -1,0 +1,164 @@
+package graft.sources.pjparquet
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.PJException
+
+/** Persisted table properties — the Delta `TBLPROPERTIES` contract
+  * (`delta.enableChangeDataFeed`-style): table-level configuration lives
+  * IN THE COMMIT LOG, not in each job's read/write options, so a table's
+  * behavioral contract ("this table persists a change feed", "this table
+  * uses copy-on-write DML") binds every writer — including ones that
+  * never heard of the option — instead of silently depending on each
+  * caller passing the right flag.
+  *
+  * Storage: a flat string→string JSON object in the commit's
+  * `properties` field, latest-recording-commit wins (the same lane as
+  * `dataSchema` and `constraints`); `SET TBLPROPERTIES` / `UNSET
+  * TBLPROPERTIES` are metadata-only commits ([[PjCatalog.alterTable]]).
+  * Properties survive checkpoint replay and version expiry exactly like
+  * the recorded schema.
+  *
+  * Precedence at use sites: an EXPLICIT per-operation option still wins
+  * (`df.write.option("cdc.enabled", false)` can opt one backfill out of
+  * a table-level change feed), then the recorded property, then the
+  * engine default — Delta's own option-over-property order.
+  *
+  * Namespace rules: keys under `pj.` are RESERVED for the engine and
+  * validated against [[Known]] at DDL time (a typo like
+  * `pj.changeFeed.enabld` fails the ALTER, not silently at the next
+  * write); any other key is a free-form user annotation and round-trips
+  * untouched (team ownership tags, pipeline metadata — Delta allows the
+  * same).
+  */
+object PjTableProperties {
+
+  /** `pj.changeFeed.enabled` — when true, every DML/write commit persists
+    * its change rows (`_pj_cdc`, [[PjChangeFeed.persistCommitDiff]])
+    * without callers passing `cdc.enabled`.
+    */
+  val ChangeFeedEnabled = "pj.changeFeed.enabled"
+
+  /** `pj.deletionVectors.enabled` — default for merge-on-read DML
+    * (deletion vectors) vs copy-on-write rewrites. Engine default: true.
+    */
+  val DeletionVectorsEnabled = "pj.deletionVectors.enabled"
+
+  /** `pj.checkpoint.interval` — commits between full log checkpoints
+    * (engine default [[PjCommitLog.CheckpointInterval]]). A busy
+    * streaming table can checkpoint less often; a wide-fanout table more.
+    */
+  val CheckpointInterval = "pj.checkpoint.interval"
+
+  /** `pj.bloom.columns` — comma-separated columns whose bloom sidecars
+    * every write commit keeps fresh (table-level form of the
+    * `bloom.columns` write option).
+    */
+  val BloomColumns = "pj.bloom.columns"
+
+  /** `pj.vacuum.retentionHours` — default retention for
+    * `CALL pj.system.vacuum` / `expire` when the call omits one.
+    */
+  val VacuumRetentionHours = "pj.vacuum.retentionHours"
+
+  /** `pj.expire.keepVersions` — default version-count retention for
+    * `CALL pj.system.expire` when the call omits one.
+    */
+  val ExpireKeepVersions = "pj.expire.keepVersions"
+
+  /** Reserved-namespace keys the engine understands, with value
+    * validators (run at DDL time so a bad value fails the ALTER).
+    */
+  private val Known: Map[String, String => Option[String]] = Map(
+    ChangeFeedEnabled -> boolValidator,
+    DeletionVectorsEnabled -> boolValidator,
+    CheckpointInterval -> posIntValidator,
+    BloomColumns -> (_ => None), // any csv of names; resolved per-write
+    VacuumRetentionHours -> nonNegLongValidator,
+    ExpireKeepVersions -> posIntValidator)
+
+  private def boolValidator(v: String): Option[String] =
+    if (v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")) None
+    else Some(s"expected true/false, got '$v'")
+
+  private def posIntValidator(v: String): Option[String] =
+    try { if (v.toInt > 0) None else Some(s"expected a positive integer, got '$v'") }
+    catch { case _: NumberFormatException => Some(s"expected a positive integer, got '$v'") }
+
+  private def nonNegLongValidator(v: String): Option[String] =
+    try { if (v.toLong >= 0) None else Some(s"expected a non-negative number, got '$v'") }
+    catch { case _: NumberFormatException => Some(s"expected a non-negative number, got '$v'") }
+
+  /** Validate one SET entry: reserved-namespace keys must be known and
+    * their values well-formed; anything else passes (user annotation).
+    */
+  def validate(key: String, value: String): Unit = {
+    val lower = key.toLowerCase(java.util.Locale.ROOT)
+    if (lower.startsWith("pj.")) {
+      val canonical = Known.keys.find(_.equalsIgnoreCase(key)).getOrElse(
+        throw new PJException(
+          s"pjparquet: unknown table property '$key' — the pj.* namespace is " +
+            s"reserved; known properties: ${Known.keys.toSeq.sorted.mkString(", ")}"))
+      Known(canonical)(value).foreach(err =>
+        throw new PJException(s"pjparquet: invalid value for table property '$canonical': $err"))
+    }
+  }
+
+  /** Canonical casing for a key (recorded form), so SET/UNSET are
+    * case-insensitive on the reserved namespace like every other option.
+    */
+  def canonicalKey(key: String): String =
+    Known.keys.find(_.equalsIgnoreCase(key)).getOrElse(key)
+
+  /** Parse a recorded properties JSON object (None/empty → empty map). */
+  def parse(json: Option[String]): Map[String, String] = json match {
+    case None => Map.empty
+    case Some(s) if s.trim.isEmpty => Map.empty
+    case Some(s) =>
+      val node = new ObjectMapper().readTree(s)
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** Render a properties map as the recorded JSON (sorted keys — the log
+    * body is deterministic for a given state).
+    */
+  def render(props: Map[String, String]): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Effective boolean at a use site: explicit option > recorded property
+    * > engine default.
+    */
+  def effectiveBool(
+      options: CaseInsensitiveStringMap,
+      propertiesJson: Option[String],
+      optionKey: String,
+      propertyKey: String,
+      default: Boolean): Boolean =
+    if (options.containsKey(optionKey)) options.getBoolean(optionKey, default)
+    else parse(propertiesJson).collectFirst {
+      case (k, v) if k.equalsIgnoreCase(propertyKey) => v.equalsIgnoreCase("true")
+    }.getOrElse(default)
+
+  /** Recorded value of `propertyKey` (case-insensitive), if any. */
+  def recorded(propertiesJson: Option[String], propertyKey: String): Option[String] =
+    parse(propertiesJson).collectFirst {
+      case (k, v) if k.equalsIgnoreCase(propertyKey) => v
+    }
+
+  /** Table-level checkpoint interval recorded in `propertiesJson`, else
+    * the engine default. Guarded: a malformed recorded value (only
+    * possible by hand-editing the log) falls back to the default rather
+    * than wedging every commit.
+    */
+  def checkpointInterval(propertiesJson: Option[String]): Int =
+    recorded(propertiesJson, CheckpointInterval)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+      .getOrElse(PjCommitLog.CheckpointInterval)
+}
