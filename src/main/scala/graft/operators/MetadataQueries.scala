@@ -848,6 +848,89 @@ object MetadataQueries {
         .withColumn("show_reads_back", lit(if (showOk) 1L else 0L))
         .orderBy($"c_mktsegment")
     }),
+    "q148_shallow_clone" -> ((s, dir) => {
+      import s.implicits._
+      // SHALLOW CLONE (round 12, PjClone): zero-copy fork — `CALL
+      // pj.system.clone` commits ONE metadata entry in the new table
+      // referencing the source snapshot's files absolutely (no data file
+      // is copied), then a DELETE on the clone writes deletion vectors
+      // under the CLONE's root only. Facts checked: zero data files
+      // copied at clone time, source row count unchanged after the
+      // clone's DELETE, clone aggregates reflect only its own DML.
+      // DuckDB recomputes the surviving-clone aggregate and source count.
+      val src = java.nio.file.Files.createTempDirectory("pj_q148_src").toString
+      val tgtDir = java.nio.file.Files.createTempDirectory("pj_q148_tgt")
+      java.nio.file.Files.delete(tgtDir) // clone requires a fresh target
+      val tgt = tgtDir.toString
+      val ord = graft.Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority",
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      ord.repartition(2).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(src)
+      s.conf.set("spark.sql.catalog.pj_q148", "graft.sources.pjparquet.PjCatalog")
+      val cloneRow = s.sql(
+        s"CALL pj_q148.system.clone(source => '$src', target => '$tgt')")
+        .collect().head
+      val clonedFiles = cloneRow.getLong(1)
+      // no .parquet data bytes under the clone — only its log
+      val tfs = new org.apache.hadoop.fs.Path(tgt)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      var copied = 0L
+      val it = tfs.listFiles(new org.apache.hadoop.fs.Path(tgt), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.toString.contains("_pj_log")) copied += 1
+      }
+      s.sql(s"DELETE FROM pj_q148.`$tgt` WHERE o_orderkey % 3 = 0")
+      val srcRows = s.read.format("pjparquet").load(src).count()
+      s.read.format("pjparquet").load(tgt)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").cast("long").as("cents_sum"))
+        .withColumn("files_copied_at_clone", lit(copied))
+        .withColumn("cloned_file_refs", lit(clonedFiles))
+        .withColumn("source_rows_after_clone_dml", lit(srcRows))
+        .orderBy($"o_orderpriority")
+    }),
+    "q149_analyze_cbo_stats" -> ((s, dir) => {
+      import s.implicits._
+      // ANALYZE + CBO statistics (round 12, PjAnalyze): `CALL
+      // pj.system.analyze` computes per-column NDV/nulls/lengths/min-max
+      // in ONE pass, records them as a metadata-only commit, and every
+      // scan then serves them to Spark's optimizer via DSv2
+      // `columnStats()` — checked here by reading the optimized plan's
+      // attributeStats. DuckDB recomputes the exact facts (null counts,
+      // byte lengths, min/max); the HLL NDV is checked as exact for the
+      // low-cardinality column and within 5 % for the key column.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q149_analyze").toString
+      val cust = graft.Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+      cust.coalesce(2).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(tmp)
+      s.conf.set("spark.sql.catalog.pj_q149", "graft.sources.pjparquet.PjCatalog")
+      val statRows = s.sql(s"CALL pj_q149.system.analyze(table => '$tmp')")
+        .collect().map(r => r.getString(0) -> r).toMap
+      val nRows = statRows.values.head.getLong(7)
+      val df = s.read.format("pjparquet").load(tmp)
+      val attrStats = df.queryExecution.optimizedPlan.collectLeaves()
+        .head.stats.attributeStats
+      val cboVisible = if (attrStats.nonEmpty) 1L else 0L
+      val out = statRows.toSeq.map { case (name, r) =>
+        val ndv = r.getLong(1)
+        val ndvExact = if (name == "c_mktsegment") ndv else -1L
+        val within5 =
+          if (name == "c_custkey")
+            (if (math.abs(ndv - nRows) <= nRows / 20) 1L else 0L)
+          else 1L
+        (name, r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getString(5)).orNull, Option(r.getString(6)).orNull,
+          ndvExact, within5, cboVisible, nRows)
+      }
+      out.toDF("column", "null_count", "avg_len", "max_len", "min_s", "max_s",
+        "ndv_exact", "ndv_within_5pct", "cbo_visible", "table_rows")
+        .orderBy($"column")
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1728,6 +1811,49 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS show_reads_back
         |FROM customer WHERE c_custkey % 5 <> 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q148_shallow_clone" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents_sum,
+        |       CAST(0 AS BIGINT) AS files_copied_at_clone,
+        |       CAST(2 AS BIGINT) AS cloned_file_refs,
+        |       CAST((SELECT count(*) FROM orders) AS BIGINT)
+        |         AS source_rows_after_clone_dml
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q149_analyze_cbo_stats" ->
+      """WITH f AS (SELECT c_custkey, c_mktsegment,
+        |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'c_custkey' AS "column",
+        |         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS null_count,
+        |         CAST(8 AS BIGINT) AS avg_len, CAST(8 AS BIGINT) AS max_len,
+        |         CAST(min(c_custkey) AS VARCHAR) AS min_s,
+        |         CAST(max(c_custkey) AS VARCHAR) AS max_s,
+        |         CAST(-1 AS BIGINT) AS ndv_exact,
+        |         CAST(1 AS BIGINT) AS ndv_within_5pct,
+        |         CAST(1 AS BIGINT) AS cbo_visible,
+        |         CAST(count(*) AS BIGINT) AS table_rows
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'c_mktsegment',
+        |         CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(ceil(avg(strlen(c_mktsegment))) AS BIGINT),
+        |         CAST(max(strlen(c_mktsegment)) AS BIGINT),
+        |         NULL, NULL,
+        |         CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |         CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'cents',
+        |         CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+        |         CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR),
+        |         CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |         CAST(count(*) AS BIGINT)
+        |  FROM f
+        |) ORDER BY "column"""".stripMargin,
     "q146_rename_column" ->
       """SELECT substr(p_type, 1, 6) AS type_prefix, count(*) AS n_parts,
         |       CAST(sum(round(p_retailprice * 100)) AS BIGINT) AS cents_sum,

@@ -417,7 +417,7 @@ final class PjBatchWrite(
           base.filter(rel => filters.forall(f =>
             PjBatchWrite.evalPartitionFilter(f, PjBatchWrite.partsOfRel(rel))))
         case _: PjWriteMode.ReplaceFiles =>
-          val replRel = replaced.map(p => PjCommitLog.relativize(fs, rootPath, p))
+          val replRel = replaced.map(p => PjCommitLog.relOrAbs(fs, rootPath, p))
           base.intersect(replRel)
       }
       survivors = (base -- retired).size

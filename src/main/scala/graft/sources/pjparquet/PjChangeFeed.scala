@@ -154,8 +154,7 @@ object PjChangeFeed {
       rels: Seq[(String, Option[String])]): Option[DataFrame] =
     if (rels.isEmpty) None
     else {
-      val df = spark.read.option("basePath", rootQ)
-        .parquet(rels.map(r => s"$rootQ/${r._1}"): _*)
+      val df = readByKeys(spark, rootQ, rels.map(_._1))
       // partition columns come from directory inference; align their
       // types with the pjparquet convention (LONG when every value
       // parses, else STRING) so the feed's schema matches table reads
@@ -186,7 +185,7 @@ object PjChangeFeed {
     else {
       val rootKey = canonRootKey(rootQ)
       val byPath: Map[String, String] = rels.collect {
-        case (rel, Some(dvRel)) => s"$rootKey/$rel" -> s"$rootQ/$dvRel"
+        case (rel, Some(dvRel)) => keyOf(rootKey, rel) -> absOf(rootQ, dvRel)
       }.toMap
       val hconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
@@ -214,7 +213,7 @@ object PjChangeFeed {
       trans: Seq[(String, Option[String], String)]): DataFrame = {
     val rootKey = canonRootKey(rootQ)
     val byPath: Map[String, (String, String)] = trans.map { case (rel, oldDv, newDv) =>
-      s"$rootKey/$rel" -> ((oldDv.map(r => s"$rootQ/$r").orNull, s"$rootQ/$newDv"))
+      keyOf(rootKey, rel) -> ((oldDv.map(absOf(rootQ, _)).orNull, absOf(rootQ, newDv)))
     }.toMap
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
@@ -229,8 +228,7 @@ object PjChangeFeed {
         case None => false
       }
     })
-    val df = spark.read.option("basePath", rootQ)
-      .parquet(trans.map(t => s"$rootQ/${t._1}"): _*)
+    val df = readByKeys(spark, rootQ, trans.map(_._1))
     val partVals: Map[String, Seq[String]] = trans
       .flatMap(t => PjBatchWrite.partsOfRel(t._1).toSeq)
       .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
@@ -254,6 +252,50 @@ object PjChangeFeed {
       val u = new java.net.URI(rootQ)
       Option(u.getAuthority).getOrElse("") + Option(u.getPath).getOrElse(rootQ)
     } catch { case _: java.net.URISyntaxException => rootQ }
+
+  /** Absolute URI of a snapshot-membership key ([[PjCommitLog.relOrAbs]]):
+    * SHALLOW-CLONE entries are already absolute and adopt the table
+    * root's scheme/authority; everything else joins under the root.
+    */
+  private def absOf(rootQ: String, rel: String): String =
+    if (rel.startsWith("/")) new Path(new Path(rootQ), rel).toString
+    else s"$rootQ/$rel"
+
+  /** Broadcast-map key for a membership key — must equal
+    * [[canonScanPath]] of the file's scan-rendered path.
+    */
+  private def keyOf(rootKey: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$rootKey/$rel"
+
+  /** Raw multi-file read over membership keys that tolerates
+    * clone-external (absolute) entries: files group by the base path
+    * that makes their Hive partition inference work (the table root for
+    * relative keys; the prefix above the first `key=value` segment for
+    * absolute ones), each group reads with its own `basePath`, inferred
+    * partition columns normalize to STRING, and groups union by name —
+    * the callers' value-driven alignment then settles LONG vs STRING.
+    */
+  private def readByKeys(
+      spark: SparkSession, rootQ: String, rels: Seq[String]): DataFrame = {
+    def baseOf(rel: String): String =
+      if (!rel.startsWith("/")) rootQ
+      else {
+        val segs = rel.split("/").toSeq
+        val i = segs.indexWhere(_.contains("="))
+        val prefix = if (i < 0) segs.dropRight(1) else segs.take(i)
+        new Path(new Path(rootQ), prefix.mkString("/")).toString
+      }
+    val groups = rels.groupBy(baseOf).toSeq.sortBy(_._1)
+    groups.map { case (base, group) =>
+      val df = spark.read.option("basePath", base)
+        .parquet(group.map(absOf(rootQ, _)): _*)
+      val partKeys = group.flatMap(r => PjBatchWrite.partsOfRel(r).keySet).distinct
+      partKeys.foldLeft(df)((acc, k) =>
+        if (acc.columns.exists(_.equalsIgnoreCase(k)))
+          acc.withColumn(k, col(k).cast("string"))
+        else acc)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** What one commit contributes to the feed — the planning unit shared by
     * the batch range read ([[changes]]) and the streaming source
@@ -447,13 +489,12 @@ object PjChangeFeed {
     val rels = fileMeta.map(_._1)
     val rootKey = canonRootKey(rootQ)
     val byPath: Map[String, (Long, String)] =
-      fileMeta.map { case (rel, v, l, _) => s"$rootKey/$rel" -> ((v, l)) }.toMap
+      fileMeta.map { case (rel, v, l, _) => keyOf(rootKey, rel) -> ((v, l)) }.toMap
     val bc = spark.sparkContext.broadcast(byPath)
     val metaU = udf((p: String) => bc.value.getOrElse(canonScanPath(p),
       throw new graft.core.PJException(
         s"pjparquet: change feed read an input file planning never labeled: $p")))
-    val df = spark.read.option("basePath", rootQ)
-      .parquet(rels.map(rel => s"$rootQ/$rel"): _*)
+    val df = readByKeys(spark, rootQ, rels)
     // the same partition-column type alignment as the single-version path
     val partVals: Map[String, Seq[String]] = rels
       .flatMap(rel => PjBatchWrite.partsOfRel(rel).toSeq)

@@ -391,7 +391,7 @@ private[pjparquet] class PjCdfMicroBatchStream(
     // files in `want` but not in the layout are zero-row-group (empty)
     // parquet — the resolver excludes them and they contribute no rows
     layout.files.filter(file =>
-      want.contains(PjCommitLog.relativize(f, rootPath, new Path(file.path))))
+      want.contains(PjCommitLog.relOrAbs(f, rootPath, new Path(file.path))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -132,7 +132,13 @@ object PjCommitLog {
         * [[PjTableProperties]]) — same latest-recording-commit-wins lane;
         * `"{}"` records "no properties".
         */
-      propertiesJson: Option[String] = None) {
+      propertiesJson: Option[String] = None,
+      /** ANALYZE-computed table statistics (JSON, [[PjAnalyze]]: row
+        * count + per-column NDV / null count / avg+max length) — same
+        * latest-recording-commit-wins lane; the scan reports them to
+        * Spark's CBO via `columnStats()`.
+        */
+      tableStatsJson: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -284,6 +290,7 @@ object PjCommitLog {
         st.schema = base.dataSchemaJson
         st.constraints = base.constraintsJson
         st.properties = base.propertiesJson
+        st.tableStats = base.tableStatsJson
         st.ts = base.ts
         st.action = base.action
         st.operation = base.operation
@@ -314,6 +321,7 @@ object PjCommitLog {
       st.schema = optText(node, "dataSchema")
       st.constraints = optText(node, "constraints")
       st.properties = optText(node, "properties")
+      st.tableStats = optText(node, "tableStats")
       st.ts = node.path("ts").asLong(0L)
       st.action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -338,6 +346,7 @@ object PjCommitLog {
     var schema: Option[String] = None
     var constraints: Option[String] = None
     var properties: Option[String] = None
+    var tableStats: Option[String] = None
     var ts = 0L
     var action = "unknown"
     var operation: Option[String] = None
@@ -350,6 +359,7 @@ object PjCommitLog {
         schema = None
         constraints = None
         properties = None
+        tableStats = None
         node.get("files").elements().asScala.foreach { f =>
           val e = FileEntry(f.asText); entries.put(e.path, e)
         }
@@ -360,6 +370,7 @@ object PjCommitLog {
       optText(node, "dataSchema").foreach(s => schema = Some(s))
       optText(node, "constraints").foreach(c => constraints = Some(c))
       optText(node, "properties").foreach(p => properties = Some(p))
+      optText(node, "tableStats").foreach(t => tableStats = Some(t))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
       operation = optText(node, "operation")
@@ -367,7 +378,8 @@ object PjCommitLog {
     def snapshot(version: Long): Snapshot =
       Snapshot(version, action,
         entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation,
-        constraintsJson = constraints, propertiesJson = properties)
+        constraintsJson = constraints, propertiesJson = properties,
+        tableStatsJson = tableStats)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -425,7 +437,8 @@ object PjCommitLog {
       readVersion: Option[Long] = None,
       readPartitions: Option[Set[Seq[String]]] = None,
       constraintsJson: Option[String] = None,
-      propertiesJson: Option[String] = None): Long = {
+      propertiesJson: Option[String] = None,
+      tableStatsJson: Option[String] = None): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -450,7 +463,7 @@ object PjCommitLog {
       val nLive = ((prevPaths -- effectiveRemove) ++ add.map(_.path)).size
       val body = renderCommit(v, System.currentTimeMillis(), action, add,
         effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
-        propertiesJson)
+        propertiesJson, tableStatsJson)
       if (publish(fs, commitFile(root, v), body)) {
         // cadence honors the table's recorded pj.checkpoint.interval —
         // this commit's own properties (when it sets them) win, else the
@@ -598,7 +611,7 @@ object PjCommitLog {
     // (no ArrayList[Row] of 500k entries, no multi-MB task broadcast).
     if (!entryFormat.contains(false) && session.isDefined) {
       incrementalParquetCheckpoint(session.get, fs, root, v) match {
-        case Some((nFiles, ts, action, schema, constraints, properties)) =>
+        case Some((nFiles, ts, action, schema, constraints, properties, tableStats)) =>
           publishStream(fs, target) { out =>
             val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
             g.writeStartObject()
@@ -610,6 +623,7 @@ object PjCommitLog {
             schema.foreach(s => g.writeStringField("dataSchema", s))
             constraints.foreach(c => g.writeStringField("constraints", c))
             properties.foreach(p => g.writeStringField("properties", p))
+            tableStats.foreach(t => g.writeStringField("tableStats", t))
             g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
             g.writeEndObject()
             g.flush()
@@ -637,6 +651,7 @@ object PjCommitLog {
       snap.dataSchemaJson.foreach(s => g.writeStringField("dataSchema", s))
       snap.constraintsJson.foreach(c => g.writeStringField("constraints", c))
       snap.propertiesJson.foreach(p => g.writeStringField("properties", p))
+      snap.tableStatsJson.foreach(t => g.writeStringField("tableStats", t))
       if (asParquet)
         g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
       else {
@@ -734,7 +749,7 @@ object PjCommitLog {
   private def incrementalParquetCheckpoint(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
       root: Path, v: Long): Option[(Long, Long, String, Option[String], Option[String],
-      Option[String])] = {
+      Option[String], Option[String])] = {
     val l = listing(fs, root)
     if (!l.commits.contains(v)) return None
     val cpv = l.checkpoints.filter(_ < v).lastOption.getOrElse(return None)
@@ -745,6 +760,7 @@ object PjCommitLog {
     var schema = optText(prevNode, "dataSchema")
     var constraints = optText(prevNode, "constraints")
     var properties = optText(prevNode, "properties")
+    var tableStats = optText(prevNode, "tableStats")
     var ts = 0L
     var action = "unknown"
     val touched = new java.util.LinkedHashSet[String]()
@@ -761,6 +777,7 @@ object PjCommitLog {
       optText(node, "dataSchema").foreach(s => schema = Some(s))
       optText(node, "constraints").foreach(c => constraints = Some(c))
       optText(node, "properties").foreach(p => properties = Some(p))
+      optText(node, "tableStats").foreach(t => tableStats = Some(t))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -791,7 +808,7 @@ object PjCommitLog {
     }
     // exact live-file count, metadata-rate (parquet footer row counts)
     val nFiles = spark.read.schema(CkptEntrySchema).parquet(dir.toString).count()
-    Some((nFiles, ts, action, schema, constraints, properties))
+    Some((nFiles, ts, action, schema, constraints, properties, tableStats))
   }
 
   /** Entries of a parquet-backed checkpoint, read through the engine. */
@@ -917,6 +934,20 @@ object PjCommitLog {
     if (!pathUri.startsWith(rootUri + "/"))
       throw new PJException(s"pjparquet: $p is not under table root $root")
     pathUri.drop(rootUri.length + 1)
+  }
+
+  /** Snapshot-membership key that also admits SHALLOW-CLONE entries:
+    * root-relative when `p` lives under `root`, the qualified scheme-less
+    * absolute path otherwise (exactly the form [[PjClone]] records, and
+    * the form `new Path(qualifiedRoot, child)` resolves verbatim). DML,
+    * compaction-commit and CDF sites use this; listing-driven sites keep
+    * the strict [[relativize]] (everything they list IS under root).
+    */
+  def relOrAbs(fs: FileSystem, root: Path, p: Path): String = {
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    val pathUri = fs.makeQualified(p).toUri.getPath
+    if (pathUri.startsWith(rootUri + "/")) pathUri.drop(rootUri.length + 1)
+    else pathUri
   }
 
   /** Build a [[FileEntry]] from a freshly generated index (the write/
@@ -1082,7 +1113,8 @@ object PjCommitLog {
       v: Long, ts: Long, action: String, add: Seq[FileEntry], remove: Seq[String],
       nFiles: Long, dataSchemaJson: Option[String], operation: Option[String],
       constraintsJson: Option[String] = None,
-      propertiesJson: Option[String] = None): String = {
+      propertiesJson: Option[String] = None,
+      tableStatsJson: Option[String] = None): String = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1093,6 +1125,7 @@ object PjCommitLog {
     dataSchemaJson.foreach(s => node.put("dataSchema", s))
     constraintsJson.foreach(c => node.put("constraints", c))
     propertiesJson.foreach(p => node.put("properties", p))
+    tableStatsJson.foreach(t => node.put("tableStats", t))
     val addArr = node.putArray("add")
     add.foreach(e => addArr.add(entryNode(mapper, e)))
     val rmArr = node.putArray("remove")

@@ -199,7 +199,7 @@ final class PjDeltaBatchWrite(
     val adds = Seq.newBuilder[PjCommitLog.FileEntry]
     val removes = Set.newBuilder[String]
     partialsByFile.foreach { case (fileAbs, parts) =>
-      val rel = PjCommitLog.relativize(fs, rootPath, new Path(fileAbs))
+      val rel = PjCommitLog.relOrAbs(fs, rootPath, new Path(fileAbs))
       val e = entryByRel.getOrElse(rel,
         throw new PJException(
           s"pjparquet: merge-on-read $command touched '$rel', which has no log entry"))

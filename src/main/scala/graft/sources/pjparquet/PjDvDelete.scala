@@ -183,7 +183,7 @@ object PjDvDelete {
     // fully-deleted files retire outright
     val entryByRel: Map[String, PjCommitLog.FileEntry] =
       layout.files.flatMap(_.entry.map(e => e.path -> e)).toMap
-    def relOf(abs: String): String = PjCommitLog.relativize(fs, rootPath, new Path(abs))
+    def relOf(abs: String): String = PjCommitLog.relOrAbs(fs, rootPath, new Path(abs))
     val adds = Seq.newBuilder[PjCommitLog.FileEntry]
     val removes = Set.newBuilder[String]
     results.foreach { case (fileAbs, dvRel, total) =>

@@ -251,10 +251,10 @@ class PjMicroBatchStream(
     // log enabled but ZERO commits = "not yet logged": the directory
     // listing is live, matching batch resolution (a mkdir-enabled table
     // must not stream nothing until its first logged commit)
-    val snapshot: Option[Set[String]] =
-      if (PjCommitLog.isEnabled(fs, root))
-        PjCommitLog.latest(fs, root).map(_.files.toSet)
+    val snap: Option[PjCommitLog.Snapshot] =
+      if (PjCommitLog.isEnabled(fs, root)) PjCommitLog.latest(fs, root)
       else None
+    val snapshot: Option[Set[String]] = snap.map(_.files.toSet)
     val it = fs.listFiles(root, true)
     val m = Map.newBuilder[String, Long]
     while (it.hasNext) {
@@ -266,6 +266,16 @@ class PjMicroBatchStream(
         })
         m += (s.getPath.toString -> s.getModificationTime)
     }
+    // SHALLOW-CLONE entries ([[PjClone]]) live OUTSIDE the root and never
+    // appear in the listing — enter them straight from the snapshot (they
+    // are committed by definition, so the no-uncommitted-files isolation
+    // above still holds; mtime 0 orders the cloned backlog before local
+    // arrivals, rendered exactly as the batch resolver renders them so
+    // the logged batch lists match the layout's paths)
+    val rootQ = fs.makeQualified(root)
+    snap.toSeq.flatMap(_.entries)
+      .filter(e => e.path.startsWith("/") && !e.isEmptyFile)
+      .foreach(e => m += (new Path(rootQ, e.path).toString -> 0L))
     m.result()
   }
 

@@ -80,7 +80,7 @@ object PjProcedures {
   val Names: Seq[String] = Seq(
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
-    "purge_deletion_vectors", "detail", "dedup", "restore")
+    "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -233,6 +233,50 @@ object PjProcedures {
             Seq(new GenericInternalRow(Array[Any](
               r.restoredTo, r.committed.map(java.lang.Long.valueOf).orNull,
               r.filesAdded, r.filesRemoved)))
+          })
+      case "clone" =>
+        // SHALLOW CLONE: zero-copy fork — one metadata commit in the new
+        // table referencing the source snapshot's files absolutely
+        new Proc("clone",
+          Array(in("source", StringType), in("target", StringType),
+            inD("version", LongType, "-1")),
+          StructType(Seq(
+            StructField("target_version", LongType, nullable = false),
+            StructField("files", LongType, nullable = false),
+            StructField("bytes", LongType, nullable = false),
+            StructField("source_version", LongType, nullable = false))),
+          { input =>
+            val tgt = input.getUTF8String(1)
+            if (tgt == null)
+              throw new PJException("pjparquet: procedure 'target' argument is null")
+            val r = PjClone.shallowClone(
+              spark, tableArg(input), tgt.toString, input.getLong(2))
+            Seq(new GenericInternalRow(Array[Any](
+              r.targetVersion, r.files, r.bytes, r.sourceVersion)))
+          })
+      case "analyze" =>
+        // ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: one scan,
+        // stats recorded in the log, served to Spark's CBO by every scan
+        new Proc("analyze",
+          Array(in("table", StringType), inD("columns", StringType, "''")),
+          StructType(Seq(
+            StructField("column", StringType, nullable = false),
+            StructField("ndv", LongType, nullable = false),
+            StructField("null_count", LongType, nullable = false),
+            StructField("avg_len", LongType, nullable = false),
+            StructField("max_len", LongType, nullable = false),
+            StructField("min", StringType, nullable = true),
+            StructField("max", StringType, nullable = true),
+            StructField("table_rows", LongType, nullable = false))),
+          { input =>
+            val colsArg = Option(input.getUTF8String(1)).map(_.toString).getOrElse("")
+            val cols = colsArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val ts = PjAnalyze.analyze(spark, tableArg(input), cols)
+            ts.cols.toSeq.sortBy(_._1).map { case (name, c) =>
+              new GenericInternalRow(Array[Any](
+                utf8(name), c.ndv, c.nulls, c.avgLen, c.maxLen,
+                c.min.map(utf8).orNull, c.max.map(utf8).orNull, ts.rows))
+            }
           })
       case "detail" =>
         // Delta's DESCRIBE DETAIL shape: one row of head-snapshot facts,

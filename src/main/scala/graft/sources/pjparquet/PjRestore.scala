@@ -63,19 +63,22 @@ object PjRestore {
     val schemaChanged = target.dataSchemaJson != head.dataSchemaJson
     val constraintsChanged = target.constraintsJson != head.constraintsJson
     val propertiesChanged = target.propertiesJson != head.propertiesJson
+    val statsChanged = target.tableStatsJson != head.tableStatsJson
     if (removed.isEmpty && added.isEmpty && !schemaChanged && !constraintsChanged &&
-        !propertiesChanged)
+        !propertiesChanged && !statsChanged)
       return RestoreReport(version, None, 0L, 0L)
     val v = PjCommitLog.commit(
       fs, rootPath, "restore", added, removed,
       dataSchemaJson = target.dataSchemaJson,
       operation = Some(s"RESTORE VERSION AS OF $version"),
-      // constraints and properties roll back too; "[]"/"{}" record an
-      // explicit clear when the target predates them
+      // constraints, properties and ANALYZE stats roll back too;
+      // "[]"/"{}" record an explicit clear when the target predates them
       constraintsJson =
         if (constraintsChanged) Some(target.constraintsJson.getOrElse("[]")) else None,
       propertiesJson =
-        if (propertiesChanged) Some(target.propertiesJson.getOrElse("{}")) else None)
+        if (propertiesChanged) Some(target.propertiesJson.getOrElse("{}")) else None,
+      tableStatsJson =
+        if (statsChanged) Some(target.tableStatsJson.getOrElse("{}")) else None)
     // restored state changes what readers see — drop stale layout plans
     PjParquetTable.clearLayoutCache()
     RestoreReport(version, Some(v), added.size.toLong, removed.size.toLong)

@@ -745,7 +745,8 @@ class PjScanBuilder(
       claimedFilters = claimed.toSeq,
       sortedBy = layout.sortedBy,
       topNRows = pushedTopN,
-      nameMap = nameMap)
+      nameMap = nameMap,
+      tableStatsJson = layout.tableStatsJson)
     if (rowLevel) {
       // the DML conflict check needs the PARTITION-level read set: every
       // partition tuple the predicate admits over the base snapshot —
@@ -954,7 +955,11 @@ class PjScan(
     /** Column mapping: folded logical → physical (see [[PjScanBuilder]]);
       * `pushedFilters` and `fileSchema` here are already PHYSICAL.
       */
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    /** Recorded ANALYZE statistics (JSON, [[PjAnalyze]]) — served to the
+      * CBO via `estimateStatistics().columnStats()`.
+      */
+    tableStatsJson: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1559,9 +1564,45 @@ class PjScan(
         }
       }
     }
+    // per-column CBO stats from the recorded ANALYZE commit
+    // ([[PjAnalyze]]): NDV / null count capped at this scan's (possibly
+    // file-pruned) row estimate, min/max decoded to catalyst values.
+    // Spark folds these into the relation's AttributeMap[ColumnStat], so
+    // join reorder and broadcast-side selection see real cardinalities.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    PjAnalyze.parse(tableStatsJson).foreach { ts =>
+      val byName = readSchema().fields.map(f => f.name -> f.dataType).toMap
+      ts.cols.foreach { case (name, c) =>
+        byName.get(name).foreach { dt =>
+          val distinct = math.max(1L, math.min(c.ndv, math.max(1L, rows)))
+          val nulls = math.max(0L, math.min(c.nulls, rows))
+          val mnV = c.min.flatMap(PjAnalyze.catalystValue(dt, _))
+          val mxV = c.max.flatMap(PjAnalyze.catalystValue(dt, _))
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong = OptionalLong.of(distinct)
+              override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+              override def avgLen(): OptionalLong = OptionalLong.of(c.avgLen)
+              override def maxLen(): OptionalLong = OptionalLong.of(c.maxLen)
+              override def min(): java.util.Optional[Object] =
+                mnV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+        }
+      }
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 }
