@@ -931,6 +931,45 @@ object MetadataQueries {
         "ndv_exact", "ndv_within_5pct", "cbo_visible", "table_rows")
         .orderBy($"column")
     }),
+    "q150_create_generated_identity" -> ((s, dir) => {
+      import s.implicits._
+      // CREATE TABLE DDL + generated/identity columns (round 12,
+      // PjCatalog.createTable + PjGenerated): an empty logged table is
+      // created by DDL with an identity key, a generated column and a
+      // DEFAULT; the insert OMITS all three — the writer assigns identity
+      // values from the watermark (base + k*step, unique), computes the
+      // generation expression, and Spark fills the DEFAULT. An UPDATE on
+      // a base column then recomputes its generated dependent. DuckDB
+      // recomputes every fact from customer.
+      val tgtDir = java.nio.file.Files.createTempDirectory("pj_q150_ddl")
+      java.nio.file.Files.delete(tgtDir)
+      val tgt = tgtDir.toString
+      s.conf.set("spark.sql.catalog.pj_q150", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"""CREATE TABLE pj_q150.`$tgt` (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10),
+        |  c_mktsegment STRING,
+        |  cents BIGINT,
+        |  cents_doubled BIGINT GENERATED ALWAYS AS (cents * 2),
+        |  tag STRING DEFAULT 'raw'
+        |) USING pjparquet""".stripMargin)
+      graft.Tables.customer(s, dir)
+        .select($"c_mktsegment",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+        .coalesce(1) // dense identity run: ids are exactly 100, 110, ...
+        .write.format("pjparquet").mode("append").save(tgt)
+      s.sql(s"UPDATE pj_q150.`$tgt` SET cents = cents + 1 WHERE c_mktsegment = 'BUILDING'")
+      val t = s.read.format("pjparquet").load(tgt)
+      val idsUnique = t.select(countDistinct($"id")).as[Long].head() == t.count()
+      val inProgression =
+        t.where(($"id" - 100) % 10 =!= 0 || $"id" < 100).count() == 0L
+      t.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum($"cents_doubled").cast("long").as("cents2_sum"),
+          min($"tag").as("tag_min"))
+        .withColumn("ids_unique", lit(if (idsUnique) 1L else 0L))
+        .withColumn("ids_in_progression", lit(if (inProgression) 1L else 0L))
+        .orderBy($"c_mktsegment")
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1854,6 +1893,15 @@ object MetadataQueries {
         |         CAST(count(*) AS BIGINT)
         |  FROM f
         |) ORDER BY "column"""".stripMargin,
+    "q150_create_generated_identity" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum((CAST(round(c_acctbal * 100) AS BIGINT) +
+        |                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) * 2)
+        |            AS BIGINT) AS cents2_sum,
+        |       'raw' AS tag_min,
+        |       CAST(1 AS BIGINT) AS ids_unique,
+        |       CAST(1 AS BIGINT) AS ids_in_progression
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q146_rename_column" ->
       """SELECT substr(p_type, 1, 6) AS type_prefix, count(*) AS n_parts,
         |       CAST(sum(round(p_retailprice * 100)) AS BIGINT) AS cents_sum,

@@ -99,7 +99,8 @@ final class PjWriteBuilder(
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
     cdcEnabled: Boolean = false,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    layout: Option[PjLayout] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -128,9 +129,18 @@ final class PjWriteBuilder(
     this
   }
 
-  override def build(): Write =
+  override def build(): Write = {
+    // generated/identity columns ([[PjGenerated]]): one bound projection
+    // per write, planned on the driver from the RECORDED schema's field
+    // metadata; DML rewrites recompute generated values, appends
+    // validate/assign
+    val augment = layout.flatMap(l => PjGenerated.plan(
+      org.apache.spark.sql.SparkSession.active, l, info.schema(), nameMap,
+      rewrite = mode.isInstanceOf[PjWriteMode.ReplaceFiles]))
     new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
-      bloomColumns, sortColumns, logRequested, cdcEnabled, nameMap)
+      bloomColumns, sortColumns, logRequested, cdcEnabled, nameMap,
+      augment, layout.flatMap(_.logVersion))
+  }
 }
 
 final class PjWrite(
@@ -143,7 +153,9 @@ final class PjWrite(
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
     cdcEnabled: Boolean = false,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    augment: Option[PjGenerated.Augment] = None,
+    baseVersion: Option[Long] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet write $mode -> $root"
@@ -168,7 +180,7 @@ final class PjWrite(
 
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
-      logRequested, cdcEnabled, nameMap)
+      logRequested, cdcEnabled, nameMap, augment, baseVersion)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -185,8 +197,13 @@ final class PjWrite(
     if (mode != PjWriteMode.Append)
       throw new PJException(
         "pjparquet: streaming writes support the append output mode only")
+    if (augment.exists(_.identityAssigned))
+      throw new PJException(
+        "pjparquet: identity columns are not supported by the streaming sink " +
+          "(per-epoch watermark allocation would race); provide the column " +
+          "values in the stream")
     new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns,
-      sortColumns, logRequested, nameMap)
+      sortColumns, logRequested, augment = augment, nameMap = nameMap)
   }
 }
 
@@ -198,6 +215,7 @@ final class PjStreamingWrite(
     bloomColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
+    augment: Option[PjGenerated.Augment] = None,
     nameMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
@@ -205,12 +223,14 @@ final class PjStreamingWrite(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
+    val effectiveSchema = augment.map(_.outputSchema).getOrElse(writeSchema)
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
+      effectiveSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
         .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjStreamingDataWriterFactory(
-      root, new SerializableConfiguration(hadoopConf), writeSchema.json, partitionKeys, queryId)
+      root, new SerializableConfiguration(hadoopConf), effectiveSchema.json, partitionKeys,
+      queryId, augment)
   }
 
   /** Deletes this epoch's non-kept (failed-attempt) files; returns the rel
@@ -292,15 +312,20 @@ final case class PjStreamingDataWriterFactory(
     conf: SerializableConfiguration,
     writeSchemaJson: String,
     partitionKeys: Seq[String],
-    queryId: String)
+    queryId: String,
+    augment: Option[PjGenerated.Augment] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(writeSchemaJson).asInstanceOf[StructType]
     // deterministic in (query, epoch, partition): epoch replays OVERWRITE
-    new PjDataWriter(root, conf.value, schema, partitionKeys,
+    val inner = new PjDataWriter(root, conf.value, schema, partitionKeys,
       fileTag = f"$partitionId%05d-e$epochId-$queryId", overwriteExisting = true)
+    augment match {
+      case None => inner
+      case Some(a) => PjBatchWrite.augmentingWriter(inner, a, partitionId)
+    }
   }
 }
 
@@ -319,7 +344,9 @@ final class PjBatchWrite(
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
     cdcEnabled: Boolean = false,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    augment: Option[PjGenerated.Augment] = None,
+    baseVersion: Option[Long] = None)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -331,13 +358,14 @@ final class PjBatchWrite(
     // column mapping: files store PHYSICAL names (logical renames never
     // touch bytes) — values are positional, only the write-conf schema
     // names change
+    val effectiveSchema = augment.map(_.outputSchema).getOrElse(writeSchema)
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
+      effectiveSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
         .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDataWriterFactory(
-      root, new SerializableConfiguration(hadoopConf), writeSchema.json,
-      partitionKeys, jobUUID)
+      root, new SerializableConfiguration(hadoopConf), effectiveSchema.json,
+      partitionKeys, jobUUID, augment)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -436,7 +464,10 @@ final class PjBatchWrite(
       // a commit that keeps previous files live must stay readable over
       // them: the recorded schema WIDENS (int→long, float→double) or the
       // commit refuses; a full replacement takes the new schema outright
-      val fullReplace = (base -- retired).isEmpty
+      // an EMPTY base (a freshly CREATEd table's recorded-schema contract)
+      // is not a "replacement" — the first append widens against the
+      // recorded schema instead of overwriting it
+      val fullReplace = (base -- retired).isEmpty && base.nonEmpty
       val schemaJson = (prev.flatMap(_.dataSchemaJson), newSchemaJson) match {
         case (Some(p), Some(n)) if !fullReplace =>
           Some(PjBatchWrite.widenRecordedSchema(p, n))
@@ -450,12 +481,16 @@ final class PjBatchWrite(
         case Some(_) =>
           // row-level DML declares its read base + partition read set so
           // the log can rebase it over provably-disjoint winners
+          // identity-assigning commits are EXCLUSIVE against the watermark
+          // base: any winner since then may have minted overlapping values
+          val identityExclusive = augment.exists(_.identityAssigned)
           val (readV, readParts) = mode match {
             case r: PjWriteMode.ReplaceFiles => (r.readVersion, r.readPartitions())
-            case _ => (None, None)
+            case _ => (if (identityExclusive) baseVersion else None, None)
           }
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
-            addEntries, retired, schemaJson, operation, readV, readParts)
+            addEntries, retired, schemaJson, operation, readV, readParts,
+            exclusive = identityExclusive)
         case None =>
           // adoption commit: pre-existing survivors enter path+size only
           val adopted = preExisting.filterNot { case (rel, _) => retired.contains(rel) }
@@ -496,6 +531,25 @@ final class PjBatchWrite(
 }
 
 private[sources] object PjBatchWrite {
+
+  /** Wrap a task writer with the generated/identity projection
+    * ([[PjGenerated]]): every row passes through one codegen'd
+    * UnsafeProjection — initialized with the partition id so
+    * MonotonicallyIncreasingID yields task-unique identity values —
+    * before reaching the parquet writer.
+    */
+  private[pjparquet] def augmentingWriter(
+      inner: PjDataWriter, a: PjGenerated.Augment,
+      partitionId: Int): DataWriter[InternalRow] = {
+    val proj = UnsafeProjection.create(a.exprs)
+    proj.initialize(partitionId)
+    new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit = inner.write(proj(record))
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
 
   /** Commit-log action label for a write mode. */
   /** Recorded-schema evolution for a commit that keeps previous files
@@ -545,8 +599,11 @@ private[sources] object PjBatchWrite {
       }
       return StructType(fields).json
     }
+    // the RECORDED field's metadata is authoritative (column mapping,
+    // generation expressions, identity specs all live there); file-derived
+    // metadata carries none of it
     val fields = prev.fields.zip(next.fields).map { case (p, n) =>
-      StructField(n.name, widenPair(p, n), p.nullable || n.nullable, n.metadata)
+      StructField(n.name, widenPair(p, n), p.nullable || n.nullable, p.metadata)
     }
     StructType(fields).json
   }
@@ -713,15 +770,20 @@ final case class PjDataWriterFactory(
     conf: SerializableConfiguration,
     writeSchemaJson: String,
     partitionKeys: Seq[String],
-    jobUUID: String)
+    jobUUID: String,
+    augment: Option[PjGenerated.Augment] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(writeSchemaJson).asInstanceOf[StructType]
     // attempt-unique names: a batch job's failed/speculative attempts are
     // reconciled away by the manifest at commit
-    new PjDataWriter(root, conf.value, schema, partitionKeys,
+    val inner = new PjDataWriter(root, conf.value, schema, partitionKeys,
       fileTag = f"$partitionId%05d-$taskId-$jobUUID", overwriteExisting = false)
+    augment match {
+      case None => inner
+      case Some(a) => PjBatchWrite.augmentingWriter(inner, a, partitionId)
+    }
   }
 }
 

@@ -38,13 +38,21 @@ class PjCatalog extends CatalogPlugin with TableCatalog
 
   override def name(): String = catalogName
 
-  /** SQL `ALTER TABLE ... ADD/DROP CONSTRAINT` routes through this
-    * catalog only when it advertises the capability.
+  /** SQL `ALTER TABLE ... ADD/DROP CONSTRAINT`, `GENERATED ALWAYS AS`,
+    * identity columns and column DEFAULTs route through this catalog
+    * only when it advertises the capability (Spark validates the
+    * generation/identity/default clauses at CREATE; [[PjBatchWrite]]
+    * computes them at write time).
     */
   override def capabilities(): util.Set[
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
     util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      SUPPORT_TABLE_CONSTRAINT,
+      SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      SUPPORT_COLUMN_DEFAULT_VALUE)
+  }
 
   private def pathOf(ident: Identifier): String = {
     if (ident.namespace().nonEmpty)
@@ -89,14 +97,91 @@ class PjCatalog extends CatalogPlugin with TableCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-based: there is no namespace to enumerate
 
+  /** `CREATE TABLE pj.`/path`` (col defs [GENERATED ALWAYS AS ... |
+    * GENERATED ... AS IDENTITY | DEFAULT ...]) USING pjparquet
+    * [TBLPROPERTIES (...)]` — and the CTAS form: one `create` commit
+    * records the schema (generation/identity/default clauses ride the
+    * field metadata Spark already validated) and any table properties;
+    * the empty table resolves from the log alone, and the first INSERT
+    * appends files under the recorded contract. Partition transforms
+    * refuse: pjparquet partitioning is directory-driven (write with
+    * `partitionBy`), not declared.
+    */
+  /** The v2-Column variant Spark actually calls: the stock
+    * `v2ColumnsToStructType` bridge carries comments and DEFAULTs into
+    * field metadata but DROPS generation expressions and identity specs
+    * (catalogs are expected to store those themselves) — overlay them
+    * into the metadata here so the recorded schema is the single place
+    * every write consults ([[PjGenerated]]).
+    */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn, ResolveDefaultColumns}
+    val fields = columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).flatMap(dv => Option(dv.getSql)).foreach { sql =>
+        // the same metadata keys Spark's own resolver fills INSERTs from
+        mb.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+        mb.putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+      }
+      Option(c.generationExpression()).foreach(g =>
+        mb.putString(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, g))
+      Option(c.identityColumnSpec()).foreach { sp =>
+        mb.putLong(IdentityColumn.IDENTITY_INFO_START, sp.getStart)
+        mb.putLong(IdentityColumn.IDENTITY_INFO_STEP, sp.getStep)
+        mb.putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+          sp.isAllowExplicitInsert)
+      }
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    }
+    createTable(ident, StructType(fields.toIndexedSeq), partitions, properties)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: pjparquet tables are created by writing to their path " +
-        "(df.write.format(\"pjparquet\").save(path)), not by DDL")
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new PJException(
+        s"$catalogName: PARTITIONED BY is not declared at CREATE for pjparquet " +
+          "tables — partitioning is directory-driven; create unpartitioned and " +
+          "write with partitionBy(...)")
+    val path = pathOf(ident)
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val fs = rootPath.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (PjCommitLog.isEnabled(fs, rootPath) ||
+        (fs.exists(rootPath) && fs.listStatus(rootPath).nonEmpty))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, ident.name()))
+    // Spark management keys ride along with user TBLPROPERTIES — only the
+    // user's survive into the log (reserved pj.* keys validate like ALTER)
+    val managed = Set("provider", "location", "owner", "external", "comment",
+      "is_managed_location")
+    val user = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filterNot { case (k, _) =>
+        managed.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
+          k.startsWith("option.")
+      }
+    }
+    user.foreach { case (k, v) => PjTableProperties.validate(k, v) }
+    val canonical = user.map { case (k, v) => PjTableProperties.canonicalKey(k) -> v }
+    fs.mkdirs(rootPath)
+    PjCommitLog.commit(fs, rootPath, "create", Nil, Set.empty,
+      dataSchemaJson = Some(schema.json),
+      operation = Some("CREATE TABLE"),
+      propertiesJson =
+        if (canonical.nonEmpty) Some(PjTableProperties.render(canonical)) else None)
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the ONE supported DDL:
     * lossless type widening (int→long, float→double) on commit-log
@@ -434,9 +519,35 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       PjProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      s"$catalogName: drop a pjparquet table by deleting its directory")
+  /** `DROP TABLE pj.`/path`` — deletes the table directory. Guarded: only
+    * a directory that actually IS a pjparquet table (a commit log, or at
+    * least one parquet data file) deletes; anything else refuses rather
+    * than recursively removing an arbitrary path.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    val rootPath = new org.apache.hadoop.fs.Path(path)
+    val fs = rootPath.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return false
+    val isTable = PjCommitLog.isEnabled(fs, rootPath) || {
+      val it = fs.listFiles(rootPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    if (!isTable)
+      throw new PJException(
+        s"$catalogName: '$path' is not a pjparquet table (no commit log or " +
+          "parquet data); refusing to delete the directory")
+    val deleted = fs.delete(rootPath, true)
+    PjCommitLog.clearSnapshotCache()
+    PjParquetTable.clearLayoutCache()
+    deleted
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

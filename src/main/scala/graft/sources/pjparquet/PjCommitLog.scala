@@ -438,7 +438,8 @@ object PjCommitLog {
       readPartitions: Option[Set[Seq[String]]] = None,
       constraintsJson: Option[String] = None,
       propertiesJson: Option[String] = None,
-      tableStatsJson: Option[String] = None): Long = {
+      tableStatsJson: Option[String] = None,
+      exclusive: Boolean = false): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -446,6 +447,17 @@ object PjCommitLog {
       val l = listing(fs, root)
       val prev = l.versions.lastOption.map(v => readAt(fs, root, v, l))
       val v = prev.map(_.version).getOrElse(0L) + 1
+      // EXCLUSIVE commits (identity-value allocation, [[PjGenerated]])
+      // serialize against the whole table: values were minted from state
+      // read at `readVersion`, so ANY winner since then may have minted
+      // overlapping ones — fail loudly instead of rebasing, the caller
+      // re-reads the watermark and retries the write
+      if (exclusive && readVersion.exists(rv => prev.map(_.version).getOrElse(0L) > rv))
+        throw new PJException(
+          s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
+            "(concurrent writer); this commit allocated identity values from " +
+            s"table state at version ${readVersion.get} and a newer commit " +
+            "exists — retry the write against the new table state")
       // a remove-bearing commit with a declared read base validates
       // against EVERY winner since that base before claiming — including
       // winners that landed before this attempt even started (the full

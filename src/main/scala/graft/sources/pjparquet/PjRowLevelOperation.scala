@@ -49,8 +49,15 @@ final class PjRowLevelOperationBuilder(
   override def build(): RowLevelOperation =
     // commit-log tables run row-level DML MERGE-ON-READ by default
     // (deletion vectors + appends, [[PjDeltaRowLevelOperation]]);
-    // `deletionVectors.enabled=false` and unlogged tables copy-on-write
+    // `deletionVectors.enabled=false` and unlogged tables copy-on-write.
+    // Tables with GENERATED columns also copy-on-write UPDATE/MERGE: the
+    // rewrite recomputes generated values when a SET touches their base
+    // columns ([[PjGenerated]] rewrite mode) — the merge-on-read path
+    // would persist the new rows with stale dependents. DELETE never
+    // changes row values, so it keeps the deletion-vector fast path.
     if (layout.logVersion.isDefined &&
+        (info.command == RowLevelOperation.Command.DELETE ||
+          !PjGenerated.hasGenerated(layout.dataSchema)) &&
         PjTableProperties.effectiveBool(tableOptions, layout.propertiesJson,
           "deletionVectors.enabled", PjTableProperties.DeletionVectorsEnabled,
           default = true))
@@ -121,7 +128,10 @@ final class PjRowLevelOperation(
         // not race with (disjoint partitions)
         readVersion = layout.logVersion,
         readPartitions = () => configuredScan.flatMap(_.readPartitionTuples)),
-      nameMap = nameMap)
+      nameMap = nameMap,
+      // rewrite-mode augmentation: generated columns recompute in the
+      // replacement rows (a SET on a base column keeps dependents fresh)
+      layout = Some(layout))
   }
 
   private def merged(scanOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.core.PJException
+import graft.sources.pjparquet.PjCommitLog
+
+/** CREATE TABLE DDL ([[graft.sources.pjparquet.PjCatalog.createTable]]):
+  * empty logged tables that resolve from the schema-recording `create`
+  * commit, INSERT INTO them, CTAS, column DEFAULTs filled by Spark's
+  * resolver, TBLPROPERTIES at create, and the guarded DROP TABLE.
+  */
+class PjCreateTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.pjt", "graft.sources.pjparquet.PjCatalog")
+
+  private def freshPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"pj_create_$tag")
+    java.nio.file.Files.delete(d)
+    d.toString
+  }
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("CREATE TABLE -> empty reads -> INSERT INTO -> SELECT round trip") {
+    val p = freshPath("basic")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT, name STRING) USING pjparquet")
+    val snap = PjCommitLog.latest(fsOf(p), new Path(p)).get
+    assert(snap.version == 1L && snap.action == "create" && snap.entries.isEmpty)
+    // empty table resolves with the recorded schema and zero rows
+    assert(spark.table(s"pjt.`$p`").columns.toSeq == Seq("id", "name"))
+    assert(spark.table(s"pjt.`$p`").count() == 0L)
+    spark.sql(s"INSERT INTO pjt.`$p` VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table(s"pjt.`$p`").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("CTAS creates and populates in one statement") {
+    val p = freshPath("ctas")
+    spark.sql(s"CREATE TABLE pjt.`$p` USING pjparquet AS " +
+      "SELECT id, id * 2 AS doubled FROM range(5)")
+    assert(spark.table(s"pjt.`$p`").count() == 5L)
+    assert(spark.table(s"pjt.`$p`").where($"doubled" === $"id" * 2).count() == 5L)
+  }
+
+  test("TBLPROPERTIES at create: user keys recorded, reserved keys validated") {
+    val p = freshPath("props")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('team'='ml', 'pj.checkpoint.interval'='4')")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES pjt.`$p`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("team").contains("ml"))
+    assert(shown.get("pj.checkpoint.interval").contains("4"))
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE pjt.`${freshPath("badprop")}` (id BIGINT) " +
+        "USING pjparquet TBLPROPERTIES ('pj.checkpont.interval'='4')")
+    }
+    assert(e.getMessage.contains("pj."), s"typo'd reserved key must refuse: $e")
+  }
+
+  test("column DEFAULT fills on INSERT") {
+    val p = freshPath("dflt")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT, tag STRING DEFAULT 'none') " +
+      "USING pjparquet")
+    spark.sql(s"INSERT INTO pjt.`$p` (id) VALUES (7)")
+    spark.sql(s"INSERT INTO pjt.`$p` VALUES (8, 'real')")
+    val got = spark.table(s"pjt.`$p`").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((7L, "none"), (8L, "real")))
+  }
+
+  test("CREATE refuses existing tables and declared partitioning; DROP is guarded") {
+    val p = freshPath("exists")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT) USING pjparquet")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT) USING pjparquet")
+    }
+    assert(e1.getMessage.toLowerCase.contains("exists"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE pjt.`${freshPath("part")}` (id BIGINT, g STRING) " +
+        "USING pjparquet PARTITIONED BY (g)")
+    }
+    assert(e2.getMessage.contains("partitionBy"))
+    // DROP deletes a real table, refuses an arbitrary directory
+    spark.sql(s"DROP TABLE pjt.`$p`")
+    assert(!fsOf(p).exists(new Path(p)), "DROP must delete the table directory")
+    // a directory that is not a table refuses (either at resolution or at
+    // the dropTable guard) and is left untouched
+    val notATable = java.nio.file.Files.createTempDirectory("pj_create_nt")
+    java.nio.file.Files.createFile(notATable.resolve("keep.txt"))
+    val e3 = intercept[PJException] {
+      spark.sql(s"DROP TABLE pjt.`${notATable.toString}`")
+    }
+    assert(e3.getMessage.contains("refusing") ||
+      e3.getMessage.contains("no parquet files"))
+    assert(fsOf(notATable.toString).exists(new Path(notATable.toString)) &&
+      java.nio.file.Files.exists(notATable.resolve("keep.txt")),
+      "refused DROP must leave the directory intact")
+  }
+
+  test("INSERT INTO an empty created table honors CHECK constraints") {
+    val p = freshPath("chk")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT, qty BIGINT) USING pjparquet")
+    spark.sql(s"ALTER TABLE pjt.`$p` ADD CONSTRAINT pos CHECK (qty > 0)")
+    spark.sql(s"INSERT INTO pjt.`$p` VALUES (1, 5)")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO pjt.`$p` VALUES (2, -1)")
+    }
+    assert(e.getMessage.toLowerCase.contains("pos") ||
+      e.getMessage.toLowerCase.contains("check"), s"got: ${e.getMessage}")
+    assert(spark.table(s"pjt.`$p`").count() == 1L)
+  }
+}
