@@ -148,11 +148,36 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
+    // PARTITIONED BY (identity columns only — pjparquet partitioning is
+    // Hive directory layout): the partition columns leave the recorded
+    // DATA schema (files never store them) and record as the
+    // pj.partition.columns property, which the empty table resolves its
+    // partition schema from and every populated read takes TYPES from
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references().length != 1)
+        throw new PJException(
+          s"$catalogName: only plain PARTITIONED BY (col) is supported, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val byName = schema.fields.map(f => fold(f.name) -> f).toMap
+    val partFields = partCols.map { c =>
+      val f = byName.getOrElse(fold(c), throw new PJException(
+        s"$catalogName: PARTITIONED BY column '$c' is not in the table schema"))
+      if (f.dataType != org.apache.spark.sql.types.LongType &&
+          f.dataType != org.apache.spark.sql.types.StringType)
+        throw new PJException(
+          s"$catalogName: partition column '$c' must be BIGINT or STRING, " +
+            s"got ${f.dataType.simpleString}")
+      if (PjGenerated.isGenerated(f) || PjGenerated.isIdentity(f))
+        throw new PJException(
+          s"$catalogName: partition column '$c' cannot be generated or identity")
+      f
+    }
+    val dataFields = schema.fields.filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+    if (partCols.nonEmpty && dataFields.isEmpty)
       throw new PJException(
-        s"$catalogName: PARTITIONED BY is not declared at CREATE for pjparquet " +
-          "tables — partitioning is directory-driven; create unpartitioned and " +
-          "write with partitionBy(...)")
+        s"$catalogName: a table cannot be partitioned by every column")
     val path = pathOf(ident)
     val rootPath = new org.apache.hadoop.fs.Path(path)
     val fs = rootPath.getFileSystem(
@@ -173,10 +198,13 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       }
     }
     user.foreach { case (k, v) => PjTableProperties.validate(k, v) }
-    val canonical = user.map { case (k, v) => PjTableProperties.canonicalKey(k) -> v }
+    val canonical = user.map { case (k, v) => PjTableProperties.canonicalKey(k) -> v } ++
+      (if (partFields.isEmpty) Map.empty[String, String]
+      else Map(PjTableProperties.PartitionColumns ->
+        partFields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")))
     fs.mkdirs(rootPath)
     PjCommitLog.commit(fs, rootPath, "create", Nil, Set.empty,
-      dataSchemaJson = Some(schema.json),
+      dataSchemaJson = Some(StructType(dataFields).json),
       operation = Some("CREATE TABLE"),
       propertiesJson =
         if (canonical.nonEmpty) Some(PjTableProperties.render(canonical)) else None)

@@ -149,7 +149,7 @@ object PjChangeFeed {
     * deletion vector's positions removed), partition-column types aligned
     * with the pjparquet read convention. None when `rels` is empty.
     */
-  private def readRels(
+  private[pjparquet] def readRels(
       spark: SparkSession, rootQ: String,
       rels: Seq[(String, Option[String])]): Option[DataFrame] =
     if (rels.isEmpty) None

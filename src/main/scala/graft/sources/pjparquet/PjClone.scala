@@ -86,4 +86,82 @@ object PjClone {
       propertiesJson = snap.propertiesJson)
     Report(v, entries.size.toLong, entries.map(_.size.max(0L)).sum, snap.version)
   }
+
+  final case class MaterializeReport(
+      filesMaterialized: Long, bytesCopied: Long, newFiles: Long, version: Long)
+
+  /** Localize a shallow clone — the deep-copy half of the clone
+    * lifecycle: every clone-external (absolute) entry's LIVE rows
+    * (deletion vectors applied) rewrite into files under this table's
+    * own root, and ONE commit swaps the external references for the
+    * local files. Afterwards the table owns all of its bytes: the
+    * source can be vacuumed, expired, or deleted without orphaning the
+    * clone. Work is proportional to the external bytes only — local
+    * files are untouched — and the write reuses the compaction publish
+    * protocol (temp dir + rename, fresh sidecars, entry facts from the
+    * generated indexes). A table with no external entries is a no-op.
+    */
+  def materialize(
+      spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): MaterializeReport = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!PjCommitLog.isEnabled(fs, rootPath))
+      throw new PJException(
+        s"pjparquet: '$root' has no commit log; materialize applies to logged tables")
+    val snap = PjCommitLog.latest(fs, rootPath).getOrElse(
+      throw new PJException(s"pjparquet: '$root' has an empty commit log"))
+    val ext = snap.entries.filter(_.path.startsWith("/"))
+    if (ext.isEmpty) return MaterializeReport(0L, 0L, 0L, snap.version)
+    val rootQ = fs.makeQualified(rootPath).toString
+
+    // live rows of exactly the external files, their vectors applied,
+    // partition columns typed like table reads (PjChangeFeed.readRels
+    // handles absolute keys and per-source basePath grouping)
+    val rels = ext.map(e => e.path -> e.dv.map(_.path))
+    val df = PjChangeFeed.readRels(spark, rootQ, rels).getOrElse(
+      return MaterializeReport(0L, 0L, 0L, snap.version))
+    val extBytes = ext.map(_.size.max(0L)).sum
+    val nOut = math.max(1, math.ceil(extBytes.toDouble / targetBytes).toInt)
+    val layout = PjParquetTable.resolveFiles(
+      root, spark.sessionState.newHadoopConf(), autogen = true, mergeSchema = false)
+    val partCols = layout.partitionSchema.fieldNames.toSeq
+    val clustered =
+      if (partCols.isEmpty) df.repartition(nOut)
+      else df.repartition(nOut, partCols.map(org.apache.spark.sql.functions.col): _*)
+
+    val tmp = new Path(rootPath,
+      s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val w = clustered.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+      val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+          val rel = s.getPath.getParent.toString.stripPrefix(
+            fs.makeQualified(tmp).toString).stripPrefix("/")
+          val destDir = if (rel.isEmpty) rootPath else new Path(rootPath, rel)
+          fs.mkdirs(destDir)
+          if (!fs.rename(s.getPath, new Path(destDir, n)))
+            throw new PJException(
+              s"pjparquet: materialize publish failed: could not move ${s.getPath}")
+          newRels += (if (rel.isEmpty) n else s"$rel/$n")
+        }
+      }
+      val newPaths = newRels.toSeq.sorted.map(rel => s"$root/$rel")
+      val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
+      val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
+      val v = PjCommitLog.commit(fs, rootPath, "materialize",
+        addEntries, ext.map(_.path).toSet,
+        operation = Some(s"MATERIALIZE ${ext.size} external file(s)"))
+      PjParquetTable.clearLayoutCache()
+      MaterializeReport(ext.size.toLong, extBytes, newRels.size.toLong, v)
+    } finally {
+      fs.delete(tmp, true)
+    }
+  }
 }

@@ -80,7 +80,8 @@ object PjProcedures {
   val Names: Seq[String] = Seq(
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
-    "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze")
+    "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
+    "materialize")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -253,6 +254,22 @@ object PjProcedures {
               spark, tableArg(input), tgt.toString, input.getLong(2))
             Seq(new GenericInternalRow(Array[Any](
               r.targetVersion, r.files, r.bytes, r.sourceVersion)))
+          })
+      case "materialize" =>
+        // deep-copy half of SHALLOW CLONE: rewrite clone-external entries
+        // into table-local files so the source can be dropped safely
+        new Proc("materialize",
+          Array(in("table", StringType),
+            inD("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+          StructType(Seq(
+            StructField("files_materialized", LongType, nullable = false),
+            StructField("bytes_copied", LongType, nullable = false),
+            StructField("new_files", LongType, nullable = false),
+            StructField("version", LongType, nullable = false))),
+          { input =>
+            val r = PjClone.materialize(spark, tableArg(input), input.getLong(1))
+            Seq(new GenericInternalRow(Array[Any](
+              r.filesMaterialized, r.bytesCopied, r.newFiles, r.version)))
           })
       case "analyze" =>
         // ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: one scan,

@@ -69,6 +69,29 @@ object PjTableProperties {
     */
   val ExpireKeepVersions = "pj.expire.keepVersions"
 
+  /** `pj.partition.columns` — declared Hive partitioning recorded by
+    * `CREATE TABLE ... PARTITIONED BY` as `name:bigint,name:string`
+    * pairs: the empty table resolves its partition schema from this
+    * (nothing on disk to infer from yet), writes partition by it, and
+    * populated reads take the declared TYPES over directory inference
+    * (a declared STRING key of numeric-looking values must not flip to
+    * LONG).
+    */
+  val PartitionColumns = "pj.partition.columns"
+
+  /** Parse `pj.partition.columns` into (name, LongType|StringType). */
+  def partitionColumns(
+      propertiesJson: Option[String]): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    recorded(propertiesJson, PartitionColumns).toSeq.flatMap(_.split(",")).flatMap { seg =>
+      seg.split(":", 2) match {
+        case Array(n, t) if n.trim.nonEmpty =>
+          Some(n.trim -> (if (t.trim.equalsIgnoreCase("string"))
+            org.apache.spark.sql.types.StringType
+          else org.apache.spark.sql.types.LongType))
+        case _ => None
+      }
+    }
+
   /** Reserved-namespace keys the engine understands, with value
     * validators (run at DDL time so a bad value fails the ALTER).
     */
@@ -78,7 +101,14 @@ object PjTableProperties {
     CheckpointInterval -> posIntValidator,
     BloomColumns -> (_ => None), // any csv of names; resolved per-write
     VacuumRetentionHours -> nonNegLongValidator,
-    ExpireKeepVersions -> posIntValidator)
+    ExpireKeepVersions -> posIntValidator,
+    PartitionColumns -> partitionColumnsValidator)
+
+  private def partitionColumnsValidator(v: String): Option[String] = {
+    val bad = v.split(",").filterNot(_.matches("\\s*[^:,\\s]+\\s*:\\s*(?i:bigint|string)\\s*"))
+    if (bad.isEmpty) None
+    else Some(s"expected name:bigint|string pairs, got '${bad.mkString(",")}'")
+  }
 
   private def boolValidator(v: String): Option[String] =
     if (v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")) None

@@ -202,6 +202,32 @@ class PjCloneSpec extends AnyFunSuite {
       "second run must deliver exactly the local append")
   }
 
+  test("materialize localizes the clone: source becomes deletable, DVs fold away") {
+    val src = mkSource("mat")
+    val tgt = freshTarget("mat_t")
+    PjClone.shallowClone(spark, src, tgt)
+    spark.sql(s"DELETE FROM pjc.`$tgt` WHERE id % 4 = 0") // DV on external files
+    val expected = spark.read.format("pjparquet").load(tgt)
+      .orderBy("id").collect().toSeq
+    val row = spark.sql(s"CALL pjc.system.materialize(table => '$tgt')").collect().head
+    assert(row.getLong(0) == 2L, "both external files must materialize")
+    assert(row.getLong(2) >= 1L)
+    val snap = PjCommitLog.latest(fsOf(tgt), new Path(tgt)).get
+    assert(snap.entries.forall(!_.path.startsWith("/")), "external entries must be gone")
+    assert(snap.entries.forall(_.dv.isEmpty), "materialized rows are live; no vectors")
+    assert(spark.read.format("pjparquet").load(tgt)
+      .orderBy("id").collect().toSeq == expected, "materialize must not change rows")
+    // the source is now disposable: delete it outright, the clone still reads
+    fsOf(src).delete(new Path(src), true)
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    PjCommitLog.clearSnapshotCache()
+    assert(spark.read.format("pjparquet").load(tgt)
+      .orderBy("id").collect().toSeq == expected, "clone must outlive its source")
+    // idempotent: nothing external remains
+    val again = spark.sql(s"CALL pjc.system.materialize(table => '$tgt')").collect().head
+    assert(again.getLong(0) == 0L)
+  }
+
   test("clone of a partitioned source keeps partition pruning + CDF schema") {
     val src = tempDir("part")
     (1 to 30).map(i => (i.toLong, s"n$i", (i % 3).toLong))

@@ -82,10 +82,10 @@ class PjCreateTableSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.toLowerCase.contains("exists"))
     val e2 = intercept[Exception] {
-      spark.sql(s"CREATE TABLE pjt.`${freshPath("part")}` (id BIGINT, g STRING) " +
-        "USING pjparquet PARTITIONED BY (g)")
+      spark.sql(s"CREATE TABLE pjt.`${freshPath("part")}` (id BIGINT, ts TIMESTAMP) " +
+        "USING pjparquet PARTITIONED BY (days(ts))")
     }
-    assert(e2.getMessage.contains("partitionBy"))
+    assert(e2.getMessage.contains("only plain PARTITIONED BY"))
     // DROP deletes a real table, refuses an arbitrary directory
     spark.sql(s"DROP TABLE pjt.`$p`")
     assert(!fsOf(p).exists(new Path(p)), "DROP must delete the table directory")
@@ -101,6 +101,42 @@ class PjCreateTableSpec extends AnyFunSuite {
     assert(fsOf(notATable.toString).exists(new Path(notATable.toString)) &&
       java.nio.file.Files.exists(notATable.resolve("keep.txt")),
       "refused DROP must leave the directory intact")
+  }
+
+  test("CREATE TABLE PARTITIONED BY: declared partitioning drives writes, types, pruning") {
+    val p = freshPath("partby")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT, seg STRING, g STRING) " +
+      "USING pjparquet PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO pjt.`$p` VALUES (1,'a','1'), (2,'b','2'), (3,'c','1')")
+    assert(fsOf(p).exists(new Path(p, "g=1")), "rows must land in Hive partition dirs")
+    // the declared STRING type survives numeric-looking values
+    assert(spark.table(s"pjt.`$p`").schema("g").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(spark.table(s"pjt.`$p`").where($"g" === "1").count() == 2L)
+    // metadata-rate partition DELETE still applies
+    spark.sql(s"DELETE FROM pjt.`$p` WHERE g = '2'")
+    assert(spark.table(s"pjt.`$p`").count() == 2L)
+    // bad partition declarations refuse at CREATE
+    val e = intercept[PJException] {
+      spark.sql(s"CREATE TABLE pjt.`${freshPath("badpart")}` (id BIGINT, d DOUBLE) " +
+        "USING pjparquet PARTITIONED BY (d)")
+    }
+    assert(e.getMessage.contains("BIGINT or STRING"))
+  }
+
+  test("TRUNCATE TABLE and CREATE OR REPLACE round the DDL surface out") {
+    val p = freshPath("trunc")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT, v STRING) USING pjparquet")
+    spark.sql(s"INSERT INTO pjt.`$p` VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"TRUNCATE TABLE pjt.`$p`")
+    assert(spark.table(s"pjt.`$p`").count() == 0L, "TRUNCATE must empty the table")
+    spark.sql(s"INSERT INTO pjt.`$p` VALUES (3, 'c')")
+    assert(spark.table(s"pjt.`$p`").count() == 1L)
+    // CREATE OR REPLACE swaps schema and contents in one statement
+    spark.sql(s"CREATE OR REPLACE TABLE pjt.`$p` USING pjparquet AS " +
+      "SELECT id AS k, id * 3 AS tripled FROM range(4)")
+    val t = spark.table(s"pjt.`$p`")
+    assert(t.columns.toSeq == Seq("k", "tripled") && t.count() == 4L)
   }
 
   test("INSERT INTO an empty created table honors CHECK constraints") {
