@@ -104,7 +104,8 @@ object PjProcedures {
         // pj.expire.keepVersions property — retention as a TABLE contract
         new Proc("expire_versions",
           Array(in("table", StringType), inD("keep_versions", IntegerType, "-1"),
-            inD("min_file_age_ms", LongType, "0")),
+            inD("min_file_age_ms", LongType, "0"),
+            inD("dry_run", BooleanType, "false")),
           expireSchema,
           { input =>
             val table = tableArg(input)
@@ -114,7 +115,8 @@ object PjProcedures {
                 .map(_.toInt).getOrElse(throw new PJException(
                   "pjparquet: expire_versions needs keep_versions (no recorded " +
                     s"${PjTableProperties.ExpireKeepVersions} property on '$table')"))
-            val r = PjVacuum.expireVersions(spark, table, keep, input.getLong(2))
+            val r = PjVacuum.expireVersions(spark, table, keep, input.getLong(2),
+              dryRun = input.getBoolean(3))
             Seq(expireRow(r))
           })
       case "expire_older_than" =>
@@ -122,7 +124,8 @@ object PjProcedures {
         // pj.vacuum.retentionHours property
         new Proc("expire_older_than",
           Array(in("table", StringType), inD("retention_ms", LongType, "-1"),
-            inD("min_file_age_ms", LongType, "0")),
+            inD("min_file_age_ms", LongType, "0"),
+            inD("dry_run", BooleanType, "false")),
           expireSchema,
           { input =>
             val table = tableArg(input)
@@ -132,7 +135,8 @@ object PjProcedures {
                 .map(_.toLong * 3600L * 1000L).getOrElse(throw new PJException(
                   "pjparquet: expire_older_than needs retention_ms (no recorded " +
                     s"${PjTableProperties.VacuumRetentionHours} property on '$table')"))
-            val r = PjVacuum.expireOlderThan(spark, table, retention, input.getLong(2))
+            val r = PjVacuum.expireOlderThan(spark, table, retention, input.getLong(2),
+              dryRun = input.getBoolean(3))
             Seq(expireRow(r))
           })
       case "compact" =>

@@ -99,14 +99,14 @@ object PjVacuum {
     */
   def expireVersions(
       spark: SparkSession, root: String, keepVersions: Int,
-      minFileAgeMillis: Long = 0L): ExpireReport = {
+      minFileAgeMillis: Long = 0L, dryRun: Boolean = false): ExpireReport = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     requireLogged(fs, rootPath, root)
     val versions = PjCommitLog.versions(fs, rootPath)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    expire(fs, rootPath, drop, keep, minFileAgeMillis)
+    expire(fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
   }
 
   /** Time-based retention — the operational contract users actually
@@ -118,7 +118,7 @@ object PjVacuum {
     */
   def expireOlderThan(
       spark: SparkSession, root: String, retentionMillis: Long,
-      minFileAgeMillis: Long = 0L): ExpireReport = {
+      minFileAgeMillis: Long = 0L, dryRun: Boolean = false): ExpireReport = {
     require(retentionMillis >= 0, s"retentionMillis must be >= 0, got $retentionMillis")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -129,7 +129,7 @@ object PjVacuum {
     val oldestKept = PjCommitLog.history(fs, rootPath)
       .find(_.ts >= cut).map(_.version).getOrElse(versions.last)
     val (drop, keep) = versions.partition(_ < oldestKept)
-    expire(fs, rootPath, drop, keep, minFileAgeMillis)
+    expire(fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
   }
 
   private def requireLogged(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path, root: String): Unit =
@@ -139,13 +139,16 @@ object PjVacuum {
 
   private def expire(
       fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
-      drop: Seq[Long], keep: Seq[Long], minFileAgeMillis: Long): ExpireReport = {
+      drop: Seq[Long], keep: Seq[Long], minFileAgeMillis: Long,
+      dryRun: Boolean = false): ExpireReport = {
     if (keep.isEmpty) return ExpireReport(0, 0, 0)
     // the oldest kept version must stay replayable after its delta prefix
     // drops: materialize its full checkpoint first (no-op if one exists).
     // Reclamation itself runs even with nothing to drop — files orphaned
     // by an earlier expiry (or an aborted writer) still get swept.
-    if (drop.nonEmpty) PjCommitLog.writeCheckpoint(fs, rootPath, keep.head)
+    // A DRY RUN (Delta's VACUUM ... DRY RUN) computes the same report and
+    // touches NOTHING — no checkpoint, no deletes, no cache flush.
+    if (drop.nonEmpty && !dryRun) PjCommitLog.writeCheckpoint(fs, rootPath, keep.head)
     val keptEntries = keep.map(v => PjCommitLog.read(fs, rootPath, v).entries)
     val referenced: Set[String] = keptEntries.flatten.map(_.path).toSet
     // deletion vectors referenced by ANY kept snapshot must survive;
@@ -171,7 +174,7 @@ object PjVacuum {
       }
     }
     victims.foreach { p =>
-      PjBatchWrite.deleteWithSidecars(fs, p)
+      if (!dryRun) PjBatchWrite.deleteWithSidecars(fs, p)
       reclaimed += 1
     }
     // unreferenced deletion vectors under _pj_dv/
@@ -185,20 +188,22 @@ object PjVacuum {
             (minFileAgeMillis <= 0 || s.getModificationTime <= cutoff)) {
           val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
           if (!referencedDvs.contains(rel)) {
-            fs.delete(s.getPath, false)
+            if (!dryRun) fs.delete(s.getPath, false)
             reclaimed += 1
           }
         }
       }
     }
-    drop.foreach { v =>
-      PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, true))
-      // expired versions take their persisted change files with them
-      fs.delete(PjChangeFeed.cdcDir(rootPath, v), true)
+    if (!dryRun) {
+      drop.foreach { v =>
+        PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, true))
+        // expired versions take their persisted change files with them
+        fs.delete(PjChangeFeed.cdcDir(rootPath, v), true)
+      }
+      PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
+      // stale cached layouts of expired versions would serve missing files
+      PjParquetTable.clearLayoutCache()
     }
-    PjBatchWrite.pruneEmptyPartitionDirs(fs, rootPath)
-    // stale cached layouts of expired versions would serve missing files
-    PjParquetTable.clearLayoutCache()
     ExpireReport(drop.size.toLong, keep.size.toLong, reclaimed)
   }
 }

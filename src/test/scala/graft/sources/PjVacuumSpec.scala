@@ -12,6 +12,38 @@ class PjVacuumSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("expire dry run reports exactly what a real run reclaims, touching nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_vacuum_dry").toString
+    spark.conf.set("spark.sql.catalog.pjvd", "graft.sources.pjparquet.PjCatalog")
+    (1L to 20L).toDF("id").coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    spark.sql(s"DELETE FROM pjvd.`$dir` WHERE id <= 5") // v2 retires + re-adds
+    spark.sql(s"INSERT INTO pjvd.`$dir` VALUES (100)") // v3
+    def files(): Set[String] = {
+      val f = new java.io.File(dir)
+      def walk(x: java.io.File): Seq[java.io.File] =
+        if (x.isDirectory) x.listFiles().toSeq.flatMap(walk) else Seq(x)
+      walk(f).map(_.getPath).toSet
+    }
+    val before = files()
+    val dry = spark.sql(
+      s"CALL pjvd.system.expire_versions('$dir', 1, 0, dry_run => true)").collect().head
+    assert(files() == before, "dry run must not create or delete anything")
+    assert(spark.read.format("pjparquet")
+      .option("versionAsOf", "1").load(dir).count() == 20L,
+      "dry run must keep time travel intact")
+    val real = spark.sql(
+      s"CALL pjvd.system.expire_versions('$dir', 1)").collect().head
+    assert(dry.getLong(0) == real.getLong(0), "versions_dropped must match")
+    assert(dry.getLong(2) == real.getLong(2),
+      s"files_reclaimed must match: dry=${dry.getLong(2)} real=${real.getLong(2)}")
+    assert(files() != before, "the real run reclaims")
+    val e = intercept[Exception] {
+      spark.read.format("pjparquet").option("versionAsOf", "1").load(dir).count()
+    }
+    assert(e.getMessage.contains("does not exist") || e.getMessage.contains("version"))
+  }
+
   test("removes orphan sidecars and abandoned work dirs, keeps live pairs") {
     val dir = java.nio.file.Files.createTempDirectory("pj_vacuum").toString
     PjWriter.writeWithIndex(
