@@ -970,6 +970,47 @@ object MetadataQueries {
         .withColumn("ids_in_progression", lit(if (inProgression) 1L else 0L))
         .orderBy($"c_mktsegment")
     }),
+    "q151_clone_materialize" -> ((s, dir) => {
+      import s.implicits._
+      // CLONE MATERIALIZE (round 12, PjClone.materialize — the deep-copy
+      // half of SHALLOW CLONE): after a clone + DV delete, `CALL
+      // pj.system.materialize` rewrites the external entries' LIVE rows
+      // into table-local files in ONE commit; the SOURCE directory is
+      // then deleted outright and the clone must keep serving the same
+      // rows from its own bytes. DuckDB recomputes the surviving
+      // aggregate.
+      val src = java.nio.file.Files.createTempDirectory("pj_q151_src").toString
+      val tgtDir = java.nio.file.Files.createTempDirectory("pj_q151_tgt")
+      java.nio.file.Files.delete(tgtDir)
+      val tgt = tgtDir.toString
+      graft.Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_nationkey",
+          round($"s_acctbal" * 100).cast("long").as("cents"))
+        .repartition(2).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(src)
+      s.conf.set("spark.sql.catalog.pj_q151", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CALL pj_q151.system.clone(source => '$src', target => '$tgt')")
+      s.sql(s"DELETE FROM pj_q151.`$tgt` WHERE s_suppkey % 7 = 0")
+      val mat = s.sql(s"CALL pj_q151.system.materialize(table => '$tgt')").collect().head
+      val fs = new org.apache.hadoop.fs.Path(tgt)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val snap = graft.sources.pjparquet.PjCommitLog.read(
+        fs, new org.apache.hadoop.fs.Path(tgt),
+        graft.sources.pjparquet.PjCommitLog.versions(
+          fs, new org.apache.hadoop.fs.Path(tgt)).last)
+      val allLocal = snap.entries.forall(e => !e.path.startsWith("/") && e.dv.isEmpty)
+      // the source is disposable now: delete it and read the clone anyway
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+      graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+      s.read.format("pjparquet").load(tgt)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_supp"), sum($"cents").cast("long").as("cents_sum"))
+        .withColumn("files_materialized", lit(mat.getLong(0)))
+        .withColumn("entries_local_no_dv", lit(if (allLocal) 1L else 0L))
+        .withColumn("source_deleted_clone_reads", lit(1L))
+        .orderBy($"s_nationkey")
+    }),
     "q132_vacuum_retention" -> ((s, dir) => {
       import s.implicits._
       // Time-based retention (PjVacuum.expireOlderThan — the Delta
@@ -1902,6 +1943,14 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS ids_unique,
         |       CAST(1 AS BIGINT) AS ids_in_progression
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q151_clone_materialize" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+        |       CAST(sum(round(s_acctbal * 100)) AS BIGINT) AS cents_sum,
+        |       CAST(2 AS BIGINT) AS files_materialized,
+        |       CAST(1 AS BIGINT) AS entries_local_no_dv,
+        |       CAST(1 AS BIGINT) AS source_deleted_clone_reads
+        |FROM supplier WHERE s_suppkey % 7 <> 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q146_rename_column" ->
       """SELECT substr(p_type, 1, 6) AS type_prefix, count(*) AS n_parts,
         |       CAST(sum(round(p_retailprice * 100)) AS BIGINT) AS cents_sum,

@@ -26,6 +26,11 @@ import graft.core.PJException
   *   CALL pj.system.build_blooms('/data/events', 'user_id')
   *   CALL pj.system.checkpoint('/data/events')
   *   CALL pj.system.history('/data/events')
+  *   CALL pj.system.restore('/data/events', 7)
+  *   CALL pj.system.clone(source => '/data/events', target => '/tmp/fork')
+  *   CALL pj.system.materialize(table => '/tmp/fork')
+  *   CALL pj.system.analyze(table => '/data/events')
+  *   CALL pj.system.expire_versions('/data/events', 10, dry_run => true)
   * }}}
   *
   * Each procedure wraps the corresponding driver API ([[PjVacuum]],
