@@ -139,6 +139,21 @@ class PjCreateTableSpec extends AnyFunSuite {
     assert(t.columns.toSeq == Seq("k", "tripled") && t.count() == 4L)
   }
 
+  test("SHOW CREATE TABLE and DESCRIBE EXTENDED surface the created contract") {
+    val p = freshPath("show")
+    spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT, v STRING DEFAULT 'x') " +
+      "USING pjparquet TBLPROPERTIES('team'='ml')")
+    val ddl = spark.sql(s"SHOW CREATE TABLE pjt.`$p`").collect().head.getString(0)
+    assert(ddl.startsWith("CREATE TABLE") && ddl.contains("id BIGINT"), ddl)
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED pjt.`$p`")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("team=ml"), "properties must surface in DESCRIBE")
+    assert(desc.contains("_file") && desc.contains("_pos"),
+      "metadata columns must surface in DESCRIBE")
+    assert(desc.contains("Column Default Values") && desc.contains("'x'"),
+      "column defaults must surface in DESCRIBE")
+  }
+
   test("INSERT INTO an empty created table honors CHECK constraints") {
     val p = freshPath("chk")
     spark.sql(s"CREATE TABLE pjt.`$p` (id BIGINT, qty BIGINT) USING pjparquet")
