@@ -208,10 +208,112 @@ object BpeTokenizer {
     out.toArray
   }
 
-  /** Encode one non-whitespace run: repeatedly merge the lowest-rank
-    * adjacent pair (leftmost on rank ties) until no mergeable pair remains.
+  /** Encode one non-whitespace run. Semantics (GPT-2 style, unchanged
+    * since the first round this shipped): repeatedly pick the
+    * LOWEST-rank pair present anywhere in the run and merge ALL its
+    * occurrences in one left-to-right pass, until no ranked pair
+    * remains.
+    *
+    * Implementation is a doubly-linked symbol list + lazy rank
+    * priority queue with per-pair occurrence sets — O(len log len)
+    * instead of the scan-all-merge-one O(len²) loop this replaced
+    * (which survives as [[encodeRunReference]] for the equivalence
+    * spec). Bit-identical output: within a pass, merging occurrence i
+    * can never CREATE a new occurrence of the same pair (the merged
+    * symbol `a+b` is strictly longer than `a` and `b`, so neither
+    * neighbor pair can equal `(a,b)` again), and overlapping
+    * occurrences ("aaa" with (a,a)) die the same way the left-to-right
+    * scan kills them — the right element is no longer alive.
     */
-  private def encodeRun(run: String, ranks: Map[(String, String), Int]): Vector[String] = {
+  private[graft] def encodeRun(run: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    val n = run.length
+    if (n == 0) return Vector.empty
+    if (n == 1) return Vector(run)
+    // linked list over positions 0..n-1; merged symbol replaces the left slot
+    val sym = new Array[String](n)
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      sym(i) = String.valueOf(run.charAt(i))
+      nxt(i) = if (i == n - 1) -1 else i + 1
+      prv(i) = i - 1
+      i += 1
+    }
+    // rank -> ordered positions of live occurrences of that rank's pair
+    val occ = new java.util.HashMap[Int, java.util.TreeSet[Integer]]()
+    // lazy min-heap of ranks with (possibly stale) occurrences
+    val pq = new java.util.PriorityQueue[Integer]()
+    // the model's merge list, addressable by rank for pq pops
+    val byRank = new java.util.HashMap[Int, (String, String)]()
+
+    def addOcc(p: Int): Unit = {
+      val q = nxt(p)
+      if (q >= 0) {
+        val pair = (sym(p), sym(q))
+        val r = ranks.getOrElse(pair, -1)
+        if (r >= 0) {
+          var s = occ.get(r)
+          if (s == null) { s = new java.util.TreeSet[Integer](); occ.put(r, s); byRank.put(r, pair) }
+          if (s.isEmpty) pq.add(r)
+          s.add(p)
+        }
+      }
+    }
+    def removeOcc(p: Int): Unit = {
+      val q = nxt(p)
+      if (q >= 0) {
+        val r = ranks.getOrElse((sym(p), sym(q)), -1)
+        if (r >= 0) {
+          val s = occ.get(r)
+          if (s != null) s.remove(Integer.valueOf(p))
+        }
+      }
+    }
+
+    i = 0
+    while (i < n - 1) { addOcc(i); i += 1 }
+
+    while (!pq.isEmpty) {
+      val r = pq.poll()
+      val s = occ.get(r)
+      if (s != null && !s.isEmpty) {
+        val (a, b) = byRank.get(r)
+        // one left-to-right pass over all occurrences of this pair
+        while (!s.isEmpty) {
+          val p = s.pollFirst().intValue()
+          val q = nxt(p)
+          // validity: an earlier merge in this pass may have consumed q
+          if (q >= 0 && sym(p) == a && sym(q) == b) {
+            // retract neighbor occurrences recorded against the old symbols
+            if (prv(p) >= 0) removeOcc(prv(p))
+            removeOcc(q)
+            // splice: merged symbol lives at p, q dies (q is never the
+            // head — it has predecessor p — so head stays at 0)
+            sym(p) = a + b
+            val qn = nxt(q)
+            nxt(p) = qn
+            if (qn >= 0) prv(qn) = p
+            sym(q) = null
+            // record neighbor occurrences against the new symbol
+            if (prv(p) >= 0) addOcc(prv(p))
+            addOcc(p)
+          }
+        }
+      }
+    }
+
+    val out = Vector.newBuilder[String]
+    var p = 0
+    while (p >= 0) { out += sym(p); p = nxt(p) }
+    out.result()
+  }
+
+  /** The original O(len²) scan-all-merge-one-pair loop, kept ONLY as the
+    * oracle for [[BpeTokenizerSpec]]'s equivalence property — the fast
+    * [[encodeRun]] must match it token-for-token on any input.
+    */
+  private[graft] def encodeRunReference(run: String, ranks: Map[(String, String), Int]): Vector[String] = {
     var syms = run.toCharArray.map(_.toString)
     var done = false
     while (!done && syms.length > 1) {

@@ -970,6 +970,112 @@ object MetadataQueries {
         .withColumn("ids_in_progression", lit(if (inProgression) 1L else 0L))
         .orderBy($"c_mktsegment")
     }),
+    "q152_protocol_features" -> ((s, dir) => {
+      import s.implicits._
+      // Table-features protocol (round 13, PjProtocol — the format's
+      // feature-flag guard): a plain table records NO protocol; the first
+      // DV delete upgrades the lane to require `dv` (reader+writer);
+      // `detail` exposes it; and a hand-planted commit requiring a FUTURE
+      // feature makes reads fail with a clear upgrade message instead of
+      // silently resurrecting deleted rows. DuckDB recomputes the
+      // surviving row facts; the protocol facts are engine-checked bits.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q152_proto").toString
+      graft.Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("k"), $"n_name", $"n_regionkey")
+        .coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1: no protocol
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val preProtocol = graft.sources.pjparquet.PjCommitLog
+        .latest(fs, root).get.protocolJson
+      s.conf.set("spark.sql.catalog.pj_q152", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"DROP TABLE IF EXISTS pj_q152_t")
+      s.sql(s"CREATE TABLE pj_q152_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM pj_q152_t WHERE k % 5 = 0") // v2: dv => protocol upgrade
+      val d = s.sql(s"CALL pj_q152.system.detail('$tmp')").collect().head
+      val protoJson = Option(d.getString(d.length - 1)).getOrElse("")
+      val proto = graft.sources.pjparquet.PjProtocol.parse(
+        Option(protoJson).filter(_.nonEmpty))
+      // future-feature guard: plant an upgrade commit a future build wrote
+      val v = graft.sources.pjparquet.PjCommitLog.versions(fs, root).last + 1
+      val body = s"""{"version":$v,"ts":${System.currentTimeMillis()},""" +
+        """"action":"upgrade","nFiles":1,""" +
+        """"protocol":"{\"readerFeatures\":[\"future-r9\"],\"writerFeatures\":[\"future-r9\"]}",""" +
+        """"add":[],"remove":[]}"""
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root, "_pj_log"), f"$v%020d.json")
+      val out = fs.create(p, false)
+      out.write(body.getBytes("UTF-8")); out.close()
+      graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+      graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+      val readRefused =
+        try { s.read.format("pjparquet").load(tmp).count(); false }
+        catch { case e: Exception =>
+          Option(e.getMessage).exists(m =>
+            m.contains("future-r9") && m.contains("reader table feature")) }
+      val writeRefused =
+        try {
+          graft.Tables.nation(s, dir).limit(1)
+            .select($"n_nationkey".cast("long").as("k"), $"n_name", $"n_regionkey")
+            .write.format("pjparquet").mode("append")
+            .option("log.enabled", "true").save(tmp)
+          false
+        } catch { case e: Exception =>
+          Option(e.getMessage).exists(_.contains("future-r9")) }
+      // roll the planted commit back so the row-fact read below works
+      fs.delete(p, false)
+      graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+      graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+      s.sql(s"DROP TABLE IF EXISTS pj_q152_t")
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n_nations"), sum($"k").as("key_sum"))
+        .withColumn("fresh_table_no_protocol", lit(if (preProtocol.isEmpty) 1L else 0L))
+        .withColumn("dv_requires_reader_dv",
+          lit(if (proto.reader.contains("dv") && proto.writer.contains("dv")) 1L else 0L))
+        .withColumn("future_feature_read_refused", lit(if (readRefused) 1L else 0L))
+        .withColumn("future_feature_write_refused", lit(if (writeRefused) 1L else 0L))
+        .orderBy($"n_regionkey")
+    }),
+    "q153_generated_partition_pruning" -> ((s, dir) => {
+      import s.implicits._
+      // Generated-column partition pruning (round 13, PjGeneratedPruning):
+      // a table PARTITIONED BY a GENERATED DATE column (g = CAST(ts AS
+      // DATE)) prunes day directories from a predicate on the BASE
+      // timestamp alone — the first query every analyst runs on a
+      // day-partitioned fact table. Plan-shape bit: the filtered scan
+      // plans strictly fewer files than the full scan. DuckDB recomputes
+      // the per-day aggregate under the same timestamp range.
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q153_genprune")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      s.conf.set("spark.sql.catalog.pj_q153", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q153.`$tmp` (ts TIMESTAMP_NTZ, k BIGINT, cents BIGINT, " +
+        "g DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) USING pjparquet " +
+        "PARTITIONED BY (g)")
+      graft.Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+          $"o_orderdate" < lit("1995-01-15").cast("timestamp_ntz"))
+        .select($"o_orderdate".as("ts"), $"o_orderkey".as("k"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .write.format("pjparquet").mode("append").save(tmp)
+      val t = s.read.format("pjparquet").load(tmp)
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        "pjparquet (\\d+) file\\(s\\)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1).toInt).getOrElse(-1)
+      val lo = lit("1995-01-04 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1995-01-07 00:00:00").cast("timestamp_ntz")
+      val q = t.filter($"ts" >= lo && $"ts" < hi)
+      val total = planned(t.filter($"k" >= 0L))
+      val pruned = planned(q)
+      q.groupBy($"ts".cast("date").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents_sum"))
+        .withColumn("base_filter_pruned_dirs",
+          lit(if (pruned > 0 && total > 0 && pruned < total) 1L else 0L))
+        .orderBy($"day")
+    }),
     "q151_clone_materialize" -> ((s, dir) => {
       import s.implicits._
       // CLONE MATERIALIZE (round 12, PjClone.materialize — the deep-copy
@@ -1802,6 +1908,25 @@ object MetadataQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q152_protocol_features" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS fresh_table_no_protocol,
+        |       CAST(1 AS BIGINT) AS dv_requires_reader_dv,
+        |       CAST(1 AS BIGINT) AS future_feature_read_refused,
+        |       CAST(1 AS BIGINT) AS future_feature_write_refused
+        |FROM nation WHERE n_nationkey % 5 <> 0
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q153_generated_partition_pruning" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents_sum,
+        |       CAST(1 AS BIGINT) AS base_filter_pruned_dirs
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-04 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1995-01-07 00:00:00'
+        |GROUP BY day ORDER BY day""".stripMargin,
     "q100_sql_update" ->
       """SELECT CASE WHEN o_orderstatus = 'F' THEN 'X-EXPEDITED'
         |            ELSE o_orderpriority END AS o_orderpriority,

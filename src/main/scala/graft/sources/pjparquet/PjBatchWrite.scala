@@ -134,12 +134,25 @@ final class PjWriteBuilder(
     // per write, planned on the driver from the RECORDED schema's field
     // metadata; DML rewrites recompute generated values, appends
     // validate/assign
+    val mergeRewrite = mode match {
+      case r: PjWriteMode.ReplaceFiles => r.command == "merge"
+      case _ => false
+    }
     val augment = layout.flatMap(l => PjGenerated.plan(
       org.apache.spark.sql.SparkSession.active, l, info.schema(), nameMap,
-      rewrite = mode.isInstanceOf[PjWriteMode.ReplaceFiles]))
+      rewrite = mode.isInstanceOf[PjWriteMode.ReplaceFiles],
+      mergeInsert = mergeRewrite))
+    // a GENERATED partition column absent from the incoming rows cannot
+    // anchor the required distribution (Spark resolves it against the
+    // query, which does not have it) — cluster/sort on the base columns
+    // its generation expression references instead; the write computes
+    // the partition value itself after augmentation
+    val clusterKeys = PjGenerated.clusterKeys(
+      org.apache.spark.sql.SparkSession.active,
+      layout.flatMap(_.dataSchema), info.schema(), partitionKeys)
     new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
       bloomColumns, sortColumns, logRequested, cdcEnabled, nameMap,
-      augment, layout.flatMap(_.logVersion))
+      augment, layout.flatMap(_.logVersion), clusterKeys)
   }
 }
 
@@ -155,8 +168,15 @@ final class PjWrite(
     cdcEnabled: Boolean = false,
     nameMap: Map[String, String] = Map.empty,
     augment: Option[PjGenerated.Augment] = None,
-    baseVersion: Option[Long] = None)
+    baseVersion: Option[Long] = None,
+    /** Columns the required distribution/ordering actually references —
+      * the partition keys with absent GENERATED keys replaced by their
+      * generation expressions' base columns ([[PjGenerated.clusterKeys]]).
+      */
+    clusterKeys: Seq[String] = Nil)
     extends Write with RequiresDistributionAndOrdering {
+
+  private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
 
   override def description(): String = s"pjparquet write $mode -> $root"
 
@@ -166,16 +186,16 @@ final class PjWrite(
     * partition OOM at fan-out). Unpartitioned writes impose nothing.
     */
   override def requiredDistribution(): Distribution =
-    if (partitionKeys.isEmpty) Distributions.unspecified()
+    if (distKeys.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      partitionKeys.map(k => Expressions.column(k): V2Expression).toArray)
+      distKeys.map(k => Expressions.column(k): V2Expression).toArray)
 
   /** Partition keys first (one open writer per task), then the declared
     * `sort.columns` — so every written FILE is internally sorted by the
     * data sort columns and the commit can maintain [[PjSortMarker]].
     */
   override def requiredOrdering(): Array[SortOrder] =
-    (partitionKeys ++ sortColumns)
+    (distKeys ++ sortColumns)
       .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =
@@ -826,6 +846,11 @@ final class PjDataWriter(
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
           case StringType => PjBatchWrite.escapePathValue(row.getUTF8String(i).toString)
+          // Hive/Spark convention: DATE partition directories carry the
+          // ISO form (lexicographic order == chronological order, which
+          // is what makes derived-range pruning on them sound)
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
           case other => PjBatchWrite.escapePathValue(row.get(i, other).toString)
         }
       s"$k=$v"

@@ -165,13 +165,18 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       val f = byName.getOrElse(fold(c), throw new PJException(
         s"$catalogName: PARTITIONED BY column '$c' is not in the table schema"))
       if (f.dataType != org.apache.spark.sql.types.LongType &&
-          f.dataType != org.apache.spark.sql.types.StringType)
+          f.dataType != org.apache.spark.sql.types.StringType &&
+          f.dataType != org.apache.spark.sql.types.DateType)
         throw new PJException(
-          s"$catalogName: partition column '$c' must be BIGINT or STRING, " +
+          s"$catalogName: partition column '$c' must be BIGINT, STRING or DATE, " +
             s"got ${f.dataType.simpleString}")
-      if (PjGenerated.isGenerated(f) || PjGenerated.isIdentity(f))
+      // GENERATED partition columns are first-class (Delta parity): the
+      // write computes them, and [[PjGeneratedPruning]] derives partition
+      // predicates from base-column filters. IDENTITY keys stay refused —
+      // partitioning on a per-row minted sequence is one dir per row.
+      if (PjGenerated.isIdentity(f))
         throw new PJException(
-          s"$catalogName: partition column '$c' cannot be generated or identity")
+          s"$catalogName: partition column '$c' cannot be an identity column")
       f
     }
     val dataFields = schema.fields.filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
@@ -203,8 +208,15 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       else Map(PjTableProperties.PartitionColumns ->
         partFields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")))
     fs.mkdirs(rootPath)
+    // The recorded schema keeps the PARTITION fields too (the resolver
+    // filters them out of the file schema by name): their field METADATA
+    // is load-bearing — a GENERATED partition column's expression lives
+    // there, and both the write-side augmentation ([[PjGenerated.plan]])
+    // and read-side derived pruning ([[PjGeneratedPruning]]) need it.
+    val recordedFields = schema.fields.filter(f =>
+      dataFields.exists(_.name == f.name) || partFields.exists(_.name == f.name))
     PjCommitLog.commit(fs, rootPath, "create", Nil, Set.empty,
-      dataSchemaJson = Some(StructType(dataFields).json),
+      dataSchemaJson = Some(StructType(recordedFields).json),
       operation = Some("CREATE TABLE"),
       propertiesJson =
         if (canonical.nonEmpty) Some(PjTableProperties.render(canonical)) else None)
@@ -468,10 +480,14 @@ class PjCatalog extends CatalogPlugin with TableCatalog
               throw new PJException(
                 s"$catalogName: CHECK constraint '$name' has no predicate SQL"))
             // resolve the predicate against the CURRENT schema (typo →
-            // loud DDL failure) and validate existing rows distributed
+            // loud DDL failure) and validate existing rows distributed.
+            // A row violates iff the predicate is definitively FALSE —
+            // NULL passes, matching Spark's own write-time CheckInvariant
+            // (ANSI CHECK semantics), so ADD-time and write-time can
+            // never disagree about the same row.
             val t = spark.read.format("pjparquet").load(path)
             val violations =
-              try t.filter(s"NOT (($sql) <=> TRUE)").count()
+              try t.filter(s"(($sql) <=> FALSE)").count()
               catch {
                 case e: org.apache.spark.sql.AnalysisException =>
                   throw new PJException(

@@ -59,6 +59,21 @@ object PjClone {
 
     val tgtPath = new Path(target)
     val tfs = tgtPath.getFileSystem(hconf)
+    // clone entries are recorded as SCHEME-LESS absolute paths and later
+    // resolve against the TARGET's filesystem — a cross-filesystem clone
+    // (e.g. s3a source, local target) would produce dangling or
+    // wrong-filesystem references with no diagnosis until read time.
+    // Refuse loudly at clone time instead.
+    val srcAuth = fs.makeQualified(srcPath).toUri
+    val tgtAuth = tfs.makeQualified(tgtPath).toUri
+    if (srcAuth.getScheme != tgtAuth.getScheme ||
+        Option(srcAuth.getAuthority) != Option(tgtAuth.getAuthority))
+      throw new PJException(
+        s"pjparquet: SHALLOW CLONE across filesystems is not supported — " +
+          s"source '${srcAuth.getScheme}://${Option(srcAuth.getAuthority).getOrElse("")}' " +
+          s"vs target '${tgtAuth.getScheme}://${Option(tgtAuth.getAuthority).getOrElse("")}'; " +
+          "the clone's entries would resolve against the target's filesystem " +
+          "(deep-copy the data instead)")
     if (tfs.exists(tgtPath) && tfs.listStatus(tgtPath).nonEmpty)
       throw new PJException(
         s"pjparquet: SHALLOW CLONE target '$target' already exists and is " +

@@ -138,7 +138,14 @@ object PjCommitLog {
         * latest-recording-commit-wins lane; the scan reports them to
         * Spark's CBO via `columnStats()`.
         */
-      tableStatsJson: Option[String] = None) {
+      tableStatsJson: Option[String] = None,
+      /** Required table features ([[PjProtocol]] JSON: readerFeatures /
+        * writerFeatures) — same latest-recording-commit-wins lane, but
+        * MONOTONE by construction: [[commit]] only unions features in
+        * and RESTORE never records the lane, so protection never
+        * downgrades. Absent on pre-protocol tables (no enforcement).
+        */
+      protocolJson: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -248,6 +255,11 @@ object PjCommitLog {
     val snap = incrementalFromCache(fs, root, rootStr, version, l)
       .getOrElse(readAtUncached(fs, root, version, l))
       .copy(contentToken = l.token(version))
+    // feature-flag guard: refuse to serve a snapshot whose protocol names
+    // reader features this build lacks — EVERY read path (scan, time
+    // travel, CDF, DML's own read, commit's predecessor read) funnels
+    // through here; history/versionAtTimestamp stay header-only
+    PjProtocol.checkRead(snap.protocolJson, fs.makeQualified(root).toString)
     snapshotCache.put(key, snap)
     snap
   }
@@ -291,6 +303,7 @@ object PjCommitLog {
         st.constraints = base.constraintsJson
         st.properties = base.propertiesJson
         st.tableStats = base.tableStatsJson
+        st.protocol = base.protocolJson
         st.ts = base.ts
         st.action = base.action
         st.operation = base.operation
@@ -322,6 +335,7 @@ object PjCommitLog {
       st.constraints = optText(node, "constraints")
       st.properties = optText(node, "properties")
       st.tableStats = optText(node, "tableStats")
+      st.protocol = optText(node, "protocol")
       st.ts = node.path("ts").asLong(0L)
       st.action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -347,6 +361,7 @@ object PjCommitLog {
     var constraints: Option[String] = None
     var properties: Option[String] = None
     var tableStats: Option[String] = None
+    var protocol: Option[String] = None
     var ts = 0L
     var action = "unknown"
     var operation: Option[String] = None
@@ -354,7 +369,10 @@ object PjCommitLog {
       if (node.has("files")) {
         // legacy full snapshot: replaces the whole state — including any
         // recorded schema, which described files this commit may have
-        // replaced (the path-only entries re-resolve eagerly anyway)
+        // replaced (the path-only entries re-resolve eagerly anyway).
+        // The PROTOCOL survives: a legacy writer knows nothing of table
+        // features, and letting its commit erase the lane would silently
+        // downgrade the very protection the lane exists to provide.
         entries.clear()
         schema = None
         constraints = None
@@ -371,6 +389,7 @@ object PjCommitLog {
       optText(node, "constraints").foreach(c => constraints = Some(c))
       optText(node, "properties").foreach(p => properties = Some(p))
       optText(node, "tableStats").foreach(t => tableStats = Some(t))
+      optText(node, "protocol").foreach(p => protocol = Some(p))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
       operation = optText(node, "operation")
@@ -379,7 +398,7 @@ object PjCommitLog {
       Snapshot(version, action,
         entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation,
         constraintsJson = constraints, propertiesJson = properties,
-        tableStatsJson = tableStats)
+        tableStatsJson = tableStats, protocolJson = protocol)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -447,6 +466,23 @@ object PjCommitLog {
       val l = listing(fs, root)
       val prev = l.versions.lastOption.map(v => readAt(fs, root, v, l))
       val v = prev.map(_.version).getOrElse(0L) + 1
+      // feature-flag guard: a table requiring features this build cannot
+      // maintain refuses the write BEFORE claiming a version
+      PjProtocol.checkWrite(prev.flatMap(_.protocolJson), fs.makeQualified(root).toString)
+      // auto-upgrade: when this commit's post-state first requires a
+      // feature (a dv entry, a mapped/identity/generated schema, a CHECK
+      // constraint, CDF enabled), union it into the protocol lane —
+      // monotone, so protection only ever grows
+      val protocolJson: Option[String] = {
+        val cur = PjProtocol.parse(prev.flatMap(_.protocolJson))
+        val req = PjProtocol.required(
+          anyDv = add.exists(_.dv.isDefined) ||
+            prev.exists(_.entries.exists(_.dv.isDefined)),
+          dataSchemaJson = dataSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)),
+          constraintsJson = constraintsJson.orElse(prev.flatMap(_.constraintsJson)),
+          propertiesJson = propertiesJson.orElse(prev.flatMap(_.propertiesJson)))
+        if (cur.contains(req)) None else Some(cur.union(req).json)
+      }
       // EXCLUSIVE commits (identity-value allocation, [[PjGenerated]])
       // serialize against the whole table: values were minted from state
       // read at `readVersion`, so ANY winner since then may have minted
@@ -475,7 +511,7 @@ object PjCommitLog {
       val nLive = ((prevPaths -- effectiveRemove) ++ add.map(_.path)).size
       val body = renderCommit(v, System.currentTimeMillis(), action, add,
         effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
-        propertiesJson, tableStatsJson)
+        propertiesJson, tableStatsJson, protocolJson)
       if (publish(fs, commitFile(root, v), body)) {
         // cadence honors the table's recorded pj.checkpoint.interval —
         // this commit's own properties (when it sets them) win, else the
@@ -569,6 +605,7 @@ object PjCommitLog {
     */
   def append(fs: FileSystem, root: Path, action: String, files: Seq[String]): Long = {
     val prev = latest(fs, root)
+    PjProtocol.checkWrite(prev.flatMap(_.protocolJson), fs.makeQualified(root).toString)
     val prevMap: Map[String, FileEntry] =
       prev.map(_.entries.map(e => e.path -> e).toMap).getOrElse(Map.empty)
     val post = files.toSet
@@ -623,19 +660,20 @@ object PjCommitLog {
     // (no ArrayList[Row] of 500k entries, no multi-MB task broadcast).
     if (!entryFormat.contains(false) && session.isDefined) {
       incrementalParquetCheckpoint(session.get, fs, root, v) match {
-        case Some((nFiles, ts, action, schema, constraints, properties, tableStats)) =>
+        case Some(h) =>
           publishStream(fs, target) { out =>
             val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
             g.writeStartObject()
             g.writeNumberField("version", v)
-            g.writeNumberField("ts", ts)
-            g.writeStringField("action", action)
-            g.writeNumberField("nFiles", nFiles)
+            g.writeNumberField("ts", h.ts)
+            g.writeStringField("action", h.action)
+            g.writeNumberField("nFiles", h.nFiles)
             g.writeBooleanField("checkpoint", true)
-            schema.foreach(s => g.writeStringField("dataSchema", s))
-            constraints.foreach(c => g.writeStringField("constraints", c))
-            properties.foreach(p => g.writeStringField("properties", p))
-            tableStats.foreach(t => g.writeStringField("tableStats", t))
+            h.schema.foreach(s => g.writeStringField("dataSchema", s))
+            h.constraints.foreach(c => g.writeStringField("constraints", c))
+            h.properties.foreach(p => g.writeStringField("properties", p))
+            h.tableStats.foreach(t => g.writeStringField("tableStats", t))
+            h.protocol.foreach(p => g.writeStringField("protocol", p))
             g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
             g.writeEndObject()
             g.flush()
@@ -664,6 +702,7 @@ object PjCommitLog {
       snap.constraintsJson.foreach(c => g.writeStringField("constraints", c))
       snap.propertiesJson.foreach(p => g.writeStringField("properties", p))
       snap.tableStatsJson.foreach(t => g.writeStringField("tableStats", t))
+      snap.protocolJson.foreach(p => g.writeStringField("protocol", p))
       if (asParquet)
         g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
       else {
@@ -758,10 +797,16 @@ object PjCommitLog {
     * there is no parquet-backed predecessor or the tail contains a legacy
     * full-snapshot commit (the full rebuild path handles those).
     */
+  /** Header facts an incremental checkpoint carries forward. */
+  private final case class CkptHeader(
+      nFiles: Long, ts: Long, action: String,
+      schema: Option[String], constraints: Option[String],
+      properties: Option[String], tableStats: Option[String],
+      protocol: Option[String])
+
   private def incrementalParquetCheckpoint(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
-      root: Path, v: Long): Option[(Long, Long, String, Option[String], Option[String],
-      Option[String], Option[String])] = {
+      root: Path, v: Long): Option[CkptHeader] = {
     val l = listing(fs, root)
     if (!l.commits.contains(v)) return None
     val cpv = l.checkpoints.filter(_ < v).lastOption.getOrElse(return None)
@@ -773,6 +818,7 @@ object PjCommitLog {
     var constraints = optText(prevNode, "constraints")
     var properties = optText(prevNode, "properties")
     var tableStats = optText(prevNode, "tableStats")
+    var protocol = optText(prevNode, "protocol")
     var ts = 0L
     var action = "unknown"
     val touched = new java.util.LinkedHashSet[String]()
@@ -790,6 +836,7 @@ object PjCommitLog {
       optText(node, "constraints").foreach(c => constraints = Some(c))
       optText(node, "properties").foreach(p => properties = Some(p))
       optText(node, "tableStats").foreach(t => tableStats = Some(t))
+      optText(node, "protocol").foreach(p => protocol = Some(p))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -820,7 +867,7 @@ object PjCommitLog {
     }
     // exact live-file count, metadata-rate (parquet footer row counts)
     val nFiles = spark.read.schema(CkptEntrySchema).parquet(dir.toString).count()
-    Some((nFiles, ts, action, schema, constraints, properties, tableStats))
+    Some(CkptHeader(nFiles, ts, action, schema, constraints, properties, tableStats, protocol))
   }
 
   /** Entries of a parquet-backed checkpoint, read through the engine. */
@@ -1024,12 +1071,47 @@ object PjCommitLog {
         rg += 1
       }
       if (supported && physType > 0 && (minOk || maxOk || nullCount >= 0))
-        // last-wins for duplicate names, matching the splice's O5 rule
+        // last-wins for duplicate names, matching the splice's O5 rule.
+        // BYTE_ARRAY bounds are prefix-truncated (parquet writers may
+        // store multi-KB bounds for long text columns; a million-entry
+        // log must not carry them): min truncates DOWN (a prefix is <=
+        // the value under unsigned lexicographic order), max rounds UP
+        // to the next prefix or drops to unknown — both stay sound
+        // envelopes, and PjStatsFilter's tri-state logic already
+        // tolerates a missing bound.
         out += names(c) -> ColStat(physType, nullCount,
-          if (minOk) Option(min) else None, if (maxOk) Option(max) else None)
+          if (minOk) Option(min).map(truncateMin(physType, _)) else None,
+          if (maxOk) Option(max).flatMap(truncateMax(physType, _)) else None)
       c += 1
     }
     out.result()
+  }
+
+  /** Stats-envelope bounds for BYTE_ARRAY columns are capped at this many
+    * bytes (Delta truncates data-skipping string stats the same way).
+    */
+  private[pjparquet] val MaxStatBytes = 32
+
+  /** Lower bound: a plain prefix is always <= the full value. */
+  private[pjparquet] def truncateMin(physType: Int, b: Array[Byte]): Array[Byte] =
+    if (physType != 6 || b.length <= MaxStatBytes) b
+    else java.util.Arrays.copyOf(b, MaxStatBytes)
+
+  /** Upper bound: the prefix alone would UNDERSTATE the max, so round it
+    * up to the next lexicographic value (increment the last non-0xff
+    * byte, dropping the tail); an all-0xff prefix has no successor —
+    * return None (unknown bound, never prunes).
+    */
+  private[pjparquet] def truncateMax(physType: Int, b: Array[Byte]): Option[Array[Byte]] = {
+    if (physType != 6 || b.length <= MaxStatBytes) return Some(b)
+    val p = java.util.Arrays.copyOf(b, MaxStatBytes)
+    var i = MaxStatBytes - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      p(i) = (p(i) + 1).toByte
+      Some(java.util.Arrays.copyOf(p, i + 1))
+    }
   }
 
   /** Physical-type-ordered compare of two plain-encoded stat values. */
@@ -1126,7 +1208,8 @@ object PjCommitLog {
       nFiles: Long, dataSchemaJson: Option[String], operation: Option[String],
       constraintsJson: Option[String] = None,
       propertiesJson: Option[String] = None,
-      tableStatsJson: Option[String] = None): String = {
+      tableStatsJson: Option[String] = None,
+      protocolJson: Option[String] = None): String = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1138,6 +1221,7 @@ object PjCommitLog {
     constraintsJson.foreach(c => node.put("constraints", c))
     propertiesJson.foreach(p => node.put("properties", p))
     tableStatsJson.foreach(t => node.put("tableStats", t))
+    protocolJson.foreach(p => node.put("protocol", p))
     val addArr = node.putArray("add")
     add.foreach(e => addArr.add(entryNode(mapper, e)))
     val rmArr = node.putArray("remove")

@@ -53,6 +53,43 @@ object PjGenerated {
   def hasAny(schema: Option[StructType]): Boolean =
     schema.exists(_.fields.exists(isManaged))
 
+  /** Distribution/ordering keys for a partitioned write: a GENERATED
+    * partition column absent from the incoming rows is replaced by the
+    * base column(s) its generation expression references — Spark resolves
+    * the required distribution against the incoming QUERY, which does not
+    * carry the generated column (the write computes it after
+    * augmentation). Clustering+sorting by the base columns still gives
+    * each task contiguous partition-directory runs (any function of the
+    * base is constant within a base-value run), preserving the
+    * one-open-writer property.
+    */
+  def clusterKeys(
+      spark: SparkSession,
+      recorded: Option[StructType],
+      incoming: StructType,
+      partitionKeys: Seq[String]): Seq[String] = {
+    val rec = recorded.getOrElse(return partitionKeys)
+    val inNames = incoming.fields.map(f => fold(f.name)).toSet
+    partitionKeys.flatMap { k =>
+      if (inNames.contains(fold(k))) Seq(k)
+      else rec.fields.find(f => fold(f.name) == fold(k)).filter(isGenerated) match {
+        case Some(gf) =>
+          try {
+            val sql = gf.metadata.getString(
+              org.apache.spark.sql.catalyst.util.GeneratedColumn
+                .GENERATION_EXPRESSION_METADATA_KEY)
+            val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+            }.distinct
+            // substitute only when EVERY referenced base column is present
+            if (refs.nonEmpty && refs.forall(r => inNames.contains(fold(r)))) refs
+            else Seq(k)
+          } catch { case scala.util.control.NonFatal(_) => Seq(k) }
+        case None => Seq(k)
+      }
+    }.distinct
+  }
+
   /** The bound projection a write applies to every row, shipped to tasks.
     * `identityAssigned` marks the commit exclusive (see scaladoc).
     */
@@ -111,13 +148,22 @@ object PjGenerated {
   /** Build the augmentation for a write, or None when the recorded schema
     * declares no generated/identity columns. `rewrite` = DML rewrite
     * (ReplaceFiles): generated columns recompute, identity values keep.
+    * `mergeInsert` = the rewrite is a MERGE, whose WHEN NOT MATCHED
+    * inserts arrive mixed with surviving rows: any NULL identity value
+    * marks an inserted row (every table-sourced row was minted non-NULL)
+    * and gets assigned from the watermark under an EXCLUSIVE commit.
+    * Caveat (documented Delta-divergence): a merge insert's EXPLICIT
+    * identity value cannot be told apart from a surviving row's, so
+    * GENERATED ALWAYS cannot refuse it here — it behaves like BY DEFAULT
+    * for merge inserts only.
     */
   def plan(
       spark: SparkSession,
       layout: PjLayout,
       incoming: StructType,
       nameMap: Map[String, String],
-      rewrite: Boolean): Option[Augment] = {
+      rewrite: Boolean,
+      mergeInsert: Boolean = false): Option[Augment] = {
     val recorded = layout.dataSchema.getOrElse(return None)
     val managed = recorded.fields.filter(isManaged)
     if (managed.isEmpty) return None
@@ -168,8 +214,13 @@ object PjGenerated {
                     s"'${m.name}' does not match its generation expression", m.dataType)))
             }
           case Some(m) if isIdentity(m) =>
-            if (rewrite) ref // rows keep their identity values across rewrites
-            else {
+            if (rewrite && !mergeInsert) ref // rows keep their identity values across rewrites
+            else if (rewrite) {
+              // MERGE rewrite: survivors keep their (non-NULL) values;
+              // NULL marks a WHEN NOT MATCHED insert — mint it
+              identityAssigned = true
+              If(IsNull(ref), idExpr(m), ref)
+            } else {
               identityAssigned = true
               val assign = idExpr(m)
               val allowExplicit =

@@ -93,6 +93,9 @@ final case class PjPartitionReaderFactory(
             // constant: the raw value is epoch MICROS (InternalRow's
             // timestamp representation)
             case org.apache.spark.sql.types.TimestampType => raw.toLong
+            // DATE partition dirs are ISO strings; internal form is epoch days
+            case org.apache.spark.sql.types.DateType =>
+              java.time.LocalDate.parse(raw).toEpochDay.toInt
             case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
           }
         }.toIndexedSeq)

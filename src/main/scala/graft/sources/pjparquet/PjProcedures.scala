@@ -317,7 +317,10 @@ object PjProcedures {
             StructField("live_rows", LongType, nullable = false),
             StructField("files_with_deletion_vectors", LongType, nullable = false),
             StructField("deleted_rows", LongType, nullable = false),
-            StructField("schema_json", StringType, nullable = true))),
+            StructField("schema_json", StringType, nullable = true),
+            // required table features ([[PjProtocol]] JSON); null on a
+            // pre-protocol table — the upgrade story is visible from SQL
+            StructField("protocol", StringType, nullable = true))),
           { input =>
             val root = new org.apache.hadoop.fs.Path(tableArg(input))
             val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -332,7 +335,8 @@ object PjProcedures {
               rows, live,
               s.entries.count(_.dv.isDefined).toLong,
               rows - live,
-              s.dataSchemaJson.map(utf8).orNull)))
+              s.dataSchemaJson.map(utf8).orNull,
+              s.protocolJson.map(utf8).orNull)))
           })
       case "history" =>
         new Proc("history", Array(in("table", StringType)),

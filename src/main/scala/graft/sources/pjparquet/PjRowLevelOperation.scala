@@ -53,11 +53,19 @@ final class PjRowLevelOperationBuilder(
     // Tables with GENERATED columns also copy-on-write UPDATE/MERGE: the
     // rewrite recomputes generated values when a SET touches their base
     // columns ([[PjGenerated]] rewrite mode) — the merge-on-read path
-    // would persist the new rows with stale dependents. DELETE never
-    // changes row values, so it keeps the deletion-vector fast path.
+    // would persist the new rows with stale dependents. MERGE on tables
+    // with IDENTITY columns copies-on-write too: its WHEN NOT MATCHED
+    // inserts need watermark minting + the exclusive commit, which only
+    // the [[PjGenerated]]-augmented write provides (the merge-on-read
+    // writer applies no augmentation). UPDATE on identity-only tables
+    // stays merge-on-read — updated rows carry their identity values.
+    // DELETE never changes row values, so it always keeps the
+    // deletion-vector fast path.
     if (layout.logVersion.isDefined &&
         (info.command == RowLevelOperation.Command.DELETE ||
-          !PjGenerated.hasGenerated(layout.dataSchema)) &&
+          (!PjGenerated.hasGenerated(layout.dataSchema) &&
+            !(info.command == RowLevelOperation.Command.MERGE &&
+              PjGenerated.hasAny(layout.dataSchema)))) &&
         PjTableProperties.effectiveBool(tableOptions, layout.propertiesJson,
           "deletionVectors.enabled", PjTableProperties.DeletionVectorsEnabled,
           default = true))

@@ -675,9 +675,22 @@ class PjScanBuilder(
       pushed.toSeq.map(p => p -> PjColumnMapping.toPhysicalFilter(nameMap, p))
     val bloomEligible = pushed.exists(PjBloom.usableLeaf)
     lazy val bloomConf = SparkSession.active.sessionState.newHadoopConf()
+    // partition filters DERIVED from pushed data filters through
+    // generation expressions (`g GENERATED AS date(ts)` + a `ts`
+    // predicate prunes the `g` directories) — conservative implications
+    // evaluated by the same three-valued partition matcher; the source
+    // data filters stay residual, so kept files still re-check every row
+    val derivedPart: Seq[Filter] =
+      if (layout.partitionSchema.isEmpty) Nil
+      else
+        try PjGeneratedPruning.derive(layout, pushed.toSeq)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+    val genPrunedFiles =
+      if (derivedPart.isEmpty) claimedFiles
+      else claimedFiles.filter(f => derivedPart.forall(dp => mightMatch(f, dp)))
     // claimed (fully-pushed partition-exact) filters FIRST: files that do
     // not definitely match are dropped, never re-filtered row-side
-    val survivingFiles = claimedFiles.filter { f =>
+    val survivingFiles = genPrunedFiles.filter { f =>
       if (f.rawFooter)
         // nested-fallback file: no index, so no chunk-stat/bloom pruning —
         // partition values still prune whole files
@@ -782,12 +795,21 @@ private[pjparquet] object PjPartitionFilter {
       if (raw == PjParquetTable.HiveNullPartition) null
       else partitionSchema.fields(i).dataType match {
         case org.apache.spark.sql.types.LongType => raw.toLong
+        // DATE partition value: ISO dir string → epoch days (Long), so a
+        // filter value of any date flavor compares numerically below
+        case org.apache.spark.sql.types.DateType =>
+          try java.lang.Long.valueOf(java.time.LocalDate.parse(raw).toEpochDay)
+          catch { case _: java.time.format.DateTimeParseException => raw }
         case _ => raw
       }
     }
   }
 
   private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (a: Long, b: java.sql.Date) =>
+      Some(java.lang.Long.compare(a, b.toLocalDate.toEpochDay))
+    case (a: Long, b: java.time.LocalDate) =>
+      Some(java.lang.Long.compare(a, b.toEpochDay))
     case (a: Long, b: Number) => Some(java.lang.Long.compare(a, b.longValue()))
     case (a: String, b: String) => Some(a.compareTo(b))
     case (a: Long, b: org.apache.spark.unsafe.types.UTF8String) =>
@@ -1687,6 +1709,8 @@ final case class PjInputPartition(
           case (f, raw) => f.dataType match {
             case org.apache.spark.sql.types.LongType => raw.toLong
             case org.apache.spark.sql.types.TimestampType => raw.toLong // micros
+            case org.apache.spark.sql.types.DateType => // ISO dir → epoch days
+              java.time.LocalDate.parse(raw).toEpochDay.toInt
             case _ => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
           }
         }.toIndexedSeq)

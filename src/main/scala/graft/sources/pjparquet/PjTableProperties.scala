@@ -85,9 +85,11 @@ object PjTableProperties {
     recorded(propertiesJson, PartitionColumns).toSeq.flatMap(_.split(",")).flatMap { seg =>
       seg.split(":", 2) match {
         case Array(n, t) if n.trim.nonEmpty =>
-          Some(n.trim -> (if (t.trim.equalsIgnoreCase("string"))
-            org.apache.spark.sql.types.StringType
-          else org.apache.spark.sql.types.LongType))
+          Some(n.trim -> (t.trim.toLowerCase(java.util.Locale.ROOT) match {
+            case "string" => org.apache.spark.sql.types.StringType
+            case "date" => org.apache.spark.sql.types.DateType
+            case _ => org.apache.spark.sql.types.LongType
+          }))
         case _ => None
       }
     }
@@ -105,9 +107,10 @@ object PjTableProperties {
     PartitionColumns -> partitionColumnsValidator)
 
   private def partitionColumnsValidator(v: String): Option[String] = {
-    val bad = v.split(",").filterNot(_.matches("\\s*[^:,\\s]+\\s*:\\s*(?i:bigint|string)\\s*"))
+    val bad =
+      v.split(",").filterNot(_.matches("\\s*[^:,\\s]+\\s*:\\s*(?i:bigint|string|date)\\s*"))
     if (bad.isEmpty) None
-    else Some(s"expected name:bigint|string pairs, got '${bad.mkString(",")}'")
+    else Some(s"expected name:bigint|string|date pairs, got '${bad.mkString(",")}'")
   }
 
   private def boolValidator(v: String): Option[String] =

@@ -148,6 +148,55 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(hashFirst != (0L until 64L).toSet, "hash order degenerated to id order")
   }
 
+  test("fast encodeRun is bit-identical to the quadratic reference on adversarial inputs") {
+    // A rich model whose merges actually APPLY (the shape that detonated
+    // the old loop): train on text with long unbroken identifier runs.
+    val trainTexts = (0 until 500).map { i =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        s"payload-$i-${i * 7919}".getBytes("UTF-8"))
+      s"https://example.com/path/$i?tok=$b64 word$i 数据样本第${i}号 aaaa${"ab" * (i % 9)}"
+    }
+    val model = BpeTokenizer.train(trainTexts, numMerges = 800)
+    val rk = model.ranks
+    val adversarial = Seq(
+      // one long unbroken run — the O(n²) killer
+      "x" * 2000,
+      "ab" * 1500,
+      ("https://example.com/path/42?tok=" +
+        java.util.Base64.getEncoder.encodeToString(("blob" * 400).getBytes("UTF-8"))),
+      // CJK with no spaces
+      "数据样本第一号数据样本第二号" * 50,
+      // overlapping same-pair occurrences ("aaa..." with (a,a) learned)
+      "a" * 777,
+      // mixed: every training shape concatenated, no whitespace
+      trainTexts.take(20).map(_.replace(" ", "")).mkString,
+      // short edges
+      "", "a", "ab", "aba")
+    adversarial.foreach { run =>
+      val fast = BpeTokenizer.encodeRun(run, rk)
+      val ref = BpeTokenizer.encodeRunReference(run, rk)
+      assert(fast == ref, s"fast/reference diverged on run of length ${run.length}: " +
+        s"fast=${fast.take(8)}... ref=${ref.take(8)}...")
+      assert(fast.mkString == run)
+    }
+    // property sweep: random strings over a tiny alphabet maximize merge
+    // applicability and overlap shapes — deterministic seed
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 200).foreach { _ =>
+      val len = 1 + rnd.nextInt(120)
+      val s = (0 until len).map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+      assert(BpeTokenizer.encodeRun(s, rk) == BpeTokenizer.encodeRunReference(s, rk),
+        s"fast/reference diverged on random input: $s")
+    }
+    // the whole point: linearithmic wall time on a long run
+    val long = "ab" * 50000 // 100k chars, merges apply densely
+    val t0 = System.nanoTime()
+    val toks = BpeTokenizer.encodeRun(long, rk)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(toks.mkString == long)
+    assert(ms < 2000.0, f"100k-char encode took $ms%.0f ms — quadratic regression?")
+  }
+
   test("save/load round-trips the model and its encodings exactly") {
     val spark = graft.SparkTestSession.spark
     val model = BpeTokenizer.train(corpus, numMerges = 40)

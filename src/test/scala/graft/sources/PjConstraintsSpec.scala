@@ -64,6 +64,27 @@ class PjConstraintsSpec extends AnyFunSuite {
     assert(spark.read.format("pjparquet").load(dir).count() == 2L)
   }
 
+  test("NULL predicate results PASS at both ADD time and write time (ANSI CHECK)") {
+    // Spark's write-time CheckInvariant throws only on FALSE — a NULL
+    // result admits the row. ADD-time validation must use the SAME
+    // semantics or a write-admitted row would refuse a later identical
+    // ADD CONSTRAINT.
+    val dir = tempDir("nullpass")
+    Seq((1L, Some(10L)), (2L, Option.empty[Long])).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    // row 2 evaluates (x > 0) to NULL — ADD must accept both rows
+    spark.sql(s"ALTER TABLE pjc.`$dir` ADD CONSTRAINT xp CHECK (x > 0)")
+    // write-time: a NULL x passes, a non-positive x refuses
+    Seq((3L, Option.empty[Long])).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append").save(dir)
+    assert(spark.read.format("pjparquet").load(dir).count() == 3L)
+    intercept[Exception] {
+      Seq((4L, Some(-1L))).toDF("id", "x").coalesce(1)
+        .write.format("pjparquet").mode("append").save(dir)
+    }
+    assert(spark.read.format("pjparquet").load(dir).count() == 3L)
+  }
+
   test("ADD validates existing rows; unresolvable predicates and dup names refuse") {
     val dir = tempDir("validate")
     Seq((1L, 10L), (2L, -20L)).toDF("id", "x").coalesce(1)

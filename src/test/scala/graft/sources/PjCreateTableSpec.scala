@@ -121,7 +121,7 @@ class PjCreateTableSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE pjt.`${freshPath("badpart")}` (id BIGINT, d DOUBLE) " +
         "USING pjparquet PARTITIONED BY (d)")
     }
-    assert(e.getMessage.contains("BIGINT or STRING"))
+    assert(e.getMessage.contains("BIGINT, STRING or DATE"))
   }
 
   test("TRUNCATE TABLE and CREATE OR REPLACE round the DDL surface out") {

@@ -680,6 +680,39 @@ class PjLogV2Spec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS pj_inc_ck")
   }
 
+  test("string stats envelopes are prefix-truncated to 32 bytes; pruning stays sound") {
+    import spark.implicits._
+    val dir = tempDir("stattrunc")
+    // three files with 100-byte string values around distinct prefixes:
+    // parquet stores these bounds IN FULL in the chunk stats (its own
+    // drop guard only kicks in at multi-KB), so without the envelope cap
+    // every log entry and checkpoint row would carry them verbatim
+    val pad = "x" * 100
+    writeLogged(Seq(("aaa" + pad, 1L)).toDF("text", "id").coalesce(1), dir)
+    writeLogged(Seq(("mmm" + pad, 2L)).toDF("text", "id").coalesce(1), dir)
+    writeLogged(Seq(("zzz" + pad, 3L)).toDF("text", "id").coalesce(1), dir)
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.entries.size == 3)
+    snap.entries.foreach { e =>
+      val ts = e.stats("text")
+      assert(ts.min.forall(_.length <= 32), s"min bound not truncated: ${ts.min.map(_.length)}")
+      assert(ts.max.forall(_.length <= 33), s"max bound not truncated: ${ts.max.map(_.length)}")
+      // the entry as a whole stays small — the 10 KB value must not ride it
+      assert(e.stats.values.flatMap(s => s.min ++ s.max).map(_.length).sum < 200)
+    }
+    // pruning is still SOUND and still effective: an equality on a prefix
+    // inside one file's range matches only that file; rows are never lost
+    val df = spark.read.format("pjparquet").load(dir)
+    assert(df.filter($"text".startsWith("mmm")).count() == 1L)
+    assert(df.count() == 3L)
+    // soundness of the rounded-up max: a predicate above every bound
+    // ("zz" < "zzz"+pad <= rounded max) still finds the row
+    assert(df.filter($"text" > "zz").count() == 1L)
+    // and effectiveness: the envelope still prunes disjoint ranges — a
+    // value below every file's min matches nothing (metadata-rate no)
+    assert(df.filter($"text" < "a").count() == 0L)
+  }
+
   test("parquet checkpoint cleans up on expiry and json-forced checkpoints still work") {
     val dir = tempDir("pqckpt_exp")
     val root = new Path(dir)
