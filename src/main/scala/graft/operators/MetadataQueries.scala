@@ -970,6 +970,107 @@ object MetadataQueries {
         .withColumn("ids_in_progression", lit(if (inProgression) 1L else 0L))
         .orderBy($"c_mktsegment")
     }),
+    "q155_row_tracking" -> ((s, dir) => {
+      import s.implicits._
+      // Stable row ids (round 13, Delta-style row tracking): appends mint
+      // disjoint `_row_id` ranges from a log watermark; a DV delete keeps
+      // survivors' ids; compaction MATERIALIZES ids so they survive the
+      // rewrite — and the change feed then skips that version at metadata
+      // rate (no multiset diff, no data scan). DuckDB recomputes the
+      // surviving row facts; the id-stability facts are engine-checked
+      // bits.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q155_rt").toString
+      val src = graft.Tables.supplier(s, dir)
+        .select($"s_suppkey".cast("long").as("k"), $"s_nationkey".cast("long").as("n"))
+      src.filter($"k" % 2 === 0).coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v1
+      src.filter($"k" % 2 === 1).coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(tmp) // v2
+      def ids(): Map[Long, Long] = s.read.format("pjparquet").load(tmp)
+        .selectExpr("k", "_row_id").as[(Long, Long)].collect().toMap
+      val before = ids()
+      s.conf.set("spark.sql.catalog.pj_q155", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"DROP TABLE IF EXISTS pj_q155_t")
+      s.sql(s"CREATE TABLE pj_q155_t USING pjparquet OPTIONS (path '$tmp')")
+      s.sql("DELETE FROM pj_q155_t WHERE k % 7 = 0") // v3: deletion vector
+      val afterDelete = ids()
+      val dvKeptIds = afterDelete.forall { case (k, rid) => before(k) == rid }
+      graft.sources.pjparquet.PjCompaction.compact(
+        s, tmp, targetBytes = 512L * 1024 * 1024) // v4: id-preserving rewrite
+      val afterCompact = ids()
+      val compactKeptIds = afterCompact == afterDelete
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val head = graft.sources.pjparquet.PjCommitLog.versions(fs, root).last
+      val preserved = graft.sources.pjparquet.PjCommitLog.delta(fs, root, head).preservedRows
+      val cdf = graft.sources.pjparquet.PjChangeFeed.changesAt(s, tmp, head)
+      val cdfEmptyNoScan = cdf.count() == 0L && {
+        val plan = cdf.queryExecution.executedPlan.toString
+        !plan.toLowerCase.contains("pjparquet") || plan.contains("Empty")
+      }
+      val uniqueIds = afterCompact.values.toSeq.distinct.size == afterCompact.size
+      s.sql(s"DROP TABLE IF EXISTS pj_q155_t")
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"n")
+        .agg(count(lit(1)).as("n_supp"), sum($"k").as("key_sum"))
+        .withColumn("dv_kept_ids", lit(if (dvKeptIds) 1L else 0L))
+        .withColumn("compact_kept_ids", lit(if (compactKeptIds) 1L else 0L))
+        .withColumn("compact_preserved_rows", lit(if (preserved) 1L else 0L))
+        .withColumn("compact_cdf_empty_no_scan", lit(if (cdfEmptyNoScan) 1L else 0L))
+        .withColumn("ids_unique", lit(if (uniqueIds) 1L else 0L))
+        .orderBy($"n")
+    }),
+    "q154_partition_evolution" -> ((s, dir) => {
+      import s.implicits._
+      // Partition-spec evolution (round 13 — Iceberg-style, via SET
+      // TBLPROPERTIES on pj.partition.columns): a lang-partitioned
+      // documents table evolves to (lang, era) for FUTURE writes; the
+      // old generation's rows read era as NULL, both generations prune,
+      // and the guards refuse silent-NULL evolutions. DuckDB recomputes
+      // the union (old rows with NULL era, new with era=1).
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q154_pevo")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      s.conf.set("spark.sql.catalog.pj_q154", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q154.`$tmp` (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+        "USING pjparquet PARTITIONED BY (lang)")
+      graft.Tables.documents(s, dir)
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars"))
+        .write.format("pjparquet").mode("append").save(tmp) // old generation
+      s.sql(s"ALTER TABLE pj_q154.`$tmp` ADD COLUMN era BIGINT")
+      s.sql(s"ALTER TABLE pj_q154.`$tmp` SET TBLPROPERTIES " +
+        "('pj.partition.columns' = 'lang:string,era:bigint')")
+      graft.Tables.documents(s, dir)
+        .filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars"),
+          lit(1L).as("era"))
+        .write.format("pjparquet").mode("append").save(tmp) // new generation
+      // guard bit: adding a column live files store as DATA must refuse
+      val guardRefused =
+        try {
+          s.sql(s"ALTER TABLE pj_q154.`$tmp` SET TBLPROPERTIES " +
+            "('pj.partition.columns' = 'lang:string,era:bigint,n_chars:bigint')")
+          false
+        } catch { case e: Exception =>
+          Option(e.getMessage).exists(_.contains("DATA")) }
+      val t = s.read.format("pjparquet").load(tmp)
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        "pjparquet (\\d+) file\\(s\\)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1).toInt).getOrElse(-1)
+      // a predicate on the NEW key prunes the whole old generation
+      val total = planned(t.filter($"doc_id" >= 0L))
+      val newOnly = planned(t.filter($"era" === 1L))
+      t.groupBy($"lang", $"era")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"),
+          sum($"doc_id").as("id_sum"))
+        .withColumn("guard_refused", lit(if (guardRefused) 1L else 0L))
+        .withColumn("new_key_pruned_old_gen",
+          lit(if (newOnly > 0 && total > newOnly) 1L else 0L))
+        .orderBy($"lang", $"era")
+    }),
     "q152_protocol_features" -> ((s, dir) => {
       import s.implicits._
       // Table-features protocol (round 13, PjProtocol — the format's
@@ -1908,6 +2009,26 @@ object MetadataQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q155_row_tracking" ->
+      """SELECT s_nationkey AS n, count(*) AS n_supp,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS dv_kept_ids,
+        |       CAST(1 AS BIGINT) AS compact_kept_ids,
+        |       CAST(1 AS BIGINT) AS compact_preserved_rows,
+        |       CAST(1 AS BIGINT) AS compact_cdf_empty_no_scan,
+        |       CAST(1 AS BIGINT) AS ids_unique
+        |FROM supplier WHERE s_suppkey % 7 <> 0
+        |GROUP BY n ORDER BY n""".stripMargin,
+    "q154_partition_evolution" ->
+      """SELECT lang,
+        |       CASE WHEN doc_id % 2 = 1 THEN 1 END AS era,
+        |       count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(1 AS BIGINT) AS guard_refused,
+        |       CAST(1 AS BIGINT) AS new_key_pruned_old_gen
+        |FROM documents
+        |GROUP BY lang, era ORDER BY lang, era""".stripMargin,
     "q152_protocol_features" ->
       """SELECT n_regionkey, count(*) AS n_nations,
         |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,

@@ -152,7 +152,8 @@ final class PjWriteBuilder(
       layout.flatMap(_.dataSchema), info.schema(), partitionKeys)
     new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
       bloomColumns, sortColumns, logRequested, cdcEnabled, nameMap,
-      augment, layout.flatMap(_.logVersion), clusterKeys)
+      augment, layout.flatMap(_.logVersion), clusterKeys,
+      constraintsJson = layout.flatMap(_.constraintsJson))
   }
 }
 
@@ -173,7 +174,12 @@ final class PjWrite(
       * the partition keys with absent GENERATED keys replaced by their
       * generation expressions' base columns ([[PjGenerated.clusterKeys]]).
       */
-    clusterKeys: Seq[String] = Nil)
+    clusterKeys: Seq[String] = Nil,
+    /** Recorded CHECK constraints — enforced by the STREAMING sink's own
+      * epoch writers ([[PjConstraints.boundChecks]]); batch plans get
+      * Spark's `CheckInvariant` via `Table.constraints()` instead.
+      */
+    constraintsJson: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
@@ -223,7 +229,8 @@ final class PjWrite(
           "(per-epoch watermark allocation would race); provide the column " +
           "values in the stream")
     new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns,
-      sortColumns, logRequested, augment = augment, nameMap = nameMap)
+      sortColumns, logRequested, augment = augment, nameMap = nameMap,
+      constraintsJson = constraintsJson)
   }
 }
 
@@ -236,7 +243,8 @@ final class PjStreamingWrite(
     sortColumns: Seq[String] = Nil,
     logRequested: Boolean = false,
     augment: Option[PjGenerated.Augment] = None,
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    constraintsJson: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -248,9 +256,15 @@ final class PjStreamingWrite(
       effectiveSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
         .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
+    // CHECK constraints: bound here (driver, stream start — unresolvable
+    // predicates fail loudly before any epoch) against the POST-augment
+    // schema, enforced per row in the epoch writers. Batch writes get
+    // Spark's own CheckInvariant; the micro-batch sink plan does not.
+    val checks = PjConstraints.boundChecks(
+      spark, PjConstraints.parse(constraintsJson), effectiveSchema)
     PjStreamingDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), effectiveSchema.json, partitionKeys,
-      queryId, augment)
+      queryId, augment, checks)
   }
 
   /** Deletes this epoch's non-kept (failed-attempt) files; returns the rel
@@ -333,7 +347,8 @@ final case class PjStreamingDataWriterFactory(
     writeSchemaJson: String,
     partitionKeys: Seq[String],
     queryId: String,
-    augment: Option[PjGenerated.Augment] = None)
+    augment: Option[PjGenerated.Augment] = None,
+    checks: Seq[PjConstraints.BoundCheck] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(
@@ -342,9 +357,20 @@ final case class PjStreamingDataWriterFactory(
     // deterministic in (query, epoch, partition): epoch replays OVERWRITE
     val inner = new PjDataWriter(root, conf.value, schema, partitionKeys,
       fileTag = f"$partitionId%05d-e$epochId-$queryId", overwriteExisting = true)
+    // constraints check POST-augment rows (they may reference generated
+    // columns): data writer <- checker <- augmenter
+    val checked = if (checks.isEmpty) inner else PjConstraints.checkingWriter(inner, checks)
     augment match {
-      case None => inner
-      case Some(a) => PjBatchWrite.augmentingWriter(inner, a, partitionId)
+      case None => checked
+      case Some(a) =>
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(a.exprs)
+        proj.initialize(partitionId)
+        new DataWriter[InternalRow] {
+          override def write(record: InternalRow): Unit = checked.write(proj(record))
+          override def commit(): WriterCommitMessage = checked.commit()
+          override def abort(): Unit = checked.abort()
+          override def close(): Unit = checked.close()
+        }
     }
   }
 }

@@ -537,9 +537,22 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       case s: TableChange.SetProperty =>
         PjTableProperties.validate(s.property(), s.value())
         val key = PjTableProperties.canonicalKey(s.property())
+        // PARTITION EVOLUTION rides this lane (Iceberg-style: the new
+        // spec applies to FUTURE writes; existing files keep their
+        // generation and scans align values by name) — guarded so an
+        // evolution can never silently change what existing rows read
+        if (key == PjTableProperties.PartitionColumns)
+          validatePartitionEvolution(path, snap, s.value())
         props = props - key + (key -> s.value())
       case r: TableChange.RemoveProperty =>
-        props = props - PjTableProperties.canonicalKey(r.property())
+        val key = PjTableProperties.canonicalKey(r.property())
+        if (key == PjTableProperties.PartitionColumns &&
+            snap.entries.exists(e => e.path.contains("=")))
+          throw new PJException(
+            s"$catalogName: cannot UNSET ${PjTableProperties.PartitionColumns} " +
+              s"on '$path' — live files are partitioned; dropping the " +
+              "partitioning requires rewriting the table")
+        props = props - key
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported property change $other")
@@ -547,6 +560,64 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     PjCommitLog.commit(fs, rootPath, "alter-properties", Nil, Set.empty,
       None, Some("alter"), propertiesJson = Some(PjTableProperties.render(props)))
     loadTable(ident)
+  }
+
+  /** Guard for `SET TBLPROPERTIES ('pj.partition.columns' = ...)` — the
+    * partition-evolution surface. Sound evolutions only:
+    *
+    *  - every CURRENT partition column stays, with its type (dropping or
+    *    retyping one would orphan existing directory values → rewrite);
+    *  - an ADDED column must not physically exist in any live data file
+    *    (its value for pre-evolution rows reads as NULL — fine for a new
+    *    column, silently wrong if files carry real data for it);
+    *  - entries without recorded column facts refuse conservatively.
+    */
+  private def validatePartitionEvolution(
+      path: String, snap: PjCommitLog.Snapshot, newValue: String): Unit = {
+    def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val newSpec = PjTableProperties.parsePartitionSpec(newValue)
+    val newByName = newSpec.map { case (n, t) => fold(n) -> t }.toMap
+    // current partitioning: declared if recorded, else derived from the
+    // live files' directory keys (path-based tables evolve too)
+    val declared = PjTableProperties.partitionColumns(snap.propertiesJson)
+    val currentCols: Seq[String] =
+      if (declared.nonEmpty) declared.map(_._1)
+      else snap.entries.headOption.toSeq.flatMap(e =>
+        e.path.split('/').dropRight(1).toSeq
+          .flatMap(_.split("=", 2) match {
+            case Array(k, _) if k.nonEmpty => Some(k)
+            case _ => None
+          }))
+    currentCols.foreach { c =>
+      if (!newByName.contains(fold(c)))
+        throw new PJException(
+          s"$catalogName: partition evolution on '$path' drops current " +
+            s"partition column '$c' — removing a partition column requires " +
+            "rewriting the table")
+      declared.find(d => fold(d._1) == fold(c)).foreach { case (_, t) =>
+        if (newByName(fold(c)) != t)
+          throw new PJException(
+            s"$catalogName: partition evolution on '$path' changes the type " +
+              s"of partition column '$c' — retyping requires rewriting the table")
+      }
+    }
+    val currentSet = currentCols.map(fold).toSet
+    val added = newSpec.map(_._1).filterNot(n => currentSet.contains(fold(n)))
+    if (added.nonEmpty) {
+      snap.entries.foreach { e =>
+        val cols = e.cols.getOrElse(throw new PJException(
+          s"$catalogName: partition evolution on '$path' needs log-recorded " +
+            s"column facts on every live file (file '${e.path}' has none) — " +
+            "rewrite or compact the table once"))
+        val present = added.filter(a => cols.exists(c => fold(c) == fold(a)))
+        if (present.nonEmpty)
+          throw new PJException(
+            s"$catalogName: partition evolution on '$path' adds column(s) " +
+              s"${present.mkString(", ")} that live file '${e.path}' stores as " +
+              "DATA — its rows would silently read NULL; rewrite the table " +
+              "into the new layout instead")
+      }
+    }
   }
 
   /** `CALL pj.system.<proc>(...)` — SQL-scriptable table maintenance

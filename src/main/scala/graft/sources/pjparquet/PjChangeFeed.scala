@@ -97,6 +97,15 @@ object PjChangeFeed {
         .entries.map(e => e.path -> e).toMap
     val prevFiles = prevEntries.keySet
     val d = PjCommitLog.delta(fs, rootPath, version)
+    // ROW TRACKING pure-move short-circuit: an id-preserving rewrite
+    // (compaction / OPTIMIZE that materialized every consumed row's
+    // stable id) recorded `preservedRows` — the version changed NO row,
+    // so the feed is empty at METADATA rate: no multiset diff, no data
+    // file is read (the plan below folds to an empty local relation)
+    if (d.preservedRows)
+      return spark.read.format("pjparquet").option("versionAsOf", version.toString)
+        .load(root).where(lit(false)).withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(version))
     val readded = d.add.map(_.path).toSet
     // idempotent replays may re-add an already-live path: not a change —
     // UNLESS the re-add changed the entry's DELETION VECTOR, in which case
@@ -154,7 +163,14 @@ object PjChangeFeed {
       rels: Seq[(String, Option[String])]): Option[DataFrame] =
     if (rels.isEmpty) None
     else {
-      val df = readByKeys(spark, rootQ, rels.map(_._1))
+      val df0 = readByKeys(spark, rootQ, rels.map(_._1))
+      // the hidden materialized row-id column (id-preserving rewrites) is
+      // engine-internal: never part of a change row, and its presence on
+      // only ONE side of a rewrite diff would break the union
+      val df =
+        if (df0.columns.exists(_.equalsIgnoreCase(PjCommitLog.RowIdColName)))
+          df0.drop(PjCommitLog.RowIdColName)
+        else df0
       // partition columns come from directory inference; align their
       // types with the pjparquet convention (LONG when every value
       // parses, else STRING) so the feed's schema matches table reads

@@ -99,14 +99,35 @@ object PjCommitLog {
       nested: Boolean = false,
       cols: Option[Seq[String]] = None,
       stats: Map[String, ColStat] = Map.empty,
-      dv: Option[DvRef] = None) {
+      dv: Option[DvRef] = None,
+      /** ROW TRACKING (Delta-style): first stable row id of this file —
+        * row i's id is `baseRowId + i` (the `_pos` space). Assigned by
+        * [[commit]] from the table's row-id watermark for fresh appends;
+        * -1 = untracked, OR the file MATERIALIZES ids as a physical
+        * `_pj_row_id` column (rewrites that preserve ids — see
+        * [[RowIdColName]]).
+        */
+      baseRowId: Long = -1L) {
     /** Plannable from the log alone (no sidecar/footer open needed). */
     def planned: Boolean = size >= 0 && rows >= 0 && rowGroups >= 0 && fingerprint.isDefined
     /** Zero-row-group parquet (legal, un-indexable, contributes no rows). */
     def isEmptyFile: Boolean = rows == 0 && rowGroups == 0
     /** Rows a read of this file actually delivers (physical − DV-deleted). */
     def liveRows: Long = if (rows < 0) rows else rows - dv.map(_.deleted).getOrElse(0L)
+    /** File stores row ids as the hidden [[RowIdColName]] physical column
+      * (an id-preserving rewrite wrote it).
+      */
+    def materializedRowIds: Boolean =
+      cols.exists(_.exists(_.equalsIgnoreCase(PjCommitLog.RowIdColName)))
+    /** Every row of this file has a stable id. */
+    def rowTracked: Boolean = baseRowId >= 0 || materializedRowIds
   }
+
+  /** Hidden physical column carrying MATERIALIZED row ids in rewritten
+    * files. Never part of a recorded data schema, so scans never request
+    * it as a user column; the `_row_id` metadata column serves it.
+    */
+  val RowIdColName = "_pj_row_id"
 
   /** Materialized state at a version (replayed checkpoint + delta tail).
     * `contentToken` is the on-disk size of the version's own log file —
@@ -145,7 +166,13 @@ object PjCommitLog {
         * and RESTORE never records the lane, so protection never
         * downgrades. Absent on pre-protocol tables (no enforcement).
         */
-      protocolJson: Option[String] = None) {
+      protocolJson: Option[String] = None,
+      /** Row-id high watermark (stringified long; ROW TRACKING): every
+        * id ever assigned is below it, so fresh assignments can never
+        * collide with ids preserved through rewrites. Monotone,
+        * maintained by [[commit]].
+        */
+      rowWatermark: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
   }
 
@@ -159,7 +186,13 @@ object PjCommitLog {
     */
   final case class Delta(
       version: Long, ts: Long, action: String, operation: Option[String],
-      add: Seq[FileEntry], remove: Seq[String], legacyFull: Boolean)
+      add: Seq[FileEntry], remove: Seq[String], legacyFull: Boolean,
+      /** The commit provably MOVED rows without changing any (an
+        * id-preserving compaction/OPTIMIZE): every consumed entry was
+        * row-tracked and every added file materializes the same ids —
+        * the change feed emits nothing for it, at metadata rate.
+        */
+      preservedRows: Boolean = false)
 
   def logDir(root: Path): Path = new Path(root, DirName)
 
@@ -304,6 +337,7 @@ object PjCommitLog {
         st.properties = base.propertiesJson
         st.tableStats = base.tableStatsJson
         st.protocol = base.protocolJson
+        st.rowWatermark = base.rowWatermark
         st.ts = base.ts
         st.action = base.action
         st.operation = base.operation
@@ -336,6 +370,7 @@ object PjCommitLog {
       st.properties = optText(node, "properties")
       st.tableStats = optText(node, "tableStats")
       st.protocol = optText(node, "protocol")
+      st.rowWatermark = optText(node, "rowWatermark")
       st.ts = node.path("ts").asLong(0L)
       st.action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -362,6 +397,7 @@ object PjCommitLog {
     var properties: Option[String] = None
     var tableStats: Option[String] = None
     var protocol: Option[String] = None
+    var rowWatermark: Option[String] = None
     var ts = 0L
     var action = "unknown"
     var operation: Option[String] = None
@@ -390,6 +426,7 @@ object PjCommitLog {
       optText(node, "properties").foreach(p => properties = Some(p))
       optText(node, "tableStats").foreach(t => tableStats = Some(t))
       optText(node, "protocol").foreach(p => protocol = Some(p))
+      optText(node, "rowWatermark").foreach(w => rowWatermark = Some(w))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
       operation = optText(node, "operation")
@@ -398,7 +435,8 @@ object PjCommitLog {
       Snapshot(version, action,
         entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation,
         constraintsJson = constraints, propertiesJson = properties,
-        tableStatsJson = tableStats, protocolJson = protocol)
+        tableStatsJson = tableStats, protocolJson = protocol,
+        rowWatermark = rowWatermark)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -423,7 +461,8 @@ object PjCommitLog {
       Delta(version, ts, action, optText(node, "operation"),
         nodeEntries(node, "add"),
         node.path("remove").elements().asScala.map(_.asText).toSeq,
-        legacyFull = false)
+        legacyFull = false,
+        preservedRows = node.path("preservedRows").asBoolean(false))
   }
 
   /** Commit a delta as `latest+1`: `add` entries become live, `remove`
@@ -458,7 +497,8 @@ object PjCommitLog {
       constraintsJson: Option[String] = None,
       propertiesJson: Option[String] = None,
       tableStatsJson: Option[String] = None,
-      exclusive: Boolean = false): Long = {
+      exclusive: Boolean = false,
+      preservedRows: Boolean = false): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -509,9 +549,27 @@ object PjCommitLog {
       val prevPaths = prev.map(_.files.toSet).getOrElse(Set.empty)
       val effectiveRemove = remove.intersect(prevPaths)
       val nLive = ((prevPaths -- effectiveRemove) ++ add.map(_.path)).size
-      val body = renderCommit(v, System.currentTimeMillis(), action, add,
+      // ROW TRACKING: assign each fresh fully-planned entry a disjoint
+      // [baseRowId, baseRowId + rows) id range from the table's watermark.
+      // Runs INSIDE the claim loop, so a rebased pure append re-assigns
+      // from the winner's advanced watermark — no id can be minted twice.
+      // Entries that MATERIALIZE ids (id-preserving rewrites) or lack a
+      // row count keep baseRowId = -1; the watermark still absorbs any
+      // explicitly pre-assigned ranges.
+      val prevWatermark = prev.flatMap(_.rowWatermark).map(_.toLong).getOrElse(0L)
+      var wm = prevWatermark
+      val trackedAdd = add.map { e =>
+        if (e.baseRowId >= 0) {
+          wm = math.max(wm, e.baseRowId + math.max(0L, e.rows)); e
+        } else if (e.rows >= 0 && !e.materializedRowIds) {
+          val b = wm; wm += e.rows; e.copy(baseRowId = b)
+        } else e
+      }
+      val watermarkOut: Option[String] =
+        if (wm != prevWatermark) Some(wm.toString) else None // lane persists otherwise
+      val body = renderCommit(v, System.currentTimeMillis(), action, trackedAdd,
         effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
-        propertiesJson, tableStatsJson, protocolJson)
+        propertiesJson, tableStatsJson, protocolJson, watermarkOut, preservedRows)
       if (publish(fs, commitFile(root, v), body)) {
         // cadence honors the table's recorded pj.checkpoint.interval —
         // this commit's own properties (when it sets them) win, else the
@@ -674,6 +732,7 @@ object PjCommitLog {
             h.properties.foreach(p => g.writeStringField("properties", p))
             h.tableStats.foreach(t => g.writeStringField("tableStats", t))
             h.protocol.foreach(p => g.writeStringField("protocol", p))
+            h.rowWatermark.foreach(w => g.writeStringField("rowWatermark", w))
             g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
             g.writeEndObject()
             g.flush()
@@ -703,6 +762,7 @@ object PjCommitLog {
       snap.propertiesJson.foreach(p => g.writeStringField("properties", p))
       snap.tableStatsJson.foreach(t => g.writeStringField("tableStats", t))
       snap.protocolJson.foreach(p => g.writeStringField("protocol", p))
+      snap.rowWatermark.foreach(w => g.writeStringField("rowWatermark", w))
       if (asParquet)
         g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
       else {
@@ -741,7 +801,9 @@ object PjCommitLog {
       // deletion vector (rel path + cardinality) — nullable, so checkpoints
       // written before the columns existed read back as no-vector entries
       StructField("dv", StringType, nullable = true),
-      StructField("dn", LongType, nullable = true)))
+      StructField("dn", LongType, nullable = true),
+      // row-tracking base id — nullable for the same reason
+      StructField("bi", LongType, nullable = true)))
   }
 
   private def entryRow(e: FileEntry): org.apache.spark.sql.Row =
@@ -754,7 +816,8 @@ object PjCommitLog {
         org.apache.spark.sql.Row(name, cs.physType, cs.nullCount, cs.min.orNull, cs.max.orNull)
       },
       e.dv.map(_.path).orNull,
-      e.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull)
+      e.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull,
+      if (e.baseRowId >= 0) java.lang.Long.valueOf(e.baseRowId) else null)
 
   /** Publish `df` as the checkpoint-entry dir for `v` (write-temp-then-
     * rename; losing the rename to a racer or a finished crash is fine).
@@ -802,7 +865,7 @@ object PjCommitLog {
       nFiles: Long, ts: Long, action: String,
       schema: Option[String], constraints: Option[String],
       properties: Option[String], tableStats: Option[String],
-      protocol: Option[String])
+      protocol: Option[String], rowWatermark: Option[String])
 
   private def incrementalParquetCheckpoint(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
@@ -819,6 +882,7 @@ object PjCommitLog {
     var properties = optText(prevNode, "properties")
     var tableStats = optText(prevNode, "tableStats")
     var protocol = optText(prevNode, "protocol")
+    var rowWatermark = optText(prevNode, "rowWatermark")
     var ts = 0L
     var action = "unknown"
     val touched = new java.util.LinkedHashSet[String]()
@@ -837,6 +901,7 @@ object PjCommitLog {
       optText(node, "properties").foreach(p => properties = Some(p))
       optText(node, "tableStats").foreach(t => tableStats = Some(t))
       optText(node, "protocol").foreach(p => protocol = Some(p))
+      optText(node, "rowWatermark").foreach(w => rowWatermark = Some(w))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -867,7 +932,8 @@ object PjCommitLog {
     }
     // exact live-file count, metadata-rate (parquet footer row counts)
     val nFiles = spark.read.schema(CkptEntrySchema).parquet(dir.toString).count()
-    Some(CkptHeader(nFiles, ts, action, schema, constraints, properties, tableStats, protocol))
+    Some(CkptHeader(nFiles, ts, action, schema, constraints, properties, tableStats,
+      protocol, rowWatermark))
   }
 
   /** Entries of a parquet-backed checkpoint, read through the engine. */
@@ -896,7 +962,8 @@ object PjCommitLog {
         if (row.isNullAt(6)) None else Some(row.getSeq[String](6).toList),
         stats,
         if (row.isNullAt(8)) None
-        else Some(DvRef(row.getString(8), if (row.isNullAt(9)) 0L else row.getLong(9))))
+        else Some(DvRef(row.getString(8), if (row.isNullAt(9)) 0L else row.getLong(9))),
+        baseRowId = if (row.length <= 10 || row.isNullAt(10)) -1L else row.getLong(10))
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
@@ -1209,7 +1276,9 @@ object PjCommitLog {
       constraintsJson: Option[String] = None,
       propertiesJson: Option[String] = None,
       tableStatsJson: Option[String] = None,
-      protocolJson: Option[String] = None): String = {
+      protocolJson: Option[String] = None,
+      rowWatermark: Option[String] = None,
+      preservedRows: Boolean = false): String = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1222,6 +1291,8 @@ object PjCommitLog {
     propertiesJson.foreach(p => node.put("properties", p))
     tableStatsJson.foreach(t => node.put("tableStats", t))
     protocolJson.foreach(p => node.put("protocol", p))
+    rowWatermark.foreach(w => node.put("rowWatermark", w))
+    if (preservedRows) node.put("preservedRows", true)
     val addArr = node.putArray("add")
     add.foreach(e => addArr.add(entryNode(mapper, e)))
     val rmArr = node.putArray("remove")
@@ -1256,6 +1327,7 @@ object PjCommitLog {
       n.put("dv", d.path)
       n.put("dn", d.deleted)
     }
+    if (e.baseRowId >= 0) n.put("bi", e.baseRowId)
     n
   }
 
@@ -1279,7 +1351,8 @@ object PjCommitLog {
       n.path("n").asBoolean(false),
       Option(n.get("c")).map(_.elements().asScala.map(_.asText).toSeq),
       stats,
-      Option(n.get("dv")).map(d => DvRef(d.asText, n.path("dn").asLong(0L))))
+      Option(n.get("dv")).map(d => DvRef(d.asText, n.path("dn").asLong(0L))),
+      baseRowId = n.path("bi").asLong(-1L))
   }
 
   private def nodeEntries(node: JsonNode, field: String): Seq[FileEntry] =

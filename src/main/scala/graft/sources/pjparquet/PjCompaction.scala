@@ -52,6 +52,59 @@ object PjCompaction {
     * with executor-cached decoded vectors. Used by [[compact]] and
     * [[optimize]] — the rewrites that MATERIALIZE vectors away.
     */
+  /** Raw-read data files that may span partitioning GENERATIONS (an
+    * in-flight partition-spec evolution): Spark's directory inference
+    * refuses mixed key sets under one basePath, so group the files by
+    * their directory key sequence, read each generation separately, and
+    * union by name — a generation's missing partition columns null-fill,
+    * which is exactly their row-level semantics.
+    */
+  private def readGenerations(
+      spark: SparkSession,
+      hconf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path, rootUri: String, files: Seq[DataFile],
+      dvByRel: Map[String, String],
+      mergeSchema: Boolean,
+      /** ROW TRACKING (Some = materialize): canonical file path →
+        * baseRowId for entries whose ids are positional; rewritten rows
+        * carry their stable id in the hidden [[PjCommitLog.RowIdColName]]
+        * column (already-materialized inputs pass it through; untracked
+        * inputs yield null).
+        */
+      rowIdBases: Option[Map[String, Long]] = None): org.apache.spark.sql.DataFrame = {
+    def keySeq(f: DataFile): Seq[String] = {
+      val rel = PjCommitLog.relativize(fs, rootPath, new Path(f.path))
+      PjBatchWrite.relDirOf(rel).split("/").iterator.filter(_.nonEmpty)
+        .flatMap(_.split("=", 2) match {
+          case Array(k, _) if k.nonEmpty => Some(k)
+          case _ => None
+        }).toSeq
+    }
+    // the DV filter and row-id derivation read `_metadata` columns, which
+    // do not survive a Union — apply both per generation group BEFORE
+    // unioning
+    files.groupBy(keySeq).toSeq.sortBy(_._1.mkString("/")).map { case (_, grp) =>
+      val r = spark.read.option("basePath", rootUri)
+      val raw0 = (if (mergeSchema) r.option("mergeSchema", "true") else r)
+        .parquet(grp.map(_.path): _*)
+      val raw = rowIdBases match {
+        case None => raw0
+        case Some(bases) =>
+          val bb = spark.sparkContext.broadcast(bases)
+          val baseOf = udf((f: String) => bb.value.get(PjChangeFeed.canonScanPath(f)))
+          val existing =
+            if (raw0.columns.exists(_.equalsIgnoreCase(PjCommitLog.RowIdColName)))
+              col(PjCommitLog.RowIdColName)
+            else lit(null).cast("long")
+          raw0.withColumn(PjCommitLog.RowIdColName,
+            coalesce(existing,
+              baseOf(col("_metadata.file_path")) + col("_metadata.row_index")))
+      }
+      applyDvFilter(spark, hconf, fs, rootPath, rootUri, grp, dvByRel, raw)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private def applyDvFilter(
       spark: SparkSession,
       hconf: org.apache.hadoop.conf.Configuration,
@@ -167,22 +220,49 @@ object PjCompaction {
     // basePath recovers Hive partition columns, so the rewrite reproduces
     // the key=value layout; the files themselves (like the inputs) do not
     // store the partition columns. Partition column NAMES come from the
-    // directory layout itself (in path order).
-    val partCols: Seq[String] = {
-      val rel = PjCommitLog.relativize(fs, rootPath, new Path(consumed.head.path))
-      PjBatchWrite.relDirOf(rel).split("/").iterator.filter(_.nonEmpty)
-        .flatMap(_.split("=", 2) match {
-          case Array(k, _) if k.nonEmpty => Some(k)
-          case _ => None
-        }).toSeq
+    // table's DECLARED partitioning when recorded (so a compaction across
+    // an in-flight partition-spec evolution rewrites into the CURRENT
+    // spec, unifying the layout), else from the directory layout itself.
+    val declaredPartCols: Seq[String] =
+      PjTableProperties.partitionColumns(prevSnap.flatMap(_.propertiesJson)).map(_._1)
+    val partCols: Seq[String] =
+      if (declaredPartCols.nonEmpty) declaredPartCols
+      else {
+        val rel = PjCommitLog.relativize(fs, rootPath, new Path(consumed.head.path))
+        PjBatchWrite.relDirOf(rel).split("/").iterator.filter(_.nonEmpty)
+          .flatMap(_.split("=", 2) match {
+            case Array(k, _) if k.nonEmpty => Some(k)
+            case _ => None
+          }).toSeq
+      }
+    // ROW TRACKING: a logged, schema-recorded table's rewrite preserves
+    // stable row ids by materializing them into the hidden id column;
+    // the commit is then a provable pure-move for the change feed
+    val rootKey = PjChangeFeed.canonScanPath(rootUri)
+    val entryByRel: Map[String, PjCommitLog.FileEntry] =
+      prevSnap.toSeq.flatMap(_.entries).map(e => e.path -> e).toMap
+    val materializeIds = logging && prevSnap.exists(_.dataSchemaJson.isDefined)
+    val rowIdBases: Option[Map[String, Long]] =
+      if (!materializeIds) None
+      else Some(entryByRel.collect {
+        case (rel, e) if e.baseRowId >= 0 => s"$rootKey/$rel" -> e.baseRowId
+      })
+    val rawGen = readGenerations(spark, hconf, fs, rootPath, rootUri, consumed,
+      dvByRel, mergeSchema = true, rowIdBases)
+    // a generation that predates an ADDED partition column may be the only
+    // one consumed — surface the column as typed nulls so the select below
+    // and partitionBy still resolve
+    val raw0 = partCols.filterNot(pc =>
+      rawGen.columns.exists(_.equalsIgnoreCase(pc))).foldLeft(rawGen) { (df, pc) =>
+      val t = PjTableProperties.partitionColumns(prevSnap.flatMap(_.propertiesJson))
+        .find(_._1.equalsIgnoreCase(pc)).map(_._2)
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      df.withColumn(pc, lit(null).cast(t))
     }
-    val raw0 = spark.read.option("basePath", rootUri)
-      .option("mergeSchema", "true")
-      .parquet(consumed.map(_.path): _*)
-    // deletion vectors apply DURING the rewrite: consumed files' deleted
-    // positions never reach the replacement files (merge-on-read
-    // materialization — the rewrite IS the purge)
-    val raw = applyDvFilter(spark, hconf, fs, rootPath, rootUri, consumed, dvByRel, raw0)
+    // deletion vectors already applied DURING the per-generation read
+    // (readGenerations): consumed files' deleted positions never reach
+    // the replacement files — the rewrite IS the purge
+    val raw = raw0
     // logged tables rewrite through the RECORDED schema: a compacted file
     // sheds dropped columns' bytes (Delta REORG PURGE semantics — re-ADD
     // of the name becomes legal again), upcasts type-widened columns to
@@ -196,14 +276,21 @@ object PjCompaction {
         val have = raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         // column mapping: files store PHYSICAL names — select by the
         // field's physical name and KEEP it, so compacted files stay
-        // physically uniform with the rest of the table
-        val dataSel = ds.fields.toSeq.map { f =>
+        // physically uniform with the rest of the table. DECLARED
+        // partition fields may ride the recorded schema (their metadata
+        // carries generation expressions) but are directory values, not
+        // file columns — the partCols tail serves them.
+        val dataSel = ds.fields.toSeq
+          .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+          .map { f =>
           val phys = PjColumnMapping.physicalName(f)
           if (have(phys.toLowerCase(java.util.Locale.ROOT)))
             col(phys).cast(f.dataType).as(phys)
           else lit(null).cast(f.dataType).as(phys)
         }
-        raw.select(dataSel ++ partCols.map(col): _*)
+        val idTail =
+          if (materializeIds) Seq(col(PjCommitLog.RowIdColName)) else Nil
+        raw.select(dataSel ++ idTail ++ partCols.map(col): _*)
       case None => raw
     }
 
@@ -271,9 +358,17 @@ object PjCompaction {
         val consumedRel = consumed.map(f =>
           PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
         val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
+        // pure-move proof: every consumed entry was row-tracked and the
+        // rewrite materialized the SAME ids — the change feed may then
+        // skip this version outright (no diff, no scan)
+        val preserved = materializeIds && consumed.nonEmpty && consumed.forall { f =>
+          entryByRel.get(PjCommitLog.relativize(fs, rootPath, new Path(f.path)))
+            .exists(_.rowTracked)
+        }
         prevSnap match {
           case Some(_) =>
-            PjCommitLog.commit(fs, rootPath, "compact", addEntries, consumedRel)
+            PjCommitLog.commit(fs, rootPath, "compact", addEntries, consumedRel,
+              preservedRows = preserved)
           case None =>
             // first logged commit: adopt the untouched survivors
             val adopted = all.filterNot(f => consumed.contains(f))
@@ -356,10 +451,26 @@ object PjCompaction {
 
     val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)
       .flatMap(e => e.dv.map(d => e.path -> d.path)).toMap
-    val df0 = spark.read.option("basePath", rootUri).parquet(all.map(_.path): _*)
-    val df = applyDvFilter(spark, hconf, fs, rootPath, rootUri, all, dvByRel, df0)
+    // ROW TRACKING: materialize stable ids through the rewrite (mergeSchema
+    // on: earlier compactions may have materialized ids into SOME files)
+    val rootKey = PjChangeFeed.canonScanPath(rootUri)
+    val entryByRel: Map[String, PjCommitLog.FileEntry] =
+      prevSnap.toSeq.flatMap(_.entries).map(e => e.path -> e).toMap
+    val materializeIds = logging && prevSnap.exists(_.dataSchemaJson.isDefined)
+    val rowIdBases: Option[Map[String, Long]] =
+      if (!materializeIds) None
+      else Some(entryByRel.collect {
+        case (rel, e) if e.baseRowId >= 0 => s"$rootKey/$rel" -> e.baseRowId
+      })
+    // mergeSchema only when ids materialize: earlier compactions may have
+    // written the hidden id column into SOME files (logged tables only);
+    // unlogged reads keep the exact pre-row-tracking plan
+    val df = readGenerations(spark, hconf, fs, rootPath, rootUri, all,
+      dvByRel, mergeSchema = materializeIds, rowIdBases)
     val dataCols = spark.read.parquet(all.head.path).columns.toSeq
-    val partCols = df.columns.filterNot(dataCols.contains).toSeq
+      .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
+    val partCols = df.columns.filterNot(dataCols.contains)
+      .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName)).toSeq
     // column mapping: user-facing zorder columns are LOGICAL; the raw
     // file read carries PHYSICAL names
     val zorderPhys = {
@@ -405,8 +516,12 @@ object PjCompaction {
         val consumedRel = all.map(f =>
           PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
         val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
+        val preserved = materializeIds && all.nonEmpty &&
+          all.forall(f => entryByRel.get(
+            PjCommitLog.relativize(fs, rootPath, new Path(f.path))).exists(_.rowTracked))
         if (prevSnap.isDefined)
-          PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, consumedRel)
+          PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, consumedRel,
+            preservedRows = preserved)
         else // every live file was consumed: the rewrite IS the first snapshot
           PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, Set.empty)
       } else all.foreach { f =>

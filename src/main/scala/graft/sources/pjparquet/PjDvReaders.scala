@@ -100,6 +100,29 @@ private final class PositionCursor(rgStartRows: Array[Long], rgRows: Array[Long]
   }
 }
 
+/** All-null LONG column (the `_row_id` of untracked rows). */
+final class PjNullLongVector extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = true
+  override def numNulls: Int = -1
+  override def isNullAt(i: Int): Boolean = true
+  override def getLong(i: Int): Long = 0L
+  private def nope: Nothing =
+    throw new UnsupportedOperationException("null LONG column")
+  override def getBoolean(i: Int): Boolean = nope
+  override def getByte(i: Int): Byte = nope
+  override def getShort(i: Int): Short = nope
+  override def getInt(i: Int): Int = nope
+  override def getFloat(i: Int): Float = nope
+  override def getDouble(i: Int): Double = nope
+  override def getArray(i: Int): ColumnarArray = nope
+  override def getMap(i: Int): ColumnarMap = nope
+  override def getDecimal(i: Int, p: Int, s: Int) = nope
+  override def getUTF8String(i: Int) = nope
+  override def getBinary(i: Int): Array[Byte] = nope
+  override def getChild(j: Int): ColumnVector = nope
+}
+
 object PjPositionAwareReader {
   /** Physical row counts of the split's row groups, aligned with the
     * materialized (already split-filtered) footer's block order.
@@ -116,26 +139,58 @@ final class PjPositionAwareColumnarReader(
     rgStartRows: Array[Long],
     rgRows: Array[Long],
     dv: Array[Long],
-    posOrdinal: Int)
+    posOrdinal: Int,
+    /** `_row_id` slot ordinal in the INNER batch (−1 = not requested). */
+    rowIdOrdinal: Int = -1,
+    /** Inner ordinal of the hidden materialized `_pj_row_id` data column
+      * (valid whenever rowIdOrdinal >= 0) — always DROPPED from the
+      * emitted batch; aliased into the slot when `rowIdFromColumn`.
+      */
+    hiddenOrdinal: Int = -1,
+    baseRowId: Long = -1L,
+    rowIdFromColumn: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
 
   private val cursor = new PositionCursor(rgStartRows, rgRows)
   private var out: ColumnarBatch = _
 
+  /** Output batch: inner columns with `_pos`/`_row_id` slots substituted
+    * and the hidden id column removed. `sel == null` = whole batch kept.
+    */
+  private def emit(b: ColumnarBatch, start: Long, sel: Array[Int]): ColumnarBatch = {
+    val n = if (sel == null) b.numRows() else sel.length
+    if (posOrdinal < 0 && rowIdOrdinal < 0 && sel == null) return b
+    def positions(): Array[Long] =
+      if (sel == null) Array.tabulate(n)(i => start + i)
+      else Array.tabulate(n)(j => start + sel(j))
+    def slotVector(c: Int): ColumnVector =
+      if (c == posOrdinal) new PjPositionVector(positions())
+      else if (c == rowIdOrdinal) {
+        if (rowIdFromColumn) {
+          val src = b.column(hiddenOrdinal)
+          if (sel == null) src else new PjSelectedVector(src, sel)
+        } else if (baseRowId >= 0) {
+          val p = positions()
+          var j = 0
+          while (j < p.length) { p(j) += baseRowId; j += 1 }
+          new PjPositionVector(p)
+        } else new PjNullLongVector
+      } else if (sel == null) b.column(c)
+      else new PjSelectedVector(b.column(c), sel)
+    val keep = (0 until b.numCols()).filter(c => rowIdOrdinal < 0 || c != hiddenOrdinal)
+    new ColumnarBatch(keep.map(slotVector).toArray, n)
+  }
+
   override def next(): Boolean = {
     while (inner.nextKeyValue()) {
       val b = inner.getCurrentValue.asInstanceOf[ColumnarBatch]
       val n = b.numRows()
-      if (n == 0) { out = b; return true }
+      if (n == 0) { out = emit(b, 0L, null); return true }
       val start = cursor.advance(n)
       val deletedHere =
         if (dv.isEmpty) 0 else PjDeletionVector.countInRange(dv, start, start + n)
       if (deletedHere == 0) {
-        if (posOrdinal < 0) out = b
-        else {
-          val positions = Array.tabulate(n)(i => start + i)
-          out = replaceColumn(b, posOrdinal, new PjPositionVector(positions), n)
-        }
+        out = emit(b, start, null)
         return true
       }
       if (deletedHere < n) {
@@ -148,26 +203,12 @@ final class PjPositionAwareColumnarReader(
           else { sel(k) = i; k += 1 }
           i += 1
         }
-        val cols = Array.tabulate(b.numCols()) { c =>
-          if (c == posOrdinal) {
-            val positions = new Array[Long](sel.length)
-            var j = 0
-            while (j < sel.length) { positions(j) = start + sel(j); j += 1 }
-            new PjPositionVector(positions): ColumnVector
-          } else new PjSelectedVector(b.column(c), sel): ColumnVector
-        }
-        out = new ColumnarBatch(cols, sel.length)
+        out = emit(b, start, sel)
         return true
       }
       // whole batch deleted: keep scanning
     }
     false
-  }
-
-  private def replaceColumn(
-      b: ColumnarBatch, ord: Int, v: ColumnVector, n: Int): ColumnarBatch = {
-    val cols = Array.tabulate(b.numCols())(c => if (c == ord) v else b.column(c))
-    new ColumnarBatch(cols, n)
   }
 
   override def get(): ColumnarBatch = out
@@ -182,7 +223,15 @@ final class PjPositionAwareRowReader(
     rgStartRows: Array[Long],
     rgRows: Array[Long],
     dv: Array[Long],
-    posOrdinal: Int)
+    posOrdinal: Int,
+    rowIdOrdinal: Int = -1,
+    hiddenOrdinal: Int = -1,
+    baseRowId: Long = -1L,
+    rowIdFromColumn: Boolean = false,
+    /** Inner-row field types (needed to rebuild rows dropping the hidden
+      * id column); only consulted when rowIdOrdinal >= 0.
+      */
+    fieldTypes: Array[DataType] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val cursor = new PositionCursor(rgStartRows, rgRows)
@@ -195,7 +244,30 @@ final class PjPositionAwareRowReader(
       if (dv.isEmpty || !PjDeletionVector.contains(dv, pos)) {
         val r = inner.getCurrentValue.asInstanceOf[InternalRow]
         current =
-          if (posOrdinal < 0) r
+          if (rowIdOrdinal >= 0) {
+            // rebuild without the hidden id column, filling both slots
+            val rowId: Any =
+              if (rowIdFromColumn) {
+                if (r.isNullAt(hiddenOrdinal)) null else r.getLong(hiddenOrdinal)
+              } else if (baseRowId >= 0) baseRowId + pos
+              else null
+            val out = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(r.numFields - 1)
+            var i = 0; var j = 0
+            while (i < r.numFields) {
+              if (i != hiddenOrdinal) {
+                val v: Any =
+                  if (i == posOrdinal) pos
+                  else if (i == rowIdOrdinal) rowId
+                  else if (r.isNullAt(i)) null
+                  else r.get(i, fieldTypes(i))
+                out.update(j, v)
+                j += 1
+              }
+              i += 1
+            }
+            out
+          } else if (posOrdinal < 0) r
           else { val c = r.copy(); c.setLong(posOrdinal, pos); c }
         return true
       }

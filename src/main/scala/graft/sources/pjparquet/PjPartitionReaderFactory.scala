@@ -34,7 +34,14 @@ final case class PjPartitionReaderFactory(
       * schema (−1 = not requested): the reader overwrites its placeholder
       * constant with generated file-absolute positions.
       */
-    posPartOrdinal: Int = -1)
+    posPartOrdinal: Int = -1,
+    /** Ordinal of the `_row_id` metadata column within the
+      * partition/constant schema (−1 = not requested). When requested,
+      * `requiredSchema`'s LAST field is the hidden materialized id column
+      * ([[PjCommitLog.RowIdColName]]) — lifted into the slot or replaced
+      * by baseRowId + position, then dropped from the output.
+      */
+    rowIdPartOrdinal: Int = -1)
     extends PartitionReaderFactory {
 
   @transient private lazy val requiredSchema =
@@ -48,6 +55,13 @@ final case class PjPartitionReaderFactory(
   /** Batch ordinal of `_pos`: data columns precede the constants. */
   private def posBatchOrdinal: Int =
     if (posPartOrdinal < 0) -1 else requiredSchema.size + posPartOrdinal
+
+  private def rowIdBatchOrdinal: Int =
+    if (rowIdPartOrdinal < 0) -1 else requiredSchema.size + rowIdPartOrdinal
+
+  /** Inner ordinal of the hidden materialized id column (last data col). */
+  private def hiddenRowIdOrdinal: Int =
+    if (rowIdPartOrdinal < 0) -1 else requiredSchema.size - 1
 
   private def openReader(p: PjInputPartition, returningBatch: Boolean)
       : (VectorizedParquetRecordReader, org.apache.parquet.hadoop.metadata.ParquetMetadata) = {
@@ -114,21 +128,26 @@ final case class PjPartitionReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PjInputPartition]
     val (reader, footer) = openReader(p, returningBatch = false)
-    if (p.dvPath.isEmpty && posPartOrdinal < 0)
+    if (p.dvPath.isEmpty && posPartOrdinal < 0 && rowIdPartOrdinal < 0)
       new PartitionReader[InternalRow] {
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
         override def close(): Unit = reader.close()
       }
-    else
+    else {
+      val types: Array[DataType] =
+        if (rowIdPartOrdinal < 0) Array.empty
+        else (requiredSchema.fields ++ partSchema.fields).map(_.dataType)
       new PjPositionAwareRowReader(reader, p.rgStartRows,
-        PjPositionAwareReader.rgRowsOf(footer), dvOf(p), posBatchOrdinal)
+        PjPositionAwareReader.rgRowsOf(footer), dvOf(p), posBatchOrdinal,
+        rowIdBatchOrdinal, hiddenRowIdOrdinal, p.baseRowId, p.rowIdFromColumn, types)
+    }
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[PjInputPartition]
     val (reader, footer) = openReader(p, returningBatch = true)
-    if (p.dvPath.isEmpty && posPartOrdinal < 0)
+    if (p.dvPath.isEmpty && posPartOrdinal < 0 && rowIdPartOrdinal < 0)
       new PartitionReader[ColumnarBatch] {
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
@@ -136,6 +155,7 @@ final case class PjPartitionReaderFactory(
       }
     else
       new PjPositionAwareColumnarReader(reader, p.rgStartRows,
-        PjPositionAwareReader.rgRowsOf(footer), dvOf(p), posBatchOrdinal)
+        PjPositionAwareReader.rgRowsOf(footer), dvOf(p), posBatchOrdinal,
+        rowIdBatchOrdinal, hiddenRowIdOrdinal, p.baseRowId, p.rowIdFromColumn)
   }
 }

@@ -740,10 +740,16 @@ class PjScanBuilder(
     def isPosMeta(f: org.apache.spark.sql.types.StructField): Boolean =
       fold(f.name) == PjParquetTable.PosMetaName && !isPart(f) &&
         !fileSchema.fieldNames.exists(n => fold(n) == fold(f.name))
+    // `_row_id` metadata column: per-ROW like `_pos` (placeholder in the
+    // constants lane, filled by the position-aware reader from
+    // baseRowId + pos or the hidden materialized column)
+    def isRowIdMeta(f: org.apache.spark.sql.types.StructField): Boolean =
+      fold(f.name) == PjParquetTable.RowIdMetaName && !isPart(f) &&
+        !fileSchema.fieldNames.exists(n => fold(n) == fold(f.name))
     val dataRequired = StructType(requiredSchema.fields.filterNot(f =>
-      isPart(f) || isFileMeta(f) || isPosMeta(f)))
+      isPart(f) || isFileMeta(f) || isPosMeta(f) || isRowIdMeta(f)))
     val partRequired = StructType(requiredSchema.fields.filter(f =>
-      isPart(f) || isFileMeta(f) || isPosMeta(f)))
+      isPart(f) || isFileMeta(f) || isPosMeta(f) || isRowIdMeta(f)))
     val scan = new PjScan(
       survivingFiles, fileSchema, dataRequired,
       layout.partitionSchema, partRequired, explicitRgs,
@@ -760,12 +766,16 @@ class PjScanBuilder(
       topNRows = pushedTopN,
       nameMap = nameMap,
       tableStatsJson = layout.tableStatsJson)
-    if (rowLevel) {
+    if (rowLevel && layout.uniformPartitions) {
       // the DML conflict check needs the PARTITION-level read set: every
       // partition tuple the predicate admits over the base snapshot —
       // BEFORE stats/bloom pruning, which only removes individual files
       // that provably hold no matching rows (a concurrent writer could
-      // still add matching rows to those partitions)
+      // still add matching rows to those partitions). A layout mid
+      // partition-spec evolution (mixed generations) declares NO read set
+      // — its null-filled tuples would not compare against a winner's
+      // path-decoded ones, so remove-bearing commits conflict loudly
+      // instead of rebasing until compaction unifies the layout.
       scan.readPartitionTuples = Some(
         claimedFiles.filter(f => pushed.forall(p =>
           layout.partitionSchema.isEmpty || mightMatch(f, p)))
@@ -1257,14 +1267,23 @@ class PjScan(
       if (nameMap.isEmpty) dataRequired
       else StructType(dataRequired.fields.map(f =>
         f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
-    if (SQLConf.get.caseSensitiveAnalysis) mapped
-    else {
-      val byLower = fileSchema.fields
-        .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
-      StructType(mapped.fields.map(f =>
-        byLower.get(f.name.toLowerCase(java.util.Locale.ROOT))
-          .map(n => f.copy(name = n)).getOrElse(f)))
-    }
+    val cased =
+      if (SQLConf.get.caseSensitiveAnalysis) mapped
+      else {
+        val byLower = fileSchema.fields
+          .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+        StructType(mapped.fields.map(f =>
+          byLower.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .map(n => f.copy(name = n)).getOrElse(f)))
+      }
+    // ROW TRACKING: when `_row_id` is requested, the hidden materialized
+    // id column rides as the LAST data column — files that wrote it
+    // (id-preserving rewrites) deliver real values, all others null-fill,
+    // and the position-aware wrapper lifts it into the `_row_id` slot and
+    // DROPS it from the emitted batch
+    if (rowIdPartOrdinal < 0) cased
+    else StructType(cased.fields :+ org.apache.spark.sql.types.StructField(
+      PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
   }
 
   // Column splice only when a strict subset of top-level fields is needed;
@@ -1287,9 +1306,10 @@ class PjScan(
     val byName = partitionSchema.fieldNames.map(key).zip(f.partitionValues).toMap
     partRequired.fieldNames.map { n =>
       byName.getOrElse(key(n),
-        // non-partition constants: `_file` is the path; `_pos` gets a
-        // typed placeholder the position-aware reader overwrites per row
-        if (n.equalsIgnoreCase(PjParquetTable.PosMetaName)) "0" else f.path)
+        // non-partition constants: `_file` is the path; `_pos`/`_row_id`
+        // get typed placeholders the position-aware reader overwrites
+        if (n.equalsIgnoreCase(PjParquetTable.PosMetaName) ||
+          n.equalsIgnoreCase(PjParquetTable.RowIdMetaName)) "0" else f.path)
     }
   }
 
@@ -1299,6 +1319,12 @@ class PjScan(
   private[pjparquet] lazy val posPartOrdinal: Int =
     partRequired.fieldNames.indexWhere(n =>
       n.equalsIgnoreCase(PjParquetTable.PosMetaName) &&
+        !partitionSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+
+  /** Ordinal of the `_row_id` METADATA column within `partRequired`. */
+  private[pjparquet] lazy val rowIdPartOrdinal: Int =
+    partRequired.fieldNames.indexWhere(n =>
+      n.equalsIgnoreCase(PjParquetTable.RowIdMetaName) &&
         !partitionSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
 
   /** Exact compressed bytes each row group contributes for the REQUIRED
@@ -1420,7 +1446,16 @@ class PjScan(
         // position arithmetic (deletion vectors / `_pos`): absolute start
         // row of every row group, from the index's row counts — shipped
         // per split so the executor never needs the unselected groups
-        val needPos = f.dv.isDefined || posPartOrdinal >= 0
+        val needPos = f.dv.isDefined || posPartOrdinal >= 0 || rowIdPartOrdinal >= 0
+        // row tracking facts for this split: base id from the log entry;
+        // id-preserving rewrites materialized ids as the hidden column
+        val baseRid: Long =
+          if (rowIdPartOrdinal < 0) -1L else f.entry.map(_.baseRowId).getOrElse(-1L)
+        val ridFromCol: Boolean = rowIdPartOrdinal >= 0 &&
+          (f.entry.exists(_.materializedRowIds) ||
+            (f.entry.isEmpty && !f.rawFooter &&
+              PJSplice.Index.fromBytes(f.indexBytes).columnNames
+                .exists(_.equalsIgnoreCase(PjCommitLog.RowIdColName))))
         val rgStarts: Array[Long] =
           if (!needPos) Array.empty
           else {
@@ -1442,7 +1477,8 @@ class PjScan(
               keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json,
               rawFooter = true,
               dvPath = dvPath,
-              rgStartRows = if (needPos) rgs.iterator.map(rgStarts(_)).toArray else Array.empty)
+              rgStartRows = if (needPos) rgs.iterator.map(rgStarts(_)).toArray else Array.empty,
+              baseRowId = baseRid, rowIdFromColumn = ridFromCol)
           }
         } else {
           val idx = indexOf(f)
@@ -1463,7 +1499,8 @@ class PjScan(
               keyValues = f.partitionValues.toArray,
               keySchemaJson = if (partitionSchema.isEmpty) "" else partitionSchema.json,
               dvPath = dvPath,
-              rgStartRows = if (needPos) rgs.iterator.map(rgStarts(_)).toArray else Array.empty)
+              rgStartRows = if (needPos) rgs.iterator.map(rgStarts(_)).toArray else Array.empty,
+              baseRowId = baseRid, rowIdFromColumn = ridFromCol)
           }
         }
       }
@@ -1521,7 +1558,7 @@ class PjScan(
     // computed per selected group). Filters still re-evaluate above the
     // scan, so this is a perf concession on vector-carrying tables only.
     val needExactPositions =
-      posPartOrdinal >= 0 || activeFiles.exists(_.dv.isDefined)
+      posPartOrdinal >= 0 || rowIdPartOrdinal >= 0 || activeFiles.exists(_.dv.isDefined)
     if (activeFiles.nonEmpty && !activeFiles.exists(_.rawFooter) &&
         pushedFilters.nonEmpty && !rowLevel && !needExactPositions &&
         PjSparkShims.parquetFilterPushDownEnabled(sqlConf) && allFilesHaveFilterCols) {
@@ -1555,7 +1592,8 @@ class PjScan(
       sqlConf.offHeapColumnVectorEnabled,
       PjSparkShims.rebaseModeInReadConf(sqlConf),
       PjSparkShims.int96RebaseModeInReadConf(sqlConf),
-      posPartOrdinal = posPartOrdinal)
+      posPartOrdinal = posPartOrdinal,
+      rowIdPartOrdinal = rowIdPartOrdinal)
   }
 
   /** Planning-time stats straight from the index — no footer parse.
@@ -1677,6 +1715,12 @@ final case class PjInputPartition(
       * for storage-partitioned joins. Empty for flat layouts.
       */
     keyValues: Array[String] = Array.empty,
+    /** Row tracking: first stable row id of the FILE (−1 = untracked or
+      * materialized); split rows map via their file-absolute positions.
+      */
+    baseRowId: Long = -1L,
+    /** The file materializes ids as the hidden `_pj_row_id` column. */
+    rowIdFromColumn: Boolean = false,
     keySchemaJson: String = "",
     /** Nested-fallback split: `prunedFooter` holds the file's RAW footer;
       * the reader keeps only `rowGroups` of its blocks after materializing.

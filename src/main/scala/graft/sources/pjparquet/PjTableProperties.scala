@@ -79,10 +79,14 @@ object PjTableProperties {
     */
   val PartitionColumns = "pj.partition.columns"
 
-  /** Parse `pj.partition.columns` into (name, LongType|StringType). */
+  /** Parse `pj.partition.columns` into (name, bigint|string|date type). */
   def partitionColumns(
       propertiesJson: Option[String]): Seq[(String, org.apache.spark.sql.types.DataType)] =
-    recorded(propertiesJson, PartitionColumns).toSeq.flatMap(_.split(",")).flatMap { seg =>
+    recorded(propertiesJson, PartitionColumns).toSeq.flatMap(parsePartitionSpec)
+
+  /** Parse a raw `name:type,...` partition-spec value. */
+  def parsePartitionSpec(value: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    value.split(",").toSeq.flatMap { seg =>
       seg.split(":", 2) match {
         case Array(n, t) if n.trim.nonEmpty =>
           Some(n.trim -> (t.trim.toLowerCase(java.util.Locale.ROOT) match {

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-13 partition-spec evolution (Iceberg-style, via
+  * `ALTER TABLE ... SET TBLPROPERTIES('pj.partition.columns'=...)`): the
+  * new spec applies to FUTURE writes; existing files keep their
+  * generation, scans align partition values by name (missing key = null
+  * partition), pruning works on both generations, and the guards refuse
+  * every evolution that would change what existing rows read.
+  */
+class PjPartitionEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.pjpe", "graft.sources.pjparquet.PjCatalog")
+
+  private def freshPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"pj_pevo_$tag")
+    java.nio.file.Files.delete(d)
+    d.toString
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    "pjparquet (\\d+) file\\(s\\)".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt).getOrElse(fail("no pjparquet scan in plan"))
+
+  test("evolve day -> (day, tenant): old generation reads; new writes carry both dirs") {
+    val p = freshPath("evolve")
+    spark.sql(s"CREATE TABLE pjpe.`$p` (id BIGINT, day BIGINT, v STRING) " +
+      "USING pjparquet PARTITIONED BY (day)")
+    (0 until 8).map(i => (i.toLong, (i % 2).toLong, s"old$i")).toDF("id", "day", "v")
+      .write.format("pjparquet").mode("append").save(p)
+    // add the column FIRST (new, no data anywhere), then evolve
+    spark.sql(s"ALTER TABLE pjpe.`$p` ADD COLUMN tenant STRING")
+    spark.sql(s"ALTER TABLE pjpe.`$p` SET TBLPROPERTIES " +
+      "('pj.partition.columns' = 'day:bigint,tenant:string')")
+    (8 until 12).map(i => (i.toLong, (i % 2).toLong, s"new$i", s"t${i % 2}"))
+      .toDF("id", "day", "v", "tenant")
+      .write.format("pjparquet").mode("append").save(p)
+    // the new generation's dirs carry both keys
+    val newDirs = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().filter(_.isDirectory).map(t => s"${d.getName}/${t.getName}"))
+      .toSet
+    assert(newDirs.exists(_.matches("day=\\d/tenant=t\\d")), s"got $newDirs")
+    val t = spark.table(s"pjpe.`$p`")
+    assert(t.count() == 12L)
+    // old-generation rows read tenant as NULL; new rows carry it
+    assert(t.filter($"tenant".isNull).count() == 8L)
+    assert(t.filter($"tenant" === "t1").select("id").as[Long].collect().toSet ==
+      Set(9L, 11L))
+    // pruning on the OLD key still prunes both generations
+    assert(t.filter($"day" === 0L).count() == 6L)
+    // pruning on the NEW key prunes old-generation files entirely (their
+    // rows are all NULL for it) — metadata-rate
+    val qNew = t.filter($"tenant" === "t0")
+    assert(qNew.count() == 2L)
+    assert(plannedFiles(qNew) < plannedFiles(t.filter($"id" >= 0L)),
+      "a tenant predicate must prune the pre-evolution files")
+  }
+
+  test("guards: dropping or retyping a partition column refuses; shadowing data refuses") {
+    val p = freshPath("guards")
+    spark.sql(s"CREATE TABLE pjpe.`$p` (id BIGINT, day BIGINT, v STRING) " +
+      "USING pjparquet PARTITIONED BY (day)")
+    (0 until 4).map(i => (i.toLong, (i % 2).toLong, s"v$i")).toDF("id", "day", "v")
+      .write.format("pjparquet").mode("append").save(p)
+    // dropping the current partition column
+    val e1 = intercept[Exception](spark.sql(s"ALTER TABLE pjpe.`$p` " +
+      "SET TBLPROPERTIES ('pj.partition.columns' = 'id:bigint')"))
+    assert(e1.getMessage.contains("drops current partition column"))
+    // retyping it
+    val e2 = intercept[Exception](spark.sql(s"ALTER TABLE pjpe.`$p` " +
+      "SET TBLPROPERTIES ('pj.partition.columns' = 'day:string')"))
+    assert(e2.getMessage.contains("changes the type"))
+    // adding a column live files store as DATA (v) — silent-NULL hazard
+    val e3 = intercept[Exception](spark.sql(s"ALTER TABLE pjpe.`$p` " +
+      "SET TBLPROPERTIES ('pj.partition.columns' = 'day:bigint,v:string')"))
+    assert(e3.getMessage.contains("stores as") && e3.getMessage.contains("DATA"))
+    // unsetting the partitioning on a partitioned table
+    val e4 = intercept[Exception](spark.sql(s"ALTER TABLE pjpe.`$p` " +
+      "UNSET TBLPROPERTIES ('pj.partition.columns')"))
+    assert(e4.getMessage.contains("rewriting the table"))
+  }
+
+  test("DML across an in-flight evolution: DELETE exact on both generations; compaction unifies") {
+    val p = freshPath("dml")
+    spark.sql(s"CREATE TABLE pjpe.`$p` (id BIGINT, day BIGINT, v STRING) " +
+      "USING pjparquet PARTITIONED BY (day)")
+    (0 until 6).map(i => (i.toLong, (i % 2).toLong, s"old$i")).toDF("id", "day", "v")
+      .write.format("pjparquet").mode("append").save(p)
+    spark.sql(s"ALTER TABLE pjpe.`$p` ADD COLUMN tenant STRING")
+    spark.sql(s"ALTER TABLE pjpe.`$p` SET TBLPROPERTIES " +
+      "('pj.partition.columns' = 'day:bigint,tenant:string')")
+    (6 until 10).map(i => (i.toLong, (i % 2).toLong, s"new$i", "tx"))
+      .toDF("id", "day", "v", "tenant")
+      .write.format("pjparquet").mode("append").save(p)
+    // row-level delete spans both generations
+    spark.sql(s"DELETE FROM pjpe.`$p` WHERE id IN (1, 7)")
+    val t = spark.table(s"pjpe.`$p`")
+    assert(t.count() == 8L)
+    assert(t.select("id").as[Long].collect().toSet == (0L until 10L).toSet -- Set(1L, 7L))
+    // compaction rewrites everything into the CURRENT spec — the layout
+    // becomes uniform again (old rows land in the tenant-null partition)
+    graft.sources.pjparquet.PjCompaction.compact(spark, p, targetBytes = 512L * 1024 * 1024)
+    val afterCompact = spark.table(s"pjpe.`$p`")
+    assert(afterCompact.count() == 8L)
+    assert(afterCompact.filter($"tenant".isNull).count() == 5L)
+    assert(afterCompact.filter($"tenant" === "tx").count() == 3L)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.lit
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjCommitLog, PjCompaction}
+
+/** Round-13 row tracking (Delta-style stable row ids): appends mint
+  * disjoint id ranges from a log watermark (`_row_id` = baseRowId +
+  * position), DV deletes keep ids trivially, and id-preserving rewrites
+  * (compaction / OPTIMIZE ZORDER) MATERIALIZE ids so they survive the
+  * move — which also makes the rewrite a provable pure-move the change
+  * feed skips at metadata rate (no diff, no data read).
+  */
+class PjRowTrackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"pj_rowtrack_$tag").toString
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeLogged(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+
+  private def idsByKey(dir: String): Map[Long, Long] =
+    spark.read.format("pjparquet").load(dir)
+      .selectExpr("id", "_row_id").as[(Long, Long)].collect().toMap
+
+  test("appends mint disjoint contiguous id ranges; _row_id = base + pos") {
+    val dir = tempDir("mint")
+    writeLogged(spark.range(0, 10).toDF("id").coalesce(1), dir)
+    writeLogged(spark.range(100, 105).toDF("id").coalesce(1), dir)
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.entries.forall(_.baseRowId >= 0), s"entries must be tracked: ${snap.entries}")
+    assert(snap.rowWatermark.contains("15"), s"watermark must be 15, got ${snap.rowWatermark}")
+    val rids = spark.read.format("pjparquet").load(dir)
+      .selectExpr("_row_id").as[Long].collect().sorted.toSeq
+    assert(rids == (0L until 15L), s"ids must be the dense watermark range, got $rids")
+    // multi-file append: per-entry ranges stay disjoint
+    writeLogged(spark.range(200, 230).toDF("id").repartition(3), dir)
+    val all = spark.read.format("pjparquet").load(dir)
+      .selectExpr("_row_id").as[Long].collect().toSeq
+    assert(all.distinct.size == 45, s"duplicate row ids: ${all.sorted}")
+    assert(all.max == 44L)
+  }
+
+  test("DV delete keeps survivors' ids; compaction preserves them exactly") {
+    val dir = tempDir("compact")
+    writeLogged(spark.range(0, 30).select($"id", ($"id" % 3).as("k")).coalesce(1), dir)
+    writeLogged(spark.range(30, 60).select($"id", ($"id" % 3).as("k")).coalesce(1), dir)
+    val before = idsByKey(dir)
+    spark.sql("DROP TABLE IF EXISTS pj_rt_t")
+    spark.sql(s"CREATE TABLE pj_rt_t USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_rt_t WHERE id % 10 = 0") // DV: files stay
+    val afterDelete = idsByKey(dir)
+    assert(afterDelete.size == 54)
+    afterDelete.foreach { case (id, rid) =>
+      assert(rid == before(id), s"DV delete changed row $id's id: ${before(id)} -> $rid")
+    }
+    // compaction consumes the DV files and MATERIALIZES ids
+    PjCompaction.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    val afterCompact = idsByKey(dir)
+    assert(afterCompact == afterDelete,
+      "compaction must preserve every surviving row's stable id")
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.entries.forall(_.materializedRowIds),
+      s"compacted entries must materialize ids: ${snap.entries.map(e => (e.path, e.cols))}")
+    // and the hidden column never surfaces in the table schema
+    val cols = spark.read.format("pjparquet").load(dir).columns.toSeq
+    assert(!cols.exists(_.contains("_pj_row_id")), s"hidden column leaked: $cols")
+    // appends after compaction mint ABOVE the watermark (no reuse)
+    writeLogged(spark.range(1000, 1005).select($"id", ($"id" % 3).as("k")).coalesce(1), dir)
+    val post = idsByKey(dir)
+    val fresh = (post.keySet -- afterCompact.keySet).map(post)
+    assert(fresh.forall(_ >= 60L), s"fresh ids must stay above the watermark: $fresh")
+    assert(post.values.toSeq.distinct.size == post.size, "id collision after compaction")
+    spark.sql("DROP TABLE IF EXISTS pj_rt_t")
+  }
+
+  test("a second compaction passes materialized ids through unchanged") {
+    val dir = tempDir("double")
+    writeLogged(spark.range(0, 20).select($"id", lit("x").as("s")).coalesce(1), dir)
+    writeLogged(spark.range(20, 40).select($"id", lit("y").as("s")).coalesce(1), dir)
+    val before = idsByKey(dir)
+    PjCompaction.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    // add small files so the SECOND compaction consumes materialized + fresh
+    writeLogged(spark.range(40, 45).select($"id", lit("z").as("s")).coalesce(1), dir)
+    writeLogged(spark.range(45, 50).select($"id", lit("z").as("s")).coalesce(1), dir)
+    val mid = idsByKey(dir)
+    before.foreach { case (id, rid) => assert(mid(id) == rid) }
+    PjCompaction.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    val after = idsByKey(dir)
+    assert(after == mid, "re-compaction must pass materialized ids through")
+  }
+
+  test("change feed skips an id-preserving compaction at metadata rate (no scan)") {
+    val dir = tempDir("cdf")
+    writeLogged(spark.range(0, 25).select($"id", ($"id" * 2).as("v")).coalesce(1), dir) // v1
+    writeLogged(spark.range(25, 50).select($"id", ($"id" * 2).as("v")).coalesce(1), dir) // v2
+    PjCompaction.compact(spark, dir, targetBytes = 512L * 1024 * 1024) // v3: pure move
+    val fs = fsOf(dir)
+    val d = PjCommitLog.delta(fs, new Path(dir), 3L)
+    assert(d.preservedRows, "an all-tracked compaction must record preservedRows")
+    val cdf = graft.sources.pjparquet.PjChangeFeed.changesAt(spark, dir, 3L)
+    assert(cdf.count() == 0L, "a pure-move rewrite must emit no changes")
+    // plan-shape proof: the feed never scans data (folds to an empty
+    // local relation — O(changed)=O(0), not a multiset diff)
+    val plan = cdf.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("pjparquet") || plan.contains("Empty"),
+      s"preserved-rows CDF must not plan a data scan:\n$plan")
+    // a REAL change after the compaction still diffs normally
+    spark.sql("DROP TABLE IF EXISTS pj_rt_cdf")
+    spark.sql(s"CREATE TABLE pj_rt_cdf USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_rt_cdf WHERE id = 7") // v4
+    val cdf4 = graft.sources.pjparquet.PjChangeFeed.changesAt(spark, dir, 4L)
+    assert(cdf4.count() == 1L)
+    spark.sql("DROP TABLE IF EXISTS pj_rt_cdf")
+  }
+
+  test("OPTIMIZE ZORDER preserves ids and records the pure move") {
+    val dir = tempDir("zorder")
+    writeLogged(spark.range(0, 64)
+      .select($"id", ($"id" % 8).as("x"), ($"id" / 8).cast("long").as("y"))
+      .coalesce(1), dir)
+    val before = idsByKey(dir)
+    PjCompaction.optimize(spark, dir, Seq("x", "y"), targetBytes = 512L * 1024 * 1024)
+    val after = idsByKey(dir)
+    assert(after == before, "ZORDER must preserve stable row ids")
+    val fs = fsOf(dir)
+    val head = PjCommitLog.versions(fs, new Path(dir)).last
+    assert(PjCommitLog.delta(fs, new Path(dir), head).preservedRows)
+  }
+
+  test("untracked legacy entries read _row_id as NULL; fresh appends are tracked") {
+    val dir = tempDir("legacy")
+    // an adopted pre-log file: entry has no facts, no baseRowId
+    spark.range(0, 5).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    writeLogged(spark.range(5, 8).toDF("id").coalesce(1), dir) // adopts + appends
+    val rows = spark.read.format("pjparquet").load(dir)
+      .selectExpr("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows.size == 8)
+    assert((0L until 5L).forall(i => rows(i).isEmpty),
+      s"adopted rows must read NULL _row_id, got $rows")
+    assert((5L until 8L).forall(i => rows(i).isDefined),
+      s"fresh rows must be tracked, got $rows")
+  }
+}
