@@ -139,9 +139,26 @@ object PjProtocol {
     Protocol(reader, writer)
   }
 
-  private def parseSchema(json: String): Option[StructType] =
-    try org.apache.spark.sql.types.DataType.fromJson(json) match {
-      case st: StructType => Some(st)
-      case _ => None
-    } catch { case scala.util.control.NonFatal(_) => None }
+  /** Schema-JSON parse memo: [[required]] runs on EVERY commit and the
+    * recorded schema string rarely changes — a tiny LRU turns the
+    * per-commit DataType.fromJson into a map hit.
+    */
+  private val schemaMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[StructType]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[StructType]]): Boolean = size() > 32
+      })
+
+  private def parseSchema(json: String): Option[StructType] = {
+    val cached = schemaMemo.get(json)
+    if (cached != null) return cached
+    val parsed =
+      try org.apache.spark.sql.types.DataType.fromJson(json) match {
+        case st: StructType => Some(st)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    schemaMemo.put(json, parsed)
+    parsed
+  }
 }
