@@ -86,6 +86,59 @@ class PjPartitionEvolutionSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("rewriting the table"))
   }
 
+  test("RESTORE to a pre-evolution version reverts spec AND files consistently") {
+    val p = freshPath("restore")
+    spark.sql(s"CREATE TABLE pjpe.`$p` (id BIGINT, day BIGINT, v STRING) " +
+      "USING pjparquet PARTITIONED BY (day)")
+    (0 until 4).map(i => (i.toLong, (i % 2).toLong, s"old$i")).toDF("id", "day", "v")
+      .write.format("pjparquet").mode("append").save(p) // v2 (v1 = create)
+    spark.sql(s"ALTER TABLE pjpe.`$p` ADD COLUMN tenant STRING") // v3
+    spark.sql(s"ALTER TABLE pjpe.`$p` SET TBLPROPERTIES " +
+      "('pj.partition.columns' = 'day:bigint,tenant:string')") // v4
+    (4 until 8).map(i => (i.toLong, (i % 2).toLong, s"new$i", "tz"))
+      .toDF("id", "day", "v", "tenant")
+      .write.format("pjparquet").mode("append").save(p) // v5
+    assert(spark.table(s"pjpe.`$p`").count() == 8L)
+    // restore to v2: pre-evolution files AND pre-evolution spec together
+    graft.sources.pjparquet.PjRestore.restore(spark, p, 2L)
+    graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    val t = spark.table(s"pjpe.`$p`")
+    assert(t.count() == 4L, "restore must serve only the pre-evolution rows")
+    assert(!t.columns.contains("tenant"), s"schema must revert too: ${t.columns.toSeq}")
+    // appends after the restore land under the REVERTED single-key spec
+    (100 until 102).map(i => (i.toLong, (i % 2).toLong, s"r$i")).toDF("id", "day", "v")
+      .write.format("pjparquet").mode("append").save(p)
+    assert(spark.table(s"pjpe.`$p`").count() == 6L)
+    assert(spark.table(s"pjpe.`$p`").filter($"day" === 0L).count() == 3L)
+  }
+
+  test("SHALLOW CLONE of a mid-evolution table carries the spec and reads both generations") {
+    val src = freshPath("clonesrc")
+    val tgtP = java.nio.file.Files.createTempDirectory("pj_pevo_clonetgt")
+    java.nio.file.Files.delete(tgtP)
+    val tgt = tgtP.toString
+    spark.sql(s"CREATE TABLE pjpe.`$src` (id BIGINT, day BIGINT, v STRING) " +
+      "USING pjparquet PARTITIONED BY (day)")
+    (0 until 4).map(i => (i.toLong, (i % 2).toLong, s"old$i")).toDF("id", "day", "v")
+      .write.format("pjparquet").mode("append").save(src)
+    spark.sql(s"ALTER TABLE pjpe.`$src` ADD COLUMN tenant STRING")
+    spark.sql(s"ALTER TABLE pjpe.`$src` SET TBLPROPERTIES " +
+      "('pj.partition.columns' = 'day:bigint,tenant:string')")
+    (4 until 6).map(i => (i.toLong, (i % 2).toLong, s"new$i", "tc"))
+      .toDF("id", "day", "v", "tenant")
+      .write.format("pjparquet").mode("append").save(src)
+    graft.sources.pjparquet.PjClone.shallowClone(spark, src, tgt)
+    val t = spark.table(s"pjpe.`$tgt`")
+    assert(t.count() == 6L)
+    assert(t.filter($"tenant".isNull).count() == 4L)
+    // the clone's spec is the evolved one: appends carry both keys
+    (10 until 12).map(i => (i.toLong, (i % 2).toLong, s"c$i", "tc2"))
+      .toDF("id", "day", "v", "tenant")
+      .write.format("pjparquet").mode("append").save(tgt)
+    assert(spark.table(s"pjpe.`$tgt`").filter($"tenant" === "tc2").count() == 2L)
+  }
+
   test("DML across an in-flight evolution: DELETE exact on both generations; compaction unifies") {
     val p = freshPath("dml")
     spark.sql(s"CREATE TABLE pjpe.`$p` (id BIGINT, day BIGINT, v STRING) " +
