@@ -609,6 +609,18 @@ private[sources] object PjBatchWrite {
     * different column-name set records the new schema as-is and defers to
     * the resolver's existing uniform-schema / mergeSchema guards.
     */
+  /** Drop engine-internal physical columns (the materialized row-id
+    * column) from a FILE-derived schema before it is recorded — they are
+    * never user columns.
+    */
+  def stripInternalCols(json: String): String = {
+    import org.apache.spark.sql.types._
+    val st = DataType.fromJson(json).asInstanceOf[StructType]
+    if (!st.fieldNames.exists(_.equalsIgnoreCase(PjCommitLog.RowIdColName))) json
+    else StructType(st.fields.filterNot(
+      _.name.equalsIgnoreCase(PjCommitLog.RowIdColName))).json
+  }
+
   def widenRecordedSchema(prevJson: String, nextJson: String): String = {
     import org.apache.spark.sql.types._
     val prev = DataType.fromJson(prevJson).asInstanceOf[StructType]

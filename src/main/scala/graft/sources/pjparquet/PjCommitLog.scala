@@ -553,15 +553,17 @@ object PjCommitLog {
       // [baseRowId, baseRowId + rows) id range from the table's watermark.
       // Runs INSIDE the claim loop, so a rebased pure append re-assigns
       // from the winner's advanced watermark — no id can be minted twice.
-      // Entries that MATERIALIZE ids (id-preserving rewrites) or lack a
-      // row count keep baseRowId = -1; the watermark still absorbs any
-      // explicitly pre-assigned ranges.
+      // Entries that MATERIALIZE ids (id-preserving rewrites) get a base
+      // TOO: their null-id rows (fresh MERGE inserts, legacy backfill)
+      // mint `base + pos` at read via coalesce, while non-null
+      // materialized ids win — so a rewrite mixing kept and fresh rows
+      // stays fully tracked. Entries without a row count stay untracked.
       val prevWatermark = prev.flatMap(_.rowWatermark).map(_.toLong).getOrElse(0L)
       var wm = prevWatermark
       val trackedAdd = add.map { e =>
         if (e.baseRowId >= 0) {
           wm = math.max(wm, e.baseRowId + math.max(0L, e.rows)); e
-        } else if (e.rows >= 0 && !e.materializedRowIds) {
+        } else if (e.rows >= 0) {
           val b = wm; wm += e.rows; e.copy(baseRowId = b)
         } else e
       }

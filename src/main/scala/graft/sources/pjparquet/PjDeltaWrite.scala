@@ -57,14 +57,25 @@ final class PjDeltaRowLevelOperation(
       Expressions.column(PjParquetTable.FileMetaName),
       Expressions.column(PjParquetTable.PosMetaName))
 
-  /** UPDATE splits into DELETE (position) + INSERT (new row): exactly the
-    * two primitives the vector + append machinery implements.
+  /** UPDATEs arrive as first-class update(metadata, id, row) calls — NOT
+    * split into DELETE + INSERT: Spark's rewrite plans null out the
+    * metadata projection on the split's insert half, which would lose the
+    * source row's `_row_id`. The writer itself decomposes an update into
+    * (position delete, id-carrying insert), so the vector + append
+    * machinery is unchanged while the stable id survives the rewrite.
     */
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
+  /** `_file` powers runtime group filtering; `_row_id` rides the metadata
+    * projection of DELETE/REINSERT rows so an UPDATE/MERGE-matched row
+    * KEEPS its stable row id — the writer materializes it into the
+    * replacement file's hidden id column ([[PjCommitLog.RowIdColName]]).
+    */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(PjParquetTable.FileMetaName))
+    Array(
+      Expressions.column(PjParquetTable.FileMetaName),
+      Expressions.column(PjParquetTable.RowIdMetaName))
 
   override def description(): String =
     s"pjparquet merge-on-read $cmd (${layout.files.size} candidate file(s))"
@@ -161,9 +172,13 @@ final class PjDeltaBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
+    // data files carry the hidden materialized row-id column too (the
+    // id-preserving delta write, [[PjDeltaWriter]])
     val dataSchema = StructType(
-      writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
-        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
+      (writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name)))) :+
+        org.apache.spark.sql.types.StructField(
+          PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDeltaWriterFactory(
       root, new SerializableConfiguration(hadoopConf), writeSchema.json,
@@ -243,7 +258,9 @@ final class PjDeltaBatchWrite(
     // file-derived schemas carry PHYSICAL names; translate back to the
     // recorded LOGICAL names (column mapping) before widening
     val newSchemaJson = manifest.headOption.map { rel =>
-      val phys = facts(s"$root/$rel").dataSchemaJson
+      // the hidden materialized row-id column is engine-internal: strip
+      // it before the file-derived schema is recorded
+      val phys = PjBatchWrite.stripInternalCols(facts(s"$root/$rel").dataSchemaJson)
       prev.dataSchemaJson match {
         case Some(p) => PjColumnMapping.fileSchemaToLogical(
           org.apache.spark.sql.types.DataType.fromJson(p)
@@ -325,8 +342,31 @@ final class PjDeltaWriter(
     fileTag: String)
     extends DeltaWriter[InternalRow] {
 
+  // ROW TRACKING: every written row carries the hidden id column —
+  // REINSERTED (update-split) rows keep their source row's stable id from
+  // the metadata projection; fresh MERGE inserts write null and mint from
+  // the file's commit-assigned baseRowId at read (coalesce semantics)
+  private val extendedSchema = StructType(schema.fields :+
+    org.apache.spark.sql.types.StructField(
+      PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
   private val inserts =
-    new PjDataWriter(root, conf, schema, partitionKeys, fileTag, overwriteExisting = false)
+    new PjDataWriter(root, conf, extendedSchema, partitionKeys, fileTag,
+      overwriteExisting = false)
+  private val idCell = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(1)
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+
+  /** `_row_id` of the metadata projection (declared order: `_file`,
+    * `_row_id`); null when the source row was untracked.
+    */
+  private def metaRowId(metadata: InternalRow): Any =
+    if (metadata == null || metadata.numFields < 2 || metadata.isNullAt(1)) null
+    else metadata.getLong(1)
+
+  private def writeWithId(row: InternalRow, id: Any): Unit = {
+    idCell.update(0, id)
+    inserts.write(joined(row, idCell))
+  }
   // deletes arrive sorted by (_file, _pos) (the write's required ordering),
   // so ONE file's run buffers at a time and flushes as a partial vector on
   // file change — task memory is bounded by a single file's delete count.
@@ -362,15 +402,21 @@ final class PjDeltaWriter(
   }
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    // representUpdateAsDeleteAndInsert=true means Spark splits updates —
-    // kept for completeness if a future plan calls it directly
+    // the writer-side update split: position delete + id-carrying insert
     delete(metadata, id)
-    insert(row)
+    writeWithId(row, metaRowId(metadata))
   }
 
-  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
+  /** Update-split reinsert: the metadata projection carries the SOURCE
+    * row's stable id — the rewritten row keeps it.
+    */
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+    writeWithId(row, metaRowId(metadata))
 
-  override def insert(row: InternalRow): Unit = inserts.write(row)
+  /** Fresh insert (MERGE WHEN NOT MATCHED): no source identity — null id,
+    * minted from the commit-assigned baseRowId at read.
+    */
+  override def insert(row: InternalRow): Unit = writeWithId(row, null)
 
   override def commit(): WriterCommitMessage = {
     val dataMsg = inserts.commit().asInstanceOf[PjCommitMessage]

@@ -100,6 +100,35 @@ private final class PositionCursor(rgStartRows: Array[Long], rgRows: Array[Long]
   }
 }
 
+/** `_row_id` column with COALESCE semantics: the materialized id when
+  * the hidden source column has one, else `baseRowId + position` (fresh
+  * rows of an id-carrying rewrite, legacy backfill), else null.
+  */
+final class PjRowIdVector(src: ColumnVector, positions: Array[Long], base: Long)
+    extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  private def fromSrc(i: Int): Boolean = src != null && !src.isNullAt(i)
+  override def hasNull: Boolean = base < 0
+  override def numNulls: Int = if (base >= 0) 0 else -1
+  override def isNullAt(i: Int): Boolean = !fromSrc(i) && base < 0
+  override def getLong(i: Int): Long =
+    if (fromSrc(i)) src.getLong(i) else base + positions(i)
+  private def nope: Nothing =
+    throw new UnsupportedOperationException("_row_id is a LONG column")
+  override def getBoolean(i: Int): Boolean = nope
+  override def getByte(i: Int): Byte = nope
+  override def getShort(i: Int): Short = nope
+  override def getInt(i: Int): Int = nope
+  override def getFloat(i: Int): Float = nope
+  override def getDouble(i: Int): Double = nope
+  override def getArray(i: Int): ColumnarArray = nope
+  override def getMap(i: Int): ColumnarMap = nope
+  override def getDecimal(i: Int, p: Int, s: Int) = nope
+  override def getUTF8String(i: Int) = nope
+  override def getBinary(i: Int): Array[Byte] = nope
+  override def getChild(j: Int): ColumnVector = nope
+}
+
 /** All-null LONG column (the `_row_id` of untracked rows). */
 final class PjNullLongVector extends ColumnVector(LongType) {
   override def close(): Unit = ()
@@ -166,15 +195,13 @@ final class PjPositionAwareColumnarReader(
     def slotVector(c: Int): ColumnVector =
       if (c == posOrdinal) new PjPositionVector(positions())
       else if (c == rowIdOrdinal) {
-        if (rowIdFromColumn) {
-          val src = b.column(hiddenOrdinal)
-          if (sel == null) src else new PjSelectedVector(src, sel)
-        } else if (baseRowId >= 0) {
-          val p = positions()
-          var j = 0
-          while (j < p.length) { p(j) += baseRowId; j += 1 }
-          new PjPositionVector(p)
-        } else new PjNullLongVector
+        // COALESCE semantics: materialized id wins, else base + position
+        // (fresh rows of an id-carrying rewrite, legacy backfill), else
+        // null (fully untracked file)
+        val src0 = b.column(hiddenOrdinal)
+        val src = if (sel == null) src0 else new PjSelectedVector(src0, sel)
+        if (!rowIdFromColumn && baseRowId < 0) new PjNullLongVector
+        else new PjRowIdVector(if (rowIdFromColumn) src else null, positions(), baseRowId)
       } else if (sel == null) b.column(c)
       else new PjSelectedVector(b.column(c), sel)
     val keep = (0 until b.numCols()).filter(c => rowIdOrdinal < 0 || c != hiddenOrdinal)
@@ -247,9 +274,8 @@ final class PjPositionAwareRowReader(
           if (rowIdOrdinal >= 0) {
             // rebuild without the hidden id column, filling both slots
             val rowId: Any =
-              if (rowIdFromColumn) {
-                if (r.isNullAt(hiddenOrdinal)) null else r.getLong(hiddenOrdinal)
-              } else if (baseRowId >= 0) baseRowId + pos
+              if (rowIdFromColumn && !r.isNullAt(hiddenOrdinal)) r.getLong(hiddenOrdinal)
+              else if (baseRowId >= 0) baseRowId + pos
               else null
             val out = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(r.numFields - 1)

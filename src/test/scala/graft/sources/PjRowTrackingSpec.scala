@@ -136,6 +136,41 @@ class PjRowTrackingSpec extends AnyFunSuite {
     assert(PjCommitLog.delta(fs, new Path(dir), head).preservedRows)
   }
 
+  test("merge-on-read UPDATE keeps row ids; MERGE inserts mint fresh ones") {
+    val dir = tempDir("update")
+    writeLogged(spark.range(0, 20).select($"id", ($"id" * 10).as("v")).coalesce(1), dir)
+    val before = idsByKey(dir)
+    spark.sql("DROP TABLE IF EXISTS pj_rt_up")
+    spark.sql(s"CREATE TABLE pj_rt_up USING pjparquet OPTIONS (path '$dir')")
+    // merge-on-read UPDATE: delete positions + reinsert into a new file —
+    // the reinserted rows must KEEP their stable ids
+    spark.sql("UPDATE pj_rt_up SET v = v + 1 WHERE id % 4 = 0")
+    val after = idsByKey(dir)
+    assert(after.size == 20)
+    after.foreach { case (id, rid) =>
+      assert(rid == before(id), s"UPDATE changed row $id's id: ${before(id)} -> $rid")
+    }
+    // values really changed
+    val updated = spark.read.format("pjparquet").load(dir)
+      .where($"id" % 4 === 0).selectExpr("id", "v").as[(Long, Long)].collect().toMap
+    assert(updated.forall { case (id, v) => v == id * 10 + 1 })
+    // MERGE: matched rows keep ids, NOT MATCHED inserts mint fresh unique
+    // ids above the watermark
+    Seq((3L, 999L), (100L, 1000L), (101L, 1010L)).toDF("id", "v")
+      .createOrReplaceTempView("pj_rt_src")
+    spark.sql(
+      """MERGE INTO pj_rt_up AS t USING pj_rt_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val post = idsByKey(dir)
+    assert(post.size == 22)
+    assert(post(3L) == before(3L), "MERGE-matched row must keep its id")
+    val minted = Seq(post(100L), post(101L))
+    assert(minted.forall(_ >= 20L), s"fresh ids must mint above the watermark: $minted")
+    assert(post.values.toSeq.distinct.size == 22, s"id collision: ${post.toSeq.sorted}")
+    spark.sql("DROP TABLE IF EXISTS pj_rt_up")
+  }
+
   test("untracked legacy entries read _row_id as NULL; fresh appends are tracked") {
     val dir = tempDir("legacy")
     // an adopted pre-log file: entry has no facts, no baseRowId
