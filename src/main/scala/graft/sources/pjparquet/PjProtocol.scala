@@ -51,7 +51,8 @@ object PjProtocol {
     * reader feature is also write-relevant).
     */
   val SupportedWriterFeatures: Set[String] =
-    SupportedReaderFeatures ++ Set("constraints", "identity", "generated", "cdf")
+    SupportedReaderFeatures ++
+      Set("constraints", "identity", "generated", "cdf", "rowTracking")
 
   final case class Protocol(reader: Set[String], writer: Set[String]) {
     def isEmpty: Boolean = reader.isEmpty && writer.isEmpty
@@ -136,6 +137,11 @@ object PjProtocol {
     if (PjTableProperties.recorded(propertiesJson, PjTableProperties.ChangeFeedEnabled)
         .exists(_.equalsIgnoreCase("true")))
       writer += "cdf"
+    // opt-in: a table that DECLARES id stability load-bearing locks out
+    // writers whose rewrites would silently reassign row ids
+    if (PjTableProperties.recorded(propertiesJson, PjTableProperties.RowTrackingRequired)
+        .exists(_.equalsIgnoreCase("true")))
+      writer += "rowTracking"
     Protocol(reader, writer)
   }
 

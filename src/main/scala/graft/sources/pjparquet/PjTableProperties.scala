@@ -42,6 +42,14 @@ object PjTableProperties {
     */
   val ChangeFeedEnabled = "pj.changeFeed.enabled"
 
+  /** `pj.rowTracking.required` — when true, the table DECLARES that its
+    * stable row ids are load-bearing: the commit protocol records the
+    * `rowTracking` WRITER feature, so a build whose rewrites would not
+    * materialize ids (pre-row-tracking) refuses to write instead of
+    * silently reassigning them. Reads stay open to every build.
+    */
+  val RowTrackingRequired = "pj.rowTracking.required"
+
   /** `pj.deletionVectors.enabled` — default for merge-on-read DML
     * (deletion vectors) vs copy-on-write rewrites. Engine default: true.
     */
@@ -103,6 +111,7 @@ object PjTableProperties {
     */
   private val Known: Map[String, String => Option[String]] = Map(
     ChangeFeedEnabled -> boolValidator,
+    RowTrackingRequired -> boolValidator,
     DeletionVectorsEnabled -> boolValidator,
     CheckpointInterval -> posIntValidator,
     BloomColumns -> (_ => None), // any csv of names; resolved per-write

@@ -143,6 +143,22 @@ class PjProtocolSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS pj_protocol_rs")
   }
 
+  test("pj.rowTracking.required records the rowTracking writer feature") {
+    import spark.implicits._
+    val dir = tempDir("rowtrack")
+    writeLogged(spark.range(0, 10).toDF("id").coalesce(1), dir)
+    spark.sql(s"ALTER TABLE pjcat_protocol.`$dir` SET TBLPROPERTIES " +
+      "('pj.rowTracking.required' = 'true')")
+    val fs = fsOf(dir)
+    val p = PjProtocol.parse(PjCommitLog.latest(fs, new Path(dir)).get.protocolJson)
+    assert(p.writer.contains("rowTracking") && !p.reader.contains("rowTracking"),
+      s"declaring id stability must record the WRITER feature only, got $p")
+    // this build supports it: writes keep working, and ids stay stable
+    writeLogged(spark.range(10, 15).toDF("id").coalesce(1), dir)
+    assert(spark.read.format("pjparquet").load(dir)
+      .selectExpr("_row_id").distinct().count() == 15L)
+  }
+
   test("detail exposes the protocol; legacy full-state commits cannot erase it") {
     import spark.implicits._
     val dir = tempDir("detail")

@@ -171,6 +171,32 @@ class PjRowTrackingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS pj_rt_up")
   }
 
+  test("racing appenders never mint the same row id (claim-loop reassignment)") {
+    val dir = tempDir("race")
+    writeLogged(spark.range(0, 5).toDF("id").coalesce(1), dir) // v1 seeds the log
+    // 6 concurrent appends: losers of the version claim rebase and must
+    // RE-MINT from the winner's advanced watermark
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futs = (0 until 6).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            writeLogged(
+              spark.range(100L * (t + 1), 100L * (t + 1) + 10).toDF("id").coalesce(1), dir)
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val rids = spark.read.format("pjparquet").load(dir)
+      .selectExpr("_row_id").as[Long].collect().toSeq
+    assert(rids.size == 65)
+    assert(rids.distinct.size == 65, s"duplicate row ids under racing appends: ${rids.sorted}")
+    // the watermark covers every minted id
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.rowWatermark.exists(_.toLong > rids.max),
+      s"watermark ${snap.rowWatermark} must exceed max id ${rids.max}")
+  }
+
   test("untracked legacy entries read _row_id as NULL; fresh appends are tracked") {
     val dir = tempDir("legacy")
     // an adopted pre-log file: entry has no facts, no baseRowId
