@@ -95,6 +95,15 @@ class PjGeneratedPruningSpec extends AnyFunSuite {
     assert(q.count() == 6L)
   }
 
+  test("IN on the base timestamp derives IN on the generated day") {
+    val (_, t) = mkDayTable("in")
+    val q = t.where($"ts".isin(
+      java.sql.Timestamp.valueOf("2024-03-10 01:30:00"),
+      java.sql.Timestamp.valueOf("2024-03-13 05:30:00")))
+    assert(plannedFiles(q) == 2, "a two-value ts IN must plan exactly two day dirs")
+    assert(q.count() == 2L)
+  }
+
   test("null base timestamps land in the null partition and are never wrongly pruned in") {
     val p = freshPath("nulls")
     spark.sql(s"CREATE TABLE pjgp.`$p` (ts TIMESTAMP, v BIGINT, " +

@@ -171,6 +171,23 @@ class PjRowTrackingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS pj_rt_up")
   }
 
+  test("time travel serves each version's own row ids consistently") {
+    val dir = tempDir("travel")
+    writeLogged(spark.range(0, 10).toDF("id").coalesce(1), dir) // v1: ids 0..9
+    writeLogged(spark.range(10, 15).toDF("id").coalesce(1), dir) // v2: ids 10..14
+    PjCompaction.compact(spark, dir, targetBytes = 512L * 1024 * 1024) // v3: materialized
+    def idsAt(v: Long): Map[Long, Long] =
+      spark.read.format("pjparquet").option("versionAsOf", v.toString).load(dir)
+        .selectExpr("id", "_row_id").as[(Long, Long)].collect().toMap
+    val v1 = idsAt(1L)
+    assert(v1.size == 10 && v1.values.toSeq.sorted == (0L until 10L))
+    val v2 = idsAt(2L)
+    assert(v2.size == 15)
+    v1.foreach { case (id, rid) => assert(v2(id) == rid) }
+    val v3 = idsAt(3L)
+    assert(v3 == v2, "compaction must serve the same ids at head as pre-compaction")
+  }
+
   test("racing appenders never mint the same row id (claim-loop reassignment)") {
     val dir = tempDir("race")
     writeLogged(spark.range(0, 5).toDF("id").coalesce(1), dir) // v1 seeds the log
