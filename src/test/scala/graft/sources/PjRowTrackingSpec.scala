@@ -171,6 +171,27 @@ class PjRowTrackingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS pj_rt_up")
   }
 
+  test("the row-id watermark survives version expiry (checkpoint-only replay)") {
+    val dir = tempDir("expiry")
+    writeLogged(spark.range(0, 30).toDF("id").coalesce(1), dir) // ids 0..29
+    // full-table DV delete retires every row, then expiry drops history:
+    // the only thing carrying the watermark forward is the checkpoint
+    spark.sql("DROP TABLE IF EXISTS pj_rt_exp")
+    spark.sql(s"CREATE TABLE pj_rt_exp USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_rt_exp WHERE id >= 0")
+    graft.sources.pjparquet.PjVacuum.expireVersions(spark, dir, keepVersions = 1)
+    PjCommitLog.clearSnapshotCache()
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.rowWatermark.exists(_.toLong >= 30L),
+      s"expiry must not lose the watermark, got ${snap.rowWatermark}")
+    // fresh rows mint ABOVE the expired generation's ids — never recycled
+    writeLogged(spark.range(100, 105).toDF("id").coalesce(1), dir)
+    val rids = spark.read.format("pjparquet").load(dir)
+      .selectExpr("_row_id").as[Long].collect().toSeq
+    assert(rids.forall(_ >= 30L), s"recycled ids after expiry: $rids")
+    spark.sql("DROP TABLE IF EXISTS pj_rt_exp")
+  }
+
   test("time travel serves each version's own row ids consistently") {
     val dir = tempDir("travel")
     writeLogged(spark.range(0, 10).toDF("id").coalesce(1), dir) // v1: ids 0..9
