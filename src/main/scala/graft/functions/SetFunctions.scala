@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * sorted+distinct by construction: `|∩|` comes from the merge and
   * `|∪| = |a|+|b|-|∩|` needs no second pass.
   *
-  * Inputs MUST be sorted ascending and duplicate-free — the result is
-  * undefined otherwise (no validation in the hot path). Null in → null out.
+  * Inputs MUST be sorted ascending. Duplicates are handled with MULTISET
+  * semantics (each equal pair consumes one element from both sides, so a
+  * value contributes min(count_a, count_b)) — the char-bag edit-distance
+  * prefilter relies on this. Null in → null out.
   */
 case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -434,15 +434,49 @@ object PipelineOps {
     // ⌈maxDistance/lengthBand⌉ length buckets apart — explode exactly that
     // reach so the blocking is SOUND (no within-threshold pair is missed)
     val reach = math.ceil(maxDistance.toDouble / lengthBand).toInt
+    // SLIM-KEY candidate generation (the repo's dedup convention): the
+    // exploded blocking join carries (id, lang, length) tuples ONLY —
+    // never document text — so the self-join shuffle is a few bytes per
+    // candidate instead of two full texts. Candidates then fetch their
+    // payloads by id from an explicitly BROADCAST lookup (the blocked
+    // verify corpus is bounded by construction; the unbounded-scale path
+    // is minhash/LSH, not pairwise edit distance) and verify in one
+    // shuffle-free stage.
     val d = docs.select(
-      col("doc_id"), col("lang"), col("text"),
+      col("doc_id"), col("lang"), length(col("text")).as("_len"),
       floor(length(col("text")) / lengthBand).as("_b"))
     val a = d.select(
-      col("doc_id").as("id_a"), col("lang"), col("text").as("_ta"),
+      col("doc_id").as("id_a"), col("lang"), col("_len").as("_la"),
       explode(array((-reach to reach).map(o => col("_b") + o): _*)).as("_b"))
-    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("text").as("_tb"), col("_b"))
-    a.join(b, Seq("lang", "_b"))
+    val b = d.select(
+      col("doc_id").as("id_b"), col("lang"), col("_len").as("_lb"), col("_b"))
+    val cand = a.join(b, Seq("lang", "_b"))
       .filter(col("id_a") < col("id_b"))
+      // distance >= |len_a − len_b|: an exact integer prefilter on the
+      // slim tuples, before any payload is fetched
+      .filter(abs(col("_la") - col("_lb")) <= lit(maxDistance))
+      .select(col("lang"), col("id_a"), col("id_b"))
+    // payload lookup: text + SORTED codepoint bag (for the bag
+    // lower bound below), computed once per document
+    val payload = docs.select(
+      col("doc_id"), col("text"),
+      array_sort(transform(split(col("text"), ""),
+        c => ascii(c).cast("long"))).as("_cs"))
+    cand
+      .join(broadcast(payload.select(col("doc_id").as("id_a"),
+        col("text").as("_ta"), col("_cs").as("_csa"))), Seq("id_a"))
+      .join(broadcast(payload.select(col("doc_id").as("id_b"),
+        col("text").as("_tb"), col("_cs").as("_csb"))), Seq("id_b"))
+      // SOUND character-bag prefilter: edit distance >= max(|a|,|b|) −
+      // |bag(a) ∩ bag(b)| (at best every common-bag character survives;
+      // every remaining position of the longer string needs an edit).
+      // The codegen'd two-pointer multiset merge is O(|a|+|b|) per pair
+      // vs the bounded Levenshtein's O(len·maxDistance), and within-
+      // threshold pairs always pass (lower bound) — result set unchanged.
+      .filter(
+        greatest(length(col("_ta")), length(col("_tb"))) -
+          graft.functions.SetFunctions.intersectCountSorted(col("_csa"), col("_csb"))
+          <= lit(maxDistance))
       .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDistance))
       .filter(col("dist") >= 0)
       .select(col("lang"), col("id_a"), col("id_b"), col("dist"))

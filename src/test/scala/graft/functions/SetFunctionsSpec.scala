@@ -47,6 +47,25 @@ class SetFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("MULTISET semantics on sorted arrays with duplicates (bag intersection)") {
+    // each value contributes min(count_a, count_b) — the contract the
+    // edit-distance char-bag prefilter relies on
+    val sortedWithDups: Gen[Seq[Long]] =
+      Gen.listOf(Gen.chooseNum(0L, 12L)).map(_.sorted)
+    val cases = Gen.listOfN(300, Gen.zip(sortedWithDups, sortedWithDups))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    def bagInter(a: Seq[Long], b: Seq[Long]): Int = {
+      val ca = a.groupBy(identity).view.mapValues(_.size)
+      val cb = b.groupBy(identity).view.mapValues(_.size).toMap
+      ca.map { case (v, n) => math.min(n, cb.getOrElse(v, 0)) }.sum
+    }
+    val df = cases.toDF("a", "b")
+      .select(SetFunctions.intersectCountSorted(col("a"), col("b")).as("c"))
+    val got = df.as[Int].collect().toSeq
+    val want = cases.map { case (a, b) => bagInter(a, b) }
+    assert(got == want, s"multiset mismatch: ${got.zip(want).filter(t => t._1 != t._2).take(5)}")
+  }
+
   test("null propagation") {
     val df = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]])).toDF("a", "b")
       .select(SetFunctions.intersectCountSorted(col("a"), col("b")).as("c"))
