@@ -318,8 +318,13 @@ object PjProcedures {
             StructField("files_with_deletion_vectors", LongType, nullable = false),
             StructField("deleted_rows", LongType, nullable = false),
             StructField("schema_json", StringType, nullable = true),
+            // row tracking: files whose every row has a stable id, and
+            // the id watermark (null before the first tracked commit)
+            StructField("row_tracked_files", LongType, nullable = false),
+            StructField("row_id_watermark", LongType, nullable = true),
             // required table features ([[PjProtocol]] JSON); null on a
-            // pre-protocol table — the upgrade story is visible from SQL
+            // pre-protocol table — the upgrade story is visible from SQL.
+            // KEPT LAST: callers read it positionally from the tail.
             StructField("protocol", StringType, nullable = true))),
           { input =>
             val root = new org.apache.hadoop.fs.Path(tableArg(input))
@@ -336,6 +341,8 @@ object PjProcedures {
               s.entries.count(_.dv.isDefined).toLong,
               rows - live,
               s.dataSchemaJson.map(utf8).orNull,
+              s.entries.count(_.rowTracked).toLong,
+              s.rowWatermark.map(w => java.lang.Long.valueOf(w.toLong)).orNull,
               s.protocolJson.map(utf8).orNull)))
           })
       case "history" =>

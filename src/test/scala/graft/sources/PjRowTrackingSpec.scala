@@ -235,6 +235,17 @@ class PjRowTrackingSpec extends AnyFunSuite {
       s"watermark ${snap.rowWatermark} must exceed max id ${rids.max}")
   }
 
+  test("detail exposes row-tracking facts: tracked file count + id watermark") {
+    val dir = tempDir("detail")
+    writeLogged(spark.range(0, 12).toDF("id").coalesce(1), dir)
+    writeLogged(spark.range(12, 20).toDF("id").coalesce(1), dir)
+    spark.conf.set("spark.sql.catalog.pjrtd", "graft.sources.pjparquet.PjCatalog")
+    val d = spark.sql(s"CALL pjrtd.system.detail('$dir')").collect().head
+    val byName = d.schema.fieldNames.zipWithIndex.toMap
+    assert(d.getLong(byName("row_tracked_files")) == 2L)
+    assert(d.getLong(byName("row_id_watermark")) == 20L)
+  }
+
   test("untracked legacy entries read _row_id as NULL; fresh appends are tracked") {
     val dir = tempDir("legacy")
     // an adopted pre-log file: entry has no facts, no baseRowId
