@@ -422,11 +422,30 @@ class PjCatalog extends CatalogPlugin with TableCatalog
             throw new PJException(
               s"$catalogName: cannot rename '$name' to '$newName' — a column " +
                 s"of that name already exists in '$path'")
-          if (Seq(PjParquetTable.FileMetaName, PjParquetTable.PosMetaName)
+          if (Seq(PjParquetTable.FileMetaName, PjParquetTable.PosMetaName,
+              PjParquetTable.RowIdMetaName)
               .exists(_.equalsIgnoreCase(newName)))
             throw new PJException(
               s"$catalogName: cannot rename '$name' to '$newName' — the name " +
                 "is reserved for a metadata column")
+          // a GENERATED column's expression references columns BY NAME in
+          // its recorded SQL — renaming a referenced base would break
+          // every future write's augmentation (late, per-write analysis
+          // errors) and derived partition pruning. Refuse at DDL time.
+          acc.fields.filter(PjGenerated.isGenerated).foreach { gf =>
+            val sql = gf.metadata.getString(
+              org.apache.spark.sql.catalyst.util.GeneratedColumn
+                .GENERATION_EXPRESSION_METADATA_KEY)
+            val refs =
+              try spark.sessionState.sqlParser.parseExpression(sql).collect {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+              } catch { case scala.util.control.NonFatal(_) => Nil }
+            if (refs.exists(_.equalsIgnoreCase(name)))
+              throw new PJException(
+                s"$catalogName: cannot rename '$name' — generated column " +
+                  s"'${gf.name}' is defined as ($sql) and references it; drop " +
+                  "the generated column first or rewrite the table")
+          }
           val old = acc.fields(i)
           // a sorted-layout claim naming the old name can no longer be
           // honored under the new name — retract it (readers simply stop

@@ -157,4 +157,29 @@ class PjRenameColumnSpec extends AnyFunSuite {
     }.sum
     assert(parts == 1, s"stats pruning must drop the non-matching file, planned $parts")
   }
+
+  test("renaming a column referenced by a generation expression refuses at DDL time") {
+    val p = {
+      val d = java.nio.file.Files.createTempDirectory("pj_rename_gen")
+      java.nio.file.Files.delete(d)
+      d.toString
+    }
+    spark.sql(s"CREATE TABLE pjr.`$p` (x BIGINT, " +
+      "doubled BIGINT GENERATED ALWAYS AS (x * 2)) USING pjparquet")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("x").write.format("pjparquet").mode("append").save(p)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE pjr.`$p` RENAME COLUMN x TO y"))
+    assert(e.getMessage.contains("doubled") && e.getMessage.contains("references it"),
+      s"got: ${e.getMessage}")
+    // the generated column ITSELF renames fine (nothing references it)
+    spark.sql(s"ALTER TABLE pjr.`$p` RENAME COLUMN doubled TO twice")
+    val got = spark.table(s"pjr.`$p`").orderBy("x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 4L)))
+    // and generation still computes for new writes under the new name
+    Seq(5L).toDF("x").write.format("pjparquet").mode("append").save(p)
+    assert(spark.table(s"pjr.`$p`").where($"x" === 5L)
+      .select("twice").as[Long].head() == 10L)
+  }
 }
