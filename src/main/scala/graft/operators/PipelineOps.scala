@@ -438,10 +438,11 @@ object PipelineOps {
     // exploded blocking join carries (id, lang, length) tuples ONLY —
     // never document text — so the self-join shuffle is a few bytes per
     // candidate instead of two full texts. Candidates then fetch their
-    // payloads by id from an explicitly BROADCAST lookup (the blocked
-    // verify corpus is bounded by construction; the unbounded-scale path
-    // is minhash/LSH, not pairwise edit distance) and verify in one
-    // shuffle-free stage.
+    // payloads back by plain id equi-joins (the lshAnnPairs /
+    // semanticDedupPairs shape): each side of the fetch shuffles only the
+    // slim candidate keys plus one copy of each REFERENCED document — no
+    // driver-side materialization of the corpus, so the operator scales
+    // with the candidate set, not with |docs|.
     val d = docs.select(
       col("doc_id"), col("lang"), length(col("text")).as("_len"),
       floor(length(col("text")) / lengthBand).as("_b"))
@@ -463,10 +464,10 @@ object PipelineOps {
       array_sort(transform(split(col("text"), ""),
         c => ascii(c).cast("long"))).as("_cs"))
     cand
-      .join(broadcast(payload.select(col("doc_id").as("id_a"),
-        col("text").as("_ta"), col("_cs").as("_csa"))), Seq("id_a"))
-      .join(broadcast(payload.select(col("doc_id").as("id_b"),
-        col("text").as("_tb"), col("_cs").as("_csb"))), Seq("id_b"))
+      .join(payload.select(col("doc_id").as("id_a"),
+        col("text").as("_ta"), col("_cs").as("_csa")), Seq("id_a"))
+      .join(payload.select(col("doc_id").as("id_b"),
+        col("text").as("_tb"), col("_cs").as("_csb")), Seq("id_b"))
       // SOUND character-bag prefilter: edit distance >= max(|a|,|b|) −
       // |bag(a) ∩ bag(b)| (at best every common-bag character survives;
       // every remaining position of the longer string needs an edit).
@@ -949,11 +950,12 @@ object PipelineOps {
     // does — k-means over the full corpus would be an O(corpus × iters)
     // driver-coordinated job at 100 TB. 256 points per list is plenty for a
     // stable coarse partitioning; assignment below still covers every row.
-    // deterministic sample (see semanticDedupPairsWithHandle): top-k by id,
-    // not first-partitions-to-answer — recall oracles must not depend on
-    // partition layout
+    // deterministic, unbiased sample ([[fitSampleOrder]]): hash-ordered
+    // top-k — bit-reproducible like an id-ordered limit, but draws evenly
+    // across the id space instead of favoring the oldest shard
     val model = km.fit(
-      corpusVec.orderBy(col("neighbor_id")).limit(256 * nLists).select(col("features")))
+      corpusVec.orderBy(fitSampleOrder(col("neighbor_id")): _*)
+        .limit(256 * nLists).select(col("features")))
     val corpus = model.transform(corpusVec).select(col("neighbor_id"), col("n_emb"), col("list_id"))
 
     // centroids as a literal lookup: tiny (nLists × dim), evaluated per probe

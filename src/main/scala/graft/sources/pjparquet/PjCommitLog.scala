@@ -66,6 +66,12 @@ object PjCommitLog {
     */
   private val ConflictRetries = 100
 
+  /** Wall clock for commit-header timestamps — an injectable hook so the
+    * monotonicity spec can simulate a clock step-back (NTP correction, a
+    * different writer host). Production never replaces it.
+    */
+  private[sources] var nowMs: () => Long = () => System.currentTimeMillis()
+
   /** Aggregated (whole-file) column statistics: envelope of the parquet
     * chunk stats over every row group — min of mins, max of maxes (raw
     * plain-encoded bytes, the same representation [[PjStatsFilter]]
@@ -569,7 +575,13 @@ object PjCommitLog {
       }
       val watermarkOut: Option[String] =
         if (wm != prevWatermark) Some(wm.toString) else None // lane persists otherwise
-      val body = renderCommit(v, System.currentTimeMillis(), action, trackedAdd,
+      // IN-COMMIT TIMESTAMP: clamp to strictly-after the predecessor —
+      // `TIMESTAMP AS OF` resolves by reverse-scanning for the first
+      // header with ts <= target, which assumes monotone header
+      // timestamps. A wall-clock step-back (NTP correction, a different
+      // writer host) must not make history non-monotone.
+      val ts = math.max(nowMs(), prev.map(_.ts).getOrElse(0L) + 1)
+      val body = renderCommit(v, ts, action, trackedAdd,
         effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
         propertiesJson, tableStatsJson, protocolJson, watermarkOut, preservedRows)
       if (publish(fs, commitFile(root, v), body)) {
@@ -674,7 +686,9 @@ object PjCommitLog {
     val dir = logDir(root)
     fs.mkdirs(dir)
     val v = prev.map(_.version).getOrElse(0L) + 1
-    val body = renderCommit(v, System.currentTimeMillis(), action, add,
+    // same in-commit-timestamp monotonicity clamp as the delta path
+    val ts = math.max(nowMs(), prev.map(_.ts).getOrElse(0L) + 1)
+    val body = renderCommit(v, ts, action, add,
       remove.toSeq.sorted, post.size, None, None)
     if (!publish(fs, commitFile(root, v), body))
       throw new PJException(

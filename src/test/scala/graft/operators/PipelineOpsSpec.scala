@@ -61,6 +61,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
   }
 
+  test("edit-distance payload fetch never force-broadcasts the corpus (plan shape)") {
+    // the payload fetch must be a plain equi-join by id — an explicit
+    // broadcast() hint would collect the whole docs relation driver-side,
+    // which OOMs at scale. AQE may still choose a broadcast when the side
+    // is MEASURED small; what this pins is that no join in the plan
+    // carries an unconditional user hint.
+    val corpus = docsDf((1L to 40L).map(i => (i, s"doc $i " + ("x" * (i % 7).toInt))))
+    val pairs = PipelineOps.editDistanceNearDupPairs(corpus, maxDistance = 5)
+    val hinted = pairs.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.isEmpty,
+      s"editDistanceNearDupPairs must not hint-broadcast any join side: $hinted")
+    // and it still answers (exercises the equi-join fetch end to end)
+    assert(pairs.collect().nonEmpty)
+  }
+
   test("exact jaccard blocking finds the same planted pairs") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = ((1 to 57).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")

@@ -173,6 +173,36 @@ class PjTimeTravelSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("mutually exclusive"))
   }
 
+  test("in-commit timestamps stay strictly monotone across a wall-clock step-back") {
+    import spark.implicits._
+    val dir = tempDir("clockback")
+    write(Seq((1L, "a")).toDF("id", "name"), dir, "append")      // v1, real clock
+    val fs = fsOf(dir)
+    val v1ts = PjCommitLog.history(fs, new Path(dir)).head.ts
+    // simulate an NTP step-back / slower writer host: the next commit's
+    // wall clock reads BEHIND the predecessor's header timestamp
+    val saved = PjCommitLog.nowMs
+    try {
+      PjCommitLog.nowMs = () => v1ts - 60000
+      write(Seq((2L, "b")).toDF("id", "name"), dir, "append")    // v2, rewound clock
+      write(Seq((3L, "c")).toDF("id", "name"), dir, "append")    // v3, rewound clock
+    } finally PjCommitLog.nowMs = saved
+    val hist = PjCommitLog.history(fs, new Path(dir))
+    assert(hist.map(_.version) == Seq(1L, 2L, 3L))
+    // the clamp: each header ts strictly after its predecessor, never rewound
+    assert(hist.map(_.ts) == hist.map(_.ts).sorted && hist.map(_.ts).distinct == hist.map(_.ts),
+      s"header timestamps must be strictly increasing: ${hist.map(_.ts)}")
+    assert(hist(1).ts == v1ts + 1 && hist(2).ts == v1ts + 2,
+      "rewound clock commits clamp to predecessor ts + 1")
+    // TIMESTAMP AS OF still resolves correctly against the clamped lane
+    val atV2 = spark.read.format("pjparquet")
+      .option("timestampAsOf", hist(1).ts.toString).load(dir)
+    assert(ids(atV2) == Set(1L, 2L))
+    val atV1 = spark.read.format("pjparquet")
+      .option("timestampAsOf", (hist(1).ts - 1).toString).load(dir)
+    assert(ids(atV1) == Set(1L))
+  }
+
   test("writes and DML against a versionAsOf snapshot are refused") {
     import spark.implicits._
     val dir = tempDir("romode")
