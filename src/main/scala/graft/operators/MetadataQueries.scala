@@ -1009,8 +1009,25 @@ object MetadataQueries {
         val plan = cdf.queryExecution.executedPlan.toString
         !plan.toLowerCase.contains("pjparquet") || plan.contains("Empty")
       }
-      val uniqueIds = afterCompact.values.toSeq.distinct.size == afterCompact.size
+      // COPY-ON-WRITE leg (round 14): with deletion vectors disabled, UPDATE
+      // and DELETE rewrite whole files — the rewrite must MATERIALIZE the
+      // surviving rows' ids (like compaction) instead of reminting them
+      s.sql(s"DROP TABLE IF EXISTS pj_q155_cow")
+      s.sql(s"CREATE TABLE pj_q155_cow USING pjparquet " +
+        s"OPTIONS (path '$tmp', `deletionVectors.enabled` 'false')")
+      s.sql("UPDATE pj_q155_cow SET n = n + 1000 WHERE k % 5 = 0") // v5: CoW rewrite
+      val afterCowUpdate = ids()
+      val cowUpdateKeptIds = afterCowUpdate == afterCompact
+      s.sql("DELETE FROM pj_q155_cow WHERE k % 11 = 0") // v6: CoW delete
+      val afterCowDelete = ids()
+      // sf-robust: the survivor set must be EXACTLY the non-matching keys
+      // (at tiny SFs the predicate may match zero rows — still a valid run)
+      val cowDeleteKeptIds = afterCowDelete.forall { case (k, rid) =>
+        afterCompact(k) == rid
+      } && afterCowDelete.size == afterCowUpdate.count { case (k, _) => k % 11 != 0 }
+      val uniqueIds = afterCowDelete.values.toSeq.distinct.size == afterCowDelete.size
       s.sql(s"DROP TABLE IF EXISTS pj_q155_t")
+      s.sql(s"DROP TABLE IF EXISTS pj_q155_cow")
       s.read.format("pjparquet").load(tmp)
         .groupBy($"n")
         .agg(count(lit(1)).as("n_supp"), sum($"k").as("key_sum"))
@@ -1018,6 +1035,8 @@ object MetadataQueries {
         .withColumn("compact_kept_ids", lit(if (compactKeptIds) 1L else 0L))
         .withColumn("compact_preserved_rows", lit(if (preserved) 1L else 0L))
         .withColumn("compact_cdf_empty_no_scan", lit(if (cdfEmptyNoScan) 1L else 0L))
+        .withColumn("cow_update_kept_ids", lit(if (cowUpdateKeptIds) 1L else 0L))
+        .withColumn("cow_delete_kept_ids", lit(if (cowDeleteKeptIds) 1L else 0L))
         .withColumn("ids_unique", lit(if (uniqueIds) 1L else 0L))
         .orderBy($"n")
     }),
@@ -2010,14 +2029,18 @@ object MetadataQueries {
 
   def oracles: Map[String, String] = Map(
     "q155_row_tracking" ->
-      """SELECT s_nationkey AS n, count(*) AS n_supp,
+      """SELECT CASE WHEN s_suppkey % 5 = 0 THEN s_nationkey + 1000
+        |            ELSE s_nationkey END AS n,
+        |       count(*) AS n_supp,
         |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
         |       CAST(1 AS BIGINT) AS dv_kept_ids,
         |       CAST(1 AS BIGINT) AS compact_kept_ids,
         |       CAST(1 AS BIGINT) AS compact_preserved_rows,
         |       CAST(1 AS BIGINT) AS compact_cdf_empty_no_scan,
+        |       CAST(1 AS BIGINT) AS cow_update_kept_ids,
+        |       CAST(1 AS BIGINT) AS cow_delete_kept_ids,
         |       CAST(1 AS BIGINT) AS ids_unique
-        |FROM supplier WHERE s_suppkey % 7 <> 0
+        |FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 11 <> 0
         |GROUP BY n ORDER BY n""".stripMargin,
     "q154_partition_evolution" ->
       """SELECT lang,

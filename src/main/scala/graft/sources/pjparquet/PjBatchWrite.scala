@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsDynamicOverwrite, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
@@ -100,7 +100,11 @@ final class PjWriteBuilder(
     logRequested: Boolean = false,
     cdcEnabled: Boolean = false,
     nameMap: Map[String, String] = Map.empty,
-    layout: Option[PjLayout] = None)
+    layout: Option[PjLayout] = None,
+    /** Ordinal of `_row_id` within the row-level metadata projection, or
+      * -1 — row tracking through copy-on-write DML ([[PjRowLevelOperation]]).
+      */
+    rowIdMetaOrdinal: Int = -1)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -153,7 +157,8 @@ final class PjWriteBuilder(
     new PjWrite(root, partitionKeys, info.schema(), mode, info.queryId(),
       bloomColumns, sortColumns, logRequested, cdcEnabled, nameMap,
       augment, layout.flatMap(_.logVersion), clusterKeys,
-      constraintsJson = layout.flatMap(_.constraintsJson))
+      constraintsJson = layout.flatMap(_.constraintsJson),
+      rowIdMetaOrdinal = rowIdMetaOrdinal)
   }
 }
 
@@ -179,7 +184,9 @@ final class PjWrite(
       * epoch writers ([[PjConstraints.boundChecks]]); batch plans get
       * Spark's `CheckInvariant` via `Table.constraints()` instead.
       */
-    constraintsJson: Option[String] = None)
+    constraintsJson: Option[String] = None,
+    /** `_row_id` ordinal in the row-level metadata projection, or -1. */
+    rowIdMetaOrdinal: Int = -1)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
@@ -206,7 +213,7 @@ final class PjWrite(
 
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
-      logRequested, cdcEnabled, nameMap, augment, baseVersion)
+      logRequested, cdcEnabled, nameMap, augment, baseVersion, rowIdMetaOrdinal)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -392,7 +399,8 @@ final class PjBatchWrite(
     cdcEnabled: Boolean = false,
     nameMap: Map[String, String] = Map.empty,
     augment: Option[PjGenerated.Augment] = None,
-    baseVersion: Option[Long] = None)
+    baseVersion: Option[Long] = None,
+    rowIdMetaOrdinal: Int = -1)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -404,14 +412,21 @@ final class PjBatchWrite(
     // column mapping: files store PHYSICAL names (logical renames never
     // touch bytes) — values are positional, only the write-conf schema
     // names change
-    val effectiveSchema = augment.map(_.outputSchema).getOrElse(writeSchema)
+    val projected = augment.map(_.outputSchema).getOrElse(writeSchema)
+    // ROW TRACKING through copy-on-write DML: replacement files store each
+    // surviving row's stable id as the hidden trailing column — the same
+    // materialization compaction performs ([[PjCompaction]])
+    val effectiveSchema =
+      if (rowIdMetaOrdinal < 0) projected
+      else StructType(projected.fields :+ org.apache.spark.sql.types.StructField(
+        PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
     val dataSchema = StructType(
       effectiveSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
         .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), effectiveSchema.json,
-      partitionKeys, jobUUID, augment)
+      partitionKeys, jobUUID, augment, rowIdMetaOrdinal)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -499,7 +514,9 @@ final class PjBatchWrite(
       // file-derived schemas carry PHYSICAL names; translate back to the
       // recorded LOGICAL names (column mapping) before widening/recording
       val newSchemaJson = newRels.headOption.map { rel =>
-        val phys = facts(s"$root/$rel").dataSchemaJson
+        // the hidden materialized row-id column is engine-internal — never
+        // part of the recorded user schema
+        val phys = PjBatchWrite.stripInternalCols(facts(s"$root/$rel").dataSchemaJson)
         prev.flatMap(_.dataSchemaJson) match {
           case Some(p) => PjColumnMapping.fileSchemaToLogical(
             org.apache.spark.sql.types.DataType.fromJson(p)
@@ -591,6 +608,47 @@ private[sources] object PjBatchWrite {
     proj.initialize(partitionId)
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = inner.write(proj(record))
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  /** Wrap a task writer for a ROW-TRACKED copy-on-write rewrite: the row
+    * written to the file gains the hidden trailing `_pj_row_id` column.
+    * Rows arriving through the two-arg `write(metadata, row)` — copied
+    * survivors and updated rows, which Spark's rewrites tag
+    * WRITE_WITH_METADATA — keep the stable id the scan served in the
+    * metadata projection; rows arriving through the one-arg `write(row)`
+    * (fresh MERGE inserts) store NULL and mint `baseRowId + pos` at read,
+    * exactly like the merge-on-read path ([[PjDeltaWrite]]).
+    */
+  private[pjparquet] def rowIdPreservingWriter(
+      inner: PjDataWriter, augment: Option[PjGenerated.Augment],
+      partitionId: Int, rowIdMetaOrdinal: Int): DataWriter[InternalRow] = {
+    val augProj = augment.map { a =>
+      val p = UnsafeProjection.create(a.exprs)
+      p.initialize(partitionId)
+      p
+    }
+    new DataWriter[InternalRow] {
+      private val idCell = new GenericInternalRow(1)
+      private val joined = new JoinedRow
+      // inner.write copies immediately (its own UnsafeProjection), so the
+      // reused JoinedRow/idCell buffers are safe
+      private def writeRow(record: InternalRow): Unit = {
+        val base: InternalRow = augProj.map(p => p(record): InternalRow).getOrElse(record)
+        inner.write(joined(base, idCell))
+      }
+      override def write(metadata: InternalRow, record: InternalRow): Unit = {
+        if (metadata.isNullAt(rowIdMetaOrdinal)) idCell.update(0, null)
+        else idCell.setLong(0, metadata.getLong(rowIdMetaOrdinal))
+        writeRow(record)
+      }
+      override def write(record: InternalRow): Unit = {
+        idCell.update(0, null)
+        writeRow(record)
+      }
       override def commit(): WriterCommitMessage = inner.commit()
       override def abort(): Unit = inner.abort()
       override def close(): Unit = inner.close()
@@ -829,7 +887,8 @@ final case class PjDataWriterFactory(
     writeSchemaJson: String,
     partitionKeys: Seq[String],
     jobUUID: String,
-    augment: Option[PjGenerated.Augment] = None)
+    augment: Option[PjGenerated.Augment] = None,
+    rowIdMetaOrdinal: Int = -1)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -838,7 +897,9 @@ final case class PjDataWriterFactory(
     // reconciled away by the manifest at commit
     val inner = new PjDataWriter(root, conf.value, schema, partitionKeys,
       fileTag = f"$partitionId%05d-$taskId-$jobUUID", overwriteExisting = false)
-    augment match {
+    if (rowIdMetaOrdinal >= 0)
+      PjBatchWrite.rowIdPreservingWriter(inner, augment, partitionId, rowIdMetaOrdinal)
+    else augment match {
       case None => inner
       case Some(a) => PjBatchWrite.augmentingWriter(inner, a, partitionId)
     }

@@ -89,17 +89,36 @@ final class PjRowLevelOperation(
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** ROW TRACKING through the copy-on-write rewrite: same gate as
+    * compaction's id materialization ([[PjCompaction]] `materializeIds`) —
+    * a logged, schema-recorded table's rewrite must not remint surviving
+    * rows' ids. When true, `_row_id` rides the metadata projection and the
+    * writer materializes it into the hidden [[PjCommitLog.RowIdColName]]
+    * column of every replacement file.
+    */
+  private val materializeRowIds: Boolean =
+    layout.logVersion.isDefined && layout.dataSchema.isDefined
+
   /** The `_file` metadata column is the group id. Requiring it does double
     * duty: Spark's rewrite threads it through the ReplaceData plan — which
     * switches the write task to the data/metadata projection split, so this
     * operation's writer receives clean table-schema rows — and runtime
     * group filtering can narrow the rewrite to exact files via the scan's
-    * `_file` runtime filter.
+    * `_file` runtime filter. On row-tracked tables `_row_id` rides too:
+    * Spark's rewrites tag copied/updated rows WRITE_WITH_METADATA, so the
+    * writer receives each surviving row's stable id per row (the two-arg
+    * `DataWriter.write(metadata, row)`) and preserves it through the
+    * rewrite; fresh MERGE inserts arrive without metadata and mint at read.
     */
   override def requiredMetadataAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
-      PjParquetTable.FileMetaName))
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val file = org.apache.spark.sql.connector.expressions.Expressions.column(
+      PjParquetTable.FileMetaName)
+    if (materializeRowIds)
+      Array(file, org.apache.spark.sql.connector.expressions.Expressions.column(
+        PjParquetTable.RowIdMetaName))
+    else Array(file)
+  }
 
   override def description(): String =
     s"pjparquet copy-on-write $cmd (${layout.files.size} candidate file(s))"
@@ -139,7 +158,10 @@ final class PjRowLevelOperation(
       nameMap = nameMap,
       // rewrite-mode augmentation: generated columns recompute in the
       // replacement rows (a SET on a base column keeps dependents fresh)
-      layout = Some(layout))
+      layout = Some(layout),
+      // ordinal of `_row_id` within the metadata projection — it follows
+      // `_file`, matching requiredMetadataAttributes' declaration order
+      rowIdMetaOrdinal = if (materializeRowIds) 1 else -1)
   }
 
   private def merged(scanOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {

@@ -21,6 +21,13 @@ class PjRowTrackingSpec extends AnyFunSuite {
   private def tempDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"pj_rowtrack_$tag").toString
 
+  /** A fresh NONEXISTENT path (CREATE TABLE refuses an existing dir). */
+  private def freshPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"pj_rowtrack_$tag")
+    java.nio.file.Files.delete(d)
+    d.toString
+  }
+
   private def fsOf(dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -244,6 +251,98 @@ class PjRowTrackingSpec extends AnyFunSuite {
     val byName = d.schema.fieldNames.zipWithIndex.toMap
     assert(d.getLong(byName("row_tracked_files")) == 2L)
     assert(d.getLong(byName("row_id_watermark")) == 20L)
+  }
+
+  test("copy-on-write UPDATE preserves row ids (generated-column table routes CoW)") {
+    val dir = freshPath("cow_gen")
+    spark.conf.set("spark.sql.catalog.pjrt", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjrt.`$dir` (x BIGINT, " +
+      "doubled BIGINT GENERATED ALWAYS AS (x * 2)) USING pjparquet")
+    spark.range(0, 20).toDF("x").coalesce(1)
+      .write.format("pjparquet").mode("append").save(dir)
+    val before = spark.table(s"pjrt.`$dir`")
+      .selectExpr("x", "_row_id").as[(Long, Long)].collect().toMap
+    assert(before.size == 20 && before.values.toSeq.distinct.size == 20)
+    // generated column forces the COPY-ON-WRITE route (dependents recompute)
+    spark.sql(s"UPDATE pjrt.`$dir` SET x = x + 100 WHERE x % 4 = 0")
+    val after = spark.table(s"pjrt.`$dir`")
+      .selectExpr("x", "_row_id", "doubled").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(after.size == 20)
+    // untouched rows of the REWRITTEN files keep their ids…
+    (0L until 20L).filterNot(_ % 4 == 0).foreach { x =>
+      assert(after(x)._1 == before(x), s"CoW UPDATE reminted untouched row $x's id")
+    }
+    // …and updated rows keep theirs too (Delta semantics: the id survives
+    // the update; only the values change)
+    (0L until 20L).filter(_ % 4 == 0).foreach { x =>
+      assert(after(x + 100)._1 == before(x), s"CoW UPDATE reminted updated row $x's id")
+      assert(after(x + 100)._2 == (x + 100) * 2, "generated column must recompute")
+    }
+    // replacement files are row-TRACKED entries (materialized id column),
+    // and the hidden column never leaks into the user schema
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.entries.forall(_.rowTracked), s"CoW entries must be tracked: ${snap.entries}")
+    assert(!spark.table(s"pjrt.`$dir`").columns.exists(_.equalsIgnoreCase("_pj_row_id")))
+    assert(!snap.dataSchemaJson.exists(_.contains("_pj_row_id")),
+      "materialized id column must not enter the recorded schema")
+    spark.sql(s"DROP TABLE pjrt.`$dir`")
+  }
+
+  test("copy-on-write MERGE keeps matched ids, mints fresh for inserts (identity table)") {
+    val dir = freshPath("cow_merge")
+    spark.conf.set("spark.sql.catalog.pjrt", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjrt.`$dir` (id BIGINT GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 1000 INCREMENT BY 1), k BIGINT, v BIGINT) USING pjparquet")
+    spark.range(0, 12).select($"id".as("k"), ($"id" * 7).as("v")).coalesce(1)
+      .write.format("pjparquet").mode("append").save(dir)
+    val before = spark.table(s"pjrt.`$dir`")
+      .selectExpr("k", "_row_id").as[(Long, Long)].collect().toMap
+    Seq((3L, 999L), (50L, 500L)).toDF("k", "v").createOrReplaceTempView("pj_rt_cow_src")
+    // identity table → MERGE routes copy-on-write (watermark minting)
+    spark.sql(
+      s"""MERGE INTO pjrt.`$dir` AS t USING pj_rt_cow_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val post = spark.table(s"pjrt.`$dir`")
+      .selectExpr("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(post.size == 13)
+    (0L until 12L).foreach { k =>
+      assert(post(k) == before(k), s"CoW MERGE reminted row $k's id: ${before(k)} -> ${post(k)}")
+    }
+    assert(post(50L) >= 12L, s"insert must mint above the watermark, got ${post(50L)}")
+    assert(post.values.toSeq.distinct.size == 13, s"id collision: ${post.toSeq.sorted}")
+    spark.sql(s"DROP TABLE pjrt.`$dir`")
+  }
+
+  test("rowTracking.required + deletionVectors disabled: CoW UPDATE and DELETE keep ids") {
+    val dir = freshPath("cow_nodv")
+    spark.conf.set("spark.sql.catalog.pjrt", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjrt.`$dir` (id BIGINT, v BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.rowTracking.required'='true', " +
+      "'pj.deletionVectors.enabled'='false')")
+    spark.range(0, 24).select($"id", ($"id" * 3).as("v")).coalesce(1)
+      .write.format("pjparquet").mode("append").save(dir)
+    val before = spark.table(s"pjrt.`$dir`")
+      .selectExpr("id", "_row_id").as[(Long, Long)].collect().toMap
+    // with vectors disabled, UPDATE and DELETE both copy-on-write
+    spark.sql(s"UPDATE pjrt.`$dir` SET v = v + 1 WHERE id % 6 = 0")
+    val afterUpdate = spark.table(s"pjrt.`$dir`")
+      .selectExpr("id", "_row_id").as[(Long, Long)].collect().toMap
+    afterUpdate.foreach { case (id, rid) =>
+      assert(rid == before(id), s"no-DV CoW UPDATE reminted row $id's id")
+    }
+    spark.sql(s"DELETE FROM pjrt.`$dir` WHERE id % 2 = 1")
+    val afterDelete = spark.table(s"pjrt.`$dir`")
+      .selectExpr("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(afterDelete.size == 12)
+    afterDelete.foreach { case (id, rid) =>
+      assert(rid == before(id), s"no-DV CoW DELETE reminted survivor $id's id")
+    }
+    // no deletion vector was involved: every live entry is vector-free
+    val snap = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(snap.entries.forall(_.dv.isEmpty), "deletion vectors must stay disabled")
+    spark.sql(s"DROP TABLE pjrt.`$dir`")
   }
 
   test("untracked legacy entries read _row_id as NULL; fresh appends are tracked") {
