@@ -1040,6 +1040,52 @@ object MetadataQueries {
         .withColumn("ids_unique", lit(if (uniqueIds) 1L else 0L))
         .orderBy($"n")
     }),
+    "q156_add_column_default" -> ((s, dir) => {
+      import s.implicits._
+      // ADD COLUMN ... DEFAULT (round 14, existence defaults): pre-add
+      // files serve the default instead of null (the vectorized reader's
+      // existence-default lane over the recorded field metadata), post-add
+      // writes that omit the column fill the same way, SQL INSERTs resolve
+      // it via Spark's own default resolution, and explicit values —
+      // including explicit NULL — win. DuckDB recomputes every value;
+      // the narrow pre-add time-travel schema rides as an asserted bit.
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q156_def")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      val nation = graft.Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"))
+      s.conf.set("spark.sql.catalog.pj_q156", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q156.`$tmp` (k BIGINT, name STRING) USING pjparquet")
+      nation.filter($"k" % 2 === 0).coalesce(1)
+        .write.format("pjparquet").mode("append").save(tmp) // pre-add files
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val preAddVersion = graft.sources.pjparquet.PjCommitLog
+        .latest(fs, new org.apache.hadoop.fs.Path(tmp)).get.version
+      s.sql(s"ALTER TABLE pj_q156.`$tmp` ADD COLUMN bonus BIGINT DEFAULT 7")
+      // pre-add rows read the default, not null
+      val preAddDefault = s.read.format("pjparquet").load(tmp)
+        .filter($"bonus" === 7L).count() ==
+        s.read.format("pjparquet").load(tmp).count()
+      // post-add append OMITTING the column: same fill
+      nation.filter($"k" % 2 === 1).coalesce(1)
+        .write.format("pjparquet").mode("append").save(tmp)
+      // SQL INSERT with explicit values; explicit NULL wins over the default
+      nation.filter($"k" % 5 === 0)
+        .selectExpr("k + 1000 AS k", "name",
+          "CASE WHEN k % 10 = 0 THEN NULL ELSE k * 10 END AS bonus")
+        .createOrReplaceTempView("pj_q156_src")
+      s.sql(s"INSERT INTO pj_q156.`$tmp` SELECT k, name, bonus FROM pj_q156_src")
+      // time travel BEFORE the add serves that version's schema (no bonus)
+      val narrowPreAdd = s.read.format("pjparquet")
+        .option("versionAsOf", preAddVersion.toString).load(tmp)
+        .columns.toSeq == Seq("k", "name")
+      s.read.format("pjparquet").load(tmp)
+        .select($"k", $"name", $"bonus")
+        .withColumn("pre_add_default", lit(if (preAddDefault) 1L else 0L))
+        .withColumn("narrow_pre_add_schema", lit(if (narrowPreAdd) 1L else 0L))
+        .orderBy($"k")
+    }),
     "q154_partition_evolution" -> ((s, dir) => {
       import s.implicits._
       // Partition-spec evolution (round 13 — Iceberg-style, via SET
@@ -2042,6 +2088,19 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS ids_unique
         |FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 11 <> 0
         |GROUP BY n ORDER BY n""".stripMargin,
+    "q156_add_column_default" ->
+      """SELECT k, name, bonus,
+        |       CAST(1 AS BIGINT) AS pre_add_default,
+        |       CAST(1 AS BIGINT) AS narrow_pre_add_schema
+        |FROM (
+        |  SELECT n_nationkey AS k, n_name AS name, CAST(7 AS BIGINT) AS bonus
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, n_name,
+        |         CASE WHEN n_nationkey % 10 = 0 THEN NULL
+        |              ELSE CAST(n_nationkey * 10 AS BIGINT) END
+        |  FROM nation WHERE n_nationkey % 5 = 0
+        |) ORDER BY k""".stripMargin,
     "q154_partition_evolution" ->
       """SELECT lang,
         |       CASE WHEN doc_id % 2 = 1 THEN 1 END AS era,

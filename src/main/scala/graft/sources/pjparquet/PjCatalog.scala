@@ -352,14 +352,27 @@ class PjCatalog extends CatalogPlugin with TableCatalog
                 s"storage name of renamed column '${f.name}'; choose a " +
                 "different name")
           }
+          // EXISTENCE DEFAULT (round 14, Delta semantics): ADD COLUMN ...
+          // DEFAULT records the default's SQL in the field metadata under
+          // Spark's own keys — pre-add files (which physically lack the
+          // column) then serve the default instead of null (the vectorized
+          // reader's existence-default lane), and post-add writes that
+          // omit the column resolve it the same way; SQL INSERTs fill it
+          // via Spark's ResolveDefaultColumns like CREATE-time defaults.
+          val defaultSql: Option[String] =
+            Option(a.defaultValue()).map { dv =>
+              Option(dv.getSql).getOrElse(throw new UnsupportedOperationException(
+                s"$catalogName: ADD COLUMN '$name' DEFAULT requires a SQL-" +
+                  "expressible constant default"))
+            }
+          // still nullable-only even with a DEFAULT: pre-add files
+          // physically lack the column, and the vectorized reader's
+          // required-column check (checkColumn) refuses a missing
+          // non-nullable column before the existence-default lane runs
           if (!a.isNullable)
             throw new PJException(
               s"$catalogName: ADD COLUMN '$name' must be nullable — " +
-                "existing rows have no value for it")
-          if (a.defaultValue() != null)
-            throw new UnsupportedOperationException(
-              s"$catalogName: ADD COLUMN with DEFAULT is not supported " +
-                "(existing rows read the new column as null)")
+                "existing rows have no stored value for it")
           // resurrection guard: a live file may still physically carry a
           // previously-DROPped column of this name — re-adding would read
           // its stale bytes instead of null. Refuse until those files are
@@ -376,7 +389,14 @@ class PjCatalog extends CatalogPlugin with TableCatalog
                 "bytes instead of null. Rewrite those files first " +
                 "(CALL pj.system.compact) or choose a different name")
           val field = {
-            val f = org.apache.spark.sql.types.StructField(name, a.dataType, nullable = true)
+            import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            defaultSql.foreach { sql =>
+              mb.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+              mb.putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+            }
+            val f = org.apache.spark.sql.types.StructField(
+              name, a.dataType, nullable = a.isNullable, mb.build())
             if (a.comment != null) f.withComment(a.comment) else f
           }
           a.position() match {

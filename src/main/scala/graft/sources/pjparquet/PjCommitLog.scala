@@ -736,9 +736,12 @@ object PjCommitLog {
       incrementalParquetCheckpoint(session.get, fs, root, v) match {
         case Some(h) =>
           publishStream(fs, target) { out =>
-            val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+            val sealing = new SealingOutputStream(out)
+            val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(
+              sealing: java.io.OutputStream)
             g.writeStartObject()
             g.writeNumberField("version", v)
+            g.writeBooleanField("sealed", true)
             g.writeNumberField("ts", h.ts)
             g.writeStringField("action", h.action)
             g.writeNumberField("nFiles", h.nFiles)
@@ -752,6 +755,7 @@ object PjCommitLog {
             g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
             g.writeEndObject()
             g.flush()
+            sealing.writeSeal()
           }
           return
         case None => // no parquet predecessor / legacy tail — full rebuild below
@@ -766,9 +770,12 @@ object PjCommitLog {
     if (asParquet) writeParquetEntries(session.get, fs, root, v, snap)
     val mapper = new ObjectMapper()
     publishStream(fs, target) { out =>
-      val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+      val sealing = new SealingOutputStream(out)
+      val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(
+        sealing: java.io.OutputStream)
       g.writeStartObject()
       g.writeNumberField("version", snap.version)
+      g.writeBooleanField("sealed", true)
       g.writeNumberField("ts", snap.ts)
       g.writeStringField("action", snap.action)
       g.writeNumberField("nFiles", snap.entries.size.toLong)
@@ -788,6 +795,7 @@ object PjCommitLog {
       }
       g.writeEndObject()
       g.flush()
+      sealing.writeSeal()
     }
     ()
   }
@@ -1026,13 +1034,19 @@ object PjCommitLog {
   private def parseHeader(fs: FileSystem, p: Path, version: Long): HistoryEntry = {
     import com.fasterxml.jackson.core.JsonToken
     try {
-      val in = fs.open(p)
-      try {
-        val jp = new com.fasterxml.jackson.core.JsonFactory()
-          .createParser(in: java.io.InputStream)
+      // integrity-validated read first (commit files and checkpoint
+      // headers are small; the entry payload of big checkpoints rides
+      // parquet), then the same early-exit streamed header parse over the
+      // validated bytes
+      val validated = readValidated(fs, p, version)
+      val body = validated._1
+      val hadSeal = validated._2
+      locally {
+        val jp = new com.fasterxml.jackson.core.JsonFactory().createParser(body)
         if (jp.nextToken() != JsonToken.START_OBJECT)
           throw new PJException(s"pjparquet: corrupt commit-log entry $p (not a JSON object)")
         var ver = -1L; var ts = 0L; var action = "unknown"; var nFiles = -1L
+        var sealedFlag = false
         var sawVer = false; var sawTs = false; var sawAction = false; var sawN = false
         var done = false
         while (!done && jp.nextToken() == JsonToken.FIELD_NAME) {
@@ -1042,6 +1056,7 @@ object PjCommitLog {
             case "version" => ver = jp.getLongValue; sawVer = true
             case "ts" => ts = jp.getLongValue; sawTs = true
             case "action" => action = jp.getText; sawAction = true
+            case "sealed" => sealedFlag = jp.getBooleanValue
             case "nFiles" => nFiles = jp.getLongValue; sawN = true
             case "files" | "entries" if !sawN =>
               var n = 0L
@@ -1051,11 +1066,16 @@ object PjCommitLog {
           }
           done = sawVer && sawTs && sawAction && sawN
         }
+        if (sealedFlag && !hadSeal)
+          throw new PJException(
+            s"pjparquet: corrupt commit-log entry $p (body declares sealed:true " +
+              s"but the seal line is missing — truncated file); version $version " +
+              "is unreadable — restore the file from a replica or expire past it")
         if (ver != version)
           throw new PJException(
             s"pjparquet: commit-log entry claims version $ver but is filed as $version")
         HistoryEntry(version, ts, action, nFiles)
-      } finally in.close()
+      }
     } catch {
       case _: java.io.FileNotFoundException =>
         val vs = versions(fs, p.getParent.getParent)
@@ -1236,9 +1256,103 @@ object PjCommitLog {
     * per-version contract. Returns false when the version was already
     * claimed (conflict).
     */
+  // ------------------------------------------------------- integrity seal
+
+  /** Log corruption detection (round 14). Every NEW commit/checkpoint
+    * body carries `"sealed":true` and the file ends with one extra line,
+    * `{"crc32c":<crc>,"len":<bytes>}`, where crc/len cover every byte
+    * BEFORE that line's separating newline. Replay and history validate:
+    *
+    *  - a bit flip anywhere in the body → CRC mismatch, loud;
+    *  - truncation inside the body → JSON parse failure or CRC/len
+    *    mismatch, loud;
+    *  - truncation that drops exactly the seal line → the body still
+    *    parses but declares `"sealed":true` with no seal present, loud.
+    *
+    * Pre-seal files (no `sealed` field) keep parsing forever — their
+    * integrity story is unchanged (JSON parse errors only). The body is
+    * single-line JSON (control characters are escaped), so the seal's
+    * separating newline is unambiguous: it is the LAST raw 0x0A.
+    */
+  private final class SealingOutputStream(out: java.io.OutputStream)
+      extends java.io.OutputStream {
+    private val crc = new java.util.zip.CRC32C()
+    private var count = 0L
+    override def write(b: Int): Unit = { out.write(b); crc.update(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); crc.update(b, off, len); count += len
+    }
+    override def flush(): Unit = out.flush()
+    /** Append the seal line — call LAST, after the body is flushed. */
+    def writeSeal(): Unit = {
+      out.write(sealLine(crc.getValue, count)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.flush()
+    }
+  }
+
+  private def sealLine(crc: Long, len: Long): String =
+    "\n{\"crc32c\":" + crc + ",\"len\":" + len + "}"
+
+  /** Read + integrity-check a log file: returns the BODY bytes (seal line
+    * stripped) and whether a valid seal was present. Throws
+    * [[PJException]] naming the version on any corruption class above.
+    */
+  private def readValidated(fs: FileSystem, p: Path,
+      version: Long): (Array[Byte], Boolean) = {
+    val in = fs.open(p)
+    val all =
+      try {
+        val buf = new java.io.ByteArrayOutputStream(8192)
+        val chunk = new Array[Byte](65536)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    def corrupt(why: String): Nothing =
+      throw new PJException(
+        s"pjparquet: corrupt commit-log entry $p ($why); version $version is " +
+          "unreadable — restore the file from a replica or expire past it")
+    var nl = all.length - 1
+    while (nl >= 0 && all(nl) != '\n') nl -= 1
+    val tail =
+      if (nl < 0 || nl == all.length - 1) ""
+      else new String(all, nl + 1, all.length - nl - 1,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    if (tail.startsWith("{\"crc32c\":")) {
+      val node =
+        try new ObjectMapper().readTree(tail)
+        catch { case _: com.fasterxml.jackson.core.JacksonException => corrupt("unparseable seal line") }
+      val recordedCrc = node.path("crc32c").asLong(-1L)
+      val recordedLen = node.path("len").asLong(-1L)
+      if (recordedLen != nl)
+        corrupt(s"seal length mismatch: recorded $recordedLen, found $nl body bytes")
+      val crc = new java.util.zip.CRC32C()
+      crc.update(all, 0, nl)
+      if (crc.getValue != recordedCrc)
+        corrupt(s"CRC32C mismatch: recorded $recordedCrc, computed ${crc.getValue}")
+      (java.util.Arrays.copyOfRange(all, 0, nl), true)
+    } else (all, false) // possibly legacy — the caller checks the `sealed` flag
+  }
+
+  /** The body declared itself sealed but the caller got it WITHOUT a valid
+    * seal line — exactly the drop-the-seal truncation class.
+    */
+  private def requireSealPresent(node: JsonNode, hadSeal: Boolean, p: Path,
+      version: Long): Unit =
+    if (!hadSeal && node.path("sealed").asBoolean(false))
+      throw new PJException(
+        s"pjparquet: corrupt commit-log entry $p (body declares sealed:true " +
+          s"but the seal line is missing — truncated file); version $version " +
+          "is unreadable — restore the file from a replica or expire past it")
+
   private def publish(fs: FileSystem, target: Path, body: String): Boolean = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    publishStream(fs, target)(out => out.write(bytes))
+    val crc = new java.util.zip.CRC32C()
+    crc.update(bytes)
+    val seal = sealLine(crc.getValue, bytes.length.toLong)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    publishStream(fs, target) { out => out.write(bytes); out.write(seal) }
   }
 
   /** Streaming form of the atomic claim: `write` receives the output
@@ -1298,6 +1412,9 @@ object PjCommitLog {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
+    // early in the body so the streamed header parse always sees it —
+    // readers then REQUIRE the trailing seal line (corruption detection)
+    node.put("sealed", true)
     node.put("ts", ts)
     node.put("action", action)
     node.put("nFiles", nFiles)
@@ -1379,13 +1496,14 @@ object PjCommitLog {
     Option(node.get(field)).map(_.asText)
 
   private def parseFile(fs: FileSystem, p: Path, version: Long): JsonNode = {
-    // stream-parse straight off the file: a large checkpoint is one node
-    // tree in memory, never also an intermediate string
+    // integrity-validated read ([[readValidated]]): bit flips and
+    // truncations fail loudly with the version named, before any replay
     val node =
       try {
-        val in = fs.open(p)
-        try new ObjectMapper().readTree(in: java.io.InputStream)
-        finally in.close()
+        val (body, hadSeal) = readValidated(fs, p, version)
+        val n = new ObjectMapper().readTree(body)
+        requireSealPresent(n, hadSeal, p, version)
+        n
       } catch {
         case _: java.io.FileNotFoundException =>
           val vs = versions(fs, p.getParent.getParent)

@@ -270,6 +270,50 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(nn.getMessage.contains("nullable"), s"got: ${nn.getMessage}")
   }
 
+  test("ADD COLUMN ... DEFAULT: existence default for pre-add files, omit-and-fill after") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_add_def").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v1: pre-add files
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN bonus BIGINT DEFAULT 7") // v2
+    // pre-add rows read the DEFAULT, not null (existence default)
+    val t = spark.read.format("pjparquet").load(dir)
+    assert(t.columns.toSeq == Seq("id", "x", "bonus"))
+    assert(t.orderBy($"id").select($"bonus").as[Long].collect().toSeq == Seq(7L, 7L))
+    // SQL INSERT without the column: Spark's resolver fills the default
+    spark.sql(s"INSERT INTO pjwiden.`$dir` (id, x) VALUES (3, 30)") // v3
+    // DataFrame append omitting the column: same omit-and-fill semantics
+    Seq((4L, 40L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // v4
+    // explicit values (including an explicit NULL) win over the default
+    spark.sql(s"INSERT INTO pjwiden.`$dir` VALUES (5, 50, 99), (6, 60, NULL)") // v5
+    val full = spark.read.format("pjparquet").load(dir).orderBy($"id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(full == Seq(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(7L),
+      4L -> Some(7L), 5L -> Some(99L), 6L -> None), s"got $full")
+    // filters over the defaulted column behave like the values were stored
+    val filtered = spark.read.format("pjparquet").load(dir)
+      .filter($"bonus" === 7L).select($"id").as[Long].collect().sorted.toSeq
+    assert(filtered == Seq(1L, 2L, 3L, 4L), s"got $filtered")
+    // time travel BEFORE the add: narrow schema, no default anywhere
+    val v1 = spark.read.format("pjparquet").option("versionAsOf", "1").load(dir)
+    assert(v1.columns.toSeq == Seq("id", "x"))
+    // a nullable string default works too
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN tagd STRING DEFAULT 'z'")
+    val tagged = spark.read.format("pjparquet").load(dir)
+      .select($"tagd").distinct().as[String].collect().toSeq
+    assert(tagged == Seq("z"))
+    // NOT NULL stays refused even with a DEFAULT (pre-add files physically
+    // lack the column; the reader's required-column check runs first)
+    val nn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN req LONG NOT NULL DEFAULT 1")
+    }
+    assert(nn.getMessage.contains("nullable"), s"got: ${nn.getMessage}")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns; plain MERGE refuses") {
     val dir = java.nio.file.Files.createTempDirectory("pj_mse").toString
     Seq((1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1)
