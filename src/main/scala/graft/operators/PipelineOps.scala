@@ -1268,6 +1268,63 @@ object PipelineOps {
     * separated by construction, which downstream token arithmetic
     * (`tokens`, [[gopherRules]], chunk counts) relies on.
     */
+  /** Deterministic MAIN-CONTENT extraction from HTML/markup — the
+    * boilerplate-removal stage every web-crawl pipeline runs before
+    * anything else (trafilatura/jusText's job, reduced to explicit
+    * rules so any engine reproduces it byte-for-byte):
+    *
+    *  1. excise `<script>`/`<style>` elements and HTML comments (their
+    *     contents are never prose);
+    *  2. excise the classic boilerplate containers `<nav>`/`<header>`/
+    *     `<footer>`/`<aside>` wholesale;
+    *  3. split the remainder into blocks at block-level tags
+    *     (`p|div|h1..h6|li|ul|ol|table|tr|td|br`);
+    *  4. per block, strip all remaining tags, collapse whitespace, and
+    *     keep the block only if its text is ≥ `minBlockChars` AND its
+    *     link density is bounded: `3 * anchorTextLen <= textLen`
+    *     (anchor text length = the character count that disappears when
+    *     `<a>` ELEMENTS are excised before stripping — jusText's
+    *     link-density idea with an integer-rational threshold, so no
+    *     engine can disagree on a boundary block);
+    *  5. join the surviving blocks' text.
+    *
+    * Every rule is a regex with explicit character classes and `(?is)`
+    * inline flags — valid and identical in Java regex and RE2, so the
+    * DuckDB oracle replays the extraction exactly (the q124/q71
+    * discipline). Pure per-row string work: zero shuffle at any scale.
+    * Adds `content` (extracted text) and `content_chars`.
+    */
+  def extractContent(
+      docs: DataFrame,
+      htmlCol: String = "html",
+      minBlockChars: Int = 20): DataFrame = {
+    def strip(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
+    def collapse(c: Column): Column = trim(regexp_replace(c, "[ \t\r\n\f]+", " "))
+    val cleaned = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?is)<nav[^>]*>.*?</nav>",
+      "(?is)<header[^>]*>.*?</header>",
+      "(?is)<footer[^>]*>.*?</footer>",
+      "(?is)<aside[^>]*>.*?</aside>"
+    ).foldLeft(col(htmlCol))((c, re) => regexp_replace(c, re, " "))
+    val blocks = split(cleaned, "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|br)[^>]*>")
+    val scored = transform(blocks, b => {
+      val tAll = collapse(strip(b))
+      val tNoA = collapse(strip(regexp_replace(b, "(?is)<a[^>]*>.*?</a>", " ")))
+      struct(
+        tAll.as("t"),
+        (length(tAll) >= minBlockChars &&
+          (length(tAll) - length(tNoA)) * lit(3) <= length(tAll)).as("keep"))
+    })
+    docs
+      .withColumn("content", collapse(array_join(
+        transform(filter(scored, s => s.getField("keep")), s => s.getField("t")),
+        " ")))
+      .withColumn("content_chars", length(col("content")).cast("long"))
+  }
+
   def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("norm_text",
       trim(regexp_replace(

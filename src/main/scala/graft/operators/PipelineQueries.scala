@@ -35,6 +35,72 @@ object PipelineQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Deterministic HTML dirtying shell for the extraction entries
+    * (q157, q128's first stage): fixed boilerplate around the first 400
+    * chars of each document. No single quotes anywhere, so the SAME text
+    * embeds verbatim in the oracle's SQL literals.
+    */
+  private val HtmlShellPrefix =
+    "<html><head><title>t</title><style type=\"text/css\">body { color: #111 }</style>" +
+      "<script>var x = 1 < 2;</script></head><body>" +
+      "<!-- boilerplate shell -->" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<div id=\"main\"><p>"
+  private val HtmlShellSuffix =
+    "</p></div>" +
+      "<div class=\"links\"><a href=\"/1\">one</a> <a href=\"/2\">two</a></div>" +
+      "<p>More: <a href=\"/next\">a very long anchor that dominates this whole sentence</a></p>" +
+      "<p>Contact the team on the details page for further help with anything else today.</p>" +
+      "<aside>ad ad ad</aside>" +
+      "<footer>(c) corp <a href=\"/tos\">terms</a></footer></body></html>"
+
+  /** `(doc_id, lang, html)` — documents wrapped in the dirtying shell. */
+  private def dirtiedDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      concat(lit(HtmlShellPrefix), substring(col("text"), 1, 400),
+        lit(HtmlShellSuffix)).as("html"))
+
+  /** The oracle-side mirror of [[dirtiedDocuments]] +
+    * [[PipelineOps.extractContent]]: CTEs `d` (dirtied html), `c`
+    * (script/style/comment/boilerplate-container excision), `b` (block
+    * split + per-block text/anchorless-text) and `e` —
+    * `e(doc_id, lang, content)` — exactly the Spark regex chain, which
+    * is valid and identical in RE2.
+    */
+  private val ExtractionSqlCtes: String =
+    s"""d AS (SELECT doc_id, lang,
+       |  '$HtmlShellPrefix' || substr(text, 1, 400) || '$HtmlShellSuffix' AS html
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |  regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g'),
+       |    '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+       |    '(?is)<header[^>]*>.*?</header>', ' ', 'g'),
+       |    '(?is)<footer[^>]*>.*?</footer>', ' ', 'g'),
+       |    '(?is)<aside[^>]*>.*?</aside>', ' ', 'g') AS cleaned
+       |  FROM d),
+       |b AS (SELECT doc_id, lang,
+       |  list_transform(
+       |    string_split_regex(cleaned, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|br)[^>]*>'),
+       |    x -> struct_pack(
+       |      t := trim(regexp_replace(regexp_replace(x,
+       |        '<[^>]*>', ' ', 'g'), '[ \t\r\n\f]+', ' ', 'g')),
+       |      ta := trim(regexp_replace(regexp_replace(regexp_replace(x,
+       |        '(?is)<a[^>]*>.*?</a>', ' ', 'g'),
+       |        '<[^>]*>', ' ', 'g'), '[ \t\r\n\f]+', ' ', 'g')))) AS blocks
+       |  FROM c),
+       |e AS (SELECT doc_id, lang,
+       |  trim(regexp_replace(array_to_string(list_transform(list_filter(blocks,
+       |    s -> length(struct_extract(s, 't')) >= 20 AND
+       |         (length(struct_extract(s, 't')) - length(struct_extract(s, 'ta'))) * 3
+       |           <= length(struct_extract(s, 't'))),
+       |    s -> struct_extract(s, 't')), ' '), '[ \t\r\n\f]+', ' ', 'g')) AS content
+       |  FROM b)""".stripMargin
+
   /** q75's retrieval workload: three keyword queries over the corpus
     * vocabulary, mirrored verbatim in the oracle's VALUES list.
     */
@@ -303,6 +369,21 @@ object PipelineQueries {
         col("exact_pairs"),
         (col("candidate_pairs") - col("exact_pairs")).as("phantom_candidates"))
     }),
+    "q157_content_extraction" -> ((s, dir) => {
+      import s.implicits._
+      // Main-content extraction (PipelineOps.extractContent) over
+      // deterministically-dirtied documents: each doc's text is wrapped
+      // in a fixed HTML shell carrying script/style/nav/aside/footer
+      // boilerplate, a short link-farm block (dropped by the length
+      // gate), a link-dominated sentence (dropped by the 1/3
+      // link-density gate) and a prose sentence that must survive.
+      // DuckDB replays the SAME regex chain (every class/flag used is
+      // valid and identical in Java regex and RE2), so the extracted
+      // text is md5-compared exactly per document.
+      PipelineOps.extractContent(dirtiedDocuments(s, dir))
+        .select($"doc_id", md5($"content").as("content_md5"), $"content_chars")
+        .orderBy($"doc_id")
+    }),
     "q124_gopher_rules" -> ((s, dir) => {
       // Gopher-style rule battery (PipelineOps.gopherRules): per-rule
       // booleans + the conjunction, aggregated into a per-lang rejection
@@ -360,14 +441,23 @@ object PipelineQueries {
     }),
     "q128_corpus_pipeline" -> ((s, dir) => {
       // End-to-end corpus pipeline COMPOSITION — the shape a real
-      // training-data run has: normalize -> Gopher-rule quality filter ->
-      // exact dedup on the canonical text -> fixed-context chunk
-      // accounting. Every stage here is SQL-expressible, so DuckDB
-      // recomputes the entire pipeline exactly (counts, token totals,
-      // chunk counts at ctx=64, and an md5 checksum over the surviving
-      // canonical texts) — stage composition, not just stages, is what
-      // this pins.
-      val norm = PipelineOps.normalizeText(Tables.documents(s, dir))
+      // training-data run has: extract main content from markup ->
+      // normalize -> Gopher-rule quality filter -> exact dedup on the
+      // canonical text -> fixed-context chunk accounting. Every stage
+      // here is SQL-expressible, so DuckDB recomputes the entire
+      // pipeline exactly (counts, token totals, chunk counts at ctx=64,
+      // and an md5 checksum over the surviving canonical texts) — stage
+      // composition, not just stages, is what this pins.
+      val extracted = PipelineOps.extractContent(dirtiedDocuments(s, dir))
+      // persist() is the projection barrier (lshAnnPairs convention):
+      // without it the Gopher filter's predicates — with the extraction
+      // lambdas INLINED — get substituted into the parquet scan's
+      // DataFilters and the whole regex chain runs twice per row (the
+      // pushdown-inlining trap PlanHygieneSpec pins). The slim
+      // (lang, norm_text) cache feeds filter and aggregation once;
+      // Verify/Bench clearCache() between queries frees it.
+      val norm = PipelineOps.normalizeText(extracted, textCol = "content")
+        .select(col("lang"), col("norm_text")).persist()
       val kept = PipelineOps.gopherRules(norm, textCol = "norm_text")
         .filter(col("gopher_pass"))
         .select(col("lang"), col("norm_text"),
@@ -1595,16 +1685,17 @@ object PipelineQueries {
         |         AS n_changed
         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
     "q128_corpus_pipeline" ->
-      """WITH n AS (SELECT lang,
-        |  trim(regexp_replace(regexp_replace(lower(text),
+      s"""WITH $ExtractionSqlCtes,
+        |n AS (SELECT lang,
+        |  trim(regexp_replace(regexp_replace(lower(content),
         |    '[^a-z0-9 一-鿿]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-        |  FROM documents),
+        |  FROM e),
         |t AS (SELECT lang, norm,
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS nt,
         |  CAST(length(norm) - len(string_split(norm, ' ')) + 1 AS BIGINT) AS wc,
         |  CAST(len(list_intersect(list_distinct(string_split(norm, ' ')),
         |    ['the','a','of','der','die','und','le','la','et','el','los','y','的','是','了'])) AS BIGINT) AS st,
-        |  CAST(length(regexp_replace(norm, '[\w\s]', '', 'g')) AS BIGINT) AS pc
+        |  CAST(length(regexp_replace(norm, '[\\w\\s]', '', 'g')) AS BIGINT) AS pc
         |  FROM n),
         |k AS (SELECT lang, norm, nt FROM t
         |  WHERE nt >= 25 AND nt <= 100000
@@ -1619,6 +1710,11 @@ object PipelineQueries {
         |       CAST(sum(('0x' || substr(md5(norm), 1, 12))::BIGINT) AS BIGINT)
         |         AS text_checksum
         |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+    "q157_content_extraction" ->
+      s"""WITH $ExtractionSqlCtes
+         |SELECT doc_id, md5(content) AS content_md5,
+         |       CAST(length(content) AS BIGINT) AS content_chars
+         |FROM e ORDER BY doc_id""".stripMargin,
     "q124_gopher_rules" ->
       """WITH t AS (SELECT lang,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,

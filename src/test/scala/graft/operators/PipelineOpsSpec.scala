@@ -79,6 +79,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.collect().nonEmpty)
   }
 
+  test("extractContent: strips boilerplate, keeps prose, drops link-dense blocks") {
+    val html =
+      "<html><head><style>p{color:red}</style><script>if (1 < 2) alert('x');</script></head>" +
+        "<body><!-- comment --><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>" +
+        "<header>Site header junk</header>" +
+        "<div><p>This is the real article body with plenty of prose to keep.</p></div>" +
+        "<div><a href='/1'>one</a> <a href='/2'>two</a></div>" + // short link farm
+        "<p>More: <a href='/next'>a very long anchor that dominates this entire block</a></p>" +
+        "<p>Write to the support team for help with any other problem you may have.</p>" +
+        "<aside>ad</aside><footer>(c) corp</footer></body></html>"
+    val out = PipelineOps.extractContent(
+      Seq((1L, html)).toDF("doc_id", "html"))
+      .select($"content").as[String].head()
+    assert(out == "This is the real article body with plenty of prose to keep. " +
+      "Write to the support team for help with any other problem you may have.",
+      s"got: '$out'")
+    // the link-density gate: same block length, link share decides
+    val dense = "<p>aa bb cc <a href='/'>dd ee ff gg hh ii jj kk ll mm nn</a></p>"
+    val sparse = "<p>aa bb cc dd ee ff gg hh ii jj kk ll <a href='/'>mm nn</a></p>"
+    val both = PipelineOps.extractContent(
+      Seq((1L, dense), (2L, sparse)).toDF("doc_id", "html"))
+      .select($"doc_id", $"content_chars").as[(Long, Long)].collect().toMap
+    assert(both(1L) == 0L, "link-dominated block must be dropped")
+    assert(both(2L) > 0L, "low-link-density block must survive")
+  }
+
   test("exact jaccard blocking finds the same planted pairs") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = ((1 to 57).map(i => s"w$i") ++ Seq("x1", "x2", "x3")).mkString(" ")
