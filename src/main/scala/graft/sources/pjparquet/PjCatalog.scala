@@ -413,6 +413,42 @@ class PjCatalog extends CatalogPlugin with TableCatalog
               throw new UnsupportedOperationException(
                 s"$catalogName: unsupported column position $other")
           }
+        case u: TableChange.UpdateColumnDefaultValue =>
+          if (u.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: nested column defaults are not supported")
+          val name = u.fieldNames()(0)
+          val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0)
+            throw new PJException(
+              s"$catalogName: ALTER COLUMN $name: no such column in '$path'")
+          val old = acc.fields(i)
+          if (PjGenerated.isGenerated(old) || PjGenerated.isIdentity(old))
+            throw new PJException(
+              s"$catalogName: column '$name' is generated/identity — it cannot " +
+                "carry a DEFAULT")
+          import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          val newSql: Option[String] =
+            Option(u.newCurrentDefault()).flatMap(dv => Option(dv.getSql))
+              .orElse(Option(u.newDefaultValue()).filter(_.nonEmpty))
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(old.metadata)
+          newSql match {
+            case Some(sql) =>
+              // SET DEFAULT changes the CURRENT default only. The
+              // EXISTENCE default — what pre-add files' rows read — is
+              // frozen at ADD/CREATE time (Delta semantics): rows that
+              // already existed must keep reading the value that was
+              // promised when the column appeared. A column that never
+              // had one gains none (its pre-SET omitted rows read null).
+              mb.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            case None =>
+              // DROP DEFAULT: new writes omitting the column now
+              // materialize NULL ([[PjGenerated]] fill); the existence
+              // default stays for pre-add files.
+              mb.remove(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+          }
+          StructType(acc.fields.updated(i, old.copy(metadata = mb.build())))
         case r: TableChange.RenameColumn =>
           // RENAME COLUMN via column mapping ([[PjColumnMapping]]): a
           // metadata-only commit that changes the LOGICAL name and pins

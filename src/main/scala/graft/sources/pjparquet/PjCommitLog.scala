@@ -1346,6 +1346,32 @@ object PjCommitLog {
           s"but the seal line is missing — truncated file); version $version " +
           "is unreadable — restore the file from a replica or expire past it")
 
+  /** One audited log file: `ok` status, or the failure message. */
+  final case class LogAudit(version: Long, file: String, isSealed: Boolean, status: String)
+
+  /** Integrity audit of every retained log file (commit deltas AND
+    * checkpoint headers) — the `CALL pj.system.verify_log` surface. Never
+    * throws: each corrupt file becomes a row naming the failure, so an
+    * operator sees the full damage report in one pass instead of the
+    * first-failure-wins behavior replay necessarily has.
+    */
+  def auditLog(fs: FileSystem, root: Path): Seq[LogAudit] =
+    versions(fs, root).flatMap { v =>
+      Seq(commitFile(root, v), checkpointFile(root, v)).filter(fs.exists).map { p =>
+        try {
+          val (body, hadSeal) = readValidated(fs, p, v)
+          val node = new ObjectMapper().readTree(body)
+          requireSealPresent(node, hadSeal, p, v)
+          LogAudit(v, p.getName, hadSeal,
+            if (hadSeal) "ok" else "ok (pre-seal legacy file)")
+        } catch {
+          case e: Exception =>
+            LogAudit(v, p.getName, isSealed = false,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
+      }
+    }
+
   private def publish(fs: FileSystem, target: Path, body: String): Boolean = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val crc = new java.util.zip.CRC32C()

@@ -47,6 +47,25 @@ object PjGenerated {
 
   private def isManaged(f: StructField): Boolean = isGenerated(f) || isIdentity(f)
 
+  /** A column ADDed with a DEFAULT (existence default recorded): an
+    * append that OMITS it must MATERIALIZE a value — the current default
+    * if one is set, explicit NULL after DROP DEFAULT — because the
+    * read-time existence-default lane cannot distinguish a pre-add file
+    * from a post-add omitting file (both physically lack the column).
+    * Plain nullable columns without an existence default keep the
+    * null-fill-at-read behavior (null either way).
+    */
+  private def hasExistsDefault(f: StructField): Boolean =
+    f.metadata.contains(
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+
+  private def currentDefaultSql(f: StructField): Option[String] = {
+    val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    if (f.metadata.contains(k)) Some(f.metadata.getString(k)) else None
+  }
+
   def hasGenerated(schema: Option[StructType]): Boolean =
     schema.exists(_.fields.exists(isGenerated))
 
@@ -166,14 +185,19 @@ object PjGenerated {
       mergeInsert: Boolean = false): Option[Augment] = {
     val recorded = layout.dataSchema.getOrElse(return None)
     val managed = recorded.fields.filter(isManaged)
-    if (managed.isEmpty) return None
+    val inNames0 = incoming.fields.map(f => fold(f.name)).toSet
+    // existence-defaulted columns the incoming rows OMIT — materialized
+    // below (current default or explicit NULL); see [[hasExistsDefault]]
+    val missingDefaulted = recorded.fields
+      .filter(f => !isManaged(f) && hasExistsDefault(f) && !inNames0.contains(fold(f.name)))
+      .toSeq
+    if (managed.isEmpty && missingDefaulted.isEmpty) return None
     val managedByName = managed.map(f => fold(f.name) -> f).toMap
     val inAttrs: Seq[AttributeReference] =
       incoming.fields.toSeq.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
-    val inNames = incoming.fields.map(f => fold(f.name)).toSet
+    val inNames = inNames0
 
-    def genExpr(f: StructField): Expression = {
-      val sql = f.metadata.getString(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY)
+    def exprFromSql(sql: String, f: StructField): Expression = {
       val parsed = spark.sessionState.sqlParser.parseExpression(sql)
       val analyzed = spark.sessionState.analyzer.execute(
         Project(Seq(Alias(parsed, f.name)()), LocalRelation(inAttrs)))
@@ -183,6 +207,19 @@ object PjGenerated {
         if (resolved.dataType == f.dataType) resolved else Cast(resolved, f.dataType)
       BindReferences.bindReference(typed, AttributeSeq(inAttrs))
     }
+
+    def genExpr(f: StructField): Expression =
+      exprFromSql(
+        f.metadata.getString(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY), f)
+
+    /** Fill for an OMITTED existence-defaulted column: the current
+      * default's constant, or explicit NULL after DROP DEFAULT.
+      */
+    def defaultFillExpr(f: StructField): Expression =
+      currentDefaultSql(f) match {
+        case Some(sql) => exprFromSql(sql, f)
+        case None => Literal(null, f.dataType)
+      }
 
     def idExpr(f: StructField): Expression = {
       val start = f.metadata.getLong(IdentityColumn.IDENTITY_INFO_START)
@@ -234,10 +271,12 @@ object PjGenerated {
           case _ => ref
         }
     }
-    val missing = managed.filterNot(m => inNames.contains(fold(m.name))).toSeq
+    val missing = managed.filterNot(m => inNames.contains(fold(m.name))).toSeq ++
+      missingDefaulted
     val missingExprs: Seq[Expression] = missing.map { m =>
       if (isGenerated(m)) genExpr(m)
-      else { identityAssigned = true; idExpr(m) }
+      else if (isIdentity(m)) { identityAssigned = true; idExpr(m) }
+      else defaultFillExpr(m)
     }
     if (missing.isEmpty && !rewrite &&
         presentExprs.forall(_.isInstanceOf[BoundReference]) && !identityAssigned)

@@ -86,7 +86,7 @@ object PjProcedures {
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
     "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
-    "materialize")
+    "materialize", "verify_log")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -344,6 +344,20 @@ object PjProcedures {
               s.entries.count(_.rowTracked).toLong,
               s.rowWatermark.map(w => java.lang.Long.valueOf(w.toLong)).orNull,
               s.protocolJson.map(utf8).orNull)))
+          })
+      case "verify_log" =>
+        new Proc("verify_log", Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("file", StringType, nullable = false),
+            StructField("sealed", BooleanType, nullable = false),
+            StructField("status", StringType, nullable = false))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            PjCommitLog.auditLog(fs, root).map(a =>
+              new GenericInternalRow(Array[Any](
+                a.version, utf8(a.file), a.isSealed, utf8(a.status))))
           })
       case "history" =>
         new Proc("history", Array(in("table", StringType)),

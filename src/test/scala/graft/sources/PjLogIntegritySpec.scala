@@ -118,6 +118,26 @@ class PjLogIntegritySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("seal line is missing"), e2.getMessage)
   }
 
+  test("CALL pj.system.verify_log reports per-file status without throwing") {
+    val dir = tempDir("audit")
+    writeLogged(spark.range(0, 5).toDF("id").coalesce(1), dir) // v1
+    writeLogged(spark.range(5, 9).toDF("id").coalesce(1), dir) // v2
+    spark.conf.set("spark.sql.catalog.pjseal", "graft.sources.pjparquet.PjCatalog")
+    val healthy = spark.sql(s"CALL pjseal.system.verify_log('$dir')").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3)))
+    assert(healthy.length == 2 && healthy.forall { case (_, s, st) => s && st == "ok" },
+      s"got: ${healthy.toSeq}")
+    // corrupt v1, leave v2 intact: the audit names the damage, keeps going
+    val f = logFile(dir, 1L)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length / 3) = (bytes(bytes.length / 3) ^ 0x20).toByte
+    rewrite(f, bytes)
+    val audited = spark.sql(s"CALL pjseal.system.verify_log('$dir')").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(audited(1L).contains("corrupt commit-log entry"), s"got: $audited")
+    assert(audited(2L) == "ok", s"got: $audited")
+  }
+
   test("legacy pre-seal commit files keep parsing (no sealed flag, no seal line)") {
     val dir = tempDir("legacy")
     writeLogged(spark.range(0, 4).toDF("id").coalesce(1), dir) // v1, sealed

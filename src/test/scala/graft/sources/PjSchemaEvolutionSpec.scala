@@ -314,6 +314,49 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(nn.getMessage.contains("nullable"), s"got: ${nn.getMessage}")
   }
 
+  test("SET DEFAULT changes future fills only; DROP DEFAULT makes omitted writes NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_set_def").toString
+    Seq((1L, 10L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // pre-add file
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN bonus BIGINT DEFAULT 7")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN bonus SET DEFAULT 9")
+    // the EXISTENCE default is frozen: pre-add rows keep reading 7
+    def bonusOf(id: Long): Option[Long] = {
+      val r = spark.read.format("pjparquet").load(dir)
+        .filter($"id" === id).select($"bonus").collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(bonusOf(1L) == Some(7L), "pre-add rows keep the frozen existence default")
+    // SQL INSERT omitting the column resolves the NEW current default
+    spark.sql(s"INSERT INTO pjwiden.`$dir` (id, x) VALUES (2, 20)")
+    assert(bonusOf(2L) == Some(9L))
+    // DataFrame append omitting the column MATERIALIZES the new default
+    // (it cannot lean on the read-time existence lane, which serves 7)
+    Seq((3L, 30L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    assert(bonusOf(3L) == Some(9L), "omitting append must materialize the current default")
+    // DROP DEFAULT: omitted writes now store NULL; old promises keep
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN bonus DROP DEFAULT")
+    Seq((4L, 40L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    assert(bonusOf(4L).isEmpty, "post-DROP omitting append must store NULL")
+    assert(bonusOf(1L) == Some(7L) && bonusOf(3L) == Some(9L),
+      "earlier rows keep their values across default changes")
+    // a generated column refuses a DEFAULT
+    val dir2 = java.nio.file.Files.createTempDirectory("pj_set_def_g")
+    java.nio.file.Files.delete(dir2)
+    spark.sql(s"CREATE TABLE pjwiden.`$dir2` (x BIGINT, " +
+      "d BIGINT GENERATED ALWAYS AS (x * 2)) USING pjparquet")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir2` ALTER COLUMN d SET DEFAULT 5")
+    }
+    assert(e.getMessage.contains("generated"), s"got: ${e.getMessage}")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns; plain MERGE refuses") {
     val dir = java.nio.file.Files.createTempDirectory("pj_mse").toString
     Seq((1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1)
