@@ -1086,6 +1086,57 @@ object MetadataQueries {
         .withColumn("narrow_pre_add_schema", lit(if (narrowPreAdd) 1L else 0L))
         .orderBy($"k")
     }),
+    "q158_scoped_compaction" -> ((s, dir) => {
+      import s.implicits._
+      // OPTIMIZE ... WHERE (round 14, predicate-scoped compaction): at
+      // 100 TB nobody compacts the whole table in one maintenance window
+      // — the operational unit is one partition. A partition predicate
+      // scopes the rewrite; out-of-scope partitions stay byte-untouched
+      // (file-identity bits), content is DuckDB-recomputed, and a
+      // non-partition-column predicate refuses loudly.
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q158_scoped")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      val src = graft.Tables.supplier(s, dir)
+        .select($"s_suppkey".cast("long").as("k"),
+          $"s_nationkey".cast("long").as("n"),
+          ($"s_suppkey" % 3).cast("string").as("flag"))
+      // four separate appends -> a small-file backlog in EVERY partition
+      // (one append writes one file per partition dir: the write clusters
+      // on the partition key)
+      (0L until 4L).foreach { i =>
+        src.filter($"k" % 4 === i)
+          .write.format("pjparquet").mode("append")
+          .option("log.enabled", "true").partitionBy("flag").save(tmp)
+      }
+      // LIVE snapshot membership (a logged compaction RETIRES consumed
+      // files in the log; the bytes stay on disk for time travel)
+      val fsQ = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def live(prefix: String): Set[String] =
+        graft.sources.pjparquet.PjCommitLog
+          .latest(fsQ, new org.apache.hadoop.fs.Path(tmp)).get
+          .files.filter(_.startsWith(prefix)).toSet
+      val before0 = live("flag=0/"); val before1 = live("flag=1/"); val before2 = live("flag=2/")
+      val report = graft.sources.pjparquet.PjCompaction.compact(
+        s, tmp, targetBytes = 512L * 1024 * 1024, where = Some("flag = '1'"))
+      val scopedOnly = report.dirsTouched == 1 &&
+        live("flag=0/") == before0 && live("flag=2/") == before2 &&
+        live("flag=1/").size < before1.size
+      val refused =
+        try { graft.sources.pjparquet.PjCompaction.compact(
+          s, tmp, where = Some("n > 5")); false }
+        catch { case e: graft.core.PJException =>
+          e.getMessage.contains("partition columns only") }
+      s.read.format("pjparquet").load(tmp)
+        // partition inference types the dir values as ints — re-cast to
+        // the declared string so the oracle's VARCHAR column matches
+        .groupBy($"flag".cast("string").as("flag"))
+        .agg(count(lit(1)).as("n_supp"), sum($"k").as("key_sum"), sum($"n").as("nat_sum"))
+        .withColumn("scoped_only", lit(if (scopedOnly) 1L else 0L))
+        .withColumn("nonpartition_refused", lit(if (refused) 1L else 0L))
+        .orderBy($"flag")
+    }),
     "q154_partition_evolution" -> ((s, dir) => {
       import s.implicits._
       // Partition-spec evolution (round 13 — Iceberg-style, via SET
@@ -2088,6 +2139,14 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS ids_unique
         |FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 11 <> 0
         |GROUP BY n ORDER BY n""".stripMargin,
+    "q158_scoped_compaction" ->
+      """SELECT CAST(s_suppkey % 3 AS VARCHAR) AS flag,
+        |       count(*) AS n_supp,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |       CAST(sum(s_nationkey) AS BIGINT) AS nat_sum,
+        |       CAST(1 AS BIGINT) AS scoped_only,
+        |       CAST(1 AS BIGINT) AS nonpartition_refused
+        |FROM supplier GROUP BY flag ORDER BY flag""".stripMargin,
     "q156_add_column_default" ->
       """SELECT k, name, bonus,
         |       CAST(1 AS BIGINT) AS pre_add_default,

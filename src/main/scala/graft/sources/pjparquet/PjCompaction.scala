@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.core.PJException
+
 /** Small-file compaction for (optionally Hive-partitioned) parquet/pjparquet
   * table directories — the standard table-maintenance pass that keeps a
   * 100 TB table healthy: streaming/incremental writers accumulate files far
@@ -44,6 +46,57 @@ object PjCompaction {
       dirsTouched: Long)
 
   private final case class DataFile(path: String, dir: String, bytes: Long)
+
+  /** `OPTIMIZE ... WHERE`: restrict the candidate files to the partition
+    * directories a PARTITION predicate admits — at 100 TB nobody compacts
+    * the whole table in one maintenance window; the operational unit is
+    * "yesterday's partition". File granularity means the predicate may
+    * reference PARTITION columns only: the predicate is evaluated with
+    * Spark itself over one tiny per-directory row, so every comparison /
+    * cast / function Spark supports works, and a reference to any
+    * non-partition column fails analysis loudly (never a silent
+    * full-table compaction).
+    */
+  private def filterByPartitionPredicate(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      files: Seq[DataFile],
+      where: Option[String]): Seq[DataFile] = where match {
+    case None => files
+    case Some(sql) if sql.trim.isEmpty => files
+    case Some(sql) =>
+      val byDir: Map[String, Map[String, Option[String]]] = files
+        .map(f => f.dir -> PjBatchWrite.partsOfRel(
+          PjCommitLog.relativize(fs, rootPath, new Path(f.path))))
+        .toMap
+      if (byDir.values.forall(_.isEmpty))
+        throw new PJException(
+          "pjparquet: compaction WHERE predicate on an unpartitioned table " +
+            "(file-granularity maintenance can only scope by partition)")
+      val keys: Seq[String] = byDir.values.flatMap(_.keys).toSeq.distinct.sorted
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val rows = byDir.toSeq.map { case (dir, kv) =>
+        Row.fromSeq(dir +: keys.map(k => kv.get(k).flatten.orNull))
+      }
+      val schema = StructType(
+        StructField("_pj_dir", StringType, nullable = false) +:
+          keys.map(k => StructField(k, StringType, nullable = true)))
+      val kept =
+        try {
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema)
+            .filter(org.apache.spark.sql.functions.expr(sql))
+            .select("_pj_dir").collect().map(_.getString(0)).toSet
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new PJException(
+              s"pjparquet: compaction WHERE predicate must reference partition " +
+                s"columns only (${keys.mkString(", ")}): ${e.getMessage}")
+        }
+      files.filter(f => kept.contains(f.dir))
+  }
 
   /** Filter each consumed file's deletion-vector positions out of a raw
     * rewrite scan (no-op when no consumed file carries a vector):
@@ -150,7 +203,11 @@ object PjCompaction {
       root: String,
       targetBytes: Long = 128L * 1024 * 1024,
       smallThreshold: Long = 0L,
-      minFilesPerDir: Int = 2): Report = {
+      minFilesPerDir: Int = 2,
+      /** Optional PARTITION predicate scoping the maintenance window
+        * ([[filterByPartitionPredicate]]) — `OPTIMIZE ... WHERE`.
+        */
+      where: Option[String] = None): Report = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val threshold = if (smallThreshold > 0) smallThreshold else targetBytes / 2
     val hconf = spark.sessionState.newHadoopConf()
@@ -186,6 +243,10 @@ object PjCompaction {
       }
       buf.toSeq
     }
+    // OPTIMIZE ... WHERE: only partitions the predicate admits are
+    // candidates; `all` (the full live set) still backs first-commit
+    // adoption so out-of-scope files are never dropped from the snapshot
+    val candidates = filterByPartitionPredicate(spark, fs, rootPath, all, where)
 
     // scheme-insensitive key: Hadoop renders "file:/tmp/x" where
     // input_file_name() may render "file:///tmp/x" — compare path-only
@@ -193,7 +254,7 @@ object PjCompaction {
 
     def hasDv(f: DataFile): Boolean =
       dvByRel.contains(PjCommitLog.relativize(fs, rootPath, new Path(f.path)))
-    val smallByDir = all.filter(f => f.bytes < threshold || hasDv(f))
+    val smallByDir = candidates.filter(f => f.bytes < threshold || hasDv(f))
       .groupBy(f => normDir(f.dir))
       .filter { case (_, fsz) => fsz.size >= minFilesPerDir || fsz.exists(hasDv) }
     if (smallByDir.isEmpty)
@@ -422,7 +483,11 @@ object PjCompaction {
       root: String,
       zorderCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
-      bits: Int = 12): Report = {
+      bits: Int = 12,
+      /** Optional PARTITION predicate scoping the rewrite
+        * ([[filterByPartitionPredicate]]) -- `OPTIMIZE ... WHERE`.
+        */
+      where: Option[String] = None): Report = {
     require(zorderCols.size >= 2, s"optimize needs >= 2 zorder columns, got $zorderCols")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val hconf = spark.sessionState.newHadoopConf()
@@ -448,6 +513,10 @@ object PjCompaction {
       buf.toSeq
     }
     if (all.isEmpty) return Report(0, 0, 0, 0, 0, 0)
+    // OPTIMIZE ... WHERE: rewrite only the admitted partitions; the full
+    // live set still backs first-commit adoption and the report's totals
+    val candidates = filterByPartitionPredicate(spark, fs, rootPath, all, where)
+    if (candidates.isEmpty) return Report(all.size, 0, 0, all.size, 0, 0)
 
     val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)
       .flatMap(e => e.dv.map(d => e.path -> d.path)).toMap
@@ -465,9 +534,9 @@ object PjCompaction {
     // mergeSchema only when ids materialize: earlier compactions may have
     // written the hidden id column into SOME files (logged tables only);
     // unlogged reads keep the exact pre-row-tracking plan
-    val df = readGenerations(spark, hconf, fs, rootPath, rootUri, all,
+    val df = readGenerations(spark, hconf, fs, rootPath, rootUri, candidates,
       dvByRel, mergeSchema = materializeIds, rowIdBases)
-    val dataCols = spark.read.parquet(all.head.path).columns.toSeq
+    val dataCols = spark.read.parquet(candidates.head.path).columns.toSeq
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
     val partCols = df.columns.filterNot(dataCols.contains)
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName)).toSeq
@@ -482,7 +551,7 @@ object PjCompaction {
     require(zorderPhys.forall(dataCols.contains),
       s"zorder columns $zorderCols must be data columns of $dataCols")
 
-    val totalBytes = all.map(_.bytes).sum
+    val totalBytes = candidates.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // ZOrder.zorderBy handles the Morton math; partition dirs prefix the
     // range key so the clustered runs stay within their directories
@@ -513,18 +582,25 @@ object PjCompaction {
       val newPaths = newRels.toSeq.sorted.map(rel => s"$root/$rel")
       val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
       if (logging) {
-        val consumedRel = all.map(f =>
+        val consumedRel = candidates.map(f =>
           PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
         val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
-        val preserved = materializeIds && all.nonEmpty &&
-          all.forall(f => entryByRel.get(
+        val preserved = materializeIds && candidates.nonEmpty &&
+          candidates.forall(f => entryByRel.get(
             PjCommitLog.relativize(fs, rootPath, new Path(f.path))).exists(_.rowTracked))
         if (prevSnap.isDefined)
           PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, consumedRel,
             preservedRows = preserved)
-        else // every live file was consumed: the rewrite IS the first snapshot
-          PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, Set.empty)
-      } else all.foreach { f =>
+        else {
+          // first logged commit: adopt the out-of-scope survivors so a
+          // scoped rewrite never drops them from the snapshot
+          val adopted = all.filterNot(f => candidates.contains(f))
+            .map(f => PjCommitLog.FileEntry(
+              PjCommitLog.relativize(fs, rootPath, new Path(f.path)), f.bytes))
+          PjCommitLog.commit(fs, rootPath, "optimize-zorder",
+            adopted ++ addEntries, Set.empty)
+        }
+      } else candidates.foreach { f =>
         val p = new Path(f.path)
         fs.delete(p, false)
         val sidecar = PjParquetTable.hiddenSidecar(p)
@@ -536,11 +612,11 @@ object PjCompaction {
       graft.operators.PqIndex.maintainIfPresent(spark, root)
       Report(
         filesBefore = all.size,
-        smallFiles = all.size,
+        smallFiles = candidates.size,
         compactedInto = newFiles,
-        filesAfter = newFiles,
+        filesAfter = all.size - candidates.size + newFiles,
         bytesSmall = totalBytes,
-        dirsTouched = all.map(f => f.dir).distinct.size.toLong)
+        dirsTouched = candidates.map(f => f.dir).distinct.size.toLong)
     } finally {
       fs.delete(tmp, true)
     }

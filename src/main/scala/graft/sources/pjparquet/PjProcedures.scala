@@ -147,21 +147,27 @@ object PjProcedures {
       case "compact" =>
         new Proc("compact",
           Array(in("table", StringType),
-            inD("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+            inD("target_bytes", LongType, (128L * 1024 * 1024).toString),
+            inD("where", StringType, "''")),
           compactSchema,
           { input =>
-            val r = PjCompaction.compact(spark, tableArg(input), input.getLong(1))
+            val where = Option(input.getUTF8String(2)).map(_.toString).filter(_.nonEmpty)
+            val r = PjCompaction.compact(spark, tableArg(input), input.getLong(1),
+              where = where)
             Seq(compactRow(r))
           })
       case "optimize_zorder" =>
         new Proc("optimize_zorder",
           Array(in("table", StringType), in("columns", StringType),
-            inD("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+            inD("target_bytes", LongType, (128L * 1024 * 1024).toString),
+            inD("where", StringType, "''")),
           compactSchema,
           { input =>
             val cols = input.getUTF8String(1).toString
               .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-            val r = PjCompaction.optimize(spark, tableArg(input), cols, input.getLong(2))
+            val where = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
+            val r = PjCompaction.optimize(spark, tableArg(input), cols, input.getLong(2),
+              where = where)
             Seq(compactRow(r))
           })
       case "purge_deletion_vectors" =>

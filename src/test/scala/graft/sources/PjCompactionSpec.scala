@@ -100,6 +100,68 @@ class PjCompactionSpec extends AnyFunSuite {
       .filter($"k" === "1").count() == 2000L)
   }
 
+  test("compact WHERE: only the admitted partition is rewritten; refusals are loud") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_compact_where").toString
+    val df = spark.range(6000).select(
+      $"id", ($"id" % 89).as("v"), ($"id" % 3).cast("string").as("k"))
+    PjWriter.writeWithIndex(df.repartition(8), dir, partitionBy = Seq("k"))
+    assert(parquetFiles(dir).size == 24)
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum($"id" * ($"v" + 7L) * ($"k".cast("long") + 3L))).head().getLong(0)
+
+    val report = PjCompaction.compact(spark, dir, targetBytes = 1024L * 1024,
+      where = Some("k = '1'"))
+    // only k=1 was touched: other partitions keep their 8 small files
+    assert(report.dirsTouched == 1, s"got $report")
+    assert(parquetFiles(s"$dir/k=0").size == 8)
+    assert(parquetFiles(s"$dir/k=2").size == 8)
+    assert(parquetFiles(s"$dir/k=1").size < 8)
+    // content untouched
+    val got = spark.read.parquet(dir)
+      .agg(sum($"id" * ($"v" + 7L) * ($"k".cast("long") + 3L))).head().getLong(0)
+    assert(got == sumBefore)
+    // typed comparison works too (string partition value coerces)
+    val r2 = PjCompaction.compact(spark, dir, targetBytes = 1024L * 1024,
+      where = Some("cast(k AS INT) >= 2"))
+    assert(r2.dirsTouched == 1)
+    assert(parquetFiles(s"$dir/k=0").size == 8, "k=0 must stay untouched")
+    // a non-partition column refuses loudly
+    val e = intercept[graft.core.PJException] {
+      PjCompaction.compact(spark, dir, where = Some("v > 5"))
+    }
+    assert(e.getMessage.contains("partition columns only"), e.getMessage)
+    // an unpartitioned table refuses scoping
+    val flat = java.nio.file.Files.createTempDirectory("pj_compact_flatw").toString
+    spark.range(100).select($"id", ($"id" % 7).as("v")).repartition(3)
+      .write.mode("overwrite").parquet(flat)
+    val e2 = intercept[graft.core.PJException] {
+      PjCompaction.compact(spark, flat, where = Some("k = '1'"))
+    }
+    assert(e2.getMessage.contains("unpartitioned"), e2.getMessage)
+  }
+
+  test("optimize WHERE on a LOGGED table: scoped rewrite keeps out-of-scope files live") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_zorder_where").toString
+    spark.range(4000).select(
+      $"id", ($"id" % 8).as("x"), (($"id" / 8) % 8).cast("long").as("y"),
+      ($"id" % 2).cast("string").as("k"))
+      .repartition(4)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").partitionBy("k").save(dir)
+    val before = spark.read.format("pjparquet").load(dir)
+      .agg(sum($"id" * ($"x" + 2L) + $"y")).head().getLong(0)
+    val filesK0 = parquetFiles(s"$dir/k=0").map(_.getName).toSet
+    val r = PjCompaction.optimize(spark, dir, Seq("x", "y"),
+      targetBytes = 1024L * 1024, where = Some("k = '1'"))
+    assert(r.dirsTouched == 1, s"got $r")
+    // k=0's files are byte-untouched and still live in the snapshot
+    assert(parquetFiles(s"$dir/k=0").map(_.getName).toSet == filesK0)
+    val after = spark.read.format("pjparquet").load(dir)
+      .agg(sum($"id" * ($"x" + 2L) + $"y")).head().getLong(0)
+    assert(after == before, "scoped optimize must not change table contents")
+    assert(spark.read.format("pjparquet").load(dir).count() == 4000L)
+  }
+
   test("no-op when nothing qualifies") {
     val dir = java.nio.file.Files.createTempDirectory("pj_compact_noop").toString
     spark.range(100).coalesce(1).write.mode("overwrite").parquet(dir)
