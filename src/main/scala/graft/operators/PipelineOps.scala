@@ -932,35 +932,46 @@ object PipelineOps {
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.expressions.Window
 
-    val corpusVec = embeddings.select(
-      col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("n_emb"),
-      array_to_vector(asDouble(col("embedding"))).as("features"))
-    // random init + few iterations: a coarse quantizer only partitions the
-    // space, it doesn't need converged centroids — kmeans|| init alone costs
-    // more scheduler rounds than the whole lloyd refinement
-    val km = new KMeans().setK(nLists).setSeed(42).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("list_id")
     // Train the coarse quantizer on a bounded sample, as any real IVF build
     // does — k-means over the full corpus would be an O(corpus × iters)
     // driver-coordinated job at 100 TB. 256 points per list is plenty for a
     // stable coarse partitioning; assignment below still covers every row.
-    // deterministic, unbiased sample ([[fitSampleOrder]]): hash-ordered
-    // top-k — bit-reproducible like an id-ordered limit, but draws evenly
-    // across the id space instead of favoring the oldest shard
-    val model = km.fit(
-      corpusVec.orderBy(fitSampleOrder(col("neighbor_id")): _*)
-        .limit(256 * nLists).select(col("features")))
-    val corpus = model.transform(corpusVec).select(col("neighbor_id"), col("n_emb"), col("list_id"))
+    // Deterministic, unbiased sample ([[fitSampleOrder]]): hash-ordered
+    // top-k — bit-reproducible like an id-ordered limit, but drawing evenly
+    // across the id space instead of favoring the oldest shard. The fit is
+    // the PQ family's LOCAL Lloyd ([[lloydFit]]): a coarse quantizer only
+    // partitions the space, and 5 local iterations over a ≤256·nLists
+    // sample cost microseconds where an MLlib fit pays per-iteration
+    // scheduler rounds (the bench's former q43 floor).
+    val samplePts = embeddings
+      .orderBy(fitSampleOrder(col("vec_id")): _*)
+      .limit(256 * nLists)
+      .select(asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents: Array[Array[Double]] = lloydFit(samplePts, nLists, iters = 5)
+
+    // corpus assignment: per-row codegen'd argmin over the literal
+    // centroid table — argmin_c ||x−c||² = argmin_c (|c|² − 2⟨x,c⟩),
+    // struct sort breaks ties toward the lower list id. No MLlib vector
+    // conversion, no fit job, one projection over the corpus.
+    val corpus0 = embeddings.select(
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb"))
+    val assignStructs = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.map(lit).toIndexedSeq: _*)
+      val cNorm = c.map(x => x * x).sum
+      struct((dot(col("n_emb"), cArr) * lit(-2.0) + lit(cNorm)).as("d"),
+        lit(i).as("list_id"))
+    }
+    val corpus = corpus0
+      .withColumn("list_id",
+        element_at(array_sort(array(assignStructs: _*)), 1).getField("list_id"))
+      .select(col("neighbor_id"), col("n_emb"), col("list_id"))
 
     // centroids as a literal lookup: tiny (nLists × dim), evaluated per probe
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("list_id"), array(c.toArray.map(lit).toIndexedSeq: _*).as("c"))
+    val centroids = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("list_id"), array(c.map(lit).toIndexedSeq: _*).as("c"))
     }
     val probePrepped = probes.select(
       col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p_emb"))
