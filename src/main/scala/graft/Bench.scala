@@ -346,6 +346,19 @@ object Bench {
     // block's fresh query runs also fold back into the reported min, so a
     // transient first-pass artifact self-corrects.
     if (!degraded) {
+      // second host signal: the suite-wide MEDIAN ratio vs the committed
+      // report. Ambient drift moves most queries together (an 11% median
+      // was observed with the probe at +3% — scheduler-heavy queries
+      // drift more than one shuffle-light job), so a flag whose ratio
+      // tracks the suite median moved WITH the box, not against the code.
+      val suiteMedianRatio: Double = {
+        val rs = timings.toSeq.flatMap { case (n, v) =>
+          previousMins.get(n).filter(_ > 0.05).filter(_ => v > 0).map(p => v / p)
+        }.sorted
+        if (rs.isEmpty) 1.0
+        else if (rs.size % 2 == 1) rs(rs.size / 2)
+        else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2
+      }
       val flagged = timings.toSeq.filter { case (n, v) =>
         v > 0 && previousMins.get(n).exists(p => p > 0 && v > 1.3 * p)
       }.sortBy { case (n, v) => -(v / previousMins(n)) }.take(8)
@@ -370,6 +383,8 @@ object Bench {
         val verdict =
           if (ratio <= 1.3) "recovered-in-ab"
           else if (calibRatio.exists(_ > 1.2)) "host-noise"
+          else if (suiteMedianRatio > 1.05 && ratio <= suiteMedianRatio * 1.25)
+            "suite-drift" // moved WITH the suite, not against the code
           else if (calibRatio.isEmpty) "no-calibration-baseline"
           else "code-or-unknown"
         if (finalMin < suiteMin) {
@@ -380,9 +395,11 @@ object Bench {
           s"""{"prev":${fmt(prev)},"suite_min":${fmt(suiteMin)},""" +
             s""""ab_min":${fmt(finalMin)},"ratio":${fmt(ratio, 2)},""" +
             s""""calib_ratio":${calibRatio.map(r => fmt(r, 2)).getOrElse("null")},""" +
+            s""""suite_median_ratio":${fmt(suiteMedianRatio, 3)},""" +
             s""""verdict":${q(verdict)}}"""
         System.err.println(s"[bench] ab $name: prev=${fmt(prev)} min=${fmt(finalMin)} " +
-          s"ratio=${fmt(ratio, 2)} calib_ratio=${calibRatio.map(fmt(_, 2)).getOrElse("n/a")} -> $verdict")
+          s"ratio=${fmt(ratio, 2)} calib_ratio=${calibRatio.map(fmt(_, 2)).getOrElse("n/a")} " +
+          s"suite_median=${fmt(suiteMedianRatio, 3)} -> $verdict")
       }
     }
 
