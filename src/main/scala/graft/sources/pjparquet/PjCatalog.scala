@@ -413,6 +413,37 @@ class PjCatalog extends CatalogPlugin with TableCatalog
               throw new UnsupportedOperationException(
                 s"$catalogName: unsupported column position $other")
           }
+        case u: TableChange.UpdateColumnComment =>
+          if (u.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: nested column comments are not supported")
+          val name = u.fieldNames()(0)
+          val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0)
+            throw new PJException(
+              s"$catalogName: ALTER COLUMN $name: no such column in '$path'")
+          StructType(acc.fields.updated(i,
+            acc.fields(i).withComment(Option(u.newComment()).getOrElse(""))))
+        case u: TableChange.UpdateColumnNullability =>
+          if (u.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: nested column nullability is not supported")
+          val name = u.fieldNames()(0)
+          val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0)
+            throw new PJException(
+              s"$catalogName: ALTER COLUMN $name: no such column in '$path'")
+          // DROP NOT NULL (relaxing) is always safe — widening the
+          // contract. SET NOT NULL would promise something live bytes may
+          // violate; proving it needs a full scan — refuse loudly (Delta
+          // requires the same full validation).
+          if (!u.nullable() && acc.fields(i).nullable)
+            throw new PJException(
+              s"$catalogName: ALTER COLUMN $name SET NOT NULL is not " +
+                "supported — existing rows may hold nulls; filter them out " +
+                "and rewrite instead")
+          StructType(acc.fields.updated(i,
+            acc.fields(i).copy(nullable = u.nullable())))
         case u: TableChange.UpdateColumnDefaultValue =>
           if (u.fieldNames().length != 1)
             throw new UnsupportedOperationException(

@@ -357,6 +357,31 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("generated"), s"got: ${e.getMessage}")
   }
 
+  test("ALTER COLUMN COMMENT and DROP NOT NULL are metadata-only; SET NOT NULL refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_alter_meta")
+    java.nio.file.Files.delete(dir)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjwiden.`$dir` (id BIGINT NOT NULL, v BIGINT) USING pjparquet")
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1)
+      .write.format("pjparquet").mode("append").save(dir.toString)
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN v COMMENT 'the value'")
+    val described = spark.sql(s"DESCRIBE TABLE pjwiden.`$dir`").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(described("v") == "the value", s"got $described")
+    // relaxing the contract is safe and metadata-only
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN id DROP NOT NULL")
+    assert(spark.table(s"pjwiden.`$dir`").schema("id").nullable)
+    // tightening needs a scan — refused loudly (Spark's analyzer rejects
+    // it before the catalog; our catalog-level guard backstops API callers)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN v SET NOT NULL")
+    }
+    assert(e.getMessage.contains("SET NOT NULL") ||
+      e.getMessage.contains("non-nullable"), s"got: ${e.getMessage}")
+    // data still reads
+    assert(spark.table(s"pjwiden.`$dir`").count() == 1L)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns; plain MERGE refuses") {
     val dir = java.nio.file.Files.createTempDirectory("pj_mse").toString
     Seq((1L, 10L), (2L, 20L)).toDF("id", "x").coalesce(1)
