@@ -1137,6 +1137,38 @@ object MetadataQueries {
         .withColumn("nonpartition_refused", lit(if (refused) 1L else 0L))
         .orderBy($"flag")
     }),
+    "q159_merge_by_source" -> ((s, dir) => {
+      import s.implicits._
+      // MERGE INTO with WHEN NOT MATCHED BY SOURCE (round 14): the
+      // clauses that act on TARGET rows the source never mentions — the
+      // shape incremental-sync pipelines use ("source is the new truth;
+      // delete or demote whatever it dropped"). Target = every 3rd
+      // customer; source = every 2nd with a 100k-cent bonus. Matched
+      // rows take the source balance, unmatched source rows insert, and
+      // by-source rows (in target, absent from source) DELETE when
+      // c_nationkey < 10 and zero their balance otherwise.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q159_mbs").toString
+      val cust = graft.Tables.customer(s, dir)
+        .select($"c_custkey", ($"c_acctbal" * 100).cast("long").as("bal_cents"),
+          $"c_nationkey".cast("long").as("c_nationkey"))
+      graft.sources.pjparquet.PjWriter.writeWithIndex(
+        cust.filter($"c_custkey" % 3 === 0), tmp)
+      s.sql("DROP TABLE IF EXISTS pj_q159_t")
+      s.sql(s"CREATE TABLE pj_q159_t USING pjparquet OPTIONS (path '$tmp')")
+      cust.filter($"c_custkey" % 2 === 0)
+        .withColumn("bal_cents", $"bal_cents" + 100000L)
+        .createOrReplaceTempView("pj_q159_src")
+      s.sql("""MERGE INTO pj_q159_t AS t USING pj_q159_src AS s ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED THEN UPDATE SET bal_cents = s.bal_cents
+              |WHEN NOT MATCHED THEN INSERT (c_custkey, bal_cents, c_nationkey)
+              |  VALUES (s.c_custkey, s.bal_cents, s.c_nationkey)
+              |WHEN NOT MATCHED BY SOURCE AND c_nationkey < 10 THEN DELETE
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal_cents = 0
+              |""".stripMargin)
+      s.sql("""SELECT c_nationkey, count(*) AS n_cust,
+              |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+              |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
     "q154_partition_evolution" -> ((s, dir) => {
       import s.implicits._
       // Partition-spec evolution (round 13 — Iceberg-style, via SET
@@ -2147,6 +2179,15 @@ object MetadataQueries {
         |       CAST(1 AS BIGINT) AS scoped_only,
         |       CAST(1 AS BIGINT) AS nonpartition_refused
         |FROM supplier GROUP BY flag ORDER BY flag""".stripMargin,
+    "q159_merge_by_source" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CASE WHEN c_custkey % 2 = 0
+        |                     THEN CAST(trunc(c_acctbal * 100) AS BIGINT) + 100000
+        |                     ELSE 0 END) AS BIGINT) AS bal_sum
+        |FROM customer
+        |WHERE c_custkey % 2 = 0
+        |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q156_add_column_default" ->
       """SELECT k, name, bonus,
         |       CAST(1 AS BIGINT) AS pre_add_default,
