@@ -273,6 +273,49 @@ object PipelineOps {
       .drop("_starts", "_toks", "_keep")
   }
 
+  /** CCNet-style line-level (paragraph) dedup across the WHOLE corpus:
+    * split each document on newlines, keep only the FIRST occurrence of
+    * every distinct non-blank line — first = smallest (`idCol`, position)
+    * — and reassemble documents from their surviving lines in original
+    * order. The op web pipelines run before document-level dedup: nav
+    * menus, cookie banners, and boilerplate footers repeat across
+    * millions of pages and survive document-level near-dup filters.
+    *
+    * Output: `idCol`, deduped `textCol`, `kept_lines`. Documents whose
+    * every line was a repeat disappear from the output (they carry no
+    * novel text).
+    *
+    * Scale shape: two linear shuffles, no broadcast, no driver
+    * materialization. The canonical occurrence per line is a
+    * `groupBy(line).agg(min(struct(id, pos)))` — partial aggregation
+    * collapses each map partition's copies of a hot boilerplate line
+    * before the exchange, so a line repeated 10^9 times ships once per
+    * input partition (a `row_number() OVER (PARTITION BY line)` window
+    * would funnel all 10^9 copies through one task). The join back is a
+    * plain equi-join on the line; AQE's skew split handles hot keys.
+    * Grouping is by the line TEXT, not a 64-bit hash — at 10^10+ distinct
+    * lines birthday collisions on xxhash64 become plausible and a
+    * collision here silently deletes innocent text.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+    val first = lines.groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    lines.join(first, "line")
+      .filter(col("_first") === struct(col(idCol), col("pos")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("kept_lines"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as(textCol))
+  }
+
   /** GPT-style sequence packing: concatenate documents in a deterministic
     * order (`idCol` ascending) within each shard and slice the token stream
     * into fixed `maxTokens` windows — documents crossing a boundary are

@@ -384,6 +384,25 @@ object PipelineQueries {
         .select($"doc_id", md5($"content").as("content_md5"), $"content_chars")
         .orderBy($"doc_id")
     }),
+    "q160_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // CCNet-style corpus-wide line dedup (PipelineOps.lineDedup) over
+      // deterministically multi-lined documents: each doc gains a
+      // per-lang banner line, a per-source contact line, and a global
+      // copyright line — the boilerplate shapes that repeat across
+      // millions of pages. Keep-first semantics: each distinct line
+      // survives only at its smallest (doc_id, position); the md5 pins
+      // the EXACT surviving text per document.
+      val synth = Tables.documents(s, dir).withColumn("text",
+        concat_ws("\n",
+          concat(lit("=== site banner "), $"lang", lit(" ===")),
+          $"text",
+          concat(lit("contact "), $"source"),
+          lit("copyright 2026 example corp")))
+      PipelineOps.lineDedup(synth)
+        .select($"doc_id", $"kept_lines", md5($"text").as("text_md5"))
+        .orderBy($"doc_id")
+    }),
     "q124_gopher_rules" -> ((s, dir) => {
       // Gopher-style rule battery (PipelineOps.gopherRules): per-rule
       // booleans + the conjunction, aggregated into a per-lang rejection
@@ -1715,6 +1734,28 @@ object PipelineQueries {
          |SELECT doc_id, md5(content) AS content_md5,
          |       CAST(length(content) AS BIGINT) AS content_chars
          |FROM e ORDER BY doc_id""".stripMargin,
+    "q160_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         '=== site banner ' || lang || ' ===' || chr(10) ||
+        |         text || chr(10) ||
+        |         'contact ' || source || chr(10) ||
+        |         'copyright 2026 example corp' AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, ord, line FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(text, chr(10))) AS line,
+        |           unnest(range(len(string_split(text, chr(10))))) AS ord
+        |    FROM base)
+        |  WHERE trim(line) <> ''),
+        |kept AS (
+        |  SELECT doc_id, ord, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+        |  FROM lines)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+        |       md5(string_agg(line, chr(10) ORDER BY ord)) AS text_md5
+        |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q124_gopher_rules" ->
       """WITH t AS (SELECT lang,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
