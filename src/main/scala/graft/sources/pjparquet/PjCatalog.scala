@@ -434,14 +434,38 @@ class PjCatalog extends CatalogPlugin with TableCatalog
             throw new PJException(
               s"$catalogName: ALTER COLUMN $name: no such column in '$path'")
           // DROP NOT NULL (relaxing) is always safe — widening the
-          // contract. SET NOT NULL would promise something live bytes may
-          // violate; proving it needs a full scan — refuse loudly (Delta
-          // requires the same full validation).
-          if (!u.nullable() && acc.fields(i).nullable)
-            throw new PJException(
-              s"$catalogName: ALTER COLUMN $name SET NOT NULL is not " +
-                "supported — existing rows may hold nulls; filter them out " +
-                "and rewrite instead")
+          // contract. SET NOT NULL (round 14, Delta semantics) must PROVE
+          // the promise first: the probe is `WHERE col IS NULL LIMIT 1`
+          // through the table's OWN reader, which is the ground truth of
+          // what readers observe (deletion vectors masked, pre-add files
+          // existence-default- or null-filled, column mapping applied) —
+          // and it self-prunes at metadata rate: [[PjStatsFilter]] drops
+          // every file whose stats envelope proves null_count == 0, so a
+          // fully-statted clean table validates with ZERO data I/O.
+          if (!u.nullable() && acc.fields(i).nullable) {
+            // pre-add generations physically lack the column; the reader's
+            // required-column check would refuse them once non-nullable —
+            // refuse the tighten until compaction materializes the column
+            val phys = PjColumnMapping.physicalName(acc.fields(i))
+            val lacking = snap.entries.filter(_.cols match {
+              case Some(cs) => !cs.exists(_.equalsIgnoreCase(phys))
+              case None => true // legacy entry: cannot prove presence
+            })
+            if (lacking.nonEmpty) throw new PJException(
+              s"$catalogName: ALTER COLUMN $name SET NOT NULL: " +
+                s"${lacking.size} live file(s) physically lack the column " +
+                s"(e.g. '${lacking.head.path}'); rewrite them first " +
+                "(CALL pj.system.compact) and retry")
+            val quoted = "`" + acc.fields(i).name.replace("`", "``") + "`"
+            val witness = spark.read.format("pjparquet").load(path)
+              .where(s"$quoted IS NULL")
+              .take(1)
+            if (witness.nonEmpty)
+              throw new PJException(
+                s"$catalogName: ALTER COLUMN $name SET NOT NULL: existing " +
+                  s"rows in '$path' hold NULLs; remove them first " +
+                  s"(DELETE FROM ... WHERE $name IS NULL) and retry")
+          }
           StructType(acc.fields.updated(i,
             acc.fields(i).copy(nullable = u.nullable())))
         case u: TableChange.UpdateColumnDefaultValue =>

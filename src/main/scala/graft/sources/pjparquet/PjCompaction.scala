@@ -125,7 +125,18 @@ object PjCompaction {
         * column (already-materialized inputs pass it through; untracked
         * inputs yield null).
         */
-      rowIdBases: Option[Map[String, Long]] = None): org.apache.spark.sql.DataFrame = {
+      rowIdBases: Option[Map[String, Long]] = None,
+      /** EXISTENCE defaults (physical name → frozen ADD-time default):
+        * a generation group whose files ALL predate an ADD COLUMN ...
+        * DEFAULT carries no trace of the column — neither bytes nor
+        * footer metadata — so the union's null-fill would rewrite the
+        * promised default into stored NULLs. Fill the default per group
+        * BEFORE the union instead (groups where at least one file
+        * carries the column use the stock reader's existence-default
+        * lane via mergeSchema, which this fill deliberately skips).
+        */
+      existenceFill: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     def keySeq(f: DataFile): Seq[String] = {
       val rel = PjCommitLog.relativize(fs, rootPath, new Path(f.path))
       PjBatchWrite.relDirOf(rel).split("/").iterator.filter(_.nonEmpty)
@@ -154,8 +165,30 @@ object PjCompaction {
             coalesce(existing,
               baseOf(col("_metadata.file_path")) + col("_metadata.row_index")))
       }
-      applyDvFilter(spark, hconf, fs, rootPath, rootUri, grp, dvByRel, raw)
+      val masked = applyDvFilter(spark, hconf, fs, rootPath, rootUri, grp, dvByRel, raw)
+      existenceFill.foldLeft(masked) { case (df, (phys, default)) =>
+        if (df.columns.exists(_.equalsIgnoreCase(phys))) df
+        else df.withColumn(phys, default)
+      }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The frozen ADD-time (EXISTENCE) defaults of a recorded schema, keyed
+    * by physical column name — what pre-add rows must read forever
+    * ([[PjCatalog]] ADD COLUMN ... DEFAULT records them).
+    */
+  private def existenceFills(
+      recorded: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    recorded.toSeq.flatMap(_.fields.toSeq).flatMap { f =>
+      if (f.metadata.contains(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+        Some(PjColumnMapping.physicalName(f) ->
+          expr(f.metadata.getString(
+            ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+            .cast(f.dataType))
+      else None
+    }
   }
 
   private def applyDvFilter(
@@ -308,8 +341,12 @@ object PjCompaction {
       else Some(entryByRel.collect {
         case (rel, e) if e.baseRowId >= 0 => s"$rootKey/$rel" -> e.baseRowId
       })
+    val recordedPre = prevSnap.flatMap(_.dataSchemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val rawGen = readGenerations(spark, hconf, fs, rootPath, rootUri, consumed,
-      dvByRel, mergeSchema = true, rowIdBases)
+      dvByRel, mergeSchema = true, rowIdBases,
+      existenceFill = existenceFills(recordedPre))
     // a generation that predates an ADDED partition column may be the only
     // one consumed — surface the column as typed nulls so the select below
     // and partitionBy still resolve
@@ -329,9 +366,7 @@ object PjCompaction {
     // of the name becomes legal again), upcasts type-widened columns to
     // the recorded width, and null-fills late-ADDed ones; unlogged
     // directories rewrite verbatim
-    val recorded = prevSnap.flatMap(_.dataSchemaJson).map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val recorded = recordedPre
     val df = recorded match {
       case Some(ds) =>
         val have = raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -534,12 +569,17 @@ object PjCompaction {
     // mergeSchema only when ids materialize: earlier compactions may have
     // written the hidden id column into SOME files (logged tables only);
     // unlogged reads keep the exact pre-row-tracking plan
+    val fills = existenceFills(prevSnap.flatMap(_.dataSchemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
     val df = readGenerations(spark, hconf, fs, rootPath, rootUri, candidates,
-      dvByRel, mergeSchema = materializeIds, rowIdBases)
+      dvByRel, mergeSchema = materializeIds, rowIdBases, existenceFill = fills)
     val dataCols = spark.read.parquet(candidates.head.path).columns.toSeq
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
     val partCols = df.columns.filterNot(dataCols.contains)
-      .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName)).toSeq
+      .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
+      // an existence-default fill is a DATA column the head file may lack
+      .filterNot(c => fills.exists(_._1.equalsIgnoreCase(c))).toSeq
     // column mapping: user-facing zorder columns are LOGICAL; the raw
     // file read carries PHYSICAL names
     val zorderPhys = {

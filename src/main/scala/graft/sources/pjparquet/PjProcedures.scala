@@ -86,7 +86,7 @@ object PjProcedures {
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
     "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
-    "materialize", "verify_log")
+    "materialize", "verify_log", "set_not_null")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -364,6 +364,68 @@ object PjProcedures {
             PjCommitLog.auditLog(fs, root).map(a =>
               new GenericInternalRow(Array[Any](
                 a.version, utf8(a.file), a.isSealed, utf8(a.status))))
+          })
+      case "set_not_null" =>
+        // ALTER COLUMN ... SET NOT NULL, the procedure face: Spark's own
+        // analyzer refuses nullable->non-nullable AlterColumns outright
+        // (only forked analyzers allow the SQL form), so the validating
+        // tighten ships as a CALL. The proof probe is `WHERE col IS NULL
+        // LIMIT 1` through the table's OWN reader — deletion vectors
+        // masked, pre-add files existence-default- or null-filled — and
+        // it self-prunes at metadata rate via [[PjStatsFilter]] (files
+        // whose stats envelope proves null_count == 0 are never opened).
+        new Proc("set_not_null",
+          Array(in("table", StringType), in("column", StringType)),
+          StructType(Seq(
+            StructField("column", StringType, nullable = false),
+            StructField("changed", BooleanType, nullable = false))),
+          { input =>
+            val path = tableArg(input)
+            val colName = input.getUTF8String(1).toString
+            val root = new org.apache.hadoop.fs.Path(path)
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val snap = PjCommitLog.latest(fs, root).getOrElse(throw new PJException(
+              s"pjparquet: '$path' has no commit log"))
+            val cur = snap.dataSchemaJson.map(j =>
+              org.apache.spark.sql.types.DataType.fromJson(j)
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+              .getOrElse(throw new PJException(
+                s"pjparquet: '$path' has no recorded data schema (legacy log)"))
+            val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+            if (i < 0) throw new PJException(
+              s"pjparquet: no data column '$colName' in '$path'")
+            val changed = cur.fields(i).nullable
+            if (changed) {
+              // a live file that physically LACKS the column (pre-ADD
+              // generations) serves the existence default / null at read
+              // time — but the vectorized reader's required-column check
+              // refuses a missing NON-nullable column, so committing the
+              // tighten would break every read of those files. Refuse
+              // until they are rewritten (compaction materializes the
+              // current schema).
+              val phys = PjColumnMapping.physicalName(cur.fields(i))
+              val lacking = snap.entries.filter(_.cols match {
+                case Some(cs) => !cs.exists(_.equalsIgnoreCase(phys))
+                case None => true // legacy entry: cannot prove presence
+              })
+              if (lacking.nonEmpty) throw new PJException(
+                s"pjparquet: set_not_null($colName): ${lacking.size} live " +
+                  s"file(s) physically lack the column (e.g. " +
+                  s"'${lacking.head.path}'); rewrite them first " +
+                  "(CALL pj.system.compact) and retry")
+              val quoted = "`" + cur.fields(i).name.replace("`", "``") + "`"
+              val witness = spark.read.format("pjparquet").load(path)
+                .where(s"$quoted IS NULL").take(1)
+              if (witness.nonEmpty) throw new PJException(
+                s"pjparquet: set_not_null($colName): existing rows in '$path' " +
+                  s"hold NULLs; remove them first (DELETE FROM ... WHERE " +
+                  s"$colName IS NULL) and retry")
+              val next = org.apache.spark.sql.types.StructType(
+                cur.fields.updated(i, cur.fields(i).copy(nullable = false)))
+              PjCommitLog.commit(fs, root, "alter-schema", Nil, Set.empty,
+                Some(next.json), Some("alter"))
+            }
+            Seq(new GenericInternalRow(Array[Any](utf8(colName), changed)))
           })
       case "history" =>
         new Proc("history", Array(in("table", StringType)),

@@ -42,4 +42,39 @@ class PjDefaultCompactionSpec extends AnyFunSuite {
     assert(after == before,
       s"compaction must preserve existence-default semantics: $before -> $after")
   }
+
+  test("compaction of ONLY pre-add files materializes the default, not NULL") {
+    // the hole the mergeSchema mechanism can't cover: when EVERY consumed
+    // file predates the ADD, no footer carries the default metadata — the
+    // rewrite must fill the frozen existence default from the RECORDED
+    // schema (readGenerations existenceFill), or reads silently flip 7→NULL
+    val dir = java.nio.file.Files.createTempDirectory("pj_def_compact2").toString
+    Seq((1L, 10L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    Seq((2L, 20L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    spark.conf.set("spark.sql.catalog.pjdefc", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjdefc.`$dir` ADD COLUMN bonus BIGINT DEFAULT 7")
+    graft.sources.pjparquet.PjCompaction.compact(
+      spark, dir, targetBytes = 512L * 1024 * 1024)
+    val got = spark.read.format("pjparquet").load(dir)
+      .select($"id", $"bonus").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(7L), 2L -> Some(7L)),
+      s"all-pre-add compaction lost the existence default: $got")
+    // and the stored bytes (not just the read lane) carry 7: the live
+    // compacted file physically carries the column (retired pre-add files
+    // stay on disk for time travel, so scope the raw read to it)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.entries
+    assert(live.size == 1 && live.head.cols.exists(_.exists(_.equalsIgnoreCase("bonus"))),
+      s"compacted file must physically carry bonus: $live")
+    val raw = spark.read.parquet(s"$dir/${live.head.path}")
+      .select($"id", $"bonus").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(raw == Map(1L -> Some(7L), 2L -> Some(7L)), s"raw bytes: $raw")
+  }
 }

@@ -357,12 +357,12 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("generated"), s"got: ${e.getMessage}")
   }
 
-  test("ALTER COLUMN COMMENT and DROP NOT NULL are metadata-only; SET NOT NULL refuses") {
+  test("ALTER COLUMN COMMENT and DROP NOT NULL are metadata-only; SET NOT NULL validates") {
     val dir = java.nio.file.Files.createTempDirectory("pj_alter_meta")
     java.nio.file.Files.delete(dir)
     spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
     spark.sql(s"CREATE TABLE pjwiden.`$dir` (id BIGINT NOT NULL, v BIGINT) USING pjparquet")
-    Seq((1L, 10L)).toDF("id", "v").coalesce(1)
+    Seq((1L, Some(10L)), (2L, None: Option[Long])).toDF("id", "v").coalesce(1)
       .write.format("pjparquet").mode("append").save(dir.toString)
     spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN v COMMENT 'the value'")
     val described = spark.sql(s"DESCRIBE TABLE pjwiden.`$dir`").collect()
@@ -371,15 +371,84 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     // relaxing the contract is safe and metadata-only
     spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN id DROP NOT NULL")
     assert(spark.table(s"pjwiden.`$dir`").schema("id").nullable)
-    // tightening needs a scan — refused loudly (Spark's analyzer rejects
-    // it before the catalog; our catalog-level guard backstops API callers)
-    val e = intercept[Exception] {
+    // Spark's OWN analyzer refuses the SQL form outright (before any
+    // catalog sees it) — the validating tighten ships as a CALL instead
+    val eSql = intercept[Exception] {
       spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN v SET NOT NULL")
     }
-    assert(e.getMessage.contains("SET NOT NULL") ||
-      e.getMessage.contains("non-nullable"), s"got: ${e.getMessage}")
-    // data still reads
+    assert(eSql.getMessage.contains("non-nullable"), s"got: ${eSql.getMessage}")
+    // tightening VALIDATES (round 14): live NULLs refuse loudly...
+    val e = intercept[Exception] {
+      spark.sql(s"CALL pjwiden.system.set_not_null('$dir', 'v')")
+    }
+    assert(e.getMessage.contains("hold NULLs"), s"got: ${e.getMessage}")
+    assert(spark.table(s"pjwiden.`$dir`").schema("v").nullable,
+      "a refused set_not_null must not change the schema")
+    // ...and once the NULLs are deleted the same call proves and commits
+    spark.sql(s"DELETE FROM pjwiden.`$dir` WHERE v IS NULL")
+    val r = spark.sql(s"CALL pjwiden.system.set_not_null('$dir', 'v')").collect().head
+    assert(r.getString(0) == "v" && r.getBoolean(1))
+    assert(!spark.table(s"pjwiden.`$dir`").schema("v").nullable)
+    // idempotent re-call reports no change
+    assert(!spark.sql(s"CALL pjwiden.system.set_not_null('$dir', 'v')")
+      .collect().head.getBoolean(1))
+    // the tightened contract binds future writes: a NULL insert fails
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO pjwiden.`$dir` VALUES (3, NULL)")
+    }
     assert(spark.table(s"pjwiden.`$dir`").count() == 1L)
+  }
+
+  test("SET NOT NULL reads through existence defaults and deletion vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_snn_lane")
+    java.nio.file.Files.delete(dir)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjwiden.`$dir` (id BIGINT, x BIGINT) USING pjparquet")
+    spark.sql(s"INSERT INTO pjwiden.`$dir` VALUES (1, 10)")
+    spark.sql(s"INSERT INTO pjwiden.`$dir` VALUES (2, 20)")
+    // an added column WITH a default: pre-add files READ the existence
+    // default (never null), but they physically LACK the column — and the
+    // reader's required-column check refuses missing non-nullable columns.
+    // The tighten must refuse until compaction materializes the column...
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN bonus BIGINT DEFAULT 7")
+    val ePre = intercept[Exception] {
+      spark.sql(s"CALL pjwiden.system.set_not_null('$dir', 'bonus')")
+    }
+    assert(ePre.getMessage.contains("physically lack"), s"got: ${ePre.getMessage}")
+    // ...after which the same call proves (defaults materialized as 7)
+    spark.sql(s"CALL pjwiden.system.compact('$dir')")
+    spark.sql(s"CALL pjwiden.system.set_not_null('$dir', 'bonus')")
+    assert(!spark.table(s"pjwiden.`$dir`").schema("bonus").nullable)
+    assert(spark.table(s"pjwiden.`$dir`").selectExpr("sum(bonus)")
+      .collect().head.getLong(0) == 14L)
+    // an added column WITHOUT a default: pre-add files refuse on the
+    // carrier guard; once compaction materializes it (as stored NULLs)
+    // the probe itself refuses — the two guard layers in sequence
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ADD COLUMN nb BIGINT")
+    val eCarrier = intercept[Exception] {
+      spark.sql(s"CALL pjwiden.system.set_not_null('$dir', 'nb')")
+    }
+    assert(eCarrier.getMessage.contains("physically lack"),
+      s"got: ${eCarrier.getMessage}")
+    // a post-add append stores nb (as NULL) -> 2 live files -> compaction
+    // materializes nb everywhere; now the PROBE is what refuses
+    spark.sql(s"INSERT INTO pjwiden.`$dir` VALUES (3, 30, 8, NULL)")
+    spark.sql(s"CALL pjwiden.system.compact('$dir')")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL pjwiden.system.set_not_null('$dir', 'nb')")
+    }
+    assert(e.getMessage.contains("hold NULLs"), s"got: ${e.getMessage}")
+    // deletion vectors: a merge-on-read DELETE masks the null rows
+    // without rewriting files — the probe must honor the mask
+    val dir2 = java.nio.file.Files.createTempDirectory("pj_snn_dv")
+    java.nio.file.Files.delete(dir2)
+    spark.sql(s"CREATE TABLE pjwiden.`$dir2` (id BIGINT, v BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.deletionVectors.enabled'='true')")
+    spark.sql(s"INSERT INTO pjwiden.`$dir2` VALUES (1, 10), (2, NULL), (3, 30)")
+    spark.sql(s"DELETE FROM pjwiden.`$dir2` WHERE v IS NULL")
+    spark.sql(s"CALL pjwiden.system.set_not_null('$dir2', 'v')")
+    assert(!spark.table(s"pjwiden.`$dir2`").schema("v").nullable)
+    assert(spark.table(s"pjwiden.`$dir2`").count() == 2L)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns; plain MERGE refuses") {
