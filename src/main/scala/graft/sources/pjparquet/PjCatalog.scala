@@ -468,6 +468,38 @@ class PjCatalog extends CatalogPlugin with TableCatalog
           }
           StructType(acc.fields.updated(i,
             acc.fields(i).copy(nullable = u.nullable())))
+        case u: TableChange.UpdateColumnPosition =>
+          // ALTER COLUMN ... FIRST / AFTER x (round 14): metadata-only —
+          // the recorded schema's field ORDER changes, nothing else. Reads
+          // resolve columns by (physical) NAME, so existing files serve
+          // unchanged; positional surfaces (DESCRIBE, INSERT ... VALUES,
+          // SELECT *) follow the new order.
+          if (u.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"$catalogName: nested column positions are not supported")
+          val name = u.fieldNames()(0)
+          val i = acc.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+          if (i < 0)
+            throw new PJException(
+              s"$catalogName: ALTER COLUMN $name: no such column in '$path'")
+          val moved = acc.fields(i)
+          val rest = acc.fields.patch(i, Nil, 1)
+          u.position() match {
+            case _: TableChange.First => StructType(moved +: rest)
+            case after: TableChange.After =>
+              if (after.column().equalsIgnoreCase(name))
+                throw new PJException(
+                  s"$catalogName: ALTER COLUMN $name AFTER itself is meaningless")
+              val j = rest.indexWhere(_.name.equalsIgnoreCase(after.column()))
+              if (j < 0)
+                throw new PJException(
+                  s"$catalogName: ALTER COLUMN $name AFTER ${after.column()}: " +
+                    s"no such column in '$path'")
+              StructType(rest.patch(j + 1, Seq(moved), 0))
+            case other =>
+              throw new UnsupportedOperationException(
+                s"$catalogName: unsupported column position $other")
+          }
         case u: TableChange.UpdateColumnDefaultValue =>
           if (u.fieldNames().length != 1)
             throw new UnsupportedOperationException(

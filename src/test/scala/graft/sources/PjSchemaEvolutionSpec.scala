@@ -554,4 +554,34 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     }
     assert(unlogged.getMessage.contains("commit-log"))
   }
+
+  test("ALTER COLUMN FIRST/AFTER reorders metadata only; reads and inserts follow") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_reorder")
+    java.nio.file.Files.delete(dir)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjwiden.`$dir` (a BIGINT, b STRING, c BIGINT) USING pjparquet")
+    spark.sql(s"INSERT INTO pjwiden.`$dir` VALUES (1, 'x', 100)")
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN c FIRST")
+    assert(spark.table(s"pjwiden.`$dir`").columns.toSeq == Seq("c", "a", "b"))
+    // pre-reorder files serve by name, unchanged
+    val r1 = spark.table(s"pjwiden.`$dir`").collect().head
+    assert(r1.getLong(0) == 100L && r1.getLong(1) == 1L && r1.getString(2) == "x")
+    // positional INSERT binds the NEW order
+    spark.sql(s"INSERT INTO pjwiden.`$dir` VALUES (200, 2, 'y')")
+    val byA = spark.table(s"pjwiden.`$dir`").collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getString(2))).toMap
+    assert(byA == Map(1L -> (100L, "x"), 2L -> (200L, "y")))
+    // AFTER moves within the remainder; self/missing targets refuse
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN c AFTER b")
+    assert(spark.table(s"pjwiden.`$dir`").columns.toSeq == Seq("a", "b", "c"))
+    val eMissing = intercept[Exception] {
+      spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN a AFTER nope")
+    }
+    assert(eMissing.getMessage.contains("nope"), s"got: ${eMissing.getMessage}")
+    // compaction under the reordered schema keeps values keyed by name
+    spark.sql(s"CALL pjwiden.system.compact('$dir')")
+    val byA2 = spark.table(s"pjwiden.`$dir`").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byA2 == Map(1L -> ("x", 100L), 2L -> ("y", 200L)))
+  }
 }
