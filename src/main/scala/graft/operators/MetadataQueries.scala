@@ -1169,6 +1169,44 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q161_copy_into" -> ((s, dir) => {
+      import s.implicits._
+      // Idempotent COPY INTO (round 14, PjCopyInto): a staging directory
+      // of raw parquet drops ingests into a logged table exactly once —
+      // the rerun is a metadata-rate no-op (atomic per-file claim
+      // markers), and a late-arriving file picks up incrementally. The
+      // oracle recomputes the final table from the full orders relation;
+      // the engine-checked literals pin the idempotence facts.
+      val srcDir = java.nio.file.Files.createTempDirectory("pj_q161_src").toString
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q161_tbl")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      val orders = graft.Tables.orders(s, dir).select(
+        $"o_orderkey".cast("long").as("o_orderkey"),
+        $"o_custkey".cast("long").as("o_custkey"),
+        $"o_orderstatus".cast("string").as("o_orderstatus"))
+      orders.filter($"o_orderkey" % 2 === 0).coalesce(2)
+        .write.mode("overwrite").parquet(s"$srcDir/batch_even")
+      s.conf.set("spark.sql.catalog.pj_q161", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q161.`$tmp` (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING) USING pjparquet")
+      val r1 = graft.sources.pjparquet.PjCopyInto.copyInto(s, tmp, srcDir)
+      val r2 = graft.sources.pjparquet.PjCopyInto.copyInto(s, tmp, srcDir) // no-op
+      orders.filter($"o_orderkey" % 2 === 1).coalesce(2)
+        .write.mode("overwrite").parquet(s"$srcDir/batch_odd")
+      val r3 = graft.sources.pjparquet.PjCopyInto.copyInto(s, tmp, srcDir)
+      val rerunNoop = r2.filesIngested == 0 && r2.rowsIngested == 0 &&
+        r2.version == r1.version
+      val incremental = r1.filesIngested > 0 && r3.filesIngested > 0 &&
+        r3.filesSkipped == r1.filesIngested
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_orderkey").as("key_sum"))
+        .withColumn("rerun_noop", lit(if (rerunNoop) 1L else 0L))
+        .withColumn("incremental_pickup", lit(if (incremental) 1L else 0L))
+        .orderBy($"o_orderstatus")
+    }),
     "q154_partition_evolution" -> ((s, dir) => {
       import s.implicits._
       // Partition-spec evolution (round 13 — Iceberg-style, via SET
@@ -2188,6 +2226,12 @@ object MetadataQueries {
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q161_copy_into" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS rerun_noop,
+        |       CAST(1 AS BIGINT) AS incremental_pickup
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q156_add_column_default" ->
       """SELECT k, name, bonus,
         |       CAST(1 AS BIGINT) AS pre_add_default,

@@ -104,7 +104,12 @@ final class PjWriteBuilder(
     /** Ordinal of `_row_id` within the row-level metadata projection, or
       * -1 — row tracking through copy-on-write DML ([[PjRowLevelOperation]]).
       */
-    rowIdMetaOrdinal: Int = -1)
+    rowIdMetaOrdinal: Int = -1,
+    /** Caller-declared operation tag for plain appends (`log.operation`
+      * write option) — e.g. `copy-into:<runId>`, the idempotence anchor
+      * [[PjCopyInto]]'s marker repair sweep resolves against.
+      */
+    operationTag: Option[String] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -158,7 +163,8 @@ final class PjWriteBuilder(
       bloomColumns, sortColumns, logRequested, cdcEnabled, nameMap,
       augment, layout.flatMap(_.logVersion), clusterKeys,
       constraintsJson = layout.flatMap(_.constraintsJson),
-      rowIdMetaOrdinal = rowIdMetaOrdinal)
+      rowIdMetaOrdinal = rowIdMetaOrdinal,
+      operationTag = operationTag)
   }
 }
 
@@ -186,7 +192,9 @@ final class PjWrite(
       */
     constraintsJson: Option[String] = None,
     /** `_row_id` ordinal in the row-level metadata projection, or -1. */
-    rowIdMetaOrdinal: Int = -1)
+    rowIdMetaOrdinal: Int = -1,
+    /** Caller-declared operation tag for plain appends ([[PjCopyInto]]). */
+    operationTag: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
@@ -213,7 +221,8 @@ final class PjWrite(
 
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
-      logRequested, cdcEnabled, nameMap, augment, baseVersion, rowIdMetaOrdinal)
+      logRequested, cdcEnabled, nameMap, augment, baseVersion, rowIdMetaOrdinal,
+      operationTag)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -400,7 +409,8 @@ final class PjBatchWrite(
     nameMap: Map[String, String] = Map.empty,
     augment: Option[PjGenerated.Augment] = None,
     baseVersion: Option[Long] = None,
-    rowIdMetaOrdinal: Int = -1)
+    rowIdMetaOrdinal: Int = -1,
+    operationTag: Option[String] = None)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -538,7 +548,7 @@ final class PjBatchWrite(
       }
       val operation = mode match {
         case r: PjWriteMode.ReplaceFiles => Some(r.command)
-        case _ => None
+        case _ => operationTag
       }
       val committedVersion = prev match {
         case Some(_) =>

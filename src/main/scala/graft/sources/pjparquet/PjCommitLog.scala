@@ -1010,6 +1010,40 @@ object PjCommitLog {
   def history(fs: FileSystem, root: Path): Seq[HistoryEntry] =
     versions(fs, root).map(v => headerOf(fs, root, v))
 
+  /** runId → version for every RETAINED commit whose operation tag is
+    * `copy-into:<runId>` — [[PjCopyInto]]'s marker repair sweep resolves
+    * crashed-between-commit-and-finalize claims against this. One streamed
+    * header read per version (the operation scalar rides ahead of the
+    * entry payload); checkpoint-only versions contribute nothing (their
+    * operation rode the expired commit file — which is why the sweep
+    * never DELETES a claim on its own).
+    */
+  def operationsByRun(fs: FileSystem, root: Path): Map[String, Long] = {
+    import com.fasterxml.jackson.core.JsonToken
+    versions(fs, root).flatMap { v =>
+      val p = commitFile(root, v)
+      if (!fs.exists(p)) None
+      else try {
+        val body = readValidated(fs, p, v)._1
+        val jp = new com.fasterxml.jackson.core.JsonFactory().createParser(body)
+        var op: Option[String] = None
+        if (jp.nextToken() == JsonToken.START_OBJECT) {
+          var done = false
+          while (!done && jp.nextToken() == JsonToken.FIELD_NAME) {
+            val name = jp.currentName(); jp.nextToken()
+            name match {
+              case "operation" => op = Some(jp.getText); done = true
+              case "dataSchema" | "add" | "remove" | "files" => done = true
+              case _ => jp.skipChildren()
+            }
+          }
+        }
+        jp.close()
+        op.filter(_.startsWith("copy-into:")).map(_.stripPrefix("copy-into:") -> v)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+  }
+
   /** One version's header (ts / action / live-file count) — a single
     * streamed header read, no replay.
     */

@@ -1,0 +1,218 @@
+package graft.sources.pjparquet
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.PJException
+
+/** Idempotent file ingest — the `COPY INTO` surface (Delta parity): load a
+  * directory of source files into a logged pjparquet table such that each
+  * source file's rows land EXACTLY ONCE across any number of re-runs, with
+  * concurrent ingesters partitioning the work instead of duplicating it.
+  *
+  * Mechanics: one marker per ingested source file under
+  * `<table>/.pjlog/ingest/<sha256(path)>`. A run (1) lists markers, (2)
+  * claims each unmarked source file by ATOMIC create (`overwrite=false` —
+  * the filesystem arbitrates racing ingesters per file), (3) appends all
+  * its claimed files' rows in ONE logged commit, (4) finalizes its markers
+  * with the commit version. Already-marked files are skipped at metadata
+  * rate — no data I/O, no reads of the table.
+  *
+  * Crash contract: a run that dies between claim and commit leaves
+  * `claimed` markers with no landed rows. Those files are reported as
+  * `files_pending`, never silently re-ingested (a live concurrent run is
+  * indistinguishable from a crashed one); pass `reclaimClaims = true` from
+  * an operator context that KNOWS no ingester is live to delete the stale
+  * claims and re-load them. A run that dies between commit and finalize
+  * re-finalizes its markers on the next run's sweep (the commit's
+  * operation tag names the claim ids it covered), so the rows are never
+  * doubled.
+  *
+  * Scale shape: listing + claims are O(#source files) metadata ops on the
+  * driver (same as Delta's COPY INTO file-state tracking); the data load
+  * is one distributed read of exactly the claimed files. Nothing about
+  * already-loaded history is re-read — 100k prior files cost 100k marker
+  * names in one directory listing.
+  */
+object PjCopyInto {
+
+  final case class Report(
+      filesIngested: Long, filesSkipped: Long, filesPending: Long,
+      rowsIngested: Long, version: Long)
+
+  private val IngestDirName = "ingest"
+
+  private def ingestDir(root: Path): Path =
+    new Path(new Path(root, PjCommitLog.DirName), IngestDirName)
+
+  private def sha256(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Marker body: tiny JSON, state is `claimed` until the covering commit
+    * lands, then `done` with the version. `runId` ties a claim to the
+    * commit that covered it (operation tag `copy-into:<runId>`), so a
+    * crash between commit and finalize is repaired — never re-ingested.
+    */
+  private final case class Marker(
+      path: String, size: Long, state: String, runId: String, version: Long)
+
+  private def renderMarker(m: Marker): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"path":${q(m.path)},"size":${m.size},"state":${q(m.state)},""" +
+      s""""runId":${q(m.runId)},"version":${m.version}}"""
+  }
+
+  private def parseMarker(s: String): Marker = {
+    def str(k: String): String = {
+      val p = ("\"" + k + "\":\"").r.findFirstMatchIn(s).map(_.end).getOrElse(
+        throw new PJException(s"pjparquet: malformed ingest marker: $s"))
+      val sb = new StringBuilder; var i = p
+      while (i < s.length && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def num(k: String): Long =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(
+        throw new PJException(s"pjparquet: malformed ingest marker: $s"))
+    Marker(str("path"), num("size"), str("state"), str("runId"), num("version"))
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): Marker = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      parseMarker(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  private def writeMarker(fs: FileSystem, p: Path, m: Marker, overwrite: Boolean): Boolean =
+    try {
+      val out = fs.create(p, overwrite)
+      try out.write(renderMarker(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException if !overwrite => false }
+
+  /** Source files under `sourceDir` (recursive), hidden files and dirs
+    * skipped — the same visibility rule the table's own listings use.
+    */
+  private def listSource(fs: FileSystem, sourceDir: Path): Seq[(String, Long)] = {
+    def walk(p: Path): Seq[(String, Long)] = {
+      val st = fs.listStatus(p).toSeq.filterNot(s =>
+        s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_"))
+      st.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq(s.getPath.toString -> s.getLen)
+      }
+    }
+    if (!fs.exists(sourceDir))
+      throw new PJException(s"pjparquet: copy_into source '$sourceDir' does not exist")
+    walk(sourceDir).sortBy(_._1)
+  }
+
+  def copyInto(
+      spark: SparkSession,
+      tablePath: String,
+      sourceDir: String,
+      format: String = "parquet",
+      reclaimClaims: Boolean = false): Report = {
+    val allowed = Set("parquet", "json", "csv")
+    if (!allowed.contains(format.toLowerCase(java.util.Locale.ROOT)))
+      throw new PJException(
+        s"pjparquet: copy_into format '$format' is not supported " +
+          s"(one of: ${allowed.toSeq.sorted.mkString(", ")})")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!PjCommitLog.isEnabled(fs, root))
+      throw new PJException(
+        s"pjparquet: copy_into requires a commit-log table " +
+          s"('$tablePath' has no ${PjCommitLog.DirName})")
+    val srcFs = new Path(sourceDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = ingestDir(root)
+    fs.mkdirs(dir)
+
+    // sweep: finalize markers whose covering commit LANDED (crash between
+    // commit and finalize), count/reclaim the truly orphaned claims
+    val existing: Map[String, (Path, Marker)] =
+      fs.listStatus(dir).toSeq.map(s => s.getPath.getName ->
+        (s.getPath, readMarker(fs, s.getPath))).toMap
+    val coveredRuns: Map[String, Long] = PjCommitLog.operationsByRun(fs, root)
+    var pending = 0L
+    existing.values.foreach { case (p, m) =>
+      if (m.state == "claimed") coveredRuns.get(m.runId) match {
+        case Some(v) =>
+          writeMarker(fs, p, m.copy(state = "done", version = v), overwrite = true)
+        case None =>
+          if (reclaimClaims) fs.delete(p, false)
+          else pending += 1
+      }
+    }
+    val taken: Set[String] =
+      fs.listStatus(dir).toSeq.map(_.getPath.getName).toSet
+
+    val source = listSource(srcFs, new Path(sourceDir))
+    val runId = java.util.UUID.randomUUID().toString
+    val claimed = source.filter { case (path, size) =>
+      val name = sha256(path)
+      !taken.contains(name) &&
+        writeMarker(fs, new Path(dir, name),
+          Marker(path, size, "claimed", runId, -1L), overwrite = false)
+    }
+    val skipped = source.size - claimed.size - pending
+
+    if (claimed.isEmpty)
+      return Report(0L, skipped.toLong, pending, 0L,
+        PjCommitLog.latest(fs, root).map(_.version).getOrElse(0L))
+
+    val reader = format.toLowerCase(java.util.Locale.ROOT) match {
+      case "csv" => spark.read.option("header", "true").format("csv")
+      case f => spark.read.format(f)
+    }
+    val before = PjCommitLog.latest(fs, root)
+    val beforePaths = before.map(_.files.toSet).getOrElse(Set.empty)
+    // enforce the TABLE's schema, not the writer's widening lane: every
+    // table column must arrive (by name, case-insensitive), no extras, and
+    // values cast to the declared types (CSV ingest reads strings)
+    val target = spark.read.format("pjparquet").load(tablePath).schema
+    val loaded = reader.load(claimed.map(_._1): _*)
+    val missing = target.fields.map(_.name)
+      .filterNot(n => loaded.columns.exists(_.equalsIgnoreCase(n)))
+    val extra = loaded.columns
+      .filterNot(n => target.fields.exists(_.name.equalsIgnoreCase(n)))
+    if (missing.nonEmpty || extra.nonEmpty) {
+      // release this run's claims before refusing: nothing landed, so the
+      // files must stay loadable once the source is fixed
+      claimed.foreach { case (path, _) => fs.delete(new Path(dir, sha256(path)), false) }
+      throw new PJException(
+        s"pjparquet: copy_into source schema does not match table " +
+          s"'$tablePath' (missing: ${missing.mkString(", ")}; " +
+          s"unexpected: ${extra.mkString(", ")})")
+    }
+    import org.apache.spark.sql.functions.col
+    loaded.select(target.fields.toSeq.map(f =>
+      col("`" + loaded.columns.find(_.equalsIgnoreCase(f.name)).get.replace("`", "``") + "`")
+        .cast(f.dataType).as(f.name)): _*)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true")
+      .option("log.operation", s"copy-into:$runId")
+      .save(tablePath)
+    val after = PjCommitLog.latest(fs, root).getOrElse(
+      throw new PJException(s"pjparquet: copy_into commit vanished from '$tablePath'"))
+    val rows = after.entries
+      .filter(e => !beforePaths.contains(e.path))
+      .map(e => math.max(e.rows, 0L)).sum
+    claimed.foreach { case (path, size) =>
+      writeMarker(fs, new Path(dir, sha256(path)),
+        Marker(path, size, "done", runId, after.version), overwrite = true)
+    }
+    Report(claimed.size.toLong, skipped.toLong, pending, rows, after.version)
+  }
+}

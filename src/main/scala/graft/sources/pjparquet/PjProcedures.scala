@@ -86,7 +86,7 @@ object PjProcedures {
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
     "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
-    "materialize", "verify_log", "set_not_null")
+    "materialize", "verify_log", "set_not_null", "copy_into")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -364,6 +364,28 @@ object PjProcedures {
             PjCommitLog.auditLog(fs, root).map(a =>
               new GenericInternalRow(Array[Any](
                 a.version, utf8(a.file), a.isSealed, utf8(a.status))))
+          })
+      case "copy_into" =>
+        // idempotent file ingest ([[PjCopyInto]]): each source file's rows
+        // land exactly once across re-runs; racing ingesters partition the
+        // work via atomic per-file claims
+        new Proc("copy_into",
+          Array(in("table", StringType), in("source", StringType),
+            inD("format", StringType, "'parquet'"),
+            inD("reclaim_claims", BooleanType, "false")),
+          StructType(Seq(
+            StructField("files_ingested", LongType, nullable = false),
+            StructField("files_skipped", LongType, nullable = false),
+            StructField("files_pending", LongType, nullable = false),
+            StructField("rows_ingested", LongType, nullable = false),
+            StructField("version", LongType, nullable = false))),
+          { input =>
+            val r = PjCopyInto.copyInto(spark, tableArg(input),
+              input.getUTF8String(1).toString,
+              input.getUTF8String(2).toString, input.getBoolean(3))
+            Seq(new GenericInternalRow(Array[Any](
+              r.filesIngested, r.filesSkipped, r.filesPending,
+              r.rowsIngested, r.version)))
           })
       case "set_not_null" =>
         // ALTER COLUMN ... SET NOT NULL, the procedure face: Spark's own

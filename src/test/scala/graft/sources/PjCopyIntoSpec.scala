@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjCommitLog, PjCopyInto}
+
+/** Idempotent COPY INTO ([[PjCopyInto]]): exactly-once ingest across
+  * re-runs, incremental pickup of new source files, claim repair after a
+  * crash between commit and finalize, and the pending/reclaim contract for
+  * claims whose data never landed.
+  */
+class PjCopyIntoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkdir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.delete(d)
+    d.toString
+  }
+
+  private def freshTable(): String = {
+    val t = mkdir("pj_ci_table")
+    spark.conf.set("spark.sql.catalog.pjci", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjci.`$t` (id BIGINT, v BIGINT) USING pjparquet")
+    t
+  }
+
+  private def writeSource(dir: String, name: String, ids: Range): Unit =
+    ids.map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+
+  test("re-running copy_into never duplicates; new files ingest incrementally") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_src"))
+    writeSource(src, "a", 0 until 50)
+    writeSource(src, "b", 50 until 80)
+
+    val r1 = PjCopyInto.copyInto(spark, t, src)
+    assert(r1.filesIngested == 2 && r1.rowsIngested == 80, s"got $r1")
+    assert(spark.table(s"pjci.`$t`").count() == 80)
+
+    // second run: all skipped, zero rows, no new commit
+    val r2 = PjCopyInto.copyInto(spark, t, src)
+    assert(r2.filesIngested == 0 && r2.filesSkipped == 2 && r2.rowsIngested == 0, s"got $r2")
+    assert(r2.version == r1.version, "a no-op run must not commit")
+    assert(spark.table(s"pjci.`$t`").count() == 80)
+
+    // a new source file lands: only it ingests
+    writeSource(src, "c", 80 until 100)
+    val r3 = PjCopyInto.copyInto(spark, t, src)
+    assert(r3.filesIngested == 1 && r3.filesSkipped == 2 && r3.rowsIngested == 20, s"got $r3")
+    val rows = spark.table(s"pjci.`$t`")
+    assert(rows.count() == 100)
+    assert(rows.agg(sum($"id")).head().getLong(0) == (0L until 100L).sum)
+    // exactly once: no id appears twice
+    assert(rows.groupBy($"id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("SQL CALL surface reports the same facts") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_sql"))
+    writeSource(src, "a", 0 until 10)
+    val r = spark.sql(s"CALL pjci.system.copy_into('$t', '$src')").collect().head
+    assert(r.getLong(0) == 1 && r.getLong(3) == 10, s"got $r")
+    val again = spark.sql(s"CALL pjci.system.copy_into('$t', '$src')").collect().head
+    assert(again.getLong(0) == 0 && again.getLong(1) == 1, s"got $again")
+  }
+
+  test("crash between commit and finalize repairs, never re-ingests") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_crash"))
+    writeSource(src, "a", 0 until 30)
+    val r1 = PjCopyInto.copyInto(spark, t, src)
+    assert(r1.filesIngested == 1)
+    // simulate the crash: rewind the marker to its claimed state (the
+    // covering commit IS in the log under copy-into:<runId>)
+    val root = new org.apache.hadoop.fs.Path(t)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val ingest = new org.apache.hadoop.fs.Path(s"$t/${PjCommitLog.DirName}/ingest")
+    val marker = fs.listStatus(ingest).head.getPath
+    val body = {
+      val in = fs.open(marker)
+      val s = scala.io.Source.fromInputStream(in).mkString; in.close(); s
+    }
+    assert(body.contains("\"done\""))
+    val claimed = body.replace("\"state\":\"done\"", "\"state\":\"claimed\"")
+    val out = fs.create(marker, true)
+    out.write(claimed.getBytes("UTF-8")); out.close()
+    // next run resolves the claim against the commit tag and skips
+    val r2 = PjCopyInto.copyInto(spark, t, src)
+    assert(r2.filesIngested == 0 && r2.filesSkipped == 1 && r2.filesPending == 0, s"got $r2")
+    assert(spark.table(s"pjci.`$t`").count() == 30, "repair must not re-ingest")
+    // and the marker is finalized again
+    val repaired = {
+      val in = fs.open(marker)
+      val s = scala.io.Source.fromInputStream(in).mkString; in.close(); s
+    }
+    assert(repaired.contains("\"done\""))
+  }
+
+  test("orphaned claims report pending; reclaim_claims re-loads them") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_orphan"))
+    writeSource(src, "a", 0 until 25)
+    // forge a claim whose runId never committed (a dead ingester)
+    val root = new org.apache.hadoop.fs.Path(t)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val ingest = new org.apache.hadoop.fs.Path(s"$t/${PjCommitLog.DirName}/ingest")
+    fs.mkdirs(ingest)
+    val srcFile = new org.apache.hadoop.fs.Path(s"$src/a")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(new org.apache.hadoop.fs.Path(s"$src/a")).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(srcFile.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = fs.create(new org.apache.hadoop.fs.Path(ingest, digest), false)
+    out.write(
+      s"""{"path":"$srcFile","size":1,"state":"claimed","runId":"dead-run","version":-1}"""
+        .getBytes("UTF-8"))
+    out.close()
+    // default: the file is PENDING — not loaded, not stolen
+    val r1 = PjCopyInto.copyInto(spark, t, src)
+    assert(r1.filesIngested == 0 && r1.filesPending == 1, s"got $r1")
+    assert(spark.table(s"pjci.`$t`").count() == 0)
+    // explicit reclaim: the stale claim is deleted and the file loads
+    val r2 = PjCopyInto.copyInto(spark, t, src, reclaimClaims = true)
+    assert(r2.filesIngested == 1 && r2.filesPending == 0 && r2.rowsIngested == 25, s"got $r2")
+    assert(spark.table(s"pjci.`$t`").count() == 25)
+  }
+
+  test("schema mismatch refuses; unknown format refuses; unlogged table refuses") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_bad"))
+    Seq(("x", 1.5)).toDF("name", "score").write.mode("overwrite").parquet(s"$src/bad")
+    val eSchema = intercept[Exception] { PjCopyInto.copyInto(spark, t, src) }
+    assert(eSchema.getMessage.contains("does not match table"), s"got: $eSchema")
+    // a schema refusal releases its claims — a rerun refuses again (loud)
+    // instead of silently skipping the unloaded file
+    intercept[Exception] { PjCopyInto.copyInto(spark, t, src) }
+    assert(spark.table(s"pjci.`$t`").count() == 0)
+    intercept[graft.core.PJException] {
+      PjCopyInto.copyInto(spark, t, src, format = "avro")
+    }
+    val unlogged = mkdir("pj_ci_unlogged")
+    Seq((1L, 2L)).toDF("id", "v").write.parquet(unlogged)
+    intercept[graft.core.PJException] {
+      PjCopyInto.copyInto(spark, unlogged, src)
+    }
+  }
+}
