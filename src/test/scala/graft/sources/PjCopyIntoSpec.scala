@@ -127,6 +127,27 @@ class PjCopyIntoSpec extends AnyFunSuite {
     assert(spark.table(s"pjci.`$t`").count() == 25)
   }
 
+  test("racing ingesters partition the work: union exact, zero duplicates") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_race"))
+    (0 until 8).foreach(i => writeSource(src, s"f$i", i * 100 until (i + 1) * 100))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val reports = Seq(
+        pool.submit(() => PjCopyInto.copyInto(spark, t, src)),
+        pool.submit(() => PjCopyInto.copyInto(spark, t, src))).map(_.get())
+      // every file ingested exactly once, by exactly one of the racers
+      assert(reports.map(_.filesIngested).sum == 8,
+        s"claims must partition, got $reports")
+      val rows = spark.table(s"pjci.`$t`")
+      assert(rows.count() == 800)
+      assert(rows.groupBy($"id").count().filter($"count" > 1).count() == 0)
+      assert(rows.agg(sum($"id")).head().getLong(0) == (0L until 800L).sum)
+      // a third run is a full no-op
+      val r3 = PjCopyInto.copyInto(spark, t, src)
+      assert(r3.filesIngested == 0 && r3.filesSkipped == 8 && r3.filesPending == 0)
+    } finally pool.shutdown()
+  }
+
   test("schema mismatch refuses; unknown format refuses; unlogged table refuses") {
     val (t, src) = (freshTable(), mkdir("pj_ci_bad"))
     Seq(("x", 1.5)).toDF("name", "score").write.mode("overwrite").parquet(s"$src/bad")
