@@ -148,6 +148,40 @@ class PjCopyIntoSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("maintenance interplay: vacuum + expire_versions leave markers; skips hold") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_vac"))
+    writeSource(src, "a", 0 until 20)
+    PjCopyInto.copyInto(spark, t, src)
+    writeSource(src, "b", 20 until 40)
+    PjCopyInto.copyInto(spark, t, src)
+    spark.sql(s"CALL pjci.system.expire_versions('$t', keep_versions => 1)")
+    spark.sql(s"CALL pjci.system.vacuum('$t')")
+    val r = PjCopyInto.copyInto(spark, t, src)
+    assert(r.filesIngested == 0 && r.filesSkipped == 2 && r.filesPending == 0,
+      s"markers must survive maintenance: $r")
+    assert(spark.table(s"pjci.`$t`").count() == 40)
+  }
+
+  test("copy_into commits flow into a streaming read of the table") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_stream"))
+    writeSource(src, "a", 0 until 15)
+    PjCopyInto.copyInto(spark, t, src)
+    val ckpt = mkdir("pj_ci_ckpt")
+    val q = spark.readStream.format("pjparquet").load(t)
+      .writeStream.format("memory").queryName("pj_ci_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pj_ci_sink").count() == 15)
+      writeSource(src, "b", 15 until 40)
+      PjCopyInto.copyInto(spark, t, src)
+      q.processAllAvailable()
+      assert(spark.table("pj_ci_sink").count() == 40)
+      assert(spark.table("pj_ci_sink").groupBy($"id").count()
+        .filter($"count" > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("schema mismatch refuses; unknown format refuses; unlogged table refuses") {
     val (t, src) = (freshTable(), mkdir("pj_ci_bad"))
     Seq(("x", 1.5)).toDF("name", "score").write.mode("overwrite").parquet(s"$src/bad")
