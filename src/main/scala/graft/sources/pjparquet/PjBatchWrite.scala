@@ -588,6 +588,28 @@ final class PjBatchWrite(
     // persisted ANN index (if built): reconcile codes with this commit's
     // file changes — encode new files, drop vanished ones
     graft.operators.PqIndex.maintainIfPresent(spark, root)
+    // AUTO-COMPACTION (pj.autoCompact.enabled, Delta parity): a successful
+    // APPEND checks its own wake — best-effort, a failure logs and the
+    // append stands. Scoped to this write's mode (rewrites and overwrites
+    // are maintenance-shaped already) and armed by the recorded minFiles;
+    // PjCompaction itself selects only directories at/above the bar, so a
+    // steady small-append stream self-heals without a maintenance window.
+    if (mode == PjWriteMode.Append) {
+      val propsJson = PjCommitLog.latest(fs, rootPath).flatMap(_.propertiesJson)
+      val armed = PjTableProperties.recorded(
+        propsJson, PjTableProperties.AutoCompactEnabled).exists(_.equalsIgnoreCase("true"))
+      if (armed) {
+        val minFiles = PjTableProperties.recorded(
+          propsJson, PjTableProperties.AutoCompactMinFiles)
+          .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0).getOrElse(8)
+        try PjCompaction.compact(spark, root, minFilesPerDir = minFiles)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn("pjparquet: auto-compaction after commit failed (append stands): {}",
+              e.toString)
+        }
+      }
+    }
     log.info("pjparquet commit {}: {} files, mode {}", jobUUID, manifest.size.toString, mode)
   }
 

@@ -61,6 +61,21 @@ object PjTableProperties {
     */
   val CheckpointInterval = "pj.checkpoint.interval"
 
+  /** `pj.autoCompact.enabled` — when true, a successful APPEND commit
+    * checks its own wake: directories whose small-file count reached
+    * `pj.autoCompact.minFiles` are compacted post-commit (Delta's
+    * autoCompact). The compaction is best-effort — a failure logs and the
+    * append stands — and scoped by [[PjCompaction]]'s own small-file
+    * selection, so a steady small-append stream self-heals instead of
+    * waiting for a maintenance window.
+    */
+  val AutoCompactEnabled = "pj.autoCompact.enabled"
+
+  /** `pj.autoCompact.minFiles` — small files per directory that arm the
+    * post-append compaction (default 8).
+    */
+  val AutoCompactMinFiles = "pj.autoCompact.minFiles"
+
   /** `pj.bloom.columns` — comma-separated columns whose bloom sidecars
     * every write commit keeps fresh (table-level form of the
     * `bloom.columns` write option).
@@ -111,6 +126,8 @@ object PjTableProperties {
     */
   private val Known: Map[String, String => Option[String]] = Map(
     ChangeFeedEnabled -> boolValidator,
+    AutoCompactEnabled -> boolValidator,
+    AutoCompactMinFiles -> posIntValidator,
     RowTrackingRequired -> boolValidator,
     DeletionVectorsEnabled -> boolValidator,
     CheckpointInterval -> posIntValidator,
