@@ -618,21 +618,25 @@ object PipelineOps {
       numBands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
     val prepped = shingles
-    val minhashes: Seq[Column] = (0 until numBands * rowsPerBand).map(i =>
-      array_min(transform(col("h"), x => xxhash64(x, lit(i)))))
-    val bands = array((0 until numBands).map { j =>
-      val rows = minhashes.slice(j * rowsPerBand, (j + 1) * rowsPerBand)
-      struct(lit(j).as("band"), xxhash64(rows :+ (lit(j): Column): _*).as("sig"))
-    }: _*)
-    // Signature rows are SLIM (doc_id, lang, band) — the shingle arrays stay
-    // out of the band join entirely. At 100 TB the arrays are the data:
-    // keeping them off the exploded (×numBands) join and off the collapse
-    // exchange is the difference between shuffling ids and shuffling the
-    // corpus. Blocking by lang keeps buckets mono-lingual and smaller.
-    val sigs = prepped.select(col("doc_id"), col("lang"), explode(bands).as("band"))
+    // all band signatures in ONE fused codegen'd pass
+    // ([[graft.functions.MinHashBandSigs]]): bit-identical to the
+    // array_min(transform(h, x -> xxhash64(x, k))) + band-xxhash64 HOF
+    // composition (equivalence property-pinned in MinHashSpec), without
+    // materializing numBands x rowsPerBand intermediate arrays per row
+    val bandSigs = graft.functions.MinHash
+      .minhashBandSigs(col("h"), numBands, rowsPerBand)
+    // Signature rows are SLIM (doc_id, lang, band, sig) — the shingle
+    // arrays stay out of the band join entirely. At 100 TB the arrays are
+    // the data: keeping them off the exploded (×numBands) join and off the
+    // collapse exchange is the difference between shuffling ids and
+    // shuffling the corpus. Blocking by lang keeps buckets mono-lingual
+    // and smaller.
+    val sigs = prepped.select(col("doc_id"), col("lang"),
+      posexplode(bandSigs).as(Seq("band", "sig")))
     val cand = sigs.as("a")
       .join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.lang") === col("b.lang") &&
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.lang").as("lang"),
