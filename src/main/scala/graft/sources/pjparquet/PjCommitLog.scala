@@ -1406,6 +1406,17 @@ object PjCommitLog {
       }
     }
 
+  /** Atomic exclusive create of `target` with `body` — the SAME claim
+    * mechanism version files use (hard-link on local filesystems, where
+    * `create(overwrite=false)` is a TOCTOU check-then-create; exclusive
+    * rename elsewhere). Returns false when another writer holds the
+    * claim. For sidecar protocol files that need per-file mutual
+    * exclusion ([[PjCopyInto]] ingest markers).
+    */
+  private[pjparquet] def claimFile(fs: FileSystem, target: Path, body: String): Boolean =
+    publishStream(fs, target)(out =>
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   private def publish(fs: FileSystem, target: Path, body: String): Boolean = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val crc = new java.util.zip.CRC32C()

@@ -94,12 +94,17 @@ object PjCopyInto {
   }
 
   private def writeMarker(fs: FileSystem, p: Path, m: Marker, overwrite: Boolean): Boolean =
-    try {
-      val out = fs.create(p, overwrite)
+    if (!overwrite)
+      // the CLAIM: must be genuinely atomic — local fs `create(false)` is a
+      // TOCTOU check-then-create, so ride the commit log's own claim
+      // mechanism (hard-link / exclusive rename)
+      PjCommitLog.claimFile(fs, p, renderMarker(m))
+    else {
+      val out = fs.create(p, true)
       try out.write(renderMarker(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       true
-    } catch { case _: java.io.IOException if !overwrite => false }
+    }
 
   /** Source files under `sourceDir` (recursive), hidden files and dirs
     * skipped — the same visibility rule the table's own listings use.
@@ -141,9 +146,11 @@ object PjCopyInto {
 
     // sweep: finalize markers whose covering commit LANDED (crash between
     // commit and finalize), count/reclaim the truly orphaned claims
+    // markers are sha256 hex names; skip racing claims' in-flight ".tmp"s
     val existing: Map[String, (Path, Marker)] =
-      fs.listStatus(dir).toSeq.map(s => s.getPath.getName ->
-        (s.getPath, readMarker(fs, s.getPath))).toMap
+      fs.listStatus(dir).toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+        .map(s => s.getPath.getName -> (s.getPath, readMarker(fs, s.getPath))).toMap
     val coveredRuns: Map[String, Long] = PjCommitLog.operationsByRun(fs, root)
     var pending = 0L
     existing.values.foreach { case (p, m) =>
@@ -156,7 +163,8 @@ object PjCopyInto {
       }
     }
     val taken: Set[String] =
-      fs.listStatus(dir).toSeq.map(_.getPath.getName).toSet
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).toSet
 
     val source = listSource(srcFs, new Path(sourceDir))
     val runId = java.util.UUID.randomUUID().toString
@@ -176,8 +184,6 @@ object PjCopyInto {
       case "csv" => spark.read.option("header", "true").format("csv")
       case f => spark.read.format(f)
     }
-    val before = PjCommitLog.latest(fs, root)
-    val beforePaths = before.map(_.files.toSet).getOrElse(Set.empty)
     // enforce the TABLE's schema, not the writer's widening lane: every
     // table column must arrive (by name, case-insensitive), no extras, and
     // values cast to the declared types (CSV ingest reads strings)
@@ -206,9 +212,12 @@ object PjCopyInto {
       .save(tablePath)
     val after = PjCommitLog.latest(fs, root).getOrElse(
       throw new PJException(s"pjparquet: copy_into commit vanished from '$tablePath'"))
-    val rows = after.entries
-      .filter(e => !beforePaths.contains(e.path))
-      .map(e => math.max(e.rows, 0L)).sum
+    // count THIS run's rows from its own tagged commit's delta — a racing
+    // ingester's concurrent commit must not inflate the report
+    val ownVersion = PjCommitLog.operationsByRun(fs, root).getOrElse(runId,
+      throw new PJException(s"pjparquet: copy_into commit for run $runId not found"))
+    val rows = PjCommitLog.delta(fs, root, ownVersion)
+      .add.map(e => math.max(e.rows, 0L)).sum
     claimed.foreach { case (path, size) =>
       writeMarker(fs, new Path(dir, sha256(path)),
         Marker(path, size, "done", runId, after.version), overwrite = true)

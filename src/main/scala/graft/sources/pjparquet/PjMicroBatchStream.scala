@@ -17,7 +17,12 @@ final case class PjStreamInfo(
     path: String,
     autogen: Boolean,
     mergeSchema: Boolean,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int],
+    /** `skipChangeCommits` (Delta parity): files added by ROW-CHANGING
+      * commits (DML rewrites, overwrites, restores) are silently skipped
+      * instead of failing the stream.
+      */
+    skipChangeCommits: Boolean = false)
 
 /** Micro-batch directory ingestion over pjparquet — `spark.readStream
   * .format("pjparquet").load(dir)` for the standard "parquet drops land in
@@ -233,6 +238,87 @@ class PjMicroBatchStream(
     legacySeeded = true
   }
 
+  // -------------------------------------------- change-commit admission
+
+  /** How a file ENTERED the snapshot, from its adding commit's delta:
+    * `pureMove` = the commit provably moved rows without changing any
+    * (compaction / ZORDER / clone materialization / `preservedRows`);
+    * otherwise a row-CHANGING commit (DML rewrite, overwrite, truncate,
+    * restore, merge-on-read delta). `removedAbs` = the commit's retired
+    * sources — whether THEY were delivered decides fresh-start vs
+    * mid-stream. Files whose commit the classifier cannot see (unlogged
+    * directories, expired commits, legacy full-snapshot deltas) are plain
+    * arrivals: the stream delivers the current state.
+    */
+  private final case class AddClass(
+      action: String, pureMove: Boolean, removedAbs: Set[String])
+
+  private val addClass = mutable.Map.empty[String, AddClass]
+  private var classifiedThrough = -1L
+  private val PureMoveActions = Set("compact", "optimize-zorder", "materialize")
+  private val AppendActions = Set("append", "create")
+
+  /** Fold the deltas of retained commit versions above `classifiedThrough`
+    * into the per-file admission map — O(new versions) streamed delta
+    * reads, incremental after the first call.
+    */
+  private def refreshAddClasses(): Unit = {
+    val root = new Path(info.path)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!PjCommitLog.isEnabled(fs, root)) return
+    val rootQ = fs.makeQualified(root)
+    def abs(rel: String): String = new Path(rootQ, rel).toString
+    PjCommitLog.history(fs, root)
+      .filter(_.version > classifiedThrough)
+      .sortBy(_.version)
+      .foreach { h =>
+        val d = scala.util.Try(PjCommitLog.delta(fs, root, h.version)).getOrElse(null)
+        if (d != null && !d.legacyFull) {
+          if (AppendActions.contains(d.action))
+            d.add.foreach(e => addClass.remove(abs(e.path)))
+          else {
+            val c = AddClass(
+              d.operation.getOrElse(d.action),
+              PureMoveActions.contains(d.action) || d.preservedRows,
+              d.remove.map(abs).toSet)
+            d.add.foreach(e => addClass(abs(e.path)) = c)
+          }
+        }
+        classifiedThrough = math.max(classifiedThrough, h.version)
+      }
+  }
+
+  /** Admission decision for an unseen listed file. Plain arrivals pass.
+    * For move/change outputs, delivery of their retired SOURCES decides:
+    * none delivered = a fresh stream ingesting the current state — pass;
+    * all delivered = a mid-stream rewrite — pure moves suppress silently
+    * (rows are bit-identical to what was delivered), change commits fail
+    * the stream (Delta's contract) unless `skipChangeCommits`; partial
+    * delivery can't guarantee exactly-once either way — fail loudly.
+    */
+  private def admit(path: String): Boolean = addClass.get(path) match {
+    case None => true
+    case Some(AddClass(action, pureMove, removed)) =>
+      val delivered = removed.count(seen.contains)
+      if (delivered == 0) true
+      else if (delivered == removed.size) {
+        if (pureMove) false
+        else if (info.skipChangeCommits) false
+        else throw new graft.core.PJException(
+          s"pjparquet stream: detected a data-changing commit ($action) in " +
+            s"'${info.path}' — streaming a table that UPDATEs/DELETEs/" +
+            "overwrites rows would re-deliver changed rows. Set the " +
+            "skipChangeCommits option to stream past change commits " +
+            "(their rewritten rows are skipped), or stream the change feed " +
+            "instead (pjparquet-cdf)")
+      } else throw new graft.core.PJException(
+        s"pjparquet stream: '$path' was produced by a commit ($action) that " +
+          s"consumed $delivered of ${removed.size} already-delivered files — " +
+          "exactly-once delivery cannot be guaranteed across this boundary. " +
+          "Restart the stream from a fresh checkpoint, or run maintenance " +
+          "only when no batch is in flight")
+  }
+
   // ------------------------------------------------------------- discovery
 
   /** (path -> mtime) of every INGESTIBLE data file under the directory
@@ -246,6 +332,28 @@ class PjMicroBatchStream(
     * with any direct-committer source.
     */
   private def listMtimes(): Map[String, Long] = {
+    // a recursive listing racing a concurrent writer's temp-file rename
+    // (compaction work dirs, log commit temps) can observe a path that
+    // vanishes before its status is read — local filesystems throw where
+    // object stores return a consistent page. The listing is a pure
+    // snapshot read: retry it.
+    var attempt = 0
+    while (true) {
+      try return listMtimesOnce()
+      catch {
+        // RawLocalFileSystem surfaces the vanished-path race as a bare
+        // RuntimeException ("Error while running command to get file
+        // permissions"), not an IOException — retry both, never our own
+        case e: graft.core.PJException => throw e
+        case scala.util.control.NonFatal(_) if attempt < 4 =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def listMtimesOnce(): Map[String, Long] = {
     val root = new Path(info.path)
     val fs = root.getFileSystem(hadoopConf)
     // log enabled but ZERO commits = "not yet logged": the directory
@@ -308,8 +416,13 @@ class PjMicroBatchStream(
     if (maxLoggedBatch > startId) return PjStreamOffset(maxLoggedBatch)
     val inSnapshot: String => Boolean =
       availableNowSnapshot.map(s => s.contains(_)).getOrElse(_ => true)
-    val pending = listMtimes().toSeq
-      .filter { case (p, _) => !seen.contains(p) && inSnapshot(p) }
+    val listed = listMtimes()
+    // classify AFTER the listing: the history read then covers every
+    // version the listing's snapshot saw, so a commit racing this poll
+    // can never deliver its files unclassified
+    refreshAddClasses()
+    val pending = listed.toSeq
+      .filter { case (p, _) => !seen.contains(p) && inSnapshot(p) && admit(p) }
       .sortBy { case (p, m) => (m, p) }
     if (pending.isEmpty) return start
     val cap = limit match {

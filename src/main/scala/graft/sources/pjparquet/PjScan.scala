@@ -757,7 +757,8 @@ class PjScanBuilder(
       streamInfo = Option(options.get("path")).map(p =>
         PjStreamInfo(p, options.getBoolean("index.autogen", true),
           options.getBoolean("mergeSchema", false),
-          Option(options.get("maxFilesPerTrigger")).map(_.toInt))),
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          skipChangeCommits = options.getBoolean("skipChangeCommits", false))),
       limitRows = pushedLimit,
       rowLevel = rowLevel,
       totalFiles = layout.files.size,
