@@ -227,7 +227,16 @@ object PipelineOps {
       n: Int = 5,
       minDf: Int = 2,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      /** `keepFirst = true` (Lee et al. 2022 semantics): the CANONICAL
+        * occurrence of each repeated n-gram — smallest (doc, position)
+        * corpus-wide — survives; only the other occurrences excise. The
+        * default removes every occurrence (boilerplate killing); keep-first
+        * is what training-data dedup wants — one copy of the span stays in
+        * the corpus. Costs one extra slim aggregation
+        * (`min(struct(id, pos))` per repeated gram, map-side combined).
+        */
+      keepFirst: Boolean = false): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     // (doc, start position, gram hash) for every n-token window; token
@@ -249,10 +258,21 @@ object PipelineOps {
       .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf)
       .select(col("gram"))
+    // occurrences to excise: every covered window, or (keepFirst) every
+    // window EXCEPT the gram's canonical smallest-(doc, pos) occurrence
+    val excised =
+      if (!keepFirst) pos.join(repeated, "gram")
+      else {
+        val firsts = pos.join(repeated, "gram")
+          .groupBy(col("gram"))
+          .agg(min(struct(col("_id"), col("pos"))).as("_first"))
+        pos.join(firsts, "gram")
+          .filter(col("_first") =!= struct(col("_id"), col("pos")))
+      }
     // per-doc sorted repeated start positions (a repeat at p covers
     // tokens [p, p+n)); collect_set because several windows of one doc
     // can share a gram hash
-    val starts = pos.join(repeated, "gram")
+    val starts = excised
       .groupBy(col("_id"))
       .agg(array_sort(collect_set(col("pos"))).as("_starts"))
     val joined = docs.join(starts, docs(idCol) === starts("_id"), "left")

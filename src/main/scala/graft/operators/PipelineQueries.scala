@@ -252,6 +252,24 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q162_span_dedup_keep_first" -> ((s, dir) => {
+      // Keep-first substring dedup (round 14 — the Lee et al. 2022
+      // TRAINING-DATA semantics q117's excision variant lacks): each
+      // repeated 5-token substring KEEPS its canonical occurrence — the
+      // corpus-wide smallest (doc_id, position) — and excises only the
+      // other occurrences, so exactly one copy of every span survives in
+      // the corpus. The oracle ranks occurrences per gram string with a
+      // window and removes rank > 1, recomputing the md5-exact surviving
+      // text per document.
+      PipelineOps.removeRepeatedSpans(
+        Tables.documents(s, dir), n = 5, minDf = 2, keepFirst = true)
+        .select(
+          col("doc_id"),
+          col("n_repeated_starts"),
+          col("tokens_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q121_stream_enrich" -> ((s, dir) => {
       // Stream-static enrichment (batch twin of
       // StreamingOps.enrichWithDimension; streaming == batch proven in
@@ -1578,6 +1596,36 @@ object PipelineQueries {
         |rep AS (SELECT gram FROM g GROUP BY gram
         |        HAVING count(DISTINCT doc_id) >= 2),
         |st AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 5)) AS i FROM st),
+        |idx AS (SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS i FROM t),
+        |kept AS (SELECT idx.doc_id, idx.i FROM idx ANTI JOIN cov USING (doc_id, i)),
+        |ct AS (SELECT kept.doc_id, count(*) AS n_kept,
+        |              string_agg(t.toks[CAST(kept.i AS INTEGER)], ' ' ORDER BY kept.i)
+        |                AS clean_text
+        |       FROM kept JOIN t USING (doc_id) GROUP BY kept.doc_id),
+        |ns AS (SELECT doc_id, count(*) AS n_starts FROM st GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(ns.n_starts, 0) AS BIGINT) AS n_repeated_starts,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(ct.n_kept, 0) AS BIGINT)
+        |         AS tokens_removed,
+        |       md5(coalesce(ct.clean_text, '')) AS clean_md5
+        |FROM documents d
+        |LEFT JOIN ns USING (doc_id)
+        |LEFT JOIN ct USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q162_span_dedup_keep_first" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, UNNEST(range(1, len(toks) - 3)) AS pos,
+        |             UNNEST(list_transform(range(1, len(toks) - 3),
+        |                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        |      FROM t WHERE len(toks) >= 5),
+        |rep AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT g.gram, g.doc_id, g.pos,
+        |               row_number() OVER (PARTITION BY g.gram
+        |                                  ORDER BY g.doc_id, g.pos) AS rn
+        |        FROM g JOIN rep USING (gram)),
+        |st AS (SELECT DISTINCT doc_id, pos FROM occ WHERE rn > 1),
         |cov AS (SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 5)) AS i FROM st),
         |idx AS (SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS i FROM t),
         |kept AS (SELECT idx.doc_id, idx.i FROM idx ANTI JOIN cov USING (doc_id, i)),

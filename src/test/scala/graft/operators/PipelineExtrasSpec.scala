@@ -371,4 +371,35 @@ class PipelineExtrasSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out2(1L) == "d e" && out2(2L) == "x y" && out2(3L) == "p q r s t")
   }
+
+  test("removeRepeatedSpans keepFirst: the canonical occurrence survives") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique1 words here"),
+      (2L, "intro alpha beta gamma delta more text"),
+      (4L, "same same2 same3"),
+      (5L, "same same2 same3"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.removeRepeatedSpans(docs, n = 3, minDf = 2, keepFirst = true)
+      .select($"doc_id", $"clean_text", $"n_repeated_starts", $"tokens_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 holds the canonical (smallest doc_id) occurrences: untouched
+    assert(out(1L) == (("alpha beta gamma delta unique1 words here", 0L, 0L)),
+      s"got ${out(1L)}")
+    // doc 2's copies are non-canonical: excised as before
+    assert(out(2L) == (("intro more text", 2L, 4L)), s"got ${out(2L)}")
+    // of the full duplicates, exactly the smaller doc_id keeps its text
+    assert(out(4L) == (("same same2 same3", 0L, 0L)), s"got ${out(4L)}")
+    assert(out(5L) == (("", 1L, 3L)), s"got ${out(5L)}")
+    // within one doc the EARLIER position is canonical
+    val within = Seq(
+      (7L, "x y z pad1 x y z pad2"),
+      (8L, "x y z tail"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.removeRepeatedSpans(within, n = 3, minDf = 2, keepFirst = true)
+      .select($"doc_id", $"clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(7L) == "x y z pad1 pad2", s"got ${got(7L)}")
+    assert(got(8L) == "tail", s"got ${got(8L)}")
+  }
 }
