@@ -134,7 +134,7 @@ final class PjRowLevelOperation(
       bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions, layout.propertiesJson),
       // with `sort.columns` declared the copy-on-write rewrite re-sorts the
       // replacement files, so DML keeps the layout's ordering claim alive
-      sortColumns = PjParquetTable.sortColumnsOf(tableOptions),
+      sortColumns = PjParquetTable.sortColumnsOf(tableOptions, layout.propertiesJson),
       logRequested = tableOptions.getBoolean("log.enabled", false),
       cdcEnabled = PjTableProperties.effectiveBool(tableOptions, layout.propertiesJson,
         "cdc.enabled", PjTableProperties.ChangeFeedEnabled, default = false),

@@ -76,6 +76,13 @@ object PjTableProperties {
     */
   val AutoCompactMinFiles = "pj.autoCompact.minFiles"
 
+  /** `pj.sort.columns` — comma-separated DATA columns every written file
+    * is internally sorted by, as a TABLE contract (the per-write
+    * `sort.columns` option overrides; an explicit empty option opts out).
+    * Commits maintain the sort marker so scans report the ordering.
+    */
+  val SortColumns = "pj.sort.columns"
+
   /** `pj.bloom.columns` — comma-separated columns whose bloom sidecars
     * every write commit keeps fresh (table-level form of the
     * `bloom.columns` write option).
@@ -132,6 +139,7 @@ object PjTableProperties {
     DeletionVectorsEnabled -> boolValidator,
     CheckpointInterval -> posIntValidator,
     BloomColumns -> (_ => None), // any csv of names; resolved per-write
+    SortColumns -> (_ => None), // any csv of names; resolved per-write
     VacuumRetentionHours -> nonNegLongValidator,
     ExpireKeepVersions -> posIntValidator,
     PartitionColumns -> partitionColumnsValidator)

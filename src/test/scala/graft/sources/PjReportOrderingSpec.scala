@@ -103,4 +103,35 @@ class PjReportOrderingSpec extends AnyFunSuite {
       (p, (0L until 1000L).filter(_ % 5 == p).sum, (0L until 1000L).filter(_ % 5 == p).sum))
     assert(got == exp)
   }
+
+  test("pj.sort.columns TABLE property drives writes; explicit option overrides") {
+    val dir = Files.createTempDirectory("pj_ord_prop")
+    Files.delete(dir)
+    val t = dir.toString
+    spark.conf.set("spark.sql.catalog.pjord", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjord.`$t` (k BIGINT, v BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.sort.columns'='k')")
+    // a plain INSERT with NO option picks up the table contract
+    spark.range(0, 5000).select((($"id" * 7919) % 5000).as("k"), $"id".as("v"))
+      .repartition(2).createOrReplaceTempView("pj_ord_src")
+    spark.sql(s"INSERT INTO pjord.`$t` SELECT * FROM pj_ord_src")
+    assert(Files.exists(Paths.get(t, "_pj_sort")),
+      "property-driven write must publish the sort marker")
+    val files = Option(new java.io.File(t).listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"${f.getName} must be internally sorted by k")
+    }
+    // reported ordering elides the local sort, same as the option form
+    val q = spark.read.format("pjparquet").load(t).sortWithinPartitions($"k")
+    assert(sortExecs(q).isEmpty)
+    // an explicit EMPTY option opts one write out (marker retracts)
+    spark.range(5000, 6000).select($"id".as("k"), lit(0L).as("v"))
+      .repartition(2)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").option("sort.columns", "").save(t)
+    assert(spark.read.format("pjparquet").load(t).count() == 6000)
+  }
 }
