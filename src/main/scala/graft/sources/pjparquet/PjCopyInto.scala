@@ -128,7 +128,14 @@ object PjCopyInto {
       tablePath: String,
       sourceDir: String,
       format: String = "parquet",
-      reclaimClaims: Boolean = false): Report = {
+      reclaimClaims: Boolean = false,
+      /** Optional glob over the source-relative path (Delta's
+        * `COPY INTO ... PATTERN`): `*` matches within a path segment,
+        * `**` across segments, `?` one character. Non-matching files are
+        * ignored entirely — not claimed, not counted, free to be claimed
+        * by an ingest with a different pattern.
+        */
+      pattern: Option[String] = None): Report = {
     val allowed = Set("parquet", "json", "csv")
     if (!allowed.contains(format.toLowerCase(java.util.Locale.ROOT)))
       throw new PJException(
@@ -166,7 +173,29 @@ object PjCopyInto {
       fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .filterNot(_.startsWith(".")).toSet
 
+    val srcRoot = srcFs.makeQualified(new Path(sourceDir)).toString
+    val globRe = pattern.map { g =>
+      val sb = new StringBuilder
+      var i = 0
+      while (i < g.length) {
+        g.charAt(i) match {
+          case '*' if i + 1 < g.length && g.charAt(i + 1) == '*' =>
+            sb.append(".*"); i += 2
+          case '*' => sb.append("[^/]*"); i += 1
+          case '?' => sb.append("[^/]"); i += 1
+          case c =>
+            if ("\\.[]{}()+-^$|".indexOf(c) >= 0) sb.append('\\')
+            sb.append(c); i += 1
+        }
+      }
+      sb.toString.r
+    }
+    def matches(abs: String): Boolean = globRe.forall { re =>
+      val rel = abs.stripPrefix(srcRoot).stripPrefix("/")
+      re.pattern.matcher(rel).matches()
+    }
     val source = listSource(srcFs, new Path(sourceDir))
+      .filter { case (p, _) => matches(p) }
     val runId = java.util.UUID.randomUUID().toString
     val claimed = source.filter { case (path, size) =>
       val name = sha256(path)

@@ -372,7 +372,8 @@ object PjProcedures {
         new Proc("copy_into",
           Array(in("table", StringType), in("source", StringType),
             inD("format", StringType, "'parquet'"),
-            inD("reclaim_claims", BooleanType, "false")),
+            inD("reclaim_claims", BooleanType, "false"),
+            inD("pattern", StringType, "''")),
           StructType(Seq(
             StructField("files_ingested", LongType, nullable = false),
             StructField("files_skipped", LongType, nullable = false),
@@ -382,7 +383,9 @@ object PjProcedures {
           { input =>
             val r = PjCopyInto.copyInto(spark, tableArg(input),
               input.getUTF8String(1).toString,
-              input.getUTF8String(2).toString, input.getBoolean(3))
+              input.getUTF8String(2).toString, input.getBoolean(3),
+              pattern = Option(input.getUTF8String(4)).map(_.toString)
+                .filter(_.nonEmpty))
             Seq(new GenericInternalRow(Array[Any](
               r.filesIngested, r.filesSkipped, r.filesPending,
               r.rowsIngested, r.version)))

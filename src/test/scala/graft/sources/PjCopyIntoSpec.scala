@@ -148,6 +148,25 @@ class PjCopyIntoSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("PATTERN scopes the ingest; non-matching files stay claimable later") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_pat"))
+    writeSource(src, "lang=en/part1", 0 until 10)
+    writeSource(src, "lang=de/part1", 10 until 20)
+    writeSource(src, "lang=en/part2", 20 until 30)
+    val r1 = PjCopyInto.copyInto(spark, t, src, pattern = Some("lang=en/**"))
+    assert(r1.filesIngested == 2 && r1.rowsIngested == 20, s"got $r1")
+    assert(spark.table(s"pjci.`$t`").filter($"id" >= 10 && $"id" < 20).count() == 0)
+    // the de file was never claimed — a later unscoped run picks it up
+    val r2 = PjCopyInto.copyInto(spark, t, src)
+    assert(r2.filesIngested == 1 && r2.filesSkipped == 2 && r2.rowsIngested == 10, s"got $r2")
+    assert(spark.table(s"pjci.`$t`").count() == 30)
+    // `*` stays within a segment: no lang dir matches a one-level glob
+    val r3 = spark.sql(
+      s"CALL pjci.system.copy_into('$t', '$src', pattern => '*.parquet')")
+      .collect().head
+    assert(r3.getLong(0) == 0, s"got $r3")
+  }
+
   test("maintenance interplay: vacuum + expire_versions leave markers; skips hold") {
     val (t, src) = (freshTable(), mkdir("pj_ci_vac"))
     writeSource(src, "a", 0 until 20)
