@@ -1018,30 +1018,41 @@ object PjCommitLog {
     * operation rode the expired commit file — which is why the sweep
     * never DELETES a claim on its own).
     */
-  def operationsByRun(fs: FileSystem, root: Path): Map[String, Long] = {
+  def operationsByRun(fs: FileSystem, root: Path): Map[String, Long] =
+    versions(fs, root).flatMap(v =>
+      copyIntoRunAt(fs, root, v).map(_ -> v)).toMap
+
+  /** The version of the retained commit tagged `copy-into:<runId>`,
+    * scanning BACKWARD from head — a run looking up its own just-landed
+    * commit finds it in O(racing writers) header reads, not O(retained
+    * versions).
+    */
+  def versionOfRun(fs: FileSystem, root: Path, runId: String): Option[Long] =
+    versions(fs, root).reverseIterator
+      .find(v => copyIntoRunAt(fs, root, v).contains(runId))
+
+  private def copyIntoRunAt(fs: FileSystem, root: Path, v: Long): Option[String] = {
     import com.fasterxml.jackson.core.JsonToken
-    versions(fs, root).flatMap { v =>
-      val p = commitFile(root, v)
-      if (!fs.exists(p)) None
-      else try {
-        val body = readValidated(fs, p, v)._1
-        val jp = new com.fasterxml.jackson.core.JsonFactory().createParser(body)
-        var op: Option[String] = None
-        if (jp.nextToken() == JsonToken.START_OBJECT) {
-          var done = false
-          while (!done && jp.nextToken() == JsonToken.FIELD_NAME) {
-            val name = jp.currentName(); jp.nextToken()
-            name match {
-              case "operation" => op = Some(jp.getText); done = true
-              case "dataSchema" | "add" | "remove" | "files" => done = true
-              case _ => jp.skipChildren()
-            }
+    val p = commitFile(root, v)
+    if (!fs.exists(p)) None
+    else try {
+      val body = readValidated(fs, p, v)._1
+      val jp = new com.fasterxml.jackson.core.JsonFactory().createParser(body)
+      var op: Option[String] = None
+      if (jp.nextToken() == JsonToken.START_OBJECT) {
+        var done = false
+        while (!done && jp.nextToken() == JsonToken.FIELD_NAME) {
+          val name = jp.currentName(); jp.nextToken()
+          name match {
+            case "operation" => op = Some(jp.getText); done = true
+            case "dataSchema" | "add" | "remove" | "files" => done = true
+            case _ => jp.skipChildren()
           }
         }
-        jp.close()
-        op.filter(_.startsWith("copy-into:")).map(_.stripPrefix("copy-into:") -> v)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }.toMap
+      }
+      jp.close()
+      op.filter(_.startsWith("copy-into:")).map(_.stripPrefix("copy-into:"))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** One version's header (ts / action / live-file count) — a single

@@ -158,7 +158,10 @@ object PjCopyInto {
       fs.listStatus(dir).toSeq
         .filterNot(_.getPath.getName.startsWith("."))
         .map(s => s.getPath.getName -> (s.getPath, readMarker(fs, s.getPath))).toMap
-    val coveredRuns: Map[String, Long] = PjCommitLog.operationsByRun(fs, root)
+    // the full retained-log scan only runs when there ARE claims to
+    // resolve — the steady state (every marker done) costs one directory
+    // listing and zero log reads
+    lazy val coveredRuns: Map[String, Long] = PjCommitLog.operationsByRun(fs, root)
     var pending = 0L
     existing.values.foreach { case (p, m) =>
       if (m.state == "claimed") coveredRuns.get(m.runId) match {
@@ -242,8 +245,9 @@ object PjCopyInto {
     val after = PjCommitLog.latest(fs, root).getOrElse(
       throw new PJException(s"pjparquet: copy_into commit vanished from '$tablePath'"))
     // count THIS run's rows from its own tagged commit's delta — a racing
-    // ingester's concurrent commit must not inflate the report
-    val ownVersion = PjCommitLog.operationsByRun(fs, root).getOrElse(runId,
+    // ingester's concurrent commit must not inflate the report. Backward
+    // scan from head: O(racing writers) header reads, not O(versions)
+    val ownVersion = PjCommitLog.versionOfRun(fs, root, runId).getOrElse(
       throw new PJException(s"pjparquet: copy_into commit for run $runId not found"))
     val rows = PjCommitLog.delta(fs, root, ownVersion)
       .add.map(e => math.max(e.rows, 0L)).sum

@@ -219,4 +219,15 @@ class PjCopyIntoSpec extends AnyFunSuite {
       PjCopyInto.copyInto(spark, unlogged, src)
     }
   }
+
+  test("CSV ingest: header read, declared-type casts applied") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_csv"))
+    Seq(("id", "v"), ("1", "10"), ("2", "20")).map(_.productIterator.mkString(","))
+      .toDF("line").coalesce(1).write.mode("overwrite").text(s"$src/drop")
+    val r = PjCopyInto.copyInto(spark, t, src, format = "csv")
+    assert(r.filesIngested == 1 && r.rowsIngested == 2, s"got $r")
+    val rows = spark.table(s"pjci.`$t`").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rows == Map(1L -> 10L, 2L -> 20L))
+  }
 }
