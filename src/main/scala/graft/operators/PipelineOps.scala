@@ -317,6 +317,41 @@ object PipelineOps {
     * lines birthday collisions on xxhash64 become plausible and a
     * collision here silently deletes innocent text.
     */
+  /** Boilerplate-LINE removal — the frequency-mode counterpart of
+    * [[lineDedup]]: every non-blank line whose DISTINCT-DOCUMENT
+    * frequency reaches `maxDf` is dropped from EVERY document, no
+    * canonical survivor (a line on ten thousand pages is site chrome,
+    * not content — keeping one copy would keep one nav menu as "text").
+    * Rarer repeated lines (quotes, shared paragraphs) survive everywhere
+    * — dedup them with [[lineDedup]]'s keep-first pass afterwards.
+    *
+    * Scale shape: same as [[lineDedup]] — the frequency count is a
+    * map-side-combined `count(distinct doc)` per line (exchange carries
+    * one (line, id) pair per distinct pair), the removal a left-anti
+    * equi-join on the line; documents losing every line disappear.
+    */
+  def dropBoilerplateLines(
+      docs: DataFrame,
+      maxDf: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+    val hot = lines.select(col("line"), col(idCol)).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= maxDf)
+      .select(col("line"))
+    lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("kept_lines"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as(textCol))
+  }
+
   def lineDedup(
       docs: DataFrame,
       textCol: String = "text",

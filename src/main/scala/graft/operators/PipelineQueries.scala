@@ -252,6 +252,24 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
+    "q163_boilerplate_lines" -> ((s, dir) => {
+      import s.implicits._
+      // Frequency-mode line removal (PipelineOps.dropBoilerplateLines):
+      // lines in >= 50 distinct documents are site chrome and drop from
+      // EVERY document — the per-lang banner (df 64-218) and the global
+      // copyright (df 500) vanish, the per-source contact line (df 25)
+      // and rare duplicated bodies survive everywhere. Same synthetic
+      // multi-lining as q160; md5-exact per document.
+      val synth = Tables.documents(s, dir).withColumn("text",
+        concat_ws("\n",
+          concat(lit("=== site banner "), $"lang", lit(" ===")),
+          $"text",
+          concat(lit("contact "), $"source"),
+          lit("copyright 2026 example corp")))
+      PipelineOps.dropBoilerplateLines(synth, maxDf = 50)
+        .select($"doc_id", $"kept_lines", md5($"text").as("text_md5"))
+        .orderBy($"doc_id")
+    }),
     "q162_span_dedup_keep_first" -> ((s, dir) => {
       // Keep-first substring dedup (round 14 — the Lee et al. 2022
       // TRAINING-DATA semantics q117's excision variant lacks): each
@@ -1613,6 +1631,28 @@ object PipelineQueries {
         |LEFT JOIN ns USING (doc_id)
         |LEFT JOIN ct USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q163_boilerplate_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         '=== site banner ' || lang || ' ===' || chr(10) ||
+        |         text || chr(10) ||
+        |         'contact ' || source || chr(10) ||
+        |         'copyright 2026 example corp' AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, ord, line FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(text, chr(10))) AS line,
+        |           unnest(range(len(string_split(text, chr(10))))) AS ord
+        |    FROM base)
+        |  WHERE trim(line) <> ''),
+        |hot AS (SELECT line FROM lines GROUP BY line
+        |        HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT l.doc_id, l.ord, l.line
+        |         FROM lines l ANTI JOIN hot USING (line))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+        |       md5(string_agg(line, chr(10) ORDER BY ord)) AS text_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q162_span_dedup_keep_first" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, UNNEST(range(1, len(toks) - 3)) AS pos,

@@ -65,6 +65,25 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(2L) == (3L, "z9\na0\nm5"))
   }
 
+  test("dropBoilerplateLines: hot lines vanish everywhere, rare repeats survive") {
+    val docs = Seq(
+      (1L, "banner\nbody one\nshared quote"),
+      (2L, "banner\nbody two\nshared quote"),
+      (3L, "banner\nbody three")).toDF("doc_id", "text")
+    val got = PipelineOps.dropBoilerplateLines(docs, maxDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // df(banner)=3 -> dropped everywhere; df(shared quote)=2 -> kept in BOTH
+    assert(got(1L) == (2L, "body one\nshared quote"))
+    assert(got(2L) == (2L, "body two\nshared quote"))
+    assert(got(3L) == (1L, "body three"))
+    // a doc that is ALL chrome disappears
+    val got2 = PipelineOps.dropBoilerplateLines(
+      (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+        (4L -> "banner")).toDF("doc_id", "text"), maxDf = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L, 3L))
+  }
+
   test("plan shape: no broadcast hint, no driver-materialized relation") {
     // at toy scale the planner may legitimately pick a stats-driven
     // broadcast join; the anti-pattern lineDedup must never exhibit is an
