@@ -170,9 +170,26 @@ object PjClone {
       val newPaths = newRels.toSeq.sorted.map(rel => s"$root/$rel")
       val facts = PjIndexJob.generateForPaths(spark, newPaths).map(f => f.path -> f).toMap
       val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
-      val v = PjCommitLog.commit(fs, rootPath, "materialize",
-        addEntries, ext.map(_.path).toSet,
-        operation = Some(s"MATERIALIZE ${ext.size} external file(s)"))
+      // READ BASE: materialization is a pure move of the external entries'
+      // live rows — a winner since the consumed snapshot that touched one
+      // (DV DELETE, CoW rewrite) conflicts loudly (the localized copy
+      // would undo it); add-only winners rebase
+      PjCompaction.testHookBeforeCommit()
+      val v =
+        try PjCommitLog.commit(fs, rootPath, "materialize",
+          addEntries, ext.map(_.path).toSet,
+          operation = Some(s"MATERIALIZE ${ext.size} external file(s)"),
+          readVersion = Some(snap.version), maintenance = true)
+        catch {
+          case e: PJException =>
+            newRels.foreach { rel =>
+              val p = new Path(rootPath, rel)
+              fs.delete(p, false)
+              val sc = PjParquetTable.hiddenSidecar(p)
+              if (fs.exists(sc)) fs.delete(sc, false)
+            }
+            throw e
+        }
       PjParquetTable.clearLayoutCache()
       MaterializeReport(ext.size.toLong, extBytes, newRels.size.toLong, v)
     } finally {

@@ -504,7 +504,19 @@ object PjCommitLog {
       propertiesJson: Option[String] = None,
       tableStatsJson: Option[String] = None,
       exclusive: Boolean = false,
-      preservedRows: Boolean = false): Long = {
+      preservedRows: Boolean = false,
+      /** MAINTENANCE (pure-move) conflict mode: this commit only MOVES
+        * rows (compaction, OPTIMIZE ZORDER, clone materialization) — it
+        * consumed the files in `remove` from the snapshot at `readVersion`
+        * and rewrote their bytes unchanged. It conflicts iff any winner
+        * since that base RETIRED or RE-ADDED (DV/entry change) a consumed
+        * file — that winner's row changes would be silently undone by the
+        * rewrite (a DV DELETE's rows would resurrect; a CoW rewrite's rows
+        * would double). Winners that only ADDED files are compatible with
+        * a pure move and REBASE, so auto-compaction never livelocks a busy
+        * append stream.
+        */
+      maintenance: Boolean = false): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -537,14 +549,29 @@ object PjCommitLog {
       if (exclusive && readVersion.exists(rv => prev.map(_.version).getOrElse(0L) > rv))
         throw new PJException(
           s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
-            "(concurrent writer); this commit allocated identity values from " +
+            "(concurrent writer); this commit was computed exclusively from " +
             s"table state at version ${readVersion.get} and a newer commit " +
-            "exists — retry the write against the new table state")
+            "exists — retry the operation against the new table state")
+      // a MAINTENANCE (pure-move) commit with a declared read base
+      // validates consumed-file overlap against every winner since the
+      // base: a winner that retired or re-added (DV/entry change) any
+      // consumed file conflicts loudly — committing would silently undo
+      // its row changes; add-only winners rebase
+      if (maintenance && remove.nonEmpty &&
+          readVersion.exists(prev.map(_.version).getOrElse(0L) > _) &&
+          !consumedUntouched(fs, root, remove, readVersion.get))
+        throw new PJException(
+          s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
+            "(concurrent writer); a commit since this maintenance operation's " +
+            s"read base (version ${readVersion.get}) changed or retired a file " +
+            "it consumed — committing the rewrite would undo that commit's row " +
+            "changes; retry the operation against the new table state")
       // a remove-bearing commit with a declared read base validates
       // against EVERY winner since that base before claiming — including
       // winners that landed before this attempt even started (the full
       // optimistic-concurrency check, not just the same-version race)
-      if (remove.nonEmpty && readVersion.exists(prev.map(_.version).getOrElse(0L) > _) &&
+      if (!maintenance && remove.nonEmpty &&
+          readVersion.exists(prev.map(_.version).getOrElse(0L) > _) &&
           !disjointWinners(fs, root, remove, readVersion, readPartitions))
         throw new PJException(
           s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
@@ -598,8 +625,10 @@ object PjCommitLog {
       attempt += 1
       // a remove-bearing loser WITHOUT a read base has nothing to validate
       // a rebase against — conflict loudly (the historical behavior);
-      // with one, the loop re-validates at the top before retrying
-      if (remove.nonEmpty && (readVersion.isEmpty || readPartitions.isEmpty))
+      // with one (DML's partition read set, or maintenance's consumed
+      // set), the loop re-validates at the top before retrying
+      if (remove.nonEmpty &&
+          (readVersion.isEmpty || (!maintenance && readPartitions.isEmpty)))
         throw new PJException(
           s"pjparquet: commit-log version conflict at ${commitFile(root, v)} " +
             "(concurrent writer); commits that replace or retire files cannot " +
@@ -650,6 +679,31 @@ object PjCommitLog {
       case _ => false
     }
   }
+
+  /** Can a MAINTENANCE (pure-move) loser rebase over everything committed
+    * since its declared read base? True iff every winner since `base`:
+    *
+    *  - is a delta commit (a legacy full-state winner rewrote the world);
+    *  - neither RETIRED nor RE-ADDED any file this commit consumed. A
+    *    DV DELETE re-adds the path with a new vector (retire + add of the
+    *    same path); a CoW rewrite retires it — both land in the winner's
+    *    delta and both mean the consumed bytes no longer represent the
+    *    file's live rows, so the rewrite must be recomputed.
+    *
+    * Winners that only added files never overlap a pure move: the
+    * rewrite's outputs carry exactly the consumed files' rows, and the
+    * winner's files stay live untouched.
+    */
+  private def consumedUntouched(
+      fs: FileSystem, root: Path, remove: Set[String], base: Long): Boolean =
+    versions(fs, root).filter(_ > base).forall { w =>
+      val d =
+        try delta(fs, root, w)
+        catch { case _: PJException => return false }
+      !d.legacyFull &&
+        d.remove.forall(!remove.contains(_)) &&
+        d.add.forall(e => !remove.contains(e.path))
+    }
 
   /** Raw partition values of a table-relative path, in path order — the
     * same decode [[PjParquetDataSource]]'s resolver applies to snapshot

@@ -36,6 +36,28 @@ import graft.core.PJException
   */
 object PjCompaction {
 
+  /** Test-only seam between the rewrite's publish and its commit — the
+    * maintenance-concurrency torture specs inject a racing DML/append in
+    * exactly the window the read-base validation protects. Production
+    * never replaces it.
+    */
+  private[sources] var testHookBeforeCommit: () => Unit = () => ()
+
+  /** Drop published-but-uncommitted rewrite outputs (and their sidecars):
+    * a maintenance commit that lost its conflict validation must not
+    * leave orphan data files accumulating under the table — at 100 TB a
+    * busy table's auto-compaction retries would otherwise shed orphans
+    * every race.
+    */
+  private def unpublish(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      rels: Seq[String]): Unit = rels.foreach { rel =>
+    val p = new Path(rootPath, rel)
+    fs.delete(p, false)
+    val sidecar = PjParquetTable.hiddenSidecar(p)
+    if (fs.exists(sidecar)) fs.delete(sidecar, false)
+    fs.delete(PjBloom.bloomSidecar(p), false)
+  }
+
   /** What the pass did, for observability and assertions. */
   final case class Report(
       filesBefore: Long,
@@ -462,9 +484,19 @@ object PjCompaction {
             .exists(_.rowTracked)
         }
         prevSnap match {
-          case Some(_) =>
-            PjCommitLog.commit(fs, rootPath, "compact", addEntries, consumedRel,
+          case Some(s) =>
+            // READ BASE: the consumed snapshot's version — the commit
+            // validates that no winner since then retired or re-added a
+            // consumed file (a racing DV DELETE or CoW rewrite would be
+            // silently undone by this rewrite); add-only winners rebase
+            testHookBeforeCommit()
+            try PjCommitLog.commit(fs, rootPath, "compact", addEntries, consumedRel,
+              readVersion = Some(s.version), maintenance = true,
               preservedRows = preserved)
+            catch {
+              case e: PJException =>
+                unpublish(fs, rootPath, newRels.toSeq); throw e
+            }
           case None =>
             // first logged commit: adopt the untouched survivors
             val adopted = all.filterNot(f => consumed.contains(f))
@@ -628,9 +660,18 @@ object PjCompaction {
         val preserved = materializeIds && candidates.nonEmpty &&
           candidates.forall(f => entryByRel.get(
             PjCommitLog.relativize(fs, rootPath, new Path(f.path))).exists(_.rowTracked))
-        if (prevSnap.isDefined)
-          PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, consumedRel,
+        if (prevSnap.isDefined) {
+          // same read-base discipline as compact(): conflict iff a winner
+          // since the consumed snapshot touched a consumed file
+          testHookBeforeCommit()
+          try PjCommitLog.commit(fs, rootPath, "optimize-zorder", addEntries, consumedRel,
+            readVersion = prevSnap.map(_.version), maintenance = true,
             preservedRows = preserved)
+          catch {
+            case e: PJException =>
+              unpublish(fs, rootPath, newRels.toSeq); throw e
+          }
+        }
         else {
           // first logged commit: adopt the out-of-scope survivors so a
           // scoped rewrite never drops them from the snapshot

@@ -67,8 +67,15 @@ object PjRestore {
     if (removed.isEmpty && added.isEmpty && !schemaChanged && !constraintsChanged &&
         !propertiesChanged && !statsChanged)
       return RestoreReport(version, None, 0L, 0L)
+    // EXCLUSIVE against the read head: the restore's delta was computed
+    // against `head` — a writer landing in between would have its files
+    // silently dropped from the restored state (absent from both
+    // `removed` and `added`). Any winner since the head conflicts loudly;
+    // the caller re-reads and retries.
+    PjCompaction.testHookBeforeCommit()
     val v = PjCommitLog.commit(
       fs, rootPath, "restore", added, removed,
+      readVersion = Some(head.version), exclusive = true,
       dataSchemaJson = target.dataSchemaJson,
       operation = Some(s"RESTORE VERSION AS OF $version"),
       // constraints, properties and ANALYZE stats roll back too;

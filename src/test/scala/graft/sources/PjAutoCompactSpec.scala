@@ -51,6 +51,47 @@ class PjAutoCompactSpec extends AnyFunSuite {
     assert(spark.table(s"pjac.`$t`").agg(sum($"v")).head().getLong(0) == 210L)
   }
 
+  test("racing appenders + concurrent DV DELETE: every append lands, the delete is never undone") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_autoc_race")
+    java.nio.file.Files.delete(dir)
+    val t = dir.toString
+    spark.conf.set("spark.sql.catalog.pjac", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjac.`$t` (id BIGINT, v BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.autoCompact.enabled'='true', 'pj.autoCompact.minFiles'='3')")
+    // seed rows the DELETE will target, before the race starts
+    append(t, 1); append(t, 2); append(t, 3)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(ids: Seq[Long]): Thread = {
+      val th = new Thread(() =>
+        try ids.foreach(append(t, _))
+        catch { case e: Throwable => failures.add(e) })
+      th.start(); th
+    }
+    // two racing appenders, each arming auto-compaction on its own commits
+    val a = appender(10L to 15L)
+    val b = appender(20L to 25L)
+    // a concurrent DV DELETE: retries on optimistic-concurrency conflicts
+    // (busy unpartitioned table), but once landed it must STAY landed —
+    // no auto-compaction racing it may resurrect the row
+    var deleted = false
+    var tries = 0
+    while (!deleted && tries < 200) {
+      tries += 1
+      try { spark.sql(s"DELETE FROM pjac.`$t` WHERE id = 2"); deleted = true }
+      catch {
+        case e: Exception if Option(e.getMessage).exists(_.contains("version conflict")) =>
+          Thread.sleep(5)
+      }
+    }
+    a.join(120000); b.join(120000)
+    assert(failures.isEmpty, s"an append failed: ${failures.peek()}")
+    assert(deleted, "the DELETE never landed")
+    val rows = spark.table(s"pjac.`$t`").select("id").collect().map(_.getLong(0)).sorted
+    val expected = (Seq(1L, 3L) ++ (10L to 15L) ++ (20L to 25L)).sorted
+    assert(rows.toSeq == expected,
+      s"every append lands exactly once and the deleted row stays deleted: ${rows.toSeq}")
+  }
+
   test("without the property (or after UNSET) appends never self-compact") {
     val dir = java.nio.file.Files.createTempDirectory("pj_autoc_off")
     java.nio.file.Files.delete(dir)
