@@ -196,6 +196,13 @@ class PjMicroBatchStream(
           seen ++= readLog(LegacySeedEntry)
           legacySeeded = true
         }
+        // suppressed-file entries ([[latestOffset]]): paths whose rows were
+        // already delivered through their retired sources — replayed as
+        // delivered (idempotent union; entries folded into a snapshot are
+        // deleted at compaction) so a restart keeps delivered-counts
+        // correct TRANSITIVELY: a later rewrite consuming a suppressed
+        // file must see its source as delivered, not as a fresh start
+        names.filter(_.startsWith("sup-")).foreach(n => seen ++= readLog(n))
       }
     }
     replayed = true
@@ -215,7 +222,11 @@ class PjMicroBatchStream(
       val snapBody = n.stripPrefix("seen-")
       val dropSnap = n.startsWith("seen-") &&
         snapBody.nonEmpty && snapBody.forall(_.isDigit) && snapBody.toLong < id
-      if (dropNumeric || dropSnap || n == LegacySeedEntry) fs.delete(s.getPath, false)
+      // suppressed-file entries fold into the snapshot just written (seen
+      // already contains them when maybeCompact is called)
+      val dropSup = n.startsWith("sup-")
+      if (dropNumeric || dropSnap || dropSup || n == LegacySeedEntry)
+        fs.delete(s.getPath, false)
     }
   }
 
@@ -421,9 +432,28 @@ class PjMicroBatchStream(
     // version the listing's snapshot saw, so a commit racing this poll
     // can never deliver its files unclassified
     refreshAddClasses()
+    // files admit() SUPPRESSES (pure-move outputs, change-commit outputs
+    // under skipChangeCommits) are DELIVERED-BY-PROXY: their rows reached
+    // the sink through their retired sources. Mark them seen AND persist
+    // them (own log entry, never part of a batch union) so a LATER rewrite
+    // consuming a suppressed file computes delivered=all — suppression
+    // transitively, not a "fresh start" that re-delivers the rows — and so
+    // a restart replays the same knowledge
+    val suppressed = mutable.ArrayBuffer.empty[String]
     val pending = listed.toSeq
-      .filter { case (p, _) => !seen.contains(p) && inSnapshot(p) && admit(p) }
+      .filter { case (p, _) =>
+        !seen.contains(p) && inSnapshot(p) && {
+          val a = admit(p)
+          if (!a) suppressed += p
+          a
+        }
+      }
       .sortBy { case (p, m) => (m, p) }
+    if (suppressed.nonEmpty) {
+      writeLog(s"sup-${java.util.UUID.randomUUID().toString.take(12)}",
+        suppressed.toSeq.sorted)
+      seen ++= suppressed
+    }
     if (pending.isEmpty) return start
     val cap = limit match {
       case f: ReadMaxFiles => f.maxFiles()

@@ -55,6 +55,68 @@ class PjStreamChangeCommitSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TRANSITIVE suppression: a rewrite consuming a suppressed file never re-delivers") {
+    val t = freshTable("trans")
+    append(t, 0 until 10); append(t, 10 until 20)
+    val q = spark.readStream.format("pjparquet").load(t)
+      .writeStream.format("memory").queryName("pj_scc_trans")
+      .option("checkpointLocation", mkdir("pj_scc_ck5")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("pj_scc_trans").count() == 20)
+      // rewrite 1: compact f1,f2 -> f3 (pure move; f3 suppressed)
+      spark.sql(s"CALL pjscc.system.compact('$t')")
+      q.processAllAvailable()
+      assert(spark.table("pj_scc_trans").count() == 20)
+      // rewrite 2 consumes the SUPPRESSED file: zorder f3 -> f4. f3 was
+      // never part of a delivered batch — only the suppressed-paths log
+      // knows its rows already reached the sink; without it f4 would
+      // classify as a fresh start and double every row
+      graft.sources.pjparquet.PjCompaction.optimize(spark, t, Seq("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("pj_scc_trans").count() == 20,
+        "a rewrite of a suppressed file must stay suppressed, not re-deliver")
+      append(t, 20 until 25)
+      q.processAllAvailable()
+      assert(spark.table("pj_scc_trans").count() == 25)
+      assert(spark.table("pj_scc_trans").groupBy($"id").count()
+        .filter($"count" > 1).count() == 0)
+    } finally q.stop()
+  }
+
+  test("suppression survives a RESTART: replay rebuilds delivered-by-proxy knowledge") {
+    val t = freshTable("restart")
+    append(t, 0 until 10); append(t, 10 until 20)
+    val ck = mkdir("pj_scc_ck6")
+    val out = java.nio.file.Files.createTempDirectory("pj_scc_out6").toString
+    // memory sinks can't recover a checkpoint; the restart is the point
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("pjparquet").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 20)
+    // rewrite 1 between runs: this run's poll suppresses AND persists
+    spark.sql(s"CALL pjscc.system.compact('$t')")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 20)
+    // rewrite 2 between runs consumes the SUPPRESSED file — the restart
+    // must replay it as delivered, or the rows double here
+    graft.sources.pjparquet.PjCompaction.optimize(spark, t, Seq("id", "v"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 20,
+      "restart must replay suppressed paths as delivered — zero re-delivery")
+    append(t, 20 until 30)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 30)
+    assert(spark.read.parquet(out).groupBy($"id").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
   test("fresh stream over an already-compacted/updated table delivers current state") {
     val t = freshTable("fresh")
     append(t, 0 until 10); append(t, 10 until 20)
