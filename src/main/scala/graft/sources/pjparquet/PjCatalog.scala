@@ -607,8 +607,16 @@ class PjCatalog extends CatalogPlugin with TableCatalog
               "and DROP COLUMN)")
       }
     }
+    // EXCLUSIVE against the probed snapshot: data-dependent validations
+    // above (SET NOT NULL's null probe, the generated-column and
+    // physical-name guards) read table state at `snap.version` — a writer
+    // landing between the probe and this commit could insert rows the
+    // validation never saw (NULLs under a fresh NOT NULL), silently
+    // breaking the contract readers then trust. Any winner conflicts
+    // loudly; the user retries the DDL against the new state.
     PjCommitLog.commit(fs, rootPath, "alter-schema", Nil, Set.empty,
-      Some(next.json), Some("alter"))
+      Some(next.json), Some("alter"),
+      readVersion = Some(snap.version), exclusive = true)
     loadTable(ident)
   }
 

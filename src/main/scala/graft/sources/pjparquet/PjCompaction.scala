@@ -149,15 +149,20 @@ object PjCompaction {
         */
       rowIdBases: Option[Map[String, Long]] = None,
       /** EXISTENCE defaults (physical name → frozen ADD-time default):
-        * a generation group whose files ALL predate an ADD COLUMN ...
-        * DEFAULT carries no trace of the column — neither bytes nor
-        * footer metadata — so the union's null-fill would rewrite the
-        * promised default into stored NULLs. Fill the default per group
-        * BEFORE the union instead (groups where at least one file
-        * carries the column use the stock reader's existence-default
-        * lane via mergeSchema, which this fill deliberately skips).
+        * files that predate an ADD COLUMN ... DEFAULT carry no trace of
+        * the column, so the union's null-fill would rewrite the promised
+        * default into stored NULLs. Groups sub-split by physical presence
+        * (below) so the fill applies exactly to the pre-add sub-groups —
+        * never relying on footer-carried default metadata, which files
+        * written by earlier rewrites (or foreign writers) don't have.
         */
-      existenceFill: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      existenceFill: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      /** Recorded physical column names per file path (snapshot entry
+        * facts) — what the presence sub-grouping keys on. Files with no
+        * recorded cols (legacy adoption entries) isolate per-path, so
+        * presence stays uniform within every sub-group.
+        */
+      colsOfPath: Map[String, Option[Seq[String]]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     def keySeq(f: DataFile): Seq[String] = {
       val rel = PjCommitLog.relativize(fs, rootPath, new Path(f.path))
@@ -167,10 +172,28 @@ object PjCompaction {
           case _ => None
         }).toSeq
     }
+    // EXISTENCE-fill sub-grouping: one partition-key group may mix
+    // pre-add and post-add files (the common case on an unpartitioned
+    // table, and across partitions of one spec). A merged read would
+    // null-fill the missing column for the pre-add files whenever no
+    // footer in the group carries Spark's default metadata — rewrites
+    // strip field metadata from their outputs, so relying on it rots.
+    // Sub-group by recorded physical presence instead: presence is then
+    // uniform per sub-group and the fill below is exact.
+    def fillKey(f: DataFile): Seq[String] =
+      if (existenceFill.isEmpty) Nil
+      else colsOfPath.getOrElse(f.path, None) match {
+        case Some(cs) => existenceFill.map { case (phys, _) =>
+          if (cs.exists(_.equalsIgnoreCase(phys))) "1" else "0"
+        }
+        case None => Seq(f.path) // unknown cols: its own sub-group
+      }
     // the DV filter and row-id derivation read `_metadata` columns, which
     // do not survive a Union — apply both per generation group BEFORE
     // unioning
-    files.groupBy(keySeq).toSeq.sortBy(_._1.mkString("/")).map { case (_, grp) =>
+    files.groupBy(f => (keySeq(f), fillKey(f))).toSeq
+      .sortBy { case ((ks, fk), _) => (ks.mkString("/"), fk.mkString(",")) }
+      .map { case (_, grp) =>
       val r = spark.read.option("basePath", rootUri)
       val raw0 = (if (mergeSchema) r.option("mergeSchema", "true") else r)
         .parquet(grp.map(_.path): _*)
@@ -368,7 +391,9 @@ object PjCompaction {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val rawGen = readGenerations(spark, hconf, fs, rootPath, rootUri, consumed,
       dvByRel, mergeSchema = true, rowIdBases,
-      existenceFill = existenceFills(recordedPre))
+      existenceFill = existenceFills(recordedPre),
+      colsOfPath = consumed.map(f => f.path -> entryByRel.get(
+        PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap)
     // a generation that predates an ADDED partition column may be the only
     // one consumed — surface the column as typed nulls so the select below
     // and partitionBy still resolve
@@ -605,7 +630,9 @@ object PjCompaction {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]))
     val df = readGenerations(spark, hconf, fs, rootPath, rootUri, candidates,
-      dvByRel, mergeSchema = materializeIds, rowIdBases, existenceFill = fills)
+      dvByRel, mergeSchema = materializeIds, rowIdBases, existenceFill = fills,
+      colsOfPath = candidates.map(f => f.path -> entryByRel.get(
+        PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap)
     val dataCols = spark.read.parquet(candidates.head.path).columns.toSeq
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
     val partCols = df.columns.filterNot(dataCols.contains)

@@ -409,6 +409,16 @@ object PjProcedures {
             val colName = input.getUTF8String(1).toString
             val root = new org.apache.hadoop.fs.Path(path)
             val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            // probe-and-commit retries as ONE serialized unit: the commit
+            // is EXCLUSIVE against the probed snapshot, so a concurrent
+            // append inserting NULLs between the probe and the tighten
+            // conflicts — and this loop simply re-probes the new state
+            // instead of surfacing the race to the caller
+            var changed = false
+            var committed = false
+            var attempt = 0
+            while (!committed) {
+            attempt += 1
             val snap = PjCommitLog.latest(fs, root).getOrElse(throw new PJException(
               s"pjparquet: '$path' has no commit log"))
             val cur = snap.dataSchemaJson.map(j =>
@@ -419,7 +429,8 @@ object PjProcedures {
             val i = cur.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
             if (i < 0) throw new PJException(
               s"pjparquet: no data column '$colName' in '$path'")
-            val changed = cur.fields(i).nullable
+            changed = cur.fields(i).nullable
+            committed = true
             if (changed) {
               // a live file that physically LACKS the column (pre-ADD
               // generations) serves the existence default / null at read
@@ -447,9 +458,16 @@ object PjProcedures {
                   s"$colName IS NULL) and retry")
               val next = org.apache.spark.sql.types.StructType(
                 cur.fields.updated(i, cur.fields(i).copy(nullable = false)))
-              PjCommitLog.commit(fs, root, "alter-schema", Nil, Set.empty,
-                Some(next.json), Some("alter"))
+              try PjCommitLog.commit(fs, root, "alter-schema", Nil, Set.empty,
+                Some(next.json), Some("alter"),
+                readVersion = Some(snap.version), exclusive = true)
+              catch {
+                case e: PJException
+                    if e.getMessage.contains("version conflict") && attempt < 10 =>
+                  committed = false // a writer raced the probe: re-probe
+              }
             }
+            } // retry loop
             Seq(new GenericInternalRow(Array[Any](utf8(colName), changed)))
           })
       case "history" =>

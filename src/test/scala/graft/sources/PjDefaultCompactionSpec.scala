@@ -43,6 +43,42 @@ class PjDefaultCompactionSpec extends AnyFunSuite {
       s"compaction must preserve existence-default semantics: $before -> $after")
   }
 
+  test("MIXED group with a metadata-less carrier: presence sub-grouping keeps the default") {
+    // the footer-metadata lane is not a contract: files written by
+    // DataFrame appends or earlier rewrites carry the column physically
+    // but WITHOUT Spark's EXISTS_DEFAULT field metadata in the footer.
+    // A merged read over {pre-add file, metadata-less carrier} then
+    // null-fills the pre-add rows — the rewrite must sub-group by
+    // recorded physical presence and fill the frozen default itself.
+    val dir = java.nio.file.Files.createTempDirectory("pj_def_compact3").toString
+    Seq((1L, 10L)).toDF("id", "x").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir) // pre-add file
+    spark.conf.set("spark.sql.catalog.pjdefc", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"ALTER TABLE pjdefc.`$dir` ADD COLUMN bonus BIGINT DEFAULT 7")
+    // DataFrame appends: bonus rides the dataframe schema, which carries
+    // no default metadata into the footer
+    Seq((2L, 20L, 22L), (3L, 30L, 33L)).toDF("id", "x", "bonus").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    def bonuses: Map[Long, Option[Long]] =
+      spark.read.format("pjparquet").load(dir).select($"id", $"bonus").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expect = Map(1L -> Some(7L), 2L -> Some(22L), 3L -> Some(33L))
+    assert(bonuses == expect, s"pre-compaction: $bonuses")
+    graft.sources.pjparquet.PjCompaction.compact(
+      spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(bonuses == expect,
+      s"mixed-group compaction flipped the existence default: $bonuses")
+    // OPTIMIZE ZORDER takes the same read path over every file
+    Seq((4L, 40L, 44L)).toDF("id", "x", "bonus").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    graft.sources.pjparquet.PjCompaction.optimize(spark, dir, Seq("id", "x"))
+    assert(bonuses == expect + (4L -> Some(44L)),
+      s"mixed-group optimize flipped the existence default: $bonuses")
+  }
+
   test("compaction of ONLY pre-add files materializes the default, not NULL") {
     // the hole the mergeSchema mechanism can't cover: when EVERY consumed
     // file predates the ADD, no footer carries the default metadata — the
