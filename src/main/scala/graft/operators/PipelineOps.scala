@@ -305,17 +305,18 @@ object PipelineOps {
     * every line was a repeat disappear from the output (they carry no
     * novel text).
     *
-    * Scale shape: two linear shuffles, no broadcast, no driver
-    * materialization. The canonical occurrence per line is a
-    * `groupBy(line).agg(min(struct(id, pos)))` — partial aggregation
-    * collapses each map partition's copies of a hot boilerplate line
-    * before the exchange, so a line repeated 10^9 times ships once per
-    * input partition (a `row_number() OVER (PARTITION BY line)` window
-    * would funnel all 10^9 copies through one task). The join back is a
-    * plain equi-join on the line; AQE's skew split handles hot keys.
-    * Grouping is by the line TEXT, not a 64-bit hash — at 10^10+ distinct
-    * lines birthday collisions on xxhash64 become plausible and a
-    * collision here silently deletes innocent text.
+    * Scale shape: SLIM-KEY exchanges — the raw line text never crosses a
+    * shuffle ([[PlanHygieneSpec]] pins it). Each occurrence maps to a
+    * 32-byte `sha2(line, 256)` digest (collision-safe at any corpus size,
+    * unlike a 64-bit hash whose birthday collisions at 10^10+ distinct
+    * lines would silently delete innocent text); the canonical occurrence
+    * per digest is a map-side-combined `min(struct(id, pos))` — a line
+    * repeated 10^9 times ships one digest per input partition — and the
+    * survivor positions fold to one slim `(id, sorted positions)` row per
+    * document. Reassembly is ONE id equi-join back to the docs table (the
+    * q59 payload-fetch shape) plus per-row `element_at` arithmetic: the
+    * exchanges carry digests and integers, the document bytes ride only
+    * the final join.
     */
   /** Boilerplate-LINE removal — the frequency-mode counterpart of
     * [[lineDedup]]: every non-blank line whose DISTINCT-DOCUMENT
@@ -325,10 +326,12 @@ object PipelineOps {
     * Rarer repeated lines (quotes, shared paragraphs) survive everywhere
     * — dedup them with [[lineDedup]]'s keep-first pass afterwards.
     *
-    * Scale shape: same as [[lineDedup]] — the frequency count is a
-    * map-side-combined `count(distinct doc)` per line (exchange carries
-    * one (line, id) pair per distinct pair), the removal a left-anti
-    * equi-join on the line; documents losing every line disappear.
+    * Scale shape: same slim-key discipline as [[lineDedup]] — the
+    * frequency count is a map-side-combined `count(distinct doc)` per
+    * 32-byte line digest (exchange carries one (digest, id) pair per
+    * distinct pair), the removal a left-anti equi-join on the digest;
+    * reassembly is the same one-id-equi-join payload fetch. Documents
+    * losing every line disappear.
     */
   def dropBoilerplateLines(
       docs: DataFrame,
@@ -336,40 +339,56 @@ object PipelineOps {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .filter(trim(col("line")) =!= "")
-    val hot = lines.select(col("line"), col(idCol)).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("_df"))
+    val slim = slimLines(docs, textCol, idCol)
+    val hot = slim.select(col("_d"), col(idCol)).distinct()
+      .groupBy(col("_d")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= maxDf)
-      .select(col("line"))
-    lines.join(hot, Seq("line"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("kept_lines"),
-        concat_ws("\n", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line"))).as(textCol))
+      .select(col("_d"))
+    reassemble(docs, textCol, idCol,
+      slim.join(hot, Seq("_d"), "left_anti")
+        .groupBy(col(idCol))
+        .agg(array_sort(collect_list(col("pos"))).as("_keep")))
   }
 
   def lineDedup(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val lines = docs
+    val slim = slimLines(docs, textCol, idCol)
+    val first = slim.groupBy(col("_d"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    reassemble(docs, textCol, idCol,
+      slim.join(first, "_d")
+        .filter(col("_first") === struct(col(idCol), col("pos")))
+        .groupBy(col(idCol))
+        .agg(array_sort(collect_list(col("pos"))).as("_keep")))
+  }
+
+  /** One slim row per non-blank line occurrence: 32-byte content digest,
+    * document id, 0-based line position. Everything the line-dedup family
+    * shuffles — the text itself stays in the source partitions.
+    */
+  private def slimLines(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .filter(trim(col("line")) =!= "")
-    val first = lines.groupBy(col("line"))
-      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
-    lines.join(first, "line")
-      .filter(col("_first") === struct(col(idCol), col("pos")))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("kept_lines"),
-        concat_ws("\n", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line"))).as(textCol))
-  }
+      .select(sha2(col("line"), 256).as("_d"), col(idCol), col("pos"))
+
+  /** Rebuild surviving documents from per-doc kept line positions
+    * (`_keep`, sorted ascending): ONE id equi-join fetches each document's
+    * bytes, then pure per-row arithmetic re-slices them — no text in any
+    * aggregate exchange. Documents with no kept row vanish (inner join),
+    * matching the "all lines were repeats" contract.
+    */
+  private def reassemble(
+      docs: DataFrame, textCol: String, idCol: String,
+      keep: DataFrame): DataFrame =
+    docs.join(keep, Seq(idCol))
+      .select(
+        col(idCol),
+        size(col("_keep")).cast("long").as("kept_lines"),
+        concat_ws("\n", transform(col("_keep"),
+          p => element_at(split(col(textCol), "\n"), p + 1))).as(textCol))
 
   /** GPT-style sequence packing: concatenate documents in a deterministic
     * order (`idCol` ascending) within each shard and slice the token stream

@@ -87,6 +87,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("line-dedup family: no exchange carries the raw line column (slim digests only)") {
+    // lineDedup / dropBoilerplateLines shuffle 32-byte sha2 digests and
+    // (id, pos) integers; the exploded line text must stay in the source
+    // partitions (exchange bytes ~ corpus bytes otherwise). Document
+    // bytes ride only the final id equi-join payload fetch.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("q160_line_dedup", "q163_boilerplate_lines")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val offenders = plan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name.equalsIgnoreCase("line")) => e
+      }
+      assert(offenders.isEmpty,
+        s"$q ships the raw line column through an exchange:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("lshAnnPairs normalizes each input exactly once (persisted slim projection)") {
     import org.apache.spark.sql.catalyst.expressions.Sqrt
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
