@@ -14,12 +14,73 @@ import org.apache.spark.sql.SparkSession
   *    [[PjCompaction]] pass and `_temporary` from a dead Spark write
   *    commit are invisible to readers but accumulate full-size data.
   *
-  * Everything is driver-side listing + deletes (metadata-rate work, no
-  * data is read); the one recursive listing is the same bounded shape as
-  * [[PjIndexJob.generateAll]]. Never touches live data files, live
-  * sidecars, or directories it does not recognize.
+  * Deletes stay driver-side (metadata-rate), but the recursive LISTING
+  * distributes: at millions of objects on an object store a sequential
+  * `fs.listFiles(root, true)` walk is hours of driver metadata calls, so
+  * the walk runs as a directory-frontier BFS whose wide waves list on
+  * executors ([[bfsList]] — Delta's VACUUM does the same). Never touches
+  * live data files, live sidecars, or directories it does not recognize.
   */
 object PjVacuum {
+
+  /** One listed entry of the recursive walk (directories never appear —
+    * the walk descends into them instead).
+    */
+  private final case class FileLite(path: String, len: Long, mtime: Long)
+
+  /** Frontier width at/above which a BFS wave lists on executors. Below
+    * it the driver lists directly — small tables never pay job-launch
+    * latency.
+    */
+  private[sources] val ParallelListMinDirs = 8
+
+  /** Observability/spec counter: BFS waves that ran as Spark jobs. */
+  private[sources] val distributedWaves = new java.util.concurrent.atomic.AtomicLong
+
+  /** Executor-parallel recursive listing: BFS over the directory tree in
+    * waves — each wave lists the whole current frontier in ONE Spark job
+    * (one task per directory slice), so wall-clock tracks tree DEPTH while
+    * the per-wave metadata calls spread across the cluster. Work dirs
+    * (`.compact_tmp_*`, `_temporary` — abandoned rewrite scratch) are
+    * returned separately and never entered: their contents are invisible
+    * to readers and die with the directory.
+    */
+  private def bfsList(
+      spark: SparkSession, hconf: org.apache.hadoop.conf.Configuration,
+      root: Path): (Seq[FileLite], Seq[String]) = {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    def listOne(dirStr: String): (Seq[FileLite], Seq[String], Seq[String]) = {
+      val d = new Path(dirStr)
+      val dfs = d.getFileSystem(serConf.value)
+      val files = Seq.newBuilder[FileLite]
+      val dirs = Seq.newBuilder[String]
+      val work = Seq.newBuilder[String]
+      dfs.listStatus(d).foreach { s =>
+        if (s.isDirectory) {
+          val n = s.getPath.getName
+          if (n.startsWith(".compact_tmp_") || n == "_temporary")
+            work += s.getPath.toString
+          else dirs += s.getPath.toString
+        } else files += FileLite(s.getPath.toString, s.getLen, s.getModificationTime)
+      }
+      (files.result(), dirs.result(), work.result())
+    }
+    var frontier = Seq(root.toString)
+    val files = Seq.newBuilder[FileLite]
+    val work = Seq.newBuilder[String]
+    while (frontier.nonEmpty) {
+      val wave: Seq[(Seq[FileLite], Seq[String], Seq[String])] =
+        if (frontier.size >= ParallelListMinDirs) {
+          distributedWaves.incrementAndGet()
+          spark.sparkContext
+            .parallelize(frontier, math.min(frontier.size, 512))
+            .map(listOne).collect().toSeq
+        } else frontier.map(listOne)
+      frontier = wave.flatMap(_._2)
+      wave.foreach { case (f, _, w) => files ++= f; work ++= w }
+    }
+    (files.result(), work.result())
+  }
 
   final case class Report(orphanSidecars: Long, workDirs: Long)
 
@@ -29,41 +90,27 @@ object PjVacuum {
     val fs = rootPath.getFileSystem(hconf)
 
     var orphans = 0L
-    var workDirs = 0L
 
-    // one pass for abandoned work dirs (they hide their contents from the
-    // recursive file listing below, so walk directories explicitly)
-    def walkDirs(p: Path): Unit = {
-      val statuses = fs.listStatus(p)
-      statuses.foreach { s =>
-        if (s.isDirectory) {
-          val n = s.getPath.getName
-          if (n.startsWith(".compact_tmp_") || n == "_temporary") {
-            fs.delete(s.getPath, true)
-            workDirs += 1
-          } else walkDirs(s.getPath)
-        }
-      }
-    }
-    walkDirs(rootPath)
+    // ONE distributed walk serves both passes: abandoned work dirs come
+    // back unenterred (delete whole), and the file list feeds the orphan-
+    // sidecar match below
+    val (files, workList) = bfsList(spark, hconf, rootPath)
+    workList.foreach(w => fs.delete(new Path(w), true))
+    val workDirs = workList.size.toLong
 
-    // one pass for orphan sidecars: hidden `.x.parquet.index` (and
-    // `.x.parquet.bloom`, PjBloom) files whose data file no longer exists
-    // in the same directory
-    val it = fs.listFiles(rootPath, true)
+    // orphan sidecars: hidden `.x.parquet.index` (and `.x.parquet.bloom`,
+    // PjBloom) files whose data file no longer exists in the same directory
     val sidecars = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
     val dataFiles = scala.collection.mutable.HashSet.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (s.isFile) {
-        if (n.startsWith(".") && n.endsWith(".parquet.index"))
-          sidecars += ((s.getPath, ".index"))
-        else if (n.startsWith(".") && n.endsWith(".parquet.bloom"))
-          sidecars += ((s.getPath, ".bloom"))
-        else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
-          dataFiles += s.getPath.toString
-      }
+    files.foreach { f =>
+      val p = new Path(f.path)
+      val n = p.getName
+      if (n.startsWith(".") && n.endsWith(".parquet.index"))
+        sidecars += ((p, ".index"))
+      else if (n.startsWith(".") && n.endsWith(".parquet.bloom"))
+        sidecars += ((p, ".bloom"))
+      else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+        dataFiles += p.toString
     }
     sidecars.foreach { case (sc, suffix) =>
       // `.NAME.parquet<suffix>` -> sibling `NAME.parquet`
@@ -106,7 +153,7 @@ object PjVacuum {
     requireLogged(fs, rootPath, root)
     val versions = PjCommitLog.versions(fs, rootPath)
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    expire(fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
+    expire(spark, fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
   }
 
   /** Time-based retention — the operational contract users actually
@@ -129,7 +176,7 @@ object PjVacuum {
     val oldestKept = PjCommitLog.history(fs, rootPath)
       .find(_.ts >= cut).map(_.version).getOrElse(versions.last)
     val (drop, keep) = versions.partition(_ < oldestKept)
-    expire(fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
+    expire(spark, fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
   }
 
   private def requireLogged(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path, root: String): Unit =
@@ -138,6 +185,7 @@ object PjVacuum {
         s"pjparquet: '$root' has no commit log; expireVersions applies to logged tables")
 
   private def expire(
+      spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
       drop: Seq[Long], keep: Seq[Long], minFileAgeMillis: Long,
       dryRun: Boolean = false): ExpireReport = {
@@ -159,18 +207,19 @@ object PjVacuum {
 
     val cutoff = System.currentTimeMillis() - minFileAgeMillis
     var reclaimed = 0L
-    val it = fs.listFiles(rootPath, true)
+    // distributed recursive walk (bfsList): the orphan sweep's listing
+    // cost spreads across executors instead of serializing on the driver
     val victims = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          (minFileAgeMillis <= 0 || s.getModificationTime <= cutoff)) {
-        val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+    bfsList(spark, spark.sessionState.newHadoopConf(), rootPath)._1.foreach { f =>
+      val p = new Path(f.path)
+      val n = p.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          (minFileAgeMillis <= 0 || f.mtime <= cutoff)) {
+        val rel = PjCommitLog.relativize(fs, rootPath, p)
         // internal dirs (_pq_index codes, _pj_cdc change files) are not
         // table data and are never snapshot-referenced — skip, not delete
         if (!PjBatchWrite.isInternalRel(rel) && !referenced.contains(rel))
-          victims += s.getPath
+          victims += p
       }
     }
     victims.foreach { p =>

@@ -44,6 +44,49 @@ class PjVacuumSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not exist") || e.getMessage.contains("version"))
   }
 
+  test("wide layouts list on executors: distributed waves fire, reports stay exact") {
+    // 200-directory synthetic layout: the frontier of partition dirs is
+    // far above ParallelListMinDirs, so both clean() and expire's orphan
+    // sweep must run their listing waves as Spark jobs — at millions of
+    // objects a sequential driver walk is hours of metadata calls
+    val dir = java.nio.file.Files.createTempDirectory("pj_vacuum_wide").toString
+    spark.conf.set("spark.sql.catalog.pjvw", "graft.sources.pjparquet.PjCatalog")
+    spark.range(0, 1000).select($"id", ($"id" % 200).cast("string").as("k"))
+      .repartition(8)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").partitionBy("k").save(dir)
+
+    // plant garbage across partitions: orphan sidecars + a dead work dir
+    for (i <- 0 until 7) {
+      val orphan = new java.io.File(s"$dir/k=$i/.gone$i.parquet.index")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1))
+    }
+    assert(new java.io.File(s"$dir/.compact_tmp_wide/k=0").mkdirs())
+
+    val wavesBefore = PjVacuum.distributedWaves.get()
+    val report = PjVacuum.clean(spark, dir)
+    assert(PjVacuum.distributedWaves.get() > wavesBefore,
+      "a 200-dir layout must list through Spark jobs, not the driver")
+    assert(report.orphanSidecars == 7, s"$report")
+    assert(report.workDirs == 1, s"$report")
+
+    // retire everything once, then expire: the reclaim sweep over the wide
+    // layout also lists distributed, and the dry run's report is identical
+    // to the wet run's (byte-identical reclaim decisions)
+    spark.range(0, 100).select($"id", ($"id" % 200).cast("string").as("k"))
+      .coalesce(1)
+      .write.format("pjparquet").mode("overwrite")
+      .option("log.enabled", "true").partitionBy("k").save(dir)
+    val w2 = PjVacuum.distributedWaves.get()
+    val dry = PjVacuum.expireVersions(spark, dir, keepVersions = 1, dryRun = true)
+    val wet = PjVacuum.expireVersions(spark, dir, keepVersions = 1)
+    assert(PjVacuum.distributedWaves.get() > w2,
+      "expire's orphan sweep must list through Spark jobs on a wide layout")
+    assert(dry == wet, s"dry=$dry wet=$wet")
+    assert(wet.filesReclaimed >= 8, s"$wet") // the 8 retired v1 files
+    assert(spark.read.format("pjparquet").load(dir).count() == 100L)
+  }
+
   test("removes orphan sidecars and abandoned work dirs, keeps live pairs") {
     val dir = java.nio.file.Files.createTempDirectory("pj_vacuum").toString
     PjWriter.writeWithIndex(
