@@ -113,7 +113,15 @@ object PjCommitLog {
         * `_pj_row_id` column (rewrites that preserve ids — see
         * [[RowIdColName]]).
         */
-      baseRowId: Long = -1L) {
+      baseRowId: Long = -1L,
+      /** CLUSTERING PROVENANCE (Delta's ZCUBE tags): the exact rewrite
+        * spec this file was clustered under (e.g.
+        * `zorder:a,b:bits=12`) — `OPTIMIZE ZORDER` under the same spec
+        * skips the file instead of re-rewriting it, so re-clustering
+        * after an append costs O(new files), not O(table). None =
+        * unclustered (fresh appends, compaction bins, CoW rewrites).
+        */
+      clusteredBy: Option[String] = None) {
     /** Plannable from the log alone (no sidecar/footer open needed). */
     def planned: Boolean = size >= 0 && rows >= 0 && rowGroups >= 0 && fingerprint.isDefined
     /** Zero-row-group parquet (legal, un-indexable, contributes no rows). */
@@ -881,7 +889,10 @@ object PjCommitLog {
       StructField("dv", StringType, nullable = true),
       StructField("dn", LongType, nullable = true),
       // row-tracking base id — nullable for the same reason
-      StructField("bi", LongType, nullable = true)))
+      StructField("bi", LongType, nullable = true),
+      // clustering provenance — nullable: pre-tag checkpoints read as
+      // unclustered entries
+      StructField("cb", StringType, nullable = true)))
   }
 
   private def entryRow(e: FileEntry): org.apache.spark.sql.Row =
@@ -895,7 +906,8 @@ object PjCommitLog {
       },
       e.dv.map(_.path).orNull,
       e.dv.map(d => java.lang.Long.valueOf(d.deleted)).orNull,
-      if (e.baseRowId >= 0) java.lang.Long.valueOf(e.baseRowId) else null)
+      if (e.baseRowId >= 0) java.lang.Long.valueOf(e.baseRowId) else null,
+      e.clusteredBy.orNull)
 
   /** Publish `df` as the checkpoint-entry dir for `v` (write-temp-then-
     * rename; losing the rename to a racer or a finished crash is fine).
@@ -1041,7 +1053,9 @@ object PjCommitLog {
         stats,
         if (row.isNullAt(8)) None
         else Some(DvRef(row.getString(8), if (row.isNullAt(9)) 0L else row.getLong(9))),
-        baseRowId = if (row.length <= 10 || row.isNullAt(10)) -1L else row.getLong(10))
+        baseRowId = if (row.length <= 10 || row.isNullAt(10)) -1L else row.getLong(10),
+        clusteredBy =
+          if (row.length <= 11 || row.isNullAt(11)) None else Some(row.getString(11)))
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
@@ -1597,6 +1611,7 @@ object PjCommitLog {
       n.put("dn", d.deleted)
     }
     if (e.baseRowId >= 0) n.put("bi", e.baseRowId)
+    e.clusteredBy.foreach(c => n.put("cb", c))
     n
   }
 
@@ -1621,7 +1636,8 @@ object PjCommitLog {
       Option(n.get("c")).map(_.elements().asScala.map(_.asText).toSeq),
       stats,
       Option(n.get("dv")).map(d => DvRef(d.asText, n.path("dn").asLong(0L))),
-      baseRowId = n.path("bi").asLong(-1L))
+      baseRowId = n.path("bi").asLong(-1L),
+      clusteredBy = optText(n, "cb"))
   }
 
   private def nodeEntries(node: JsonNode, field: String): Seq[FileEntry] =

@@ -607,7 +607,31 @@ object PjCompaction {
     if (all.isEmpty) return Report(0, 0, 0, 0, 0, 0)
     // OPTIMIZE ... WHERE: rewrite only the admitted partitions; the full
     // live set still backs first-commit adoption and the report's totals
-    val candidates = filterByPartitionPredicate(spark, fs, rootPath, all, where)
+    val scoped = filterByPartitionPredicate(spark, fs, rootPath, all, where)
+    if (scoped.isEmpty) return Report(all.size, 0, 0, all.size, 0, 0)
+
+    // column mapping: user-facing zorder columns are LOGICAL; files (and
+    // the provenance tag) carry PHYSICAL names — stable across renames
+    val zorderPhys = {
+      val m = PjColumnMapping.nameMap(prevSnap.flatMap(_.dataSchemaJson).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      zorderCols.map(PjColumnMapping.toPhysical(m, _))
+    }
+    // CLUSTERING PROVENANCE: skip files already clustered under exactly
+    // this spec (and carrying no deletion vector to materialize) —
+    // re-running OPTIMIZE after an append then rewrites O(new files),
+    // not the whole table; a changed spec (columns or bits) re-clusters
+    // everything, since the tag no longer matches
+    val clusterSpec = s"zorder:${zorderPhys.mkString(",")}:bits=$bits"
+    val entryByRelPre: Map[String, PjCommitLog.FileEntry] =
+      prevSnap.toSeq.flatMap(_.entries).map(e => e.path -> e).toMap
+    val candidates = scoped.filter { f =>
+      entryByRelPre.get(PjCommitLog.relativize(fs, rootPath, new Path(f.path))) match {
+        case Some(e) => !(e.clusteredBy.contains(clusterSpec) && e.dv.isEmpty)
+        case None => true
+      }
+    }
     if (candidates.isEmpty) return Report(all.size, 0, 0, all.size, 0, 0)
 
     val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)
@@ -615,8 +639,7 @@ object PjCompaction {
     // ROW TRACKING: materialize stable ids through the rewrite (mergeSchema
     // on: earlier compactions may have materialized ids into SOME files)
     val rootKey = PjChangeFeed.canonScanPath(rootUri)
-    val entryByRel: Map[String, PjCommitLog.FileEntry] =
-      prevSnap.toSeq.flatMap(_.entries).map(e => e.path -> e).toMap
+    val entryByRel: Map[String, PjCommitLog.FileEntry] = entryByRelPre
     val materializeIds = logging && prevSnap.exists(_.dataSchemaJson.isDefined)
     val rowIdBases: Option[Map[String, Long]] =
       if (!materializeIds) None
@@ -639,14 +662,6 @@ object PjCompaction {
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
       // an existence-default fill is a DATA column the head file may lack
       .filterNot(c => fills.exists(_._1.equalsIgnoreCase(c))).toSeq
-    // column mapping: user-facing zorder columns are LOGICAL; the raw
-    // file read carries PHYSICAL names
-    val zorderPhys = {
-      val m = PjColumnMapping.nameMap(prevSnap.flatMap(_.dataSchemaJson).map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]))
-      zorderCols.map(PjColumnMapping.toPhysical(m, _))
-    }
     require(zorderPhys.forall(dataCols.contains),
       s"zorder columns $zorderCols must be data columns of $dataCols")
 
@@ -683,7 +698,10 @@ object PjCompaction {
       if (logging) {
         val consumedRel = candidates.map(f =>
           PjCommitLog.relativize(fs, rootPath, new Path(f.path))).toSet
-        val addEntries = newRels.toSeq.sorted.map(rel => facts(s"$root/$rel").toEntry(rel))
+        // outputs carry the provenance tag — the next same-spec OPTIMIZE
+        // skips them outright
+        val addEntries = newRels.toSeq.sorted.map(rel =>
+          facts(s"$root/$rel").toEntry(rel).copy(clusteredBy = Some(clusterSpec)))
         val preserved = materializeIds && candidates.nonEmpty &&
           candidates.forall(f => entryByRel.get(
             PjCommitLog.relativize(fs, rootPath, new Path(f.path))).exists(_.rowTracked))

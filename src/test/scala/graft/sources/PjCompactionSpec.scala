@@ -189,6 +189,48 @@ class PjCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE provenance: unchanged re-run rewrites zero files; appends re-cluster incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_opt_prov").toString
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select(($"id" % 16).as("a"), ($"id" % 7).as("b"), $"id".as("v"))
+        .coalesce(1).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(dir)
+    append(0, 500); append(500, 1000)
+    def checksum: Long = spark.read.format("pjparquet").load(dir)
+      .agg(sum($"v" * ($"a" + 1) * ($"b" + 3))).head().getLong(0)
+    val before = checksum
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
+
+    val r1 = PjCompaction.optimize(spark, dir, Seq("a", "b"))
+    assert(r1.smallFiles == 2 && r1.compactedInto >= 1, s"$r1")
+    val v1 = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.version
+    assert(graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.entries
+      .forall(_.clusteredBy.contains("zorder:a,b:bits=12")),
+      "outputs must carry the clustering provenance tag")
+
+    // unchanged table: the same spec rewrites NOTHING and commits nothing
+    val r2 = PjCompaction.optimize(spark, dir, Seq("a", "b"))
+    assert(r2.smallFiles == 0 && r2.compactedInto == 0, s"re-run must skip: $r2")
+    assert(graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.version == v1,
+      "a no-op OPTIMIZE must not commit")
+    assert(checksum == before)
+
+    // an append re-clusters O(new files), not the table
+    append(1000, 1100)
+    val r3 = PjCompaction.optimize(spark, dir, Seq("a", "b"))
+    assert(r3.smallFiles == 1, s"only the fresh file re-clusters: $r3")
+    assert(checksum == spark.range(0, 1100)
+      .select(($"id" % 16).as("a"), ($"id" % 7).as("b"), $"id".as("v"))
+      .agg(sum($"v" * ($"a" + 1) * ($"b" + 3))).head().getLong(0))
+
+    // a DIFFERENT spec invalidates the tags and re-clusters everything
+    val live = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.entries.size
+    val r4 = PjCompaction.optimize(spark, dir, Seq("a", "b"), bits = 8)
+    assert(r4.smallFiles == live, s"changed spec must re-cluster all files: $r4")
+  }
+
   test("optimize: z-order re-cluster is lossless, prunable, resets sort claims") {
     val dir = java.nio.file.Files.createTempDirectory("pj_optimize").toString
     // ingestion-ordered table: sorted by a only, so b spans its full range
