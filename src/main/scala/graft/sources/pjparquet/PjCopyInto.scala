@@ -31,8 +31,19 @@ import graft.core.PJException
   * Scale shape: listing + claims are O(#source files) metadata ops on the
   * driver (same as Delta's COPY INTO file-state tracking); the data load
   * is one distributed read of exactly the claimed files. Nothing about
-  * already-loaded history is re-read — 100k prior files cost 100k marker
-  * names in one directory listing.
+  * already-loaded history is re-read.
+  *
+  * MARKER LIFECYCLE: finalized (`done`) markers do not accumulate as one
+  * file each forever — once [[FoldThreshold]] of them exist, a run folds
+  * them into ONE delta manifest (`manifest-<seq>`, atomically claimed,
+  * IMMUTABLE, never deleted) and drops the marker files, so the ingest
+  * directory holds the active window plus one manifest per
+  * [[FoldThreshold]] historical ingests instead of one file per ingest
+  * ever. Readers take the union of marker files and manifest entries;
+  * the two listings are ORDERED (markers first, manifests second), which
+  * closes the fold race: a marker a concurrent fold deletes was either
+  * present throughout the first listing, or its manifest — created
+  * strictly before the delete — is present throughout the second.
   */
 object PjCopyInto {
 
@@ -42,8 +53,19 @@ object PjCopyInto {
 
   private val IngestDirName = "ingest"
 
+  /** Done-marker FILE count at/above which a run folds them into a delta
+    * manifest.
+    */
+  private[sources] var FoldThreshold = 512
+
   private def ingestDir(root: Path): Path =
     new Path(new Path(root, PjCommitLog.DirName), IngestDirName)
+
+  /** Marker file names are sha256 hex; everything else in the dir is a
+    * manifest or a racing claim's temp file.
+    */
+  private def isMarkerName(n: String): Boolean =
+    n.length == 64 && n.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
 
   private def sha256(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
@@ -100,11 +122,33 @@ object PjCopyInto {
       // mechanism (hard-link / exclusive rename)
       PjCommitLog.claimFile(fs, p, renderMarker(m))
     else {
+      // FINALIZE is a truncate-write; a racing run's sweep TOLERATES a
+      // torn read (unparsable marker = still-claimed, untouched) and the
+      // next sweep re-finalizes from the commit tag — self-healing, and
+      // never a window where the marker is missing (a delete-then-rename
+      // would let a racer re-claim the file and double its rows)
       val out = fs.create(p, true)
       try out.write(renderMarker(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       true
     }
+
+  /** A delta manifest: one folded marker per line, written once via the
+    * atomic claim (fully written before visible — never torn), read as a
+    * whole. Immutable; never deleted.
+    */
+  private def readManifest(fs: FileSystem, p: Path): Seq[Marker] = {
+    val in = fs.open(p)
+    val body =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    body.split('\n').toSeq.filter(_.nonEmpty).map(parseMarker)
+  }
 
   /** Source files under `sourceDir` (recursive), hidden files and dirs
     * skipped — the same visibility rule the table's own listings use.
@@ -151,30 +195,58 @@ object PjCopyInto {
     val dir = ingestDir(root)
     fs.mkdirs(dir)
 
+    // LISTING A (markers), then LISTING B (manifests) — the order closes
+    // the concurrent-fold race (see the object doc). Torn markers
+    // (non-atomic finalize on object stores) parse to None and are
+    // treated as still-claimed: skipped, counted pending, never deleted.
+    val markerFiles: Seq[(Path, Option[Marker])] =
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => isMarkerName(p.getName))
+        .map(p => p -> (try Some(readMarker(fs, p))
+          catch { case scala.util.control.NonFatal(_) => None }))
+    val manifestPaths: Seq[Path] = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("manifest-")).sortBy(_.getName)
+    val manifestEntries: Seq[Marker] = manifestPaths.flatMap(readManifest(fs, _))
+
     // sweep: finalize markers whose covering commit LANDED (crash between
-    // commit and finalize), count/reclaim the truly orphaned claims
-    // markers are sha256 hex names; skip racing claims' in-flight ".tmp"s
-    val existing: Map[String, (Path, Marker)] =
-      fs.listStatus(dir).toSeq
-        .filterNot(_.getPath.getName.startsWith("."))
-        .map(s => s.getPath.getName -> (s.getPath, readMarker(fs, s.getPath))).toMap
-    // the full retained-log scan only runs when there ARE claims to
+    // commit and finalize), reclaim/collect the truly orphaned claims.
+    // The full retained-log scan only runs when there ARE claims to
     // resolve — the steady state (every marker done) costs one directory
     // listing and zero log reads
     lazy val coveredRuns: Map[String, Long] = PjCommitLog.operationsByRun(fs, root)
-    var pending = 0L
-    existing.values.foreach { case (p, m) =>
-      if (m.state == "claimed") coveredRuns.get(m.runId) match {
-        case Some(v) =>
-          writeMarker(fs, p, m.copy(state = "done", version = v), overwrite = true)
-        case None =>
-          if (reclaimClaims) fs.delete(p, false)
-          else pending += 1
-      }
+    val orphanClaims = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reclaimedNames = scala.collection.mutable.Set.empty[String]
+    val doneNow = scala.collection.mutable.ArrayBuffer.empty[(Path, Marker)]
+    markerFiles.foreach {
+      case (p, Some(m)) if m.state == "claimed" =>
+        coveredRuns.get(m.runId) match {
+          case Some(v) =>
+            val d = m.copy(state = "done", version = v)
+            writeMarker(fs, p, d, overwrite = true)
+            doneNow += ((p, d))
+          case None =>
+            if (reclaimClaims) { fs.delete(p, false); reclaimedNames += p.getName }
+            else orphanClaims += m.path
+        }
+      case (p, Some(m)) => doneNow += ((p, m)) // already done
+      case (_, None) => () // torn: stays in `taken` (blocks re-claim), untouched
     }
+
+    // FOLD: enough done marker FILES accumulated — move them into one
+    // immutable delta manifest (atomic claim; a concurrent folder losing
+    // the claim simply skips) and drop the files. The ingest listing then
+    // tracks the active window, not ingest history.
+    if (doneNow.size >= FoldThreshold) {
+      val seq = manifestPaths.lastOption
+        .map(_.getName.stripPrefix("manifest-").toLong + 1).getOrElse(0L)
+      val body = doneNow.map { case (_, m) => renderMarker(m) }.mkString("\n")
+      if (PjCommitLog.claimFile(fs, new Path(dir, f"manifest-$seq%010d"), body))
+        doneNow.foreach { case (p, _) => fs.delete(p, false) }
+    }
+
     val taken: Set[String] =
-      fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filterNot(_.startsWith(".")).toSet
+      markerFiles.map(_._1.getName).toSet -- reclaimedNames ++
+        manifestEntries.map(m => sha256(m.path))
 
     val srcRoot = srcFs.makeQualified(new Path(sourceDir)).toString
     val globRe = pattern.map { g =>
@@ -199,6 +271,12 @@ object PjCopyInto {
     }
     val source = listSource(srcFs, new Path(sourceDir))
       .filter { case (p, _) => matches(p) }
+    // pending counts only claims for files THIS run's (pattern-filtered)
+    // source set contains — orphaned claims from prior runs with other
+    // patterns, or for since-deleted source files, are not this run's
+    // business and must not skew (or turn negative) the skip count
+    val sourcePaths = source.map(_._1).toSet
+    val pending = orphanClaims.count(sourcePaths.contains).toLong
     val runId = java.util.UUID.randomUUID().toString
     val claimed = source.filter { case (path, size) =>
       val name = sha256(path)

@@ -220,6 +220,90 @@ class PjCopyIntoSpec extends AnyFunSuite {
     }
   }
 
+  test("marker fold: ingest dir stays bounded, idempotence exact across fold + expiry") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_fold"))
+    val old = PjCopyInto.FoldThreshold
+    PjCopyInto.FoldThreshold = 5
+    try {
+      for (i <- 0 until 8) writeSource(src, s"f$i", (i * 10) until (i * 10 + 10))
+      val r1 = PjCopyInto.copyInto(spark, t, src)
+      assert(r1.filesIngested == 8 && r1.rowsIngested == 80, s"$r1")
+      // the NEXT run sees 8 done markers >= threshold and folds them
+      val r2 = PjCopyInto.copyInto(spark, t, src)
+      assert(r2.filesIngested == 0 && r2.filesSkipped == 8, s"$r2")
+      val ingest = new java.io.File(s"$t/_pj_log/ingest")
+      def markers = ingest.listFiles().toSeq.map(_.getName)
+        .filter(n => n.length == 64 && n.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+      def manifests = ingest.listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("manifest-"))
+      assert(markers.isEmpty, s"done markers must fold away: $markers")
+      assert(manifests.size == 1, s"one delta manifest: $manifests")
+      // exact idempotence THROUGH the manifest: nothing re-ingests
+      val r3 = PjCopyInto.copyInto(spark, t, src)
+      assert(r3.filesIngested == 0 && r3.filesSkipped == 8, s"$r3")
+      assert(spark.table(s"pjci.`$t`").count() == 80)
+      // expiry doesn't shake it: versions drop, skips hold
+      graft.sources.pjparquet.PjVacuum.expireVersions(spark, t, keepVersions = 1)
+      val r4 = PjCopyInto.copyInto(spark, t, src)
+      assert(r4.filesIngested == 0 && r4.filesSkipped == 8, s"$r4")
+      assert(spark.table(s"pjci.`$t`").count() == 80)
+      // new files keep ingesting; their markers fold on a later run
+      for (i <- 8 until 14) writeSource(src, s"f$i", (i * 10) until (i * 10 + 10))
+      val r5 = PjCopyInto.copyInto(spark, t, src)
+      assert(r5.filesIngested == 6 && r5.rowsIngested == 60, s"$r5")
+      val r6 = PjCopyInto.copyInto(spark, t, src)
+      assert(r6.filesIngested == 0 && r6.filesSkipped == 14, s"$r6")
+      assert(markers.isEmpty && manifests.size == 2, s"$markers / $manifests")
+      assert(spark.table(s"pjci.`$t`").count() == 140)
+      assert(spark.table(s"pjci.`$t`").groupBy($"id").count()
+        .filter($"count" > 1).count() == 0)
+    } finally PjCopyInto.FoldThreshold = old
+  }
+
+  test("JSON ingest: declared-type casts applied, idempotent") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_json"))
+    val lines = (0 until 30).map(i => s"""{"id": $i, "v": ${i * 10}}""")
+    val d = new java.io.File(s"$src/j1"); d.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(d, "part-0.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val r1 = PjCopyInto.copyInto(spark, t, src, format = "json")
+    assert(r1.filesIngested == 1 && r1.rowsIngested == 30, s"$r1")
+    val got = spark.table(s"pjci.`$t`")
+    assert(got.count() == 30)
+    assert(got.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.agg(sum($"v")).head().getLong(0) == (0 until 30).map(_ * 10).sum)
+    val r2 = PjCopyInto.copyInto(spark, t, src, format = "json")
+    assert(r2.filesIngested == 0 && r2.filesSkipped == 1, s"$r2")
+  }
+
+  test("pending scopes to the current source set; skip counts never skew") {
+    val (t, src) = (freshTable(), mkdir("pj_ci_scope"))
+    writeSource(src, "keep", 0 until 10)
+    writeSource(src, "doomed", 10 until 20)
+    // orphan a claim on 'doomed' (simulated crash before commit), then
+    // DELETE the source file — the stale claim is now outside any source
+    // listing and must not depress filesSkipped or count pending
+    val dir = new java.io.File(s"$t/_pj_log/ingest"); dir.mkdirs()
+    val doomedPath = new org.apache.hadoop.fs.Path(s"$src/doomed")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(new org.apache.hadoop.fs.Path(s"$src/doomed"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val fsq = doomedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val abs = fsq.makeQualified(doomedPath).toString
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Files.write(new java.io.File(dir, sha).toPath,
+      (s"""{"path":"$abs","size":1,"state":"claimed","runId":"dead","version":-1}""")
+        .getBytes("UTF-8"))
+    // delete the source file: the claim's path vanishes from the listing
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/doomed"))
+    val r = PjCopyInto.copyInto(spark, t, src)
+    assert(r.filesIngested == 1 && r.filesPending == 0 && r.filesSkipped == 0,
+      s"a dir-wide orphan outside the source set must not skew the report: $r")
+    assert(spark.table(s"pjci.`$t`").count() == 10)
+  }
+
   test("CSV ingest: header read, declared-type casts applied") {
     val (t, src) = (freshTable(), mkdir("pj_ci_csv"))
     Seq(("id", "v"), ("1", "10"), ("2", "20")).map(_.productIterator.mkString(","))
