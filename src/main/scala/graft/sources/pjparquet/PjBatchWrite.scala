@@ -109,7 +109,11 @@ final class PjWriteBuilder(
       * write option) — e.g. `copy-into:<runId>`, the idempotence anchor
       * [[PjCopyInto]]'s marker repair sweep resolves against.
       */
-    operationTag: Option[String] = None)
+    operationTag: Option[String] = None,
+    /** Optimized writes ([[PjTableProperties.OptimizeWriteEnabled]]):
+      * advisory bytes per written file when enabled.
+      */
+    optimizeWriteBytes: Option[Long] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -164,7 +168,8 @@ final class PjWriteBuilder(
       augment, layout.flatMap(_.logVersion), clusterKeys,
       constraintsJson = layout.flatMap(_.constraintsJson),
       rowIdMetaOrdinal = rowIdMetaOrdinal,
-      operationTag = operationTag)
+      operationTag = operationTag,
+      optimizeWriteBytes = optimizeWriteBytes)
   }
 }
 
@@ -194,7 +199,20 @@ final class PjWrite(
     /** `_row_id` ordinal in the row-level metadata projection, or -1. */
     rowIdMetaOrdinal: Int = -1,
     /** Caller-declared operation tag for plain appends ([[PjCopyInto]]). */
-    operationTag: Option[String] = None)
+    operationTag: Option[String] = None,
+    /** OPTIMIZED WRITES (Delta parity): `Some(advisory bytes)` declares the
+      * distribution NON-strict, so Spark plans `RebalancePartitions`
+      * instead of a strict hash repartition and AQE sizes each shuffle
+      * output — and therefore each written file — to the advisory: a
+      * 1000-task upstream stage coalesces into ~binSize files instead of
+      * 1000 shards, and one hot partition key SPLITS across writers
+      * instead of serializing (and OOMing) on one. Unpartitioned tables
+      * rebalance on the whole-row hash (the connector API rejects an empty
+      * clustering as "unspecified" — clustering by every write column is
+      * the in-API equivalent of round-robin, and AQE's rebalance splitting
+      * ignores key boundaries anyway).
+      */
+    optimizeWriteBytes: Option[Long] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
@@ -204,12 +222,24 @@ final class PjWrite(
   /** Cluster + sort incoming rows by the partition keys so a task holds at
     * most one open parquet writer at a time (writer row-group buffers are
     * ~128 MB each — an unsorted multi-writer map is the classic dynamic
-    * partition OOM at fan-out). Unpartitioned writes impose nothing.
+    * partition OOM at fan-out). Unpartitioned writes impose nothing —
+    * unless optimized writes are on, which rebalance even those.
     */
   override def requiredDistribution(): Distribution =
-    if (distKeys.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(
+    if (distKeys.isEmpty) {
+      if (optimizeWriteBytes.isDefined)
+        Distributions.clustered(
+          writeSchema.fieldNames.map(k => Expressions.column(k): V2Expression))
+      else Distributions.unspecified()
+    } else Distributions.clustered(
       distKeys.map(k => Expressions.column(k): V2Expression).toArray)
+
+  /** Strict by default (exact co-location); optimized writes relax to a
+    * REBALANCE so AQE can coalesce small and split skewed outputs.
+    */
+  override def distributionStrictlyRequired(): Boolean = optimizeWriteBytes.isEmpty
+
+  override def advisoryPartitionSizeInBytes(): Long = optimizeWriteBytes.getOrElse(0L)
 
   /** Partition keys first (one open writer per task), then the declared
     * `sort.columns` — so every written FILE is internally sorted by the

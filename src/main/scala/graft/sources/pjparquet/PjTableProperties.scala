@@ -109,6 +109,32 @@ object PjTableProperties {
     */
   val PartitionColumns = "pj.partition.columns"
 
+  /** `pj.symlinkManifest.enabled` — when true, every successful commit
+    * regenerates the `_symlink_format_manifest/` tree ([[PjManifest]],
+    * Delta's `symlinkFormatManifest.enabled`), keeping external
+    * symlink-format readers on HEAD. Best-effort: a DV-carrying snapshot
+    * is skipped (the manifest stays at its last DV-free version).
+    */
+  val SymlinkManifestEnabled = "pj.symlinkManifest.enabled"
+
+  /** `pj.optimizeWrite.enabled` — when true, every batch write REBALANCES
+    * its input before writing (Delta's optimized writes): the required
+    * distribution is declared non-strict, so Spark plans
+    * `RebalancePartitions` and AQE sizes the shuffle output to
+    * [[OptimizeWriteBinSize]] — small trailing partitions coalesce (no
+    * small-file storm from a 1000-task upstream stage) and a skewed hot
+    * partition SPLITS across writers instead of OOMing one task. Costs one
+    * shuffle per write; worth it whenever the table is read more than
+    * written.
+    */
+  val OptimizeWriteEnabled = "pj.optimizeWrite.enabled"
+
+  /** `pj.optimizeWrite.binSize` — AQE advisory bytes per shuffle output
+    * partition (≈ bytes per written file before encoding) for optimized
+    * writes. Default 128 MiB — one parquet row group.
+    */
+  val OptimizeWriteBinSize = "pj.optimizeWrite.binSize"
+
   /** Parse `pj.partition.columns` into (name, bigint|string|date type). */
   def partitionColumns(
       propertiesJson: Option[String]): Seq[(String, org.apache.spark.sql.types.DataType)] =
@@ -142,7 +168,10 @@ object PjTableProperties {
     SortColumns -> (_ => None), // any csv of names; resolved per-write
     VacuumRetentionHours -> nonNegLongValidator,
     ExpireKeepVersions -> posIntValidator,
-    PartitionColumns -> partitionColumnsValidator)
+    PartitionColumns -> partitionColumnsValidator,
+    OptimizeWriteEnabled -> boolValidator,
+    OptimizeWriteBinSize -> posLongValidator,
+    SymlinkManifestEnabled -> boolValidator)
 
   private def partitionColumnsValidator(v: String): Option[String] = {
     val bad =
@@ -158,6 +187,10 @@ object PjTableProperties {
   private def posIntValidator(v: String): Option[String] =
     try { if (v.toInt > 0) None else Some(s"expected a positive integer, got '$v'") }
     catch { case _: NumberFormatException => Some(s"expected a positive integer, got '$v'") }
+
+  private def posLongValidator(v: String): Option[String] =
+    try { if (v.toLong > 0) None else Some(s"expected a positive number, got '$v'") }
+    catch { case _: NumberFormatException => Some(s"expected a positive number, got '$v'") }
 
   private def nonNegLongValidator(v: String): Option[String] =
     try { if (v.toLong >= 0) None else Some(s"expected a non-negative number, got '$v'") }
