@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming-read configuration threaded from the scan builder's options:
@@ -22,7 +22,14 @@ final case class PjStreamInfo(
       * commits (DML rewrites, overwrites, restores) are silently skipped
       * instead of failing the stream.
       */
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    /** `maxBytesPerTrigger` (Delta parity): soft per-batch byte cap —
+      * files admit in (mtime, path) order until the NEXT one would push
+      * the batch past the cap, always at least one (a single file larger
+      * than the cap still makes progress). Composes with
+      * `maxFilesPerTrigger`: whichever cap binds first ends the batch.
+      */
+    maxBytesPerTrigger: Option[Long] = None)
 
 /** Micro-batch directory ingestion over pjparquet — `spark.readStream
   * .format("pjparquet").load(dir)` for the standard "parquet drops land in
@@ -242,7 +249,7 @@ class PjMicroBatchStream(
     if (legacySeeded) return
     val consumedAt = start.paths.toSet
     val consumed = listMtimes().toSeq.collect {
-      case (p, m) if m < start.maxMtime || (m == start.maxMtime && consumedAt.contains(p)) => p
+      case (p, (m, _)) if m < start.maxMtime || (m == start.maxMtime && consumedAt.contains(p)) => p
     }
     writeLog(LegacySeedEntry, consumed)
     seen ++= consumed
@@ -342,7 +349,7 @@ class PjMicroBatchStream(
     * passes (compaction/OPTIMIZE) only when no batch is in flight, as
     * with any direct-committer source.
     */
-  private def listMtimes(): Map[String, Long] = {
+  private def listMtimes(): Map[String, (Long, Long)] = {
     // a recursive listing racing a concurrent writer's temp-file rename
     // (compaction work dirs, log commit temps) can observe a path that
     // vanishes before its status is read — local filesystems throw where
@@ -364,7 +371,7 @@ class PjMicroBatchStream(
     throw new IllegalStateException("unreachable")
   }
 
-  private def listMtimesOnce(): Map[String, Long] = {
+  private def listMtimesOnce(): Map[String, (Long, Long)] = {
     val root = new Path(info.path)
     val fs = root.getFileSystem(hadoopConf)
     // log enabled but ZERO commits = "not yet logged": the directory
@@ -375,7 +382,7 @@ class PjMicroBatchStream(
       else None
     val snapshot: Option[Set[String]] = snap.map(_.files.toSet)
     val it = fs.listFiles(root, true)
-    val m = Map.newBuilder[String, Long]
+    val m = Map.newBuilder[String, (Long, Long)]
     while (it.hasNext) {
       val s = it.next()
       val n = s.getPath.getName
@@ -383,7 +390,7 @@ class PjMicroBatchStream(
           val rel = PjCommitLog.relativize(fs, root, s.getPath)
           !PjBatchWrite.isInternalRel(rel) && snapshot.forall(_.contains(rel))
         })
-        m += (s.getPath.toString -> s.getModificationTime)
+        m += (s.getPath.toString -> (s.getModificationTime, s.getLen))
     }
     // SHALLOW-CLONE entries ([[PjClone]]) live OUTSIDE the root and never
     // appear in the listing — enter them straight from the snapshot (they
@@ -394,12 +401,19 @@ class PjMicroBatchStream(
     val rootQ = fs.makeQualified(root)
     snap.toSeq.flatMap(_.entries)
       .filter(e => e.path.startsWith("/") && !e.isEmptyFile)
-      .foreach(e => m += (new Path(rootQ, e.path).toString -> 0L))
+      .foreach(e => m += (new Path(rootQ, e.path).toString -> (0L, math.max(e.size, 0L))))
     m.result()
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    info.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = info.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      info.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** `Trigger.AvailableNow` snapshot: the path set present at prepare time.
     * Files that appear after this point belong to the next run, and the
@@ -448,19 +462,39 @@ class PjMicroBatchStream(
           a
         }
       }
-      .sortBy { case (p, m) => (m, p) }
+      .sortBy { case (p, (m, _)) => (m, p) }
     if (suppressed.nonEmpty) {
       writeLog(s"sup-${java.util.UUID.randomUUID().toString.take(12)}",
         suppressed.toSeq.sorted)
       seen ++= suppressed
     }
     if (pending.isEmpty) return start
-    val cap = limit match {
-      case f: ReadMaxFiles => f.maxFiles()
-      case _: ReadAllAvailable => Int.MaxValue
-      case _ => Int.MaxValue
+    // flatten a composite limit; unknown kinds mean "no cap of that kind"
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case _: ReadAllAvailable => Nil
+      case other => Seq(other)
     }
-    val taken = pending.take(cap).map(_._1)
+    val parts = flatten(limit)
+    val fileCap = parts.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+      .getOrElse(Int.MaxValue)
+    val byteCap = parts.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
+      .getOrElse(Long.MaxValue)
+    // soft byte cap: stop BEFORE the file that would cross it, but always
+    // admit at least one file so an oversized single file still progresses
+    val taken = {
+      val out = Seq.newBuilder[String]
+      var files = 0
+      var bytes = 0L
+      val it = pending.iterator
+      var done = false
+      while (!done && it.hasNext) {
+        val (p, (_, sz)) = it.next()
+        if (files >= fileCap || (files > 0 && bytes + sz > byteCap)) done = true
+        else { out += p; files += 1; bytes += sz }
+      }
+      out.result()
+    }
     val newId = maxLoggedBatch + 1
     writeLog(newId.toString, taken)
     seen ++= taken
@@ -497,7 +531,7 @@ class PjMicroBatchStream(
         val mtimes = listMtimes()
         val endPaths = e.paths.toSet
         val startPaths = s.paths.toSet
-        p => mtimes.get(p).exists { m =>
+        p => mtimes.get(p).exists { case (m, _) =>
           val afterStart = m > s.maxMtime || (m == s.maxMtime && !startPaths.contains(p))
           val atOrBeforeEnd = m < e.maxMtime || (m == e.maxMtime && endPaths.contains(p))
           afterStart && atOrBeforeEnd

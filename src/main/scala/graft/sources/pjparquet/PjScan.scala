@@ -758,7 +758,8 @@ class PjScanBuilder(
         PjStreamInfo(p, options.getBoolean("index.autogen", true),
           options.getBoolean("mergeSchema", false),
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-          skipChangeCommits = options.getBoolean("skipChangeCommits", false))),
+          skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+          maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))),
       limitRows = pushedLimit,
       rowLevel = rowLevel,
       totalFiles = layout.files.size,
