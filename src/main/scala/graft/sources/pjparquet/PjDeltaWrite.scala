@@ -132,15 +132,24 @@ final class PjDeltaWrite(
     * run — task memory is one file's delete positions, never the task's
     * whole delete set. Insert rows carry null rowId columns and sort as a
     * contiguous prefix ordered by their partition keys.
+    *
+    * A pure DELETE's delta projection is (operation, `_file`, `_pos`,
+    * metadata) — it carries NO data columns, so partition keys are
+    * unresolvable there (and pointless: deletes write vectors, not
+    * partitioned files). The delete command keys on `_file` alone.
     */
+  private def deltaKeys: Seq[String] =
+    if (command == "delete") Seq(PjParquetTable.FileMetaName)
+    else partitionKeys :+ PjParquetTable.FileMetaName
+
   override def requiredDistribution(): Distribution =
     if (partitionKeys.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      (partitionKeys :+ PjParquetTable.FileMetaName)
-        .map(k => Expressions.column(k): V2Expression).toArray)
+      deltaKeys.map(k => Expressions.column(k): V2Expression).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
-    (partitionKeys ++ Seq(PjParquetTable.FileMetaName, PjParquetTable.PosMetaName))
+    ((if (command == "delete") Seq.empty else partitionKeys) ++
+      Seq(PjParquetTable.FileMetaName, PjParquetTable.PosMetaName))
       .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
 
   override def toBatch: DeltaBatchWrite = new PjDeltaBatchWrite(
@@ -349,9 +358,17 @@ final class PjDeltaWriter(
   private val extendedSchema = StructType(schema.fields :+
     org.apache.spark.sql.types.StructField(
       PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
-  private val inserts =
-    new PjDataWriter(root, conf, extendedSchema, partitionKeys, fileTag,
-      overwriteExisting = false)
+  // created on FIRST insert/update: a pure DELETE's write schema carries no
+  // data columns (on a partitioned table the partition keys are therefore
+  // absent), and its writer only ever emits vectors — constructing the
+  // partition-routing data writer eagerly would refuse the schema
+  private var insertsOpt: Option[PjDataWriter] = None
+  private def inserts: PjDataWriter = {
+    if (insertsOpt.isEmpty)
+      insertsOpt = Some(new PjDataWriter(root, conf, extendedSchema, partitionKeys,
+        fileTag, overwriteExisting = false))
+    insertsOpt.get
+  }
   private val idCell = new org.apache.spark.sql.catalyst.expressions
     .GenericInternalRow(1)
   private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
@@ -419,13 +436,14 @@ final class PjDeltaWriter(
   override def insert(row: InternalRow): Unit = writeWithId(row, null)
 
   override def commit(): WriterCommitMessage = {
-    val dataMsg = inserts.commit().asInstanceOf[PjCommitMessage]
+    val dataFiles = insertsOpt.map(_.commit().asInstanceOf[PjCommitMessage].files)
+      .getOrElse(Nil)
     flushRun()
-    PjDeltaCommitMessage(dataMsg.files, partials.toSeq)
+    PjDeltaCommitMessage(dataFiles, partials.toSeq)
   }
 
   override def abort(): Unit = {
-    inserts.abort()
+    insertsOpt.foreach(_.abort())
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     (0 until partialSeq).foreach { i =>
@@ -434,5 +452,5 @@ final class PjDeltaWriter(
     }
   }
 
-  override def close(): Unit = inserts.close()
+  override def close(): Unit = insertsOpt.foreach(_.close())
 }

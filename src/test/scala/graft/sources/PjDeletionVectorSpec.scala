@@ -91,6 +91,38 @@ class PjDeletionVectorSpec extends AnyFunSuite {
     assert(sample.length == 100)
   }
 
+  test("DV DELETE and UPDATE on a HIVE-PARTITIONED table: vectors, no rewrite, reads exact") {
+    // regression: the delta write used to cluster the delete stream on the
+    // partition keys, but a pure DELETE's projection carries no data
+    // columns — planning failed with "Unable to resolve <partition col>"
+    // on ANY partitioned table (the delete command keys on `_file` alone)
+    val dir = java.nio.file.Files.createTempDirectory("pj_dv_part").toString
+    spark.range(0, 1000).select($"id", ($"id" % 4).as("p"))
+      .write.format("pjparquet").partitionBy("p")
+      .mode("append").option("log.enabled", "true").save(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.sql(s"DROP TABLE IF EXISTS pj_dv_part_t")
+    spark.sql(s"CREATE TABLE pj_dv_part_t USING pjparquet OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM pj_dv_part_t WHERE id % 10 = 3") // data predicate, all partitions
+    val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+    // ids ≡ 3 (mod 10) are odd — exactly the p=1 and p=3 files gain vectors
+    assert(head.entries.count(_.dv.isDefined) == 2 &&
+      head.entries.filter(_.dv.isDefined).forall(e =>
+        e.path.startsWith("p=1/") || e.path.startsWith("p=3/")),
+      s"odd partitions gain vectors, none rewritten: ${head.entries}")
+    assert(head.entries.flatMap(_.dv).map(_.deleted).sum == 100L)
+    val t = spark.table("pj_dv_part_t")
+    assert(t.count() == 900L)
+    // p=1 holds ids ≡ 1 (mod 4): 250 rows, minus the 50 with id ≡ 13 (mod 20)
+    assert(t.filter($"p" === 1).count() == 200L)
+    // merge-on-read UPDATE on the partitioned table (projection carries
+    // data columns, so partition clustering resolves there)
+    spark.sql("UPDATE pj_dv_part_t SET id = id + 10000 WHERE id % 10 = 4")
+    assert(spark.table("pj_dv_part_t").filter($"id" >= 10000).count() == 100L)
+    assert(spark.table("pj_dv_part_t").count() == 900L)
+  }
+
   test("DV DELETE: full-file deletion retires the file; no-match deletes nothing") {
     val dir = java.nio.file.Files.createTempDirectory("pj_dv_full").toString
     spark.range(0, 100).select($"id", ($"id" < 50).as("lo"))
