@@ -26,7 +26,7 @@ object PjVacuum {
   /** One listed entry of the recursive walk (directories never appear —
     * the walk descends into them instead).
     */
-  private final case class FileLite(path: String, len: Long, mtime: Long)
+  private[pjparquet] final case class FileLite(path: String, len: Long, mtime: Long)
 
   /** Frontier width at/above which a BFS wave lists on executors. Below
     * it the driver lists directly — small tables never pay job-launch
@@ -45,7 +45,7 @@ object PjVacuum {
     * returned separately and never entered: their contents are invisible
     * to readers and die with the directory.
     */
-  private def bfsList(
+  private[pjparquet] def bfsList(
       spark: SparkSession, hconf: org.apache.hadoop.conf.Configuration,
       root: Path): (Seq[FileLite], Seq[String]) = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
