@@ -104,8 +104,18 @@ object ZOrder {
       cols: Seq[String],
       numPartitions: Int,
       bits: Int = 16,
-      ranges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+      ranges: Map[String, (Long, Long)] = Map.empty,
+      /** `zorder` (Morton, pure bit-interleave Column arithmetic) or
+        * `hilbert` ([[graft.functions.HilbertCurve]], codegen'd): same
+        * scaling and layout machinery, different space-filling curve.
+        * Hilbert's unit-step property gives tighter row-group
+        * hyper-rectangles (no Morton diagonal jumps) — Delta's default
+        * clustering curve.
+        */
+      curve: String = "zorder"): DataFrame = {
     require(cols.size >= 2, s"z-ordering needs >= 2 columns, got $cols")
+    require(curve == "zorder" || curve == "hilbert",
+      s"unknown clustering curve '$curve' (zorder | hilbert)")
     val bounds: Seq[(Long, Long)] =
       if (cols.forall(ranges.contains)) cols.map(ranges)
       else {
@@ -128,7 +138,8 @@ object ZOrder {
       scaleToBits(col(c), lit(lo), lit(hi), bits)
     }
     val z =
-      if (cols.size == 2) interleave2(scaled(0), scaled(1))
+      if (curve == "hilbert") graft.functions.HilbertCurve.hilbertIndex(bits, scaled: _*)
+      else if (cols.size == 2) interleave2(scaled(0), scaled(1))
       else interleaveN(scaled, bits)
     // collision-safe scratch name: a user column literally named "_zorder"
     // must survive (the old fixed name silently overwrote then dropped it)

@@ -579,9 +579,18 @@ object PjCompaction {
       /** Optional PARTITION predicate scoping the rewrite
         * ([[filterByPartitionPredicate]]) -- `OPTIMIZE ... WHERE`.
         */
-      where: Option[String] = None): Report = {
+      where: Option[String] = None,
+      /** Space-filling curve: `zorder` (Morton) or `hilbert` (Skilling,
+        * [[graft.functions.HilbertCurve]]) — Hilbert's unit-step walk
+        * gives tighter row-group hyper-rectangles (Delta's default
+        * clustering curve); the provenance tag records the curve, so
+        * switching re-clusters everything once.
+        */
+      curve: String = "zorder"): Report = {
     require(zorderCols.size >= 2, s"optimize needs >= 2 zorder columns, got $zorderCols")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(curve == "zorder" || curve == "hilbert",
+      s"unknown clustering curve '$curve' (zorder | hilbert)")
     val hconf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(hconf)
@@ -623,7 +632,7 @@ object PjCompaction {
     // re-running OPTIMIZE after an append then rewrites O(new files),
     // not the whole table; a changed spec (columns or bits) re-clusters
     // everything, since the tag no longer matches
-    val clusterSpec = s"zorder:${zorderPhys.mkString(",")}:bits=$bits"
+    val clusterSpec = s"$curve:${zorderPhys.mkString(",")}:bits=$bits"
     val entryByRelPre: Map[String, PjCommitLog.FileEntry] =
       prevSnap.toSeq.flatMap(_.entries).map(e => e.path -> e).toMap
     val candidates = scoped.filter { f =>
@@ -670,7 +679,7 @@ object PjCompaction {
     // ZOrder.zorderBy handles the Morton math; partition dirs prefix the
     // range key so the clustered runs stay within their directories
     val clustered = graft.operators.ZOrder.zorderByWithPrefix(
-      df, partCols, zorderPhys, nOut, bits)
+      df, partCols, zorderPhys, nOut, bits, curve = curve)
 
     val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     try {

@@ -104,5 +104,19 @@ class PjSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => 
     ext.injectFunction(fn("pj_sorted_intersect_count",
       classOf[graft.functions.SortedLongArrayIntersectCount], 2,
       args => graft.functions.SortedLongArrayIntersectCount(args(0), args(1))))
+    // pj_hilbert_index(bits, c1, c2, ...): Hilbert distance of >= 2
+    // pre-scaled bigint coordinates (graft.functions.HilbertCurve)
+    ext.injectFunction((FunctionIdentifier("pj_hilbert_index"),
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex].getName, "pj_hilbert_index"),
+      (args: Seq[Expression]) => {
+        if (args.length < 3) throw new IllegalArgumentException(
+          "pj_hilbert_index expects (bits, c1, c2, ...) with >= 2 coordinates")
+        val bits = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"pj_hilbert_index: bits must be an integer literal, got $other")
+        }
+        graft.functions.HilbertIndex(args.tail, bits)
+      }))
   }
 }

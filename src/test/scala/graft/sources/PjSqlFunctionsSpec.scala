@@ -49,6 +49,23 @@ class PjSqlFunctionsSpec extends AnyFunSuite {
     assert(row.getInt(2) == 2 && expect.getInt(2) == 2)
   }
 
+  test("pj_hilbert_index evaluates from SQL, matches the Column API, rejects bad shapes") {
+    val row = extSpark.sql(
+      "SELECT pj_hilbert_index(4, 5L, 9L) AS h2, pj_hilbert_index(3, 1L, 2L, 3L) AS h3").head()
+    import org.apache.spark.sql.functions._
+    val expect = extSpark.range(1).select(
+      graft.functions.HilbertCurve.hilbertIndex(4, lit(5L), lit(9L)).as("h2"),
+      graft.functions.HilbertCurve.hilbertIndex(3, lit(1L), lit(2L), lit(3L)).as("h3")).head()
+    assert(row.getLong(0) == expect.getLong(0) && row.getLong(1) == expect.getLong(1))
+    assert(row.getLong(0) == graft.functions.HilbertCurve.index(Array(5L, 9L), 4))
+    val tooFew = intercept[Exception](
+      extSpark.sql("SELECT pj_hilbert_index(4, 1L)").head())
+    assert(tooFew.getMessage.contains("coordinates"), s"unhelpful: ${tooFew.getMessage}")
+    val badBits = intercept[Exception](
+      extSpark.sql("SELECT pj_hilbert_index(id, 1L, 2L) FROM range(1)").head())
+    assert(badBits.getMessage.contains("literal"), s"unhelpful: ${badBits.getMessage}")
+  }
+
   test("arity errors are reported, not silently mis-bound") {
     val e = intercept[Exception](extSpark.sql("SELECT pj_dot(array(1.0D))").head())
     assert(e.getMessage.contains("pj_dot") || e.getMessage.contains("2 arguments"),
