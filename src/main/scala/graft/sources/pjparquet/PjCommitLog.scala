@@ -628,6 +628,13 @@ object PjCommitLog {
         if (v % interval == 0)
           try writeCheckpoint(fs, root, v)
           catch { case scala.util.control.NonFatal(_) => /* replay covers it */ }
+        // AUTO MANIFEST (pj.symlinkManifest.enabled): regenerate the
+        // external symlink view after every commit — best-effort, a DV
+        // snapshot leaves the last DV-free manifest standing
+        if (PjTableProperties.recorded(
+            propertiesJson.orElse(prev.flatMap(_.propertiesJson)),
+            PjTableProperties.SymlinkManifestEnabled).exists(_.equalsIgnoreCase("true")))
+          PjManifest.autoMaintain(fs, root)
         return v
       }
       attempt += 1
