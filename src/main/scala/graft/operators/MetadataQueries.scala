@@ -25,6 +25,8 @@ object MetadataQueries {
     * the fixture build (optimize rewrites the directory in place).
     */
   private val q122BeforeRgs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** q166: lifecycle facts captured during the hilbert fixture build. */
+  private val q166Facts = new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Boolean, Boolean)]()
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private def fixtureDir(key: String, dir: String)(build: String => Unit): String =
     fixtures.computeIfAbsent(s"$key:$dir", { _ =>
@@ -1169,6 +1171,177 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q166_hilbert_optimize" -> ((s, dir) => {
+      import s.implicits._
+      // OPTIMIZE ... curve => 'hilbert' (PjCompaction.optimize +
+      // graft.functions.HilbertCurve): the Skilling-curve re-clustering
+      // lane — unit-step locality, Delta's default clustering curve. The
+      // oracle recomputes a two-dimensional band's content from the
+      // source relation (losslessness through the rewrite); the
+      // engine-checked literals pin the lifecycle: the first optimize
+      // rewrote, per-file provenance records the hilbert spec, the
+      // same-spec rerun skipped everything, and the clustered layout
+      // prunes the band at planning time.
+      val tmp = fixtureDir("pj_q166_hilbert", dir) { d =>
+        // CREATE resolves the identifier first: an existing (empty) dir is
+        // "present but unreadable", not TableNotFound — remove it
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d))
+        s.conf.set("spark.sql.catalog.pj_q166", "graft.sources.pjparquet.PjCatalog")
+        s.sql(s"CREATE TABLE pj_q166.`$d` (l_orderkey BIGINT, l_partkey BIGINT, " +
+          "l_quantity DOUBLE) USING pjparquet")
+        graft.Tables.lineitem(s, dir)
+          .select($"l_orderkey".cast("long").as("l_orderkey"),
+            $"l_partkey".cast("long").as("l_partkey"),
+            $"l_quantity".cast("double").as("l_quantity"))
+          .repartitionByRange(8, $"l_orderkey").sortWithinPartitions("l_orderkey")
+          .writeTo(s"pj_q166.`$d`").append()
+        // scale-independent: ~8 clustered files at any sf
+        val totalBytes = Option(new java.io.File(d).listFiles()).toSeq.flatten
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .map(_.length).sum
+        val target = math.max(totalBytes / 8, 16L * 1024)
+        val r1 = graft.sources.pjparquet.PjCompaction.optimize(
+          s, d, Seq("l_orderkey", "l_partkey"), target, curve = "hilbert")
+        val r2 = graft.sources.pjparquet.PjCompaction.optimize(
+          s, d, Seq("l_orderkey", "l_partkey"), target, curve = "hilbert")
+        val fs = new org.apache.hadoop.fs.Path(d)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val entries = graft.sources.pjparquet.PjCommitLog.latest(
+          fs, new org.apache.hadoop.fs.Path(d)).get.entries
+        q166Facts.put(d, (
+          r1.compactedInto > 0,
+          r2.compactedInto == 0 && r2.smallFiles == 0,
+          entries.nonEmpty && entries.forall(
+            _.clusteredBy.exists(_.startsWith("hilbert:")))))
+      }
+      val (rewrote, rerunSkipped, provenance) = q166Facts.get(tmp)
+      val b = pj(s, dir, "lineitem").agg(
+        min($"l_partkey").cast("long"), max($"l_partkey").cast("long")).head()
+      val (pMin, pMax) = (b.getLong(0), b.getLong(1))
+      val (pLo, pHi) = (pMin + (pMax - pMin) / 4, pMin + (pMax - pMin) / 2)
+      def plannedRgs(filtered: Boolean): Int = {
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
+        val base = iso.read.format("pjparquet").load(tmp)
+        val df = (if (filtered) base.filter(col("l_partkey") >= pLo && col("l_partkey") <= pHi)
+                  else base).select(col("l_quantity"))
+        df.queryExecution.executedPlan.collect {
+          case bx: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bx
+        }.flatMap(_.partitions.flatten).collect {
+          case p: graft.sources.pjparquet.PjInputPartition => p.rowGroups.length
+        }.sum
+      }
+      val prunes = plannedRgs(filtered = true) < plannedRgs(filtered = false)
+      s.read.format("pjparquet").load(tmp)
+        .filter($"l_partkey" >= pLo && $"l_partkey" <= pHi)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum($"l_quantity"), 2).as("qty_sum"),
+          sum($"l_orderkey" * $"l_partkey").as("key_checksum"))
+        .withColumn("rewrote_once", lit(if (rewrote) 1L else 0L))
+        .withColumn("rerun_skipped", lit(if (rerunSkipped) 1L else 0L))
+        .withColumn("hilbert_provenance", lit(if (provenance) 1L else 0L))
+        .withColumn("band_prunes", lit(if (prunes) 1L else 0L))
+    }),
+    "q164_convert_in_place" -> ((s, dir) => {
+      import s.implicits._
+      // In-place CONVERT (PjConvert, Delta's CONVERT TO DELTA): a plain
+      // Hive-partitioned parquet directory becomes a commit-log table
+      // without rewriting a byte — distributed listing + index fleet, one
+      // exclusive commit. The converted table is then a full citizen:
+      // a DV DELETE lands on top and version 1 time-travels back to the
+      // adopted snapshot. DuckDB recomputes the post-DELETE aggregate from
+      // the source relation; the engine-checked literals pin the adoption
+      // facts (v1, files adopted untouched, every entry plannable).
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q164_conv")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      val orders = graft.Tables.orders(s, dir)
+        .filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus".cast("string").as("o_orderstatus"))
+      orders.repartition(2).write.partitionBy("o_orderstatus").parquet(tmp)
+      val before = {
+        val root = new org.apache.hadoop.fs.Path(tmp)
+        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+        fs.listFiles(root, true)
+      }
+      var sigBefore = Map.empty[String, (Long, Long)]
+      while (before.hasNext) {
+        val st = before.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          sigBefore += (st.getPath.toString -> (st.getLen, st.getModificationTime))
+      }
+      val r = graft.sources.pjparquet.PjConvert.convert(s, tmp)
+      val after = {
+        val root = new org.apache.hadoop.fs.Path(tmp)
+        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+        val it = fs.listFiles(root, true)
+        var m = Map.empty[String, (Long, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+              !st.getPath.getName.startsWith("."))
+            m += (st.getPath.toString -> (st.getLen, st.getModificationTime))
+        }
+        m
+      }
+      val snap = {
+        val root = new org.apache.hadoop.fs.Path(tmp)
+        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+        graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      }
+      val adopted = r.version == 1L && r.files > 0 && after == sigBefore &&
+        snap.entries.forall(_.planned)
+      s.conf.set("spark.sql.catalog.pj_q164", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"DELETE FROM pj_q164.`$tmp` WHERE o_orderkey % 2 = 0")
+      val v1Count = s.read.format("pjparquet").option("versionAsOf", "1")
+        .load(tmp).count()
+      val timeTravelExact = v1Count == orders.count()
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_custkey").as("cust_sum"))
+        .withColumn("adopted_in_place", lit(if (adopted) 1L else 0L))
+        .withColumn("v1_time_travel_exact", lit(if (timeTravelExact) 1L else 0L))
+        .orderBy($"o_orderstatus")
+    }),
+    "q165_optimized_write" -> ((s, dir) => {
+      import s.implicits._
+      // Optimized writes (pj.optimizeWrite.enabled, Delta parity): the
+      // write declares a NON-strict clustered distribution + advisory
+      // size, so Spark plans RebalancePartitions and AQE coalesces a
+      // many-task upstream into one right-sized file per partition value
+      // — no small-file storm — while files stay partition-pure. The
+      // engine literal pins the file economics (3 partition values from
+      // an 8-task upstream = exactly 3 files); DuckDB recomputes the data.
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q165_ow")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      s.conf.set("spark.sql.catalog.pj_q165", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q165.`$tmp` (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING) USING pjparquet PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES ('pj.optimizeWrite.enabled'='true')")
+      graft.Tables.orders(s, dir)
+        .filter($"o_orderkey" % 3 === 1)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus".cast("string").as("o_orderstatus"))
+        .repartition(8)
+        .writeTo(s"pj_q165.`$tmp`").append()
+      val files = {
+        val root = new org.apache.hadoop.fs.Path(tmp)
+        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+        graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.files
+      }
+      val statuses = s.table(s"pj_q165.`$tmp`").select($"o_orderstatus")
+        .distinct().count()
+      val coalesced = files.size.toLong == statuses
+      s.table(s"pj_q165.`$tmp`")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_orderkey").as("key_sum"))
+        .withColumn("one_file_per_partition", lit(if (coalesced) 1L else 0L))
+        .orderBy($"o_orderstatus")
+    }),
     "q161_copy_into" -> ((s, dir) => {
       import s.implicits._
       // Idempotent COPY INTO (round 14, PjCopyInto): a staging directory
@@ -2225,6 +2398,34 @@ object MetadataQueries {
         |FROM customer
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q166_hilbert_optimize" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax FROM lineitem),
+        |band AS (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem, b
+        |         WHERE l_partkey >= pmin + (pmax - pmin) // 4
+        |           AND l_partkey <= pmin + (pmax - pmin) // 2)
+        |SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS qty_sum,
+        |       CAST(sum(l_orderkey * l_partkey) AS BIGINT) AS key_checksum,
+        |       CAST(1 AS BIGINT) AS rewrote_once,
+        |       CAST(1 AS BIGINT) AS rerun_skipped,
+        |       CAST(1 AS BIGINT) AS hilbert_provenance,
+        |       CAST(1 AS BIGINT) AS band_prunes
+        |FROM band""".stripMargin,
+    "q164_convert_in_place" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(1 AS BIGINT) AS adopted_in_place,
+        |       CAST(1 AS BIGINT) AS v1_time_travel_exact
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q165_optimized_write" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS one_file_per_partition
+        |FROM orders
+        |WHERE o_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q161_copy_into" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -86,7 +86,8 @@ object PjProcedures {
     "vacuum", "expire_versions", "expire_older_than", "compact",
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
     "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
-    "materialize", "verify_log", "set_not_null", "copy_into")
+    "materialize", "verify_log", "set_not_null", "copy_into", "convert",
+    "generate_symlink_manifest")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -160,14 +161,17 @@ object PjProcedures {
         new Proc("optimize_zorder",
           Array(in("table", StringType), in("columns", StringType),
             inD("target_bytes", LongType, (128L * 1024 * 1024).toString),
-            inD("where", StringType, "''")),
+            inD("where", StringType, "''"),
+            inD("curve", StringType, "'zorder'")),
           compactSchema,
           { input =>
             val cols = input.getUTF8String(1).toString
               .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
             val where = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
+            val curve = Option(input.getUTF8String(4)).map(_.toString)
+              .filter(_.nonEmpty).getOrElse("zorder")
             val r = PjCompaction.optimize(spark, tableArg(input), cols, input.getLong(2),
-              where = where)
+              where = where, curve = curve)
             Seq(compactRow(r))
           })
       case "purge_deletion_vectors" =>
@@ -389,6 +393,37 @@ object PjProcedures {
             Seq(new GenericInternalRow(Array[Any](
               r.filesIngested, r.filesSkipped, r.filesPending,
               r.rowsIngested, r.version)))
+          })
+      case "convert" =>
+        // in-place adoption of a plain parquet directory (Delta's CONVERT
+        // TO DELTA): no data rewrite — distributed listing + index fleet,
+        // then ONE exclusive commit carrying every file entry
+        new Proc("convert",
+          Array(in("table", StringType),
+            inD("partition_columns", StringType, "''")),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("files_converted", LongType, nullable = false),
+            StructField("rows", LongType, nullable = false),
+            StructField("bytes", LongType, nullable = false),
+            StructField("partition_columns", StringType, nullable = false))),
+          { input =>
+            val r = PjConvert.convert(spark, tableArg(input),
+              Option(input.getUTF8String(1)).map(_.toString).filter(_.nonEmpty))
+            Seq(new GenericInternalRow(Array[Any](
+              r.version, r.files, r.rows, r.bytes, utf8(r.partitionColumns))))
+          })
+      case "generate_symlink_manifest" =>
+        // Delta's GENERATE symlink_format_manifest: external engines read
+        // the snapshot's exact file list instead of the directory
+        new Proc("generate_symlink_manifest", Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("data_files", LongType, nullable = false),
+            StructField("manifests", LongType, nullable = false))),
+          { input =>
+            val r = PjManifest.generate(spark, tableArg(input))
+            Seq(new GenericInternalRow(Array[Any](r.version, r.dataFiles, r.manifests)))
           })
       case "set_not_null" =>
         // ALTER COLUMN ... SET NOT NULL, the procedure face: Spark's own
