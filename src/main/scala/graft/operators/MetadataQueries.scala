@@ -1171,6 +1171,48 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q167_atomic_ctas_rtas" -> ((s, dir) => {
+      import s.implicits._
+      // Atomic CTAS + RTAS (StagingTableCatalog): CREATE TABLE AS SELECT
+      // materializes at a hidden sibling path and publishes by ONE
+      // directory rename; REPLACE TABLE AS SELECT flips the commit-log
+      // table with ONE exclusive commit — new schema visible atomically,
+      // the previous generation still time-travelable. DuckDB recomputes
+      // the final (replaced) content from the source relation; literals
+      // pin the atomicity facts.
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q167_ctas")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      s.conf.set("spark.sql.catalog.pj_q167", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"DROP TABLE IF EXISTS pj_q167_src")
+      graft.Tables.orders(s, dir)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus".cast("string").as("o_orderstatus"))
+        .createOrReplaceTempView("pj_q167_src")
+      s.sql(s"CREATE TABLE pj_q167.`$tmp` USING pjparquet AS " +
+        "SELECT o_orderkey, o_custkey FROM pj_q167_src WHERE o_orderkey % 4 = 0")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val v1 = graft.sources.pjparquet.PjCommitLog.latest(
+        fs, new org.apache.hadoop.fs.Path(tmp)).get
+      val ctasCount = s.table(s"pj_q167.`$tmp`").count()
+      s.sql(s"REPLACE TABLE pj_q167.`$tmp` USING pjparquet AS " +
+        "SELECT o_orderstatus, count(*) AS n_orders, sum(o_custkey) AS cust_sum " +
+        "FROM pj_q167_src GROUP BY o_orderstatus")
+      val v2 = graft.sources.pjparquet.PjCommitLog.latest(
+        fs, new org.apache.hadoop.fs.Path(tmp)).get
+      val oldGen = s.read.format("pjparquet")
+        .option("versionAsOf", v1.version.toString).load(tmp)
+      val atomicCtas = v1.version == 2L && v1.entries.forall(_.planned) &&
+        ctasCount == oldGen.count()
+      val atomicFlip = v2.version == v1.version + 1 &&
+        oldGen.columns.toSeq == Seq("o_orderkey", "o_custkey")
+      s.table(s"pj_q167.`$tmp`")
+        .withColumn("atomic_ctas", lit(if (atomicCtas) 1L else 0L))
+        .withColumn("atomic_flip", lit(if (atomicFlip) 1L else 0L))
+        .orderBy($"o_orderstatus")
+    }),
     "q166_hilbert_optimize" -> ((s, dir) => {
       import s.implicits._
       // OPTIMIZE ... curve => 'hilbert' (PjCompaction.optimize +
@@ -2399,6 +2441,12 @@ object MetadataQueries {
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q167_atomic_ctas_rtas" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(1 AS BIGINT) AS atomic_ctas,
+        |       CAST(1 AS BIGINT) AS atomic_flip
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q166_hilbert_optimize" ->
       """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax FROM lineitem),
         |band AS (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem, b

@@ -29,6 +29,7 @@ import graft.core.PJException
   * deleting the directory.
   */
 class PjCatalog extends CatalogPlugin with TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "pj"
@@ -118,7 +119,14 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    createTable(ident, schemaOf(columns), partitions, properties)
+
+  /** Connector `Column[]` → recorded `StructType`, preserving the default/
+    * generated/identity metadata under Spark's own keys.
+    */
+  private def schemaOf(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType = {
     import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn, ResolveDefaultColumns}
     val fields = columns.map { c =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
@@ -140,7 +148,7 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       }
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable(), mb.build())
     }
-    createTable(ident, StructType(fields.toIndexedSeq), partitions, properties)
+    StructType(fields.toIndexedSeq)
   }
 
   override def createTable(
@@ -148,6 +156,20 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    createAt(pathOf(ident), ident, schema, partitions, properties)
+    loadTable(ident)
+  }
+
+  /** [[createTable]]'s body against an explicit root path — shared with the
+    * staged CTAS lane ([[stageCreate]]), which materializes the table at a
+    * hidden sibling path and publishes by atomic rename.
+    */
+  private def createAt(
+      path: String,
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Unit = {
     // PARTITIONED BY (identity columns only — pjparquet partitioning is
     // Hive directory layout): the partition columns leave the recorded
     // DATA schema (files never store them) and record as the
@@ -183,7 +205,6 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     if (partCols.nonEmpty && dataFields.isEmpty)
       throw new PJException(
         s"$catalogName: a table cannot be partitioned by every column")
-    val path = pathOf(ident)
     val rootPath = new org.apache.hadoop.fs.Path(path)
     val fs = rootPath.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -220,7 +241,6 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       operation = Some("CREATE TABLE"),
       propertiesJson =
         if (canonical.nonEmpty) Some(PjTableProperties.render(canonical)) else None)
-    loadTable(ident)
   }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the ONE supported DDL:
@@ -837,4 +857,229 @@ class PjCatalog extends CatalogPlugin with TableCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"$catalogName: rename a pjparquet table by moving its directory")
+
+  // ------------------------------------------------- atomic CTAS / RTAS
+
+  /** Atomic `CREATE TABLE ... AS SELECT`: the whole table — log, data,
+    * sidecars — materializes at a hidden sibling path
+    * (`.<name>.ctas_tmp_<uuid>`, invisible to listings) and publishes by
+    * ONE directory rename. A failed query aborts by deleting the staging
+    * dir; the final path never holds a partial table.
+    */
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (finalPath, fs) = pathAndFs(ident)
+    if (existsAsTable(fs, finalPath))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, ident.name()))
+    stage(ident, finalPath, fs, schema, partitions, properties, replace = false)
+  }
+
+  override def stageCreate(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreate(ident, schemaOf(columns), partitions, properties)
+
+  /** Atomic `REPLACE TABLE ... AS SELECT` on a commit-log table: staged
+    * files move into the target dir under job-unique names (invisible —
+    * the snapshot does not list them) and ONE exclusive `replace` commit
+    * retires every current entry while adding the staged ones with the new
+    * schema and properties. Readers flip atomically; the PREVIOUS
+    * generation stays time-travelable until expiry (Delta's REPLACE
+    * semantics). A plain non-logged directory refuses — run
+    * `CALL pj.system.convert` first.
+    */
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (finalPath, fs) = pathAndFs(ident)
+    if (!existsAsTable(fs, finalPath))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name()))
+    requireLoggedForReplace(fs, finalPath)
+    stage(ident, finalPath, fs, schema, partitions, properties, replace = true)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplace(ident, schemaOf(columns), partitions, properties)
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (finalPath, fs) = pathAndFs(ident)
+    val replace = existsAsTable(fs, finalPath)
+    if (replace) requireLoggedForReplace(fs, finalPath)
+    stage(ident, finalPath, fs, schema, partitions, properties, replace = replace)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreateOrReplace(ident, schemaOf(columns), partitions, properties)
+
+  private def pathAndFs(ident: Identifier)
+      : (String, org.apache.hadoop.fs.FileSystem) = {
+    val path = pathOf(ident)
+    (path, new org.apache.hadoop.fs.Path(path).getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
+
+  private def existsAsTable(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    PjCommitLog.isEnabled(fs, p) || (fs.exists(p) && fs.listStatus(p).nonEmpty)
+  }
+
+  private def requireLoggedForReplace(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    if (!PjCommitLog.isEnabled(fs, new org.apache.hadoop.fs.Path(path)))
+      throw new PJException(
+        s"$catalogName: REPLACE TABLE needs a commit-log table at '$path' " +
+          "(the atomic flip is one log commit) — CALL pj.system.convert to " +
+          "adopt the plain directory first")
+
+  private def stage(
+      ident: Identifier,
+      finalPath: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val finalRoot = new org.apache.hadoop.fs.Path(finalPath)
+    val parent = Option(finalRoot.getParent).getOrElse(
+      throw new PJException(s"$catalogName: cannot stage at filesystem root '$finalPath'"))
+    fs.mkdirs(parent)
+    val staging = new org.apache.hadoop.fs.Path(parent,
+      s".${finalRoot.getName}.ctas_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    // the staged table is an ordinary pjparquet table at the hidden path:
+    // schema commit now, the CTAS query's data commit next, publish last
+    createAt(staging.toString, ident, schema, partitions, properties)
+    val baseVersion: Option[Long] =
+      if (replace) PjCommitLog.latest(fs, finalRoot).map(_.version) else None
+    new PjStagedTable(this, catalogName, ident, fs, staging, finalRoot, replace,
+      baseVersion)
+  }
+
+  private[pjparquet] def stagedLoad(path: String): Table =
+    resolve(Identifier.of(Array.empty, path))
+}
+
+/** The table handed to Spark's atomic CTAS/RTAS exec nodes: an ordinary
+  * [[PjParquetTable]] rooted at the hidden staging path, plus the publish /
+  * abort protocol.
+  */
+private[pjparquet] final class PjStagedTable(
+    catalog: PjCatalog,
+    catalogName: String,
+    ident: Identifier,
+    fs: org.apache.hadoop.fs.FileSystem,
+    staging: org.apache.hadoop.fs.Path,
+    finalRoot: org.apache.hadoop.fs.Path,
+    replace: Boolean,
+    /** REPLACE: the target head when staging began — the flip commits
+      * exclusively against it, so a concurrent writer conflicts loudly
+      * instead of being silently erased.
+      */
+    baseVersion: Option[Long])
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private val underlying: Table = catalog.stagedLoad(staging.toString)
+
+  override def name(): String = s"$catalogName.${ident.name()}"
+  override def schema(): StructType = underlying.schema()
+  override def partitioning(): Array[Transform] = underlying.partitioning()
+  override def properties(): util.Map[String, String] = underlying.properties()
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    underlying.capabilities()
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    underlying.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    if (!replace) {
+      // CREATE: one directory rename publishes the whole table
+      if (PjCommitLog.isEnabled(fs, finalRoot) ||
+          (fs.exists(finalRoot) && fs.listStatus(finalRoot).nonEmpty)) {
+        abortStagedChanges()
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          Seq(catalogName, ident.name()))
+      }
+      fs.delete(finalRoot, false) // empty placeholder dir blocks rename
+      if (!fs.rename(staging, finalRoot)) {
+        abortStagedChanges()
+        throw new PJException(
+          s"$catalogName: cannot publish staged table at '$finalRoot' " +
+            "(concurrent create?)")
+      }
+    } else {
+      // REPLACE: move the staged generation's files in (invisible until
+      // committed — the target snapshot does not list them), then flip
+      // with ONE exclusive commit carrying the new schema + properties
+      val staged = PjCommitLog.latest(fs, staging).getOrElse(
+        throw new PJException(s"$catalogName: staged table at '$staging' has no log"))
+      staged.entries.foreach { e =>
+        val src = new org.apache.hadoop.fs.Path(staging, e.path)
+        val dst = new org.apache.hadoop.fs.Path(finalRoot, e.path)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new PJException(
+            s"$catalogName: cannot move staged file '$src' into '$finalRoot'")
+        val sideSrc = PjParquetTable.hiddenSidecar(src)
+        if (fs.exists(sideSrc))
+          fs.rename(sideSrc, PjParquetTable.hiddenSidecar(dst))
+        val bloomSrc = new org.apache.hadoop.fs.Path(
+          src.getParent, s".${src.getName}.bloom")
+        if (fs.exists(bloomSrc))
+          fs.rename(bloomSrc, new org.apache.hadoop.fs.Path(
+            dst.getParent, s".${dst.getName}.bloom"))
+      }
+      val prevEntries = PjCommitLog.latest(fs, finalRoot).toSeq.flatMap(_.entries)
+      // staged row-id ranges were minted from the STAGING watermark; strip
+      // them so the target commit re-mints from its own (no recycled ids)
+      val adds = staged.entries.map(_.copy(baseRowId = -1L))
+      PjCommitLog.commit(fs, finalRoot, "replace",
+        add = adds,
+        remove = prevEntries.map(_.path).toSet,
+        dataSchemaJson = staged.dataSchemaJson,
+        operation = Some("REPLACE TABLE"),
+        readVersion = baseVersion,
+        propertiesJson = Some(staged.propertiesJson.getOrElse("{}")),
+        exclusive = true)
+      fs.delete(staging, true)
+    }
+    PjCommitLog.clearSnapshotCache()
+    PjParquetTable.clearLayoutCache()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    fs.delete(staging, true)
+    PjCommitLog.clearSnapshotCache()
+    PjParquetTable.clearLayoutCache()
+  }
 }
