@@ -1043,22 +1043,26 @@ private[pjparquet] final class PjStagedTable(
       // with ONE exclusive commit carrying the new schema + properties
       val staged = PjCommitLog.latest(fs, staging).getOrElse(
         throw new PJException(s"$catalogName: staged table at '$staging' has no log"))
-      staged.entries.foreach { e =>
-        val src = new org.apache.hadoop.fs.Path(staging, e.path)
-        val dst = new org.apache.hadoop.fs.Path(finalRoot, e.path)
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
-          throw new PJException(
-            s"$catalogName: cannot move staged file '$src' into '$finalRoot'")
-        val sideSrc = PjParquetTable.hiddenSidecar(src)
-        if (fs.exists(sideSrc))
-          fs.rename(sideSrc, PjParquetTable.hiddenSidecar(dst))
-        val bloomSrc = new org.apache.hadoop.fs.Path(
-          src.getParent, s".${src.getName}.bloom")
-        if (fs.exists(bloomSrc))
-          fs.rename(bloomSrc, new org.apache.hadoop.fs.Path(
-            dst.getParent, s".${dst.getName}.bloom"))
-      }
+      // move each staged file (+ sidecars) under its rel path — one Spark
+      // job above the threshold, so a million-file replace is one wave of
+      // parallel renames, not a sequential driver loop
+      val rels = staged.entries.map(_.path)
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+      val stagingStr = staging.toString
+      val finalStr = finalRoot.toString
+      if (rels.size >= PjStagedTable.ParallelMoveMinFiles && session.isDefined) {
+        PjStagedTable.distributedMoves.incrementAndGet()
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          session.get.sessionState.newHadoopConf())
+        session.get.sparkContext
+          .parallelize(rels, math.min(rels.size, 512))
+          .foreach { rel =>
+            PjStagedTable.moveStagedFile(
+              new org.apache.hadoop.fs.Path(stagingStr).getFileSystem(conf.value),
+              stagingStr, finalStr, rel)
+          }
+      } else rels.foreach(rel =>
+        PjStagedTable.moveStagedFile(fs, stagingStr, finalStr, rel))
       val prevEntries = PjCommitLog.latest(fs, finalRoot).toSeq.flatMap(_.entries)
       // staged row-id ranges were minted from the STAGING watermark; strip
       // them so the target commit re-mints from its own (no recycled ids)
@@ -1081,5 +1085,40 @@ private[pjparquet] final class PjStagedTable(
     fs.delete(staging, true)
     PjCommitLog.clearSnapshotCache()
     PjParquetTable.clearLayoutCache()
+  }
+}
+
+private[sources] object PjStagedTable {
+
+  /** Staged-file count at/above which the RTAS move runs as one Spark job
+    * (one rename wave across the cluster instead of a sequential driver
+    * loop — the difference between seconds and hours at a million files).
+    */
+  private[pjparquet] val ParallelMoveMinFiles = 64
+
+  /** Observability/spec counter: staged moves that ran distributed. */
+  private[sources] val distributedMoves = new java.util.concurrent.atomic.AtomicLong
+
+  /** Move one staged data file (+ `.index`/`.bloom` sidecars) under its
+    * table-relative path. Self-contained (strings only) so the
+    * distributed lane ships no table state.
+    */
+  private[pjparquet] def moveStagedFile(
+      mfs: org.apache.hadoop.fs.FileSystem,
+      stagingStr: String, finalStr: String, rel: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(stagingStr, rel)
+    val dst = new org.apache.hadoop.fs.Path(finalStr, rel)
+    mfs.mkdirs(dst.getParent)
+    if (!mfs.rename(src, dst))
+      throw new PJException(
+        s"pjparquet: cannot move staged file '$src' into '$finalStr'")
+    val sideSrc = PjParquetTable.hiddenSidecar(src)
+    if (mfs.exists(sideSrc))
+      mfs.rename(sideSrc, PjParquetTable.hiddenSidecar(dst))
+    val bloomSrc = new org.apache.hadoop.fs.Path(
+      src.getParent, s".${src.getName}.bloom")
+    if (mfs.exists(bloomSrc))
+      mfs.rename(bloomSrc, new org.apache.hadoop.fs.Path(
+        dst.getParent, s".${dst.getName}.bloom"))
   }
 }

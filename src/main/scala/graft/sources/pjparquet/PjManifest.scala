@@ -34,6 +34,15 @@ object PjManifest {
 
   val DirName = "_symlink_format_manifest"
 
+  /** Partition-dir count at/above which manifest writes run as one Spark
+    * job (one tiny text file per partition dir — at 100k partitions the
+    * sequential driver loop is 100k object-store round-trips).
+    */
+  private[pjparquet] val ParallelWriteMinDirs = 64
+
+  /** Observability/spec counter: manifest generations that distributed. */
+  private[sources] val distributedWrites = new java.util.concurrent.atomic.AtomicLong
+
   def generate(spark: SparkSession, root: String): Report = {
     val rootPath = new Path(root)
     generate(rootPath.getFileSystem(spark.sessionState.newHadoopConf()), rootPath, root)
@@ -82,7 +91,27 @@ object PjManifest {
     val manifestRoot = new Path(rootPath, DirName)
     // full regeneration: drop prior-generation manifests (stale partitions)
     fs.delete(manifestRoot, true)
-    byDir.foreach { case (rel, uris) =>
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    if (byDir.size >= ParallelWriteMinDirs && session.isDefined) {
+      // one Spark job writes every partition's manifest — wall-clock is
+      // one round-trip wave, not one per partition
+      distributedWrites.incrementAndGet()
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        session.get.sessionState.newHadoopConf())
+      val mrStr = manifestRoot.toString
+      val items = byDir.toSeq.map { case (rel, uris) =>
+        (rel, uris.mkString("", "\n", "\n"))
+      }
+      session.get.sparkContext
+        .parallelize(items, math.min(items.size, 512))
+        .foreach { case (rel, body) =>
+          val mr = new Path(mrStr)
+          val dir = if (rel.isEmpty) mr else new Path(mr, rel)
+          val dfs = dir.getFileSystem(conf.value)
+          dfs.mkdirs(dir)
+          publish(dfs, new Path(dir, "manifest"), body)
+        }
+    } else byDir.foreach { case (rel, uris) =>
       val dir = if (rel.isEmpty) manifestRoot else new Path(manifestRoot, rel)
       fs.mkdirs(dir)
       publish(fs, new Path(dir, "manifest"), uris.mkString("", "\n", "\n"))

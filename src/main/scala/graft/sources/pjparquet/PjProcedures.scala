@@ -158,19 +158,35 @@ object PjProcedures {
             Seq(compactRow(r))
           })
       case "optimize_zorder" =>
+        // `columns`/`curve` omitted fall back to the table's DECLARED
+        // clustering key (pj.cluster.columns / pj.cluster.curve — Delta's
+        // CLUSTER BY): the layout contract lives in the table, scheduled
+        // maintenance is just CALL optimize_zorder('/t')
         new Proc("optimize_zorder",
-          Array(in("table", StringType), in("columns", StringType),
+          Array(in("table", StringType), inD("columns", StringType, "''"),
             inD("target_bytes", LongType, (128L * 1024 * 1024).toString),
             inD("where", StringType, "''"),
-            inD("curve", StringType, "'zorder'")),
+            inD("curve", StringType, "''")),
           compactSchema,
           { input =>
-            val cols = input.getUTF8String(1).toString
-              .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+            val table = tableArg(input)
+            val explicit = Option(input.getUTF8String(1)).map(_.toString)
+              .getOrElse("").split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+            val cols =
+              if (explicit.nonEmpty) explicit
+              else recordedProp(table, PjTableProperties.ClusterColumns)
+                .toSeq.flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
+            if (cols.isEmpty) throw new PJException(
+              "pjparquet: optimize_zorder needs clustering columns — pass " +
+                s"'columns', or declare them once via the " +
+                s"${PjTableProperties.ClusterColumns} table property")
             val where = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
             val curve = Option(input.getUTF8String(4)).map(_.toString)
-              .filter(_.nonEmpty).getOrElse("zorder")
-            val r = PjCompaction.optimize(spark, tableArg(input), cols, input.getLong(2),
+              .filter(_.nonEmpty)
+              .orElse(recordedProp(table, PjTableProperties.ClusterCurve)
+                .map(_.toLowerCase(java.util.Locale.ROOT)))
+              .getOrElse("zorder")
+            val r = PjCompaction.optimize(spark, table, cols, input.getLong(2),
               where = where, curve = curve)
             Seq(compactRow(r))
           })

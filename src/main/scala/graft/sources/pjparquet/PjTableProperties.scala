@@ -109,6 +109,19 @@ object PjTableProperties {
     */
   val PartitionColumns = "pj.partition.columns"
 
+  /** `pj.cluster.columns` — the table's DECLARED clustering key (Delta's
+    * `CLUSTER BY`): comma-separated data columns `OPTIMIZE` clusters on
+    * when the call names none. Recorded once, so scheduled maintenance is
+    * `CALL pj.system.optimize_zorder('/t')` with the layout contract
+    * living in the table, not the cron job.
+    */
+  val ClusterColumns = "pj.cluster.columns"
+
+  /** `pj.cluster.curve` — the declared clustering curve (`zorder` |
+    * `hilbert`) used when `OPTIMIZE` does not name one.
+    */
+  val ClusterCurve = "pj.cluster.curve"
+
   /** `pj.symlinkManifest.enabled` — when true, every successful commit
     * regenerates the `_symlink_format_manifest/` tree ([[PjManifest]],
     * Delta's `symlinkFormatManifest.enabled`), keeping external
@@ -171,7 +184,9 @@ object PjTableProperties {
     PartitionColumns -> partitionColumnsValidator,
     OptimizeWriteEnabled -> boolValidator,
     OptimizeWriteBinSize -> posLongValidator,
-    SymlinkManifestEnabled -> boolValidator)
+    SymlinkManifestEnabled -> boolValidator,
+    ClusterColumns -> (_ => None), // any csv of names; resolved per-OPTIMIZE
+    ClusterCurve -> curveValidator)
 
   private def partitionColumnsValidator(v: String): Option[String] = {
     val bad =
@@ -187,6 +202,10 @@ object PjTableProperties {
   private def posIntValidator(v: String): Option[String] =
     try { if (v.toInt > 0) None else Some(s"expected a positive integer, got '$v'") }
     catch { case _: NumberFormatException => Some(s"expected a positive integer, got '$v'") }
+
+  private def curveValidator(v: String): Option[String] =
+    if (v.equalsIgnoreCase("zorder") || v.equalsIgnoreCase("hilbert")) None
+    else Some(s"expected zorder or hilbert, got '$v'")
 
   private def posLongValidator(v: String): Option[String] =
     try { if (v.toLong > 0) None else Some(s"expected a positive number, got '$v'") }

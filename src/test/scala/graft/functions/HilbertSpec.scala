@@ -108,6 +108,37 @@ class HilbertSpec extends AnyFunSuite {
     assert(hFracA <= 0.5, s"hilbert pruned too little on a: $hFracA")
   }
 
+  test("declared clustering (pj.cluster.columns/curve): OPTIMIZE with no args uses the table contract") {
+    val t = java.nio.file.Files.createTempDirectory("hilb_decl")
+    java.nio.file.Files.delete(t)
+    val dir = t.toString
+    spark.conf.set("spark.sql.catalog.pjdcl", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjdcl.`$dir` (x BIGINT, y BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.cluster.columns'='x,y', 'pj.cluster.curve'='hilbert')")
+    spark.range(0, 5000).select((col("id") % 70).as("x"), ((col("id") * 31) % 70).as("y"))
+      .writeTo(s"pjdcl.`$dir`").append()
+    val r = spark.sql(s"CALL pjdcl.system.optimize_zorder('$dir')").head()
+    assert(r.getLong(2) > 0, s"declared-key optimize must rewrite: $r")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.entries
+    assert(entries.forall(_.clusteredBy.exists(_.startsWith("hilbert:x,y"))),
+      s"declared curve + columns must drive the spec: ${entries.map(_.clusteredBy)}")
+    // explicit arguments still win over the declaration
+    val r2 = spark.sql(
+      s"CALL pjdcl.system.optimize_zorder('$dir', 'y,x', curve => 'zorder')").head()
+    assert(r2.getLong(2) > 0)
+    // no declaration + no argument refuses with the property hint
+    val bare = java.nio.file.Files.createTempDirectory("hilb_bare")
+    java.nio.file.Files.delete(bare)
+    spark.sql(s"CREATE TABLE pjdcl.`${bare}` (x BIGINT, y BIGINT) USING pjparquet")
+    spark.range(0, 10).select(col("id").as("x"), col("id").as("y"))
+      .writeTo(s"pjdcl.`${bare}`").append()
+    val e = intercept[Exception](
+      spark.sql(s"CALL pjdcl.system.optimize_zorder('${bare}')").head())
+    assert(e.getMessage.contains("pj.cluster.columns"), s"unhelpful: ${e.getMessage}")
+  }
+
   test("OPTIMIZE curve=hilbert: provenance recorded, same-spec rerun skips, curve switch re-clusters") {
     val t = java.nio.file.Files.createTempDirectory("hilb_opt")
     java.nio.file.Files.delete(t)

@@ -92,6 +92,21 @@ class PjManifestSpec extends AnyFunSuite {
     assert(manifestVersion == head - 1, "DV snapshot leaves the prior manifest standing")
   }
 
+  test("wide-partition tables generate manifests as ONE Spark job") {
+    val t = freshDir("pj_manifest_wide")
+    spark.sql(s"CREATE TABLE pjman.`$t` (id BIGINT, p BIGINT) USING pjparquet " +
+      "PARTITIONED BY (p)")
+    spark.range(0, 700).select($"id", ($"id" % 70).as("p")).writeTo(s"pjman.`$t`").append()
+    val before = PjManifest.distributedWrites.get()
+    val r = PjManifest.generate(spark, t)
+    assert(r.manifests == 70)
+    assert(PjManifest.distributedWrites.get() > before,
+      "a 70-partition manifest generation must run as a Spark job")
+    assert(readManifest(t, "p=33").size == 1)
+    val all = (0 until 70).flatMap(p => readManifest(t, s"p=$p"))
+    assert(spark.read.parquet(all.map(_.stripPrefix("file:")): _*).count() == 700L)
+  }
+
   test("unpartitioned: one root manifest; DV tables refuse until purged; unlogged dirs refuse") {
     val t = freshDir("pj_manifest_flat")
     spark.sql(s"CREATE TABLE pjman.`$t` (id BIGINT) USING pjparquet")

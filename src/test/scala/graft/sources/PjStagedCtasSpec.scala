@@ -63,6 +63,21 @@ class PjStagedCtasSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"staging dirs must be cleaned up: $leftovers")
   }
 
+  test("wide RTAS moves the staged generation as ONE Spark job") {
+    val t = freshPath("pj_rtas_wide")
+    spark.sql(s"CREATE TABLE pjctas.`$t` (id BIGINT) USING pjparquet")
+    spark.range(0, 10).writeTo(s"pjctas.`$t`").append()
+    val before = graft.sources.pjparquet.PjStagedTable.distributedMoves.get()
+    spark.sql(s"REPLACE TABLE pjctas.`$t` USING pjparquet AS " +
+      "SELECT /*+ REPARTITION(70) */ id FROM range(7000)")
+    assert(graft.sources.pjparquet.PjStagedTable.distributedMoves.get() > before,
+      "a 70-file staged move must run as a Spark job")
+    val df = spark.table(s"pjctas.`$t`")
+    assert(df.count() == 7000L)
+    assert(df.agg(sum($"id")).head().getLong(0) == (0L until 7000L).sum)
+    assert(head(t).entries.size == 70, "every staged file landed as a live entry")
+  }
+
   test("RTAS: atomic flip with new schema, previous generation time-travels; plain dirs refuse") {
     val t = freshPath("pj_rtas")
     spark.sql(s"CREATE TABLE pjctas.`$t` (id BIGINT, v STRING) USING pjparquet")
