@@ -616,7 +616,25 @@ object PjCommitLog {
       // timestamps. A wall-clock step-back (NTP correction, a different
       // writer host) must not make history non-monotone.
       val ts = math.max(nowMs(), prev.map(_.ts).getOrElse(0L) + 1)
-      val body = renderCommit(v, ts, action, trackedAdd,
+      // DATA-SKIPPING CAP (pj.dataSkipping.numIndexedCols, Delta parity):
+      // record per-file stats for the first N physical columns only — on
+      // wide tables the envelope dominates log size; absent stats can only
+      // disable pruning for those columns, never change results
+      val statsCapped = PjTableProperties.recorded(
+        propertiesJson.orElse(prev.flatMap(_.propertiesJson)),
+        PjTableProperties.DataSkippingNumIndexedCols)
+        .flatMap(s => scala.util.Try(s.toInt).toOption) match {
+        case Some(n) => trackedAdd.map { e =>
+          e.cols match {
+            case Some(cs) if e.stats.nonEmpty =>
+              val keep = cs.take(n).toSet
+              e.copy(stats = e.stats.filter { case (k, _) => keep.contains(k) })
+            case _ => e
+          }
+        }
+        case None => trackedAdd
+      }
+      val body = renderCommit(v, ts, action, statsCapped,
         effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
         propertiesJson, tableStatsJson, protocolJson, watermarkOut, preservedRows)
       if (publish(fs, commitFile(root, v), body)) {

@@ -586,7 +586,14 @@ object PjCompaction {
         * clustering curve); the provenance tag records the curve, so
         * switching re-clusters everything once.
         */
-      curve: String = "zorder"): Report = {
+      curve: String = "zorder",
+      /** `OPTIMIZE ... FULL` (Delta parity): ignore the per-file
+        * clustering provenance and re-rewrite everything in scope — the
+        * escape hatch when global clustering quality has degraded from
+        * many incremental passes (each pass clusters its own candidates
+        * well but only against each other).
+        */
+      force: Boolean = false): Report = {
     require(zorderCols.size >= 2, s"optimize needs >= 2 zorder columns, got $zorderCols")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(curve == "zorder" || curve == "hilbert",
@@ -635,12 +642,14 @@ object PjCompaction {
     val clusterSpec = s"$curve:${zorderPhys.mkString(",")}:bits=$bits"
     val entryByRelPre: Map[String, PjCommitLog.FileEntry] =
       prevSnap.toSeq.flatMap(_.entries).map(e => e.path -> e).toMap
-    val candidates = scoped.filter { f =>
-      entryByRelPre.get(PjCommitLog.relativize(fs, rootPath, new Path(f.path))) match {
-        case Some(e) => !(e.clusteredBy.contains(clusterSpec) && e.dv.isEmpty)
-        case None => true
+    val candidates =
+      if (force) scoped
+      else scoped.filter { f =>
+        entryByRelPre.get(PjCommitLog.relativize(fs, rootPath, new Path(f.path))) match {
+          case Some(e) => !(e.clusteredBy.contains(clusterSpec) && e.dv.isEmpty)
+          case None => true
+        }
       }
-    }
     if (candidates.isEmpty) return Report(all.size, 0, 0, all.size, 0, 0)
 
     val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)

@@ -87,7 +87,7 @@ object PjProcedures {
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
     "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
     "materialize", "verify_log", "set_not_null", "copy_into", "convert",
-    "generate_symlink_manifest")
+    "generate_symlink_manifest", "restore_to_timestamp")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -166,7 +166,8 @@ object PjProcedures {
           Array(in("table", StringType), inD("columns", StringType, "''"),
             inD("target_bytes", LongType, (128L * 1024 * 1024).toString),
             inD("where", StringType, "''"),
-            inD("curve", StringType, "''")),
+            inD("curve", StringType, "''"),
+            inD("full", BooleanType, "false")),
           compactSchema,
           { input =>
             val table = tableArg(input)
@@ -187,8 +188,31 @@ object PjProcedures {
                 .map(_.toLowerCase(java.util.Locale.ROOT)))
               .getOrElse("zorder")
             val r = PjCompaction.optimize(spark, table, cols, input.getLong(2),
-              where = where, curve = curve)
+              where = where, curve = curve, force = input.getBoolean(5))
             Seq(compactRow(r))
+          })
+      case "restore_to_timestamp" =>
+        // RESTORE TABLE TO TIMESTAMP AS OF: resolve the version by the
+        // in-commit timestamps (the same newest-first header scan SQL
+        // time travel uses), then the ordinary restore commit
+        new Proc("restore_to_timestamp",
+          Array(in("table", StringType), in("timestamp", StringType)),
+          StructType(Seq(
+            StructField("restored_to", LongType, nullable = false),
+            StructField("committed_version", LongType, nullable = true),
+            StructField("files_added", LongType, nullable = false),
+            StructField("files_removed", LongType, nullable = false))),
+          { input =>
+            val table = tableArg(input)
+            val tsMillis = PjParquetTable.parseTimestampMillis(
+              input.getUTF8String(1).toString, "timestamp")
+            val root = new org.apache.hadoop.fs.Path(table)
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val v = PjCommitLog.versionAtTimestamp(fs, root, tsMillis)
+            val r = PjRestore.restore(spark, table, v)
+            Seq(new GenericInternalRow(Array[Any](
+              r.restoredTo, r.committed.map(java.lang.Long.valueOf).orNull,
+              r.filesAdded, r.filesRemoved)))
           })
       case "purge_deletion_vectors" =>
         // Delta's REORG APPLY (PURGE): rewrite ONLY the files carrying

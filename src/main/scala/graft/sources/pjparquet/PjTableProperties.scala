@@ -109,6 +109,17 @@ object PjTableProperties {
     */
   val PartitionColumns = "pj.partition.columns"
 
+  /** `pj.dataSkipping.numIndexedCols` — cap the per-file stats envelope
+    * the commit log records to the first N physical columns (Delta's
+    * `dataSkippingNumIndexedCols`, default 32 there; unset = all columns
+    * here). On a 1000-column table every entry otherwise carries 1000
+    * min/max pairs — at millions of files that is the difference between
+    * a log that resolves in seconds and one that is itself big data.
+    * Absent stats can only disable pruning for those columns, never
+    * change results.
+    */
+  val DataSkippingNumIndexedCols = "pj.dataSkipping.numIndexedCols"
+
   /** `pj.cluster.columns` — the table's DECLARED clustering key (Delta's
     * `CLUSTER BY`): comma-separated data columns `OPTIMIZE` clusters on
     * when the call names none. Recorded once, so scheduled maintenance is
@@ -186,7 +197,8 @@ object PjTableProperties {
     OptimizeWriteBinSize -> posLongValidator,
     SymlinkManifestEnabled -> boolValidator,
     ClusterColumns -> (_ => None), // any csv of names; resolved per-OPTIMIZE
-    ClusterCurve -> curveValidator)
+    ClusterCurve -> curveValidator,
+    DataSkippingNumIndexedCols -> posIntValidator)
 
   private def partitionColumnsValidator(v: String): Option[String] = {
     val bad =

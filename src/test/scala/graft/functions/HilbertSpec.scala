@@ -163,6 +163,13 @@ class HilbertSpec extends AnyFunSuite {
     val r3 = spark.sql(
       s"CALL pjhil.system.optimize_zorder('$dir', 'x,y')").head()
     assert(r3.getLong(2) > 0, s"curve switch must re-cluster: $r3")
+    // same-spec rerun skips again; OPTIMIZE ... FULL overrides provenance
+    val r4 = spark.sql(
+      s"CALL pjhil.system.optimize_zorder('$dir', 'x,y')").head()
+    assert(r4.getLong(2) == 0, s"same-spec rerun must skip: $r4")
+    val r5 = spark.sql(
+      s"CALL pjhil.system.optimize_zorder('$dir', 'x,y', full => true)").head()
+    assert(r5.getLong(2) > 0, s"FULL must re-rewrite despite provenance: $r5")
     assert(spark.table(s"pjhil.`$dir`").count() == 10000L)
   }
 }

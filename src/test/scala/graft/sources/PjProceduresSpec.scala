@@ -100,6 +100,32 @@ class PjProceduresSpec extends AnyFunSuite {
     assert(spark.read.format("pjparquet").load(dir).count() == 2L)
   }
 
+  test("restore_to_timestamp: in-commit timestamps resolve the version, then the ordinary restore") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_proc_rts").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir) // v1
+    Seq((2L, "b")).toDF("id", "v").write.format("pjparquet")
+      .mode("append").save(dir) // v2
+    Seq((3L, "c")).toDF("id", "v").write.format("pjparquet")
+      .mode("append").save(dir) // v3
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tsOfV2 = graft.sources.pjparquet.PjCommitLog.history(fs, root)
+      .find(_.version == 2L).get.ts
+    val r = spark.sql(
+      s"CALL pjproc.system.restore_to_timestamp('$dir', '$tsOfV2')").head()
+    assert(r.getLong(0) == 2L, s"ts of v2 must resolve to v2: $r")
+    assert(spark.read.format("pjparquet").load(dir)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "HEAD must be the v2 content")
+    // a pre-table timestamp refuses like SQL time travel does
+    val e = intercept[Exception](spark.sql(
+      s"CALL pjproc.system.restore_to_timestamp('$dir', '5')").head())
+    assert(e.getMessage.toLowerCase.contains("before") ||
+      e.getMessage.toLowerCase.contains("no version"), s"got: ${e.getMessage}")
+  }
+
   test("unknown procedures and namespaces fail loudly; SHOW PROCEDURES lists them") {
     val e = intercept[Exception] {
       spark.sql("CALL pjproc.system.nope('x')").collect()

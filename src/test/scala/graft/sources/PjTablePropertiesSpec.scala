@@ -105,6 +105,28 @@ class PjTablePropertiesSpec extends AnyFunSuite {
       default = false) === true)
   }
 
+  test("pj.dataSkipping.numIndexedCols caps the recorded stats envelope; results stay exact") {
+    val dir = tempDir("skipcap")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
+    spark.sql(s"CREATE TABLE pjp.`$dir` (a BIGINT, b BIGINT, c STRING) USING pjparquet " +
+      "TBLPROPERTIES ('pj.dataSkipping.numIndexedCols'='1')")
+    spark.range(0, 100)
+      .select($"id".as("a"), ($"id" * 2).as("b"), $"id".cast("string").as("c"))
+      .coalesce(2).writeTo(s"pjp.`$dir`").append()
+    val head = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(head.entries.nonEmpty)
+    head.entries.foreach { e =>
+      assert(e.stats.keySet == Set("a"),
+        s"only the first physical column keeps a stats envelope: ${e.stats.keySet}")
+    }
+    // queries on UNindexed columns stay exact (no stats = no pruning, never
+    // a wrong answer); indexed-column pruning still works
+    val t = spark.table(s"pjp.`$dir`")
+    assert(t.filter($"b" === 42L).count() == 1L)
+    assert(t.filter($"a" < 10).count() == 10L)
+    assert(t.count() == 100L)
+  }
+
   test("pj.deletionVectors.enabled=false makes DELETE copy-on-write (no vectors)") {
     val dir = tempDir("dv_off")
     mkLogged(dir)
