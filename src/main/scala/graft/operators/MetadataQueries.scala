@@ -1171,6 +1171,52 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q168_cross_partition_merge" -> ((s, dir) => {
+      import s.implicits._
+      // Merge-on-read MERGE on a HIVE-PARTITIONED table whose UPDATE
+      // clause MOVES rows across partition directories (SET on the
+      // partition column): the delta writer decomposes each move into a
+      // position delete in the old directory plus an id-carrying insert
+      // routed to the new one, so the layout stays partition-pure.
+      // DuckDB recomputes the full post-MERGE state relationally — a
+      // hash-exact oracle over update-move + delete + insert at once.
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q168_xpm")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      s.conf.set("spark.sql.catalog.pj_q168", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q168.`$tmp` (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING) USING pjparquet PARTITIONED BY (o_orderstatus)")
+      val orders = graft.Tables.orders(s, dir)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus".cast("string").as("o_orderstatus"))
+      orders.filter($"o_orderkey" % 5 === 0).writeTo(s"pj_q168.`$tmp`").append()
+      orders
+        .filter($"o_orderkey" % 10 === 0 ||
+          ($"o_orderkey" % 5 === 1 && $"o_orderkey" % 3 === 0))
+        .select($"o_orderkey", ($"o_custkey" + 1000000L).as("o_custkey"),
+          lit("X").as("o_orderstatus"))
+        .createOrReplaceTempView("pj_q168_src")
+      s.sql(
+        s"""MERGE INTO pj_q168.`$tmp` t USING pj_q168_src s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.o_orderkey % 20 = 0 THEN
+           |  UPDATE SET o_orderstatus = s.o_orderstatus, o_custkey = s.o_custkey
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus)
+           |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus)
+           |""".stripMargin)
+      val files = {
+        val root = new org.apache.hadoop.fs.Path(tmp)
+        val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+        graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.files
+      }
+      val movedLanded = files.exists(_.startsWith("o_orderstatus=X/"))
+      s.table(s"pj_q168.`$tmp`")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum($"o_custkey").as("cust_sum"))
+        .withColumn("moved_rows_landed", lit(if (movedLanded) 1L else 0L))
+        .orderBy($"o_orderstatus")
+    }),
     "q167_atomic_ctas_rtas" -> ((s, dir) => {
       import s.implicits._
       // Atomic CTAS + RTAS (StagingTableCatalog): CREATE TABLE AS SELECT
@@ -2441,6 +2487,31 @@ object MetadataQueries {
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q168_cross_partition_merge" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 5 = 0),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, 'X' AS o_orderstatus
+        |  FROM orders
+        |  WHERE o_orderkey % 10 = 0 OR (o_orderkey % 5 = 1 AND o_orderkey % 3 = 0)),
+        |merged AS (
+        |  SELECT t.o_orderkey,
+        |         CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey % 20 = 0
+        |              THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |         CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey % 20 = 0
+        |              THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey % 20 <> 0
+        |              THEN 1 ELSE 0 END AS del
+        |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey),
+        |final AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM merged WHERE del = 0
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(1 AS BIGINT) AS moved_rows_landed
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_atomic_ctas_rtas" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
