@@ -1171,6 +1171,51 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q169_idempotent_txn" -> ((s, dir) => {
+      import s.implicits._
+      // Idempotent writer commits (txnAppId/txnVersion, Delta's
+      // SetTransaction): each batch declares an application transaction
+      // identity; a REPLAYED batch — the retried foreachBatch / restarted
+      // job case — is a metadata-rate no-op. Two batches land, three
+      // replays (same version, twice; an older version, once) change
+      // nothing. DuckDB recomputes the exactly-once content from the
+      // source relation; engine-checked literals pin the no-op facts.
+      val tmpDir = java.nio.file.Files.createTempDirectory("pj_q169_txn")
+      java.nio.file.Files.delete(tmpDir)
+      val tmp = tmpDir.toString
+      val orders = graft.Tables.orders(s, dir)
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus".cast("string").as("o_orderstatus"))
+      def writeBatch(rem: Int, ver: Long): Unit =
+        orders.filter($"o_orderkey" % 3 === rem)
+          .write.format("pjparquet").mode("append")
+          .option("log.enabled", "true")
+          .option("txnAppId", "q169-loader").option("txnVersion", ver.toString)
+          .save(tmp)
+      writeBatch(0, 1L)
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val vAfter1 = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get.version
+      writeBatch(0, 1L) // replay of batch 1
+      writeBatch(1, 2L) // batch 2
+      writeBatch(1, 2L) // replay of batch 2
+      writeBatch(0, 1L) // late replay of the OLDER batch
+      val head = graft.sources.pjparquet.PjCommitLog.latest(fs, root).get
+      val replaysNoOp = head.version == vAfter1 + 1 &&
+        head.txnVersion("q169-loader").contains(2L)
+      // every parquet file on disk is live in the snapshot — replays left
+      // no orphaned staged files behind
+      val onDisk = Option(new java.io.File(tmp).listFiles()).toSeq.flatten
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      val noOrphans = onDisk == head.files.size
+      s.read.format("pjparquet").load(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_custkey").as("cust_sum"))
+        .withColumn("replays_noop", lit(if (replaysNoOp) 1L else 0L))
+        .withColumn("no_orphans", lit(if (noOrphans) 1L else 0L))
+        .orderBy($"o_orderstatus")
+    }),
     "q168_cross_partition_merge" -> ((s, dir) => {
       import s.implicits._
       // Merge-on-read MERGE on a HIVE-PARTITIONED table whose UPDATE
@@ -2486,6 +2531,14 @@ object MetadataQueries {
         |FROM customer
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q169_idempotent_txn" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(1 AS BIGINT) AS replays_noop,
+        |       CAST(1 AS BIGINT) AS no_orphans
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q168_cross_partition_merge" ->
       """WITH tgt AS (

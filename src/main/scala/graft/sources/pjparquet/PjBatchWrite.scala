@@ -113,7 +113,12 @@ final class PjWriteBuilder(
     /** Optimized writes ([[PjTableProperties.OptimizeWriteEnabled]]):
       * advisory bytes per written file when enabled.
       */
-    optimizeWriteBytes: Option[Long] = None)
+    optimizeWriteBytes: Option[Long] = None,
+    /** Idempotent writer transaction (`txnAppId`/`txnVersion` write
+      * options, Delta parity): the commit records (appId, version) and
+      * becomes a metadata-rate no-op when already recorded.
+      */
+    txn: Option[(String, Long)] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -169,7 +174,8 @@ final class PjWriteBuilder(
       constraintsJson = layout.flatMap(_.constraintsJson),
       rowIdMetaOrdinal = rowIdMetaOrdinal,
       operationTag = operationTag,
-      optimizeWriteBytes = optimizeWriteBytes)
+      optimizeWriteBytes = optimizeWriteBytes,
+      txn = txn)
   }
 }
 
@@ -212,7 +218,9 @@ final class PjWrite(
       * the in-API equivalent of round-robin, and AQE's rebalance splitting
       * ignores key boundaries anyway).
       */
-    optimizeWriteBytes: Option[Long] = None)
+    optimizeWriteBytes: Option[Long] = None,
+    /** Idempotent writer transaction ([[PjCommitLog.commit]]'s `txn`). */
+    txn: Option[(String, Long)] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
@@ -252,7 +260,7 @@ final class PjWrite(
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
       logRequested, cdcEnabled, nameMap, augment, baseVersion, rowIdMetaOrdinal,
-      operationTag)
+      operationTag, txn)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -274,6 +282,11 @@ final class PjWrite(
         "pjparquet: identity columns are not supported by the streaming sink " +
           "(per-epoch watermark allocation would race); provide the column " +
           "values in the stream")
+    if (txn.isDefined)
+      throw new PJException(
+        "pjparquet: txnAppId/txnVersion apply to batch writes (use them in " +
+          "foreachBatch); the streaming sink's epoch commits are exactly-once " +
+          "already")
     new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns,
       sortColumns, logRequested, augment = augment, nameMap = nameMap,
       constraintsJson = constraintsJson)
@@ -440,7 +453,8 @@ final class PjBatchWrite(
     augment: Option[PjGenerated.Augment] = None,
     baseVersion: Option[Long] = None,
     rowIdMetaOrdinal: Int = -1,
-    operationTag: Option[String] = None)
+    operationTag: Option[String] = None,
+    txn: Option[(String, Long)] = None)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -486,6 +500,27 @@ final class PjBatchWrite(
     }
 
     val logging = logRequested || PjCommitLog.isEnabled(fs, rootPath)
+
+    // IDEMPOTENT TRANSACTIONS need the commit log to record against — a
+    // directory-mode table has nowhere to remember (appId, version)
+    if (txn.isDefined && !logging)
+      throw new PJException(
+        "pjparquet: txnAppId/txnVersion require a commit-log table " +
+          "(write with log.enabled=true, or CREATE the table through the catalog)")
+    // fast-path skip BEFORE the sidecar build: an already-recorded
+    // (appId, version) means this batch is a replay — discard its staged
+    // files and do nothing. The authoritative (race-safe) check re-runs
+    // inside the commit claim loop; this one only saves the index work.
+    def discardStagedFiles(): Unit =
+      for ((status, _, _) <- PjBatchWrite.listDataFiles(fs, rootPath))
+        if (status.getPath.getName.contains(jobUUID))
+          PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+    txn.foreach { case (app, ver) =>
+      if (PjCommitLog.latest(fs, rootPath).flatMap(_.txnVersion(app)).exists(_ >= ver)) {
+        discardStagedFiles()
+        return
+      }
+    }
 
     // sidecar indexes for the new files FIRST (executor-parallel, sized to
     // the commit): the facts they return — rows, footer fingerprint,
@@ -593,13 +628,21 @@ final class PjBatchWrite(
           }
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
             addEntries, retired, schemaJson, operation, readV, readParts,
-            exclusive = identityExclusive)
+            exclusive = identityExclusive, txn = txn)
         case None =>
           // adoption commit: pre-existing survivors enter path+size only
           val adopted = preExisting.filterNot { case (rel, _) => retired.contains(rel) }
             .map { case (rel, len) => PjCommitLog.FileEntry(rel, len) }
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
-            (adopted ++ addEntries).toSeq, Set.empty, schemaJson, operation)
+            (adopted ++ addEntries).toSeq, Set.empty, schemaJson, operation, txn = txn)
+      }
+      // a concurrent same-appId writer recorded this (appId, version)
+      // between the fast-path check and the claim — the claim loop turned
+      // this attempt into the no-op: discard the staged files (sidecars
+      // included) and leave the table exactly as the winner committed it
+      if (committedVersion == PjCommitLog.TxnSkipped) {
+        discardStagedFiles()
+        return
       }
       // `cdc.enabled` tables persist the DML diff post-commit
       // (Delta's enableChangeDataFeed contract): the copy-on-write commit

@@ -186,8 +186,24 @@ object PjCommitLog {
         * collide with ids preserved through rewrites. Monotone,
         * maintained by [[commit]].
         */
-      rowWatermark: Option[String] = None) {
+      rowWatermark: Option[String] = None,
+      /** IDEMPOTENT WRITER TRANSACTIONS (Delta's SetTransaction): the
+        * accumulated appId → highest recorded txnVersion map (flat JSON
+        * object). Each commit may carry ONE `txn` record; replay folds
+        * them into this map with max-wins semantics. A write declaring an
+        * (appId, version) already at-or-below the recorded watermark
+        * becomes a metadata-rate no-op — the exactly-once contract for
+        * retried `foreachBatch` batches and restarted batch jobs.
+        * RESTORE never records the lane, so idempotency state survives a
+        * rollback (a replayed batch stays a no-op after RESTORE — the
+        * rolled-back data rows are gone, but re-appending them blindly
+        * would double rows the application already considers delivered).
+        */
+      txnsJson: Option[String] = None) {
     def files: Seq[String] = entries.map(_.path)
+    /** Highest txnVersion recorded for `appId`, if any. */
+    def txnVersion(appId: String): Option[Long] =
+      PjCommitLog.parseTxns(txnsJson).get(appId)
   }
 
   /** One DESCRIBE-HISTORY row — read from each version's own (small) log
@@ -207,6 +223,37 @@ object PjCommitLog {
         * the change feed emits nothing for it, at metadata rate.
         */
       preservedRows: Boolean = false)
+
+  /** Sentinel returned by [[commit]] when an idempotent transaction's
+    * (appId, version) was already recorded: the write was SKIPPED — no
+    * version was claimed, and the caller must discard any staged files.
+    */
+  val TxnSkipped: Long = -1L
+
+  /** Parse the accumulated txn lane (flat JSON object appId → version). */
+  private[pjparquet] def parseTxns(json: Option[String]): Map[String, Long] =
+    json match {
+      case None => Map.empty
+      case Some(j) =>
+        new ObjectMapper().readTree(j).fields().asScala
+          .map(e => e.getKey -> e.getValue.asLong).toMap
+    }
+
+  private[pjparquet] def renderTxns(m: Map[String, Long]): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Fold one commit's txn record into the accumulated lane (max wins —
+    * a late-arriving replay of an older version must not regress the
+    * watermark).
+    */
+  private def mergeTxn(base: Option[String], appId: String, ver: Long): String = {
+    val m = parseTxns(base)
+    renderTxns(m + (appId -> math.max(ver, m.getOrElse(appId, Long.MinValue))))
+  }
 
   def logDir(root: Path): Path = new Path(root, DirName)
 
@@ -352,6 +399,7 @@ object PjCommitLog {
         st.tableStats = base.tableStatsJson
         st.protocol = base.protocolJson
         st.rowWatermark = base.rowWatermark
+        st.txns = base.txnsJson
         st.ts = base.ts
         st.action = base.action
         st.operation = base.operation
@@ -385,6 +433,7 @@ object PjCommitLog {
       st.tableStats = optText(node, "tableStats")
       st.protocol = optText(node, "protocol")
       st.rowWatermark = optText(node, "rowWatermark")
+      st.txns = optText(node, "txns")
       st.ts = node.path("ts").asLong(0L)
       st.action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -412,6 +461,7 @@ object PjCommitLog {
     var tableStats: Option[String] = None
     var protocol: Option[String] = None
     var rowWatermark: Option[String] = None
+    var txns: Option[String] = None
     var ts = 0L
     var action = "unknown"
     var operation: Option[String] = None
@@ -441,6 +491,11 @@ object PjCommitLog {
       optText(node, "tableStats").foreach(t => tableStats = Some(t))
       optText(node, "protocol").foreach(p => protocol = Some(p))
       optText(node, "rowWatermark").foreach(w => rowWatermark = Some(w))
+      // fold the commit's own txn record (if any) into the accumulated lane
+      val txnNode = node.path("txn")
+      if (txnNode.isObject)
+        txns = Some(mergeTxn(txns, txnNode.path("app").asText,
+          txnNode.path("ver").asLong))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
       operation = optText(node, "operation")
@@ -450,7 +505,7 @@ object PjCommitLog {
         entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation,
         constraintsJson = constraints, propertiesJson = properties,
         tableStatsJson = tableStats, protocolJson = protocol,
-        rowWatermark = rowWatermark)
+        rowWatermark = rowWatermark, txnsJson = txns)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -524,7 +579,16 @@ object PjCommitLog {
         * a pure move and REBASE, so auto-compaction never livelocks a busy
         * append stream.
         */
-      maintenance: Boolean = false): Long = {
+      maintenance: Boolean = false,
+      /** IDEMPOTENT TRANSACTION (Delta's txnAppId/txnVersion): when set,
+        * the commit both RECORDS (appId, version) in the txn lane and is
+        * SKIPPED entirely — returning [[TxnSkipped]], claiming no version
+        * — if the table already recorded a version >= the supplied one for
+        * that appId. Checked inside the claim loop, so losing a race to a
+        * concurrent same-appId writer that recorded the same version turns
+        * THIS attempt into the no-op instead of a double-write.
+        */
+      txn: Option[(String, Long)] = None): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -532,6 +596,9 @@ object PjCommitLog {
       val l = listing(fs, root)
       val prev = l.versions.lastOption.map(v => readAt(fs, root, v, l))
       val v = prev.map(_.version).getOrElse(0L) + 1
+      txn.foreach { case (app, ver) =>
+        if (prev.flatMap(_.txnVersion(app)).exists(_ >= ver)) return TxnSkipped
+      }
       // feature-flag guard: a table requiring features this build cannot
       // maintain refuses the write BEFORE claiming a version
       PjProtocol.checkWrite(prev.flatMap(_.protocolJson), fs.makeQualified(root).toString)
@@ -636,7 +703,7 @@ object PjCommitLog {
       }
       val body = renderCommit(v, ts, action, statsCapped,
         effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
-        propertiesJson, tableStatsJson, protocolJson, watermarkOut, preservedRows)
+        propertiesJson, tableStatsJson, protocolJson, watermarkOut, preservedRows, txn)
       if (publish(fs, commitFile(root, v), body)) {
         // cadence honors the table's recorded pj.checkpoint.interval —
         // this commit's own properties (when it sets them) win, else the
@@ -839,6 +906,7 @@ object PjCommitLog {
             h.tableStats.foreach(t => g.writeStringField("tableStats", t))
             h.protocol.foreach(p => g.writeStringField("protocol", p))
             h.rowWatermark.foreach(w => g.writeStringField("rowWatermark", w))
+            h.txns.foreach(t => g.writeStringField("txns", t))
             g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
             g.writeEndObject()
             g.flush()
@@ -873,6 +941,7 @@ object PjCommitLog {
       snap.tableStatsJson.foreach(t => g.writeStringField("tableStats", t))
       snap.protocolJson.foreach(p => g.writeStringField("protocol", p))
       snap.rowWatermark.foreach(w => g.writeStringField("rowWatermark", w))
+      snap.txnsJson.foreach(t => g.writeStringField("txns", t))
       if (asParquet)
         g.writeStringField("entriesParquet", checkpointParquetDir(root, v).getName)
       else {
@@ -980,7 +1049,8 @@ object PjCommitLog {
       nFiles: Long, ts: Long, action: String,
       schema: Option[String], constraints: Option[String],
       properties: Option[String], tableStats: Option[String],
-      protocol: Option[String], rowWatermark: Option[String])
+      protocol: Option[String], rowWatermark: Option[String],
+      txns: Option[String])
 
   private def incrementalParquetCheckpoint(
       spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
@@ -998,6 +1068,7 @@ object PjCommitLog {
     var tableStats = optText(prevNode, "tableStats")
     var protocol = optText(prevNode, "protocol")
     var rowWatermark = optText(prevNode, "rowWatermark")
+    var txns = optText(prevNode, "txns")
     var ts = 0L
     var action = "unknown"
     val touched = new java.util.LinkedHashSet[String]()
@@ -1017,6 +1088,10 @@ object PjCommitLog {
       optText(node, "tableStats").foreach(t => tableStats = Some(t))
       optText(node, "protocol").foreach(p => protocol = Some(p))
       optText(node, "rowWatermark").foreach(w => rowWatermark = Some(w))
+      val txnNode = node.path("txn")
+      if (txnNode.isObject)
+        txns = Some(mergeTxn(txns, txnNode.path("app").asText,
+          txnNode.path("ver").asLong))
       ts = node.path("ts").asLong(0L)
       action = Option(node.get("action")).map(_.asText).getOrElse("unknown")
     }
@@ -1048,7 +1123,7 @@ object PjCommitLog {
     // exact live-file count, metadata-rate (parquet footer row counts)
     val nFiles = spark.read.schema(CkptEntrySchema).parquet(dir.toString).count()
     Some(CkptHeader(nFiles, ts, action, schema, constraints, properties, tableStats,
-      protocol, rowWatermark))
+      protocol, rowWatermark, txns))
   }
 
   /** Entries of a parquet-backed checkpoint, read through the engine. */
@@ -1583,7 +1658,8 @@ object PjCommitLog {
       tableStatsJson: Option[String] = None,
       protocolJson: Option[String] = None,
       rowWatermark: Option[String] = None,
-      preservedRows: Boolean = false): String = {
+      preservedRows: Boolean = false,
+      txn: Option[(String, Long)] = None): String = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -1601,6 +1677,11 @@ object PjCommitLog {
     protocolJson.foreach(p => node.put("protocol", p))
     rowWatermark.foreach(w => node.put("rowWatermark", w))
     if (preservedRows) node.put("preservedRows", true)
+    txn.foreach { case (app, ver) =>
+      val t = node.putObject("txn")
+      t.put("app", app)
+      t.put("ver", ver)
+    }
     val addArr = node.putArray("add")
     add.foreach(e => addArr.add(entryNode(mapper, e)))
     val rmArr = node.putArray("remove")
