@@ -37,6 +37,50 @@ object PjVacuum {
   /** Observability/spec counter: BFS waves that ran as Spark jobs. */
   private[sources] val distributedWaves = new java.util.concurrent.atomic.AtomicLong
 
+  /** Victim count at/above which physical deletes run as ONE Spark job
+    * instead of a sequential driver loop — a million orphan deletes on an
+    * object store are hours of serialized round-trips otherwise (Delta's
+    * `spark.databricks.delta.vacuum.parallelDelete.enabled`). Below it
+    * the driver deletes directly: no job-launch latency for small sweeps.
+    */
+  private[sources] val ParallelDeleteMinFiles = 64
+
+  /** Observability/spec counter: delete batches that ran as Spark jobs. */
+  private[sources] val distributedDeleteJobs = new java.util.concurrent.atomic.AtomicLong
+
+  /** Delete every path (its `.index`/`.bloom` sidecars too when
+    * `withSidecars`): driver loop below [[ParallelDeleteMinFiles]], one
+    * Spark job above it — the delete round-trips spread across executors,
+    * wall-clock drops from O(victims) to O(victims / cluster).
+    */
+  private def deleteAll(
+      spark: SparkSession, hconf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, paths: Seq[Path],
+      withSidecars: Boolean): Unit = {
+    if (paths.isEmpty) return
+    if (paths.size < ParallelDeleteMinFiles) {
+      paths.foreach { p =>
+        if (withSidecars) PjBatchWrite.deleteWithSidecars(fs, p)
+        else fs.delete(p, false)
+      }
+    } else {
+      distributedDeleteJobs.incrementAndGet()
+      val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+      val strs = paths.map(_.toString)
+      spark.sparkContext
+        .parallelize(strs, math.max(1, math.min(strs.size / 16 + 1, 512)))
+        .foreachPartition { it =>
+          var pfs: org.apache.hadoop.fs.FileSystem = null
+          it.foreach { s =>
+            val p = new Path(s)
+            if (pfs == null) pfs = p.getFileSystem(serConf.value)
+            if (withSidecars) PjBatchWrite.deleteWithSidecars(pfs, p)
+            else pfs.delete(p, false)
+          }
+        }
+    }
+  }
+
   /** Executor-parallel recursive listing: BFS over the directory tree in
     * waves — each wave lists the whole current frontier in ONE Spark job
     * (one task per directory slice), so wall-clock tracks tree DEPTH while
@@ -112,15 +156,15 @@ object PjVacuum {
       else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
         dataFiles += p.toString
     }
-    sidecars.foreach { case (sc, suffix) =>
+    val orphanVictims = sidecars.collect {
       // `.NAME.parquet<suffix>` -> sibling `NAME.parquet`
-      val dataName = sc.getName.stripPrefix(".").stripSuffix(suffix)
-      val data = new Path(sc.getParent, dataName)
-      if (!dataFiles.contains(data.toString)) {
-        fs.delete(sc, false)
-        orphans += 1
-      }
+      case (sc, suffix)
+          if !dataFiles.contains(
+            new Path(sc.getParent, sc.getName.stripPrefix(".").stripSuffix(suffix))
+              .toString) => sc
     }
+    deleteAll(spark, hconf, fs, orphanVictims.toSeq, withSidecars = false)
+    orphans += orphanVictims.size
     Report(orphans, workDirs)
   }
 
@@ -222,11 +266,12 @@ object PjVacuum {
           victims += p
       }
     }
-    victims.foreach { p =>
-      if (!dryRun) PjBatchWrite.deleteWithSidecars(fs, p)
-      reclaimed += 1
-    }
+    if (!dryRun)
+      deleteAll(spark, spark.sessionState.newHadoopConf(), fs, victims.toSeq,
+        withSidecars = true)
+    reclaimed += victims.size
     // unreferenced deletion vectors under _pj_dv/
+    val dvVictims = scala.collection.mutable.ArrayBuffer.empty[Path]
     val dvDir = PjDeletionVector.dvDir(rootPath)
     if (fs.exists(dvDir)) {
       val dit = fs.listFiles(dvDir, false)
@@ -236,13 +281,14 @@ object PjVacuum {
         if (s.isFile && n.endsWith(".dv") && !n.startsWith(".") &&
             (minFileAgeMillis <= 0 || s.getModificationTime <= cutoff)) {
           val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
-          if (!referencedDvs.contains(rel)) {
-            if (!dryRun) fs.delete(s.getPath, false)
-            reclaimed += 1
-          }
+          if (!referencedDvs.contains(rel)) dvVictims += s.getPath
         }
       }
     }
+    if (!dryRun)
+      deleteAll(spark, spark.sessionState.newHadoopConf(), fs, dvVictims.toSeq,
+        withSidecars = false)
+    reclaimed += dvVictims.size
     if (!dryRun) {
       drop.foreach { v =>
         PjCommitLog.versionFiles(rootPath, v).foreach(p => fs.delete(p, true))

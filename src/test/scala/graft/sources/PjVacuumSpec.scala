@@ -87,6 +87,35 @@ class PjVacuumSpec extends AnyFunSuite {
     assert(spark.read.format("pjparquet").load(dir).count() == 100L)
   }
 
+  test("10k-victim expiry deletes as a Spark job; dry and wet reports byte-identical") {
+    // a sequential driver loop over 10k object-store deletes is minutes of
+    // round-trips — above ParallelDeleteMinFiles the sweep must run as ONE
+    // Spark job, with the reclaim report unchanged from the driver path
+    val dir = java.nio.file.Files.createTempDirectory("pj_vacuum_bulk").toString
+    (0L until 10L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.format("pjparquet").mode("append")
+      .option("log.enabled", "true").save(dir)
+    // plant 10k unreferenced data files (aborted-writer leftovers): real
+    // victims without the cost of 10k real parquet writes
+    val nVictims = 10000
+    for (i <- 0 until nVictims)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/orphan-$i.parquet"), Array[Byte](0x50, 0x41))
+    val jobsBefore = PjVacuum.distributedDeleteJobs.get()
+    val dry = PjVacuum.expireVersions(spark, dir, keepVersions = 1, dryRun = true)
+    assert(PjVacuum.distributedDeleteJobs.get() == jobsBefore,
+      "dry run must not launch delete jobs")
+    val wet = PjVacuum.expireVersions(spark, dir, keepVersions = 1)
+    assert(PjVacuum.distributedDeleteJobs.get() > jobsBefore,
+      "10k victims must delete through a Spark job, not a driver loop")
+    assert(dry == wet, s"dry=$dry wet=$wet")
+    assert(wet.filesReclaimed == nVictims.toLong, s"$wet")
+    assert(!new java.io.File(s"$dir/orphan-0.parquet").exists())
+    assert(!new java.io.File(s"$dir/orphan-${nVictims - 1}.parquet").exists())
+    // the live table is untouched
+    assert(spark.read.format("pjparquet").load(dir).count() == 10L)
+  }
+
   test("removes orphan sidecars and abandoned work dirs, keeps live pairs") {
     val dir = java.nio.file.Files.createTempDirectory("pj_vacuum").toString
     PjWriter.writeWithIndex(
