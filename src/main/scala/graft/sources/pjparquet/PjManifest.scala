@@ -17,11 +17,21 @@ import graft.core.PJException
   * Layout mirrors the table's partitioning (one
   * `_symlink_format_manifest/<k=v>/.../manifest` per live partition
   * directory; a single `manifest` at the root for unpartitioned tables),
-  * each holding one absolute data-file URI per line. Manifests publish via
-  * temp+rename, and the whole tree is regenerated per call (stale
-  * partition manifests from prior generations are removed, Delta's
-  * contract). A `_version` marker records the manifested snapshot so
-  * staleness is detectable.
+  * each holding one absolute data-file URI per line. ATOMICITY: every
+  * manifest publishes via temp+rename, new/changed partition manifests are
+  * written FIRST and stale partition manifests removed ONLY AFTERWARDS —
+  * an external reader racing a regeneration always sees a complete
+  * manifest per partition (old or new generation), never an empty or
+  * half-written tree. A `_version` marker records the manifested snapshot
+  * so staleness is detectable; it publishes last.
+  *
+  * AUTO-MAINTENANCE (`pj.symlinkManifest.enabled`) is INCREMENTAL: a
+  * commit whose predecessor is already manifested rewrites only the
+  * partition manifests its delta touched — an append landing in 1 of
+  * 100k partitions costs 1 manifest write + `_version`, not 100k
+  * object-store round-trips (Delta's incremental manifest mode). The
+  * explicit `CALL pj.system.generate_symlink_manifest` always
+  * regenerates in full.
   *
   * Tables carrying DELETION VECTORS refuse: an external reader sees raw
   * files, so DV-masked rows would resurrect — run
@@ -34,6 +44,8 @@ object PjManifest {
 
   val DirName = "_symlink_format_manifest"
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Partition-dir count at/above which manifest writes run as one Spark
     * job (one tiny text file per partition dir — at 100k partitions the
     * sequential driver loop is 100k object-store round-trips).
@@ -43,25 +55,76 @@ object PjManifest {
   /** Observability/spec counter: manifest generations that distributed. */
   private[sources] val distributedWrites = new java.util.concurrent.atomic.AtomicLong
 
+  /** Observability/spec counter: partition manifests written (by any
+    * path) — the incremental-maintenance spec pins "1 touched of 1000"
+    * on it.
+    */
+  private[sources] val manifestsWritten = new java.util.concurrent.atomic.AtomicLong
+
   def generate(spark: SparkSession, root: String): Report = {
     val rootPath = new Path(root)
     generate(rootPath.getFileSystem(spark.sessionState.newHadoopConf()), rootPath, root)
   }
 
   /** Post-commit maintenance hook (`pj.symlinkManifest.enabled`, Delta's
-    * `symlinkFormatManifest.enabled`): regenerate after every commit so the
-    * external view tracks HEAD. Best-effort by contract — a DV-carrying
-    * snapshot is skipped (the manifest stays at its last DV-free version,
-    * detectable via the `_version` marker) rather than failing the commit
-    * that already published.
+    * `symlinkFormatManifest.enabled`): keep the external view at HEAD,
+    * incrementally when the predecessor version is already manifested.
+    * Best-effort by contract — a DV-carrying snapshot is skipped (the
+    * manifest stays at its last DV-free version, detectable via the
+    * `_version` marker) rather than failing the commit that already
+    * published; every swallowed failure logs at warn so a stale external
+    * view is diagnosable.
     */
   private[pjparquet] def autoMaintain(
       fs: org.apache.hadoop.fs.FileSystem, rootPath: Path): Unit =
-    try generate(fs, rootPath, rootPath.toString)
-    catch { case scala.util.control.NonFatal(_) => }
+    try maintain(fs, rootPath)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn("pjparquet: symlink-manifest maintenance failed for {} " +
+          "(the external _version marker may now be stale): {}",
+          rootPath.toString, e.toString)
+    }
 
-  private def generate(
-      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path, root: String): Report = {
+  /** Incremental maintenance: when the on-disk `_version` marker names the
+    * head commit's PREDECESSOR and the head is a delta commit, rewrite
+    * only the partition manifests the delta touched; anything else falls
+    * back to a full regeneration.
+    */
+  private def maintain(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path): Unit = {
+    val snap = requireManifestable(fs, rootPath, rootPath.toString)
+    val manifestRoot = new Path(rootPath, DirName)
+    val manifested = readVersionMarker(fs, manifestRoot)
+    if (manifested.contains(snap.version)) return
+    if (!manifested.contains(snap.version - 1)) {
+      generate(fs, rootPath, rootPath.toString); return
+    }
+    val d = PjCommitLog.delta(fs, rootPath, snap.version)
+    if (d.legacyFull) { generate(fs, rootPath, rootPath.toString); return }
+    val touched: Set[String] =
+      (d.add.map(_.path) ++ d.remove).map(relDirOf).toSet
+    if (touched.isEmpty) { publishVersion(fs, manifestRoot, snap.version); return }
+    val byDir = liveUrisByDir(fs, rootPath, snap)
+    // new/changed manifests first (atomic per file), stale dirs after —
+    // a racing external reader never sees a partition without a manifest
+    touched.foreach { rel =>
+      byDir.get(rel) match {
+        case Some(uris) =>
+          val dir = if (rel.isEmpty) manifestRoot else new Path(manifestRoot, rel)
+          fs.mkdirs(dir)
+          publish(fs, new Path(dir, "manifest"), uris.mkString("", "\n", "\n"))
+          manifestsWritten.incrementAndGet()
+        case None => // partition went empty: its manifest dir is stale
+          val dir = if (rel.isEmpty) manifestRoot else new Path(manifestRoot, rel)
+          if (rel.isEmpty) fs.delete(new Path(dir, "manifest"), false)
+          else fs.delete(dir, true)
+      }
+    }
+    publishVersion(fs, manifestRoot, snap.version)
+  }
+
+  private def requireManifestable(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      root: String): PjCommitLog.Snapshot = {
     val snap = PjCommitLog.latest(fs, rootPath).getOrElse(
       throw new PJException(
         s"pjparquet: '$root' is not a commit-log table — symlink manifests " +
@@ -72,25 +135,61 @@ object PjManifest {
         s"pjparquet: '$root' carries deletion vectors — external readers " +
           "consume raw files, so DV-deleted rows would resurrect in the " +
           "manifested view. Run CALL pj.system.purge_deletion_vectors first")
+    snap
+  }
+
+  /** Live files grouped by partition directory (rel dir = the manifest's
+    * partition path); shallow-clone entries (absolute paths outside the
+    * root) manifest under the root — external readers follow the URIs,
+    * not the layout.
+    */
+  private def liveUrisByDir(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      snap: PjCommitLog.Snapshot): Map[String, Seq[String]] = {
     val rootQ = fs.makeQualified(rootPath)
-    // group live files by their partition directory (rel dir = the
-    // manifest's partition path); shallow-clone entries (absolute paths
-    // outside the root) manifest under the root — external readers follow
-    // the URIs, not the layout
-    val byDir: Map[String, Seq[String]] = snap.entries
+    snap.entries
       .filterNot(_.isEmptyFile)
       .map { e =>
         val abs = new Path(rootQ, e.path)
-        val rel = if (e.path.startsWith("/")) "" else {
-          val i = e.path.lastIndexOf('/')
-          if (i < 0) "" else e.path.substring(0, i)
-        }
-        (rel, fs.makeQualified(abs).toUri.toString)
+        (relDirOf(e.path), fs.makeQualified(abs).toUri.toString)
       }
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+  }
+
+  private def relDirOf(entryPath: String): String =
+    if (entryPath.startsWith("/")) ""
+    else {
+      val i = entryPath.lastIndexOf('/')
+      if (i < 0) "" else entryPath.substring(0, i)
+    }
+
+  private def readVersionMarker(
+      fs: org.apache.hadoop.fs.FileSystem, manifestRoot: Path): Option[Long] =
+    try {
+      val in = fs.open(new Path(manifestRoot, "_version"))
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8").trim
+      } finally in.close()
+      if (body.nonEmpty && body.forall(_.isDigit)) Some(body.toLong) else None
+    } catch { case _: java.io.IOException => None }
+
+  private def publishVersion(
+      fs: org.apache.hadoop.fs.FileSystem, manifestRoot: Path, v: Long): Unit = {
+    fs.mkdirs(manifestRoot)
+    publish(fs, new Path(manifestRoot, "_version"), s"$v\n")
+  }
+
+  private def generate(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path, root: String): Report = {
+    val snap = requireManifestable(fs, rootPath, root)
+    val byDir = liveUrisByDir(fs, rootPath, snap)
     val manifestRoot = new Path(rootPath, DirName)
-    // full regeneration: drop prior-generation manifests (stale partitions)
-    fs.delete(manifestRoot, true)
+    // stale dirs = partitions manifested by a prior generation that hold
+    // no live file now; collected BEFORE writing so the delete wave below
+    // can run after the new manifests are all in place
+    val stale: Seq[String] = listManifestDirs(fs, manifestRoot).filterNot(byDir.contains)
     val session = org.apache.spark.sql.SparkSession.getActiveSession
     if (byDir.size >= ParallelWriteMinDirs && session.isDefined) {
       // one Spark job writes every partition's manifest — wall-clock is
@@ -116,9 +215,35 @@ object PjManifest {
       fs.mkdirs(dir)
       publish(fs, new Path(dir, "manifest"), uris.mkString("", "\n", "\n"))
     }
-    publish(fs, new Path(manifestRoot, "_version"), s"${snap.version}\n")
+    manifestsWritten.addAndGet(byDir.size.toLong)
+    // only now drop prior-generation manifests (each publish above already
+    // replaced its partition's file atomically): racing readers saw a
+    // complete old or new manifest at every instant
+    stale.foreach { rel =>
+      if (rel.isEmpty) fs.delete(new Path(manifestRoot, "manifest"), false)
+      else fs.delete(new Path(manifestRoot, rel), true)
+    }
+    publishVersion(fs, manifestRoot, snap.version)
     Report(snap.version, byDir.valuesIterator.map(_.size.toLong).sum, byDir.size.toLong)
   }
+
+  /** Rel dirs that currently hold a `manifest` file ("" = root). */
+  private def listManifestDirs(
+      fs: org.apache.hadoop.fs.FileSystem, manifestRoot: Path): Seq[String] =
+    try {
+      val rootQ = fs.makeQualified(manifestRoot).toString
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(manifestRoot, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName == "manifest") {
+          val parent = fs.makeQualified(s.getPath.getParent).toString
+          out += (if (parent == rootQ) ""
+          else parent.stripPrefix(rootQ).stripPrefix("/"))
+        }
+      }
+      out.result()
+    } catch { case _: java.io.FileNotFoundException => Nil }
 
   private def publish(fs: org.apache.hadoop.fs.FileSystem, dst: Path, body: String): Unit = {
     val tmp = new Path(dst.getParent, s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")

@@ -92,6 +92,51 @@ class PjManifestSpec extends AnyFunSuite {
     assert(manifestVersion == head - 1, "DV snapshot leaves the prior manifest standing")
   }
 
+  test("incremental maintenance: an append touching 1 of 300 partitions rewrites exactly 1 manifest") {
+    val t = freshDir("pj_manifest_incr")
+    spark.sql(s"CREATE TABLE pjman.`$t` (id BIGINT, p BIGINT) USING pjparquet " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('pj.symlinkManifest.enabled'='true')")
+    // first append manifests all 300 partitions (full generation)
+    spark.range(0, 300).select($"id", $"id".as("p")).writeTo(s"pjman.`$t`").append()
+    def manifestVersion: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, PjManifest.DirName, "_version")), "UTF-8").trim.toLong
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(manifestVersion == PjCommitLog.latest(fs, root).get.version)
+    val before7 = readManifest(t, "p=7")
+    // the incremental commit: one partition touched → ONE manifest write
+    val written = PjManifest.manifestsWritten.get()
+    spark.range(1000, 1002).select($"id", lit(5L).as("p")).writeTo(s"pjman.`$t`").append()
+    assert(PjManifest.manifestsWritten.get() == written + 1,
+      s"append touching p=5 alone must rewrite exactly 1 manifest, " +
+        s"wrote ${PjManifest.manifestsWritten.get() - written}")
+    assert(manifestVersion == PjCommitLog.latest(fs, root).get.version)
+    // the external view is exact: p=5 holds both files, p=7 untouched
+    assert(readManifest(t, "p=5").size == 2)
+    assert(readManifest(t, "p=7") == before7)
+    // a partition going empty drops its manifest incrementally
+    spark.sql(s"DELETE FROM pjman.`$t` WHERE p = 9")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, PjManifest.DirName, "p=9", "manifest")))
+    assert(manifestVersion == PjCommitLog.latest(fs, root).get.version)
+    // the full external file set still matches the snapshot exactly
+    val allManifested = {
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(new Path(t, PjManifest.DirName), true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName == "manifest")
+          out ++= scala.io.Source.fromInputStream(fs.open(s.getPath))
+            .getLines().filter(_.nonEmpty)
+      }
+      out.result().toSet
+    }
+    val rootQ = fs.makeQualified(root)
+    val live = PjCommitLog.latest(fs, root).get.entries
+      .map(e => fs.makeQualified(new Path(rootQ, e.path)).toUri.toString).toSet
+    assert(allManifested == live, "external view must equal the snapshot")
+  }
+
   test("wide-partition tables generate manifests as ONE Spark job") {
     val t = freshDir("pj_manifest_wide")
     spark.sql(s"CREATE TABLE pjman.`$t` (id BIGINT, p BIGINT) USING pjparquet " +
