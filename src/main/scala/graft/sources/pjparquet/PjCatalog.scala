@@ -1067,7 +1067,7 @@ private[pjparquet] final class PjStagedTable(
       // staged row-id ranges were minted from the STAGING watermark; strip
       // them so the target commit re-mints from its own (no recycled ids)
       val adds = staged.entries.map(_.copy(baseRowId = -1L))
-      PjCommitLog.commit(fs, finalRoot, "replace",
+      try PjCommitLog.commit(fs, finalRoot, "replace",
         add = adds,
         remove = prevEntries.map(_.path).toSet,
         dataSchemaJson = staged.dataSchemaJson,
@@ -1075,6 +1075,18 @@ private[pjparquet] final class PjStagedTable(
         readVersion = baseVersion,
         propertiesJson = Some(staged.propertiesJson.getOrElse("{}")),
         exclusive = true)
+      catch {
+        case e: Throwable =>
+          // the exclusive flip lost (concurrent writer): the moved files
+          // were never committed — best-effort delete them from the
+          // target instead of leaving orphans for vacuum (their rel
+          // paths are exactly the staged entry list)
+          try rels.foreach { rel =>
+            PjBatchWrite.deleteWithSidecars(
+              fs, new org.apache.hadoop.fs.Path(finalRoot, rel))
+          } catch { case scala.util.control.NonFatal(_) => /* vacuum reclaims */ }
+          throw e
+      }
       fs.delete(staging, true)
     }
     PjCommitLog.clearSnapshotCache()

@@ -684,22 +684,43 @@ object PjCommitLog {
       // writer host) must not make history non-monotone.
       val ts = math.max(nowMs(), prev.map(_.ts).getOrElse(0L) + 1)
       // DATA-SKIPPING CAP (pj.dataSkipping.numIndexedCols, Delta parity):
-      // record per-file stats for the first N physical columns only — on
-      // wide tables the envelope dominates log size; absent stats can only
-      // disable pruning for those columns, never change results
+      // record per-file stats for the TABLE SCHEMA's leading N columns
+      // only — on wide tables the envelope dominates log size; absent
+      // stats can only disable pruning for those columns, never change
+      // results. Keyed off the recorded schema (not each file's own
+      // physical column order) so files written under different schema
+      // generations index the SAME column set; Delta's sentinels: -1 =
+      // all columns (no cap), 0 = collect none.
       val statsCapped = PjTableProperties.recorded(
         propertiesJson.orElse(prev.flatMap(_.propertiesJson)),
         PjTableProperties.DataSkippingNumIndexedCols)
-        .flatMap(s => scala.util.Try(s.toInt).toOption) match {
-        case Some(n) => trackedAdd.map { e =>
-          e.cols match {
-            case Some(cs) if e.stats.nonEmpty =>
-              val keep = cs.take(n).toSet
-              e.copy(stats = e.stats.filter { case (k, _) => keep.contains(k) })
-            case _ => e
+        .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 0) match {
+        case Some(n) =>
+          // leading N logical fields of the effective schema, translated
+          // to the physical names the stats envelopes are keyed by
+          val keep: Option[Set[String]] =
+            dataSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)).map { sj =>
+              val st = org.apache.spark.sql.types.DataType.fromJson(sj)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              st.fields.take(n).map(PjColumnMapping.physicalName).toSet
+            }
+          trackedAdd.map { e =>
+            if (e.stats.isEmpty) e
+            else keep match {
+              case Some(ks) => e.copy(stats = e.stats.filter {
+                case (k, _) => ks.contains(k)
+              })
+              // no recorded schema to rank by: fall back to the file's own
+              // column order (the historical behavior)
+              case None => e.cols match {
+                case Some(cs) =>
+                  val ks = cs.take(n).toSet
+                  e.copy(stats = e.stats.filter { case (k, _) => ks.contains(k) })
+                case None => e
+              }
+            }
           }
-        }
-        case None => trackedAdd
+        case _ => trackedAdd // unset or -1: keep every column's stats
       }
       val body = renderCommit(v, ts, action, statsCapped,
         effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,

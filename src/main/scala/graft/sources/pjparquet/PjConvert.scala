@@ -121,10 +121,17 @@ object PjConvert {
           .groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
         inferredKeys.map { k =>
           val vs = valuesByKey.getOrElse(k, Nil)
+          // bigint only when every value ROUND-TRIPS (leading-zero forms
+          // like k=00 would silently become 0, breaking the raw-path
+          // round-trip); date candidates must actually PARSE (the shape
+          // regex alone admits 2024-13-99, which then nulls at cast time)
           val dt: DataType =
-            if (vs.nonEmpty && vs.forall(v => scala.util.Try(v.toLong).isSuccess))
+            if (vs.nonEmpty && vs.forall(v =>
+                scala.util.Try(v.toLong.toString == v).getOrElse(false)))
               LongType
-            else if (vs.nonEmpty && vs.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+            else if (vs.nonEmpty && vs.forall(v =>
+                v.matches("\\d{4}-\\d{2}-\\d{2}") &&
+                  scala.util.Try { java.time.LocalDate.parse(v); true }.getOrElse(false)))
               org.apache.spark.sql.types.DateType
             else org.apache.spark.sql.types.StringType
           StructField(k, dt, nullable = true)

@@ -198,7 +198,7 @@ object PjTableProperties {
     SymlinkManifestEnabled -> boolValidator,
     ClusterColumns -> (_ => None), // any csv of names; resolved per-OPTIMIZE
     ClusterCurve -> curveValidator,
-    DataSkippingNumIndexedCols -> posIntValidator)
+    DataSkippingNumIndexedCols -> numIndexedColsValidator)
 
   private def partitionColumnsValidator(v: String): Option[String] = {
     val bad =
@@ -214,6 +214,11 @@ object PjTableProperties {
   private def posIntValidator(v: String): Option[String] =
     try { if (v.toInt > 0) None else Some(s"expected a positive integer, got '$v'") }
     catch { case _: NumberFormatException => Some(s"expected a positive integer, got '$v'") }
+
+  /** Delta's sentinels are legal: -1 = index all columns, 0 = none. */
+  private def numIndexedColsValidator(v: String): Option[String] =
+    try { if (v.toInt >= -1) None else Some(s"expected an integer >= -1, got '$v'") }
+    catch { case _: NumberFormatException => Some(s"expected an integer >= -1, got '$v'") }
 
   private def curveValidator(v: String): Option[String] =
     if (v.equalsIgnoreCase("zorder") || v.equalsIgnoreCase("hilbert")) None

@@ -73,6 +73,37 @@ class PjConvertSpec extends AnyFunSuite {
       .load(t).count() == 900L, "version 1 is the converted snapshot")
   }
 
+  test("inference round-trips: leading-zero values stay string, invalid dates stay string") {
+    // k=00 would become bigint 0 under naive inference, breaking the
+    // round-trip with the raw directory value
+    val t = freshDir("pj_conv_lz")
+    spark.range(0, 4).select($"id", lit("00").as("k")).write.partitionBy("k").parquet(t)
+    spark.range(4, 8).select($"id", lit("01").as("k"))
+      .write.mode("append").partitionBy("k").parquet(t)
+    PjConvert.convert(spark, t)
+    val df = spark.read.format("pjparquet").load(t)
+    assert(df.schema("k").dataType == org.apache.spark.sql.types.StringType,
+      s"leading-zero partition values must stay string: ${df.schema("k").dataType}")
+    assert(df.filter($"k" === "00").count() == 4L)
+    // 2024-13-99 matches the date SHAPE but does not parse — string, and
+    // every raw value stays queryable verbatim
+    val t2 = freshDir("pj_conv_baddate")
+    spark.range(0, 3).select($"id", lit("2024-13-99").as("d"))
+      .write.partitionBy("d").parquet(t2)
+    spark.range(3, 6).select($"id", lit("2024-01-15").as("d"))
+      .write.mode("append").partitionBy("d").parquet(t2)
+    PjConvert.convert(spark, t2)
+    val df2 = spark.read.format("pjparquet").load(t2)
+    assert(df2.schema("d").dataType == org.apache.spark.sql.types.StringType)
+    assert(df2.filter($"d" === "2024-13-99").count() == 3L)
+    // genuinely canonical values still infer their types
+    val t3 = freshDir("pj_conv_canon")
+    spark.range(0, 4).select($"id", lit("2024-01-15").as("d")).write.partitionBy("d").parquet(t3)
+    PjConvert.convert(spark, t3)
+    assert(spark.read.format("pjparquet").load(t3).schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
+
   test("declared partition types pin over inference; mismatched declaration refuses") {
     val t = freshDir("pj_conv_spec")
     spark.range(0, 20).select($"id", format_string("%02d", $"id" % 2).as("k"))

@@ -127,6 +127,41 @@ class PjTablePropertiesSpec extends AnyFunSuite {
     assert(t.count() == 100L)
   }
 
+  test("numIndexedCols caps by TABLE schema order across schema generations; 0/-1 sentinels") {
+    val dir = tempDir("skipcap_schema")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
+    spark.sql(s"CREATE TABLE pjp.`$dir` (a BIGINT, b BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.dataSkipping.numIndexedCols'='2')")
+    spark.range(0, 10).select($"id".as("a"), ($"id" * 2).as("b"))
+      .coalesce(1).writeTo(s"pjp.`$dir`").append()
+    // schema evolves: files written AFTER the rename/add must index the
+    // SAME leading-2 logical columns (a, b) — not their own column order
+    spark.sql(s"ALTER TABLE pjp.`$dir` ADD COLUMN c BIGINT")
+    spark.range(10, 20).select($"id".as("a"), ($"id" * 2).as("b"), ($"id" * 3).as("c"))
+      .coalesce(1).writeTo(s"pjp.`$dir`").append()
+    val head = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    head.entries.filter(_.stats.nonEmpty).foreach { e =>
+      assert(e.stats.keySet == Set("a", "b"),
+        s"every generation indexes the schema's leading 2 columns: ${e.stats.keySet}")
+    }
+    // sentinel 0: collect none
+    spark.sql(s"ALTER TABLE pjp.`$dir` SET TBLPROPERTIES('pj.dataSkipping.numIndexedCols'='0')")
+    spark.range(20, 25).select($"id".as("a"), ($"id" * 2).as("b"), ($"id" * 3).as("c"))
+      .coalesce(1).writeTo(s"pjp.`$dir`").append()
+    val afterZero = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    val newest = afterZero.entries.maxBy(_.baseRowId)
+    assert(newest.stats.isEmpty, s"0 must collect no stats: ${newest.stats.keySet}")
+    // sentinel -1: all columns
+    spark.sql(s"ALTER TABLE pjp.`$dir` SET TBLPROPERTIES('pj.dataSkipping.numIndexedCols'='-1')")
+    spark.range(25, 30).select($"id".as("a"), ($"id" * 2).as("b"), ($"id" * 3).as("c"))
+      .coalesce(1).writeTo(s"pjp.`$dir`").append()
+    val afterAll = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    val newest2 = afterAll.entries.maxBy(_.baseRowId)
+    assert(newest2.stats.keySet == Set("a", "b", "c"),
+      s"-1 must index every column: ${newest2.stats.keySet}")
+    assert(spark.table(s"pjp.`$dir`").count() == 30L)
+  }
+
   test("pj.deletionVectors.enabled=false makes DELETE copy-on-write (no vectors)") {
     val dir = tempDir("dv_off")
     mkLogged(dir)
