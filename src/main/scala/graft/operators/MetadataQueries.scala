@@ -1171,6 +1171,60 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q170_bucket_transform_spj" -> ((s, dir) => {
+      import s.implicits._
+      // Declared bucket(n, col) partition transforms (Iceberg parity):
+      // both tables route rows into <col>_bucket=<id>/ directories via
+      // id = pmod(hash(col), n), the scans report
+      // KeyGroupedPartitioning(bucket(n, col)) through the catalog's
+      // FunctionCatalog-served bucket function, and the join on the
+      // bucket column plans with ZERO exchange under SPJ — the
+      // shuffle-free fact-fact join on a high-cardinality key that
+      // identity partitioning can't hold (one dir per key). Values are
+      // DuckDB's plain join either way; the plan-shape bit pins the
+      // no-exchange fact from an isolated session carrying the SPJ confs.
+      val ordDir = fixtureDir("pj_q170_orders", dir) { d =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d))
+        s.conf.set("spark.sql.catalog.pj_q170", "graft.sources.pjparquet.PjCatalog")
+        s.sql(s"CREATE TABLE pj_q170.`$d` (o_orderkey BIGINT, o_custkey BIGINT) " +
+          "USING pjparquet PARTITIONED BY (bucket(8, o_custkey))")
+        graft.Tables.orders(s, dir)
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_custkey".cast("long").as("o_custkey"))
+          .writeTo(s"pj_q170.`$d`").append()
+      }
+      val custDir = fixtureDir("pj_q170_customer", dir) { d =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d))
+        s.conf.set("spark.sql.catalog.pj_q170", "graft.sources.pjparquet.PjCatalog")
+        s.sql(s"CREATE TABLE pj_q170.`$d` (c_custkey BIGINT, c_nationkey BIGINT) " +
+          "USING pjparquet PARTITIONED BY (bucket(8, c_custkey))")
+        graft.Tables.customer(s, dir)
+          .select($"c_custkey".cast("long").as("c_custkey"),
+            $"c_nationkey".cast("long").as("c_nationkey"))
+          .writeTo(s"pj_q170.`$d`").append()
+      }
+      def joined(sess: org.apache.spark.sql.SparkSession) = {
+        sess.conf.set("spark.sql.catalog.pj_q170", "graft.sources.pjparquet.PjCatalog")
+        sess.table(s"pj_q170.`$ordDir`")
+          .join(sess.table(s"pj_q170.`$custDir`"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_orders"), sum($"o_orderkey").as("key_sum"))
+          .orderBy($"c_nationkey")
+      }
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joinShuffleFree = {
+        val plan = joined(iso).queryExecution.executedPlan.toString
+        // the aggregation after the join may still shuffle on nationkey;
+        // the JOIN itself must not — no exchange keyed on the join key
+        !plan.contains("Exchange hashpartitioning(o_custkey") &&
+          !plan.contains("Exchange hashpartitioning(c_custkey")
+      }
+      joined(s)
+        .withColumn("spj_join_no_shuffle", lit(if (joinShuffleFree) 1L else 0L))
+    }),
     "q169_idempotent_txn" -> ((s, dir) => {
       import s.implicits._
       // Idempotent writer commits (txnAppId/txnVersion, Delta's
@@ -2531,6 +2585,13 @@ object MetadataQueries {
         |FROM customer
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q170_bucket_transform_spj" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS spj_join_no_shuffle
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q169_idempotent_txn" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

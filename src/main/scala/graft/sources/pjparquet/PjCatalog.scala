@@ -30,7 +30,8 @@ import graft.core.PJException
   */
 class PjCatalog extends CatalogPlugin with TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "pj"
 
@@ -38,6 +39,20 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     catalogName = name
 
   override def name(): String = catalogName
+
+  /** [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]: serves
+    * the `bucket` partition-transform function so Spark's
+    * `V2ExpressionUtils` can bind the scan-reported
+    * `KeyGroupedPartitioning(bucket(n, col))` — the storage-partitioned
+    * join path for declared bucket transforms ([[PjBucketFunction]]).
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) PjBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** SQL `ALTER TABLE ... ADD/DROP CONSTRAINT`, `GENERATED ALWAYS AS`,
     * identity columns and column DEFAULTs route through this catalog
@@ -175,14 +190,61 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     // DATA schema (files never store them) and record as the
     // pj.partition.columns property, which the empty table resolves its
     // partition schema from and every populated read takes TYPES from
+    // `bucket(n, col)` transforms lower onto the GENERATED-partition-column
+    // lane: a synthesized `<col>_bucket BIGINT GENERATED ALWAYS AS
+    // (pmod(hash(col), n))` field routes rows into bucket directories at
+    // write time, and the recorded pj.partition.bucket property tells the
+    // scan to report the bucket transform for SPJ ([[PjBucketFunction]])
+    val bucketSpecs: Seq[(String, Int)] = partitions.toSeq.collect {
+      case t if t.name == "bucket" =>
+        val refs = t.references()
+        val nums = t.arguments().collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType() == org.apache.spark.sql.types.IntegerType =>
+            l.value().asInstanceOf[Int]
+        }
+        if (refs.length != 1 || nums.length != 1 || nums.head <= 0)
+          throw new PJException(
+            s"$catalogName: bucket transform must be bucket(<positive int>, <one column>), got $t")
+        (refs(0).fieldNames().mkString("."), nums.head)
+    }
+    if (bucketSpecs.size > 1)
+      throw new PJException(
+        s"$catalogName: at most one bucket(n, col) transform is supported, " +
+          s"got ${bucketSpecs.size}")
     val partCols: Seq[String] = partitions.toSeq.map { t =>
-      if (t.name != "identity" || t.references().length != 1)
+      if (t.name == "bucket")
+        PjTableProperties.bucketFieldName(t.references()(0).fieldNames().mkString("."))
+      else if (t.name != "identity" || t.references().length != 1)
         throw new PJException(
-          s"$catalogName: only plain PARTITIONED BY (col) is supported, got $t")
-      t.references()(0).fieldNames().mkString(".")
+          s"$catalogName: only PARTITIONED BY (col) and bucket(n, col) are " +
+            s"supported, got $t")
+      else t.references()(0).fieldNames().mkString(".")
     }
     def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
-    val byName = schema.fields.map(f => fold(f.name) -> f).toMap
+    // synthesized bucket fields join the name map so the partition-column
+    // resolution below finds them; the source column must exist and hash
+    // deterministically (no float/double keys)
+    val bucketFields: Seq[org.apache.spark.sql.types.StructField] =
+      bucketSpecs.map { case (src, n) =>
+        val sf = schema.fields.find(_.name.equalsIgnoreCase(src)).getOrElse(
+          throw new PJException(
+            s"$catalogName: bucket column '$src' is not in the table schema"))
+        if (sf.dataType == org.apache.spark.sql.types.FloatType ||
+            sf.dataType == org.apache.spark.sql.types.DoubleType)
+          throw new PJException(
+            s"$catalogName: bucket column '$src' cannot be floating-point")
+        org.apache.spark.sql.types.StructField(
+          PjTableProperties.bucketFieldName(src),
+          org.apache.spark.sql.types.LongType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(
+              org.apache.spark.sql.catalyst.util.GeneratedColumn
+                .GENERATION_EXPRESSION_METADATA_KEY,
+              s"CAST(pmod(hash(`$src`), $n) AS BIGINT)")
+            .build())
+      }
+    val byName = (schema.fields ++ bucketFields).map(f => fold(f.name) -> f).toMap
     val partFields = partCols.map { c =>
       val f = byName.getOrElse(fold(c), throw new PJException(
         s"$catalogName: PARTITIONED BY column '$c' is not in the table schema"))
@@ -227,7 +289,10 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     val canonical = user.map { case (k, v) => PjTableProperties.canonicalKey(k) -> v } ++
       (if (partFields.isEmpty) Map.empty[String, String]
       else Map(PjTableProperties.PartitionColumns ->
-        partFields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")))
+        partFields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))) ++
+      bucketSpecs.headOption.map { case (src, n) =>
+        PjTableProperties.PartitionBucket -> s"$src:$n"
+      }
     fs.mkdirs(rootPath)
     // The recorded schema keeps the PARTITION fields too (the resolver
     // filters them out of the file schema by name): their field METADATA
@@ -235,7 +300,8 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     // there, and both the write-side augmentation ([[PjGenerated.plan]])
     // and read-side derived pruning ([[PjGeneratedPruning]]) need it.
     val recordedFields = schema.fields.filter(f =>
-      dataFields.exists(_.name == f.name) || partFields.exists(_.name == f.name))
+      dataFields.exists(_.name == f.name) || partFields.exists(_.name == f.name)) ++
+      bucketFields // synthesized: their generation metadata drives the write
     PjCommitLog.commit(fs, rootPath, "create", Nil, Set.empty,
       dataSchemaJson = Some(StructType(recordedFields).json),
       operation = Some("CREATE TABLE"),

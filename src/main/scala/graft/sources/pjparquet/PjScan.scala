@@ -767,7 +767,10 @@ class PjScanBuilder(
       sortedBy = layout.sortedBy,
       topNRows = pushedTopN,
       nameMap = nameMap,
-      tableStatsJson = layout.tableStatsJson)
+      tableStatsJson = layout.tableStatsJson,
+      bucketSpec = layout.propertiesJson
+        .flatMap(p => PjTableProperties.recorded(Some(p), PjTableProperties.PartitionBucket))
+        .flatMap(PjTableProperties.parseBucketSpec))
     if (rowLevel && layout.uniformPartitions) {
       // the DML conflict check needs the PARTITION-level read set: every
       // partition tuple the predicate admits over the base snapshot —
@@ -993,7 +996,13 @@ class PjScan(
     /** Recorded ANALYZE statistics (JSON, [[PjAnalyze]]) — served to the
       * CBO via `estimateStatistics().columnStats()`.
       */
-    tableStatsJson: Option[String] = None)
+    tableStatsJson: Option[String] = None,
+    /** Declared `bucket(n, col)` partition transform
+      * (`pj.partition.bucket`, [[PjBucketFunction]]): the synthesized
+      * `<col>_bucket` partition column reports as the bucket transform in
+      * [[outputPartitioning]] so SPJ groups on it.
+      */
+    bucketSpec: Option[(String, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1038,9 +1047,19 @@ class PjScan(
     if (partitionSchema.isEmpty)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else {
+      // a declared bucket transform reports as bucket(n, srcCol) — the
+      // FunctionCatalog-backed expression SPJ compares across tables —
+      // instead of identity over the synthesized directory column
       val keys: Array[org.apache.spark.sql.connector.expressions.Expression] =
-        partitionSchema.fieldNames.map(n =>
-          org.apache.spark.sql.connector.expressions.Expressions.identity(n))
+        partitionSchema.fieldNames.map { n =>
+          bucketSpec match {
+            case Some((src, nb))
+                if n.equalsIgnoreCase(PjTableProperties.bucketFieldName(src)) =>
+              org.apache.spark.sql.connector.expressions.Expressions.bucket(nb, src)
+            case _ =>
+              org.apache.spark.sql.connector.expressions.Expressions.identity(n)
+          }
+        }
       val n = activeFiles.map(_.partitionValues).distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         keys, math.max(n, 1))

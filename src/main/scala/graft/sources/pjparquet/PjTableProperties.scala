@@ -120,6 +120,17 @@ object PjTableProperties {
     */
   val DataSkippingNumIndexedCols = "pj.dataSkipping.numIndexedCols"
 
+  /** `pj.partition.bucket` — a declared `bucket(n, col)` partition
+    * transform (Iceberg parity), recorded as `col:n`. The table routes
+    * rows into `<col>_bucket=<id>/` Hive directories where
+    * `id = pmod(hash(col), n)` (Murmur3, Spark's `hash`), computed by the
+    * write via the generated-column lane; the scan reports
+    * `KeyGroupedPartitioning(bucket(n, col))` so two tables bucketed the
+    * same way join with ZERO exchange (storage-partitioned join) on a
+    * high-cardinality key no identity partitioning could hold.
+    */
+  val PartitionBucket = "pj.partition.bucket"
+
   /** `pj.cluster.columns` — the table's DECLARED clustering key (Delta's
     * `CLUSTER BY`): comma-separated data columns `OPTIMIZE` clusters on
     * when the call names none. Recorded once, so scheduled maintenance is
@@ -198,7 +209,8 @@ object PjTableProperties {
     SymlinkManifestEnabled -> boolValidator,
     ClusterColumns -> (_ => None), // any csv of names; resolved per-OPTIMIZE
     ClusterCurve -> curveValidator,
-    DataSkippingNumIndexedCols -> numIndexedColsValidator)
+    DataSkippingNumIndexedCols -> numIndexedColsValidator,
+    PartitionBucket -> bucketSpecValidator)
 
   private def partitionColumnsValidator(v: String): Option[String] = {
     val bad =
@@ -214,6 +226,22 @@ object PjTableProperties {
   private def posIntValidator(v: String): Option[String] =
     try { if (v.toInt > 0) None else Some(s"expected a positive integer, got '$v'") }
     catch { case _: NumberFormatException => Some(s"expected a positive integer, got '$v'") }
+
+  private def bucketSpecValidator(v: String): Option[String] =
+    if (v.matches("\\s*[^:,\\s]+\\s*:\\s*[1-9][0-9]*\\s*")) None
+    else Some(s"expected col:numBuckets, got '$v'")
+
+  /** Parse `pj.partition.bucket` (`col:n`). */
+  def parseBucketSpec(value: String): Option[(String, Int)] =
+    value.split(":", 2) match {
+      case Array(c, n) if c.trim.nonEmpty &&
+          scala.util.Try(n.trim.toInt).toOption.exists(_ > 0) =>
+        Some((c.trim, n.trim.toInt))
+      case _ => None
+    }
+
+  /** Directory partition column a bucket spec synthesizes. */
+  def bucketFieldName(srcCol: String): String = s"${srcCol}_bucket"
 
   /** Delta's sentinels are legal: -1 = index all columns, 0 = none. */
   private def numIndexedColsValidator(v: String): Option[String] =
