@@ -588,7 +588,15 @@ object PjCommitLog {
         * concurrent same-appId writer that recorded the same version turns
         * THIS attempt into the no-op instead of a double-write.
         */
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      /** PROTOCOL DOWNGRADE (`CALL pj.system.drop_feature`): record
+        * exactly this protocol lane instead of the monotone auto-upgrade
+        * union — the one sanctioned way protection shrinks. Still
+        * validated: the recorded protocol must cover everything the
+        * post-commit state actually requires, so a drop can never leave
+        * a feature in use unprotected.
+        */
+      protocolOverride: Option[String] = None): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -610,11 +618,22 @@ object PjCommitLog {
         val cur = PjProtocol.parse(prev.flatMap(_.protocolJson))
         val req = PjProtocol.required(
           anyDv = add.exists(_.dv.isDefined) ||
-            prev.exists(_.entries.exists(_.dv.isDefined)),
+            prev.exists(_.entries.exists(e =>
+              e.dv.isDefined && !remove.contains(e.path))),
           dataSchemaJson = dataSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)),
           constraintsJson = constraintsJson.orElse(prev.flatMap(_.constraintsJson)),
           propertiesJson = propertiesJson.orElse(prev.flatMap(_.propertiesJson)))
-        if (cur.contains(req)) None else Some(cur.union(req).json)
+        protocolOverride match {
+          case Some(js) =>
+            if (!PjProtocol.parse(Some(js)).contains(req))
+              throw new PJException(
+                "pjparquet: protocol downgrade would drop a feature the table " +
+                  s"still uses (required: ${req.json}); remove the feature's " +
+                  "uses first")
+            Some(js)
+          case None =>
+            if (cur.contains(req)) None else Some(cur.union(req).json)
+        }
       }
       // EXCLUSIVE commits (identity-value allocation, [[PjGenerated]])
       // serialize against the whole table: values were minted from state

@@ -87,7 +87,7 @@ object PjProcedures {
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
     "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
     "materialize", "verify_log", "set_not_null", "copy_into", "convert",
-    "generate_symlink_manifest", "restore_to_timestamp")
+    "generate_symlink_manifest", "restore_to_timestamp", "drop_feature")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -213,6 +213,28 @@ object PjProcedures {
             Seq(new GenericInternalRow(Array[Any](
               r.restoredTo, r.committed.map(java.lang.Long.valueOf).orNull,
               r.filesAdded, r.filesRemoved)))
+          })
+      case "drop_feature" =>
+        // ALTER TABLE ... DROP FEATURE (protocol downgrade,
+        // [[PjProtocol.dropFeature]]): preconditioned on the feature being
+        // unused at HEAD; older builds regain access after the drop
+        new Proc("drop_feature",
+          Array(in("table", StringType), in("feature", StringType)),
+          StructType(Seq(
+            StructField("dropped", StringType, nullable = false),
+            StructField("committed_version", LongType, nullable = false),
+            StructField("protocol", StringType, nullable = false))),
+          { input =>
+            val table = tableArg(input)
+            val feature = input.getUTF8String(1).toString
+            val v = PjProtocol.dropFeature(spark, table, feature)
+            val root = new org.apache.hadoop.fs.Path(table)
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val p = PjProtocol.parse(
+              PjCommitLog.latest(fs, root).flatMap(_.protocolJson)).json
+            Seq(new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(feature), v,
+              org.apache.spark.unsafe.types.UTF8String.fromString(p))))
           })
       case "purge_deletion_vectors" =>
         // Delta's REORG APPLY (PURGE): rewrite ONLY the files carrying

@@ -145,6 +145,61 @@ object PjProtocol {
     Protocol(reader, writer)
   }
 
+  /** `ALTER TABLE ... DROP FEATURE` (Delta parity — the escape hatch for
+    * the reader lockout the protocol creates): remove a feature from the
+    * required set so older builds regain access, PRECONDITIONED on the
+    * current state no longer using it (e.g. `dv` requires zero live
+    * vectors — purge first). Recorded as an exclusive protocol-lane
+    * commit; racing writers that might re-introduce the feature conflict
+    * and one side retries. Historical snapshots keep their own recorded
+    * protocol, so time travel into the feature-using past still refuses
+    * on builds that lack it.
+    */
+  def dropFeature(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      feature: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = PjCommitLog.latest(fs, root).getOrElse(
+      throw new PJException(
+        s"pjparquet: '$table' has no commit log; DROP FEATURE applies to logged tables"))
+    val cur = parse(head.protocolJson)
+    if (!cur.reader.contains(feature) && !cur.writer.contains(feature))
+      throw new PJException(
+        s"pjparquet: table at '$table' does not require feature '$feature' " +
+          s"(recorded protocol: ${cur.json})")
+    val req = required(
+      anyDv = head.entries.exists(_.dv.isDefined),
+      dataSchemaJson = head.dataSchemaJson,
+      constraintsJson = head.constraintsJson,
+      propertiesJson = head.propertiesJson)
+    if (req.reader.contains(feature) || req.writer.contains(feature))
+      throw new PJException(
+        s"pjparquet: cannot drop feature '$feature' from table at '$table' — " +
+          s"it is still in use: ${remedy(feature)}")
+    val next = Protocol(cur.reader - feature, cur.writer - feature)
+    val v = PjCommitLog.commit(fs, root, "drop-feature", Nil, Set.empty,
+      operation = Some(s"DROP FEATURE $feature"),
+      readVersion = Some(head.version),
+      exclusive = true,
+      protocolOverride = Some(next.json))
+    PjCommitLog.clearSnapshotCache()
+    PjParquetTable.clearLayoutCache()
+    v
+  }
+
+  private def remedy(f: String): String = f match {
+    case "dv" =>
+      "live deletion vectors exist; run CALL pj.system.purge_deletion_vectors first"
+    case "columnMapping" => "the schema still maps logical names to physical names"
+    case "constraints" => "drop the table's CHECK constraints first"
+    case "identity" => "the schema still declares identity columns"
+    case "generated" => "the schema still declares generated columns"
+    case "cdf" => "unset pj.changeFeed.enabled first"
+    case "rowTracking" => "unset pj.rowTracking.required first"
+    case _ => "remove its uses first"
+  }
+
   /** Schema-JSON parse memo: [[required]] runs on EVERY commit and the
     * recorded schema string rarely changes — a tiny LRU turns the
     * per-commit DataType.fromJson into a map hit.

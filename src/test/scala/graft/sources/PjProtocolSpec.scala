@@ -193,4 +193,69 @@ class PjProtocolSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.pjcat_protocol", "graft.sources.pjparquet.PjCatalog")
     super.withFixture(test)
   }
+  test("DROP FEATURE: refuse with live vectors; purge then drop; old readers regain access") {
+    import spark.implicits._
+    val dir = tempDir("dropf")
+    writeLogged(spark.range(0, 60).select($"id", ($"id" % 6).as("k")).coalesce(1), dir)
+    spark.conf.set("spark.sql.catalog.pjproto", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"DELETE FROM pjproto.`$dir` WHERE id < 10")
+    val fs = fsOf(dir)
+    val root = new Path(dir)
+    assert(PjProtocol.parse(
+      PjCommitLog.latest(fs, root).get.protocolJson).reader.contains("dv"))
+    // live vectors: the drop must refuse loudly with the remedy
+    val e = intercept[Exception] {
+      spark.sql(s"CALL pjproto.system.drop_feature(table => '$dir', feature => 'dv')")
+        .collect()
+    }
+    assert(e.getMessage.contains("purge_deletion_vectors"), e.getMessage)
+    // purge rewrites the vector-carriers, then the drop succeeds
+    spark.sql(s"CALL pjproto.system.purge_deletion_vectors(table => '$dir')").collect()
+    assert(PjCommitLog.latest(fs, root).get.entries.forall(_.dv.isEmpty))
+    val row = spark.sql(
+      s"CALL pjproto.system.drop_feature(table => '$dir', feature => 'dv')").head()
+    assert(row.getString(0) == "dv")
+    // the recorded protocol no longer names dv — exactly the input
+    // checkRead evaluates, so a build without dv support reads again
+    val after = PjProtocol.parse(PjCommitLog.latest(fs, root).get.protocolJson)
+    assert(!after.reader.contains("dv") && !after.writer.contains("dv"), s"$after")
+    assert(spark.read.format("pjparquet").load(dir).count() == 50L)
+    // the DV-era snapshot keeps its own protocol: time travel into the
+    // past still carries the protection
+    val dvVersion = row.getLong(1) - 2 // before purge + drop
+    val past = PjCommitLog.read(fs, root, dvVersion)
+    assert(PjProtocol.parse(past.protocolJson).reader.contains("dv"),
+      "historical snapshots keep their recorded protocol")
+    // dropping a feature the table never required refuses
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL pjproto.system.drop_feature(table => '$dir', feature => 'identity')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("does not require"), e2.getMessage)
+  }
+
+  test("DROP FEATURE cdf: refused while pj.changeFeed.enabled, allowed after unset") {
+    import spark.implicits._
+    val dir = tempDir("dropcdf")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
+    spark.conf.set("spark.sql.catalog.pjproto", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjproto.`$dir` (id BIGINT, k BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.changeFeed.enabled'='true')")
+    spark.range(0, 10).select($"id", ($"id" % 2).as("k")).writeTo(s"pjproto.`$dir`").append()
+    val fs = fsOf(dir)
+    assert(PjProtocol.parse(
+      PjCommitLog.latest(fs, new Path(dir)).get.protocolJson).writer.contains("cdf"))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL pjproto.system.drop_feature(table => '$dir', feature => 'cdf')")
+        .collect()
+    }
+    assert(e.getMessage.contains("changeFeed"), e.getMessage)
+    spark.sql(s"ALTER TABLE pjproto.`$dir` UNSET TBLPROPERTIES ('pj.changeFeed.enabled')")
+    spark.sql(s"CALL pjproto.system.drop_feature(table => '$dir', feature => 'cdf')").collect()
+    val after = PjProtocol.parse(PjCommitLog.latest(fs, new Path(dir)).get.protocolJson)
+    assert(!after.writer.contains("cdf"), s"$after")
+    // writes keep working after the downgrade
+    spark.range(10, 15).select($"id", ($"id" % 2).as("k")).writeTo(s"pjproto.`$dir`").append()
+    assert(spark.table(s"pjproto.`$dir`").count() == 15L)
+  }
 }
