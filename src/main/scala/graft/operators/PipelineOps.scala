@@ -175,13 +175,22 @@ object PipelineOps {
   private def explodedGramHashes(
       docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
-    val toks = split(col(textCol), " ")
+    // token-hash recipe (see [[shingleHashes]]): hash each token once into
+    // a MATERIALIZED array column, then combine n adjacent hashes per
+    // window with one more xxhash64 — the gram string never materializes.
+    // The old concat_ws(slice(toks))-per-window form allocated O(windows)
+    // UTF8 strings inside an interpreted lambda: ~10× the integer cost and
+    // enough allocation churn that q67's bench time was GC-noise-bound.
     docs
-      .filter(size(toks) >= n)
-      .select(col(idCol).as("_id"),
+      // length-gate on the plain split (same count as _th) so the pushed
+      // scan filter stays lambda-free
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol).as("_id"), tokenHashes(col(textCol)).as("_th"))
+      .select(col("_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))).as("gram"))
+          sequence(lit(1), size(col("_th")) - (n - 1)),
+          i => xxhash64((0 until n).map(o => element_at(col("_th"), i + o)): _*))))
+          .as("gram"))
   }
 
   def ngramOverlapPairs(

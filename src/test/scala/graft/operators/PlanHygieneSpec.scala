@@ -103,6 +103,23 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram-overlap family: gram prep is integer-only (no per-window string concat)") {
+    // q67 regression pin (r16): explodedGramHashes must use the token-hash
+    // recipe — hash each token once, combine n adjacent hashes — never
+    // concat_ws over a slice per window. The concat form allocates
+    // O(windows) UTF8 strings inside an interpreted lambda; its cost was
+    // both ~10× the integer path and GC-bound enough to read as a phantom
+    // bench regression under suite load (r15's q67 `weak`: isolated
+    // min-of-7 reproduced 0.86–0.90 s, at r13's level, while the loaded
+    // suite run showed 1.89 s).
+    for (q <- Seq("q67_ngram_overlap", "q69_dedup_clusters", "q72_decontaminate")) {
+      val plan = plans(q)
+      assert(!plan.contains("concat_ws"),
+        s"$q's gram prep re-grew a per-window string concat:\n" +
+          plan.linesIterator.filter(_.contains("concat_ws")).mkString("\n"))
+    }
+  }
+
   test("lshAnnPairs normalizes each input exactly once (persisted slim projection)") {
     import org.apache.spark.sql.catalyst.expressions.Sqrt
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
