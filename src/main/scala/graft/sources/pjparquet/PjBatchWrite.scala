@@ -917,6 +917,36 @@ private[sources] object PjBatchWrite {
     if (!fs.exists(root)) Nil else walk(root, "", Map.empty)
   }
 
+  /** Vanish-tolerant recursive data-file walk that never ENTERS internal
+    * (`.`/`_`-prefixed) directories: `fs.listFiles(root, true)` descends
+    * into a concurrent writer's live scratch (`.compact_tmp_*`,
+    * `_temporary`) and races its committer's deletes — on local
+    * filesystems that surfaces as permission-probe crashes mid-listing
+    * (found by PjConcurrencyFuzzSpec seed 0). Data files only ever live
+    * at the root or under `k=v` partition dirs, so skipping internal
+    * trees changes no result. A directory deleted mid-walk (a racing
+    * overwrite's empty-partition prune) is skipped, not fatal.
+    */
+  def walkDataFiles(fs: FileSystem, root: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    def walk(dir: Path): Unit = {
+      val children =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      children.foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
+        } else if (s.isFile && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith("."))
+          out += s
+      }
+    }
+    if (try fs.exists(root) catch { case _: java.io.FileNotFoundException => false })
+      walk(root)
+    out.toSeq
+  }
+
   def deleteWithSidecars(fs: FileSystem, dataFile: Path): Unit = {
     fs.delete(dataFile, false)
     PjParquetTable.sidecarCandidates(dataFile).foreach(c => fs.delete(c, false))

@@ -307,19 +307,14 @@ object PjCompaction {
     // replacement entries carry no vector
     val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)
       .flatMap(e => e.dv.map(d => e.path -> d.path)).toMap
-    val all = {
-      val it = fs.listFiles(rootPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
-      while (it.hasNext) {
-        val s = it.next()
-        val n = s.getPath.getName
-        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && {
-            val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
-            !PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel))
-          })
-          buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
-      }
-      buf.toSeq
+    // internal-dir-skipping walk (PjBatchWrite.walkDataFiles): a plain
+    // recursive listFiles would descend into a CONCURRENT maintenance
+    // op's live .compact_tmp_* scratch and race its committer's deletes
+    val all = PjBatchWrite.walkDataFiles(fs, rootPath).flatMap { s =>
+      val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+      if (!PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel)))
+        Some(DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen))
+      else None
     }
     // OPTIMIZE ... WHERE: only partitions the predicate admits are
     // candidates; `all` (the full live set) still backs first-commit
@@ -606,19 +601,14 @@ object PjCompaction {
     val logging = PjCommitLog.isEnabled(fs, rootPath)
     val prevSnap = if (logging) PjCommitLog.latest(fs, rootPath) else None
     val baseSnapshot: Option[Set[String]] = prevSnap.map(_.files.toSet)
-    val all = {
-      val it = fs.listFiles(rootPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[DataFile]
-      while (it.hasNext) {
-        val s = it.next()
-        val n = s.getPath.getName
-        if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && {
-            val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
-            !PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel))
-          })
-          buf += DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen)
-      }
-      buf.toSeq
+    // internal-dir-skipping walk (PjBatchWrite.walkDataFiles): a plain
+    // recursive listFiles would descend into a CONCURRENT maintenance
+    // op's live .compact_tmp_* scratch and race its committer's deletes
+    val all = PjBatchWrite.walkDataFiles(fs, rootPath).flatMap { s =>
+      val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+      if (!PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel)))
+        Some(DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen))
+      else None
     }
     if (all.isEmpty) return Report(0, 0, 0, 0, 0, 0)
     // OPTIMIZE ... WHERE: rewrite only the admitted partitions; the full

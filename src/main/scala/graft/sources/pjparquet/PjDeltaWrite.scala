@@ -110,6 +110,15 @@ final class PjDeltaRowLevelOperation(
   }
 }
 
+object PjDeltaWrite {
+  /** Race-window injection for specs ([[PjMaintenanceConcurrencySpec]]):
+    * runs after the DML's tasks finished but before its delta commit
+    * reads HEAD — exactly where a concurrent compaction can retire a
+    * touched file.
+    */
+  private[sources] var testHookBeforeCommit: () => Unit = () => ()
+}
+
 final class PjDeltaWrite(
     root: String,
     partitionKeys: Seq[String],
@@ -195,6 +204,7 @@ final class PjDeltaBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    PjDeltaWrite.testHookBeforeCommit()
     val spark = SparkSession.active
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -224,9 +234,18 @@ final class PjDeltaBatchWrite(
     val removes = Set.newBuilder[String]
     partialsByFile.foreach { case (fileAbs, parts) =>
       val rel = PjCommitLog.relOrAbs(fs, rootPath, new Path(fileAbs))
+      // a touched file missing from HEAD was retired by a concurrent
+      // writer (compaction consumed it, a CoW rewrite replaced it) since
+      // this operation's scan planned — the position-keyed vectors no
+      // longer apply. A sanctioned optimistic-concurrency loss: throw the
+      // conflict shape, Spark calls abort() to sweep the job's staged
+      // files, and the caller retries against the new table state.
       val e = entryByRel.getOrElse(rel,
         throw new PJException(
-          s"pjparquet: merge-on-read $command touched '$rel', which has no log entry"))
+          s"pjparquet: commit-log version conflict (concurrent writer); " +
+            s"merge-on-read $command touched '$rel', which a commit since " +
+            s"read base $readVersion retired — its row positions no longer " +
+            "apply; retry the operation against the new table state"))
       val merged0: Array[Long] = {
         val loaded = parts.map { case (pRel, _) =>
           PjDeletionVector.load(fs, new Path(rootPath, pRel))

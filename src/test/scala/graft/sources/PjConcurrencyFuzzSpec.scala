@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.{PjCommitLog, PjParquetTable}
+
+/** Seeded multi-writer concurrency fuzzer over the write matrix (r16,
+  * verdict item #1): N threads run random schedules of append / DV
+  * DELETE / CoW UPDATE / MERGE / OPTIMIZE / ZORDER / idempotent
+  * txn-append / COPY INTO against ONE table, and at quiesce the final
+  * content must equal a commutative reference model built from the ops
+  * that REPORTED success:
+  *
+  *  - ids are minted globally unique per op, deletes/updates target
+  *    EXPLICIT id lists, and updates are additive — so the expected
+  *    final state is order-independent: ids = successful appends −
+  *    successful deletes; v(id) = 7·id + Σ deltas of successful updates
+  *    listing a surviving id;
+  *  - no resurrected DV-deleted row, no doubled row, no lost committed
+  *    append, and exactly-once update application all fall out of ONE
+  *    map equality;
+  *  - plus: `verify_log` fully sealed/ok, cold log replay ≡ cached HEAD,
+  *    and `_row_id` uniqueness (row tracking never double-mints).
+  *
+  * Ops that lose an optimistic-concurrency race are SANCTIONED failures
+  * (the engine must refuse loudly, not corrupt) — they retry a few
+  * times, and only a reported success enters the model. Any other
+  * exception fails the run with its seed for replay. RESTORE is
+  * excluded from the random mix (it makes the model non-monotone); its
+  * races are pinned by PjMaintenanceConcurrencySpec/PjRestoreSpec.
+  */
+class PjConcurrencyFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.pjfuzz", "graft.sources.pjparquet.PjCatalog")
+
+  private val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(200)
+  private val nThreads = 3
+  private val opsPerThread = 3
+
+  /** Sanctioned loss of an optimistic-concurrency race. */
+  private def isConflict(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("conflict") || m.contains("concurrent writer")) return true
+      t = t.getCause
+    }
+    false
+  }
+
+  /** Run `op`; true iff it reported success. Conflicts retry then give
+    * up (recorded as failure); anything else propagates with the seed.
+    */
+  private def attempt(seed: Int, what: String)(op: => Unit): Boolean = {
+    var tries = 0
+    while (tries < 5) {
+      tries += 1
+      try { op; return true }
+      catch {
+        case e: Throwable if isConflict(e) => Thread.sleep(2L * tries)
+        case e: Throwable =>
+          throw new AssertionError(s"seed=$seed op=$what failed non-conflict: $e", e)
+      }
+    }
+    false
+  }
+
+  private def runSchedule(seed: Int): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(f"pj_fuzz_$seed%04d")
+    java.nio.file.Files.delete(dir)
+    val t = dir.toString
+    spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT) USING pjparquet")
+    // base population: ids 0..19, v = 7*id
+    (0L until 20L).map(i => (i, i * 7)).toDF("id", "v").coalesce(1)
+      .writeTo(s"pjfuzz.`$t`").append()
+
+    val appended = new ConcurrentLinkedQueue[Seq[Long]]()
+    val deleted = new ConcurrentLinkedQueue[Seq[Long]]()
+    val updates = new ConcurrentLinkedQueue[(Seq[Long], Long)]() // (ids, delta)
+    val txnLanded = new ConcurrentLinkedQueue[Seq[Long]]()
+    appended.add(0L until 20L)
+
+    def liveIdSample(rnd: scala.util.Random): Seq[Long] =
+      spark.table(s"pjfuzz.`$t`").select($"id")
+        .collect().map(_.getLong(0)).sorted.toSeq match {
+        case ids if ids.isEmpty => Nil
+        case ids => rnd.shuffle(ids.toList).take(1 + rnd.nextInt(3))
+      }
+
+    def freshIds(opId: Long, n: Int): Seq[Long] =
+      (0 until n).map(i => 1000000L + opId * 100L + i)
+
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { ti =>
+      val th = new Thread(() =>
+        try {
+          val rnd = new scala.util.Random(seed * 1000L + ti)
+          for (oi <- 0 until opsPerThread) {
+            val opId = (seed.toLong * nThreads + ti) * opsPerThread + oi
+            rnd.nextInt(8) match {
+              case 0 | 1 => // plain append (weighted: the commonest op)
+                val ids = freshIds(opId, 2 + rnd.nextInt(3))
+                if (attempt(seed, s"append#$opId") {
+                  ids.map(i => (i, i * 7)).toDF("id", "v").coalesce(1)
+                    .writeTo(s"pjfuzz.`$t`").append()
+                }) appended.add(ids)
+              case 2 => // DV DELETE of an explicit live-id list
+                val ids = liveIdSample(rnd)
+                if (ids.nonEmpty && attempt(seed, s"delete#$opId") {
+                  spark.sql(
+                    s"DELETE FROM pjfuzz.`$t` WHERE id IN (${ids.mkString(",")})")
+                }) deleted.add(ids)
+              case 3 => // additive UPDATE of an explicit live-id list
+                val ids = liveIdSample(rnd)
+                val delta = opId + 1
+                if (ids.nonEmpty && attempt(seed, s"update#$opId") {
+                  spark.sql(s"UPDATE pjfuzz.`$t` SET v = v + $delta " +
+                    s"WHERE id IN (${ids.mkString(",")})")
+                }) updates.add((ids, delta))
+              case 4 => // MERGE: update existing (additive) + insert fresh
+                val existing = liveIdSample(rnd)
+                val fresh = freshIds(opId, 2)
+                val delta = opId + 1
+                val view = s"pj_fuzz_src_${seed}_${ti}_$oi"
+                (existing.map(i => (i, 0L, 0L, delta)) ++
+                  fresh.map(i => (i, i * 7, 1L, 0L)))
+                  .toDF("id", "v", "fresh", "d").createOrReplaceTempView(view)
+                if (attempt(seed, s"merge#$opId") {
+                  spark.sql(
+                    s"""MERGE INTO pjfuzz.`$t` tt USING $view s ON tt.id = s.id
+                       |WHEN MATCHED AND s.fresh = 0 THEN UPDATE SET v = tt.v + s.d
+                       |WHEN NOT MATCHED AND s.fresh = 1 THEN
+                       |  INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+                }) {
+                  appended.add(fresh)
+                  if (existing.nonEmpty) updates.add((existing, delta))
+                }
+              case 5 => // maintenance: compaction (row-preserving, model no-op)
+                attempt(seed, s"compact#$opId") {
+                  spark.sql(s"CALL pjfuzz.system.compact(table => '$t')").collect()
+                }
+              case 6 => // maintenance: clustering rewrite (model no-op)
+                attempt(seed, s"zorder#$opId") {
+                  spark.sql(s"CALL pjfuzz.system.optimize_zorder(" +
+                    s"table => '$t', columns => 'id,v')").collect()
+                }
+              case 7 => // idempotent txn-append: EVERY thread races the
+                // same (appId, version=1) with the SAME ids — exactly one
+                // lands, the rest skip as replays, content identical. (A
+                // per-op version would be wrong-by-design here: versions
+                // under one appId form a monotone watermark, so a LOWER
+                // version arriving after a higher one is a replay and is
+                // correctly skipped — seed 165 taught the model that.)
+                val txnIds = (0 until 2).map(i => 2000000L + seed.toLong * 10 + i)
+                if (attempt(seed, s"txn#$opId") {
+                  txnIds.map(i => (i, i * 7)).toDF("id", "v").coalesce(1)
+                    .write.format("pjparquet").mode("append")
+                    .option("txnAppId", s"fuzz-$seed").option("txnVersion", "1")
+                    .save(t)
+                }) txnLanded.add(txnIds)
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+
+    // ---- quiesce: reference model vs table ----
+    import scala.jdk.CollectionConverters._
+    val delSet: Set[Long] = deleted.iterator().asScala.flatten.toSet
+    val expIds: Set[Long] =
+      (appended.iterator().asScala.flatten.toSet ++
+        txnLanded.iterator().asScala.flatten.toSet) -- delSet
+    val expV: Map[Long, Long] = expIds.iterator.map { id =>
+      val base = id * 7
+      val extra = updates.iterator().asScala
+        .collect { case (ids, d) if ids.contains(id) => d }.sum
+      id -> (base + extra)
+    }.toMap
+    val got: Map[Long, Long] = spark.table(s"pjfuzz.`$t`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotCount = spark.table(s"pjfuzz.`$t`").count()
+    assert(gotCount == got.size.toLong,
+      s"seed=$seed: doubled ids — ${gotCount} rows over ${got.size} distinct ids")
+    assert(got.keySet == expIds,
+      s"seed=$seed: id set mismatch — missing=${(expIds -- got.keySet).toSeq.sorted.take(10)} " +
+        s"extra=${(got.keySet -- expIds).toSeq.sorted.take(10)} " +
+        s"(resurrected-after-delete=${(got.keySet & delSet).toSeq.sorted.take(10)})")
+    val wrongV = expV.collect { case (id, v) if got(id) != v => (id, got(id), v) }
+    assert(wrongV.isEmpty,
+      s"seed=$seed: value mismatches (got, expected): ${wrongV.take(10)}")
+
+    // log audit: every commit file sealed and parseable
+    val badAudit = spark.sql(s"CALL pjfuzz.system.verify_log(table => '$t')")
+      .collect().filterNot(r => r.getString(3) == "ok")
+    assert(badAudit.isEmpty, s"seed=$seed: verify_log flagged: ${badAudit.mkString(";")}")
+
+    // cold replay == cached head
+    PjCommitLog.clearSnapshotCache()
+    PjParquetTable.clearLayoutCache()
+    val cold: Map[Long, Long] = spark.table(s"pjfuzz.`$t`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold == got, s"seed=$seed: cold log replay diverges from cached head")
+
+    // row tracking never double-mints: non-null row ids unique
+    val ridDupes = spark.table(s"pjfuzz.`$t`").select(col("_row_id"))
+      .filter(col("_row_id").isNotNull)
+      .groupBy(col("_row_id")).count().filter(col("count") > 1).count()
+    assert(ridDupes == 0L, s"seed=$seed: duplicated _row_id values")
+
+    // reclaim disk for the next seeds
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+  }
+
+  test(s"$nSeeds seeded random multi-writer schedules hold every invariant") {
+    // seeds run in small parallel batches (each on its own table) — the
+    // WITHIN-seed threads provide the race pressure, the batching just
+    // buys wall-clock
+    val batch = 4
+    (0 until nSeeds).grouped(batch).foreach { seeds =>
+      val fails = new ConcurrentLinkedQueue[Throwable]()
+      val ts = seeds.map { s =>
+        val th = new Thread(() =>
+          try runSchedule(s)
+          catch { case e: Throwable => fails.add(e) })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      if (!fails.isEmpty) throw fails.peek()
+    }
+  }
+}

@@ -222,5 +222,80 @@ class PjMaintenanceConcurrencySpec extends AnyFunSuite {
     assert(spark.read.format("pjparquet").load(dir).count() == 10L)
   }
 
+  test("merge-on-read DML losing to a compaction: sanctioned conflict, retry lands (fuzz pin)") {
+    // PjConcurrencyFuzzSpec seed 3 found this as a non-conflict crash:
+    // a DV DELETE's scan plans against version V, a compaction retires
+    // the touched file before the delta commit, and the position-keyed
+    // vectors no longer apply. The loss must surface as the CONFLICT
+    // shape (retryable), Spark's abort must sweep the staged job files,
+    // and a retry against the new state must land.
+    val dir = java.nio.file.Files.createTempDirectory("pj_mc_dmlrace").toString
+    spark.range(0, 200).select($"id", ($"id" % 10).as("m"))
+      .repartition(4).write.format("pjparquet")
+      .mode("append").option("log.enabled", "true").save(dir)
+    spark.sql("DROP TABLE IF EXISTS pj_mc_dmlrace")
+    spark.sql(s"CREATE TABLE pj_mc_dmlrace USING pjparquet OPTIONS (path '$dir')")
+    // the compaction lands INSIDE the DML's task-finish-to-commit window
+    graft.sources.pjparquet.PjDeltaWrite.testHookBeforeCommit = { () =>
+      graft.sources.pjparquet.PjDeltaWrite.testHookBeforeCommit = () => ()
+      PjCompaction.compact(spark, dir)
+    }
+    spark.range(0, 200).filter($"id" % 10 === 3).select($"id")
+      .createOrReplaceTempView("pj_mc_dmlrace_src")
+    try {
+      val e = intercept[Throwable](spark.sql(
+        """MERGE INTO pj_mc_dmlrace t USING pj_mc_dmlrace_src s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      def conflictShaped(t: Throwable): Boolean = {
+        var c: Throwable = t
+        while (c != null) {
+          if (Option(c.getMessage).exists(_.contains("conflict"))) return true
+          c = c.getCause
+        }
+        false
+      }
+      assert(conflictShaped(e), s"DML loss must be the retryable conflict shape: $e")
+    } finally {
+      graft.sources.pjparquet.PjDeltaWrite.testHookBeforeCommit = () => ()
+    }
+    // nothing from the dead DML leaked: content is exactly the compacted base
+    assert(spark.table("pj_mc_dmlrace").count() == 200L)
+    assert(spark.table("pj_mc_dmlrace").filter($"m" === 3).count() == 20L)
+    noOrphans(dir)
+    // the retry against the compacted state lands
+    spark.sql(
+      """MERGE INTO pj_mc_dmlrace t USING pj_mc_dmlrace_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table("pj_mc_dmlrace").filter($"m" === 3).count() == 0L)
+    assert(spark.table("pj_mc_dmlrace").count() == 180L)
+  }
+
+  test("table walks never enter a concurrent writer's scratch dirs (fuzz pin)") {
+    // PjConcurrencyFuzzSpec seed 0: fs.listFiles(root, true) descended
+    // into a racing op's live .compact_tmp_*/_temporary and crashed on
+    // its committer's deletes; on an UNLOGGED table the scratch parquet
+    // could even have been CONSUMED as a compaction candidate. The walk
+    // must skip internal dirs entirely.
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("pj_mc_scratch").toString
+    spark.range(0, 40).select($"id", ($"id" % 4).as("m")).repartition(4)
+      .write.format("pjparquet").mode("append").save(dir) // unlogged
+    // plant a real parquet inside a live-looking scratch dir
+    spark.range(900, 910).select($"id", lit(0).as("m")).coalesce(1)
+      .write.parquet(s"$dir/.compact_tmp_live/stage")
+    new java.io.File(s"$dir/.compact_tmp_live/_temporary/0/_temporary").mkdirs()
+    val (fs, root) = fsOf(dir)
+    val walked = graft.sources.pjparquet.PjBatchWrite.walkDataFiles(fs, root)
+    assert(walked.nonEmpty &&
+      walked.forall(!_.getPath.toString.contains(".compact_tmp")),
+      s"walk entered scratch: ${walked.map(_.getPath.getName)}")
+    // compaction neither crashes on nor consumes the scratch rows
+    PjCompaction.compact(spark, dir)
+    assert(spark.read.format("pjparquet").load(dir).count() == 40L,
+      "scratch rows must never enter the table")
+    assert(new java.io.File(s"$dir/.compact_tmp_live/stage").exists(),
+      "another op's scratch must be left alone")
+  }
+
   private def lit(v: Long) = org.apache.spark.sql.functions.lit(v)
 }
