@@ -703,6 +703,62 @@ object Bench {
     PjParquetTable.resolveFiles(dir5, conf, autogen = true)
     val warm5Ms = (System.nanoTime() - tWarm5) / 1e6
 
+    // --- MILLION-file soak (round 16): double the 500k table to ~1M
+    // entries, then measure the numbers that prove the metadata plane at
+    // the 100 TB design point: a steady-state small append, a DML-shaped
+    // commit exercising the full conflict-validation winner scan
+    // (declared read base + partition read set, add-only winners since),
+    // the cadence incremental parquet checkpoint, and the cold resolve.
+    val tGrow = System.nanoTime()
+    for (c <- 0 until 9) {
+      val chunk = (0 until per).map(i =>
+        template.copy(path = f"k=${(c * per + i) % 37}%d/part-m$c%02d-$i%05d-synthetic.parquet"))
+      PjCommitLog.commit(fs, root5, "append", chunk, Set.empty, seed.dataSchemaJson)
+    }
+    // the 30th commit hits the cadence: INCREMENTAL parquet checkpoint
+    // over the ~1M-entry table (engine reads the v20 checkpoint, applies
+    // the tail)
+    val tCkM = System.nanoTime()
+    locally {
+      val chunk = (0 until per).map(i =>
+        template.copy(path = f"k=${(9 * per + i) % 37}%d/part-m09-$i%05d-synthetic.parquet"))
+      PjCommitLog.commit(fs, root5, "append", chunk, Set.empty, seed.dataSchemaJson)
+    }
+    val millionCkptCommitMs = (System.nanoTime() - tCkM) / 1e6
+    val growMs = (System.nanoTime() - tGrow) / 1e6
+    val entriesM = 20 * per + 1000
+    // steady-state append on the 1M table (lands in its OWN partition so
+    // the DML below can prove winner-disjointness against it)
+    val tAppM = System.nanoTime()
+    PjCommitLog.commit(fs, root5, "append",
+      (0 until 100).map(i =>
+        template.copy(path = f"k=777/part-steady-$i%03d-synthetic.parquet")),
+      Set.empty, seed.dataSchemaJson)
+    val millionAppendMs = (System.nanoTime() - tAppM) / 1e6
+    // DML-shaped commit: retire 50 k=3 files READ AT an older base, so
+    // the commit must validate disjointness against every winner since
+    // (the steady append above) before claiming — the full optimistic-
+    // concurrency path a 1M-file table's DELETE pays
+    val headV = PjCommitLog.latest(fs, root5).get.version
+    val victims = PjCommitLog.read(fs, root5, headV).entries.iterator
+      .filter(_.path.startsWith("k=3/")).take(50).map(_.path).toSet
+    val tDmlM = System.nanoTime()
+    PjCommitLog.commit(fs, root5, "delete", Nil, victims,
+      operation = Some("delete"),
+      readVersion = Some(headV - 1),
+      readPartitions = Some(Set(Seq("3"))))
+    val millionDmlMs = (System.nanoTime() - tDmlM) / 1e6
+    PjParquetTable.clearLayoutCache()
+    PjCommitLog.clearSnapshotCache()
+    val tColdM = System.nanoTime()
+    val layoutM = PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+    val coldMMs = (System.nanoTime() - tColdM) / 1e6
+    require(layoutM.files.size == entriesM + 100 - 50,
+      s"1M log planning bench: expected ${entriesM + 50}, got ${layoutM.files.size}")
+    val tWarmM = System.nanoTime()
+    PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+    val warmMMs = (System.nanoTime() - tWarmM) / 1e6
+
     s"""{"entries":$entries,"commit_ms":${fmt(commitMs)},""" +
       s""""resolve_cold_ms":${fmt(coldMs)},"resolve_warm_ms":${fmt(warmMs)},""" +
       s""""parquet_checkpoint":{"entries":${10 * per},""" +
@@ -711,7 +767,14 @@ object Bench {
       s""""small_delta_commits_ms":${fmt(smallCommitsMs)},""" +
       s""""incremental_ckpt_commit_ms":${fmt(incCkptCommitMs)},""" +
       s""""resolve_cold_ms":${fmt(cold5Ms)},""" +
-      s""""resolve_warm_ms":${fmt(warm5Ms)}}}"""
+      s""""resolve_warm_ms":${fmt(warm5Ms)}},""" +
+      s""""million":{"entries":${entriesM + 50},""" +
+      s""""grow_commits_ms":${fmt(growMs)},""" +
+      s""""incremental_ckpt_commit_ms":${fmt(millionCkptCommitMs)},""" +
+      s""""steady_append_commit_ms":${fmt(millionAppendMs)},""" +
+      s""""dml_conflict_validated_commit_ms":${fmt(millionDmlMs)},""" +
+      s""""resolve_cold_ms":${fmt(coldMMs)},""" +
+      s""""resolve_warm_ms":${fmt(warmMMs)}}}"""
   }
 }
 
