@@ -282,15 +282,8 @@ object PjBloomJob {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
-    val it = fs.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        buf += s.getPath.toString
-    }
-    run(spark, conf, buf.toSeq, columns, fpp, checkFresh = !overwrite)
+    val files = PjBatchWrite.walkDataFiles(fs, root).map(_.getPath.toString)
+    run(spark, conf, files, columns, fpp, checkFresh = !overwrite)
   }
 
   /** Build sidecars for an EXPLICIT file list — the write-commit path: an

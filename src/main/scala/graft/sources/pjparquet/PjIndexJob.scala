@@ -51,17 +51,12 @@ object PjIndexJob {
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
-    // recursive: covers Hive-partitioned key=value layouts too
-    val it = fs.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          !PjBatchWrite.isInternalRel(PjCommitLog.relativize(fs, root, s.getPath)))
-        buf += ((s.getPath.toString, s.getModificationTime))
-    }
-    val files = buf.toSeq
+    // internal-dir-skipping walk: covers Hive-partitioned key=value
+    // layouts, never enters a concurrent maintenance op's live scratch
+    val files = PjBatchWrite.walkDataFiles(fs, root)
+      .filterNot(s => PjBatchWrite.isInternalRel(
+        PjCommitLog.relativize(fs, root, s.getPath)))
+      .map(s => (s.getPath.toString, s.getModificationTime))
     if (files.isEmpty) return 0L
     spark.sparkContext
       .parallelize(files, math.min(files.size, 1024))

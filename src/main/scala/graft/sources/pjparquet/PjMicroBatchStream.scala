@@ -381,15 +381,12 @@ class PjMicroBatchStream(
       if (PjCommitLog.isEnabled(fs, root)) PjCommitLog.latest(fs, root)
       else None
     val snapshot: Option[Set[String]] = snap.map(_.files.toSet)
-    val it = fs.listFiles(root, true)
+    // internal-dir-skipping walk: a per-micro-batch listing must never
+    // race a concurrent compaction's live scratch dirs
     val m = Map.newBuilder[String, (Long, Long)]
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && {
-          val rel = PjCommitLog.relativize(fs, root, s.getPath)
-          !PjBatchWrite.isInternalRel(rel) && snapshot.forall(_.contains(rel))
-        })
+    PjBatchWrite.walkDataFiles(fs, root).foreach { s =>
+      val rel = PjCommitLog.relativize(fs, root, s.getPath)
+      if (!PjBatchWrite.isInternalRel(rel) && snapshot.forall(_.contains(rel)))
         m += (s.getPath.toString -> (s.getModificationTime, s.getLen))
     }
     // SHALLOW-CLONE entries ([[PjClone]]) live OUTSIDE the root and never
