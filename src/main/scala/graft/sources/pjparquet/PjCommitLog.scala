@@ -153,7 +153,12 @@ object PjCommitLog {
   final case class Snapshot(
       version: Long,
       action: String,
-      entries: Seq[FileEntry],
+      /** Live entries keyed by table-relative path — a PERSISTENT sorted
+        * map, structurally shared across versions by the incremental
+        * replay: the steady-state commit on a million-file table updates
+        * O(delta) nodes instead of copying and re-sorting the world.
+        */
+      entryMap: scala.collection.immutable.TreeMap[String, FileEntry],
       ts: Long = 0L,
       dataSchemaJson: Option[String] = None,
       operation: Option[String] = None,
@@ -199,7 +204,16 @@ object PjCommitLog {
         * rolled-back data rows are gone, but re-appending them blindly
         * would double rows the application already considers delivered).
         */
-      txnsJson: Option[String] = None) {
+      txnsJson: Option[String] = None,
+      /** Count of live entries carrying a deletion vector — maintained
+        * incrementally by the replay so the per-commit protocol
+        * inference is O(1) on the (common) vector-free steady state.
+        */
+      dvCount: Int = 0) {
+    /** Path-ordered entry list (the historical shape) — materialized
+      * lazily from [[entryMap]], once per snapshot instance.
+      */
+    lazy val entries: Seq[FileEntry] = entryMap.values.toSeq
     def files: Seq[String] = entries.map(_.path)
     /** Highest txnVersion recorded for `appId`, if any. */
     def txnVersion(appId: String): Option[Long] =
@@ -392,7 +406,7 @@ object PjCommitLog {
       if (between.isEmpty || !between.forall(l.commits.contains)) None
       else {
         val st = new ReplayState
-        base.entries.foreach(e => st.entries.put(e.path, e))
+        st.seed(base) // O(1): shares the persistent entry map
         st.schema = base.dataSchemaJson
         st.constraints = base.constraintsJson
         st.properties = base.propertiesJson
@@ -426,7 +440,7 @@ object PjCommitLog {
         case Some(dirName) => readParquetEntries(root, dirName)
         case None => nodeEntries(node, "entries")
       }
-      base.foreach(e => st.entries.put(e.path, e))
+      st.seedEntries(base)
       st.schema = optText(node, "dataSchema")
       st.constraints = optText(node, "constraints")
       st.properties = optText(node, "properties")
@@ -454,7 +468,32 @@ object PjCommitLog {
     * definition of how a commit node mutates table state.
     */
   private final class ReplayState {
-    val entries = new java.util.LinkedHashMap[String, FileEntry]()
+    /** Persistent sorted map, structurally shared with the predecessor
+      * snapshot when seeded from the cache — delta application is
+      * O(delta·log n), never an O(n) copy.
+      */
+    var entries: scala.collection.immutable.TreeMap[String, FileEntry] =
+      scala.collection.immutable.TreeMap.empty
+    /** Live entries carrying a DV — kept in lockstep with `entries`. */
+    var dvCount: Int = 0
+    private def put(e: FileEntry): Unit = {
+      entries.get(e.path).foreach(old => if (old.dv.isDefined) dvCount -= 1)
+      if (e.dv.isDefined) dvCount += 1
+      entries = entries.updated(e.path, e)
+    }
+    private def drop(path: String): Unit =
+      entries.get(path).foreach { old =>
+        if (old.dv.isDefined) dvCount -= 1
+        entries = entries - path
+      }
+    def seed(base: Snapshot): Unit = {
+      entries = base.entryMap
+      dvCount = base.dvCount
+    }
+    def seedEntries(es: Seq[FileEntry]): Unit = {
+      entries = scala.collection.immutable.TreeMap.from(es.iterator.map(e => e.path -> e))
+      dvCount = es.count(_.dv.isDefined)
+    }
     var schema: Option[String] = None
     var constraints: Option[String] = None
     var properties: Option[String] = None
@@ -473,17 +512,18 @@ object PjCommitLog {
         // The PROTOCOL survives: a legacy writer knows nothing of table
         // features, and letting its commit erase the lane would silently
         // downgrade the very protection the lane exists to provide.
-        entries.clear()
+        entries = scala.collection.immutable.TreeMap.empty
+        dvCount = 0
         schema = None
         constraints = None
         properties = None
         tableStats = None
         node.get("files").elements().asScala.foreach { f =>
-          val e = FileEntry(f.asText); entries.put(e.path, e)
+          put(FileEntry(f.asText))
         }
       } else {
-        node.path("remove").elements().asScala.foreach(r => entries.remove(r.asText))
-        nodeEntries(node, "add").foreach(e => entries.put(e.path, e))
+        node.path("remove").elements().asScala.foreach(r => drop(r.asText))
+        nodeEntries(node, "add").foreach(put)
       }
       optText(node, "dataSchema").foreach(s => schema = Some(s))
       optText(node, "constraints").foreach(c => constraints = Some(c))
@@ -501,11 +541,10 @@ object PjCommitLog {
       operation = optText(node, "operation")
     }
     def snapshot(version: Long): Snapshot =
-      Snapshot(version, action,
-        entries.values().asScala.toSeq.sortBy(_.path), ts, schema, operation,
+      Snapshot(version, action, entries, ts, schema, operation,
         constraintsJson = constraints, propertiesJson = properties,
         tableStatsJson = tableStats, protocolJson = protocol,
-        rowWatermark = rowWatermark, txnsJson = txns)
+        rowWatermark = rowWatermark, txnsJson = txns, dvCount = dvCount)
   }
 
   /** The raw delta one commit recorded — [[PjChangeFeed]]'s unit of work.
@@ -616,10 +655,15 @@ object PjCommitLog {
       // monotone, so protection only ever grows
       val protocolJson: Option[String] = {
         val cur = PjProtocol.parse(prev.flatMap(_.protocolJson))
+        // O(1) on the vector-free steady state (the incremental dvCount);
+        // a DV-carrying table pays O(|remove| log n), never a full scan
+        val prevDvSurvives = prev.exists { p =>
+          p.dvCount > 0 &&
+            p.dvCount > remove.iterator.count(r =>
+              p.entryMap.get(r).exists(_.dv.isDefined))
+        }
         val req = PjProtocol.required(
-          anyDv = add.exists(_.dv.isDefined) ||
-            prev.exists(_.entries.exists(e =>
-              e.dv.isDefined && !remove.contains(e.path))),
+          anyDv = add.exists(_.dv.isDefined) || prevDvSurvives,
           dataSchemaJson = dataSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)),
           constraintsJson = constraintsJson.orElse(prev.flatMap(_.constraintsJson)),
           propertiesJson = propertiesJson.orElse(prev.flatMap(_.propertiesJson)))
@@ -673,9 +717,17 @@ object PjCommitLog {
             "winner's changes (same files retired, or rows added to a " +
             "partition this operation read) — retry the operation against " +
             "the new table state")
-      val prevPaths = prev.map(_.files.toSet).getOrElse(Set.empty)
-      val effectiveRemove = remove.intersect(prevPaths)
-      val nLive = ((prevPaths -- effectiveRemove) ++ add.map(_.path)).size
+      // O(delta·log n) membership against the persistent map — never an
+      // O(n) set materialization per commit
+      val prevMap = prev.map(_.entryMap).getOrElse(
+        scala.collection.immutable.TreeMap.empty[String, FileEntry])
+      val effectiveRemove = remove.filter(prevMap.contains)
+      // |(P \ R) ∪ A| = |P| − |R| + |{a ∈ A : a ∉ P ∨ a ∈ R}|
+      val nLive = {
+        val addPaths = add.iterator.map(_.path).toSet
+        prevMap.size - effectiveRemove.size +
+          addPaths.count(a => !prevMap.contains(a) || effectiveRemove.contains(a))
+      }
       // ROW TRACKING: assign each fresh fully-planned entry a disjoint
       // [baseRowId, baseRowId + rows) id range from the table's watermark.
       // Runs INSIDE the claim loop, so a rebased pure append re-assigns
