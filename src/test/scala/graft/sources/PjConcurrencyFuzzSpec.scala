@@ -72,14 +72,26 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     false
   }
 
-  private def runSchedule(seed: Int): Unit = {
+  private def runSchedule(seed: Int, partitioned: Boolean): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(f"pj_fuzz_$seed%04d")
     java.nio.file.Files.delete(dir)
     val t = dir.toString
-    spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT) USING pjparquet")
+    // the partitioned lane (q168's lesson: coverage axes hide bugs) runs
+    // the SAME schedules over a Hive-partitioned table — partition
+    // routing, per-directory compaction, partitioned DV DML, and the
+    // partition-scoped conflict validation all join the race
+    if (partitioned)
+      spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT, p BIGINT) " +
+        "USING pjparquet PARTITIONED BY (p)")
+    else
+      spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT) USING pjparquet")
+    def rows(ids: Seq[Long]) = {
+      val base = ids.map(i => (i, i * 7))
+      if (partitioned) base.map { case (i, v) => (i, v, i % 4) }.toDF("id", "v", "p")
+      else base.toDF("id", "v")
+    }
     // base population: ids 0..19, v = 7*id
-    (0L until 20L).map(i => (i, i * 7)).toDF("id", "v").coalesce(1)
-      .writeTo(s"pjfuzz.`$t`").append()
+    rows(0L until 20L).coalesce(1).writeTo(s"pjfuzz.`$t`").append()
 
     val appended = new ConcurrentLinkedQueue[Seq[Long]]()
     val deleted = new ConcurrentLinkedQueue[Seq[Long]]()
@@ -108,8 +120,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
               case 0 | 1 => // plain append (weighted: the commonest op)
                 val ids = freshIds(opId, 2 + rnd.nextInt(3))
                 if (attempt(seed, s"append#$opId") {
-                  ids.map(i => (i, i * 7)).toDF("id", "v").coalesce(1)
-                    .writeTo(s"pjfuzz.`$t`").append()
+                  rows(ids).coalesce(1).writeTo(s"pjfuzz.`$t`").append()
                 }) appended.add(ids)
               case 2 => // DV DELETE of an explicit live-id list
                 val ids = liveIdSample(rnd)
@@ -132,12 +143,15 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
                 (existing.map(i => (i, 0L, 0L, delta)) ++
                   fresh.map(i => (i, i * 7, 1L, 0L)))
                   .toDF("id", "v", "fresh", "d").createOrReplaceTempView(view)
+                val insertCols =
+                  if (partitioned) "(id, v, p) VALUES (s.id, s.v, s.id % 4)"
+                  else "(id, v) VALUES (s.id, s.v)"
                 if (attempt(seed, s"merge#$opId") {
                   spark.sql(
                     s"""MERGE INTO pjfuzz.`$t` tt USING $view s ON tt.id = s.id
                        |WHEN MATCHED AND s.fresh = 0 THEN UPDATE SET v = tt.v + s.d
                        |WHEN NOT MATCHED AND s.fresh = 1 THEN
-                       |  INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+                       |  INSERT $insertCols""".stripMargin)
                 }) {
                   appended.add(fresh)
                   if (existing.nonEmpty) updates.add((existing, delta))
@@ -160,7 +174,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
                 // correctly skipped — seed 165 taught the model that.)
                 val txnIds = (0 until 2).map(i => 2000000L + seed.toLong * 10 + i)
                 if (attempt(seed, s"txn#$opId") {
-                  txnIds.map(i => (i, i * 7)).toDF("id", "v").coalesce(1)
+                  rows(txnIds).coalesce(1)
                     .write.format("pjparquet").mode("append")
                     .option("txnAppId", s"fuzz-$seed").option("txnVersion", "1")
                     .save(t)
@@ -186,7 +200,12 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
       id -> (base + extra)
     }.toMap
     val got: Map[Long, Long] = spark.table(s"pjfuzz.`$t`")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select($"id", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (partitioned) {
+      val badPart = spark.table(s"pjfuzz.`$t`")
+        .filter($"p" =!= $"id" % 4).count()
+      assert(badPart == 0L, s"seed=$seed: $badPart rows in the wrong partition")
+    }
     val gotCount = spark.table(s"pjfuzz.`$t`").count()
     assert(gotCount == got.size.toLong,
       s"seed=$seed: doubled ids — ${gotCount} rows over ${got.size} distinct ids")
@@ -207,7 +226,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     PjCommitLog.clearSnapshotCache()
     PjParquetTable.clearLayoutCache()
     val cold: Map[Long, Long] = spark.table(s"pjfuzz.`$t`")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select($"id", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cold == got, s"seed=$seed: cold log replay diverges from cached head")
 
     // row tracking never double-mints: non-null row ids unique
@@ -220,21 +239,28 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
   }
 
-  test(s"$nSeeds seeded random multi-writer schedules hold every invariant") {
-    // seeds run in small parallel batches (each on its own table) — the
-    // WITHIN-seed threads provide the race pressure, the batching just
-    // buys wall-clock
-    val batch = 4
-    (0 until nSeeds).grouped(batch).foreach { seeds =>
+  /** Seeds run in small parallel batches (each on its own table) — the
+    * WITHIN-seed threads provide the race pressure, the batching just
+    * buys wall-clock.
+    */
+  private def runLane(seeds: Range, partitioned: Boolean): Unit =
+    seeds.grouped(4).foreach { batch =>
       val fails = new ConcurrentLinkedQueue[Throwable]()
-      val ts = seeds.map { s =>
+      val ts = batch.map { s =>
         val th = new Thread(() =>
-          try runSchedule(s)
+          try runSchedule(s, partitioned)
           catch { case e: Throwable => fails.add(e) })
         th.start(); th
       }
       ts.foreach(_.join())
       if (!fails.isEmpty) throw fails.peek()
     }
+
+  test(s"${nSeeds * 3 / 5} seeded schedules, unpartitioned table: every invariant holds") {
+    runLane(0 until nSeeds * 3 / 5, partitioned = false)
+  }
+
+  test(s"${nSeeds * 2 / 5} seeded schedules, Hive-partitioned table: every invariant holds") {
+    runLane(nSeeds * 3 / 5 until nSeeds, partitioned = true)
   }
 }
