@@ -85,7 +85,7 @@ class PjCreateTableSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE pjt.`${freshPath("part")}` (id BIGINT, ts TIMESTAMP) " +
         "USING pjparquet PARTITIONED BY (days(ts))")
     }
-    assert(e2.getMessage.contains("only plain PARTITIONED BY"))
+    assert(e2.getMessage.contains("only PARTITIONED BY (col) and bucket(n, col)"))
     // DROP deletes a real table, refuses an arbitrary directory
     spark.sql(s"DROP TABLE pjt.`$p`")
     assert(!fsOf(p).exists(new Path(p)), "DROP must delete the table directory")
