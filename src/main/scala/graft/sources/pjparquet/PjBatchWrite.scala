@@ -118,7 +118,11 @@ final class PjWriteBuilder(
       * options, Delta parity): the commit records (appId, version) and
       * becomes a metadata-rate no-op when already recorded.
       */
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    /** Declared `bucket(n, col)` spec (`pj.partition.bucket`): the write
+      * clusters/sorts on the bucket TRANSFORM value, not the base column.
+      */
+    bucketSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -175,7 +179,8 @@ final class PjWriteBuilder(
       rowIdMetaOrdinal = rowIdMetaOrdinal,
       operationTag = operationTag,
       optimizeWriteBytes = optimizeWriteBytes,
-      txn = txn)
+      txn = txn,
+      bucketSpec = bucketSpec)
   }
 }
 
@@ -220,10 +225,30 @@ final class PjWrite(
       */
     optimizeWriteBytes: Option[Long] = None,
     /** Idempotent writer transaction ([[PjCommitLog.commit]]'s `txn`). */
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    /** Declared `bucket(n, col)` spec ([[PjBucketFunction]]): rows are
+      * clustered AND sorted on the bucket transform's VALUE — sorting on
+      * the base column would interleave bucket ids row-to-row, rolling
+      * the single open parquet writer once per ROW (one writer lifecycle
+      * per row on a hash-ordered stream — the q170 hang). Resolved via
+      * the catalog's FunctionCatalog; the write-side augmentation computes
+      * the identical pmod(hash(col), n) directory value.
+      */
+    bucketSpec: Option[(String, Int)] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
+
+  /** V2 expression for one distribution/ordering key: the bucket field
+    * becomes its `bucket(n, col)` transform, everything else an identity
+    * column reference.
+    */
+  private def keyExpr(k: String): V2Expression = bucketSpec match {
+    case Some((src, n)) if k.equalsIgnoreCase(PjTableProperties.bucketFieldName(src)) ||
+        k.equalsIgnoreCase(src) =>
+      Expressions.bucket(n, src)
+    case _ => Expressions.column(k)
+  }
 
   override def description(): String = s"pjparquet write $mode -> $root"
 
@@ -239,8 +264,7 @@ final class PjWrite(
         Distributions.clustered(
           writeSchema.fieldNames.map(k => Expressions.column(k): V2Expression))
       else Distributions.unspecified()
-    } else Distributions.clustered(
-      distKeys.map(k => Expressions.column(k): V2Expression).toArray)
+    } else Distributions.clustered(distKeys.map(keyExpr).toArray)
 
   /** Strict by default (exact co-location); optimized writes relax to a
     * REBALANCE so AQE can coalesce small and split skewed outputs.
@@ -255,7 +279,7 @@ final class PjWrite(
     */
   override def requiredOrdering(): Array[SortOrder] =
     (distKeys ++ sortColumns)
-      .map(k => Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+      .map(k => Expressions.sort(keyExpr(k), SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
