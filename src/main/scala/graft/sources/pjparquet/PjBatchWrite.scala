@@ -311,6 +311,12 @@ final class PjWrite(
         "pjparquet: txnAppId/txnVersion apply to batch writes (use them in " +
           "foreachBatch); the streaming sink's epoch commits are exactly-once " +
           "already")
+    if (bucketSpec.isDefined)
+      throw new PJException(
+        "pjparquet: the streaming sink does not support bucket-partitioned " +
+          "tables (epoch writers cannot request the bucket-transform " +
+          "distribution); write through foreachBatch with a batch append " +
+          "instead")
     new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns,
       sortColumns, logRequested, augment = augment, nameMap = nameMap,
       constraintsJson = constraintsJson)
