@@ -244,7 +244,16 @@ object PjChangeFeed {
         case None => false
       }
     })
-    val df = readByKeys(spark, rootQ, trans.map(_._1))
+    val df0 = readByKeys(spark, rootQ, trans.map(_._1))
+    // the hidden materialized row-id column (id-preserving rewrites) is
+    // engine-internal: never part of a change row — a DV transition on a
+    // rewritten (row-id-carrying) file would otherwise emit a feed branch
+    // whose arity differs from every other branch and break the union
+    // (found by PjConcurrencyFuzzSpec's CDF lane)
+    val df =
+      if (df0.columns.exists(_.equalsIgnoreCase(PjCommitLog.RowIdColName)))
+        df0.drop(PjCommitLog.RowIdColName)
+      else df0
     val partVals: Map[String, Seq[String]] = trans
       .flatMap(t => PjBatchWrite.partsOfRel(t._1).toSeq)
       .groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
@@ -510,7 +519,14 @@ object PjChangeFeed {
     val metaU = udf((p: String) => bc.value.getOrElse(canonScanPath(p),
       throw new graft.core.PJException(
         s"pjparquet: change feed read an input file planning never labeled: $p")))
-    val df = readByKeys(spark, rootQ, rels)
+    val df1 = readByKeys(spark, rootQ, rels)
+    // engine-internal materialized row ids never enter the feed (same
+    // drop as readRels/dvDiffRows — a rewritten file in a pure-add or
+    // pure-remove batch carries the hidden column)
+    val df =
+      if (df1.columns.exists(_.equalsIgnoreCase(PjCommitLog.RowIdColName)))
+        df1.drop(PjCommitLog.RowIdColName)
+      else df1
     // the same partition-column type alignment as the single-version path
     val partVals: Map[String, Seq[String]] = rels
       .flatMap(rel => PjBatchWrite.partsOfRel(rel).toSeq)

@@ -72,7 +72,8 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     false
   }
 
-  private def runSchedule(seed: Int, partitioned: Boolean): Unit = {
+  private def runSchedule(seed: Int, partitioned: Boolean,
+      cdf: Boolean = false): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(f"pj_fuzz_$seed%04d")
     java.nio.file.Files.delete(dir)
     val t = dir.toString
@@ -80,11 +81,17 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     // the SAME schedules over a Hive-partitioned table — partition
     // routing, per-directory compaction, partitioned DV DML, and the
     // partition-scoped conflict validation all join the race
+    // the CDF lane also arms AUTO-COMPACTION, so maintenance rewrites
+    // fire from inside racing appends for free
+    val props =
+      if (cdf) " TBLPROPERTIES ('pj.changeFeed.enabled'='true', " +
+        "'pj.autoCompact.enabled'='true', 'pj.autoCompact.minFiles'='4')"
+      else ""
     if (partitioned)
       spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT, p BIGINT) " +
-        "USING pjparquet PARTITIONED BY (p)")
+        s"USING pjparquet PARTITIONED BY (p)$props")
     else
-      spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT) USING pjparquet")
+      spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT) USING pjparquet$props")
     def rows(ids: Seq[Long]) = {
       val base = ids.map(i => (i, i * 7))
       if (partitioned) base.map { case (i, v) => (i, v, i % 4) }.toDF("id", "v", "p")
@@ -116,7 +123,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
           val rnd = new scala.util.Random(seed * 1000L + ti)
           for (oi <- 0 until opsPerThread) {
             val opId = (seed.toLong * nThreads + ti) * opsPerThread + oi
-            rnd.nextInt(8) match {
+            rnd.nextInt(9) match {
               case 0 | 1 => // plain append (weighted: the commonest op)
                 val ids = freshIds(opId, 2 + rnd.nextInt(3))
                 if (attempt(seed, s"append#$opId") {
@@ -165,6 +172,26 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
                   spark.sql(s"CALL pjfuzz.system.optimize_zorder(" +
                     s"table => '$t', columns => 'id,v')").collect()
                 }
+              case 8 => // COPY INTO: idempotent file ingest of an op-unique
+                // staged source — rows land exactly once across retries
+                val ids = freshIds(opId, 3)
+                val src = java.nio.file.Files.createTempDirectory(
+                  f"pj_fuzz_copy_$opId%06d").toString
+                rows(ids).coalesce(1).write.mode("overwrite").parquet(src)
+                var landed = false
+                if (attempt(seed, s"copy#$opId") {
+                  var tries = 0
+                  var pending = 1L
+                  while (pending > 0 && tries < 4) {
+                    tries += 1
+                    val r = spark.sql(s"CALL pjfuzz.system.copy_into(" +
+                      s"table => '$t', source => '$src', " +
+                      s"reclaim_claims => ${tries > 1})").head()
+                    pending = r.getLong(2)
+                    if (r.getLong(0) + r.getLong(1) > 0) landed = true
+                  }
+                  if (pending > 0) throw new PJException_Like_Conflict()
+                }) { if (landed) appended.add(ids) }
               case 7 => // idempotent txn-append: EVERY thread races the
                 // same (appId, version=1) with the SAME ids — exactly one
                 // lands, the rest skip as replays, content identical. (A
@@ -186,6 +213,44 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     }
     threads.foreach(_.join())
     if (!failures.isEmpty) throw failures.peek()
+
+    // ---- quiesce: CDF net-effect replay (change feed lane) ----
+    // order-free linear invariant: per id, Σ(+v on insert/update_postimage,
+    // −v on delete/update_preimage) telescopes to the FINAL value for
+    // survivors and 0 for deleted ids — missed, duplicated, or mislabeled
+    // change rows all break the sum. Pure-move maintenance (compaction,
+    // ZORDER) must contribute nothing.
+    if (cdf) {
+      // per id: (presence = Σ sign, value = Σ sign·v) — presence must be
+      // exactly 1 (survivor) or 0 (deleted); the value telescopes to the
+      // final v for survivors. Presence is the signed ROW count, not the
+      // value sum, so a legitimate v=0 row still registers.
+      val net = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+        .withDefaultValue((0L, 0L))
+      spark.read.format("pjparquet")
+        .option("readChangeFeed", "true").option("startingVersion", "1").load(t)
+        .select($"id", $"v", $"_change_type")
+        .collect().foreach { r =>
+          val sign = r.getString(2) match {
+            case "insert" | "update_postimage" => 1L
+            case "delete" | "update_preimage" => -1L
+            case other => throw new AssertionError(s"seed=$seed: change type $other")
+          }
+          val (c, s0) = net(r.getLong(0))
+          net(r.getLong(0)) = (c + sign, s0 + sign * r.getLong(1))
+        }
+      val badPresence = net.filter { case (_, (c, _)) => c != 0L && c != 1L }
+      assert(badPresence.isEmpty,
+        s"seed=$seed: CDF presence counts outside {0,1}: ${badPresence.take(5)}")
+      val replayed = net.collect { case (id, (1L, v)) => id -> v }.toMap
+      val table = spark.table(s"pjfuzz.`$t`")
+        .select($"id", $"v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(replayed == table,
+        s"seed=$seed: CDF net-effect replay diverges from the table — " +
+          s"missing=${(table.keySet -- replayed.keySet).toSeq.sorted.take(10)} " +
+          s"extra=${(replayed.keySet -- table.keySet).toSeq.sorted.take(10)} " +
+          s"wrong=${table.collect { case (k, v) if replayed.get(k).exists(_ != v) => k }.take(10)}")
+    }
 
     // ---- quiesce: reference model vs table ----
     import scala.jdk.CollectionConverters._
@@ -243,12 +308,12 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     * WITHIN-seed threads provide the race pressure, the batching just
     * buys wall-clock.
     */
-  private def runLane(seeds: Range, partitioned: Boolean): Unit =
+  private def runLane(seeds: Range, partitioned: Boolean, cdf: Boolean = false): Unit =
     seeds.grouped(4).foreach { batch =>
       val fails = new ConcurrentLinkedQueue[Throwable]()
       val ts = batch.map { s =>
         val th = new Thread(() =>
-          try runSchedule(s, partitioned)
+          try runSchedule(s, partitioned, cdf)
           catch { case e: Throwable => fails.add(e) })
         th.start(); th
       }
@@ -256,11 +321,21 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
       if (!fails.isEmpty) throw fails.peek()
     }
 
+  /** Marker: an op-internal retryable condition (pending COPY INTO claims
+    * under contention) — reported as a conflict so [[attempt]] retries.
+    */
+  private class PJException_Like_Conflict extends RuntimeException(
+    "copy_into claims pending (concurrent writer conflict); retrying")
+
   test(s"${nSeeds * 3 / 5} seeded schedules, unpartitioned table: every invariant holds") {
     runLane(0 until nSeeds * 3 / 5, partitioned = false)
   }
 
-  test(s"${nSeeds * 2 / 5} seeded schedules, Hive-partitioned table: every invariant holds") {
-    runLane(nSeeds * 3 / 5 until nSeeds, partitioned = true)
+  test(s"${nSeeds * 2 / 5 - nSeeds / 5} seeded schedules, Hive-partitioned table: every invariant holds") {
+    runLane(nSeeds * 3 / 5 until nSeeds * 4 / 5, partitioned = true)
+  }
+
+  test(s"${nSeeds - nSeeds * 4 / 5} seeded schedules, CDF + auto-compact table: net-effect replay exact") {
+    runLane(nSeeds * 4 / 5 until nSeeds, partitioned = false, cdf = true)
   }
 }
