@@ -278,8 +278,11 @@ final class PjWrite(
     * data sort columns and the commit can maintain [[PjSortMarker]].
     */
   override def requiredOrdering(): Array[SortOrder] =
-    (distKeys ++ sortColumns)
-      .map(k => Expressions.sort(keyExpr(k), SortDirection.ASCENDING)).toArray
+    (distKeys.map(keyExpr) ++
+      // data sort columns stay PLAIN column references — a user sorting by
+      // the bucket SOURCE column wants row order, not the transform value
+      sortColumns.map(k => Expressions.column(k): V2Expression))
+      .map(e => Expressions.sort(e, SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
