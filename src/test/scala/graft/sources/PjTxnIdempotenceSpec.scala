@@ -131,6 +131,40 @@ class PjTxnIdempotenceSpec extends AnyFunSuite {
       s"losers left orphan staged files: ${dataFiles(t)}")
   }
 
+  test("foreachBatch wiring: batchId as txnVersion makes a replayed micro-batch exactly-once") {
+    // the canonical production pattern: the sink writes each micro-batch
+    // with txnAppId = a stable query identity and txnVersion = batchId;
+    // a restart that re-fires the last batch (checkpoint lag) re-invokes
+    // the SAME (appId, batchId) and must land nothing twice
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val t = freshDir("pj_txn_feb")
+    spark.sql(s"CREATE TABLE pjtxn_feb_probe (x INT) USING parquet") // warm catalog, unrelated
+    spark.sql("DROP TABLE pjtxn_feb_probe")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    def writeBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.selectExpr("value AS id", "value * 10 AS v")
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true")
+        .option("txnAppId", "feb-query").option("txnVersion", batchId.toString)
+        .save(t)
+    val q = in.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$t-ckpt")
+      .foreachBatch(writeBatch _)
+      .start()
+    in.addData(1L, 2L, 3L)
+    q.awaitTermination(60000)
+    assert(spark.read.format("pjparquet").load(t).count() == 3L)
+    // the restart-replay: the engine re-fires the last batch's function
+    // with the same batchId — exactly the double-write window
+    writeBatch(Seq(1L, 2L, 3L).toDF("value"), 0L)
+    assert(spark.read.format("pjparquet").load(t).count() == 3L,
+      "replayed foreachBatch batch must be a no-op")
+    assert(snap(t).txnVersion("feb-query").contains(0L))
+  }
+
   test("refusals: non-log table, half an identity, streaming sink") {
     val t = freshDir("pj_txn_refuse")
     // directory-mode table (no commit log) has nowhere to record identity
