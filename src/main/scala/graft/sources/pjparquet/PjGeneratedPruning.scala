@@ -81,9 +81,23 @@ private[pjparquet] object PjGeneratedPruning {
             if (name == "substring" || name == "substr") &&
               String.valueOf(from) == "1" =>
           Some((a.name, true)) // prefix: monotone under binary string order
+        // bucket transforms (`pmod(hash(b), n)`, [[PjBucketFunction]]):
+        // equality/IN on the base column derives the exact bucket
+        // directory — a point lookup on a bucket(n, col) table reads 1/n
+        // of the files with zero stats involved
+        case Seq(h: UnresolvedFunction, Literal(_, _))
+            if name == "pmod" && fold(h.nameParts.last) == "hash" =>
+          h.arguments match {
+            case Seq(a: UnresolvedAttribute) => Some((a.name, false))
+            case _ => None
+          }
         case _ => None
       }
     case Cast(a: UnresolvedAttribute, DateType, _, _) => Some((a.name, true))
+    // integral-cast wrapper (the synthesized bucket field is BIGINT over
+    // pmod's INT): classify through it — evaluation uses the FULL parsed
+    // expression either way, so the wrapper changes nothing but the type
+    case Cast(inner, LongType, _, _) => classify(inner)
     case _ => None
   }
 

@@ -102,6 +102,35 @@ class PjBucketSpec extends AnyFunSuite {
       s"every live file must sit in a bucket dir: $files")
   }
 
+  test("point lookups prune to the one bucket directory (derived bucket pruning)") {
+    // equality/IN on the bucket SOURCE column derives the exact bucket id
+    // through the generated-column pruning lane — a point lookup on a
+    // bucket(n, col) table reads 1/n of the files, no stats involved
+    val t = freshDir("pj_bucket_prune")
+    spark.sql(s"CREATE TABLE pjbk.`$t` (id BIGINT, v BIGINT) USING pjparquet " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(0, 400).select($"id", ($"id" * 3).as("v"))
+      .writeTo(s"pjbk.`$t`").append()
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      "pjparquet (\\d+) file\\(s\\)".r.findFirstMatchIn(plan)
+        .map(_.group(1).toInt)
+        .getOrElse(fail(s"no pjparquet scan in plan:\n$plan"))
+    }
+    val total = plannedFiles(spark.table(s"pjbk.`$t`"))
+    assert(total >= 4, s"expected at least one file per bucket, planned $total")
+    val q = spark.table(s"pjbk.`$t`").filter($"id" === 42L)
+    assert(plannedFiles(q) <= total / 4,
+      s"id equality must prune to one bucket's files (planned ${plannedFiles(q)} of $total)")
+    assert(q.count() == 1L && q.head().getAs[Long]("v") == 126L)
+    // IN-lists derive too (union of the listed values' buckets)
+    val qin = spark.table(s"pjbk.`$t`").filter($"id".isin(7L, 42L))
+    assert(plannedFiles(qin) <= total / 2, "IN must prune to the listed values' buckets")
+    assert(qin.count() == 2L)
+    // inequality derives nothing and stays exact
+    assert(spark.table(s"pjbk.`$t`").filter($"id" > 395L).count() == 4L)
+  }
+
   test("refusals: float bucket column, multiple bucket transforms, bad specs") {
     val t = freshDir("pj_bucket_bad")
     val e1 = intercept[Exception] {
