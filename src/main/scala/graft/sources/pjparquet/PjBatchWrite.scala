@@ -415,7 +415,7 @@ final class PjStreamingWrite(
             case (_, n) => n
           }
           PjCommitLog.commit(fs, rootPath, s"stream-epoch-$epochId",
-            addEntries, Set.empty, widened)
+            addEntries, Set.empty, widened, widenSchema = true)
         case None =>
           // first logged commit adopts the live directory (path+size only;
           // adopted files keep planning eagerly until rewritten)
@@ -661,7 +661,11 @@ final class PjBatchWrite(
           }
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
             addEntries, retired, schemaJson, operation, readV, readParts,
-            exclusive = identityExclusive, txn = txn)
+            exclusive = identityExclusive, txn = txn,
+            // append-like commits re-widen in the claim loop so a racing
+            // ADD COLUMN is never erased; a full replacement records the
+            // new schema outright
+            widenSchema = !fullReplace)
         case None =>
           // adoption commit: pre-existing survivors enter path+size only
           val adopted = preExisting.filterNot { case (rel, _) => retired.contains(rel) }

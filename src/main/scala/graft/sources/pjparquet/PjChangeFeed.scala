@@ -149,7 +149,7 @@ object PjChangeFeed {
           .load(root).where(lit(false)).withColumn("_change_type", lit(""))
       case (Some(b), None) => b
       case (None, Some(dv)) => dv
-      case (Some(b), Some(dv)) => b.unionByName(dv)
+      case (Some(b), Some(dv)) => b.unionByName(dv, allowMissingColumns = true)
     }
     out.withColumn("_commit_version", lit(version))
   }
@@ -482,7 +482,9 @@ object PjChangeFeed {
 
     val built = parts.result()
     if (built.isEmpty) changesAt(spark, root, vs.head) // all metadata-only: typed empty feed
-    else built.reduce(_ unionByName _)
+    // allowMissingColumns: a column ADDed mid-range exists only in the
+    // branches whose commits postdate it — earlier branches read null
+    else built.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Canonical form of the scan's `input_file_name` for the broadcast

@@ -181,13 +181,19 @@ private[pjparquet] class PjChangeFeedScan(
           .map(v => (v, PjCommitLog.header(fs, rootPath, v).ts))
         val tsDf = spark.createDataFrame(tsRows)
           .toDF(PjChangeFeedTable.CommitVersionCol, "_pj_ts_ms")
-        PjChangeFeed.changes(spark, path, from, to)
+        val joined = PjChangeFeed.changes(spark, path, from, to)
           .join(org.apache.spark.sql.functions.broadcast(tsDf),
             PjChangeFeedTable.CommitVersionCol)
           .withColumn(PjChangeFeedTable.CommitTimestampCol,
             org.apache.spark.sql.functions.timestamp_millis(col("_pj_ts_ms")))
-          .select(cdfSchema.fields.toIndexedSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
+        // align to the HEAD schema: a column ADDed mid-range is absent
+        // from change rows of commits that predate it — those read null,
+        // exactly like a table read of the old files
+        joined.select(cdfSchema.fields.toIndexedSeq.map { f =>
+          if (joined.columns.exists(_.equalsIgnoreCase(f.name)))
+            col(f.name).cast(f.dataType).as(f.name)
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        }: _*)
           .rdd
       }
     }

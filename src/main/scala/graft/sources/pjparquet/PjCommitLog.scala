@@ -635,7 +635,17 @@ object PjCommitLog {
         * post-commit state actually requires, so a drop can never leave
         * a feature in use unprotected.
         */
-      protocolOverride: Option[String] = None): Long = {
+      protocolOverride: Option[String] = None,
+      /** Append-like schema semantics: WIDEN the supplied schema against
+        * the predecessor's recorded one INSIDE the claim loop, so a
+        * concurrent schema change (ADD COLUMN landing between this
+        * writer's read and its commit) is never erased by this commit's
+        * stale lane record — the schema-lane lost-update the concurrency
+        * fuzzer's DDL-racing-append schedules exposed. False keeps
+        * replace semantics (RTAS, RESTORE, truncating overwrites record
+        * the new schema outright).
+        */
+      widenSchema: Boolean = false): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -645,6 +655,17 @@ object PjCommitLog {
       val v = prev.map(_.version).getOrElse(0L) + 1
       txn.foreach { case (app, ver) =>
         if (prev.flatMap(_.txnVersion(app)).exists(_ >= ver)) return TxnSkipped
+      }
+      // append-like commits re-widen against the predecessor READ IN THIS
+      // ATTEMPT, so a schema change that landed since the caller's
+      // planning read (or since the last attempt) survives this commit
+      val effSchemaJson: Option[String] = dataSchemaJson match {
+        case Some(n) if widenSchema =>
+          prev.flatMap(_.dataSchemaJson) match {
+            case Some(p) => Some(PjBatchWrite.widenRecordedSchema(p, n))
+            case None => Some(n)
+          }
+        case other => other
       }
       // feature-flag guard: a table requiring features this build cannot
       // maintain refuses the write BEFORE claiming a version
@@ -664,7 +685,7 @@ object PjCommitLog {
         }
         val req = PjProtocol.required(
           anyDv = add.exists(_.dv.isDefined) || prevDvSurvives,
-          dataSchemaJson = dataSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)),
+          dataSchemaJson = effSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)),
           constraintsJson = constraintsJson.orElse(prev.flatMap(_.constraintsJson)),
           propertiesJson = propertiesJson.orElse(prev.flatMap(_.propertiesJson)))
         protocolOverride match {
@@ -770,7 +791,7 @@ object PjCommitLog {
           // leading N logical fields of the effective schema, translated
           // to the physical names the stats envelopes are keyed by
           val keep: Option[Set[String]] =
-            dataSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)).map { sj =>
+            effSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)).map { sj =>
               val st = org.apache.spark.sql.types.DataType.fromJson(sj)
                 .asInstanceOf[org.apache.spark.sql.types.StructType]
               st.fields.take(n).map(PjColumnMapping.physicalName).toSet
@@ -794,7 +815,7 @@ object PjCommitLog {
         case _ => trackedAdd // unset or -1: keep every column's stats
       }
       val body = renderCommit(v, ts, action, statsCapped,
-        effectiveRemove.toSeq.sorted, nLive, dataSchemaJson, operation, constraintsJson,
+        effectiveRemove.toSeq.sorted, nLive, effSchemaJson, operation, constraintsJson,
         propertiesJson, tableStatsJson, protocolJson, watermarkOut, preservedRows, txn)
       if (publish(fs, commitFile(root, v), body)) {
         // cadence honors the table's recorded pj.checkpoint.interval —

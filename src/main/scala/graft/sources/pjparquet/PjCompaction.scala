@@ -666,10 +666,31 @@ object PjCompaction {
         PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap)
     val dataCols = spark.read.parquet(candidates.head.path).columns.toSeq
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
-    val partCols = df.columns.filterNot(dataCols.contains)
-      .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
-      // an existence-default fill is a DATA column the head file may lack
-      .filterNot(c => fills.exists(_._1.equalsIgnoreCase(c))).toSeq
+    // partition column NAMES come from the DECLARED partitioning when
+    // recorded — subtractive inference (df columns minus one head file's
+    // columns) misclassifies a freshly ADDed, not-yet-materialized DATA
+    // column as a partition key and routes the rewrite into
+    // c=__HIVE_DEFAULT_PARTITION__ dirs (found by the concurrency
+    // fuzzer's DDL-racing-ZORDER schedules)
+    val declaredPartCols: Seq[String] =
+      PjTableProperties.partitionColumns(prevSnap.flatMap(_.propertiesJson)).map(_._1)
+    // on a table with a recorded schema but NO declared partitioning
+    // (an unpartitioned catalog table), every recorded field is a data
+    // column — the fallback must not invent partition keys from freshly
+    // ADDed columns the head file predates
+    val recordedNames: Set[String] = prevSnap.flatMap(_.dataSchemaJson).map { j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    }.getOrElse(Set.empty)
+    val partCols: Seq[String] =
+      if (declaredPartCols.nonEmpty) declaredPartCols.filter(df.columns.contains)
+      else df.columns.filterNot(dataCols.contains)
+        .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
+        // an existence-default fill is a DATA column the head file may lack
+        .filterNot(c => fills.exists(_._1.equalsIgnoreCase(c)))
+        .filterNot(c => recordedNames.contains(c.toLowerCase(java.util.Locale.ROOT)))
+        .toSeq
     require(zorderPhys.forall(dataCols.contains),
       s"zorder columns $zorderCols must be data columns of $dataCols")
 

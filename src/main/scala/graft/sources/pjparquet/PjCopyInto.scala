@@ -294,28 +294,36 @@ object PjCopyInto {
       case "csv" => spark.read.option("header", "true").format("csv")
       case f => spark.read.format(f)
     }
-    // enforce the TABLE's schema, not the writer's widening lane: every
-    // table column must arrive (by name, case-insensitive), no extras, and
-    // values cast to the declared types (CSV ingest reads strings)
+    // enforce the TABLE's schema, not the writer's widening lane: values
+    // cast to the declared types (CSV ingest reads strings), no extra
+    // source columns. A NULLABLE table column ABSENT from the source
+    // fills with null (Delta parity) — files staged before an ADD COLUMN
+    // landed must stay loadable after the evolution (the concurrency
+    // fuzzer's DDL-racing-COPY-INTO schedules hit exactly this).
     val target = spark.read.format("pjparquet").load(tablePath).schema
     val loaded = reader.load(claimed.map(_._1): _*)
-    val missing = target.fields.map(_.name)
-      .filterNot(n => loaded.columns.exists(_.equalsIgnoreCase(n)))
+    val missing = target.fields
+      .filterNot(f => loaded.columns.exists(_.equalsIgnoreCase(f.name)))
+    val missingRequired = missing.filterNot(_.nullable).map(_.name)
     val extra = loaded.columns
       .filterNot(n => target.fields.exists(_.name.equalsIgnoreCase(n)))
-    if (missing.nonEmpty || extra.nonEmpty) {
+    if (missingRequired.nonEmpty || extra.nonEmpty) {
       // release this run's claims before refusing: nothing landed, so the
       // files must stay loadable once the source is fixed
       claimed.foreach { case (path, _) => fs.delete(new Path(dir, sha256(path)), false) }
       throw new PJException(
         s"pjparquet: copy_into source schema does not match table " +
-          s"'$tablePath' (missing: ${missing.mkString(", ")}; " +
+          s"'$tablePath' (missing non-nullable: ${missingRequired.mkString(", ")}; " +
           s"unexpected: ${extra.mkString(", ")})")
     }
-    import org.apache.spark.sql.functions.col
-    loaded.select(target.fields.toSeq.map(f =>
-      col("`" + loaded.columns.find(_.equalsIgnoreCase(f.name)).get.replace("`", "``") + "`")
-        .cast(f.dataType).as(f.name)): _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    loaded.select(target.fields.toSeq.map { f =>
+      loaded.columns.find(_.equalsIgnoreCase(f.name)) match {
+        case Some(src) =>
+          col("`" + src.replace("`", "``") + "`").cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
       .write.format("pjparquet").mode("append")
       .option("log.enabled", "true")
       .option("log.operation", s"copy-into:$runId")

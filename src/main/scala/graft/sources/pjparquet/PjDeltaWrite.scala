@@ -305,7 +305,8 @@ final class PjDeltaBatchWrite(
       (adds.result() ++ addEntries).toSeq, removes.result(), schemaJson,
       operation = Some(command),
       readVersion = Some(readVersion),
-      readPartitions = readPartitions())
+      readPartitions = readPartitions(),
+      widenSchema = true) // a racing ADD COLUMN survives this DML's lane record
 
     // new (unsorted) data files break a sorted-layout claim; a pure-delete
     // delta preserves every surviving file's internal order

@@ -104,6 +104,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     val deleted = new ConcurrentLinkedQueue[Seq[Long]]()
     val updates = new ConcurrentLinkedQueue[(Seq[Long], Long)]() // (ids, delta)
     val txnLanded = new ConcurrentLinkedQueue[Seq[Long]]()
+    val addedCols = new ConcurrentLinkedQueue[String]()
     appended.add(0L until 20L)
 
     def liveIdSample(rnd: scala.util.Random): Seq[Long] =
@@ -123,7 +124,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
           val rnd = new scala.util.Random(seed * 1000L + ti)
           for (oi <- 0 until opsPerThread) {
             val opId = (seed.toLong * nThreads + ti) * opsPerThread + oi
-            rnd.nextInt(9) match {
+            rnd.nextInt(10) match {
               case 0 | 1 => // plain append (weighted: the commonest op)
                 val ids = freshIds(opId, 2 + rnd.nextInt(3))
                 if (attempt(seed, s"append#$opId") {
@@ -172,6 +173,11 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
                   spark.sql(s"CALL pjfuzz.system.optimize_zorder(" +
                     s"table => '$t', columns => 'id,v')").collect()
                 }
+              case 9 => // racing DDL: ADD COLUMN (metadata commit) — the
+                // column must exist afterwards and read null on old rows
+                if (attempt(seed, s"addcol#$opId") {
+                  spark.sql(s"ALTER TABLE pjfuzz.`$t` ADD COLUMN c_$opId BIGINT")
+                }) addedCols.add(s"c_$opId")
               case 8 => // COPY INTO: idempotent file ingest of an op-unique
                 // staged source — rows land exactly once across retries
                 val ids = freshIds(opId, 3)
@@ -214,6 +220,18 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     threads.foreach(_.join())
     if (!failures.isEmpty) throw failures.peek()
 
+    // ---- quiesce: racing DDL — every successful ADD COLUMN is present
+    // and reads null everywhere (no op ever wrote it) ----
+    import scala.jdk.CollectionConverters._
+    if (!addedCols.isEmpty) {
+      val schema = spark.table(s"pjfuzz.`$t`").schema.fieldNames.map(_.toLowerCase).toSet
+      val missing = addedCols.iterator().asScala.filterNot(c => schema.contains(c)).toSeq
+      assert(missing.isEmpty, s"seed=$seed: committed ADD COLUMNs vanished: $missing")
+      val c0 = addedCols.peek()
+      assert(spark.table(s"pjfuzz.`$t`").filter(col(c0).isNotNull).count() == 0L,
+        s"seed=$seed: never-written column $c0 must read null everywhere")
+    }
+
     // ---- quiesce: CDF net-effect replay (change feed lane) ----
     // order-free linear invariant: per id, Σ(+v on insert/update_postimage,
     // −v on delete/update_preimage) telescopes to the FINAL value for
@@ -253,7 +271,6 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     }
 
     // ---- quiesce: reference model vs table ----
-    import scala.jdk.CollectionConverters._
     val delSet: Set[Long] = deleted.iterator().asScala.flatten.toSet
     val expIds: Set[Long] =
       (appended.iterator().asScala.flatten.toSet ++
