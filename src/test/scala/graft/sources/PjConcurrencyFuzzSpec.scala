@@ -41,6 +41,8 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
   spark.conf.set("spark.sql.catalog.pjfuzz", "graft.sources.pjparquet.PjCatalog")
 
   private val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(200)
+  /** Exploration knob: shift the whole seed window (CI keeps 0). */
+  private val seedOffset = sys.env.get("GRAFT_FUZZ_SEED_OFFSET").map(_.toInt).getOrElse(0)
   private val nThreads = 3
   private val opsPerThread = 3
 
@@ -330,7 +332,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
       val fails = new ConcurrentLinkedQueue[Throwable]()
       val ts = batch.map { s =>
         val th = new Thread(() =>
-          try runSchedule(s, partitioned, cdf)
+          try runSchedule(s + seedOffset, partitioned, cdf)
           catch { case e: Throwable => fails.add(e) })
         th.start(); th
       }
