@@ -313,6 +313,7 @@ object PjChangeFeed {
     val groups = rels.groupBy(baseOf).toSeq.sortBy(_._1)
     groups.map { case (base, group) =>
       val df = spark.read.option("basePath", base)
+        .option("pjAutoSubstitute", "false") // raw parquet: _metadata needed
         .parquet(group.map(absOf(rootQ, _)): _*)
       val partKeys = group.flatMap(r => PjBatchWrite.partsOfRel(r).keySet).distinct
       partKeys.foldLeft(df)((acc, k) =>

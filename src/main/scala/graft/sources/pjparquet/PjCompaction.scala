@@ -195,6 +195,7 @@ object PjCompaction {
       .sortBy { case ((ks, fk), _) => (ks.mkString("/"), fk.mkString(",")) }
       .map { case (_, grp) =>
       val r = spark.read.option("basePath", rootUri)
+        .option("pjAutoSubstitute", "false") // raw parquet: _metadata needed
       val raw0 = (if (mergeSchema) r.option("mergeSchema", "true") else r)
         .parquet(grp.map(_.path): _*)
       val raw = rowIdBases match {
@@ -664,7 +665,8 @@ object PjCompaction {
       dvByRel, mergeSchema = materializeIds, rowIdBases, existenceFill = fills,
       colsOfPath = candidates.map(f => f.path -> entryByRel.get(
         PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap)
-    val dataCols = spark.read.parquet(candidates.head.path).columns.toSeq
+    val dataCols = spark.read.option("pjAutoSubstitute", "false")
+      .parquet(candidates.head.path).columns.toSeq
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
     // partition column NAMES come from the DECLARED partitioning when
     // recorded — subtractive inference (df columns minus one head file's

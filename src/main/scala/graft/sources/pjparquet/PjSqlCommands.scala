@@ -1,0 +1,174 @@
+package graft.sources.pjparquet
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+
+import graft.core.PJException
+
+/** Delta-parity MAINTENANCE SQL statements, injected as a parser
+  * extension ([[org.apache.spark.sql.execution.datasources.parquet.PjSparkExtensions]]):
+  *
+  * {{{
+  *   OPTIMIZE '/path/to/table' [WHERE <partition predicate>]
+  *     [ZORDER BY (c1, c2, ...)] [FULL]
+  *   VACUUM '/path/to/table' [RETAIN <n> HOURS] [DRY RUN]
+  * }}}
+  *
+  * Pure sugar over the `CALL pj.system.*` procedures (one parse, same
+  * driver APIs — [[PjCompaction]], [[PjVacuum]]), so operators can run
+  * the table-maintenance vocabulary they already know from Delta without
+  * a registered catalog. The table is named by a quoted or backticked
+  * ROOT PATH (optionally `catalog.`-prefixed); everything else delegates
+  * to Spark's own parser untouched.
+  */
+object PjSqlCommands {
+
+  /** Cheap pre-screen: only statements that can be ours enter the regex
+    * lane; everything else goes straight to the delegate.
+    */
+  def claims(sqlText: String): Boolean = {
+    val t = sqlText.trim
+    t.regionMatches(true, 0, "OPTIMIZE ", 0, 9) ||
+      t.regionMatches(true, 0, "VACUUM ", 0, 7)
+  }
+
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+(\S+|'[^']*'|`[^`]*`)""" +
+      """(?:\s+WHERE\s+(.*?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
+      """(\s+FULL)?\s*;?\s*$""").r
+
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+(\S+|'[^']*'|`[^`]*`)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+
+  /** Strip quoting and any `catalog.` prefix down to the root path. */
+  private def pathOf(raw: String): String = {
+    val t = raw.trim
+    val unq =
+      if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+      else if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1)
+      else {
+        // cat.`/path` form: take the backticked tail
+        val i = t.indexOf(".`")
+        if (i >= 0 && t.endsWith("`")) t.substring(i + 2, t.length - 1) else t
+      }
+    if (unq.isEmpty)
+      throw new PJException(s"pjparquet: empty table path in '$raw'")
+    unq
+  }
+
+  /** Parse a claimed statement, or None to fall through to the delegate
+    * (so `OPTIMIZE`-prefixed things we don't understand still get
+    * Spark's error, not a silent misparse).
+    */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(table, where, zorder, full) =>
+      Some(PjOptimizeCommand(
+        pathOf(table),
+        Option(where).map(_.trim).filter(_.nonEmpty),
+        Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        force = full != null))
+    case VacuumRe(table, hours, dry) =>
+      Some(PjVacuumCommand(
+        pathOf(table),
+        Option(hours).map(_.toLong),
+        dryRun = dry != null))
+    case _ => None
+  }
+}
+
+/** `OPTIMIZE t [WHERE p] [ZORDER BY (...)] [FULL]` — compaction, or a
+  * clustering rewrite when ZORDER BY is present (the table's recorded
+  * `pj.cluster.curve` picks zorder vs hilbert, like the procedure).
+  */
+final case class PjOptimizeCommand(
+    table: String,
+    where: Option[String],
+    zorderCols: Seq[String],
+    force: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_rewritten", LongType, nullable = false)(),
+    AttributeReference("files_written", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("dirs_touched", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r =
+      if (zorderCols.nonEmpty) {
+        val curve = PjTableProperties.recorded(
+          {
+            val root = new org.apache.hadoop.fs.Path(table)
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            PjCommitLog.latest(fs, root).flatMap(_.propertiesJson)
+          },
+          PjTableProperties.ClusterCurve)
+          .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("zorder")
+        PjCompaction.optimize(spark, table, zorderCols,
+          where = where, curve = curve, force = force)
+      } else PjCompaction.compact(spark, table, where = where)
+    Seq(Row(r.filesBefore, r.smallFiles, r.compactedInto, r.filesAfter, r.dirsTouched))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — time-based version expiry
+  * (the table's recorded `pj.vacuum.retentionHours` when RETAIN is
+  * omitted, like the procedure) plus the orphan sweep.
+  */
+final case class PjVacuumCommand(
+    table: String,
+    retainHours: Option[Long],
+    dryRun: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("versions_dropped", LongType, nullable = false)(),
+    AttributeReference("versions_kept", LongType, nullable = false)(),
+    AttributeReference("files_reclaimed", LongType, nullable = false)(),
+    AttributeReference("dry_run", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hours = retainHours.orElse {
+      val root = new org.apache.hadoop.fs.Path(table)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      PjTableProperties.recorded(
+        PjCommitLog.latest(fs, root).flatMap(_.propertiesJson),
+        PjTableProperties.VacuumRetentionHours).map(_.toLong)
+    }.getOrElse(throw new PJException(
+      "pjparquet: VACUUM needs RETAIN <n> HOURS (or the table's recorded " +
+        "pj.vacuum.retentionHours property)"))
+    val r = PjVacuum.expireOlderThan(
+      spark, table, hours * 3600L * 1000L, dryRun = dryRun)
+    if (!dryRun) PjVacuum.clean(spark, table)
+    Seq(Row(r.versionsDropped, r.versionsKept, r.filesReclaimed, dryRun))
+  }
+}
+
+/** Delegating parser: claimed maintenance statements parse here,
+  * everything else (including claimed-but-malformed text, which returns
+  * None) goes to Spark's own parser for its standard error.
+  */
+final class PjSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (PjSqlCommands.claims(sqlText))
+      PjSqlCommands.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    else delegate.parsePlan(sqlText)
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String) = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) = delegate.parseRoutineParam(sqlText)
+}

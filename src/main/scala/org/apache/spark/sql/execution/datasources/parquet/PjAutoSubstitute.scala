@@ -23,6 +23,12 @@ class PjAutoSubstituteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def eligibleTable(rel: HadoopFsRelation): Option[graft.sources.pjparquet.PjParquetTable] = {
     if (!rel.fileFormat.isInstanceOf[ParquetFileFormat]) return None
+    // explicit opt-out: the ENGINE's own internal raw-parquet reads
+    // (compaction generations, change-feed position resolution) depend on
+    // the V1 `_metadata` struct the substituted V2 relation cannot serve —
+    // they read with this option, and users can set it too
+    if (rel.options.get("pjAutoSubstitute").exists(_.equalsIgnoreCase("false")))
+      return None
     val roots = rel.location.rootPaths
     if (roots.size != 1) return None
     try {
@@ -97,6 +103,12 @@ class PjSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => 
 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new PjAutoSubstituteRule(spark))
+    // Delta-parity maintenance SQL: OPTIMIZE ... [WHERE] [ZORDER BY (...)]
+    // [FULL] and VACUUM ... [RETAIN n HOURS] [DRY RUN] over root paths —
+    // sugar over the CALL pj.system.* procedures; everything else (and
+    // every malformed claim) falls through to Spark's parser untouched
+    ext.injectParser((_, delegate) =>
+      new graft.sources.pjparquet.PjSqlParser(delegate))
     ext.injectFunction(fn("pj_simhash64", classOf[graft.functions.SimHash64], 1,
       args => graft.functions.SimHash64(args.head)))
     ext.injectFunction(fn("pj_dot", classOf[graft.functions.DoubleArrayDotProduct], 2,

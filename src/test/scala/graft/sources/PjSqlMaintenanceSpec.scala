@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.pjparquet.PjCommitLog
+
+/** Delta-parity maintenance SQL statements (`OPTIMIZE`, `VACUUM`) via the
+  * parser extension — sugar over the CALL procedures; ordinary SQL (and
+  * malformed claims) must keep Spark's own parsing untouched.
+  */
+class PjSqlMaintenanceSpec extends AnyFunSuite {
+
+  private lazy val extSpark: SparkSession = {
+    val base = SparkTestSession.spark
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.execution.datasources.parquet.PjSparkExtensions())
+      .getOrCreate()
+    old.foreach(SparkSession.setDefaultSession)
+    SparkSession.setActiveSession(s)
+    assert(s ne base)
+    s
+  }
+
+  private def freshLogged(tag: String, nFiles: Int): String = {
+    import extSpark.implicits._
+    val d = java.nio.file.Files.createTempDirectory(tag).toString
+    for (i <- 0 until nFiles)
+      Seq((i.toLong, i.toLong * 2)).toDF("id", "v").coalesce(1)
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(d)
+    d
+  }
+
+  test("OPTIMIZE compacts; report row surfaces the consumption") {
+    val t = freshLogged("pj_sqlopt", 4)
+    val r = extSpark.sql(s"OPTIMIZE '$t'").collect().head
+    assert(r.getLong(0) == 4L, s"files_before: $r")
+    assert(r.getLong(2) == 1L, s"files_written: $r")
+    assert(extSpark.read.format("pjparquet").load(t).count() == 4L)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(extSpark.sessionState.newHadoopConf())
+    assert(PjCommitLog.latest(fs, new org.apache.hadoop.fs.Path(t)).get.files.size == 1)
+  }
+
+  test("OPTIMIZE ... ZORDER BY clusters and records provenance; FULL re-rewrites") {
+    val t = freshLogged("pj_sqlzorder", 3)
+    extSpark.sql(s"OPTIMIZE '$t' ZORDER BY (id, v)").collect()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(extSpark.sessionState.newHadoopConf())
+    val head = PjCommitLog.latest(fs, new org.apache.hadoop.fs.Path(t)).get
+    assert(head.entries.forall(_.clusteredBy.exists(_.startsWith("zorder:"))),
+      s"provenance: ${head.entries.map(_.clusteredBy)}")
+    // same-spec rerun skips (0 rewritten); FULL forces the re-rewrite
+    val rerun = extSpark.sql(s"OPTIMIZE '$t' ZORDER BY (id, v)").collect().head
+    assert(rerun.getLong(1) == 0L, s"same-spec rerun must skip: $rerun")
+    val full = extSpark.sql(s"OPTIMIZE '$t' ZORDER BY (id, v) FULL").collect().head
+    assert(full.getLong(1) >= 1L, s"FULL must re-rewrite: $full")
+    assert(extSpark.read.format("pjparquet").load(t).count() == 3L)
+  }
+
+  test("VACUUM RETAIN 0 HOURS: dry run reports, wet run reclaims; orphan sweep runs") {
+    val t = freshLogged("pj_sqlvac", 3)
+    extSpark.sql(s"OPTIMIZE '$t'").collect() // retire the 3 small files
+    val dry = extSpark.sql(s"VACUUM '$t' RETAIN 0 HOURS DRY RUN").collect().head
+    assert(dry.getBoolean(3), s"$dry")
+    assert(dry.getLong(2) == 3L, s"3 retired files to reclaim: $dry")
+    val wet = extSpark.sql(s"VACUUM '$t' RETAIN 0 HOURS").collect().head
+    assert(!wet.getBoolean(3) && wet.getLong(2) == 3L, s"$wet")
+    assert(extSpark.read.format("pjparquet").load(t).count() == 3L,
+      "live data survives the vacuum")
+    // RETAIN omitted without a recorded retention property refuses loudly
+    val e = intercept[Exception](extSpark.sql(s"VACUUM '$t'").collect())
+    assert(e.getMessage.contains("RETAIN"), e.getMessage)
+  }
+
+  test("ordinary SQL and malformed claims keep Spark's own parser behavior") {
+    import extSpark.implicits._
+    // a normal query is untouched
+    assert(extSpark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    // an identifier merely STARTING with the keyword is not claimed
+    Seq((1L, 2L)).toDF("optimize", "vacuum").createOrReplaceTempView("kwcols")
+    assert(extSpark.sql("SELECT optimize, vacuum FROM kwcols").head().getLong(0) == 1L)
+    // a malformed claim falls through to Spark's standard parse error
+    val e = intercept[Exception](extSpark.sql("OPTIMIZE"))
+    assert(e.getMessage.toLowerCase.contains("syntax") ||
+      e.getMessage.contains("PARSE"), e.getMessage)
+  }
+}
