@@ -33,7 +33,10 @@ object PjSqlCommands {
   def claims(sqlText: String): Boolean = {
     val t = sqlText.trim
     t.regionMatches(true, 0, "OPTIMIZE ", 0, 9) ||
-      t.regionMatches(true, 0, "VACUUM ", 0, 7)
+      t.regionMatches(true, 0, "VACUUM ", 0, 7) ||
+      // exactly DESCRIBE HISTORY — every other DESCRIBE form is Spark's
+      t.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        .startsWith("DESCRIBE HISTORY ")
   }
 
   private val OptimizeRe =
@@ -41,6 +44,9 @@ object PjSqlCommands {
       """(?:\s+WHERE\s+(.*?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
       """(\s+FULL)?\s*;?\s*$""").r
+
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\S+|'[^']*'|`[^`]*`)\s*;?\s*$""".r
 
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+(\S+|'[^']*'|`[^`]*`)""" +
@@ -75,6 +81,8 @@ object PjSqlCommands {
         Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq).getOrElse(Nil),
         force = full != null))
+    case HistoryRe(table) =>
+      Some(PjDescribeHistoryCommand(pathOf(table)))
     case VacuumRe(table, hours, dry) =>
       Some(PjVacuumCommand(
         pathOf(table),
@@ -148,6 +156,32 @@ final case class PjVacuumCommand(
       spark, table, hours * 3600L * 1000L, dryRun = dryRun)
     if (!dryRun) PjVacuum.clean(spark, table)
     Seq(Row(r.versionsDropped, r.versionsKept, r.filesReclaimed, dryRun))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — one row per retained commit, newest first
+  * (header-only reads, no snapshot replay).
+  */
+final case class PjDescribeHistoryCommand(table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", org.apache.spark.sql.types.TimestampType,
+      nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!PjCommitLog.isEnabled(fs, root))
+      throw new PJException(
+        s"pjparquet: '$table' has no commit log; DESCRIBE HISTORY applies to logged tables")
+    PjCommitLog.history(fs, root).sortBy(-_.version).map { h =>
+      val op = PjCommitLog.delta(fs, root, h.version).operation.orNull
+      Row(h.version, new java.sql.Timestamp(h.ts), h.action, op, h.nFiles)
+    }
   }
 }
 

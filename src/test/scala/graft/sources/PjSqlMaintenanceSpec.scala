@@ -81,6 +81,23 @@ class PjSqlMaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("RETAIN"), e.getMessage)
   }
 
+  test("DESCRIBE HISTORY lists commits newest-first; other DESCRIBE forms stay Spark's") {
+    val t = freshLogged("pj_sqlhist", 2)
+    val rows = extSpark.sql(s"DESCRIBE HISTORY '$t'").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L), "newest first")
+    assert(rows.forall(_.getString(2) == "append"))
+    // plain DESCRIBE still parses through Spark (on a temp view)
+    import extSpark.implicits._
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("pj_sqlhist_v")
+    assert(extSpark.sql("DESCRIBE pj_sqlhist_v").collect().nonEmpty)
+    val e = intercept[Exception] {
+      extSpark.sql(s"DESCRIBE HISTORY '${t}_nope'").collect()
+    }
+    assert(e.getMessage.contains("commit log") || e.getMessage.contains("History"),
+      e.getMessage)
+  }
+
   test("ordinary SQL and malformed claims keep Spark's own parser behavior") {
     import extSpark.implicits._
     // a normal query is untouched
