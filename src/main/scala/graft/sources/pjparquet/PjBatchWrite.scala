@@ -122,7 +122,12 @@ final class PjWriteBuilder(
     /** Declared `bucket(n, col)` spec (`pj.partition.bucket`): the write
       * clusters/sorts on the bucket TRANSFORM value, not the base column.
       */
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    /** Whether the relation can resolve `bucket(n, col)` — only
+      * catalog-bound relations carry a FunctionCatalog. Path-based writes
+      * fall back to plain-column distribution + a per-bucket writer map.
+      */
+    bucketResolvable: Boolean = true)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var mode: PjWriteMode = initialMode
@@ -180,7 +185,8 @@ final class PjWriteBuilder(
       operationTag = operationTag,
       optimizeWriteBytes = optimizeWriteBytes,
       txn = txn,
-      bucketSpec = bucketSpec)
+      bucketSpec = bucketSpec,
+      bucketResolvable = bucketResolvable)
   }
 }
 
@@ -234,19 +240,32 @@ final class PjWrite(
       * the catalog's FunctionCatalog; the write-side augmentation computes
       * the identical pmod(hash(col), n) directory value.
       */
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    /** Whether `Expressions.bucket(n, col)` can resolve: Spark resolves V2
+      * transforms against the relation's FunctionCatalog, which only
+      * catalog-bound relations carry. A path-based write
+      * (`df.write.format("pjparquet").save(path)`, COPY INTO staging,
+      * foreachBatch appends) has none and would fail analysis with
+      * "not currently supported" — so it requests the SOURCE column as a
+      * plain identity reference instead, and the task writer keeps one
+      * open parquet writer per bucket directory (bounded by the declared
+      * bucket count) since arriving rows interleave bucket ids.
+      */
+    bucketResolvable: Boolean = true)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
 
   /** V2 expression for one distribution/ordering key: the bucket field
-    * becomes its `bucket(n, col)` transform, everything else an identity
-    * column reference.
+    * becomes its `bucket(n, col)` transform (catalog-bound writes) or the
+    * plain source column (path-based fallback); everything else an
+    * identity column reference.
     */
   private def keyExpr(k: String): V2Expression = bucketSpec match {
     case Some((src, n)) if k.equalsIgnoreCase(PjTableProperties.bucketFieldName(src)) ||
         k.equalsIgnoreCase(src) =>
-      Expressions.bucket(n, src)
+      if (bucketResolvable) Expressions.bucket(n, src)
+      else Expressions.column(src)
     case _ => Expressions.column(k)
   }
 
@@ -287,7 +306,11 @@ final class PjWrite(
   override def toBatch: BatchWrite =
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
       logRequested, cdcEnabled, nameMap, augment, baseVersion, rowIdMetaOrdinal,
-      operationTag, txn)
+      operationTag, txn,
+      // path-based bucket writes arrive UNSORTED on the bucket dir value —
+      // the task writer needs its per-bucket open-writer map
+      interleavedBucketField = bucketSpec.filter(_ => !bucketResolvable)
+        .map { case (src, _) => PjTableProperties.bucketFieldName(src) })
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -487,7 +510,13 @@ final class PjBatchWrite(
     baseVersion: Option[Long] = None,
     rowIdMetaOrdinal: Int = -1,
     operationTag: Option[String] = None,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    /** Bucket partition FIELD name when incoming rows interleave bucket
+      * directory values (path-based writes that could not request the
+      * bucket-transform distribution): task writers hold one open writer
+      * per bucket dir instead of rolling a new file per row.
+      */
+    interleavedBucketField: Option[String] = None)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -513,7 +542,8 @@ final class PjBatchWrite(
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), effectiveSchema.json,
-      partitionKeys, jobUUID, augment, rowIdMetaOrdinal)
+      partitionKeys, jobUUID, augment, rowIdMetaOrdinal,
+      multiDirField = interleavedBucketField)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -544,10 +574,15 @@ final class PjBatchWrite(
     // (appId, version) means this batch is a replay — discard its staged
     // files and do nothing. The authoritative (race-safe) check re-runs
     // inside the commit claim loop; this one only saves the index work.
+    // The staged set is exactly the commit messages' manifest (tasks that
+    // died before reporting already deleted their files in abort()), so
+    // the no-op deletes those paths directly instead of walking the table
+    // — a replayed batch on a million-file table stays metadata-rate.
     def discardStagedFiles(): Unit =
-      for ((status, _, _) <- PjBatchWrite.listDataFiles(fs, rootPath))
-        if (status.getPath.getName.contains(jobUUID))
-          PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+      messages.iterator.flatMap { case m: PjCommitMessage => m.files }.foreach { f =>
+        val dir = if (f.relDir.isEmpty) rootPath else new Path(rootPath, f.relDir)
+        PjBatchWrite.deleteWithSidecars(fs, new Path(dir, f.name))
+      }
     txn.foreach { case (app, ver) =>
       if (PjCommitLog.latest(fs, rootPath).flatMap(_.txnVersion(app)).exists(_ >= ver)) {
         discardStagedFiles()
@@ -1060,7 +1095,8 @@ final case class PjDataWriterFactory(
     partitionKeys: Seq[String],
     jobUUID: String,
     augment: Option[PjGenerated.Augment] = None,
-    rowIdMetaOrdinal: Int = -1)
+    rowIdMetaOrdinal: Int = -1,
+    multiDirField: Option[String] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -1068,7 +1104,8 @@ final case class PjDataWriterFactory(
     // attempt-unique names: a batch job's failed/speculative attempts are
     // reconciled away by the manifest at commit
     val inner = new PjDataWriter(root, conf.value, schema, partitionKeys,
-      fileTag = f"$partitionId%05d-$taskId-$jobUUID", overwriteExisting = false)
+      fileTag = f"$partitionId%05d-$taskId-$jobUUID", overwriteExisting = false,
+      multiDirField = multiDirField)
     if (rowIdMetaOrdinal >= 0)
       PjBatchWrite.rowIdPreservingWriter(inner, augment, partitionId, rowIdMetaOrdinal)
     else augment match {
@@ -1090,7 +1127,15 @@ final class PjDataWriter(
     schema: StructType,
     partitionKeys: Seq[String],
     fileTag: String,
-    overwriteExisting: Boolean)
+    overwriteExisting: Boolean,
+    /** Bucket partition field whose directory values arrive INTERLEAVED
+      * (a path-based write on a declared-bucket table cannot request the
+      * bucket-transform distribution): the writer holds one open parquet
+      * writer per bucket dir — bounded by the bucket count within each
+      * hive-key prefix, and every prefix change closes the whole map —
+      * instead of rolling a new file on every dir change.
+      */
+    multiDirField: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val partFields: Array[(Int, DataType)] = partitionKeys.toArray.map { k =>
@@ -1127,8 +1172,7 @@ final class PjDataWriter(
       s"$k=$v"
     }.mkString("/")
 
-  private def roll(relDir: String): Unit = {
-    closeCurrent()
+  private def openNew(relDir: String): org.apache.spark.sql.execution.datasources.OutputWriter = {
     val name = s"part-$fileTag-c$fileSeq.parquet"
     fileSeq += 1
     val dir = if (relDir.isEmpty) new Path(root) else new Path(root, relDir)
@@ -1139,9 +1183,14 @@ final class PjDataWriter(
       val fs = target.getFileSystem(conf)
       if (fs.exists(target)) PjBatchWrite.deleteWithSidecars(fs, target)
     }
-    currentWriter = PjSparkShims.newRowWriter(target.toString, conf)
-    currentDir = relDir
     written += PjWrittenFile(relDir, name)
+    PjSparkShims.newRowWriter(target.toString, conf)
+  }
+
+  private def roll(relDir: String): Unit = {
+    closeCurrent()
+    currentWriter = openNew(relDir)
+    currentDir = relDir
   }
 
   private def closeCurrent(): Unit = {
@@ -1152,19 +1201,48 @@ final class PjDataWriter(
     }
   }
 
+  // --- interleaved-bucket mode: one open writer per bucket dir ---
+  private val bucketKeyIdx: Int =
+    multiDirField.map(f => partitionKeys.indexWhere(_.equalsIgnoreCase(f))).getOrElse(-1)
+  private val openWriters =
+    mutable.LinkedHashMap.empty[String, org.apache.spark.sql.execution.datasources.OutputWriter]
+  private var currentPrefix: String = null
+
+  /** relDir minus the bucket component — the hive-key prefix. Incoming rows
+    * are still sorted on the hive keys (plain column references resolve
+    * without a catalog), so a prefix never recurs once left.
+    */
+  private def hivePrefix(relDir: String): String =
+    if (partitionKeys.size == 1) ""
+    else relDir.split('/').zipWithIndex
+      .collect { case (c, i) if i != bucketKeyIdx => c }.mkString("/")
+
+  private def closeAllOpen(): Unit = {
+    openWriters.valuesIterator.foreach(_.close())
+    openWriters.clear()
+  }
+
   override def write(row: InternalRow): Unit = {
     val relDir = if (partFields.isEmpty) "" else partitionDir(row)
-    if (currentWriter == null || currentDir != relDir) roll(relDir)
-    currentWriter.write(dataProjection(row))
+    if (bucketKeyIdx >= 0) {
+      val prefix = hivePrefix(relDir)
+      if (prefix != currentPrefix) { closeAllOpen(); currentPrefix = prefix }
+      openWriters.getOrElseUpdate(relDir, openNew(relDir)).write(dataProjection(row))
+    } else {
+      if (currentWriter == null || currentDir != relDir) roll(relDir)
+      currentWriter.write(dataProjection(row))
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     closeCurrent()
+    closeAllOpen()
     PjCommitMessage(written.toSeq)
   }
 
   override def abort(): Unit = {
     closeCurrent()
+    closeAllOpen()
     val fs = new Path(root).getFileSystem(conf)
     written.foreach { f =>
       val dir = if (f.relDir.isEmpty) new Path(root) else new Path(root, f.relDir)
@@ -1172,5 +1250,5 @@ final class PjDataWriter(
     }
   }
 
-  override def close(): Unit = closeCurrent()
+  override def close(): Unit = { closeCurrent(); closeAllOpen() }
 }

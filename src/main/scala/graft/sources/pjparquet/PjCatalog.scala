@@ -81,6 +81,10 @@ class PjCatalog extends CatalogPlugin with TableCatalog
   private def resolve(ident: Identifier, extra: (String, String)*): Table = {
     val m = new util.HashMap[String, String]()
     m.put("path", pathOf(ident))
+    // catalog-bound relations carry a FunctionCatalog, so the write side
+    // may request the bucket(n, col) transform distribution; path-based
+    // relations (df.write.save(path)) cannot and fall back
+    m.put("pj.internal.catalogBound", "true")
     extra.foreach { case (k, v) => m.put(k, v) }
     try PjParquetTable.resolve(new CaseInsensitiveStringMap(m))
     catch {

@@ -789,14 +789,34 @@ object PjCommitLog {
         .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 0) match {
         case Some(n) =>
           // leading N logical fields of the effective schema, translated
-          // to the physical names the stats envelopes are keyed by
-          val keep: Option[Set[String]] =
+          // to the physical names the stats envelopes are keyed by.
+          // Partition fields carry no file stats (their values live in
+          // dir names, and the recorded schema keeps them), so the cap
+          // counts DATA columns only — a table partitioned by a leading
+          // column must still index N data columns (Delta's contract);
+          // each entry's own rel path names its partition keys, which
+          // also keeps the filter correct across partition-spec evolution
+          val recordedFields: Option[Array[org.apache.spark.sql.types.StructField]] =
             effSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)).map { sj =>
-              val st = org.apache.spark.sql.types.DataType.fromJson(sj)
-                .asInstanceOf[org.apache.spark.sql.types.StructType]
-              st.fields.take(n).map(PjColumnMapping.physicalName).toSet
+              org.apache.spark.sql.types.DataType.fromJson(sj)
+                .asInstanceOf[org.apache.spark.sql.types.StructType].fields
             }
+          def partKeysOf(rel: String): Set[String] = {
+            val segs = rel.split('/')
+            segs.iterator.take(math.max(0, segs.length - 1)).flatMap(
+              _.split("=", 2) match {
+                case Array(k, _) if k.nonEmpty =>
+                  Some(k.toLowerCase(java.util.Locale.ROOT))
+                case _ => None
+              }).toSet
+          }
           trackedAdd.map { e =>
+            val keep: Option[Set[String]] = recordedFields.map { fields =>
+              val pks = partKeysOf(e.path)
+              fields.iterator
+                .filterNot(f => pks.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+                .take(n).map(PjColumnMapping.physicalName).toSet
+            }
             if (e.stats.isEmpty) e
             else keep match {
               case Some(ks) => e.copy(stats = e.stats.filter {

@@ -102,7 +102,7 @@ object PjManifest {
     if (d.legacyFull) { generate(fs, rootPath, rootPath.toString); return }
     val touched: Set[String] =
       (d.add.map(_.path) ++ d.remove).map(relDirOf).toSet
-    if (touched.isEmpty) { publishVersion(fs, manifestRoot, snap.version); return }
+    if (touched.isEmpty) { publishVersionGuarded(fs, rootPath, manifestRoot, snap.version); return }
     val byDir = liveUrisByDir(fs, rootPath, snap)
     // new/changed manifests first (atomic per file), stale dirs after —
     // a racing external reader never sees a partition without a manifest
@@ -119,7 +119,28 @@ object PjManifest {
           else fs.delete(dir, true)
       }
     }
-    publishVersion(fs, manifestRoot, snap.version)
+    publishVersionGuarded(fs, rootPath, manifestRoot, snap.version)
+  }
+
+  /** Two concurrent commits' maintainers can interleave: the slower
+    * (OLDER) one must not publish a `_version` below one already
+    * recorded — that would silently regress the marker and leave the
+    * partition manifests a mix of two generations until the next commit.
+    * Re-read the marker at publish time; on a newer marker, reconcile
+    * with a full regeneration at the CURRENT head instead (its own
+    * publish re-checks the same way through this path's caller contract —
+    * generate() always writes the snapshot it read, which is at least as
+    * new as the marker that beat us).
+    */
+  private def publishVersionGuarded(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      manifestRoot: Path, v: Long): Unit = {
+    if (readVersionMarker(fs, manifestRoot).exists(_ > v)) {
+      log.warn("pjparquet: symlink-manifest maintainer for version {} lost to a " +
+        "newer generation; reconciling {} with a full regeneration",
+        v.toString, rootPath.toString)
+      generate(fs, rootPath, rootPath.toString)
+    } else publishVersion(fs, manifestRoot, v)
   }
 
   private def requireManifestable(

@@ -34,9 +34,16 @@ object PjSqlCommands {
     val t = sqlText.trim
     t.regionMatches(true, 0, "OPTIMIZE ", 0, 9) ||
       t.regionMatches(true, 0, "VACUUM ", 0, 7) ||
-      // exactly DESCRIBE HISTORY — every other DESCRIBE form is Spark's
-      t.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-        .startsWith("DESCRIBE HISTORY ")
+      // exactly DESCRIBE HISTORY with a PATH-shaped operand (quoted,
+      // backticked, or containing '/') — every other DESCRIBE form is
+      // Spark's, including column-describe on a table named `history`
+      // (DESCRIBE history c1)
+      (t.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        .startsWith("DESCRIBE HISTORY ") && {
+        val operand = t.replaceAll("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+", "").trim
+        operand.startsWith("'") || operand.startsWith("`") ||
+          operand.contains("/") || operand.contains(".`")
+      })
   }
 
   private val OptimizeRe =

@@ -131,6 +131,34 @@ class PjBucketSpec extends AnyFunSuite {
     assert(spark.table(s"pjbk.`$t`").filter($"id" > 395L).count() == 4L)
   }
 
+  test("path-based appends (no catalog) route into bucket dirs; COPY INTO works") {
+    // df.write.format("pjparquet").save(path) creates a relation with no
+    // FunctionCatalog, so the write cannot request the bucket(n, col)
+    // transform distribution — it must fall back (plain-column clustering,
+    // per-bucket writer map) instead of failing analysis with Spark's
+    // "not currently supported"
+    val t = freshDir("pj_bucket_pathwrite")
+    spark.sql(s"CREATE TABLE pjbk.`$t` (id BIGINT, v BIGINT) USING pjparquet " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.range(0, 120).select($"id", ($"id" * 3).as("v"))
+      .write.format("pjparquet").mode("append").save(t)
+    val rows = spark.table(s"pjbk.`$t`")
+      .select($"id", expr("pmod(hash(id), 4)").cast("long").as("expected"), col("id_bucket"))
+      .collect()
+    assert(rows.length == 120)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1), s"row $r in wrong bucket"))
+    // COPY INTO ingests through the same path-based write lane
+    val src = freshDir("pj_bucket_copysrc")
+    spark.range(200, 260).select($"id", ($"id" * 3).as("v"))
+      .write.parquet(src)
+    val rep = spark.sql(s"CALL pjbk.system.copy_into('$t', '$src')").collect().head
+    assert(rep.getLong(3) == 60L, rep.toString)
+    assert(spark.table(s"pjbk.`$t`").count() == 180L)
+    val check = spark.table(s"pjbk.`$t`")
+      .filter(col("id_bucket") =!= expr("pmod(hash(id), 4)").cast("long")).count()
+    assert(check == 0L, "COPY INTO rows must land in their hash buckets")
+  }
+
   test("refusals: float bucket column, multiple bucket transforms, bad specs") {
     val t = freshDir("pj_bucket_bad")
     val e1 = intercept[Exception] {

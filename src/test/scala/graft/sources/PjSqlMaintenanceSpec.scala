@@ -96,6 +96,13 @@ class PjSqlMaintenanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("commit log") || e.getMessage.contains("History"),
       e.getMessage)
+    // a table literally named `history` keeps Spark's column-describe
+    // syntax: DESCRIBE history c — the claim needs a PATH-shaped operand
+    Seq((1, "x")).toDF("c", "d").createOrReplaceTempView("history")
+    val cd = extSpark.sql("DESCRIBE history c").collect()
+    assert(cd.exists(_.toString.contains("c")), cd.mkString(";"))
+    assert(extSpark.sql("DESCRIBE history").collect()
+      .exists(_.getString(0) == "d"))
   }
 
   test("ordinary SQL and malformed claims keep Spark's own parser behavior") {

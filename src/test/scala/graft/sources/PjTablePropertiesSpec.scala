@@ -127,6 +127,27 @@ class PjTablePropertiesSpec extends AnyFunSuite {
     assert(t.count() == 100L)
   }
 
+  test("numIndexedCols counts DATA columns only — a leading partition column does not eat the cap") {
+    val dir = tempDir("skipcap_part")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
+    // partition column p leads the recorded schema; it carries no file
+    // stats (its value lives in the dir name), so with cap=1 the FIRST
+    // DATA column (a) must still get its envelope
+    spark.sql(s"CREATE TABLE pjp.`$dir` (p BIGINT, a BIGINT, b STRING) USING pjparquet " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('pj.dataSkipping.numIndexedCols'='1')")
+    spark.range(0, 40)
+      .select(($"id" % 2).as("p"), $"id".as("a"), $"id".cast("string").as("b"))
+      .coalesce(1).writeTo(s"pjp.`$dir`").append()
+    val head = PjCommitLog.latest(fsOf(dir), new Path(dir)).get
+    assert(head.entries.nonEmpty)
+    head.entries.foreach { e =>
+      assert(e.stats.keySet == Set("a"),
+        s"cap=1 must index the first DATA column, not be eaten by the " +
+          s"partition field: ${e.stats.keySet}")
+    }
+    assert(spark.table(s"pjp.`$dir`").filter($"a" === 7L).count() == 1L)
+  }
+
   test("numIndexedCols caps by TABLE schema order across schema generations; 0/-1 sentinels") {
     val dir = tempDir("skipcap_schema")
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
