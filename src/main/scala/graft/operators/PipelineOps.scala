@@ -2015,7 +2015,9 @@ object PipelineOps {
     * smallest id in the component — "keep the smallest id" then falls out
     * as `id === cluster_id`.
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def dedupClusters(
+      pairs: DataFrame, maxIter: Int = 25,
+      localFinishEdges: Long = 1L << 20): DataFrame = {
     // canonical orientation u > v
     val e0 = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
@@ -2054,11 +2056,59 @@ object PipelineOps {
       (r.getLong(0), r.getLong(1))
     }
 
+    // LOCAL FINISH (the "complete small work locally" move every
+    // production CC implementation makes, same bounded-collect contract
+    // as the ANN quantizer fits): each star round costs a fixed
+    // multi-stage scheduling floor (~6 shuffles + 2 actions) REGARDLESS
+    // of edge count, and O(log n) rounds of that floor dominate small
+    // graphs outright. When the live edge set fits under
+    // `localFinishEdges` (16 MB of longs at the default 1M), a
+    // driver-side union-find replaces the whole loop with one bounded
+    // collect. The check re-runs each round because canonical-distinct
+    // contraction can collapse parallel edges below the threshold after
+    // a round or two; graphs that stay big converge fully distributed,
+    // as before. Applies only to 64-bit integer node ids — anything else
+    // keeps the pure-DataFrame loop.
+    val localizable = e0.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    def localFinish(e: DataFrame): DataFrame = {
+      val sess = e.sparkSession
+      // attach larger roots under smaller ones → each final root IS the
+      // component min, matching the distributed fixpoint's labels exactly
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (c != r && parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      // bounded by localFinishEdges rows of two longs — one job
+      e.collect().foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach(id => out += org.apache.spark.sql.Row(id, find(id)))
+      sess.createDataFrame(
+        sess.sparkContext.parallelize(out.toSeq,
+          math.max(1, math.min(sess.sparkContext.defaultParallelism, out.size / 4096 + 1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     var edges = e0.localCheckpoint(true)
     var s = sig(edges)
     var converged = s._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
+      if (localizable && s._1 <= localFinishEdges) return localFinish(edges)
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val ns = sig(next)
       converged = ns == s

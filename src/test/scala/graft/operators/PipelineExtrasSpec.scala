@@ -68,6 +68,43 @@ class PipelineExtrasSpec extends AnyFunSuite {
     assert(clustersOf(Seq.empty).isEmpty)
   }
 
+  test("dedupClusters: local-finish and distributed paths agree exactly") {
+    // localFinishEdges=0 forces the pure large-star/small-star loop;
+    // the default localizes small graphs via driver union-find — both
+    // must produce identical (id, cluster_id) maps
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2)
+      val local = clustersOf(pairs)
+      val dist = PipelineOps.dedupClusters(
+        pairs.toDF("id_a", "id_b"), localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial: local $local vs distributed $dist")
+      assert(local == truthOf(pairs))
+    }
+  }
+
+  test("dedupClusters: small long-id graphs resolve locally — no join in the result plan") {
+    // q69 regression pin (r17): each star round pays a fixed multi-stage
+    // scheduling floor regardless of edge count, which dominated q69's
+    // bench time (r16 `weak`); under-threshold graphs must finish via the
+    // driver union-find, whose result plan is a plain parallelized
+    // relation — any Join/Exchange here means the loop came back
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("id_a", "id_b")
+    val plan = PipelineOps.dedupClusters(pairs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"local finish must not iterate:\n$plan")
+  }
+
+  test("dedupClusters: non-long ids keep the distributed path (types preserved)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = PipelineOps.dedupClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"),
+      s"got $got")
+  }
+
   test("withRepetitionStats: hand-computed trigram counts") {
     val df = Seq(
       (1L, "a b a b a b a"),     // trigrams: aba bab aba bab aba -> 5 total, 2 distinct
