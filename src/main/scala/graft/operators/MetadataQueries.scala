@@ -1171,6 +1171,55 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q171_named_catalog" -> ((s, dir) => {
+      import s.implicits._
+      // Metastore-named tables (round 17): a warehouse-configured catalog
+      // maps cat.db.tbl onto <warehouse>/db/tbl by convention — the
+      // directory tree IS the catalog (no metastore service, the
+      // data-lake deployment shape). Create prod.nations from the nation
+      // table, UPDATE/DELETE it by name, RENAME it, read it back by the
+      // NEW name with SHOW TABLES / time-travel facts pinned; DuckDB
+      // recomputes the surviving rows. Path addressing keeps working on
+      // the same catalog (checked against the renamed table's dir).
+      // Spark caches catalog instances per session, so the warehouse is
+      // fixed at the catalog's FIRST initialization — reuse it on re-runs
+      // (Bench runs every query several times) and rebuild the table
+      val wh = s.conf.getOption("spark.sql.catalog.pj_q171.warehouse").getOrElse {
+        val d = java.nio.file.Files.createTempDirectory("pj_q171_wh").toString
+        s.conf.set("spark.sql.catalog.pj_q171", "graft.sources.pjparquet.PjCatalog")
+        s.conf.set("spark.sql.catalog.pj_q171.warehouse", d)
+        d
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS pj_q171.prod")
+      s.sql("DROP TABLE IF EXISTS pj_q171.prod.nations")
+      s.sql("DROP TABLE IF EXISTS pj_q171.prod.nations_v2")
+      s.sql("CREATE TABLE pj_q171.prod.nations " +
+        "(k BIGINT, name STRING, rk BIGINT) USING pjparquet")
+      graft.Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"),
+          $"n_regionkey".cast("long").as("rk"))
+        .writeTo("pj_q171.prod.nations").append()
+      s.sql("UPDATE pj_q171.prod.nations SET rk = rk + 10 WHERE k % 2 = 0")
+      s.sql("DELETE FROM pj_q171.prod.nations WHERE k >= 20")
+      s.sql("ALTER TABLE pj_q171.prod.nations RENAME TO prod.nations_v2")
+      val listed = s.sql("SHOW TABLES IN pj_q171.prod").collect()
+        .map(_.getString(1)).toSeq
+      val oldGone = !s.catalog.tableExists("pj_q171.prod.nations")
+      // v1 CREATE (empty), v2 the append — time travel by NAME sees the
+      // pre-DML row count through the rename (same commit log)
+      val v2Rows = s.sql(
+        "SELECT count(*) FROM pj_q171.prod.nations_v2 VERSION AS OF 2")
+        .head().getLong(0)
+      val pathRows = s.table(s"pj_q171.`$wh/prod/nations_v2`").count()
+      s.table("pj_q171.prod.nations_v2")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"k").cast("long").as("k_sum"),
+          sum($"rk").cast("long").as("rk_sum"))
+        .withColumn("renamed_listed",
+          lit(if (listed == Seq("nations_v2") && oldGone) 1L else 0L))
+        .withColumn("time_travel_by_name", lit(if (v2Rows == 25L) 1L else 0L))
+        .withColumn("path_addressing_intact", lit(if (pathRows == 20L) 1L else 0L))
+    }),
     "q170_bucket_transform_spj" -> ((s, dir) => {
       import s.implicits._
       // Declared bucket(n, col) partition transforms (Iceberg parity):
@@ -2586,6 +2635,16 @@ object MetadataQueries {
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q171_named_catalog" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS k_sum,
+        |       CAST(sum(n_regionkey
+        |                 + CASE WHEN n_nationkey % 2 = 0 THEN 10 ELSE 0 END)
+        |            AS BIGINT) AS rk_sum,
+        |       CAST(1 AS BIGINT) AS renamed_listed,
+        |       CAST(1 AS BIGINT) AS time_travel_by_name,
+        |       CAST(1 AS BIGINT) AS path_addressing_intact
+        |FROM nation WHERE n_nationkey < 20""".stripMargin,
     "q170_bucket_transform_spj" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       count(*) AS n_orders,

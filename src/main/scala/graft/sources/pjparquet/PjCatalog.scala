@@ -31,12 +31,26 @@ import graft.core.PJException
 class PjCatalog extends CatalogPlugin with TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = "pj"
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  /** METASTORE-NAMED TABLES (`spark.sql.catalog.<name>.warehouse=<dir>`):
+    * with a warehouse configured, namespaced identifiers map onto the
+    * filesystem by convention — `cat.db.tbl` ⇒ `<warehouse>/db/tbl` — so
+    * users get `CREATE TABLE prod.events`, `df.writeTo("prod.events")`,
+    * `SHOW TABLES IN prod`, and `USE prod` without a metastore service:
+    * the directory tree IS the catalog, exactly like a Hive warehouse
+    * dir. Path addressing (`` cat.`/abs/path` ``) keeps working
+    * byte-identically; without a warehouse, namespaces refuse as before.
+    */
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).filter(_.nonEmpty)
+  }
 
   override def name(): String = catalogName
 
@@ -70,12 +84,30 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       SUPPORT_COLUMN_DEFAULT_VALUE)
   }
 
+  /** One path component of a named identifier: no separators, no dot-dot
+    * escapes — a name must stay inside the warehouse tree.
+    */
+  private def validComponent(c: String): Boolean =
+    c.nonEmpty && !c.contains("/") && !c.contains("\\") && c != "." && c != ".."
+
   private def pathOf(ident: Identifier): String = {
-    if (ident.namespace().nonEmpty)
-      throw new PJException(
-        s"$catalogName: identifiers are table root paths with no namespace, " +
-          s"got ${ident.namespace().mkString(".")}.${ident.name()}")
-    ident.name()
+    if (ident.namespace().isEmpty) return ident.name() // the name IS the path
+    warehouse match {
+      case None =>
+        throw new PJException(
+          s"$catalogName: identifiers are table root paths with no namespace, " +
+            s"got ${ident.namespace().mkString(".")}.${ident.name()} — set " +
+            s"spark.sql.catalog.$catalogName.warehouse=<dir> to address " +
+            "tables by name")
+      case Some(w) =>
+        val parts = ident.namespace().toSeq :+ ident.name()
+        parts.filterNot(validComponent).foreach { bad =>
+          throw new PJException(
+            s"$catalogName: invalid name component '$bad' in " +
+              s"${parts.mkString(".")} (names cannot contain path separators)")
+        }
+        s"$w/${parts.mkString("/")}"
+    }
   }
 
   private def resolve(ident: Identifier, extra: (String, String)*): Table = {
@@ -114,8 +146,130 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       case _: java.io.FileNotFoundException => false
     }
 
+  /** A directory is a TABLE when it carries a commit log, or (directory
+    * mode) a visible top-level parquet file or hive `key=value` subdir —
+    * the same shallow classification dropTable trusts before deleting.
+    */
+  private def isTableDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    PjCommitLog.isEnabled(fs, p) ||
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          ((st.isFile && n.endsWith(".parquet")) ||
+            (st.isDirectory && n.contains("=")))
+      }
+
+  private def namespaceDir(namespace: Array[String]): Option[
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)] =
+    warehouse.map { w =>
+      namespace.filterNot(validComponent).foreach { bad =>
+        throw new PJException(
+          s"$catalogName: invalid namespace component '$bad'")
+      }
+      val p = new org.apache.hadoop.fs.Path(
+        if (namespace.isEmpty) w else s"$w/${namespace.mkString("/")}")
+      (p.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()), p)
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // path-based: there is no namespace to enumerate
+    namespaceDir(namespace) match {
+      case Some((fs, dir)) if namespace.nonEmpty =>
+        if (!fs.exists(dir))
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+            namespace)
+        fs.listStatus(dir).filter(_.isDirectory)
+          .filter(st => !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .filter(st => isTableDir(fs, st.getPath))
+          .map(st => Identifier.of(namespace, st.getPath.getName))
+      case _ =>
+        Array.empty // path-based: there is no namespace to enumerate
+    }
+
+  // ------------------------- SupportsNamespaces (warehouse convention)
+
+  override def listNamespaces(): Array[Array[String]] =
+    namespaceDir(Array.empty) match {
+      case Some((fs, dir)) if fs.exists(dir) =>
+        fs.listStatus(dir).filter(_.isDirectory)
+          .filter(st => !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .filterNot(st => isTableDir(fs, st.getPath))
+          .map(st => Array(st.getPath.getName))
+      case _ => Array.empty
+    }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    namespaceDir(namespace) match {
+      case Some((fs, dir)) =>
+        if (!fs.exists(dir))
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+            namespace)
+        fs.listStatus(dir).filter(_.isDirectory)
+          .filter(st => !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .filterNot(st => isTableDir(fs, st.getPath))
+          .map(st => namespace :+ st.getPath.getName)
+      case None => Array.empty
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespaceDir(namespace).exists { case (fs, dir) =>
+      fs.exists(dir) && fs.getFileStatus(dir).isDirectory
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val m = new util.HashMap[String, String]()
+    namespaceDir(namespace).foreach { case (_, dir) => m.put("location", dir.toString) }
+    m
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    namespaceDir(namespace) match {
+      case None =>
+        throw new PJException(
+          s"$catalogName: CREATE NAMESPACE needs a warehouse — set " +
+            s"spark.sql.catalog.$catalogName.warehouse=<dir>")
+      case Some((fs, dir)) =>
+        if (fs.exists(dir))
+          throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+            namespace)
+        fs.mkdirs(dir)
+    }
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: namespaces are warehouse directories and carry no metadata")
+
+  /** Non-cascade drop refuses when ANY visible child exists (tables or
+    * nested namespaces); cascade deletes the subtree.
+    */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    namespaceDir(namespace) match {
+      case None => false
+      case Some((fs, dir)) =>
+        if (namespace.isEmpty)
+          throw new PJException(s"$catalogName: cannot drop the warehouse root")
+        if (!fs.exists(dir)) return false
+        if (!cascade && fs.listStatus(dir).exists(st =>
+            !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_")))
+          throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+            namespace)
+        val deleted = fs.delete(dir, true)
+        PjCommitLog.clearSnapshotCache()
+        PjParquetTable.clearLayoutCache()
+        deleted
+    }
 
   /** `CREATE TABLE pj.`/path`` (col defs [GENERATED ALWAYS AS ... |
     * GENERATED ... AS IDENTITY | DEFAULT ...]) USING pjparquet
@@ -924,9 +1078,32 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     deleted
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"$catalogName: rename a pjparquet table by moving its directory")
+  /** Named tables rename by ONE directory move (sidecars, log, DVs all
+    * live inside the root, so the move carries the whole table); path
+    * identifiers keep the historical refusal — renaming `/a` to `/b` is
+    * an FS operation the user should do deliberately.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (oldIdent.namespace().isEmpty || newIdent.namespace().isEmpty)
+      throw new UnsupportedOperationException(
+        s"$catalogName: rename a path-addressed pjparquet table by moving its directory")
+    val src = new org.apache.hadoop.fs.Path(pathOf(oldIdent))
+    val dst = new org.apache.hadoop.fs.Path(pathOf(newIdent))
+    val fs = src.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(src))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
+    if (fs.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    if (!fs.exists(dst.getParent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        newIdent.namespace())
+    if (!fs.rename(src, dst))
+      throw new PJException(
+        s"$catalogName: could not rename '$src' to '$dst'")
+    PjCommitLog.clearSnapshotCache()
+    PjParquetTable.clearLayoutCache()
+  }
 
   // ------------------------------------------------- atomic CTAS / RTAS
 
