@@ -28,6 +28,36 @@ object MetadataQueries {
   /** q166: lifecycle facts captured during the hilbert fixture build. */
   private val q166Facts = new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Boolean, Boolean)]()
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Once-per-JVM sibling session carrying the parser extension
+    * ([[org.apache.spark.sql.execution.datasources.parquet.PjSparkExtensions]])
+    * so driver queries can exercise the SQL STATEMENT face (COPY INTO,
+    * RESTORE, OPTIMIZE, VACUUM, DESCRIBE HISTORY) — the Verify/Bench base
+    * session is extension-free on purpose (it must prove stock-Spark
+    * behavior for everything else). Shares the SparkContext; the active
+    * and default session registrations are restored after creation.
+    */
+  @volatile private var sqlExt: SparkSession = null
+  private def sqlStatementSession(base: SparkSession): SparkSession = synchronized {
+    if (sqlExt == null) {
+      val oldDefault = SparkSession.getDefaultSession
+      val oldActive = SparkSession.getActiveSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      sqlExt = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions",
+          base.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone",
+          base.conf.get("spark.sql.session.timeZone"))
+        .withExtensions(
+          new org.apache.spark.sql.execution.datasources.parquet.PjSparkExtensions())
+        .getOrCreate()
+      oldDefault.foreach(SparkSession.setDefaultSession)
+      oldActive.foreach(SparkSession.setActiveSession)
+    }
+    sqlExt
+  }
+
   private def fixtureDir(key: String, dir: String)(build: String => Unit): String =
     fixtures.computeIfAbsent(s"$key:$dir", { _ =>
       val d = java.nio.file.Files.createTempDirectory(key).toString
@@ -628,7 +658,10 @@ object MetadataQueries {
       nation.withColumn("k", $"k" + 200L).coalesce(1)
         .write.format("pjparquet").mode("append").save(tmp) // v4
       s.conf.set("spark.sql.catalog.pj_q143", "graft.sources.pjparquet.PjCatalog")
-      val rep = s.sql(s"CALL pj_q143.system.restore('$tmp', 2)").collect().head
+      // the restore verb runs through its SQL STATEMENT face (round 17):
+      // RESTORE TABLE t TO VERSION AS OF n — same report as the CALL form
+      val rep = sqlStatementSession(s)
+        .sql(s"RESTORE TABLE '$tmp' TO VERSION AS OF 2").collect().head
       val v2 = s.read.format("pjparquet").option("versionAsOf", "2").load(tmp)
         .select($"k").as[Long].collect().sorted.toSeq
       val headKeys = s.read.format("pjparquet").load(tmp)
@@ -1599,15 +1632,20 @@ object MetadataQueries {
       s.conf.set("spark.sql.catalog.pj_q161", "graft.sources.pjparquet.PjCatalog")
       s.sql(s"CREATE TABLE pj_q161.`$tmp` (o_orderkey BIGINT, o_custkey BIGINT, " +
         "o_orderstatus STRING) USING pjparquet")
-      val r1 = graft.sources.pjparquet.PjCopyInto.copyInto(s, tmp, srcDir)
-      val r2 = graft.sources.pjparquet.PjCopyInto.copyInto(s, tmp, srcDir) // no-op
+      // the ingest verb runs through its SQL STATEMENT face (round 17):
+      // COPY INTO t FROM src — pure sugar over PjCopyInto, same report
+      val ext = sqlStatementSession(s)
+      def copySql() = ext.sql(
+        s"COPY INTO '$tmp' FROM '$srcDir' FILEFORMAT = PARQUET").collect().head
+      val r1 = copySql()
+      val r2 = copySql() // no-op
       orders.filter($"o_orderkey" % 2 === 1).coalesce(2)
         .write.mode("overwrite").parquet(s"$srcDir/batch_odd")
-      val r3 = graft.sources.pjparquet.PjCopyInto.copyInto(s, tmp, srcDir)
-      val rerunNoop = r2.filesIngested == 0 && r2.rowsIngested == 0 &&
-        r2.version == r1.version
-      val incremental = r1.filesIngested > 0 && r3.filesIngested > 0 &&
-        r3.filesSkipped == r1.filesIngested
+      val r3 = copySql()
+      val rerunNoop = r2.getLong(0) == 0 && r2.getLong(3) == 0 &&
+        r2.getLong(4) == r1.getLong(4)
+      val incremental = r1.getLong(0) > 0 && r3.getLong(0) > 0 &&
+        r3.getLong(1) == r1.getLong(0)
       s.read.format("pjparquet").load(tmp)
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),

@@ -16,6 +16,11 @@ import graft.core.PJException
   *   OPTIMIZE '/path/to/table' [WHERE <partition predicate>]
   *     [ZORDER BY (c1, c2, ...)] [FULL]
   *   VACUUM '/path/to/table' [RETAIN <n> HOURS] [DRY RUN]
+  *   DESCRIBE HISTORY '/path/to/table'
+  *   COPY INTO '/path/to/table' FROM '/src' [FILEFORMAT = PARQUET|JSON|CSV]
+  *     [PATTERN = '<glob>']
+  *   RESTORE [TABLE] '/path/to/table' TO VERSION AS OF <n>
+  *     | TO TIMESTAMP AS OF '<ts>'
   * }}}
   *
   * Pure sugar over the `CALL pj.system.*` procedures (one parse, same
@@ -34,6 +39,8 @@ object PjSqlCommands {
     val t = sqlText.trim
     t.regionMatches(true, 0, "OPTIMIZE ", 0, 9) ||
       t.regionMatches(true, 0, "VACUUM ", 0, 7) ||
+      t.regionMatches(true, 0, "COPY INTO ", 0, 10) ||
+      t.regionMatches(true, 0, "RESTORE ", 0, 8) ||
       // exactly DESCRIBE HISTORY with a PATH-shaped operand (quoted,
       // backticked, or containing '/') — every other DESCRIBE form is
       // Spark's, including column-describe on a table named `history`
@@ -59,6 +66,20 @@ object PjSqlCommands {
     ("""(?is)^\s*VACUUM\s+(\S+|'[^']*'|`[^`]*`)""" +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+(\S+|'[^']*'|`[^`]*`)""" +
+      """\s+FROM\s+(\S+|'[^']*'|`[^`]*`)""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?""" +
+      """(?:\s+PATTERN\s*=\s*'([^']*)')?\s*;?\s*$""").r
+
+  private val RestoreVersionRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\S+|'[^']*'|`[^`]*`)""" +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+
+  private val RestoreTimestampRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\S+|'[^']*'|`[^`]*`)""" +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
 
   /** Strip quoting and any `catalog.` prefix down to the root path. */
   private def pathOf(raw: String): String = {
@@ -90,6 +111,15 @@ object PjSqlCommands {
         force = full != null))
     case HistoryRe(table) =>
       Some(PjDescribeHistoryCommand(pathOf(table)))
+    case CopyIntoRe(table, source, format, pattern) =>
+      Some(PjCopyIntoCommand(
+        pathOf(table), pathOf(source),
+        Option(format).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("parquet"),
+        Option(pattern).filter(_.nonEmpty)))
+    case RestoreVersionRe(table, version) =>
+      Some(PjRestoreCommand(pathOf(table), Left(version.toLong)))
+    case RestoreTimestampRe(table, ts) =>
+      Some(PjRestoreCommand(pathOf(table), Right(ts)))
     case VacuumRe(table, hours, dry) =>
       Some(PjVacuumCommand(
         pathOf(table),
@@ -163,6 +193,57 @@ final case class PjVacuumCommand(
       spark, table, hours * 3600L * 1000L, dryRun = dryRun)
     if (!dryRun) PjVacuum.clean(spark, table)
     Seq(Row(r.versionsDropped, r.versionsKept, r.filesReclaimed, dryRun))
+  }
+}
+
+/** `COPY INTO t FROM src [FILEFORMAT = PARQUET|JSON|CSV]
+  * [PATTERN = '<glob>']` — the idempotent file-ingest verb
+  * ([[PjCopyInto]]): each source file's rows land exactly once across
+  * re-runs, racing ingesters partition the work via atomic per-file
+  * claims. Same report row as `CALL pj.system.copy_into`.
+  */
+final case class PjCopyIntoCommand(
+    table: String,
+    source: String,
+    format: String,
+    pattern: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_ingested", LongType, nullable = false)(),
+    AttributeReference("files_skipped", LongType, nullable = false)(),
+    AttributeReference("files_pending", LongType, nullable = false)(),
+    AttributeReference("rows_ingested", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = PjCopyInto.copyInto(spark, table, source, format, pattern = pattern)
+    Seq(Row(r.filesIngested, r.filesSkipped, r.filesPending, r.rowsIngested, r.version))
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` / `TO TIMESTAMP AS OF '<ts>'`
+  * — one metadata commit turns HEAD into the target snapshot
+  * ([[PjRestore]]); history and time travel to intermediate versions
+  * stay intact. Same report row as `CALL pj.system.restore`.
+  */
+final case class PjRestoreCommand(
+    table: String,
+    target: Either[Long, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = true)(),
+    AttributeReference("files_added", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = target match {
+      case Left(v) => PjRestore.restore(spark, table, v)
+      case Right(ts) => PjRestore.restoreToTimestamp(
+        spark, table, PjParquetTable.parseTimestampMillis(ts, "TIMESTAMP AS OF"))
+    }
+    Seq(Row(r.restoredTo, r.committed.map(java.lang.Long.valueOf).orNull,
+      r.filesAdded, r.filesRemoved))
   }
 }
 

@@ -105,6 +105,36 @@ class PjSqlMaintenanceSpec extends AnyFunSuite {
       .exists(_.getString(0) == "d"))
   }
 
+  test("COPY INTO as SQL: idempotent ingest, PATTERN filter, same report as CALL") {
+    import extSpark.implicits._
+    val t = freshLogged("pj_sqlcopy", 1)
+    val src = java.nio.file.Files.createTempDirectory("pj_sqlcopy_src").toString
+    Seq((100L, 1L), (101L, 2L)).toDF("id", "v").coalesce(1).write.mode("append").parquet(src)
+    val r = extSpark.sql(s"COPY INTO '$t' FROM '$src' FILEFORMAT = PARQUET").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(3) == 2L, s"first ingest: $r")
+    // re-run: exactly-once — zero files, zero rows
+    val again = extSpark.sql(s"COPY INTO '$t' FROM '$src'").collect().head
+    assert(again.getLong(0) == 0L && again.getLong(1) == 1L, s"replay: $again")
+    assert(extSpark.read.format("pjparquet").load(t).count() == 3L)
+    // PATTERN excludes everything -> nothing ingested
+    val none = extSpark.sql(
+      s"COPY INTO '$t' FROM '$src' PATTERN = 'nope/*.parquet'").collect().head
+    assert(none.getLong(0) == 0L, s"pattern-filtered: $none")
+  }
+
+  test("RESTORE TABLE ... TO VERSION AS OF as SQL: one metadata commit back in time") {
+    val t = freshLogged("pj_sqlrestore", 3) // v1..v3, one row each
+    val r = extSpark.sql(s"RESTORE TABLE '$t' TO VERSION AS OF 1").collect().head
+    assert(r.getLong(0) == 1L, s"restored_to: $r")
+    assert(!r.isNullAt(1) && r.getLong(1) == 4L, s"committed_version: $r")
+    assert(extSpark.read.format("pjparquet").load(t).count() == 1L)
+    // timestamp form parses and runs through the same lane (resolve the
+    // newest in-commit timestamp -> restores to head state, a no-op)
+    val ts = extSpark.sql(s"DESCRIBE HISTORY '$t'").collect().head.getTimestamp(1)
+    val r2 = extSpark.sql(s"RESTORE '$t' TO TIMESTAMP AS OF '$ts'").collect().head
+    assert(r2.getLong(0) >= 1L, r2.toString)
+  }
+
   test("ordinary SQL and malformed claims keep Spark's own parser behavior") {
     import extSpark.implicits._
     // a normal query is untouched
@@ -116,5 +146,11 @@ class PjSqlMaintenanceSpec extends AnyFunSuite {
     val e = intercept[Exception](extSpark.sql("OPTIMIZE"))
     assert(e.getMessage.toLowerCase.contains("syntax") ||
       e.getMessage.contains("PARSE"), e.getMessage)
+    val e2 = intercept[Exception](extSpark.sql("COPY INTO '/tmp/x'")) // no FROM
+    assert(e2.getMessage.toLowerCase.contains("syntax") ||
+      e2.getMessage.contains("PARSE"), e2.getMessage)
+    val e3 = intercept[Exception](extSpark.sql("RESTORE TABLE '/tmp/x'")) // no target
+    assert(e3.getMessage.toLowerCase.contains("syntax") ||
+      e3.getMessage.contains("PARSE"), e3.getMessage)
   }
 }
