@@ -1184,7 +1184,22 @@ final class PjDataWriter(
       if (fs.exists(target)) PjBatchWrite.deleteWithSidecars(fs, target)
     }
     written += PjWrittenFile(relDir, name)
-    PjSparkShims.newRowWriter(target.toString, conf)
+    // a concurrent abort's empty-dir sweep can delete the freshly-made
+    // partition dir between its mkdir and this create (schema-evolution
+    // fuzzer, seed 10013) — the dir was legitimately empty at that
+    // instant. Re-create and retry; once the file exists the dir is
+    // non-empty and safe.
+    var attempt = 0
+    var w: org.apache.spark.sql.execution.datasources.OutputWriter = null
+    while (w == null) {
+      attempt += 1
+      try w = PjSparkShims.newRowWriter(target.toString, conf)
+      catch {
+        case _: Throwable if attempt < 4 =>
+          target.getFileSystem(conf).mkdirs(dir)
+      }
+    }
+    w
   }
 
   private def roll(relDir: String): Unit = {

@@ -946,7 +946,10 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       ident: Identifier, path: String,
       fs: org.apache.hadoop.fs.FileSystem, rootPath: org.apache.hadoop.fs.Path,
       snap: PjCommitLog.Snapshot, changes: Seq[TableChange]): Table = {
-    var props = PjTableProperties.parse(snap.propertiesJson)
+    val props = PjTableProperties.parse(snap.propertiesJson)
+    var sets = Map.empty[String, String]
+    var removes = Set.empty[String]
+    var expected = Map.empty[String, Option[String]]
     changes.foreach {
       case s: TableChange.SetProperty =>
         PjTableProperties.validate(s.property(), s.value())
@@ -957,7 +960,8 @@ class PjCatalog extends CatalogPlugin with TableCatalog
         // evolution can never silently change what existing rows read
         if (key == PjTableProperties.PartitionColumns)
           validatePartitionEvolution(path, snap, s.value())
-        props = props - key + (key -> s.value())
+        sets += key -> s.value()
+        expected += key -> props.get(key)
       case r: TableChange.RemoveProperty =>
         val key = PjTableProperties.canonicalKey(r.property())
         if (key == PjTableProperties.PartitionColumns &&
@@ -966,13 +970,20 @@ class PjCatalog extends CatalogPlugin with TableCatalog
             s"$catalogName: cannot UNSET ${PjTableProperties.PartitionColumns} " +
               s"on '$path' — live files are partitioned; dropping the " +
               "partitioning requires rewriting the table")
-        props = props - key
+        removes += key
+        expected += key -> props.get(key)
       case other =>
         throw new UnsupportedOperationException(
           s"$catalogName: unsupported property change $other")
     }
+    // property DELTA with per-key compare-and-set, merged onto the claim
+    // loop's own predecessor read: racing commits' UNRELATED property
+    // changes survive this statement, and a key whose value moved since
+    // `snap` refuses as a conflict instead of silently losing the racing
+    // update (the schema-evolution fuzzer's racing partition evolutions,
+    // seed 10124)
     PjCommitLog.commit(fs, rootPath, "alter-properties", Nil, Set.empty,
-      None, Some("alter"), propertiesJson = Some(PjTableProperties.render(props)))
+      None, Some("alter"), propertyCas = Some((sets, removes, expected)))
     loadTable(ident)
   }
 

@@ -645,7 +645,20 @@ object PjCommitLog {
         * replace semantics (RTAS, RESTORE, truncating overwrites record
         * the new schema outright).
         */
-      widenSchema: Boolean = false): Long = {
+      widenSchema: Boolean = false,
+      /** PROPERTY compare-and-set (SET/UNSET TBLPROPERTIES): apply this
+        * (sets, removes, expectedPriorValues) DELTA onto the properties of
+        * the predecessor READ IN THIS ATTEMPT — unrelated keys changed by
+        * racing commits merge instead of being overwritten by this lane's
+        * stale full rendering, and a key whose current value no longer
+        * matches what the caller computed its change FROM refuses as a
+        * conflict (the schema-evolution fuzzer's racing partition-spec
+        * evolutions exposed the lost update: a committed evolution was
+        * silently erased by the next evolve's stale rendering, seed
+        * 10124). Mutually exclusive with `propertiesJson`.
+        */
+      propertyCas: Option[(Map[String, String], Set[String],
+        Map[String, Option[String]])] = None): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var attempt = 0
@@ -667,6 +680,21 @@ object PjCommitLog {
           }
         case other => other
       }
+      // property CAS: merge the delta onto THIS attempt's predecessor and
+      // refuse (conflict) when a changed key's prior value moved under us
+      val effPropsJson: Option[String] = propertyCas match {
+        case Some((sets, removes, expected)) =>
+          val cur = PjTableProperties.parse(prev.flatMap(_.propertiesJson))
+          expected.foreach { case (k, expOld) =>
+            if (cur.get(k) != expOld)
+              throw new PJException(
+                s"pjparquet: table property '$k' was changed by a concurrent " +
+                  "writer since this statement read it (optimistic concurrency " +
+                  "conflict) — re-read the table and retry")
+          }
+          Some(PjTableProperties.render(cur -- removes ++ sets))
+        case None => propertiesJson
+      }
       // feature-flag guard: a table requiring features this build cannot
       // maintain refuses the write BEFORE claiming a version
       PjProtocol.checkWrite(prev.flatMap(_.protocolJson), fs.makeQualified(root).toString)
@@ -687,7 +715,7 @@ object PjCommitLog {
           anyDv = add.exists(_.dv.isDefined) || prevDvSurvives,
           dataSchemaJson = effSchemaJson.orElse(prev.flatMap(_.dataSchemaJson)),
           constraintsJson = constraintsJson.orElse(prev.flatMap(_.constraintsJson)),
-          propertiesJson = propertiesJson.orElse(prev.flatMap(_.propertiesJson)))
+          propertiesJson = effPropsJson.orElse(prev.flatMap(_.propertiesJson)))
         protocolOverride match {
           case Some(js) =>
             if (!PjProtocol.parse(Some(js)).contains(req))
@@ -784,7 +812,7 @@ object PjCommitLog {
       // generations index the SAME column set; Delta's sentinels: -1 =
       // all columns (no cap), 0 = collect none.
       val statsCapped = PjTableProperties.recorded(
-        propertiesJson.orElse(prev.flatMap(_.propertiesJson)),
+        effPropsJson.orElse(prev.flatMap(_.propertiesJson)),
         PjTableProperties.DataSkippingNumIndexedCols)
         .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 0) match {
         case Some(n) =>
@@ -836,13 +864,13 @@ object PjCommitLog {
       }
       val body = renderCommit(v, ts, action, statsCapped,
         effectiveRemove.toSeq.sorted, nLive, effSchemaJson, operation, constraintsJson,
-        propertiesJson, tableStatsJson, protocolJson, watermarkOut, preservedRows, txn)
+        effPropsJson, tableStatsJson, protocolJson, watermarkOut, preservedRows, txn)
       if (publish(fs, commitFile(root, v), body)) {
         // cadence honors the table's recorded pj.checkpoint.interval —
         // this commit's own properties (when it sets them) win, else the
         // predecessor's recorded ones, else the engine default
         val interval = PjTableProperties.checkpointInterval(
-          propertiesJson.orElse(prev.flatMap(_.propertiesJson)))
+          effPropsJson.orElse(prev.flatMap(_.propertiesJson)))
         if (v % interval == 0)
           try writeCheckpoint(fs, root, v)
           catch { case scala.util.control.NonFatal(_) => /* replay covers it */ }
@@ -850,7 +878,7 @@ object PjCommitLog {
         // external symlink view after every commit — best-effort, a DV
         // snapshot leaves the last DV-free manifest standing
         if (PjTableProperties.recorded(
-            propertiesJson.orElse(prev.flatMap(_.propertiesJson)),
+            effPropsJson.orElse(prev.flatMap(_.propertiesJson)),
             PjTableProperties.SymlinkManifestEnabled).exists(_.equalsIgnoreCase("true")))
           PjManifest.autoMaintain(fs, root)
         return v

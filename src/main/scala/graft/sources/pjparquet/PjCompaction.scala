@@ -237,6 +237,31 @@ object PjCompaction {
     }
   }
 
+  /** Surface every declared partition column on a rewrite frame with its
+    * DECLARED type: a generation that predates the column yields nothing
+    * (fill a typed null), and a directory tree holding only
+    * `__HIVE_DEFAULT_PARTITION__` values infers the column as VOID under
+    * the stock parquet reader — `partitionBy` refuses VOID outright
+    * (found by the schema-evolution fuzzer lane, seed 10002: compaction
+    * racing a partition-spec evolution whose new key no row had set yet).
+    */
+  private def alignPartitionCols(
+      df: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String],
+      propsJson: Option[String]): org.apache.spark.sql.DataFrame = {
+    val declared = PjTableProperties.partitionColumns(propsJson)
+    partCols.foldLeft(df) { (d, pc) =>
+      val t = declared.find(_._1.equalsIgnoreCase(pc)).map(_._2)
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      d.schema.fields.find(_.name.equalsIgnoreCase(pc)) match {
+        case None => d.withColumn(pc, lit(null).cast(t))
+        case Some(f) if f.dataType == org.apache.spark.sql.types.NullType =>
+          d.withColumn(f.name, col(f.name).cast(t))
+        case _ => d
+      }
+    }
+  }
+
   private def applyDvFilter(
       spark: SparkSession,
       hconf: org.apache.hadoop.conf.Configuration,
@@ -393,13 +418,7 @@ object PjCompaction {
     // a generation that predates an ADDED partition column may be the only
     // one consumed — surface the column as typed nulls so the select below
     // and partitionBy still resolve
-    val raw0 = partCols.filterNot(pc =>
-      rawGen.columns.exists(_.equalsIgnoreCase(pc))).foldLeft(rawGen) { (df, pc) =>
-      val t = PjTableProperties.partitionColumns(prevSnap.flatMap(_.propertiesJson))
-        .find(_._1.equalsIgnoreCase(pc)).map(_._2)
-        .getOrElse(org.apache.spark.sql.types.StringType)
-      df.withColumn(pc, lit(null).cast(t))
-    }
+    val raw0 = alignPartitionCols(rawGen, partCols, prevSnap.flatMap(_.propertiesJson))
     // deletion vectors already applied DURING the per-generation read
     // (readGenerations): consumed files' deleted positions never reach
     // the replacement files — the rewrite IS the purge
@@ -686,13 +705,17 @@ object PjCompaction {
         .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     }.getOrElse(Set.empty)
     val partCols: Seq[String] =
-      if (declaredPartCols.nonEmpty) declaredPartCols.filter(df.columns.contains)
+      if (declaredPartCols.nonEmpty) declaredPartCols
       else df.columns.filterNot(dataCols.contains)
         .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
         // an existence-default fill is a DATA column the head file may lack
         .filterNot(c => fills.exists(_._1.equalsIgnoreCase(c)))
         .filterNot(c => recordedNames.contains(c.toLowerCase(java.util.Locale.ROOT)))
         .toSeq
+    // declared keys the consumed generations never materialized (an
+    // in-flight partition-spec evolution) surface as typed nulls; VOID
+    // inference from all-null dirs casts back to the declared type
+    val dfAligned = alignPartitionCols(df, partCols, prevSnap.flatMap(_.propertiesJson))
     require(zorderPhys.forall(dataCols.contains),
       s"zorder columns $zorderCols must be data columns of $dataCols")
 
@@ -701,7 +724,7 @@ object PjCompaction {
     // ZOrder.zorderBy handles the Morton math; partition dirs prefix the
     // range key so the clustered runs stay within their directories
     val clustered = graft.operators.ZOrder.zorderByWithPrefix(
-      df, partCols, zorderPhys, nOut, bits, curve = curve)
+      dfAligned, partCols, zorderPhys, nOut, bits, curve = curve)
 
     val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     try {

@@ -51,7 +51,11 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     var t: Throwable = e
     while (t != null) {
       val m = Option(t.getMessage).getOrElse("")
-      if (m.contains("conflict") || m.contains("concurrent writer")) return true
+      if (m.contains("conflict") || m.contains("concurrent writer") ||
+        // a partition-spec evolution computed from a spec another evolve
+        // replaced mid-flight: the engine refuses (loudly, as required) —
+        // the op re-reads the current spec and retries
+        m.contains("drops current partition column")) return true
       t = t.getCause
     }
     false
@@ -75,7 +79,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
   }
 
   private def runSchedule(seed: Int, partitioned: Boolean,
-      cdf: Boolean = false): Unit = {
+      cdf: Boolean = false, schemaEvo: Boolean = false): Unit = {
     val dir = java.nio.file.Files.createTempDirectory(f"pj_fuzz_$seed%04d")
     java.nio.file.Files.delete(dir)
     val t = dir.toString
@@ -89,14 +93,22 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
       if (cdf) " TBLPROPERTIES ('pj.changeFeed.enabled'='true', " +
         "'pj.autoCompact.enabled'='true', 'pj.autoCompact.minFiles'='4')"
       else ""
-    if (partitioned)
+    if (schemaEvo)
+      // the schema-evolution lane races DDL against writers on a
+      // partitioned table; p2 is a plain data column until a
+      // partition-spec evolution op promotes a FRESH column
+      spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT, p BIGINT, p2 BIGINT) " +
+        s"USING pjparquet PARTITIONED BY (p)$props")
+    else if (partitioned)
       spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT, p BIGINT) " +
         s"USING pjparquet PARTITIONED BY (p)$props")
     else
       spark.sql(s"CREATE TABLE pjfuzz.`$t` (id BIGINT, v BIGINT) USING pjparquet$props")
     def rows(ids: Seq[Long]) = {
       val base = ids.map(i => (i, i * 7))
-      if (partitioned) base.map { case (i, v) => (i, v, i % 4) }.toDF("id", "v", "p")
+      if (schemaEvo)
+        base.map { case (i, v) => (i, v, i % 4, i % 2) }.toDF("id", "v", "p", "p2")
+      else if (partitioned) base.map { case (i, v) => (i, v, i % 4) }.toDF("id", "v", "p")
       else base.toDF("id", "v")
     }
     // base population: ids 0..19, v = 7*id
@@ -107,6 +119,13 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     val updates = new ConcurrentLinkedQueue[(Seq[Long], Long)]() // (ids, delta)
     val txnLanded = new ConcurrentLinkedQueue[Seq[Long]]()
     val addedCols = new ConcurrentLinkedQueue[String]()
+    // schema-evolution lane bookkeeping: expected FINAL column names
+    // (rename), expected final types (widening), and default promises —
+    // each queued AFTER the op completes, so the model is order-free
+    val renamedCols = new ConcurrentLinkedQueue[String]()
+    val widenedCols = new ConcurrentLinkedQueue[(String, Boolean)]() // (name, widened?)
+    val defaultCols = new ConcurrentLinkedQueue[(String, Long)]() // (name, default)
+    val evolvedSpecs = new ConcurrentLinkedQueue[String]() // partition col added
     appended.add(0L until 20L)
 
     def liveIdSample(rnd: scala.util.Random): Seq[Long] =
@@ -124,27 +143,98 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
       val th = new Thread(() =>
         try {
           val rnd = new scala.util.Random(seed * 1000L + ti)
+          def opAppend(opId: Long): Unit = {
+            val ids = freshIds(opId, 2 + rnd.nextInt(3))
+            if (attempt(seed, s"append#$opId") {
+              rows(ids).coalesce(1).writeTo(s"pjfuzz.`$t`").append()
+            }) appended.add(ids)
+          }
+          def opDelete(opId: Long): Unit = {
+            val ids = liveIdSample(rnd)
+            if (ids.nonEmpty && attempt(seed, s"delete#$opId") {
+              spark.sql(
+                s"DELETE FROM pjfuzz.`$t` WHERE id IN (${ids.mkString(",")})")
+            }) deleted.add(ids)
+          }
+          def opUpdate(opId: Long): Unit = {
+            val ids = liveIdSample(rnd)
+            val delta = opId + 1
+            if (ids.nonEmpty && attempt(seed, s"update#$opId") {
+              spark.sql(s"UPDATE pjfuzz.`$t` SET v = v + $delta " +
+                s"WHERE id IN (${ids.mkString(",")})")
+            }) updates.add((ids, delta))
+          }
           for (oi <- 0 until opsPerThread) {
             val opId = (seed.toLong * nThreads + ti) * opsPerThread + oi
-            rnd.nextInt(10) match {
+            if (schemaEvo) rnd.nextInt(10) match {
+              // ---- schema-evolution lane: DDL races writers (r17) ----
+              case 0 | 1 | 2 => opAppend(opId)
+              case 3 => opDelete(opId)
+              case 4 => opUpdate(opId)
+              case 5 => // ADD then RENAME a fresh column (racing writers
+                // must neither lose the rename nor resurrect the old name)
+                val c = s"c_$opId"; val r = s"r_$opId"
+                if (attempt(seed, s"addcol#$opId") {
+                  spark.sql(s"ALTER TABLE pjfuzz.`$t` ADD COLUMN $c BIGINT")
+                }) {
+                  if (attempt(seed, s"rename#$opId") {
+                    spark.sql(s"ALTER TABLE pjfuzz.`$t` RENAME COLUMN $c TO $r")
+                  }) renamedCols.add(r)
+                  else addedCols.add(c)
+                }
+              case 6 => // type widening INT -> BIGINT (metadata-only)
+                val w = s"w_$opId"
+                if (attempt(seed, s"addint#$opId") {
+                  spark.sql(s"ALTER TABLE pjfuzz.`$t` ADD COLUMN $w INT")
+                }) widenedCols.add((w, attempt(seed, s"widen#$opId") {
+                  spark.sql(s"ALTER TABLE pjfuzz.`$t` ALTER COLUMN $w TYPE BIGINT")
+                }))
+              case 7 => // SET DEFAULT: appends racing the promise fill
+                // either null (before) or the default (after) — never junk
+                val d = s"d_$opId"
+                if (attempt(seed, s"adddef#$opId") {
+                  spark.sql(s"ALTER TABLE pjfuzz.`$t` ADD COLUMN $d BIGINT")
+                }) {
+                  if (attempt(seed, s"setdefault#$opId") {
+                    spark.sql(
+                      s"ALTER TABLE pjfuzz.`$t` ALTER COLUMN $d SET DEFAULT $opId")
+                  }) defaultCols.add((d, opId))
+                  else addedCols.add(d)
+                }
+              case 8 => // partition-spec evolution onto a FRESH column —
+                // future writes route (p, pe_N); racing appends that omit
+                // it land in the null partition, content unchanged
+                val pe = s"pe_$opId"
+                if (attempt(seed, s"addpe#$opId") {
+                  spark.sql(s"ALTER TABLE pjfuzz.`$t` ADD COLUMN $pe BIGINT")
+                }) {
+                  if (attempt(seed, s"evolve#$opId") {
+                    // EXTEND the current spec (re-read per retry): a spec
+                    // computed from a stale read drops a racing evolve's
+                    // column and the engine refuses — sanctioned, retried
+                    val root = new Path(t)
+                    val fs = root.getFileSystem(
+                      spark.sessionState.newHadoopConf())
+                    val cur = graft.sources.pjparquet.PjTableProperties.recorded(
+                      PjCommitLog.latest(fs, root).flatMap(_.propertiesJson),
+                      graft.sources.pjparquet.PjTableProperties.PartitionColumns)
+                      .getOrElse("p:bigint")
+                    spark.sql(s"ALTER TABLE pjfuzz.`$t` SET TBLPROPERTIES " +
+                      s"('pj.partition.columns' = '$cur,$pe:bigint')")
+                  }) evolvedSpecs.add(pe)
+                  else addedCols.add(pe)
+                }
+              case 9 => // maintenance racing the DDL storm
+                attempt(seed, s"compact#$opId") {
+                  spark.sql(s"CALL pjfuzz.system.compact(table => '$t')").collect()
+                }
+            } else rnd.nextInt(10) match {
               case 0 | 1 => // plain append (weighted: the commonest op)
-                val ids = freshIds(opId, 2 + rnd.nextInt(3))
-                if (attempt(seed, s"append#$opId") {
-                  rows(ids).coalesce(1).writeTo(s"pjfuzz.`$t`").append()
-                }) appended.add(ids)
+                opAppend(opId)
               case 2 => // DV DELETE of an explicit live-id list
-                val ids = liveIdSample(rnd)
-                if (ids.nonEmpty && attempt(seed, s"delete#$opId") {
-                  spark.sql(
-                    s"DELETE FROM pjfuzz.`$t` WHERE id IN (${ids.mkString(",")})")
-                }) deleted.add(ids)
+                opDelete(opId)
               case 3 => // additive UPDATE of an explicit live-id list
-                val ids = liveIdSample(rnd)
-                val delta = opId + 1
-                if (ids.nonEmpty && attempt(seed, s"update#$opId") {
-                  spark.sql(s"UPDATE pjfuzz.`$t` SET v = v + $delta " +
-                    s"WHERE id IN (${ids.mkString(",")})")
-                }) updates.add((ids, delta))
+                opUpdate(opId)
               case 4 => // MERGE: update existing (additive) + insert fresh
                 val existing = liveIdSample(rnd)
                 val fresh = freshIds(opId, 2)
@@ -232,6 +322,59 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
       val c0 = addedCols.peek()
       assert(spark.table(s"pjfuzz.`$t`").filter(col(c0).isNotNull).count() == 0L,
         s"seed=$seed: never-written column $c0 must read null everywhere")
+    }
+
+    // ---- quiesce: schema-evolution lane invariants ----
+    if (schemaEvo) {
+      val fields = spark.table(s"pjfuzz.`$t`").schema.fields
+        .map(f => f.name.toLowerCase -> f).toMap
+      // RENAME: new name present, old name gone, reads null everywhere
+      renamedCols.iterator().asScala.foreach { r =>
+        assert(fields.contains(r), s"seed=$seed: renamed column $r vanished")
+        assert(!fields.contains(r.replaceFirst("^r_", "c_")),
+          s"seed=$seed: pre-rename name for $r resurrected")
+        assert(spark.table(s"pjfuzz.`$t`").filter(col(r).isNotNull).count() == 0L,
+          s"seed=$seed: never-written renamed column $r must read null")
+      }
+      // WIDENING: final type matches the op's reported outcome
+      widenedCols.iterator().asScala.foreach { case (w, widened) =>
+        val dt = fields.getOrElse(w,
+          fail(s"seed=$seed: widened column $w vanished")).dataType
+        val want =
+          if (widened) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.IntegerType
+        assert(dt == want, s"seed=$seed: $w type $dt, expected $want")
+      }
+      // DEFAULT promise: every stored value is null (written before the
+      // promise) or the default (filled after) — never anything else
+      defaultCols.iterator().asScala.foreach { case (d, dv) =>
+        assert(fields.contains(d), s"seed=$seed: default column $d vanished")
+        val bad = spark.table(s"pjfuzz.`$t`")
+          .filter(col(d).isNotNull && col(d) =!= dv).count()
+        assert(bad == 0L,
+          s"seed=$seed: column $d holds values other than null/$dv")
+      }
+      // PARTITION EVOLUTION: every successful evolve's column is in the
+      // recorded spec (each success extended the then-current spec, so
+      // none may be lost), p stays first, and every row still reads
+      // p = id % 4 and p2 = id % 2 regardless of its generation
+      if (!evolvedSpecs.isEmpty) {
+        val recorded = {
+          val root = new Path(t)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          graft.sources.pjparquet.PjTableProperties.recorded(
+            PjCommitLog.latest(fs, root).flatMap(_.propertiesJson),
+            graft.sources.pjparquet.PjTableProperties.PartitionColumns)
+        }
+        assert(recorded.exists(_.startsWith("p:bigint")),
+          s"seed=$seed: evolved spec lost the base key (got $recorded)")
+        val lost = evolvedSpecs.iterator().asScala
+          .filterNot(pe => recorded.exists(_.contains(pe))).toSeq
+        assert(lost.isEmpty,
+          s"seed=$seed: committed partition evolutions vanished: $lost (spec $recorded)")
+      }
+      val badP2 = spark.table(s"pjfuzz.`$t`").filter($"p2" =!= $"id" % 2).count()
+      assert(badP2 == 0L, s"seed=$seed: $badP2 rows lost their p2 value")
     }
 
     // ---- quiesce: CDF net-effect replay (change feed lane) ----
@@ -327,12 +470,13 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     * WITHIN-seed threads provide the race pressure, the batching just
     * buys wall-clock.
     */
-  private def runLane(seeds: Range, partitioned: Boolean, cdf: Boolean = false): Unit =
+  private def runLane(seeds: Range, partitioned: Boolean, cdf: Boolean = false,
+      schemaEvo: Boolean = false): Unit =
     seeds.grouped(4).foreach { batch =>
       val fails = new ConcurrentLinkedQueue[Throwable]()
       val ts = batch.map { s =>
         val th = new Thread(() =>
-          try runSchedule(s + seedOffset, partitioned, cdf)
+          try runSchedule(s + seedOffset, partitioned, cdf, schemaEvo)
           catch { case e: Throwable => fails.add(e) })
         th.start(); th
       }
@@ -356,5 +500,12 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
 
   test(s"${nSeeds - nSeeds * 4 / 5} seeded schedules, CDF + auto-compact table: net-effect replay exact") {
     runLane(nSeeds * 4 / 5 until nSeeds, partitioned = false, cdf = true)
+  }
+
+  test(s"$nSeeds seeded schedules, schema-evolution lane: " +
+      "RENAME / widening / DEFAULT / partition evolution race writers") {
+    // fresh seed window (offset by 10_000) so the lane explores different
+    // schedules from the write-matrix lanes
+    runLane(10000 until 10000 + nSeeds, partitioned = true, schemaEvo = true)
   }
 }

@@ -86,6 +86,38 @@ class PjPartitionEvolutionSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("rewriting the table"))
   }
 
+  test("maintenance over an all-null evolved key: compaction and ZORDER survive VOID inference") {
+    // r17 fuzzer regression (seed 10002): appends that omit a freshly
+    // evolved partition column land in <pe>=__HIVE_DEFAULT_PARTITION__
+    // dirs; the stock parquet reader infers that column as VOID, and the
+    // rewrite's partitionBy refused. The rewrite now aligns declared
+    // partition columns back to their DECLARED types.
+    val p = freshPath("voidkey")
+    spark.sql(s"CREATE TABLE pjpe.`$p` (id BIGINT, k BIGINT, day BIGINT, v STRING) " +
+      "USING pjparquet PARTITIONED BY (day)")
+    import spark.implicits._
+    (0 until 6).map(i => (i.toLong, i * 3L, (i % 2).toLong, s"a$i"))
+      .toDF("id", "k", "day", "v")
+      .coalesce(1).writeTo(s"pjpe.`$p`").append()
+    spark.sql(s"ALTER TABLE pjpe.`$p` ADD COLUMN tenant BIGINT")
+    spark.sql(s"ALTER TABLE pjpe.`$p` SET TBLPROPERTIES " +
+      "('pj.partition.columns' = 'day:bigint,tenant:bigint')")
+    // post-evolution appends OMIT tenant -> every new-gen dir is the
+    // null partition; more than one file per dir so compaction has work
+    for (b <- 0 until 2)
+      (0 until 4).map(i => (100L + b * 10 + i, i * 3L, (i % 2).toLong, s"b$i"))
+        .toDF("id", "k", "day", "v").coalesce(1).writeTo(s"pjpe.`$p`").append()
+    val before = spark.table(s"pjpe.`$p`").select($"id").as[Long].collect().sorted
+    spark.sql(s"CALL pjpe.system.compact(table => '$p')").collect()
+    val afterCompact = spark.table(s"pjpe.`$p`").select($"id").as[Long].collect().sorted
+    assert(afterCompact.toSeq == before.toSeq, "compaction must preserve rows")
+    spark.sql(s"CALL pjpe.system.optimize_zorder(table => '$p', columns => 'id,k')").collect()
+    val afterZorder = spark.table(s"pjpe.`$p`").select($"id").as[Long].collect().sorted
+    assert(afterZorder.toSeq == before.toSeq, "zorder must preserve rows")
+    // the evolved key still reads null on every generation
+    assert(spark.table(s"pjpe.`$p`").filter($"tenant".isNotNull).count() == 0L)
+  }
+
   test("RESTORE to a pre-evolution version reverts spec AND files consistently") {
     val p = freshPath("restore")
     spark.sql(s"CREATE TABLE pjpe.`$p` (id BIGINT, day BIGINT, v STRING) " +

@@ -183,6 +183,42 @@ class PjTablePropertiesSpec extends AnyFunSuite {
     assert(spark.table(s"pjp.`$dir`").count() == 30L)
   }
 
+  test("property commits are per-key CAS: racing keys conflict, unrelated keys merge") {
+    // r17 fuzzer regression (seed 10124): a committed partition evolution
+    // was erased by the next SET TBLPROPERTIES commit's stale full
+    // rendering. The commit lane now applies a (sets, removes, expected)
+    // DELTA onto the claim loop's own predecessor read.
+    val dir = tempDir("props_cas")
+    mkLogged(dir)
+    val fs = fsOf(dir)
+    val root = new Path(dir)
+    // baseline: k1 recorded
+    PjCommitLog.commit(fs, root, "alter-properties", Nil, Set.empty,
+      None, Some("alter"),
+      propertyCas = Some((Map("pj.expire.keepVersions" -> "7"), Set.empty,
+        Map("pj.expire.keepVersions" -> None))))
+    // an unrelated-key CAS computed BEFORE that commit merges, not erases
+    PjCommitLog.commit(fs, root, "alter-properties", Nil, Set.empty,
+      None, Some("alter"),
+      propertyCas = Some((Map("pj.vacuum.retentionHours" -> "24"), Set.empty,
+        Map("pj.vacuum.retentionHours" -> None))))
+    val merged = PjTableProperties.parse(
+      PjCommitLog.latest(fs, root).get.propertiesJson)
+    assert(merged.get("pj.expire.keepVersions").contains("7"), merged.toString)
+    assert(merged.get("pj.vacuum.retentionHours").contains("24"), merged.toString)
+    // a SAME-key CAS whose expected prior value moved refuses loudly
+    val e = intercept[PJException] {
+      PjCommitLog.commit(fs, root, "alter-properties", Nil, Set.empty,
+        None, Some("alter"),
+        propertyCas = Some((Map("pj.expire.keepVersions" -> "9"), Set.empty,
+          Map("pj.expire.keepVersions" -> None)))) // stale: expects unset
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    assert(PjTableProperties.parse(
+      PjCommitLog.latest(fs, root).get.propertiesJson)
+      .get("pj.expire.keepVersions").contains("7"))
+  }
+
   test("pj.deletionVectors.enabled=false makes DELETE copy-on-write (no vectors)") {
     val dir = tempDir("dv_off")
     mkLogged(dir)
