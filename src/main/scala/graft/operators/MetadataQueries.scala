@@ -1204,6 +1204,75 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q172_column_mapping_id" -> ((s, dir) => {
+      import s.implicits._
+      // Column-mapping id mode (round 17): field ids assigned at CREATE
+      // are stamped into every written parquet file and reads resolve
+      // columns BY ID — a rename on our side (RENAME COLUMN) and a
+      // "foreign" file whose names differ but whose ids match both keep
+      // reads exact. DuckDB recomputes the row facts from nation; the
+      // id-machinery facts ride as engine-checked bits.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q172_idmode")
+      java.nio.file.Files.delete(tmp)
+      val t = tmp.toString
+      s.conf.set("spark.sql.catalog.pj_q172", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q172.`$t` (k BIGINT, name STRING, rk BIGINT) " +
+        "USING pjparquet TBLPROPERTIES ('pj.columnMapping.mode'='id')")
+      val nation = graft.Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"),
+          $"n_regionkey".cast("long").as("rk"))
+      nation.filter($"k" < 10).coalesce(1).writeTo(s"pj_q172.`$t`").append()
+      s.sql(s"ALTER TABLE pj_q172.`$t` RENAME COLUMN rk TO region")
+      nation.filter($"k" >= 10)
+        .select($"k", $"name", $"rk".as("region"))
+        .coalesce(1).writeTo(s"pj_q172.`$t`").append()
+      // the physical files carry the assigned field ids (1, 2, 3)
+      val idsOk = {
+        import scala.jdk.CollectionConverters._
+        val f = new java.io.File(t).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .head
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          s.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .flatMap(x => Option(x.getId).map(_.intValue())).toSet == Set(1, 2, 3)
+        finally r.close()
+      }
+      // a FOREIGN id-keyed file: different column names, same ids — the
+      // id pairing (not the names) must serve its bytes
+      val stage = java.nio.file.Files.createTempDirectory("pj_q172_stage")
+      java.nio.file.Files.delete(stage)
+      val foreign = s.range(100, 103).select(
+        $"id".as("ident", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()),
+        concat(lit("F"), $"id").as("label", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2L).build()),
+        ($"id" % 5L).as("reg", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 3L).build()))
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      foreign.coalesce(1).write.parquet(stage.toString)
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val srcF = new java.io.File(stage.toString).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+      val relName = "part-foreign-q172.parquet"
+      fs.rename(new org.apache.hadoop.fs.Path(srcF.getAbsolutePath),
+        new org.apache.hadoop.fs.Path(t, relName))
+      val facts = graft.sources.pjparquet.PjIndexJob.generateForPaths(
+        s, Seq(s"$t/$relName"))
+      graft.sources.pjparquet.PjCommitLog.commit(fs, new org.apache.hadoop.fs.Path(t),
+        "append", facts.map(_.toEntry(relName)), Set.empty)
+      graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+      graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+      s.table(s"pj_q172.`$t`")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"k").cast("long").as("k_sum"),
+          sum($"region").cast("long").as("region_sum"),
+          count(when($"k" >= 100L, 1)).cast("long").as("foreign_rows"))
+        .withColumn("file_ids_stamped", lit(if (idsOk) 1L else 0L))
+    }),
     "q171_named_catalog" -> ((s, dir) => {
       import s.implicits._
       // Metastore-named tables (round 17): a warehouse-configured catalog
@@ -2673,6 +2742,14 @@ object MetadataQueries {
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q172_column_mapping_id" ->
+      """SELECT count(*) + 3 AS n_rows,
+        |       CAST(sum(n_nationkey) + 100 + 101 + 102 AS BIGINT) AS k_sum,
+        |       CAST(sum(n_regionkey) + (100 % 5) + (101 % 5) + (102 % 5)
+        |            AS BIGINT) AS region_sum,
+        |       CAST(3 AS BIGINT) AS foreign_rows,
+        |       CAST(1 AS BIGINT) AS file_ids_stamped
+        |FROM nation""".stripMargin,
     "q171_named_catalog" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(n_nationkey) AS BIGINT) AS k_sum,

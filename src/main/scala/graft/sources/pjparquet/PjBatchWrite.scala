@@ -186,7 +186,8 @@ final class PjWriteBuilder(
       optimizeWriteBytes = optimizeWriteBytes,
       txn = txn,
       bucketSpec = bucketSpec,
-      bucketResolvable = bucketResolvable)
+      bucketResolvable = bucketResolvable,
+      fieldIds = PjColumnMapping.fieldIdsByPhysical(layout.flatMap(_.dataSchema)))
   }
 }
 
@@ -251,7 +252,13 @@ final class PjWrite(
       * open parquet writer per bucket directory (bounded by the declared
       * bucket count) since arriving rows interleave bucket ids.
       */
-    bucketResolvable: Boolean = true)
+    bucketResolvable: Boolean = true,
+    /** id column-mapping mode: folded PHYSICAL name -> assigned field id
+      * ([[PjColumnMapping.IdMetaKey]]) — stamped into every written
+      * file's parquet schema so id-keyed engines (and our own id reads)
+      * pair columns across renames.
+      */
+    fieldIds: Map[String, Long] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   private def distKeys: Seq[String] = if (clusterKeys.nonEmpty) clusterKeys else partitionKeys
@@ -310,7 +317,8 @@ final class PjWrite(
       // path-based bucket writes arrive UNSORTED on the bucket dir value —
       // the task writer needs its per-bucket open-writer map
       interleavedBucketField = bucketSpec.filter(_ => !bucketResolvable)
-        .map { case (src, _) => PjTableProperties.bucketFieldName(src) })
+        .map { case (src, _) => PjTableProperties.bucketFieldName(src) },
+      fieldIds = fieldIds)
 
   /** `writeStream.format("pjparquet")` / `.toTable` sink: append-only (the
     * file-sink contract — Complete/Update modes would need per-epoch
@@ -516,7 +524,8 @@ final class PjBatchWrite(
       * bucket-transform distribution): task writers hold one open writer
       * per bucket dir instead of rolling a new file per row.
       */
-    interleavedBucketField: Option[String] = None)
+    interleavedBucketField: Option[String] = None,
+    fieldIds: Map[String, Long] = Map.empty)
     extends BatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -536,9 +545,12 @@ final class PjBatchWrite(
       if (rowIdMetaOrdinal < 0) projected
       else StructType(projected.fields :+ org.apache.spark.sql.types.StructField(
         PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
-    val dataSchema = StructType(
+    val dataSchema = PjColumnMapping.stampParquetIds(StructType(
       effectiveSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
-        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
+        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name)))), fieldIds)
+    // id column-mapping mode: files physically carry the assigned ids
+    if (fieldIds.nonEmpty)
+      hadoopConf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), effectiveSchema.json,

@@ -460,11 +460,25 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     val recordedFields = schema.fields.filter(f =>
       dataFields.exists(_.name == f.name) || partFields.exists(_.name == f.name)) ++
       bucketFields // synthesized: their generation metadata drives the write
+    // id column-mapping mode: assign field ids 1..n at CREATE (the only
+    // time the mode may be chosen — toggling later would strand id-less
+    // files) and record the high-water mark for ADD COLUMN
+    val idMode = canonical.get(PjTableProperties.ColumnMappingMode)
+      .exists(_.equalsIgnoreCase("id"))
+    val (finalFields, finalProps) =
+      if (!idMode) (recordedFields, canonical)
+      else {
+        val withIds = recordedFields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = PjColumnMapping.withFieldId(f.metadata, i + 1L))
+        }
+        (withIds, canonical +
+          (PjTableProperties.ColumnMappingMaxId -> recordedFields.length.toString))
+      }
     PjCommitLog.commit(fs, rootPath, "create", Nil, Set.empty,
-      dataSchemaJson = Some(StructType(recordedFields).json),
+      dataSchemaJson = Some(StructType(finalFields).json),
       operation = Some("CREATE TABLE"),
       propertiesJson =
-        if (canonical.nonEmpty) Some(PjTableProperties.render(canonical)) else None)
+        if (finalProps.nonEmpty) Some(PjTableProperties.render(finalProps)) else None)
   }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the ONE supported DDL:
@@ -514,6 +528,17 @@ class PjCatalog extends CatalogPlugin with TableCatalog
       throw new PJException(
         s"$catalogName: '$path' has no recorded data schema (legacy log); " +
           "rewrite or re-append once to record one before widening"))
+    // id column-mapping mode: ADD COLUMN takes the NEXT never-used field
+    // id (the maxColumnId high-water mark — a dropped column's id is
+    // never reused, or old files would serve its bytes under the new
+    // column); the same exclusive commit bumps the mark
+    val tablePropsForIds = PjTableProperties.parse(snap.propertiesJson)
+    val idModeTable = tablePropsForIds.get(PjTableProperties.ColumnMappingMode)
+      .exists(_.equalsIgnoreCase("id"))
+    val baseMaxId: Long = tablePropsForIds.get(PjTableProperties.ColumnMappingMaxId)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(cur.fields.flatMap(PjColumnMapping.fieldId).foldLeft(0L)(math.max))
+    var assignedMaxId: Long = baseMaxId
     val next = changes.foldLeft(cur) { (acc, ch) =>
       ch match {
         case u: TableChange.UpdateColumnType =>
@@ -639,9 +664,14 @@ class PjCatalog extends CatalogPlugin with TableCatalog
               mb.putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
               mb.putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
             }
-            val f = org.apache.spark.sql.types.StructField(
+            val f0 = org.apache.spark.sql.types.StructField(
               name, a.dataType, nullable = a.isNullable, mb.build())
-            if (a.comment != null) f.withComment(a.comment) else f
+            val f = if (a.comment != null) f0.withComment(a.comment) else f0
+            if (!idModeTable) f
+            else {
+              assignedMaxId += 1
+              f.copy(metadata = PjColumnMapping.withFieldId(f.metadata, assignedMaxId))
+            }
           }
           a.position() match {
             case null => StructType(acc.fields :+ field)
@@ -860,7 +890,14 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     // loudly; the user retries the DDL against the new state.
     PjCommitLog.commit(fs, rootPath, "alter-schema", Nil, Set.empty,
       Some(next.json), Some("alter"),
-      readVersion = Some(snap.version), exclusive = true)
+      readVersion = Some(snap.version), exclusive = true,
+      // id mode: the maxColumnId high-water mark rides the same commit
+      propertyCas =
+        if (assignedMaxId == baseMaxId) None
+        else Some((Map(PjTableProperties.ColumnMappingMaxId -> assignedMaxId.toString),
+          Set.empty[String],
+          Map(PjTableProperties.ColumnMappingMaxId ->
+            tablePropsForIds.get(PjTableProperties.ColumnMappingMaxId)))))
     loadTable(ident)
   }
 
@@ -960,6 +997,14 @@ class PjCatalog extends CatalogPlugin with TableCatalog
         // evolution can never silently change what existing rows read
         if (key == PjTableProperties.PartitionColumns)
           validatePartitionEvolution(path, snap, s.value())
+        // column-mapping mode is CREATE-time only: switching an existing
+        // table to `id` would strand id-less files (reads by id would
+        // null them), and leaving `id` would orphan the id pairing
+        if (key == PjTableProperties.ColumnMappingMode &&
+            !s.value().equalsIgnoreCase(props.getOrElse(key, "name")))
+          throw new PJException(
+            s"$catalogName: ${PjTableProperties.ColumnMappingMode} is fixed at " +
+              s"CREATE TABLE (current: ${props.getOrElse(key, "name")})")
         sets += key -> s.value()
         expected += key -> props.get(key)
       case r: TableChange.RemoveProperty =>

@@ -38,6 +38,53 @@ object PjColumnMapping {
   /** Field-metadata key holding the frozen physical column name. */
   val MetaKey = "pjPhysical"
 
+  /** Field-metadata key holding the table's assigned FIELD ID (`id`
+    * column-mapping mode, `pj.columnMapping.mode=id`): ids are assigned
+    * once at CREATE (1..n) and by ADD COLUMN (maxColumnId+1), stamped
+    * into every written parquet file's schema, and reads resolve columns
+    * BY ID through Spark's own field-id matching — so a file written by
+    * an id-keyed engine (Iceberg) whose column NAMES differ from this
+    * table's physical names still serves the right bytes, and renames on
+    * either side never break the pairing.
+    */
+  val IdMetaKey = "pjFieldId"
+
+  /** Spark's parquet field-id metadata key (`ParquetUtils
+    * .FIELD_ID_METADATA_KEY`): the writer stamps ids carried here into
+    * the file schema, and the vectorized reader matches requested columns
+    * by id when `spark.sql.parquet.fieldId.read.enabled` is set.
+    */
+  val ParquetFieldIdKey = "parquet.field.id"
+
+  def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(IdMetaKey)) Some(f.metadata.getLong(IdMetaKey)) else None
+
+  def hasFieldIds(s: StructType): Boolean = s.fields.exists(_.metadata.contains(IdMetaKey))
+
+  def withFieldId(meta: Metadata, id: Long): Metadata =
+    new MetadataBuilder().withMetadata(meta).putLong(IdMetaKey, id).build()
+
+  /** PHYSICAL column name → assigned field id, for stamping write/read
+    * schemas whose field metadata did not survive the query plan.
+    */
+  def fieldIdsByPhysical(s: Option[StructType]): Map[String, Long] =
+    s.toSeq.flatMap(_.fields).flatMap(f =>
+      fieldId(f).map(id => fold(physicalName(f)) -> id)).toMap
+
+  /** Stamp `parquet.field.id` onto fields whose physical name has an
+    * assigned id — the writer then records ids in the file schema, and
+    * the reader (with fieldId.read enabled) aligns columns by them.
+    */
+  def stampParquetIds(s: StructType, ids: Map[String, Long]): StructType =
+    if (ids.isEmpty) s
+    else StructType(s.fields.map { f =>
+      ids.get(fold(f.name)) match {
+        case Some(id) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(ParquetFieldIdKey, id).build())
+        case None => f
+      }
+    })
+
   def physicalName(f: StructField): String =
     if (f.metadata.contains(MetaKey)) f.metadata.getString(MetaKey) else f.name
 

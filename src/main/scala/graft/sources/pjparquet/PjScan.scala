@@ -770,7 +770,8 @@ class PjScanBuilder(
       tableStatsJson = layout.tableStatsJson,
       bucketSpec = layout.propertiesJson
         .flatMap(p => PjTableProperties.recorded(Some(p), PjTableProperties.PartitionBucket))
-        .flatMap(PjTableProperties.parseBucketSpec))
+        .flatMap(PjTableProperties.parseBucketSpec),
+      fieldIds = PjColumnMapping.fieldIdsByPhysical(layout.dataSchema))
     if (rowLevel && layout.uniformPartitions) {
       // the DML conflict check needs the PARTITION-level read set: every
       // partition tuple the predicate admits over the base snapshot —
@@ -1002,7 +1003,15 @@ class PjScan(
       * `<col>_bucket` partition column reports as the bucket transform in
       * [[outputPartitioning]] so SPJ groups on it.
       */
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    /** id column-mapping mode ([[PjColumnMapping.IdMetaKey]]): folded
+      * PHYSICAL column name -> assigned field id. Non-empty turns on
+      * field-id read alignment (Spark's `fieldId.read`), and per-file
+      * splice pruning falls back to the FILE's own id->name table when a
+      * foreign file (written by an id-keyed engine after its own rename)
+      * stores different column names.
+      */
+    fieldIds: Map[String, Long] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1302,10 +1311,31 @@ class PjScan(
     // (id-preserving rewrites) deliver real values, all others null-fill,
     // and the position-aware wrapper lifts it into the `_row_id` slot and
     // DROPS it from the emitted batch
-    if (rowIdPartOrdinal < 0) cased
-    else StructType(cased.fields :+ org.apache.spark.sql.types.StructField(
+    val stamped = PjColumnMapping.stampParquetIds(cased, fieldIds)
+    if (rowIdPartOrdinal < 0) stamped
+    else StructType(stamped.fields :+ org.apache.spark.sql.types.StructField(
       PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
   }
+
+  /** The FILE's parquet field ids → its top-level column names (id mode,
+    * foreign-file lane only): one footer parse per file whose names miss
+    * a requested physical column — our own files always name-match, so
+    * this never runs for them; cached for the scan's lifetime.
+    */
+  private val fileIdNamesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, String]]()
+  private def fileFieldIdNames(f: PjFile): Map[Long, String] =
+    fileIdNamesCache.computeIfAbsent(f.path, { _ =>
+      import scala.jdk.CollectionConverters._
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.path), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .flatMap(t => Option(t.getId).map(id => id.intValue().toLong -> t.getName))
+        .toMap
+      finally r.close()
+    })
 
   // Column splice only when a strict subset of top-level fields is needed;
   // name-based selection follows reference O5 semantics (exact match).
@@ -1512,7 +1542,21 @@ class PjScan(
             if (colNames.isEmpty) Nil
             else {
               val avail = idx.columnNames.toSet
-              colNames.filter(avail.contains)
+              val present = colNames.filter(avail.contains)
+              if (present.size == colNames.size || fieldIds.isEmpty) present
+              else {
+                // id mode, foreign file: its column NAMES differ (an
+                // id-keyed engine renamed on its side) — translate each
+                // missing requested name through the assigned field id to
+                // the FILE's own name so the splice prunes correctly; the
+                // reader then aligns the kept columns by id
+                val idToName = fileFieldIdNames(f)
+                colNames.flatMap { n =>
+                  if (avail.contains(n)) Some(n)
+                  else fieldIds.get(n.toLowerCase(java.util.Locale.ROOT))
+                    .flatMap(idToName.get).filter(avail.contains)
+                }
+              }
             }
           groups.iterator.map { rgs =>
             val footer = PJSplice.splice(idx, rgs, Nil, fileColNames, schemaOnly = false)
@@ -1533,6 +1577,11 @@ class PjScan(
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConf()
     PjSparkShims.configureReadConf(hadoopConf, dataPhysical, sqlConf)
+    // id column-mapping mode: the vectorized reader aligns requested
+    // columns by their stamped parquet field ids; id-less files (adopted
+    // or epoch-written) keep Spark's name matching untouched
+    if (fieldIds.nonEmpty)
+      hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
     // files can be empty when partition pruning excluded every file — an
     // empty scan needs no parquet predicate (and has no index to splice).
     // Under mergeSchema evolution a filtered column may be missing from

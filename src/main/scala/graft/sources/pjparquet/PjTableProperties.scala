@@ -120,6 +120,22 @@ object PjTableProperties {
     */
   val DataSkippingNumIndexedCols = "pj.dataSkipping.numIndexedCols"
 
+  /** `pj.columnMapping.mode` — `name` (default; RENAME freezes physical
+    * names) or `id` (additionally: parquet FIELD IDS are assigned at
+    * CREATE, stamped into every written file, and reads resolve columns
+    * by id — so files written by id-based engines round-trip through
+    * renames on either side). CREATE-time only: toggling after files
+    * exist would strand id-less files.
+    */
+  val ColumnMappingMode = "pj.columnMapping.mode"
+
+  /** `pj.columnMapping.maxColumnId` — high-water mark of assigned field
+    * ids (Delta parity): ADD COLUMN takes maxColumnId+1, and a DROPped
+    * column's id is never reused (reuse would resurrect its bytes in
+    * old files under the new column).
+    */
+  val ColumnMappingMaxId = "pj.columnMapping.maxColumnId"
+
   /** `pj.partition.bucket` — a declared `bucket(n, col)` partition
     * transform (Iceberg parity), recorded as `col:n`. The table routes
     * rows into `<col>_bucket=<id>/` Hive directories where
@@ -210,7 +226,11 @@ object PjTableProperties {
     ClusterColumns -> (_ => None), // any csv of names; resolved per-OPTIMIZE
     ClusterCurve -> curveValidator,
     DataSkippingNumIndexedCols -> numIndexedColsValidator,
-    PartitionBucket -> bucketSpecValidator)
+    PartitionBucket -> bucketSpecValidator,
+    ColumnMappingMode -> (v =>
+      if (v.equalsIgnoreCase("name") || v.equalsIgnoreCase("id")) None
+      else Some(s"expected name|id, got '$v'")),
+    ColumnMappingMaxId -> nonNegLongValidator)
 
   private def partitionColumnsValidator(v: String): Option[String] = {
     val bad =
