@@ -610,6 +610,11 @@ object Bench {
   private def logPlanningBench(spark: SparkSession): String = {
     import org.apache.spark.sql.functions._
     import graft.sources.pjparquet.{PjCommitLog, PjParquetTable}
+    // Min-of-N for every RESOLVE metric: these are single-digit-second
+    // driver measurements that swung 8x with host load when sampled once
+    // (round 16 observation) — the min over three samples is the
+    // trend-usable signal, like the per-query protocol.
+    def minOf3(f: => Double): Double = (0 until 3).map(_ => f).min
     // microbench hygiene: this block runs AFTER the 170-query suite — drain
     // the old-gen garbage those queries left so the soak measures the
     // metadata plane, not the suite's GC debt (observed 3× inflation)
@@ -637,14 +642,21 @@ object Bench {
     val commitMs = (System.nanoTime() - tCommit0) / 1e6
     val conf = spark.sessionState.newHadoopConf()
     PjParquetTable.clearLayoutCache()
-    val tCold = System.nanoTime()
     val layout = PjParquetTable.resolveFiles(dir, conf, autogen = true)
-    val coldMs = (System.nanoTime() - tCold) / 1e6
     require(layout.files.size == entries && layout.files.forall(f => !f.index.isLoaded),
       "log planning bench: resolution must be lazy and complete")
-    val tWarm = System.nanoTime()
-    PjParquetTable.resolveFiles(dir, conf, autogen = true)
-    val warmMs = (System.nanoTime() - tWarm) / 1e6
+    val coldMs = minOf3 {
+      PjParquetTable.clearLayoutCache()
+      PjCommitLog.clearSnapshotCache()
+      val t0 = System.nanoTime()
+      PjParquetTable.resolveFiles(dir, conf, autogen = true)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val warmMs = minOf3 {
+      val t0 = System.nanoTime()
+      PjParquetTable.resolveFiles(dir, conf, autogen = true)
+      (System.nanoTime() - t0) / 1e6
+    }
 
     // --- 500k entries through a PARQUET checkpoint (round 11): ten 50k
     // commits; the 10th hits the checkpoint cadence and (≥512 entries +
@@ -699,14 +711,21 @@ object Bench {
       "500k bench: the v20 cadence checkpoint must be parquet (incremental)")
     PjParquetTable.clearLayoutCache()
     PjCommitLog.clearSnapshotCache()
-    val tCold5 = System.nanoTime()
     val layout5 = PjParquetTable.resolveFiles(dir5, conf, autogen = true)
-    val cold5Ms = (System.nanoTime() - tCold5) / 1e6
     require(layout5.files.size == 10 * per + 1000 && layout5.files.forall(f => !f.index.isLoaded),
       "500k log planning bench: resolution must be lazy and complete")
-    val tWarm5 = System.nanoTime()
-    PjParquetTable.resolveFiles(dir5, conf, autogen = true)
-    val warm5Ms = (System.nanoTime() - tWarm5) / 1e6
+    val cold5Ms = minOf3 {
+      PjParquetTable.clearLayoutCache()
+      PjCommitLog.clearSnapshotCache()
+      val t0 = System.nanoTime()
+      PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val warm5Ms = minOf3 {
+      val t0 = System.nanoTime()
+      PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+      (System.nanoTime() - t0) / 1e6
+    }
 
     // --- MILLION-file soak (round 16): double the 500k table to ~1M
     // entries, then measure the numbers that prove the metadata plane at
@@ -764,14 +783,36 @@ object Bench {
     }.min
     PjParquetTable.clearLayoutCache()
     PjCommitLog.clearSnapshotCache()
-    val tColdM = System.nanoTime()
     val layoutM = PjParquetTable.resolveFiles(dir5, conf, autogen = true)
-    val coldMMs = (System.nanoTime() - tColdM) / 1e6
     require(layoutM.files.size == entriesM + 500 - 50,
       s"1M log planning bench: expected ${entriesM + 450}, got ${layoutM.files.size}")
-    val tWarmM = System.nanoTime()
-    PjParquetTable.resolveFiles(dir5, conf, autogen = true)
-    val warmMMs = (System.nanoTime() - tWarmM) / 1e6
+    val coldMMs = minOf3 {
+      PjParquetTable.clearLayoutCache()
+      PjCommitLog.clearSnapshotCache()
+      val t0 = System.nanoTime()
+      PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val warmMMs = minOf3 {
+      val t0 = System.nanoTime()
+      PjParquetTable.resolveFiles(dir5, conf, autogen = true)
+      (System.nanoTime() - t0) / 1e6
+    }
+    // the incremental parquet checkpoint, min-of-3 (direct invocations at
+    // HEAD — the engine reads the previous parquet checkpoint and applies
+    // the O(delta) tail, exactly what the cadence commit pays)
+    val headNow = PjCommitLog.latest(fs, root5).get.version
+    val ckptMinMs = minOf3 {
+      // writeCheckpoint no-ops on an existing target: clear this head's
+      // (json or parquet) checkpoint so every rep pays the real work
+      fs.listStatus(PjCommitLog.logDir(root5)).map(_.getPath)
+        .filter(_.getName.startsWith(f"$headNow%020d.checkpoint"))
+        .foreach(p => fs.delete(p, true))
+      PjCommitLog.clearSnapshotCache()
+      val t0 = System.nanoTime()
+      PjCommitLog.writeCheckpoint(fs, root5, headNow)
+      (System.nanoTime() - t0) / 1e6
+    }
 
     s"""{"entries":$entries,"commit_ms":${fmt(commitMs)},""" +
       s""""resolve_cold_ms":${fmt(coldMs)},"resolve_warm_ms":${fmt(warmMs)},""" +
@@ -787,6 +828,7 @@ object Bench {
       s""""incremental_ckpt_commit_ms":${fmt(millionCkptCommitMs)},""" +
       s""""steady_append_commit_ms":${fmt(millionAppendMs)},""" +
       s""""dml_conflict_validated_commit_ms":${fmt(millionDmlMs)},""" +
+      s""""ckpt_min3_ms":${fmt(ckptMinMs)},""" +
       s""""resolve_cold_ms":${fmt(coldMMs)},""" +
       s""""resolve_warm_ms":${fmt(warmMMs)}}}"""
   }
