@@ -1204,6 +1204,87 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q173_cbo_histograms" -> ((s, dir) => {
+      import s.implicits._
+      // CBO equi-height histograms (round 17, PjAnalyze + columnStats):
+      // min/max-only selectivity assumes a UNIFORM distribution, so a
+      // predicate over the quiet range of a SKEWED column estimates ~half
+      // the table and the CBO refuses a broadcast that actually fits.
+      // With histograms recorded, the same filter estimate collapses to
+      // the real mass and the join plan FLIPS to a broadcast of the
+      // filtered side. Values are plain join arithmetic DuckDB
+      // recomputes; the flip bits are engine-checked literals.
+      val aDir = java.nio.file.Files.createTempDirectory("pj_q173_a").toString
+      val bDir = java.nio.file.Files.createTempDirectory("pj_q173_b").toString
+      val a = graft.Tables.orders(s, dir).select(
+        $"o_custkey".cast("long").as("custkey"),
+        // skew: ~99% zeros, ~1% spread over (500, 1000]
+        when($"o_orderkey" % 100 === 0, $"o_orderkey" % 500 + 501L)
+          .otherwise(0L).as("sk"),
+        $"o_orderkey".cast("long").as("okey"))
+      a.coalesce(2).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(aDir)
+      graft.Tables.customer(s, dir).select(
+        $"c_custkey".cast("long").as("custkey"),
+        $"c_nationkey".cast("long").as("nationkey"),
+        $"c_name", $"c_mktsegment", $"c_acctbal")
+        .coalesce(2).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(bDir)
+      s.conf.set("spark.sql.catalog.pj_q173", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CALL pj_q173.system.analyze(table => '$bDir')")
+      def filteredSize(sess: org.apache.spark.sql.SparkSession): BigInt = {
+        val prev = org.apache.spark.sql.SparkSession.getActiveSession
+        org.apache.spark.sql.SparkSession.setActiveSession(sess)
+        try sess.read.format("pjparquet").load(aDir).filter(col("sk") > 500L)
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      }
+      def isoSession(threshold: BigInt): org.apache.spark.sql.SparkSession = {
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.cbo.enabled", "true")
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+        iso
+      }
+      def joinPlan(sess: org.apache.spark.sql.SparkSession): String = {
+        val prev = org.apache.spark.sql.SparkSession.getActiveSession
+        org.apache.spark.sql.SparkSession.setActiveSession(sess)
+        try sess.read.format("pjparquet").load(aDir).filter(col("sk") > 500L)
+          .join(sess.read.format("pjparquet").load(bDir), "custkey")
+          .groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("okey")).as("key_sum"))
+          .queryExecution.executedPlan.toString
+        finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      }
+      // 1) ANALYZE without histograms: uniform selectivity over [0, 1000]
+      s.sql(s"CALL pj_q173.system.analyze(table => '$aDir')")
+      val sizeUniform = filteredSize(isoSession(10L * 1024 * 1024))
+      // 2) re-ANALYZE with histograms: the estimate collapses to the mass
+      val histSess = s.newSession()
+      histSess.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      graft.sources.pjparquet.PjAnalyze.analyze(histSess, aDir)
+      val sizeHist = filteredSize(isoSession(10L * 1024 * 1024))
+      // threshold between the two estimates: the SAME join broadcasts the
+      // filtered side iff the histogram is recorded — at every SF
+      val threshold = (sizeUniform + sizeHist) / 2
+      val planHist = joinPlan(isoSession(threshold))
+      s.sql(s"CALL pj_q173.system.analyze(table => '$aDir')") // back to plain
+      val planUniform = joinPlan(isoSession(threshold))
+      // the SIDE flips: with histograms the filtered-skew side is the
+      // provably-small one and becomes the build side (BuildLeft); under
+      // the uniform assumption it looks ~50x bigger and the CBO
+      // broadcasts the dimension instead (BuildRight)
+      val flipped = planHist.contains("BuildLeft") &&
+        planUniform.contains("BuildRight")
+      s.read.format("pjparquet").load(aDir).filter($"sk" > 500L)
+        .join(s.read.format("pjparquet").load(bDir), "custkey")
+        .groupBy($"nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum($"okey").cast("long").as("key_sum"))
+        .withColumn("estimate_collapsed",
+          lit(if (sizeHist * 5 < sizeUniform) 1L else 0L))
+        .withColumn("broadcast_flipped", lit(if (flipped) 1L else 0L))
+        .orderBy($"nationkey")
+    }),
     "q172_column_mapping_id" -> ((s, dir) => {
       import s.implicits._
       // Column-mapping id mode (round 17): field ids assigned at CREATE
@@ -2741,6 +2822,15 @@ object MetadataQueries {
         |FROM customer
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_cbo_histograms" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(1 AS BIGINT) AS estimate_collapsed,
+        |       CAST(1 AS BIGINT) AS broadcast_flipped
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 100 = 0 AND o_orderkey % 500 + 501 > 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_column_mapping_id" ->
       """SELECT count(*) + 3 AS n_rows,

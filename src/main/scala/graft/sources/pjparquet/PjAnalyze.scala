@@ -33,7 +33,19 @@ object PjAnalyze {
   /** Recorded per-column facts. -1 = not computed for the type. */
   final case class ColStats(
       ndv: Long, nulls: Long, avgLen: Long, maxLen: Long,
-      min: Option[String] = None, max: Option[String] = None)
+      min: Option[String] = None, max: Option[String] = None,
+      hist: Option[Hist] = None)
+
+  /** Equi-height histogram (Spark's `statistics.histogram.enabled`
+    * shape): `height` non-null rows per bin, bins as (lo, hi, ndv).
+    * What it buys at 100 TB: min/max-only selectivity assumes a UNIFORM
+    * value distribution, so a predicate over the quiet range of a skewed
+    * column estimates orders of magnitude too many rows — and the CBO
+    * then refuses a broadcast that would actually fit (or joins in the
+    * wrong order). The histogram gives the estimator the real mass
+    * per range.
+    */
+  final case class Hist(height: Double, bins: Seq[(Double, Double, Long)])
 
   final case class TableStats(rows: Long, version: Long, cols: Map[String, ColStats])
 
@@ -101,12 +113,68 @@ object PjAnalyze {
         else Nil
       base ++ lens ++ minMax
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // equi-height histograms (gated like Spark's ANALYZE by
+    // spark.sql.statistics.histogram.enabled): bin ENDPOINTS ride the
+    // same single pass as everything else (percentile_approx); the
+    // per-bin NDVs need one more pass (ApproxCountDistinctForIntervals —
+    // the exact pair of sketches Spark's own AnalyzeColumnCommand uses)
+    val histEnabled = spark.conf
+      .getOption("spark.sql.statistics.histogram.enabled").exists(_.toBoolean)
+    val numBins = spark.conf
+      .getOption("spark.sql.statistics.histogram.numBins").map(_.toInt).getOrElse(254)
+    val histCols = if (histEnabled) target.filter(f => numericLike(f.dataType)) else Nil
+    val histAggs = histCols.map { f =>
+      val ps = (0 to numBins).map(_.toDouble / numBins)
+      percentile_approx(col(f.name).cast("double"),
+        lit(ps.toArray), lit(10000)).as(s"pct::${f.name}")
+    }
+    val row = df.agg(aggs.head, (aggs.tail ++ histAggs): _*).collect().head
     def get(name: String): Option[Any] = {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(row.get(i))
     }
     val rows = row.getLong(row.fieldIndex("_rows"))
+    // pass 2 (histogram columns only): distinct counts per bin
+    val histByCol: Map[String, Hist] =
+      if (histCols.isEmpty) Map.empty
+      else {
+        val endpointsByCol: Map[String, Seq[Double]] = histCols.flatMap { f =>
+          get(s"pct::${f.name}").map(v =>
+            f.name -> v.asInstanceOf[scala.collection.Seq[Any]].map {
+              case d: java.lang.Number => d.doubleValue()
+            }.toSeq)
+        }.toMap
+        val usable = histCols.filter(f => endpointsByCol.get(f.name).exists(_.size >= 2))
+        if (usable.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+          val ndvAggs = usable.map { f =>
+            val child = org.apache.spark.sql.GraftFunctionBridge.expression(
+              col(f.name).cast("double"))
+            val ep = CreateArray(endpointsByCol(f.name).map(Literal(_)))
+            org.apache.spark.sql.GraftFunctionBridge.column(
+              new ApproxCountDistinctForIntervals(child, ep, 0.05, 0, 0)
+                .toAggregateExpression()).as(s"histndv::${f.name}")
+          }
+          val r2 = df.agg(ndvAggs.head, ndvAggs.tail: _*).collect().head
+          usable.flatMap { f =>
+            val i = r2.fieldIndex(s"histndv::${f.name}")
+            if (r2.isNullAt(i)) None
+            else {
+              val ndvs = r2.get(i).asInstanceOf[scala.collection.Seq[Any]]
+                .map { case n: java.lang.Number => n.longValue() }.toSeq
+              val eps = endpointsByCol(f.name)
+              val nn = rows - get(s"nulls::${f.name}")
+                .map(_.asInstanceOf[Long]).getOrElse(0L)
+              val bins = eps.zip(eps.tail).zip(ndvs).map {
+                case ((lo, hi), n) => (lo, hi, math.max(1L, n))
+              }
+              Some(f.name -> Hist(nn.toDouble / bins.size, bins))
+            }
+          }.toMap
+        }
+      }
     val cols = target.map { f =>
       val ndv = get(s"ndv::${f.name}").map(_.asInstanceOf[Long]).getOrElse(0L)
       val nulls = get(s"nulls::${f.name}").map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -121,7 +189,7 @@ object PjAnalyze {
         if (numericLike(f.dataType))
           (get(s"min::${f.name}").map(_.toString), get(s"max::${f.name}").map(_.toString))
         else (None, None)
-      f.name -> ColStats(ndv, nulls, avgLen, maxLen, mn, mx)
+      f.name -> ColStats(ndv, nulls, avgLen, maxLen, mn, mx, histByCol.get(f.name))
     }.toMap
 
     val head = PjCommitLog.latest(fs, rootPath).get
@@ -144,6 +212,15 @@ object PjAnalyze {
       cn.put("ndv", c.ndv); cn.put("nulls", c.nulls)
       cn.put("avgLen", c.avgLen); cn.put("maxLen", c.maxLen)
       c.min.foreach(cn.put("min", _)); c.max.foreach(cn.put("max", _))
+      c.hist.foreach { h =>
+        val hn = cn.putObject("hist")
+        hn.put("h", h.height)
+        val arr = hn.putArray("b")
+        h.bins.foreach { case (lo, hi, n) =>
+          val bn = arr.arrayNode(); bn.add(lo); bn.add(hi); bn.add(n)
+          arr.add(bn)
+        }
+      }
     }
     m.writeValueAsString(node)
   }
@@ -160,10 +237,20 @@ object PjAnalyze {
         while (it.hasNext) {
           val e = it.next()
           val c = e.getValue
+          val hist = Option(c.get("hist")).map { hn =>
+            val bins = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+            val bit = hn.path("b").elements()
+            while (bit.hasNext) {
+              val b = bit.next()
+              bins += ((b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asLong()))
+            }
+            Hist(hn.path("h").asDouble(), bins.toSeq)
+          }
           cols(e.getKey) = ColStats(
             c.path("ndv").asLong(0L), c.path("nulls").asLong(0L),
             c.path("avgLen").asLong(0L), c.path("maxLen").asLong(0L),
-            Option(c.get("min")).map(_.asText), Option(c.get("max")).map(_.asText))
+            Option(c.get("min")).map(_.asText), Option(c.get("max")).map(_.asText),
+            hist)
         }
         Some(TableStats(node.path("rows").asLong(0L),
           node.path("version").asLong(0L), cols.toMap))

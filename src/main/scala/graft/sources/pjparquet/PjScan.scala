@@ -1723,6 +1723,29 @@ class PjScan(
               override def max(): java.util.Optional[Object] =
                 mxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
                   .getOrElse(java.util.Optional.empty[Object]())
+              // equi-height histogram (when ANALYZE ran with
+              // spark.sql.statistics.histogram.enabled): the estimator's
+              // skew-aware selectivity — without it a predicate over a
+              // skewed column's quiet range estimates uniformly and the
+              // CBO refuses broadcasts that actually fit
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                c.hist match {
+                  case Some(h) => java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h.height
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        h.bins.map { case (l, u, n) =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = l
+                            override def hi(): Double = u
+                            override def ndv(): Long = n
+                          }
+                        }.toArray
+                    })
+                  case None => java.util.Optional.empty()
+                }
             })
         }
       }

@@ -92,6 +92,48 @@ class PjAnalyzeSpec extends AnyFunSuite {
     assert(leaf.stats.rowCount.exists(_.toLong == 200L))
   }
 
+  test("equi-height histograms: recorded when enabled, served to the estimator, " +
+      "and a skewed filter's row estimate collapses from uniform to real mass") {
+    val dir = tempDir("hist")
+    // skew: 99% zeros, 1% spread over (500, 1000]
+    (1 to 2000).map(i =>
+      (i.toLong, if (i % 100 == 0) 500L + (i % 500) + 1L else 0L))
+      .toDF("id", "sk").coalesce(2)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    // ANALYZE without histograms first: uniform min/max selectivity
+    spark.sql(s"CALL pja.system.analyze(table => '$dir')")
+    def estRows(s: org.apache.spark.sql.SparkSession): BigInt = {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      // plan stats read SQLConf from the ACTIVE session thread-local
+      val prev = org.apache.spark.sql.SparkSession.getActiveSession
+      org.apache.spark.sql.SparkSession.setActiveSession(s)
+      try {
+        val df = s.read.format("pjparquet").load(dir)
+          .filter(org.apache.spark.sql.functions.col("sk") > 500L)
+        df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      } finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+    val uniformEst = estRows(spark.newSession())
+    // uniform assumption over [0, 1000]: sk > 500 estimates ~half the rows
+    assert(uniformEst > 500, s"uniform estimate should be large, got $uniformEst")
+    // re-ANALYZE with histograms on
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    try {
+      val ts = PjAnalyze.analyze(spark, dir)
+      val h = ts.cols("sk").hist.getOrElse(fail("no histogram recorded for sk"))
+      assert(h.bins.nonEmpty && h.height > 0)
+      // recorded facts survive the log round trip
+      val replayed = PjAnalyze.parse(
+        PjCommitLog.latest(fsOf(dir), new Path(dir)).get.tableStatsJson)
+        .flatMap(_.cols("sk").hist)
+      assert(replayed.exists(_.bins == h.bins), "histogram must round-trip the log")
+      val histEst = estRows(spark.newSession())
+      // with the histogram the estimator sees the real mass: ~20 rows
+      assert(histEst < uniformEst / 5,
+        s"histogram estimate $histEst must collapse vs uniform $uniformEst")
+    } finally spark.conf.unset("spark.sql.statistics.histogram.enabled")
+  }
+
   test("NDV and null counts cap at the pruned scan's row estimate") {
     val dir = tempDir("cap")
     // two files with disjoint id ranges → stats pruning can drop one
