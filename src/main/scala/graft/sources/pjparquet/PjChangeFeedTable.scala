@@ -96,18 +96,21 @@ object PjChangeFeedTable {
           s"pjparquet: endingVersion must be a commit-log version number, got '$v'")
       }
     }
-    val maxVersions: Option[Long] =
-      Option(options.get("maxVersionsPerTrigger")).map { v =>
+    def posLong(key: String): Option[Long] =
+      Option(options.get(key)).map { v =>
         val n = try v.toLong catch {
           case _: NumberFormatException => throw new PJException(
-            s"pjparquet: maxVersionsPerTrigger must be a positive number, got '$v'")
+            s"pjparquet: $key must be a positive number, got '$v'")
         }
         if (n <= 0) throw new PJException(
-          s"pjparquet: maxVersionsPerTrigger must be a positive number, got '$v'")
+          s"pjparquet: $key must be a positive number, got '$v'")
         n
       }
     new PjChangeFeedTable(path, starting, ending, base.schema,
-      StructType(base.schema.fields ++ cdfFields), maxVersions)
+      StructType(base.schema.fields ++ cdfFields),
+      posLong("maxVersionsPerTrigger"),
+      posLong("maxFilesPerTrigger"),
+      posLong("maxBytesPerTrigger"))
   }
 }
 
@@ -117,7 +120,9 @@ class PjChangeFeedTable(
     endingVersion: Option[Long],
     baseSchema: StructType,
     cdfSchema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
 
   override def name(): String = s"pjparquet_cdf($path)"
@@ -133,7 +138,7 @@ class PjChangeFeedTable(
     new ScanBuilder {
       override def build(): Scan =
         new PjChangeFeedScan(path, startingVersion, endingVersion, baseSchema,
-          cdfSchema, maxVersionsPerTrigger)
+          cdfSchema, maxVersionsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger)
     }
 }
 
@@ -149,7 +154,9 @@ private[pjparquet] class PjChangeFeedScan(
     endingVersion: Option[Long],
     baseSchema: StructType,
     cdfSchema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends V1Scan {
 
   override def readSchema(): StructType = cdfSchema
@@ -201,7 +208,8 @@ private[pjparquet] class PjChangeFeedScan(
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PjCdfMicroBatchStream(path, startingVersion, baseSchema, maxVersionsPerTrigger)
+    new PjCdfMicroBatchStream(path, startingVersion, baseSchema,
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** Streaming change feed: offsets are COMMIT VERSIONS (`{"version":N}`) —
@@ -233,7 +241,17 @@ private[pjparquet] class PjCdfMicroBatchStream(
       * instead of one giant first batch (composes with AvailableNow,
       * which keeps triggering until the prepared target is reached).
       */
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    /** Admission control at FILE granularity: versions admit whole (the
+      * offset unit, preserving exactly-once labels), but the batch stops
+      * growing once the admitted versions' file count reaches this cap —
+      * a restart 100 versions behind drains in bounded batches even when
+      * maxVersionsPerTrigger alone would admit one huge commit after
+      * another.
+      */
+    maxFilesPerTrigger: Option[Long] = None,
+    /** Admission control at BYTE granularity (same boundary rule). */
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -266,7 +284,32 @@ private[pjparquet] class PjCdfMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val target = availableNowTarget.getOrElse(headVersion)
     val s = start.asInstanceOf[PjCdfOffset].version
-    PjCdfOffset(maxVersionsPerTrigger.map(n => math.min(target, s + n)).getOrElse(target))
+    val capped = maxVersionsPerTrigger.map(n => math.min(target, s + n)).getOrElse(target)
+    PjCdfOffset(
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) capped
+      else admitByBudget(s, capped))
+  }
+
+  /** Walk versions (s, capped], admitting whole versions until the file
+    * or byte budget is exhausted — always at least one version, so the
+    * stream never stalls on a single over-budget commit (it just forms
+    * its own batch). Header/delta reads only; data files are untouched.
+    */
+  private def admitByBudget(s: Long, capped: Long): Long = {
+    var v = s
+    var files = 0L
+    var bytes = 0L
+    var stop = false
+    while (!stop && v < capped) {
+      val d = PjCommitLog.delta(fs, rootPath, v + 1)
+      val dFiles = d.add.size.toLong
+      val dBytes = d.add.iterator.map(e => math.max(0L, e.size)).sum
+      val over = maxFilesPerTrigger.exists(n => files + dFiles > n) ||
+        maxBytesPerTrigger.exists(n => bytes + dBytes > n)
+      if (over && v > s) stop = true
+      else { v += 1; files += dFiles; bytes += dBytes; if (over) stop = true }
+    }
+    v
   }
 
   override def latestOffset(): Offset =

@@ -277,6 +277,41 @@ class PjChangeFeedSurfaceSpec extends AnyFunSuite {
       s"expected >=3 data batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
   }
 
+  test("maxFilesPerTrigger / maxBytesPerTrigger: a deep backlog drains in bounded " +
+      "batches on version boundaries, exactly-once labels preserved") {
+    import spark.implicits._
+    // 30-version backlog, one 1-file commit each (the restart-100-behind
+    // shape, scaled for test time)
+    val dir = tempDir("cdf_budget")
+    for (i <- 1 to 30)
+      Seq(i.toLong).toDF("id").coalesce(1).write.format("pjparquet")
+        .mode("append").option("log.enabled", "true").save(dir)
+    def drain(opts: (String, String)*): (Set[(Long, String, Long)], Int) = {
+      val out = s"pj_cdf_budget_${System.nanoTime()}"
+      var r = spark.readStream.format("pjparquet")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir)
+        .writeStream.format("memory").queryName(out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      (feedSet(spark.table(out)), q.recentProgress.count(_.numInputRows > 0))
+    }
+    val expected = (1 to 30).map(i => (i.toLong, "insert", i.toLong)).toSet
+    // file budget: 7 files/trigger over 30 one-file versions -> >= 5 batches
+    val (gotF, batchesF) = drain("maxFilesPerTrigger" -> "7")
+    assert(gotF == expected, "file-budgeted drain must deliver every change exactly once")
+    assert(batchesF >= 5, s"30 one-file versions at 7 files/trigger: got $batchesF batches")
+    // byte budget: each file is a few hundred bytes; 2KB/trigger bounds batches
+    val (gotB, batchesB) = drain("maxBytesPerTrigger" -> "2048")
+    assert(gotB == expected, "byte-budgeted drain must deliver every change exactly once")
+    assert(batchesB >= 2, s"byte budget must split the backlog, got $batchesB batches")
+    // a single over-budget commit still forms its own batch (no stall)
+    val (gotOne, _) = drain("maxBytesPerTrigger" -> "1")
+    assert(gotOne == expected, "an over-budget version must still admit alone")
+  }
+
   test("batch option API agrees with the persisted-vs-computed classification") {
     val dir = threeVersionTable(cdc = true) // v2 persisted at commit time
     val fs = fsOf(dir)
