@@ -871,8 +871,28 @@ private[sources] object PjBatchWrite {
   def widenRecordedSchema(prevJson: String, nextJson: String): String = {
     import org.apache.spark.sql.types._
     val prev = DataType.fromJson(prevJson).asInstanceOf[StructType]
-    val next = DataType.fromJson(nextJson).asInstanceOf[StructType]
+    val next0 = DataType.fromJson(nextJson).asInstanceOf[StructType]
     def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    // A writer planned BEFORE a concurrent RENAME carries the OLD logical
+    // name — which is exactly the renamed field's frozen PHYSICAL name,
+    // so its bytes landed correctly; map such names back to the current
+    // logical field before judging name sets. Without this, the
+    // name-mismatch branch below recorded the stale lane schema as-is and
+    // ERASED the rename (schema-evolution fuzzer, seed 10055: a committed
+    // RENAME vanished under a racing rewrite's commit).
+    val next: StructType = {
+      val currentLogical = prev.fieldNames.map(fold).toSet
+      val physToLogical = prev.fields.iterator
+        .filter(p => fold(PjColumnMapping.physicalName(p)) != fold(p.name))
+        .map(p => fold(PjColumnMapping.physicalName(p)) -> p.name).toMap
+      if (physToLogical.isEmpty) next0
+      else StructType(next0.fields.map { n =>
+        physToLogical.get(fold(n.name)) match {
+          case Some(l) if !currentLogical.contains(fold(n.name)) => n.copy(name = l)
+          case _ => n
+        }
+      })
+    }
     def names(s: StructType) = s.fieldNames.map(fold).toSeq
     def widenPair(p: StructField, n: StructField): DataType =
       (p.dataType, n.dataType) match {

@@ -28,6 +28,36 @@ class PjRenameColumnSpec extends AnyFunSuite {
   private def physicalCols(dir: String, rel: String): Seq[String] =
     spark.read.parquet(s"$dir/$rel").columns.toSeq
 
+  test("a stale writer's commit (planned pre-rename) never erases the rename") {
+    // r17 fuzzer regression (seed 10055): a commit whose lane schema was
+    // captured BEFORE a concurrent RENAME carries the old logical name —
+    // exactly the renamed field's frozen physical name, so its data is
+    // correct — but the commit-time widen recorded the stale schema
+    // as-is, erasing the rename. The widen now maps stale physical names
+    // back to the current logical field.
+    val dir = tempDir("stale_widen")
+    spark.range(0, 5).select($"id", ($"id" * 7).as("val")).coalesce(1)
+      .write.format("pjparquet").mode("append").option("log.enabled", "true").save(dir)
+    spark.sql(s"ALTER TABLE pjr.`$dir` RENAME COLUMN val TO amount")
+    // simulate the stale writer's commit: widenSchema with the OLD name
+    val stale = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    PjCommitLog.commit(fsOf(dir), new Path(dir), "append", Nil, Set.empty,
+      dataSchemaJson = Some(stale.json), widenSchema = true)
+    PjCommitLog.clearSnapshotCache()
+    val recorded = org.apache.spark.sql.types.DataType.fromJson(
+      PjCommitLog.latest(fsOf(dir), new Path(dir)).get.dataSchemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(recorded.fieldNames.toSeq == Seq("id", "amount"),
+      s"the rename must survive a stale writer's widen: ${recorded.fieldNames.toSeq}")
+    // and the mapping metadata is intact (amount still stores as 'val')
+    assert(recorded.fields.find(_.name == "amount")
+      .exists(f => graft.sources.pjparquet.PjColumnMapping.physicalName(f) == "val"))
+  }
+
   test("rename is metadata-only; both generations read; new writes store the OLD physical name") {
     val dir = tempDir("basic")
     spark.range(0, 10).select($"id", ($"id" * 7).as("val")).coalesce(1)
