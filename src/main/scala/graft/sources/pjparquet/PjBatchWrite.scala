@@ -345,15 +345,15 @@ final class PjWrite(
         "pjparquet: txnAppId/txnVersion apply to batch writes (use them in " +
           "foreachBatch); the streaming sink's epoch commits are exactly-once " +
           "already")
-    if (bucketSpec.isDefined)
-      throw new PJException(
-        "pjparquet: the streaming sink does not support bucket-partitioned " +
-          "tables (epoch writers cannot request the bucket-transform " +
-          "distribution); write through foreachBatch with a batch append " +
-          "instead")
     new PjStreamingWrite(root, partitionKeys, writeSchema, queryId, bloomColumns,
       sortColumns, logRequested, augment = augment, nameMap = nameMap,
-      constraintsJson = constraintsJson)
+      constraintsJson = constraintsJson,
+      // bucket tables: epoch rows may arrive INTERLEAVED on the bucket
+      // dir value (path-started sinks can't request the transform
+      // distribution) — the per-bucket open-writer map handles it, same
+      // as path-based batch appends
+      interleavedBucketField = bucketSpec
+        .map { case (src, _) => PjTableProperties.bucketFieldName(src) })
   }
 }
 
@@ -367,7 +367,8 @@ final class PjStreamingWrite(
     logRequested: Boolean = false,
     augment: Option[PjGenerated.Augment] = None,
     nameMap: Map[String, String] = Map.empty,
-    constraintsJson: Option[String] = None)
+    constraintsJson: Option[String] = None,
+    interleavedBucketField: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -387,7 +388,7 @@ final class PjStreamingWrite(
       spark, PjConstraints.parse(constraintsJson), effectiveSchema)
     PjStreamingDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), effectiveSchema.json, partitionKeys,
-      queryId, augment, checks)
+      queryId, augment, checks, multiDirField = interleavedBucketField)
   }
 
   /** Deletes this epoch's non-kept (failed-attempt) files; returns the rel
@@ -471,7 +472,8 @@ final case class PjStreamingDataWriterFactory(
     partitionKeys: Seq[String],
     queryId: String,
     augment: Option[PjGenerated.Augment] = None,
-    checks: Seq[PjConstraints.BoundCheck] = Nil)
+    checks: Seq[PjConstraints.BoundCheck] = Nil,
+    multiDirField: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(
@@ -479,7 +481,8 @@ final case class PjStreamingDataWriterFactory(
     val schema = DataType.fromJson(writeSchemaJson).asInstanceOf[StructType]
     // deterministic in (query, epoch, partition): epoch replays OVERWRITE
     val inner = new PjDataWriter(root, conf.value, schema, partitionKeys,
-      fileTag = f"$partitionId%05d-e$epochId-$queryId", overwriteExisting = true)
+      fileTag = f"$partitionId%05d-e$epochId-$queryId", overwriteExisting = true,
+      multiDirField = multiDirField)
     // constraints check POST-augment rows (they may reference generated
     // columns): data writer <- checker <- augmenter
     val checked = if (checks.isEmpty) inner else PjConstraints.checkingWriter(inner, checks)

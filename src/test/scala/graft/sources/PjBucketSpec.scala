@@ -159,6 +159,40 @@ class PjBucketSpec extends AnyFunSuite {
     assert(check == 0L, "COPY INTO rows must land in their hash buckets")
   }
 
+  test("streaming sink: epochs route into bucket dirs; epoch replay stays exactly-once") {
+    import spark.implicits._
+    val t = freshDir("pj_bucket_stream")
+    spark.sql(s"CREATE TABLE pjbk.`$t` (id BIGINT, v BIGINT) USING pjparquet " +
+      "PARTITIONED BY (bucket(4, id))")
+    val src = java.nio.file.Files.createTempDirectory("pj_bucket_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pj_bucket_ckpt").toString
+    spark.range(0, 60).select($"id", ($"id" * 3).as("v")).coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = spark.readStream.schema("id BIGINT, v BIGINT").parquet(src)
+      .writeStream.format("pjparquet")
+      .option("path", t).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table(s"pjbk.`$t`")
+      .select($"id", expr("pmod(hash(id), 4)").cast("long").as("expected"), col("id_bucket"))
+      .collect()
+    assert(rows.length == 60)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1), s"row $r in wrong bucket"))
+    // second batch through the same checkpoint ingests only the new file
+    spark.range(100, 130).select($"id", ($"id" * 3).as("v")).coalesce(1)
+      .write.mode("append").parquet(src)
+    val q2 = spark.readStream.schema("id BIGINT, v BIGINT").parquet(src)
+      .writeStream.format("pjparquet")
+      .option("path", t).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(spark.table(s"pjbk.`$t`").count() == 90L)
+    assert(spark.table(s"pjbk.`$t`")
+      .filter(col("id_bucket") =!= expr("pmod(hash(id), 4)").cast("long")).count() == 0L)
+  }
+
   test("refusals: float bucket column, multiple bucket transforms, bad specs") {
     val t = freshDir("pj_bucket_bad")
     val e1 = intercept[Exception] {
