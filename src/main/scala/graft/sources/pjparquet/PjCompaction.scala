@@ -193,7 +193,27 @@ object PjCompaction {
     // unioning
     files.groupBy(f => (keySeq(f), fillKey(f))).toSeq
       .sortBy { case ((ks, fk), _) => (ks.mkString("/"), fk.mkString(",")) }
-      .map { case (_, grp) =>
+      .flatMap { case (_, grp0) =>
+        // a group spanning a TYPE WIDENING holds both INT32 and INT64
+        // files for the same column — parquet's schema merge refuses
+        // (CANNOT_MERGE_SCHEMAS; schema-evolution fuzzer, seed 13063).
+        // Probe the merge at analysis time (footer reads only) and split
+        // such groups into per-file frames: each keeps its own
+        // _metadata-dependent DV/row-id handling, and the final
+        // unionByName's type coercion performs the widening.
+        if (!mergeSchema || grp0.size == 1) Seq(grp0)
+        else try {
+          spark.read.option("basePath", rootUri)
+            .option("pjAutoSubstitute", "false").option("mergeSchema", "true")
+            .parquet(grp0.map(_.path): _*)
+          Seq(grp0)
+        } catch {
+          case e: Throwable if Option(e.getMessage)
+              .exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+            grp0.map(Seq(_))
+        }
+      }
+      .map { grp =>
       val r = spark.read.option("basePath", rootUri)
         .option("pjAutoSubstitute", "false") // raw parquet: _metadata needed
       val raw0 = (if (mergeSchema) r.option("mergeSchema", "true") else r)

@@ -116,6 +116,34 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
 
   // ------------------------------------------------- type widening (r11)
 
+  test("compaction across a widening: INT32 and INT64 generations rewrite together") {
+    // r17 fuzzer regression (seed 13063): a compaction group holding both
+    // widths of a widened column died in parquet's schema merge
+    // (CANNOT_MERGE_SCHEMAS); such groups now split per-file and the
+    // union's type coercion performs the widening
+    val dir = java.nio.file.Files.createTempDirectory("pj_widen_compact").toString
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    for (b <- 0 until 2)
+      Seq((b * 10 + 1, b.toLong)).toDF("k", "v").coalesce(1)
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(dir) // INT32 generation, 2 files
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN k TYPE BIGINT")
+    for (b <- 0 until 2)
+      Seq((3000000000L + b, 9L + b)).toDF("k", "v").coalesce(1)
+        .write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(dir) // INT64 generation, 2 files
+    val before = spark.read.format("pjparquet").load(dir)
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rep = graft.sources.pjparquet.PjCompaction.compact(spark, dir)
+    assert(rep.smallFiles == 4 && rep.compactedInto >= 1, rep.toString)
+    val after = spark.read.format("pjparquet").load(dir)
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before, s"rows must survive the cross-width rewrite: $after vs $before")
+    // the rewrite normalized every file to the recorded wide type
+    assert(spark.read.format("pjparquet").load(dir).schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("ALTER COLUMN int->long: metadata-only commit, old INT32 files upcast, longs append") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val dir = java.nio.file.Files.createTempDirectory("pj_widen").toString
