@@ -21,6 +21,8 @@ import graft.core.PJException
   *     [PATTERN = '<glob>']
   *   RESTORE [TABLE] '/path/to/table' TO VERSION AS OF <n>
   *     | TO TIMESTAMP AS OF '<ts>'
+  *   DESCRIBE DETAIL '/path/to/table'
+  *   GENERATE symlink_format_manifest FOR TABLE '/path/to/table'
   * }}}
   *
   * Pure sugar over the `CALL pj.system.*` procedures (one parse, same
@@ -41,6 +43,15 @@ object PjSqlCommands {
       t.regionMatches(true, 0, "VACUUM ", 0, 7) ||
       t.regionMatches(true, 0, "COPY INTO ", 0, 10) ||
       t.regionMatches(true, 0, "RESTORE ", 0, 8) ||
+      t.regionMatches(true, 0, "GENERATE ", 0, 9) ||
+      // DESCRIBE DETAIL with a PATH-shaped operand (same boundary rule as
+      // DESCRIBE HISTORY below)
+      (t.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        .startsWith("DESCRIBE DETAIL ") && {
+        val operand = t.replaceAll("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+", "").trim
+        operand.startsWith("'") || operand.startsWith("`") ||
+          operand.contains("/") || operand.contains(".`")
+      }) ||
       // exactly DESCRIBE HISTORY with a PATH-shaped operand (quoted,
       // backticked, or containing '/') — every other DESCRIBE form is
       // Spark's, including column-describe on a table named `history`
@@ -76,6 +87,13 @@ object PjSqlCommands {
   private val RestoreVersionRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\S+|'[^']*'|`[^`]*`)""" +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+(\S+|'[^']*'|`[^`]*`)\s*;?\s*$""".r
+
+  private val GenerateRe =
+    ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      """(\S+|'[^']*'|`[^`]*`)\s*;?\s*$""").r
 
   private val RestoreTimestampRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\S+|'[^']*'|`[^`]*`)""" +
@@ -120,6 +138,10 @@ object PjSqlCommands {
       Some(PjRestoreCommand(pathOf(table), Left(version.toLong)))
     case RestoreTimestampRe(table, ts) =>
       Some(PjRestoreCommand(pathOf(table), Right(ts)))
+    case DetailRe(table) =>
+      Some(PjDescribeDetailCommand(pathOf(table)))
+    case GenerateRe(table) =>
+      Some(PjGenerateManifestCommand(pathOf(table)))
     case VacuumRe(table, hours, dry) =>
       Some(PjVacuumCommand(
         pathOf(table),
@@ -244,6 +266,55 @@ final case class PjRestoreCommand(
     }
     Seq(Row(r.restoredTo, r.committed.map(java.lang.Long.valueOf).orNull,
       r.filesAdded, r.filesRemoved))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one row of head-snapshot facts, entirely from
+  * the commit log (Delta's DESCRIBE DETAIL; same facts as
+  * `CALL pj.system.detail`).
+  */
+final case class PjDescribeDetailCommand(table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", org.apache.spark.sql.types.TimestampType,
+      nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = false)(),
+    AttributeReference("live_rows", LongType, nullable = false)(),
+    AttributeReference("files_with_deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("protocol", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val s = PjCommitLog.latest(fs, root).getOrElse(
+      throw new PJException(
+        s"pjparquet: '$table' has no commit log; DESCRIBE DETAIL applies to logged tables"))
+    val rows = s.entries.iterator.map(e => math.max(0L, e.rows)).sum
+    val live = s.entries.iterator.map(e => math.max(0L, e.liveRows)).sum
+    Seq(Row(s.version, new java.sql.Timestamp(s.ts), s.entries.size.toLong,
+      s.entries.iterator.map(e => math.max(0L, e.size)).sum,
+      rows, live, s.entries.count(_.dv.isDefined).toLong,
+      s.protocolJson.orNull))
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's GENERATE:
+  * materialize the head snapshot's exact file list for external symlink
+  * readers (same report as `CALL pj.system.generate_symlink_manifest`).
+  */
+final case class PjGenerateManifestCommand(table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("data_files", LongType, nullable = false)(),
+    AttributeReference("manifests", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = PjManifest.generate(spark, table)
+    Seq(Row(r.version, r.dataFiles, r.manifests))
   }
 }
 

@@ -105,6 +105,26 @@ class PjSqlMaintenanceSpec extends AnyFunSuite {
       .exists(_.getString(0) == "d"))
   }
 
+  test("DESCRIBE DETAIL and GENERATE symlink_format_manifest as SQL") {
+    val t = freshLogged("pj_sqldetail", 3)
+    val d = extSpark.sql(s"DESCRIBE DETAIL '$t'").collect().head
+    assert(d.getLong(0) == 3L, s"version: $d") // three appends
+    assert(d.getLong(2) == 3L, s"n_files: $d")
+    assert(d.getLong(4) == 3L && d.getLong(5) == 3L, s"rows: $d")
+    // column-describe on a table named `detail` stays Spark's
+    import extSpark.implicits._
+    Seq((1, 2)).toDF("c", "d2").createOrReplaceTempView("detail")
+    assert(extSpark.sql("DESCRIBE detail").collect().exists(_.getString(0) == "d2"))
+    val g = extSpark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE '$t'").collect().head
+    assert(g.getLong(0) == 3L && g.getLong(1) == 3L && g.getLong(2) >= 1L, g.toString)
+    assert(new java.io.File(s"$t/_symlink_format_manifest").exists())
+    // malformed GENERATE falls through to Spark's parse error
+    val e = intercept[Exception](extSpark.sql("GENERATE something FOR TABLE x"))
+    assert(e.getMessage.toLowerCase.contains("syntax") ||
+      e.getMessage.contains("PARSE"), e.getMessage)
+  }
+
   test("COPY INTO as SQL: idempotent ingest, PATTERN filter, same report as CALL") {
     import extSpark.implicits._
     val t = freshLogged("pj_sqlcopy", 1)
