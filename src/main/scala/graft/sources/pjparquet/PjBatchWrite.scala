@@ -645,15 +645,41 @@ final class PjBatchWrite(
       // This commit's failed-attempt files still die (they were never
       // live); everything this commit REPLACES is retired from the new
       // snapshot and left for PjVacuum.expireVersions.
-      val preExisting = mutable.ArrayBuffer.empty[(String, Long)]
-      for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
-        val name = status.getPath.getName
-        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-        if (name.contains(jobUUID)) {
-          if (!manifest.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
-        } else preExisting += ((rel, status.getLen))
-      }
       val prev = PjCommitLog.latest(fs, rootPath)
+      val preExisting = mutable.ArrayBuffer.empty[(String, Long)]
+      if (prev.isEmpty) {
+        // FIRST logged commit: the full walk both adopts the live
+        // directory as pre-commit state and sweeps this job's
+        // failed-attempt files
+        for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
+          val name = status.getPath.getName
+          val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+          if (name.contains(jobUUID)) {
+            if (!manifest.contains(rel)) PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+          } else preExisting += ((rel, status.getLen))
+        }
+      } else {
+        // STEADY STATE: the snapshot is the pre-commit truth (no adoption
+        // needed), and this job's failed/speculative attempts can only
+        // live in the dirs its committed tasks wrote (a retry reprocesses
+        // the same rows into the same dirs) — so the sweep lists exactly
+        // those dirs instead of recursively walking the table. On a
+        // million-file table this takes the append commit's listing cost
+        // from O(table) to O(touched partitions).
+        for (d <- touchedDirs) {
+          val dirPath = if (d.isEmpty) rootPath else new Path(rootPath, d)
+          if (fs.exists(dirPath))
+            for (st <- fs.listStatus(dirPath) if st.isFile) {
+              val name = st.getPath.getName
+              if (!name.startsWith(".") && !name.startsWith("_") &&
+                  name.contains(jobUUID)) {
+                val rel = if (d.isEmpty) name else s"$d/$name"
+                if (!manifest.contains(rel))
+                  PjBatchWrite.deleteWithSidecars(fs, st.getPath)
+              }
+            }
+        }
+      }
       // first logged commit adopts the live directory as pre-commit state
       val base: Set[String] = prev.map(_.files.toSet).getOrElse(preExisting.map(_._1).toSet)
       val retired: Set[String] = mode match {
