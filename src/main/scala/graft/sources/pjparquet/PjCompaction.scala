@@ -353,15 +353,32 @@ object PjCompaction {
     // replacement entries carry no vector
     val dvByRel: Map[String, String] = prevSnap.toSeq.flatMap(_.entries)
       .flatMap(e => e.dv.map(d => e.path -> d.path)).toMap
+    // Candidate planning: a snapshot with recorded sizes supplies the
+    // live file set directly — ZERO directory I/O on a million-file
+    // table (Delta parity; the walk was O(table) per maintenance pass).
+    // Excluded exactly like the walk excluded them: empty-file logical
+    // entries (no physical file) and shallow-clone external entries
+    // (absolute paths outside the root — [[materialize]] owns those).
+    // Unlogged dirs (and legacy snapshots missing a size) keep the
     // internal-dir-skipping walk (PjBatchWrite.walkDataFiles): a plain
     // recursive listFiles would descend into a CONCURRENT maintenance
-    // op's live .compact_tmp_* scratch and race its committer's deletes
-    val all = PjBatchWrite.walkDataFiles(fs, rootPath).flatMap { s =>
-      val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
-      if (!PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel)))
-        Some(DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen))
-      else None
-    }
+    // op's live .compact_tmp_* scratch and race its committer's deletes.
+    val fromSnapshot: Option[Seq[DataFile]] = prevSnap
+      .filter(_.entries.forall(e =>
+        e.size >= 0 || e.isEmptyFile || e.path.startsWith("/")))
+      .map(_.entries
+        .filterNot(e => e.isEmptyFile || e.path.startsWith("/"))
+        .map { e =>
+          val p = new Path(rootPath, e.path)
+          DataFile(p.toString, p.getParent.toString, e.size)
+        })
+    val all = fromSnapshot.getOrElse(
+      PjBatchWrite.walkDataFiles(fs, rootPath).flatMap { s =>
+        val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+        if (!PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel)))
+          Some(DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen))
+        else None
+      })
     // OPTIMIZE ... WHERE: only partitions the predicate admits are
     // candidates; `all` (the full live set) still backs first-commit
     // adoption so out-of-scope files are never dropped from the snapshot
@@ -641,15 +658,25 @@ object PjCompaction {
     val logging = PjCommitLog.isEnabled(fs, rootPath)
     val prevSnap = if (logging) PjCommitLog.latest(fs, rootPath) else None
     val baseSnapshot: Option[Set[String]] = prevSnap.map(_.files.toSet)
-    // internal-dir-skipping walk (PjBatchWrite.walkDataFiles): a plain
-    // recursive listFiles would descend into a CONCURRENT maintenance
-    // op's live .compact_tmp_* scratch and race its committer's deletes
-    val all = PjBatchWrite.walkDataFiles(fs, rootPath).flatMap { s =>
-      val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
-      if (!PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel)))
-        Some(DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen))
-      else None
-    }
+    // snapshot-first candidate planning (see [[compact]]): zero directory
+    // I/O when the snapshot carries sizes; the walk remains the unlogged/
+    // legacy fallback
+    val fromSnapshot: Option[Seq[DataFile]] = prevSnap
+      .filter(_.entries.forall(e =>
+        e.size >= 0 || e.isEmptyFile || e.path.startsWith("/")))
+      .map(_.entries
+        .filterNot(e => e.isEmptyFile || e.path.startsWith("/"))
+        .map { e =>
+          val p = new Path(rootPath, e.path)
+          DataFile(p.toString, p.getParent.toString, e.size)
+        })
+    val all = fromSnapshot.getOrElse(
+      PjBatchWrite.walkDataFiles(fs, rootPath).flatMap { s =>
+        val rel = PjCommitLog.relativize(fs, rootPath, s.getPath)
+        if (!PjBatchWrite.isInternalRel(rel) && baseSnapshot.forall(_.contains(rel)))
+          Some(DataFile(s.getPath.toString, s.getPath.getParent.toString, s.getLen))
+        else None
+      })
     if (all.isEmpty) return Report(0, 0, 0, 0, 0, 0)
     // OPTIMIZE ... WHERE: rewrite only the admitted partitions; the full
     // live set still backs first-commit adoption and the report's totals
