@@ -413,7 +413,35 @@ final class PjStreamingWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val manifest: Set[String] =
       messages.iterator.flatMap { case m: PjCommitMessage => m.files }.map(_.relPath).toSet
-    val others = sweep(epochId, manifest) // failed-attempt leftovers from this epoch
+    // steady-state logged epochs sweep only the dirs this epoch wrote
+    // (failed attempts reprocess the same rows into the same dirs) — a
+    // long-lived stream into a million-file table must not re-walk the
+    // root per epoch; the full walk remains for unlogged sinks (survivor
+    // counting needs directory truth) and first-commit adoption
+    val rootPath0 = new Path(root)
+    val fs0 = rootPath0.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val steadyLogged = (logRequested || PjCommitLog.isEnabled(fs0, rootPath0)) &&
+      PjCommitLog.latest(fs0, rootPath0).isDefined
+    val others: Seq[(String, Long)] =
+      if (!steadyLogged) sweep(epochId, manifest)
+      else {
+        val tag = s"-e$epochId-$queryId-"
+        val dirs = messages.iterator.flatMap { case m: PjCommitMessage => m.files }
+          .map(_.relDir).toSet
+        for (d <- dirs) {
+          val dirPath = if (d.isEmpty) rootPath0 else new Path(rootPath0, d)
+          if (fs0.exists(dirPath))
+            for (st <- fs0.listStatus(dirPath) if st.isFile) {
+              val name = st.getPath.getName
+              if (!name.startsWith(".") && !name.startsWith("_") && name.contains(tag)) {
+                val rel = if (d.isEmpty) name else s"$d/$name"
+                if (!manifest.contains(rel))
+                  PjBatchWrite.deleteWithSidecars(fs0, st.getPath)
+              }
+            }
+        }
+        Nil
+      }
     var survivors = others.size
     // sidecar maintenance sized to the EPOCH, not the table: a long-lived
     // stream into a 100k-file table must not re-walk the root per commit.
