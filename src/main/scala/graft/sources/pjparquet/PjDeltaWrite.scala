@@ -214,12 +214,26 @@ final class PjDeltaBatchWrite(
       msgs.flatMap(_.partials).groupBy(_._1)
         .map { case (f, ps) => f -> ps.map(p => (p._2, p._3)) }
 
-    // failed/speculative attempt files die before anything commits
-    for ((status, relDir, _) <- PjBatchWrite.listDataFiles(fs, rootPath)) {
-      val name = status.getPath.getName
-      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-      if (name.contains(jobUUID) && !manifest.contains(rel))
-        PjBatchWrite.deleteWithSidecars(fs, status.getPath)
+    // failed/speculative attempt files die before anything commits —
+    // listing only the dirs this job's committed tasks wrote (a retried
+    // attempt reprocesses the same rows into the same dirs), never the
+    // whole table: merge-on-read DML on a million-file table must stay
+    // metadata-rate outside its own touched partitions
+    val touchedDirs: Set[String] = manifest.map { rel =>
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }.toSet
+    for (d <- touchedDirs) {
+      val dirPath = if (d.isEmpty) rootPath else new Path(rootPath, d)
+      if (fs.exists(dirPath))
+        for (st <- fs.listStatus(dirPath) if st.isFile) {
+          val name = st.getPath.getName
+          if (!name.startsWith(".") && !name.startsWith("_") && name.contains(jobUUID)) {
+            val rel = if (d.isEmpty) name else s"$d/$name"
+            if (!manifest.contains(rel))
+              PjBatchWrite.deleteWithSidecars(fs, st.getPath)
+          }
+        }
     }
 
     val prev = PjCommitLog.latest(fs, rootPath).getOrElse(
