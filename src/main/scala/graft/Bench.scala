@@ -798,6 +798,18 @@ object Bench {
       PjParquetTable.resolveFiles(dir5, conf, autogen = true)
       (System.nanoTime() - t0) / 1e6
     }
+    // REAL end-to-end append through the DSv2 write on the ~1M-entry
+    // table: resolve (warm), executor write, sidecar index job, and the
+    // touched-dirs-only commit — the number the r17 O(table)-listing
+    // removals target (a full walk here would cost seconds per append)
+    val realAppendMs = minOf3 {
+      val t0 = System.nanoTime()
+      spark.range(0, 100)
+        .selectExpr("id", "CAST(id AS STRING) AS name", "CAST(778 AS BIGINT) AS k")
+        .coalesce(1)
+        .write.format("pjparquet").mode("append").save(dir5)
+      (System.nanoTime() - t0) / 1e6
+    }
     // the incremental parquet checkpoint, min-of-3 (direct invocations at
     // HEAD — the engine reads the previous parquet checkpoint and applies
     // the O(delta) tail, exactly what the cadence commit pays)
@@ -828,6 +840,7 @@ object Bench {
       s""""incremental_ckpt_commit_ms":${fmt(millionCkptCommitMs)},""" +
       s""""steady_append_commit_ms":${fmt(millionAppendMs)},""" +
       s""""dml_conflict_validated_commit_ms":${fmt(millionDmlMs)},""" +
+      s""""real_append_commit_ms":${fmt(realAppendMs)},""" +
       s""""ckpt_min3_ms":${fmt(ckptMinMs)},""" +
       s""""resolve_cold_ms":${fmt(coldMMs)},""" +
       s""""resolve_warm_ms":${fmt(warmMMs)}}}"""
