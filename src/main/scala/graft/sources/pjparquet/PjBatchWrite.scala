@@ -353,7 +353,8 @@ final class PjWrite(
       // distribution) — the per-bucket open-writer map handles it, same
       // as path-based batch appends
       interleavedBucketField = bucketSpec
-        .map { case (src, _) => PjTableProperties.bucketFieldName(src) })
+        .map { case (src, _) => PjTableProperties.bucketFieldName(src) },
+      fieldIds = fieldIds)
   }
 }
 
@@ -368,7 +369,12 @@ final class PjStreamingWrite(
     augment: Option[PjGenerated.Augment] = None,
     nameMap: Map[String, String] = Map.empty,
     constraintsJson: Option[String] = None,
-    interleavedBucketField: Option[String] = None)
+    interleavedBucketField: Option[String] = None,
+    /** id column-mapping mode: epoch files must carry the assigned field
+      * ids too, or a single streaming append leaves the id-mode table
+      * with id-less files.
+      */
+    fieldIds: Map[String, Long] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -376,10 +382,14 @@ final class PjStreamingWrite(
     val spark = SparkSession.active
     val hadoopConf = spark.sessionState.newHadoopConf()
     val effectiveSchema = augment.map(_.outputSchema).getOrElse(writeSchema)
-    val dataSchema = StructType(
+    val dataSchema = PjColumnMapping.stampParquetIds(StructType(
       effectiveSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
-        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name))))
+        .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name)))), fieldIds)
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
+    // id column-mapping mode: epoch files physically carry the ids too
+    // (after configureWriteConf — see [[PjBatchWrite]])
+    if (fieldIds.nonEmpty)
+      hadoopConf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     // CHECK constraints: bound here (driver, stream start — unresolvable
     // predicates fail loudly before any epoch) against the POST-augment
     // schema, enforced per row in the epoch writers. Batch writes get
@@ -579,10 +589,13 @@ final class PjBatchWrite(
     val dataSchema = PjColumnMapping.stampParquetIds(StructType(
       effectiveSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
         .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name)))), fieldIds)
-    // id column-mapping mode: files physically carry the assigned ids
+    PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
+    // id column-mapping mode: files physically carry the assigned ids.
+    // AFTER configureWriteConf — it copies the session value (default
+    // true), and a session-level false must not strip ids from an
+    // id-mode table's files.
     if (fieldIds.nonEmpty)
       hadoopConf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
-    PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
     PjDataWriterFactory(
       root, new SerializableConfiguration(hadoopConf), effectiveSchema.json,
       partitionKeys, jobUUID, augment, rowIdMetaOrdinal,

@@ -71,6 +71,43 @@ object PjColumnMapping {
     s.toSeq.flatMap(_.fields).flatMap(f =>
       fieldId(f).map(id => fold(physicalName(f)) -> id)).toMap
 
+  /** The FILE's parquet field ids → its top-level column names: one
+    * footer parse. id-mode foreign-file lanes only — our own files always
+    * name-match the recorded physical schema, so this never runs for them.
+    */
+  def fileFieldIdNames(
+      conf: org.apache.hadoop.conf.Configuration, path: String): Map[Long, String] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .flatMap(t => Option(t.getId).map(id => id.intValue().toLong -> t.getName))
+      .toMap
+    finally r.close()
+  }
+
+  /** Stamp `parquet.field.id` onto a rewrite DataFrame's top-level columns
+    * (id mode) so a stock `df.write.parquet` rewrite — compaction,
+    * OPTIMIZE — outputs files that physically carry the table's field ids
+    * like every other writer ([[stampParquetIds]] handles the DSv2 write
+    * conf; this handles plans whose field metadata did not survive).
+    */
+  def stampRewriteIds(
+      df: org.apache.spark.sql.DataFrame,
+      ids: Map[String, Long]): org.apache.spark.sql.DataFrame =
+    if (ids.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map { c =>
+        ids.get(fold(c)) match {
+          case Some(id) => col(c).as(c, new MetadataBuilder()
+            .putLong(ParquetFieldIdKey, id).build())
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    }
+
   /** Stamp `parquet.field.id` onto fields whose physical name has an
     * assigned id — the writer then records ids in the file schema, and
     * the reader (with fieldId.read enabled) aligns columns by them.

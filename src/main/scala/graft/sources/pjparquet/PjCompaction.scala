@@ -162,7 +162,14 @@ object PjCompaction {
         * recorded cols (legacy adoption entries) isolate per-path, so
         * presence stays uniform within every sub-group.
         */
-      colsOfPath: Map[String, Option[Seq[String]]] = Map.empty)
+      colsOfPath: Map[String, Option[Seq[String]]] = Map.empty,
+      /** id column-mapping mode: per-file rename map (the FILE's own
+        * column name → live physical name) for consumed files written by
+        * an id-keyed foreign engine whose names differ
+        * ([[foreignIdRenames]]) — without it the recorded-schema select
+        * below would silently null-fill live foreign columns.
+        */
+      renameOfPath: Map[String, Map[String, String]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     def keySeq(f: DataFile): Seq[String] = {
       val rel = PjCommitLog.relativize(fs, rootPath, new Path(f.path))
@@ -191,8 +198,11 @@ object PjCompaction {
     // the DV filter and row-id derivation read `_metadata` columns, which
     // do not survive a Union — apply both per generation group BEFORE
     // unioning
-    files.groupBy(f => (keySeq(f), fillKey(f))).toSeq
-      .sortBy { case ((ks, fk), _) => (ks.mkString("/"), fk.mkString(",")) }
+    files.groupBy(f =>
+      (keySeq(f), fillKey(f), renameOfPath.getOrElse(f.path, Map.empty[String, String])))
+      .toSeq
+      .sortBy { case ((ks, fk, rn), _) =>
+        (ks.mkString("/"), fk.mkString(","), rn.toSeq.sorted.mkString(",")) }
       .flatMap { case (_, grp0) =>
         // a group spanning a TYPE WIDENING holds both INT32 and INT64
         // files for the same column — parquet's schema merge refuses
@@ -232,7 +242,13 @@ object PjCompaction {
               baseOf(col("_metadata.file_path")) + col("_metadata.row_index")))
       }
       val masked = applyDvFilter(spark, hconf, fs, rootPath, rootUri, grp, dvByRel, raw)
-      existenceFill.foldLeft(masked) { case (df, (phys, default)) =>
+      // id mode, foreign files: rename the file's own column names to the
+      // live physical names (paired by field id) BEFORE existence fill
+      // and union — groups are keyed by their rename map, so one map
+      // covers the whole group
+      val renamed = renameOfPath.getOrElse(grp.head.path, Map.empty)
+        .foldLeft(masked) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+      existenceFill.foldLeft(renamed) { case (df, (phys, default)) =>
         if (df.columns.exists(_.equalsIgnoreCase(phys))) df
         else df.withColumn(phys, default)
       }
@@ -243,6 +259,62 @@ object PjCompaction {
     * by physical column name — what pre-add rows must read forever
     * ([[PjCatalog]] ADD COLUMN ... DEFAULT records them).
     */
+  /** id column-mapping mode: per-file rename map (the FILE's own column
+    * name → live physical name) for consumed files written by an id-keyed
+    * foreign engine whose NAMES differ from the table's physical names —
+    * paired through the parquet field ids, one footer parse per suspect
+    * file (a file whose recorded cols miss some live physical name; our
+    * own files always name-match, so they never parse). Without the
+    * rename, the rewrite's recorded-schema select would silently
+    * null-fill a live foreign column.
+    */
+  private def foreignIdRenames(
+      hconf: org.apache.hadoop.conf.Configuration,
+      recorded: Option[org.apache.spark.sql.types.StructType],
+      files: Seq[DataFile],
+      colsOfPath: Map[String, Option[Seq[String]]])
+      : Map[String, Map[String, String]] = {
+    val ids = PjColumnMapping.fieldIdsByPhysical(recorded)
+    if (ids.isEmpty) return Map.empty
+    def fold(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val livePhys = recorded.toSeq.flatMap(_.fields)
+      .map(f => PjColumnMapping.physicalName(f))
+    val liveFolded = livePhys.map(fold).toSet
+    files.flatMap { f =>
+      val missesLive = colsOfPath.getOrElse(f.path, None) match {
+        case Some(cs) =>
+          val have = cs.map(fold).toSet
+          liveFolded.exists(p => !have.contains(p))
+        case None => true
+      }
+      if (!missesLive) None
+      else {
+        val idToName =
+          try PjColumnMapping.fileFieldIdNames(hconf, f.path)
+          catch { case scala.util.control.NonFatal(_) => Map.empty[Long, String] }
+        val renames = livePhys.flatMap { p =>
+          ids.get(fold(p)).flatMap(idToName.get)
+            .filter(!_.equalsIgnoreCase(p)).map(_ -> p)
+        }.toMap
+        if (renames.isEmpty) None else Some(f.path -> renames)
+      }
+    }.toMap
+  }
+
+  /** Stock `df.write.parquet` rewrites copy the session's
+    * `fieldId.write.enabled` (default true) into the job conf — an id-mode
+    * rewrite must write ids even if the session disabled it.
+    */
+  private def withFieldIdWrite[T](
+      spark: SparkSession, needed: Boolean)(body: => T): T =
+    if (!needed) body
+    else {
+      val k = "spark.sql.parquet.fieldId.write.enabled"
+      val prev = spark.conf.get(k, "true")
+      spark.conf.set(k, "true")
+      try body finally spark.conf.set(k, prev)
+    }
+
   private def existenceFills(
       recorded: Option[org.apache.spark.sql.types.StructType])
       : Seq[(String, org.apache.spark.sql.Column)] = {
@@ -447,11 +519,15 @@ object PjCompaction {
     val recordedPre = prevSnap.flatMap(_.dataSchemaJson).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val consumedCols: Map[String, Option[Seq[String]]] =
+      consumed.map(f => f.path -> entryByRel.get(
+        PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap
+    val idRenames = foreignIdRenames(hconf, recordedPre, consumed, consumedCols)
     val rawGen = readGenerations(spark, hconf, fs, rootPath, rootUri, consumed,
       dvByRel, mergeSchema = true, rowIdBases,
       existenceFill = existenceFills(recordedPre),
-      colsOfPath = consumed.map(f => f.path -> entryByRel.get(
-        PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap)
+      colsOfPath = consumedCols,
+      renameOfPath = idRenames)
     // a generation that predates an ADDED partition column may be the only
     // one consumed — surface the column as typed nulls so the select below
     // and partitionBy still resolve
@@ -519,10 +595,17 @@ object PjCompaction {
       if (sortClaim.isEmpty) routed
       else routed.sortWithinPartitions((partCols ++ sortClaim).map(col): _*)
 
+    // id column-mapping mode: compacted files must physically carry the
+    // table's field ids like every other writer's outputs
+    val rewriteIds = PjColumnMapping.fieldIdsByPhysical(recorded)
+    val stampedDf = PjColumnMapping.stampRewriteIds(writeDf, rewriteIds)
+
     val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val w = writeDf.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+      val w = stampedDf.write.mode("overwrite")
+      withFieldIdWrite(spark, rewriteIds.nonEmpty) {
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+      }
 
       // publish: rename each compacted file into its real directory (names
       // carry a fresh task UUID — collision-free), then drop the inputs
@@ -724,15 +807,24 @@ object PjCompaction {
     // mergeSchema only when ids materialize: earlier compactions may have
     // written the hidden id column into SOME files (logged tables only);
     // unlogged reads keep the exact pre-row-tracking plan
-    val fills = existenceFills(prevSnap.flatMap(_.dataSchemaJson).map(j =>
+    val zRecorded = prevSnap.flatMap(_.dataSchemaJson).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val fills = existenceFills(zRecorded)
+    val candidateCols: Map[String, Option[Seq[String]]] =
+      candidates.map(f => f.path -> entryByRel.get(
+        PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap
+    val idRenames = foreignIdRenames(hconf, zRecorded, candidates, candidateCols)
     val df = readGenerations(spark, hconf, fs, rootPath, rootUri, candidates,
       dvByRel, mergeSchema = materializeIds, rowIdBases, existenceFill = fills,
-      colsOfPath = candidates.map(f => f.path -> entryByRel.get(
-        PjCommitLog.relativize(fs, rootPath, new Path(f.path))).flatMap(_.cols)).toMap)
+      colsOfPath = candidateCols,
+      renameOfPath = idRenames)
+    val headRenames = idRenames.getOrElse(candidates.head.path, Map.empty)
     val dataCols = spark.read.option("pjAutoSubstitute", "false")
       .parquet(candidates.head.path).columns.toSeq
+      // id mode, foreign head file: surface the LIVE physical names the
+      // rewrite frame actually carries, not the file's own
+      .map(c => headRenames.getOrElse(c, c))
       .filterNot(_.equalsIgnoreCase(PjCommitLog.RowIdColName))
     // partition column NAMES come from the DECLARED partitioning when
     // recorded — subtractive inference (df columns minus one head file's
@@ -773,10 +865,16 @@ object PjCompaction {
     val clustered = graft.operators.ZOrder.zorderByWithPrefix(
       dfAligned, partCols, zorderPhys, nOut, bits, curve = curve)
 
+    // id column-mapping mode: clustered rewrite files carry the ids too
+    val rewriteIds = PjColumnMapping.fieldIdsByPhysical(zRecorded)
+    val stampedDf = PjColumnMapping.stampRewriteIds(clustered, rewriteIds)
+
     val tmp = new Path(rootPath, s".compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val w = clustered.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+      val w = stampedDf.write.mode("overwrite")
+      withFieldIdWrite(spark, rewriteIds.nonEmpty) {
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+      }
       var newFiles = 0L
       val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(tmp, true)

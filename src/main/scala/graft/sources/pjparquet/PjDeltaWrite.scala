@@ -105,7 +105,8 @@ final class PjDeltaRowLevelOperation(
         cdcEnabled = PjTableProperties.effectiveBool(tableOptions, layout.propertiesJson,
           "cdc.enabled", PjTableProperties.ChangeFeedEnabled, default = false),
         bloomColumns = PjParquetTable.bloomColumnsOf(tableOptions, layout.propertiesJson),
-        nameMap = nameMap)
+        nameMap = nameMap,
+        fieldIds = PjColumnMapping.fieldIdsByPhysical(layout.dataSchema))
     }
   }
 }
@@ -128,7 +129,12 @@ final class PjDeltaWrite(
     readPartitions: () => Option[Set[Seq[String]]],
     cdcEnabled: Boolean,
     bloomColumns: Seq[String],
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    /** id column-mapping mode: folded PHYSICAL name -> assigned field id —
+      * DML rewrite files must carry the ids too, or a single UPDATE/MERGE
+      * leaves the id-mode table with id-less files.
+      */
+    fieldIds: Map[String, Long] = Map.empty)
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
   override def description(): String = s"pjparquet merge-on-read $command -> $root"
@@ -163,7 +169,7 @@ final class PjDeltaWrite(
 
   override def toBatch: DeltaBatchWrite = new PjDeltaBatchWrite(
     root, partitionKeys, writeSchema, command, readVersion, readPartitions,
-    cdcEnabled, bloomColumns, nameMap)
+    cdcEnabled, bloomColumns, nameMap, fieldIds)
 }
 
 final case class PjDeltaCommitMessage(
@@ -181,7 +187,8 @@ final class PjDeltaBatchWrite(
     readPartitions: () => Option[Set[Seq[String]]],
     cdcEnabled: Boolean,
     bloomColumns: Seq[String],
-    nameMap: Map[String, String] = Map.empty)
+    nameMap: Map[String, String] = Map.empty,
+    fieldIds: Map[String, Long] = Map.empty)
     extends DeltaBatchWrite {
 
   private val jobUUID = UUID.randomUUID().toString
@@ -192,12 +199,19 @@ final class PjDeltaBatchWrite(
     val hadoopConf = spark.sessionState.newHadoopConf()
     // data files carry the hidden materialized row-id column too (the
     // id-preserving delta write, [[PjDeltaWriter]])
-    val dataSchema = StructType(
+    val dataSchema = PjColumnMapping.stampParquetIds(StructType(
       (writeSchema.fields.filterNot(f => partitionKeys.exists(_.equalsIgnoreCase(f.name)))
         .map(f => f.copy(name = PjColumnMapping.toPhysical(nameMap, f.name)))) :+
         org.apache.spark.sql.types.StructField(
-          PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true))
+          PjCommitLog.RowIdColName, org.apache.spark.sql.types.LongType, nullable = true)),
+      fieldIds)
     PjSparkShims.configureWriteConf(hadoopConf, dataSchema, spark.sessionState.conf)
+    // id column-mapping mode: rewrite files physically carry the ids too.
+    // AFTER configureWriteConf — it copies the session value (default
+    // true), and a session-level false must not strip ids from an
+    // id-mode table's files.
+    if (fieldIds.nonEmpty)
+      hadoopConf.setBoolean("spark.sql.parquet.fieldId.write.enabled", true)
     PjDeltaWriterFactory(
       root, new SerializableConfiguration(hadoopConf), writeSchema.json,
       partitionKeys, jobUUID)

@@ -1578,10 +1578,16 @@ class PjScan(
     val hadoopConf = spark.sessionState.newHadoopConf()
     PjSparkShims.configureReadConf(hadoopConf, dataPhysical, sqlConf)
     // id column-mapping mode: the vectorized reader aligns requested
-    // columns by their stamped parquet field ids; id-less files (adopted
-    // or epoch-written) keep Spark's name matching untouched
-    if (fieldIds.nonEmpty)
+    // columns by their stamped parquet field ids. ignoreMissingIds is the
+    // id-less-file backstop: without it Spark 4.x HARD-ERRORS on any file
+    // whose schema carries no ids ("Spark read schema expects field Ids,
+    // but Parquet file schema doesn't contain any field Ids") — with it,
+    // adopted/legacy id-less files fall back to name matching, which is
+    // exact for our own files (they store the physical names).
+    if (fieldIds.nonEmpty) {
       hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+      hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", true)
+    }
     // files can be empty when partition pruning excluded every file — an
     // empty scan needs no parquet predicate (and has no index to splice).
     // Under mergeSchema evolution a filtered column may be missing from

@@ -90,6 +90,62 @@ class PjColumnMappingIdSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CREATE TABLE"), e.getMessage)
   }
 
+  /** field ids of ONE file, by path. */
+  private def fileIdsOf(path: String): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(path), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .flatMap(t => Option(t.getId).map(id => t.getName -> id.intValue())).toMap
+    finally r.close()
+  }
+
+  /** The LIVE data files of the head snapshot (retired generations stay
+    * on disk for time travel until VACUUM — they keep their old schema).
+    */
+  private def liveParquetFiles(dir: String): Seq[String] =
+    PjCommitLog.latest(fsOf(dir), new Path(dir)).toSeq.flatMap(_.entries)
+      .map(e => s"$dir/${e.path}")
+
+  test("UPDATE, streaming epochs, and OPTIMIZE keep id-mode files id-stamped") {
+    val t = freshDir("pj_idmode_dml")
+    spark.sql(s"CREATE TABLE pjid.`$t` (k BIGINT, v BIGINT) USING pjparquet " +
+      "TBLPROPERTIES ('pj.columnMapping.mode'='id')")
+    spark.range(0, 10).select($"id".as("k"), ($"id" * 2).as("v"))
+      .writeTo(s"pjid.`$t`").append()
+    // merge-on-read UPDATE: the rewrite's insert files must carry the ids
+    spark.sql(s"UPDATE pjid.`$t` SET v = v + 100 WHERE k < 3")
+    // streaming epoch append (path-started sink on the logged table)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = in.toDF().selectExpr("value AS k", "value * 2 AS v")
+      .writeStream.format("pjparquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$t-ckpt")
+      .start(t)
+    in.addData(50L, 51L)
+    q.processAllAvailable(); q.stop()
+    // compaction rewrite (stock parquet writer path) re-stamps the ids
+    graft.sources.pjparquet.PjCompaction.compact(spark, t)
+    PjCommitLog.clearSnapshotCache()
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    // EVERY live data file physically carries the assigned ids
+    val files = liveParquetFiles(t)
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val ids = fileIdsOf(f)
+      assert(ids.get("k").contains(1) && ids.get("v").contains(2), s"$f -> $ids")
+    }
+    // and the table reads exactly after all three rewrite flavors
+    val got = spark.table(s"pjid.`$t`").select($"k", $"v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L until 3L).map(i => i -> (i * 2 + 100)) ++
+      (3L until 10L).map(i => i -> i * 2) ++
+      Seq(50L -> 100L, 51L -> 102L)).toMap
+    assert(got == want, s"got $got")
+  }
+
   test("a foreign id-keyed file (different names, same ids) reads correctly") {
     // simulate an Iceberg-side rename: the foreign engine's file stores
     // columns (ident, val) with the SAME field ids our table assigned to
@@ -108,8 +164,10 @@ class PjColumnMappingIdSpec extends AnyFunSuite {
       ($"id" * 2).as("val").as("val",
         new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", 2L).build()))
+    val prevWriteIds = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    foreign.coalesce(1).write.parquet(stage)
+    try foreign.coalesce(1).write.parquet(stage)
+    finally spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prevWriteIds)
     // adopt it into the table: move under the root + register in the log
     val fs = fsOf(t)
     val src = new java.io.File(stage).listFiles()
@@ -131,5 +189,18 @@ class PjColumnMappingIdSpec extends AnyFunSuite {
     assert(vOnly.toSeq == ((0L until 5L) ++ (100L until 105L)).map(_ * 2).sorted)
     // filters on the renamed-away pairing stay exact
     assert(spark.table(s"pjid.`$t`").filter($"k" >= 100L).count() == 5L)
+    // compaction CONSUMES the foreign file: its columns pair by field id
+    // (never silently null-filled), and the rewrite outputs carry our
+    // physical names + the assigned ids
+    graft.sources.pjparquet.PjCompaction.compact(spark, t)
+    PjCommitLog.clearSnapshotCache()
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    val after = spark.table(s"pjid.`$t`").select($"k", $"v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == all, s"compaction changed the data: $after")
+    for (f <- liveParquetFiles(t)) {
+      val ids = fileIdsOf(f)
+      assert(ids.get("k").contains(1) && ids.get("v").contains(2), s"$f -> $ids")
+    }
   }
 }
