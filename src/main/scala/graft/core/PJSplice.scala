@@ -128,11 +128,12 @@ object PJSplice {
       * back as -1 / null and callers must treat them as "unknown".
       */
     private[graft] def chunkStats(rg: Int, col: Int): ChunkStats = {
-      // PJ_3: stats are meaningful only for a top-level field that IS a
-      // plain leaf (one schema element). A group's first-leaf stats must
-      // not stand in for the whole field — e.g. "every leaf value null"
-      // does not imply "every struct null", so IsNotNull pruning on them
-      // would be unsound. Unknown keeps the file; soundness first.
+      // PJ_3: whole-FIELD stats are meaningful only for a top-level field
+      // that IS a plain leaf (one schema element). A group's first-leaf
+      // stats must not stand in for the whole field — e.g. "every leaf
+      // value null" does not imply "every struct null", so IsNotNull
+      // pruning on them would be unsound. Per-LEAF stats (keyed by the
+      // leaf's own dotted path) come from [[leafChunkStats]] instead.
       if (header.nested && elemsOf(col) != 1)
         return ChunkStats(-1, -1L, null, null)
       val rgAt = metadataAt + rowGroupsOffset(1 + rg)
@@ -140,12 +141,45 @@ object PJSplice {
         bytes,
         rgAt + columnChunkOffset(rg, 1 + col),
         rgAt + columnChunkOffset(rg, 1 + col + 1))
+      parseChunkStruct(r)._2
+    }
+
+    /** PJ_3 nested data skipping: per-LEAF (dotted path, stats) under
+      * top-level field `col`. The field's offset range spans its
+      * `leavesOf(col)` consecutive ColumnChunk structs; thrift compact
+      * structs are self-delimiting, so each parse leaves the reader at
+      * the next leaf's start. The dotted path comes from each chunk's own
+      * `ColumnMetaData.path_in_schema` — a leaf's min/max/null_count
+      * bound THAT leaf's values exactly (an ancestor-null row counts as a
+      * null leaf value), so filters naming the leaf prune soundly where
+      * whole-field stats could not.
+      */
+    private[graft] def leafChunkStats(rg: Int, col: Int): IndexedSeq[(String, ChunkStats)] = {
+      val nLeaves = leavesOf(col)
+      val rgAt = metadataAt + rowGroupsOffset(1 + rg)
+      val r = new ThriftCompact.Reader(
+        bytes,
+        rgAt + columnChunkOffset(rg, 1 + col),
+        rgAt + columnChunkOffset(rg, 1 + col + 1))
+      (0 until nLeaves).map(_ => parseChunkStruct(r))
+    }
+
+    /** Parse ONE ColumnChunk struct at the reader's position, capturing
+      * `ColumnMetaData` field 1 (physical type), field 3 (path_in_schema,
+      * returned dot-joined) and field 12 (Statistics: 3=null_count,
+      * 5=max_value, 6=min_value, 7/8=is_max/min_value_exact — the v2
+      * fields with type-defined sort order; the legacy min/max pair is
+      * deliberately ignored). Absent pieces come back -1 / null and
+      * callers must treat them as "unknown".
+      */
+    private def parseChunkStruct(r: ThriftCompact.Reader): (String, ChunkStats) = {
       var physType = -1
       var nullCount = -1L
       var minV: Array[Byte] = null
       var maxV: Array[Byte] = null
       var minExact = -1
       var maxExact = -1
+      var path: String = null
       var fid = 0
       var done = false
       while (!done) {
@@ -162,7 +196,28 @@ object PJSplice {
               else {
                 mfid = mf
                 if (mf == 1 && mt == ThriftCompact.TypeI32) physType = r.readZigZag32()
-                else if (mf == 12 && mt == ThriftCompact.TypeStruct) {
+                else if (mf == 3 && mt == ThriftCompact.TypeList) {
+                  val (et, n) = r.readListHeader()
+                  if (et == ThriftCompact.TypeBinary) {
+                    val sb = new java.lang.StringBuilder()
+                    var i = 0
+                    while (i < n) {
+                      if (i > 0) sb.append('.')
+                      sb.append(r.readString())
+                      i += 1
+                    }
+                    path = sb.toString
+                  } else {
+                    var i = 0
+                    while (i < n) {
+                      // list elements encode bools as one byte
+                      if (et == ThriftCompact.TypeBoolTrue || et == ThriftCompact.TypeBoolFalse)
+                        r.skipBytes(1)
+                      else r.skipValue(et)
+                      i += 1
+                    }
+                  }
+                } else if (mf == 12 && mt == ThriftCompact.TypeStruct) {
                   var sfid = 0
                   var sdone = false
                   while (!sdone) {
@@ -188,7 +243,7 @@ object PJSplice {
           } else r.skipValue(tpe)
         }
       }
-      ChunkStats(physType, nullCount, minV, maxV, minExact, maxExact)
+      (path, ChunkStats(physType, nullCount, minV, maxV, minExact, maxExact))
     }
 
     /** Byte-compare the index's embedded original footer against the data

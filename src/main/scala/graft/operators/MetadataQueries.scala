@@ -1204,6 +1204,59 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q174_nested_stats_skipping" -> ((s, dir) => {
+      import s.implicits._
+      // Nested-leaf data skipping (round 18): chunk-stats and commit-log
+      // stats envelopes cover DOTTED leaf paths under top-level structs
+      // ("payload.score" — each leaf's min/max/null_count from its own
+      // ColumnChunk, keyed by path_in_schema), so a filter on a struct
+      // leaf plans a strict subset of files in BOTH lanes: the index-only
+      // directory (per-rg chunk stats through the PJ_3 leaf walk) and the
+      // logged table (whole-file envelopes, zero sidecar reads). Values
+      // are plain arithmetic DuckDB recomputes from orders; the
+      // plan-shape facts ride as engine-checked bits. Aggregate pushdown
+      // on a nested leaf is REFUSED (falls back to a real scan) but still
+      // answers exactly — the min rides in the oracled output.
+      def nested = graft.Tables.orders(s, dir)
+        .select($"o_orderkey",
+          struct(($"o_orderkey" % 1000L).as("score"),
+            $"o_orderstatus".as("status"),
+            $"o_custkey".cast("long").as("cust")).as("payload"))
+        .repartitionByRange(8, $"o_orderkey" % 1000L)
+      val unlogged = fixtureDir("pj_q174_idx", dir) { d =>
+        graft.sources.pjparquet.PjWriter.writeWithIndex(nested, d)
+      }
+      val logged = fixtureDir("pj_q174_log", dir) { d =>
+        nested.write.format("pjparquet").mode("append")
+          .option("log.enabled", "true").save(d)
+      }
+      def tasks(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.getNumPartitions
+        }.sum
+      def load(d: String) = s.read.format("pjparquet").load(d)
+      val idxFull = tasks(load(unlogged).filter($"payload.score" >= 0L))
+      val idxPruned = tasks(load(unlogged).filter($"payload.score" >= 900L))
+      val envFull = tasks(load(logged).filter($"payload.score" >= 0L))
+      val envPruned = tasks(load(logged).filter($"payload.score" >= 900L))
+      val aggPlan = load(logged).agg(min($"payload.score"))
+        .queryExecution.executedPlan.toString
+      load(logged).filter($"payload.score" >= 900L)
+        .groupBy($"payload.status".as("status"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"payload.cust").cast("long").as("cust_sum"),
+          min($"payload.score").cast("long").as("min_score"))
+        .withColumn("idx_lane_pruned",
+          lit(if (idxPruned > 0 && idxPruned < idxFull) 1L else 0L))
+        .withColumn("envelope_lane_pruned",
+          lit(if (envPruned > 0 && envPruned < envFull) 1L else 0L))
+        .withColumn("nested_agg_not_pushed",
+          lit(if (aggPlan.contains("BatchScan") &&
+            !aggPlan.contains("LocalTableScan")) 1L else 0L))
+        .orderBy($"status")
+    }),
     "q173_cbo_histograms" -> ((s, dir) => {
       import s.implicits._
       // CBO equi-height histograms (round 17, PjAnalyze + columnStats):
@@ -2830,6 +2883,16 @@ object MetadataQueries {
         |FROM customer
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q174_nested_stats_skipping" ->
+      """SELECT o_orderstatus AS status,
+        |       count(*) AS n_rows,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(min(o_orderkey % 1000) AS BIGINT) AS min_score,
+        |       CAST(1 AS BIGINT) AS idx_lane_pruned,
+        |       CAST(1 AS BIGINT) AS envelope_lane_pruned,
+        |       CAST(1 AS BIGINT) AS nested_agg_not_pushed
+        |FROM orders WHERE o_orderkey % 1000 >= 900
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q173_cbo_histograms" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

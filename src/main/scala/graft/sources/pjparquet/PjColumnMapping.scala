@@ -155,10 +155,20 @@ object PjColumnMapping {
   def withPhysical(meta: Metadata, physical: String): Metadata =
     new MetadataBuilder().withMetadata(meta).putString(MetaKey, physical).build()
 
-  /** Rewrite a pushed filter's column references logical→physical. */
+  /** Rewrite a pushed filter's column references logical→physical. A
+    * dotted nested reference translates its TOP-level segment (mapping is
+    * top-level only — nested renames are not supported), after trying the
+    * whole name (a column literally named "a.b").
+    */
   def toPhysicalFilter(m: Map[String, String], filter: Filter): Filter = {
     if (m.isEmpty) return filter
-    def t(n: String): String = toPhysical(m, n)
+    def t(n: String): String = m.get(fold(n)) match {
+      case Some(p) => p
+      case None =>
+        val i = n.indexOf('.')
+        if (i <= 0) n
+        else m.get(fold(n.substring(0, i))).map(_ + n.substring(i)).getOrElse(n)
+    }
     def go(f: Filter): Filter = f match {
       case EqualTo(a, v) => EqualTo(t(a), v)
       case EqualNullSafe(a, v) => EqualNullSafe(t(a), v)

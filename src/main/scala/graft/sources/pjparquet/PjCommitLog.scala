@@ -881,6 +881,12 @@ object PjCommitLog {
             effPropsJson.orElse(prev.flatMap(_.propertiesJson)),
             PjTableProperties.SymlinkManifestEnabled).exists(_.equalsIgnoreCase("true")))
           PjManifest.autoMaintain(fs, root)
+        // AUTO ICEBERG METADATA (pj.icebergMetadata.enabled): UniForm-style
+        // re-export after every commit — best-effort, same DV contract
+        if (PjTableProperties.recorded(
+            effPropsJson.orElse(prev.flatMap(_.propertiesJson)),
+            PjTableProperties.IcebergMetadataEnabled).exists(_.equalsIgnoreCase("true")))
+          PjIcebergMetadata.autoMaintain(fs, root)
         return v
       }
       attempt += 1
@@ -1518,8 +1524,9 @@ object PjCommitLog {
     val names = idx.columnNames
     val rgs = idx.header.rowGroups
     val out = Map.newBuilder[String, ColStat]
-    var c = 0
-    while (c < names.length) {
+    // one column's whole-file envelope from its per-rg stats (null stat
+    // anywhere = unsupported, drop the key)
+    def aggOne(key: String, statOf: Int => PJSplice.ChunkStats): Unit = {
       var physType = -1
       var nullCount = 0L
       var min: Array[Byte] = null
@@ -1530,7 +1537,7 @@ object PjCommitLog {
       var rg = 0
       while (rg < rgs && supported) {
         val st =
-          try idx.chunkStats(rg, c)
+          try statOf(rg)
           catch { case scala.util.control.NonFatal(_) => null }
         if (st == null) supported = false
         else {
@@ -1560,9 +1567,44 @@ object PjCommitLog {
         // to the next prefix or drops to unknown — both stay sound
         // envelopes, and PjStatsFilter's tri-state logic already
         // tolerates a missing bound.
-        out += names(c) -> ColStat(physType, nullCount,
+        out += key -> ColStat(physType, nullCount,
           if (minOk) Option(min).map(truncateMin(physType, _)) else None,
           if (maxOk) Option(max).flatMap(truncateMax(physType, _)) else None)
+    }
+    var c = 0
+    while (c < names.length) {
+      if (!idx.header.nested || idx.elemsOf(c) == 1)
+        aggOne(names(c), rg => idx.chunkStats(rg, c))
+      else {
+        // PJ_3 multi-leaf field: one envelope per LEAF, keyed by the
+        // leaf's dotted path ("payload.score") from its own
+        // path_in_schema — a filter naming the leaf prunes on bounds
+        // that are exact for that leaf (ancestor-null rows count as null
+        // leaf values). Leaves are aligned positionally across row
+        // groups; a path mismatch anywhere degrades that leaf to
+        // "unknown" instead of mixing columns.
+        val leaf0 =
+          try idx.leafChunkStats(0, c)
+          catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty[(String, PJSplice.ChunkStats)] }
+        if (leaf0.nonEmpty) {
+          val perRg: IndexedSeq[IndexedSeq[(String, PJSplice.ChunkStats)]] =
+            (0 until rgs).map { rg =>
+              if (rg == 0) leaf0
+              else
+                try idx.leafChunkStats(rg, c)
+                catch { case scala.util.control.NonFatal(_) => null }
+            }
+          for (l <- leaf0.indices) {
+            val key = leaf0(l)._1
+            if (key != null)
+              aggOne(key, rg => {
+                val a = perRg(rg)
+                if (a == null || a.size != leaf0.size || a(l)._1 != key) null
+                else a(l)._2
+              })
+          }
+        }
+      }
       c += 1
     }
     out.result()

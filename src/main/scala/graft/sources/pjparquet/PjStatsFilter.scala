@@ -56,10 +56,32 @@ private[pjparquet] object PjStatsFilter {
     def rangeCount: Int = idx.header.rowGroups
     def statsFor(r: Int, column: String): Option[PJSplice.ChunkStats] = {
       val ord = names.lastIndexOf(column) // last-wins, like splice O5
-      if (ord < 0) None
-      else
+      if (ord >= 0)
         try Some(idx.chunkStats(r, ord))
         catch { case scala.util.control.NonFatal(_) => None }
+      else if (column.indexOf('.') > 0 && idx.header.nested) {
+        // nested leaf "payload.score": resolve the TOP-level field as the
+        // longest column name that prefixes the dotted path (top-level
+        // names may themselves contain dots), then find the leaf's own
+        // chunk stats by its full path_in_schema
+        var best = -1
+        var bestLen = -1
+        var i = 0
+        while (i < names.length) {
+          val n = names(i)
+          if (n.length > bestLen && column.length > n.length &&
+            column.startsWith(n) && column.charAt(n.length) == '.') {
+            best = i; bestLen = n.length
+          }
+          i += 1
+        }
+        if (best < 0) None
+        else
+          try idx.leafChunkStats(r, best).collectFirst {
+            case (p, st) if p == column => st
+          }
+          catch { case scala.util.control.NonFatal(_) => None }
+      } else None
     }
     def rowsIn(r: Int): Long = idx.rowNumber(r)
   }
@@ -108,10 +130,38 @@ private[pjparquet] object PjStatsFilter {
     val partFolded = partitionNames.map(fold)
 
     // resolve a filter attribute to the file column name + Spark type;
-    // None = not a prunable data column (partition col, missing, nested)
+    // None = not a prunable data column (partition col, missing). Dotted
+    // attributes first try an exact top-level match (a column literally
+    // named "a.b"), then descend struct fields segment by segment — the
+    // returned key is the FILE-cased dotted path, matching both the
+    // envelope's path_in_schema keys and the index's leaf walk.
     def resolve(attr: String): Option[(String, org.apache.spark.sql.types.DataType)] = {
-      if (partFolded.contains(fold(attr)) || attr.contains(".")) return None
-      fileSchema.fields.find(f => fold(f.name) == fold(attr)).map(f => (f.name, f.dataType))
+      if (partFolded.contains(fold(attr))) return None
+      fileSchema.fields.find(f => fold(f.name) == fold(attr)) match {
+        case Some(f) => Some((f.name, f.dataType))
+        case None if attr.indexOf('.') > 0 =>
+          val segs = attr.split("\\.")
+          var fields = fileSchema.fields
+          val sb = new java.lang.StringBuilder()
+          var dt: org.apache.spark.sql.types.DataType = null
+          var i = 0
+          while (i < segs.length) {
+            fields.find(f => fold(f.name) == fold(segs(i))) match {
+              case Some(f) =>
+                if (sb.length > 0) sb.append('.')
+                sb.append(f.name)
+                dt = f.dataType
+                fields = f.dataType match {
+                  case st: StructType => st.fields
+                  case _ => Array.empty // a mid-path leaf fails the next find
+                }
+              case None => return None
+            }
+            i += 1
+          }
+          Some((sb.toString, dt))
+        case None => None
+      }
     }
 
     def leLong(b: Array[Byte], width: Int): Option[Long] =
