@@ -65,6 +65,30 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** Corpus fingerprint for cross-round drift adjudication: the driver
+    * REGENERATES the testdata every round, so a "no code change" timing
+    * drift on a corpus-bound query (the r17 q65/q88 flag) needs the
+    * fixture's row counts/bytes ON RECORD to separate data growth from
+    * host or code. Footer-only reads — no Spark job.
+    */
+  private def corpusFingerprint(sfDir: String): String = {
+    val tables = Seq("documents", "embeddings", "lineitem", "orders", "events")
+    val parts = tables.flatMap { t =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = p.getFileSystem(conf)
+        val size = fs.getFileStatus(p).getLen
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try r.getFooter.getBlocks.stream()
+          .mapToLong(_.getRowCount).sum() finally r.close()
+        Seq(s""""${t}_rows":$rows""", s""""${t}_bytes":$size""")
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+    parts.mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -163,6 +187,10 @@ object Bench {
       """"calibration":(-?[0-9.eE+]+)""".r.findFirstMatchIn(previousText)
         .map(_.group(1).toDouble).filter(_ > 0)
 
+    val corpusJson: String =
+      try corpusFingerprint(sfDir)
+      catch { case scala.util.control.NonFatal(_) => "{}" }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
@@ -241,6 +269,7 @@ object Bench {
           s""""runs_per_query":$runsPerQuery,"partial":$partial,"queries":$qs,""" +
           s""""medians":$med,"raw_runs":$raw,"reruns":$rerunJson,""" +
           s""""calibration":${fmt(calibrationMin)},"ab":$abJson,""" +
+          s""""corpus":$corpusJson,""" +
           s""""metadata":$metaJson,"errors":$errJson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1696,13 +1696,22 @@ object PipelineOps {
       docs: DataFrame,
       k: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      /** Per-document-constant columns carried through the pipeline (e.g.
+        * `lang`), so callers aggregating the keywords by them never
+        * re-join the corpus — at 100 TB a tiny string riding the
+        * (doc, term) exchange is strictly cheaper than a second corpus
+        * scan + doc-keyed join.
+        */
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val carry = carryCols.map(col)
+    val base = docs.select(col(idCol) +: carry :+ tokens(col(textCol)).as("_toks"): _*)
     val nDocs = base.agg(count(lit(1)).cast("double").as("_n"))
-    val tf = base.select(col(idCol), explode(col("_toks")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("_tf"))
+    val tf = base.select(col(idCol) +: carry :+ explode(col("_toks")).as("term"): _*)
+      .groupBy(col(idCol) +: carry :+ col("term"): _*)
+      .agg(count(lit(1)).cast("double").as("_tf"))
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("_df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(round(col("_tfidf"), 9).desc, col("term"))
@@ -1711,8 +1720,8 @@ object PipelineOps {
       .withColumn("_tfidf", col("_tf") * log(col("_n") / col("_df")))
       .withColumn("term_rank", row_number().over(w))
       .filter(col("term_rank") <= k)
-      .select(col(idCol), col("term_rank"), col("term"),
-        round(col("_tfidf"), 4).as("tfidf"))
+      .select(col(idCol) +: carry :+ col("term_rank") :+ col("term") :+
+        round(col("_tfidf"), 4).as("tfidf"): _*)
   }
 
   // ----------------------------------------------------------- text retrieval
