@@ -1204,6 +1204,75 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q175_iceberg_metadata_export" -> ((s, dir) => {
+      import s.implicits._
+      // Iceberg-metadata export (round 18, UniForm-style): the head
+      // snapshot materializes as Iceberg v2 metadata.json + avro manifest
+      // list + manifest. The engine-checked bits validate the export
+      // against the commit log: exact data-file set, schema field ids,
+      // identity partition spec, and snapshot id; row values are nation
+      // arithmetic DuckDB recomputes.
+      val t = fixtureDir("pj_q175_ice", dir) { d =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d))
+        s.conf.set("spark.sql.catalog.pj_q175", "graft.sources.pjparquet.PjCatalog")
+        s.sql(s"CREATE TABLE pj_q175.`$d` (k BIGINT, name STRING, rk BIGINT) " +
+          "USING pjparquet PARTITIONED BY (rk)")
+        graft.Tables.nation(s, dir)
+          .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"),
+            $"n_regionkey".cast("long").as("rk"))
+          .writeTo(s"pj_q175.`$d`").append()
+      }
+      val rep = graft.sources.pjparquet.PjIcebergMetadata.generate(s, t)
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val snap = graft.sources.pjparquet.PjCommitLog
+        .latest(fs, new org.apache.hadoop.fs.Path(t)).get
+      val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          t, "metadata", s"v${snap.version}.metadata.json")))
+      val snapIdOk = md.get("current-snapshot-id").asLong == snap.version &&
+        rep.snapshotId == snap.version
+      val idsOk = {
+        import scala.jdk.CollectionConverters._
+        md.get("schemas").get(0).get("fields").elements().asScala.toSeq
+          .map(f => f.get("name").asText -> f.get("id").asLong) ==
+          Seq("k" -> 1L, "name" -> 2L, "rk" -> 3L)
+      }
+      val specOk = {
+        val f = md.get("partition-specs").get(0).get("fields").get(0)
+        f.get("name").asText == "rk" && f.get("transform").asText == "identity" &&
+          f.get("source-id").asLong == 3L
+      }
+      val filesOk = {
+        import scala.jdk.CollectionConverters._
+        import org.apache.avro.file.DataFileReader
+        import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+        val listPath = md.get("snapshots").get(0).get("manifest-list").asText
+          .stripPrefix("file:")
+        val lr = new DataFileReader[GenericRecord](
+          new java.io.File(listPath), new GenericDatumReader[GenericRecord]())
+        val manifestPath =
+          try lr.iterator().asScala.toList.head.get("manifest_path").toString
+            .stripPrefix("file:")
+          finally lr.close()
+        val mr = new DataFileReader[GenericRecord](
+          new java.io.File(manifestPath), new GenericDatumReader[GenericRecord]())
+        val got =
+          try mr.iterator().asScala.toList.map(_.get("data_file")
+            .asInstanceOf[GenericRecord].get("file_path").toString).toSet
+          finally mr.close()
+        val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(t)).toString
+        got == snap.entries.map(e => s"$rootUri/${e.path}").toSet
+      }
+      s.table(s"pj_q175.`$t`")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"k").cast("long").as("k_sum"),
+          sum($"rk").cast("long").as("rk_sum"))
+        .withColumn("snapshot_id_ok", lit(if (snapIdOk) 1L else 0L))
+        .withColumn("schema_ids_ok", lit(if (idsOk) 1L else 0L))
+        .withColumn("partition_spec_ok", lit(if (specOk) 1L else 0L))
+        .withColumn("file_list_ok", lit(if (filesOk) 1L else 0L))
+    }),
     "q174_nested_stats_skipping" -> ((s, dir) => {
       import s.implicits._
       // Nested-leaf data skipping (round 18): chunk-stats and commit-log
@@ -2884,6 +2953,15 @@ object MetadataQueries {
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_iceberg_metadata_export" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS k_sum,
+        |       CAST(sum(n_regionkey) AS BIGINT) AS rk_sum,
+        |       CAST(1 AS BIGINT) AS snapshot_id_ok,
+        |       CAST(1 AS BIGINT) AS schema_ids_ok,
+        |       CAST(1 AS BIGINT) AS partition_spec_ok,
+        |       CAST(1 AS BIGINT) AS file_list_ok
+        |FROM nation""".stripMargin,
     "q174_nested_stats_skipping" ->
       """SELECT o_orderstatus AS status,
         |       count(*) AS n_rows,

@@ -168,6 +168,14 @@ object PjTableProperties {
     */
   val SymlinkManifestEnabled = "pj.symlinkManifest.enabled"
 
+  /** `pj.icebergMetadata.enabled` — when true, every successful commit
+    * re-exports Iceberg v2 table metadata under `metadata/`
+    * ([[PjIcebergMetadata]], UniForm-style), keeping Iceberg-native
+    * readers on HEAD. Best-effort: a DV-carrying snapshot is skipped
+    * (the export stays at its last DV-free version).
+    */
+  val IcebergMetadataEnabled = "pj.icebergMetadata.enabled"
+
   /** `pj.optimizeWrite.enabled` — when true, every batch write REBALANCES
     * its input before writing (Delta's optimized writes): the required
     * distribution is declared non-strict, so Spark plans
@@ -223,6 +231,7 @@ object PjTableProperties {
     OptimizeWriteEnabled -> boolValidator,
     OptimizeWriteBinSize -> posLongValidator,
     SymlinkManifestEnabled -> boolValidator,
+    IcebergMetadataEnabled -> boolValidator,
     ClusterColumns -> (_ => None), // any csv of names; resolved per-OPTIMIZE
     ClusterCurve -> curveValidator,
     DataSkippingNumIndexedCols -> numIndexedColsValidator,
