@@ -1204,6 +1204,44 @@ object MetadataQueries {
               |       CAST(sum(bal_cents) AS BIGINT) AS bal_sum
               |FROM pj_q159_t GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+    "q176_wap_refs" -> ((s, dir) => {
+      import s.implicits._
+      // Branch/tag refs (round 18, PjRefs): write-audit-publish. A tag
+      // pins the pre-churn snapshot (bit-exact time travel by name,
+      // surviving expiry); a branch stages an append invisible to main
+      // readers, the audit read overlays it, and fast_forward publishes
+      // it as a validated commit. DuckDB recomputes the published
+      // end-state from nation; the staging/audit/pin facts ride as bits.
+      // Fresh table per run (refs are single-use: fast_forward consumes
+      // the branch) — the timed operator IS the WAP cycle.
+      val tmp = java.nio.file.Files.createTempDirectory("pj_q176_wap")
+      java.nio.file.Files.delete(tmp)
+      val t = tmp.toString
+      s.conf.set("spark.sql.catalog.pj_q176", "graft.sources.pjparquet.PjCatalog")
+      s.sql(s"CREATE TABLE pj_q176.`$t` (k BIGINT, name STRING, rk BIGINT) " +
+        "USING pjparquet")
+      val nation = graft.Tables.nation(s, dir)
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"),
+          $"n_regionkey".cast("long").as("rk"))
+      nation.filter($"k" < 20).writeTo(s"pj_q176.`$t`").append() // v2
+      s.sql(s"CALL pj_q176.system.tag(table => '$t', name => 'baseline')")
+      // stage the remaining rows on a branch: invisible until published
+      nation.filter($"k" >= 20)
+        .write.format("pjparquet").mode("append").option("branch", "wip").save(t)
+      val mainBefore = s.read.format("pjparquet").load(t).count()
+      val auditRows = s.read.format("pjparquet").option("branch", "wip").load(t).count()
+      s.sql(s"CALL pj_q176.system.fast_forward(table => '$t', branch => 'wip')")
+      graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+      graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+      val tagRows = s.read.format("pjparquet").option("tag", "baseline").load(t).count()
+      s.read.format("pjparquet").load(t)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"k").cast("long").as("k_sum"),
+          sum($"rk").cast("long").as("rk_sum"))
+        .withColumn("staged_invisible", lit(if (mainBefore == 20L) 1L else 0L))
+        .withColumn("audit_sees_staged", lit(if (auditRows == 25L) 1L else 0L))
+        .withColumn("tag_pins_baseline", lit(if (tagRows == 20L) 1L else 0L))
+    }),
     "q175_iceberg_metadata_export" -> ((s, dir) => {
       import s.implicits._
       // Iceberg-metadata export (round 18, UniForm-style): the head
@@ -2953,6 +2991,14 @@ object MetadataQueries {
         |WHERE c_custkey % 2 = 0
         |   OR (c_custkey % 3 = 0 AND c_nationkey >= 10)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q176_wap_refs" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS k_sum,
+        |       CAST(sum(n_regionkey) AS BIGINT) AS rk_sum,
+        |       CAST(1 AS BIGINT) AS staged_invisible,
+        |       CAST(1 AS BIGINT) AS audit_sees_staged,
+        |       CAST(1 AS BIGINT) AS tag_pins_baseline
+        |FROM nation""".stripMargin,
     "q175_iceberg_metadata_export" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(n_nationkey) AS BIGINT) AS k_sum,

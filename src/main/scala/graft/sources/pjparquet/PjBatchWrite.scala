@@ -110,6 +110,11 @@ final class PjWriteBuilder(
       * [[PjCopyInto]]'s marker repair sweep resolves against.
       */
     operationTag: Option[String] = None,
+    /** Write-audit-publish branch (`branch` write option, [[PjRefs]]):
+      * the append's entries stage in the named ref instead of the live
+      * log — invisible to main readers until `fast_forward` publishes.
+      */
+    branch: Option[String] = None,
     /** Optimized writes ([[PjTableProperties.OptimizeWriteEnabled]]):
       * advisory bytes per written file when enabled.
       */
@@ -183,6 +188,7 @@ final class PjWriteBuilder(
       constraintsJson = layout.flatMap(_.constraintsJson),
       rowIdMetaOrdinal = rowIdMetaOrdinal,
       operationTag = operationTag,
+      branch = branch,
       optimizeWriteBytes = optimizeWriteBytes,
       txn = txn,
       bucketSpec = bucketSpec,
@@ -218,6 +224,8 @@ final class PjWrite(
     rowIdMetaOrdinal: Int = -1,
     /** Caller-declared operation tag for plain appends ([[PjCopyInto]]). */
     operationTag: Option[String] = None,
+    /** Write-audit-publish branch ([[PjRefs]]): stage, don't publish. */
+    branch: Option[String] = None,
     /** OPTIMIZED WRITES (Delta parity): `Some(advisory bytes)` declares the
       * distribution NON-strict, so Spark plans `RebalancePartitions`
       * instead of a strict hash repartition and AQE sizes each shuffle
@@ -314,6 +322,7 @@ final class PjWrite(
     new PjBatchWrite(root, partitionKeys, writeSchema, mode, bloomColumns, sortColumns,
       logRequested, cdcEnabled, nameMap, augment, baseVersion, rowIdMetaOrdinal,
       operationTag, txn,
+      branch = branch,
       // path-based bucket writes arrive UNSORTED on the bucket dir value —
       // the task writer needs its per-bucket open-writer map
       interleavedBucketField = bucketSpec.filter(_ => !bucketResolvable)
@@ -335,6 +344,10 @@ final class PjWrite(
     if (mode != PjWriteMode.Append)
       throw new PJException(
         "pjparquet: streaming writes support the append output mode only")
+    if (branch.isDefined)
+      throw new PJException(
+        "pjparquet: the streaming sink cannot stage to a branch — " +
+          "audit batches with foreachBatch + a batch write instead")
     if (augment.exists(_.identityAssigned))
       throw new PJException(
         "pjparquet: identity columns are not supported by the streaming sink " +
@@ -560,6 +573,10 @@ final class PjBatchWrite(
     rowIdMetaOrdinal: Int = -1,
     operationTag: Option[String] = None,
     txn: Option[(String, Long)] = None,
+    /** Write-audit-publish branch ([[PjRefs]]): the commit STAGES its
+      * entries in the named ref instead of publishing to the live log.
+      */
+    branch: Option[String] = None,
     /** Bucket partition FIELD name when incoming rows interleave bucket
       * directory values (path-based writes that could not request the
       * bucket-transform distribution): task writers hold one open writer
@@ -656,6 +673,42 @@ final class PjBatchWrite(
     if (bloomColumns.nonEmpty)
       PjBloomJob.generateForPaths(spark, newPaths,
         bloomColumns.map(PjColumnMapping.toPhysical(nameMap, _)))
+
+    // WRITE-AUDIT-PUBLISH ([[PjRefs]]): stage the append's entries in the
+    // branch ref instead of publishing to the live log — main readers
+    // never see them (logged planning never lists the directory), vacuum
+    // keeps them (the ref references them), and fast_forward publishes
+    // them as a normal validated commit. This job's failed-attempt files
+    // still die (same touched-dir sweep as steady-state commits).
+    branch.foreach { name =>
+      if (!logging)
+        throw new PJException(
+          "pjparquet: the 'branch' write option requires a commit-log table")
+      if (mode != PjWriteMode.Append)
+        throw new PJException(
+          "pjparquet: branch writes stage APPENDs only (write-audit-publish " +
+            "audits a batch of new rows; other modes publish directly)")
+      if (txn.isDefined)
+        throw new PJException(
+          "pjparquet: txnAppId/txnVersion do not combine with branch staging")
+      val baseV = PjCommitLog.latest(fs, rootPath).map(_.version).getOrElse(0L)
+      for (d <- touchedDirs) {
+        val dirPath = if (d.isEmpty) rootPath else new Path(rootPath, d)
+        if (fs.exists(dirPath))
+          for (st <- fs.listStatus(dirPath) if st.isFile) {
+            val nm = st.getPath.getName
+            if (!nm.startsWith(".") && !nm.startsWith("_") && nm.contains(jobUUID)) {
+              val rel = if (d.isEmpty) nm else s"$d/$nm"
+              if (!manifest.contains(rel))
+                PjBatchWrite.deleteWithSidecars(fs, st.getPath)
+            }
+          }
+      }
+      PjRefs.stageBranch(fs, rootPath, name, baseV,
+        newRels.map(rel => facts(s"$root/$rel").toEntry(rel)))
+      PjParquetTable.clearLayoutCache()
+      return
+    }
 
     // one recursive walk classifies every data file under the root;
     // `survivors` = pre-existing files that remain after this commit (the

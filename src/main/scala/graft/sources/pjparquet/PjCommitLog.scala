@@ -1896,6 +1896,19 @@ object PjCommitLog {
     mapper.writeValueAsString(node) + "\n"
   }
 
+  /** Entry-list JSON for out-of-log snapshots ([[PjRefs]] branch staging)
+    * — same per-entry codec as commit files.
+    */
+  private[pjparquet] def renderEntriesJson(entries: Seq[FileEntry]): String = {
+    val mapper = new ObjectMapper()
+    val arr = mapper.createArrayNode()
+    entries.foreach(e => arr.add(entryNode(mapper, e)))
+    arr.toString
+  }
+
+  private[pjparquet] def parseEntriesJson(json: String): Seq[FileEntry] =
+    new ObjectMapper().readTree(json).elements().asScala.map(entryOf).toSeq
+
   private def entryNode(mapper: ObjectMapper, e: FileEntry): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("p", e.path)

@@ -87,7 +87,8 @@ object PjProcedures {
     "optimize_zorder", "build_index", "build_blooms", "checkpoint", "history",
     "purge_deletion_vectors", "detail", "dedup", "restore", "clone", "analyze",
     "materialize", "verify_log", "set_not_null", "copy_into", "convert",
-    "generate_symlink_manifest", "restore_to_timestamp", "drop_feature")
+    "generate_symlink_manifest", "restore_to_timestamp", "drop_feature",
+    "generate_iceberg_metadata", "tag", "drop_ref", "fast_forward", "refs")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     val ok = ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))
@@ -474,6 +475,71 @@ object PjProcedures {
               Option(input.getUTF8String(1)).map(_.toString).filter(_.nonEmpty))
             Seq(new GenericInternalRow(Array[Any](
               r.version, r.files, r.rows, r.bytes, utf8(r.partitionColumns))))
+          })
+      case "tag" =>
+        // pin a snapshot version under a name ([[PjRefs]]): tag reads are
+        // bit-exact time travel and expiry keeps tagged versions
+        new Proc("tag",
+          Array(in("table", StringType), in("name", StringType),
+            inD("version", LongType, "-1")),
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val v = PjRefs.tag(fs, root, input.getUTF8String(1).toString,
+              Some(input.getLong(2)).filter(_ >= 0))
+            Seq(new GenericInternalRow(Array[Any](v)))
+          })
+      case "drop_ref" =>
+        new Proc("drop_ref",
+          Array(in("table", StringType), in("name", StringType)),
+          StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val d = PjRefs.dropRef(fs, root, input.getUTF8String(1).toString)
+            PjParquetTable.clearLayoutCache()
+            Seq(new GenericInternalRow(Array[Any](d)))
+          })
+      case "fast_forward" =>
+        // publish a staged branch as a live head commit (write-audit-
+        // publish's publish step) and drop the ref
+        new Proc("fast_forward",
+          Array(in("table", StringType), in("branch", StringType)),
+          StructType(Seq(StructField("version", LongType, nullable = false))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            val v = PjRefs.fastForward(fs, root, input.getUTF8String(1).toString)
+            Seq(new GenericInternalRow(Array[Any](v)))
+          })
+      case "refs" =>
+        new Proc("refs", Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("name", StringType, nullable = false),
+            StructField("type", StringType, nullable = false),
+            StructField("version", LongType, nullable = false))),
+          { input =>
+            val root = new org.apache.hadoop.fs.Path(tableArg(input))
+            val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+            PjRefs.listRefs(fs, root).map { case (n, t, v) =>
+              new GenericInternalRow(Array[Any](utf8(n), utf8(t), v))
+            }
+          })
+      case "generate_iceberg_metadata" =>
+        // UniForm-style export: Iceberg v2 metadata.json + avro manifests
+        // for the head snapshot, so Iceberg-native readers plan the exact
+        // snapshot (HadoopCatalog convention, metadata/version-hint.text)
+        new Proc("generate_iceberg_metadata", Array(in("table", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("snapshot_id", LongType, nullable = false),
+            StructField("data_files", LongType, nullable = false),
+            StructField("metadata_file", StringType, nullable = false))),
+          { input =>
+            val r = PjIcebergMetadata.generate(spark, tableArg(input))
+            Seq(new GenericInternalRow(Array[Any](
+              r.version, r.snapshotId, r.dataFiles, utf8(r.metadataFile))))
           })
       case "generate_symlink_manifest" =>
         // Delta's GENERATE symlink_format_manifest: external engines read

@@ -196,8 +196,25 @@ object PjVacuum {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     requireLogged(fs, rootPath, root)
     val versions = PjCommitLog.versions(fs, rootPath)
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val (drop, keep) = clampToTags(fs, rootPath,
+      versions.splitAt(math.max(0, versions.size - keepVersions)))
     expire(spark, fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
+  }
+
+  /** TAGGED versions ([[PjRefs]]) survive any retention policy: kept
+    * versions must stay a contiguous suffix (replay requires it), so the
+    * keep set extends down to the oldest tagged version.
+    */
+  private def clampToTags(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      split: (Seq[Long], Seq[Long])): (Seq[Long], Seq[Long]) = {
+    val (drop, keep) = split
+    val tagged = PjRefs.taggedVersions(fs, rootPath)
+    if (tagged.isEmpty || drop.isEmpty) return split
+    val minTagged = tagged.min
+    if (keep.headOption.forall(_ <= minTagged)) return split
+    val (d2, k2) = drop.partition(_ < minTagged)
+    (d2, k2 ++ keep)
   }
 
   /** Time-based retention — the operational contract users actually
@@ -219,7 +236,7 @@ object PjVacuum {
     val cut = System.currentTimeMillis() - retentionMillis
     val oldestKept = PjCommitLog.history(fs, rootPath)
       .find(_.ts >= cut).map(_.version).getOrElse(versions.last)
-    val (drop, keep) = versions.partition(_ < oldestKept)
+    val (drop, keep) = clampToTags(fs, rootPath, versions.partition(_ < oldestKept))
     expire(spark, fs, rootPath, drop, keep, minFileAgeMillis, dryRun)
   }
 
@@ -242,7 +259,12 @@ object PjVacuum {
     // touches NOTHING — no checkpoint, no deletes, no cache flush.
     if (drop.nonEmpty && !dryRun) PjCommitLog.writeCheckpoint(fs, rootPath, keep.head)
     val keptEntries = keep.map(v => PjCommitLog.read(fs, rootPath, v).entries)
-    val referenced: Set[String] = keptEntries.flatten.map(_.path).toSet
+    // branch-STAGED files ([[PjRefs]]) are live-by-reference: they are in
+    // no snapshot yet, but the WAP audit reads them and fast_forward will
+    // publish them — the sweep must not reclaim a staged batch
+    val referenced: Set[String] =
+      keptEntries.flatten.map(_.path).toSet ++
+        PjRefs.branchStagedPaths(fs, rootPath)
     // deletion vectors referenced by ANY kept snapshot must survive;
     // orphans (superseded by a later delete, retired by rewrite/expiry)
     // sweep with the same age guard as data files

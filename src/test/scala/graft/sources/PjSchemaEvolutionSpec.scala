@@ -385,6 +385,39 @@ class PjSchemaEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("generated"), s"got: ${e.getMessage}")
   }
 
+  test("column comments survive checkpoints, RESTORE, and RENAME COLUMN") {
+    val dir = java.nio.file.Files.createTempDirectory("pj_comment_dur")
+    java.nio.file.Files.delete(dir)
+    spark.conf.set("spark.sql.catalog.pjwiden", "graft.sources.pjparquet.PjCatalog")
+    spark.sql(s"CREATE TABLE pjwiden.`$dir` (id BIGINT, v BIGINT) USING pjparquet")
+    spark.range(3).select($"id", ($"id" * 2).as("v"))
+      .write.format("pjparquet").mode("append").save(dir.toString) // v2
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` ALTER COLUMN v COMMENT 'the value'") // v3
+    def comments(): Map[String, String] =
+      spark.sql(s"DESCRIBE TABLE pjwiden.`$dir`").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(comments()("v") == "the value")
+    // checkpoint + cold resolve: the comment rides the recorded schema
+    spark.sql(s"CALL pjwiden.system.checkpoint('$dir')")
+    graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    assert(comments()("v") == "the value", "comment lost through the checkpoint")
+    // rename: the comment follows the renamed column
+    spark.sql(s"ALTER TABLE pjwiden.`$dir` RENAME COLUMN v TO amount") // v4
+    assert(comments()("amount") == "the value", "comment lost through RENAME")
+    // RESTORE to the commented-but-unrenamed version: old name, comment kept
+    spark.sql(s"CALL pjwiden.system.restore('$dir', 3)")
+    graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    assert(comments()("v") == "the value", "comment lost through RESTORE")
+    // RESTORE to before the comment existed: exact pre-comment schema
+    spark.sql(s"CALL pjwiden.system.restore('$dir', 2)")
+    graft.sources.pjparquet.PjCommitLog.clearSnapshotCache()
+    graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
+    assert(comments()("v") == null || comments()("v").isEmpty,
+      s"pre-comment restore must drop the comment: ${comments()}")
+  }
+
   test("ALTER COLUMN COMMENT and DROP NOT NULL are metadata-only; SET NOT NULL validates") {
     val dir = java.nio.file.Files.createTempDirectory("pj_alter_meta")
     java.nio.file.Files.delete(dir)
