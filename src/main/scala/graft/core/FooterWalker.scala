@@ -7,7 +7,8 @@ import scala.collection.mutable.ArrayBuffer
   * (`/root/reference/python/palletjack/palletjack.cc:239-310,377-411`) so the
   * ported error-path tests stay meaningful.
   */
-class PJException(msg: String) extends RuntimeException(msg)
+class PJException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 
 /** Single-pass offset-recording walk over a Thrift-compact `FileMetaData`
   * footer buffer.

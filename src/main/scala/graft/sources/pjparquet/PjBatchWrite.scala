@@ -740,6 +740,18 @@ final class PjBatchWrite(
       // live); everything this commit REPLACES is retired from the new
       // snapshot and left for PjVacuum.expireVersions.
       val prev = PjCommitLog.latest(fs, rootPath)
+      // planned against a LOGGED layout but the log is gone: a concurrent
+      // DROP or catalog rename moved the table directory — the adoption
+      // branch below would silently FORK a fresh one-commit table at the
+      // stale path and this append's rows would never reach the real
+      // table (fuzzer lane 5, seed 20000). Refuse loudly instead.
+      if (prev.isEmpty && baseVersion.isDefined) {
+        discardStagedFiles()
+        throw new PJException(
+          s"pjparquet: the commit log under '$root' vanished since this " +
+            "write was planned (table dropped or renamed by a concurrent " +
+            "writer); aborting instead of forking a fresh table")
+      }
       val preExisting = mutable.ArrayBuffer.empty[(String, Long)]
       if (prev.isEmpty) {
         // FIRST logged commit: the full walk both adopts the live

@@ -111,8 +111,24 @@ class PjCatalog extends CatalogPlugin with TableCatalog
   }
 
   private def resolve(ident: Identifier, extra: (String, String)*): Table = {
+    val path = pathOf(ident)
+    // WAREHOUSE-NAMED tables are created through this catalog, so they
+    // ALWAYS carry a commit log (CREATE commits v1). A log-less directory
+    // under the warehouse is not a table — it is a husk a raced writer's
+    // mkdirs recreated mid-rename, or a foreign drop-in (adopt those via
+    // CALL convert / path addressing). Without this, a name resolving to
+    // a husk silently reads leftover task files as a directory-mode
+    // table (maintenance-lane fuzzer, seed window 20000). Path-addressed
+    // idents keep full directory-mode compatibility.
+    if (ident.namespace().nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      if (PjCommitLog.versions(fs, p).isEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
     val m = new util.HashMap[String, String]()
-    m.put("path", pathOf(ident))
+    m.put("path", path)
     // catalog-bound relations carry a FunctionCatalog, so the write side
     // may request the bucket(n, col) transform distribution; path-based
     // relations (df.write.save(path)) cannot and fall back
@@ -1157,6 +1173,24 @@ class PjCatalog extends CatalogPlugin with TableCatalog
     if (!fs.rename(src, dst))
       throw new PJException(
         s"$catalogName: could not rename '$src' to '$dst'")
+    // TOCTOU repair: a racing writer can recreate `dst` (an aborted
+    // task's mkdirs) between the exists check above and the rename —
+    // Hadoop rename then moves the table INSIDE that husk
+    // (dst/<srcName>) instead of failing. Detect, unwind the table back
+    // to src, and refuse as a concurrency conflict so callers retry
+    // (found by the maintenance-lane concurrency fuzzer, seed window
+    // 20000).
+    val nested = new org.apache.hadoop.fs.Path(dst, src.getName)
+    if (fs.exists(nested) && PjCommitLog.isEnabled(fs, nested)) {
+      if (!fs.rename(nested, src))
+        throw new PJException(
+          s"$catalogName: rename raced a writer recreating '$dst' and the " +
+            s"table landed nested at '$nested' — manual unwind required")
+      throw new PJException(
+        s"$catalogName: rename to '$dst' raced a concurrent writer " +
+          s"recreating the destination; the table was restored at '$src' — " +
+          "retry the rename")
+    }
     PjCommitLog.clearSnapshotCache()
     PjParquetTable.clearLayoutCache()
   }

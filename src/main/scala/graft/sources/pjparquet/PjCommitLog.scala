@@ -665,6 +665,23 @@ object PjCommitLog {
     while (true) {
       val l = listing(fs, root)
       val prev = l.versions.lastOption.map(v => readAt(fs, root, v, l))
+      // a commit that PLANNED against a log version must refuse when the
+      // log has vanished: a concurrent DROP or catalog RENAME moved the
+      // table directory out from under this writer, and the mkdirs above
+      // (or a task's dir re-create) may have resurrected the old path —
+      // committing here would silently FORK a fresh one-commit table at
+      // the stale location (fuzzer lane 5, seed 20000: a writer racing
+      // the one-directory-move rename adopted its own rows as a new
+      // table and the append was lost to the real one)
+      if (readVersion.isDefined && prev.isEmpty) {
+        // remove the empty log dir the mkdirs above just recreated at the
+        // stale path, or the husk would read as "log-enabled by mkdir"
+        try fs.delete(dir, false) catch { case scala.util.control.NonFatal(_) => () }
+        throw new PJException(
+          s"pjparquet: the commit log under '$root' vanished since this " +
+            "write was planned (table dropped or renamed by a concurrent " +
+            "writer); aborting instead of forking a fresh table")
+      }
       val v = prev.map(_.version).getOrElse(0L) + 1
       txn.foreach { case (app, ver) =>
         if (prev.flatMap(_.txnVersion(app)).exists(_ >= ver)) return TxnSkipped
@@ -1191,19 +1208,45 @@ object PjCommitLog {
     val dir = checkpointParquetDir(root, v)
     if (fs.exists(dir)) return // an earlier (crashed or racing) attempt finished it
     // first materialization of a JSON-delta log: the entries exist on the
-    // driver (the replay built them) — ship them in ~2,500-row slices so
-    // no task carries a multi-MB payload, then shuffle down to the target
-    // file count (the shuffle is engine-side and trivial at metadata scale)
+    // driver (the replay built them) — ship them in BYTE-sized slices so
+    // no task carries a multi-MB payload (a fixed 2,500-row slice put
+    // ~9 MB in one task on stats-heavy entries: path + cols + per-column
+    // min/max envelopes run to kilobytes each — the bench's "task of
+    // very large size" warning), then shuffle down to the target file
+    // count (the shuffle is engine-side and trivial at metadata scale).
     // ~25k entries per part: enough output tasks that the parquet encode
     // of a million-entry checkpoint parallelizes (11 fat tasks measured
     // ~2x slower than 40 slim ones), still few enough that the read side
     // stays a handful of splits
     val parts = math.max(1, math.min(64, snap.entries.size / 25000 + 1))
-    val slices = math.max(1, math.min(1024, snap.entries.size / 2500 + 1))
     publishEntryDir(fs, root, dir,
       spark.createDataFrame(
-        spark.sparkContext.parallelize(snap.entries.map(entryRow), slices),
+        spark.sparkContext.parallelize(
+          snap.entries.map(entryRow), entrySlices(snap.entries)),
         CkptEntrySchema).repartition(parts))
+  }
+
+  /** Byte-aware slice count for shipping driver-held entries to executors:
+    * sample-estimate the per-entry payload and target <=512 KiB per slice
+    * (a fixed rows-per-slice put ~9 MB in one task on stats-heavy
+    * entries — path + cols + per-column min/max envelopes run to
+    * kilobytes each).
+    */
+  private def entrySlices(entries: Seq[FileEntry]): Int = {
+    val sample = entries.take(64)
+    val sampleBytes = sample.map(e =>
+      64L + e.path.length + e.cols.map(_.map(_.length + 8L).sum).getOrElse(0L) +
+        e.stats.map { case (k, cs) =>
+          k.length + 32L + cs.min.map(_.length).getOrElse(0) +
+            cs.max.map(_.length).getOrElse(0)
+        }.sum).sum
+    // the java-serialized Row graph runs ~2x the raw payload estimate
+    // (boxing, string encoding, per-object headers); the 512 KiB raw
+    // target then lands ~1 MB serialized — at the warning bar, with 4x
+    // fewer scheduler round-trips than a tighter bound
+    val perEntry = 2L * math.max(64L, sampleBytes / math.max(1, sample.size))
+    val rowsPerSlice = math.max(16L, (512L * 1024) / perEntry)
+    math.max(1, math.min(16384, (entries.size / rowsPerSlice).toInt + 1))
   }
 
   /** Incremental parquet checkpoint: the new entry dir = (previous
@@ -1270,24 +1313,36 @@ object PjCommitLog {
     if (!fs.exists(dir)) {
       val base = spark.read.schema(CkptEntrySchema)
         .parquet(new Path(logDir(root), prevDir).toString)
-      val touchedRows: java.util.List[org.apache.spark.sql.Row] =
-        new java.util.ArrayList(touched.size())
-      touched.asScala.foreach(p => touchedRows.add(org.apache.spark.sql.Row(p)))
-      val touchedDf = spark.createDataFrame(touchedRows,
+      // parallelize, never a LocalRelation: a local-rows DataFrame
+      // serializes EVERY row into the task binaries of whatever stage
+      // consumes it — a big delta tail shipped ~47 MB per task (the
+      // bench's "task of very large size" warning); sliced RDDs ship
+      // each task only its slice
+      val touchedSeq = touched.asScala.toSeq
+      val touchedDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          touchedSeq.map(org.apache.spark.sql.Row(_)),
+          math.max(1, math.min(4096, touchedSeq.size / 5000 + 1))),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(
             "p", org.apache.spark.sql.types.StringType, nullable = false))))
-      val addRows: java.util.List[org.apache.spark.sql.Row] =
-        new java.util.ArrayList(tailEntries.size())
-      tailEntries.values().asScala.foreach(e => addRows.add(entryRow(e)))
-      val adds = spark.createDataFrame(addRows, CkptEntrySchema)
+      val tailSeq = tailEntries.values().asScala.toSeq
+      val adds = spark.createDataFrame(
+        spark.sparkContext.parallelize(tailSeq.map(entryRow), entrySlices(tailSeq)),
+        CkptEntrySchema)
       // part sizing from the (upper-bound) approximate count — the exact
       // count comes metadata-rate from the published dir below
       val approxN = prevNode.path("nFiles").asLong(0L) + tailEntries.size()
       val parts = math.max(1L, math.min(64L, approxN / 25000 + 1)).toInt
+      // repartition the ADDS (delta-sized shuffle) before the union:
+      // coalesce would repack the parallelize slices back into a few
+      // tasks, and ParallelCollection partitions carry their data INSIDE
+      // the task binary — the multi-MB-task warning all over again. The
+      // base stays shuffle-free (parquet splits coalesce cleanly).
+      val addsDist = adds.repartition(math.max(1, math.min(parts, 8)))
       val slim = base.join(
         org.apache.spark.sql.functions.broadcast(touchedDf), Seq("p"), "left_anti")
-        .unionByName(adds)
+        .unionByName(addsDist)
         .coalesce(parts)
       publishEntryDir(fs, root, dir, slim)
     }
@@ -1832,6 +1887,16 @@ object PjCommitLog {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           fs.delete(tmp, false); false
+        case e: java.nio.file.NoSuchFileException =>
+          // the LOG DIRECTORY (with our tmp inside) vanished between the
+          // tmp write and the link — a concurrent DROP or catalog rename
+          // moved the table. Refuse loudly: a silent retry would re-list
+          // an empty dir and FORK a fresh v1 at the stale path
+          // (maintenance-lane fuzzer, seed window 20000).
+          throw new PJException(
+            s"pjparquet: the commit log directory vanished while " +
+              s"publishing $target (table dropped or renamed by a " +
+              "concurrent writer); aborting commit", e)
       }
     } else {
       // non-local stores: write the FULL body to a temp file first, then

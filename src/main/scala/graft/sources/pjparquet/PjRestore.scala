@@ -68,6 +68,19 @@ object PjRestore {
     if (removed.isEmpty && added.isEmpty && !schemaChanged && !constraintsChanged &&
         !propertiesChanged && !statsChanged)
       return RestoreReport(version, None, 0L, 0L)
+    // a concurrent expiry may have RECLAIMED the target version's files
+    // between the version read above and here (the log file outlives the
+    // data files it references during an expiry sweep) — committing would
+    // publish a head referencing vanished bytes. Validate the re-added
+    // files exist before claiming (bounded: RESTORE is rare, `added` is
+    // the delta). Like Delta, a vacuum racing INSIDE the remaining
+    // check-to-publish window is documented-unsafe; this closes the lane
+    // the maintenance fuzzer actually hit.
+    added.find(e => !fs.exists(new Path(rootPath, e.path))).foreach { gone =>
+      throw new PJException(
+        s"pjparquet: cannot RESTORE '$root' to version $version — its file " +
+          s"'${gone.path}' is expired (reclaimed by a concurrent vacuum)")
+    }
     // EXCLUSIVE against the read head: the restore's delta was computed
     // against `head` — a writer landing in between would have its files
     // silently dropped from the restored state (absent from both

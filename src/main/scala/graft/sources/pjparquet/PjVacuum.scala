@@ -259,17 +259,28 @@ object PjVacuum {
     // touches NOTHING — no checkpoint, no deletes, no cache flush.
     if (drop.nonEmpty && !dryRun) PjCommitLog.writeCheckpoint(fs, rootPath, keep.head)
     val keptEntries = keep.map(v => PjCommitLog.read(fs, rootPath, v).entries)
+    // a commit may land BETWEEN this expiry's version listing and the
+    // sweep below — and a RESTORE's new head references OLD files the
+    // minFileAge guard cannot protect (they are old). Re-list right
+    // before reclaiming and treat every late version's files as live,
+    // collapsing the expire-vs-restore loss window to the sweep itself
+    // (found by the maintenance-lane concurrency fuzzer).
+    val known = (keep ++ drop).toSet
+    val lateEntries = PjCommitLog.versions(fs, rootPath)
+      .filterNot(known.contains)
+      .map(v => try PjCommitLog.read(fs, rootPath, v).entries
+        catch { case scala.util.control.NonFatal(_) => Nil })
     // branch-STAGED files ([[PjRefs]]) are live-by-reference: they are in
     // no snapshot yet, but the WAP audit reads them and fast_forward will
     // publish them — the sweep must not reclaim a staged batch
     val referenced: Set[String] =
-      keptEntries.flatten.map(_.path).toSet ++
+      (keptEntries ++ lateEntries).flatten.map(_.path).toSet ++
         PjRefs.branchStagedPaths(fs, rootPath)
     // deletion vectors referenced by ANY kept snapshot must survive;
     // orphans (superseded by a later delete, retired by rewrite/expiry)
     // sweep with the same age guard as data files
     val referencedDvs: Set[String] =
-      keptEntries.flatten.flatMap(_.dv.map(_.path)).toSet
+      (keptEntries ++ lateEntries).flatten.flatMap(_.dv.map(_.path)).toSet
 
     val cutoff = System.currentTimeMillis() - minFileAgeMillis
     var reclaimed = 0L

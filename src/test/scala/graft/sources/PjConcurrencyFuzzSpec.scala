@@ -508,4 +508,282 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     // schedules from the write-matrix lanes
     runLane(10000 until 10000 + nSeeds, partitioned = true, schemaEvo = true)
   }
+
+  // ------------------------------------------------- lane 5 (round 18):
+  // maintenance + catalog verbs racing writers. RESTORE makes the
+  // write-matrix model non-monotone, so this lane's invariants are
+  // CONSISTENCY ones that hold under ANY interleaving:
+  //  - ids are globally unique per append and never re-minted, so the
+  //    final table (and every clone / RTAS snapshot / tag read taken
+  //    mid-race) must have UNIQUE ids with v = 7*id exactly — a torn
+  //    snapshot, doubled file, or half-published rename shows up as a
+  //    duplicate or junk row;
+  //  - final ids ⊆ base ∪ successful appends (nothing invents rows);
+  //  - when NO RESTORE reported success, every successful append is
+  //    present (the monotone check, most seeds);
+  //  - verify_log stays fully ok and a cold replay ≡ the cached head.
+  // Catalog verbs run through a WAREHOUSE-named catalog so ALTER TABLE
+  // RENAME exercises the one-directory-move path; ops racing a rename
+  // flap see not-found/already-exists windows — sanctioned, retried.
+
+  private lazy val whDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("pj_fuzz_wh").toString
+    spark.conf.set("spark.sql.catalog.pjfuzzwh", "graft.sources.pjparquet.PjCatalog")
+    spark.conf.set("spark.sql.catalog.pjfuzzwh.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pjfuzzwh.fz")
+    d
+  }
+
+  /** Lane-5 sanctioned: optimistic conflicts PLUS the windows a racing
+    * rename/replace/expire legitimately opens.
+    */
+  private def isMaintenanceSanctioned(e: Throwable): Boolean = {
+    if (isConflict(e)) return true
+    var t: Throwable = e
+    while (t != null) {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("TABLE_OR_VIEW_NOT_FOUND") || m.contains("cannot be found") ||
+        m.contains("NoSuchTable") || m.contains("not found") ||
+        m.contains("Path does not exist") || m.contains("already exists") ||
+        m.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
+        m.contains("FileNotFoundException") || m.contains("No such file") ||
+        m.contains("no commit log") ||
+        // mid-rename window: the log is in flight between the two dirs,
+        // so log-requiring verbs briefly see a log-less path
+        m.contains("require a commit-log table") ||
+        m.contains("empty commit log") ||
+        m.contains("requires a commit-log table") || m.contains("no such version") ||
+        m.contains("unknown version") || m.contains("no parquet files under") ||
+        m.contains("no tag") ||
+        // a restore target that a racing expiry just dropped
+        m.contains("is expired") || m.contains("has been expired") ||
+        // a shallow clone / tag / restore target racing version expiry:
+        // the mid-race read window Delta documents for vacuumed sources
+        // (quiesce checks below stay strict — a HEAD referencing a
+        // missing file still fails the lane)
+        m.contains("no longer on disk") ||
+        // restore/time-travel to a version a racing expiry just dropped
+        m.contains("does not exist under") ||
+        // a writer mid-flight while the rename flap MOVES the table
+        // directory: arbitrary FS-level failures (missing staged file,
+        // chmod on a vanished path) are the race lost, not corruption —
+        // the quiesce consistency checks stay the backstop
+        m.contains("No such file or directory") ||
+        m.contains("cannot access") ||
+        t.isInstanceOf[org.apache.hadoop.util.Shell.ExitCodeException] ||
+        t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = t.getCause
+    }
+    false
+  }
+
+  private def attemptM(seed: Int, what: String)(op: => Unit): Boolean = {
+    var tries = 0
+    while (tries < 5) {
+      tries += 1
+      try { op; return true }
+      catch {
+        case e: Throwable if isMaintenanceSanctioned(e) => Thread.sleep(2L * tries)
+        case e: Throwable =>
+          throw new AssertionError(s"seed=$seed op=$what failed non-sanctioned: $e", e)
+      }
+    }
+    false
+  }
+
+  /** A frame must be a CONSISTENT snapshot: unique ids, v = 7*id. */
+  private def assertConsistent(seed: Int, what: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val rows = df.select($"id", $"v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupes = rows.groupBy(_._1).filter(_._2.length > 1).keys.toSeq
+    assert(dupes.isEmpty, s"seed=$seed $what: duplicated ids $dupes")
+    val junk = rows.filter { case (i, v) => v != i * 7 }
+    assert(junk.isEmpty, s"seed=$seed $what: junk rows ${junk.take(5).toSeq}")
+  }
+
+  private def runMaintenanceSchedule(seed: Int): Unit = {
+    val wh = whDir
+    val tbl = s"t$seed"
+    val name = s"pjfuzzwh.fz.$tbl"
+    val nameB = s"pjfuzzwh.fz.${tbl}b"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS $nameB")
+    spark.sql(s"CREATE TABLE $name (id BIGINT, v BIGINT) USING pjparquet")
+    def rows(ids: Seq[Long]) = ids.map(i => (i, i * 7)).toDF("id", "v")
+    rows(0L until 20L).coalesce(1).writeTo(name).append() // v2
+    val fsW = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+    // the table is wherever the COMMIT LOG is — a bare directory at the
+    // canonical path can be a husk a raced writer recreated
+    def pathNow(): String = {
+      val a = s"$wh/fz/$tbl"; val b = s"$wh/fz/${tbl}b"
+      if (PjCommitLog.versions(fsW, new Path(a)).nonEmpty) a
+      else if (PjCommitLog.versions(fsW, new Path(b)).nonEmpty) b
+      else a
+    }
+
+    val appended = new ConcurrentLinkedQueue[Seq[Long]]()
+    val restores = new java.util.concurrent.atomic.AtomicInteger(0)
+    // RESTORE and version expiry are mutually exclusive WITH EACH OTHER
+    // (the operational rule Delta documents for RESTORE vs VACUUM — a
+    // reclaim inside restore's check-to-publish window is unsafe by
+    // contract); both still race every other verb freely
+    val restoreExpireLock = new Object
+    appended.add(0L until 20L)
+    def freshIds(opId: Long, n: Int): Seq[Long] =
+      (0 until n).map(i => 1000000L + opId * 100L + i)
+
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { ti =>
+      val th = new Thread(() =>
+        try {
+          val rnd = new scala.util.Random(seed * 1000L + ti + 77)
+          for (oi <- 0 until opsPerThread) {
+            val opId = (seed.toLong * nThreads + ti) * opsPerThread + oi
+            rnd.nextInt(10) match {
+              case 0 | 1 | 2 => // append by NAME (rename windows sanctioned)
+                val ids = freshIds(opId, 2 + rnd.nextInt(3))
+                if (attemptM(seed, s"append#$opId") {
+                  rows(ids).coalesce(1).writeTo(name).append()
+                }) appended.add(ids)
+              case 3 => // RESTORE to the base population
+                if (attemptM(seed, s"restore#$opId") {
+                  restoreExpireLock.synchronized {
+                    spark.sql(s"CALL pjfuzzwh.system.restore('${pathNow()}', 2)")
+                      .collect()
+                  }
+                }) restores.incrementAndGet()
+              case 4 => // version expiry racing everything. The age
+                // guard mirrors operational reality: a zero-age expiry
+                // racing writers deletes their UNCOMMITTED staged files
+                // (the documented VACUUM hazard Delta's default retention
+                // exists for) — commit-referenced files of RESTOREs are
+                // protected by the late-version re-list instead
+                attemptM(seed, s"expire#$opId") {
+                  restoreExpireLock.synchronized {
+                    spark.sql(s"CALL pjfuzzwh.system.expire_versions(" +
+                      s"'${pathNow()}', 2, min_file_age_ms => 5000)").collect()
+                  }
+                }
+              case 5 => // SHALLOW CLONE mid-race: the clone must be a
+                // CONSISTENT snapshot (never torn), then materialize + recheck
+                val target = java.nio.file.Files.createTempDirectory(
+                  f"pj_fuzz_clone_$opId%06d")
+                java.nio.file.Files.delete(target)
+                if (attemptM(seed, s"clone#$opId") {
+                  spark.sql(s"CALL pjfuzzwh.system.clone(" +
+                    s"source => '${pathNow()}', target => '$target')").collect()
+                }) {
+                  attemptM(seed, s"cloneread#$opId") {
+                    assertConsistent(seed, s"clone#$opId",
+                      spark.read.format("pjparquet").load(target.toString))
+                  }
+                  if (attemptM(seed, s"materialize#$opId") {
+                    spark.sql(s"CALL pjfuzzwh.system.materialize(" +
+                      s"table => '$target')").collect()
+                  }) attemptM(seed, s"matread#$opId") {
+                    assertConsistent(seed, s"materialized#$opId",
+                      spark.read.format("pjparquet").load(target.toString))
+                  }
+                  org.apache.commons.io.FileUtils.deleteDirectory(
+                    new java.io.File(target.toString))
+                }
+              case 6 => // RTAS by name: the replaced snapshot is torn-free
+                val snap = s"pjfuzzwh.fz.snap${seed}_$ti"
+                if (attemptM(seed, s"rtas#$opId") {
+                  spark.sql(s"CREATE OR REPLACE TABLE $snap USING pjparquet " +
+                    s"AS SELECT * FROM $name")
+                }) {
+                  attemptM(seed, s"rtasread#$opId") {
+                    assertConsistent(seed, s"rtas#$opId", spark.table(snap))
+                  }
+                  spark.sql(s"DROP TABLE IF EXISTS $snap")
+                }
+              case 7 => // rename FLAP (one-directory move) racing everything
+                attemptM(seed, s"renameAB#$opId") {
+                  spark.sql(s"ALTER TABLE $name RENAME TO fz.${tbl}b")
+                }
+                Thread.sleep(1 + rnd.nextInt(3))
+                attemptM(seed, s"renameBA#$opId") {
+                  spark.sql(s"ALTER TABLE $nameB RENAME TO fz.$tbl")
+                }
+              case 8 => // tag head + tag read: a pinned read is consistent
+                val tg = s"tg$opId"
+                if (attemptM(seed, s"tag#$opId") {
+                  spark.sql(s"CALL pjfuzzwh.system.tag(" +
+                    s"table => '${pathNow()}', name => '$tg')").collect()
+                }) {
+                  attemptM(seed, s"tagread#$opId") {
+                    assertConsistent(seed, s"tagread#$opId",
+                      spark.read.format("pjparquet").option("tag", tg)
+                        .load(pathNow()))
+                  }
+                  attemptM(seed, s"droptag#$opId") {
+                    spark.sql(s"CALL pjfuzzwh.system.drop_ref(" +
+                      s"table => '${pathNow()}', name => '$tg')").collect()
+                  }
+                }
+              case 9 => // compaction joins the maintenance storm
+                attemptM(seed, s"compact#$opId") {
+                  spark.sql(s"CALL pjfuzzwh.system.compact(" +
+                    s"table => '${pathNow()}')").collect()
+                }
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) throw failures.peek()
+
+    // ---- quiesce: settle the rename flap to the canonical name. The
+    // commit log decides where the table IS; a log-less husk at the
+    // canonical path (a raced writer's recreated dir) is deleted first
+    // so the rename-back cannot nest into it ----
+    val aP = new Path(s"$wh/fz/$tbl"); val bP = new Path(s"$wh/fz/${tbl}b")
+    if (PjCommitLog.versions(fsW, aP).isEmpty &&
+        PjCommitLog.versions(fsW, bP).nonEmpty) {
+      if (fsW.exists(aP)) fsW.delete(aP, true)
+      spark.sql(s"ALTER TABLE $nameB RENAME TO fz.$tbl")
+    }
+    import scala.jdk.CollectionConverters._
+    PjCommitLog.clearSnapshotCache()
+    PjParquetTable.clearLayoutCache()
+    val finalDf = spark.table(name)
+    assertConsistent(seed, "final", finalDf)
+    val finalIds = finalDf.select($"id").collect().map(_.getLong(0)).toSet
+    val allAppended = appended.iterator().asScala.flatten.toSet
+    assert(finalIds.subsetOf(allAppended),
+      s"seed=$seed: invented ids ${(finalIds -- allAppended).take(5)}")
+    if (restores.get() == 0)
+      assert(allAppended.subsetOf(finalIds),
+        s"seed=$seed: lost committed appends ${(allAppended -- finalIds).take(5)}")
+    // the log replays clean end to end
+    val p = pathNow()
+    val vr = spark.sql(s"CALL pjfuzzwh.system.verify_log(table => '$p')").collect()
+    assert(vr.forall(r => r.getString(r.length - 1) == "ok"),
+      s"seed=$seed: verify_log not ok: ${vr.mkString(";")}")
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val cached = PjCommitLog.latest(fs, new Path(p)).get
+    PjCommitLog.clearSnapshotCache()
+    val cold = PjCommitLog.latest(fs, new Path(p)).get
+    assert(cold.entries.map(_.path).sorted == cached.entries.map(_.path).sorted,
+      s"seed=$seed: cold replay diverges from cached head")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test(s"$nSeeds seeded schedules, maintenance+catalog lane: RESTORE / " +
+      "expiry / clone / RTAS / rename / tag race writers") {
+    // fresh window (offset by 20_000) — different schedules from lanes 1-4
+    (20000 until 20000 + nSeeds).grouped(4).foreach { batch =>
+      val fails = new ConcurrentLinkedQueue[Throwable]()
+      val ts = batch.map { s =>
+        val th = new Thread(() =>
+          try runMaintenanceSchedule(s + seedOffset)
+          catch { case e: Throwable => fails.add(e) })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      if (!fails.isEmpty) throw fails.peek()
+    }
+  }
 }
