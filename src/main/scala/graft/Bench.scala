@@ -561,14 +561,69 @@ object Bench {
       try dvDeleteBench(spark)
       catch { case e: Throwable =>
         System.err.println(s"[bench] dv-delete bench FAILED: $e"); "{}" }
+    val cdfDrain =
+      try cdfDrainBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] cdf-drain bench FAILED: $e"); "{}" }
     s"""{"rg":$actualRgs,"cols":$cols,"footer_parse_ms":${fmt(footerMs)},""" +
       s""""pj_read_1rg_ms":${fmt(spliceMemMs)},"pj_schema_ms":${fmt(schemaMs)},""" +
       s""""speedup_1rg":${fmt(footerMs / spliceMemMs, 1)},""" +
       s""""index_size_ratio":${fmt(indexBytes.length.toDouble / parquetSize, 5)},""" +
       s""""log_planning":$logPlanning,""" +
       s""""dv_delete":$dvDelete,""" +
+      s""""cdf_drain":$cdfDrain,""" +
       s""""protocol":{"iterations":$iterations,"submissions_pj":$pjSubs,""" +
       s""""submissions_footer":$footerSubs,"pools":$poolJson}}"""
+  }
+
+  /** CDF backlog drain under rate limits (round 18, verdict #6): a
+    * restarted change-feed consumer 100 versions behind must recover in
+    * BOUNDED batches, not one giant catch-up batch. Builds a 100-version
+    * backlog (one 1-file commit each), drains it through a
+    * maxFilesPerTrigger=8 stream under AvailableNow, min-of-3 (fresh
+    * checkpoint per run). Every backlog commit holds exactly
+    * `rowsPerCommit` rows in one file, so observed files-per-batch =
+    * batch rows / rowsPerCommit EXACTLY — `max_files_per_batch` proves
+    * the cap held, `batches` proves the backlog split (>= versions/cap).
+    */
+  private def cdfDrainBench(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val versions = 100
+    val rowsPerCommit = 20
+    val maxFiles = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_cdf").toString
+    for (i <- 0 until versions)
+      spark.range(i.toLong * rowsPerCommit, (i + 1).toLong * rowsPerCommit)
+        .select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(1).write.format("pjparquet").mode("append")
+        .option("log.enabled", "true").save(dir)
+    def drainOnce(): (Double, Int, Long) = {
+      val out = s"pj_bench_cdf_${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val qs = spark.readStream.format("pjparquet")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .option("maxFilesPerTrigger", maxFiles.toString).load(dir)
+        .writeStream.format("memory").queryName(out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qs.awaitTermination(300000)
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val progress = qs.recentProgress.filter(_.numInputRows > 0)
+      val batches = progress.length
+      val maxFilesPerBatch = progress.map(_.numInputRows).map(r =>
+        (r + rowsPerCommit - 1) / rowsPerCommit).foldLeft(0L)(math.max)
+      val total = spark.table(out).count()
+      spark.sql(s"DROP VIEW IF EXISTS $out")
+      require(total == versions.toLong * rowsPerCommit,
+        s"cdf drain lost rows: $total of ${versions * rowsPerCommit}")
+      (wallS, batches, maxFilesPerBatch)
+    }
+    val runs = (1 to 3).map(_ => drainOnce())
+    val best = runs.minBy(_._1)
+    s"""{"versions":$versions,"files_per_trigger":$maxFiles,""" +
+      s""""drain_s":${fmt(best._1)},"batches":${best._2},""" +
+      s""""max_files_per_batch":${best._3},""" +
+      s""""cap_held":${if (runs.forall(_._3 <= maxFiles)) "true" else "false"}}"""
   }
 
   /** Merge-on-read vs copy-on-write DELETE, same data, same spread

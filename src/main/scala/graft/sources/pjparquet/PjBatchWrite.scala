@@ -839,7 +839,15 @@ final class PjBatchWrite(
           val identityExclusive = augment.exists(_.identityAssigned)
           val (readV, readParts) = mode match {
             case r: PjWriteMode.ReplaceFiles => (r.readVersion, r.readPartitions())
-            case _ => (if (identityExclusive) baseVersion else None, None)
+            // pure APPENDS declare their base too: it changes no conflict
+            // semantics on an add-only commit, but arms the claim loop's
+            // vanished-log guard (a concurrent DROP/rename between this
+            // method's own check and the claim must refuse, never fork).
+            // Overwrites keep None — a declared base would reroute their
+            // remove-conflict path into the disjoint-DML rebase.
+            case _ =>
+              (if (identityExclusive || retired.isEmpty) baseVersion else None,
+                None)
           }
           PjCommitLog.commit(fs, rootPath, PjBatchWrite.actionName(mode),
             addEntries, retired, schemaJson, operation, readV, readParts,

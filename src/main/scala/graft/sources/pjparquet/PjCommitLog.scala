@@ -673,7 +673,9 @@ object PjCommitLog {
       // the stale location (fuzzer lane 5, seed 20000: a writer racing
       // the one-directory-move rename adopted its own rows as a new
       // table and the append was lost to the real one)
-      if (readVersion.isDefined && prev.isEmpty) {
+      // base 0 = "planned against the EMPTY pre-log state" (CONVERT's
+      // adoption commit) — an empty log is exactly what it expects
+      if (readVersion.exists(_ > 0) && prev.isEmpty) {
         // remove the empty log dir the mkdirs above just recreated at the
         // stale path, or the husk would read as "log-enabled by mkdir"
         try fs.delete(dir, false) catch { case scala.util.control.NonFatal(_) => () }
@@ -1876,10 +1878,26 @@ object PjCommitLog {
     if (fs.getScheme == "file") {
       val dir = target.getParent
       val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try write(out) finally out.close()
       val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
       val tgtNio = java.nio.file.Paths.get(fs.makeQualified(target).toUri)
+      // NIO CREATE_NEW, never fs.create: the hadoop local create RECREATES
+      // missing parent directories — a publish racing a concurrent
+      // DROP/rename would silently resurrect the moved-away log dir and
+      // land a commit in the husk (the maintenance fuzzer's silent
+      // append loss, seed 20045). A vanished dir now surfaces as
+      // NoSuchFileException -> the loud conflict below.
+      val out =
+        try java.nio.file.Files.newOutputStream(tmpNio,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            throw new PJException(
+              s"pjparquet: the commit log directory vanished while " +
+                s"publishing $target (table dropped or renamed by a " +
+                "concurrent writer); aborting commit", e)
+        }
+      try write(out) finally out.close()
       try {
         java.nio.file.Files.createLink(tgtNio, tmpNio)
         fs.delete(tmp, false)
