@@ -772,6 +772,15 @@ final class PjBatchWrite(
         // those dirs instead of recursively walking the table. On a
         // million-file table this takes the append commit's listing cost
         // from O(table) to O(touched partitions).
+        //
+        // RECLAMATION CONTRACT for what this narrowed sweep cannot see
+        // (an executor lost before abort() ran, or a retry that landed in
+        // different dirs): such files are invisible to logged readers
+        // (planning never lists the directory) and are reclaimed by
+        // VACUUM — PjVacuum's expire sweep does the full recursive walk
+        // and deletes any data file no retained snapshot references,
+        // under the min-file-age guard. Periodic vacuum is the
+        // operational reclamation path, exactly as in Delta.
         for (d <- touchedDirs) {
           val dirPath = if (d.isEmpty) rootPath else new Path(rootPath, d)
           if (fs.exists(dirPath))
@@ -1358,22 +1367,27 @@ final class PjDataWriter(
       val fs = target.getFileSystem(conf)
       if (fs.exists(target)) PjBatchWrite.deleteWithSidecars(fs, target)
     }
-    written += PjWrittenFile(relDir, name)
     // a concurrent abort's empty-dir sweep can delete the freshly-made
     // partition dir between its mkdir and this create (schema-evolution
     // fuzzer, seed 10013) — the dir was legitimately empty at that
     // instant. Re-create and retry; once the file exists the dir is
-    // non-empty and safe.
+    // non-empty and safe. Only IO failures retry: OOM/interrupt and
+    // non-transient causes (permissions) propagate with their real
+    // message instead of three masked mkdir loops.
     var attempt = 0
     var w: org.apache.spark.sql.execution.datasources.OutputWriter = null
     while (w == null) {
       attempt += 1
       try w = PjSparkShims.newRowWriter(target.toString, conf)
       catch {
-        case _: Throwable if attempt < 4 =>
+        case e @ (_: java.io.IOException | _: org.apache.spark.SparkException)
+            if attempt < 4 && scala.util.control.NonFatal(e) =>
           target.getFileSystem(conf).mkdirs(dir)
       }
     }
+    // record AFTER the writer opened: a failed open must not leave a
+    // phantom name in the commit manifest
+    written += PjWrittenFile(relDir, name)
     w
   }
 

@@ -277,6 +277,15 @@ class PjCatalog extends CatalogPlugin with TableCatalog
         if (namespace.isEmpty)
           throw new PJException(s"$catalogName: cannot drop the warehouse root")
         if (!fs.exists(dir)) return false
+        // the namespace dir itself classifying as a TABLE means the name
+        // points at table data, not a namespace — deleting it here would
+        // bypass dropTable's classification guard (DROP TABLE is the verb
+        // for that). Cascade deleting table CHILDREN is the cascade
+        // contract and stays.
+        if (isTableDir(fs, dir))
+          throw new PJException(
+            s"$catalogName: '$dir' holds table data (commit log or parquet " +
+              "files), not a namespace — DROP TABLE it instead")
         if (!cascade && fs.listStatus(dir).exists(st =>
             !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_")))
           throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(

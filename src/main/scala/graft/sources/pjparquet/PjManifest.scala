@@ -244,7 +244,13 @@ object PjManifest {
       if (rel.isEmpty) fs.delete(new Path(manifestRoot, "manifest"), false)
       else fs.delete(new Path(manifestRoot, rel), true)
     }
-    publishVersion(fs, manifestRoot, snap.version)
+    // an even NEWER generation may have published while this one wrote —
+    // never regress its marker (the same re-read-and-compare guard the
+    // incremental maintainer applies; its manifests are already in place,
+    // so keeping its marker is the truthful state). The residual
+    // check-to-write window self-heals at the next commit's maintenance.
+    if (!readVersionMarker(fs, manifestRoot).exists(_ > snap.version))
+      publishVersion(fs, manifestRoot, snap.version)
     Report(snap.version, byDir.valuesIterator.map(_.size.toLong).sum, byDir.size.toLong)
   }
 
