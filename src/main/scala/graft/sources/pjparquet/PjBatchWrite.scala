@@ -635,7 +635,16 @@ final class PjBatchWrite(
       case _ => Set.empty
     }
 
-    val logging = logRequested || PjCommitLog.isEnabled(fs, rootPath)
+    // a write PLANNED against a logged layout (baseVersion) is a logged
+    // write NO MATTER what the directory probe says now: during a
+    // concurrent DROP/rename the `_pj_log` dir is briefly absent, and
+    // deriving `logging` from the probe alone silently rerouted the
+    // commit down the UNLOGGED branch — no log claim at all, orphan data
+    // files, success reported, rows lost (maintenance fuzzer seed 20045,
+    // the one interleaving the vanished-log guards couldn't see because
+    // the guarded path was never taken)
+    val logging = logRequested || baseVersion.isDefined ||
+      PjCommitLog.isEnabled(fs, rootPath)
 
     // IDEMPOTENT TRANSACTIONS need the commit log to record against — a
     // directory-mode table has nowhere to remember (appId, version)

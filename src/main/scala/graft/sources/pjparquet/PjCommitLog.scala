@@ -271,6 +271,13 @@ object PjCommitLog {
 
   def logDir(root: Path): Path = new Path(root, DirName)
 
+  /** Test observability: invoked once per successful version claim with
+    * (qualified root, version, action) — the concurrency fuzzer's
+    * forensic trace. No-op in production.
+    */
+  private[sources] var testHookOnClaim: (String, Long, String) => Unit =
+    (_, _, _) => ()
+
   def isEnabled(fs: FileSystem, root: Path): Boolean =
     try fs.getFileStatus(logDir(root)).isDirectory
     catch { case _: java.io.FileNotFoundException => false }
@@ -885,6 +892,7 @@ object PjCommitLog {
         effectiveRemove.toSeq.sorted, nLive, effSchemaJson, operation, constraintsJson,
         effPropsJson, tableStatsJson, protocolJson, watermarkOut, preservedRows, txn)
       if (publish(fs, commitFile(root, v), body)) {
+        testHookOnClaim(fs.makeQualified(root).toString, v, action)
         // cadence honors the table's recorded pj.checkpoint.interval —
         // this commit's own properties (when it sets them) win, else the
         // predecessor's recorded ones, else the engine default

@@ -526,6 +526,16 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
   // RENAME exercises the one-directory-move path; ops racing a rename
   // flap see not-found/already-exists windows — sanctioned, retried.
 
+  /** Suite-global claim trace (the hook var is shared — concurrent
+    * schedules must not clobber each other): (nanos, root, v, action).
+    */
+  private val claimTrace =
+    new ConcurrentLinkedQueue[(Long, String, Long, String)]()
+  private lazy val armClaimHook: Unit = {
+    PjCommitLog.testHookOnClaim = (r, v, a) =>
+      claimTrace.add((System.nanoTime(), r, v, a))
+  }
+
   private lazy val whDir: String = {
     val d = java.nio.file.Files.createTempDirectory("pj_fuzz_wh").toString
     spark.conf.set("spark.sql.catalog.pjfuzzwh", "graft.sources.pjparquet.PjCatalog")
@@ -602,6 +612,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
   }
 
   private def runMaintenanceSchedule(seed: Int): Unit = {
+    armClaimHook
     val wh = whDir
     val tbl = s"t$seed"
     val name = s"pjfuzzwh.fz.$tbl"
@@ -622,6 +633,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     }
 
     val appended = new ConcurrentLinkedQueue[Seq[Long]]()
+    val opTrace = new ConcurrentLinkedQueue[String]()
     val restores = new java.util.concurrent.atomic.AtomicInteger(0)
     // RESTORE and version expiry are mutually exclusive WITH EACH OTHER
     // (the operational rule Delta documents for RESTORE vs VACUUM — a
@@ -633,18 +645,28 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
       (0 until n).map(i => 1000000L + opId * 100L + i)
 
     val failures = new ConcurrentLinkedQueue[Throwable]()
+    val t00 = System.nanoTime()
+    def tr(msg: String): Unit =
+      opTrace.add(f"${(System.nanoTime() - t00) / 1e6}%9.1fms $msg")
+
     val threads = (0 until nThreads).map { ti =>
       val th = new Thread(() =>
         try {
           val rnd = new scala.util.Random(seed * 1000L + ti + 77)
           for (oi <- 0 until opsPerThread) {
             val opId = (seed.toLong * nThreads + ti) * opsPerThread + oi
-            rnd.nextInt(10) match {
+            val kind = rnd.nextInt(10)
+            tr(s"op#$opId kind=$kind START")
+            kind match {
               case 0 | 1 | 2 => // append by NAME (rename windows sanctioned)
                 val ids = freshIds(opId, 2 + rnd.nextInt(3))
                 if (attemptM(seed, s"append#$opId") {
                   rows(ids).coalesce(1).writeTo(name).append()
-                }) appended.add(ids)
+                }) {
+                  appended.add(ids)
+                  tr(s"append#$opId OK ids=${ids.head}.. " +
+                    s"path=${pathNow()} versions=${PjCommitLog.versions(fsW, new Path(pathNow()))}")
+                }
               case 3 => // RESTORE to the base population
                 if (attemptM(seed, s"restore#$opId") {
                   restoreExpireLock.synchronized {
@@ -728,6 +750,7 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
                     s"table => '${pathNow()}')").collect()
                 }
             }
+            tr(s"op#$opId kind=$kind END")
           }
         } catch { case e: Throwable => failures.add(e) })
       th.start(); th
@@ -754,9 +777,40 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
     val allAppended = appended.iterator().asScala.flatten.toSet
     assert(finalIds.subsetOf(allAppended),
       s"seed=$seed: invented ids ${(finalIds -- allAppended).take(5)}")
-    if (restores.get() == 0)
-      assert(allAppended.subsetOf(finalIds),
-        s"seed=$seed: lost committed appends ${(allAppended -- finalIds).take(5)}")
+    if (restores.get() == 0 && !allAppended.subsetOf(finalIds)) {
+      // forensic dump before failing: where did the committed rows go?
+      val lost = allAppended -- finalIds
+      val sb = new StringBuilder(s"seed=$seed: lost committed appends ${lost.take(8)}\n")
+      for (p0 <- Seq(s"$wh/fz/$tbl", s"$wh/fz/${tbl}b")) {
+        val pp = new Path(p0)
+        sb.append(s"== $p0 exists=${fsW.exists(pp)} versions=${PjCommitLog.versions(fsW, pp)}\n")
+        if (fsW.exists(pp))
+          try PjCommitLog.history(fsW, pp).foreach(h =>
+            sb.append(s"   v${h.version} ${h.action} nFiles=${h.nFiles}\n"))
+          catch { case e: Throwable => sb.append(s"   history: $e\n") }
+      }
+      sb.append(s"restores=${restores.get}\n")
+      opTrace.iterator().asScala.foreach(t => sb.append(s"  trace: $t\n"))
+      claimTrace.iterator().asScala.filter(_._2.contains(s"/$tbl"))
+        .foreach { case (ns, r, v, a) =>
+          sb.append(f"  claim: ${(ns - t00) / 1e6}%9.1fms v$v%d $a%s at $r%s\n") }
+      // disk census: every file under the table dirs + which hold lost ids
+      for (p0 <- Seq(s"$wh/fz/$tbl", s"$wh/fz/${tbl}b") if fsW.exists(new Path(p0))) {
+        val it = fsW.listFiles(new Path(p0), true)
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.toString
+          if (n.endsWith(".parquet") && !st.getPath.getName.startsWith(".")) {
+            val has = try spark.read.option("pjAutoSubstitute", "false")
+              .parquet(n).select($"id").collect().map(_.getLong(0))
+              .count(lost.contains)
+            catch { case _: Throwable => -1 }
+            if (has != 0) sb.append(s"  disk: $n lostRows=$has\n")
+          } else if (n.contains("_pj_log")) sb.append(s"  log: $n\n")
+        }
+      }
+      fail(sb.toString)
+    }
     // the log replays clean end to end
     val p = pathNow()
     val vr = spark.sql(s"CALL pjfuzzwh.system.verify_log(table => '$p')").collect()
