@@ -485,6 +485,11 @@ final class PjStreamingWrite(
       // snapshot idempotent.
       val addEntries = epochRels.map(rel => facts(s"$root/$rel").toEntry(rel))
       val schemaJson = epochRels.headOption.map(rel => facts(s"$root/$rel").dataSchemaJson)
+      // claim-invalidating marker delete BEFORE the commit (see
+      // invalidateSortMarkerPreCommit): post-claim failures must never
+      // leave a stale over-claim or fail a durable epoch
+      PjBatchWrite.invalidateSortMarkerPreCommit(fs, rootPath, sortColumns,
+        PjCommitLog.latest(fs, rootPath).map(_.files.size).getOrElse(others.size))
       PjCommitLog.latest(fs, rootPath) match {
         case Some(prev) =>
           survivors = prev.files.size
@@ -509,7 +514,12 @@ final class PjStreamingWrite(
       }
     }
     PjBatchWrite.maintainSortMarker(fs, rootPath, sortColumns, survivors)
-    graft.operators.PqIndex.maintainIfPresent(SparkSession.active, root)
+    try graft.operators.PqIndex.maintainIfPresent(SparkSession.active, root)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "pjparquet: post-epoch ANN index maintenance failed: {}", e.toString)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -848,6 +858,10 @@ final class PjBatchWrite(
         case r: PjWriteMode.ReplaceFiles => Some(r.command)
         case _ => operationTag
       }
+      // claim-invalidating marker delete BEFORE the claim: a failure here
+      // fails the write pre-commit (clean retry); after the claim, marker
+      // work is best-effort and can only under-claim
+      PjBatchWrite.invalidateSortMarkerPreCommit(fs, rootPath, sortColumns, survivors)
       val committedVersion = prev match {
         case Some(_) =>
           // row-level DML declares its read base + partition read set so
@@ -912,7 +926,7 @@ final class PjBatchWrite(
     // are maintenance-shaped already) and armed by the recorded minFiles;
     // PjCompaction itself selects only directories at/above the bar, so a
     // steady small-append stream self-heals without a maintenance window.
-    if (mode == PjWriteMode.Append) {
+    if (mode == PjWriteMode.Append) try {
       val propsJson = PjCommitLog.latest(fs, rootPath).flatMap(_.propertiesJson)
       val armed = PjTableProperties.recorded(
         propsJson, PjTableProperties.AutoCompactEnabled).exists(_.equalsIgnoreCase("true"))
@@ -927,6 +941,10 @@ final class PjBatchWrite(
               e.toString)
         }
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn("pjparquet: auto-compaction arming read failed (append stands): {}",
+          e.toString)
     }
     log.info("pjparquet commit {}: {} files, mode {}", jobUUID, manifest.size.toString, mode)
   }
@@ -1142,16 +1160,44 @@ private[sources] object PjBatchWrite {
     * without the option, changed columns — deletes the marker: readers then
     * simply stop reporting an ordering (never a wrong answer).
     */
-  def maintainSortMarker(
-      fs: FileSystem, root: Path, declared: Seq[String], survivors: Int): Unit = {
+  /** Is the post-commit sort claim provable for this write? */
+  private def sortClaimValid(
+      existing: Option[Seq[String]], declared: Seq[String], survivors: Int): Boolean = {
     def norm(cols: Seq[String]) = cols.map(_.toLowerCase(java.util.Locale.ROOT))
-    val existing = PjSortMarker.read(fs, root)
-    val valid = declared.nonEmpty &&
+    declared.nonEmpty &&
       (survivors == 0 || existing.exists(e => norm(e) == norm(declared)))
-    if (valid) {
-      if (!existing.contains(declared)) PjSortMarker.write(fs, root, declared)
-    } else if (existing.isDefined) PjSortMarker.delete(fs, root)
   }
+
+  /** PRE-commit half of sort-marker maintenance: a write that cannot keep
+    * the claim deletes the marker BEFORE claiming a version — a delete
+    * failure then fails the write pre-claim (clean retry, no doubled
+    * rows), and a crash or vanished-dir race after the claim can only
+    * leave the sound UNDER-claiming state, never a stale over-claim.
+    */
+  def invalidateSortMarkerPreCommit(
+      fs: FileSystem, root: Path, declared: Seq[String], survivors: Int): Unit = {
+    val existing = PjSortMarker.read(fs, root)
+    if (!sortClaimValid(existing, declared, survivors) && existing.isDefined)
+      PjSortMarker.delete(fs, root)
+  }
+
+  /** POST-commit half: write/confirm the claim. Best-effort by contract —
+    * the commit is durable, so a failure here must not make the caller
+    * retry (and double-append); a missing marker merely under-claims.
+    */
+  def maintainSortMarker(
+      fs: FileSystem, root: Path, declared: Seq[String], survivors: Int): Unit =
+    try {
+      val existing = PjSortMarker.read(fs, root)
+      if (sortClaimValid(existing, declared, survivors)) {
+        if (!existing.contains(declared)) PjSortMarker.write(fs, root, declared)
+      } else if (existing.isDefined) PjSortMarker.delete(fs, root)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "pjparquet: post-commit sort-marker maintenance failed " +
+            "(layout under-claims until the next commit): {}", e.toString)
+    }
 
   /** Recursive walk mirroring `PjParquetTable.resolveFiles`: yields each
     * data file with its partition-relative dir ("" at the root) and decoded
