@@ -579,6 +579,8 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
         // chmod on a vanished path) are the race lost, not corruption —
         // the quiesce consistency checks stay the backstop
         m.contains("No such file or directory") ||
+        // hadoop's listStatus on a directory a rename just moved away
+        m.contains("Invalid directory or I/O error") ||
         m.contains("cannot access") ||
         t.isInstanceOf[org.apache.hadoop.util.Shell.ExitCodeException] ||
         t.isInstanceOf[java.io.FileNotFoundException]) return true
