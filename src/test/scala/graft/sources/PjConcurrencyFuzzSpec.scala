@@ -582,6 +582,12 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
         // hadoop's listStatus on a directory a rename just moved away
         m.contains("Invalid directory or I/O error") ||
         m.contains("cannot access") ||
+        // materialize's source-file read racing an expiry that reclaimed
+        // every external file it was about to localize: parquet schema
+        // inference over the emptied path set fails at analysis time —
+        // the same vanished-file window as FileNotFoundException, one
+        // planner phase earlier
+        m.contains("UNABLE_TO_INFER_SCHEMA") ||
         t.isInstanceOf[org.apache.hadoop.util.Shell.ExitCodeException] ||
         t.isInstanceOf[java.io.FileNotFoundException]) return true
       t = t.getCause
