@@ -2673,8 +2673,14 @@ object MetadataQueries {
           graft.Tables.embeddingDim, m = 8, codes = 64)
       }
       val probes = graft.Tables.embeddings(s, dir).filter(col("vec_id") < 10)
-      val indexed = PqIndex.topK(s, root, probes, k = k, refineFactor = 16)
-      val codesScanned = indexed.queryExecution.analyzed.collect {
+      // both result frames are <= probes*k rows but feed TWO aggregate
+      // subtrees each — localCheckpoint (q104/q43 convention: eager, tiny,
+      // and unlike persist() the computing plan keeps AQE)
+      // plan bit read BEFORE the checkpoint barrier (localCheckpoint
+      // truncates the analyzed plan to a LogicalRDD)
+      val indexedPlan = PqIndex.topK(s, root, probes, k = k, refineFactor = 16)
+      val indexed = indexedPlan.localCheckpoint()
+      val codesScanned = indexedPlan.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
             if r.output.exists(_.name == "pq_codes") => r
       }.nonEmpty
@@ -2682,6 +2688,7 @@ object MetadataQueries {
         new java.io.File(s"$root/_pq_index/codes").isDirectory &&
           new java.io.File(s"$root/_pq_index/_meta.parquet").isDirectory
       val exact = PipelineOps.cosineTopK(graft.Tables.embeddings(s, dir), probes, k = k)
+        .localCheckpoint()
       val shape = indexed.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
         .agg(
@@ -2740,9 +2747,13 @@ object MetadataQueries {
       val listsPruned = codeFiles.nonEmpty &&
         plannedLists.size < allLists.size && plannedLists.size <= nprobe
       val probes = graft.Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      // q104/q43 convention: both frames are <= probes*k rows but feed two
+      // aggregate subtrees each — localCheckpoint so each pipeline runs
+      // once (eager, tiny; persist() would lose AQE inside the cached plan)
       val routed = PqIndex.topK(s, root, probes, k = k, refineFactor = 16,
-        nprobe = nprobe)
+        nprobe = nprobe).localCheckpoint()
       val exact = PipelineOps.cosineTopK(graft.Tables.embeddings(s, dir), probes, k = k)
+        .localCheckpoint()
       val shape = routed.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
         .agg(

@@ -1665,13 +1665,23 @@ object PipelineOps {
       .filter(col("w2").isNotNull)
     val perDoc = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("_k"))
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    // corpus counts DERIVED from perDoc by window sums instead of separate
+    // groupBy+join branches (r18 opt, guide §2.3/§2.4): C(w1,w2) = Σ_docs k
+    // and C(w1·) = Σ_docs Σ_w2 k, so summing perDoc's _k over (w1, w2) and
+    // (w1) windows yields bit-identical integers while the bigram explode
+    // runs ONCE instead of three times (Catalyst recomputes each branch —
+    // column pruning defeats exchange reuse) and the former c1/c2 join
+    // tables — vocabulary-sized at 100 TB — never materialize or shuffle
+    // as separate aggregation trees. Window order matters: partitionBy(w1)
+    // first, then (w1, w2) — hash(w1) satisfies the (w1, w2) clustering,
+    // so both windows ride ONE exchange.
     val vocab = base.select(explode(col("_toks")).as("_t"))
       .agg(countDistinct(col("_t")).cast("double").as("_v"))
     val scored = perDoc
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .withColumn("_c1", sum(col("_k")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .withColumn("_c2", sum(col("_k")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"), col("w2"))))
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(
@@ -1712,10 +1722,17 @@ object PipelineOps {
     val tf = base.select(col(idCol) +: carry :+ explode(col("_toks")).as("term"): _*)
       .groupBy(col(idCol) +: carry :+ col("term"): _*)
       .agg(count(lit(1)).cast("double").as("_tf"))
-    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("_df"))
+    // document frequency as a count over a term window instead of a
+    // separate groupBy+join branch (r18 opt, guide §2.3/§2.4): tf rows are
+    // distinct (doc, term), so count-over-term = docs containing the term,
+    // bit-identical — while the tokenize+explode+aggregate pass runs ONCE
+    // instead of twice (column pruning defeats exchange reuse between the
+    // branches) and the former df table — the ENTIRE VOCABULARY, a
+    // scale hazard to broadcast at 100 TB — never materializes.
     val w = Window.partitionBy(col(idCol))
       .orderBy(round(col("_tfidf"), 9).desc, col("term"))
-    tf.join(dfTbl, "term")
+    tf.withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .crossJoin(broadcast(nDocs))
       .withColumn("_tfidf", col("_tf") * log(col("_n") / col("_df")))
       .withColumn("term_rank", row_number().over(w))
@@ -1735,8 +1752,9 @@ object PipelineOps {
     *
     * 100 TB shape: the query vocabulary is a plan literal, so the tf
     * explode ships ONLY tokens matching a query term into the (doc, term)
-    * aggregate — the corpus text itself never shuffles. df/idf is a tiny
-    * per-term table broadcast back, corpus-level stats (N, avgdl) are one
+    * aggregate — the corpus text itself never shuffles. df/idf rides a
+    * count-over-term window on that same slim aggregate (one corpus pass,
+    * nothing vocabulary-sized), corpus-level stats (N, avgdl) are one
     * scalar row, and per-query ranking is the map-side-partial
     * [[graft.functions.TopK]] aggregate: k rows per task per query reach
     * the exchange, never the full score matrix.
@@ -1773,15 +1791,19 @@ object PipelineOps {
         explode(filter(col("_toks"), t => array_contains(termsLit, t))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
 
     val spark = docs.sparkSession
     import spark.implicits._
     val queryExpl = qTerms.flatMap { case (qid, ts) => ts.map((qid, _)) }
       .toDF("query_id", "term")
 
+    // df(t) as a count over a term window instead of a groupBy+join branch
+    // (r18 opt, guide §2.3/§2.4): tf rows are distinct (doc, term), so the
+    // window count equals the joined df table bit-for-bit while the
+    // query-term scan+explode pass runs ONCE instead of twice
     val scored = tf
-      .join(broadcast(dfTbl), "term")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .join(broadcast(queryExpl), "term")
       .crossJoin(broadcast(stats))
       .withColumn("_contrib",

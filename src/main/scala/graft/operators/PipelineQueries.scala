@@ -56,7 +56,10 @@ object PipelineQueries {
 
   /** `(doc_id, lang, html)` — documents wrapped in the dirtying shell. */
   private def dirtiedDocuments(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    // spread: the extraction/normalization regex chain downstream (q157,
+    // q128) is the expensive scalar work — single-row-group inputs
+    // serialize it on one core (same rationale as the shingling spreads)
+    spread(Tables.documents(s, dir)).select(
       col("doc_id"), col("lang"),
       concat(lit(HtmlShellPrefix), substring(col("text"), 1, 400),
         lit(HtmlShellSuffix)).as("html"))
@@ -244,7 +247,9 @@ object PipelineQueries {
       // EXACT surviving text per document (md5-compared) with DuckDB list
       // lambdas over the same whitespace tokens, plus the repeated-start
       // and removed-token counts.
-      PipelineOps.removeRepeatedSpans(Tables.documents(s, dir), n = 5, minDf = 2)
+      // spread: the window explode tokenizes + hashes every document (the
+      // expensive scalar prep) — single-row-group inputs serialize it
+      PipelineOps.removeRepeatedSpans(spread(Tables.documents(s, dir)), n = 5, minDf = 2)
         .select(
           col("doc_id"),
           col("n_repeated_starts"),
@@ -279,8 +284,9 @@ object PipelineQueries {
       // the corpus. The oracle ranks occurrences per gram string with a
       // window and removes rank > 1, recomputing the md5-exact surviving
       // text per document.
+      // spread: q117 rationale (tokenize+hash explode is the scalar cost)
       PipelineOps.removeRepeatedSpans(
-        Tables.documents(s, dir), n = 5, minDf = 2, keepFirst = true)
+        spread(Tables.documents(s, dir)), n = 5, minDf = 2, keepFirst = true)
         .select(
           col("doc_id"),
           col("n_repeated_starts"),
@@ -392,7 +398,12 @@ object PipelineQueries {
       // produce zero phantom candidates at every SF (an engine bug in
       // either direction breaks the count equality).
       val media = Multimodal.packAsMedia(spread(Tables.documents(s, dir)))
-      val hashed = Multimodal.withImageDHash(media)
+      // localCheckpoint: the slim (id, source, dhash, md5) rows feed the
+      // count aggregate AND both sides of the bucket self-join — without
+      // the barrier the ImageIO decode pass re-runs up to six times (each
+      // branch recomputes the mapPartitions subtree). Payload bytes are
+      // already dropped here, so the materialization is 40-byte rows.
+      val hashed = Multimodal.withImageDHash(media).localCheckpoint()
       val pairs = Multimodal.imageDupCandidates(hashed)
       val agg = pairs.agg(
         count(lit(1)).as("candidate_pairs"),
@@ -538,7 +549,10 @@ object PipelineQueries {
       // the sampled-frame arithmetic exactly (ceil(n_frames/2) per doc);
       // the decode bits assert every sampled frame decodes with bounded
       // renderPng dims and unit histogram mass.
-      val video = Multimodal.packAsVideo(Tables.documents(s, dir))
+      // spread: frame rendering + GVID packing is ImageIO codec work per
+      // row — a single-row-group input serializes it on one core (same
+      // rationale as q123's image pass)
+      val video = Multimodal.packAsVideo(spread(Tables.documents(s, dir)))
       val frames = Multimodal.sampleVideoFrames(video, stride = 2)
       Multimodal.extractFeatures(frames)
         .select(col("source"), col("media_id"),
@@ -941,8 +955,11 @@ object PipelineQueries {
       val reversed = docs.withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
       // slim join keys: the dup join shuffles 32-byte content hashes and
       // 8-byte simhashes, never document text
+      // localCheckpoint: sh feeds the join AND both sides of the dup
+      // self-join — the barrier runs the simhash+sha2 pass once, not thrice
       val sh = PipelineOps.withSimhash(docs)
         .select(col("doc_id"), sha2(col("text"), 256).as("_h"), col("simhash"))
+        .localCheckpoint()
       val shRev = PipelineOps.withSimhash(reversed)
         .select(col("doc_id"), col("simhash").as("_simhash_rev"))
       val base = sh.join(shRev, "doc_id").agg(
@@ -1102,11 +1119,14 @@ object PipelineQueries {
       val k = 5
       val cb = PipelineOps.pqCodebooks(emb, Tables.embeddingDim, m = 8, codes = 64)
       // both result frames are <= probes*k rows but feed TWO aggregate
-      // subtrees each — persist so the ANN pipeline and the exact baseline
-      // run once, not twice (QA-scale cache, cleared by the harness)
+      // subtrees each — localCheckpoint (eager, tiny) so the ANN pipeline
+      // and the exact baseline run once, not twice. NOT persist(): a cached
+      // plan's internals forgo AQE (canChangeCachedPlanOutputPartitioning
+      // defaults false), which cost these many-exchange pipelines their
+      // runtime coalescing — measured 2x slower (r18 A/B)
       val pq = PipelineOps.pqAnnTopK(emb, probes, k = k, dim = Tables.embeddingDim,
-        codes = 64, refineFactor = 16, codebooks = Some(cb)).persist()
-      val exact = PipelineOps.cosineTopK(emb, probes, k = k).persist()
+        codes = 64, refineFactor = 16, codebooks = Some(cb)).localCheckpoint()
+      val exact = PipelineOps.cosineTopK(emb, probes, k = k).localCheckpoint()
       val shape = pq.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
         .agg(
@@ -1142,9 +1162,10 @@ object PipelineQueries {
       // cluster structure), so recall tracks the fraction of lists probed —
       // measured 0.56/0.58/0.70 at sf0.001/0.01/0.1, deterministic (fixed
       // corpus + seeds), so the 50% bound holds at every SF
-      // persist: each tiny frame feeds two aggregate subtrees (q104 note)
-      val ivf = PipelineOps.ivfAnnTopK(emb, probes, k = k, nProbe = 4).persist()
-      val exact = PipelineOps.cosineTopK(emb, probes, k = k).persist()
+      // localCheckpoint: each tiny frame feeds two aggregate subtrees
+      // (q104 note — eager materialization, AQE kept for the compute)
+      val ivf = PipelineOps.ivfAnnTopK(emb, probes, k = k, nProbe = 4).localCheckpoint()
+      val exact = PipelineOps.cosineTopK(emb, probes, k = k).localCheckpoint()
       val shape = ivf.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_n"), countDistinct(col("neighbor_id")).as("_nd"))
         .agg(
@@ -1176,6 +1197,10 @@ object PipelineQueries {
           (col("_t") >= 6).cast("long").as("_eligible"),
           (size(col("fps")) > 0).cast("long").as("_has"),
           (size(col("fps")) <= greatest(col("_t") - 5, lit(0))).cast("long").as("_bounded"))
+        // localCheckpoint: perDoc feeds the bounds aggregate AND both
+        // sides of the dup self-join — one winnowing pass, not three
+        // (slim rows: ids, 32-byte hashes, fingerprint ints)
+        .localCheckpoint()
       val bounds = perDoc.agg(
         sum(col("_eligible")).as("docs_eligible"),
         min(when(col("_eligible") === 1L, col("_has")).otherwise(1L)).as("eligible_have_fps"),
@@ -1405,7 +1430,9 @@ object PipelineQueries {
       // Invariant form: per source, the row count is DuckDB-checkable, and
       // the decode invariants — histogram mass 1.0 per item, decoded
       // dimensions equal to the metadata dimensions — hold for every item.
-      val media = Multimodal.packAsMedia(Tables.documents(s, dir))
+      // spread: PNG render + decode is ImageIO codec work per row (q123
+      // rationale) — without it the whole codec pass runs on one core
+      val media = Multimodal.packAsMedia(spread(Tables.documents(s, dir)))
       Multimodal.extractFeatures(media)
         .select(
           col("source"),

@@ -198,7 +198,15 @@ object PqIndex {
     * whose key no longer exists (rewritten or deleted source files). A
     * fresh index is two directory listings and zero jobs.
     */
-  def maintain(spark: SparkSession, root: String): Unit = synchronized {
+  def maintain(spark: SparkSession, root: String): Unit = {
+    maintainReturningMeta(spark, root); ()
+  }
+
+  /** [[maintain]] that hands back the metadata it already read, so a
+    * caller that needs the codebooks next (topK) pays ONE meta read — a
+    * driver-side parquet `head()` job — instead of two.
+    */
+  private def maintainReturningMeta(spark: SparkSession, root: String): Meta = synchronized {
     val meta = readMeta(spark, root)
     val f = fs(spark, new Path(root))
     val current = corpusKeys(f, new Path(root)) // relPath -> key
@@ -233,6 +241,7 @@ object PqIndex {
       graft.sources.pjparquet.PjWriter.writeWithIndex(
         encoded, cd.toString, mode = "append", partitionBy = Seq("src", "list"))
     }
+    meta
   }
 
   private def normalize(uri: String): String =
@@ -271,8 +280,7 @@ object PqIndex {
       k: Int,
       refineFactor: Int = 4,
       nprobe: Int = 0): DataFrame = {
-    maintain(spark, root)
-    val meta = readMeta(spark, root)
+    val meta = maintainReturningMeta(spark, root)
     val corpus = spark.read.format("pjparquet").load(root)
       .select(col(meta.idCol).as("vec_id"), col(meta.embCol).as("embedding"))
     val codes = spark.read.format("pjparquet").load(codesDir(root).toString)

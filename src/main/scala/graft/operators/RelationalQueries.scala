@@ -355,11 +355,20 @@ object RelationalQueries {
     // accuracy regression fails it.
     "q28_approx_distinct" -> { (s, d) =>
       import s.implicits._
-      Tables.lineitem(s, d)
-        .groupBy($"l_returnflag")
-        .agg(
-          approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
-          countDistinct($"l_partkey").as("exact_parts"))
+      // r18 opt (guide §2.3): mixing countDistinct with approx_count_distinct
+      // in ONE agg makes Spark key the partial HLL++ sketch by
+      // (returnflag, partkey) — a 410-long register array PER DISTINCT PAIR
+      // crossing the exchange (~3.3 KB × 200k groups at sf0.1; fatal at
+      // 100 TB). Split branches: the sketch aggregates per FLAG (3 sketches
+      // total), the exact distinct ships slim pairs; a broadcast join
+      // reunites them. Both estimates are order-insensitive (HLL++ inserts
+      // are idempotent/commutative), so results are bit-identical.
+      val li = Tables.lineitem(s, d)
+      val approxD = li.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"))
+      val exactD = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("exact_parts"))
+      approxD.join(broadcast(exactD), "l_returnflag")
         .agg(
           count(lit(1)).as("n_groups"),
           sum(when(abs($"approx_parts" - $"exact_parts") <=
