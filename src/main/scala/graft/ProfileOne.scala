@@ -63,14 +63,45 @@ object ProfileOne {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // Driver-side sampling profiler for the final run: the interesting
+    // time in metadata queries is BETWEEN jobs (planning, commit-log I/O,
+    // catalog work) — a 10 ms wall-clock sampler over the query thread
+    // shows where those gaps go without any external tooling.
+    val queryThread = Thread.currentThread()
+    val histo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val st = queryThread.getStackTrace
+          if (st.nonEmpty) {
+            // first frame in graft/spark that is not pure scala/java —
+            // the "what is the driver doing" attribution frame
+            val f = st.find { e =>
+              val c = e.getClassName
+              (c.startsWith("graft") || c.startsWith("org.apache.spark")) &&
+                !c.contains("ProfileOne")
+            }.map(e => s"${e.getClassName}.${e.getMethodName}").getOrElse(
+              st.headOption.map(e => s"${e.getClassName}.${e.getMethodName}").getOrElse("?"))
+            histo.merge(f, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+          }
+        }
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     var lastWall = 0.0
     for (r <- 1 to runs) {
       jobs.clear(); stageToJob.clear()
       recording = r == runs // record only the final (warm) run
+      sampling = r == runs
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       lastWall = (System.nanoTime() - t0) / 1e9
       recording = false
+      sampling = false
       println(f"[profile] $name run $r/$runs wall=${lastWall}%.3f s")
       spark.sqlContext.clearCache()
       graft.sources.pjparquet.PjParquetTable.clearLayoutCache()
@@ -95,6 +126,10 @@ object ProfileOne {
     val jobWall = recs.map(j => j.finished - j.submitted).sum
     println(f"[profile] sum(job wall)=${jobWall} ms of ${(lastWall * 1000).toLong} ms total " +
       f"(driver gaps=${(lastWall * 1000).toLong - jobWall} ms)")
+    val hs = scala.jdk.CollectionConverters.MapHasAsScala(histo).asScala.toSeq
+      .sortBy(-_._2.intValue()).take(25)
+    println(s"[profile] query-thread samples (10 ms) during final run:")
+    hs.foreach { case (f, n) => println(f"[profile]   $n%4d  $f") }
     spark.stop()
   }
 }

@@ -610,13 +610,16 @@ object PipelineQueries {
       // document and EVERY name round-trips exactly, every name strictly
       // compresses, and the 1,200-merge model never tokenizes the corpus
       // worse than the 200-merge sample model.
-      val docs = Tables.documents(s, dir)
-      val names = Tables.customer(s, dir).select(col("c_name").as("text"))
+      // spread: the word-count fit and the three encode-verification
+      // aggregates are per-row tokenizer CPU — profiled at 0.8 s (3-task
+      // union fit) + 2 × 0.45 s (single-task encode scans) before
+      val docs = spread(Tables.documents(s, dir))
+      val names = spread(Tables.customer(s, dir).select(col("c_name").as("text")))
       // order-derived text rows widen the digit/identifier vocabulary so
       // the 1,200-merge request is satisfiable at every scale factor
-      val orderText = Tables.orders(s, dir).select(
+      val orderText = spread(Tables.orders(s, dir).select(
         concat(lit("order_"), col("o_orderkey"), lit(" price_"),
-          col("o_totalprice"), lit(" date_"), col("o_orderdate")).as("text"))
+          col("o_totalprice"), lit(" date_"), col("o_orderdate")).as("text")))
       val corpus = docs.select(col("text")).unionByName(names).unionByName(orderText)
       val model = graft.functions.BpeTokenizer.trainDistributed(
         s, corpus, "text", numMerges = 1200, maxVocab = 4000)
@@ -1224,7 +1227,10 @@ object PipelineQueries {
       // recomputes exact_pairs with its own cosine; the booleans assert the
       // LSH path found exactly the exact set (measured recall 1.0,
       // deterministic; bound at 80%).
-      val emb = Tables.embeddings(s, dir)
+      // spread: the single-row-group scan otherwise leaves the all-pairs
+      // exact baseline's broadcast-NL join on ONE task (stream-side
+      // parallelism = input partitions; profiled as the query's hot spot)
+      val emb = spread(Tables.embeddings(s, dir))
       val nd = PipelineOps.embeddingNearDupPairs(emb, minCosine = 0.5, dim = Tables.embeddingDim)
         .select(col("id_a"), col("id_b"), lit(1).as("_n"))
       // exact baseline: double arrays and norms materialized per ROW before
@@ -1263,7 +1269,9 @@ object PipelineQueries {
       // exact all-pairs baseline; top-3 cluster assignment recovers
       // boundary-straddling pairs (measured recall 1.0 at sf0.01,
       // 13/14 = 93% at sf0.1 — bound at 80%).
-      val emb = Tables.embeddings(s, dir)
+      // spread: q56 rationale — the exact all-pairs BNL join's parallelism
+      // is the input partition count (profiled: 0.8 s single-task before)
+      val emb = spread(Tables.embeddings(s, dir))
       val (sdPairs, handle) = PipelineOps
         .semanticDedupPairsWithHandle(emb, minCosine = 0.5, nClusters = 16, nAssign = 3)
       val sd = sdPairs.select(col("id_a"), col("id_b"), lit(1).as("_n"))

@@ -82,11 +82,37 @@ object PjIndexJob {
     */
   def generateForPaths(spark: SparkSession, paths: Seq[String]): Seq[PjFileFacts] = {
     if (paths.isEmpty) return Nil
-    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    spark.sparkContext
-      .parallelize(paths, math.min(paths.size, 1024))
-      .map(pathStr => buildOne(conf.value, pathStr))
-      .collect().toSeq
+    // r18 opt: a steady-state commit adds a handful of files, and per-file
+    // work is one footer read + one small sidecar write (driver-bounded by
+    // construction — footers are KBs). Launching a cluster job for that
+    // costs far more than the work itself: task scheduling, closure
+    // serialization, and a ~100 KB Hadoop-conf broadcast per commit
+    // (sampled at ~240 ms/query on the DML-heavy bench queries). Small
+    // commits run on the driver over a bounded thread pool; bulk backfills
+    // (CONVERT, compaction fan-ins past the threshold) keep the
+    // executor-parallel job. Threshold parameterized for cluster tuning.
+    val localMax =
+      try spark.conf.get("spark.graft.indexJob.localThreshold", "32").toInt
+      catch { case _: NumberFormatException => 32 }
+    if (paths.size <= localMax) {
+      val conf = spark.sessionState.newHadoopConf()
+      if (paths.size == 1) return Seq(buildOne(conf, paths.head))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(paths.size, 8))
+      try {
+        val futs = paths.map(p => pool.submit(
+          new java.util.concurrent.Callable[PjFileFacts] {
+            def call(): PjFileFacts = buildOne(conf, p)
+          }))
+        futs.map(_.get())
+      } finally pool.shutdown()
+    } else {
+      val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+      spark.sparkContext
+        .parallelize(paths, math.min(paths.size, 1024))
+        .map(pathStr => buildOne(conf.value, pathStr))
+        .collect().toSeq
+    }
   }
 
   private def buildOne(conf: org.apache.hadoop.conf.Configuration, pathStr: String): PjFileFacts = {
