@@ -589,6 +589,12 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
         // planner phase earlier
         m.contains("UNABLE_TO_INFER_SCHEMA") ||
         t.isInstanceOf[org.apache.hadoop.util.Shell.ExitCodeException] ||
+        // hadoop's RawLocalFileSystem.listStatus maps a null File.list()
+        // — a directory a racing rename just moved away mid-list — to
+        // AccessDeniedException("Permission denied"). Nothing in the lane
+        // ever changes permissions, so the only source is that race (the
+        // refs listing inside expire saw it at seed 20132).
+        t.isInstanceOf[java.nio.file.AccessDeniedException] ||
         t.isInstanceOf[java.io.FileNotFoundException]) return true
       t = t.getCause
     }
