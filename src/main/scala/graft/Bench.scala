@@ -286,9 +286,17 @@ object Bench {
       val metaCompact = pickNumericKeys(metaJson,
         Seq("footer_parse_ms", "pj_read_1rg_ms", "pj_schema_ms", "speedup_1rg",
           "index_size_ratio"))
+      // r19 (additions only — metric/value/sf keys unchanged): the
+      // per-query minima map and the calibration-probe min ride the
+      // compact line, so the driver's round-over-round comparison can
+      // populate per_query/scaling without reading BENCH.json (r18's
+      // PERF had n_common: 0 because the line carried only the total).
+      val qs = timings.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${q(sfDir)},""" +
         s""""runs_per_query":$runsPerQuery,"query_count":${timings.size},""" +
         s""""error_count":${errors.size},"rerun_count":${reruns.size},"partial":$partial,""" +
+        s""""calibration":${fmt(calibrationMin)},"queries":$qs,""" +
         s""""bench_file":${q(benchFile)},"metadata":$metaCompact}"""
     }
 

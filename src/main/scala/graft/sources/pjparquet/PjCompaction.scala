@@ -198,6 +198,12 @@ object PjCompaction {
     // the DV filter and row-id derivation read `_metadata` columns, which
     // do not survive a Union — apply both per generation group BEFORE
     // unioning
+    // raw parquet (pjAutoSubstitute off): _metadata needed
+    def readGrp(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val r = spark.read.option("basePath", rootUri)
+        .option("pjAutoSubstitute", "false")
+      (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(paths: _*)
+    }
     files.groupBy(f =>
       (keySeq(f), fillKey(f), renameOfPath.getOrElse(f.path, Map.empty[String, String])))
       .toSeq
@@ -207,27 +213,23 @@ object PjCompaction {
         // a group spanning a TYPE WIDENING holds both INT32 and INT64
         // files for the same column — parquet's schema merge refuses
         // (CANNOT_MERGE_SCHEMAS; schema-evolution fuzzer, seed 13063).
-        // Probe the merge at analysis time (footer reads only) and split
-        // such groups into per-file frames: each keeps its own
-        // _metadata-dependent DV/row-id handling, and the final
-        // unionByName's type coercion performs the widening.
-        if (!mergeSchema || grp0.size == 1) Seq(grp0)
-        else try {
-          spark.read.option("basePath", rootUri)
-            .option("pjAutoSubstitute", "false").option("mergeSchema", "true")
-            .parquet(grp0.map(_.path): _*)
-          Seq(grp0)
-        } catch {
+        // The read's own analysis-time schema inference IS the merge
+        // probe (footer reads only): groups that refuse split into
+        // per-file frames — each keeps its own _metadata-dependent
+        // DV/row-id handling, and the final unionByName's type coercion
+        // performs the widening. Building the DataFrame here (instead of
+        // a separate probe read + re-read) runs the footer-merge
+        // inference job once per group, not twice.
+        if (!mergeSchema || grp0.size == 1)
+          Seq(grp0 -> readGrp(grp0.map(_.path)))
+        else try Seq(grp0 -> readGrp(grp0.map(_.path)))
+        catch {
           case e: Throwable if Option(e.getMessage)
               .exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
-            grp0.map(Seq(_))
+            grp0.map(f => Seq(f) -> readGrp(Seq(f.path)))
         }
       }
-      .map { grp =>
-      val r = spark.read.option("basePath", rootUri)
-        .option("pjAutoSubstitute", "false") // raw parquet: _metadata needed
-      val raw0 = (if (mergeSchema) r.option("mergeSchema", "true") else r)
-        .parquet(grp.map(_.path): _*)
+      .map { case (grp, raw0) =>
       val raw = rowIdBases match {
         case None => raw0
         case Some(bases) =>
@@ -394,6 +396,40 @@ object PjCompaction {
     * consumed files are rewritten into ~`ceil(smallBytes / targetBytes)`
     * files per directory; all other files are untouched byte-for-byte.
     */
+  /** For each bin b in [0, n): a long v whose Spark hash-partitioning
+    * placement `pmod(murmur3(v), n)` is exactly b. Routing rows through
+    * the preimage lets `repartition(n, key)` place every bin on its own
+    * task deterministically — the property compaction needs for whole
+    * ~targetBytes output files — without `repartitionByRange`'s sampling
+    * pass over the full rewrite input. The search uses the same Murmur3
+    * the codegen'd hash calls; the result is then verified on a sample
+    * against Spark's REAL partition-id expression (Pmod∘Murmur3Hash), so
+    * an internals drift degrades to `None` (caller falls back to range
+    * partitioning) rather than to misrouted bins.
+    */
+  private[pjparquet] def hashPreimages(n: Int): Option[Map[Long, Long]] = {
+    if (n <= 0) return None
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLiteral, Murmur3Hash, Pmod}
+    val found = new Array[Long](n)
+    val have = new Array[Boolean](n)
+    var v = 0L
+    var remaining = n
+    val bound = 1000L + 64L * n // coupon-collector with huge headroom
+    while (remaining > 0 && v < bound) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val b = ((h % n) + n) % n
+      if (!have(b)) { have(b) = true; found(b) = v; remaining -= 1 }
+      v += 1
+    }
+    if (remaining > 0) return None
+    val ok = (0 until math.min(n, 17)).forall { i =>
+      val b = ((i.toLong * 977) % n).toInt
+      Pmod(new Murmur3Hash(Seq(CatLiteral(found(b)))), CatLiteral(n))
+        .eval(null) == b
+    }
+    if (ok) Some((0 until n).map(b => b.toLong -> found(b)).toMap) else None
+  }
+
   def compact(
       spark: SparkSession,
       root: String,
@@ -573,14 +609,28 @@ object PjCompaction {
       "^[a-zA-Z0-9+.-]+:/+", "/")
     val baseM = typedLit(binBase)
     val nM = typedLit(binsByDir)
-    val routed = df
+    val routed0 = df
       .withColumn("_dir", dirCol)
       .withColumn("_pid",
         coalesce(element_at(baseM, col("_dir")), lit(0)).cast("long") +
           pmod(monotonically_increasing_id(),
             coalesce(element_at(nM, col("_dir")), lit(1)).cast("long")))
-      .repartitionByRange(totalBins, col("_pid"))
-      .drop("_dir", "_pid")
+    // One-bin-per-task placement WITHOUT RangePartitioner's sampling pass:
+    // `repartitionByRange` reads the whole rewrite input an extra time just
+    // to learn bounds that are known a priori here (the routing key is a
+    // dense [0, totalBins) integer — guide §2.4, remove redundant passes).
+    // Mapping each bin through a hash PREIMAGE makes plain hash
+    // repartitioning place exactly one bin per task (no birthday
+    // collisions), so output files still come out whole at ~targetBytes.
+    val routed = hashPreimages(totalBins) match {
+      case Some(pre) =>
+        routed0
+          .withColumn("_hkey", element_at(typedLit(pre), col("_pid")))
+          .repartition(totalBins, col("_hkey"))
+          .drop("_dir", "_pid", "_hkey")
+      case None => // hash internals drifted: keep the sampling pass
+        routed0.repartitionByRange(totalBins, col("_pid")).drop("_dir", "_pid")
+    }
 
     // A sorted-layout claim (`_pj_sort`) must survive compaction: the bin
     // routing interleaves input files, so re-sort each task's rows by
