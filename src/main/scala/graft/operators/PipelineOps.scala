@@ -29,6 +29,22 @@ final class AnnCacheHandle private[operators] (pinned: Seq[DataFrame]) extends A
 
 object PipelineOps {
 
+  /** Round-robin a few-file input over the cores before compute-heavy
+    * per-row work (r19, guide §2.6): a single-row-group parquet file scans
+    * as ONE working task no matter how many splits Spark plans (only the
+    * split holding the row-group midpoint does work), serializing scalar
+    * prep that should use the whole machine. Inputs with at least one
+    * file per core are already parallel and are returned untouched — at
+    * 100 TB the corpus has thousands of files and this is the identity.
+    * The guard counts FILES, not planned splits, because split count
+    * over-reports real scan parallelism exactly in the single-row-group
+    * case this helper exists for.
+    */
+  private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= p) df else df.repartition(p)
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup: content-hash groupBy keeping the smallest id. At scale the
@@ -782,7 +798,12 @@ object PipelineOps {
     * (a `Window.partitionBy(probe)` would shuffle every scored pair).
     */
   def cosineTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val corpus = embeddings.select(
+    // spreadIfNarrow (r19): the corpus side of the broadcast-NL scorer
+    // inherits the SCAN's working-task count — a single-row-group file
+    // runs the whole probes x corpus cosine pass on one core (profiled:
+    // 800 ms single-task job inside q114). TopK's ordering is total
+    // (score desc, id asc), so the repartition cannot change results.
+    val corpus = spreadIfNarrow(embeddings).select(
       col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb"))
     val probe = probes.select(
       col("vec_id").as("probe_id"), asDouble(col("embedding")).as("p_emb"))
@@ -1256,8 +1277,12 @@ object PipelineOps {
     // (the exact re-rank keeps returned scores right, hiding the bug)
     require(cb(0)(0).length == ds,
       s"pq: codebook sub-dimension ${cb(0)(0).length} != dim/m = $ds")
+    // spreadIfNarrow (r19): the per-query encode + ADC pass inherits the
+    // corpus scan's working-task count (profiled: a 370 ms single-task
+    // job inside q104 on a single-row-group corpus file)
     val corpus = pqEncode(
-      embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb")),
+      spreadIfNarrow(embeddings)
+        .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("n_emb")),
       cb, "n_emb")
       .select(col("neighbor_id"), col("pq_codes"), col("pq_norm"))
     pqAdcRerank(corpus, embeddings, probes, cb, k, refineFactor)

@@ -27,13 +27,17 @@ object PipelineQueries {
   /** Split-count insurance for compute-heavy per-row prep (shingling,
     * SimHash votes, winnowing windows): a single-row-group parquet file
     * scans as ONE task, serializing the prep no matter how many cores the
-    * cluster has. A cheap round-robin repartition of the raw rows caps
-    * nothing at scale (inputs there have thousands of splits and the
-    * shuffle is narrow relative to the prep cost) and restores
-    * parallelism on few-split inputs.
+    * cluster has. A cheap round-robin repartition of the raw rows restores
+    * parallelism on few-file inputs — and is SKIPPED when the input
+    * already has at least one file per core (r19, guarding the 100 TB
+    * case: round-robining thousands of already-parallel splits through an
+    * exchange is pure waste). The guard counts FILES, not planned splits:
+    * Spark plans ~cores splits even for one single-row-group file, but
+    * only the split holding the row-group midpoint does any work, so
+    * split count over-reports real scan parallelism exactly in the case
+    * this helper exists for. (Shared impl: [[PipelineOps.spreadIfNarrow]].)
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = PipelineOps.spreadIfNarrow(df)
 
   /** Deterministic HTML dirtying shell for the extraction entries
     * (q157, q128's first stage): fixed boilerplate around the first 400
@@ -926,7 +930,11 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       // the shingle prep is the expensive scalar work and feeds BOTH the
       // operator under test and its exact baseline — spread it over the
-      // cores and persist it once
+      // cores and persist it once. (r19: a localCheckpoint variant — the
+      // q34/q49 convention — was A/B'd and measured ~neutral-to-worse
+      // here: SIX subtrees re-read this frame, and the columnar cache
+      // serves repeated reads faster than the checkpoint's row-serialized
+      // local store. persist stays.)
       val shingles = PipelineOps.trigramShingles(spread(docs)).persist()
       val mh = PipelineOps.minhashNearDupPairsFromShingles(shingles)
         .select(col("id_a"), col("id_b"), lit(1).as("_m"))

@@ -287,7 +287,14 @@ object PqIndex {
       .select(col("vec_id").as("neighbor_id"), col("pq_codes"), col("pq_norm"),
         col("list"))
     if (nprobe <= 0 || meta.nlist == 0) {
-      PipelineOps.pqAdcRerank(codes.drop("list"), corpus, probes, meta.cb, k, refineFactor)
+      // spreadIfNarrow (r19): a flat (nlist=0) codes table is a handful of
+      // `src=` files — the ADC scoring pass over it would run on as many
+      // tasks as files (profiled: a 450 ms single-task job inside q114).
+      // IVF-routed reads below stay untouched: their list-pruning filter
+      // must remain adjacent to the scan, and the probed lists already
+      // fan out over one file per (src, list) partition.
+      PipelineOps.pqAdcRerank(PipelineOps.spreadIfNarrow(codes.drop("list")),
+        corpus, probes, meta.cb, k, refineFactor)
     } else {
       // EXECUTOR-SIDE routing: each probe ranks the broadcast centroid
       // literal in its own task — probe vectors never reach the driver,

@@ -481,7 +481,15 @@ object RelationalQueries {
     // flips it.
     "q51_approx_percentile" -> { (s, d) =>
       import s.implicits._
-      Tables.lineitem(s, d)
+      // spreadIfNarrow on the slim projection (r19, guide §2.6): the
+      // percentile buffers are object-hash partial aggregates built in the
+      // SCAN stage, which runs on as many tasks as lineitem has row
+      // groups (profiled: 3 tasks, 911 ms) — round-robin the two needed
+      // columns over the cores first. Exact percentile is a sorted-buffer
+      // merge (partition-order independent); percentile_approx's 1e-4
+      // rank error is 100x inside the 1% tolerance the output asserts.
+      PipelineOps.spreadIfNarrow(
+        Tables.lineitem(s, d).select($"l_returnflag", $"l_extendedprice"))
         .groupBy($"l_returnflag")
         .agg(
           percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_med"),
