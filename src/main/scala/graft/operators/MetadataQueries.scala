@@ -2729,9 +2729,12 @@ object MetadataQueries {
       }
       val iso = s.newSession()
       iso.conf.set("spark.sql.adaptive.enabled", "false")
+      // reconcile=false (r19): plan-only probe — the real topK below
+      // reconciles; a second corpus walk + meta-read job here cannot
+      // change the probed plan
       val routedIso = PqIndex.topK(iso, root,
         graft.Tables.embeddings(iso, dir).filter(col("vec_id") < 1),
-        k = k, refineFactor = 16, nprobe = nprobe)
+        k = k, refineFactor = 16, nprobe = nprobe, reconcile = false)
       val codeFiles = routedIso.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
       }.flatMap(_.partitions.flatten).collect {

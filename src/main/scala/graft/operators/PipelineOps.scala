@@ -1678,7 +1678,9 @@ object PipelineOps {
     */
   def withLmScore(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    // spreadIfNarrow (r19): the tokenize+bigram-explode pass runs in the
+    // SCAN stage — a single-row-group corpus serializes it on one task
+    val base = spreadIfNarrow(docs).select(col(idCol), tokens(col(textCol)).as("_toks"))
     // adjacent pairs; single-token docs produce (w1, null) and are dropped
     // by the null filter (sequence(1,0) would descend, hence the greatest)
     val pairs = base.select(col(idCol),
@@ -1742,7 +1744,9 @@ object PipelineOps {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val carry = carryCols.map(col)
-    val base = docs.select(col(idCol) +: carry :+ tokens(col(textCol)).as("_toks"): _*)
+    // spreadIfNarrow (r19): same scan-stage tokenize rationale as withLmScore
+    val base = spreadIfNarrow(docs)
+      .select(col(idCol) +: carry :+ tokens(col(textCol)).as("_toks"): _*)
     val nDocs = base.agg(count(lit(1)).cast("double").as("_n"))
     val tf = base.select(col(idCol) +: carry :+ explode(col("_toks")).as("term"): _*)
       .groupBy(col(idCol) +: carry :+ col("term"): _*)
@@ -1804,7 +1808,10 @@ object PipelineOps {
     val allTerms = qTerms.flatMap(_._2).distinct.sorted
     val termsLit = array(allTerms.map(lit): _*)
 
-    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+    // spreadIfNarrow (r19): same scan-stage tokenize rationale as withLmScore
+    // (profiled: a 454 ms single-task job inside q120)
+    val base = spreadIfNarrow(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("double"))
     // corpus-level scalars: one row, broadcast into the scoring join
     val stats = base.agg(

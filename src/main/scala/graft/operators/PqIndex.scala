@@ -279,8 +279,19 @@ object PqIndex {
       probes: DataFrame,
       k: Int,
       refineFactor: Int = 4,
-      nprobe: Int = 0): DataFrame = {
-    val meta = maintainReturningMeta(spark, root)
+      nprobe: Int = 0,
+      /** `false` skips the reconcile pass (r19): for a PLAN-ONLY probe of
+        * a topK the caller is about to run for real anyway (q116's
+        * partition-pruning plan fact), the extra corpus walk + codes
+        * listing + meta-read job per call buys nothing — the reconcile
+        * does not change the produced plan, only the codes table content,
+        * which the immediately following reconciled call re-derives.
+        * Defaults to `true`: results always reflect the current corpus.
+        */
+      reconcile: Boolean = true): DataFrame = {
+    val meta =
+      if (reconcile) maintainReturningMeta(spark, root)
+      else readMeta(spark, root)
     val corpus = spark.read.format("pjparquet").load(root)
       .select(col(meta.idCol).as("vec_id"), col(meta.embCol).as("embedding"))
     val codes = spark.read.format("pjparquet").load(codesDir(root).toString)
