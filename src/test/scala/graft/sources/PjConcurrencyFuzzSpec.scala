@@ -600,6 +600,13 @@ class PjConcurrencyFuzzSpec extends AnyFunSuite {
         // (refs listing inside expire, seed 20132).
         (t.isInstanceOf[java.nio.file.AccessDeniedException] &&
           m.contains("Permission denied")) ||
+        // the java.nio twin of FileNotFoundException (its message is just
+        // the path, so no string above matches): a pinned tag-read racing
+        // an expiry that chose its retained set BEFORE the tag committed
+        // loses exactly like the io variant (seed 20045, tagread vs
+        // expire). Same vanished-file-during-maintenance family; the
+        // quiesce consistency checks remain the corruption backstop.
+        t.isInstanceOf[java.nio.file.NoSuchFileException] ||
         t.isInstanceOf[java.io.FileNotFoundException]) return true
       t = t.getCause
     }
